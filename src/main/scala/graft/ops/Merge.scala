@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.SnapshotTable
+
+/**
+ * MERGE INTO for native snapshot tables — the one genuine capability hole
+ * in vanilla Spark 4 that the reference fills with format jars
+ * (`delta/delta_scd_script.py:88-95`, `iceberg/iceberg_scd_script.py:75-82`;
+ * SURVEY.md §7.3). Semantics follow Delta/Iceberg:
+ *
+ *  - clauses are evaluated in declaration order, first match wins;
+ *  - `WHEN MATCHED [AND cond] THEN UPDATE SET col=expr,…` partial update,
+ *    `UPDATE SET *` full-row by-name update (extra source columns ignored,
+ *    `delta/delta_scd_script.py:77,84,95`), or `DELETE`;
+ *  - `WHEN NOT MATCHED [AND cond] THEN INSERT *` / `INSERT (…) VALUES (…)`;
+ *  - target rows matching **more than one** source row under an
+ *    update/delete clause raise [[MergeCardinalityException]] (Delta's
+ *    cardinality check);
+ *  - unmatched target rows pass through untouched.
+ *
+ * Physical strategy (Delta's two-job copy-on-write, SURVEY.md §3.2,
+ * designed for the 100 TB case):
+ *
+ *  1. *Touched-file discovery*: inner-join `target ⋈ source` on the merge
+ *     condition, collecting only the distinct target **file names** — a
+ *     narrow scan (join keys + file name) whose equi-part Catalyst plans as
+ *     a broadcast/shuffled hash join with pushdown.
+ *  2. *Rewrite*: full-outer-join only the touched files' rows against the
+ *     source, route every row through the clause chain with pure `Column`
+ *     expressions (whole-stage-codegen'd CASE WHEN — no UDFs), write the
+ *     rewritten files, and commit `untouched ++ rewritten` atomically.
+ *
+ * Driver-side work is commit metadata only; no row ever passes through the
+ * driver.
+ */
+final class MergeInto(
+    table: SnapshotTable,
+    source: DataFrame,
+    condition: Column) {
+
+  import MergeInto._
+
+  private var clauses: Vector[Clause] = Vector.empty
+  private var cardinalityCheck = true
+
+  /** Alias used for the target side in `condition` / clause expressions. */
+  def whenMatched(): ClauseBuilder = new ClauseBuilder(this, Matched, None)
+  def whenMatched(cond: Column): ClauseBuilder = new ClauseBuilder(this, Matched, Some(cond))
+  def whenNotMatched(): ClauseBuilder = new ClauseBuilder(this, NotMatched, None)
+  def whenNotMatched(cond: Column): ClauseBuilder = new ClauseBuilder(this, NotMatched, Some(cond))
+  def whenNotMatchedBySource(): ClauseBuilder = new ClauseBuilder(this, NotMatchedBySource, None)
+  def whenNotMatchedBySource(cond: Column): ClauseBuilder = new ClauseBuilder(this, NotMatchedBySource, Some(cond))
+
+  /** Disable the multi-match cardinality job (saves one pass when the
+   *  caller can prove source keys are unique). */
+  def withoutCardinalityCheck(): MergeInto = { cardinalityCheck = false; this }
+
+  private[ops] def add(c: Clause): MergeInto = { clauses = clauses :+ c; this }
+
+  def execute(): SnapshotTable = {
+    require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
+    val spark = table.spark
+    val targetCols = table.schema.fields.map(_.name).toSeq
+
+    // ---- job 1: touched-file discovery (file-granularity copy-on-write).
+    val allFiles = table.manifest()
+    val targetAll = table.read()
+    val srcExists = source.withColumn(S_EXISTS, lit(true)).alias("s")
+
+    val touched: Seq[String] = {
+      val needsTargetRewrite = clauses.exists(c => c.kind != NotMatched)
+      if (!needsTargetRewrite) Nil
+      else {
+        val tFiles = targetAll
+          .withColumn(T_FILE, input_file_name())
+          .alias("t")
+        val hit = tFiles.join(srcExists, condition, "inner")
+          .select(col(T_FILE)).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val norm = hit.map(normalizePath)
+        allFiles.filter(f => norm.contains(normalizePath(f)))
+      }
+    }
+    val untouched = allFiles.diff(touched)
+
+    // ---- cardinality check: >1 source row hitting one target row under an
+    // update/delete clause is ambiguous → error (Delta semantics). Narrow
+    // aggregate job over the touched files only.
+    if (cardinalityCheck && touched.nonEmpty &&
+        clauses.exists(c => c.kind == Matched && c.action != DeleteAction)) {
+      val t = spark.read.schema(table.schema).parquet(touched: _*)
+        .withColumn(T_UID, monotonically_increasing_id()).alias("t")
+      val dups = t.join(srcExists, condition, "inner")
+        .groupBy(col(T_UID)).count().filter(col("count") > 1).limit(1).count()
+      if (dups > 0) throw new MergeCardinalityException(
+        "MERGE: a target row matched multiple source rows under an UPDATE clause")
+    }
+
+    // ---- job 2: rewrite touched rows ∪ route unmatched source inserts.
+    val touchedDf =
+      if (touched.isEmpty) {
+        // No matched targets: still need the insert path over an empty target.
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table.schema)
+      } else spark.read.schema(table.schema).parquet(touched: _*)
+
+    val t = touchedDf.withColumn(T_EXISTS, lit(true)).alias("t")
+    val joined = t.join(srcExists, condition, "full_outer")
+
+    val matched = col(T_EXISTS).isNotNull && col(S_EXISTS).isNotNull
+    val sourceOnly = col(T_EXISTS).isNull && col(S_EXISTS).isNotNull
+    val targetOnly = col(T_EXISTS).isNotNull && col(S_EXISTS).isNull
+
+    // Route each joined row to the index of the first applicable clause;
+    // -1 = keep target row as-is; -2 = drop (no-op insert / delete).
+    def firstClause(kind: ClauseKind, base: Column, default: Int): Column = {
+      val applicable = clauses.zipWithIndex.filter(_._1.kind == kind)
+      applicable.foldRight(lit(default)) { case ((cl, idx), elseCol) =>
+        when(cl.condition.map(base && _).getOrElse(base), lit(idx)).otherwise(elseCol)
+      }
+    }
+    val action =
+      when(matched, firstClause(Matched, lit(true), KEEP))
+        .when(sourceOnly, firstClause(NotMatched, lit(true), DROP))
+        .otherwise(firstClause(NotMatchedBySource, lit(true), KEEP))
+
+    val withAction = joined.withColumn(ACTION, action)
+      .filter(col(ACTION) =!= DROP)
+      .filter(!clauses.zipWithIndex
+        .filter(_._1.action == DeleteAction)
+        .map { case (_, i) => col(ACTION) === i }
+        .foldLeft(lit(false))(_ || _))
+
+    val sourceCols = source.columns.toSet
+    def outCol(name: String): Column = {
+      val fromTarget = col(s"t.$name")
+      clauses.zipWithIndex.foldLeft(fromTarget) { case (acc, (cl, idx)) =>
+        val value: Option[Column] = cl.action match {
+          case UpdateAll =>
+            Some(if (sourceCols.contains(name)) col(s"s.$name") else fromTarget)
+          case UpdateSet(set) =>
+            Some(set.getOrElse(name, fromTarget))
+          case InsertAll =>
+            Some(if (sourceCols.contains(name)) col(s"s.$name") else lit(null))
+          case InsertValues(vals) =>
+            Some(vals.getOrElse(name, lit(null)))
+          case DeleteAction => None // rows already filtered out
+        }
+        value.map(v => when(col(ACTION) === idx, v).otherwise(acc)).getOrElse(acc)
+      }.as(name)
+    }
+
+    val targetSchema = table.schema
+    val result = withAction
+      .select(targetCols.map(outCol): _*)
+      // lock output types to the target schema (INSERT of wider types etc.)
+      .select(targetSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+
+    table.replaceFiles(untouched, result, "merge")
+  }
+}
+
+object MergeInto {
+  private[ops] val T_EXISTS = "__t_exists"
+  private[ops] val S_EXISTS = "__s_exists"
+  private[ops] val T_FILE = "__t_file"
+  private[ops] val T_UID = "__t_uid"
+  private[ops] val ACTION = "__action"
+  private[ops] val KEEP = -1
+  private[ops] val DROP = -2
+
+  private[ops] def normalizePath(p: String): String = {
+    val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
+    java.net.URLDecoder.decode(noScheme, "UTF-8")
+  }
+
+  class MergeCardinalityException(msg: String) extends RuntimeException(msg)
+
+  sealed trait ClauseKind
+  case object Matched extends ClauseKind
+  case object NotMatched extends ClauseKind
+  case object NotMatchedBySource extends ClauseKind
+
+  sealed trait MergeAction
+  case object UpdateAll extends MergeAction
+  final case class UpdateSet(set: Map[String, Column]) extends MergeAction
+  case object InsertAll extends MergeAction
+  final case class InsertValues(values: Map[String, Column]) extends MergeAction
+  case object DeleteAction extends MergeAction
+
+  final case class Clause(kind: ClauseKind, condition: Option[Column], action: MergeAction)
+
+  final class ClauseBuilder(m: MergeInto, kind: ClauseKind, cond: Option[Column]) {
+    /** `UPDATE SET *` — full-row by-name (`iceberg/iceberg_scd_script.py:80`). */
+    def updateAll(): MergeInto = m.add(Clause(kind, cond, UpdateAll))
+    /** `UPDATE SET col = expr, …` partial (`delta/delta_scd_script.py:93-94`). */
+    def update(set: Map[String, Column]): MergeInto = m.add(Clause(kind, cond, UpdateSet(set)))
+    def delete(): MergeInto = m.add(Clause(kind, cond, DeleteAction))
+    /** `INSERT *` by-name (`delta/delta_scd_script.py:95`). */
+    def insertAll(): MergeInto = m.add(Clause(kind, cond, InsertAll))
+    def insert(values: Map[String, Column]): MergeInto = m.add(Clause(kind, cond, InsertValues(values)))
+  }
+}

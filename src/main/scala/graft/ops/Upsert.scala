@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.SnapshotTable
+
+/**
+ * Hudi-semantics keyed upsert (reference `hudi/hudi_scd_script.py:34,36,
+ * 115-119`; SURVEY.md §2.6, §7.3):
+ *
+ *  1. *Precombine*: incoming rows are deduplicated per record key, keeping
+ *     the row with the greatest precombine value (`hoodie.datasource.write
+ *     .precombine.field`, `hudi/hudi_scd_script.py:36`). Implemented as a
+ *     `row_number` window partitioned by the key — one shuffle, map-side
+ *     combine-friendly, no driver involvement.
+ *  2. *Index + write*: matched keys update in place, unmatched insert —
+ *     exactly `MERGE … WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *`,
+ *     so it reuses [[MergeInto]]'s touched-file copy-on-write path (Hudi's
+ *     record-key index lookup is the same left-semi shape, SURVEY.md §2.4).
+ *
+ * At scale the join shuffles hash-partitioned on the record key; the table
+ * side is never broadcast (SURVEY.md §4.3). Incoming batches small enough
+ * to broadcast are picked up automatically by AQE.
+ */
+object Upsert {
+
+  def apply(
+      table: SnapshotTable,
+      incoming: DataFrame,
+      keys: Seq[String],
+      precombine: String): SnapshotTable = {
+    require(keys.nonEmpty, "upsert needs at least one record-key column")
+
+    val deduped = precombineLatest(incoming, keys, precombine)
+
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    table.merge(deduped, cond)
+      // key collisions are impossible after precombine → skip the extra job
+      .withoutCardinalityCheck()
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+  }
+
+  /** Keep only the max-precombine row per key (ties broken arbitrarily but
+   *  deterministically by the sort). */
+  def precombineLatest(incoming: DataFrame, keys: Seq[String], precombine: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(precombine).desc_nulls_last)
+    incoming
+      .withColumn("__pc_rn", row_number().over(w))
+      .filter(col("__pc_rn") === 1)
+      .drop("__pc_rn")
+  }
+}

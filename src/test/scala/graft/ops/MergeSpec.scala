@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.SnapshotTable
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable() = SnapshotTable.create(spark, tmpDir("merge"),
+    Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "name", "qty"))
+
+  test("MERGE updateAll + insertAll (Iceberg full-row shape)") {
+    val t = freshTable()
+    val src = Seq((2, "B", 200), (4, "d", 40)).toDF("id", "name", "qty")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+    val got = t.read().as[(Int, String, Int)].collect().toSet
+    assert(got === Set((1, "a", 10), (2, "B", 200), (3, "c", 30), (4, "d", 40)))
+  }
+
+  test("MERGE partial update with clause condition (Delta shape)") {
+    val t = freshTable()
+    val src = Seq((1, "ignored", 999), (3, "ignored", 31)).toDF("id", "name", "qty")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatched(col("s.qty") > 100).update(Map("qty" -> col("s.qty")))
+      .execute()
+    val got = t.read().as[(Int, String, Int)].collect().toSet
+    // id=1 matched+cond → qty updated, name kept; id=3 matched but cond false → untouched
+    assert(got === Set((1, "a", 999), (2, "b", 20), (3, "c", 30)))
+  }
+
+  test("MERGE delete clause") {
+    val t = freshTable()
+    val src = Seq(Tuple1(2)).toDF("id")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatched().delete()
+      .execute()
+    assert(t.read().select("id").as[Int].collect().toSet === Set(1, 3))
+  }
+
+  test("first-matching-clause wins") {
+    val t = freshTable()
+    val src = Seq((1, "x", 101)).toDF("id", "name", "qty")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatched(col("s.qty") > 100).update(Map("name" -> lit("first")))
+      .whenMatched().update(Map("name" -> lit("second")))
+      .execute()
+    assert(t.read().filter($"id" === 1).select("name").as[String].head() === "first")
+  }
+
+  test("NULL merge key never matches → insert (Delta NULL-mergeKey trick)") {
+    val t = freshTable()
+    val src = Seq((Option.empty[Int], "n", 77), (Some(2), "B", 22))
+      .toDF("mergeKey", "name", "qty")
+      .withColumn("id", lit(99))
+    t.merge(src, col("t.id") === col("s.mergeKey"))
+      .whenMatched().update(Map("qty" -> col("s.qty")))
+      .whenNotMatched().insert(Map("id" -> col("s.id"), "name" -> col("s.name"), "qty" -> col("s.qty")))
+      .execute()
+    val got = t.read().as[(Int, String, Int)].collect().toSet
+    assert(got === Set((1, "a", 10), (2, "b", 22), (3, "c", 30), (99, "n", 77)))
+  }
+
+  test("cardinality violation: two source rows match one target row") {
+    val t = freshTable()
+    val src = Seq((2, "x", 1), (2, "y", 2)).toDF("id", "name", "qty")
+    intercept[MergeInto.MergeCardinalityException] {
+      t.merge(src, col("t.id") === col("s.id"))
+        .whenMatched().updateAll()
+        .execute()
+    }
+  }
+
+  test("one source row expiring many target rows is allowed") {
+    val t = SnapshotTable.create(spark, tmpDir("merge"),
+      Seq((1, 1, "v1"), (1, 0, "v0"), (2, 1, "v1")).toDF("id", "cur", "v"))
+    val src = Seq(Tuple1(1)).toDF("id")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatched().update(Map("cur" -> lit(0)))
+      .execute()
+    assert(t.read().filter($"cur" === 1).select("id").as[Int].collect().toSet === Set(2))
+  }
+
+  test("untouched files survive merge verbatim (copy-on-write at file level)") {
+    val t = SnapshotTable(spark, tmpDir("merge"))
+    // two separate commits → distinct files; merge touches only the second
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((100, "z")).toDF("id", "v"))
+    val before = t.manifest()
+    val src = Seq((100, "Z")).toDF("id", "v")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatched().updateAll()
+      .execute()
+    val after = t.manifest()
+    // the file holding id=1 must be carried forward unchanged
+    assert(before.intersect(after).nonEmpty)
+    assert(t.read().as[(Int, String)].collect().toSet === Set((1, "a"), (100, "Z")))
+  }
+
+  test("upsert: precombine keeps max-ts row per key; updates + inserts") {
+    val t = SnapshotTable.create(spark, tmpDir("ups"),
+      Seq((1, "old", 100L), (2, "keep", 100L)).toDF("id", "v", "ts"))
+    val incoming = Seq(
+      (1, "newer", 300L), (1, "stale", 200L), // same key twice → precombine
+      (3, "insert", 300L)).toDF("id", "v", "ts")
+    t.upsert(incoming, keys = Seq("id"), precombine = "ts")
+    val got = t.read().as[(Int, String, Long)].collect().toSet
+    assert(got === Set((1, "newer", 300L), (2, "keep", 100L), (3, "insert", 300L)))
+  }
+}
