@@ -63,27 +63,68 @@ final class MergeInto(
   def execute(): SnapshotTable = {
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
     val spark = table.spark
-    val targetCols = table.schema.fields.map(_.name).toSeq
-
-    // ---- job 1: touched-file discovery (file-granularity copy-on-write).
+    val targetSchema = table.schema
+    val targetCols = targetSchema.fields.map(_.name).toSeq
     val allFiles = table.manifest()
     val targetAll = table.read()
     val srcExists = source.withColumn(S_EXISTS, lit(true)).alias("s")
 
-    val touched: Seq[String] = {
-      val needsTargetRewrite = clauses.exists(c => c.kind != NotMatched)
-      if (!needsTargetRewrite) Nil
-      else {
+    // Route each joined row to the index of the first applicable clause;
+    // -1 = keep target row as-is; -2 = drop (no-op insert / delete).
+    def firstClause(kind: ClauseKind, base: Column, default: Int): Column = {
+      val applicable = clauses.zipWithIndex.filter(_._1.kind == kind)
+      applicable.foldRight(lit(default)) { case ((cl, idx), elseCol) =>
+        when(cl.condition.map(base && _).getOrElse(base), lit(idx)).otherwise(elseCol)
+      }
+    }
+    def lockSchema(df: DataFrame): DataFrame =
+      df.select(targetSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+
+    val needsTargetRewrite = clauses.exists(c => c.kind != NotMatched)
+    if (!needsTargetRewrite) {
+      // Insert-only MERGE: no target row ever changes, so no file is
+      // rewritten — but matched source rows must still be excluded, or keys
+      // already present would be re-inserted. Left-anti join source against
+      // the FULL target on the merge condition (shuffle hash join on the
+      // equi-keys; the table side is never collected), then route the
+      // unmatched rows through the NOT MATCHED clause chain.
+      val t = targetAll.alias("t")
+      val unmatched = srcExists.join(t, condition, "left_anti")
+      val withAction = unmatched
+        .withColumn(ACTION, firstClause(NotMatched, lit(true), DROP))
+        .filter(col(ACTION) =!= DROP)
+      val sourceCols = source.columns.toSet
+      def insCol(name: String): Column =
+        clauses.zipWithIndex.filter(_._1.kind == NotMatched)
+          .foldLeft(lit(null): Column) { case (acc, (cl, idx)) =>
+            val v = cl.action match {
+              case InsertAll =>
+                if (sourceCols.contains(name)) col(s"s.$name") else lit(null)
+              case InsertValues(vals) => vals.getOrElse(name, lit(null))
+              case _ => acc
+            }
+            when(col(ACTION) === idx, v).otherwise(acc)
+          }.as(name)
+      val inserts = lockSchema(withAction.select(targetCols.map(insCol): _*))
+      return table.replaceFiles(allFiles, inserts, "merge")
+    }
+
+    // ---- job 1: touched-file discovery (file-granularity copy-on-write).
+    val touched: Seq[String] =
+      if (clauses.exists(_.kind == NotMatchedBySource)) {
+        // Target rows with NO source match may need updating/deleting, and
+        // they can live in any file — every live file is touched (Delta
+        // behaves the same for notMatchedBySource).
+        allFiles
+      } else {
         val tFiles = targetAll
           .withColumn(T_FILE, input_file_name())
           .alias("t")
         val hit = tFiles.join(srcExists, condition, "inner")
           .select(col(T_FILE)).distinct()
-          .collect().map(_.getString(0)).toSeq
-        val norm = hit.map(normalizePath)
-        allFiles.filter(f => norm.contains(normalizePath(f)))
+          .collect().map(r => decodeReadPath(r.getString(0))).toSet
+        allFiles.filter(hit.contains)
       }
-    }
     val untouched = allFiles.diff(touched)
 
     // ---- cardinality check: >1 source row hitting one target row under an
@@ -91,7 +132,7 @@ final class MergeInto(
     // aggregate job over the touched files only.
     if (cardinalityCheck && touched.nonEmpty &&
         clauses.exists(c => c.kind == Matched && c.action != DeleteAction)) {
-      val t = spark.read.schema(table.schema).parquet(touched: _*)
+      val t = spark.read.schema(targetSchema).parquet(touched: _*)
         .withColumn(T_UID, monotonically_increasing_id()).alias("t")
       val dups = t.join(srcExists, condition, "inner")
         .groupBy(col(T_UID)).count().filter(col("count") > 1).limit(1).count()
@@ -103,24 +144,15 @@ final class MergeInto(
     val touchedDf =
       if (touched.isEmpty) {
         // No matched targets: still need the insert path over an empty target.
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table.schema)
-      } else spark.read.schema(table.schema).parquet(touched: _*)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], targetSchema)
+      } else spark.read.schema(targetSchema).parquet(touched: _*)
 
     val t = touchedDf.withColumn(T_EXISTS, lit(true)).alias("t")
     val joined = t.join(srcExists, condition, "full_outer")
 
     val matched = col(T_EXISTS).isNotNull && col(S_EXISTS).isNotNull
     val sourceOnly = col(T_EXISTS).isNull && col(S_EXISTS).isNotNull
-    val targetOnly = col(T_EXISTS).isNotNull && col(S_EXISTS).isNull
 
-    // Route each joined row to the index of the first applicable clause;
-    // -1 = keep target row as-is; -2 = drop (no-op insert / delete).
-    def firstClause(kind: ClauseKind, base: Column, default: Int): Column = {
-      val applicable = clauses.zipWithIndex.filter(_._1.kind == kind)
-      applicable.foldRight(lit(default)) { case ((cl, idx), elseCol) =>
-        when(cl.condition.map(base && _).getOrElse(base), lit(idx)).otherwise(elseCol)
-      }
-    }
     val action =
       when(matched, firstClause(Matched, lit(true), KEEP))
         .when(sourceOnly, firstClause(NotMatched, lit(true), DROP))
@@ -152,12 +184,7 @@ final class MergeInto(
       }.as(name)
     }
 
-    val targetSchema = table.schema
-    val result = withAction
-      .select(targetCols.map(outCol): _*)
-      // lock output types to the target schema (INSERT of wider types etc.)
-      .select(targetSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-
+    val result = lockSchema(withAction.select(targetCols.map(outCol): _*))
     table.replaceFiles(untouched, result, "merge")
   }
 }
@@ -171,10 +198,15 @@ object MergeInto {
   private[ops] val KEEP = -1
   private[ops] val DROP = -2
 
-  private[ops] def normalizePath(p: String): String = {
-    val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
-    java.net.URLDecoder.decode(noScheme, "UTF-8")
-  }
+  /** `input_file_name()` yields a percent-encoded URI string; the manifest
+   *  stores plain decoded paths (`Path.toUri.getPath`). Decode ONLY the
+   *  read side — decoding both corrupts table roots containing literal
+   *  `%xx` or `+` (they would be decoded a second time). */
+  private[ops] def decodeReadPath(p: String): String =
+    try new java.net.URI(p).getPath
+    catch { // not URI-parseable (e.g. raw space): strip any scheme verbatim
+      case _: Exception => p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
+    }
 
   class MergeCardinalityException(msg: String) extends RuntimeException(msg)
 

@@ -1,10 +1,20 @@
 package graft.tables
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
-
 import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.column.statistics._
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNull, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /**
  * Snapshot-versioned Parquet table with an atomic file-system commit log —
@@ -16,20 +26,29 @@ import java.util.UUID
  * Layout under `root`:
  * {{{
  *   _log/00000000000000000001.json   commit entries (version-ordered)
+ *   _tmp/commit-<uuid>.json          in-flight commit payloads (ignored by readers)
  *   data/<uuid>/part-*.parquet       immutable data directories
  * }}}
  *
- * Each commit entry records the **explicit list of live parquet files**
- * (O(files) metadata, never O(rows) — SURVEY.md §4.3), the table schema,
- * and the action. Commit = write entry to a temp name, then
- * `FileSystem.rename` to `_log/<version>.json`; rename-to-existing fails on
- * HDFS-compatible filesystems, which makes the version slot a
- * compare-and-swap: a concurrent writer that loses the race gets a
- * [[ConcurrentCommitException]] (the local-FS stand-in for the reference's
- * DynamoDB optimistic lock, `hudi/hudi_scd_script.py:41-48`). Readers only
- * ever see fully-committed file lists, so overwrite/createOrReplace is
- * atomic (`iceberg/iceberg_scd_script.py:37` semantics), and orphaned data
- * dirs from failed writes are invisible and GC-able.
+ * Each commit entry records the **explicit list of live parquet files with
+ * per-file, per-column min/max statistics** (O(files) metadata, never
+ * O(rows) — SURVEY.md §4.3), the table schema, and the action. Stats are
+ * harvested from the parquet footers of just-written files on the driver —
+ * footer reads only, no data scan — and enable file-level data skipping on
+ * [[scan]] (the reference formats' data-skipping behavior behind the
+ * Athena "80 KB scanned" point lookups, `image/hudi_cow_query.png`).
+ *
+ * Commit protocol (local FS): the full entry is written to `_tmp/`, then
+ * *hard-linked* into its `_log/<version>.json` slot — `link(2)` fails
+ * atomically with EEXIST if the slot is taken, and the destination appears
+ * with its complete content in one syscall. A losing concurrent writer gets
+ * [[SnapshotTable.ConcurrentCommitException]] (the local stand-in for the
+ * reference's DynamoDB optimistic lock, `hudi/hudi_scd_script.py:41-48`).
+ * On non-local filesystems the claim is `fs.create(dest, overwrite=false)`
+ * (atomic slot claim on HDFS-compatible stores). Readers only ever see
+ * fully-committed file lists, so overwrite/createOrReplace is atomic
+ * (`iceberg/iceberg_scd_script.py:37` semantics), and orphaned data dirs
+ * from failed writes are invisible and GC-able.
  *
  * Scale notes (100 TB target):
  *  - `append` commits only the new files — no rewrite, O(1) data moved.
@@ -37,7 +56,7 @@ import java.util.UUID
  *    (copy-on-write at file granularity, like Delta's two-job MERGE,
  *    SURVEY.md §3.2) and carry the untouched file list forward.
  *  - All data movement happens in executors; the driver handles commit
- *    metadata only.
+ *    metadata only (footer stats are O(new files) per commit).
  */
 class SnapshotTable private (
     val spark: SparkSession,
@@ -46,8 +65,10 @@ class SnapshotTable private (
   import SnapshotTable._
 
   private val rootPath = new Path(root)
-  private def fs: FileSystem = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+  private def hadoopConf: Configuration = spark.sessionState.newHadoopConf()
+  private def fs: FileSystem = rootPath.getFileSystem(hadoopConf)
   private def logDir = new Path(rootPath, "_log")
+  private def tmpDir = new Path(rootPath, "_tmp")
   private def dataDir = new Path(rootPath, "data")
 
   /** Registered view names to refresh on every commit (catalog sync,
@@ -63,7 +84,8 @@ class SnapshotTable private (
     if (!fs.exists(logDir)) return Nil
     fs.listStatus(logDir).toSeq
       .map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
+      // strict match: crash-orphaned tmp/garbage names must never break reads
+      .filter(_.matches("\\d{1,20}\\.json"))
       .map(_.stripSuffix(".json").toLong)
       .sorted
   }
@@ -82,15 +104,35 @@ class SnapshotTable private (
   /** Atomically publish `entry` as version `version` (CAS on the slot). */
   private def writeCommit(version: Long, entry: CommitEntry): Unit = {
     fs.mkdirs(logDir)
-    val tmp = new Path(logDir, s".tmp-${UUID.randomUUID().toString.take(8)}.json")
-    val out = fs.create(tmp, false)
-    try out.write(entry.toJson.getBytes("UTF-8")) finally out.close()
     val dest = new Path(logDir, f"$version%020d.json")
-    val renamed = !fs.exists(dest) && fs.rename(tmp, dest)
-    if (!renamed) {
-      fs.delete(tmp, false)
-      throw new ConcurrentCommitException(
-        s"version $version of $root was committed concurrently")
+    val payload = entry.toJson.getBytes("UTF-8")
+    val scheme = dest.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // Local FS: full-content tmp file + hard link = atomic claim AND
+      // atomic publication (link(2) is EEXCL; rename would overwrite).
+      val tmpJ = new java.io.File(tmpDir.toUri.getPath)
+      tmpJ.mkdirs()
+      val tmp = new java.io.File(tmpJ, s"commit-${UUID.randomUUID().toString.take(12)}.json")
+      java.nio.file.Files.write(tmp.toPath, payload)
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dest.toUri.getPath), tmp.toPath)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(
+            s"version $version of $root was committed concurrently")
+      } finally tmp.delete()
+    } else {
+      // HDFS-compatible stores: create(overwrite=false) claims the slot
+      // atomically; content is visible after close (single-writer-per-slot).
+      val out =
+        try fs.create(dest, false)
+        catch {
+          case _: java.io.IOException =>
+            throw new ConcurrentCommitException(
+              s"version $version of $root was committed concurrently")
+        }
+      try out.write(payload) finally out.close()
     }
     refreshViews()
   }
@@ -100,18 +142,28 @@ class SnapshotTable private (
 
   // ----------------------------------------------------------------- writes
 
-  /** Write `df` into a fresh immutable data dir; return its parquet files. */
-  private[graft] def writeDataDir(df: DataFrame): Seq[String] = {
+  /** Write `df` into a fresh immutable data dir; return per-file entries
+   *  with footer-harvested column stats. */
+  private[graft] def writeDataDir(df: DataFrame): Seq[FileEntry] = {
     val dir = new Path(dataDir, UUID.randomUUID().toString.take(12))
-    df.write.mode("overwrite").parquet(dir.toString)
-    listParquet(dir)
-  }
-
-  private def listParquet(dir: Path): Seq[String] = {
+    // Spark's default INT96 timestamps carry no parquet min/max stats and
+    // would defeat data skipping on timestamp columns — write INT64 micros.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.mode("overwrite").parquet(dir.toString)
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+    val conf = hadoopConf
     fs.listStatus(dir).toSeq
       .filter(s => s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.getPath)
-      .sorted
+      .sortBy(_.getPath.getName)
+      .map(s => readFooterStats(s.getPath, s.getLen, conf))
+      // zero-row part files carry no data and defeat stats pruning — drop
+      // them from the manifest (rows == -1 means "stats unknown": keep)
+      .filter(_.rows != 0L)
   }
 
   /** Full-replace (reference "bulk insert overwrite" S4/S7,
@@ -119,7 +171,7 @@ class SnapshotTable private (
   def overwrite(df: DataFrame): SnapshotTable = {
     val files = writeDataDir(df)
     writeCommit(currentVersion() + 1,
-      CommitEntry(files, df.schema.json, "overwrite"))
+      CommitEntry("overwrite", df.schema.json, files))
     this
   }
 
@@ -128,16 +180,21 @@ class SnapshotTable private (
     val v = currentVersion()
     val prior = if (v < 0) Nil else commitEntry(v).files
     val files = writeDataDir(df)
-    writeCommit(v + 1, CommitEntry(prior ++ files, df.schema.json, "append"))
+    writeCommit(v + 1, CommitEntry("append", df.schema.json, prior ++ files))
     this
   }
 
-  /** Replace the live file set with `keep` plus newly-written `df` files —
-   *  the copy-on-write commit used by upsert/merge (graft.ops). */
+  /** Replace the live file set with `keep` (paths from the current manifest,
+   *  stats carried forward) plus newly-written `df` files — the
+   *  copy-on-write commit used by upsert/merge (graft.ops). */
   private[graft] def replaceFiles(keep: Seq[String], df: DataFrame, action: String): SnapshotTable = {
+    val v = currentVersion()
+    val priorByPath: Map[String, FileEntry] =
+      if (v < 0) Map.empty else commitEntry(v).files.map(f => f.path -> f).toMap
+    val kept = keep.map(p => priorByPath.getOrElse(p, FileEntry(p, -1L, -1L, Map.empty)))
     val files = writeDataDir(df)
-    writeCommit(currentVersion() + 1,
-      CommitEntry((keep ++ files).sorted, df.schema.json, action))
+    writeCommit(v + 1,
+      CommitEntry(action, df.schema.json, (kept ++ files).sortBy(_.path)))
     this
   }
 
@@ -151,8 +208,39 @@ class SnapshotTable private (
     require(version >= 0, s"table $root is empty")
     val entry = commitEntry(version)
     val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
-    if (entry.files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(entry.files: _*)
+    dfOver(entry.files.map(_.path), schema)
+  }
+
+  private def dfOver(paths: Seq[String], schema: StructType): DataFrame =
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+
+  /**
+   * Stats-pruned scan: files whose per-column [min,max] cannot satisfy
+   * `predicate` are dropped from the plan *before* Spark ever opens them —
+   * file-level data skipping, the behavior behind the reference formats'
+   * small-scan point lookups (BASELINE.md; `image/hudi_cow_query.png`).
+   * Unsupported predicate shapes and files without stats are kept
+   * (pruning is always conservative); the full predicate is still applied
+   * by Catalyst (and pushed to the parquet reader) afterwards.
+   */
+  def scan(predicate: Column): DataFrame = {
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val entry = commitEntry(v)
+    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    val keep = entry.files.filter(f => Pruning.mayMatch(f, org.apache.spark.sql.graftshim.SparkInternals.expr(predicate), schema))
+    dfOver(keep.map(_.path), schema).filter(predicate)
+  }
+
+  /** Files [[scan]] would read for `predicate` — exposed for tests/EXPLAIN. */
+  def prunedManifest(predicate: Column): Seq[String] = {
+    val v = currentVersion()
+    if (v < 0) return Nil
+    val entry = commitEntry(v)
+    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    entry.files.filter(f => Pruning.mayMatch(f, org.apache.spark.sql.graftshim.SparkInternals.expr(predicate), schema)).map(_.path)
   }
 
   def schema: StructType =
@@ -161,6 +249,12 @@ class SnapshotTable private (
   /** Live file list of the current snapshot (the "manifest" — the analogue
    *  of Delta's symlink_format_manifest, `delta/delta_scd_script.py:42-43`). */
   def manifest(): Seq[String] = {
+    val v = currentVersion()
+    if (v < 0) Nil else commitEntry(v).files.map(_.path)
+  }
+
+  /** Full manifest incl. per-file row counts and column stats. */
+  def manifestEntries(): Seq[FileEntry] = {
     val v = currentVersion()
     if (v < 0) Nil else commitEntry(v).files
   }
@@ -179,7 +273,7 @@ class SnapshotTable private (
     graft.ops.Upsert(this, incoming, keys, precombine)
 
   /** Delta/Iceberg-semantics MERGE INTO — see [[graft.ops.MergeInto]]. */
-  def merge(source: DataFrame, condition: org.apache.spark.sql.Column): graft.ops.MergeInto =
+  def merge(source: DataFrame, condition: Column): graft.ops.MergeInto =
     new graft.ops.MergeInto(this, source, condition)
 }
 
@@ -187,73 +281,243 @@ object SnapshotTable {
 
   class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
-  /** A committed table state: live files + schema. Stored as one JSON file
-   *  per version; kept dependency-free (hand-rolled JSON, flat strings). */
-  private[graft] case class CommitEntry(files: Seq[String], schemaJson: String, action: String) {
+  /** Column min/max/nullCount of one parquet file, harvested from its
+   *  footer. `min`/`max` are stringified in the column's natural domain
+   *  (integral/timestamp/date → long, float/double → double, string →
+   *  utf8); absent when the footer had no usable stats. */
+  final case class ColStats(min: Option[String], max: Option[String], nullCount: Option[Long])
+
+  final case class FileEntry(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats])
+
+  /** A committed table state: live files (+stats) and schema, one JSON doc
+   *  per version (json4s — bundled with Spark, no extra dependency). */
+  private[graft] final case class CommitEntry(action: String, schemaJson: String, files: Seq[FileEntry]) {
     def toJson: String = {
-      def q(s: String) = "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-      s"""{"action":${q(action)},"files":[${files.map(q).mkString(",")}],"schema":${q(schemaJson)}}"""
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      org.json4s.jackson.Serialization.write(this)
     }
   }
 
   private[graft] object CommitEntry {
-    // Minimal JSON reader for the writer above (strings have no raw quotes
-    // besides escaped ones; schema JSON is stored as an escaped string).
     def fromJson(s: String): CommitEntry = {
-      def unescape(x: String): String = {
-        val sb = new StringBuilder
-        var i = 0
-        while (i < x.length) {
-          val c = x.charAt(i)
-          if (c == '\\' && i + 1 < x.length) {
-            x.charAt(i + 1) match {
-              case '"' => sb.append('"'); i += 2
-              case '\\' => sb.append('\\'); i += 2
-              case 'n' => sb.append('\n'); i += 2
-              case 'u' => sb.append(Integer.parseInt(x.substring(i + 2, i + 6), 16).toChar); i += 6
-              case other => sb.append(other); i += 2
-            }
-          } else { sb.append(c); i += 1 }
-        }
-        sb.toString
-      }
-      // Tokenize top-level strings (quote-aware).
-      def stringsAfter(key: String): Seq[String] = {
-        val ki = s.indexOf("\"" + key + "\":")
-        require(ki >= 0, s"missing $key in commit entry")
-        var i = ki + key.length + 3
-        val acc = scala.collection.mutable.ArrayBuffer[String]()
-        var depth = 0
-        var done = false
-        while (i < s.length && !done) {
-          s.charAt(i) match {
-            case '[' => depth += 1; i += 1
-            case ']' => depth -= 1; i += 1; if (depth <= 0) done = true
-            case '"' =>
-              val sb = new StringBuilder
-              i += 1
-              while (s.charAt(i) != '"') {
-                if (s.charAt(i) == '\\') { sb.append(s.charAt(i)).append(s.charAt(i + 1)); i += 2 }
-                else { sb.append(s.charAt(i)); i += 1 }
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      org.json4s.jackson.Serialization.read[CommitEntry](s)
+    }
+  }
+
+  /** Footer-only stats harvest — no row is read. Any failure degrades to
+   *  "no stats" (pruning stays conservative). */
+  private[tables] def readFooterStats(p: Path, len: Long, conf: Configuration): FileEntry = {
+    val path = p.toUri.getPath
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val acc = scala.collection.mutable.Map[String, ColStats]()
+        val unusable = scala.collection.mutable.Set[String]()
+        for (b <- blocks; cc <- b.getColumns.asScala) {
+          val parts = cc.getPath.toArray
+          if (parts.length == 1) { // top-level primitives only
+            val name = parts(0)
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty || unusable.contains(name)) {
+              unusable += name
+              acc.remove(name)
+            } else {
+              statsToStrings(st) match {
+                case Some((mn, mx)) =>
+                  val prevOpt = acc.get(name)
+                  val nulls = st.getNumNulls
+                  acc(name) = prevOpt match {
+                    case None => ColStats(mn, mx, if (nulls >= 0) Some(nulls) else None)
+                    case Some(prev) =>
+                      ColStats(
+                        mergeBound(prev.min, mn, st, takeMin = true),
+                        mergeBound(prev.max, mx, st, takeMin = false),
+                        for (a <- prev.nullCount; if nulls >= 0) yield a + nulls)
+                  }
+                case None =>
+                  // null-only chunk: no bounds to merge, but nulls count
+                  val nulls = st.getNumNulls
+                  acc(name) = acc.get(name) match {
+                    case Some(prev) => prev.copy(nullCount = for (a <- prev.nullCount; if nulls >= 0) yield a + nulls)
+                    case None => ColStats(None, None, if (nulls >= 0) Some(nulls) else None)
+                  }
               }
-              i += 1
-              acc += unescape(sb.toString)
-              if (depth == 0) done = true
-            case _ => i += 1
+            }
           }
         }
-        acc.toSeq
+        FileEntry(path, rows, len, acc.toMap)
+      } finally reader.close()
+    } catch {
+      case NonFatal(_) => FileEntry(path, -1L, len, Map.empty)
+    }
+  }
+
+  /** Stringified (min,max) in the column's natural domain; None when the
+   *  chunk holds only nulls. */
+  private def statsToStrings(st: Statistics[_]): Option[(Option[String], Option[String])] = {
+    if (!st.hasNonNullValue) return None
+    val prim = st.`type`()
+    st match {
+      case s: IntStatistics => Some((Some(s.getMin.toLong.toString), Some(s.getMax.toLong.toString)))
+      case s: LongStatistics => Some((Some(s.getMin.toString), Some(s.getMax.toString)))
+      case s: FloatStatistics => Some((Some(s.getMin.toDouble.toString), Some(s.getMax.toDouble.toString)))
+      case s: DoubleStatistics => Some((Some(s.getMin.toString), Some(s.getMax.toString)))
+      case s: BinaryStatistics
+          if prim.getLogicalTypeAnnotation != null &&
+            prim.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some((Some(s.genericGetMin.toStringUsingUTF8), Some(s.genericGetMax.toStringUsingUTF8)))
+      case _ => Some((None, None))
+    }
+  }
+
+  private def mergeBound(a: Option[String], b: Option[String], st: Statistics[_], takeMin: Boolean): Option[String] =
+    (a, b) match {
+      case (Some(x), Some(y)) =>
+        val numeric = !st.isInstanceOf[BinaryStatistics]
+        val cmp =
+          if (numeric && !st.isInstanceOf[DoubleStatistics] && !st.isInstanceOf[FloatStatistics])
+            java.lang.Long.compare(x.toLong, y.toLong)
+          else if (numeric) java.lang.Double.compare(x.toDouble, y.toDouble)
+          else x.compareTo(y)
+        if ((cmp <= 0) == takeMin) Some(x) else Some(y)
+      case _ => None // a chunk without bounds makes the file bound unknown
+    }
+
+  /** Conservative file-level predicate evaluation over footer stats. */
+  private[tables] object Pruning {
+
+    def mayMatch(f: FileEntry, pred: Expression, schema: StructType): Boolean =
+      splitConjuncts(normalize(pred)).forall(c => conjunctMayMatch(f, c, schema))
+
+    /** Column-DSL comparisons arrive as `UnresolvedFunction("=", …)` nodes
+     *  (Spark 4 column-node conversion); rewrite the shapes we prune on
+     *  into their Catalyst comparison nodes. */
+    private def normalize(e: Expression): Expression = e match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        val args = f.arguments.map(normalize)
+        (f.nameParts.last.toLowerCase, args) match {
+          case ("and", Seq(l, r)) => And(l, r)
+          case ("=" | "==", Seq(l, r)) => EqualTo(l, r)
+          case (">", Seq(l, r)) => GreaterThan(l, r)
+          case (">=", Seq(l, r)) => GreaterThanOrEqual(l, r)
+          case ("<", Seq(l, r)) => LessThan(l, r)
+          case ("<=", Seq(l, r)) => LessThanOrEqual(l, r)
+          case ("in", l +: rest) if rest.nonEmpty => In(l, rest)
+          case ("isnull", Seq(l)) => IsNull(l)
+          case _ => e
+        }
+      case And(l, r) => And(normalize(l), normalize(r))
+      case other => other
+    }
+
+    private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+      case other => Seq(other)
+    }
+
+    private def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+
+    /** (statsDomainValue, isDouble) for a literal against column type `dt`. */
+    private def litValue(l: Literal, dt: DataType): Option[Either[Long, Either[Double, String]]] = {
+      if (l.value == null) return None
+      (dt, l.dataType) match {
+        case (ByteType | ShortType | IntegerType | LongType, _) =>
+          l.value match {
+            case v: java.lang.Number
+                if Set[DataType](ByteType, ShortType, IntegerType, LongType).contains(l.dataType) =>
+              Some(Left(v.longValue()))
+            case v: java.lang.Number => Some(Right(Left(v.doubleValue()))) // fractional literal vs integral col
+            case _ => None
+          }
+        case (FloatType | DoubleType, _) =>
+          l.value match {
+            case v: java.lang.Number => Some(Right(Left(v.doubleValue())))
+            case _ => None
+          }
+        case (TimestampType | TimestampNTZType, TimestampType | TimestampNTZType) =>
+          // literal may carry micros (internal) or an unconverted object
+          import org.apache.spark.sql.catalyst.util.DateTimeUtils
+          l.value match {
+            case v: java.lang.Long => Some(Left(v))
+            case v: java.time.Instant => Some(Left(DateTimeUtils.instantToMicros(v)))
+            case v: java.sql.Timestamp => Some(Left(DateTimeUtils.fromJavaTimestamp(v)))
+            case v: java.time.LocalDateTime => Some(Left(DateTimeUtils.localDateTimeToMicros(v)))
+            case _ => None
+          }
+        case (DateType, DateType) =>
+          import org.apache.spark.sql.catalyst.util.DateTimeUtils
+          l.value match {
+            case v: java.lang.Integer => Some(Left(v.longValue()))
+            case v: java.time.LocalDate => Some(Left(DateTimeUtils.localDateToDays(v).toLong))
+            case v: java.sql.Date => Some(Left(DateTimeUtils.fromJavaDate(v).toLong))
+            case _ => None
+          }
+        case (_: StringType, _: StringType) => Some(Right(Right(l.value.toString)))
+        case _ => None
       }
-      CommitEntry(
-        files = stringsAfter("files"),
-        schemaJson = stringsAfter("schema").head,
-        action = stringsAfter("action").head)
+    }
+
+    private def bounds(f: FileEntry, name: String, schema: StructType): Option[(String, String)] =
+      for {
+        field <- schema.fields.find(_.name.equalsIgnoreCase(name))
+        cs <- f.stats.get(field.name)
+        mn <- cs.min
+        mx <- cs.max
+      } yield (mn, mx)
+
+    private def colType(name: String, schema: StructType): Option[DataType] =
+      schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+
+    /** cmp(fileBound, literal) in the right domain. */
+    private def cmp(bound: String, v: Either[Long, Either[Double, String]], dt: DataType): Int = v match {
+      case Left(l) => java.lang.Long.compare(bound.toLong, l)
+      case Right(Left(d)) =>
+        val b = dt match {
+          case FloatType | DoubleType => bound.toDouble
+          case _ => bound.toLong.toDouble
+        }
+        java.lang.Double.compare(b, d)
+      case Right(Right(s)) => bound.compareTo(s)
+    }
+
+    private def conjunctMayMatch(f: FileEntry, e: Expression, schema: StructType): Boolean = {
+      def check(nameE: Expression, lit: Literal)(test: (Int, Int) => Boolean): Boolean = {
+        (for {
+          name <- attrName(nameE)
+          dt <- colType(name, schema)
+          v <- litValue(lit, dt)
+          (mn, mx) <- bounds(f, name, schema)
+        } yield test(cmp(mn, v, dt), cmp(mx, v, dt))).getOrElse(true)
+      }
+      e match {
+        case EqualTo(a, l: Literal) => check(a, l)((cMin, cMax) => cMin <= 0 && cMax >= 0)
+        case EqualTo(l: Literal, a) => check(a, l)((cMin, cMax) => cMin <= 0 && cMax >= 0)
+        case GreaterThan(a, l: Literal) => check(a, l)((_, cMax) => cMax > 0)
+        case GreaterThan(l: Literal, a) => check(a, l)((cMin, _) => cMin < 0) // lit > col ⇔ col < lit
+        case GreaterThanOrEqual(a, l: Literal) => check(a, l)((_, cMax) => cMax >= 0)
+        case GreaterThanOrEqual(l: Literal, a) => check(a, l)((cMin, _) => cMin <= 0)
+        case LessThan(a, l: Literal) => check(a, l)((cMin, _) => cMin < 0)
+        case LessThan(l: Literal, a) => check(a, l)((_, cMax) => cMax > 0)
+        case LessThanOrEqual(a, l: Literal) => check(a, l)((cMin, _) => cMin <= 0)
+        case LessThanOrEqual(l: Literal, a) => check(a, l)((_, cMax) => cMax >= 0)
+        case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+          vs.exists(v => check(a, v.asInstanceOf[Literal])((cMin, cMax) => cMin <= 0 && cMax >= 0))
+        case IsNull(a) =>
+          (for {
+            name <- attrName(a)
+            field <- schema.fields.find(_.name.equalsIgnoreCase(name))
+            cs <- f.stats.get(field.name)
+            n <- cs.nullCount
+          } yield n > 0).getOrElse(true)
+        case _ => true // unsupported shape → cannot prune on it
+      }
     }
   }
 

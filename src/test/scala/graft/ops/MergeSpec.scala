@@ -101,6 +101,54 @@ class MergeSpec extends SparkSpec {
     assert(t.read().as[(Int, String)].collect().toSet === Set((1, "a"), (100, "Z")))
   }
 
+  test("insert-only MERGE skips source rows whose keys already exist") {
+    val t = freshTable()
+    // ids 1,2 exist → must NOT be duplicated; 5 is new → inserted once
+    val src = Seq((1, "dup", 11), (2, "dup", 22), (5, "e", 50)).toDF("id", "name", "qty")
+    val before = t.manifest()
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenNotMatched().insertAll()
+      .execute()
+    val got = t.read().as[(Int, String, Int)].collect().toSet
+    assert(got === Set((1, "a", 10), (2, "b", 20), (3, "c", 30), (5, "e", 50)))
+    // no target file rewritten — insert-only keeps every live file
+    assert(before.forall(t.manifest().contains))
+  }
+
+  test("insert-only MERGE honors the clause condition") {
+    val t = freshTable()
+    val src = Seq((5, "e", 50), (6, "f", 5)).toDF("id", "name", "qty")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenNotMatched(col("s.qty") >= 10).insertAll()
+      .execute()
+    assert(t.read().select("id").as[Int].collect().toSet === Set(1, 2, 3, 5))
+  }
+
+  test("whenNotMatchedBySource updates rows in files the source never touches") {
+    val t = SnapshotTable(spark, tmpDir("merge"))
+    // two commits → two files; the source only matches the second file
+    t.overwrite(Seq((1, "a", 1)).toDF("id", "v", "cur"))
+    t.append(Seq((2, "b", 1)).toDF("id", "v", "cur"))
+    val src = Seq(Tuple1(2)).toDF("id")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatched().update(Map("v" -> lit("B")))
+      .whenNotMatchedBySource().update(Map("cur" -> lit(0)))
+      .execute()
+    val got = t.read().as[(Int, String, Int)].collect().toSet
+    // id=1 lives in an untouched-by-source file but must still be expired
+    assert(got === Set((1, "a", 0), (2, "B", 1)))
+  }
+
+  test("whenNotMatchedBySource delete") {
+    val t = freshTable()
+    val src = Seq(Tuple1(2)).toDF("id")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatched().updateAll()
+      .whenNotMatchedBySource().delete()
+      .execute()
+    assert(t.read().select("id").as[Int].collect().toSet === Set(2))
+  }
+
   test("upsert: precombine keeps max-ts row per key; updates + inserts") {
     val t = SnapshotTable.create(spark, tmpDir("ups"),
       Seq((1, "old", 100L), (2, "keep", 100L)).toDF("id", "v", "ts"))

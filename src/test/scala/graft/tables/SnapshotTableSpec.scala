@@ -51,4 +51,98 @@ class SnapshotTableSpec extends SparkSpec {
     assert(m.nonEmpty && m.forall(_.endsWith(".parquet")))
     assert(spark.read.parquet(m: _*).count() === 100)
   }
+
+  test("concurrent writers: exactly one wins the version slot") {
+    val root = tmpDir("tbl")
+    val t = SnapshotTable.create(spark, root, Seq((1, "a")).toDF("id", "v"))
+    // Two racing tables (separate handles) append from the same base version.
+    val t1 = SnapshotTable(spark, root)
+    val t2 = SnapshotTable(spark, root)
+    // Pre-write the data dirs on the main thread (Spark actions), then race
+    // only the commit step from two threads.
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val futures = Seq(t1, t2).map { h =>
+      pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = {
+          gate.await()
+          try { h.append(Seq((99, "x")).toDF("id", "v")); "ok" }
+          catch { case _: SnapshotTable.ConcurrentCommitException => "lost" }
+        }
+      })
+    }
+    gate.countDown()
+    val results = futures.map(_.get())
+    pool.shutdown()
+    assert(results.count(_ == "ok") === 1, s"got $results")
+    assert(results.count(_ == "lost") === 1, s"got $results")
+    assert(t.read().count() === 2) // exactly one append landed
+  }
+
+  test("garbage and in-flight tmp files never break reads") {
+    val root = tmpDir("tbl")
+    val t = SnapshotTable.create(spark, root, Seq((1, "a")).toDF("id", "v"))
+    // crash-orphaned junk directly in _log plus an in-flight tmp elsewhere
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_log", ".tmp-deadbeef.json"), "{not json")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_log", "_SUCCESS"), "")
+    assert(t.currentVersion() === 0)
+    assert(t.read().count() === 1)
+  }
+
+  test("per-file stats recorded; scan prunes files the predicate excludes") {
+    val t = SnapshotTable(spark, tmpDir("tbl"))
+    // three commits → three disjoint id-range files
+    t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2))
+    t.append(spark.range(100, 200).toDF("id").withColumn("v", col("id") * 2))
+    t.append(spark.range(200, 300).toDF("id").withColumn("v", col("id") * 2))
+    val entries = t.manifestEntries()
+    assert(entries.forall(_.stats.contains("id")))
+    assert(entries.map(_.rows).sum === 300)
+
+    // point lookup touches exactly one file
+    assert(t.prunedManifest(col("id") === 150).size === 1)
+    assert(t.scan(col("id") === 150).count() === 1)
+    // range predicate keeps only the overlapping files (4 of 12: each
+    // commit wrote 4 partition files covering 25 ids each)
+    assert(t.prunedManifest(col("id") >= 150 && col("id") < 250).size ===
+      entries.count(e => { val s = e.stats("id"); s.max.get.toLong >= 150 && s.min.get.toLong < 250 }))
+    assert(t.prunedManifest(col("id") >= 150 && col("id") < 250).size < entries.size / 2)
+    assert(t.scan(col("id") >= 150 && col("id") < 250).count() === 100)
+    // no file can match → empty scan without touching parquet
+    assert(t.prunedManifest(col("id") === 9999).isEmpty)
+    assert(t.scan(col("id") === 9999).count() === 0)
+    // unsupported predicate shapes stay conservative
+    assert(t.prunedManifest(col("id") % 7 === 0).size === entries.size)
+  }
+
+  test("string and timestamp stats prune too") {
+    val t = SnapshotTable(spark, tmpDir("tbl"))
+    t.overwrite(Seq(("apple", 1), ("banana", 2)).toDF("s", "n"))
+    t.append(Seq(("melon", 3), ("peach", 4)).toDF("s", "n"))
+    assert(t.prunedManifest(col("s") === "zebra").isEmpty)
+    assert(t.prunedManifest(col("s") === "banana").size === 1)
+    assert(t.scan(col("s") > "m").count() === 2)
+
+    val ts = SnapshotTable(spark, tmpDir("tbl"))
+    val mk = (d: String) => java.sql.Timestamp.valueOf(d)
+    ts.overwrite(Seq((mk("2024-01-01 00:00:00"), 1)).toDF("ts", "n"))
+    ts.append(Seq((mk("2024-06-01 00:00:00"), 2)).toDF("ts", "n"))
+    assert(ts.prunedManifest(col("ts") >= lit(mk("2024-03-01 00:00:00"))).size === 1)
+    assert(ts.scan(col("ts") >= lit(mk("2024-03-01 00:00:00"))).count() === 1)
+  }
+
+  test("merge carries forward stats of untouched files (pruning still works)") {
+    val t = SnapshotTable(spark, tmpDir("tbl"))
+    t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", lit("old")))
+    t.append(spark.range(100, 200).toDF("id").withColumn("v", lit("old")))
+    t.merge(Seq((150L, "new")).toDF("id", "v"), col("t.id") === col("s.id"))
+      .whenMatched().updateAll()
+      .execute()
+    // untouched file [0,100) kept its stats → point lookup in it prunes to 1
+    assert(t.prunedManifest(col("id") === 50).size === 1)
+    assert(t.scan(col("id") === 50).count() === 1)
+  }
 }
