@@ -1,13 +1,316 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.tables.SnapshotTable
+
+/**
+ * Driver contract (SURVEY.md §2.5): every declared query runs on this
+ * engine over the per-scale parquet tables AND as ANSI SQL on a DuckDB
+ * oracle; the
+ * result sets must hash-match. Conventions: total-order ORDER BY on every
+ * query; aggregate outputs cast to fixed types so both engines agree on
+ * the result schema; aliases identical on both sides (the driver sorts
+ * columns by name before hashing).
+ */
 object SparkEntry {
+
+  /** Tables the driver ships per scale dir (TESTDATA.md). */
+  private val tableNames = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private[graft] def registerViews(spark: SparkSession, dir: String): Unit = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read
+    // natively — read it as nanos-long and surface a proper timestamp col.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tableNames.foreach { n =>
+      val raw = spark.read.parquet(s"$dir/$n.parquet")
+      val df =
+        if (n == "events")
+          raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        else raw
+      df.createOrReplaceTempView(n)
+    }
+  }
+
+  private def q(sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => { registerViews(s, dir); s.sql(sql) }
+
+  // ------------------------------------------------------------------------
+  // Shared ANSI SQL — runs verbatim on Spark SQL and DuckDB.
+  // ------------------------------------------------------------------------
+
+  /** Q1 — S1/S3 scan + F1 filter + P1 projection. */
+  private val Q01 =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Q2 — F2 point lookup (`README.md:153` shape). */
+  private val Q02 =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey = 103 ORDER BY o_orderkey""".stripMargin
+
+  /** Q3 — X1/X2 md5+concat, P3 derived column (`hudi/hudi_scd_script.py:63`). */
+  private val Q03 =
+    """SELECT c_custkey, md5(concat(c_name, c_mktsegment)) AS checksum
+      |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin
+
+  /** Q4 — J1 equi+theta inner join (`hudi/hudi_scd_script.py:94-97` shape). */
+  private val Q04 =
+    """SELECT c.c_custkey, o.o_orderkey FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey AND c.c_acctbal <> o.o_totalprice
+      |WHERE c.c_nationkey = 1 ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+
+  /** Q5 — J2 SQL inner join + residual WHERE. */
+  private val Q05 =
+    """SELECT n.n_name, s.s_name FROM supplier s
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE s.s_acctbal > 5000 ORDER BY n.n_name, s.s_name""".stripMargin
+
+  /** Q6 — U1 UNION distinct (`iceberg/iceberg_scd_script.py:62`). */
+  private val Q06 =
+    """SELECT c_nationkey AS k FROM customer
+      |UNION SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin
+
+  /** Q7 — U2 union-by-name shape (UNION ALL with aligned aliases). */
+  private val Q07 =
+    """SELECT c_custkey AS id, c_acctbal AS bal FROM customer
+      |UNION ALL SELECT s_suppkey AS id, s_acctbal AS bal FROM supplier
+      |ORDER BY id, bal""".stripMargin
+
+  /** Q8 — W1 LEAD window (`iceberg/iceberg_scd_script.py:65` shape). */
+  private val Q08 =
+    """SELECT o_custkey, o_orderkey,
+      |  LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_ok
+      |FROM orders WHERE o_custkey <= 20 ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Q9 — E1 CASE over window (`iceberg/iceberg_scd_script.py:70`). */
+  private val Q09 =
+    """SELECT o_custkey, o_orderkey,
+      |  CASE WHEN LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+      |       THEN 1 ELSE 0 END AS iscurrent
+      |FROM orders WHERE o_custkey <= 20 ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Q10 — E3 CTE pipeline (full Iceberg-script shape,
+   *  `iceberg/iceberg_scd_script.py:54-73`); window order made total via
+   *  o_orderkey so LEAD is deterministic on both engines. */
+  private val Q10 =
+    """WITH to_update AS (
+      |  SELECT o_custkey AS id, o_orderkey AS ok, o_orderdate AS valid_from
+      |  FROM orders WHERE o_custkey <= 10),
+      |updated AS (
+      |  SELECT id, ok, valid_from,
+      |    LEAD(valid_from) OVER (PARTITION BY id ORDER BY valid_from, ok) AS eff_from
+      |  FROM to_update)
+      |SELECT id, ok, valid_from, COALESCE(eff_from, NULL) AS valid_to,
+      |  CASE WHEN eff_from IS NULL THEN 1 ELSE 0 END AS iscurrent
+      |FROM updated ORDER BY id, ok""".stripMargin
+
+  /** Q11 — aggregation closure (SURVEY §2.4 gap); decimal casts keep both
+   *  engines' result schemas identical. */
+  private val Q11 =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q12 — join + agg + sort/limit closure. */
+  private val Q12 =
+    """SELECT n.n_name, COUNT(*) AS suppliers FROM supplier s
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY suppliers DESC, n.n_name LIMIT 10""".stripMargin
+
+  /** Q13 — semi join (MERGE matched-side shape, SURVEY §2.4). */
+  private val Q13 =
+    """SELECT c_custkey FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Q14 — anti join (MERGE not-matched-side shape). */
+  private val Q14 =
+    """SELECT c_custkey FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Q15 — A1 count action. */
+  private val Q15 = "SELECT COUNT(*) AS n FROM lineitem"
+
+  /** Q16 — JSON scalar access (dialect split: Spark `get_json_object`,
+   *  DuckDB `json_extract_string`). */
+  private val Q16Spark =
+    """SELECT event_id, get_json_object(props, '$.k') AS k FROM events
+      |WHERE event_id < 100 ORDER BY event_id""".stripMargin
+  private val Q16Duck =
+    """SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
+      |WHERE event_id < 100 ORDER BY event_id""".stripMargin
+
+  /** Q17 — text-table aggregation (documents fixture). */
+  private val Q17 =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------------
+  // Q18 — end-to-end SCD2 merge through the REAL table layer
+  // (SnapshotTable + MergeInto), oracle re-derives the same result in
+  // pure SQL (Iceberg-script algorithm, `iceberg/iceberg_scd_script.py:54-82`).
+  // Initial snapshot: customers with c_custkey % 3 <> 0; staged batch: all
+  // customers, payload changed for c_custkey % 5 = 0. Deterministic load
+  // timestamps.
+  // ------------------------------------------------------------------------
+
+  private def scd2MergeResult(s: SparkSession, dir: String): DataFrame = {
+    val customer = s.read.parquet(s"$dir/customer.parquet")
+    val t0 = lit(Timestamp.valueOf("2024-01-01 00:00:00"))
+    val t1 = lit(Timestamp.valueOf("2024-02-01 00:00:00"))
+    val initial = customer.filter(col("c_custkey") % 3 =!= 0).select(
+      col("c_custkey").as("id"),
+      md5(concat(col("c_name"), col("c_mktsegment"))).as("checksum"),
+      t0.as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"),
+      lit(1).as("iscurrent"))
+    val stagedSeg = when(col("c_custkey") % 5 === 0, upper(col("c_mktsegment")))
+      .otherwise(col("c_mktsegment"))
+    val staged = customer.select(
+      col("c_custkey").as("id"),
+      md5(concat(col("c_name"), stagedSeg)).as("checksum"),
+      t1.as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"),
+      lit(1).as("iscurrent"))
+
+    val table = SnapshotTable.create(s,
+      Files.createTempDirectory("graft_q18").toString, initial)
+    val cols = staged.columns.toSeq
+    val changed = table.read().alias("t")
+      .join(staged.alias("s"),
+        col("t.id") === col("s.id") &&
+          col("t.checksum") =!= col("s.checksum") &&
+          col("t.iscurrent") === 1,
+        "inner")
+      .select(cols.map(c => col(s"t.$c")): _*)
+    val unioned = changed.union(staged.select(cols.map(col): _*)).distinct()
+    val w = Window.partitionBy(col("id")).orderBy(col("valid_from"))
+    val src = unioned
+      .withColumn("eff_from", lead(col("valid_from"), 1).over(w))
+      .withColumn("valid_to", col("eff_from"))
+      .withColumn("iscurrent", when(col("eff_from").isNull, 1).otherwise(0))
+      .drop("eff_from")
+    table.merge(src, col("t.id") === col("s.id") && col("t.checksum") === col("s.checksum"))
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+    table.read().select(col("id"), col("iscurrent"), col("checksum"))
+      .orderBy("id", "iscurrent", "checksum")
+  }
+
+  private val Q18Duck =
+    """WITH initial AS (
+      |  SELECT c_custkey AS id, md5(concat(c_name, c_mktsegment)) AS checksum,
+      |         TIMESTAMP '2024-01-01 00:00:00' AS valid_from, 1 AS iscurrent
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |staged AS (
+      |  SELECT c_custkey AS id,
+      |         md5(concat(c_name, CASE WHEN c_custkey % 5 = 0 THEN upper(c_mktsegment) ELSE c_mktsegment END)) AS checksum,
+      |         TIMESTAMP '2024-02-01 00:00:00' AS valid_from, 1 AS iscurrent
+      |  FROM customer),
+      |changed AS (
+      |  SELECT t.id, t.checksum, t.valid_from FROM initial t
+      |  JOIN staged s ON t.id = s.id AND t.checksum <> s.checksum AND t.iscurrent = 1),
+      |unioned AS (
+      |  SELECT id, checksum, valid_from FROM changed
+      |  UNION SELECT id, checksum, valid_from FROM staged),
+      |win AS (
+      |  SELECT id, checksum,
+      |         LEAD(valid_from) OVER (PARTITION BY id ORDER BY valid_from) AS eff_from
+      |  FROM unioned),
+      |src AS (
+      |  SELECT id, checksum, CASE WHEN eff_from IS NULL THEN 1 ELSE 0 END AS iscurrent FROM win),
+      |merged AS (
+      |  SELECT id, iscurrent, checksum FROM src
+      |  UNION ALL
+      |  SELECT t.id, t.iscurrent, t.checksum FROM initial t
+      |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.id = t.id AND s.checksum = t.checksum))
+      |SELECT id, iscurrent, checksum FROM merged ORDER BY id, iscurrent, checksum""".stripMargin
+
+  // ------------------------------------------------------------------------
+  // Q19 — point lookup over a committed SnapshotTable with stats pruning
+  // (the reference's headline query class, BASELINE.md). The table is built
+  // once per scale dir (range-partitioned on the key so per-file min/max
+  // stats are disjoint); the measured query is the pruned scan.
+  // ------------------------------------------------------------------------
+
+  private val snapshotCache = scala.collection.concurrent.TrieMap[String, SnapshotTable]()
+
+  private[graft] def ordersSnapshot(s: SparkSession, dir: String): SnapshotTable =
+    snapshotCache.getOrElseUpdate(dir, {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      SnapshotTable.create(s,
+        Files.createTempDirectory("graft_orders_snap").toString,
+        orders.repartitionByRange(8, col("o_orderkey")))
+    })
+
+  private def snapshotPointLookup(s: SparkSession, dir: String): DataFrame =
+    ordersSnapshot(s, dir)
+      .scan(col("o_orderkey") === 103)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  // ------------------------------------------------------------------------
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    registerViews(spark, "/root/testdata/sf0.001")
+    spark.sql(Q11)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_filter_projection" -> q(Q01),
+    "q02_point_lookup" -> q(Q02),
+    "q03_md5_checksum" -> q(Q03),
+    "q04_join_equi_theta" -> q(Q04),
+    "q05_join_sql" -> q(Q05),
+    "q06_union_distinct" -> q(Q06),
+    "q07_union_all_byname" -> q(Q07),
+    "q08_lead_window" -> q(Q08),
+    "q09_case_window" -> q(Q09),
+    "q10_cte_scd2_shape" -> q(Q10),
+    "q11_agg" -> q(Q11),
+    "q12_join_agg_topk" -> q(Q12),
+    "q13_semi_join" -> q(Q13),
+    "q14_anti_join" -> q(Q14),
+    "q15_count" -> q(Q15),
+    "q16_json_get" -> q(Q16Spark),
+    "q17_text_agg" -> q(Q17),
+    "q18_scd2_merge" -> ((s, dir) => scd2MergeResult(s, dir)),
+    "q19_snapshot_point_lookup" -> ((s, dir) => snapshotPointLookup(s, dir)))
+
+  /** DuckDB-runnable oracle SQL per query (same parquet tables). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_projection" -> Q01,
+    "q02_point_lookup" -> Q02,
+    "q03_md5_checksum" -> Q03,
+    "q04_join_equi_theta" -> Q04,
+    "q05_join_sql" -> Q05,
+    "q06_union_distinct" -> Q06,
+    "q07_union_all_byname" -> Q07,
+    "q08_lead_window" -> Q08,
+    "q09_case_window" -> Q09,
+    "q10_cte_scd2_shape" -> Q10,
+    "q11_agg" -> Q11,
+    "q12_join_agg_topk" -> Q12,
+    "q13_semi_join" -> Q13,
+    "q14_anti_join" -> Q14,
+    "q15_count" -> Q15,
+    "q16_json_get" -> Q16Duck,
+    "q17_text_agg" -> Q17,
+    "q18_scd2_merge" -> Q18Duck,
+    "q19_snapshot_point_lookup" -> Q02)
 }
