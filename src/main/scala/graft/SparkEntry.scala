@@ -263,6 +263,155 @@ object SparkEntry {
       .orderBy("o_orderkey")
 
   // ------------------------------------------------------------------------
+  // Q20+ — LLM-data-pipeline operators (graft.ext): dedup, similarity
+  // search, text analysis, multimodal plumbing. Spark side runs the
+  // library operators; oracles re-derive the result in DuckDB SQL where
+  // expressible (minhash/LSH rely on the fixture's planted near-dup pairs
+  // being cleanly separated from the background, so the exact-jaccard
+  // pair list doubles as their oracle).
+  // ------------------------------------------------------------------------
+
+  private def exactDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    ext.Dedup.exact(s.table("events"), Seq("user_id", "event_type"), "event_id")
+      .orderBy("user_id", "event_type")
+  }
+  private val Q20Duck =
+    """SELECT user_id, event_type, MIN(event_id) AS keep_event_id, COUNT(*) AS copies
+      |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+
+  private def jaccardQuery(s: SparkSession, dir: String): DataFrame =
+    ext.Dedup.jaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3, minSim = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  /** DuckDB-dialect shingle inverted-index jaccard (same algorithm). */
+  private val Q21Duck =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                for i in range(1, len(t)-1)]) AS shingles
+      |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |         any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(inter*1.0/(na+nb-inter), 6) AS jaccard FROM pairs
+      |WHERE inter*1.0/(na+nb-inter) >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
+  private def cosineTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    ext.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "n_id")
+  }
+  private val Q22Duck =
+    """WITH scored AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 10),
+      |ranked AS (
+      |  SELECT q_id, n_id, c,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, n_id, round(c, 4) AS cos FROM ranked WHERE rnk <= 5
+      |ORDER BY q_id, n_id""".stripMargin
+
+  private def textStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    import ext.TextAnalysis._
+    val t = col("text")
+    s.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id"),
+      tokenCount(t).cast("long").as("n_tokens"),
+      distinctTokenCount(t).cast("long").as("n_distinct_tokens"),
+      round(avgTokenLength(t), 6).as("avg_token_len"),
+      length(t).cast("long").as("n_chars_calc"))
+      .orderBy("doc_id")
+  }
+  private val Q23Duck =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct_tokens,
+      |  round(length(replace(text,' ',''))*1.0 / len(string_split(text,' ')), 6) AS avg_token_len,
+      |  CAST(length(text) AS BIGINT) AS n_chars_calc
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def langIdQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), ext.TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  private val Q24Duck = {
+    val scores = ext.TextAnalysis.langMarkers.map { case (l, ms) =>
+      s"len(list_intersect(list_distinct(string_split(text,' ')), [${ms.map("'" + _ + "'").mkString(",")}])) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = ext.TextAnalysis.langMarkers.map(_._1)
+    val g = langs.map("s_" + _).mkString("greatest(", ",", ")")
+    val cases = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |  $scores
+       |  FROM documents)
+       |SELECT doc_id, CASE WHEN $g = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  private def minhashQuery(s: SparkSession, dir: String): DataFrame =
+    ext.Dedup.minhashPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", minEst = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  /** Oracle = exact-jaccard pair list: the fixture's planted near-dups sit
+   *  at j≈0.99 vs background ≤0.2, so 64-hash MinHash at est ≥ 0.5
+   *  recovers exactly the j ≥ 0.8 set (error prob < 1e-12 per pair). */
+  private val Q25Duck =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                for i in range(1, len(t)-1)]) AS shingles
+      |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |         any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private def simhashQuery(s: SparkSession, dir: String): DataFrame =
+    ext.Dedup.simhashPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+
+  private def multimodalQuery(s: SparkSession, dir: String): DataFrame =
+    ext.Multimodal.decodeImages(
+        ext.Multimodal.asAssets(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+      .select(col("asset_id"), col("width"), col("height"), col("channels"))
+      .orderBy("asset_id")
+  private val Q27Duck =
+    """SELECT doc_id AS asset_id,
+      |  CAST(1 + length(text) % 512 AS INT) AS width,
+      |  CAST(1 + (length(text) * 7) % 512 AS INT) AS height,
+      |  3 AS channels
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  /** Rows-only checks (no SQL-expressible oracle): content hashes and
+   *  approximate ANN. Both are covered by ScalaTest specs instead. */
+  private def fingerprintQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        ext.functions.fingerprint64(col("text")).as("fingerprint"),
+        ext.functions.simhash64(ext.TextAnalysis.tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+
+  private def lshTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "n_id")
+  }
+
+  // ------------------------------------------------------------------------
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -290,7 +439,17 @@ object SparkEntry {
     "q16_json_get" -> q(Q16Spark),
     "q17_text_agg" -> q(Q17),
     "q18_scd2_merge" -> ((s, dir) => scd2MergeResult(s, dir)),
-    "q19_snapshot_point_lookup" -> ((s, dir) => snapshotPointLookup(s, dir)))
+    "q19_snapshot_point_lookup" -> ((s, dir) => snapshotPointLookup(s, dir)),
+    "q20_exact_dedup" -> exactDedupQuery,
+    "q21_jaccard_neardup" -> jaccardQuery,
+    "q22_cosine_topk" -> cosineTopKQuery,
+    "q23_text_stats" -> textStatsQuery,
+    "q24_langid" -> langIdQuery,
+    "q25_minhash_neardup" -> minhashQuery,
+    "q26_simhash_neardup" -> simhashQuery,
+    "q27_multimodal_decode" -> multimodalQuery,
+    "q28_fingerprint_simhash" -> fingerprintQuery,
+    "q29_lsh_topk" -> lshTopKQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -312,5 +471,15 @@ object SparkEntry {
     "q16_json_get" -> Q16Duck,
     "q17_text_agg" -> Q17,
     "q18_scd2_merge" -> Q18Duck,
-    "q19_snapshot_point_lookup" -> Q02)
+    "q19_snapshot_point_lookup" -> Q02,
+    "q20_exact_dedup" -> Q20Duck,
+    "q21_jaccard_neardup" -> Q21Duck,
+    "q22_cosine_topk" -> Q22Duck,
+    "q23_text_stats" -> Q23Duck,
+    "q24_langid" -> Q24Duck,
+    "q25_minhash_neardup" -> Q25Duck,
+    "q27_multimodal_decode" -> Q27Duck)
+  // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN are not
+  // SQL-expressible → driver records the weaker rows-only check; their
+  // semantics are covered by graft.ext.ExtSpec.
 }

@@ -1,0 +1,244 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Deduplication operators for LLM-data pipelines, every one designed as a
+ * hash-partitioned equi-join — NEVER a cross join (SURVEY.md §4.3,
+ * §7.5; the 100 TB bar):
+ *
+ *  - [[exact]]: hash-groupBy survivor selection — one shuffle on the key.
+ *  - [[jaccardPairs]]: exact n-gram-Jaccard similarity join via an
+ *    inverted index (explode shingles → self-equi-join on shingle →
+ *    pair-count). Pair generation only touches docs sharing a shingle.
+ *  - [[minhashPairs]]: MinHash+LSH banding — signatures (map-side),
+ *    band-hash equi-join for candidates, signature-agreement estimate to
+ *    confirm. Cost O(docs · bands) + O(colliding pairs).
+ *  - [[simhashPairs]]: SimHash + pigeonhole chunk equi-join + exact
+ *    Hamming filter (`bit_count(a XOR b)`).
+ *  - [[embeddingPairs]]: cosine near-dup via hyperplane-LSH bucket
+ *    equi-join + exact cosine filter.
+ *  - [[connectedComponents]]: iterative min-label propagation over the
+ *    pair graph (bounded passes), for transitive dedup groups.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: group by `keys`, keep the row with the minimum
+   * `tieBreak` value, report the number of copies. One hash-aggregate
+   * shuffle on the key columns; map-side partial aggregation applies.
+   */
+  def exact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        min(col(tieBreak)).as("keep_" + tieBreak),
+        count(lit(1)).as("copies"))
+
+  /** (id, shingle) inverted-index rows: distinct word n-grams per doc. */
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), TextAnalysis.shingles(col(textCol), n).as("sh"))
+      .select(col("doc"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+
+  /**
+   * Exact n-gram Jaccard similarity join: docs sharing ≥1 shingle are
+   * paired via an equi-join on the shingle (inverted index), the
+   * intersection size is a count aggregate, and |A∪B| = |A|+|B|−|A∩B|.
+   * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ `minSim`.
+   *
+   * Scale: the join is shuffle-partitioned by shingle; a stop-shingle
+   * cap (`maxDocsPerShingle`) bounds the quadratic blowup on ubiquitous
+   * shingles, the standard inverted-index guard.
+   */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minSim: Double = 0.8,
+      maxDocsPerShingle: Int = 1000): DataFrame = {
+    val ex = explodedShingles(df, idCol, textCol, n)
+    // stop-shingle guard: drop shingles shared by too many docs (they
+    // cannot discriminate and dominate the pair count)
+    val filtered = ex
+      .withColumn("df_count", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("df_count") <= maxDocsPerShingle)
+      .drop("df_count")
+    val a = filtered.alias("a")
+    val b = filtered.alias("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minSim)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * MinHash + LSH near-dup pairs: `numHashes`-component signatures,
+   * banded into `bands` groups of r = numHashes/bands rows; docs agreeing
+   * on any full band are candidates (band-hash equi-join); candidate
+   * pairs are confirmed by the signature-agreement estimate ≥ `minEst`.
+   * Returns (id_a, id_b, est_jaccard). Never compares non-colliding docs.
+   */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minEst: Double = 0.5,
+      seed: Long = TextHash.DefaultSeed): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("doc"),
+      functions.minhashSignature(
+        TextAnalysis.shingles(col(textCol), shingleSize), numHashes, seed).as("sig"))
+
+    // band rows: (band index, hash of the band's slice, doc)
+    val bandHashes = sigs.select(
+      col("doc"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bidx => xxhash64(bidx, slice(col("sig"), bidx * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandhash")
+
+    val a = bandHashes.alias("a")
+    val b = bandHashes.alias("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.bandhash") === col("b.bandhash") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16):
+   * the 64-bit simhash is cut into 4 chunks of 16 bits; by pigeonhole any
+   * pair within Hamming 3 agrees on ≥1 chunk, so candidates come from a
+   * (chunk-index, chunk-value) equi-join, confirmed by
+   * `bit_count(a XOR b)`. Returns (id_a, id_b, hamming).
+   */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-chunk pigeonhole supports maxHamming <= 3")
+    val hashed = df.select(col(idCol).as("doc"),
+      functions.simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
+    val chunks = hashed.select(col("doc"), col("sh"),
+      posexplode(array((0 to 3).map(i =>
+        shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunkval")
+    val a = chunks.alias("a")
+    val b = chunks.alias("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunkval") === col("b.chunkval") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /**
+   * Embedding cosine near-dup pairs: hyperplane-LSH bucket equi-join for
+   * candidates, exact cosine ≥ `minCos` filter. Buckets with few planes
+   * keep recall high; at scale, multi-probe = union over several seeds.
+   */
+  def embeddingPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double = 0.95,
+      planes: Int = 8,
+      seeds: Seq[Long] = Seq(42L, 4242L)): DataFrame = {
+    val base = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
+    val bucketed = seeds.map { s =>
+      base.withColumn("seed", lit(s))
+        .withColumn("bucket", functions.hyperplaneBucket(col("v"), planes, s))
+    }.reduce(_ unionByName _)
+    val a = bucketed.alias("a")
+    val b = bucketed.alias("b")
+    a.join(b,
+        col("a.seed") === col("b.seed") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", functions.cosineSimilarity(col("va"), col("vb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /**
+   * Connected components over an undirected pair list (id_a, id_b) by
+   * iterative min-label propagation: each vertex's label becomes the min
+   * of its own and its neighbors' labels, repeated until fixpoint or
+   * `maxIter`. Each pass is one shuffle join — O(E) per pass, no driver
+   * data. Returns (id, component) where component = min id reachable.
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .cache()
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), col("u.id") === col("l.id"))
+        .filter(col("u.component") =!= col("l.component"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /**
+   * Near-dup dedup end-to-end: find pairs (MinHash), group transitively,
+   * keep the minimum id per component. Returns the surviving rows.
+   */
+  def dedupNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minEst: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, minEst = minEst)
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+}

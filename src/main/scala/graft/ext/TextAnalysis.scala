@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Text-analysis operators for LLM-data pipelines (SURVEY.md §0 north
+ * star): token statistics, quality ratios, n-gram shingling, marker-based
+ * language identification, and document fingerprints. Everything is pure
+ * `Column` expressions (whole-stage codegen; no UDFs), so each derived
+ * column is a map-side projection — no shuffle at any scale.
+ *
+ * The language-ID heuristic is deliberately SQL-expressible (distinct
+ * stopword-marker hits per language, fixed-priority tie-break) so the
+ * DuckDB oracle can replay it exactly.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the `documents` fixture is space-delimited). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Mean token length in characters (double). */
+  def avgTokenLength(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
+
+  /** Distinct word n-gram shingles ("a b c" style), the dedup unit. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val starts = sequence(lit(1), size(toks) - lit(n - 1))
+    array_distinct(
+      when(size(toks) >= n, transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array()))
+  }
+
+  /** Marker stopwords per language (distinct-hit scoring). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "les", "des", "est", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  private def markerScore(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(text)), array(markers.map(lit): _*)))
+
+  /**
+   * Heuristic language ID: distinct marker hits per language, highest
+   * score wins, ties broken by declaration order, all-zero → "und".
+   */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => l -> markerScore(text, ms) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    // first-wins CASE chain in declaration order (en outermost)
+    scores.foldRight(lit("und")) { case ((l, s), elseCol) =>
+      when(s === maxScore && maxScore > 0, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /**
+   * Quality score in [0,1]: penalizes extreme repetition (low distinct
+   * ratio), absurd mean token length, and very short documents — the
+   * usual pre-training heuristics (length/stopword/punct family).
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val distinctRatio = distinctTokenCount(text).cast("double") / nTok
+    val avgLen = avgTokenLength(text)
+    val lenOk = when(nTok >= 10, lit(1.0)).otherwise(nTok.cast("double") / 10.0)
+    val avgLenOk = when(avgLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    round(distinctRatio * lenOk * avgLenOk, 6)
+  }
+
+  /** Enrich a corpus with the full text-analysis column family. */
+  def enrich(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_distinct_tokens", distinctTokenCount(t))
+      .withColumn("avg_token_len", round(avgTokenLength(t), 6))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", functions.fingerprint64(t))
+      .withColumn("simhash", functions.simhash64(tokens(t)))
+  }
+}

@@ -1,0 +1,28 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.SparkInternals.{column, expr}
+
+/** Column-API surface for the native ext expressions. */
+object functions {
+
+  /** 64-bit order-sensitive document fingerprint (rolling hash). */
+  def fingerprint64(c: Column): Column = column(Fingerprint64(expr(c)))
+
+  /** SimHash of a token array (near-dup key; compare via Hamming distance). */
+  def simhash64(tokens: Column): Column = column(SimHash64(expr(tokens)))
+
+  /** MinHash signature (array<long>) of a token/shingle array. */
+  def minhashSignature(tokens: Column, numHashes: Int = 64,
+      seed: Long = TextHash.DefaultSeed): Column =
+    column(MinHashSignature(expr(tokens), numHashes, seed))
+
+  /** Cosine similarity (double) of two array<float> / array<double> cols. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    column(CosineSimilarity(expr(a), expr(b)))
+
+  /** Random-hyperplane LSH bucket id for an array<float> embedding. */
+  def hyperplaneBucket(v: Column, planes: Int = 16,
+      seed: Long = TextHash.DefaultSeed): Column =
+    column(HyperplaneBucket(expr(v), planes, seed))
+}

@@ -1,0 +1,186 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the red barn"),
+    (2L, "the quick brown fox jumps over the lazy dog near the red house"), // near-dup of 1
+    (3L, "completely different text about spark catalyst optimizer rules engine"),
+    (4L, "the quick brown fox jumps over the lazy dog near the red barn"), // exact dup of 1
+    (5L, "unrelated words forming another separate document body entirely here now"))
+    .toDF("id", "text")
+
+  // ------------------------------------------------------------ expressions
+
+  test("fingerprint64: deterministic, order-sensitive") {
+    val r = docs.select(col("id"), functions.fingerprint64(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) === r(4L)) // identical text → identical fingerprint
+    assert(r(1L) !== r(2L))
+    val swapped = Seq((1L, "b a"), (2L, "a b")).toDF("id", "text")
+      .select(functions.fingerprint64(col("text"))).as[Long].collect()
+    assert(swapped(0) !== swapped(1))
+  }
+
+  test("simhash64: near-dup texts land within small hamming distance") {
+    val h = docs.select(col("id"),
+      functions.simhash64(TextAnalysis.tokens(col("text"))).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(4L)) === 0)
+    assert(ham(h(1L), h(2L)) <= 12, s"near-dup hamming ${ham(h(1L), h(2L))}")
+    assert(ham(h(1L), h(3L)) > 12, s"unrelated hamming ${ham(h(1L), h(3L))}")
+  }
+
+  test("minhash signature-agreement estimates jaccard") {
+    val sigs = docs.select(col("id"),
+      functions.minhashSignature(TextAnalysis.shingles(col("text"), 3), 256).as("sig"))
+      .as[(Long, Array[Long])].collect().toMap
+    def est(a: Array[Long], b: Array[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(est(sigs(1L), sigs(4L)) === 1.0)
+    val nearEst = est(sigs(1L), sigs(2L)) // true jaccard = 9/13 ≈ 0.69
+    assert(nearEst > 0.4 && nearEst < 0.95, s"got $nearEst")
+    assert(est(sigs(1L), sigs(3L)) < 0.2)
+  }
+
+  test("cosineSimilarity computes in double precision") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (Array(3.0f, 4.0f), Array(4.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(functions.cosineSimilarity(col("a"), col("b")).as("c"))
+    val r = df.as[Double].collect()
+    assert(math.abs(r(0) - 0.0) < 1e-12)
+    assert(math.abs(r(1) - 1.0) < 1e-12)
+    assert(math.abs(r(2) - 24.0 / 25.0) < 1e-12)
+  }
+
+  // ------------------------------------------------------------------ dedup
+
+  test("exact dedup keeps min tie-break and counts copies") {
+    val r = Dedup.exact(docs, Seq("text"), "id")
+      .filter(col("copies") > 1)
+      .select(col("keep_id"), col("copies")).as[(Long, Long)].collect()
+    assert(r.toSeq === Seq((1L, 2L)))
+  }
+
+  test("jaccardPairs finds exact and near duplicates, skips unrelated") {
+    val pairs = Dedup.jaccardPairs(docs, "id", "text", n = 3, minSim = 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashPairs recovers the same near-dup pairs via LSH banding") {
+    val pairs = Dedup.minhashPairs(docs, "id", "text", minEst = 0.4)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhashPairs: pigeonhole candidates + exact hamming filter") {
+    val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical → hamming 0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embeddingPairs finds planted near-identical vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(1.01f, 2.0f, 3.0f, 4.0f)), // near-dup of 1
+      (3L, Array(-4.0f, 3.0f, -2.0f, 1.0f))).toDF("id", "vec")
+    val pairs = Dedup.embeddingPairs(vecs, "id", "vec", minCos = 0.99, planes = 4)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("connectedComponents groups transitively") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L)
+    assert(comps(10L) === 10L && comps(11L) === 10L)
+  }
+
+  test("dedupNearDuplicates keeps one representative per dup group") {
+    val kept = Dedup.dedupNearDuplicates(docs, "id", "text", minEst = 0.4)
+      .select(col("id")).as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 5L)) // 2 and 4 folded into 1's group
+  }
+
+  // ------------------------------------------------------------- similarity
+
+  test("bruteForceTopK: exact neighbors, self excluded, rank order") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("id", "vec")
+    val r = Similarity.bruteForceTopK(vecs, vecs.filter(col("id") === 1), "id", "vec", k = 2)
+      .orderBy("rank").select(col("n_id")).as[Long].collect()
+    assert(r.toSeq === Seq(2L, 3L)) // cos: 2≈0.994, 3=0, 4=-1
+  }
+
+  test("lshTopK finds identical vectors (recall on exact matches)") {
+    val corpus = (1 to 50).map(i => (i.toLong, Array.tabulate(8)(j => (i * 31 + j * 7 % 13).toFloat)))
+      .toDF("id", "vec")
+    val probes = corpus.filter(col("id") <= 3)
+    val r = Similarity.lshTopK(corpus, probes, "id", "vec", k = 1, planes = 6)
+      .select(col("q_id"), col("n_id"), col("cos")).as[(Long, Long, Double)].collect()
+    // every probe finds at least one candidate neighbor
+    assert(r.map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(r.forall(_._3 <= 1.0 + 1e-12))
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  test("multimodal: batched stub decode is deterministic with real schema") {
+    val assets = Multimodal.asAssets(docs, "id", "text")
+    val out = Multimodal.decodeImages(assets)
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("asset_id", "width", "height", "channels", "features"))
+    val rows = out.as[(Long, Int, Int, Int, Array[Float])].collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_._5.length === 8))
+    // identical payloads decode identically (ids 1 and 4)
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(1L)._5.toSeq === byId(4L)._5.toSeq)
+    assert(byId(1L)._2 === byId(4L)._2)
+    // re-run → identical output (determinism across jobs)
+    val again = Multimodal.decodeImages(assets).as[(Long, Int, Int, Int, Array[Float])]
+      .collect().map(r => r._1 -> r._5.toSeq).toMap
+    assert(rows.forall(r => again(r._1) === r._5.toSeq))
+  }
+
+  test("multimodal: frame sampling slices fixed-stride binary frames") {
+    val df = Seq((1L, Array.tabulate(100)(_.toByte))).toDF("id", "media")
+    val frames = df.select(Multimodal.frameSample(col("media"), frameBytes = 10, everyN = 2).as("f"))
+      .select(size(col("f")).as("n"), col("f")).first()
+    assert(frames.getInt(0) === 5) // 100 / (10*2)
+  }
+
+  // ------------------------------------------------------------------- text
+
+  test("text analysis: tokens, shingles, quality, langid") {
+    val en = Seq((1L, "the cat and the dog is of to the barn and back again ok")).toDF("id", "text")
+    val r = TextAnalysis.enrich(en).first()
+    assert(r.getAs[Int]("n_tokens") === 14)
+    assert(r.getAs[String]("lang_pred") === "en")
+    assert(r.getAs[Double]("quality") > 0 && r.getAs[Double]("quality") <= 1.0)
+    val und = Seq((1L, "zzz qqq www")).toDF("id", "text")
+    assert(TextAnalysis.enrich(und).first().getAs[String]("lang_pred") === "und")
+    val sh = docs.filter(col("id") === 1)
+      .select(TextAnalysis.shingles(col("text"), 3).as("s"))
+      .select(size(col("s"))).as[Int].head()
+    assert(sh === 11) // 13 tokens → 11 trigrams, all distinct
+  }
+}
