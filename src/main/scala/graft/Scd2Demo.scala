@@ -24,6 +24,7 @@ object Scd2Demo {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-scd2-demo")
+      .withExtensions(new graft.sql.GraftExtensions)
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -44,6 +45,39 @@ object Scd2Demo {
         println(s"stage counts: initial=${c.initial} staged=${c.staged} toExpire=${c.toExpire} union=${c.union}")
       case "iceberg" => Scd2.icebergStyleMerge(table, update, t1)
       case "delta" => Scd2.deltaStyleMerge(table, update, t1)
+      case "sql" =>
+        // the reference's LITERAL SQL (iceberg/iceberg_scd_script.py:54-82),
+        // table names adapted, running through GraftExtensions' MERGE rule
+        graft.sql.GraftCatalog.register("iceberg_contact", table)
+        Scd2.stage(update, t1).createOrReplaceTempView("iceberg_contact_update")
+        val contactUpdateQry = """
+          WITH contact_to_update AS (
+                SELECT target.*
+                FROM iceberg_contact AS target
+                JOIN iceberg_contact_update AS source
+                ON target.id = source.id
+                WHERE target.checksum != source.checksum
+                  AND target.iscurrent = 1
+              UNION
+                SELECT * FROM iceberg_contact_update
+          ),contact_updated AS (
+              SELECT *, LEAD(valid_from) OVER (PARTITION BY id ORDER BY valid_from) AS eff_from
+              FROM contact_to_update
+          )
+          SELECT id,name,email,state,ts,valid_from,
+              CAST(COALESCE(eff_from, null) AS Timestamp) AS valid_to,
+              CASE WHEN eff_from IS NULL THEN 1 ELSE 0 END AS iscurrent,
+              checksum
+          FROM contact_updated
+        """
+        spark.sql(s"""
+          MERGE INTO iceberg_contact tgt
+          USING ($contactUpdateQry) src
+          ON tgt.id = src.id
+          AND tgt.checksum = src.checksum
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+        """)
       case other => sys.error(s"unknown algorithm: $other")
     }
     println(s"after merge: ${table.read().count()} rows, version ${table.currentVersion()}")

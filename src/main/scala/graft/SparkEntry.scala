@@ -25,19 +25,26 @@ object SparkEntry {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private[graft] def registerViews(spark: SparkSession, dir: String): Unit = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read
-    // natively — read it as nanos-long and surface a proper timestamp col.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tableNames.foreach { n =>
-      val raw = spark.read.parquet(s"$dir/$n.parquet")
-      val df =
-        if (n == "events")
-          raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-        else raw
-      df.createOrReplaceTempView(n)
-    }
-  }
+  private val registeredDirs =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Boolean]()
+
+  private[graft] def registerViews(spark: SparkSession, dir: String): Unit =
+    // testdata dirs are immutable, so registration is once per (session,
+    // dir) — repeated schema reads otherwise add ~0.5 s to every query
+    registeredDirs.getOrElseUpdate((spark, dir), {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read
+      // natively — read it as nanos-long and surface a proper timestamp col.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      tableNames.foreach { n =>
+        val raw = spark.read.parquet(s"$dir/$n.parquet")
+        val df =
+          if (n == "events")
+            raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+          else raw
+        df.createOrReplaceTempView(n)
+      }
+      true
+    })
 
   private def q(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => { registerViews(s, dir); s.sql(sql) }
@@ -411,6 +418,16 @@ object SparkEntry {
       .orderBy("q_id", "n_id")
   }
 
+  /** Q30 — S9 DDL: external table over an existing location
+   *  (`delta/delta_scd_script.py:41` shape), then a catalog-table scan. */
+  private def ddlQuery(s: SparkSession, dir: String): DataFrame = {
+    s.sql("DROP TABLE IF EXISTS orders_ext")
+    s.sql(s"CREATE TABLE orders_ext USING parquet LOCATION '$dir/orders.parquet'")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_ext
+        |WHERE o_orderkey = 103 ORDER BY o_orderkey""".stripMargin)
+  }
+
   // ------------------------------------------------------------------------
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -449,7 +466,8 @@ object SparkEntry {
     "q26_simhash_neardup" -> simhashQuery,
     "q27_multimodal_decode" -> multimodalQuery,
     "q28_fingerprint_simhash" -> fingerprintQuery,
-    "q29_lsh_topk" -> lshTopKQuery)
+    "q29_lsh_topk" -> lshTopKQuery,
+    "q30_ddl_external_table" -> ddlQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -478,7 +496,8 @@ object SparkEntry {
     "q23_text_stats" -> Q23Duck,
     "q24_langid" -> Q24Duck,
     "q25_minhash_neardup" -> Q25Duck,
-    "q27_multimodal_decode" -> Q27Duck)
+    "q27_multimodal_decode" -> Q27Duck,
+    "q30_ddl_external_table" -> Q02)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN are not
   // SQL-expressible → driver records the weaker rows-only check; their
   // semantics are covered by graft.ext.ExtSpec.

@@ -100,9 +100,12 @@ object Dedup {
       functions.minhashSignature(
         TextAnalysis.shingles(col(textCol), shingleSize), numHashes, seed).as("sig"))
 
-    // band rows: (band index, hash of the band's slice, doc)
-    val bandHashes = sigs.select(
-      col("doc"), col("sig"),
+    // band rows: (band index, hash of the band's slice, doc) — ids only;
+    // shuffling the 64-long signatures through the self-join would move
+    // ~numHashes*8 bytes per band row for nothing (candidates are rare)
+    val sigsCached = sigs.cache()
+    val bandHashes = sigsCached.select(
+      col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bidx => xxhash64(bidx, slice(col("sig"), bidx * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band")
@@ -114,11 +117,13 @@ object Dedup {
         col("a.band") === col("b.band") &&
           col("a.bandhash") === col("b.bandhash") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
 
-    candidates
+    // attach signatures only to surviving candidate pairs
+    val sa = sigsCached.select(col("doc").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigsCached.select(col("doc").as("id_b"), col("sig").as("sig_b"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),

@@ -1,0 +1,140 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graftshim.SparkInternals
+import org.apache.spark.sql.{Column, Row, SparkSession, SparkSessionExtensions}
+
+import graft.ops.MergeInto
+import graft.tables.SnapshotTable
+
+/**
+ * SQL surface for MERGE INTO on native snapshot tables: vanilla Spark 4
+ * parses `MERGE INTO … WHEN MATCHED …` into [[MergeIntoTable]] but cannot
+ * plan it for parquet-backed relations ("MERGE INTO TABLE is not
+ * supported temporarily") — the hole the reference fills with the
+ * Delta/Iceberg extension jars (`delta/delta_submit.sh:27-28`,
+ * `iceberg/iceberg_submit.sh:28`; SURVEY.md §3.2, §7.3).
+ *
+ * [[GraftExtensions]] injects a resolution rule that rewrites
+ * `MergeIntoTable` whose target is a [[GraftCatalog]]-registered table
+ * into a runnable command dispatching to [[graft.ops.MergeInto]], so the
+ * reference's literal SQL (`iceberg/iceberg_scd_script.py:75-82`,
+ * `delta/delta_scd_script.py:88-95`) runs unmodified modulo table names:
+ *
+ * {{{
+ *   val spark = SparkSession.builder()
+ *     .withExtensions(new GraftExtensions)  // or spark.sql.extensions=graft.sql.GraftExtensions
+ *     ...
+ *   GraftCatalog.register("contact", table)
+ *   spark.sql("MERGE INTO contact target USING staged source ON ... WHEN MATCHED THEN UPDATE SET *")
+ * }}}
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(_ => ResolveGraftMerge)
+}
+
+object ResolveGraftMerge extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case m: MergeIntoTable if m.childrenResolved =>
+      targetTableName(m.targetTable).flatMap(GraftCatalog.get) match {
+        case Some(table) => GraftMergeCommand(table, m)
+        case None => m
+      }
+  }
+
+  /** The registered name behind the MERGE target (through aliases/views). */
+  private def targetTableName(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => targetTableName(child)
+    case v: View => Some(v.desc.identifier.table)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+      Some(u.multipartIdentifier.last)
+    case p if p.children.size == 1 => targetTableName(p.children.head)
+    case _ => None
+  }
+}
+
+/**
+ * Runnable translation of a parsed+resolved [[MergeIntoTable]] onto
+ * [[graft.ops.MergeInto]]. Expressions are re-anchored onto the API's
+ * `t`/`s` aliases: resolved attributes by side membership, unresolved
+ * ones by their SQL alias prefix.
+ */
+case class GraftMergeCommand(table: SnapshotTable, merge: MergeIntoTable)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val sourceDf = SparkInternals.ofRows(spark, stripTopAlias(merge.sourceTable))
+    val tAttrs = AttributeSet(merge.targetTable.output)
+    val sAttrs = AttributeSet(merge.sourceTable.output)
+    val tAlias = topAlias(merge.targetTable)
+    val sAlias = topAlias(merge.sourceTable)
+
+    def reAnchor(e: Expression): Column = SparkInternals.column(e.transform {
+      case a: Attribute if tAttrs.contains(a) => UnresolvedAttribute(Seq("t", a.name))
+      case a: Attribute if sAttrs.contains(a) => UnresolvedAttribute(Seq("s", a.name))
+      case u: UnresolvedAttribute if u.nameParts.length > 1 && tAlias.contains(u.nameParts.head) =>
+        UnresolvedAttribute("t" +: u.nameParts.tail)
+      case u: UnresolvedAttribute if u.nameParts.length > 1 && sAlias.contains(u.nameParts.head) =>
+        UnresolvedAttribute("s" +: u.nameParts.tail)
+    })
+
+    def assignmentMap(assignments: Seq[Assignment]): Map[String, Column] =
+      assignments.map { a =>
+        val name = a.key match {
+          case attr: Attribute => attr.name
+          case u: UnresolvedAttribute => u.nameParts.last
+          case other => throw new IllegalArgumentException(
+            s"unsupported assignment key: $other")
+        }
+        name -> reAnchor(a.value)
+      }.toMap
+
+    var m: MergeInto = table.merge(sourceDf, reAnchor(merge.mergeCondition))
+
+    def applyAction(kind: String, action: MergeAction): Unit = {
+      val cond = action.condition.map(reAnchor)
+      (kind, action) match {
+        case ("matched", UpdateStarAction(_)) =>
+          m = cond.map(m.whenMatched).getOrElse(m.whenMatched()).updateAll()
+        case ("matched", UpdateAction(_, assigns, _)) =>
+          m = cond.map(m.whenMatched).getOrElse(m.whenMatched()).update(assignmentMap(assigns))
+        case ("matched", DeleteAction(_)) =>
+          m = cond.map(m.whenMatched).getOrElse(m.whenMatched()).delete()
+        case ("notMatched", InsertStarAction(_)) =>
+          m = cond.map(m.whenNotMatched).getOrElse(m.whenNotMatched()).insertAll()
+        case ("notMatched", InsertAction(_, assigns)) =>
+          m = cond.map(m.whenNotMatched).getOrElse(m.whenNotMatched()).insert(assignmentMap(assigns))
+        case ("notMatchedBySource", UpdateAction(_, assigns, _)) =>
+          m = cond.map(m.whenNotMatchedBySource).getOrElse(m.whenNotMatchedBySource())
+            .update(assignmentMap(assigns))
+        case ("notMatchedBySource", DeleteAction(_)) =>
+          m = cond.map(m.whenNotMatchedBySource).getOrElse(m.whenNotMatchedBySource()).delete()
+        case (k, other) => throw new IllegalArgumentException(
+          s"unsupported MERGE action for $k: $other")
+      }
+    }
+
+    merge.matchedActions.foreach(applyAction("matched", _))
+    merge.notMatchedActions.foreach(applyAction("notMatched", _))
+    merge.notMatchedBySourceActions.foreach(applyAction("notMatchedBySource", _))
+    m.execute()
+    Nil
+  }
+
+  private def topAlias(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(ident, _) => Some(ident.name)
+    case _ => None
+  }
+
+  /** Drop the outer SQL alias so the API's own `s` alias binds cleanly. */
+  private def stripTopAlias(plan: LogicalPlan): LogicalPlan = plan match {
+    case SubqueryAlias(_, child) => child
+    case other => other
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.SparkInternals.executedPlanString
+
+import graft.tables.SnapshotTable
+
+/**
+ * Physical-plan shape assertions — the 100 TB audit as tests: filters
+ * reach the parquet scan, small dimensions broadcast, columns prune,
+ * native expressions stay inside whole-stage codegen, and the snapshot
+ * point lookup opens exactly one file.
+ */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("filter is pushed down to the parquet scan (q01 shape)") {
+    SparkEntry.registerViews(spark, dir)
+    val plan = executedPlanString(
+      spark.sql("SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"no pushdown in:\n$plan")
+    // column pruning: ReadSchema carries only the two referenced columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"no column pruning in:\n$plan")
+  }
+
+  test("small dimension side broadcasts (q12 shape)") {
+    SparkEntry.registerViews(spark, dir)
+    val plan = executedPlanString(spark.sql(
+      """SELECT n.n_name, COUNT(*) AS suppliers FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("native ext expressions run inside WholeStageCodegen") {
+    SparkEntry.registerViews(spark, dir)
+    val df = spark.table("documents").select(
+      ext.functions.fingerprint64(col("text")),
+      ext.functions.simhash64(ext.TextAnalysis.tokens(col("text"))))
+    val plan = executedPlanString(df)
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [fingerprint64("), s"no codegen span in:\n$plan")
+    assert(!plan.contains("CodegenFallback"), s"codegen fallback in:\n$plan")
+  }
+
+  test("snapshot point lookup scans exactly one file after pruning") {
+    val t = SnapshotTable.create(spark, tmpDir("plan"),
+      spark.read.parquet(s"$dir/orders.parquet")
+        .repartitionByRange(8, col("o_orderkey")))
+    assert(t.manifest().size === 8)
+    assert(t.prunedManifest(col("o_orderkey") === 103).size === 1)
+    val rows = t.scan(col("o_orderkey") === 103).collect()
+    assert(rows.length === 1)
+  }
+
+  test("merge source side with equi-condition plans as a hash join, not NLJ") {
+    val t = SnapshotTable.create(spark, tmpDir("plan"),
+      spark.range(0, 10000).toDF("id").withColumn("v", lit("x")))
+    // discovery join shape: target ⋈ source on equi-key
+    val src = spark.range(0, 10).toDF("id").withColumn("v", lit("y"))
+    val joined = t.read().alias("t")
+      .join(src.alias("s"), col("t.id") === col("s.id"), "inner")
+    val plan = executedPlanString(joined)
+    assert(plan.contains("HashJoin"), s"expected hash join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"nested-loop join in merge path:\n$plan")
+  }
+}

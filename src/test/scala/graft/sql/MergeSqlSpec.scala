@@ -1,0 +1,84 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.SnapshotTable
+
+/** The reference's literal MERGE SQL (modulo table names) against a
+ *  registered native snapshot table — `iceberg/iceberg_scd_script.py:75-82`
+ *  and `delta/delta_scd_script.py:88-95` shapes. */
+class MergeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRegistered(name: String): SnapshotTable = {
+    val t = SnapshotTable.create(spark, tmpDir("sqlmerge"),
+      Seq((1, "ck1", 1), (2, "ck2", 1), (3, "ck3", 1)).toDF("id", "checksum", "iscurrent"))
+    GraftCatalog.register(name, t)
+  }
+
+  test("Iceberg-script shape: ON (id, checksum), UPDATE SET *, INSERT *") {
+    val t = freshRegistered("contact_ice")
+    // staged source: id=2 changed payload (new checksum row current, old row
+    // expired), id=4 brand new — the windowed-source output shape
+    Seq((2, "ck2", 0), (2, "ck2b", 1), (4, "ck4", 1))
+      .toDF("id", "checksum", "iscurrent")
+      .createOrReplaceTempView("staged_update")
+    spark.sql(
+      """MERGE INTO contact_ice target
+        |USING (SELECT * FROM staged_update) source
+        |ON target.id = source.id AND target.checksum = source.checksum
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = t.read().as[(Int, String, Int)].collect().toSet
+    assert(got === Set(
+      (1, "ck1", 1), // untouched
+      (2, "ck2", 0), // matched on (id, checksum) → full-row update (expired)
+      (2, "ck2b", 1), // not matched → inserted
+      (3, "ck3", 1),
+      (4, "ck4", 1)))
+  }
+
+  test("Delta-script shape: NULL mergeKey, clause condition, partial UPDATE, INSERT *") {
+    val t = freshRegistered("contact_del")
+    // NULL mergeKey row never matches → always inserts the new version;
+    // the non-null row expires the old version (partial update)
+    Seq((Option.empty[Int], 2, "ck2b", 1), (Some(2), 2, "ck2b", 1), (Some(1), 1, "ck1", 1))
+      .toDF("mergeKey", "id", "checksum", "iscurrent")
+      .createOrReplaceTempView("staged_del")
+    spark.sql(
+      """MERGE INTO contact_del target
+        |USING staged_del source
+        |ON target.id = source.mergeKey
+        |WHEN MATCHED AND target.checksum != source.checksum AND target.iscurrent = 1
+        |  THEN UPDATE SET iscurrent = 0
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = t.read().as[(Int, String, Int)].collect().toSet
+    assert(got === Set(
+      (1, "ck1", 1), // matched but checksum equal → clause condition false
+      (2, "ck2", 0), // matched + changed → expired
+      (2, "ck2b", 1), // NULL-mergeKey row → inserted (extra mergeKey col dropped)
+      (3, "ck3", 1)))
+  }
+
+  test("MERGE DELETE clause via SQL") {
+    val t = freshRegistered("contact_delrow")
+    Seq(Tuple1(2)).toDF("id").createOrReplaceTempView("to_delete")
+    spark.sql(
+      """MERGE INTO contact_delrow target USING to_delete source
+        |ON target.id = source.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(t.read().select("id").as[Int].collect().toSet === Set(1, 3))
+  }
+
+  test("MERGE into an unregistered table still fails analysis") {
+    Seq((1, "x")).toDF("id", "v").createOrReplaceTempView("plain_view")
+    Seq(Tuple1(1)).toDF("id").createOrReplaceTempView("src_v")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO plain_view t USING src_v s ON t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage != null)
+  }
+}
