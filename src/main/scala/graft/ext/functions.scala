@@ -17,6 +17,10 @@ object functions {
       seed: Long = TextHash.DefaultSeed): Column =
     column(MinHashSignature(expr(tokens), numHashes, seed))
 
+  /** Intersection size of two ASC-sorted array<string> cols (merge scan). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expr(a), expr(b)))
+
   /** Cosine similarity (double) of two array<float> / array<double> cols. */
   def cosineSimilarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expr(a), expr(b)))
