@@ -428,6 +428,25 @@ object SparkEntry {
         |WHERE o_orderkey = 103 ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Q31 — S6 DSv2 catalog round-trip: writeTo createOrReplace into the
+   *  graft TableCatalog, read back through SQL with a pushed-down filter
+   *  (stats pruning behind the catalog scan). */
+  private def catalogRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      s.conf.set("spark.sql.catalog.graft", "graft.sql.GraftTableCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        Files.createTempDirectory("graft-wh").toString)
+    }
+    registerViews(s, dir)
+    s.table("orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .writeTo("graft.bench.orders_cat").createOrReplace()
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM graft.bench.orders_cat
+        |WHERE o_orderkey = 103 ORDER BY o_orderkey""".stripMargin)
+  }
+
   // ------------------------------------------------------------------------
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -467,7 +486,8 @@ object SparkEntry {
     "q27_multimodal_decode" -> multimodalQuery,
     "q28_fingerprint_simhash" -> fingerprintQuery,
     "q29_lsh_topk" -> lshTopKQuery,
-    "q30_ddl_external_table" -> ddlQuery)
+    "q30_ddl_external_table" -> ddlQuery,
+    "q31_catalog_roundtrip" -> catalogRoundTrip)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -497,7 +517,8 @@ object SparkEntry {
     "q24_langid" -> Q24Duck,
     "q25_minhash_neardup" -> Q25Duck,
     "q27_multimodal_decode" -> Q27Duck,
-    "q30_ddl_external_table" -> Q02)
+    "q30_ddl_external_table" -> Q02,
+    "q31_catalog_roundtrip" -> Q02)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN are not
   // SQL-expressible → driver records the weaker rows-only check; their
   // semantics are covered by graft.ext.ExtSpec.

@@ -42,19 +42,25 @@ object ResolveGraftMerge extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
     case m: MergeIntoTable if m.childrenResolved =>
-      targetTableName(m.targetTable).flatMap(GraftCatalog.get) match {
+      targetSnapshot(m.targetTable) match {
         case Some(table) => GraftMergeCommand(table, m)
         case None => m
       }
   }
 
-  /** The registered name behind the MERGE target (through aliases/views). */
-  private def targetTableName(plan: LogicalPlan): Option[String] = plan match {
-    case SubqueryAlias(_, child) => targetTableName(child)
-    case v: View => Some(v.desc.identifier.table)
+  /** The snapshot table behind the MERGE target: a [[GraftCatalog]]
+   *  registered view name, or a [[GraftTableCatalog]] DSv2 relation. */
+  private def targetSnapshot(plan: LogicalPlan): Option[SnapshotTable] = plan match {
+    case SubqueryAlias(_, child) => targetSnapshot(child)
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case g: GraftTable => Some(g.table)
+        case _ => None
+      }
+    case v: View => GraftCatalog.get(v.desc.identifier.table)
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-      Some(u.multipartIdentifier.last)
-    case p if p.children.size == 1 => targetTableName(p.children.head)
+      GraftCatalog.get(u.multipartIdentifier.last)
+    case p if p.children.size == 1 => targetSnapshot(p.children.head)
     case _ => None
   }
 }

@@ -1,0 +1,207 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+
+import graft.tables.SnapshotTable
+
+/**
+ * DataSource V2 `TableCatalog` over [[SnapshotTable]]s — the catalog
+ * story the reference delegates to Glue (`iceberg/iceberg_submit.sh:29-32`
+ * resolves `glue_catalog.default.iceberg_contact`; SURVEY.md §2.1 S6).
+ * Configure:
+ * {{{
+ *   spark.sql.catalog.graft = graft.sql.GraftTableCatalog
+ *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+ * }}}
+ * Then the full DSv2 surface works against native snapshot tables:
+ * `df.writeTo("graft.db.t").createOrReplace()` / `.append()`
+ * (`iceberg/iceberg_scd_script.py:34-37` shape), `CREATE TABLE … AS
+ * SELECT`, `INSERT INTO`, `spark.table("graft.db.t")`, and SQL reads
+ * whose pushed-down filters drive **file-level stats pruning** (the scan
+ * prunes the manifest before Spark plans the parquet read — the
+ * reference formats' data-skipping behavior, BASELINE.md).
+ *
+ * Reads/writes delegate to the battle-tested V1 paths ([[V1Scan]] /
+ * [[V1Write]]): the scan materializes `SnapshotTable.scan(pushed
+ * filters)` with column pruning; writes map append/truncate onto
+ * `SnapshotTable.append`/`overwrite` (atomic snapshot commits).
+ */
+class GraftTableCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def rootFor(ident: Identifier): String =
+    (warehouse +: ident.namespace() :+ ident.name()).mkString("/")
+
+  private def exists(ident: Identifier): Boolean = {
+    val t = SnapshotTable(spark, rootFor(ident))
+    t.currentVersion() >= 0
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace).mkString("/"))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.isDirectory)
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .filter(exists)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    new GraftTable(SnapshotTable(spark, rootFor(ident)), ident)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty, "graft tables do not support partition transforms yet")
+    val t = SnapshotTable.createEmpty(spark, rootFor(ident), schema)
+    new GraftTable(t, ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE is not supported for graft tables")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = new Path(rootFor(ident))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(root) && fs.delete(root, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported for graft tables")
+}
+
+/** DSv2 face of one [[SnapshotTable]]. */
+class GraftTable(val table: SnapshotTable, ident: Identifier)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = table.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(table)
+}
+
+/** Scan builder: accepts pushed filters (kept as post-scan filters too —
+ *  Spark re-applies them, so partial translation is always safe) and
+ *  pruned columns; both feed the V1 relation below. */
+class GraftScanBuilder(table: SnapshotTable)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = table.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
+    filters // all filters remain post-scan: correctness never depends on us
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+      new GraftV1Relation(ctx, table, pushed, required).asInstanceOf[T]
+  }
+}
+
+object GraftScanBuilder {
+  /** v1 Filter → Column predicate for the shapes our stats pruning (and
+   *  parquet pushdown underneath) understands. */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case _ => None
+  }
+}
+
+/** V1 execution of the pruned scan: manifest files are stats-pruned by
+ *  the pushed predicate before the parquet relation is even built. */
+class GraftV1Relation(
+    ctx: SQLContext,
+    table: SnapshotTable,
+    pushed: Array[Filter],
+    required: StructType)
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val predicate = pushed.flatMap(GraftScanBuilder.toColumn)
+      .reduceOption(_ && _)
+    val base = predicate match {
+      case Some(p) => table.scan(p)
+      case None => table.read()
+    }
+    val projected =
+      if (required.isEmpty) base.select()
+      else base.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    projected.rdd
+  }
+}
+
+/** V1 write: append by default; truncate (createOrReplace / INSERT
+ *  OVERWRITE) maps to the atomic snapshot overwrite. */
+class GraftWriteBuilder(table: SnapshotTable)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ignored: Boolean): Unit =
+          if (overwrite) table.overwrite(data) else table.append(data)
+      }
+  }
+}

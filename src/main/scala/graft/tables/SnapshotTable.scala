@@ -529,4 +529,12 @@ object SnapshotTable {
    *  `iceberg/iceberg_scd_script.py:34-37`). */
   def create(spark: SparkSession, root: String, df: DataFrame): SnapshotTable =
     new SnapshotTable(spark, root).overwrite(df)
+
+  /** Create an empty table with a declared schema (DDL CREATE TABLE path;
+   *  commits a zero-file snapshot so readers see an empty relation). */
+  def createEmpty(spark: SparkSession, root: String, schema: StructType): SnapshotTable = {
+    val t = new SnapshotTable(spark, root)
+    t.writeCommit(t.currentVersion() + 1, CommitEntry("create", schema.json, Nil))
+    t
+  }
 }

@@ -16,6 +16,9 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .withExtensions(new graft.sql.GraftExtensions)
+      .config("spark.sql.catalog.graft", "graft.sql.GraftTableCatalog")
+      .config("spark.sql.catalog.graft.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

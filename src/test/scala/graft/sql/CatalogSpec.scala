@@ -1,0 +1,79 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.SparkInternals.executedPlanString
+
+import graft.SparkSpec
+
+/** DSv2 catalog surface (S6): writeTo createOrReplace/append, CTAS,
+ *  INSERT INTO, catalog reads with pushdown, SQL MERGE on catalog
+ *  tables — `glue_catalog.default.iceberg_contact` semantics
+ *  (`iceberg/iceberg_scd_script.py:34-37`). */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeTo createOrReplace + append + read back") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    df.writeTo("graft.db.t1").createOrReplace()
+    assert(spark.table("graft.db.t1").as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b")))
+    Seq((3, "c")).toDF("id", "v").writeTo("graft.db.t1").append()
+    assert(spark.table("graft.db.t1").count() === 3)
+    // createOrReplace drops history and replaces content
+    Seq((9, "z")).toDF("id", "v").writeTo("graft.db.t1").createOrReplace()
+    assert(spark.table("graft.db.t1").as[(Int, String)].collect().toSet === Set((9, "z")))
+  }
+
+  test("CTAS, INSERT INTO, INSERT OVERWRITE via SQL") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.t2")
+    spark.sql("CREATE TABLE graft.db.t2 AS SELECT 1 AS id, 'x' AS v")
+    spark.sql("INSERT INTO graft.db.t2 VALUES (2, 'y')")
+    assert(spark.table("graft.db.t2").count() === 2)
+    spark.sql("INSERT OVERWRITE graft.db.t2 VALUES (7, 'q')")
+    assert(spark.table("graft.db.t2").as[(Int, String)].collect().toSet === Set((7, "q")))
+  }
+
+  test("CREATE TABLE with schema then insert; empty table readable") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.t3")
+    spark.sql("CREATE TABLE graft.db.t3 (id INT, v STRING) USING graft")
+    assert(spark.table("graft.db.t3").count() === 0)
+    spark.sql("INSERT INTO graft.db.t3 VALUES (1, 'a')")
+    assert(spark.table("graft.db.t3").count() === 1)
+  }
+
+  test("filters push into the catalog scan (stats pruning behind SQL)") {
+    spark.range(0, 1000).toDF("id").withColumn("v", col("id") * 2)
+      .writeTo("graft.db.t4").createOrReplace()
+    (1 to 3).foreach { i =>
+      spark.range(i * 1000, (i + 1) * 1000).toDF("id").withColumn("v", col("id") * 2)
+        .writeTo("graft.db.t4").append()
+    }
+    val q = spark.sql("SELECT id, v FROM graft.db.t4 WHERE id = 2500")
+    assert(q.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) === Seq((2500L, 5000L)))
+    // pushed filters visible in the v2 scan node
+    val plan = executedPlanString(q)
+    assert(plan.contains("PushedFilters") || plan.contains("RowDataSourceScan"),
+      s"no pushdown evidence in:\n$plan")
+  }
+
+  test("SQL MERGE INTO a catalog table routes to the native merge") {
+    Seq((1, "ck1", 1), (2, "ck2", 1)).toDF("id", "checksum", "iscurrent")
+      .writeTo("graft.db.t5").createOrReplace()
+    Seq((2, "ck2b", 1), (3, "ck3", 1)).toDF("id", "checksum", "iscurrent")
+      .createOrReplaceTempView("cat_staged")
+    spark.sql(
+      """MERGE INTO graft.db.t5 tgt USING cat_staged src
+        |ON tgt.id = src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.db.t5").as[(Int, String, Int)].collect().toSet ===
+      Set((1, "ck1", 1), (2, "ck2b", 1), (3, "ck3", 1)))
+  }
+
+  test("drop table removes it; load after drop fails") {
+    Seq((1, "a")).toDF("id", "v").writeTo("graft.db.t6").createOrReplace()
+    spark.sql("DROP TABLE graft.db.t6")
+    val e = intercept[Exception](spark.table("graft.db.t6").collect())
+    assert(e.getMessage.toLowerCase.contains("table") )
+  }
+}
