@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.tables.SnapshotTable
+
+/**
+ * Structured-Streaming ingestion into [[SnapshotTable]]s. The reference's
+ * "incremental" loads are batch (SURVEY.md §1.1); this is the streaming
+ * generalization a production lake needs: micro-batches land as atomic
+ * snapshot commits, so readers always see a consistent table and a
+ * crashed job resumes from its checkpoint without torn writes.
+ *
+ * Exactly-once: Spark re-delivers a micro-batch after recovery with the
+ * same `batchId`; each commit records `stream-<batchId>` as its action,
+ * and a re-delivered batch whose id is already the latest committed
+ * stream id is skipped — append/upsert stay idempotent across retries.
+ *
+ * Scale: each micro-batch writes only its own files (append) or the
+ * touched-file rewrite (upsert); commit metadata stays O(files).
+ */
+object StreamIngest {
+
+  private val StreamAction = "stream-(\\d+)".r
+
+  private def lastStreamBatch(table: SnapshotTable): Option[Long] =
+    table.manifestAction() match {
+      case Some(StreamAction(id)) => Some(id.toLong)
+      case _ => None
+    }
+
+  /** Append every micro-batch as one atomic snapshot commit. */
+  def appendSink(stream: DataFrame, table: SnapshotTable): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!lastStreamBatch(table).contains(batchId)) {
+        table.appendAs(batch, s"stream-$batchId")
+      }
+      ()
+    }
+
+  /** Keyed upsert per micro-batch — streaming SCD0/1 ingestion
+   *  (Hudi's streaming upsert shape, `hudi/hudi_scd_script.py:115-119`). */
+  def upsertSink(
+      stream: DataFrame,
+      table: SnapshotTable,
+      keys: Seq[String],
+      precombine: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!lastStreamBatch(table).contains(batchId) && !batch.isEmpty) {
+        table.upsert(batch, keys, precombine)
+      }
+      ()
+    }
+
+  /**
+   * Watermarked tumbling-window aggregation → snapshot table: the
+   * standard streaming-rollup pipeline (event time, late-data bound,
+   * append-mode emission of finalized windows).
+   */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      window: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window).as("w"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col(keyCol), col("n"), col("sum_value"))
+
+  /** Run a stream-to-table sink until no more data is available
+   *  (test/backfill helper; production callers pick their own trigger). */
+  def runOnce(writer: DataStreamWriter[Row], checkpoint: String): StreamingQuery = {
+    val q = writer
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -176,12 +176,22 @@ class SnapshotTable private (
   }
 
   /** Append-only commit: carries prior files forward, adds the new ones. */
-  def append(df: DataFrame): SnapshotTable = {
+  def append(df: DataFrame): SnapshotTable = appendAs(df, "append")
+
+  /** Append with a caller-supplied action tag (streaming sinks record
+   *  their micro-batch id here for idempotent redelivery). */
+  private[graft] def appendAs(df: DataFrame, action: String): SnapshotTable = {
     val v = currentVersion()
     val prior = if (v < 0) Nil else commitEntry(v).files
     val files = writeDataDir(df)
-    writeCommit(v + 1, CommitEntry("append", df.schema.json, prior ++ files))
+    writeCommit(v + 1, CommitEntry(action, df.schema.json, prior ++ files))
     this
+  }
+
+  /** Action tag of the latest commit (None for an empty table). */
+  def manifestAction(): Option[String] = {
+    val v = currentVersion()
+    if (v < 0) None else Some(commitEntry(v).action)
   }
 
   /** Replace the live file set with `keep` (paths from the current manifest,
