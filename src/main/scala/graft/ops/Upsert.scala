@@ -44,13 +44,16 @@ object Upsert {
       .execute()
   }
 
-  /** Keep only the max-precombine row per key (ties broken arbitrarily but
-   *  deterministically by the sort). */
+  /** Keep only the max-precombine row per key: `max_by(struct(*), ts)`
+   *  hash-aggregates with map-side partial combine — one shuffle, no
+   *  per-partition sort (a `row_number` window would sort every
+   *  partition; at 100 TB the partial-agg form moves only one row per
+   *  key per map task). */
   def precombineLatest(incoming: DataFrame, keys: Seq[String], precombine: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(precombine).desc_nulls_last)
+    val allCols = incoming.columns.toSeq
     incoming
-      .withColumn("__pc_rn", row_number().over(w))
-      .filter(col("__pc_rn") === 1)
-      .drop("__pc_rn")
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(allCols.map(col): _*), col(precombine)).as("__pc_row"))
+      .select(allCols.map(c => col(s"__pc_row.$c").as(c)): _*)
   }
 }

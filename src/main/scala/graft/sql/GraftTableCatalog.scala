@@ -77,6 +77,14 @@ class GraftTableCatalog extends TableCatalog {
     new GraftTable(SnapshotTable(spark, rootFor(ident)), ident)
   }
 
+  /** Time travel: `SELECT … FROM graft.db.t VERSION AS OF <n>` resolves
+   *  here (snapshot isolation made queryable, SURVEY.md §2.1 S2). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    new GraftTable(SnapshotTable(spark, rootFor(ident)), ident,
+      pinnedVersion = Some(version.toLong))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -101,12 +109,20 @@ class GraftTableCatalog extends TableCatalog {
     throw new UnsupportedOperationException("RENAME TABLE is not supported for graft tables")
 }
 
-/** DSv2 face of one [[SnapshotTable]]. */
-class GraftTable(val table: SnapshotTable, ident: Identifier)
-    extends Table with SupportsRead with SupportsWrite {
+/** DSv2 face of one [[SnapshotTable]] (optionally pinned to a historic
+ *  version — read-only time travel). */
+class GraftTable(
+    val table: SnapshotTable,
+    ident: Identifier,
+    pinnedVersion: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
-  override def name(): String = ident.toString
-  override def schema(): StructType = table.schema
+  override def name(): String =
+    ident.toString + pinnedVersion.map(v => s"@v$v").getOrElse("")
+  override def schema(): StructType = pinnedVersion match {
+    case Some(v) => table.readVersion(v).schema
+    case None => table.schema
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
@@ -114,20 +130,36 @@ class GraftTable(val table: SnapshotTable, ident: Identifier)
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table)
+    new GraftScanBuilder(table, pinnedVersion)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty, "cannot write to a time-travel snapshot")
     new GraftWriteBuilder(table)
+  }
+
+  // ---- row-level DELETE (`DELETE FROM graft.db.t WHERE …`)
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinnedVersion.isEmpty && filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val predicate = filters.flatMap(GraftScanBuilder.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(lit(true)) // DELETE with no predicate = truncate
+    table.delete(predicate)
+  }
 }
 
 /** Scan builder: accepts pushed filters (kept as post-scan filters too —
  *  Spark re-applies them, so partial translation is always safe) and
  *  pruned columns; both feed the V1 relation below. */
-class GraftScanBuilder(table: SnapshotTable)
+class GraftScanBuilder(table: SnapshotTable, pinnedVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = table.schema
+  private var required: StructType = pinnedVersion match {
+    case Some(v) => table.readVersion(v).schema
+    case None => table.schema
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
@@ -140,7 +172,7 @@ class GraftScanBuilder(table: SnapshotTable)
   override def build(): Scan = new V1Scan {
     override def readSchema(): StructType = required
     override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-      new GraftV1Relation(ctx, table, pushed, required).asInstanceOf[T]
+      new GraftV1Relation(ctx, table, pushed, required, pinnedVersion).asInstanceOf[T]
   }
 }
 
@@ -168,7 +200,8 @@ class GraftV1Relation(
     ctx: SQLContext,
     table: SnapshotTable,
     pushed: Array[Filter],
-    required: StructType)
+    required: StructType,
+    pinnedVersion: Option[Long] = None)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
@@ -177,9 +210,11 @@ class GraftV1Relation(
   override def buildScan(): RDD[Row] = {
     val predicate = pushed.flatMap(GraftScanBuilder.toColumn)
       .reduceOption(_ && _)
-    val base = predicate match {
-      case Some(p) => table.scan(p)
-      case None => table.read()
+    val base = (pinnedVersion, predicate) match {
+      case (Some(v), Some(p)) => table.readVersion(v).filter(p)
+      case (Some(v), None) => table.readVersion(v)
+      case (None, Some(p)) => table.scan(p)
+      case (None, None) => table.read()
     }
     val projected =
       if (required.isEmpty) base.select()

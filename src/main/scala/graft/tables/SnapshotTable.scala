@@ -278,6 +278,26 @@ class SnapshotTable private (
 
   // ------------------------------------------------------------- operations
 
+  /**
+   * Row-level DELETE: files whose stats can't contain matching rows are
+   * carried forward untouched; only files that may match are rewritten
+   * with the complement predicate (copy-on-write at file granularity,
+   * like MERGE). Returns the number of files rewritten.
+   */
+  def delete(predicate: Column): Int = {
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val entry = commitEntry(v)
+    val tschema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    val pred = org.apache.spark.sql.graftshim.SparkInternals.expr(predicate)
+    val (touched, untouched) = entry.files.partition(f => Pruning.mayMatch(f, pred, tschema))
+    if (touched.isEmpty) return 0
+    val kept = spark.read.schema(tschema).parquet(touched.map(_.path): _*)
+      .filter(!predicate || predicate.isNull)
+    replaceFiles(untouched.map(_.path), kept, "delete")
+    touched.size
+  }
+
   /** Hudi-semantics keyed upsert — see [[graft.ops.Upsert]]. */
   def upsert(incoming: DataFrame, keys: Seq[String], precombine: String): SnapshotTable =
     graft.ops.Upsert(this, incoming, keys, precombine)

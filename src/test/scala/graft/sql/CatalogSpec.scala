@@ -70,6 +70,32 @@ class CatalogSpec extends SparkSpec {
       Set((1, "ck1", 1), (2, "ck2b", 1), (3, "ck3", 1)))
   }
 
+  test("time travel: VERSION AS OF reads historic snapshots") {
+    Seq((1, "v0")).toDF("id", "v").writeTo("graft.db.t7").createOrReplace()
+    Seq((2, "v1")).toDF("id", "v").writeTo("graft.db.t7").append()
+    assert(spark.table("graft.db.t7").count() === 2)
+    // history: v0 = CREATE (empty), v1 = the replace write, v2 = append
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t7 VERSION AS OF 0")
+      .as[Long].head() === 0)
+    assert(spark.sql("SELECT * FROM graft.db.t7 VERSION AS OF 1")
+      .as[(Int, String)].collect().toSeq === Seq((1, "v0")))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t7 VERSION AS OF 2")
+      .as[Long].head() === 2)
+  }
+
+  test("DELETE FROM rewrites only files that may match") {
+    spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2)
+      .writeTo("graft.db.t8").createOrReplace()
+    spark.range(100, 200).toDF("id").withColumn("v", col("id") * 2)
+      .writeTo("graft.db.t8").append()
+    spark.sql("DELETE FROM graft.db.t8 WHERE id >= 150")
+    assert(spark.table("graft.db.t8").count() === 150)
+    assert(spark.sql("SELECT max(id) AS m FROM graft.db.t8").as[Long].head() === 149L)
+    // delete everything
+    spark.sql("DELETE FROM graft.db.t8 WHERE id >= 0")
+    assert(spark.table("graft.db.t8").count() === 0)
+  }
+
   test("drop table removes it; load after drop fails") {
     Seq((1, "a")).toDF("id", "v").writeTo("graft.db.t6").createOrReplace()
     spark.sql("DROP TABLE graft.db.t6")
