@@ -298,6 +298,71 @@ class SnapshotTable private (
     touched.size
   }
 
+  /**
+   * Small-file compaction: bin-pack live files below `smallFileBytes`
+   * into ~`targetFileBytes` outputs; files already at a healthy size are
+   * carried forward untouched. Content is unchanged (same rows, one new
+   * commit) — the standard maintenance pass after many small streaming
+   * commits. Returns the number of files compacted.
+   */
+  def compact(
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      smallFileBytes: Long = 32L * 1024 * 1024): Int = {
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val entry = commitEntry(v)
+    val tschema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    val (small, healthy) = entry.files.partition(f => f.bytes >= 0 && f.bytes < smallFileBytes)
+    if (small.size < 2) return 0
+    val totalBytes = small.map(_.bytes).sum
+    val outFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val packed = spark.read.schema(tschema).parquet(small.map(_.path): _*)
+      .coalesce(outFiles)
+    replaceFiles(healthy.map(_.path), packed, "compact")
+    small.size
+  }
+
+  /**
+   * Garbage collection: delete data files under the table root that are
+   * not referenced by any retained commit, and (optionally) expire log
+   * entries older than the latest `retainVersions`. Readers of retained
+   * versions are unaffected; orphans from failed writes are reclaimed.
+   * Returns the number of deleted data files.
+   */
+  def vacuum(retainVersions: Int = Int.MaxValue): Int = {
+    val versions = listVersions()
+    if (versions.isEmpty) return 0
+    val retained = versions.takeRight(math.max(1, retainVersions))
+    val live: Set[String] = retained
+      .flatMap(v => commitEntry(v).files.map(_.path)).toSet
+    // expire old log entries first so no reader can resolve dropped files
+    versions.dropRight(math.max(1, retainVersions)).foreach { v =>
+      fs.delete(new Path(logDir, f"$v%020d.json"), false)
+    }
+    var deleted = 0
+    if (fs.exists(dataDir)) {
+      fs.listStatus(dataDir).foreach { d =>
+        val files = fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+        val (dead, alive) = files.partition(f => !live.contains(f.getPath.toUri.getPath))
+        dead.foreach { f => if (fs.delete(f.getPath, false)) deleted += 1 }
+        if (alive.isEmpty && fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
+      }
+    }
+    deleted
+  }
+
+  /**
+   * Overwrite with range-clustering on `clusterBy`: rows are
+   * range-partitioned so each output file covers a disjoint key range,
+   * which makes the per-file min/max stats maximally selective — a point
+   * lookup on the cluster key then opens exactly one file ([[scan]]).
+   * The engine-native equivalent of the formats' clustering/Z-order
+   * maintenance for the 1-D case.
+   */
+  def overwriteClustered(df: DataFrame, clusterBy: Seq[String], numFiles: Int): SnapshotTable =
+    overwrite(df.repartitionByRange(numFiles,
+      clusterBy.map(c => org.apache.spark.sql.functions.col(c)): _*))
+
   /** Hudi-semantics keyed upsert — see [[graft.ops.Upsert]]. */
   def upsert(incoming: DataFrame, keys: Seq[String], precombine: String): SnapshotTable =
     graft.ops.Upsert(this, incoming, keys, precombine)

@@ -134,6 +134,44 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ts.scan(col("ts") >= lit(mk("2024-03-01 00:00:00"))).count() === 1)
   }
 
+  test("compact bin-packs small files, content unchanged, healthy files kept") {
+    val t = SnapshotTable(spark, tmpDir("tbl"))
+    // 5 tiny commits → ≥5 small files
+    (0 until 5).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    val before = t.read().as[(Int, String)].collect().toSet
+    val filesBefore = t.manifest().size
+    val compacted = t.compact(targetFileBytes = 1024 * 1024, smallFileBytes = 1024 * 1024)
+    assert(compacted === filesBefore)
+    assert(t.manifest().size < filesBefore)
+    assert(t.read().as[(Int, String)].collect().toSet === before)
+    assert(t.manifestAction().contains("compact"))
+    // compaction output keeps stats (pruning still possible)
+    assert(t.manifestEntries().forall(_.stats.nonEmpty))
+  }
+
+  test("vacuum reclaims unreferenced files and expires old versions") {
+    val t = SnapshotTable(spark, tmpDir("tbl"))
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    t.overwrite(Seq((2, "b")).toDF("id", "v")) // v0's files now unreferenced by v1
+    val deadFiles = t.readVersion(0) // still readable pre-vacuum
+    assert(deadFiles.count() === 1)
+    val deleted = t.vacuum(retainVersions = 1)
+    assert(deleted >= 1)
+    // latest still intact; v0 gone
+    assert(t.read().as[(Int, String)].collect().toSet === Set((2, "b")))
+    intercept[Exception](t.readVersion(0).count())
+  }
+
+  test("clustered overwrite gives one-file point lookups") {
+    val t = SnapshotTable(spark, tmpDir("tbl"))
+    t.overwriteClustered(
+      spark.range(0, 10000).toDF("id").withColumn("v", col("id") * 2),
+      clusterBy = Seq("id"), numFiles = 10)
+    assert(t.manifest().size === 10)
+    assert(t.prunedManifest(col("id") === 7777).size === 1)
+    assert(t.scan(col("id") === 7777).count() === 1)
+  }
+
   test("merge carries forward stats of untouched files (pruning still works)") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", lit("old")))
