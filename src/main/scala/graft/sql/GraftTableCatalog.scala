@@ -91,8 +91,17 @@ class GraftTableCatalog extends TableCatalog {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (exists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty, "graft tables do not support partition transforms yet")
-    val t = SnapshotTable.createEmpty(spark, rootFor(ident), schema)
+    // identity partition transforms become the table's persisted cluster
+    // spec: every write range-repartitions on these columns, so per-file
+    // stats are disjoint and reads prune files — partition pruning via
+    // data skipping, no dir-per-value layout
+    val clusterBy = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform for graft tables: $other")
+    }
+    val t = SnapshotTable.createEmpty(spark, rootFor(ident), schema, clusterBy)
     new GraftTable(t, ident)
   }
 

@@ -169,9 +169,10 @@ class SnapshotTable private (
   /** Full-replace (reference "bulk insert overwrite" S4/S7,
    *  `hudi/hudi_scd_script.py:66-70`, `delta/delta_scd_script.py:37-39`). */
   def overwrite(df: DataFrame): SnapshotTable = {
-    val files = writeDataDir(df)
+    val spec = clusterSpec()
+    val files = writeDataDir(applyCluster(df, spec))
     writeCommit(currentVersion() + 1,
-      CommitEntry("overwrite", df.schema.json, files))
+      CommitEntry("overwrite", df.schema.json, files, toOpt(spec)))
     this
   }
 
@@ -183,10 +184,27 @@ class SnapshotTable private (
   private[graft] def appendAs(df: DataFrame, action: String): SnapshotTable = {
     val v = currentVersion()
     val prior = if (v < 0) Nil else commitEntry(v).files
-    val files = writeDataDir(df)
-    writeCommit(v + 1, CommitEntry(action, df.schema.json, prior ++ files))
+    val spec = clusterSpec()
+    val files = writeDataDir(applyCluster(df, spec))
+    writeCommit(v + 1, CommitEntry(action, df.schema.json, prior ++ files, toOpt(spec)))
     this
   }
+
+  /** Persisted clustering columns (identity "partitioning"): every write
+   *  range-repartitions rows on these columns so per-file min/max stats
+   *  are disjoint — partition pruning via data skipping, without the
+   *  dir-per-value small-file explosion of hive-style layouts. */
+  def clusterSpec(): Seq[String] = {
+    val v = currentVersion()
+    if (v < 0) Nil else commitEntry(v).clusterBy.getOrElse(Nil)
+  }
+
+  private def toOpt(spec: Seq[String]): Option[List[String]] =
+    if (spec.isEmpty) None else Some(spec.toList)
+
+  private def applyCluster(df: DataFrame, spec: Seq[String]): DataFrame =
+    if (spec.isEmpty || !spec.forall(df.columns.contains)) df
+    else df.repartitionByRange(spec.map(c => org.apache.spark.sql.functions.col(c)): _*)
 
   /** Action tag of the latest commit (None for an empty table). */
   def manifestAction(): Option[String] = {
@@ -202,9 +220,10 @@ class SnapshotTable private (
     val priorByPath: Map[String, FileEntry] =
       if (v < 0) Map.empty else commitEntry(v).files.map(f => f.path -> f).toMap
     val kept = keep.map(p => priorByPath.getOrElse(p, FileEntry(p, -1L, -1L, Map.empty)))
-    val files = writeDataDir(df)
+    val spec = clusterSpec()
+    val files = writeDataDir(applyCluster(df, spec))
     writeCommit(v + 1,
-      CommitEntry(action, df.schema.json, (kept ++ files).sortBy(_.path)))
+      CommitEntry(action, df.schema.json, (kept ++ files).sortBy(_.path), toOpt(spec)))
     this
   }
 
@@ -386,7 +405,11 @@ object SnapshotTable {
 
   /** A committed table state: live files (+stats) and schema, one JSON doc
    *  per version (json4s — bundled with Spark, no extra dependency). */
-  private[graft] final case class CommitEntry(action: String, schemaJson: String, files: Seq[FileEntry]) {
+  private[graft] final case class CommitEntry(
+      action: String,
+      schemaJson: String,
+      files: Seq[FileEntry],
+      clusterBy: Option[List[String]] = None) {
     def toJson: String = {
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       org.json4s.jackson.Serialization.write(this)
@@ -627,9 +650,15 @@ object SnapshotTable {
 
   /** Create an empty table with a declared schema (DDL CREATE TABLE path;
    *  commits a zero-file snapshot so readers see an empty relation). */
-  def createEmpty(spark: SparkSession, root: String, schema: StructType): SnapshotTable = {
+  def createEmpty(
+      spark: SparkSession,
+      root: String,
+      schema: StructType,
+      clusterBy: Seq[String] = Nil): SnapshotTable = {
     val t = new SnapshotTable(spark, root)
-    t.writeCommit(t.currentVersion() + 1, CommitEntry("create", schema.json, Nil))
+    t.writeCommit(t.currentVersion() + 1,
+      CommitEntry("create", schema.json, Nil,
+        if (clusterBy.isEmpty) None else Some(clusterBy.toList)))
     t
   }
 }

@@ -57,6 +57,25 @@ class PlanSpec extends SparkSpec {
     assert(rows.length === 1)
   }
 
+  test("dedup/similarity pair generation never plans a cross join") {
+    SparkEntry.registerViews(spark, dir)
+    val docs = spark.table("documents")
+    val emb = spark.table("embeddings")
+    val plans = Seq(
+      "minhash" -> ext.Dedup.minhashPairs(docs, "doc_id", "text"),
+      "jaccard" -> ext.Dedup.jaccardPairs(docs, "doc_id", "text"),
+      "simhash" -> ext.Dedup.simhashPairs(docs, "doc_id", "text"),
+      "embedding" -> ext.Dedup.embeddingPairs(emb, "vec_id", "embedding"),
+      "lshTopK" -> ext.Similarity.lshTopK(emb, emb.limit(5), "vec_id", "embedding"))
+    plans.foreach { case (name, df) =>
+      val plan = executedPlanString(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
   test("merge source side with equi-condition plans as a hash join, not NLJ") {
     val t = SnapshotTable.create(spark, tmpDir("plan"),
       spark.range(0, 10000).toDF("id").withColumn("v", lit("x")))

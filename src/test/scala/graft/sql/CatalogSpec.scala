@@ -96,6 +96,24 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("graft.db.t8").count() === 0)
   }
 
+  test("PARTITIONED BY becomes a persisted cluster spec that prunes reads") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.t9")
+    spark.sql("CREATE TABLE graft.db.t9 (id BIGINT, v BIGINT) USING graft PARTITIONED BY (id)")
+    // three appends; each is range-clustered on id (AQE sizes the files)
+    (0 until 3).foreach { i =>
+      spark.range(i * 10000L, (i + 1) * 10000L).toDF("id")
+        .withColumn("v", col("id") * 2)
+        .writeTo("graft.db.t9").append()
+    }
+    val t = graft.tables.SnapshotTable(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db/t9")
+    assert(t.clusterSpec() === Seq("id")) // spec survives appends
+    assert(t.manifest().size >= 3)
+    // clustered writes → disjoint per-file ranges → point lookup = 1 file
+    assert(t.prunedManifest(col("id") === 25000L).size === 1)
+    assert(spark.sql("SELECT v FROM graft.db.t9 WHERE id = 25000").as[Long].head() === 50000L)
+  }
+
   test("drop table removes it; load after drop fails") {
     Seq((1, "a")).toDF("id", "v").writeTo("graft.db.t6").createOrReplace()
     spark.sql("DROP TABLE graft.db.t6")
