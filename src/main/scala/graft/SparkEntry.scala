@@ -447,6 +447,62 @@ object SparkEntry {
         |WHERE o_orderkey = 103 ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Q32 — as-of join: each click matched to the user's most recent view
+   *  (point-in-time correctness; DuckDB's native ASOF JOIN as oracle). */
+  private def asofQuery(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    val ev = s.table("events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    graft.ops.AsOfJoin.asof(clicks, views, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("view_id"))
+      .orderBy("event_id")
+  }
+  private val Q32Duck =
+    """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |views AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view')
+      |SELECT c.event_id, v.view_id FROM clicks c
+      |ASOF LEFT JOIN views v ON c.user_id = v.user_id AND v.ts <= c.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Q33 — range join: clicks within 1 hour after each signup, binned
+   *  equi-join on (user, time-bin); oracle is the plain inequality join. */
+  private def rangeQuery(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    val ev = s.table("events")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("s_ts"), (col("ts") + expr("INTERVAL 1 HOUR")).as("e_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    graft.ops.RangeJoin.intervalPointJoin(
+        signups, clicks, Seq("user_id"), "s_ts", "e_ts", "ts",
+        binWidth = 3600L * 1000000, asLong = unix_micros(_))
+      .select(col("signup_id"), col("click_id"))
+      .orderBy("signup_id", "click_id")
+  }
+  private val Q33Duck =
+    """WITH signups AS (SELECT event_id AS signup_id, user_id, ts FROM events WHERE event_type = 'signup'),
+      |clicks AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT s.signup_id, c.click_id FROM signups s JOIN clicks c
+      |ON s.user_id = c.user_id AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+      |ORDER BY s.signup_id, c.click_id""".stripMargin
+
+  /** Q34 — ROLLUP grouping sets (aggregation-closure widening). */
+  private val Q34 =
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Q35 — INTERSECT / EXCEPT set operations. */
+  private val Q35 =
+    """WITH i AS (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier),
+      |e AS (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier)
+      |SELECT 'i' AS op, k FROM i UNION ALL SELECT 'e' AS op, k FROM e ORDER BY op, k""".stripMargin
+
   // ------------------------------------------------------------------------
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -487,7 +543,11 @@ object SparkEntry {
     "q28_fingerprint_simhash" -> fingerprintQuery,
     "q29_lsh_topk" -> lshTopKQuery,
     "q30_ddl_external_table" -> ddlQuery,
-    "q31_catalog_roundtrip" -> catalogRoundTrip)
+    "q31_catalog_roundtrip" -> catalogRoundTrip,
+    "q32_asof_join" -> asofQuery,
+    "q33_range_join" -> rangeQuery,
+    "q34_rollup" -> q(Q34),
+    "q35_setops" -> q(Q35))
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -518,7 +578,11 @@ object SparkEntry {
     "q25_minhash_neardup" -> Q25Duck,
     "q27_multimodal_decode" -> Q27Duck,
     "q30_ddl_external_table" -> Q02,
-    "q31_catalog_roundtrip" -> Q02)
+    "q31_catalog_roundtrip" -> Q02,
+    "q32_asof_join" -> Q32Duck,
+    "q33_range_join" -> Q33Duck,
+    "q34_rollup" -> Q34,
+    "q35_setops" -> Q35)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN are not
   // SQL-expressible → driver records the weaker rows-only check; their
   // semantics are covered by graft.ext.ExtSpec.
