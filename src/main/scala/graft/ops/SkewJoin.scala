@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Skew mitigation for hot join keys: salt the skewed (large) side with a
+ * random factor in [0, salt) and replicate the other side across all salt
+ * values, turning one hot shuffle partition into `salt` even ones. AQE's
+ * skew-join split handles moderate skew automatically; explicit salting
+ * is for the pathological single-key case (e.g. a null-heavy or
+ * celebrity key) where one reducer would otherwise own the whole key.
+ *
+ * Use when the replicated side is small enough to multiply by `salt`
+ * (dimension tables); the salted side's rows are never replicated.
+ */
+object SkewJoin {
+
+  def saltedEquiJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      keys: Seq[String],
+      salt: Int = 8,
+      joinType: String = "inner"): DataFrame = {
+    require(salt > 1, "salt must be > 1")
+    val saltedL = skewed.withColumn("__salt",
+      (rand(42) * salt).cast("int"))
+    val replicatedR = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    val cond = (keys.map(k => saltedL(k) === replicatedR(k)) :+
+      (saltedL("__salt") === replicatedR("__salt"))).reduce(_ && _)
+    val joined = saltedL.join(replicatedR, cond, joinType)
+    // drop the replicated side's key + salt copies, keep one of each
+    val dropCols = keys.map(replicatedR(_)) :+ replicatedR("__salt") :+ saltedL("__salt")
+    dropCols.foldLeft(joined)(_ drop _)
+  }
+}
