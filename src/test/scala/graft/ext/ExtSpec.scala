@@ -168,6 +168,26 @@ class ExtSpec extends SparkSpec {
     assert(frames.getInt(0) === 5) // 100 / (10*2)
   }
 
+  test("z-order clustering prunes on every clustered column") {
+    import graft.tables.SnapshotTable
+    // 2-D grid: x in [0,1000), y in [0,100) — independent dimensions
+    val df = spark.range(0, 100000).toDF("i")
+      .withColumn("x", col("i") % 1000)
+      .withColumn("y", floor(col("i") / 1000).cast("long"))
+      .drop("i")
+    val t = SnapshotTable(spark, tmpDir("zorder"))
+    t.overwrite(ZOrder.cluster(df, Seq("x", "y"), numFiles = 16))
+    assert(t.manifest().size === 16)
+    // a point filter on EITHER dimension must prune well below all files
+    val xPruned = t.prunedManifest(col("x") === 123L).size
+    val yPruned = t.prunedManifest(col("y") === 45L).size
+    assert(xPruned <= 8, s"x filter kept $xPruned of 16 files")
+    assert(yPruned <= 8, s"y filter kept $yPruned of 16 files")
+    // correctness unchanged
+    assert(t.scan(col("x") === 123L).count() === 100)
+    assert(t.scan(col("y") === 45L).count() === 1000)
+  }
+
   // ------------------------------------------------------------------- text
 
   test("text analysis: tokens, shingles, quality, langid") {
