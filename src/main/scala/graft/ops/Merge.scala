@@ -109,36 +109,47 @@ final class MergeInto(
       return table.replaceFiles(allFiles, inserts, "merge")
     }
 
-    // ---- job 1: touched-file discovery (file-granularity copy-on-write).
+    // ---- job 1: touched-file discovery, fused with the cardinality
+    // check (one target scan + join instead of two). Per (file, target
+    // row) match counts aggregate to per-file max multiplicity; >1 source
+    // row hitting one target row under an update clause is ambiguous →
+    // error (Delta semantics).
+    val needsCardinality = cardinalityCheck &&
+      clauses.exists(c => c.kind == Matched && c.action != DeleteAction)
     val touched: Seq[String] =
       if (clauses.exists(_.kind == NotMatchedBySource)) {
         // Target rows with NO source match may need updating/deleting, and
         // they can live in any file — every live file is touched (Delta
-        // behaves the same for notMatchedBySource).
+        // behaves the same for notMatchedBySource). Cardinality still
+        // needs its own narrow pass in this branch.
+        if (needsCardinality) {
+          val t = targetAll.withColumn(T_UID, monotonically_increasing_id()).alias("t")
+          val dups = t.join(srcExists, condition, "inner")
+            .groupBy(col(T_UID)).count().filter(col("count") > 1).limit(1).count()
+          if (dups > 0) throw new MergeCardinalityException(
+            "MERGE: a target row matched multiple source rows under an UPDATE clause")
+        }
         allFiles
       } else {
         val tFiles = targetAll
           .withColumn(T_FILE, input_file_name())
+          .withColumn(T_UID, monotonically_increasing_id())
           .alias("t")
-        val hit = tFiles.join(srcExists, condition, "inner")
-          .select(col(T_FILE)).distinct()
-          .collect().map(r => decodeReadPath(r.getString(0))).toSet
+        val joined = tFiles.join(srcExists, condition, "inner")
+        val perFile =
+          if (needsCardinality)
+            joined.groupBy(col(T_FILE), col(T_UID)).agg(count(lit(1)).as("__c"))
+              .groupBy(col(T_FILE)).agg(max(col("__c")).as("__maxc"))
+          else joined.select(col(T_FILE)).distinct()
+            .withColumn("__maxc", lit(1L))
+        val rows = perFile.collect()
+        if (needsCardinality && rows.exists(_.getAs[Long]("__maxc") > 1))
+          throw new MergeCardinalityException(
+            "MERGE: a target row matched multiple source rows under an UPDATE clause")
+        val hit = rows.map(r => decodeReadPath(r.getString(0))).toSet
         allFiles.filter(hit.contains)
       }
     val untouched = allFiles.diff(touched)
-
-    // ---- cardinality check: >1 source row hitting one target row under an
-    // update/delete clause is ambiguous → error (Delta semantics). Narrow
-    // aggregate job over the touched files only.
-    if (cardinalityCheck && touched.nonEmpty &&
-        clauses.exists(c => c.kind == Matched && c.action != DeleteAction)) {
-      val t = spark.read.schema(targetSchema).parquet(touched: _*)
-        .withColumn(T_UID, monotonically_increasing_id()).alias("t")
-      val dups = t.join(srcExists, condition, "inner")
-        .groupBy(col(T_UID)).count().filter(col("count") > 1).limit(1).count()
-      if (dups > 0) throw new MergeCardinalityException(
-        "MERGE: a target row matched multiple source rows under an UPDATE clause")
-    }
 
     // ---- job 2: rewrite touched rows ∪ route unmatched source inserts.
     val touchedDf =

@@ -134,6 +134,16 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ts.scan(col("ts") >= lit(mk("2024-03-01 00:00:00"))).count() === 1)
   }
 
+  test("schema evolution: appended files missing a new column read as null") {
+    val t = SnapshotTable(spark, tmpDir("tbl"))
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    // widened batch adds a column; commit schema = widened schema
+    t.append(Seq((2, "b", 7.5)).toDF("id", "v", "score"))
+    val got = t.read().select("id", "v", "score")
+      .as[(Int, String, Option[Double])].collect().toSet
+    assert(got === Set((1, "a", None), (2, "b", Some(7.5))))
+  }
+
   test("compact bin-packs small files, content unchanged, healthy files kept") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     // 5 tiny commits → ≥5 small files
