@@ -131,7 +131,14 @@ final class MergeInto(
         }
         allFiles
       } else {
-        val tFiles = targetAll
+        // Stats-prune the discovery scan: for equi-key conditions, target
+        // files whose [min,max] key range cannot overlap the source's key
+        // bounds can be skipped before the join even plans — a small
+        // staged batch merged into a huge clustered table only opens the
+        // overlapping files (one tiny agg job over the source buys it).
+        val candidateFiles = discoveryCandidates(table, source, condition, allFiles)
+        val tFiles = (if (candidateFiles.size == allFiles.size) targetAll
+          else spark.read.schema(targetSchema).parquet(candidateFiles: _*))
           .withColumn(T_FILE, input_file_name())
           .withColumn(T_UID, monotonically_increasing_id())
           .alias("t")
@@ -208,6 +215,73 @@ object MergeInto {
   private[ops] val ACTION = "__action"
   private[ops] val KEEP = -1
   private[ops] val DROP = -2
+
+  /**
+   * Target files that can possibly contain a source match, per the
+   * condition's `t.<col> = s.<col>` / `<=>` equi pairs and the source's
+   * key bounds (min/max per key, one agg job). Null-safe pairs only
+   * qualify when the source has no null keys (a null source key matches
+   * null target keys, which min/max pruning cannot see). Falls back to
+   * all files when no usable pair exists.
+   */
+  private[ops] def discoveryCandidates(
+      table: SnapshotTable,
+      source: DataFrame,
+      condition: Column,
+      allFiles: Seq[String]): Seq[String] = {
+    val pairs = equiPairs(org.apache.spark.sql.graftshim.SparkInternals.expr(condition))
+    if (pairs.isEmpty) return allFiles
+    val aggs = pairs.zipWithIndex.flatMap { case ((_, s, _), i) =>
+      Seq(min(col(s)).as(s"__mn$i"), max(col(s)).as(s"__mx$i"), count(col(s)).as(s"__cnt$i"))
+    } :+ count(lit(1)).as("__total")
+    val row = source.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getAs[Long]("__total")
+    if (total == 0) return allFiles // empty source: nothing to prune against
+    val preds = pairs.zipWithIndex.flatMap { case ((t, _, nullSafe), i) =>
+      val mn = row.get(row.fieldIndex(s"__mn$i"))
+      val mx = row.get(row.fieldIndex(s"__mx$i"))
+      val nonNull = row.getAs[Long](s"__cnt$i")
+      if (mn == null || mx == null || (nullSafe && nonNull < total)) None
+      else Some(col(t) >= lit(mn) && col(t) <= lit(mx))
+    }
+    if (preds.isEmpty) allFiles
+    else {
+      val pruned = table.prunedManifest(preds.reduce(_ && _)).toSet
+      allFiles.filter(pruned.contains)
+    }
+  }
+
+  /** (targetCol, sourceCol, isNullSafe) equi pairs under the `t`/`s`
+   *  aliases, from the top-level conjuncts of the merge condition. */
+  private def equiPairs(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[(String, String, Boolean)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    def side(x: org.apache.spark.sql.catalyst.expressions.Expression): Option[(String, String)] = x match {
+      case u: UnresolvedAttribute if u.nameParts.length >= 2 =>
+        Some((u.nameParts.head.toLowerCase, u.nameParts.tail.mkString(".")))
+      case _ => None
+    }
+    def pair(l: org.apache.spark.sql.catalyst.expressions.Expression,
+        r: org.apache.spark.sql.catalyst.expressions.Expression,
+        nullSafe: Boolean): Seq[(String, String, Boolean)] =
+      (side(l), side(r)) match {
+        case (Some(("t", tc)), Some(("s", sc))) => Seq((tc, sc, nullSafe))
+        case (Some(("s", sc)), Some(("t", tc))) => Seq((tc, sc, nullSafe))
+        case _ => Nil
+      }
+    e match {
+      case f: UnresolvedFunction =>
+        (f.nameParts.last.toLowerCase, f.arguments) match {
+          case ("and", Seq(l, r)) => equiPairs(l) ++ equiPairs(r)
+          case ("=" | "==", Seq(l, r)) => pair(l, r, nullSafe = false)
+          case ("<=>", Seq(l, r)) => pair(l, r, nullSafe = true)
+          case _ => Nil
+        }
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => equiPairs(l) ++ equiPairs(r)
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) => pair(l, r, nullSafe = false)
+      case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(l, r) => pair(l, r, nullSafe = true)
+      case _ => Nil
+    }
+  }
 
   /** `input_file_name()` yields a percent-encoded URI string; the manifest
    *  stores plain decoded paths (`Path.toUri.getPath`). Decode ONLY the

@@ -149,6 +149,29 @@ class MergeSpec extends SparkSpec {
     assert(t.read().select("id").as[Int].collect().toSet === Set(2))
   }
 
+  test("discovery scan prunes to files overlapping the source key range") {
+    val t = SnapshotTable(spark, tmpDir("merge"))
+    t.overwrite(spark.range(0, 1000).toDF("id").withColumn("v", lit("a")).repartitionByRange(1, col("id")))
+    t.append(spark.range(1000, 2000).toDF("id").withColumn("v", lit("a")).repartitionByRange(1, col("id")))
+    t.append(spark.range(2000, 3000).toDF("id").withColumn("v", lit("a")).repartitionByRange(1, col("id")))
+    assert(t.manifest().size === 3)
+    val src = Seq((1500L, "B"), (1600L, "B")).toDF("id", "v")
+    // the staged keys live entirely in the middle file
+    val candidates = MergeInto.discoveryCandidates(
+      t, src, col("t.id") === col("s.id"), t.manifest())
+    assert(candidates.size === 1, s"got ${candidates.size} candidates")
+    // and the merge itself stays correct
+    t.merge(src, col("t.id") === col("s.id")).whenMatched().updateAll().execute()
+    assert(t.read().filter(col("v") === "B").count() === 2)
+    assert(t.read().count() === 3000)
+    // null-safe condition with null source keys disables pruning (a null
+    // key can match null target keys anywhere)
+    val nullSrc = Seq((Some(1500L), "x"), (Option.empty[Long], "y")).toDF("id", "v")
+    val c2 = MergeInto.discoveryCandidates(
+      t, nullSrc, col("t.id") <=> col("s.id"), t.manifest())
+    assert(c2.size === t.manifest().size)
+  }
+
   test("upsert: precombine keeps max-ts row per key; updates + inserts") {
     val t = SnapshotTable.create(spark, tmpDir("ups"),
       Seq((1, "old", 100L), (2, "keep", 100L)).toDF("id", "v", "ts"))
