@@ -503,6 +503,34 @@ object SparkEntry {
       |e AS (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier)
       |SELECT 'i' AS op, k FROM i UNION ALL SELECT 'e' AS op, k FROM e ORDER BY op, k""".stripMargin
 
+  /** Q36 — ordered-set aggregate (continuous percentile), identical
+   *  linear-interpolation semantics in both engines. */
+  private val Q36 =
+    """SELECT l_returnflag,
+      |  round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 6) AS med_qty,
+      |  round(CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 6) AS p90_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q37 — pivot: DataFrame `groupBy().pivot()` on the Spark side, the
+   *  equivalent conditional aggregation as the portable oracle. */
+  private def pivotQuery(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    s.table("events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("click").cast("long"),
+        col("view").cast("long"), col("purchase").cast("long"))
+      .orderBy("user_id")
+  }
+  private val Q37Duck =
+    """SELECT user_id,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------------
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -547,7 +575,9 @@ object SparkEntry {
     "q32_asof_join" -> asofQuery,
     "q33_range_join" -> rangeQuery,
     "q34_rollup" -> q(Q34),
-    "q35_setops" -> q(Q35))
+    "q35_setops" -> q(Q35),
+    "q36_percentile" -> q(Q36),
+    "q37_pivot" -> pivotQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -582,7 +612,9 @@ object SparkEntry {
     "q32_asof_join" -> Q32Duck,
     "q33_range_join" -> Q33Duck,
     "q34_rollup" -> Q34,
-    "q35_setops" -> Q35)
+    "q35_setops" -> Q35,
+    "q36_percentile" -> Q36,
+    "q37_pivot" -> Q37Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN are not
   // SQL-expressible → driver records the weaker rows-only check; their
   // semantics are covered by graft.ext.ExtSpec.
