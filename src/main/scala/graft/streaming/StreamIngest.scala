@@ -78,6 +78,74 @@ object StreamIngest {
         col("w.end").as("window_end"),
         col(keyCol), col("n"), col("sum_value"))
 
+  /** One closed user session (emitted once the gap timeout passes). */
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      sum_value: Double)
+
+  private[streaming] final case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+
+  /**
+   * Event-time sessionization with custom state
+   * (`flatMapGroupsWithState`): events for a user belong to one session
+   * until a gap of `gapMs` passes; a session is emitted when the event-
+   * time watermark moves past its close. State is per-key and bounded
+   * (one running session per user); timeouts are event-time based, so
+   * recovery replays deterministically from the checkpoint.
+   */
+  def sessionize(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col(userCol).cast("long").as("__u"),
+        col(tsCol).cast("timestamp").as("__ts"),
+        col("value").cast("double").as("__v"))
+      .withWatermark("__ts", watermark) // after the cast, or the tag is lost
+      .as[(Long, Timestamp, Double)]
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + v))
+                case Some(s) =>
+                  closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, v))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Run a stream-to-table sink until no more data is available
    *  (test/backfill helper; production callers pick their own trigger). */
   def runOnce(writer: DataStreamWriter[Row], checkpoint: String): StreamingQuery = {

@@ -56,6 +56,40 @@ class StreamIngestSpec extends SparkSpec {
     assert(table.read().count() === 1)
   }
 
+  test("sessionization with flatMapGroupsWithState emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val mk = (s: String) => Timestamp.valueOf(s)
+    // user 1: two events 5 min apart (one session), then nothing until the
+    // watermark (driven by user 2's late event) passes the 30-min gap
+    mem.addData(
+      (1L, mk("2024-01-01 00:00:00"), 1.0),
+      (1L, mk("2024-01-01 00:05:00"), 2.0),
+      (2L, mk("2024-01-01 02:00:00"), 9.0))
+    val sessions = StreamIngest.sessionize(
+      mem.toDF().toDF("user_id", "ts", "value"), "ts", "user_id")
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .option("checkpointLocation", tmpDir("ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // second batch advances the watermark → user 1's session times out
+    mem.addData((2L, mk("2024-01-01 03:00:00"), 1.0))
+    val q2 = sessions.writeStream
+      .format("memory").queryName("sessions_out2")
+      .option("checkpointLocation", tmpDir("ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val got = spark.table("sessions_out").unionByName(spark.table("sessions_out2"))
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.contains((1L, 2L, 3.0)), s"got $got")
+  }
+
   test("watermarked windowed aggregation over the events stream shape") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Double)]
