@@ -531,6 +531,24 @@ object SparkEntry {
       |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Q38 — gaps-and-islands sessionization (LAG + running-sum windows):
+   *  30-minute-gap sessions per user; outputs engine-independent session
+   *  ordinals and event counts (raw timestamps would differ in sub-ms
+   *  digits between the micros view and DuckDB's nanos). */
+  private val Q38 =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g)
+      |SELECT user_id, CAST(sid AS BIGINT) AS sid, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+
   // ------------------------------------------------------------------------
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -577,7 +595,8 @@ object SparkEntry {
     "q34_rollup" -> q(Q34),
     "q35_setops" -> q(Q35),
     "q36_percentile" -> q(Q36),
-    "q37_pivot" -> pivotQuery)
+    "q37_pivot" -> pivotQuery,
+    "q38_sessions" -> q(Q38))
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -614,7 +633,8 @@ object SparkEntry {
     "q34_rollup" -> Q34,
     "q35_setops" -> Q35,
     "q36_percentile" -> Q36,
-    "q37_pivot" -> Q37Duck)
+    "q37_pivot" -> Q37Duck,
+    "q38_sessions" -> Q38)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN are not
   // SQL-expressible → driver records the weaker rows-only check; their
   // semantics are covered by graft.ext.ExtSpec.

@@ -23,6 +23,18 @@ object TextAnalysis {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
+  /** GPT-2-style pre-tokenizer pattern: contractions, letter runs, digit
+   *  runs, punctuation runs, whitespace — the standard BPE pre-split. */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Approximate BPE token count: number of pre-tokenizer segments,
+   *  excluding pure-whitespace runs (each segment maps to ≥1 BPE token;
+   *  this is the usual cheap budget estimator for training corpora). */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(BpePattern), lit(0)),
+      t => trim(t) =!= ""))
+
   /** Mean token length in characters (double). */
   def avgTokenLength(text: Column): Column =
     length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)

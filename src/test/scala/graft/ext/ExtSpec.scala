@@ -190,6 +190,19 @@ class ExtSpec extends SparkSpec {
 
   // ------------------------------------------------------------------- text
 
+  test("bpe-ish token counting splits contractions, numbers, punctuation") {
+    val df = Seq(
+      (1L, "I'll pay $42.50 for it!"),
+      (2L, "hello world"),
+      (3L, "")).toDF("id", "text")
+    val r = df.select(col("id"), TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    // I | 'll | pay | $ | 42 | . | 50 | for | it | !  → 10 segments
+    assert(r(1L) === 10, s"got ${r(1L)}")
+    assert(r(2L) === 2)
+    assert(r(3L) === 0)
+  }
+
   test("text analysis: tokens, shingles, quality, langid") {
     val en = Seq((1L, "the cat and the dog is of to the barn and back again ok")).toDF("id", "text")
     val r = TextAnalysis.enrich(en).first()
