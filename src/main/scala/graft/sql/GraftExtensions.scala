@@ -93,8 +93,10 @@ case class GraftMergeCommand(table: SnapshotTable, merge: MergeIntoTable)
     def assignmentMap(assignments: Seq[Assignment]): Map[String, Column] =
       assignments.map { a =>
         val name = a.key match {
-          case attr: Attribute => attr.name
+          // UnresolvedAttribute IS an Attribute — match it first, else a
+          // qualified key like `target.checksum` would keep its qualifier
           case u: UnresolvedAttribute => u.nameParts.last
+          case attr: Attribute => attr.name
           case other => throw new IllegalArgumentException(
             s"unsupported assignment key: $other")
         }

@@ -71,6 +71,16 @@ class MergeSqlSpec extends SparkSpec {
     assert(t.read().select("id").as[Int].collect().toSet === Set(1, 3))
   }
 
+  test("qualified assignment keys (SET target.col = ...) resolve to the column") {
+    val t = freshRegistered("contact_qual")
+    Seq(Tuple1(2)).toDF("id").createOrReplaceTempView("qual_src")
+    spark.sql(
+      """MERGE INTO contact_qual target USING qual_src source
+        |ON target.id = source.id
+        |WHEN MATCHED THEN UPDATE SET target.iscurrent = 0""".stripMargin)
+    assert(t.read().filter($"iscurrent" === 0).select("id").as[Int].collect().toSeq === Seq(2))
+  }
+
   test("MERGE into an unregistered table still fails analysis") {
     Seq((1, "x")).toDF("id", "v").createOrReplaceTempView("plain_view")
     Seq(Tuple1(1)).toDF("id").createOrReplaceTempView("src_v")
