@@ -549,6 +549,15 @@ object SparkEntry {
       |SELECT user_id, CAST(sid AS BIGINT) AS sid, CAST(COUNT(*) AS BIGINT) AS n_events
       |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
 
+  /** Q39 — CUBE with GROUPING() markers (full grouping-sets closure). */
+  private val Q39 =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   // ------------------------------------------------------------------------
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -596,7 +605,8 @@ object SparkEntry {
     "q35_setops" -> q(Q35),
     "q36_percentile" -> q(Q36),
     "q37_pivot" -> pivotQuery,
-    "q38_sessions" -> q(Q38))
+    "q38_sessions" -> q(Q38),
+    "q39_cube_grouping" -> q(Q39))
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -634,7 +644,8 @@ object SparkEntry {
     "q35_setops" -> Q35,
     "q36_percentile" -> Q36,
     "q37_pivot" -> Q37Duck,
-    "q38_sessions" -> Q38)
+    "q38_sessions" -> Q38,
+    "q39_cube_grouping" -> Q39)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN are not
   // SQL-expressible → driver records the weaker rows-only check; their
   // semantics are covered by graft.ext.ExtSpec.
