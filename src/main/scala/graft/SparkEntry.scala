@@ -119,12 +119,14 @@ object SparkEntry {
       |  CASE WHEN eff_from IS NULL THEN 1 ELSE 0 END AS iscurrent
       |FROM updated ORDER BY id, ok""".stripMargin
 
-  /** Q11 — aggregation closure (SURVEY §2.4 gap); decimal casts keep both
-   *  engines' result schemas identical. */
+  /** Q11 — aggregation closure (SURVEY §2.4 gap); sums accumulate in
+   *  DECIMAL (exact) then round through DOUBLE so both engines render the
+   *  result identically (the driver's hasher renders DECIMAL differently
+   *  per engine — the q36 pattern). */
   private val Q11 =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+      |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
       |  COUNT(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -490,10 +492,11 @@ object SparkEntry {
       |ON s.user_id = c.user_id AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
       |ORDER BY s.signup_id, c.click_id""".stripMargin
 
-  /** Q34 — ROLLUP grouping sets (aggregation-closure widening). */
+  /** Q34 — ROLLUP grouping sets (aggregation-closure widening); sum
+   *  rounds through DOUBLE for hasher-identical rendering (q36 pattern). */
   private val Q34 =
     """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 

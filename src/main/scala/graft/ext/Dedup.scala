@@ -63,8 +63,12 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       minSim: Double = 0.8): DataFrame = {
+    // deliberately NOT cached: shingling is map-side codegen over the scan,
+    // so recomputing it for the verification branch is cheaper than pinning
+    // every doc's shingle array in storage memory (a leak for library
+    // callers, and unpinnable at 100 TB anyway)
     val docs = df.select(col(idCol).as("doc"),
-      TextAnalysis.shingles(col(textCol), n).as("sh")).cache()
+      TextAnalysis.shingles(col(textCol), n).as("sh"))
     val ex = docs.select(col("doc"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("freq"))
 
@@ -129,9 +133,11 @@ object Dedup {
 
     // band rows: (band index, hash of the band's slice, doc) — ids only;
     // shuffling the 64-long signatures through the self-join would move
-    // ~numHashes*8 bytes per band row for nothing (candidates are rare)
-    val sigsCached = sigs.cache()
-    val bandHashes = sigsCached.select(
+    // ~numHashes*8 bytes per band row for nothing (candidates are rare).
+    // Signatures are deliberately NOT cached: minhash is deterministic
+    // map-side codegen, so the candidate-confirmation branch recomputes it
+    // instead of pinning every signature in storage memory across calls.
+    val bandHashes = sigs.select(
       col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bidx => xxhash64(bidx, slice(col("sig"), bidx * r + 1, lit(r))))))
@@ -148,8 +154,8 @@ object Dedup {
       .distinct()
 
     // attach signatures only to surviving candidate pairs
-    val sa = sigsCached.select(col("doc").as("id_a"), col("sig").as("sig_a"))
-    val sb = sigsCached.select(col("doc").as("id_b"), col("sig").as("sig_b"))
+    val sa = sigs.select(col("doc").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc").as("id_b"), col("sig").as("sig_b"))
     candidates.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
@@ -230,6 +236,11 @@ object Dedup {
    * of its own and its neighbors' labels, repeated until fixpoint or
    * `maxIter`. Each pass is one shuffle join — O(E) per pass, no driver
    * data. Returns (id, component) where component = min id reachable.
+   *
+   * Each pass `localCheckpoint`s the new labels (truncating lineage so the
+   * logical plan stays O(1) across passes — an unbounded plan is a
+   * driver/planner blowup on a deep 100 TB pair graph) and releases the
+   * superseded pass's checkpoint blocks once nothing references them.
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -238,6 +249,7 @@ object Dedup {
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+      .localCheckpoint() // eager: materializes + truncates lineage
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -246,11 +258,12 @@ object Dedup {
       val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .cache()
+        .localCheckpoint()
       val changed = updated.alias("u")
         .join(labels.alias("l"), col("u.id") === col("l.id"))
         .filter(col("u.component") =!= col("l.component"))
         .limit(1).count()
+      releaseLocalCheckpoint(labels) // superseded: updated + changed no longer read it
       labels = updated
       converged = changed == 0
       iter += 1
@@ -258,6 +271,17 @@ object Dedup {
     edges.unpersist()
     labels
   }
+
+  /**
+   * Drop the executor blocks behind a `localCheckpoint`ed dataset. A local
+   * checkpoint IS its persisted blocks (lineage is truncated, so they are
+   * not recomputable) — only call once no live plan references the dataset.
+   */
+  private def releaseLocalCheckpoint(ds: DataFrame): Unit =
+    ds.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /**
    * Near-dup dedup end-to-end: find pairs (MinHash), group transitively,

@@ -5,17 +5,19 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.tables.SnapshotTable
 
@@ -160,15 +162,21 @@ class GraftTable(
 
 /** Scan builder: accepts pushed filters (kept as post-scan filters too —
  *  Spark re-applies them, so partial translation is always safe) and
- *  pruned columns; both feed the V1 relation below. */
+ *  pruned columns. `build()` stats-prunes the manifest with the pushed
+ *  predicate, then delegates to Spark's own [[ParquetScanBuilder]] over
+ *  exactly the surviving files — the scan Spark executes is its native
+ *  vectorized parquet `Batch` (columnar read, whole-stage codegen, parquet
+ *  row-group pushdown), not a `RDD[Row]` bridge that would pay an
+ *  InternalRow→Row→InternalRow tax per row at 100 TB. */
 class GraftScanBuilder(table: SnapshotTable, pinnedVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = pinnedVersion match {
+  private val tableSchema: StructType = pinnedVersion match {
     case Some(v) => table.readVersion(v).schema
     case None => table.schema
   }
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
@@ -178,10 +186,18 @@ class GraftScanBuilder(table: SnapshotTable, pinnedVersion: Option[Long] = None)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new V1Scan {
-    override def readSchema(): StructType = required
-    override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-      new GraftV1Relation(ctx, table, pushed, required, pinnedVersion).asInstanceOf[T]
+  override def build(): Scan = {
+    val spark = table.spark
+    val predicate = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
+    val version = pinnedVersion.getOrElse(table.currentVersion())
+    val files = table.prunedFilesAt(version, predicate)
+    val index = new InMemoryFileIndex(
+      spark, files.map(f => new Path(f.path)), Map.empty, Some(tableSchema))
+    val psb = ParquetScanBuilder(
+      spark, index, tableSchema, tableSchema, CaseInsensitiveStringMap.empty())
+    psb.pushFilters(pushed.flatMap(f => GraftScanBuilder.toExpression(f, tableSchema)).toSeq)
+    psb.pruneColumns(required)
+    psb.build()
   }
 }
 
@@ -201,34 +217,28 @@ object GraftScanBuilder {
       for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
     case _ => None
   }
-}
 
-/** V1 execution of the pruned scan: manifest files are stats-pruned by
- *  the pushed predicate before the parquet relation is even built. */
-class GraftV1Relation(
-    ctx: SQLContext,
-    table: SnapshotTable,
-    pushed: Array[Filter],
-    required: StructType,
-    pinnedVersion: Option[Long] = None)
-    extends BaseRelation with TableScan {
-
-  override def sqlContext: SQLContext = ctx
-  override def schema: StructType = required
-
-  override def buildScan(): RDD[Row] = {
-    val predicate = pushed.flatMap(GraftScanBuilder.toColumn)
-      .reduceOption(_ && _)
-    val base = (pinnedVersion, predicate) match {
-      case (Some(v), Some(p)) => table.readVersion(v).filter(p)
-      case (Some(v), None) => table.readVersion(v)
-      case (None, Some(p)) => table.scan(p)
-      case (None, None) => table.read()
+  /** v1 Filter → resolved Catalyst predicate (what [[ParquetScanBuilder]]'s
+   *  `pushFilters` wants, so the parquet reader gets row-group pushdown). */
+  def toExpression(f: Filter, schema: StructType): Option[ce.Expression] = {
+    def ref(name: String): Option[ce.AttributeReference] =
+      schema.fields.find(_.name.equalsIgnoreCase(name))
+        .map(fld => ce.AttributeReference(fld.name, fld.dataType, fld.nullable)())
+    f match {
+      case EqualTo(a, v) => ref(a).map(r => ce.EqualTo(r, ce.Literal(v)))
+      case GreaterThan(a, v) => ref(a).map(r => ce.GreaterThan(r, ce.Literal(v)))
+      case GreaterThanOrEqual(a, v) => ref(a).map(r => ce.GreaterThanOrEqual(r, ce.Literal(v)))
+      case LessThan(a, v) => ref(a).map(r => ce.LessThan(r, ce.Literal(v)))
+      case LessThanOrEqual(a, v) => ref(a).map(r => ce.LessThanOrEqual(r, ce.Literal(v)))
+      case In(a, vs) if vs.nonEmpty =>
+        ref(a).map(r => ce.In(r, vs.toIndexedSeq.map(v => ce.Literal(v))))
+      case IsNull(a) => ref(a).map(ce.IsNull)
+      case IsNotNull(a) => ref(a).map(ce.IsNotNull)
+      case And(l, r) =>
+        for (lc <- toExpression(l, schema); rc <- toExpression(r, schema))
+          yield ce.And(lc, rc)
+      case _ => None
     }
-    val projected =
-      if (required.isEmpty) base.select()
-      else base.select(required.fieldNames.map(col).toIndexedSeq: _*)
-    projected.rdd
   }
 }
 

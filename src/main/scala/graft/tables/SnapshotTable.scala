@@ -267,9 +267,21 @@ class SnapshotTable private (
   def prunedManifest(predicate: Column): Seq[String] = {
     val v = currentVersion()
     if (v < 0) return Nil
-    val entry = commitEntry(v)
-    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
-    entry.files.filter(f => Pruning.mayMatch(f, org.apache.spark.sql.graftshim.SparkInternals.expr(predicate), schema)).map(_.path)
+    prunedFilesAt(v, Some(predicate)).map(_.path)
+  }
+
+  /** Stats-pruned file entries of `version` (all files when `predicate` is
+   *  empty) — the hook the DSv2 catalog scan uses to hand Spark's native
+   *  parquet reader exactly the files that may match. */
+  private[graft] def prunedFilesAt(version: Long, predicate: Option[Column]): Seq[FileEntry] = {
+    val entry = commitEntry(version)
+    predicate match {
+      case None => entry.files
+      case Some(p) =>
+        val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+        val expr = org.apache.spark.sql.graftshim.SparkInternals.expr(p)
+        entry.files.filter(f => Pruning.mayMatch(f, expr, schema))
+    }
   }
 
   def schema: StructType =
@@ -404,12 +416,15 @@ object SnapshotTable {
   final case class FileEntry(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats])
 
   /** A committed table state: live files (+stats) and schema, one JSON doc
-   *  per version (json4s — bundled with Spark, no extra dependency). */
+   *  per version (json4s — bundled with Spark, no extra dependency).
+   *  `properties` are user TBLPROPERTIES (`delta/delta_scd_script.py:43`),
+   *  carried forward by every commit; absent in pre-properties logs. */
   private[graft] final case class CommitEntry(
       action: String,
       schemaJson: String,
       files: Seq[FileEntry],
-      clusterBy: Option[List[String]] = None) {
+      clusterBy: Option[List[String]] = None,
+      properties: Option[Map[String, String]] = None) {
     def toJson: String = {
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       org.json4s.jackson.Serialization.write(this)
