@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.tables.SnapshotTable
 
@@ -39,7 +39,10 @@ object SparkEntry {
         val raw = spark.read.parquet(s"$dir/$n.parquet")
         val df =
           if (n == "events")
-            raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+            // integer division: `/` would be Double arithmetic, and at
+            // ~1.7e18 ns doubles only resolve 256 ns — ~1.6% of values
+            // would land 1 µs low after the cast truncates
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
           else raw
         df.createOrReplaceTempView(n)
       }
@@ -561,6 +564,64 @@ object SparkEntry {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** Q40 — raw event timestamps through the nanos→micros view (declarable
+   *  only with integer division in [[registerViews]]; the fixture's
+   *  timestamps are whole micros, so the micros view and DuckDB's
+   *  nanos agree exactly). */
+  private val Q40Spark =
+    """SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  private val Q40Duck =
+    """SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS first_ts,
+      |  CAST(max(ts) AS TIMESTAMP) AS last_ts,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------------
+  // Q41 — the full Hudi-script SCD2 pipeline (S5 keyed upsert + precombine)
+  // through the REAL table layer: initial load, staged batch,
+  // Scd2.hudiStyleMerge → SnapshotTable.upsert on (id, checksum). The
+  // oracle re-derives the final table in pure SQL: every staged row ends
+  // current (matched rows refreshed, new rows inserted), changed initial
+  // rows survive as expired versions.
+  // ------------------------------------------------------------------------
+
+  private def hudiUpsertResult(s: SparkSession, dir: String): DataFrame = {
+    val customer = s.read.parquet(s"$dir/customer.parquet")
+    def contacts(seg: Column) = Seq(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").cast("string").as("email"), seg.as("state"))
+    val initial = customer.filter(col("c_custkey") % 3 =!= 0)
+      .select(contacts(col("c_mktsegment")): _*)
+    val staged = customer.select(contacts(
+      when(col("c_custkey") % 5 === 0, upper(col("c_mktsegment")))
+        .otherwise(col("c_mktsegment"))): _*)
+    val table = graft.scd2.Scd2.initialLoad(s,
+      Files.createTempDirectory("graft_q41").toString, initial,
+      Timestamp.valueOf("2024-01-01 00:00:00"))
+    graft.scd2.Scd2.hudiStyleMerge(table, staged,
+      Timestamp.valueOf("2024-02-01 00:00:00"))
+    table.read().select(col("id"), col("iscurrent"), col("checksum"))
+      .orderBy("id", "iscurrent", "checksum")
+  }
+
+  private val Q41Duck =
+    """WITH initial AS (
+      |  SELECT c_custkey AS id, md5(concat(c_name, CAST(c_nationkey AS VARCHAR), c_mktsegment)) AS checksum
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |delta AS (
+      |  SELECT c_custkey AS id,
+      |         md5(concat(c_name, CAST(c_nationkey AS VARCHAR),
+      |           CASE WHEN c_custkey % 5 = 0 THEN upper(c_mktsegment) ELSE c_mktsegment END)) AS checksum
+      |  FROM customer),
+      |expired AS (
+      |  SELECT i.id, i.checksum FROM initial i
+      |  JOIN delta d ON i.id = d.id AND i.checksum <> d.checksum)
+      |SELECT id, 1 AS iscurrent, checksum FROM delta
+      |UNION ALL SELECT id, 0 AS iscurrent, checksum FROM expired
+      |ORDER BY id, iscurrent, checksum""".stripMargin
+
   // ------------------------------------------------------------------------
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -609,7 +670,9 @@ object SparkEntry {
     "q36_percentile" -> q(Q36),
     "q37_pivot" -> pivotQuery,
     "q38_sessions" -> q(Q38),
-    "q39_cube_grouping" -> q(Q39))
+    "q39_cube_grouping" -> q(Q39),
+    "q40_event_span" -> q(Q40Spark),
+    "q41_hudi_upsert" -> ((s, dir) => hudiUpsertResult(s, dir)))
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -648,7 +711,9 @@ object SparkEntry {
     "q36_percentile" -> Q36,
     "q37_pivot" -> Q37Duck,
     "q38_sessions" -> Q38,
-    "q39_cube_grouping" -> Q39)
+    "q39_cube_grouping" -> Q39,
+    "q40_event_span" -> Q40Duck,
+    "q41_hudi_upsert" -> Q41Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN are not
   // SQL-expressible → driver records the weaker rows-only check; their
   // semantics are covered by graft.ext.ExtSpec.

@@ -63,12 +63,17 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       minSim: Double = 0.8): DataFrame = {
-    // deliberately NOT cached: shingling is map-side codegen over the scan,
-    // so recomputing it for the verification branch is cheaper than pinning
-    // every doc's shingle array in storage memory (a leak for library
-    // callers, and unpinnable at 100 TB anyway)
+    // The shingled frame feeds THREE consumers (doc frequencies, the
+    // candidate self-join, and verification); left lazy, each one re-runs
+    // the full shingle scan. Materialize it exactly once with an eager
+    // localCheckpoint (MEMORY_AND_DISK, lineage truncated) and release the
+    // blocks deterministically once the — much smaller — pair result has
+    // materialized: no recompute, and no storage-memory leak for library
+    // callers. The pin also fixes non-deterministic inputs (rand()/sample/
+    // unordered limit): every branch sees the same materialization.
     val docs = df.select(col(idCol).as("doc"),
       TextAnalysis.shingles(col(textCol), n).as("sh"))
+      .localCheckpoint()
     val ex = docs.select(col("doc"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("freq"))
 
@@ -98,7 +103,7 @@ object Dedup {
     val sorted = docs.select(col("doc"), sort_array(col("sh")).as("ssh"))
     val sa = sorted.select(col("doc").as("id_a"), col("ssh").as("sh_a"))
     val sb = sorted.select(col("doc").as("id_b"), col("ssh").as("sh_b"))
-    candidates.join(sa, "id_a").join(sb, "id_b")
+    val result = candidates.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         functions.sortedIntersectCount(col("sh_a"), col("sh_b")).as("inter"),
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
@@ -106,6 +111,9 @@ object Dedup {
         (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minSim)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .localCheckpoint() // eager: pins the (small) pair list …
+    release(docs) // … so the big shingled frame can be dropped NOW
+    result
   }
 
   /**
@@ -126,17 +134,19 @@ object Dedup {
       seed: Long = TextHash.DefaultSeed): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
+    // Signatures feed both the band self-join (twice) and candidate
+    // confirmation — materialized once (eager localCheckpoint), released
+    // as soon as the small pair result exists (see jaccardPairs). A
+    // signature row is doc + numHashes longs, far smaller than the text.
     val sigs = df.select(
       col(idCol).as("doc"),
       functions.minhashSignature(
         TextAnalysis.shingles(col(textCol), shingleSize), numHashes, seed).as("sig"))
+      .localCheckpoint()
 
     // band rows: (band index, hash of the band's slice, doc) — ids only;
     // shuffling the 64-long signatures through the self-join would move
     // ~numHashes*8 bytes per band row for nothing (candidates are rare).
-    // Signatures are deliberately NOT cached: minhash is deterministic
-    // map-side codegen, so the candidate-confirmation branch recomputes it
-    // instead of pinning every signature in storage memory across calls.
     val bandHashes = sigs.select(
       col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -156,13 +166,16 @@ object Dedup {
     // attach signatures only to surviving candidate pairs
     val sa = sigs.select(col("doc").as("id_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc").as("id_b"), col("sig").as("sig_b"))
-    candidates.join(sa, "id_a").join(sb, "id_b")
+    val result = candidates.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes)
       .filter(col("est_jaccard") >= minEst)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .localCheckpoint()
+    release(sigs)
+    result
   }
 
   /**
@@ -263,7 +276,7 @@ object Dedup {
         .join(labels.alias("l"), col("u.id") === col("l.id"))
         .filter(col("u.component") =!= col("l.component"))
         .limit(1).count()
-      releaseLocalCheckpoint(labels) // superseded: updated + changed no longer read it
+      release(labels) // superseded: updated + changed no longer read it
       labels = updated
       converged = changed == 0
       iter += 1
@@ -276,8 +289,18 @@ object Dedup {
    * Drop the executor blocks behind a `localCheckpoint`ed dataset. A local
    * checkpoint IS its persisted blocks (lineage is truncated, so they are
    * not recomputable) — only call once no live plan references the dataset.
+   * The pair frames returned by [[jaccardPairs]]/[[minhashPairs]] and the
+   * labels returned by [[connectedComponents]] are local checkpoints;
+   * long-lived callers release them here when done.
+   *
+   * Reliability tradeoff (100 TB note): local-checkpoint blocks are
+   * non-replicated, so losing an executor mid-operator fails the job
+   * (instead of recomputing, as a cache would). Jobs needing
+   * loss-tolerance should configure a reliable checkpoint dir and swap
+   * `localCheckpoint()` for `checkpoint()`; for the bounded per-operator
+   * lifetimes here, the restart cost is the documented tradeoff.
    */
-  private def releaseLocalCheckpoint(ds: DataFrame): Unit =
+  def release(ds: DataFrame): Unit =
     ds.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()

@@ -45,6 +45,7 @@ final class MergeInto(
 
   private var clauses: Vector[Clause] = Vector.empty
   private var cardinalityCheck = true
+  private var actionTag = "merge"
 
   /** Alias used for the target side in `condition` / clause expressions. */
   def whenMatched(): ClauseBuilder = new ClauseBuilder(this, Matched, None)
@@ -57,6 +58,11 @@ final class MergeInto(
   /** Disable the multi-match cardinality job (saves one pass when the
    *  caller can prove source keys are unique). */
   def withoutCardinalityCheck(): MergeInto = { cardinalityCheck = false; this }
+
+  /** Commit-log action tag for this merge (default "merge"). Streaming
+   *  sinks pass `stream-<batchId>` so a redelivered micro-batch can be
+   *  recognized and skipped (exactly-once upsert, [[graft.streaming.StreamIngest]]). */
+  def withAction(tag: String): MergeInto = { actionTag = tag; this }
 
   private[ops] def add(c: Clause): MergeInto = { clauses = clauses :+ c; this }
 
@@ -106,7 +112,7 @@ final class MergeInto(
             when(col(ACTION) === idx, v).otherwise(acc)
           }.as(name)
       val inserts = lockSchema(withAction.select(targetCols.map(insCol): _*))
-      return table.replaceFiles(allFiles, inserts, "merge")
+      return table.replaceFiles(allFiles, inserts, actionTag)
     }
 
     // ---- job 1: touched-file discovery, fused with the cardinality
@@ -203,7 +209,7 @@ final class MergeInto(
     }
 
     val result = lockSchema(withAction.select(targetCols.map(outCol): _*))
-    table.replaceFiles(untouched, result, "merge")
+    table.replaceFiles(untouched, result, actionTag)
   }
 }
 

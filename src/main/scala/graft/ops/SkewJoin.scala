@@ -13,8 +13,17 @@ import org.apache.spark.sql.{Column, DataFrame}
  *
  * Use when the replicated side is small enough to multiply by `salt`
  * (dimension tables); the salted side's rows are never replicated.
+ *
+ * Supported join types: inner, left/left_outer, left_semi, left_anti —
+ * the ones where unmatched REPLICATED-side rows never surface. Right and
+ * full outer are rejected: the replicated side's unmatched rows exist
+ * once per salt value and would emit `salt` duplicates.
  */
 object SkewJoin {
+
+  private val SupportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
 
   def saltedEquiJoin(
       skewed: DataFrame,
@@ -23,6 +32,9 @@ object SkewJoin {
       salt: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
+    require(SupportedJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedEquiJoin supports inner/left/left_semi/left_anti joins only, got '$joinType': " +
+        "unmatched replicated-side rows would be emitted once per salt value")
     val saltedL = skewed.withColumn("__salt",
       (rand(42) * salt).cast("int"))
     val replicatedR = other.withColumn("__salt",

@@ -30,7 +30,8 @@ object Upsert {
       table: SnapshotTable,
       incoming: DataFrame,
       keys: Seq[String],
-      precombine: String): SnapshotTable = {
+      precombine: String,
+      action: String = "merge"): SnapshotTable = {
     require(keys.nonEmpty, "upsert needs at least one record-key column")
 
     val deduped = precombineLatest(incoming, keys, precombine)
@@ -39,6 +40,7 @@ object Upsert {
     table.merge(deduped, cond)
       // key collisions are impossible after precombine → skip the extra job
       .withoutCardinalityCheck()
+      .withAction(action)
       .whenMatched().updateAll()
       .whenNotMatched().insertAll()
       .execute()

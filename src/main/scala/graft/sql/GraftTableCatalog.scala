@@ -38,9 +38,11 @@ import graft.tables.SnapshotTable
  * prunes the manifest before Spark plans the parquet read — the
  * reference formats' data-skipping behavior, BASELINE.md).
  *
- * Reads/writes delegate to the battle-tested V1 paths ([[V1Scan]] /
- * [[V1Write]]): the scan materializes `SnapshotTable.scan(pushed
- * filters)` with column pruning; writes map append/truncate onto
+ * Reads build Spark's OWN vectorized parquet scan: [[GraftScanBuilder]]
+ * stats-prunes the manifest with the pushed filters, then delegates to
+ * Spark's `ParquetScanBuilder` over exactly the surviving files —
+ * columnar read, whole-stage codegen, parquet row-group pushdown. Only
+ * writes remain V1 ([[V1Write]]): append/truncate map onto
  * `SnapshotTable.append`/`overwrite` (atomic snapshot commits).
  */
 class GraftTableCatalog extends TableCatalog {
@@ -103,12 +105,35 @@ class GraftTableCatalog extends TableCatalog {
       case other => throw new UnsupportedOperationException(
         s"unsupported partition transform for graft tables: $other")
     }
-    val t = SnapshotTable.createEmpty(spark, rootFor(ident), schema, clusterBy)
+    // Spark mixes engine-reserved entries (provider, location, owner, …)
+    // into the properties map; persist only genuine user TBLPROPERTIES.
+    val userProps = properties.asScala.toMap --
+      Seq(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+        TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL)
+    val t = SnapshotTable.createEmpty(spark, rootFor(ident), schema, clusterBy, userProps)
     new GraftTable(t, ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported for graft tables")
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` — a metadata-only commit;
+   *  properties then ride every subsequent commit
+   *  (`delta/delta_scd_script.py:43`). Other alterations (add/drop
+   *  column via DDL) are not supported — schema evolution happens on
+   *  write ([[SnapshotTable.append]] `mergeSchema`). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val t = SnapshotTable(spark, rootFor(ident))
+    val unsupported = changes.filter {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
+      case _ => true
+    }
+    if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+      s"unsupported ALTER TABLE change(s) for graft tables: ${unsupported.mkString(", ")}")
+    val sets = changes.collect { case c: TableChange.SetProperty => c.property -> c.value }
+    val unsets = changes.collect { case c: TableChange.RemoveProperty => c.property }
+    if (sets.nonEmpty) t.setProperties(sets.toMap)
+    if (unsets.nonEmpty) t.unsetProperties(unsets)
+    new GraftTable(t, ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = new Path(rootFor(ident))
@@ -121,27 +146,42 @@ class GraftTableCatalog extends TableCatalog {
 }
 
 /** DSv2 face of one [[SnapshotTable]] (optionally pinned to a historic
- *  version — read-only time travel). */
+ *  version — read-only time travel).
+ *
+ *  The snapshot version is resolved ONCE, here, and drives both the
+ *  analysis schema and the scan's file list: a commit landing between
+ *  analysis and scan planning cannot pair the new version's files with
+ *  the old version's schema (snapshot isolation; reference formats pin
+ *  the snapshot at scan creation the same way). */
 class GraftTable(
     val table: SnapshotTable,
     ident: Identifier,
     pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
+  private val snapshotVersion: Long =
+    pinnedVersion.getOrElse(table.currentReadable().map(_._1).getOrElse(-1L))
+  private val snapshotSchema: StructType =
+    if (snapshotVersion < 0) new StructType() else table.readVersion(snapshotVersion).schema
+
   override def name(): String =
     ident.toString + pinnedVersion.map(v => s"@v$v").getOrElse("")
-  override def schema(): StructType = pinnedVersion match {
-    case Some(v) => table.readVersion(v).schema
-    case None => table.schema
-  }
+  override def schema(): StructType = snapshotSchema
+  override def properties(): util.Map[String, String] = table.properties().asJava
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, pinnedVersion)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // The catalog scan reads BASE files; serving it on a table with
+    // pending MoR deltas would silently return stale rows.
+    require(table.deltaManifest().isEmpty,
+      s"${ident.toString} has pending MoR deltas: query via SnapshotTable.read() " +
+        "(real-time view) or applyDeltas() first")
+    new GraftScanBuilder(table, snapshotVersion, snapshotSchema)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty, "cannot write to a time-travel snapshot")
@@ -167,14 +207,12 @@ class GraftTable(
  *  exactly the surviving files — the scan Spark executes is its native
  *  vectorized parquet `Batch` (columnar read, whole-stage codegen, parquet
  *  row-group pushdown), not a `RDD[Row]` bridge that would pay an
- *  InternalRow→Row→InternalRow tax per row at 100 TB. */
-class GraftScanBuilder(table: SnapshotTable, pinnedVersion: Option[Long] = None)
+ *  InternalRow→Row→InternalRow tax per row at 100 TB. `version` and
+ *  `tableSchema` are resolved together by [[GraftTable]] at load time —
+ *  schema and file list always come from the same snapshot. */
+class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private val tableSchema: StructType = pinnedVersion match {
-    case Some(v) => table.readVersion(v).schema
-    case None => table.schema
-  }
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
 
@@ -189,7 +227,6 @@ class GraftScanBuilder(table: SnapshotTable, pinnedVersion: Option[Long] = None)
   override def build(): Scan = {
     val spark = table.spark
     val predicate = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
-    val version = pinnedVersion.getOrElse(table.currentVersion())
     val files = table.prunedFilesAt(version, predicate)
     val index = new InMemoryFileIndex(
       spark, files.map(f => new Path(f.path)), Map.empty, Some(tableSchema))

@@ -51,7 +51,7 @@ object StreamIngest {
       precombine: String): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!lastStreamBatch(table).contains(batchId) && !batch.isEmpty) {
-        table.upsert(batch, keys, precombine)
+        table.upsertAs(batch, keys, precombine, s"stream-$batchId")
       }
       ()
     }

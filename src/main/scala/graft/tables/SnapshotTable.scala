@@ -101,8 +101,27 @@ class SnapshotTable private (
     CommitEntry.fromJson(new String(bytes, "UTF-8"))
   }
 
+  /**
+   * Newest version whose log entry parses, with its entry. Tolerates a
+   * TORN newest entry only (a concurrent non-local-FS writer has claimed
+   * the slot but not finished writing content): readers fall back to
+   * version n-1 instead of failing on partial JSON. Deeper corruption
+   * still throws — it is data loss, not a race.
+   */
+  private[graft] def currentReadable(): Option[(Long, CommitEntry)] = {
+    val versions = listVersions()
+    if (versions.isEmpty) return None
+    try Some((versions.last, commitEntry(versions.last)))
+    catch {
+      case NonFatal(e) if versions.size >= 2 =>
+        val prev = versions(versions.size - 2)
+        Some((prev, commitEntry(prev)))
+    }
+  }
+
   /** Atomically publish `entry` as version `version` (CAS on the slot). */
-  private def writeCommit(version: Long, entry: CommitEntry): Unit = {
+  private def writeCommit(version: Long, entryIn: CommitEntry): Unit = {
+    val entry = entryIn.copy(ts = Some(System.currentTimeMillis()))
     fs.mkdirs(logDir)
     val dest = new Path(logDir, f"$version%020d.json")
     val payload = entry.toJson.getBytes("UTF-8")
@@ -167,27 +186,78 @@ class SnapshotTable private (
   }
 
   /** Full-replace (reference "bulk insert overwrite" S4/S7,
-   *  `hudi/hudi_scd_script.py:66-70`, `delta/delta_scd_script.py:37-39`). */
+   *  `hudi/hudi_scd_script.py:66-70`, `delta/delta_scd_script.py:37-39`).
+   *  The schema may change freely (full replace); table properties and
+   *  the cluster spec carry forward. */
   def overwrite(df: DataFrame): SnapshotTable = {
-    val spec = clusterSpec()
+    val v = currentVersion()
+    val prior = if (v < 0) None else Some(commitEntry(v))
+    val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
     val files = writeDataDir(applyCluster(df, spec))
-    writeCommit(currentVersion() + 1,
-      CommitEntry("overwrite", df.schema.json, files, toOpt(spec)))
+    writeCommit(v + 1,
+      CommitEntry("overwrite", df.schema.json, files, toOpt(spec),
+        prior.flatMap(_.properties)))
     this
   }
 
-  /** Append-only commit: carries prior files forward, adds the new ones. */
-  def append(df: DataFrame): SnapshotTable = appendAs(df, "append")
+  /** Append-only commit: carries prior files forward, adds the new ones.
+   *  The incoming frame is aligned BY NAME to the committed schema —
+   *  a frame missing a committed column, or retyping one, fails loudly
+   *  instead of committing a schema that misreads prior files. With
+   *  `mergeSchema=true`, NEW columns evolve the table schema (added as
+   *  nullable; prior files read them as NULL — Delta/Hudi
+   *  `mergeSchema`/`hoodie.schema.on.read` semantics). */
+  def append(df: DataFrame, mergeSchema: Boolean = false): SnapshotTable =
+    appendAs(df, "append", mergeSchema)
 
   /** Append with a caller-supplied action tag (streaming sinks record
    *  their micro-batch id here for idempotent redelivery). */
-  private[graft] def appendAs(df: DataFrame, action: String): SnapshotTable = {
+  private[graft] def appendAs(
+      df: DataFrame, action: String, mergeSchema: Boolean = false): SnapshotTable = {
     val v = currentVersion()
-    val prior = if (v < 0) Nil else commitEntry(v).files
-    val spec = clusterSpec()
-    val files = writeDataDir(applyCluster(df, spec))
-    writeCommit(v + 1, CommitEntry(action, df.schema.json, prior ++ files, toOpt(spec)))
+    val prior = if (v < 0) None else Some(commitEntry(v))
+    val committed = prior.map(e => DataType.fromJson(e.schemaJson).asInstanceOf[StructType])
+    val (aligned, schema) = committed match {
+      case None => (df, df.schema)
+      case Some(c) => alignToCommitted(df, c, mergeSchema)
+    }
+    val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
+    val files = writeDataDir(applyCluster(aligned, spec))
+    writeCommit(v + 1,
+      CommitEntry(action, schema.json, prior.map(_.files).getOrElse(Nil) ++ files,
+        toOpt(spec), prior.flatMap(_.properties),
+        deltaFiles = prior.flatMap(_.deltaFiles),
+        morKeys = prior.flatMap(_.morKeys),
+        morPrecombine = prior.flatMap(_.morPrecombine)))
     this
+  }
+
+  /** By-name alignment of an incoming frame against the committed schema;
+   *  returns (aligned frame, schema to commit). See [[append]]. */
+  private def alignToCommitted(
+      df: DataFrame, committed: StructType, mergeSchema: Boolean): (DataFrame, StructType) = {
+    val incoming = df.schema
+    def find(n: String) = incoming.fields.find(_.name.equalsIgnoreCase(n))
+    val missing = committed.fields.filterNot(f => find(f.name).isDefined)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"append to $root: incoming frame is missing committed column(s) " +
+        missing.map(_.name).mkString(", ") +
+        " — committing this schema would misread prior files")
+    val retyped = committed.fields.flatMap { f =>
+      find(f.name).filter(_.dataType != f.dataType)
+        .map(g => s"${f.name} (committed ${f.dataType.simpleString}, incoming ${g.dataType.simpleString})")
+    }
+    if (retyped.nonEmpty) throw new IllegalArgumentException(
+      s"append to $root: incompatible column type(s): ${retyped.mkString("; ")}")
+    val extras = incoming.fields.filterNot(f =>
+      committed.fields.exists(_.name.equalsIgnoreCase(f.name)))
+    if (extras.nonEmpty && !mergeSchema) throw new IllegalArgumentException(
+      s"append to $root: unknown column(s) ${extras.map(_.name).mkString(", ")} " +
+        "— pass mergeSchema=true to evolve the table schema")
+    val evolved = StructType(committed.fields ++ extras.map(_.copy(nullable = true)))
+    val aligned = df.select(evolved.fields.map(f =>
+      org.apache.spark.sql.functions.col(find(f.name).get.name).as(f.name)).toSeq: _*)
+    (aligned, evolved)
   }
 
   /** Persisted clustering columns (identity "partitioning"): every write
@@ -207,37 +277,139 @@ class SnapshotTable private (
     else df.repartitionByRange(spec.map(c => org.apache.spark.sql.functions.col(c)): _*)
 
   /** Action tag of the latest commit (None for an empty table). */
-  def manifestAction(): Option[String] = {
-    val v = currentVersion()
-    if (v < 0) None else Some(commitEntry(v).action)
-  }
+  def manifestAction(): Option[String] =
+    currentReadable().map(_._2.action)
 
   /** Replace the live file set with `keep` (paths from the current manifest,
    *  stats carried forward) plus newly-written `df` files — the
    *  copy-on-write commit used by upsert/merge (graft.ops). */
   private[graft] def replaceFiles(keep: Seq[String], df: DataFrame, action: String): SnapshotTable = {
     val v = currentVersion()
+    val prior = if (v < 0) None else Some(commitEntry(v))
+    // A row-level rewrite against the BASE while keyed deltas are pending
+    // would silently resurrect overridden rows (the rewrite sees stale
+    // values) — fold the deltas in first. The fold itself commits through
+    // this path with the "compact-deltas" action, clearing the delta list.
+    if (action != "compact-deltas" && prior.exists(_.deltaFiles.exists(_.nonEmpty)))
+      throw new IllegalStateException(
+        s"table $root has pending MoR deltas; call applyDeltas() before merge/delete/compact")
     val priorByPath: Map[String, FileEntry] =
-      if (v < 0) Map.empty else commitEntry(v).files.map(f => f.path -> f).toMap
+      prior.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
     val kept = keep.map(p => priorByPath.getOrElse(p, FileEntry(p, -1L, -1L, Map.empty)))
-    val spec = clusterSpec()
+    val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
     val files = writeDataDir(applyCluster(df, spec))
     writeCommit(v + 1,
-      CommitEntry(action, df.schema.json, (kept ++ files).sortBy(_.path), toOpt(spec)))
+      CommitEntry(action, df.schema.json, (kept ++ files).sortBy(_.path), toOpt(spec),
+        prior.flatMap(_.properties)))
+    this
+  }
+
+  // ------------------------------------------------------------- properties
+
+  /** User table properties of the current snapshot (TBLPROPERTIES,
+   *  `delta/delta_scd_script.py:43`); carried forward by every commit. */
+  def properties(): Map[String, String] =
+    currentReadable().flatMap(_._2.properties).getOrElse(Map.empty)
+
+  /** Merge `props` into the table properties (`ALTER TABLE … SET
+   *  TBLPROPERTIES`): a metadata-only commit — same files, same schema. */
+  def setProperties(props: Map[String, String]): SnapshotTable = {
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val e = commitEntry(v)
+    val merged = e.properties.getOrElse(Map.empty) ++ props
+    writeCommit(v + 1, e.copy(action = "set-properties",
+      properties = if (merged.isEmpty) None else Some(merged)))
+    this
+  }
+
+  /** Remove table properties (`ALTER TABLE … UNSET TBLPROPERTIES`). */
+  def unsetProperties(keys: Seq[String]): SnapshotTable = {
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val e = commitEntry(v)
+    val remaining = e.properties.getOrElse(Map.empty) -- keys
+    writeCommit(v + 1, e.copy(action = "set-properties",
+      properties = if (remaining.isEmpty) None else Some(remaining)))
     this
   }
 
   // ------------------------------------------------------------------ reads
 
-  /** Latest committed snapshot. Readers never observe partial writes. */
-  def read(): DataFrame = readVersion(currentVersion())
+  /** Latest committed snapshot — the REAL-TIME view: pending MoR deltas
+   *  ([[upsertDeferred]]) are resolved against the base, latest version
+   *  of each record key wins. Readers never observe partial writes
+   *  (a torn newest log entry falls back to the prior version,
+   *  [[currentReadable]]). */
+  def read(): DataFrame = {
+    val (_, entry) = currentReadable().getOrElse(
+      throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
+    mergedView(entry, entry.files)
+  }
 
-  /** Time travel (reference formats' snapshot isolation made explicit). */
+  /** READ-OPTIMIZED view: base files only, pending deltas ignored —
+   *  Hudi's `_ro` table (`hudi/hudi_scd_script.py` reads the `_rt`
+   *  counterpart; SURVEY.md §2.6). Identical to [[read]] when no deltas
+   *  are pending. */
+  def readBase(): DataFrame = {
+    val (_, entry) = currentReadable().getOrElse(
+      throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
+    dfOver(entry.files.map(_.path),
+      DataType.fromJson(entry.schemaJson).asInstanceOf[StructType])
+  }
+
+  /** Base ∪ pending-delta assembly (the MoR read-time merge): base rows
+   *  whose record key appears in a delta are replaced by the delta's
+   *  latest version — one anti-join + one key-agg over the (small) delta
+   *  set; the base side stays a plain pruned parquet scan. */
+  private def mergedView(entry: CommitEntry, baseFiles: Seq[FileEntry]): DataFrame = {
+    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    val base = dfOver(baseFiles.map(_.path), schema)
+    val deltaEntries = entry.deltaFiles.getOrElse(Nil)
+    if (deltaEntries.isEmpty) return base
+    val keys = entry.morKeys.getOrElse(Nil)
+    val latest = latestDeltaRows(deltaEntries, schema, keys, entry.morPrecombine.get)
+    base.join(latest.select(keys.map(org.apache.spark.sql.functions.col): _*),
+        keys, "left_anti")
+      .unionByName(latest)
+  }
+
+  /** Latest version of each record key across the pending delta batches.
+   *  Replay-equivalent to applying the batches as eager upserts in
+   *  arrival order: within a batch the max precombine wins
+   *  ([[graft.ops.Upsert.precombineLatest]]), across batches the later
+   *  batch wins — `max_by` on (batch ordinal, precombine). */
+  private def latestDeltaRows(
+      deltaEntries: Seq[FileEntry],
+      schema: StructType,
+      keys: Seq[String],
+      precombine: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // consecutive files sharing a data dir = one arrival batch
+    val groups = scala.collection.mutable.ArrayBuffer[(String, List[String])]()
+    deltaEntries.foreach { f =>
+      val parent = new Path(f.path).getParent.toString
+      if (groups.nonEmpty && groups.last._1 == parent)
+        groups(groups.size - 1) = (parent, groups.last._2 :+ f.path)
+      else groups += ((parent, List(f.path)))
+    }
+    val parts = groups.toSeq.zipWithIndex.map { case ((_, paths), i) =>
+      spark.read.schema(schema).parquet(paths: _*).withColumn("__delta_seq", lit(i))
+    }
+    val all = parts.reduce(_ unionByName _)
+    val cols = schema.fieldNames.toSeq
+    all.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(col("__delta_seq"), col(precombine))).as("__r"))
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /** Time travel (reference formats' snapshot isolation made explicit);
+   *  deltas pending AT that version are resolved, like [[read]]. */
   def readVersion(version: Long): DataFrame = {
     require(version >= 0, s"table $root is empty")
     val entry = commitEntry(version)
-    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
-    dfOver(entry.files.map(_.path), schema)
+    mergedView(entry, entry.files)
   }
 
   private def dfOver(paths: Seq[String], schema: StructType): DataFrame =
@@ -255,12 +427,14 @@ class SnapshotTable private (
    * by Catalyst (and pushed to the parquet reader) afterwards.
    */
   def scan(predicate: Column): DataFrame = {
-    val v = currentVersion()
-    require(v >= 0, s"table $root is empty")
-    val entry = commitEntry(v)
+    val (_, entry) = currentReadable().getOrElse(
+      throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
     val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
     val keep = entry.files.filter(f => Pruning.mayMatch(f, org.apache.spark.sql.graftshim.SparkInternals.expr(predicate), schema))
-    dfOver(keep.map(_.path), schema).filter(predicate)
+    // Base-file pruning stays sound under pending deltas: a pruned base
+    // row either fails `predicate` post-merge anyway or is replaced by a
+    // delta row, and the delta side is never pruned here.
+    mergedView(entry, keep).filter(predicate)
   }
 
   /** Files [[scan]] would read for `predicate` — exposed for tests/EXPLAIN. */
@@ -285,19 +459,66 @@ class SnapshotTable private (
   }
 
   def schema: StructType =
-    DataType.fromJson(commitEntry(currentVersion()).schemaJson).asInstanceOf[StructType]
+    DataType.fromJson(currentReadable()
+      .getOrElse(throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
+      ._2.schemaJson).asInstanceOf[StructType]
 
   /** Live file list of the current snapshot (the "manifest" — the analogue
    *  of Delta's symlink_format_manifest, `delta/delta_scd_script.py:42-43`). */
-  def manifest(): Seq[String] = {
-    val v = currentVersion()
-    if (v < 0) Nil else commitEntry(v).files.map(_.path)
-  }
+  def manifest(): Seq[String] =
+    currentReadable().map(_._2.files.map(_.path)).getOrElse(Nil)
 
   /** Full manifest incl. per-file row counts and column stats. */
-  def manifestEntries(): Seq[FileEntry] = {
-    val v = currentVersion()
-    if (v < 0) Nil else commitEntry(v).files
+  def manifestEntries(): Seq[FileEntry] =
+    currentReadable().map(_._2.files).getOrElse(Nil)
+
+  /**
+   * Current snapshot with engine meta-columns — the native analogue of
+   * Hudi's `_hoodie_commit_time`/`_hoodie_record_key` columns the
+   * reference reads back (`hudi/hudi_scd_script.py:76`; SURVEY.md §1.5):
+   *
+   *  - `_commit_version`: version of the commit that first added the row's
+   *    file (files carried forward by append/merge keep their original
+   *    lineage; after log expiry the earliest retained version claims it);
+   *  - `_commit_ts`: wall-clock commit timestamp of that version (NULL for
+   *    pre-ts log entries).
+   *
+   * Implemented as a union of per-commit-generation scans with constant
+   * meta columns — no per-row lookup, no join: the same files are read
+   * exactly once, Catalyst folds the constants, and file pruning still
+   * applies per branch.
+   */
+  def readWithMeta(): DataFrame = {
+    val (cur, entry) = currentReadable().getOrElse(
+      throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
+    if (entry.deltaFiles.exists(_.nonEmpty)) throw new IllegalStateException(
+      s"table $root has pending MoR deltas (no per-row commit lineage yet); applyDeltas() first")
+    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    // first-version lineage: walk retained versions ascending, first
+    // parseable entry naming a path claims it (O(versions · files) driver
+    // metadata work, same order as one manifest read per version)
+    val first = scala.collection.mutable.LinkedHashMap[String, (Long, Option[Long])]()
+    listVersions().foreach { v =>
+      try {
+        val e = commitEntry(v)
+        e.files.foreach(f => if (!first.contains(f.path)) first(f.path) = (v, e.ts))
+      } catch { case NonFatal(_) => () } // torn newest entry: no lineage from it
+    }
+    val live = entry.files.map(_.path)
+    val groups = live.groupBy(p => first.getOrElse(p, (cur, entry.ts))).toSeq.sortBy(_._1._1)
+    val parts = groups.map { case ((v, ts), paths) =>
+      dfOver(paths, schema)
+        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
+        .withColumn("_commit_ts", ts match {
+          case Some(m) => org.apache.spark.sql.functions.lit(new java.sql.Timestamp(m))
+          case None => org.apache.spark.sql.functions.lit(null).cast(TimestampType)
+        })
+    }
+    parts.reduceOption(_ unionByName _).getOrElse {
+      dfOver(Nil, schema)
+        .withColumn("_commit_version", org.apache.spark.sql.functions.lit(cur))
+        .withColumn("_commit_ts", org.apache.spark.sql.functions.lit(null).cast(TimestampType))
+    }
   }
 
   /** Register as a temp view, refreshed on every subsequent commit. */
@@ -358,23 +579,36 @@ class SnapshotTable private (
    * not referenced by any retained commit, and (optionally) expire log
    * entries older than the latest `retainVersions`. Readers of retained
    * versions are unaffected; orphans from failed writes are reclaimed.
-   * Returns the number of deleted data files.
+   *
+   * `retainMillis` is the safety window for in-flight writers: a
+   * concurrent commit first writes its data dir, then publishes the log
+   * entry — its files are unreferenced in between, and reclaiming them
+   * would leave a winning manifest pointing at deleted files. Files whose
+   * modification time is inside the window are never touched (Delta's
+   * `deletedFileRetentionDuration` semantics; pass 0 only when no writer
+   * can be in flight). Returns the number of deleted data files.
    */
-  def vacuum(retainVersions: Int = Int.MaxValue): Int = {
+  def vacuum(
+      retainVersions: Int = Int.MaxValue,
+      retainMillis: Long = 24L * 3600 * 1000): Int = {
     val versions = listVersions()
     if (versions.isEmpty) return 0
     val retained = versions.takeRight(math.max(1, retainVersions))
-    val live: Set[String] = retained
-      .flatMap(v => commitEntry(v).files.map(_.path)).toSet
+    val live: Set[String] = retained.flatMap { v =>
+      val e = commitEntry(v)
+      e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
+    }.toSet
     // expire old log entries first so no reader can resolve dropped files
     versions.dropRight(math.max(1, retainVersions)).foreach { v =>
       fs.delete(new Path(logDir, f"$v%020d.json"), false)
     }
+    val cutoff = System.currentTimeMillis() - math.max(0L, retainMillis)
     var deleted = 0
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).foreach { d =>
         val files = fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
-        val (dead, alive) = files.partition(f => !live.contains(f.getPath.toUri.getPath))
+        val (dead, alive) = files.partition(f =>
+          !live.contains(f.getPath.toUri.getPath) && f.getModificationTime < cutoff)
         dead.foreach { f => if (fs.delete(f.getPath, false)) deleted += 1 }
         if (alive.isEmpty && fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
       }
@@ -398,6 +632,118 @@ class SnapshotTable private (
   def upsert(incoming: DataFrame, keys: Seq[String], precombine: String): SnapshotTable =
     graft.ops.Upsert(this, incoming, keys, precombine)
 
+  // --------------------------------------------------------- merge-on-read
+
+  /**
+   * MERGE-ON-READ keyed upsert (Hudi MoR, the reference's
+   * `hudi_contact_mor_rt` table, `hudi/hudi_scd_script.py:13-18`): the
+   * incoming batch lands as DELTA files in O(batch) work — no base file
+   * is rewritten — and is resolved against the base at read time
+   * ([[read]] = the `_rt` view, [[readBase]] = `_ro`). The pain this
+   * solves at 100 TB: frequent small upserts under copy-on-write rewrite
+   * a full file per touched key per batch; deferred deltas amortize all
+   * of that into one [[applyDeltas]] compaction.
+   *
+   * All pending deltas must share one (keys, precombine) spec; row-level
+   * base rewrites (merge/delete/compact) are rejected while deltas are
+   * pending — fold them in first.
+   */
+  def upsertDeferred(
+      incoming: DataFrame, keys: Seq[String], precombine: String): SnapshotTable = {
+    require(keys.nonEmpty, "upsertDeferred needs at least one record-key column")
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val e = commitEntry(v)
+    val committed = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+    (keys :+ precombine).foreach(k => require(
+      committed.fieldNames.exists(_.equalsIgnoreCase(k)),
+      s"upsertDeferred: column $k is not in the table schema"))
+    e.morKeys.foreach(prev => require(prev == keys.toList,
+      s"pending deltas keyed on $prev; applyDeltas() before switching to $keys"))
+    e.morPrecombine.foreach(prev => require(prev == precombine,
+      s"pending deltas precombine on $prev; applyDeltas() before switching to $precombine"))
+    val (aligned, _) = alignToCommitted(incoming, committed, mergeSchema = false)
+    val files = writeDataDir(aligned)
+    writeCommit(v + 1, e.copy(action = "delta-upsert",
+      deltaFiles = Some(e.deltaFiles.getOrElse(Nil) ++ files),
+      morKeys = Some(keys.toList),
+      morPrecombine = Some(precombine)))
+    this
+  }
+
+  /** Pending delta file list (empty when the table is pure CoW). */
+  def deltaManifest(): Seq[String] =
+    currentReadable().flatMap(_._2.deltaFiles).map(_.map(_.path)).getOrElse(Nil)
+
+  /**
+   * MoR compaction: fold all pending deltas into the base (one CoW
+   * rewrite of just the files whose key range can overlap the deltas —
+   * the overlap test runs on the delta files' FOOTER STATS, no job) and
+   * clear the delta list. The superseded delta/base files stay on disk
+   * for time travel until [[vacuum]]. Returns the number of base files
+   * rewritten.
+   */
+  def applyDeltas(): Int = {
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val entry = commitEntry(v)
+    val deltaEntries = entry.deltaFiles.getOrElse(Nil)
+    if (deltaEntries.isEmpty) return 0
+    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    val keys = entry.morKeys.getOrElse(Nil)
+    val latest = latestDeltaRows(deltaEntries, schema, keys, entry.morPrecombine.get)
+    val (touched, untouched) = deltaKeyRange(deltaEntries, keys, schema) match {
+      case Some(p) =>
+        val pe = org.apache.spark.sql.graftshim.SparkInternals.expr(p)
+        entry.files.partition(f => Pruning.mayMatch(f, pe, schema))
+      case None => (entry.files, Nil)
+    }
+    val rewritten = dfOver(touched.map(_.path), schema)
+      .join(latest.select(keys.map(org.apache.spark.sql.functions.col): _*),
+        keys, "left_anti")
+      .unionByName(latest)
+    replaceFiles(untouched.map(_.path), rewritten, "compact-deltas")
+    touched.size
+  }
+
+  /** Conjunctive per-key [min,max] range of the delta files, from footer
+   *  stats alone — None (= every base file may overlap) when any delta
+   *  file lacks stats or a key type has no stats domain. */
+  private def deltaKeyRange(
+      deltaEntries: Seq[FileEntry],
+      keys: Seq[String],
+      schema: StructType): Option[Column] = {
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    val preds = keys.map { k =>
+      val field = schema.fields.find(_.name.equalsIgnoreCase(k)) match {
+        case Some(f) => f
+        case None => return None
+      }
+      val perFile = deltaEntries.map(f =>
+        f.stats.get(field.name).flatMap(cs => for (mn <- cs.min; mx <- cs.max) yield (mn, mx)))
+      if (perFile.isEmpty || perFile.exists(_.isEmpty)) return None
+      val bs = perFile.flatten
+      field.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          c(field.name) >= l(bs.map(_._1.toLong).min).cast(field.dataType) &&
+            c(field.name) <= l(bs.map(_._2.toLong).max).cast(field.dataType)
+        case FloatType | DoubleType =>
+          c(field.name) >= l(bs.map(_._1.toDouble).min).cast(field.dataType) &&
+            c(field.name) <= l(bs.map(_._2.toDouble).max).cast(field.dataType)
+        case _: StringType =>
+          c(field.name) >= l(bs.map(_._1).min) && c(field.name) <= l(bs.map(_._2).max)
+        case _ => return None
+      }
+    }
+    Some(preds.reduce(_ && _))
+  }
+
+  /** Upsert with a caller-supplied commit action tag (streaming sinks
+   *  record their micro-batch id for idempotent redelivery). */
+  private[graft] def upsertAs(
+      incoming: DataFrame, keys: Seq[String], precombine: String, action: String): SnapshotTable =
+    graft.ops.Upsert(this, incoming, keys, precombine, action)
+
   /** Delta/Iceberg-semantics MERGE INTO — see [[graft.ops.MergeInto]]. */
   def merge(source: DataFrame, condition: Column): graft.ops.MergeInto =
     new graft.ops.MergeInto(this, source, condition)
@@ -418,13 +764,26 @@ object SnapshotTable {
   /** A committed table state: live files (+stats) and schema, one JSON doc
    *  per version (json4s — bundled with Spark, no extra dependency).
    *  `properties` are user TBLPROPERTIES (`delta/delta_scd_script.py:43`),
-   *  carried forward by every commit; absent in pre-properties logs. */
+   *  set via [[SnapshotTable.setProperties]] and carried forward by every
+   *  commit path (overwrite/append/replaceFiles); absent in
+   *  pre-properties logs. `ts` is the wall-clock commit time in epoch
+   *  millis, stamped by `writeCommit` (drives the `_commit_ts`
+   *  meta-column); absent in pre-ts logs. */
+  /** Merge-on-read state carried by a commit: `deltaFiles` are pending
+   *  keyed-upsert batches ([[SnapshotTable.upsertDeferred]]) in arrival
+   *  order, resolved against the base at read time and folded in by
+   *  [[SnapshotTable.applyDeltas]]; `morKeys`/`morPrecombine` pin the
+   *  record key / precombine spec all pending deltas share. */
   private[graft] final case class CommitEntry(
       action: String,
       schemaJson: String,
       files: Seq[FileEntry],
       clusterBy: Option[List[String]] = None,
-      properties: Option[Map[String, String]] = None) {
+      properties: Option[Map[String, String]] = None,
+      ts: Option[Long] = None,
+      deltaFiles: Option[Seq[FileEntry]] = None,
+      morKeys: Option[List[String]] = None,
+      morPrecombine: Option[String] = None) {
     def toJson: String = {
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       org.json4s.jackson.Serialization.write(this)
@@ -654,6 +1013,16 @@ object SnapshotTable {
     }
   }
 
+  /** Synthetic record-key meta-column (`_record_key` — Hudi's
+   *  `_hoodie_record_key` composite shape `k1:v1,k2:v2`), derived from
+   *  the key columns; pure map-side expression. */
+  def withRecordKey(
+      df: DataFrame, keys: Seq[String], out: String = "_record_key"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn(out, concat_ws(",",
+      keys.map(k => concat_ws(":", lit(k), col(k).cast("string"))): _*))
+  }
+
   /** Open or initialize a table rooted at `root`. */
   def apply(spark: SparkSession, root: String): SnapshotTable =
     new SnapshotTable(spark, root)
@@ -669,11 +1038,13 @@ object SnapshotTable {
       spark: SparkSession,
       root: String,
       schema: StructType,
-      clusterBy: Seq[String] = Nil): SnapshotTable = {
+      clusterBy: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): SnapshotTable = {
     val t = new SnapshotTable(spark, root)
     t.writeCommit(t.currentVersion() + 1,
       CommitEntry("create", schema.json, Nil,
-        if (clusterBy.isEmpty) None else Some(clusterBy.toList)))
+        if (clusterBy.isEmpty) None else Some(clusterBy.toList),
+        if (properties.isEmpty) None else Some(properties)))
     t
   }
 }

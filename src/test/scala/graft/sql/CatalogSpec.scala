@@ -114,6 +114,24 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT v FROM graft.db.t9 WHERE id = 25000").as[Long].head() === 50000L)
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES: set → survives append → unset") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.t10")
+    Seq((1, "a")).toDF("id", "v").writeTo("graft.db.t10").createOrReplace()
+    spark.sql(
+      "ALTER TABLE graft.db.t10 SET TBLPROPERTIES ('classification' = 'parquet', 'team' = 'etl')")
+    def props() = spark.sql("SHOW TBLPROPERTIES graft.db.t10")
+      .as[(String, String)].collect().toMap
+    assert(props().get("classification").contains("parquet"))
+    assert(props().get("team").contains("etl"))
+    // properties ride subsequent data commits (delta_scd_script.py:43 shape)
+    Seq((2, "b")).toDF("id", "v").writeTo("graft.db.t10").append()
+    assert(props().get("classification").contains("parquet"))
+    assert(spark.table("graft.db.t10").count() === 2)
+    spark.sql("ALTER TABLE graft.db.t10 UNSET TBLPROPERTIES ('team')")
+    assert(props().get("team").isEmpty)
+    assert(props().get("classification").contains("parquet"))
+  }
+
   test("drop table removes it; load after drop fails") {
     Seq((1, "a")).toDF("id", "v").writeTo("graft.db.t6").createOrReplace()
     spark.sql("DROP TABLE graft.db.t6")

@@ -56,6 +56,23 @@ class StreamIngestSpec extends SparkSpec {
     assert(table.read().count() === 1)
   }
 
+  test("re-delivered UPSERT batch id is skipped: commits carry the stream tag") {
+    val table = SnapshotTable.create(spark, tmpDir("stream"),
+      Seq((1, "old", 0L)).toDF("id", "v", "ts"))
+    val batch = Seq((1, "new", 5L)).toDF("id", "v", "ts")
+    // the sink's commit path must tag the commit with the batch id —
+    // an upsert that tagged "merge" would redo the rewrite on redelivery
+    table.upsertAs(batch, Seq("id"), "ts", "stream-7")
+    assert(table.manifestAction().contains("stream-7"))
+    val vBefore = table.currentVersion()
+    // redelivery: guard sees the id, no new commit, no spurious rewrite
+    if (!table.manifestAction().contains("stream-7"))
+      table.upsertAs(batch, Seq("id"), "ts", "stream-7")
+    assert(table.currentVersion() === vBefore)
+    assert(table.read().as[(Int, String, Long)].collect().toSet ===
+      Set((1, "new", 5L)))
+  }
+
   test("sessionization with flatMapGroupsWithState emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]

@@ -137,11 +137,70 @@ class SnapshotTableSpec extends SparkSpec {
   test("schema evolution: appended files missing a new column read as null") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(Seq((1, "a")).toDF("id", "v"))
-    // widened batch adds a column; commit schema = widened schema
-    t.append(Seq((2, "b", 7.5)).toDF("id", "v", "score"))
+    // widened batch adds a column; with mergeSchema the commit schema is
+    // the widened schema and prior files read the new column as NULL
+    t.append(Seq((2, "b", 7.5)).toDF("id", "v", "score"), mergeSchema = true)
     val got = t.read().select("id", "v", "score")
       .as[(Int, String, Option[Double])].collect().toSet
     assert(got === Set((1, "a", None), (2, "b", Some(7.5))))
+  }
+
+  test("append schema guard: missing / retyped / unknown columns fail loudly") {
+    val t = SnapshotTable(spark, tmpDir("tbl"))
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    // dropped column: would commit a schema that misreads prior files
+    val eMissing = intercept[IllegalArgumentException](
+      t.append(Seq(2).toDF("id")))
+    assert(eMissing.getMessage.contains("missing committed column"))
+    // retyped column
+    val eRetyped = intercept[IllegalArgumentException](
+      t.append(Seq(("2", "b")).toDF("id", "v")))
+    assert(eRetyped.getMessage.contains("incompatible column type"))
+    // new column without opting into evolution
+    val eExtra = intercept[IllegalArgumentException](
+      t.append(Seq((2, "b", 1.0)).toDF("id", "v", "extra")))
+    assert(eExtra.getMessage.contains("mergeSchema"))
+    // column order is aligned by name, not position
+    t.append(Seq(("z", 9)).toDF("v", "id"))
+    assert(t.read().as[(Int, String)].collect().toSet === Set((1, "a"), (9, "z")))
+  }
+
+  test("table properties: set, carried forward by commits, unset") {
+    val t = SnapshotTable(spark, tmpDir("tbl"))
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    assert(t.properties() === Map.empty)
+    t.setProperties(Map("owner" -> "graft", "classification" -> "parquet"))
+    assert(t.properties() === Map("owner" -> "graft", "classification" -> "parquet"))
+    // metadata-only commit: same data, new version
+    assert(t.read().count() === 1)
+    // properties ride every subsequent commit path
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    assert(t.properties()("owner") === "graft")
+    t.overwrite(Seq((3, "c")).toDF("id", "v"))
+    assert(t.properties()("owner") === "graft")
+    t.merge(Seq((3, "d")).toDF("id", "v"), col("t.id") === col("s.id"))
+      .whenMatched().updateAll().execute()
+    assert(t.properties()("owner") === "graft")
+    t.unsetProperties(Seq("classification"))
+    assert(t.properties() === Map("owner" -> "graft"))
+  }
+
+  test("torn newest commit: readers fall back to the prior version") {
+    val root = tmpDir("tbl")
+    val t = SnapshotTable.create(spark, root, Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    // simulate a non-local-FS writer that claimed slot 2 but whose content
+    // write is still in flight: truncated JSON in the newest slot
+    val full = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_log", f"${1L}%020d.json"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_log", f"${2L}%020d.json"),
+      full.substring(0, full.length / 2))
+    // readers see version 1, not an exception
+    assert(t.read().as[(Int, String)].collect().toSet === Set((1, "a"), (2, "b")))
+    assert(t.manifest().nonEmpty)
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(t.scan(col("id") === 1).count() === 1)
   }
 
   test("compact bin-packs small files, content unchanged, healthy files kept") {
@@ -165,11 +224,30 @@ class SnapshotTableSpec extends SparkSpec {
     t.overwrite(Seq((2, "b")).toDF("id", "v")) // v0's files now unreferenced by v1
     val deadFiles = t.readVersion(0) // still readable pre-vacuum
     assert(deadFiles.count() === 1)
-    val deleted = t.vacuum(retainVersions = 1)
+    val deleted = t.vacuum(retainVersions = 1, retainMillis = 0)
     assert(deleted >= 1)
     // latest still intact; v0 gone
     assert(t.read().as[(Int, String)].collect().toSet === Set((2, "b")))
     intercept[Exception](t.readVersion(0).count())
+  }
+
+  test("vacuum retention window protects in-flight writers' files") {
+    val root = tmpDir("tbl")
+    val t = SnapshotTable(spark, root)
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    t.overwrite(Seq((2, "b")).toDF("id", "v"))
+    // an in-flight writer has written its data dir but not yet committed:
+    // an unreferenced parquet file, freshly modified
+    val inflight = java.nio.file.Paths.get(root, "data", "inflight-dir")
+    java.nio.file.Files.createDirectories(inflight)
+    java.nio.file.Files.writeString(inflight.resolve("part-0.parquet"), "pending")
+    // default retention window (24h): nothing fresh is reclaimed —
+    // neither the in-flight file nor v0's just-unreferenced files
+    assert(t.vacuum(retainVersions = 1) === 0)
+    assert(java.nio.file.Files.exists(inflight.resolve("part-0.parquet")))
+    // with the window forced to 0 the unreferenced files go
+    assert(t.vacuum(retainVersions = 1, retainMillis = 0) >= 1)
+    assert(!java.nio.file.Files.exists(inflight.resolve("part-0.parquet")))
   }
 
   test("clustered overwrite gives one-file point lookups") {
@@ -180,6 +258,70 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.manifest().size === 10)
     assert(t.prunedManifest(col("id") === 7777).size === 1)
     assert(t.scan(col("id") === 7777).count() === 1)
+  }
+
+  test("merge-on-read: deferred upserts resolve at read time; applyDeltas compacts") {
+    val t = SnapshotTable(spark, tmpDir("mor"))
+    t.overwrite(spark.range(0, 100).toDF("id")
+      .withColumn("v", lit("base")).withColumn("ts", lit(0L)))
+    val baseFiles = t.manifest()
+    t.upsertDeferred(Seq((5L, "d1", 1L), (200L, "new", 1L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), precombine = "ts")
+    // delta landed WITHOUT touching any base file — O(batch) write
+    assert(t.manifest() === baseFiles)
+    assert(t.deltaManifest().nonEmpty)
+    assert(t.manifestAction().contains("delta-upsert"))
+    // real-time view: override + new key visible; read-optimized view stale
+    assert(t.read().count() === 101)
+    assert(t.read().filter(col("id") === 5).select("v").as[String].head() === "d1")
+    assert(t.readBase().filter(col("id") === 5).select("v").as[String].head() === "base")
+    assert(t.readBase().count() === 100)
+    // scan (stats-pruned path) also serves the merged view
+    assert(t.scan(col("id") === 200).count() === 1)
+    assert(t.scan(col("id") === 5).select("v").as[String].head() === "d1")
+
+    // replay semantics: a LATER batch wins ties; precombine wins within one
+    t.upsertDeferred(Seq((5L, "d2", 1L), (5L, "d2-stale", 0L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), precombine = "ts")
+    assert(t.read().filter(col("id") === 5).select("v").as[String].head() === "d2")
+
+    // base rewrites are rejected while deltas are pending
+    intercept[IllegalStateException](
+      t.merge(Seq((1L, "x", 9L)).toDF("id", "v", "ts"), col("t.id") === col("s.id"))
+        .whenMatched().updateAll().execute())
+
+    // compaction folds deltas into the base and clears them
+    val before = t.read().as[(Long, String, Long)].collect().toSet
+    assert(t.applyDeltas() >= 1)
+    assert(t.deltaManifest().isEmpty)
+    assert(t.manifestAction().contains("compact-deltas"))
+    assert(t.read().as[(Long, String, Long)].collect().toSet === before)
+    assert(t.readBase().as[(Long, String, Long)].collect().toSet === before)
+    // superseded delta/base files reclaimable afterwards
+    assert(t.vacuum(retainVersions = 1, retainMillis = 0) >= 1)
+    assert(t.read().as[(Long, String, Long)].collect().toSet === before)
+  }
+
+  test("meta-columns: _commit_version/_commit_ts trace file lineage") {
+    val t = SnapshotTable(spark, tmpDir("meta"))
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    val m = t.readWithMeta()
+    assert(m.columns.takeRight(2).toSeq === Seq("_commit_version", "_commit_ts"))
+    assert(m.select("id", "_commit_version").as[(Int, Long)].collect().toSet ===
+      Set((1, 0L), (2, 1L)))
+    assert(m.filter(col("_commit_ts").isNull).count() === 0)
+    // carried-forward files keep their ORIGINAL commit lineage across a merge
+    t.merge(Seq((2, "b2")).toDF("id", "v"), col("t.id") === col("s.id"))
+      .whenMatched().updateAll().execute()
+    val afterMerge = t.readWithMeta()
+      .select("id", "_commit_version").as[(Int, Long)].collect().toSet
+    assert(afterMerge.contains((1, 0L))) // untouched file: still version 0
+    assert(afterMerge.contains((2, 2L))) // rewritten row: the merge commit
+    // record-key helper (Hudi _hoodie_record_key shape)
+    val rk = SnapshotTable.withRecordKey(t.read(), Seq("id", "v"))
+      .filter(col("id") === 1).select("_record_key").as[String].head()
+    assert(rk === "id:1,v:a")
   }
 
   test("merge carries forward stats of untouched files (pruning still works)") {
