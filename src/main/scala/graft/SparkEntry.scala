@@ -601,7 +601,7 @@ object SparkEntry {
       Files.createTempDirectory("graft_q41").toString, initial,
       Timestamp.valueOf("2024-01-01 00:00:00"))
     graft.scd2.Scd2.hudiStyleMerge(table, staged,
-      Timestamp.valueOf("2024-02-01 00:00:00"))
+      Timestamp.valueOf("2024-02-01 00:00:00"), withCounts = false)
     table.read().select(col("id"), col("iscurrent"), col("checksum"))
       .orderBy("id", "iscurrent", "checksum")
   }

@@ -40,6 +40,15 @@ object Dedup {
     df.select(col(idCol).as("doc"), TextAnalysis.shingles(col(textCol), n).as("sh"))
       .select(col("doc"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
 
+  /** Spread a narrow input across the cluster before a CPU-heavy map
+   *  stage: a single-file corpus otherwise shingles on ONE core while 31
+   *  idle. The pre-shuffle moves only the raw input once; no-op when the
+   *  source already has enough partitions (the 100 TB case). */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   /**
    * Exact n-gram Jaccard similarity join with AllPairs-style prefix
    * filtering (Bayardo et al., WWW'07): order every doc's shingles by
@@ -71,8 +80,16 @@ object Dedup {
     // materialized: no recompute, and no storage-memory leak for library
     // callers. The pin also fixes non-deterministic inputs (rand()/sample/
     // unordered limit): every branch sees the same materialization.
-    val docs = df.select(col(idCol).as("doc"),
-      TextAnalysis.shingles(col(textCol), n).as("sh"))
+    //
+    // Shingles are HASHED to 64 bits as they are built (hashedShingles
+    // kernel: one pass over the UTF-8 bytes, no string allocation, sorted
+    // distinct output): every downstream shuffle/sort/join/intersect moves
+    // longs, not strings — at 100 TB the difference is the shuffle volume.
+    // 64-bit collisions perturb a Jaccard value with probability
+    // ~|shingles|²/2⁶⁴ per doc (negligible) — the standard hashed-
+    // shingling trade (Broder '97).
+    val docs = widen(df).select(col(idCol).as("doc"),
+      functions.hashedShingles(col(textCol), n).as("sh"))
       .localCheckpoint()
     val ex = docs.select(col("doc"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("freq"))
@@ -89,7 +106,10 @@ object Dedup {
         slice(col("sorted_sh"), lit(1),
           (col("n_sh") - ceil(col("n_sh") * minSim) + 1).cast("int")))
 
+    // the prefix index feeds BOTH sides of the candidate self-join; left
+    // lazy, each side would re-run the doc-frequency join + sort agg above
     val pref = ordered.select(col("doc"), explode(col("prefix")).as("s"))
+      .localCheckpoint()
     val candidates = pref.alias("a")
       .join(pref.alias("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
@@ -97,12 +117,12 @@ object Dedup {
       .distinct()
 
     // exact verification on the full shingle sets of candidate pairs only;
-    // per-doc arrays pre-sorted once so the per-pair intersect is a single
-    // codegen'd merge scan (array_intersect hash-builds per row and falls
-    // out of codegen — 20x slower on wide candidate sets)
-    val sorted = docs.select(col("doc"), sort_array(col("sh")).as("ssh"))
-    val sa = sorted.select(col("doc").as("id_a"), col("ssh").as("sh_a"))
-    val sb = sorted.select(col("doc").as("id_b"), col("ssh").as("sh_b"))
+    // hashedShingles output is ALREADY sorted ascending, so the per-pair
+    // intersect is a single codegen'd merge scan with no re-sort
+    // (array_intersect hash-builds per row and falls out of codegen —
+    // 20x slower on wide candidate sets)
+    val sa = docs.select(col("doc").as("id_a"), col("sh").as("sh_a"))
+    val sb = docs.select(col("doc").as("id_b"), col("sh").as("sh_b"))
     val result = candidates.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         functions.sortedIntersectCount(col("sh_a"), col("sh_b")).as("inter"),
@@ -112,7 +132,8 @@ object Dedup {
       .filter(col("jaccard") >= minSim)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .localCheckpoint() // eager: pins the (small) pair list …
-    release(docs) // … so the big shingled frame can be dropped NOW
+    release(docs) // … so the big intermediate frames can be dropped NOW
+    release(pref)
     result
   }
 
@@ -138,15 +159,20 @@ object Dedup {
     // confirmation — materialized once (eager localCheckpoint), released
     // as soon as the small pair result exists (see jaccardPairs). A
     // signature row is doc + numHashes longs, far smaller than the text.
-    val sigs = df.select(
+    // Shingling goes through the no-allocation hashedShingles kernel;
+    // minhash permutes the pre-hashed longs directly.
+    val sigs = widen(df).select(
       col(idCol).as("doc"),
       functions.minhashSignature(
-        TextAnalysis.shingles(col(textCol), shingleSize), numHashes, seed).as("sig"))
+        functions.hashedShingles(col(textCol), shingleSize), numHashes, seed).as("sig"))
       .localCheckpoint()
 
     // band rows: (band index, hash of the band's slice, doc) — ids only;
     // shuffling the 64-long signatures through the self-join would move
     // ~numHashes*8 bytes per band row for nothing (candidates are rare).
+    // NOT checkpointed: both self-join sides re-derive the band hashes
+    // map-side from the pinned signatures — cheaper than another
+    // materialization job.
     val bandHashes = sigs.select(
       col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

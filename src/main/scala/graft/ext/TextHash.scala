@@ -92,6 +92,92 @@ object TextHash {
     new GenericArrayData(sig)
   }
 
+  /** [[minhash]] over PRE-HASHED elements (array<long>, e.g.
+   *  [[hashedShingles]] output) — skips the per-string xxh64. */
+  def minhashLongs(hashes: ArrayData, numHashes: Int, seed: Long): ArrayData = {
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      as(i) = XXH64.hashLong(2L * i, seed) | 1L
+      bs(i) = XXH64.hashLong(2L * i + 1, seed)
+      i += 1
+    }
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = hashes.numElements()
+    var t = 0
+    while (t < n) {
+      val h = hashes.getLong(t)
+      var k = 0
+      while (k < numHashes) {
+        val v = as(k) * h + bs(k)
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /**
+   * Sorted distinct 64-bit hashes of the word `n`-gram shingles of `s` —
+   * tokenize (single-space, `split(text, " ")` semantics incl. empty
+   * tokens), hash each token span straight off the UTF-8 bytes, chain
+   * `n` consecutive token hashes per shingle, sort + dedupe. One pass,
+   * ZERO string allocation — the shingling cost per input byte is what
+   * survives a 100 TB corpus scan. A shingle's chained hash is bijective
+   * to its token sequence modulo 64-bit collisions (~|shingles|²/2⁶⁴ per
+   * doc — negligible), so set operations over these hashes reproduce
+   * exact string-shingle Jaccard.
+   */
+  def hashedShingles(s: UTF8String, n: Int, seed: Long): ArrayData = {
+    val nb = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var spaces = 0
+    var i = 0
+    while (i < nb) {
+      if (s.getByte(i) == 0x20) spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    val nSh = nTok - n + 1
+    if (nSh <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](nTok)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= nb) {
+      if (i == nb || s.getByte(i) == 0x20) {
+        th(t) = XXH64.hashUnsafeBytes(base, off + start, i - start, seed)
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](nSh)
+    var w = 0
+    while (w < nSh) {
+      var h = seed
+      var k = 0
+      while (k < n) {
+        h = XXH64.hashLong(th(w + k), h)
+        k += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    java.util.Arrays.sort(out)
+    var m = 0
+    var j = 1
+    while (j < nSh) {
+      if (out(j) != out(m)) { m += 1; out(m) = out(j) }
+      j += 1
+    }
+    new GenericArrayData(
+      if (m + 1 == nSh) out else java.util.Arrays.copyOf(out, m + 1))
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double,
    *  sequential order (matches columnar engines' scalar loops). */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
@@ -141,6 +227,26 @@ object TextHash {
         while (i < na && a.getUTF8String(i).compareTo(x) == 0) i += 1
         while (j < nb && b.getUTF8String(j).compareTo(y) == 0) j += 1
       } else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  /** [[sortedIntersectCount]] for ASC-sorted long arrays — the
+   *  hashed-shingle verification path (no byte comparisons at all). */
+  def sortedIntersectCountLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) {
+        cnt += 1
+        i += 1; j += 1
+        while (i < na && a.getLong(i) == x) i += 1
+        while (j < nb && b.getLong(j) == y) j += 1
+      } else if (x < y) i += 1
       else j += 1
     }
     cnt

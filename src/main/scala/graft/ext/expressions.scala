@@ -45,18 +45,43 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression {
+  private def isLong: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(_: StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(_: StringType, _) | ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"minhash needs array<string>, got ${other.sql}")
+        s"minhash needs array<string> or array<long> (pre-hashed), got ${other.sql}")
     }
   override protected def nullSafeEval(input: Any): Any =
-    TextHash.minhash(input.asInstanceOf[ArrayData], numHashes, seed)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.ext.TextHash.minhash($c, $numHashes, ${seed}L)")
+    if (isLong) TextHash.minhashLongs(input.asInstanceOf[ArrayData], numHashes, seed)
+    else TextHash.minhash(input.asInstanceOf[ArrayData], numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLong) "minhashLongs" else "minhash"
+    defineCodeGen(ctx, ev, c => s"graft.ext.TextHash.$fn($c, $numHashes, ${seed}L)")
+  }
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Sorted distinct hashed word n-gram shingles of a string column —
+ *  see [[TextHash.hashedShingles]]. */
+case class HashedShingles(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles needs a string column, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.hashedShingles(input.asInstanceOf[UTF8String], n, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.TextHash.hashedShingles($c, $n, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
     copy(child = newChild)
 }
 
@@ -88,22 +113,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Intersection size of two ASC-sorted array<string> columns (merge scan,
- *  set semantics) — the codegen-friendly similarity-join verifier. */
+/** Intersection size of two ASC-sorted array<string> or array<long>
+ *  columns (merge scan, set semantics) — the codegen-friendly
+ *  similarity-join verifier. */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(_: StringType, _), ArrayType(_: StringType, _)) =>
+      case (ArrayType(_: StringType, _), ArrayType(_: StringType, _)) |
+          (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count needs two array<string>, got ${l.sql} / ${r.sql}")
+        s"sorted_intersect_count needs two array<string> or two array<long>, got ${l.sql} / ${r.sql}")
     }
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    TextHash.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.TextHash.sortedIntersectCount($a, $b)")
+    if (isLong) TextHash.sortedIntersectCountLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else TextHash.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLong) "sortedIntersectCountLong" else "sortedIntersectCount"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.TextHash.$fn($a, $b)")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
     copy(left = l, right = r)
 }

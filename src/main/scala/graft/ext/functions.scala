@@ -12,10 +12,17 @@ object functions {
   /** SimHash of a token array (near-dup key; compare via Hamming distance). */
   def simhash64(tokens: Column): Column = column(SimHash64(expr(tokens)))
 
-  /** MinHash signature (array<long>) of a token/shingle array. */
+  /** MinHash signature (array<long>) of a token/shingle array —
+   *  array<string>, or array<long> of pre-hashed shingles. */
   def minhashSignature(tokens: Column, numHashes: Int = 64,
       seed: Long = TextHash.DefaultSeed): Column =
     column(MinHashSignature(expr(tokens), numHashes, seed))
+
+  /** Sorted distinct hashed word n-gram shingles (array<long>) of a
+   *  string column — single-pass, no string allocation. */
+  def hashedShingles(text: Column, n: Int,
+      seed: Long = TextHash.DefaultSeed): Column =
+    column(HashedShingles(expr(text), n, seed))
 
   /** Intersection size of two ASC-sorted array<string> cols (merge scan). */
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -84,15 +84,22 @@ object Scd2 {
    * `iscurrent` = 0), unionByName with the staged batch (U2), then keyed
    * upsert on `(id, checksum)` with precombine `ts` (S5).
    */
-  def hudiStyleMerge(table: SnapshotTable, incoming: DataFrame, loadTs: Timestamp): MergeCounts = {
+  def hudiStyleMerge(
+      table: SnapshotTable,
+      incoming: DataFrame,
+      loadTs: Timestamp,
+      withCounts: Boolean = true): MergeCounts = {
+    // The reference prints row counts between stages; each is a full
+    // action, so production callers can skip them (counts report -1).
+    def countOf(df: DataFrame): Long = if (withCounts) df.count() else -1L
     val initial = table.read().alias("initial")
-    val initialCount = initial.count()
+    val initialCount = countOf(initial)
 
     // Incremental-load quirk: checksum added before iscurrent
     // (`hudi/hudi_scd_script.py:84-88`) — immaterial because the union
     // below is by name.
     val delta = stage(incoming, loadTs).alias("delta")
-    val stagedCount = delta.count()
+    val stagedCount = countOf(delta)
 
     val toExpire = initial
       .join(delta,
@@ -106,10 +113,10 @@ object Scd2 {
         col("delta.valid_from").alias("valid_to"), col("initial.checksum"))
       .withColumn("iscurrent", lit(0).cast(IntegerType)) // `:107`
 
-    val toExpireCount = toExpire.count()
+    val toExpireCount = countOf(toExpire)
 
     val unioned = delta.unionByName(toExpire, allowMissingColumns = true)
-    val unionCount = unioned.count()
+    val unionCount = countOf(unioned)
 
     table.upsert(unioned, keys = Seq("id", "checksum"), precombine = "ts")
     MergeCounts(initialCount, stagedCount, toExpireCount, unionCount)
