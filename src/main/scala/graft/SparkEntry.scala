@@ -623,6 +623,41 @@ object SparkEntry {
       |ORDER BY id, iscurrent, checksum""".stripMargin
 
   // ------------------------------------------------------------------------
+  // Q42 — merge-on-read real-time view: base snapshot + two deferred
+  // upsert batches (no base rewrite), read through the merged RT view.
+  // Batch 2 (%7 keys) overrides batch 1 (%5 keys) overrides base —
+  // latest-wins per record key, which the oracle replays as a CASE.
+  // ------------------------------------------------------------------------
+
+  private def morReadResult(s: SparkSession, dir: String): DataFrame = {
+    val customer = s.read.parquet(s"$dir/customer.parquet")
+    def shape(bump: Column, ver: Int) = Seq(
+      col("c_custkey").as("id"),
+      (col("c_acctbal") + bump).as("bal"),
+      lit(ver.toLong).as("ver"))
+    val table = SnapshotTable.create(s,
+      Files.createTempDirectory("graft_q42").toString,
+      customer.select(shape(lit(0), 0): _*))
+    table.upsertDeferred(
+      customer.filter(col("c_custkey") % 5 === 0).select(shape(lit(100), 1): _*),
+      keys = Seq("id"), precombine = "ver")
+    table.upsertDeferred(
+      customer.filter(col("c_custkey") % 7 === 0).select(shape(lit(200), 2): _*),
+      keys = Seq("id"), precombine = "ver")
+    table.read()
+      .select(col("id"), col("ver"), round(col("bal"), 2).as("bal"))
+      .orderBy("id")
+  }
+
+  private val Q42Duck =
+    """SELECT c_custkey AS id,
+      |  CAST(CASE WHEN c_custkey % 7 = 0 THEN 2
+      |            WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS ver,
+      |  round(c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 200
+      |                         WHEN c_custkey % 5 = 0 THEN 100 ELSE 0 END, 2) AS bal
+      |FROM customer ORDER BY id""".stripMargin
+
+  // ------------------------------------------------------------------------
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -672,7 +707,8 @@ object SparkEntry {
     "q38_sessions" -> q(Q38),
     "q39_cube_grouping" -> q(Q39),
     "q40_event_span" -> q(Q40Spark),
-    "q41_hudi_upsert" -> ((s, dir) => hudiUpsertResult(s, dir)))
+    "q41_hudi_upsert" -> ((s, dir) => hudiUpsertResult(s, dir)),
+    "q42_mor_read" -> ((s, dir) => morReadResult(s, dir)))
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -713,7 +749,8 @@ object SparkEntry {
     "q38_sessions" -> Q38,
     "q39_cube_grouping" -> Q39,
     "q40_event_span" -> Q40Duck,
-    "q41_hudi_upsert" -> Q41Duck)
+    "q41_hudi_upsert" -> Q41Duck,
+    "q42_mor_read" -> Q42Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN are not
   // SQL-expressible → driver records the weaker rows-only check; their
   // semantics are covered by graft.ext.ExtSpec.

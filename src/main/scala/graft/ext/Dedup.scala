@@ -205,30 +205,50 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16):
-   * the 64-bit simhash is cut into 4 chunks of 16 bits; by pigeonhole any
-   * pair within Hamming 3 agrees on ≥1 chunk, so candidates come from a
-   * (chunk-index, chunk-value) equi-join, confirmed by
+   * SimHash near-dup pairs with Hamming distance ≤ `maxHamming`,
+   * generalized pigeonhole banding (Manku et al., WWW'07): the 64-bit
+   * simhash is cut into `chunks` equal slices; ≤ `maxHamming` differing
+   * bits can dirty at most `maxHamming` slices, so any qualifying pair
+   * agrees on some (chunks − maxHamming)-subset of slices. Each doc
+   * indexes under every such subset (C(chunks, chunks−maxHamming) keys),
+   * candidates come from a key equi-join, confirmed exactly by
    * `bit_count(a XOR b)`. Returns (id_a, id_b, hamming).
+   *
+   * 100 TB sizing: the default 4 chunks gives 16-bit match keys — fine
+   * to ~10⁸ docs, but each key bucket grows linearly with corpus size and
+   * the per-bucket self-join quadratically. Raising `chunks` widens the
+   * effective key to (chunks − maxHamming)·(64/chunks) bits (e.g.
+   * chunks=8, maxHamming=3 → 56 keys/doc of 40 bits), trading index rows
+   * for collision-free buckets.
    */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < 4, "4-chunk pigeonhole supports maxHamming <= 3")
+      maxHamming: Int = 3,
+      chunks: Int = 4): DataFrame = {
+    require(chunks >= 2 && 64 % chunks == 0, "chunks must divide 64")
+    require(maxHamming < chunks,
+      s"$chunks-chunk pigeonhole supports maxHamming <= ${chunks - 1}")
+    val w = 64 / chunks
+    val mask = (1L << w) - 1
     val hashed = df.select(col(idCol).as("doc"),
       functions.simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
-    val chunks = hashed.select(col("doc"), col("sh"),
-      posexplode(array((0 to 3).map(i =>
-        shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "chunk")
-      .withColumnRenamed("col", "chunkval")
-    val a = chunks.alias("a")
-    val b = chunks.alias("b")
+    // one 64-bit key per (chunks - maxHamming)-subset of slices: xxhash64
+    // over (subset ordinal, slice values...)
+    val combos = (0 until chunks).combinations(chunks - maxHamming).toSeq
+    val keyed = hashed.select(col("doc"), col("sh"),
+      posexplode(array(combos.zipWithIndex.map { case (idxs, ci) =>
+        xxhash64((lit(ci) +: idxs.map(i =>
+          shiftright(col("sh"), i * w).bitwiseAND(lit(mask)))): _*)
+      }: _*)))
+      .withColumnRenamed("pos", "combo")
+      .withColumnRenamed("col", "key")
+    val a = keyed.alias("a")
+    val b = keyed.alias("b")
     a.join(b,
-        col("a.chunk") === col("b.chunk") &&
-          col("a.chunkval") === col("b.chunkval") &&
+        col("a.combo") === col("b.combo") &&
+          col("a.key") === col("b.key") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))

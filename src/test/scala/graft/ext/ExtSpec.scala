@@ -93,6 +93,20 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhashPairs: wider chunk banding returns identical pairs") {
+    // chunks=8 → C(8,5)=56 keys/doc of 40 effective bits; the candidate
+    // cover is still lossless for hamming <= 3, so results must match
+    val narrow = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .as[(Long, Long, Int)].collect().toSet
+    val wide = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3, chunks = 8)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(wide === narrow)
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "id", "text", maxHamming = 4, chunks = 4))
+  }
+
   test("embeddingPairs finds planted near-identical vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
