@@ -68,6 +68,22 @@ final class MergeInto(
 
   def execute(): SnapshotTable = {
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
+    // Materialize the source ONCE (Delta's merge does the same): the plan
+    // is consumed up to three times (key-bounds agg, touched-file
+    // discovery join, rewrite join), and a staged source is typically the
+    // output of its own join/window pipeline — recomputing it per
+    // consumer triples that cost, and a non-deterministic source could
+    // even change between discovery and rewrite. Blocks are released
+    // before returning.
+    val srcMat = source.localCheckpoint()
+    try executeWith(srcMat)
+    finally srcMat.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
+  private def executeWith(source: DataFrame): SnapshotTable = {
     val spark = table.spark
     val targetSchema = table.schema
     val targetCols = targetSchema.fields.map(_.name).toSeq

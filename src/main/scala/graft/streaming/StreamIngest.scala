@@ -56,6 +56,23 @@ object StreamIngest {
       ()
     }
 
+  /** Merge-on-read streaming upsert: each micro-batch lands as DELTA
+   *  files in O(batch) work — no base rewrite per batch, the whole point
+   *  of MoR under frequent small upserts ([[SnapshotTable.upsertDeferred]];
+   *  Hudi's streaming-into-`_rt` shape). Run
+   *  [[SnapshotTable.applyDeltas]] periodically to fold the log in. */
+  def deferredUpsertSink(
+      stream: DataFrame,
+      table: SnapshotTable,
+      keys: Seq[String],
+      precombine: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!lastStreamBatch(table).contains(batchId) && !batch.isEmpty) {
+        table.upsertDeferred(batch, keys, precombine, s"stream-$batchId")
+      }
+      ()
+    }
+
   /**
    * Watermarked tumbling-window aggregation → snapshot table: the
    * standard streaming-rollup pipeline (event time, late-data bound,

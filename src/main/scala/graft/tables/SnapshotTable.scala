@@ -649,7 +649,10 @@ class SnapshotTable private (
    * pending — fold them in first.
    */
   def upsertDeferred(
-      incoming: DataFrame, keys: Seq[String], precombine: String): SnapshotTable = {
+      incoming: DataFrame,
+      keys: Seq[String],
+      precombine: String,
+      action: String = "delta-upsert"): SnapshotTable = {
     require(keys.nonEmpty, "upsertDeferred needs at least one record-key column")
     val v = currentVersion()
     require(v >= 0, s"table $root is empty")
@@ -664,7 +667,7 @@ class SnapshotTable private (
       s"pending deltas precombine on $prev; applyDeltas() before switching to $precombine"))
     val (aligned, _) = alignToCommitted(incoming, committed, mergeSchema = false)
     val files = writeDataDir(aligned)
-    writeCommit(v + 1, e.copy(action = "delta-upsert",
+    writeCommit(v + 1, e.copy(action = action,
       deltaFiles = Some(e.deltaFiles.getOrElse(Nil) ++ files),
       morKeys = Some(keys.toList),
       morPrecombine = Some(precombine)))

@@ -73,6 +73,29 @@ class StreamIngestSpec extends SparkSpec {
       Set((1, "new", 5L)))
   }
 
+  test("streaming MoR sink: micro-batches land as deltas, no base rewrite") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, String, Long)]
+    val table = SnapshotTable.create(spark, tmpDir("stream"),
+      Seq((1, "old", 0L)).toDF("id", "v", "ts"))
+    val baseFiles = table.manifest()
+    mem.addData((1, "new", 5L), (2, "ins", 1L))
+    StreamIngest.runOnce(
+      StreamIngest.deferredUpsertSink(mem.toDF().toDF("id", "v", "ts"), table,
+        keys = Seq("id"), precombine = "ts"),
+      tmpDir("ckpt"))
+    // base untouched; merged view serves the upserts; batch id recorded
+    assert(table.manifest() === baseFiles)
+    assert(table.deltaManifest().nonEmpty)
+    assert(table.manifestAction().exists(_.startsWith("stream-")))
+    assert(table.read().as[(Int, String, Long)].collect().toSet ===
+      Set((1, "new", 5L), (2, "ins", 1L)))
+    // fold in and verify content survives compaction
+    assert(table.applyDeltas() >= 1)
+    assert(table.read().as[(Int, String, Long)].collect().toSet ===
+      Set((1, "new", 5L), (2, "ins", 1L)))
+  }
+
   test("sessionization with flatMapGroupsWithState emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
