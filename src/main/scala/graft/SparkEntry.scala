@@ -657,6 +657,53 @@ object SparkEntry {
       |                         WHEN c_custkey % 5 = 0 THEN 100 ELSE 0 END, 2) AS bal
       |FROM customer ORDER BY id""".stripMargin
 
+  /** Q43 — Z-order clustered snapshot + stats-pruned scan: cluster orders
+   *  along the (o_custkey, o_orderkey) Morton curve, commit, point-scan
+   *  on the clustered key. Oracle = the plain filter. */
+  private def zorderQuery(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val table = SnapshotTable.create(s,
+      Files.createTempDirectory("graft_q43").toString,
+      ext.ZOrder.cluster(orders, Seq("o_custkey", "o_orderkey"), numFiles = 16))
+    table.scan(col("o_custkey") === 103)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+  private val Q43Duck =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey = 103 ORDER BY o_orderkey""".stripMargin
+
+  /** Q44 — end-to-end near-dup dedup: MinHash pair mining → connected
+   *  components (transitive groups) → min-id survivor per group. The
+   *  oracle replays it exactly: exact-Jaccard pairs (the fixture's
+   *  planted dups are cleanly separated, see q25) + a recursive-CTE
+   *  transitive closure + NOT IN losers. */
+  private def dedupEndToEndQuery(s: SparkSession, dir: String): DataFrame =
+    ext.Dedup.dedupNearDuplicates(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", minEst = 0.5)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  private val Q44Duck =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                for i in range(1, len(t)-1)]) AS shingles
+      |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+      |allpairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+      |         any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |np AS (SELECT id_a, id_b FROM allpairs WHERE inter*1.0/(na+nb-inter) >= 0.8),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM np
+      |          UNION SELECT id_b, id_a FROM np),
+      |conn(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT c.a, e.dst FROM conn c JOIN edges e ON c.b = e.src),
+      |losers AS (SELECT a AS doc_id FROM conn GROUP BY a HAVING MIN(b) < a)
+      |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------------
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -708,7 +755,9 @@ object SparkEntry {
     "q39_cube_grouping" -> q(Q39),
     "q40_event_span" -> q(Q40Spark),
     "q41_hudi_upsert" -> ((s, dir) => hudiUpsertResult(s, dir)),
-    "q42_mor_read" -> ((s, dir) => morReadResult(s, dir)))
+    "q42_mor_read" -> ((s, dir) => morReadResult(s, dir)),
+    "q43_zorder_scan" -> zorderQuery,
+    "q44_dedup_end_to_end" -> dedupEndToEndQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -750,7 +799,9 @@ object SparkEntry {
     "q39_cube_grouping" -> Q39,
     "q40_event_span" -> Q40Duck,
     "q41_hudi_upsert" -> Q41Duck,
-    "q42_mor_read" -> Q42Duck)
+    "q42_mor_read" -> Q42Duck,
+    "q43_zorder_scan" -> Q43Duck,
+    "q44_dedup_end_to_end" -> Q44Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN are not
   // SQL-expressible → driver records the weaker rows-only check; their
   // semantics are covered by graft.ext.ExtSpec.

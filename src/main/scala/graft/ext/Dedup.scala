@@ -71,7 +71,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      minSim: Double = 0.8): DataFrame = {
+      minSim: Double = 0.8,
+      materialize: Boolean = true): DataFrame = {
+    // materialize=false keeps the whole pipeline lazy (shared frames
+    // recompute per consumer) — for plan inspection and for callers
+    // embedding this in a larger lazy pipeline; the default materializes
+    // shared frames once and releases them (see below).
+    def ckpt(d: DataFrame): DataFrame = if (materialize) d.localCheckpoint() else d
     // The shingled frame feeds THREE consumers (doc frequencies, the
     // candidate self-join, and verification); left lazy, each one re-runs
     // the full shingle scan. Materialize it exactly once with an eager
@@ -88,9 +94,8 @@ object Dedup {
     // 64-bit collisions perturb a Jaccard value with probability
     // ~|shingles|²/2⁶⁴ per doc (negligible) — the standard hashed-
     // shingling trade (Broder '97).
-    val docs = widen(df).select(col(idCol).as("doc"),
-      functions.hashedShingles(col(textCol), n).as("sh"))
-      .localCheckpoint()
+    val docs = ckpt(widen(df).select(col(idCol).as("doc"),
+      functions.hashedShingles(col(textCol), n).as("sh")))
     val ex = docs.select(col("doc"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("freq"))
 
@@ -108,8 +113,7 @@ object Dedup {
 
     // the prefix index feeds BOTH sides of the candidate self-join; left
     // lazy, each side would re-run the doc-frequency join + sort agg above
-    val pref = ordered.select(col("doc"), explode(col("prefix")).as("s"))
-      .localCheckpoint()
+    val pref = ckpt(ordered.select(col("doc"), explode(col("prefix")).as("s")))
     val candidates = pref.alias("a")
       .join(pref.alias("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
@@ -123,7 +127,7 @@ object Dedup {
     // 20x slower on wide candidate sets)
     val sa = docs.select(col("doc").as("id_a"), col("sh").as("sh_a"))
     val sb = docs.select(col("doc").as("id_b"), col("sh").as("sh_b"))
-    val result = candidates.join(sa, "id_a").join(sb, "id_b")
+    val out = candidates.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         functions.sortedIntersectCount(col("sh_a"), col("sh_b")).as("inter"),
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
@@ -131,7 +135,8 @@ object Dedup {
         (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minSim)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .localCheckpoint() // eager: pins the (small) pair list …
+    if (!materialize) return out
+    val result = out.localCheckpoint() // eager: pins the (small) pair list …
     release(docs) // … so the big intermediate frames can be dropped NOW
     release(pref)
     result
@@ -152,20 +157,21 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       minEst: Double = 0.5,
-      seed: Long = TextHash.DefaultSeed): DataFrame = {
+      seed: Long = TextHash.DefaultSeed,
+      materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
+    def ckpt(d: DataFrame): DataFrame = if (materialize) d.localCheckpoint() else d
     // Signatures feed both the band self-join (twice) and candidate
     // confirmation — materialized once (eager localCheckpoint), released
     // as soon as the small pair result exists (see jaccardPairs). A
     // signature row is doc + numHashes longs, far smaller than the text.
     // Shingling goes through the no-allocation hashedShingles kernel;
     // minhash permutes the pre-hashed longs directly.
-    val sigs = widen(df).select(
+    val sigs = ckpt(widen(df).select(
       col(idCol).as("doc"),
       functions.minhashSignature(
-        functions.hashedShingles(col(textCol), shingleSize), numHashes, seed).as("sig"))
-      .localCheckpoint()
+        functions.hashedShingles(col(textCol), shingleSize), numHashes, seed).as("sig")))
 
     // band rows: (band index, hash of the band's slice, doc) — ids only;
     // shuffling the 64-long signatures through the self-join would move
@@ -192,14 +198,15 @@ object Dedup {
     // attach signatures only to surviving candidate pairs
     val sa = sigs.select(col("doc").as("id_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc").as("id_b"), col("sig").as("sig_b"))
-    val result = candidates.join(sa, "id_a").join(sb, "id_b")
+    val out = candidates.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes)
       .filter(col("est_jaccard") >= minEst)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
-      .localCheckpoint()
+    if (!materialize) return out
+    val result = out.localCheckpoint()
     release(sigs)
     result
   }

@@ -61,9 +61,11 @@ class PlanSpec extends SparkSpec {
     SparkEntry.registerViews(spark, dir)
     val docs = spark.table("documents")
     val emb = spark.table("embeddings")
+    // materialize=false keeps the minhash/jaccard pipelines lazy so the
+    // assertion inspects the REAL join plan, not a checkpointed scan
     val plans = Seq(
-      "minhash" -> ext.Dedup.minhashPairs(docs, "doc_id", "text"),
-      "jaccard" -> ext.Dedup.jaccardPairs(docs, "doc_id", "text"),
+      "minhash" -> ext.Dedup.minhashPairs(docs, "doc_id", "text", materialize = false),
+      "jaccard" -> ext.Dedup.jaccardPairs(docs, "doc_id", "text", materialize = false),
       "simhash" -> ext.Dedup.simhashPairs(docs, "doc_id", "text"),
       "embedding" -> ext.Dedup.embeddingPairs(emb, "vec_id", "embedding"),
       "lshTopK" -> ext.Similarity.lshTopK(emb, emb.limit(5), "vec_id", "embedding"))
@@ -74,6 +76,26 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a nested-loop join:\n$plan")
     }
+  }
+
+  test("hashed shingling stays inside WholeStageCodegen") {
+    SparkEntry.registerViews(spark, dir)
+    val df = spark.table("documents").select(
+      ext.functions.hashedShingles(col("text"), 3),
+      ext.functions.minhashSignature(ext.functions.hashedShingles(col("text"), 3)))
+    val plan = executedPlanString(df)
+    assert(plan.contains("*(1) Project [hashedshingles("), s"no codegen span in:\n$plan")
+    assert(!plan.contains("CodegenFallback"), s"codegen fallback in:\n$plan")
+  }
+
+  test("MoR merged read plans as anti-join + union, never a cross join") {
+    val t = SnapshotTable.create(spark, tmpDir("mor_plan"),
+      spark.range(0, 1000).toDF("id").withColumn("v", lit("base")).withColumn("ts", lit(0L)))
+    t.upsertDeferred(Seq((5L, "d", 1L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), precombine = "ts")
+    val plan = executedPlanString(t.read())
+    assert(!plan.contains("CartesianProduct"), s"cartesian in MoR read:\n$plan")
+    assert(plan.contains("Union"), s"no union in MoR read:\n$plan")
   }
 
   test("merge source side with equi-condition plans as a hash join, not NLJ") {
