@@ -416,6 +416,17 @@ object SparkEntry {
         ext.functions.simhash64(ext.TextAnalysis.tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
+  /** Q45 — IVF-Flat ANN with every inverted list probed: assignment +
+   *  probe-join machinery verified exactly (exhaustive probing ≡ brute
+   *  force, so the q22 oracle applies verbatim). */
+  private def ivfTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    ext.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 16, nProbe = 16)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "n_id")
+  }
+
   private def lshTopKQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -757,7 +768,8 @@ object SparkEntry {
     "q41_hudi_upsert" -> ((s, dir) => hudiUpsertResult(s, dir)),
     "q42_mor_read" -> ((s, dir) => morReadResult(s, dir)),
     "q43_zorder_scan" -> zorderQuery,
-    "q44_dedup_end_to_end" -> dedupEndToEndQuery)
+    "q44_dedup_end_to_end" -> dedupEndToEndQuery,
+    "q45_ivf_topk" -> ivfTopKQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -801,7 +813,8 @@ object SparkEntry {
     "q41_hudi_upsert" -> Q41Duck,
     "q42_mor_read" -> Q42Duck,
     "q43_zorder_scan" -> Q43Duck,
-    "q44_dedup_end_to_end" -> Q44Duck)
+    "q44_dedup_end_to_end" -> Q44Duck,
+    "q45_ivf_topk" -> Q22Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN are not
   // SQL-expressible → driver records the weaker rows-only check; their
   // semantics are covered by graft.ext.ExtSpec.

@@ -142,6 +142,30 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** The `nProbe` nearest IVF centroid indices (descending dot product) of
+ *  an array<float> embedding — the coarse-quantizer assignment for IVF
+ *  ANN ([[graft.ext.Similarity.ivfTopK]]). The centroid matrix rides the
+ *  expression as a codegen reference object: one static kernel call per
+ *  row, no UDF, no per-row broadcast lookup. */
+case class NearestLists(child: Expression, centroids: Array[Array[Float]], nProbe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_lists needs array<float>, got ${other.sql}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.nearestLists(input.asInstanceOf[ArrayData], centroids, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.ext.VecKernels.nearestLists($c, $ref, $nProbe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestLists =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH bucket id for an array<float> embedding. */
 case class HyperplaneBucket(child: Expression, planes: Int, seed: Long)
     extends UnaryExpression {

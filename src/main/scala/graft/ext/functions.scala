@@ -36,4 +36,8 @@ object functions {
   def hyperplaneBucket(v: Column, planes: Int = 16,
       seed: Long = TextHash.DefaultSeed): Column =
     column(HyperplaneBucket(expr(v), planes, seed))
+
+  /** `nProbe` nearest IVF centroid indices for an array<float> embedding. */
+  def nearestLists(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    column(NearestLists(expr(v), centroids, nProbe))
 }

@@ -117,6 +117,32 @@ class ExtSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("ivfTopK: full probing equals brute force; partial probing finds cluster neighbors") {
+    // three well-separated direction clusters, 4 vectors each
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val vecs = (0 until 12).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (x, j) => x + (if (j == 3) 0.01f * i else 0f) })
+    }.toDF("id", "vec")
+    val probes = vecs.filter(col("id") < 3)
+    val exact = Similarity.bruteForceTopK(vecs, probes, "id", "vec", k = 3)
+      .select(col("q_id"), col("n_id"), col("rank")).as[(Long, Long, Int)].collect().toSet
+    // nProbe = nlist → every inverted list probed → exhaustive = exact
+    val full = Similarity.ivfTopK(vecs, probes, "id", "vec", k = 3,
+      nlist = 4, nProbe = 4, sampleN = 100)
+    assert(full.select(col("q_id"), col("n_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet === exact)
+    // single-probe search still finds same-cluster neighbors
+    val partial = Similarity.ivfTopK(vecs, probes, "id", "vec", k = 3,
+      nlist = 3, nProbe = 1, sampleN = 100)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect()
+    assert(partial.nonEmpty)
+    partial.foreach { case (q, n) =>
+      assert(q % 3 === n % 3, s"probe $q matched cross-cluster neighbor $n")
+    }
+  }
+
   test("connectedComponents groups transitively") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(pairs)
