@@ -349,6 +349,22 @@ object SparkEntry {
       |  CAST(length(text) AS BIGINT) AS n_chars_calc
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Q46 — document quality scoring (length/distinct/avg-token-length
+   *  heuristics), the standard pre-training filter family; formula
+   *  replayed verbatim in the oracle. */
+  private def qualityQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), ext.TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  private val Q46Duck =
+    """SELECT doc_id, round(
+      |  (len(list_distinct(string_split(text,' ')))*1.0 / len(string_split(text,' ')))
+      |  * (CASE WHEN len(string_split(text,' ')) >= 10 THEN 1.0
+      |          ELSE len(string_split(text,' '))/10.0 END)
+      |  * (CASE WHEN length(replace(text,' ',''))*1.0/len(string_split(text,' '))
+      |               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private def langIdQuery(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), ext.TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -769,7 +785,8 @@ object SparkEntry {
     "q42_mor_read" -> ((s, dir) => morReadResult(s, dir)),
     "q43_zorder_scan" -> zorderQuery,
     "q44_dedup_end_to_end" -> dedupEndToEndQuery,
-    "q45_ivf_topk" -> ivfTopKQuery)
+    "q45_ivf_topk" -> ivfTopKQuery,
+    "q46_quality_score" -> qualityQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -814,7 +831,8 @@ object SparkEntry {
     "q42_mor_read" -> Q42Duck,
     "q43_zorder_scan" -> Q43Duck,
     "q44_dedup_end_to_end" -> Q44Duck,
-    "q45_ivf_topk" -> Q22Duck)
+    "q45_ivf_topk" -> Q22Duck,
+    "q46_quality_score" -> Q46Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN are not
   // SQL-expressible → driver records the weaker rows-only check; their
   // semantics are covered by graft.ext.ExtSpec.

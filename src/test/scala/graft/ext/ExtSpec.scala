@@ -208,6 +208,15 @@ class ExtSpec extends SparkSpec {
     assert(frames.getInt(0) === 5) // 100 / (10*2)
   }
 
+  test("multimodal: resize target preserves aspect ratio, never upscales") {
+    val df = Seq((4000, 3000), (300, 200), (100, 5000)).toDF("w", "h")
+    val (tw, th) = Multimodal.resizeTarget(col("w"), col("h"), maxDim = 1000)
+    val got = df.select(tw.as("tw"), th.as("th")).as[(Int, Int)].collect().toSeq
+    assert(got(0) === ((1000, 750)))  // downscale, aspect kept
+    assert(got(1) === ((300, 200)))   // already within bound: untouched
+    assert(got(2) === ((20, 1000)))   // portrait bound on the long side
+  }
+
   test("z-order clustering prunes on every clustered column") {
     import graft.tables.SnapshotTable
     // 2-D grid: x in [0,1000), y in [0,100) — independent dimensions
