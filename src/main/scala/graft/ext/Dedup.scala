@@ -361,7 +361,10 @@ object Dedup {
 
   /**
    * Near-dup dedup end-to-end: find pairs (MinHash), group transitively,
-   * keep the minimum id per component. Returns the surviving rows.
+   * keep the minimum id per component. Returns the surviving rows —
+   * lazy over the input, anti-joined against a materialized loser set
+   * (the only block the result pins; its intermediates — pair list,
+   * component labels — are released before returning).
    */
   def dedupNearDuplicates(
       df: DataFrame,
@@ -371,6 +374,9 @@ object Dedup {
     val pairs = minhashPairs(df, idCol, textCol, minEst = minEst)
     val comps = connectedComponents(pairs)
     val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
+      .localCheckpoint() // small: the duplicate ids only
+    release(comps)
+    release(pairs)
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
 }

@@ -521,6 +521,28 @@ class SnapshotTable private (
     }
   }
 
+  /**
+   * Incremental read (the formats' incremental-query mode, e.g. Hudi
+   * `hoodie.datasource.query.type=incremental`): rows from files first
+   * committed in versions (`fromVersion`, `toVersion`] — the inputs an
+   * incremental ETL consumer needs to process commits it has not seen.
+   * File-granularity: a copy-on-write rewrite re-surfaces the carried
+   * rows of rewritten files too (a superset of the logically-changed
+   * rows; dedup downstream by key if exact deltas are required).
+   */
+  def readIncremental(fromVersion: Long, toVersion: Long = Long.MaxValue): DataFrame = {
+    val (cur, entry) = currentReadable().getOrElse(
+      throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
+    val to = math.min(toVersion, cur)
+    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    // files present at `to` but not at `from` = first committed after `from`
+    val baseline: Set[String] =
+      if (fromVersion < 0) Set.empty
+      else commitEntry(fromVersion).files.map(_.path).toSet
+    val atTo = if (to == cur) entry.files else commitEntry(to).files
+    dfOver(atTo.map(_.path).filterNot(baseline.contains), schema)
+  }
+
   /** Register as a temp view, refreshed on every subsequent commit. */
   def registerView(name: String): SnapshotTable = {
     syncedViews = name :: syncedViews.filterNot(_ == name)

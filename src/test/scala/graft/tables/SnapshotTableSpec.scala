@@ -324,6 +324,26 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rk === "id:1,v:a")
   }
 
+  test("incremental read returns only files committed after the cursor") {
+    val t = SnapshotTable(spark, tmpDir("incr"))
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))   // v0
+    t.append(Seq((2, "b")).toDF("id", "v"))      // v1
+    t.append(Seq((3, "c")).toDF("id", "v"))      // v2
+    // consumer saw v0: the increment is exactly the appended rows
+    assert(t.readIncremental(0).as[(Int, String)].collect().toSet ===
+      Set((2, "b"), (3, "c")))
+    assert(t.readIncremental(1).as[(Int, String)].collect().toSet === Set((3, "c")))
+    assert(t.readIncremental(2).count() === 0)
+    // bounded window (v0, v1]
+    assert(t.readIncremental(0, 1).as[(Int, String)].collect().toSet === Set((2, "b")))
+    // fromVersion < 0 = everything
+    assert(t.readIncremental(-1).count() === 3)
+    // a CoW merge re-surfaces the rewritten file's rows
+    t.merge(Seq((3, "c2")).toDF("id", "v"), col("t.id") === col("s.id"))
+      .whenMatched().updateAll().execute()  // v3
+    assert(t.readIncremental(2).as[(Int, String)].collect().toSet === Set((3, "c2")))
+  }
+
   test("merge carries forward stats of untouched files (pruning still works)") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", lit("old")))
