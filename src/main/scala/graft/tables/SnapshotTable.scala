@@ -543,6 +543,38 @@ class SnapshotTable private (
     dfOver(atTo.map(_.path).filterNot(baseline.contains), schema)
   }
 
+  /** One table-history entry (`DESCRIBE HISTORY` row). */
+  final case class HistoryEntry(
+      version: Long,
+      action: String,
+      ts: Option[java.sql.Timestamp],
+      numFiles: Int,
+      numDeltaFiles: Int)
+
+  /** Commit history, newest first (Delta `DESCRIBE HISTORY` analogue).
+   *  Unparseable (torn) entries are skipped. */
+  def history(): Seq[HistoryEntry] =
+    listVersions().reverse.flatMap { v =>
+      try {
+        val e = commitEntry(v)
+        Some(HistoryEntry(v, e.action, e.ts.map(new java.sql.Timestamp(_)),
+          e.files.size, e.deltaFiles.map(_.size).getOrElse(0)))
+      } catch { case NonFatal(_) => None }
+    }
+
+  /** Restore the table to the state of `version` (Delta `RESTORE TABLE`):
+   *  a NEW commit that re-references the old version's files — no data is
+   *  copied, history is preserved, and the restored-over commits remain
+   *  time-travelable until [[vacuum]] expires them. */
+  def restore(version: Long): SnapshotTable = {
+    val cur = currentVersion()
+    require(version >= 0 && version <= cur,
+      s"cannot restore $root to version $version (current: $cur)")
+    val entry = commitEntry(version)
+    writeCommit(cur + 1, entry.copy(action = s"restore-$version"))
+    this
+  }
+
   /** Register as a temp view, refreshed on every subsequent commit. */
   def registerView(name: String): SnapshotTable = {
     syncedViews = name :: syncedViews.filterNot(_ == name)

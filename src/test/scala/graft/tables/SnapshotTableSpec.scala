@@ -324,6 +324,26 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rk === "id:1,v:a")
   }
 
+  test("history lists commits newest-first; restore re-references old files") {
+    val t = SnapshotTable(spark, tmpDir("hist"))
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    t.delete(col("id") === 1)
+    val h = t.history()
+    assert(h.map(_.version) === Seq(2L, 1L, 0L))
+    assert(h.map(_.action) === Seq("delete", "append", "overwrite"))
+    assert(h.forall(_.ts.isDefined))
+    // restore to pre-delete state: new commit, no data copied
+    val filesAtV1 = t.readVersion(1).inputFiles.toSet
+    t.restore(1)
+    assert(t.currentVersion() === 3)
+    assert(t.read().as[(Int, String)].collect().toSet === Set((1, "a"), (2, "b")))
+    assert(t.read().inputFiles.toSet === filesAtV1) // re-referenced, not rewritten
+    assert(t.manifestAction().contains("restore-1"))
+    // the restored-over delete remains time-travelable
+    assert(t.readVersion(2).as[(Int, String)].collect().toSet === Set((2, "b")))
+  }
+
   test("incremental read returns only files committed after the cursor") {
     val t = SnapshotTable(spark, tmpDir("incr"))
     t.overwrite(Seq((1, "a")).toDF("id", "v"))   // v0
