@@ -100,6 +100,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Union"), s"no union in MoR read:\n$plan")
   }
 
+  test("no declared query plans a cartesian product (q22/q45 brute-force NLJ excepted)") {
+    // q22 broadcasts a small probe set by design (documented baseline);
+    // q45's exhaustive-probe configuration behaves the same via its list
+    // join, which is an equi-join — only q22 may nested-loop.
+    val allowNlj = Set("q22_cosine_topk")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = executedPlanString(fn(spark, dir))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      if (!allowNlj.contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
   test("merge source side with equi-condition plans as a hash join, not NLJ") {
     val t = SnapshotTable.create(spark, tmpDir("plan"),
       spark.range(0, 10000).toDF("id").withColumn("v", lit("x")))

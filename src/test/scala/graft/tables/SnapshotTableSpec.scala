@@ -302,6 +302,31 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().as[(Long, String, Long)].collect().toSet === before)
   }
 
+  test("merge-on-read: many small delta batches stay correct and compact away") {
+    val t = SnapshotTable(spark, tmpDir("mor_many"))
+    t.overwrite(spark.range(0, 50).toDF("id")
+      .withColumn("v", lit("base")).withColumn("ts", lit(0L)))
+    // 12 micro-batches, each overriding one key with a rising precombine
+    (1 to 12).foreach { i =>
+      t.upsertDeferred(Seq(((i % 5).toLong, s"b$i", i.toLong)).toDF("id", "v", "ts"),
+        keys = Seq("id"), precombine = "ts")
+    }
+    // keys 0..4 end on their LAST batch's value; base files never rewritten
+    def expectFor(id: Long): String =
+      "b" + (1 to 12).filter(_ % 5 == id).max
+    val got = t.read().filter(col("id") < 5)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    (0L to 4L).foreach(id => assert(got(id) === expectFor(id), s"id=$id"))
+    assert(t.read().count() === 50)
+    assert(t.deltaManifest().size >= 12)
+    // one compaction folds all 12 batches
+    assert(t.applyDeltas() >= 1)
+    assert(t.deltaManifest().isEmpty)
+    val after = t.read().filter(col("id") < 5)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    (0L to 4L).foreach(id => assert(after(id) === expectFor(id), s"post-compact id=$id"))
+  }
+
   test("meta-columns: _commit_version/_commit_ts trace file lineage") {
     val t = SnapshotTable(spark, tmpDir("meta"))
     t.overwrite(Seq((1, "a")).toDF("id", "v"))
