@@ -175,11 +175,13 @@ class GraftTable(
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // The catalog scan reads BASE files; serving it on a table with
-    // pending MoR deltas would silently return stale rows.
-    require(table.deltaManifest().isEmpty,
-      s"${ident.toString} has pending MoR deltas: query via SnapshotTable.read() " +
-        "(real-time view) or applyDeltas() first")
+    // The catalog scan reads BASE files; serving it for a snapshot with
+    // pending MoR deltas would silently return stale rows. Checked at
+    // the PINNED snapshot — a time-travel read of an old delta-bearing
+    // version is just as stale as the current one.
+    require(table.deltaManifestAt(snapshotVersion).isEmpty,
+      s"${name()} has pending MoR deltas at version $snapshotVersion: query via " +
+        "SnapshotTable.read()/readVersion() (real-time view) or applyDeltas() first")
     new GraftScanBuilder(table, snapshotVersion, snapshotSchema)
   }
 

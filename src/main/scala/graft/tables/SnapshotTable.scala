@@ -732,6 +732,11 @@ class SnapshotTable private (
   def deltaManifest(): Seq[String] =
     currentReadable().flatMap(_._2.deltaFiles).map(_.map(_.path)).getOrElse(Nil)
 
+  /** Pending delta files AT a version (time-travel variant). */
+  private[graft] def deltaManifestAt(version: Long): Seq[String] =
+    if (version < 0) Nil
+    else commitEntry(version).deltaFiles.map(_.map(_.path)).getOrElse(Nil)
+
   /**
    * MoR compaction: fold all pending deltas into the base (one CoW
    * rewrite of just the files whose key range can overlap the deltas —
