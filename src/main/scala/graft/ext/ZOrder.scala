@@ -54,4 +54,13 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Delta `OPTIMIZE … ZORDER BY` analogue: rewrite the table's current
+   *  snapshot z-clustered on `cols` in one atomic commit — point lookups
+   *  on ANY clustered column prune files afterwards. Content unchanged. */
+  def optimize(
+      table: graft.tables.SnapshotTable,
+      cols: Seq[String],
+      numFiles: Int): graft.tables.SnapshotTable =
+    table.overwrite(cluster(table.read(), cols, numFiles))
 }

@@ -237,6 +237,24 @@ class ExtSpec extends SparkSpec {
     assert(t.scan(col("y") === 45L).count() === 1000)
   }
 
+  test("ZOrder.optimize rewrites an unclustered table into a prunable one") {
+    import graft.tables.SnapshotTable
+    val df = spark.range(0, 50000).toDF("i")
+      .withColumn("x", col("i") % 500)
+      .withColumn("y", floor(col("i") / 500).cast("long"))
+      .drop("i")
+      .repartition(8) // deliberately unclustered: every file spans all keys
+    val t = SnapshotTable(spark, tmpDir("zopt"))
+    t.overwrite(df)
+    val before = t.prunedManifest(col("x") === 77L).size
+    assert(before === t.manifest().size) // nothing prunable yet
+    ZOrder.optimize(t, Seq("x", "y"), numFiles = 16)
+    assert(t.manifestAction().contains("overwrite"))
+    assert(t.prunedManifest(col("x") === 77L).size <= 8)
+    assert(t.prunedManifest(col("y") === 33L).size <= 8)
+    assert(t.scan(col("x") === 77L).count() === 100) // content unchanged
+  }
+
   // ------------------------------------------------------------------- text
 
   test("bpe-ish token counting splits contractions, numbers, punctuation") {
