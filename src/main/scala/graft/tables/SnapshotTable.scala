@@ -535,12 +535,20 @@ class SnapshotTable private (
       throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
     val to = math.min(toVersion, cur)
     val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
-    // files present at `to` but not at `from` = first committed after `from`
-    val baseline: Set[String] =
-      if (fromVersion < 0) Set.empty
-      else commitEntry(fromVersion).files.map(_.path).toSet
-    val atTo = if (to == cur) entry.files else commitEntry(to).files
-    dfOver(atTo.map(_.path).filterNot(baseline.contains), schema)
+    // files present at `to` but not at `from` = first committed after
+    // `from`; pending MoR delta files diff the same way, so deferred
+    // upserts surface incrementally too
+    val fromEntry = if (fromVersion < 0) None else Some(commitEntry(fromVersion))
+    val toEntry = if (to == cur) entry else commitEntry(to)
+    def newPaths(at: Seq[FileEntry], base: Option[Seq[FileEntry]]): Seq[String] = {
+      val seen = base.map(_.map(_.path).toSet).getOrElse(Set.empty)
+      at.map(_.path).filterNot(seen)
+    }
+    dfOver(
+      newPaths(toEntry.files, fromEntry.map(_.files)) ++
+        newPaths(toEntry.deltaFiles.getOrElse(Nil),
+          fromEntry.map(_.deltaFiles.getOrElse(Nil))),
+      schema)
   }
 
   /** One table-history entry (`DESCRIBE HISTORY` row). */

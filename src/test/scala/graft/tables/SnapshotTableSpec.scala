@@ -389,6 +389,21 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.readIncremental(2).as[(Int, String)].collect().toSet === Set((3, "c2")))
   }
 
+  test("incremental read surfaces pending MoR delta batches") {
+    val t = SnapshotTable(spark, tmpDir("incr_mor"))
+    t.overwrite(Seq((1, "a", 0L)).toDF("id", "v", "ts"))          // v0
+    t.upsertDeferred(Seq((1, "a2", 1L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), precombine = "ts")                        // v1 (delta)
+    t.upsertDeferred(Seq((2, "b", 1L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), precombine = "ts")                        // v2 (delta)
+    // consumer saw v0: both deferred batches are the increment
+    assert(t.readIncremental(0).as[(Int, String, Long)].collect().toSet ===
+      Set((1, "a2", 1L), (2, "b", 1L)))
+    // consumer saw v1: only the second batch
+    assert(t.readIncremental(1).as[(Int, String, Long)].collect().toSet ===
+      Set((2, "b", 1L)))
+  }
+
   test("merge carries forward stats of untouched files (pruning still works)") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", lit("old")))
