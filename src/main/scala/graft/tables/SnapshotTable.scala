@@ -430,7 +430,8 @@ class SnapshotTable private (
     val (_, entry) = currentReadable().getOrElse(
       throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
     val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
-    val keep = entry.files.filter(f => Pruning.mayMatch(f, org.apache.spark.sql.graftshim.SparkInternals.expr(predicate), schema))
+    val pred = org.apache.spark.sql.graftshim.SparkInternals.expr(predicate)
+    val keep = entry.files.filter(f => Pruning.mayMatch(f, pred, schema))
     // Base-file pruning stays sound under pending deltas: a pruned base
     // row either fails `predicate` post-merge anyway or is replaced by a
     // delta row, and the delta side is never pruned here.
