@@ -2,7 +2,7 @@ package graft.scd2
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -28,6 +28,11 @@ import graft.tables.SnapshotTable
  */
 object Scd2 {
 
+  /** The source record, typed (the `Dataset[T]` API edge — internal
+   *  pipelines stay `DataFrame`, per SURVEY.md §1.5). */
+  final case class Contact(
+      id: Option[Int], name: String, email: String, state: String)
+
   /** Source schema — declared, never inferred (`hudi/hudi_scd_script.py:24-28`). */
   val contactSchema: StructType = StructType(Seq(
     StructField("id", IntegerType, nullable = true),
@@ -42,6 +47,14 @@ object Scd2 {
       .option("header", "false")
       .option("delimiter", ",")
       .csv(path)
+
+  /** Typed variant of [[readContactsCsv]]: compile-time field access for
+   *  callers that want it; the plan is identical (same scan, no extra
+   *  serialization until a typed lambda is used). */
+  def readContactsCsvTyped(spark: SparkSession, path: String): Dataset[Contact] = {
+    import spark.implicits._
+    readContactsCsv(spark, path).as[Contact]
+  }
 
   /**
    * Stage enrichment (P3/X1-X6, `hudi/hudi_scd_script.py:59-63`): appends

@@ -53,6 +53,16 @@ class Scd2Spec extends SparkSpec {
     } finally f.unpersist()
   }
 
+  test("typed contact read matches the untyped scan row-for-row") {
+    val typed = Scd2.readContactsCsvTyped(spark, initialCsv)
+    assert(typed.count() === 1000)
+    // typed field access compiles and agrees with the DataFrame view
+    val maxIdTyped = typed.collect().flatMap(_.id).max
+    val maxIdDf = Scd2.readContactsCsv(spark, initialCsv)
+      .agg(max(col("id"))).collect()(0).getInt(0)
+    assert(maxIdTyped === maxIdDf)
+  }
+
   test("hudi-style merge reproduces the golden contract + stage counts") {
     val initial = Scd2.readContactsCsv(spark, initialCsv)
     val table = Scd2.initialLoad(spark, tmpDir("scd2h"), initial, t0)
