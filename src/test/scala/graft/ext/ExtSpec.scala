@@ -143,6 +143,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("pair mining pins only its result block (leak regression guard)") {
+    // r2 leaked operator caches; r3's fix recomputed instead. The contract
+    // now: after a pair miner returns, the ONLY surviving pinned block is
+    // the (small) result checkpoint, and release() frees that too.
+    def pinned() = spark.sparkContext.getPersistentRDDs.size
+    val before = pinned()
+    val jp = Dedup.jaccardPairs(docs, "id", "text")
+    assert(pinned() - before === 1, "jaccardPairs left intermediate blocks pinned")
+    Dedup.release(jp)
+    assert(pinned() === before)
+    val mp = Dedup.minhashPairs(docs, "id", "text")
+    assert(pinned() - before === 1, "minhashPairs left intermediate blocks pinned")
+    Dedup.release(mp)
+    assert(pinned() === before)
+    val survivors = Dedup.dedupNearDuplicates(docs, "id", "text")
+    survivors.count()
+    // one block: the loser-id set the lazy result reads
+    assert(pinned() - before === 1, "dedupNearDuplicates left intermediate blocks pinned")
+  }
+
   test("connectedComponents groups transitively") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(pairs)
