@@ -252,8 +252,11 @@ object GraftScanBuilder {
     case In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toIndexedSeq: _*))
     case IsNull(a) => Some(col(a).isNull)
     case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
     case And(l, r) =>
       for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
     case _ => None
   }
 
@@ -273,9 +276,13 @@ object GraftScanBuilder {
         ref(a).map(r => ce.In(r, vs.toIndexedSeq.map(v => ce.Literal(v))))
       case IsNull(a) => ref(a).map(ce.IsNull)
       case IsNotNull(a) => ref(a).map(ce.IsNotNull)
+      case StringStartsWith(a, v) => ref(a).map(r => ce.StartsWith(r, ce.Literal(v)))
       case And(l, r) =>
         for (lc <- toExpression(l, schema); rc <- toExpression(r, schema))
           yield ce.And(lc, rc)
+      case Or(l, r) =>
+        for (lc <- toExpression(l, schema); rc <- toExpression(r, schema))
+          yield ce.Or(lc, rc)
       case _ => None
     }
   }

@@ -12,7 +12,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNull, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -963,6 +963,7 @@ object SnapshotTable {
         val args = f.arguments.map(normalize)
         (f.nameParts.last.toLowerCase, args) match {
           case ("and", Seq(l, r)) => And(l, r)
+          case ("or", Seq(l, r)) => Or(l, r)
           case ("=" | "==", Seq(l, r)) => EqualTo(l, r)
           case (">", Seq(l, r)) => GreaterThan(l, r)
           case (">=", Seq(l, r)) => GreaterThanOrEqual(l, r)
@@ -970,9 +971,11 @@ object SnapshotTable {
           case ("<=", Seq(l, r)) => LessThanOrEqual(l, r)
           case ("in", l +: rest) if rest.nonEmpty => In(l, rest)
           case ("isnull", Seq(l)) => IsNull(l)
+          case ("startswith", Seq(l, r)) => StartsWith(l, r)
           case _ => e
         }
       case And(l, r) => And(normalize(l), normalize(r))
+      case Or(l, r) => Or(normalize(l), normalize(r))
       case other => other
     }
 
@@ -1060,6 +1063,10 @@ object SnapshotTable {
         } yield test(cmp(mn, v, dt), cmp(mx, v, dt))).getOrElse(true)
       }
       e match {
+        // a disjunct may match if EITHER side may (no top-level split here:
+        // splitConjuncts only splits ANDs, so OR arrives whole)
+        case Or(l, r) =>
+          conjunctMayMatch(f, l, schema) || conjunctMayMatch(f, r, schema)
         case EqualTo(a, l: Literal) => check(a, l)((cMin, cMax) => cMin <= 0 && cMax >= 0)
         case EqualTo(l: Literal, a) => check(a, l)((cMin, cMax) => cMin <= 0 && cMax >= 0)
         case GreaterThan(a, l: Literal) => check(a, l)((_, cMax) => cMax > 0)
@@ -1079,6 +1086,26 @@ object SnapshotTable {
             cs <- f.stats.get(field.name)
             n <- cs.nullCount
           } yield n > 0).getOrElse(true)
+        // p-prefixed strings live in [p, next(p)) where next(p) increments
+        // p's last non-maximal char — the file may match only if its
+        // [min,max] intersects that range
+        case StartsWith(a, l: Literal) if l.value != null =>
+          (for {
+            name <- attrName(a)
+            dt <- colType(name, schema)
+            if dt.isInstanceOf[StringType]
+            (mn, mx) <- bounds(f, name, schema)
+          } yield {
+            val p = l.value.toString
+            val next: Option[String] = {
+              val cs = p.toCharArray
+              var i = cs.length - 1
+              while (i >= 0 && cs(i) == '￿') i -= 1
+              if (i < 0) None // p is all U+FFFF: no finite upper bound
+              else Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
+            }
+            mx.compareTo(p) >= 0 && next.forall(up => mn.compareTo(up) < 0)
+          }).getOrElse(true)
         case _ => true // unsupported shape → cannot prune on it
       }
     }

@@ -118,6 +118,32 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.prunedManifest(col("id") % 7 === 0).size === entries.size)
   }
 
+  test("OR and string-prefix predicates prune files") {
+    val t = SnapshotTable(spark, tmpDir("tbl"))
+    t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2))
+    t.append(spark.range(100, 200).toDF("id").withColumn("v", col("id") * 2))
+    t.append(spark.range(200, 300).toDF("id").withColumn("v", col("id") * 2))
+    val all = t.manifest().size
+    // OR of two point keys keeps only the two covering files
+    val orKept = t.prunedManifest(col("id") === 5 || col("id") === 250).size
+    assert(orKept <= all / 3, s"OR kept $orKept of $all files")
+    assert(t.scan(col("id") === 5 || col("id") === 250).count() === 2)
+    // OR with an unprunable side stays conservative (all files kept)
+    assert(t.prunedManifest(col("id") === 5 || col("id") % 7 === 0).size === all)
+
+    val s = SnapshotTable(spark, tmpDir("tbl"))
+    s.overwrite(Seq(("apple", 1), ("apricot", 2)).toDF("w", "n"))
+    s.append(Seq(("melon", 3), ("peach", 4)).toDF("w", "n"))
+    // one file per 1-row partition: the two ap-files stay, melon/peach go
+    assert(s.prunedManifest(col("w").startsWith("ap")).size ===
+      s.manifest().size - 2)
+    assert(s.prunedManifest(col("w").startsWith("zz")).isEmpty)
+    assert(s.scan(col("w").startsWith("ap")).count() === 2)
+    // prefix range upper bound is exclusive-correct: "me" keeps the melon
+    // file even though "me" < "melon" and no string equals the prefix
+    assert(s.scan(col("w").startsWith("me")).count() === 1)
+  }
+
   test("string and timestamp stats prune too") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(Seq(("apple", 1), ("banana", 2)).toDF("s", "n"))
