@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.{Column, DataFrame}
 
 /**
@@ -297,18 +298,65 @@ object Dedup {
   }
 
   /**
-   * Connected components over an undirected pair list (id_a, id_b) by
-   * iterative min-label propagation: each vertex's label becomes the min
-   * of its own and its neighbors' labels, repeated until fixpoint or
-   * `maxIter`. Each pass is one shuffle join — O(E) per pass, no driver
-   * data. Returns (id, component) where component = min id reachable.
+   * Connected components over an undirected pair list (id_a, id_b).
+   * Returns (id, component) where component = min id reachable.
    *
-   * Each pass `localCheckpoint`s the new labels (truncating lineage so the
-   * logical plan stays O(1) across passes — an unbounded plan is a
-   * driver/planner blowup on a deep 100 TB pair graph) and releases the
-   * superseded pass's checkpoint blocks once nothing references them.
+   * Dispatch: near-dup pair graphs are tiny relative to the corpus (the
+   * whole point of banding), so when the edge count is at most
+   * `driverMaxEdges` the closure runs as a driver-side union-find —
+   * O(E α(E)), one collect of id pairs, no iteration jobs. Larger graphs
+   * fall back to distributed min-label propagation: each vertex's label
+   * becomes the min of its own and its neighbors' labels until fixpoint
+   * or `maxIter`, one shuffle join per pass, no driver data.
+   *
+   * The distributed path `localCheckpoint`s each pass's labels
+   * (truncating lineage so the logical plan stays O(1) across passes — an
+   * unbounded plan is a driver/planner blowup on a deep 100 TB pair
+   * graph) and releases the superseded pass's checkpoint blocks once
+   * nothing references them.
    */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 10,
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
+    if (pairs.count() <= driverMaxEdges) driverComponents(pairs)
+    else propagateComponents(pairs, maxIter)
+  }
+
+  /** Driver-side union-find closure for small pair graphs (ids must be
+   *  Comparable — integral/string key types all are). */
+  private def driverComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val idField = pairs.schema("id_a")
+    val edges = pairs.select(col("id_a"), col("id_b")).collect()
+    val parent = scala.collection.mutable.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    edges.foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min id becomes the root, so root == component label
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val ids = edges.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+    val labels = ids.map(id => org.apache.spark.sql.Row(id, find(id)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(labels.toSeq, math.max(1, labels.length / 100000)),
+      StructType(Seq(
+        StructField("id", idField.dataType, nullable = true),
+        StructField("component", idField.dataType, nullable = true))))
+  }
+
+  /** Distributed min-label propagation (the large-graph path). */
+  private def propagateComponents(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()

@@ -163,12 +163,17 @@ class ExtSpec extends SparkSpec {
     assert(pinned() - before === 1, "dedupNearDuplicates left intermediate blocks pinned")
   }
 
-  test("connectedComponents groups transitively") {
+  test("connectedComponents groups transitively (both dispatch paths)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(pairs)
+    // small graph → driver-side union-find
+    val driver = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L)
-    assert(comps(10L) === 10L && comps(11L) === 10L)
+    assert(driver(1L) === 1L && driver(2L) === 1L && driver(3L) === 1L)
+    assert(driver(10L) === 10L && driver(11L) === 10L)
+    // driverMaxEdges=0 forces the distributed min-label loop: same labels
+    val distributed = Dedup.connectedComponents(pairs, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed === driver)
   }
 
   test("dedupNearDuplicates keeps one representative per dup group") {
