@@ -365,6 +365,27 @@ object SparkEntry {
       |               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS quality
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Q47 — punctuation/stopword density ratios (the remaining members of
+   *  the quality-heuristic family), formulas replayed in the oracle. */
+  private def textRatiosQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        ext.TextAnalysis.punctRatio(t).as("punct_ratio"),
+        ext.TextAnalysis.stopwordRatio(t).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+  private val Q47Duck = {
+    val stops = ext.TextAnalysis.langMarkers.head._2
+      .map("'" + _ + "'").mkString("[", ",", "]")
+    s"""SELECT doc_id,
+       |  round(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))*1.0
+       |        / length(text), 6) AS punct_ratio,
+       |  round(len(list_filter(string_split(text,' '), x -> list_contains($stops, x)))*1.0
+       |        / len(string_split(text,' ')), 6) AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   private def langIdQuery(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), ext.TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -786,7 +807,8 @@ object SparkEntry {
     "q43_zorder_scan" -> zorderQuery,
     "q44_dedup_end_to_end" -> dedupEndToEndQuery,
     "q45_ivf_topk" -> ivfTopKQuery,
-    "q46_quality_score" -> qualityQuery)
+    "q46_quality_score" -> qualityQuery,
+    "q47_text_ratios" -> textRatiosQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -832,7 +854,8 @@ object SparkEntry {
     "q43_zorder_scan" -> Q43Duck,
     "q44_dedup_end_to_end" -> Q44Duck,
     "q45_ivf_topk" -> Q22Duck,
-    "q46_quality_score" -> Q46Duck)
+    "q46_quality_score" -> Q46Duck,
+    "q47_text_ratios" -> Q47Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN are not
   // SQL-expressible → driver records the weaker rows-only check; their
   // semantics are covered by graft.ext.ExtSpec.

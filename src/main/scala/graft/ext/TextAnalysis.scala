@@ -72,10 +72,28 @@ object TextAnalysis {
     }
   }
 
+  /** Fraction of non-alphanumeric, non-space characters (punctuation/
+   *  symbol density — high values flag boilerplate and markup). */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
+      .cast("double") / length(text), 6)
+
+  /** Fraction of tokens found in `stopwords` (default: the English
+   *  markers) — natural prose sits well above machine-generated or
+   *  keyword-stuffed text. */
+  def stopwordRatio(
+      text: Column,
+      stopwords: Seq[String] = langMarkers.head._2): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    round(size(filter(tokens(text), t => array_contains(stops, t)))
+      .cast("double") / size(tokens(text)), 6)
+  }
+
   /**
    * Quality score in [0,1]: penalizes extreme repetition (low distinct
    * ratio), absurd mean token length, and very short documents — the
-   * usual pre-training heuristics (length/stopword/punct family).
+   * usual pre-training heuristics (length/stopword/punct family;
+   * [[punctRatio]]/[[stopwordRatio]] are the standalone signals).
    */
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text)
@@ -92,6 +110,8 @@ object TextAnalysis {
     df.withColumn("n_tokens", tokenCount(t))
       .withColumn("n_distinct_tokens", distinctTokenCount(t))
       .withColumn("avg_token_len", round(avgTokenLength(t), 6))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
       .withColumn("lang_pred", langId(t))
       .withColumn("quality", qualityScore(t))
       .withColumn("fingerprint", functions.fingerprint64(t))
