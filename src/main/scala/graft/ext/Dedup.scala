@@ -47,7 +47,12 @@ object Dedup {
    *  source already has enough partitions (the 100 TB case). */
   private def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+    // metadata-only width probe: leaf file count for file-backed sources
+    // (the normal case — avoids building the physical RDD plan just to
+    // read a partition count); non-file sources fall back to the RDD probe
+    val files = df.inputFiles.length
+    val parts = if (files > 0) files else df.rdd.getNumPartitions
+    if (parts * 2 <= target) df.repartition(target) else df
   }
 
   /**
@@ -304,22 +309,36 @@ object Dedup {
    * Dispatch: near-dup pair graphs are tiny relative to the corpus (the
    * whole point of banding), so when the edge count is at most
    * `driverMaxEdges` the closure runs as a driver-side union-find —
-   * O(E α(E)), one collect of id pairs, no iteration jobs. Larger graphs
-   * fall back to distributed min-label propagation: each vertex's label
-   * becomes the min of its own and its neighbors' labels until fixpoint
-   * or `maxIter`, one shuffle join per pass, no driver data.
+   * O(E α(E)), one collect of id pairs, no iteration jobs. The dispatch
+   * probe is `limit(driverMaxEdges + 1).count()` — it stops as soon as
+   * the bound is exceeded instead of forcing the full pair plan. Larger
+   * graphs take the distributed path: LARGE-STAR / SMALL-STAR alternation
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC'14), which converges in O(log n) rounds — NOT O(graph diameter)
+   * like naive min-label propagation, so a 100 TB corpus with a long
+   * duplicate chain still finishes in a handful of passes.
    *
-   * The distributed path `localCheckpoint`s each pass's labels
-   * (truncating lineage so the logical plan stays O(1) across passes — an
+   * Convergence is ENFORCED: if the edge set has not reached its star
+   * fixpoint within `maxIter` rounds, the call throws instead of
+   * returning silently-wrong labels (the default bounds any graph up to
+   * ~2^25 nodes with a wide margin).
+   *
+   * The distributed path `localCheckpoint`s each round's edge set
+   * (truncating lineage so the logical plan stays O(1) across rounds — an
    * unbounded plan is a driver/planner blowup on a deep 100 TB pair
-   * graph) and releases the superseded pass's checkpoint blocks once
+   * graph) and releases the superseded round's checkpoint blocks once
    * nothing references them.
+   *
+   * Callers should pass a MATERIALIZED pair frame (as
+   * [[dedupNearDuplicates]] does): a lazy frame re-runs its mining
+   * pipeline once for the dispatch probe and again for the closure.
    */
   def connectedComponents(
       pairs: DataFrame,
-      maxIter: Int = 10,
+      maxIter: Int = 25,
       driverMaxEdges: Long = 1L << 20): DataFrame = {
-    if (pairs.count() <= driverMaxEdges) driverComponents(pairs)
+    val probeLimit = math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt
+    if (pairs.limit(probeLimit).count() <= driverMaxEdges) driverComponents(pairs)
     else propagateComponents(pairs, maxIter)
   }
 
@@ -355,35 +374,79 @@ object Dedup {
         StructField("component", idField.dataType, nullable = true))))
   }
 
-  /** Distributed min-label propagation (the large-graph path). */
+  /**
+   * Distributed large-star/small-star alternation (Kiveris et al.,
+   * SoCC'14). Edges are kept oriented (u, v) with v < u — parent pointers
+   * toward smaller ids. Each round:
+   *
+   *  - LARGE-STAR: every node u links its strictly-LARGER neighbors to
+   *    m(u) = min(N(u) ∪ {u}) — long chains collapse geometrically;
+   *  - SMALL-STAR: every node u re-links its smaller-or-equal neighbors
+   *    (and itself) to its minimum neighbor — partial stars flatten.
+   *
+   * The fixpoint is a forest of depth-1 stars rooted at each component's
+   * minimum id. Fixpoint detection compares (count, xxhash64 XOR-fold)
+   * edge-set signatures between rounds — one scan of the (checkpointed)
+   * edge set, no join; a false positive needs a 64-bit collision between
+   * DIFFERENT edge sets of equal size (~2⁻⁶⁴, negligible). XOR, not sum:
+   * the fold must not overflow under ANSI arithmetic, and edge sets are
+   * distinct so cancellation cannot occur.
+   *
+   * Each round is two agg+join pairs hash-partitioned on the node id —
+   * never a cross join, no driver data.
+   */
   private def propagateComponents(pairs: DataFrame, maxIter: Int): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
-      .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
       .localCheckpoint() // eager: materializes + truncates lineage
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(u, v))").as("h")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("component")).as("nmin"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(labels("id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+      // large-star: m(u) over the undirected neighborhood, emit (v, m(u))
+      // for neighbors v > u (output stays oriented: v > u >= m(u))
+      val nbrs = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint() // feeds two consumers below; avoid recompute
+      // small-star: per node u over its smaller neighbors, re-link them
+      // (and u itself) to m(u) = the minimum neighbor
+      val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(mins2, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
         .localCheckpoint()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), col("u.id") === col("l.id"))
-        .filter(col("u.component") =!= col("l.component"))
-        .limit(1).count()
-      release(labels) // superseded: updated + changed no longer read it
-      labels = updated
-      converged = changed == 0
+      val nextSig = signature(small)
+      release(edges) // superseded round: nothing references it anymore
+      release(large)
+      edges = small
+      converged = nextSig == sig
+      sig = nextSig
       iter += 1
     }
-    edges.unpersist()
-    labels
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter large-star/small-star rounds " +
+        "— raise maxIter (rounds needed grow with log(nodes), so this indicates " +
+        "an extraordinarily deep pair graph or a bug, not normal data)")
+    // star fixpoint: every edge is (node, component root); roots label themselves
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
   }
 
   /**

@@ -170,10 +170,32 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(driver(1L) === 1L && driver(2L) === 1L && driver(3L) === 1L)
     assert(driver(10L) === 10L && driver(11L) === 10L)
-    // driverMaxEdges=0 forces the distributed min-label loop: same labels
+    // driverMaxEdges=0 forces the distributed star-contraction loop: same labels
     val distributed = Dedup.connectedComponents(pairs, driverMaxEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert(distributed === driver)
+  }
+
+  test("connectedComponents handles a path graph deeper than the round budget") {
+    // A 64-hop chain needs 64 passes under naive min-label propagation —
+    // round-4's code silently returned wrong labels past maxIter=10.
+    // Large-star/small-star contracts it in O(log n) rounds, and a genuine
+    // non-convergence now throws instead of mislabeling.
+    val n = 64
+    val chain = (0L until n.toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain, maxIter = 10, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size === n + 1)
+    assert(labels.values.forall(_ === 0L),
+      s"chain must collapse to component 0, got ${labels.values.toSet}")
+  }
+
+  test("connectedComponents throws on maxIter exhaustion instead of mislabeling") {
+    val chain = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1, driverMaxEdges = 0).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("dedupNearDuplicates keeps one representative per dup group") {
