@@ -28,20 +28,33 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench][warm] $name: ${e.getMessage}") }
     }
+    // Median of 3 timed runs per query: this box is shared, and a single
+    // timing can be 3-5x off when the oracle runs concurrently (r4's recorded
+    // bench was pure noise). The median rejects a one-off slow run; min is
+    // reported alongside so the JSON carries noise information
+    // (median >> min on a given query = that query's runs were disturbed).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      }
+      if (times.isEmpty) name -> (-1.0, -1.0)
+      else {
+        val sorted = times.sorted
+        name -> (sorted(sorted.size / 2), sorted.head)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + f"""\":$med%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val mins = results.map { case (k, (_, mn)) => "\"" + k + f"""\":$mn%.3f""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
