@@ -57,10 +57,13 @@ object ZOrder {
 
   /** Delta `OPTIMIZE … ZORDER BY` analogue: rewrite the table's current
    *  snapshot z-clustered on `cols` in one atomic commit — point lookups
-   *  on ANY clustered column prune files afterwards. Content unchanged. */
+   *  on ANY clustered column prune files afterwards. Content unchanged.
+   *  Commits through the pre-clustered overwrite path: the default
+   *  overwrite would re-apply the table's persisted `clusterBy` spec via
+   *  `repartitionByRange` and destroy the z-ordering just computed. */
   def optimize(
       table: graft.tables.SnapshotTable,
       cols: Seq[String],
       numFiles: Int): graft.tables.SnapshotTable =
-    table.overwrite(cluster(table.read(), cols, numFiles))
+    table.overwritePreClustered(cluster(table.read(), cols, numFiles), "optimize-zorder")
 }

@@ -85,6 +85,10 @@ final class MergeInto(
 
   private def executeWith(source: DataFrame): SnapshotTable = {
     val spark = table.spark
+    // pinned for the read-compute-commit OCC guard: a commit landing
+    // between this snapshot read and the replaceFiles below fails the
+    // merge loudly (ConcurrentCommitException) instead of being discarded
+    val snapshotVersion = table.currentVersion()
     val targetSchema = table.schema
     val targetCols = targetSchema.fields.map(_.name).toSeq
     val allFiles = table.manifest()
@@ -128,7 +132,8 @@ final class MergeInto(
             when(col(ACTION) === idx, v).otherwise(acc)
           }.as(name)
       val inserts = lockSchema(withAction.select(targetCols.map(insCol): _*))
-      return table.replaceFiles(allFiles, inserts, actionTag)
+      return table.replaceFiles(allFiles, inserts, actionTag,
+        expectVersion = Some(snapshotVersion))
     }
 
     // ---- job 1: touched-file discovery, fused with the cardinality
@@ -225,7 +230,8 @@ final class MergeInto(
     }
 
     val result = lockSchema(withAction.select(targetCols.map(outCol): _*))
-    table.replaceFiles(untouched, result, actionTag)
+    table.replaceFiles(untouched, result, actionTag,
+      expectVersion = Some(snapshotVersion))
   }
 }
 

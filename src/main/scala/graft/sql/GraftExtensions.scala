@@ -46,6 +46,15 @@ object ResolveGraftMerge extends Rule[LogicalPlan] {
         case Some(table) => GraftMergeCommand(table, m)
         case None => m
       }
+    // `UPDATE t SET … WHERE …` — vanilla Spark parses it but cannot plan
+    // it for parquet-backed relations (the same hole as MERGE, filled by
+    // the Delta/Iceberg extension jars in the reference); dispatch to the
+    // table layer's touched-file CoW rewrite (SnapshotTable.update).
+    case u: UpdateTable if u.childrenResolved =>
+      targetSnapshot(u.table) match {
+        case Some(table) => GraftUpdateCommand(table, u)
+        case None => u
+      }
   }
 
   /** The snapshot table behind the MERGE target: a [[GraftCatalog]]
@@ -144,5 +153,36 @@ case class GraftMergeCommand(table: SnapshotTable, merge: MergeIntoTable)
   private def stripTopAlias(plan: LogicalPlan): LogicalPlan = plan match {
     case SubqueryAlias(_, child) => child
     case other => other
+  }
+}
+
+/**
+ * Runnable translation of a parsed+resolved [[UpdateTable]] onto
+ * [[SnapshotTable.update]] (touched-file copy-on-write rewrite).
+ * Assignment values and the condition may reference target columns only
+ * (subqueries in UPDATE are not supported); attributes are re-anchored by
+ * bare name onto the table's own frame.
+ */
+case class GraftUpdateCommand(table: SnapshotTable, update: UpdateTable)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    def reAnchor(e: Expression): Column = SparkInternals.column(e.transform {
+      case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+      case a: Attribute => UnresolvedAttribute(Seq(a.name))
+    })
+    val assigns = update.assignments.map { a =>
+      val name = a.key match {
+        case u: UnresolvedAttribute => u.nameParts.last
+        case attr: Attribute => attr.name
+        case other => throw new IllegalArgumentException(
+          s"unsupported UPDATE assignment key: $other")
+      }
+      name -> reAnchor(a.value)
+    }.toMap
+    val cond = update.condition.map(reAnchor)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    table.update(cond, assigns)
+    Nil
   }
 }

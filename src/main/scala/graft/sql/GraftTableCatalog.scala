@@ -89,6 +89,17 @@ class GraftTableCatalog extends TableCatalog {
       pinnedVersion = Some(version.toLong))
   }
 
+  /** Timestamp time travel: `SELECT … FROM graft.db.t TIMESTAMP AS OF
+   *  '<ts>'` — Spark hands the instant as MICROseconds since epoch; the
+   *  pinned version is the newest one committed at or before it
+   *  (Delta/Iceberg `AS OF` semantics, [[SnapshotTable.versionAsOf]]). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val t = SnapshotTable(spark, rootFor(ident))
+    new GraftTable(t, ident,
+      pinnedVersion = Some(t.versionAsOf(Math.floorDiv(timestampMicros, 1000L))))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

@@ -153,8 +153,26 @@ class SnapshotTable private (
         }
       try out.write(payload) finally out.close()
     }
+    publishSymlinkManifest(entry)
     refreshViews()
   }
+
+  /**
+   * Symlink-manifest publication (the artifact the reference generates so
+   * external engines can consume the table, `delta/delta_scd_script.py:
+   * 42-43,57-60` `generate symlink_format_manifest`): one live data-file
+   * path per line at `_symlink_format_manifest/manifest`, rewritten on
+   * every commit while table property `graft.symlink.manifest=true`.
+   * O(files) metadata written by the committer only — no job.
+   */
+  private def publishSymlinkManifest(entry: CommitEntry): Unit =
+    if (entry.properties.exists(_.get("graft.symlink.manifest").contains("true"))) {
+      val dir = new Path(rootPath, "_symlink_format_manifest")
+      fs.mkdirs(dir)
+      val out = fs.create(new Path(dir, "manifest"), true)
+      try out.write(entry.files.map(_.path).mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
 
   private def refreshViews(): Unit =
     syncedViews.foreach(v => read().createOrReplaceTempView(v))
@@ -197,6 +215,22 @@ class SnapshotTable private (
     writeCommit(v + 1,
       CommitEntry("overwrite", df.schema.json, files, toOpt(spec),
         prior.flatMap(_.properties)))
+    this
+  }
+
+  /** Overwrite WITHOUT re-applying the persisted cluster spec — for
+   *  maintenance passes (e.g. [[graft.ext.ZOrder.optimize]]) that hand in
+   *  data already laid out deliberately: the default overwrite would
+   *  `repartitionByRange` on the table's `clusterBy` columns and silently
+   *  destroy the layout just computed. Cluster spec and properties still
+   *  carry forward in the commit metadata. */
+  private[graft] def overwritePreClustered(df: DataFrame, action: String = "overwrite"): SnapshotTable = {
+    val v = currentVersion()
+    val prior = if (v < 0) None else Some(commitEntry(v))
+    val files = writeDataDir(df)
+    writeCommit(v + 1,
+      CommitEntry(action, df.schema.json, files,
+        prior.flatMap(_.clusterBy), prior.flatMap(_.properties)))
     this
   }
 
@@ -282,9 +316,24 @@ class SnapshotTable private (
 
   /** Replace the live file set with `keep` (paths from the current manifest,
    *  stats carried forward) plus newly-written `df` files — the
-   *  copy-on-write commit used by upsert/merge (graft.ops). */
-  private[graft] def replaceFiles(keep: Seq[String], df: DataFrame, action: String): SnapshotTable = {
+   *  copy-on-write commit used by upsert/merge (graft.ops).
+   *
+   *  `expectVersion`: optimistic-concurrency guard for the caller's
+   *  read-compute-commit sequence — the rewrite was computed against that
+   *  snapshot, so if ANOTHER commit (e.g. an [[upsertDeferred]]) landed in
+   *  between, committing would silently discard it (the CAS alone only
+   *  detects same-slot collisions). Fails with
+   *  [[SnapshotTable.ConcurrentCommitException]]; the caller retries from
+   *  a fresh snapshot. */
+  private[graft] def replaceFiles(
+      keep: Seq[String], df: DataFrame, action: String,
+      expectVersion: Option[Long] = None): SnapshotTable = {
     val v = currentVersion()
+    expectVersion.filter(_ != v).foreach { e =>
+      throw new ConcurrentCommitException(
+        s"table $root advanced from version $e to $v since this $action was " +
+          "computed; retry against the fresh snapshot")
+    }
     val prior = if (v < 0) None else Some(commitEntry(v))
     // A row-level rewrite against the BASE while keyed deltas are pending
     // would silently resurrect overridden rows (the rewrite sees stale
@@ -412,6 +461,24 @@ class SnapshotTable private (
     mergedView(entry, entry.files)
   }
 
+  /** Newest version committed at or before `tsMillis` — the resolver
+   *  behind timestamp-based time travel (`TIMESTAMP AS OF`, supported by
+   *  all three reference formats; Delta/Iceberg semantics: the snapshot a
+   *  reader at that wall-clock instant would have seen). Entries without
+   *  a commit timestamp (pre-ts logs) are treated as arbitrarily old. */
+  def versionAsOf(tsMillis: Long): Long = {
+    val eligible = listVersions().filter { v =>
+      try commitEntry(v).ts.forall(_ <= tsMillis)
+      catch { case NonFatal(_) => false } // torn newest entry: not eligible
+    }
+    require(eligible.nonEmpty,
+      s"table $root has no version committed at or before epoch-millis $tsMillis")
+    eligible.last
+  }
+
+  /** Timestamp time travel: the snapshot as of wall-clock `ts`. */
+  def readAsOf(ts: java.sql.Timestamp): DataFrame = readVersion(versionAsOf(ts.getTime))
+
   private def dfOver(paths: Seq[String], schema: StructType): DataFrame =
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -535,12 +602,16 @@ class SnapshotTable private (
     val (cur, entry) = currentReadable().getOrElse(
       throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
     val to = math.min(toVersion, cur)
-    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
     // files present at `to` but not at `from` = first committed after
     // `from`; pending MoR delta files diff the same way, so deferred
     // upserts surface incrementally too
     val fromEntry = if (fromVersion < 0) None else Some(commitEntry(fromVersion))
     val toEntry = if (to == cur) entry else commitEntry(to)
+    // read with the schema of the version whose files are served: a later
+    // overwrite may have retyped/renamed columns, and reading old files
+    // through the CURRENT schema would misread them (wrong types /
+    // all-null columns)
+    val schema = DataType.fromJson(toEntry.schemaJson).asInstanceOf[StructType]
     def newPaths(at: Seq[FileEntry], base: Option[Seq[FileEntry]]): Seq[String] = {
       val seen = base.map(_.map(_.path).toSet).getOrElse(Set.empty)
       at.map(_.path).filterNot(seen)
@@ -609,7 +680,43 @@ class SnapshotTable private (
     if (touched.isEmpty) return 0
     val kept = spark.read.schema(tschema).parquet(touched.map(_.path): _*)
       .filter(!predicate || predicate.isNull)
-    replaceFiles(untouched.map(_.path), kept, "delete")
+    replaceFiles(untouched.map(_.path), kept, "delete", expectVersion = Some(v))
+    touched.size
+  }
+
+  /**
+   * Row-level UPDATE (`UPDATE t SET … WHERE …`, the SQL surface all three
+   * reference formats provide): copy-on-write at file granularity like
+   * [[delete]]/merge — files whose stats cannot contain matching rows are
+   * carried forward untouched; touched files are rewritten with the
+   * assignments applied under `predicate` (CASE per assigned column,
+   * pure codegen'd expressions, no driver data). Returns the number of
+   * files rewritten.
+   */
+  def update(predicate: Column, set: Map[String, Column]): Int = {
+    import org.apache.spark.sql.functions.{col => c, when}
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val entry = commitEntry(v)
+    val tschema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    val byName = set.map { case (k, expr) =>
+      val field = tschema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(s"UPDATE $root: column $k is not in the table schema"))
+      field.name -> (field, expr)
+    }
+    val pred = org.apache.spark.sql.graftshim.SparkInternals.expr(predicate)
+    val (touched, untouched) = entry.files.partition(f => Pruning.mayMatch(f, pred, tschema))
+    if (touched.isEmpty) return 0
+    val cols = tschema.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case Some((field, nv)) =>
+          when(predicate, nv.cast(field.dataType)).otherwise(c(f.name)).as(f.name)
+        case None => c(f.name)
+      }
+    }
+    val rewritten = spark.read.schema(tschema).parquet(touched.map(_.path): _*)
+      .select(cols: _*)
+    replaceFiles(untouched.map(_.path), rewritten, "update", expectVersion = Some(v))
     touched.size
   }
 
@@ -633,7 +740,7 @@ class SnapshotTable private (
     val outFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val packed = spark.read.schema(tschema).parquet(small.map(_.path): _*)
       .coalesce(outFiles)
-    replaceFiles(healthy.map(_.path), packed, "compact")
+    replaceFiles(healthy.map(_.path), packed, "compact", expectVersion = Some(v))
     small.size
   }
 
@@ -773,7 +880,10 @@ class SnapshotTable private (
       .join(latest.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti")
       .unionByName(latest)
-    replaceFiles(untouched.map(_.path), rewritten, "compact-deltas")
+    // expectVersion: an upsertDeferred landing between the snapshot read
+    // above and this commit must NOT be silently cleared from deltaFiles
+    replaceFiles(untouched.map(_.path), rewritten, "compact-deltas",
+      expectVersion = Some(v))
     touched.size
   }
 
@@ -944,10 +1054,44 @@ object SnapshotTable {
           if (numeric && !st.isInstanceOf[DoubleStatistics] && !st.isInstanceOf[FloatStatistics])
             java.lang.Long.compare(x.toLong, y.toLong)
           else if (numeric) java.lang.Double.compare(x.toDouble, y.toDouble)
-          else x.compareTo(y)
+          else codePointCompare(x, y)
         if ((cmp <= 0) == takeMin) Some(x) else Some(y)
       case _ => None // a chunk without bounds makes the file bound unknown
     }
+
+  /**
+   * Code-point string comparison. Parquet string min/max are ordered by
+   * UNSIGNED UTF-8 bytes, which is code-point order — NOT Java
+   * `String.compareTo`'s UTF-16 code-unit order: a supplementary-plane
+   * character (emoji etc.) encodes as a surrogate pair (units
+   * 0xD800-0xDFFF) that code-unit-compares BELOW chars in U+E000-U+FFFF
+   * while its code point is above them. Comparing footer bounds in the
+   * wrong order could falsely prune a file and drop matching rows.
+   */
+  private[tables] def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** True when `s` contains any UTF-16 surrogate unit (i.e. characters
+   *  outside the BMP once decoded). Within surrogate-free strings,
+   *  code-unit and code-point order agree. */
+  private def hasSurrogate(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (Character.isSurrogate(s.charAt(i))) return true
+      i += 1
+    }
+    false
+  }
 
   /** Conservative file-level predicate evaluation over footer stats. */
   private[tables] object Pruning {
@@ -1050,7 +1194,7 @@ object SnapshotTable {
           case _ => bound.toLong.toDouble
         }
         java.lang.Double.compare(b, d)
-      case Right(Right(s)) => bound.compareTo(s)
+      case Right(Right(s)) => codePointCompare(bound, s) // parquet bounds are code-point ordered
     }
 
     private def conjunctMayMatch(f: FileEntry, e: Expression, schema: StructType): Boolean = {
@@ -1088,13 +1232,17 @@ object SnapshotTable {
           } yield n > 0).getOrElse(true)
         // p-prefixed strings live in [p, next(p)) where next(p) increments
         // p's last non-maximal char — the file may match only if its
-        // [min,max] intersects that range
+        // [min,max] intersects that range. The char-increment bound and
+        // code-unit comparisons are only sound when no surrogate pairs are
+        // involved (code-unit order == code-point order == parquet's
+        // UTF-8-byte bound order there); any surrogate → keep the file.
         case StartsWith(a, l: Literal) if l.value != null =>
           (for {
             name <- attrName(a)
             dt <- colType(name, schema)
             if dt.isInstanceOf[StringType]
             (mn, mx) <- bounds(f, name, schema)
+            if !hasSurrogate(mn) && !hasSurrogate(mx) && !hasSurrogate(l.value.toString)
           } yield {
             val p = l.value.toString
             val next: Option[String] = {

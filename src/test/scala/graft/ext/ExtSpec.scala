@@ -296,10 +296,31 @@ class ExtSpec extends SparkSpec {
     val before = t.prunedManifest(col("x") === 77L).size
     assert(before === t.manifest().size) // nothing prunable yet
     ZOrder.optimize(t, Seq("x", "y"), numFiles = 16)
-    assert(t.manifestAction().contains("overwrite"))
+    assert(t.manifestAction().contains("optimize-zorder"))
     assert(t.prunedManifest(col("x") === 77L).size <= 8)
     assert(t.prunedManifest(col("y") === 33L).size <= 8)
     assert(t.scan(col("x") === 77L).count() === 100) // content unchanged
+  }
+
+  test("ZOrder.optimize preserves the z-layout on a cluster-spec'd table") {
+    import graft.tables.SnapshotTable
+    // table persisted with a 1-D clusterBy(x): a plain overwrite would
+    // re-apply repartitionByRange(x) and destroy the z-curve's y-locality
+    val df = spark.range(0, 50000).toDF("i")
+      .withColumn("x", col("i") % 500)
+      .withColumn("y", floor(col("i") / 500).cast("long"))
+      .drop("i")
+    val t = SnapshotTable.createEmpty(spark, tmpDir("zopt_clustered"),
+      df.schema, clusterBy = Seq("x"))
+    t.append(df)
+    // 1-D x-clustering: y spans every file → y lookups read everything
+    assert(t.prunedManifest(col("y") === 33L).size === t.manifest().size)
+    ZOrder.optimize(t, Seq("x", "y"), numFiles = 16)
+    val all = t.manifest().size
+    val yKept = t.prunedManifest(col("y") === 33L).size
+    assert(yKept <= all / 2, s"y filter kept $yKept of $all files — z-layout destroyed?")
+    assert(t.clusterSpec() === Seq("x")) // spec metadata still carried forward
+    assert(t.scan(col("y") === 33L).count() === 500) // content unchanged
   }
 
   // ------------------------------------------------------------------- text

@@ -83,6 +83,38 @@ class CatalogSpec extends SparkSpec {
       .as[Long].head() === 2)
   }
 
+  test("time travel: TIMESTAMP AS OF reads the snapshot at that instant") {
+    Seq((1, "v0")).toDF("id", "v").writeTo("graft.db.t11").createOrReplace()
+    Thread.sleep(20) // commit ts resolution is millis
+    Seq((2, "v1")).toDF("id", "v").writeTo("graft.db.t11").append()
+    val t = graft.tables.SnapshotTable(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db/t11")
+    // history: v0 CREATE (empty) + v1 replace-write + v2 append
+    val writeTs = t.history().find(_.version == 1L).get.ts.get
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val asOf = fmt.format(writeTs)
+    assert(spark.sql(s"SELECT * FROM graft.db.t11 TIMESTAMP AS OF '$asOf'")
+      .as[(Int, String)].collect().toSeq === Seq((1, "v0")))
+    // now → both rows
+    val now = fmt.format(new java.util.Date(System.currentTimeMillis() + 1000))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.db.t11 TIMESTAMP AS OF '$now'")
+      .as[Long].head() === 2)
+    // before the table existed → no snapshot
+    val before = fmt.format(new java.util.Date(writeTs.getTime - 3600000))
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.db.t11 TIMESTAMP AS OF '$before'").collect())
+  }
+
+  test("SQL UPDATE on a catalog table routes to the native CoW rewrite") {
+    spark.range(0, 100).toDF("id").withColumn("v", lit(0L))
+      .writeTo("graft.db.t12").createOrReplace()
+    spark.sql("UPDATE graft.db.t12 SET v = id * 10 WHERE id >= 90")
+    assert(spark.table("graft.db.t12").filter(col("v") > 0).count() === 10)
+    assert(spark.sql("SELECT v FROM graft.db.t12 WHERE id = 95").as[Long].head() === 950L)
+    assert(spark.table("graft.db.t12").count() === 100)
+  }
+
   test("DELETE FROM rewrites only files that may match") {
     spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2)
       .writeTo("graft.db.t8").createOrReplace()

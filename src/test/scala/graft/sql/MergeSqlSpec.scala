@@ -81,6 +81,18 @@ class MergeSqlSpec extends SparkSpec {
     assert(t.read().filter($"iscurrent" === 0).select("id").as[Int].collect().toSeq === Seq(2))
   }
 
+  test("SQL UPDATE with WHERE expires rows on a registered table") {
+    val t = freshRegistered("contact_upd")
+    spark.sql("UPDATE contact_upd SET iscurrent = 0 WHERE id = 2")
+    assert(t.read().as[(Int, String, Int)].collect().toSet === Set(
+      (1, "ck1", 1), (2, "ck2", 0), (3, "ck3", 1)))
+    assert(t.manifestAction().contains("update"))
+    // unconditional UPDATE touches every row
+    spark.sql("UPDATE contact_upd SET checksum = concat(checksum, '!')")
+    assert(t.read().select("checksum").as[String].collect().toSet ===
+      Set("ck1!", "ck2!", "ck3!"))
+  }
+
   test("MERGE into an unregistered table still fails analysis") {
     Seq((1, "x")).toDF("id", "v").createOrReplaceTempView("plain_view")
     Seq(Tuple1(1)).toDF("id").createOrReplaceTempView("src_v")

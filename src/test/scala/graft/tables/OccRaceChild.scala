@@ -1,0 +1,43 @@
+package graft.tables
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Child process for the cross-process OCC race test ([[OccRaceSpec]]):
+ * opens the shared table root and performs `commits` overwrites, retrying
+ * on [[SnapshotTable.ConcurrentCommitException]] — the behavior a real
+ * multi-job writer (the reference's DynamoDB-locked Hudi writers,
+ * `hudi/hudi_scd_script.py:41-48`) exhibits against the commit log.
+ * Exits 0 only if every commit eventually landed.
+ */
+object OccRaceChild {
+  def main(args: Array[String]): Unit = {
+    val Array(root, writerId, commitsStr) = args
+    val commits = commitsStr.toInt
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"occ-race-$writerId")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val table = SnapshotTable(spark, root)
+    (1 to commits).foreach { i =>
+      var done = false
+      var attempts = 0
+      while (!done) {
+        attempts += 1
+        require(attempts <= 200, s"writer $writerId: commit $i starved")
+        try {
+          table.overwrite(Seq((writerId, i)).toDF("writer", "n"))
+          done = true
+        } catch {
+          case _: SnapshotTable.ConcurrentCommitException => Thread.sleep(5)
+        }
+      }
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}

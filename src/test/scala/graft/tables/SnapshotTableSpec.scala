@@ -430,6 +430,99 @@ class SnapshotTableSpec extends SparkSpec {
       Set((2, "b", 1L)))
   }
 
+  test("timestamp time travel: versionAsOf/readAsOf resolve wall-clock instants") {
+    val t = SnapshotTable(spark, tmpDir("asof"))
+    t.overwrite(Seq((1, "a")).toDF("id", "v")) // v0
+    Thread.sleep(20) // commit timestamps are millis; force distinct instants
+    t.overwrite(Seq((2, "b")).toDF("id", "v")) // v1
+    val h = t.history() // newest first
+    val ts0 = h.last.ts.get
+    val ts1 = h.head.ts.get
+    assert(ts1.getTime > ts0.getTime)
+    assert(t.versionAsOf(ts0.getTime) === 0)
+    assert(t.readAsOf(ts0).as[(Int, String)].collect().toSet === Set((1, "a")))
+    // an instant strictly between the commits still sees v0
+    assert(t.versionAsOf(ts1.getTime - 1) === 0)
+    // "now" sees the latest
+    assert(t.readAsOf(new java.sql.Timestamp(System.currentTimeMillis()))
+      .as[(Int, String)].collect().toSet === Set((2, "b")))
+    // before the first commit: no snapshot existed
+    intercept[IllegalArgumentException](t.versionAsOf(ts0.getTime - 3600000))
+  }
+
+  test("symlink manifest: published on every commit while enabled") {
+    val root = tmpDir("symlink")
+    val t = SnapshotTable.create(spark, root, Seq((1, "a")).toDF("id", "v"))
+    val mf = java.nio.file.Paths.get(root, "_symlink_format_manifest", "manifest")
+    assert(!java.nio.file.Files.exists(mf)) // off by default
+    def lines(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(mf).asScala.filter(_.nonEmpty).toSet
+    }
+    // enabling is itself a commit → the artifact appears immediately
+    t.setProperties(Map("graft.symlink.manifest" -> "true"))
+    assert(lines() === t.manifest().toSet)
+    t.overwrite(Seq((2, "b"), (3, "c")).toDF("id", "v"))
+    assert(lines() === t.manifest().toSet)
+    t.merge(Seq((3, "c2")).toDF("id", "v"), col("t.id") === col("s.id"))
+      .whenMatched().updateAll().execute()
+    assert(lines() === t.manifest().toSet)
+    (4 to 6).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    t.compact(targetFileBytes = 1024 * 1024, smallFileBytes = 1024 * 1024)
+    assert(lines() === t.manifest().toSet)
+  }
+
+  test("row-level UPDATE rewrites only files that may match") {
+    val t = SnapshotTable(spark, tmpDir("upd"))
+    t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", lit("old")))
+    t.append(spark.range(100, 200).toDF("id").withColumn("v", lit("old")))
+    val before = t.manifest().toSet
+    val touched = t.prunedManifest(col("id") === 150).size
+    val rewritten = t.update(col("id") === 150, Map("v" -> lit("new")))
+    assert(rewritten === touched && touched >= 1)
+    // untouched files carried forward verbatim
+    assert((before intersect t.manifest().toSet).size === before.size - touched)
+    assert(t.read().filter(col("v") === "new").select("id").as[Long].collect().toSeq
+      === Seq(150L))
+    assert(t.read().count() === 200)
+    assert(t.manifestAction().contains("update"))
+    // assignment may derive from existing columns
+    t.update(col("id") < 10, Map("v" -> concat(lit("x"), col("id").cast("string"))))
+    assert(t.read().filter(col("id") === 5).select("v").as[String].head() === "x5")
+    // stats prove no file can match → no commit at all
+    val ver = t.currentVersion()
+    assert(t.update(col("id") === 99999, Map("v" -> lit("z"))) === 0)
+    assert(t.currentVersion() === ver)
+    // unknown assignment column fails loudly
+    intercept[IllegalArgumentException](t.update(lit(true), Map("nope" -> lit(1))))
+  }
+
+  test("read-compute-commit OCC: replaceFiles rejects a stale snapshot") {
+    val t = SnapshotTable(spark, tmpDir("occ"))
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    val v = t.currentVersion()
+    t.append(Seq((2, "b")).toDF("id", "v")) // a commit lands in between
+    // a rewrite computed against version v must NOT commit over it —
+    // silently clearing the interleaved commit would lose it (the
+    // applyDeltas/merge/delete read-compute-commit race)
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      t.replaceFiles(Nil, Seq((9, "z")).toDF("id", "v"), "merge",
+        expectVersion = Some(v))
+    }
+    assert(t.read().count() === 2) // nothing was lost
+  }
+
+  test("incremental read serves files with the schema of their own version") {
+    val t = SnapshotTable(spark, tmpDir("incr_schema"))
+    t.overwrite(Seq((1, "a")).toDF("id", "v")) // v0: v string
+    t.append(Seq((2, "b")).toDF("id", "v"))    // v1
+    t.overwrite(Seq((3, 7.5)).toDF("id", "v")) // v2: v RETYPED to double
+    // the (v0, v1] window must read v1's files with v1's schema — the
+    // current schema would misread them (all-null / wrong-typed column)
+    assert(t.readIncremental(0, 1).as[(Int, String)].collect().toSet === Set((2, "b")))
+    assert(t.readIncremental(1, 2).as[(Int, Double)].collect().toSet === Set((3, 7.5)))
+  }
+
   test("merge carries forward stats of untouched files (pruning still works)") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", lit("old")))
