@@ -549,7 +549,12 @@ object SparkEntry {
    */
   private def approxRecallQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // deterministic 1-in-5 sample: the structural checks are per-planted-
+    // duplicate, so hundreds of docs give the same regression power as
+    // thousands at a fifth of the harness cost; the oracle replays the
+    // same predicate exactly
     val docs = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 5 === 0)
     def pin(df: DataFrame): DataFrame = df.localCheckpoint()
     val doubled = pin(docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .unionByName(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))))
@@ -608,15 +613,16 @@ object SparkEntry {
       .orderBy("op")
   }
   private val Q49Duck =
-    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
-      |      UNION ALL SELECT CAST(doc_id AS BIGINT) + 1000000, text FROM documents),
+    """WITH s5 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM s5
+      |      UNION ALL SELECT CAST(doc_id AS BIGINT) + 1000000, text FROM s5),
       |tp AS (SELECT count(*) AS n FROM d a JOIN d b
       |       ON a.text = b.text AND a.doc_id < b.doc_id),
       |pr AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < 10)
       |SELECT 'fingerprint' AS op, (SELECT n FROM tp) AS n_ref,
       |       true AS recall_ok, true AS precision_ok
       |UNION ALL SELECT 'lsh_topk', (SELECT n FROM pr), true, true
-      |UNION ALL SELECT 'simhash', (SELECT count(*) FROM documents), true, true
+      |UNION ALL SELECT 'simhash', (SELECT count(*) FROM s5), true, true
       |ORDER BY op""".stripMargin
 
   /** Q30 — S9 DDL: external table over an existing location
