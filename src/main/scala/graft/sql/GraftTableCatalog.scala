@@ -125,24 +125,31 @@ class GraftTableCatalog extends TableCatalog {
     new GraftTable(t, ident)
   }
 
-  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` — a metadata-only commit;
-   *  properties then ride every subsequent commit
-   *  (`delta/delta_scd_script.py:43`). Other alterations (add/drop
-   *  column via DDL) are not supported — schema evolution happens on
-   *  write ([[SnapshotTable.append]] `mergeSchema`). */
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` and `ADD COLUMNS` —
+   *  metadata-only commits; properties then ride every subsequent commit
+   *  (`delta/delta_scd_script.py:43`), added columns read as NULL from
+   *  existing files (Delta/Iceberg schema evolution). Drop/rename/retype
+   *  are not supported — they would need column mapping to avoid
+   *  misreading existing parquet. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val t = SnapshotTable(spark, rootFor(ident))
     val unsupported = changes.filter {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 => false
       case _ => true
     }
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
       s"unsupported ALTER TABLE change(s) for graft tables: ${unsupported.mkString(", ")}")
     val sets = changes.collect { case c: TableChange.SetProperty => c.property -> c.value }
     val unsets = changes.collect { case c: TableChange.RemoveProperty => c.property }
+    val adds = changes.collect { case c: TableChange.AddColumn =>
+      org.apache.spark.sql.types.StructField(
+        c.fieldNames.head, c.dataType, nullable = true)
+    }
     if (sets.nonEmpty) t.setProperties(sets.toMap)
     if (unsets.nonEmpty) t.unsetProperties(unsets)
+    if (adds.nonEmpty) t.addColumns(adds)
     new GraftTable(t, ident)
   }
 

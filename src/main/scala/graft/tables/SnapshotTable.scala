@@ -383,6 +383,24 @@ class SnapshotTable private (
     this
   }
 
+  /** `ALTER TABLE … ADD COLUMNS` (Delta/Iceberg metadata-only schema
+   *  evolution): a new commit with the widened schema and the SAME files —
+   *  no data is touched; existing files read the added columns as NULL
+   *  (the same mechanism as append-side `mergeSchema`). Added columns are
+   *  forced nullable for exactly that reason. */
+  def addColumns(cols: Seq[StructField]): SnapshotTable = {
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val e = commitEntry(v)
+    val committed = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+    val dup = cols.filter(c => committed.fieldNames.exists(_.equalsIgnoreCase(c.name)))
+    require(dup.isEmpty,
+      s"ALTER TABLE $root ADD COLUMNS: column(s) already exist: ${dup.map(_.name).mkString(", ")}")
+    val evolved = StructType(committed.fields ++ cols.map(_.copy(nullable = true)))
+    writeCommit(v + 1, e.copy(action = "add-columns", schemaJson = evolved.json))
+    this
+  }
+
   // ------------------------------------------------------------------ reads
 
   /** Latest committed snapshot — the REAL-TIME view: pending MoR deltas

@@ -164,6 +164,20 @@ class CatalogSpec extends SparkSpec {
     assert(props().get("classification").contains("parquet"))
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves the schema without touching data") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.t13")
+    Seq((1, "a")).toDF("id", "v").writeTo("graft.db.t13").createOrReplace()
+    spark.sql("ALTER TABLE graft.db.t13 ADD COLUMNS (score DOUBLE)")
+    assert(spark.table("graft.db.t13").schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(spark.sql("SELECT score FROM graft.db.t13").as[Option[Double]].collect().toSeq
+      === Seq(None))
+    spark.sql("INSERT INTO graft.db.t13 VALUES (2, 'b', 7.5)")
+    assert(spark.table("graft.db.t13").as[(Int, String, Option[Double])].collect().toSet ===
+      Set((1, "a", None), (2, "b", Some(7.5))))
+    // drop/rename stay unsupported (would misread existing parquet)
+    intercept[Exception](spark.sql("ALTER TABLE graft.db.t13 DROP COLUMN v"))
+  }
+
   test("drop table removes it; load after drop fails") {
     Seq((1, "a")).toDF("id", "v").writeTo("graft.db.t6").createOrReplace()
     spark.sql("DROP TABLE graft.db.t6")

@@ -36,10 +36,9 @@ class PruningPropertySpec extends SparkSpec {
     }
   }
 
-  test("scan(pred) == read().filter(pred) for 40 random predicates") {
-    val rnd = new Random(20260812L)
+  // three commits, mixed types, some nulls, overlapping ranges
+  private def buildTable(): SnapshotTable = {
     val t = SnapshotTable(spark, tmpDir("fuzz"))
-    // three commits, mixed types, some nulls, overlapping ranges
     def batch(lo: Int, hi: Int) =
       spark.range(lo, hi).toDF("id")
         .withColumn("k", (col("id") * 7 % 400).cast("int"))
@@ -49,6 +48,12 @@ class PruningPropertySpec extends SparkSpec {
     t.overwrite(batch(0, 150))
     t.append(batch(100, 260))
     t.append(batch(250, 400))
+    t
+  }
+
+  test("scan(pred) == read().filter(pred) for 40 random predicates") {
+    val rnd = new Random(20260812L)
+    val t = buildTable()
     val full = t.read().cache()
     try {
       (1 to 40).foreach { i =>
@@ -58,5 +63,27 @@ class PruningPropertySpec extends SparkSpec {
         assert(got === expected, s"predicate #$i diverged: $pred")
       }
     } finally full.unpersist()
+  }
+
+  test("update(pred) touches exactly the rows read().filter(pred) would") {
+    // the same soundness bar for the UPDATE path: stats-pruned touched-file
+    // discovery must never miss a matching row (silent non-update) nor
+    // corrupt a non-matching one
+    val rnd = new Random(424242L)
+    (1 to 8).foreach { i =>
+      val t = buildTable()
+      val pred = randomPredicate(rnd, depth = 1)
+      val expected = t.read().withColumn("tag",
+          when(pred, lit("hit")).otherwise(lit("miss")))
+        .groupBy("tag").count().as[(String, Long)].collect().toMap
+      t.update(pred, Map("w" -> lit("hit")))
+      val got = t.read().withColumn("tag",
+          when(col("w") === "hit", lit("hit")).otherwise(lit("miss")))
+        .groupBy("tag").count().as[(String, Long)].collect().toMap
+      assert(got.getOrElse("hit", 0L) === expected.getOrElse("hit", 0L),
+        s"update #$i rows diverged for: $pred")
+      assert(got.getOrElse("miss", 0L) === expected.getOrElse("miss", 0L),
+        s"update #$i untouched rows diverged for: $pred")
+    }
   }
 }

@@ -430,6 +430,27 @@ class SnapshotTableSpec extends SparkSpec {
       Set((2, "b", 1L)))
   }
 
+  test("ADD COLUMNS: metadata-only evolution; old files read NULL, writes fill in") {
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    val t = SnapshotTable(spark, tmpDir("addcol"))
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    val filesBefore = t.manifest()
+    t.addColumns(Seq(StructField("score", DoubleType)))
+    assert(t.manifest() === filesBefore) // no data touched
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(t.read().select("id", "v", "score")
+      .as[(Int, String, Option[Double])].collect().toSet === Set((1, "a", None)))
+    // subsequent writes carry the new column; aligned by name
+    t.append(Seq((2, "b", 7.5)).toDF("id", "v", "score"))
+    assert(t.read().as[(Int, String, Option[Double])].collect().toSet ===
+      Set((1, "a", None), (2, "b", Some(7.5))))
+    // time travel still reads the old schema
+    assert(t.readVersion(0).schema.fieldNames.toSeq === Seq("id", "v"))
+    // duplicate add fails loudly
+    intercept[IllegalArgumentException](
+      t.addColumns(Seq(StructField("SCORE", DoubleType))))
+  }
+
   test("timestamp time travel: versionAsOf/readAsOf resolve wall-clock instants") {
     val t = SnapshotTable(spark, tmpDir("asof"))
     t.overwrite(Seq((1, "a")).toDF("id", "v")) // v0
