@@ -820,6 +820,26 @@ class SnapshotTable private (
   def upsert(incoming: DataFrame, keys: Seq[String], precombine: String): SnapshotTable =
     graft.ops.Upsert(this, incoming, keys, precombine)
 
+  /**
+   * SHALLOW CLONE (Delta `CREATE TABLE … SHALLOW CLONE` semantics): a new
+   * table at `newRoot` whose first commit re-references THIS table's
+   * current live files — zero data copied, O(files) metadata. The clone
+   * then evolves independently: its rewrites land under its own root, and
+   * its [[vacuum]] cannot reclaim the source's files (vacuum only deletes
+   * under the table's own `data/` dir). Deleting/vacuuming the SOURCE can
+   * orphan the clone's referenced files — same caveat as Delta.
+   */
+  def shallowCloneTo(newRoot: String): SnapshotTable = {
+    val (_, entry) = currentReadable().getOrElse(
+      throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
+    require(entry.deltaFiles.forall(_.isEmpty),
+      s"table $root has pending MoR deltas; applyDeltas() before cloning")
+    val clone = new SnapshotTable(spark, newRoot)
+    require(clone.currentVersion() < 0, s"clone target $newRoot is not empty")
+    clone.writeCommit(0, entry.copy(action = s"clone-of:$root"))
+    clone
+  }
+
   // --------------------------------------------------------- merge-on-read
 
   /**

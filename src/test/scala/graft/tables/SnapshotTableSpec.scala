@@ -430,6 +430,30 @@ class SnapshotTableSpec extends SparkSpec {
       Set((2, "b", 1L)))
   }
 
+  test("shallow clone: zero-copy, then diverges independently") {
+    val t = SnapshotTable(spark, tmpDir("clone_src"))
+    t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", lit("src")))
+    val c = t.shallowCloneTo(tmpDir("clone_dst"))
+    // same files, no data copied
+    assert(c.manifest() === t.manifest())
+    assert(c.read().count() === 100)
+    assert(c.manifestAction().exists(_.startsWith("clone-of:")))
+    // clone evolves independently; source untouched
+    c.update(col("id") < 10, Map("v" -> lit("cloned")))
+    assert(c.read().filter(col("v") === "cloned").count() === 10)
+    assert(t.read().filter(col("v") === "cloned").count() === 0)
+    // the clone's rewrite landed under its own root; untouched files are
+    // still shared with the source
+    assert(c.manifest().exists(!t.manifest().contains(_)))
+    assert(c.manifest().exists(t.manifest().contains))
+    // clone vacuum only reclaims under its own data dir — source intact
+    c.overwrite(Seq((1L, "x")).toDF("id", "v"))
+    c.vacuum(retainVersions = 1, retainMillis = 0)
+    assert(t.read().count() === 100)
+    // guards: non-empty target, pending deltas
+    intercept[IllegalArgumentException](t.shallowCloneTo(c.root))
+  }
+
   test("ADD COLUMNS: metadata-only evolution; old files read NULL, writes fill in") {
     import org.apache.spark.sql.types.{DoubleType, StructField}
     val t = SnapshotTable(spark, tmpDir("addcol"))
