@@ -492,6 +492,22 @@ object SparkEntry {
       .orderBy("q_id", "n_id")
   }
 
+  /** Q50 — n-gram repetition ratio (the Gopher-style duplicate-trigram
+   *  quality filter), formula replayed verbatim in the oracle. */
+  private def repetitionQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        round(ext.TextAnalysis.repetitionRatio(col("text"), 3), 6).as("rep_ratio"))
+      .orderBy("doc_id")
+  private val Q50Duck =
+    """SELECT doc_id,
+      |  round(CASE WHEN len(t) - 2 > 0
+      |    THEN 1.0 - len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                  for i in range(1, len(t)-1)]))*1.0 / (len(t) - 2)
+      |    ELSE 0.0 END, 6) AS rep_ratio
+      |FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Q48 — embedding cosine near-dup pairs ([[ext.Dedup.embeddingPairs]],
    *  hyperplane-LSH bucket join + exact cosine filter). The embeddings
    *  fixture has NO planted near-dups (max background cosine ≈ 0.51), so
@@ -969,7 +985,8 @@ object SparkEntry {
     "q46_quality_score" -> qualityQuery,
     "q47_text_ratios" -> textRatiosQuery,
     "q48_embedding_pairs" -> embeddingPairsQuery,
-    "q49_approx_recall" -> approxRecallQuery)
+    "q49_approx_recall" -> approxRecallQuery,
+    "q50_repetition_ratio" -> repetitionQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1018,7 +1035,8 @@ object SparkEntry {
     "q46_quality_score" -> Q46Duck,
     "q47_text_ratios" -> Q47Duck,
     "q48_embedding_pairs" -> Q48Duck,
-    "q49_approx_recall" -> Q49Duck)
+    "q49_approx_recall" -> Q49Duck,
+    "q50_repetition_ratio" -> Q50Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN values
   // are not SQL-expressible → driver records the weaker rows-only check
   // for them; their SEMANTICS are oracled through q49's recall/precision

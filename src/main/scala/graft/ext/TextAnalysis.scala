@@ -48,6 +48,18 @@ object TextAnalysis {
         .otherwise(array()))
   }
 
+  /** Duplicate word-n-gram fraction — the Gopher-style repetition
+   *  quality filter (Rae et al. 2021, §A1.1: "fraction of duplicate
+   *  n-grams"): 1 − distinct/total n-grams, 0 for docs shorter than `n`
+   *  tokens. Looping or template-heavy text scores high and gets
+   *  filtered before pre-training. Pure codegen'd Column arithmetic. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val total = greatest(tokenCount(text) - lit(n - 1), lit(0))
+    when(total > 0,
+      lit(1.0) - size(shingles(text, n)).cast("double") / total)
+      .otherwise(lit(0.0))
+  }
+
   /** Marker stopwords per language (distinct-hit scoring). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is"),

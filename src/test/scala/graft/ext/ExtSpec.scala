@@ -325,6 +325,20 @@ class ExtSpec extends SparkSpec {
 
   // ------------------------------------------------------------------- text
 
+  test("repetitionRatio flags looping text, passes diverse text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),  // 6 trigrams, 1 distinct
+      (2L, "each word here is completely distinct today"), // all distinct
+      (3L, "ab"),                                       // shorter than n
+      (4L, "")).toDF("id", "text")
+    val r = df.select(col("id"), TextAnalysis.repetitionRatio(col("text"), 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r(1L) - (1.0 - 1.0 / 6)) < 1e-9, s"got ${r(1L)}")
+    assert(r(2L) === 0.0)
+    assert(r(3L) === 0.0)
+    assert(r(4L) === 0.0)
+  }
+
   test("bpe-ish token counting splits contractions, numbers, punctuation") {
     val df = Seq(
       (1L, "I'll pay $42.50 for it!"),
