@@ -1153,6 +1153,8 @@ object SnapshotTable {
           case ("<=", Seq(l, r)) => LessThanOrEqual(l, r)
           case ("in", l +: rest) if rest.nonEmpty => In(l, rest)
           case ("isnull", Seq(l)) => IsNull(l)
+          case ("isnotnull", Seq(l)) =>
+            org.apache.spark.sql.catalyst.expressions.IsNotNull(l)
           case ("startswith", Seq(l, r)) => StartsWith(l, r)
           case _ => e
         }
@@ -1268,6 +1270,16 @@ object SnapshotTable {
             cs <- f.stats.get(field.name)
             n <- cs.nullCount
           } yield n > 0).getOrElse(true)
+        // a file that is all-NULL in the column (nullCount == rows) cannot
+        // satisfy IsNotNull — the sparse-column mirror of the IsNull case
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(a) =>
+          (for {
+            name <- attrName(a)
+            field <- schema.fields.find(_.name.equalsIgnoreCase(name))
+            cs <- f.stats.get(field.name)
+            n <- cs.nullCount
+            if f.rows >= 0
+          } yield n < f.rows).getOrElse(true)
         // p-prefixed strings live in [p, next(p)) where next(p) increments
         // p's last non-maximal char — the file may match only if its
         // [min,max] intersects that range. The char-increment bound and

@@ -160,6 +160,18 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ts.scan(col("ts") >= lit(mk("2024-03-01 00:00:00"))).count() === 1)
   }
 
+  test("IsNull / IsNotNull prune on null counts") {
+    val t = SnapshotTable(spark, tmpDir("nulls"))
+    // file A: m never null; file B: m always null
+    t.overwrite(Seq((1, Some(10)), (2, Some(20))).toDF("id", "m").coalesce(1))
+    t.append(Seq((3, Option.empty[Int]), (4, Option.empty[Int])).toDF("id", "m").coalesce(1))
+    val all = t.manifest().size
+    assert(t.prunedManifest(col("m").isNull).size < all)
+    assert(t.prunedManifest(col("m").isNotNull).size < all)
+    assert(t.scan(col("m").isNull).count() === 2)
+    assert(t.scan(col("m").isNotNull).count() === 2)
+  }
+
   test("schema evolution: appended files missing a new column read as null") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(Seq((1, "a")).toDF("id", "v"))
