@@ -255,6 +255,19 @@ class ExtSpec extends SparkSpec {
     assert(frames.getInt(0) === 5) // 100 / (10*2)
   }
 
+  test("multimodal features feed similarity search (pipeline composition)") {
+    // decode emits an embedding per asset; identical payloads (docs 1 and
+    // 4) produce identical stub features, so ANN must rank them first —
+    // the full binary-column → feature → similarity pipeline shape
+    val feats = Multimodal.decodeImages(Multimodal.asAssets(docs, "id", "text"))
+      .select(col("asset_id"), col("features"))
+    val top = Similarity.bruteForceTopK(
+      feats, feats.filter(col("asset_id") === 1), "asset_id", "features", k = 1)
+      .select("q_id", "n_id", "cos").as[(Long, Long, Double)].head()
+    assert(top._1 === 1L && top._2 === 4L, s"got $top")
+    assert(math.abs(top._3 - 1.0) < 1e-9)
+  }
+
   test("multimodal: resize target preserves aspect ratio, never upscales") {
     val df = Seq((4000, 3000), (300, 200), (100, 5000)).toDF("w", "h")
     val (tw, th) = Multimodal.resizeTarget(col("w"), col("h"), maxDim = 1000)
