@@ -55,8 +55,12 @@ object TextAnalysis {
    *  filtered before pre-training. Pure codegen'd Column arithmetic. */
   def repetitionRatio(text: Column, n: Int = 3): Column = {
     val total = greatest(tokenCount(text) - lit(n - 1), lit(0))
+    // distinct count via the zero-allocation hashed-shingle kernel (sorted
+    // distinct 64-bit hashes straight off the UTF-8 bytes) — the string
+    // transform/array_distinct form is ~10x slower; a 64-bit in-document
+    // collision (prob ~k²/2⁶⁴) is the standard hashed-shingling trade
     when(total > 0,
-      lit(1.0) - size(shingles(text, n)).cast("double") / total)
+      lit(1.0) - size(functions.hashedShingles(text, n)).cast("double") / total)
       .otherwise(lit(0.0))
   }
 
