@@ -47,12 +47,13 @@ object Dedup {
    *  source already has enough partitions (the 100 TB case). */
   private def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // metadata-only width probe: leaf file count for file-backed sources
-    // (the normal case — avoids building the physical RDD plan just to
-    // read a partition count); non-file sources fall back to the RDD probe
-    val files = df.inputFiles.length
-    val parts = if (files > 0) files else df.rdd.getNumPartitions
-    if (parts * 2 <= target) df.repartition(target) else df
+    // the probe must see the partition count Spark will ACTUALLY run with
+    // (a file count mis-estimates in both directions: many tiny files
+    // bin-pack into few partitions, one splittable file fans out to many).
+    // df.rdd plans the query once; QueryExecution caches the plan, so the
+    // later consumers of `df` do not re-plan — the probe cost is one
+    // physical planning pass, negligible next to the pair-mining job.
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
   }
 
   /**
@@ -396,6 +397,12 @@ object Dedup {
    * never a cross join, no driver data.
    */
   private def propagateComponents(pairs: DataFrame, maxIter: Int): DataFrame = {
+    // nodes appearing ONLY in self-pairs (x, x) carry no edge but are
+    // still their own component — kept aside so both dispatch paths
+    // return identical label sets
+    val selfOnly = pairs.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id"), col("id_a").as("component"))
+      .distinct()
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
@@ -443,9 +450,13 @@ object Dedup {
       s"connectedComponents did not converge within $maxIter large-star/small-star rounds " +
         "— raise maxIter (rounds needed grow with log(nodes), so this indicates " +
         "an extraordinarily deep pair graph or a bug, not normal data)")
-    // star fixpoint: every edge is (node, component root); roots label themselves
+    // star fixpoint: every edge is (node, component root); roots label
+    // themselves; self-pair-only nodes rejoin as their own singletons
     edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .union(selfOnly.join(
+        edges.select(col("u").as("id")).union(edges.select(col("v").as("id"))),
+        Seq("id"), "left_anti"))
       .distinct()
   }
 

@@ -64,6 +64,12 @@ object ZOrder {
   def optimize(
       table: graft.tables.SnapshotTable,
       cols: Seq[String],
-      numFiles: Int): graft.tables.SnapshotTable =
-    table.overwritePreClustered(cluster(table.read(), cols, numFiles), "optimize-zorder")
+      numFiles: Int): graft.tables.SnapshotTable = {
+    // pin the snapshot the rewrite is derived from: a commit landing while
+    // the clustering job runs must fail this optimize loudly, not be
+    // silently overwritten by it (same OCC guard as merge/delete/update)
+    val v = table.currentVersion()
+    table.overwritePreClustered(cluster(table.read(), cols, numFiles),
+      "optimize-zorder", expectVersion = Some(v))
+  }
 }

@@ -171,9 +171,32 @@ case class GraftUpdateCommand(table: SnapshotTable, update: UpdateTable)
       case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
       case a: Attribute => UnresolvedAttribute(Seq(a.name))
     })
+    // the target's alias (UPDATE t AS x SET x.col = …) or bare table name —
+    // the only qualifiers an assignment key may carry; anything else (a
+    // typo'd qualifier, a struct path) must fail, not silently update a
+    // same-named top-level column
+    val targetNames: Set[String] = {
+      def names(p: LogicalPlan): Set[String] = p match {
+        case SubqueryAlias(ident, child) => names(child) + ident.name.toLowerCase
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name.toLowerCase).toSet
+        case v: View => Set(v.desc.identifier.table.toLowerCase)
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          Set(u.multipartIdentifier.last.toLowerCase)
+        case p if p.children.size == 1 => names(p.children.head)
+        case _ => Set.empty
+      }
+      names(update.table)
+    }
     val assigns = update.assignments.map { a =>
       val name = a.key match {
-        case u: UnresolvedAttribute => u.nameParts.last
+        case u: UnresolvedAttribute if u.nameParts.length == 1 => u.nameParts.head
+        case u: UnresolvedAttribute if u.nameParts.length == 2 &&
+            targetNames.contains(u.nameParts.head.toLowerCase) => u.nameParts.last
+        case u: UnresolvedAttribute => throw new IllegalArgumentException(
+          s"unsupported UPDATE assignment key ${u.nameParts.mkString(".")}: " +
+            "only target columns (optionally qualified by the target table/alias) " +
+            "can be assigned")
         case attr: Attribute => attr.name
         case other => throw new IllegalArgumentException(
           s"unsupported UPDATE assignment key: $other")

@@ -85,9 +85,22 @@ class GraftTableSource(
     if (v < 0) None else Some(LongOffset(v))
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
-    asStreaming(table.readIncremental(
-      start.map(toVersion).getOrElse(startCursor), toVersion(end)))
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val batch = table.readIncremental(
+      start.map(toVersion).getOrElse(startCursor), toVersion(end))
+    // The micro-batch engine binds this plan's attributes positionally
+    // against the schema declared at stream start. A window whose files
+    // carry a DIFFERENT schema (ADD COLUMNS / retyping overwrite landed
+    // mid-stream or before a checkpoint replay) would misbind columns —
+    // fail loudly instead, like Delta's schema-changed stream error.
+    def shape(s: StructType): Seq[(String, String)] =
+      s.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType.sql)) // ignores nullability
+    if (shape(batch.schema) != shape(schema)) throw new IllegalStateException(
+      s"table ${table.root} changed schema mid-stream (stream started with " +
+        s"$schema, batch has ${batch.schema}); restart the query with a fresh " +
+        "checkpoint to pick up the new schema")
+    asStreaming(batch)
+  }
 
   /** The micro-batch engine requires `isStreaming=true` on the plan a V1
    *  source returns (FileStreamSource marks its per-batch file relation

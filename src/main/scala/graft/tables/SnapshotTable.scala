@@ -162,17 +162,36 @@ class SnapshotTable private (
    * external engines can consume the table, `delta/delta_scd_script.py:
    * 42-43,57-60` `generate symlink_format_manifest`): one live data-file
    * path per line at `_symlink_format_manifest/manifest`, rewritten on
-   * every commit while table property `graft.symlink.manifest=true`.
-   * O(files) metadata written by the committer only — no job.
+   * every commit while table property `graft.symlink.manifest=true`, and
+   * removed again once the property is unset. O(files) metadata written
+   * by the committer only — no job.
+   *
+   * Semantics for external readers: the manifest is the READ-OPTIMIZED
+   * view — base files only, like Hudi's `_ro` table. While MoR deltas are
+   * pending ([[upsertDeferred]]), the base is behind the real-time view
+   * by exactly those deltas; [[applyDeltas]] folds them in and republishes.
+   * Publication is atomic (tmp file + rename), so a concurrent external
+   * read never sees a torn list; under racing committers the file is
+   * last-writer-wins and self-heals on the next commit.
    */
-  private def publishSymlinkManifest(entry: CommitEntry): Unit =
+  private def publishSymlinkManifest(entry: CommitEntry): Unit = {
+    val dir = new Path(rootPath, "_symlink_format_manifest")
+    val dest = new Path(dir, "manifest")
     if (entry.properties.exists(_.get("graft.symlink.manifest").contains("true"))) {
-      val dir = new Path(rootPath, "_symlink_format_manifest")
       fs.mkdirs(dir)
-      val out = fs.create(new Path(dir, "manifest"), true)
+      val tmp = new Path(dir, s".manifest-${UUID.randomUUID().toString.take(12)}.tmp")
+      val out = fs.create(tmp, true)
       try out.write(entry.files.map(_.path).mkString("", "\n", "\n").getBytes("UTF-8"))
       finally out.close()
+      if (!fs.rename(tmp, dest)) { // HDFS rename won't replace: retry once
+        fs.delete(dest, false)
+        if (!fs.rename(tmp, dest)) { fs.delete(tmp, false)
+          throw new java.io.IOException(s"could not publish $dest") }
+      }
+    } else if (fs.exists(dest)) {
+      fs.delete(dest, false) // property unset: stop advertising stale paths
     }
+  }
 
   private def refreshViews(): Unit =
     syncedViews.foreach(v => read().createOrReplaceTempView(v))
@@ -223,10 +242,23 @@ class SnapshotTable private (
    *  data already laid out deliberately: the default overwrite would
    *  `repartitionByRange` on the table's `clusterBy` columns and silently
    *  destroy the layout just computed. Cluster spec and properties still
-   *  carry forward in the commit metadata. */
-  private[graft] def overwritePreClustered(df: DataFrame, action: String = "overwrite"): SnapshotTable = {
+   *  carry forward in the commit metadata. `expectVersion` is the OCC
+   *  guard for the caller's read-compute-commit sequence (the rewrite was
+   *  derived from that snapshot); pending MoR deltas are rejected — this
+   *  commit path would silently drop them. */
+  private[graft] def overwritePreClustered(
+      df: DataFrame, action: String = "overwrite",
+      expectVersion: Option[Long] = None): SnapshotTable = {
     val v = currentVersion()
+    expectVersion.filter(_ != v).foreach { e =>
+      throw new ConcurrentCommitException(
+        s"table $root advanced from version $e to $v since this $action was " +
+          "computed; retry against the fresh snapshot")
+    }
     val prior = if (v < 0) None else Some(commitEntry(v))
+    if (prior.exists(_.deltaFiles.exists(_.nonEmpty)))
+      throw new IllegalStateException(
+        s"table $root has pending MoR deltas; call applyDeltas() before a maintenance rewrite")
     val files = writeDataDir(df)
     writeCommit(v + 1,
       CommitEntry(action, df.schema.json, files,
@@ -620,10 +652,23 @@ class SnapshotTable private (
     val (cur, entry) = currentReadable().getOrElse(
       throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
     val to = math.min(toVersion, cur)
+    // an empty (or inverted) window is a normal steady-state for streaming
+    // consumers that are caught up (or started ahead of the table) — an
+    // empty frame with the current schema, not a missing-log crash
+    if (fromVersion >= to)
+      return dfOver(Nil, DataType.fromJson(entry.schemaJson).asInstanceOf[StructType])
     // files present at `to` but not at `from` = first committed after
     // `from`; pending MoR delta files diff the same way, so deferred
     // upserts surface incrementally too
-    val fromEntry = if (fromVersion < 0) None else Some(commitEntry(fromVersion))
+    val fromEntry =
+      if (fromVersion < 0) None
+      else try Some(commitEntry(fromVersion))
+      catch {
+        case NonFatal(e) => throw new IllegalStateException(
+          s"incremental cursor $fromVersion of $root is no longer readable " +
+            "(log entry expired by vacuum?) — the consumer must re-bootstrap " +
+            "from a full snapshot", e)
+      }
     val toEntry = if (to == cur) entry else commitEntry(to)
     // read with the schema of the version whose files are served: a later
     // overwrite may have retyped/renamed columns, and reading old files

@@ -190,6 +190,28 @@ class ExtSpec extends SparkSpec {
       s"chain must collapse to component 0, got ${labels.values.toSet}")
   }
 
+  test("connectedComponents: both dispatch paths agree on self-pair-only nodes") {
+    val pairs = Seq((1L, 2L), (7L, 7L)).toDF("id_a", "id_b")
+    val driver = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(driver === dist)
+    assert(driver(7L) === 7L) // a self-loop node is its own component
+  }
+
+  test("ZOrder.optimize refuses pending MoR deltas and stale snapshots") {
+    import graft.tables.SnapshotTable
+    val t = SnapshotTable(spark, tmpDir("zopt_guard"))
+    t.overwrite(Seq((1L, 2L, 0L)).toDF("x", "y", "ts"))
+    t.upsertDeferred(Seq((1L, 3L, 1L)).toDF("x", "y", "ts"),
+      keys = Seq("x"), precombine = "ts")
+    // a maintenance rewrite would silently drop the pending delta
+    intercept[IllegalStateException](ZOrder.optimize(t, Seq("x", "y"), numFiles = 2))
+    t.applyDeltas()
+    ZOrder.optimize(t, Seq("x", "y"), numFiles = 2) // clean table: fine
+    assert(t.read().count() === 1)
+  }
+
   test("connectedComponents throws on maxIter exhaustion instead of mislabeling") {
     val chain = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {

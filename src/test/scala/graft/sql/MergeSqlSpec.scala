@@ -93,6 +93,18 @@ class MergeSqlSpec extends SparkSpec {
       Set("ck1!", "ck2!", "ck3!"))
   }
 
+  test("UPDATE rejects assignment keys with foreign qualifiers") {
+    val t = freshRegistered("contact_badqual")
+    // "s" is not the target's name or alias — silently updating the
+    // same-named top-level column would commit wrong data
+    val e = intercept[Exception](
+      spark.sql("UPDATE contact_badqual SET s.iscurrent = 0 WHERE id = 2"))
+    assert(e.getMessage.contains("assignment key"))
+    // qualifying by the target name itself is fine
+    spark.sql("UPDATE contact_badqual SET contact_badqual.iscurrent = 0 WHERE id = 2")
+    assert(t.read().filter($"iscurrent" === 0).select("id").as[Int].collect().toSeq === Seq(2))
+  }
+
   test("MERGE into an unregistered table still fails analysis") {
     Seq((1, "x")).toDF("id", "v").createOrReplaceTempView("plain_view")
     Seq(Tuple1(1)).toDF("id").createOrReplaceTempView("src_v")

@@ -143,6 +143,18 @@ class StreamIngestSpec extends SparkSpec {
       .as[(Int, String)].collect().toSet === Set((2, "b"), (2, "b2")))
   }
 
+  test("streaming read source fails loudly when the table schema changes mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val t = SnapshotTable.create(spark, tmpDir("streamsrc_schema"),
+      Seq((1, "a")).toDF("id", "v"))
+    val src = new GraftTableSource(spark, t, -1) // pins the CURRENT schema
+    // a retyping overwrite lands while the stream runs
+    t.overwrite(Seq((2, 7.5)).toDF("id", "v"))
+    val e = intercept[IllegalStateException](
+      src.getBatch(None, LongOffset(t.currentVersion())))
+    assert(e.getMessage.contains("changed schema mid-stream"))
+  }
+
   test("sessionization with flatMapGroupsWithState emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]

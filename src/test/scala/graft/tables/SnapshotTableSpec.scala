@@ -569,6 +569,31 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().count() === 2) // nothing was lost
   }
 
+  test("incremental read: empty/inverted windows are empty, expired cursors explain") {
+    val t = SnapshotTable(spark, tmpDir("incr_edge"))
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    // caught-up and ahead-of-table cursors: empty frame, current schema
+    assert(t.readIncremental(0).count() === 0)
+    assert(t.readIncremental(5).count() === 0)
+    assert(t.readIncremental(5).schema.fieldNames.toSeq === Seq("id", "v"))
+    // vacuum-expired cursor: clear re-bootstrap error, not FileNotFound
+    t.overwrite(Seq((2, "b")).toDF("id", "v"))
+    t.overwrite(Seq((3, "c")).toDF("id", "v"))
+    t.vacuum(retainVersions = 1, retainMillis = 0)
+    val e = intercept[IllegalStateException](t.readIncremental(0, 2))
+    assert(e.getMessage.contains("re-bootstrap"))
+  }
+
+  test("symlink manifest is removed when the property is unset") {
+    val root = tmpDir("symlink_unset")
+    val t = SnapshotTable.create(spark, root, Seq((1, "a")).toDF("id", "v"))
+    t.setProperties(Map("graft.symlink.manifest" -> "true"))
+    val mf = java.nio.file.Paths.get(root, "_symlink_format_manifest", "manifest")
+    assert(java.nio.file.Files.exists(mf))
+    t.unsetProperties(Seq("graft.symlink.manifest"))
+    assert(!java.nio.file.Files.exists(mf), "stale manifest still advertised")
+  }
+
   test("incremental read serves files with the schema of their own version") {
     val t = SnapshotTable(spark, tmpDir("incr_schema"))
     t.overwrite(Seq((1, "a")).toDF("id", "v")) // v0: v string
