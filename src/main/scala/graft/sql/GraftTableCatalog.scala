@@ -106,13 +106,25 @@ class GraftTableCatalog extends TableCatalog {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (exists(ident)) throw new TableAlreadyExistsException(ident)
-    // identity partition transforms become the table's persisted cluster
-    // spec: every write range-repartitions on these columns, so per-file
+    // partition transforms become the table's persisted cluster spec:
+    // every write range-repartitions on these expressions, so per-file
     // stats are disjoint and reads prune files — partition pruning via
-    // data skipping, no dir-per-value layout
+    // data skipping, no dir-per-value layout. Iceberg-style hidden
+    // partitioning: years/months/days/hours(ts) cluster on the truncated
+    // time (raw-column predicates prune with no query rewrite);
+    // bucket(n, col) hash-groups high-cardinality keys.
+    val timeUnits = Set("years", "months", "days", "hours")
     val clusterBy = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
+      case t if timeUnits.contains(t.name) && t.references.length == 1 =>
+        s"${t.name}(${t.references.head.fieldNames.mkString(".")})"
+      case t if t.name == "bucket" && t.references.length == 1 =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value.toString
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"bucket transform without a bucket count: $t"))
+        s"bucket($n, ${t.references.head.fieldNames.mkString(".")})"
       case other => throw new UnsupportedOperationException(
         s"unsupported partition transform for graft tables: $other")
     }

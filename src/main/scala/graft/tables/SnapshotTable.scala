@@ -326,10 +326,17 @@ class SnapshotTable private (
     (aligned, evolved)
   }
 
-  /** Persisted clustering columns (identity "partitioning"): every write
-   *  range-repartitions rows on these columns so per-file min/max stats
-   *  are disjoint — partition pruning via data skipping, without the
-   *  dir-per-value small-file explosion of hive-style layouts. */
+  /** Persisted clustering spec ("partitioning"): every write
+   *  range-repartitions rows on these expressions so per-file min/max
+   *  stats are disjoint — partition pruning via data skipping, without
+   *  the dir-per-value small-file explosion of hive-style layouts.
+   *  Entries are either plain column names (identity) or Iceberg-style
+   *  hidden-partitioning transforms ([[SnapshotTable.ClusterTransform]]):
+   *  `years/months/days/hours(col)` range-cluster on the truncated time —
+   *  the RAW column's per-file bounds turn narrow, so ordinary timestamp
+   *  predicates prune files with no query rewrite (Iceberg's hidden
+   *  partitioning promise); `bucket(n, col)` hash-groups rows for
+   *  co-location and bounded file counts on high-cardinality keys. */
   def clusterSpec(): Seq[String] = {
     val v = currentVersion()
     if (v < 0) Nil else commitEntry(v).clusterBy.getOrElse(Nil)
@@ -338,9 +345,12 @@ class SnapshotTable private (
   private def toOpt(spec: Seq[String]): Option[List[String]] =
     if (spec.isEmpty) None else Some(spec.toList)
 
-  private def applyCluster(df: DataFrame, spec: Seq[String]): DataFrame =
-    if (spec.isEmpty || !spec.forall(df.columns.contains)) df
-    else df.repartitionByRange(spec.map(c => org.apache.spark.sql.functions.col(c)): _*)
+  private def applyCluster(df: DataFrame, spec: Seq[String]): DataFrame = {
+    val applicable = spec.nonEmpty && spec.forall(s =>
+      df.columns.exists(_.equalsIgnoreCase(ClusterTransform.sourceColumn(s))))
+    if (!applicable) df
+    else df.repartitionByRange(spec.map(ClusterTransform.expr): _*)
+  }
 
   /** Action tag of the latest commit (None for an empty table). */
   def manifestAction(): Option[String] =
@@ -1016,6 +1026,29 @@ class SnapshotTable private (
 object SnapshotTable {
 
   class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
+  /** Cluster-spec transform grammar (see [[SnapshotTable.clusterSpec]]):
+   *  `col`, `years(col)`, `months(col)`, `days(col)`, `hours(col)`,
+   *  `bucket(n, col)`. Pure `Column` expressions — evaluated only while
+   *  repartitioning a write; never stored per row. */
+  private[graft] object ClusterTransform {
+    import org.apache.spark.sql.functions._
+    private val Bucket = """bucket\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+    private val Time = """(years|months|days|hours)\(\s*([^)]+?)\s*\)""".r
+
+    /** The underlying column a spec entry clusters on. */
+    def sourceColumn(spec: String): String = spec match {
+      case Bucket(_, c) => c
+      case Time(_, c) => c
+      case plain => plain
+    }
+
+    def expr(spec: String): Column = spec match {
+      case Bucket(n, c) => pmod(hash(col(c)), lit(n.toInt))
+      case Time(unit, c) => date_trunc(unit.stripSuffix("s").toUpperCase, col(c))
+      case plain => col(plain)
+    }
+  }
 
   /** Column min/max/nullCount of one parquet file, harvested from its
    *  footer. `min`/`max` are stringified in the column's natural domain

@@ -164,6 +164,47 @@ class CatalogSpec extends SparkSpec {
     assert(props().get("classification").contains("parquet"))
   }
 
+  test("PARTITIONED BY (days(ts)) hidden partitioning prunes raw-timestamp reads") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.t14")
+    spark.sql(
+      "CREATE TABLE graft.db.t14 (ts TIMESTAMP, v BIGINT) USING graft PARTITIONED BY (days(ts))")
+    // 8 days of events, written unsorted — the days() transform clusters them
+    val df = spark.range(0, 8 * 24).toDF("h")
+      .withColumn("ts", expr("timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,h)"))
+      .withColumn("v", col("h") * 10).drop("h")
+      .orderBy(rand(7)) // deliberately shuffled input
+    // tiny fixture: stop AQE folding the 4 range partitions into one file
+    // (at real scale AQE's advisory size IS the desired file sizing)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesceKey, "false")
+    try df.writeTo("graft.db.t14").append()
+    finally spark.conf.unset(coalesceKey)
+    val t = graft.tables.SnapshotTable(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db/t14")
+    assert(t.clusterSpec() === Seq("days(ts)"))
+    val all = t.manifest().size
+    // a raw ts predicate (no day() rewrite in the query!) prunes files
+    val kept = t.prunedManifest(
+      col("ts") >= lit(java.sql.Timestamp.valueOf("2024-03-07 00:00:00"))).size
+    assert(kept < all, s"ts filter kept $kept of $all files")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t14 WHERE ts >= timestamp'2024-03-07 00:00:00'")
+      .as[Long].head() === 48)
+  }
+
+  test("PARTITIONED BY bucket(4, id) persists as a bucket cluster spec") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.t15")
+    spark.sql(
+      "CREATE TABLE graft.db.t15 (id BIGINT, v BIGINT) USING graft PARTITIONED BY (bucket(4, id))")
+    spark.range(0, 1000).toDF("id").withColumn("v", col("id") * 2)
+      .writeTo("graft.db.t15").append()
+    val t = graft.tables.SnapshotTable(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db/t15")
+    assert(t.clusterSpec() === Seq("bucket(4, id)"))
+    assert(spark.table("graft.db.t15").count() === 1000)
+    assert(spark.sql("SELECT v FROM graft.db.t15 WHERE id = 500").as[Long].head() === 1000L)
+  }
+
   test("ALTER TABLE ADD COLUMNS evolves the schema without touching data") {
     spark.sql("DROP TABLE IF EXISTS graft.db.t13")
     Seq((1, "a")).toDF("id", "v").writeTo("graft.db.t13").createOrReplace()
