@@ -198,9 +198,42 @@ class SnapshotTable private (
 
   // ----------------------------------------------------------------- writes
 
+  /**
+   * CHECK-constraint enforcement (Delta `ALTER TABLE … ADD CONSTRAINT`
+   * semantics, expressed through table properties so the existing
+   * SET TBLPROPERTIES surface — API and SQL — manages them): every
+   * property `graft.constraint.<name> = <boolean SQL expr>` must hold for
+   * every row written by any commit path. The check is embedded in the
+   * write projection itself (a `raise_error` guard folded into the first
+   * output column) — one pass, codegen'd, no separate validation job; a
+   * violating row fails the write job, so NO commit happens and the
+   * partial data dir is invisible to readers and vacuum-reclaimable.
+   * NULL results pass, matching SQL CHECK semantics (use
+   * `col IS NOT NULL` for NOT NULL enforcement).
+   */
+  private def enforceConstraints(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, raise_error, when}
+    val props = currentReadable().flatMap(_._2.properties).getOrElse(Map.empty)
+    val checks = props.collect {
+      case (k, v) if k.startsWith("graft.constraint.") =>
+        (k.stripPrefix("graft.constraint."), v)
+    }.toSeq.sortBy(_._1)
+    if (checks.isEmpty) return df
+    val head = df.schema.fields.head
+    val guarded = checks.foldLeft(col(head.name)) { case (acc, (name, sql)) =>
+      coalesce(
+        when(!expr(sql),
+          raise_error(lit(s"CHECK constraint '$name' violated: $sql"))
+            .cast(head.dataType)),
+        acc)
+    }
+    df.withColumn(head.name, guarded)
+  }
+
   /** Write `df` into a fresh immutable data dir; return per-file entries
    *  with footer-harvested column stats. */
-  private[graft] def writeDataDir(df: DataFrame): Seq[FileEntry] = {
+  private[graft] def writeDataDir(dfIn: DataFrame): Seq[FileEntry] = {
+    val df = enforceConstraints(dfIn)
     val dir = new Path(dataDir, UUID.randomUUID().toString.take(12))
     // Spark's default INT96 timestamps carry no parquet min/max stats and
     // would defeat data skipping on timestamp columns — write INT64 micros.

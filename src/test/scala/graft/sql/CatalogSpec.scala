@@ -219,6 +219,17 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql("ALTER TABLE graft.db.t13 DROP COLUMN v"))
   }
 
+  test("CHECK constraints via TBLPROPERTIES block violating SQL inserts") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.t16")
+    Seq((1, 5L)).toDF("id", "v").writeTo("graft.db.t16").createOrReplace()
+    spark.sql(
+      "ALTER TABLE graft.db.t16 SET TBLPROPERTIES ('graft.constraint.vpos' = 'v > 0')")
+    intercept[Exception](spark.sql("INSERT INTO graft.db.t16 VALUES (2, -1)"))
+    assert(spark.table("graft.db.t16").count() === 1)
+    spark.sql("INSERT INTO graft.db.t16 VALUES (2, 3)")
+    assert(spark.table("graft.db.t16").count() === 2)
+  }
+
   test("drop table removes it; load after drop fails") {
     Seq((1, "a")).toDF("id", "v").writeTo("graft.db.t6").createOrReplace()
     spark.sql("DROP TABLE graft.db.t6")

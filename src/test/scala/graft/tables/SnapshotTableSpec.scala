@@ -442,6 +442,33 @@ class SnapshotTableSpec extends SparkSpec {
       Set((2, "b", 1L)))
   }
 
+  test("CHECK constraints: violating writes fail, no commit happens") {
+    val t = SnapshotTable(spark, tmpDir("constraints"))
+    t.overwrite(Seq((1, 10.0)).toDF("id", "bal"))
+    t.setProperties(Map(
+      "graft.constraint.positive_bal" -> "bal >= 0",
+      "graft.constraint.id_not_null" -> "id IS NOT NULL"))
+    val v = t.currentVersion()
+    // violating append: write job fails, version unchanged, data invisible
+    val e = intercept[Exception](t.append(Seq((2, -5.0)).toDF("id", "bal")))
+    assert(e.getMessage != null)
+    assert(t.currentVersion() === v)
+    assert(t.read().count() === 1)
+    // valid append passes; constraint rides the property machinery
+    t.append(Seq((2, 5.0)).toDF("id", "bal"))
+    assert(t.read().count() === 2)
+    // a merge producing a violating row fails too (same write chokepoint)
+    intercept[Exception] {
+      t.merge(Seq((2, -1.0)).toDF("id", "bal"), col("t.id") === col("s.id"))
+        .whenMatched().updateAll().execute()
+    }
+    assert(t.read().filter(col("bal") < 0).count() === 0)
+    // dropping the constraint re-permits the write
+    t.unsetProperties(Seq("graft.constraint.positive_bal"))
+    t.append(Seq((3, -7.0)).toDF("id", "bal"))
+    assert(t.read().count() === 3)
+  }
+
   test("shallow clone: zero-copy, then diverges independently") {
     val t = SnapshotTable(spark, tmpDir("clone_src"))
     t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", lit("src")))
