@@ -46,14 +46,34 @@ object Dedup {
    *  idle. The pre-shuffle moves only the raw input once; no-op when the
    *  source already has enough partitions (the 100 TB case). */
   private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // the probe must see the partition count Spark will ACTUALLY run with
-    // (a file count mis-estimates in both directions: many tiny files
-    // bin-pack into few partitions, one splittable file fans out to many).
-    // df.rdd plans the query once; QueryExecution caches the plan, so the
-    // later consumers of `df` do not re-plan — the probe cost is one
-    // physical planning pass, negligible next to the pair-mining job.
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+    // Metadata-only width estimate — `df.rdd` would materialize every
+    // upstream AQE stage just to read a partition count, and a file count
+    // ignores bin-packing. Instead:
+    //  - frames containing a shuffle (join/agg/window/repartition) are
+    //    already ≥ shuffle.partitions wide → never widen (re-shuffling
+    //    raw text at 100 TB for nothing);
+    //  - pure scan frames estimate partitions with Spark's own
+    //    bin-packing formula, bytes / maxPartitionBytes, from the
+    //    relation's size statistics (no planning, no jobs);
+    //  - unknown leaves (local test data, memory sources) estimate 1 —
+    //    widening tiny frames is harmless, and such sources are never
+    //    the 100 TB path.
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val plan = df.queryExecution.optimizedPlan
+    val shuffles = plan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Distinct | _: RepartitionOperation => true
+      case _ => false
+    }
+    if (shuffles) return df
+    val maxPartBytes = math.max(1L, sess.sessionState.conf.filesMaxPartitionBytes)
+    val estParts = plan.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        math.max(1L, lr.relation.sizeInBytes / maxPartBytes)
+      case _ => 1L
+    }.sum
+    if (estParts * 2 <= target) df.repartition(target) else df
   }
 
   /**

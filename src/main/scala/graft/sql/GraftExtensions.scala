@@ -191,8 +191,10 @@ case class GraftUpdateCommand(table: SnapshotTable, update: UpdateTable)
     val assigns = update.assignments.map { a =>
       val name = a.key match {
         case u: UnresolvedAttribute if u.nameParts.length == 1 => u.nameParts.head
-        case u: UnresolvedAttribute if u.nameParts.length == 2 &&
-            targetNames.contains(u.nameParts.head.toLowerCase) => u.nameParts.last
+        // qualified key: the name part directly before the column must be
+        // the target table/alias (covers t.col AND db.t.col)
+        case u: UnresolvedAttribute if u.nameParts.length >= 2 &&
+            targetNames.contains(u.nameParts.init.last.toLowerCase) => u.nameParts.last
         case u: UnresolvedAttribute => throw new IllegalArgumentException(
           s"unsupported UPDATE assignment key ${u.nameParts.mkString(".")}: " +
             "only target columns (optionally qualified by the target table/alias) " +

@@ -124,6 +124,10 @@ class GraftTableCatalog extends TableCatalog {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value.toString
         }.getOrElse(throw new UnsupportedOperationException(
           s"bucket transform without a bucket count: $t"))
+        // a degenerate count would make every later write divide by zero
+        // (ANSI) or silently un-cluster — reject at CREATE time
+        require(scala.util.Try(n.toInt).toOption.exists(_ > 0),
+          s"bucket transform needs a positive bucket count, got: $n")
         s"bucket($n, ${t.references.head.fieldNames.mkString(".")})"
       case other => throw new UnsupportedOperationException(
         s"unsupported partition transform for graft tables: $other")
@@ -156,6 +160,16 @@ class GraftTableCatalog extends TableCatalog {
     val sets = changes.collect { case c: TableChange.SetProperty => c.property -> c.value }
     val unsets = changes.collect { case c: TableChange.RemoveProperty => c.property }
     val adds = changes.collect { case c: TableChange.AddColumn =>
+      // a NOT NULL add on a non-empty table is unsatisfiable (existing
+      // rows read the column as NULL) — refuse rather than silently
+      // store the column nullable against the declared contract
+      if (!c.isNullable) throw new UnsupportedOperationException(
+        s"ADD COLUMNS ${c.fieldNames.mkString(".")}: NOT NULL cannot be added " +
+          "to an existing graft table (existing rows would read NULL); " +
+          "add the column nullable and backfill, or recreate the table")
+      if (c.position() != null) throw new UnsupportedOperationException(
+        s"ADD COLUMNS ${c.fieldNames.mkString(".")}: FIRST/AFTER positions are " +
+          "not supported (columns append last)")
       org.apache.spark.sql.types.StructField(
         c.fieldNames.head, c.dataType, nullable = true)
     }

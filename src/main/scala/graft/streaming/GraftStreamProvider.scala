@@ -78,11 +78,14 @@ class GraftTableSource(
 
   override val schema: StructType = table.schema
 
-  /** Latest committed version, or None while the table is empty — one
+  /** Latest committed version, or None while the table is empty OR has
+   *  not yet reached `startingVersion` — advertising an offset below the
+   *  requested start would checkpoint it and silently deliver
+   *  earlier-than-requested versions once the table catches up. One
    *  commit-log listing, no data touched. */
   override def getOffset: Option[Offset] = {
     val v = table.currentVersion()
-    if (v < 0) None else Some(LongOffset(v))
+    if (v < 0 || v <= startCursor) None else Some(LongOffset(v))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

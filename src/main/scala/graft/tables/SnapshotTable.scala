@@ -332,15 +332,20 @@ class SnapshotTable private (
   }
 
   /** By-name alignment of an incoming frame against the committed schema;
-   *  returns (aligned frame, schema to commit). See [[append]]. */
+   *  returns (aligned frame, schema to commit). See [[append]]. Missing
+   *  NULLABLE columns are filled with NULL (Delta by-name write
+   *  semantics — an [[addColumns]] DDL must not break producers built
+   *  before it); missing NON-nullable columns still fail loudly, which
+   *  keeps the accidental-column-drop guard for required fields. */
   private def alignToCommitted(
       df: DataFrame, committed: StructType, mergeSchema: Boolean): (DataFrame, StructType) = {
     val incoming = df.schema
     def find(n: String) = incoming.fields.find(_.name.equalsIgnoreCase(n))
     val missing = committed.fields.filterNot(f => find(f.name).isDefined)
-    if (missing.nonEmpty) throw new IllegalArgumentException(
-      s"append to $root: incoming frame is missing committed column(s) " +
-        missing.map(_.name).mkString(", ") +
+    val missingRequired = missing.filterNot(_.nullable)
+    if (missingRequired.nonEmpty) throw new IllegalArgumentException(
+      s"append to $root: incoming frame is missing required committed column(s) " +
+        missingRequired.map(_.name).mkString(", ") +
         " — committing this schema would misread prior files")
     val retyped = committed.fields.flatMap { f =>
       find(f.name).filter(_.dataType != f.dataType)
@@ -354,8 +359,13 @@ class SnapshotTable private (
       s"append to $root: unknown column(s) ${extras.map(_.name).mkString(", ")} " +
         "— pass mergeSchema=true to evolve the table schema")
     val evolved = StructType(committed.fields ++ extras.map(_.copy(nullable = true)))
-    val aligned = df.select(evolved.fields.map(f =>
-      org.apache.spark.sql.functions.col(find(f.name).get.name).as(f.name)).toSeq: _*)
+    val aligned = df.select(evolved.fields.map { f =>
+      import org.apache.spark.sql.functions.{col => c, lit}
+      find(f.name) match {
+        case Some(g) => c(g.name).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name) // missing nullable: NULL fill
+      }
+    }.toSeq: _*)
     (aligned, evolved)
   }
 
@@ -436,11 +446,25 @@ class SnapshotTable private (
     currentReadable().flatMap(_._2.properties).getOrElse(Map.empty)
 
   /** Merge `props` into the table properties (`ALTER TABLE … SET
-   *  TBLPROPERTIES`): a metadata-only commit — same files, same schema. */
+   *  TBLPROPERTIES`): a metadata-only commit — same files, same schema.
+   *  Adding a `graft.constraint.*` CHECK first validates the EXISTING
+   *  rows (one scan, like Delta's ADD CONSTRAINT): committing a
+   *  constraint the current data violates would poison every later
+   *  rewrite that happens to touch a violating file. */
   def setProperties(props: Map[String, String]): SnapshotTable = {
     val v = currentVersion()
     require(v >= 0, s"table $root is empty")
     val e = commitEntry(v)
+    props.collect {
+      case (k, sql) if k.startsWith("graft.constraint.") => (k, sql)
+    }.foreach { case (k, sql) =>
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val violating = read()
+        .filter(not(coalesce(expr(sql), lit(true)))) // NULL passes (SQL CHECK)
+        .limit(1).count()
+      if (violating > 0) throw new IllegalArgumentException(
+        s"cannot add CHECK constraint $k ($sql): existing rows of $root violate it")
+    }
     val merged = e.properties.getOrElse(Map.empty) ++ props
     writeCommit(v + 1, e.copy(action = "set-properties",
       properties = if (merged.isEmpty) None else Some(merged)))
@@ -1077,7 +1101,9 @@ object SnapshotTable {
     }
 
     def expr(spec: String): Column = spec match {
-      case Bucket(n, c) => pmod(hash(col(c)), lit(n.toInt))
+      case Bucket(n, c) =>
+        require(n.toInt > 0, s"bucket count must be positive in: $spec")
+        pmod(hash(col(c)), lit(n.toInt))
       case Time(unit, c) => date_trunc(unit.stripSuffix("s").toUpperCase, col(c))
       case plain => col(plain)
     }

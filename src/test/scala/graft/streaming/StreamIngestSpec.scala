@@ -143,6 +143,25 @@ class StreamIngestSpec extends SparkSpec {
       .as[(Int, String)].collect().toSet === Set((2, "b"), (2, "b2")))
   }
 
+  test("streaming read source: startingVersion ahead of the table waits, never rewinds") {
+    val root = tmpDir("streamsrc_ahead")
+    val t = SnapshotTable.create(spark, root, Seq((1, "a")).toDF("id", "v")) // v0
+    val sink = SnapshotTable(spark, tmpDir("streamsrc_ahead_sink"))
+    val ckpt = tmpDir("ckpt")
+    def run(): Unit = StreamIngest.runOnce(
+      StreamIngest.appendSink(
+        spark.readStream.format("graft-table").option("path", root)
+          .option("startingVersion", "2").load(), sink),
+      ckpt)
+    run() // table is at v0 < requested start: nothing delivered, nothing checkpointed
+    assert(sink.currentVersion() === -1)
+    t.append(Seq((2, "b")).toDF("id", "v")) // v1
+    t.append(Seq((3, "c")).toDF("id", "v")) // v2 = the requested start
+    run()
+    // versions below the requested start are never delivered
+    assert(sink.read().as[(Int, String)].collect().toSet === Set((3, "c")))
+  }
+
   test("streaming read source fails loudly when the table schema changes mid-stream") {
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
     val t = SnapshotTable.create(spark, tmpDir("streamsrc_schema"),

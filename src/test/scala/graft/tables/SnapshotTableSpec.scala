@@ -186,10 +186,14 @@ class SnapshotTableSpec extends SparkSpec {
   test("append schema guard: missing / retyped / unknown columns fail loudly") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(Seq((1, "a")).toDF("id", "v"))
-    // dropped column: would commit a schema that misreads prior files
+    // missing REQUIRED (non-nullable) column: would commit garbage
     val eMissing = intercept[IllegalArgumentException](
-      t.append(Seq(2).toDF("id")))
-    assert(eMissing.getMessage.contains("missing committed column"))
+      t.append(Seq("b").toDF("v"))) // id is non-nullable
+    assert(eMissing.getMessage.contains("missing required committed column"))
+    // missing NULLABLE column: Delta by-name semantics — NULL fill, so a
+    // producer built before an addColumns DDL keeps working
+    t.append(Seq(7).toDF("id"))
+    assert(t.read().filter(col("id") === 7).select("v").as[Option[String]].head() === None)
     // retyped column
     val eRetyped = intercept[IllegalArgumentException](
       t.append(Seq(("2", "b")).toDF("id", "v")))
@@ -200,7 +204,8 @@ class SnapshotTableSpec extends SparkSpec {
     assert(eExtra.getMessage.contains("mergeSchema"))
     // column order is aligned by name, not position
     t.append(Seq(("z", 9)).toDF("v", "id"))
-    assert(t.read().as[(Int, String)].collect().toSet === Set((1, "a"), (9, "z")))
+    assert(t.read().filter(col("id") =!= 7).as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (9, "z")))
   }
 
   test("table properties: set, carried forward by commits, unset") {
@@ -467,6 +472,11 @@ class SnapshotTableSpec extends SparkSpec {
     t.unsetProperties(Seq("graft.constraint.positive_bal"))
     t.append(Seq((3, -7.0)).toDF("id", "bal"))
     assert(t.read().count() === 3)
+    // re-adding it now fails: EXISTING rows violate (Delta ADD CONSTRAINT
+    // scans) — otherwise any later rewrite touching that file would abort
+    val eAdd = intercept[IllegalArgumentException](
+      t.setProperties(Map("graft.constraint.positive_bal" -> "bal >= 0")))
+    assert(eAdd.getMessage.contains("existing rows"))
   }
 
   test("shallow clone: zero-copy, then diverges independently") {
@@ -507,6 +517,10 @@ class SnapshotTableSpec extends SparkSpec {
     t.append(Seq((2, "b", 7.5)).toDF("id", "v", "score"))
     assert(t.read().as[(Int, String, Option[Double])].collect().toSet ===
       Set((1, "a", None), (2, "b", Some(7.5))))
+    // a producer built BEFORE the DDL (no score column) keeps working
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    assert(t.read().filter(col("id") === 3)
+      .select("score").as[Option[Double]].head() === None)
     // time travel still reads the old schema
     assert(t.readVersion(0).schema.fieldNames.toSeq === Seq("id", "v"))
     // duplicate add fails loudly
