@@ -46,34 +46,23 @@ object Dedup {
    *  idle. The pre-shuffle moves only the raw input once; no-op when the
    *  source already has enough partitions (the 100 TB case). */
   private def widen(df: DataFrame): DataFrame = {
-    // Metadata-only width estimate — `df.rdd` would materialize every
-    // upstream AQE stage just to read a partition count, and a file count
-    // ignores bin-packing. Instead:
-    //  - frames containing a shuffle (join/agg/window/repartition) are
-    //    already ≥ shuffle.partitions wide → never widen (re-shuffling
-    //    raw text at 100 TB for nothing);
-    //  - pure scan frames estimate partitions with Spark's own
-    //    bin-packing formula, bytes / maxPartitionBytes, from the
-    //    relation's size statistics (no planning, no jobs);
-    //  - unknown leaves (local test data, memory sources) estimate 1 —
-    //    widening tiny frames is harmless, and such sources are never
-    //    the 100 TB path.
+    // Metadata-only width heuristic — `df.rdd` would materialize every
+    // upstream AQE stage just to read a partition count, and a raw file
+    // count ignores bin-packing. Catalyst's own size estimate for the
+    // whole frame (file bytes at v1 AND v2 scan leaves, propagated
+    // through projections/filters/joins; unknown sources like
+    // localCheckpointed RDDs default to huge) gives the safe decision in
+    // both directions: a frame estimated SMALL is cheap to widen by the
+    // same estimate, a frame estimated big or unknown is never
+    // re-shuffled. Frames that are genuinely narrow but big (a
+    // one-partition 100 GB source behind a broadcast join) are the
+    // caller's call to pre-repartition — no metadata probe can see a
+    // runtime partition count without executing the upstream stages.
     val sess = df.sparkSession
     val target = sess.sparkContext.defaultParallelism
-    import org.apache.spark.sql.catalyst.plans.logical._
-    val plan = df.queryExecution.optimizedPlan
-    val shuffles = plan.exists {
-      case _: Join | _: Aggregate | _: Window | _: Distinct | _: RepartitionOperation => true
-      case _ => false
-    }
-    if (shuffles) return df
     val maxPartBytes = math.max(1L, sess.sessionState.conf.filesMaxPartitionBytes)
-    val estParts = plan.collectLeaves().map {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        math.max(1L, lr.relation.sizeInBytes / maxPartBytes)
-      case _ => 1L
-    }.sum
-    if (estParts * 2 <= target) df.repartition(target) else df
+    val estParts = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPartBytes
+    if (estParts.max(BigInt(1)) * 2 <= BigInt(target)) df.repartition(target) else df
   }
 
   /**

@@ -188,17 +188,27 @@ case class GraftUpdateCommand(table: SnapshotTable, update: UpdateTable)
       }
       names(update.table)
     }
+    // struct-typed column names of the target: a key path through one of
+    // these is a struct-FIELD update (unsupported) and must never be
+    // silently resolved to a same-named top-level column
+    val structCols: Set[String] = table.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        f.name.toLowerCase
+    }.toSet
     val assigns = update.assignments.map { a =>
       val name = a.key match {
         case u: UnresolvedAttribute if u.nameParts.length == 1 => u.nameParts.head
         // qualified key: the name part directly before the column must be
-        // the target table/alias (covers t.col AND db.t.col)
-        case u: UnresolvedAttribute if u.nameParts.length >= 2 &&
-            targetNames.contains(u.nameParts.init.last.toLowerCase) => u.nameParts.last
+        // the target table/alias (covers t.col and db.t.col) and must NOT
+        // name a struct column (that would be a struct path, not a
+        // qualifier); at most one extra leading part (the database)
+        case u: UnresolvedAttribute if u.nameParts.length >= 2 && u.nameParts.length <= 3 &&
+            targetNames.contains(u.nameParts.init.last.toLowerCase) &&
+            !structCols.contains(u.nameParts.init.last.toLowerCase) => u.nameParts.last
         case u: UnresolvedAttribute => throw new IllegalArgumentException(
           s"unsupported UPDATE assignment key ${u.nameParts.mkString(".")}: " +
             "only target columns (optionally qualified by the target table/alias) " +
-            "can be assigned")
+            "can be assigned; struct-field updates are not supported")
         case attr: Attribute => attr.name
         case other => throw new IllegalArgumentException(
           s"unsupported UPDATE assignment key: $other")

@@ -455,15 +455,24 @@ class SnapshotTable private (
     val v = currentVersion()
     require(v >= 0, s"table $root is empty")
     val e = commitEntry(v)
-    props.collect {
-      case (k, sql) if k.startsWith("graft.constraint.") => (k, sql)
-    }.foreach { case (k, sql) =>
+    val existing = e.properties.getOrElse(Map.empty)
+    val newChecks = props.collect {
+      // only NEW or CHANGED constraints need validation — re-setting the
+      // identical value (idempotent deploy scripts) must not re-scan
+      case (k, sql) if k.startsWith("graft.constraint.") &&
+        !existing.get(k).contains(sql) => (k, sql)
+    }.toSeq
+    if (newChecks.nonEmpty) {
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-      val violating = read()
-        .filter(not(coalesce(expr(sql), lit(true)))) // NULL passes (SQL CHECK)
-        .limit(1).count()
-      if (violating > 0) throw new IllegalArgumentException(
-        s"cannot add CHECK constraint $k ($sql): existing rows of $root violate it")
+      // one combined scan for all added constraints
+      val anyViolated = newChecks
+        .map { case (_, sql) => not(coalesce(expr(sql), lit(true))) } // NULL passes
+        .reduce(_ || _)
+      if (read().filter(anyViolated).limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"cannot add CHECK constraint(s) ${newChecks.map(_._1).mkString(", ")}: " +
+            s"existing rows of $root violate " +
+            newChecks.map { case (k, s) => s"$k ($s)" }.mkString(" or "))
     }
     val merged = e.properties.getOrElse(Map.empty) ++ props
     writeCommit(v + 1, e.copy(action = "set-properties",
@@ -1102,8 +1111,10 @@ object SnapshotTable {
 
     def expr(spec: String): Column = spec match {
       case Bucket(n, c) =>
-        require(n.toInt > 0, s"bucket count must be positive in: $spec")
-        pmod(hash(col(c)), lit(n.toInt))
+        val count = scala.util.Try(n.toInt).toOption.filter(_ > 0).getOrElse(
+          throw new IllegalArgumentException(
+            s"bucket count must be a positive 32-bit int in cluster spec: $spec"))
+        pmod(hash(col(c)), lit(count))
       case Time(unit, c) => date_trunc(unit.stripSuffix("s").toUpperCase, col(c))
       case plain => col(plain)
     }
