@@ -46,6 +46,7 @@ final class MergeInto(
   private var clauses: Vector[Clause] = Vector.empty
   private var cardinalityCheck = true
   private var actionTag = "merge"
+  private var schemaEvolution = false
 
   /** Alias used for the target side in `condition` / clause expressions. */
   def whenMatched(): ClauseBuilder = new ClauseBuilder(this, Matched, None)
@@ -58,6 +59,15 @@ final class MergeInto(
   /** Disable the multi-match cardinality job (saves one pass when the
    *  caller can prove source keys are unique). */
   def withoutCardinalityCheck(): MergeInto = { cardinalityCheck = false; this }
+
+  /** `MERGE WITH SCHEMA EVOLUTION` (Delta/Spark-4 semantics): source
+   *  columns absent from the target are appended to the table schema as
+   *  nullable fields in the same commit. `UPDATE SET *` / `INSERT *` then
+   *  carry them; untouched files and non-matching rows read them as NULL
+   *  (the [[graft.tables.SnapshotTable.addColumns]] mechanism — explicit
+   *  parquet schema null-fills missing columns). Existing columns are
+   *  never retyped; only NEW columns are added. */
+  def withSchemaEvolution(): MergeInto = { schemaEvolution = true; this }
 
   /** Commit-log action tag for this merge (default "merge"). Streaming
    *  sinks pass `stream-<batchId>` so a redelivered micro-batch can be
@@ -89,7 +99,18 @@ final class MergeInto(
     // between this snapshot read and the replaceFiles below fails the
     // merge loudly (ConcurrentCommitException) instead of being discarded
     val snapshotVersion = table.currentVersion()
-    val targetSchema = table.schema
+    val committedSchema = table.schema
+    // WITH SCHEMA EVOLUTION: the output schema is the committed schema plus
+    // any NEW source columns (case-insensitive match, forced nullable —
+    // untouched files must read them as NULL). Touched files are read with
+    // the widened schema directly (explicit parquet schema null-fills), so
+    // `t.<new>` resolves to NULL and the clause chain needs no special case.
+    val targetSchema =
+      if (!schemaEvolution) committedSchema
+      else org.apache.spark.sql.types.StructType(committedSchema.fields ++
+        source.schema.fields
+          .filterNot(f => committedSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          .map(_.copy(nullable = true)))
     val targetCols = targetSchema.fields.map(_.name).toSeq
     val allFiles = table.manifest()
     val targetAll = table.read()

@@ -99,31 +99,58 @@ case class GraftMergeCommand(table: SnapshotTable, merge: MergeIntoTable)
         UnresolvedAttribute("s" +: u.nameParts.tail)
     })
 
+    def keyName(key: Expression): String = key match {
+      // UnresolvedAttribute IS an Attribute — match it first, else a
+      // qualified key like `target.checksum` would keep its qualifier
+      case u: UnresolvedAttribute => u.nameParts.last
+      case attr: Attribute => attr.name
+      case other => throw new IllegalArgumentException(
+        s"unsupported assignment key: $other")
+    }
+
     def assignmentMap(assignments: Seq[Assignment]): Map[String, Column] =
-      assignments.map { a =>
-        val name = a.key match {
-          // UnresolvedAttribute IS an Attribute — match it first, else a
-          // qualified key like `target.checksum` would keep its qualifier
-          case u: UnresolvedAttribute => u.nameParts.last
-          case attr: Attribute => attr.name
-          case other => throw new IllegalArgumentException(
-            s"unsupported assignment key: $other")
+      assignments.map(a => keyName(a.key) -> reAnchor(a.value)).toMap
+
+    // Spark's analyzer expands `UPDATE SET *` / `INSERT *` into explicit
+    // per-column assignments against the PRE-evolution target schema before
+    // this command is built, which would drop the evolved columns. UPDATE
+    // keeps its provenance (`UpdateAction.fromStar`); INSERT does not, so a
+    // star is recognized by its expansion shape — every committed target
+    // column assigned from the same-named source attribute. (A hand-written
+    // clause of exactly that shape is semantically identical to a star for
+    // the committed schema, so upgrading it only matters — and is the
+    // expected reading — under WITH SCHEMA EVOLUTION.)
+    val committedCols = table.schema.fieldNames.map(_.toLowerCase).toSet
+    def starShaped(assigns: Seq[Assignment]): Boolean =
+      assigns.map(a => keyName(a.key).toLowerCase).toSet == committedCols &&
+        assigns.forall { a =>
+          a.value match {
+            case attr: Attribute if !(attr.isInstanceOf[UnresolvedAttribute]) =>
+              sAttrs.contains(attr) && attr.name.equalsIgnoreCase(keyName(a.key))
+            case _ => false
+          }
         }
-        name -> reAnchor(a.value)
-      }.toMap
 
     var m: MergeInto = table.merge(sourceDf, reAnchor(merge.mergeCondition))
+    // `MERGE WITH SCHEMA EVOLUTION INTO …` (Spark 4 parser flag)
+    if (merge.withSchemaEvolution) m = m.withSchemaEvolution()
 
     def applyAction(kind: String, action: MergeAction): Unit = {
       val cond = action.condition.map(reAnchor)
       (kind, action) match {
         case ("matched", UpdateStarAction(_)) =>
           m = cond.map(m.whenMatched).getOrElse(m.whenMatched()).updateAll()
+        case ("matched", UpdateAction(_, assigns, fromStar))
+            if merge.withSchemaEvolution && (fromStar || starShaped(assigns)) =>
+          m = cond.map(m.whenMatched).getOrElse(m.whenMatched()).updateAll()
         case ("matched", UpdateAction(_, assigns, _)) =>
           m = cond.map(m.whenMatched).getOrElse(m.whenMatched()).update(assignmentMap(assigns))
         case ("matched", DeleteAction(_)) =>
           m = cond.map(m.whenMatched).getOrElse(m.whenMatched()).delete()
         case ("notMatched", InsertStarAction(_)) =>
+          m = cond.map(m.whenNotMatched).getOrElse(m.whenNotMatched()).insertAll()
+        case ("notMatched", InsertAction(_, assigns))
+            if merge.withSchemaEvolution && starShaped(assigns) =>
           m = cond.map(m.whenNotMatched).getOrElse(m.whenNotMatched()).insertAll()
         case ("notMatched", InsertAction(_, assigns)) =>
           m = cond.map(m.whenNotMatched).getOrElse(m.whenNotMatched()).insert(assignmentMap(assigns))

@@ -33,6 +33,41 @@ class MergeSpec extends SparkSpec {
     assert(got === Set((1, "a", 999), (2, "b", 20), (3, "c", 30)))
   }
 
+  test("MERGE withSchemaEvolution appends new source columns as nullable") {
+    val t = freshTable()
+    // source carries `origin`, absent from the target
+    val src = Seq((2, "B", 200, "eu"), (4, "d", 40, "us"))
+      .toDF("id", "name", "qty", "origin")
+    t.merge(src, col("t.id") === col("s.id"))
+      .withSchemaEvolution()
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+    assert(t.schema.fieldNames.toSeq === Seq("id", "name", "qty", "origin"))
+    assert(t.schema("origin").nullable)
+    val got = t.read().as[(Int, String, Int, Option[String])].collect().toSet
+    // untouched rows (1, 3) read the evolved column as NULL — including
+    // id=1, which lives in a kept file never rewritten by this merge
+    assert(got === Set(
+      (1, "a", 10, None), (2, "B", 200, Some("eu")),
+      (3, "c", 30, None), (4, "d", 40, Some("us"))))
+    // and the next merge WITHOUT evolution still sees the widened schema
+    t.merge(Seq((1, "apac")).toDF("id", "origin"), col("t.id") === col("s.id"))
+      .whenMatched().update(Map("origin" -> col("s.origin")))
+      .execute()
+    assert(t.read().filter($"id" === 1).select("origin").as[String].head() === "apac")
+  }
+
+  test("MERGE without schema evolution ignores extra source columns") {
+    val t = freshTable()
+    val src = Seq((2, "B", 200, "eu")).toDF("id", "name", "qty", "origin")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatched().updateAll()
+      .execute()
+    assert(t.schema.fieldNames.toSeq === Seq("id", "name", "qty"))
+    assert(t.read().filter($"id" === 2).as[(Int, String, Int)].head() === ((2, "B", 200)))
+  }
+
   test("MERGE delete clause") {
     val t = freshTable()
     val src = Seq(Tuple1(2)).toDF("id")

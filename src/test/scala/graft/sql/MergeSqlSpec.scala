@@ -61,6 +61,41 @@ class MergeSqlSpec extends SparkSpec {
       (3, "ck3", 1)))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION INTO adds new source columns") {
+    val t = freshRegistered("contact_evo")
+    Seq((2, "ck2b", 1, "eu"), (5, "ck5", 1, "us"))
+      .toDF("id", "checksum", "iscurrent", "origin")
+      .createOrReplaceTempView("staged_evo")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO contact_evo target
+        |USING staged_evo source
+        |ON target.id = source.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(t.schema.fieldNames.toSeq === Seq("id", "checksum", "iscurrent", "origin"))
+    val got = t.read().as[(Int, String, Int, Option[String])].collect().toSet
+    assert(got === Set(
+      (1, "ck1", 1, None), (2, "ck2b", 1, Some("eu")),
+      (3, "ck3", 1, None), (5, "ck5", 1, Some("us"))))
+  }
+
+  test("WITH SCHEMA EVOLUTION widens by the full source schema even under explicit assignments") {
+    val t = freshRegistered("contact_evo2")
+    Seq((2, "ck2b", 0, "eu")).toDF("id", "checksum", "iscurrent", "origin")
+      .createOrReplaceTempView("staged_evo2")
+    // Spark-native semantics: the table gains `origin` (evolution is driven
+    // by the source schema, not the clause list), but an explicit partial
+    // UPDATE that never assigns it leaves it NULL.
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO contact_evo2 target
+        |USING staged_evo2 source
+        |ON target.id = source.id
+        |WHEN MATCHED THEN UPDATE SET iscurrent = source.iscurrent""".stripMargin)
+    assert(t.schema.fieldNames.toSeq === Seq("id", "checksum", "iscurrent", "origin"))
+    assert(t.read().filter($"id" === 2)
+      .as[(Int, String, Int, Option[String])].head() === ((2, "ck2", 0, None)))
+  }
+
   test("MERGE DELETE clause via SQL") {
     val t = freshRegistered("contact_delrow")
     Seq(Tuple1(2)).toDF("id").createOrReplaceTempView("to_delete")
