@@ -55,6 +55,15 @@ object ResolveGraftMerge extends Rule[LogicalPlan] {
         case Some(table) => GraftUpdateCommand(table, u)
         case None => u
       }
+    // `DELETE FROM t WHERE …` — the DSv2 relation path only plans through
+    // SupportsDelete when the condition converts to pushable v1 Filters;
+    // this covers registered views and arbitrary row-level predicates via
+    // the table layer's touched-file CoW rewrite (SnapshotTable.delete).
+    case d: DeleteFromTable if d.childrenResolved =>
+      targetSnapshot(d.table) match {
+        case Some(table) => GraftDeleteCommand(table, d)
+        case None => d
+      }
   }
 
   /** The snapshot table behind the MERGE target: a [[GraftCatalog]]
@@ -190,6 +199,22 @@ case class GraftMergeCommand(table: SnapshotTable, merge: MergeIntoTable)
  * (subqueries in UPDATE are not supported); attributes are re-anchored by
  * bare name onto the table's own frame.
  */
+/** Runnable translation of a parsed+resolved [[DeleteFromTable]] onto
+ *  [[SnapshotTable.delete]]. Attributes are re-anchored by bare name onto
+ *  the table's own frame (subqueries in the condition are not supported). */
+case class GraftDeleteCommand(table: SnapshotTable, delete: DeleteFromTable)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cond = SparkInternals.column(delete.condition.transform {
+      case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+      case a: Attribute => UnresolvedAttribute(Seq(a.name))
+    })
+    table.delete(cond)
+    Nil
+  }
+}
+
 case class GraftUpdateCommand(table: SnapshotTable, update: UpdateTable)
     extends LeafRunnableCommand {
 

@@ -128,6 +128,14 @@ class MergeSqlSpec extends SparkSpec {
       Set("ck1!", "ck2!", "ck3!"))
   }
 
+  test("SQL DELETE FROM with WHERE removes rows on a registered table") {
+    val t = freshRegistered("contact_sqldel")
+    spark.sql("DELETE FROM contact_sqldel WHERE checksum = 'ck2' OR id = 3")
+    assert(t.read().select("id").as[Int].collect().toSet === Set(1))
+    // delete is a commit: time travel still sees the pre-delete rows
+    assert(t.readVersion(t.currentVersion() - 1).count() === 3)
+  }
+
   test("UPDATE rejects assignment keys with foreign qualifiers") {
     val t = freshRegistered("contact_badqual")
     // "s" is not the target's name or alias — silently updating the
