@@ -34,8 +34,12 @@ import graft.tables.SnapshotTable
  * }}}
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => ResolveGraftMerge)
+    // Delta-dialect maintenance statements (VACUUM / OPTIMIZE / DESCRIBE
+    // HISTORY / RESTORE / GENERATE) — see [[GraftSqlParser]]
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
 }
 
 object ResolveGraftMerge extends Rule[LogicalPlan] {

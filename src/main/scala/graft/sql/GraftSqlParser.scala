@@ -1,0 +1,233 @@
+package graft.sql
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Row, SparkSession}
+
+import graft.tables.SnapshotTable
+
+/**
+ * SQL surface for the table-maintenance operations the reference drives
+ * through its formats' SQL extensions — Delta's `VACUUM` / `OPTIMIZE …
+ * ZORDER BY` / `DESCRIBE HISTORY` / `RESTORE TABLE` / `GENERATE
+ * symlink_format_manifest` dialect (`delta/delta_scd_script.py:42-43`,
+ * `delta/delta_submit.sh:27-28` loads the extension jar that parses
+ * these; SURVEY.md §2.1 S10, §7.3). Vanilla Spark rejects all five
+ * statements at the parser, so — like the reference's extension jars —
+ * the engine injects a delegating parser: five fixed statement shapes are
+ * recognized here, everything else goes to Spark's own parser untouched.
+ *
+ * The target table resolves at RUN time (registry contents may change
+ * between parse and execution): a bare name through [[GraftCatalog]], a
+ * qualified `catalog.ns….name` through a registered [[GraftTableCatalog]].
+ *
+ * Grammar (case-insensitive, optional trailing `;`):
+ * {{{
+ *   VACUUM t [RETAIN <n> HOURS]
+ *   OPTIMIZE t [ZORDER BY (c1, c2, …)]
+ *   DESCRIBE HISTORY t
+ *   RESTORE [TABLE] t TO VERSION AS OF <v>
+ *   RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'
+ *   GENERATE symlink_format_manifest FOR TABLE t
+ * }}}
+ */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseMaintenance(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  // `t`, `ns.t`, `` `quoted name`.t `` … — one identifier, dots between parts
+  private val Ident = "((?:`[^`]+`|[\\w$]+)(?:\\.(?:`[^`]+`|[\\w$]+))*)"
+
+  private def cmd(body: String): Pattern =
+    Pattern.compile("^\\s*" + body + "\\s*;?\\s*$",
+      Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+
+  private val VacuumStmt =
+    cmd(s"VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS)?")
+  private val OptimizeStmt =
+    cmd(s"OPTIMIZE\\s+$Ident(?:\\s+ZORDER\\s+BY\\s+(\\(?[^;]+?\\)?))?")
+  private val HistoryStmt = cmd(s"(?:DESCRIBE|DESC)\\s+HISTORY\\s+$Ident")
+  private val RestoreVersionStmt =
+    cmd(s"RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
+  private val RestoreTimestampStmt =
+    cmd(s"RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'")
+  private val GenerateStmt =
+    cmd(s"GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$Ident")
+
+  private[sql] def parseMaintenance(sqlText: String): Option[LogicalPlan] = {
+    def m(p: Pattern) = Option(p.matcher(sqlText)).filter(_.matches())
+    m(VacuumStmt).map { r =>
+      GraftVacuumCommand(identParts(r.group(1)),
+        Option(r.group(2)).map(_.toDouble))
+    }.orElse(m(HistoryStmt).map(r => GraftDescribeHistoryCommand(identParts(r.group(1)))))
+      .orElse(m(OptimizeStmt).map { r =>
+        val cols = Option(r.group(2)).toSeq.flatMap(
+          _.stripPrefix("(").stripSuffix(")").split(",").toSeq
+            .map(c => stripQuotes(c.trim)).filter(_.nonEmpty))
+        GraftOptimizeCommand(identParts(r.group(1)), cols)
+      })
+      .orElse(m(RestoreVersionStmt).map(r =>
+        GraftRestoreCommand(identParts(r.group(1)), Some(r.group(2).toLong), None)))
+      .orElse(m(RestoreTimestampStmt).map(r =>
+        GraftRestoreCommand(identParts(r.group(1)), None, Some(r.group(2)))))
+      .orElse(m(GenerateStmt).map(r => GraftGenerateManifestCommand(identParts(r.group(1)))))
+  }
+
+  private def stripQuotes(part: String): String =
+    if (part.length >= 2 && part.head == '`' && part.last == '`')
+      part.substring(1, part.length - 1)
+    else part
+
+  private[sql] def identParts(ident: String): Seq[String] =
+    "`[^`]+`|[^.]+".r.findAllIn(ident).map(stripQuotes).toSeq
+
+  /** The snapshot table behind a maintenance-statement identifier: a bare
+   *  name through the [[GraftCatalog]] registry, a qualified name through
+   *  the named catalog when it is a [[GraftTableCatalog]]. */
+  private[sql] def resolveTable(spark: SparkSession, parts: Seq[String]): SnapshotTable =
+    parts match {
+      case Seq(name) =>
+        GraftCatalog.get(name).getOrElse(throw new IllegalArgumentException(
+          s"$name is not a GraftCatalog-registered snapshot table"))
+      case _ =>
+        spark.sessionState.catalogManager.catalog(parts.head) match {
+          case g: GraftTableCatalog =>
+            g.loadTable(Identifier.of(parts.tail.init.toArray, parts.last)) match {
+              case t: GraftTable => t.table
+              case other => throw new IllegalArgumentException(
+                s"${parts.mkString(".")} resolved to unexpected table $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"catalog ${parts.head} is not a GraftTableCatalog " +
+              s"(got ${other.getClass.getSimpleName}); " +
+              "maintenance SQL targets graft tables only")
+        }
+    }
+
+  private[sql] def notNull(name: String, tpe: DataType): Attribute =
+    AttributeReference(name, tpe, nullable = false)()
+}
+
+/** `DESCRIBE HISTORY t` → [[SnapshotTable.history]] as rows (Delta's
+ *  command of the same name; newest first). */
+case class GraftDescribeHistoryCommand(parts: Seq[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    notNull("version", LongType), notNull("operation", StringType),
+    AttributeReference("timestamp", TimestampType)(),
+    notNull("num_files", IntegerType), notNull("num_delta_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] =
+    resolveTable(spark, parts).history().map(h =>
+      Row(h.version, h.action, h.ts.orNull, h.numFiles, h.numDeltaFiles))
+}
+
+/**
+ * `VACUUM t [RETAIN n HOURS]` → [[SnapshotTable.vacuum]]. The retention
+ * window (default 168 h — Delta's `deletedFileRetentionDuration` default)
+ * bounds BOTH effects: versions committed inside the window stay
+ * time-travelable (their log entries and files are never touched), and
+ * younger-than-window unreferenced files are left for in-flight writers.
+ */
+case class GraftVacuumCommand(parts: Seq[String], retainHours: Option[Double])
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] =
+    Seq(notNull("path", StringType), notNull("deleted_files", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = resolveTable(spark, parts)
+    val retainMillis = (retainHours.getOrElse(168.0) * 3600 * 1000).toLong
+    val cutoff = System.currentTimeMillis() - retainMillis
+    // the newest contiguous run of commits inside the window (current
+    // version always retained); pre-ts log entries count as in-window
+    val keep = math.max(1,
+      t.history().takeWhile(h => h.ts.forall(_.getTime >= cutoff)).size)
+    val deleted = t.vacuum(retainVersions = keep, retainMillis = retainMillis)
+    Seq(Row(t.root, deleted.toLong))
+  }
+}
+
+/**
+ * `OPTIMIZE t` → small-file compaction ([[SnapshotTable.compact]]);
+ * `OPTIMIZE t ZORDER BY (…)` → one-commit z-clustered rewrite
+ * ([[graft.ext.ZOrder.optimize]], output file count sized to ~128 MiB
+ * targets from live-manifest byte stats — no data scan to plan).
+ */
+case class GraftOptimizeCommand(parts: Seq[String], zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    notNull("path", StringType), notNull("operation", StringType),
+    notNull("rewritten_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = resolveTable(spark, parts)
+    if (zorderBy.isEmpty) {
+      val n = t.compact()
+      Seq(Row(t.root, "compact", n))
+    } else {
+      val entries = t.manifestEntries()
+      val totalBytes = entries.map(_.bytes).filter(_ > 0).sum
+      val target = 128L * 1024 * 1024
+      val nFiles = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
+      graft.ext.ZOrder.optimize(t, zorderBy, nFiles)
+      Seq(Row(t.root, s"zorder(${zorderBy.mkString(",")})", entries.size))
+    }
+  }
+}
+
+/** `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF …` →
+ *  [[SnapshotTable.restore]] (a new commit re-referencing the old files —
+ *  Delta `RESTORE TABLE` semantics, nothing is copied or lost). */
+case class GraftRestoreCommand(
+    parts: Seq[String], version: Option[Long], timestamp: Option[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    notNull("path", StringType), notNull("restored_version", LongType),
+    notNull("new_version", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = resolveTable(spark, parts)
+    val v = version.getOrElse {
+      val lit = timestamp.get.trim
+      val millis =
+        if (lit.contains(" ") || lit.contains("T"))
+          java.sql.Timestamp.valueOf(lit.replace("T", " ")).getTime
+        else java.sql.Date.valueOf(lit).getTime
+      t.versionAsOf(millis)
+    }
+    t.restore(v)
+    Seq(Row(t.root, v, t.currentVersion()))
+  }
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE t` — the reference's
+ *  literal statement (`delta/delta_scd_script.py:42-43`) →
+ *  [[SnapshotTable.generateSymlinkManifest]]. */
+case class GraftGenerateManifestCommand(parts: Seq[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(notNull("manifest_path", StringType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(resolveTable(spark, parts).generateSymlinkManifest()))
+}

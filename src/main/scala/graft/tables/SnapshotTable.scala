@@ -193,6 +193,20 @@ class SnapshotTable private (
     }
   }
 
+  /** Force-publish the symlink manifest for the current snapshot regardless
+   *  of the `graft.symlink.manifest` property — the one-shot form of the
+   *  reference's `GENERATE symlink_format_manifest FOR TABLE`
+   *  (`delta/delta_scd_script.py:42-43`). A later commit without the
+   *  property removes the artifact again (a stale path list is worse than
+   *  none for external readers). Returns the manifest file path. */
+  def generateSymlinkManifest(): String = {
+    val (_, entry) = currentReadable().getOrElse(
+      throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
+    publishSymlinkManifest(entry.copy(properties =
+      Some(entry.properties.getOrElse(Map.empty) + ("graft.symlink.manifest" -> "true"))))
+    new Path(rootPath, "_symlink_format_manifest/manifest").toString
+  }
+
   private def refreshViews(): Unit =
     syncedViews.foreach(v => read().createOrReplaceTempView(v))
 

@@ -1,0 +1,114 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.tables.SnapshotTable
+
+/** The Delta-dialect maintenance SQL surface ([[GraftSqlParser]]):
+ *  VACUUM / OPTIMIZE [ZORDER BY] / DESCRIBE HISTORY / RESTORE /
+ *  GENERATE symlink_format_manifest, plus delegate fallthrough. */
+class MaintenanceSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRegistered(name: String): SnapshotTable = {
+    val t = SnapshotTable.create(spark, tmpDir("sqlmaint"),
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "payload"))
+    GraftCatalog.register(name, t)
+  }
+
+  test("DESCRIBE HISTORY lists commits newest first") {
+    val t = freshRegistered("maint_hist")
+    t.append(Seq((4, "d")).toDF("id", "payload"))
+    val rows = spark.sql("DESCRIBE HISTORY maint_hist").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 0L))
+    assert(rows.map(_.getString(1)).toSeq === Seq("append", "overwrite"))
+    assert(rows.forall(!_.isNullAt(2))) // every commit is ts-stamped
+    assert(rows.head.getInt(3) > 0)
+  }
+
+  test("VACUUM RETAIN 0 HOURS expires old versions and reclaims their files") {
+    val t = freshRegistered("maint_vac")
+    val beforeFiles = t.manifest().toSet
+    t.overwrite(Seq((9, "z")).toDF("id", "payload"))
+    Thread.sleep(20) // commit ts strictly inside the zero-hour window
+    val out = spark.sql("VACUUM maint_vac RETAIN 0 HOURS").collect().head
+    assert(out.getString(0) === t.root)
+    assert(out.getLong(1) >= 1, "v0's files must be reclaimed")
+    // current version intact; the overwritten version is gone
+    assert(t.read().as[(Int, String)].collect().toSet === Set((9, "z")))
+    val dead = beforeFiles.map(p => new java.io.File(p)).filter(_.exists())
+    assert(dead.isEmpty, s"expected v0 data deleted, still present: $dead")
+    intercept[Exception](t.readVersion(0).collect())
+  }
+
+  test("OPTIMIZE bin-packs small files without changing content") {
+    val t = freshRegistered("maint_opt")
+    t.append(Seq((4, "d"), (5, "e")).toDF("id", "payload"))
+    t.append(Seq((6, "f")).toDF("id", "payload"))
+    val before = t.read().as[(Int, String)].collect().toSet
+    val filesBefore = t.manifest().size
+    val out = spark.sql("OPTIMIZE maint_opt").collect().head
+    assert(out.getString(1) === "compact")
+    assert(out.getInt(2) === filesBefore) // every test file is "small"
+    assert(t.manifest().size < filesBefore)
+    assert(t.read().as[(Int, String)].collect().toSet === before)
+  }
+
+  test("OPTIMIZE ZORDER BY rewrites one z-clustered commit") {
+    val t = SnapshotTable.create(spark, tmpDir("sqlmaint"),
+      (1 to 40).map(i => (i, i * 7 % 40)).toDF("x", "y"))
+    GraftCatalog.register("maint_zo", t)
+    val before = t.read().as[(Int, Int)].collect().toSet
+    spark.sql("OPTIMIZE maint_zo ZORDER BY (x, y)")
+    assert(t.read().as[(Int, Int)].collect().toSet === before)
+    assert(t.history().head.action === "optimize-zorder")
+  }
+
+  test("RESTORE TABLE TO VERSION AS OF re-references old files in a new commit") {
+    val t = freshRegistered("maint_rest")
+    val v0 = t.read().as[(Int, String)].collect().toSet
+    t.overwrite(Seq((9, "z")).toDF("id", "payload"))
+    val out = spark.sql("RESTORE TABLE maint_rest TO VERSION AS OF 0").collect().head
+    assert(out.getLong(1) === 0L)
+    assert(out.getLong(2) === 2L) // restore is commit v2, nothing erased
+    assert(t.read().as[(Int, String)].collect().toSet === v0)
+    assert(t.readVersion(1).as[(Int, String)].collect().toSet === Set((9, "z")))
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves through versionAsOf") {
+    val t = freshRegistered("maint_restts")
+    val v0 = t.read().as[(Int, String)].collect().toSet
+    val afterV0 = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    t.overwrite(Seq((9, "z")).toDF("id", "payload"))
+    spark.sql(s"RESTORE maint_restts TO TIMESTAMP AS OF '$afterV0'")
+    assert(t.read().as[(Int, String)].collect().toSet === v0)
+  }
+
+  test("GENERATE symlink_format_manifest publishes the current file list") {
+    val t = freshRegistered("maint_gen")
+    val path =
+      spark.sql("GENERATE symlink_format_manifest FOR TABLE maint_gen")
+        .collect().head.getString(0)
+    val published = scala.io.Source.fromFile(path).getLines().toSeq
+    assert(published.toSet === t.manifest().toSet)
+  }
+
+  test("maintenance SQL resolves qualified names through the graft catalog") {
+    spark.sql("CREATE TABLE graft.maintns.sqlt (id INT, payload STRING) USING parquet")
+    spark.sql("INSERT INTO graft.maintns.sqlt VALUES (1, 'a'), (2, 'b')")
+    val rows = spark.sql("DESCRIBE HISTORY graft.maintns.sqlt").collect()
+    assert(rows.nonEmpty && rows.last.getString(1) === "create")
+  }
+
+  test("non-maintenance SQL falls through to the vanilla parser") {
+    assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) === 2)
+    // vanilla DESCRIBE of a table that happens to exist still works
+    freshRegistered("maint_fall")
+    assert(spark.sql("DESCRIBE maint_fall").collect().nonEmpty)
+  }
+
+  test("maintenance SQL on an unregistered name fails loudly") {
+    val e = intercept[Exception](spark.sql("DESCRIBE HISTORY no_such_maint_table"))
+    assert(e.getMessage.contains("no_such_maint_table"))
+  }
+}
