@@ -245,16 +245,39 @@ class SnapshotTable private (
   }
 
   /** Write `df` into a fresh immutable data dir; return per-file entries
-   *  with footer-harvested column stats. */
+   *  with footer-harvested column stats.
+   *
+   *  Table property `graft.bloom.columns` (comma-separated names) turns on
+   *  parquet bloom filters for those columns — row-group-level point-lookup
+   *  skipping on high-cardinality columns whose min/max ranges are too wide
+   *  for manifest stats pruning to bite (the reference formats expose the
+   *  same knob: Hudi bloom indexes / `write.parquet.bloom-filter-enabled`
+   *  in Iceberg). Sizing is adaptive by observed NDV unless
+   *  `graft.bloom.ndv.<col>` pins the expected cardinality. Readers need
+   *  no cooperation: Spark's parquet scan consults bloom filters during
+   *  row-group filtering whenever a pushed equality predicate matches. */
   private[graft] def writeDataDir(dfIn: DataFrame): Seq[FileEntry] = {
     val df = enforceConstraints(dfIn)
     val dir = new Path(dataDir, UUID.randomUUID().toString.take(12))
+    val props = currentReadable().flatMap(_._2.properties).getOrElse(Map.empty)
+    val bloomCols = props.get("graft.bloom.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .flatMap(c => df.schema.fieldNames.find(_.equalsIgnoreCase(c)))
+    var writer = df.write.mode("overwrite")
+    if (bloomCols.nonEmpty) {
+      writer = writer.option("parquet.bloom.filter.adaptive.enabled", "true")
+      bloomCols.foreach { c =>
+        writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+        props.get(s"graft.bloom.ndv.$c").foreach(ndv =>
+          writer = writer.option(s"parquet.bloom.filter.expected.ndv#$c", ndv))
+      }
+    }
     // Spark's default INT96 timestamps carry no parquet min/max stats and
     // would defeat data skipping on timestamp columns — write INT64 micros.
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.write.mode("overwrite").parquet(dir.toString)
+    try writer.parquet(dir.toString)
     finally prevTs match {
       case Some(v) => spark.conf.set(tsKey, v)
       case None => spark.conf.unset(tsKey)
