@@ -508,6 +508,43 @@ object SparkEntry {
       |FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Q51 — PII scrub + whitespace/case normalization
+   *  ([[ext.TextAnalysis.scrubPii]] ∘ [[ext.TextAnalysis.normalize]]).
+   *  The fixture corpus has no URLs/emails/IPs, so three planted rows
+   *  exercise each redaction pattern; the RE2-compatible regexes are
+   *  replayed verbatim by the DuckDB oracle (`'g'` flag — DuckDB replaces
+   *  only the first match by default, Spark replaces all). */
+  private def scrubQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+    val planted = Seq(
+      (9000001L, "Contact John.Doe+spam@Example.COM or visit https://example.com/a?b=c now"),
+      (9000002L, "server 192.168.0.1 mailed admin@test.org via http://t.co/xyz"),
+      (9000003L, "  Multiple   spaces   and   MIXED Case  "))
+      .toDF("doc_id", "text")
+    docs.unionByName(planted)
+      .select(col("doc_id"),
+        ext.TextAnalysis.normalize(ext.TextAnalysis.scrubPii(col("text"))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+  private val Q51Duck =
+    """SELECT doc_id,
+      |  lower(trim(regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\s+', ' ', 'g'))) AS clean_text
+      |FROM (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (9000001, 'Contact John.Doe+spam@Example.COM or visit https://example.com/a?b=c now'),
+      |    (9000002, 'server 192.168.0.1 mailed admin@test.org via http://t.co/xyz'),
+      |    (9000003, '  Multiple   spaces   and   MIXED Case  ')) v(doc_id, text))
+      |ORDER BY doc_id""".stripMargin
+
   /** Q48 — embedding cosine near-dup pairs ([[ext.Dedup.embeddingPairs]],
    *  hyperplane-LSH bucket join + exact cosine filter). The embeddings
    *  fixture has NO planted near-dups (max background cosine ≈ 0.51), so
@@ -986,7 +1023,8 @@ object SparkEntry {
     "q47_text_ratios" -> textRatiosQuery,
     "q48_embedding_pairs" -> embeddingPairsQuery,
     "q49_approx_recall" -> approxRecallQuery,
-    "q50_repetition_ratio" -> repetitionQuery)
+    "q50_repetition_ratio" -> repetitionQuery,
+    "q51_pii_scrub" -> scrubQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1036,7 +1074,8 @@ object SparkEntry {
     "q47_text_ratios" -> Q47Duck,
     "q48_embedding_pairs" -> Q48Duck,
     "q49_approx_recall" -> Q49Duck,
-    "q50_repetition_ratio" -> Q50Duck)
+    "q50_repetition_ratio" -> Q50Duck,
+    "q51_pii_scrub" -> Q51Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN values
   // are not SQL-expressible → driver records the weaker rows-only check
   // for them; their SEMANTICS are oracled through q49's recall/precision

@@ -19,6 +19,25 @@ object TextAnalysis {
   /** Whitespace tokenizer (the `documents` fixture is space-delimited). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Canonical text form: collapse whitespace runs, trim, lowercase —
+   *  the standard first pass before dedup/fingerprinting so formatting
+   *  variants hash identically. Pure projection, no shuffle. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Redact URLs / emails / IPv4 addresses with typed placeholder tokens
+   *  (training-data PII scrubbing). Patterns are deliberately restricted
+   *  to the RE2-compatible subset (no backrefs / lookaround) so external
+   *  engines — and the DuckDB oracle — replay the exact same scrub.
+   *  URL first: an address inside a URL is already consumed by it. */
+  def scrubPii(text: Column): Column = {
+    val url = regexp_replace(text, "https?://\\S+", "<URL>")
+    val email = regexp_replace(url,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))

@@ -387,6 +387,21 @@ class ExtSpec extends SparkSpec {
     assert(r(3L) === 0)
   }
 
+  test("scrubPii redacts URLs, emails, IPv4s; normalize canonicalizes") {
+    val rows = Seq(
+      (1L, "mail a.b+c@x-site.co.uk or https://ex.com/p?q=1#f then 10.0.0.255 ok"),
+      (2L, "versions like 1.2.3.4.5 are not IPs but 1.2.3.4 is"),
+      (3L, "  Tabs\tand   RUNS  ")).toDF("id", "text")
+    val got = rows.select(col("id"),
+        TextAnalysis.normalize(TextAnalysis.scrubPii(col("text"))).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "mail <email> or <url> then <ip> ok")
+    // 1.2.3.4.5: the \b-bounded IPv4 pattern matches its 1.2.3.4 prefix —
+    // the standard RE2-compatible approximation (no lookahead available)
+    assert(got(2L) === "versions like <ip>.5 are not ips but <ip> is")
+    assert(got(3L) === "tabs and runs")
+  }
+
   test("text analysis: tokens, shingles, quality, langid") {
     val en = Seq((1L, "the cat and the dog is of to the barn and back again ok")).toDF("id", "text")
     val r = TextAnalysis.enrich(en).first()
