@@ -76,6 +76,8 @@ object GraftSqlParser {
     cmd(s"RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'")
   private val GenerateStmt =
     cmd(s"GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$Ident")
+  private val ConvertStmt =
+    cmd("CONVERT\\s+TO\\s+GRAFT\\s+(?:parquet\\s*\\.\\s*)?(`[^`]+`|'[^']+')")
 
   private[sql] def parseMaintenance(sqlText: String): Option[LogicalPlan] = {
     def m(p: Pattern) = Option(p.matcher(sqlText)).filter(_.matches())
@@ -94,6 +96,8 @@ object GraftSqlParser {
       .orElse(m(RestoreTimestampStmt).map(r =>
         GraftRestoreCommand(identParts(r.group(1)), None, Some(r.group(2)))))
       .orElse(m(GenerateStmt).map(r => GraftGenerateManifestCommand(identParts(r.group(1)))))
+      .orElse(m(ConvertStmt).map(r =>
+        GraftConvertCommand(r.group(1).substring(1, r.group(1).length - 1))))
   }
 
   private def stripQuotes(part: String): String =
@@ -219,6 +223,19 @@ case class GraftRestoreCommand(
     }
     t.restore(v)
     Seq(Row(t.root, v, t.currentVersion()))
+  }
+}
+
+/** `CONVERT TO GRAFT [parquet.]'<path>'` — adopt an existing plain-parquet
+ *  directory in place ([[SnapshotTable.convert]]; Delta `CONVERT TO DELTA`
+ *  syntax shape, backtick or single-quoted path). */
+case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] =
+    Seq(notNull("path", StringType), notNull("num_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = SnapshotTable.convert(spark, path)
+    Seq(Row(t.root, t.manifest().size))
   }
 }
 

@@ -1513,6 +1513,38 @@ object SnapshotTable {
   def create(spark: SparkSession, root: String, df: DataFrame): SnapshotTable =
     new SnapshotTable(spark, root).overwrite(df)
 
+  /** Adopt an existing plain-parquet directory as a graft table IN PLACE
+   *  (Delta `CONVERT TO DELTA` analogue, the migration path for a corpus
+   *  that predates the engine): harvest footer stats from every data file
+   *  and commit them as version 0 — no data is copied or moved, so a
+   *  100 TB directory converts in O(files) footer reads. Restricted to
+   *  unpartitioned layouts: Hive-style `key=value` dirs carry column
+   *  values the files themselves lack, and converting them would silently
+   *  drop those columns. Converted files live outside the table's `data/`
+   *  dir and are never reclaimed by [[SnapshotTable!.vacuum]]; a later
+   *  OPTIMIZE/overwrite rewrites them under management. */
+  def convert(spark: SparkSession, root: String): SnapshotTable = {
+    val t = new SnapshotTable(spark, root)
+    require(t.currentVersion() < 0, s"$root is already a graft table")
+    val rootPath = new Path(root)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = rootPath.getFileSystem(conf)
+    val listing = fs.listStatus(rootPath).toSeq
+    val partDirs = listing.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(partDirs.isEmpty,
+      s"$root looks Hive-partitioned (${partDirs.headOption.map(_.getPath.getName).getOrElse("")}); " +
+        "CONVERT supports unpartitioned parquet layouts only")
+    val files = listing
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    require(files.nonEmpty, s"no parquet files directly under $root")
+    val schema = spark.read.parquet(root).schema
+    val entries = files.map(s => readFooterStats(s.getPath, s.getLen, conf))
+      .filter(_.rows != 0L)
+    t.writeCommit(0, CommitEntry("convert", schema.json, entries))
+    t
+  }
+
   /** Create an empty table with a declared schema (DDL CREATE TABLE path;
    *  commits a zero-file snapshot so readers see an empty relation). */
   def createEmpty(

@@ -107,6 +107,29 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(spark.sql("DESCRIBE maint_fall").collect().nonEmpty)
   }
 
+  test("CONVERT TO GRAFT adopts a plain parquet dir in place") {
+    val dir = tmpDir("convsrc")
+    (1 to 500).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val out = spark.sql(s"CONVERT TO GRAFT parquet.`$dir`").collect().head
+    assert(out.getInt(1) === 3)
+    val t = SnapshotTable(spark, dir)
+    assert(t.currentVersion() === 0L)
+    assert(t.history().head.action === "convert")
+    assert(t.read().count() === 500)
+    // footer stats were harvested: a point lookup prunes to ≤ live files
+    assert(t.scan(org.apache.spark.sql.functions.col("id") === 77).count() === 1)
+    // the table is writable after conversion (new files under data/)
+    t.append(Seq((501, "x")).toDF("id", "payload"))
+    assert(t.read().count() === 501)
+    // double-convert and partitioned layouts are refused
+    intercept[IllegalArgumentException](SnapshotTable.convert(spark, dir))
+    val part = tmpDir("convpart")
+    Seq((1, "a"), (2, "b")).toDF("id", "p").write
+      .partitionBy("p").mode("overwrite").parquet(part)
+    intercept[IllegalArgumentException](SnapshotTable.convert(spark, part))
+  }
+
   test("maintenance SQL on an unregistered name fails loudly") {
     val e = intercept[Exception](spark.sql("DESCRIBE HISTORY no_such_maint_table"))
     assert(e.getMessage.contains("no_such_maint_table"))
