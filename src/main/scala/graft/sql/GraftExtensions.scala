@@ -196,54 +196,62 @@ case class GraftMergeCommand(table: SnapshotTable, merge: MergeIntoTable)
   }
 }
 
+/** Re-anchoring shared by the UPDATE and DELETE commands: conditions and
+ *  assignment values run against the table's own frame, so attributes must
+ *  lose their statement-side qualifiers — but ONLY qualifiers naming the
+ *  target. A foreign qualifier (`staged.id` pasted from a MERGE) is a bug
+ *  in the statement and must fail loudly, never silently resolve to a
+ *  same-named target column. Struct paths under a target qualifier
+ *  (`t.meta.field`) keep their field path. */
+private[sql] object TargetAnchor {
+
+  /** The target's alias (`UPDATE t AS x …`) or bare table name — the only
+   *  qualifiers a statement may use for target columns. */
+  def targetNames(plan: LogicalPlan): Set[String] = plan match {
+    case SubqueryAlias(ident, child) => targetNames(child) + ident.name.toLowerCase
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.identifier.map(_.name.toLowerCase).toSet
+    case v: View => Set(v.desc.identifier.table.toLowerCase)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+      Set(u.multipartIdentifier.last.toLowerCase)
+    case p if p.children.size == 1 => targetNames(p.children.head)
+    case _ => Set.empty
+  }
+
+  def reAnchor(
+      e: Expression,
+      names: Set[String],
+      fields: Set[String],
+      stmt: String): Column = SparkInternals.column(e.transform {
+    case u: UnresolvedAttribute =>
+      val parts = u.nameParts
+      val stripped =
+        if (parts.length >= 2 && names.contains(parts.head.toLowerCase)) parts.tail
+        else if (parts.length >= 3 && names.contains(parts(1).toLowerCase)) parts.drop(2)
+        else parts
+      if (fields.contains(stripped.head.toLowerCase)) UnresolvedAttribute(stripped)
+      else throw new IllegalArgumentException(
+        s"$stmt references ${parts.mkString(".")}: only target columns " +
+          "(optionally qualified by the target table/alias) are allowed")
+    case a: Attribute => UnresolvedAttribute(Seq(a.name))
+  })
+}
+
 /**
  * Runnable translation of a parsed+resolved [[UpdateTable]] onto
  * [[SnapshotTable.update]] (touched-file copy-on-write rewrite).
  * Assignment values and the condition may reference target columns only
- * (subqueries in UPDATE are not supported); attributes are re-anchored by
- * bare name onto the table's own frame.
+ * (subqueries in UPDATE are not supported); attributes are re-anchored
+ * onto the table's own frame via [[TargetAnchor]].
  */
-/** Runnable translation of a parsed+resolved [[DeleteFromTable]] onto
- *  [[SnapshotTable.delete]]. Attributes are re-anchored by bare name onto
- *  the table's own frame (subqueries in the condition are not supported). */
-case class GraftDeleteCommand(table: SnapshotTable, delete: DeleteFromTable)
-    extends LeafRunnableCommand {
-
-  override def run(spark: SparkSession): Seq[Row] = {
-    val cond = SparkInternals.column(delete.condition.transform {
-      case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
-      case a: Attribute => UnresolvedAttribute(Seq(a.name))
-    })
-    table.delete(cond)
-    Nil
-  }
-}
-
 case class GraftUpdateCommand(table: SnapshotTable, update: UpdateTable)
     extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    def reAnchor(e: Expression): Column = SparkInternals.column(e.transform {
-      case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
-      case a: Attribute => UnresolvedAttribute(Seq(a.name))
-    })
-    // the target's alias (UPDATE t AS x SET x.col = …) or bare table name —
-    // the only qualifiers an assignment key may carry; anything else (a
-    // typo'd qualifier, a struct path) must fail, not silently update a
-    // same-named top-level column
-    val targetNames: Set[String] = {
-      def names(p: LogicalPlan): Set[String] = p match {
-        case SubqueryAlias(ident, child) => names(child) + ident.name.toLowerCase
-        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-          r.identifier.map(_.name.toLowerCase).toSet
-        case v: View => Set(v.desc.identifier.table.toLowerCase)
-        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-          Set(u.multipartIdentifier.last.toLowerCase)
-        case p if p.children.size == 1 => names(p.children.head)
-        case _ => Set.empty
-      }
-      names(update.table)
-    }
+    val targetNames = TargetAnchor.targetNames(update.table)
+    val fields = table.schema.fieldNames.map(_.toLowerCase).toSet
+    def reAnchor(e: Expression): Column =
+      TargetAnchor.reAnchor(e, targetNames, fields, "UPDATE")
     // struct-typed column names of the target: a key path through one of
     // these is a struct-FIELD update (unsupported) and must never be
     // silently resolved to a same-named top-level column
@@ -274,6 +282,23 @@ case class GraftUpdateCommand(table: SnapshotTable, update: UpdateTable)
     val cond = update.condition.map(reAnchor)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     table.update(cond, assigns)
+    Nil
+  }
+}
+
+/** Runnable translation of a parsed+resolved [[DeleteFromTable]] onto
+ *  [[SnapshotTable.delete]] (touched-file copy-on-write rewrite). The
+ *  condition may reference target columns only (subqueries are not
+ *  supported); attributes are re-anchored via [[TargetAnchor]] — a
+ *  foreign qualifier fails instead of silently deleting rows. */
+case class GraftDeleteCommand(table: SnapshotTable, delete: DeleteFromTable)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cond = TargetAnchor.reAnchor(delete.condition,
+      TargetAnchor.targetNames(delete.table),
+      table.schema.fieldNames.map(_.toLowerCase).toSet, "DELETE")
+    table.delete(cond)
     Nil
   }
 }

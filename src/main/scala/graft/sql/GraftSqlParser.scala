@@ -19,9 +19,9 @@ import graft.tables.SnapshotTable
  * ZORDER BY` / `DESCRIBE HISTORY` / `RESTORE TABLE` / `GENERATE
  * symlink_format_manifest` dialect (`delta/delta_scd_script.py:42-43`,
  * `delta/delta_submit.sh:27-28` loads the extension jar that parses
- * these; SURVEY.md §2.1 S10, §7.3). Vanilla Spark rejects all five
- * statements at the parser, so — like the reference's extension jars —
- * the engine injects a delegating parser: five fixed statement shapes are
+ * these; SURVEY.md §2.1 S10, §7.3). Vanilla Spark rejects every statement
+ * below at the parser, so — like the reference's extension jars — the
+ * engine injects a delegating parser: the fixed statement shapes are
  * recognized here, everything else goes to Spark's own parser untouched.
  *
  * The target table resolves at RUN time (registry contents may change
@@ -36,7 +36,13 @@ import graft.tables.SnapshotTable
  *   RESTORE [TABLE] t TO VERSION AS OF <v>
  *   RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'
  *   GENERATE symlink_format_manifest FOR TABLE t
+ *   CONVERT TO GRAFT [parquet.]`<path>`
  * }}}
+ *
+ * Known dialect ambiguity (shared with Delta, whose grammar this mirrors):
+ * for a table literally named `history`, vanilla `DESCRIBE history <col>`
+ * (describe-column) parses as DESCRIBE HISTORY here. Rename the table or
+ * use `DESCRIBE TABLE history <col>`.
  */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
@@ -165,9 +171,8 @@ case class GraftVacuumCommand(parts: Seq[String], retainHours: Option[Double])
     val retainMillis = (retainHours.getOrElse(168.0) * 3600 * 1000).toLong
     val cutoff = System.currentTimeMillis() - retainMillis
     // the newest contiguous run of commits inside the window (current
-    // version always retained); pre-ts log entries count as in-window
-    val keep = math.max(1,
-      t.history().takeWhile(h => h.ts.forall(_.getTime >= cutoff)).size)
+    // version always retained); torn/pre-ts log entries count as in-window
+    val keep = math.max(1, t.versionsSince(cutoff))
     val deleted = t.vacuum(retainVersions = keep, retainMillis = retainMillis)
     Seq(Row(t.root, deleted.toLong))
   }
@@ -216,9 +221,18 @@ case class GraftRestoreCommand(
     val v = version.getOrElse {
       val lit = timestamp.get.trim
       val millis =
-        if (lit.contains(" ") || lit.contains("T"))
-          java.sql.Timestamp.valueOf(lit.replace("T", " ")).getTime
-        else java.sql.Date.valueOf(lit).getTime
+        try {
+          if (lit.contains(" ") || lit.contains("T")) {
+            val norm = lit.replace("T", " ")
+            // seconds are optional in the dialect: 'yyyy-MM-dd HH:mm'
+            val full = if (norm.count(_ == ':') == 1) norm + ":00" else norm
+            java.sql.Timestamp.valueOf(full).getTime
+          } else java.sql.Date.valueOf(lit).getTime
+        } catch {
+          case e: IllegalArgumentException => throw new IllegalArgumentException(
+            s"RESTORE … TO TIMESTAMP AS OF '$lit': expected " +
+              "'yyyy-MM-dd[ HH:mm[:ss[.f…]]]'", e)
+        }
       t.versionAsOf(millis)
     }
     t.restore(v)

@@ -225,9 +225,8 @@ class SnapshotTable private (
    * NULL results pass, matching SQL CHECK semantics (use
    * `col IS NOT NULL` for NOT NULL enforcement).
    */
-  private def enforceConstraints(df: DataFrame): DataFrame = {
+  private def enforceConstraints(df: DataFrame, props: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, raise_error, when}
-    val props = currentReadable().flatMap(_._2.properties).getOrElse(Map.empty)
     val checks = props.collect {
       case (k, v) if k.startsWith("graft.constraint.") =>
         (k.stripPrefix("graft.constraint."), v)
@@ -257,18 +256,24 @@ class SnapshotTable private (
    *  no cooperation: Spark's parquet scan consults bloom filters during
    *  row-group filtering whenever a pushed equality predicate matches. */
   private[graft] def writeDataDir(dfIn: DataFrame): Seq[FileEntry] = {
-    val df = enforceConstraints(dfIn)
-    val dir = new Path(dataDir, UUID.randomUUID().toString.take(12))
+    // one commit-log read serves both the CHECK constraints and the bloom
+    // options (object-store round trips per write matter)
     val props = currentReadable().flatMap(_._2.properties).getOrElse(Map.empty)
+    val df = enforceConstraints(dfIn, props)
+    val dir = new Path(dataDir, UUID.randomUUID().toString.take(12))
     val bloomCols = props.get("graft.bloom.columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       .flatMap(c => df.schema.fieldNames.find(_.equalsIgnoreCase(c)))
     var writer = df.write.mode("overwrite")
     if (bloomCols.nonEmpty) {
       writer = writer.option("parquet.bloom.filter.adaptive.enabled", "true")
+      val ndvByCol = props.collect {
+        case (k, v) if k.toLowerCase.startsWith("graft.bloom.ndv.") =>
+          k.substring("graft.bloom.ndv.".length).toLowerCase -> v
+      }
       bloomCols.foreach { c =>
         writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
-        props.get(s"graft.bloom.ndv.$c").foreach(ndv =>
+        ndvByCol.get(c.toLowerCase).foreach(ndv =>
           writer = writer.option(s"parquet.bloom.filter.expected.ndv#$c", ndv))
       }
     }
@@ -641,6 +646,18 @@ class SnapshotTable private (
 
   /** Timestamp time travel: the snapshot as of wall-clock `ts`. */
   def readAsOf(ts: java.sql.Timestamp): DataFrame = readVersion(versionAsOf(ts.getTime))
+
+  /** Newest contiguous run of versions committed at or after
+   *  `cutoffMillis`, counted over the SAME version ordering [[vacuum]]'s
+   *  `retainVersions` applies to (a torn or ts-less entry counts as
+   *  in-window — conservative keep). The SQL VACUUM command derives its
+   *  retained-version count here; deriving it from [[history]] would
+   *  mis-align whenever history skips a torn entry vacuum still counts. */
+  private[graft] def versionsSince(cutoffMillis: Long): Int =
+    listVersions().reverse.takeWhile { v =>
+      try commitEntry(v).ts.forall(_ >= cutoffMillis)
+      catch { case NonFatal(_) => true }
+    }.size
 
   private def dfOver(paths: Seq[String], schema: StructType): DataFrame =
     if (paths.isEmpty)
@@ -1530,10 +1547,20 @@ object SnapshotTable {
     val conf = spark.sessionState.newHadoopConf()
     val fs = rootPath.getFileSystem(conf)
     val listing = fs.listStatus(rootPath).toSeq
-    val partDirs = listing.filter(s => s.isDirectory && s.getPath.getName.contains("="))
-    require(partDirs.isEmpty,
-      s"$root looks Hive-partitioned (${partDirs.headOption.map(_.getPath.getName).getOrElse("")}); " +
-        "CONVERT supports unpartitioned parquet layouts only")
+    // only metadata dirs (underscore/dot-prefixed, which Spark's reader
+    // skips too) may exist: a Hive-style key=value dir carries column
+    // values the files lack, and ANY other subdir holds data files this
+    // flat conversion would silently omit from the manifest
+    val subDirs = listing.filter(s =>
+      s.isDirectory && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    require(subDirs.isEmpty, {
+      val d = subDirs.head.getPath.getName
+      if (d.contains("="))
+        s"$root looks Hive-partitioned ($d); CONVERT supports unpartitioned parquet layouts only"
+      else
+        s"$root contains subdirectory $d whose files a flat conversion would drop; " +
+          "CONVERT supports single-level parquet layouts only"
+    })
     val files = listing
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)

@@ -128,6 +128,12 @@ class MaintenanceSqlSpec extends SparkSpec {
     Seq((1, "a"), (2, "b")).toDF("id", "p").write
       .partitionBy("p").mode("overwrite").parquet(part)
     intercept[IllegalArgumentException](SnapshotTable.convert(spark, part))
+    // nested non-partition subdirs would be silently dropped — refused too
+    val nested = tmpDir("convnest")
+    Seq((1, "a")).toDF("id", "p").write.mode("overwrite").parquet(nested)
+    Seq((2, "b")).toDF("id", "p").write.mode("overwrite").parquet(s"$nested/batch_1")
+    val e = intercept[IllegalArgumentException](SnapshotTable.convert(spark, nested))
+    assert(e.getMessage.contains("batch_1"))
   }
 
   test("maintenance SQL on an unregistered name fails loudly") {

@@ -136,6 +136,21 @@ class MergeSqlSpec extends SparkSpec {
     assert(t.readVersion(t.currentVersion() - 1).count() === 3)
   }
 
+  test("DELETE and UPDATE reject foreign qualifiers in conditions") {
+    val t = freshRegistered("contact_fq")
+    val e1 = intercept[Exception](
+      spark.sql("DELETE FROM contact_fq WHERE staged.id = 3"))
+    assert(e1.getMessage.contains("staged.id"))
+    val e2 = intercept[Exception](
+      spark.sql("UPDATE contact_fq SET iscurrent = 0 WHERE staged.id = 3"))
+    assert(e2.getMessage.contains("staged.id"))
+    // nothing was deleted or updated by the failed statements
+    assert(t.read().count() === 3)
+    // target-qualified and alias forms still resolve
+    spark.sql("DELETE FROM contact_fq WHERE contact_fq.id = 3")
+    assert(t.read().select("id").as[Int].collect().toSet === Set(1, 2))
+  }
+
   test("UPDATE rejects assignment keys with foreign qualifiers") {
     val t = freshRegistered("contact_badqual")
     // "s" is not the target's name or alias — silently updating the
