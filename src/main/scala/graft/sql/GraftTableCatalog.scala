@@ -218,6 +218,17 @@ class GraftTable(
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  /** Exact row count of the pinned snapshot from manifest stats alone —
+   *  None when any file's count is unknown or MoR deltas are pending
+   *  (the [[MetadataOnlyCount]] rule then leaves the scan in place). */
+  private[sql] def statsRowCount: Option[Long] =
+    if (snapshotVersion < 0) Some(0L)
+    else {
+      val e = table.commitEntry(snapshotVersion)
+      if (e.deltaFiles.exists(_.nonEmpty) || e.files.exists(_.rows < 0)) None
+      else Some(e.files.map(_.rows).sum)
+    }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // The catalog scan reads BASE files; serving it for a snapshot with
     // pending MoR deltas would silently return stale rows. Checked at

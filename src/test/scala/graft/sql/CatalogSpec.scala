@@ -230,6 +230,37 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("graft.db.t16").count() === 2)
   }
 
+  test("unfiltered count(*) answers from manifest stats, no scan") {
+    (1 to 1234).map(i => (i, s"v$i")).toDF("id", "v")
+      .writeTo("graft.db.cnt").createOrReplace()
+    Seq((1235, "x")).toDF("id", "v").writeTo("graft.db.cnt").append()
+
+    def hasLocalRelation(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.optimizedPlan.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        }.nonEmpty
+
+    val metaCount = spark.sql("SELECT count(*) AS n, count(1) AS m FROM graft.db.cnt")
+    assert(metaCount.as[(Long, Long)].head() === ((1235L, 1235L)))
+    assert(hasLocalRelation(metaCount), "count(*) must come from the manifest")
+
+    // a filter keeps the scan — and stays correct
+    val filtered = spark.sql("SELECT count(*) AS n FROM graft.db.cnt WHERE id <= 10")
+    assert(filtered.as[Long].head() === 10L)
+    assert(!hasLocalRelation(filtered))
+
+    // count(col) has NULL semantics the manifest cannot answer — scan kept
+    val colCount = spark.sql("SELECT count(v) AS n FROM graft.db.cnt")
+    assert(colCount.as[Long].head() === 1235L)
+    assert(!hasLocalRelation(colCount))
+
+    // the rule honors a pinned time-travel snapshot
+    val v0 = spark.sql("SELECT count(*) AS n FROM graft.db.cnt VERSION AS OF 1")
+    assert(v0.as[Long].head() === 1234L)
+    assert(hasLocalRelation(v0))
+  }
+
   test("drop table removes it; load after drop fails") {
     Seq((1, "a")).toDF("id", "v").writeTo("graft.db.t6").createOrReplace()
     spark.sql("DROP TABLE graft.db.t6")
