@@ -39,8 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Delta-dialect maintenance statements (VACUUM / OPTIMIZE / DESCRIBE
     // HISTORY / RESTORE / GENERATE) — see [[GraftSqlParser]]
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
-    // answer unfiltered count(*) from manifest stats, no scan
-    ext.injectOptimizerRule(_ => MetadataOnlyCount)
+    // answer unfiltered count(*)/min/max from manifest stats, no scan
+    ext.injectOptimizerRule(_ => MetadataOnlyAgg)
   }
 }
 

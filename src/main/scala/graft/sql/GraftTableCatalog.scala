@@ -218,15 +218,14 @@ class GraftTable(
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  /** Exact row count of the pinned snapshot from manifest stats alone —
-   *  None when any file's count is unknown or MoR deltas are pending
-   *  (the [[MetadataOnlyCount]] rule then leaves the scan in place). */
-  private[sql] def statsRowCount: Option[Long] =
-    if (snapshotVersion < 0) Some(0L)
+  /** The pinned snapshot's manifest for stats-only answering — None when
+   *  MoR deltas are pending (base stats would be stale; the
+   *  [[MetadataOnlyAgg]] rule then leaves the scan in place). */
+  private[sql] def statsFiles: Option[Seq[graft.tables.SnapshotTable.FileEntry]] =
+    if (snapshotVersion < 0) Some(Nil)
     else {
       val e = table.commitEntry(snapshotVersion)
-      if (e.deltaFiles.exists(_.nonEmpty) || e.files.exists(_.rows < 0)) None
-      else Some(e.files.map(_.rows).sum)
+      if (e.deltaFiles.exists(_.nonEmpty)) None else Some(e.files)
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

@@ -1,65 +1,155 @@
 package graft.sql
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types._
+
+import graft.tables.SnapshotTable.FileEntry
 
 /**
- * Metadata-only `count(*)`: a global count over an unfiltered graft
- * relation is answered from the manifest's per-file row counts — zero
- * tasks, zero bytes read — instead of scanning every file (the same
- * optimization Delta ships for its stats-bearing tables). At 100 TB the
- * difference is a full-corpus scan vs an O(files) driver-side sum that
- * was already paid for at commit time.
+ * Metadata-only aggregates: a global `count(*)` / `min(col)` / `max(col)`
+ * over an unfiltered graft relation is answered from the manifest's
+ * per-file row counts and column bounds — zero tasks, zero bytes read —
+ * instead of scanning every file (the optimization Delta ships for its
+ * stats-bearing tables). At 100 TB the difference is a full-corpus scan
+ * vs an O(files) driver-side fold that was already paid for at commit
+ * time; `max(event_ts)` — the incremental-pipeline watermark query — is
+ * the canonical beneficiary.
  *
- * Safety gates: the relation must be a [[GraftTable]] with NO pending MoR
- * deltas and per-file counts known for every live file
- * ([[GraftTable.statsRowCount]]); the aggregate must be global (no
- * grouping) with every output column a bare `count(*)`/`count(1)`
- * (non-distinct, unfiltered, non-nullable argument). Anything else keeps
- * its scan. Runs in the operator-optimization batch, BEFORE
- * V2ScanRelationPushDown turns the relation into a scan.
+ * Safety gates, each of which keeps the scan when unmet:
+ *  - the relation is a [[GraftTable]] with NO pending MoR deltas;
+ *  - every output column is a bare non-distinct unfiltered `count(*)`,
+ *    `min(col)`, or `max(col)`;
+ *  - count: every live file's row count is known;
+ *  - min/max: the column is the RELATION's own attribute (matched by
+ *    exprId — a projected alias shadowing a column name must not hit the
+ *    stats of the column it shadows), of an exactly-representable stats
+ *    type (integral/float/double/date/timestamp — strings are excluded:
+ *    footer bounds are code-point ordered and may be truncated), and
+ *    every live file carries harvested bounds for it or is provably
+ *    all-NULL (`nullCount == rows`; NaN-bearing float chunks get no
+ *    footer bounds at all, so they fail this gate rather than mis-answer).
+ *
+ * Runs in the operator-optimization batch, BEFORE V2ScanRelationPushDown
+ * turns the relation into a scan.
  */
-object MetadataOnlyCount extends Rule[LogicalPlan] {
+object MetadataOnlyAgg extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(groupless, exprs, child, _)
-        if groupless.isEmpty && exprs.forall(isCountStar) =>
-      graftRelation(child).flatMap(_.statsRowCount) match {
-        case Some(n) =>
-          LocalRelation(agg.output, Seq(InternalRow.fromSeq(exprs.map(_ => n))))
-        case None => agg
-      }
+        if groupless.isEmpty && exprs.nonEmpty =>
+      (for {
+        rel <- relationOf(child)
+        g <- rel.table match { case g: GraftTable => Some(g); case _ => None }
+        files <- g.statsFiles
+        values <- traverse(exprs.map(answer(_, rel, files)))
+      } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
+        .getOrElse(agg)
   }
 
   /** The bare graft relation beneath the aggregate — an intervening
-   *  Project is fine (count(*) evaluates nothing row-wise), an
+   *  Project is fine (attribute identity is re-checked by exprId), an
    *  intervening Filter is not. */
-  private def graftRelation(plan: LogicalPlan): Option[GraftTable] = plan match {
-    case r: DataSourceV2Relation =>
-      r.table match {
-        case g: GraftTable => Some(g)
-        case _ => None
-      }
-    case Project(_, child) => graftRelation(child)
+  private def relationOf(plan: LogicalPlan): Option[DataSourceV2Relation] = plan match {
+    case r: DataSourceV2Relation => Some(r)
+    case Project(_, child) => relationOf(child)
     case _ => None
   }
 
-  private def isCountStar(e: NamedExpression): Boolean = e match {
-    case Alias(ae: AggregateExpression, _) => isRowCount(ae)
-    case ae: AggregateExpression => isRowCount(ae)
-    case _ => false
+  private def traverse(xs: Seq[Option[Any]]): Option[Seq[Any]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  /** The aggregate's exact answer from stats, or None to keep the scan.
+   *  `Some(null)` is a real answer: min/max of an empty or all-NULL
+   *  column is SQL NULL. */
+  private def answer(
+      e: NamedExpression,
+      rel: DataSourceV2Relation,
+      files: Seq[FileEntry]): Option[Any] = e match {
+    case Alias(ae: AggregateExpression, _) => answerAgg(ae, rel, files)
+    case ae: AggregateExpression => answerAgg(ae, rel, files)
+    case _ => None
   }
 
-  private def isRowCount(ae: AggregateExpression): Boolean =
-    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-      case Count(children) => children.forall {
-        case l: Literal => l.value != null
-        case _ => false
+  private def answerAgg(
+      ae: AggregateExpression,
+      rel: DataSourceV2Relation,
+      files: Seq[FileEntry]): Option[Any] = {
+    if (ae.isDistinct || ae.filter.isDefined) return None
+    ae.aggregateFunction match {
+      case Count(children) if children.forall {
+            case l: Literal => l.value != null
+            case _ => false
+          } =>
+        if (files.forall(_.rows >= 0)) Some(files.map(_.rows).sum) else None
+      case Min(a: AttributeReference) => bound(a, rel, files, takeMin = true)
+      case Max(a: AttributeReference) => bound(a, rel, files, takeMin = false)
+      case _ => None
+    }
+  }
+
+  private val exactTypes: Set[DataType] = Set(
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+    DateType, TimestampType, TimestampNTZType)
+
+  private def bound(
+      a: AttributeReference,
+      rel: DataSourceV2Relation,
+      files: Seq[FileEntry],
+      takeMin: Boolean): Option[Any] = {
+    if (!rel.output.exists(_.exprId == a.exprId)) return None
+    if (!exactTypes.contains(a.dataType)) return None
+    val perFile = files.map { f =>
+      f.stats.get(a.name).orElse {
+        val matches = f.stats.keys.filter(_.equalsIgnoreCase(a.name))
+        if (matches.size == 1) f.stats.get(matches.head) else None
+      }.map(cs => (cs, f.rows))
+    }
+    if (perFile.exists(_.isEmpty)) return None // a file without harvested stats
+    val bounds = perFile.flatten.flatMap { case (cs, rows) =>
+      val b = if (takeMin) cs.min else cs.max
+      b match {
+        case Some(s) => Some(Some(s))
+        // boundless entry: provably all-NULL (ignored by min/max) or
+        // unusable stats (unsupported physical type, e.g. INT96 from a
+        // converted table; NaN-bearing chunks) — only the former is safe
+        case None if rows >= 0 && cs.nullCount.contains(rows) => None
+        case None => Some(None)
       }
-      case _ => false
-    })
+    }
+    if (bounds.exists(_.isEmpty)) return None // some file's bound is unknown
+    val parsed = bounds.flatten.map(parse(_, a.dataType))
+    if (parsed.isEmpty) Some(null) // empty table or all rows NULL
+    else Some(parsed.reduce((x, y) => pick(x, y, a.dataType, takeMin)))
+  }
+
+  /** Stats strings are written in the column's natural domain
+   *  (integral/date/timestamp → long, float/double → double) by
+   *  `readFooterStats`; the InternalRow value domain matches exactly
+   *  (date = days int, timestamp = micros long). */
+  private def parse(s: String, dt: DataType): Any = dt match {
+    case ByteType => s.toLong.toByte
+    case ShortType => s.toLong.toShort
+    case IntegerType | DateType => s.toLong.toInt
+    case LongType | TimestampType | TimestampNTZType => s.toLong
+    case FloatType => s.toDouble.toFloat
+    case DoubleType => s.toDouble
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  private def pick(x: Any, y: Any, dt: DataType, takeMin: Boolean): Any = {
+    val cmp = dt match {
+      case FloatType =>
+        java.lang.Float.compare(x.asInstanceOf[Float], y.asInstanceOf[Float])
+      case DoubleType =>
+        java.lang.Double.compare(x.asInstanceOf[Double], y.asInstanceOf[Double])
+      case _ => java.lang.Long.compare(
+        x.asInstanceOf[Number].longValue(), y.asInstanceOf[Number].longValue())
+    }
+    if ((cmp <= 0) == takeMin) x else y
+  }
 }

@@ -259,6 +259,58 @@ class CatalogSpec extends SparkSpec {
     val v0 = spark.sql("SELECT count(*) AS n FROM graft.db.cnt VERSION AS OF 1")
     assert(v0.as[Long].head() === 1234L)
     assert(hasLocalRelation(v0))
+
+    // min/max of numeric columns answer from footer bounds, mixed with count
+    val mm = spark.sql("SELECT min(id) AS lo, max(id) AS hi, count(*) AS n FROM graft.db.cnt")
+    assert(mm.as[(Int, Int, Long)].head() === ((1, 1235, 1235L)))
+    assert(hasLocalRelation(mm), "min/max must come from the manifest")
+
+    // min/max over strings is NOT stats-answerable (code-point order,
+    // truncation) — scan kept, answer still right
+    val sm = spark.sql("SELECT max(v) AS hi FROM graft.db.cnt")
+    assert(sm.as[String].head() === "x") // the appended (1235, "x") row
+    assert(!hasLocalRelation(sm))
+
+    // a projected alias shadowing a real column must not hit its stats
+    val shadow = spark.sql(
+      "SELECT max(id) AS hi FROM (SELECT -id AS id FROM graft.db.cnt)")
+    assert(shadow.as[Int].head() === -1)
+    assert(!hasLocalRelation(shadow))
+  }
+
+  test("metadata min/max: timestamps, NULL columns, all-NULL columns") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("ts", TimestampType),
+      StructField("maybe", LongType), StructField("void", DoubleType)))
+    val rows = (1 to 100).map { i =>
+      Row(i, java.sql.Timestamp.valueOf(f"2024-03-${i % 28 + 1}%02d 10:00:00"),
+        if (i % 3 == 0) null else java.lang.Long.valueOf(i * 10L), null)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+      .writeTo("graft.db.mmts").createOrReplace()
+
+    def localRel(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.optimizedPlan.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        }.nonEmpty
+
+    val watermark = spark.sql("SELECT max(ts) AS hwm FROM graft.db.mmts")
+    assert(watermark.as[java.sql.Timestamp].head() ===
+      java.sql.Timestamp.valueOf("2024-03-28 10:00:00"))
+    assert(localRel(watermark), "the watermark query must be metadata-only")
+
+    // nulls are ignored by min/max — and the bounds still come from stats
+    val m = spark.sql("SELECT min(maybe) AS lo, max(maybe) AS hi FROM graft.db.mmts")
+    assert(m.as[(Long, Long)].head() === ((10L, 1000L)))
+    assert(localRel(m))
+
+    // an all-NULL column answers NULL from nullCount == rows
+    val v = spark.sql("SELECT max(void) AS hi FROM graft.db.mmts")
+    assert(v.head().isNullAt(0))
+    assert(localRel(v))
   }
 
   test("drop table removes it; load after drop fails") {
