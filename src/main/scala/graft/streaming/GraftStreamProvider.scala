@@ -1,10 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.graftshim.SparkInternals
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
 
 import graft.tables.SnapshotTable
 
@@ -38,11 +40,36 @@ import graft.tables.SnapshotTable
  * the stream never rescans the table, and a quiet table costs nothing
  * per trigger.
  */
-class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
-  private def tableFor(sqlContext: SQLContext, params: Map[String, String]): SnapshotTable = {
+  /** Streaming SINK over a [[SnapshotTable]] — `writeStream
+   *  .format("graft-table").option("path", root)` lands each micro-batch
+   *  as one atomic snapshot commit with the same `stream-<batchId>`
+   *  idempotent-redelivery guard as [[StreamIngest]]'s foreachBatch sinks.
+   *  Options: `upsertKeys` (comma-separated) switches from append to
+   *  keyed upsert with `precombine` (required then); `deferred=true`
+   *  lands upserts as MoR delta files ([[SnapshotTable.upsertDeferred]]). */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-table sink: use the table's persisted cluster spec instead of partitionBy")
+    val keys = parameters.get("upsertKeys").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val precombine = parameters.get("precombine")
+    require(keys.isEmpty || precombine.nonEmpty,
+      "graft-table sink: upsertKeys requires .option(\"precombine\", <col>)")
+    new GraftTableSink(tableFor(sqlContext, parameters), keys, precombine,
+      deferred = parameters.get("deferred").exists(_.toBoolean))
+  }
+
+  private[streaming] def tableFor(
+      sqlContext: SQLContext, params: Map[String, String]): SnapshotTable = {
     val path = params.getOrElse("path", throw new IllegalArgumentException(
       "graft-table source requires .option(\"path\", <table root>)"))
     SnapshotTable(sqlContext.sparkSession, path)
@@ -132,4 +159,29 @@ class GraftTableSource(
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftTableSource[${table.root}]"
+}
+
+/** See [[GraftStreamProvider.createSink]]: each micro-batch commits
+ *  atomically with the `stream-<batchId>` action tag; a re-delivered
+ *  batch after checkpoint recovery is recognized by that tag and skipped
+ *  (the same exactly-once contract as [[StreamIngest]]). The incoming
+ *  V1-sink frame is rebatched through [[SparkInternals.rebatch]] before
+ *  entering the table's normal write paths. */
+class GraftTableSink(
+    table: SnapshotTable,
+    keys: Seq[String],
+    precombine: Option[String],
+    deferred: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    if (StreamIngest.lastStreamBatch(table).contains(batchId)) return
+    val batch = SparkInternals.rebatch(data.toDF())
+    val action = s"stream-$batchId"
+    if (keys.isEmpty) table.appendAs(batch, action)
+    else if (deferred) table.upsertDeferred(batch, keys, precombine.get, action)
+    else table.upsertAs(batch, keys, precombine.get, action)
+    ()
+  }
+
+  override def toString: String = s"GraftTableSink[${table.root}]"
 }

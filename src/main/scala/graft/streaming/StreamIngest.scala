@@ -27,7 +27,7 @@ object StreamIngest {
 
   private val StreamAction = "stream-(\\d+)".r
 
-  private def lastStreamBatch(table: SnapshotTable): Option[Long] =
+  private[streaming] def lastStreamBatch(table: SnapshotTable): Option[Long] =
     table.manifestAction() match {
       case Some(StreamAction(id)) => Some(id.toLong)
       case _ => None

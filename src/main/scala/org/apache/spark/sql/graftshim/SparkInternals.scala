@@ -25,4 +25,15 @@ object SparkInternals {
   def executedPlanString(df: DataFrame): String =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.executedPlan.toString
+
+  /** A V1 streaming Sink's `addBatch` DataFrame is bound to the query's
+   *  own incremental execution and cannot be re-planned by batch writers;
+   *  wrap its executed RDD in a fresh batch LogicalRDD (exactly what
+   *  Spark's ForeachBatchSink does) so normal write paths can consume it. */
+  def rebatch(data: DataFrame): DataFrame = {
+    val classic = data.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      classic.queryExecution.toRdd, classic, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(classic.sparkSession, node)
+  }
 }

@@ -96,6 +96,46 @@ class StreamIngestSpec extends SparkSpec {
       Set((1, "new", 5L), (2, "ins", 1L)))
   }
 
+  test("writeStream.format(graft-table) appends micro-batches with resume") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, String)]
+    val root = tmpDir("fmtsink")
+    val ckpt = tmpDir("ckpt")
+    def run(): Unit = StreamIngest.runOnce(
+      mem.toDF().toDF("id", "v").writeStream
+        .format("graft-table").option("path", root), ckpt)
+    mem.addData((1, "a"), (2, "b"))
+    run()
+    val table = SnapshotTable(spark, root)
+    assert(table.read().count() === 2)
+    assert(table.manifestAction().exists(_.startsWith("stream-")))
+    mem.addData((3, "c"))
+    run() // resumed from the same checkpoint: no duplicates of 1/2
+    assert(table.read().select("id").as[Int].collect().toSet === Set(1, 2, 3))
+  }
+
+  test("writeStream.format(graft-table) with upsertKeys does keyed upserts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, String, Long)]
+    val table = SnapshotTable.create(spark, tmpDir("fmtup"),
+      Seq((1, "old", 0L)).toDF("id", "v", "ts"))
+    mem.addData((1, "new", 5L), (1, "stale", 3L), (2, "ins", 1L))
+    StreamIngest.runOnce(
+      mem.toDF().toDF("id", "v", "ts").writeStream
+        .format("graft-table").option("path", table.root)
+        .option("upsertKeys", "id").option("precombine", "ts"),
+      tmpDir("ckpt"))
+    assert(table.read().as[(Int, String, Long)].collect().toSet ===
+      Set((1, "new", 5L), (2, "ins", 1L)))
+    // upsertKeys without precombine is refused at sink creation
+    val bad = intercept[Exception](
+      mem.toDF().toDF("id", "v", "ts").writeStream
+        .format("graft-table").option("path", table.root)
+        .option("upsertKeys", "id")
+        .option("checkpointLocation", tmpDir("ckpt")).start())
+    assert(bad.getMessage.contains("precombine"))
+  }
+
   test("streaming read source: commits arrive as micro-batches, resume is exact") {
     val root = tmpDir("streamsrc")
     val t = SnapshotTable.create(spark, root, Seq((1, "a"), (2, "b")).toDF("id", "v"))
