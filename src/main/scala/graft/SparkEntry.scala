@@ -545,6 +545,34 @@ object SparkEntry {
       |    (9000003, '  Multiple   spaces   and   MIXED Case  ')) v(doc_id, text))
       |ORDER BY doc_id""".stripMargin
 
+  /** Q52 — reproducible data mixing ([[ext.Sampling.mixByGroup]]): keep
+   *  90% of en, 50% of de, 25% of fr, 10% of es, drop zh, selected by the
+   *  engine-portable arithmetic id hash — the DuckDB oracle replays the
+   *  identical BIGINT arithmetic, so the exact selected document set must
+   *  match (the point of deterministic sampling). */
+  private def mixSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    ext.Sampling.mixByGroup(docs, "doc_id", "lang",
+        Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+  private val Q52Duck = {
+    val m = ext.Sampling.Modulus
+    val a = ext.Sampling.Mult
+    val salt = 40503L
+    def thr(f: Double) = ext.Sampling.threshold(f)
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    (((doc_id % $m) * $a + $salt) % $m * $a + $salt) % $m AS b
+       |  FROM documents)
+       |WHERE (lang = 'en' AND b < ${thr(0.9)})
+       |   OR (lang = 'de' AND b < ${thr(0.5)})
+       |   OR (lang = 'fr' AND b < ${thr(0.25)})
+       |   OR (lang = 'es' AND b < ${thr(0.1)})
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Q48 — embedding cosine near-dup pairs ([[ext.Dedup.embeddingPairs]],
    *  hyperplane-LSH bucket join + exact cosine filter). The embeddings
    *  fixture has NO planted near-dups (max background cosine ≈ 0.51), so
@@ -1024,7 +1052,8 @@ object SparkEntry {
     "q48_embedding_pairs" -> embeddingPairsQuery,
     "q49_approx_recall" -> approxRecallQuery,
     "q50_repetition_ratio" -> repetitionQuery,
-    "q51_pii_scrub" -> scrubQuery)
+    "q51_pii_scrub" -> scrubQuery,
+    "q52_mix_sample" -> mixSampleQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1075,7 +1104,8 @@ object SparkEntry {
     "q48_embedding_pairs" -> Q48Duck,
     "q49_approx_recall" -> Q49Duck,
     "q50_repetition_ratio" -> Q50Duck,
-    "q51_pii_scrub" -> Q51Duck)
+    "q51_pii_scrub" -> Q51Duck,
+    "q52_mix_sample" -> Q52Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN values
   // are not SQL-expressible → driver records the weaker rows-only check
   // for them; their SEMANTICS are oracled through q49's recall/precision

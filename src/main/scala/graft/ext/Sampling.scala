@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Reproducible sampling and data mixing for training-data pipelines.
+ *
+ * Random sampling (`df.sample`, `sampleBy`) is seed- and partitioning-
+ * dependent: re-running the pipeline, repartitioning the input, or
+ * porting to another engine changes WHICH rows are kept. A corpus build
+ * needs the opposite — the same document set selected on every run,
+ * every engine, every cluster size. The standard trick is a
+ * deterministic hash of the document id compared against the rate, and
+ * to keep the selection replayable by non-Spark auditors the hash here
+ * is pure BIGINT arithmetic (two multiplicative-congruential rounds mod
+ * a prime — Knuth's constant), not an engine-specific hash function.
+ *
+ * Everything is a map-side codegen'd projection/filter — no shuffle, no
+ * RNG state, trivially scales to any corpus size. Ids are assumed
+ * non-negative (the usual case; negative ids would need `pmod` on the
+ * replaying engine too).
+ */
+object Sampling {
+
+  /** Prime modulus: buckets are in `[0, Modulus)`. */
+  val Modulus: Long = 1000000007L
+
+  /** Knuth's multiplicative-hash constant (2^32 · φ⁻¹). */
+  val Mult: Long = 2654435761L
+
+  /** Deterministic bucket of `id` in `[0, Modulus)`. The id is reduced
+   *  mod the prime FIRST so the subsequent multiplies stay inside Long
+   *  range for any id (no ANSI overflow at 100 TB id scales); two rounds
+   *  decorrelate sequential ids well enough for rate-accurate sampling. */
+  def hashBucket(id: Column, salt: Long = 40503L): Column = {
+    val reduced = pmod(id, lit(Modulus))
+    val r1 = pmod(reduced * lit(Mult) + lit(salt), lit(Modulus))
+    pmod(r1 * lit(Mult) + lit(salt), lit(Modulus))
+  }
+
+  /** The bucket threshold selecting a `fraction` of ids. */
+  def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    (fraction * Modulus).toLong
+  }
+
+  /** Keep a deterministic `fraction` of rows by id hash — same selection
+   *  on every run and engine. */
+  def sample(df: DataFrame, idCol: String, fraction: Double, salt: Long = 40503L): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) < lit(threshold(fraction)))
+
+  /**
+   * Per-group reproducible mixing (the corpus-composition step of a
+   * training-data build: "90% of en, 50% of de, drop zh"): keep a row of
+   * group `g` with rate `fractions(g)`, decided purely by the id hash.
+   * Groups not listed are DROPPED. The rate lookup is a when-chain —
+   * map-side, codegen'd, no join — sized for the handful of groups a
+   * mixing config realistically has.
+   */
+  def mixByGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      fractions: Map[String, Double],
+      salt: Long = 40503L): DataFrame = {
+    val cutoff = fractions.foldLeft(lit(-1L)) { case (acc, (g, f)) =>
+      when(col(groupCol) === lit(g), lit(threshold(f))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), salt) < cutoff)
+  }
+}

@@ -387,6 +387,27 @@ class ExtSpec extends SparkSpec {
     assert(r(3L) === 0)
   }
 
+  test("deterministic sampling: rate-accurate, stable, salt-sensitive") {
+    val ids = spark.range(0, 10000).toDF("id")
+    val kept = Sampling.sample(ids, "id", 0.5).as[Long].collect().toSet
+    // rate accuracy on 10k sequential ids
+    assert(math.abs(kept.size - 5000) < 300, s"got ${kept.size}")
+    // exact reproducibility run-to-run
+    assert(Sampling.sample(ids, "id", 0.5).as[Long].collect().toSet === kept)
+    // monotone rates: the 50% set contains the 10% set (same salt)
+    val small = Sampling.sample(ids, "id", 0.1).as[Long].collect().toSet
+    assert(small.subsetOf(kept))
+    // a different salt selects a genuinely different set
+    val other = Sampling.sample(ids, "id", 0.5, salt = 7L).as[Long].collect().toSet
+    assert(other !== kept)
+    // mixing: unlisted groups drop entirely, listed groups keep their rate
+    val grouped = ids.withColumn("g",
+      when(col("id") % 2 === 0, "a").otherwise("b"))
+    val mixed = Sampling.mixByGroup(grouped, "id", "g", Map("a" -> 1.0))
+    assert(mixed.select("g").distinct().as[String].collect().toSeq === Seq("a"))
+    assert(mixed.count() === 5000)
+  }
+
   test("scrubPii redacts URLs, emails, IPv4s; normalize canonicalizes") {
     val rows = Seq(
       (1L, "mail a.b+c@x-site.co.uk or https://ex.com/p?q=1#f then 10.0.0.255 ok"),
