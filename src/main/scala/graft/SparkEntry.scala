@@ -560,7 +560,7 @@ object SparkEntry {
   private val Q52Duck = {
     val m = ext.Sampling.Modulus
     val a = ext.Sampling.Mult
-    val salt = 40503L
+    val salt = ext.Sampling.DefaultSalt
     def thr(f: Double) = ext.Sampling.threshold(f)
     s"""SELECT doc_id, lang FROM (
        |  SELECT doc_id, lang,

@@ -29,11 +29,14 @@ object Sampling {
   /** Knuth's multiplicative-hash constant (2^32 · φ⁻¹). */
   val Mult: Long = 2654435761L
 
+  /** Default salt — referenced by the q52 oracle; change both together. */
+  val DefaultSalt: Long = 40503L
+
   /** Deterministic bucket of `id` in `[0, Modulus)`. The id is reduced
    *  mod the prime FIRST so the subsequent multiplies stay inside Long
    *  range for any id (no ANSI overflow at 100 TB id scales); two rounds
    *  decorrelate sequential ids well enough for rate-accurate sampling. */
-  def hashBucket(id: Column, salt: Long = 40503L): Column = {
+  def hashBucket(id: Column, salt: Long = DefaultSalt): Column = {
     val reduced = pmod(id, lit(Modulus))
     val r1 = pmod(reduced * lit(Mult) + lit(salt), lit(Modulus))
     pmod(r1 * lit(Mult) + lit(salt), lit(Modulus))
@@ -47,7 +50,7 @@ object Sampling {
 
   /** Keep a deterministic `fraction` of rows by id hash — same selection
    *  on every run and engine. */
-  def sample(df: DataFrame, idCol: String, fraction: Double, salt: Long = 40503L): DataFrame =
+  def sample(df: DataFrame, idCol: String, fraction: Double, salt: Long = DefaultSalt): DataFrame =
     df.filter(hashBucket(col(idCol), salt) < lit(threshold(fraction)))
 
   /**
@@ -63,7 +66,7 @@ object Sampling {
       idCol: String,
       groupCol: String,
       fractions: Map[String, Double],
-      salt: Long = 40503L): DataFrame = {
+      salt: Long = DefaultSalt): DataFrame = {
     val cutoff = fractions.foldLeft(lit(-1L)) { case (acc, (g, f)) =>
       when(col(groupCol) === lit(g), lit(threshold(f))).otherwise(acc)
     }

@@ -220,8 +220,10 @@ class GraftTable(
 
   /** The pinned snapshot's manifest for stats-only answering — None when
    *  MoR deltas are pending (base stats would be stale; the
-   *  [[MetadataOnlyAgg]] rule then leaves the scan in place). */
-  private[sql] def statsFiles: Option[Seq[graft.tables.SnapshotTable.FileEntry]] =
+   *  [[MetadataOnlyAgg]] rule then leaves the scan in place). Lazy: the
+   *  snapshot is pinned and immutable, so one manifest read serves every
+   *  optimizer iteration that consults it. */
+  private[sql] lazy val statsFiles: Option[Seq[graft.tables.SnapshotTable.FileEntry]] =
     if (snapshotVersion < 0) Some(Nil)
     else {
       val e = table.commitEntry(snapshotVersion)

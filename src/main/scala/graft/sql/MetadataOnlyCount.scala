@@ -40,8 +40,11 @@ import graft.tables.SnapshotTable.FileEntry
 object MetadataOnlyAgg extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // the expression-shape gate runs FIRST: an unanswerable aggregate
+    // (sum, avg, grouping…) must not cost a manifest read on every
+    // optimizer fixed-point iteration
     case agg @ Aggregate(groupless, exprs, child, _)
-        if groupless.isEmpty && exprs.nonEmpty =>
+        if groupless.isEmpty && exprs.nonEmpty && exprs.forall(isSupportedShape) =>
       (for {
         rel <- relationOf(child)
         g <- rel.table match { case g: GraftTable => Some(g); case _ => None }
@@ -49,6 +52,22 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
         values <- traverse(exprs.map(answer(_, rel, files)))
       } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
         .getOrElse(agg)
+  }
+
+  /** Cheap syntactic pre-filter: could this output column EVER be
+   *  stats-answerable? (The full gates re-check against the files.) */
+  private def isSupportedShape(e: NamedExpression): Boolean = {
+    def ok(ae: AggregateExpression): Boolean =
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case Count(_) => true
+        case Min(_: AttributeReference) | Max(_: AttributeReference) => true
+        case _ => false
+      })
+    e match {
+      case Alias(ae: AggregateExpression, _) => ok(ae)
+      case ae: AggregateExpression => ok(ae)
+      case _ => false
+    }
   }
 
   /** The bare graft relation beneath the aggregate — an intervening

@@ -62,16 +62,24 @@ class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
     val keys = parameters.get("upsertKeys").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val precombine = parameters.get("precombine")
+    val deferred = parameters.get("deferred").exists(_.toBoolean)
     require(keys.isEmpty || precombine.nonEmpty,
       "graft-table sink: upsertKeys requires .option(\"precombine\", <col>)")
-    new GraftTableSink(tableFor(sqlContext, parameters), keys, precombine,
-      deferred = parameters.get("deferred").exists(_.toBoolean))
+    require(!deferred || keys.nonEmpty,
+      "graft-table sink: deferred=true requires upsertKeys (MoR is a keyed upsert)")
+    // Complete/Update re-emit previously-delivered rows every trigger —
+    // only the keyed upsert path absorbs that idempotently; blind append
+    // would duplicate them (same restriction as Spark's file sinks)
+    require(keys.nonEmpty || outputMode == OutputMode.Append(),
+      s"graft-table sink: output mode $outputMode requires upsertKeys; " +
+        "append-only ingestion supports Append mode only")
+    new GraftTableSink(tableFor(sqlContext, parameters), keys, precombine, deferred)
   }
 
   private[streaming] def tableFor(
       sqlContext: SQLContext, params: Map[String, String]): SnapshotTable = {
     val path = params.getOrElse("path", throw new IllegalArgumentException(
-      "graft-table source requires .option(\"path\", <table root>)"))
+      "graft-table requires .option(\"path\", <table root>)"))
     SnapshotTable(sqlContext.sparkSession, path)
   }
 
@@ -178,6 +186,10 @@ class GraftTableSink(
     val batch = SparkInternals.rebatch(data.toDF())
     val action = s"stream-$batchId"
     if (keys.isEmpty) table.appendAs(batch, action)
+    // empty upsert batches commit nothing (same guard as StreamIngest's
+    // foreachBatch sinks): a merge over zero rows is wasted work, and a
+    // zero-row MoR delta would pin the table's (keys, precombine) spec
+    else if (batch.isEmpty) ()
     else if (deferred) table.upsertDeferred(batch, keys, precombine.get, action)
     else table.upsertAs(batch, keys, precombine.get, action)
     ()

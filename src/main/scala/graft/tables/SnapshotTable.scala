@@ -1275,7 +1275,19 @@ object SnapshotTable {
     val prim = st.`type`()
     st match {
       case s: IntStatistics => Some((Some(s.getMin.toLong.toString), Some(s.getMax.toLong.toString)))
-      case s: LongStatistics => Some((Some(s.getMin.toString), Some(s.getMax.toString)))
+      case s: LongStatistics =>
+        // Spark's value domain for TimestampType is ALWAYS micros, but a
+        // foreign-written file (CONVERT adoption) may carry INT64-millis —
+        // normalize at harvest so every downstream consumer (stats pruning,
+        // metadata-only min/max) compares in one domain. NANOS stays raw:
+        // Spark can only read it as LongType (nanosAsLong), whose literals
+        // are raw nanos.
+        val factor = prim.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+          case _ => 1L
+        }
+        Some((Some((s.getMin * factor).toString), Some((s.getMax * factor).toString)))
       case s: FloatStatistics => Some((Some(s.getMin.toDouble.toString), Some(s.getMax.toDouble.toString)))
       case s: DoubleStatistics => Some((Some(s.getMin.toString), Some(s.getMax.toString)))
       case s: BinaryStatistics

@@ -12,6 +12,14 @@ import graft.SparkSpec
 class CatalogSpec extends SparkSpec {
   import spark.implicits._
 
+  /** True when the optimized plan collapsed to a LocalRelation (the
+   *  metadata-only aggregate path — no scan). */
+  private def hasLocalRelation(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.nonEmpty
+
   test("writeTo createOrReplace + append + read back") {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
     df.writeTo("graft.db.t1").createOrReplace()
@@ -235,12 +243,6 @@ class CatalogSpec extends SparkSpec {
       .writeTo("graft.db.cnt").createOrReplace()
     Seq((1235, "x")).toDF("id", "v").writeTo("graft.db.cnt").append()
 
-    def hasLocalRelation(df: org.apache.spark.sql.DataFrame): Boolean =
-      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-        .queryExecution.optimizedPlan.collectFirst {
-          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
-        }.nonEmpty
-
     val metaCount = spark.sql("SELECT count(*) AS n, count(1) AS m FROM graft.db.cnt")
     assert(metaCount.as[(Long, Long)].head() === ((1235L, 1235L)))
     assert(hasLocalRelation(metaCount), "count(*) must come from the manifest")
@@ -291,26 +293,20 @@ class CatalogSpec extends SparkSpec {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
       .writeTo("graft.db.mmts").createOrReplace()
 
-    def localRel(df: org.apache.spark.sql.DataFrame): Boolean =
-      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-        .queryExecution.optimizedPlan.collectFirst {
-          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
-        }.nonEmpty
-
     val watermark = spark.sql("SELECT max(ts) AS hwm FROM graft.db.mmts")
     assert(watermark.as[java.sql.Timestamp].head() ===
       java.sql.Timestamp.valueOf("2024-03-28 10:00:00"))
-    assert(localRel(watermark), "the watermark query must be metadata-only")
+    assert(hasLocalRelation(watermark), "the watermark query must be metadata-only")
 
     // nulls are ignored by min/max — and the bounds still come from stats
     val m = spark.sql("SELECT min(maybe) AS lo, max(maybe) AS hi FROM graft.db.mmts")
     assert(m.as[(Long, Long)].head() === ((10L, 1000L)))
-    assert(localRel(m))
+    assert(hasLocalRelation(m))
 
     // an all-NULL column answers NULL from nullCount == rows
     val v = spark.sql("SELECT max(void) AS hi FROM graft.db.mmts")
     assert(v.head().isNullAt(0))
-    assert(localRel(v))
+    assert(hasLocalRelation(v))
   }
 
   test("drop table removes it; load after drop fails") {

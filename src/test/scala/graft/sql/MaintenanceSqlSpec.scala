@@ -136,6 +136,24 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("batch_1"))
   }
 
+  test("CONVERT normalizes TIMESTAMP_MILLIS footer stats to micros") {
+    val dir = tmpDir("convmillis")
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    spark.conf.set(tsKey, "TIMESTAMP_MILLIS")
+    try {
+      (1 to 100).map(i =>
+          (i, java.sql.Timestamp.valueOf(f"2024-05-${i % 28 + 1}%02d 08:00:00")))
+        .toDF("id", "ts").repartition(2).write.mode("overwrite").parquet(dir)
+    } finally spark.conf.unset(tsKey)
+    val t = SnapshotTable.convert(spark, dir)
+    // un-normalized millis bounds would compare 1000x below micros
+    // literals and falsely prune every file
+    val cutoff = java.sql.Timestamp.valueOf("2024-05-28 08:00:00")
+    val scanned = t.scan(org.apache.spark.sql.functions.col("ts") === cutoff).count()
+    assert(scanned > 0 &&
+      scanned === t.read().filter(org.apache.spark.sql.functions.col("ts") === cutoff).count())
+  }
+
   test("maintenance SQL on an unregistered name fails loudly") {
     val e = intercept[Exception](spark.sql("DESCRIBE HISTORY no_such_maint_table"))
     assert(e.getMessage.contains("no_such_maint_table"))
