@@ -141,18 +141,21 @@ class GraftTableCatalog extends TableCatalog {
     new GraftTable(t, ident)
   }
 
-  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` and `ADD COLUMNS` —
-   *  metadata-only commits; properties then ride every subsequent commit
-   *  (`delta/delta_scd_script.py:43`), added columns read as NULL from
-   *  existing files (Delta/Iceberg schema evolution). Drop/rename/retype
-   *  are not supported — they would need column mapping to avoid
-   *  misreading existing parquet. */
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES`, `ADD COLUMNS`, and
+   *  `DROP COLUMN(S)` — metadata-only commits; properties then ride every
+   *  subsequent commit (`delta/delta_scd_script.py:43`), added columns
+   *  read as NULL from existing files, dropped columns stop being
+   *  projected and are tombstoned against resurrection
+   *  ([[SnapshotTable.dropColumns]]). Rename/retype are not supported —
+   *  they would need column mapping to avoid misreading existing
+   *  parquet. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val t = SnapshotTable(spark, rootFor(ident))
     val unsupported = changes.filter {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
       case a: TableChange.AddColumn if a.fieldNames.length == 1 => false
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 => false
       case _ => true
     }
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
@@ -176,6 +179,8 @@ class GraftTableCatalog extends TableCatalog {
     if (sets.nonEmpty) t.setProperties(sets.toMap)
     if (unsets.nonEmpty) t.unsetProperties(unsets)
     if (adds.nonEmpty) t.addColumns(adds)
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d.fieldNames.head }
+    if (drops.nonEmpty) t.dropColumns(drops)
     new GraftTable(t, ident)
   }
 

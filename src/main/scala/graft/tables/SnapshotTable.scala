@@ -306,9 +306,12 @@ class SnapshotTable private (
     val prior = if (v < 0) None else Some(commitEntry(v))
     val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
     val files = writeDataDir(applyCluster(df, spec))
+    // a full replace leaves no file that could carry a dropped column's
+    // old values — the drop-column tombstones have done their job
+    val props = prior.flatMap(_.properties)
+      .map(_.filterNot(_._1.startsWith("graft.dropped."))).filter(_.nonEmpty)
     writeCommit(v + 1,
-      CommitEntry("overwrite", df.schema.json, files, toOpt(spec),
-        prior.flatMap(_.properties)))
+      CommitEntry("overwrite", df.schema.json, files, toOpt(spec), props))
     this
   }
 
@@ -335,9 +338,12 @@ class SnapshotTable private (
       throw new IllegalStateException(
         s"table $root has pending MoR deltas; call applyDeltas() before a maintenance rewrite")
     val files = writeDataDir(df)
+    // full replace: dropped-column tombstones are cleared (see overwrite)
+    val props = prior.flatMap(_.properties)
+      .map(_.filterNot(_._1.startsWith("graft.dropped."))).filter(_.nonEmpty)
     writeCommit(v + 1,
       CommitEntry(action, df.schema.json, files,
-        prior.flatMap(_.clusterBy), prior.flatMap(_.properties)))
+        prior.flatMap(_.clusterBy), props))
     this
   }
 
@@ -546,8 +552,50 @@ class SnapshotTable private (
     val dup = cols.filter(c => committed.fieldNames.exists(_.equalsIgnoreCase(c.name)))
     require(dup.isEmpty,
       s"ALTER TABLE $root ADD COLUMNS: column(s) already exist: ${dup.map(_.name).mkString(", ")}")
+    // resurrection guard: live files may still physically carry a dropped
+    // column; re-adding the name would read their STALE values, not NULL
+    val dropped = cols.filter(c =>
+      e.properties.exists(_.contains(s"graft.dropped.${c.name.toLowerCase}")))
+    require(dropped.isEmpty,
+      s"ALTER TABLE $root ADD COLUMNS: ${dropped.map(_.name).mkString(", ")} " +
+        "was previously dropped and live files may still carry the old values " +
+        "(they would resurface instead of reading NULL); overwrite or OPTIMIZE " +
+        "ZORDER the table first to rewrite them")
     val evolved = StructType(committed.fields ++ cols.map(_.copy(nullable = true)))
     writeCommit(v + 1, e.copy(action = "add-columns", schemaJson = evolved.json))
+    this
+  }
+
+  /** `ALTER TABLE … DROP COLUMNS` (metadata-only, the Delta-without-
+   *  column-mapping semantics): a new commit with the narrowed schema and
+   *  the SAME files — no data is touched, readers simply stop projecting
+   *  the column (parquet ignores extra physical columns), and time travel
+   *  to pre-drop versions still sees it. The dropped name is tombstoned
+   *  in the table properties so [[addColumns]] refuses to re-add it while
+   *  old files could resurrect stale values; a full rewrite
+   *  ([[overwrite]] / ZORDER optimize) clears the tombstones. */
+  def dropColumns(names: Seq[String]): SnapshotTable = {
+    require(names.nonEmpty, "dropColumns needs at least one column")
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val e = commitEntry(v)
+    val committed = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+    val missing = names.filterNot(n => committed.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(missing.isEmpty,
+      s"ALTER TABLE $root DROP COLUMNS: no such column(s): ${missing.mkString(", ")}")
+    val remaining = committed.fields.filterNot(f => names.exists(_.equalsIgnoreCase(f.name)))
+    require(remaining.nonEmpty, s"ALTER TABLE $root DROP COLUMNS: cannot drop every column")
+    // a column referenced by the cluster spec (possibly inside a transform
+    // like days(ts)) or the MoR upsert spec would break every later write
+    val specs = e.clusterBy.getOrElse(Nil) ++ e.morKeys.getOrElse(Nil) ++ e.morPrecombine.toList
+    val inUse = names.filter(n => specs.exists(_.toLowerCase.contains(n.toLowerCase)))
+    require(inUse.isEmpty,
+      s"ALTER TABLE $root DROP COLUMNS: ${inUse.mkString(", ")} referenced by " +
+        s"the cluster or MoR spec (${specs.mkString(", ")})")
+    val tombs = names.map(n => s"graft.dropped.${n.toLowerCase}" -> v.toString).toMap
+    writeCommit(v + 1, e.copy(action = "drop-columns",
+      schemaJson = StructType(remaining).json,
+      properties = Some(e.properties.getOrElse(Map.empty) ++ tombs)))
     this
   }
 

@@ -223,8 +223,11 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graft.db.t13 VALUES (2, 'b', 7.5)")
     assert(spark.table("graft.db.t13").as[(Int, String, Option[Double])].collect().toSet ===
       Set((1, "a", None), (2, "b", Some(7.5))))
-    // drop/rename stay unsupported (would misread existing parquet)
-    intercept[Exception](spark.sql("ALTER TABLE graft.db.t13 DROP COLUMN v"))
+    // rename/retype stay unsupported (would misread existing parquet)
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.t13 RENAME COLUMN v TO w"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.t13 ALTER COLUMN id TYPE BIGINT"))
   }
 
   test("CHECK constraints via TBLPROPERTIES block violating SQL inserts") {
@@ -236,6 +239,38 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("graft.db.t16").count() === 1)
     spark.sql("INSERT INTO graft.db.t16 VALUES (2, 3)")
     assert(spark.table("graft.db.t16").count() === 2)
+  }
+
+  test("ALTER TABLE DROP COLUMN: metadata-only, tombstoned against re-add") {
+    Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "v", "extra")
+      .writeTo("graft.db.dropc").createOrReplace()
+    val t = graft.tables.SnapshotTable(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db/dropc")
+    val filesBefore = t.manifest()
+    spark.sql("ALTER TABLE graft.db.dropc DROP COLUMN extra")
+    // no data touched; the column is gone from reads but not from history
+    assert(t.manifest() === filesBefore)
+    assert(spark.table("graft.db.dropc").columns.toSeq === Seq("id", "v"))
+    assert(t.readVersion(t.currentVersion() - 1).columns.contains("extra"))
+    // appends no longer need (or accept) the dropped column
+    Seq((3, "c")).toDF("id", "v").writeTo("graft.db.dropc").append()
+    assert(spark.table("graft.db.dropc").count() === 3)
+    // re-adding the name is refused while old files may carry stale values
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.dropc ADD COLUMNS (extra BIGINT)"))
+    assert(e.getMessage.contains("dropped"))
+    // a full rewrite clears the tombstone; the re-added column reads NULL
+    t.overwrite(spark.table("graft.db.dropc"))
+    spark.sql("ALTER TABLE graft.db.dropc ADD COLUMNS (extra BIGINT)")
+    val back = spark.table("graft.db.dropc")
+    assert(back.columns.toSeq === Seq("id", "v", "extra"))
+    assert(back.filter(col("extra").isNotNull).count() === 0)
+    // dropping a column the cluster spec uses is refused
+    spark.sql("DROP TABLE IF EXISTS graft.db.dropclu")
+    spark.sql("CREATE TABLE graft.db.dropclu (id BIGINT, v BIGINT) USING graft PARTITIONED BY (id)")
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.dropclu DROP COLUMN id"))
+    assert(e2.getMessage.contains("cluster"))
   }
 
   test("unfiltered count(*) answers from manifest stats, no scan") {
