@@ -573,6 +573,31 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Q53 — sliding-window document chunking
+   *  ([[ext.TextAnalysis.chunkDocs]], 32-token windows advancing by 24):
+   *  the oracle re-derives every window with the same slice arithmetic,
+   *  so chunk boundaries and overlap must match exactly. */
+  private def chunkQuery(s: SparkSession, dir: String): DataFrame =
+    ext.TextAnalysis.chunkDocs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        chunkTokens = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_idx"),
+        ext.TextAnalysis.tokenCount(col("chunk_text")).as("chunk_tokens"),
+        col("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  private val Q53Duck =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    CAST(floor((greatest(len(toks) - 32, 0) + 23) / 24) AS INT) + 1 AS nc
+      |  FROM t)
+      |SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+      |  CAST(len(list_slice(toks, (i-1)*24 + 1, (i-1)*24 + 32)) AS INT) AS chunk_tokens,
+      |  array_to_string(list_slice(toks, (i-1)*24 + 1, (i-1)*24 + 32), ' ') AS chunk_text
+      |FROM (SELECT doc_id, toks, unnest(generate_series(1, nc)) AS i FROM c)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Q48 — embedding cosine near-dup pairs ([[ext.Dedup.embeddingPairs]],
    *  hyperplane-LSH bucket join + exact cosine filter). The embeddings
    *  fixture has NO planted near-dups (max background cosine ≈ 0.51), so
@@ -1053,7 +1078,8 @@ object SparkEntry {
     "q49_approx_recall" -> approxRecallQuery,
     "q50_repetition_ratio" -> repetitionQuery,
     "q51_pii_scrub" -> scrubQuery,
-    "q52_mix_sample" -> mixSampleQuery)
+    "q52_mix_sample" -> mixSampleQuery,
+    "q53_chunking" -> chunkQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1105,7 +1131,8 @@ object SparkEntry {
     "q49_approx_recall" -> Q49Duck,
     "q50_repetition_ratio" -> Q50Duck,
     "q51_pii_scrub" -> Q51Duck,
-    "q52_mix_sample" -> Q52Duck)
+    "q52_mix_sample" -> Q52Duck,
+    "q53_chunking" -> Q53Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN values
   // are not SQL-expressible → driver records the weaker rows-only check
   // for them; their SEMANTICS are oracled through q49's recall/precision

@@ -19,6 +19,35 @@ object TextAnalysis {
   /** Whitespace tokenizer (the `documents` fixture is space-delimited). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Sliding-window token chunks: window of `chunkTokens` advancing by
+   *  `stride` (overlap = chunkTokens − stride), the context-window
+   *  chunking step of a training/RAG pipeline. Built entirely from
+   *  codegen'd collection functions (sequence/transform/slice), so
+   *  chunking is a map-side projection — no shuffle, no UDF; one
+   *  [[org.apache.spark.sql.functions.posexplode]] downstream fans the
+   *  array out to (chunk_idx, chunk_text) rows. The last window clamps at
+   *  the end of the document; a document at or under `chunkTokens` yields
+   *  exactly one chunk. */
+  def chunks(text: Column, chunkTokens: Int, stride: Int): Column = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got chunkTokens=$chunkTokens stride=$stride")
+    val toks = tokens(text)
+    val extra = greatest(size(toks) - lit(chunkTokens), lit(0))
+    val numChunks = (floor((extra + lit(stride - 1)) / lit(stride)) + 1).cast("int")
+    transform(sequence(lit(0), numChunks - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " "))
+  }
+
+  /** [[chunks]] exploded to one row per (id, chunk_idx, chunk_text). */
+  def chunkDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      stride: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(chunks(col(textCol), chunkTokens, stride)).as(Seq("chunk_idx", "chunk_text")))
+
   /** Canonical text form: collapse whitespace runs, trim, lowercase —
    *  the standard first pass before dedup/fingerprinting so formatting
    *  variants hash identically. Pure projection, no shuffle. */

@@ -387,6 +387,24 @@ class ExtSpec extends SparkSpec {
     assert(r(3L) === 0)
   }
 
+  test("chunking: windows, stride overlap, clamped tail, single-chunk docs") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 3 chunks @ c=4,s=3
+      (2L, "a b c"),                                  // under the window: 1 chunk
+      (3L, "x y z w")).toDF("id", "text")             // exactly the window: 1 chunk
+    val got = TextAnalysis.chunkDocs(df, "id", "text", chunkTokens = 4, stride = 3)
+      .as[(Long, Int, String)].collect().toSet
+    assert(got === Set(
+      (1L, 0, "t1 t2 t3 t4"), (1L, 1, "t4 t5 t6 t7"), (1L, 2, "t7 t8 t9 t10"),
+      (2L, 0, "a b c"),
+      (3L, 0, "x y z w")))
+    // every token of every doc appears in at least one chunk (coverage)
+    val covered = TextAnalysis.chunkDocs(df, "id", "text", 4, 3)
+      .select(col("id"), explode(split(col("chunk_text"), " ")).as("tok"))
+      .distinct().groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(covered === Map(1L -> 10L, 2L -> 3L, 3L -> 4L))
+  }
+
   test("deterministic sampling: rate-accurate, stable, salt-sensitive") {
     val ids = spark.range(0, 10000).toDF("id")
     val kept = Sampling.sample(ids, "id", 0.5).as[Long].collect().toSet
