@@ -440,7 +440,12 @@ class SnapshotTable private (
     val applicable = spec.nonEmpty && spec.forall(s =>
       df.columns.exists(_.equalsIgnoreCase(ClusterTransform.sourceColumn(s))))
     if (!applicable) df
+    // range shuffle gives disjoint per-FILE bounds (manifest pruning);
+    // the local sort on top gives monotone per-ROW-GROUP bounds inside
+    // each file, so a pruned point lookup reads one row group, not the
+    // whole file — free at read time, one in-memory sort at write time
     else df.repartitionByRange(spec.map(ClusterTransform.expr): _*)
+      .sortWithinPartitions(spec.map(ClusterTransform.expr): _*)
   }
 
   /** Action tag of the latest commit (None for an empty table). */

@@ -92,6 +92,21 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().count() === 1)
   }
 
+  test("clustered writes sort rows within each file (row-group skipping)") {
+    import org.apache.spark.sql.types._
+    val t = SnapshotTable.createEmpty(spark, tmpDir("clsort"),
+      StructType(Seq(StructField("id", LongType), StructField("v", LongType))),
+      clusterBy = Seq("id"))
+    // deliberately shuffled input: only the within-partition sort in
+    // applyCluster can make file rows monotone
+    t.append(spark.range(0, 10000).toDF("id").withColumn("v", col("id") * 2)
+      .orderBy(xxhash64(col("id"))))
+    val ids = spark.read.parquet(t.manifest().head).select("id").as[Long].collect()
+    assert(ids.length > 1)
+    assert(ids.sameElements(ids.sorted),
+      "rows inside a clustered file must be sorted on the cluster key")
+  }
+
   test("per-file stats recorded; scan prunes files the predicate excludes") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     // three commits → three disjoint id-range files
