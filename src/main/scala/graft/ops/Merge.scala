@@ -107,10 +107,16 @@ final class MergeInto(
     // `t.<new>` resolves to NULL and the clause chain needs no special case.
     val targetSchema =
       if (!schemaEvolution) committedSchema
-      else org.apache.spark.sql.types.StructType(committedSchema.fields ++
-        source.schema.fields
+      else {
+        val added = source.schema.fields
           .filterNot(f => committedSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-          .map(_.copy(nullable = true)))
+        // untouched files carried forward may still physically hold a
+        // DROP COLUMNS-tombstoned name — re-widening would resurrect it
+        table.assertResurrectionSafe(added.map(_.name),
+          "MERGE WITH SCHEMA EVOLUTION")
+        org.apache.spark.sql.types.StructType(
+          committedSchema.fields ++ added.map(_.copy(nullable = true)))
+      }
     val targetCols = targetSchema.fields.map(_.name).toSeq
     val allFiles = table.manifest()
     val targetAll = table.read()

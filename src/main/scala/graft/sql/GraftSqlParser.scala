@@ -33,6 +33,7 @@ import graft.tables.SnapshotTable
  *   VACUUM t [RETAIN <n> HOURS]
  *   OPTIMIZE t [ZORDER BY (c1, c2, …)]
  *   DESCRIBE HISTORY t
+ *   DESCRIBE DETAIL t
  *   RESTORE [TABLE] t TO VERSION AS OF <v>
  *   RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'
  *   GENERATE symlink_format_manifest FOR TABLE t
@@ -76,6 +77,7 @@ object GraftSqlParser {
   private val OptimizeStmt =
     cmd(s"OPTIMIZE\\s+$Ident(?:\\s+ZORDER\\s+BY\\s+(\\(?[^;]+?\\)?))?")
   private val HistoryStmt = cmd(s"(?:DESCRIBE|DESC)\\s+HISTORY\\s+$Ident")
+  private val DetailStmt = cmd(s"(?:DESCRIBE|DESC)\\s+DETAIL\\s+$Ident")
   private val RestoreVersionStmt =
     cmd(s"RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
   private val RestoreTimestampStmt =
@@ -91,6 +93,7 @@ object GraftSqlParser {
       GraftVacuumCommand(identParts(r.group(1)),
         Option(r.group(2)).map(_.toDouble))
     }.orElse(m(HistoryStmt).map(r => GraftDescribeHistoryCommand(identParts(r.group(1)))))
+      .orElse(m(DetailStmt).map(r => GraftDescribeDetailCommand(identParts(r.group(1)))))
       .orElse(m(OptimizeStmt).map { r =>
         val cols = Option(r.group(2)).toSeq.flatMap(
           _.stripPrefix("(").stripSuffix(")").split(",").toSeq
@@ -152,6 +155,35 @@ case class GraftDescribeHistoryCommand(parts: Seq[String]) extends LeafRunnableC
   override def run(spark: SparkSession): Seq[Row] =
     resolveTable(spark, parts).history().map(h =>
       Row(h.version, h.action, h.ts.orNull, h.numFiles, h.numDeltaFiles))
+}
+
+/** `DESCRIBE DETAIL t` — one row of table-level facts (Delta's command of
+ *  the same name): location, current version, live file count and bytes,
+ *  pending MoR delta files, cluster spec, and properties. O(1) manifest
+ *  metadata, no scan. */
+case class GraftDescribeDetailCommand(parts: Seq[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    notNull("location", StringType), notNull("version", LongType),
+    notNull("num_files", IntegerType), notNull("size_bytes", LongType),
+    notNull("num_delta_files", IntegerType),
+    notNull("cluster_by", StringType), notNull("properties", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = resolveTable(spark, parts)
+    // ONE snapshot read serves every column — per-accessor calls would
+    // re-list the log repeatedly and could mix two versions' facts if a
+    // commit landed in between
+    t.currentReadable() match {
+      case None => Seq(Row(t.root, -1L, 0, 0L, 0, "", ""))
+      case Some((v, e)) =>
+        Seq(Row(t.root, v, e.files.size,
+          e.files.map(f => math.max(0L, f.bytes)).sum,
+          e.deltaFiles.map(_.size).getOrElse(0),
+          e.clusterBy.getOrElse(Nil).mkString(","),
+          e.properties.getOrElse(Map.empty).toSeq.sortBy(_._1)
+            .map { case (k, va) => s"$k=$va" }.mkString(", ")))
+    }
+  }
 }
 
 /**

@@ -368,6 +368,10 @@ class SnapshotTable private (
       case None => (df, df.schema)
       case Some(c) => alignToCommitted(df, c, mergeSchema)
     }
+    committed.foreach { c =>
+      val added = schema.fieldNames.filterNot(n => c.fieldNames.exists(_.equalsIgnoreCase(n)))
+      if (added.nonEmpty) assertResurrectionSafe(added, s"append to $root (mergeSchema)")
+    }
     val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
     val files = writeDataDir(applyCluster(aligned, spec))
     writeCommit(v + 1,
@@ -557,18 +561,25 @@ class SnapshotTable private (
     val dup = cols.filter(c => committed.fieldNames.exists(_.equalsIgnoreCase(c.name)))
     require(dup.isEmpty,
       s"ALTER TABLE $root ADD COLUMNS: column(s) already exist: ${dup.map(_.name).mkString(", ")}")
-    // resurrection guard: live files may still physically carry a dropped
-    // column; re-adding the name would read their STALE values, not NULL
-    val dropped = cols.filter(c =>
-      e.properties.exists(_.contains(s"graft.dropped.${c.name.toLowerCase}")))
-    require(dropped.isEmpty,
-      s"ALTER TABLE $root ADD COLUMNS: ${dropped.map(_.name).mkString(", ")} " +
-        "was previously dropped and live files may still carry the old values " +
-        "(they would resurface instead of reading NULL); overwrite or OPTIMIZE " +
-        "ZORDER the table first to rewrite them")
+    assertResurrectionSafe(cols.map(_.name), s"ALTER TABLE $root ADD COLUMNS")
     val evolved = StructType(committed.fields ++ cols.map(_.copy(nullable = true)))
     writeCommit(v + 1, e.copy(action = "add-columns", schemaJson = evolved.json))
     this
+  }
+
+  /** Resurrection guard shared by EVERY schema-widening path (ADD
+   *  COLUMNS, `append(mergeSchema=true)`, MERGE WITH SCHEMA EVOLUTION):
+   *  live files may still physically carry a [[dropColumns]]-dropped
+   *  column, so re-introducing the name would read their STALE values
+   *  instead of NULL. Throws until a full rewrite clears the tombstone. */
+  private[graft] def assertResurrectionSafe(names: Seq[String], context: String): Unit = {
+    val props = currentReadable().flatMap(_._2.properties).getOrElse(Map.empty)
+    val hit = names.filter(n => props.contains(s"graft.dropped.${n.toLowerCase}"))
+    require(hit.isEmpty,
+      s"$context: column(s) ${hit.mkString(", ")} were previously dropped and " +
+        "live files may still carry the old values (they would resurface " +
+        "instead of reading NULL); overwrite or OPTIMIZE ZORDER the table " +
+        "first to rewrite them")
   }
 
   /** `ALTER TABLE … DROP COLUMNS` (metadata-only, the Delta-without-
@@ -590,13 +601,23 @@ class SnapshotTable private (
       s"ALTER TABLE $root DROP COLUMNS: no such column(s): ${missing.mkString(", ")}")
     val remaining = committed.fields.filterNot(f => names.exists(_.equalsIgnoreCase(f.name)))
     require(remaining.nonEmpty, s"ALTER TABLE $root DROP COLUMNS: cannot drop every column")
-    // a column referenced by the cluster spec (possibly inside a transform
-    // like days(ts)) or the MoR upsert spec would break every later write
-    val specs = e.clusterBy.getOrElse(Nil) ++ e.morKeys.getOrElse(Nil) ++ e.morPrecombine.toList
-    val inUse = names.filter(n => specs.exists(_.toLowerCase.contains(n.toLowerCase)))
+    // a column referenced by the cluster spec (resolved through transforms
+    // like days(ts)), the MoR upsert spec, or a CHECK constraint would
+    // poison every later write — refuse the drop instead
+    val specCols = e.clusterBy.getOrElse(Nil).map(ClusterTransform.sourceColumn) ++
+      e.morKeys.getOrElse(Nil) ++ e.morPrecombine.toList
+    val constraintCols = e.properties.getOrElse(Map.empty).collect {
+      case (k, sql) if k.startsWith("graft.constraint.") =>
+        try spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last
+        } catch { case NonFatal(_) => names } // unparseable: refuse conservatively
+    }.flatten.toSeq
+    val inUse = names.filter(n =>
+      (specCols ++ constraintCols).exists(_.equalsIgnoreCase(n)))
     require(inUse.isEmpty,
       s"ALTER TABLE $root DROP COLUMNS: ${inUse.mkString(", ")} referenced by " +
-        s"the cluster or MoR spec (${specs.mkString(", ")})")
+        "the cluster spec, MoR spec, or a CHECK constraint")
     val tombs = names.map(n => s"graft.dropped.${n.toLowerCase}" -> v.toString).toMap
     writeCommit(v + 1, e.copy(action = "drop-columns",
       schemaJson = StructType(remaining).json,

@@ -265,12 +265,45 @@ class CatalogSpec extends SparkSpec {
     val back = spark.table("graft.db.dropc")
     assert(back.columns.toSeq === Seq("id", "v", "extra"))
     assert(back.filter(col("extra").isNotNull).count() === 0)
-    // dropping a column the cluster spec uses is refused
+    // dropping a column the cluster spec uses is refused — but a column
+    // whose name is merely a SUBSTRING of a spec column is fine
     spark.sql("DROP TABLE IF EXISTS graft.db.dropclu")
-    spark.sql("CREATE TABLE graft.db.dropclu (id BIGINT, v BIGINT) USING graft PARTITIONED BY (id)")
+    spark.sql("CREATE TABLE graft.db.dropclu (video_id BIGINT, id BIGINT, v BIGINT) " +
+      "USING graft PARTITIONED BY (video_id)")
     val e2 = intercept[Exception](
-      spark.sql("ALTER TABLE graft.db.dropclu DROP COLUMN id"))
+      spark.sql("ALTER TABLE graft.db.dropclu DROP COLUMN video_id"))
     assert(e2.getMessage.contains("cluster"))
+    spark.sql("ALTER TABLE graft.db.dropclu DROP COLUMN id") // substring: allowed
+    // a column referenced by a CHECK constraint cannot be dropped
+    spark.sql("DROP TABLE IF EXISTS graft.db.dropck")
+    Seq((1, 5L)).toDF("id", "v").writeTo("graft.db.dropck").createOrReplace()
+    spark.sql("ALTER TABLE graft.db.dropck SET TBLPROPERTIES ('graft.constraint.pos' = 'v > 0')")
+    val e3 = intercept[Exception](spark.sql("ALTER TABLE graft.db.dropck DROP COLUMN v"))
+    assert(e3.getMessage.contains("constraint"))
+  }
+
+  test("dropped-column tombstone blocks every schema-widening path") {
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "v", "extra")
+      .writeTo("graft.db.resur").createOrReplace()
+    spark.sql("ALTER TABLE graft.db.resur DROP COLUMN extra")
+    val t = graft.tables.SnapshotTable(spark, wh + "/db/resur")
+    // append(mergeSchema=true) with the dropped name must refuse
+    val e1 = intercept[Exception](
+      t.append(Seq((3, "c", 30L)).toDF("id", "v", "extra"), mergeSchema = true))
+    assert(e1.getMessage.contains("dropped"))
+    // MERGE WITH SCHEMA EVOLUTION with the dropped name must refuse
+    GraftCatalog.register("resur_reg", t)
+    Seq((2, "b2", 99L)).toDF("id", "v", "extra").createOrReplaceTempView("resur_src")
+    val e2 = intercept[Exception](spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO resur_reg t USING resur_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e2.getMessage.contains("dropped"))
+    // table unchanged by the refused writes
+    assert(spark.table("graft.db.resur").columns.toSeq === Seq("id", "v"))
+    assert(t.read().count() === 2)
   }
 
   test("unfiltered count(*) answers from manifest stats, no scan") {

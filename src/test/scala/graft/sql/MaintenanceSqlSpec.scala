@@ -25,6 +25,18 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(rows.head.getInt(3) > 0)
   }
 
+  test("DESCRIBE DETAIL reports table-level facts from the manifest") {
+    val t = freshRegistered("maint_det")
+    t.setProperties(Map("graft.note" -> "x"))
+    val r = spark.sql("DESCRIBE DETAIL maint_det").collect().head
+    assert(r.getString(0) === t.root)
+    assert(r.getLong(1) === t.currentVersion())
+    assert(r.getInt(2) === t.manifest().size)
+    assert(r.getLong(3) > 0L)
+    assert(r.getInt(4) === 0)
+    assert(r.getString(6).contains("graft.note=x"))
+  }
+
   test("VACUUM RETAIN 0 HOURS expires old versions and reclaims their files") {
     val t = freshRegistered("maint_vac")
     val beforeFiles = t.manifest().toSet
