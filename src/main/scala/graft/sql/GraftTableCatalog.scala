@@ -314,6 +314,11 @@ object GraftScanBuilder {
     case IsNull(a) => Some(col(a).isNull)
     case IsNotNull(a) => Some(col(a).isNotNull)
     case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    // SupportsDeleteV2's default truncateTable() probes with [AlwaysTrue];
+    // leaving it untranslated makes SQL TRUNCATE TABLE a SILENT no-op
+    // (TruncateTableExec ignores the false return)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
     case And(l, r) =>
       for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
     case Or(l, r) =>

@@ -377,6 +377,19 @@ class CatalogSpec extends SparkSpec {
     assert(hasLocalRelation(v))
   }
 
+  test("TRUNCATE TABLE empties the table as a new versioned commit") {
+    Seq((1, "a"), (2, "b")).toDF("id", "v").writeTo("graft.db.trunc").createOrReplace()
+    spark.sql("TRUNCATE TABLE graft.db.trunc")
+    assert(spark.table("graft.db.trunc").count() === 0)
+    val t = graft.tables.SnapshotTable(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db/trunc")
+    // truncation is a commit, not an erasure: time travel still works
+    assert(t.readVersion(t.currentVersion() - 1).count() === 2)
+    // and the table remains writable with the same schema
+    spark.sql("INSERT INTO graft.db.trunc VALUES (9, 'z')")
+    assert(spark.table("graft.db.trunc").as[(Int, String)].collect().toSeq === Seq((9, "z")))
+  }
+
   test("drop table removes it; load after drop fails") {
     Seq((1, "a")).toDF("id", "v").writeTo("graft.db.t6").createOrReplace()
     spark.sql("DROP TABLE graft.db.t6")
