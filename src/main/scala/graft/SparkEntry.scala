@@ -598,6 +598,30 @@ object SparkEntry {
       |FROM (SELECT doc_id, toks, unnest(generate_series(1, nc)) AS i FROM c)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Q54 — benchmark decontamination ([[ext.Decontaminate.flag]]): every
+   *  doc sharing a word 5-gram with the "benchmark" slice (doc_id % 20 =
+   *  3 stands in for an eval set) is flagged. The engine joins on 64-bit
+   *  hashed shingles; the oracle replays the same n-grams as strings —
+   *  identical sets modulo 2⁻⁶⁴ collisions (the q21/q25 argument). */
+  private def decontamQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 20 === 3).select(col("text"))
+    ext.Decontaminate.flag(docs, "doc_id", "text", bench, "text", n = 5)
+      .select(col("doc_id"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+  private val Q54Duck =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest([t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+      |                         for i in range(1, len(t)-3)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |contam AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM sh a JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 3) b USING (s))
+      |SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+      |FROM documents d LEFT JOIN contam c USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Q48 — embedding cosine near-dup pairs ([[ext.Dedup.embeddingPairs]],
    *  hyperplane-LSH bucket join + exact cosine filter). The embeddings
    *  fixture has NO planted near-dups (max background cosine ≈ 0.51), so
@@ -1079,7 +1103,8 @@ object SparkEntry {
     "q50_repetition_ratio" -> repetitionQuery,
     "q51_pii_scrub" -> scrubQuery,
     "q52_mix_sample" -> mixSampleQuery,
-    "q53_chunking" -> chunkQuery)
+    "q53_chunking" -> chunkQuery,
+    "q54_decontaminate" -> decontamQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1132,7 +1157,8 @@ object SparkEntry {
     "q50_repetition_ratio" -> Q50Duck,
     "q51_pii_scrub" -> Q51Duck,
     "q52_mix_sample" -> Q52Duck,
-    "q53_chunking" -> Q53Duck)
+    "q53_chunking" -> Q53Duck,
+    "q54_decontaminate" -> Q54Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN values
   // are not SQL-expressible → driver records the weaker rows-only check
   // for them; their SEMANTICS are oracled through q49's recall/precision

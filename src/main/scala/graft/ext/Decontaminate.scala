@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination: flag training documents that share at least
+ * one word n-gram with an evaluation corpus, the standard guard against
+ * test-set leakage when assembling LLM training data (n-gram-overlap
+ * filtering as popularized by the GPT-3 / Gopher / Llama data papers).
+ *
+ * Scale shape (the 100 TB case): evaluation benchmarks are small by
+ * construction (10⁴–10⁶ question strings), so their distinct shingle
+ * hashes broadcast and the training corpus is NEVER shuffled — each scan
+ * partition probes the broadcast hash set via a left-semi
+ * BroadcastHashJoin, and only the (tiny) contaminated id set moves.
+ * Shingles are 64-bit hashes off the UTF-8 bytes ([[TextHash
+ * .hashedShingles]]), so the probe moves longs, not strings; collisions
+ * (~|corpus shingles|·|bench shingles|/2⁶⁴) can only ADD a false
+ * contamination flag, never lose one — the conservative direction for
+ * decontamination. For an unusually large benchmark set pass
+ * `broadcastBenchmark = false` to fall back to a shuffled equi-semi-join
+ * on the shingle hash.
+ */
+object Decontaminate {
+
+  /** Distinct `idCol` values of corpus documents sharing at least one
+   *  word n-gram with any row of `benchmark`. Documents shorter than
+   *  `n` tokens have no shingles and are never flagged. */
+  def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val benchSh0 = benchmark
+      .select(explode(functions.hashedShingles(col(benchTextCol), n)).as("s"))
+      .distinct()
+    val benchSh = if (broadcastBenchmark) broadcast(benchSh0) else benchSh0
+    corpus
+      .select(col(idCol), explode(functions.hashedShingles(col(textCol), n)).as("s"))
+      .join(benchSh, Seq("s"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+  }
+
+  /** The corpus with an appended boolean `contaminated` column (every
+   *  input row preserved). Drop the flagged rows with
+   *  `flag(...).filter(!col("contaminated"))` to decontaminate. */
+  def flag(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val hits =
+      contaminatedIds(corpus, idCol, textCol, benchmark, benchTextCol, n,
+          broadcastBenchmark)
+        .withColumn("contaminated", lit(true))
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+}

@@ -90,6 +90,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), s"codegen fallback in:\n$plan")
   }
 
+  test("decontamination probes a broadcast left-semi join (corpus never shuffles)") {
+    SparkEntry.registerViews(spark, dir)
+    val docs = spark.table("documents")
+    val bench = docs.filter(col("doc_id") % 20 === 3).select(col("text"))
+    val plan = executedPlanString(
+      ext.Decontaminate.contaminatedIds(docs, "doc_id", "text", bench, "text", n = 5))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi probe in:\n$plan")
+  }
+
   test("MoR merged read plans as anti-join + union, never a cross join") {
     val t = SnapshotTable.create(spark, tmpDir("mor_plan"),
       spark.range(0, 1000).toDF("id").withColumn("v", lit("base")).withColumn("ts", lit(0L)))

@@ -441,6 +441,28 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) === "tabs and runs")
   }
 
+  test("decontaminate: flags n-gram overlap with a benchmark, keeps the rest") {
+    // benchmark shares a 5-gram with docs 1, 2, 4 (the quick-brown-fox
+    // family) but not with 3 or 5; doc 6 is too short to shingle at n=5.
+    val corpus = docs.unionByName(Seq((6L, "too short here")).toDF("id", "text"))
+    val bench = Seq("quiz: the quick brown fox jumps over what").toDF("q")
+    val flagged = Decontaminate.flag(corpus, "id", "text", bench, "q", n = 5)
+      .select(col("id"), col("contaminated")).as[(Long, Boolean)].collect().toMap
+    assert(flagged === Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false, 6L -> false))
+    val ids = Decontaminate.contaminatedIds(corpus, "id", "text", bench, "q", n = 5)
+      .as[Long].collect().sorted
+    assert(ids === Array(1L, 2L, 4L))
+    // shuffled-join fallback agrees with the broadcast path
+    val shuffled = Decontaminate.contaminatedIds(corpus, "id", "text", bench, "q",
+      n = 5, broadcastBenchmark = false).as[Long].collect().sorted
+    assert(shuffled === ids)
+    // n wider than every doc → nothing flagged, every row still present
+    val none = Decontaminate.flag(corpus, "id", "text", bench, "q", n = 50)
+    assert(none.count() === 6)
+    assert(none.filter(col("contaminated")).count() === 0)
+  }
+
   test("text analysis: tokens, shingles, quality, langid") {
     val en = Seq((1L, "the cat and the dog is of to the barn and back again ok")).toDF("id", "text")
     val r = TextAnalysis.enrich(en).first()
