@@ -994,6 +994,41 @@ object SparkEntry {
       |                         WHEN c_custkey % 5 = 0 THEN 100 ELSE 0 END, 2) AS bal
       |FROM customer ORDER BY id""".stripMargin
 
+  /** Q55 — change data feed ([[SnapshotTable.readChanges]], the Delta CDF
+   *  / Hudi incremental-changes surface): deterministic update + delete on
+   *  a customer-derived table, then the keyed row-level diff of versions
+   *  (0, 2]. The oracle replays both mutations in SQL; carried rows of the
+   *  CoW rewrites must cancel (only logically-changed rows may appear).
+   *  On warm (restored) tables the mutations land as higher versions but
+   *  re-produce bit-identical v1/v2 change entries, so the (0, 2] window
+   *  is rep-stable. */
+  private def cdfQuery(s: SparkSession, dir: String): DataFrame = {
+    val customer = s.read.parquet(s"$dir/customer.parquet")
+    val table = warmTable("q55", dir)(SnapshotTable.create(s,
+      Files.createTempDirectory("graft_q55").toString,
+      customer.select(col("c_custkey").as("id"), col("c_mktsegment").as("state"))
+        .repartitionByRange(4, col("id"))))
+    table.update(col("id") % 5 === 0, Map("state" -> lower(col("state")))) // v1
+    table.delete(col("id") % 7 === 3)                                      // v2
+    table.readChanges(0, 2, keyCols = Seq("id"))
+      .select(col("id"), col("state"), col("_change_type"), col("_commit_version"))
+      .orderBy("id", "_change_type")
+  }
+  private val Q55Duck =
+    """WITH base AS (SELECT c_custkey AS id, c_mktsegment AS state FROM customer),
+      |upd AS (SELECT id, state FROM base WHERE id % 5 = 0),
+      |s1 AS (SELECT id, CASE WHEN id % 5 = 0 THEN lower(state) ELSE state END AS state
+      |       FROM base),
+      |del AS (SELECT id, state FROM s1 WHERE id % 7 = 3)
+      |SELECT id, state, _change_type, _commit_version FROM (
+      |  SELECT id, state, 'update_preimage' AS _change_type,
+      |         CAST(1 AS BIGINT) AS _commit_version FROM upd
+      |  UNION ALL
+      |  SELECT id, lower(state), 'update_postimage', 1 FROM upd
+      |  UNION ALL
+      |  SELECT id, state, 'delete', 2 FROM del)
+      |ORDER BY id, _change_type""".stripMargin
+
   /** Q43 — Z-order clustered snapshot + stats-pruned scan: cluster orders
    *  along the (o_custkey, o_orderkey) Morton curve, commit, point-scan
    *  on the clustered key. Oracle = the plain filter. */
@@ -1104,7 +1139,8 @@ object SparkEntry {
     "q51_pii_scrub" -> scrubQuery,
     "q52_mix_sample" -> mixSampleQuery,
     "q53_chunking" -> chunkQuery,
-    "q54_decontaminate" -> decontamQuery)
+    "q54_decontaminate" -> decontamQuery,
+    "q55_change_feed" -> cdfQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1158,7 +1194,8 @@ object SparkEntry {
     "q51_pii_scrub" -> Q51Duck,
     "q52_mix_sample" -> Q52Duck,
     "q53_chunking" -> Q53Duck,
-    "q54_decontaminate" -> Q54Duck)
+    "q54_decontaminate" -> Q54Duck,
+    "q55_change_feed" -> Q55Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN values
   // are not SQL-expressible → driver records the weaker rows-only check
   // for them; their SEMANTICS are oracled through q49's recall/precision

@@ -41,6 +41,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     // answer unfiltered count(*)/min/max from manifest stats, no scan
     ext.injectOptimizerRule(_ => MetadataOnlyAgg)
+    // `SELECT … FROM graft_table_changes('<root>', from[, to])` — the SQL
+    // face of [[SnapshotTable.readChanges]] (Delta's `table_changes` TVF)
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftExtensions].getName, "graft_table_changes"),
+      (args: Seq[Expression]) => {
+        def arg(i: Int, what: String): Any = {
+          val e = args(i)
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"graft_table_changes: $what must be a literal, got $e")
+          e.eval()
+        }
+        if (args.size < 2 || args.size > 3) throw new IllegalArgumentException(
+          "graft_table_changes(tableRoot, fromVersion[, toVersion]) takes 2 or 3 arguments")
+        val root = String.valueOf(arg(0, "tableRoot"))
+        def asLong(v: Any, what: String): Long = v match {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_table_changes: $what must be an integer, got $other")
+        }
+        val from = asLong(arg(1, "fromVersion"), "fromVersion")
+        val to = if (args.size == 3) asLong(arg(2, "toVersion"), "toVersion")
+          else Long.MaxValue
+        SparkInternals.logicalPlan(
+          SnapshotTable(SparkSession.active, root).readChanges(from, to))
+      }))
   }
 }
 

@@ -890,6 +890,166 @@ class SnapshotTable private (
       schema)
   }
 
+  /**
+   * Change data feed (Delta CDF / Hudi incremental-query-with-changes
+   * analogue; `delta/delta_scd_script.py`'s format exposes this as
+   * `readChangeFeed`): the ROW-level changes each version in
+   * (`fromVersion`, `toVersion`] applied, tagged `_change_type`
+   * (`insert` | `delete` | `update_preimage` | `update_postimage`) plus
+   * `_commit_version` / `_commit_ts`. `fromVersion = -1` streams the
+   * initial snapshot as inserts too.
+   *
+   * Row identity = `keyCols`, else the version's MoR record key, else
+   * the `graft.cdf.keys` table property (comma-separated). With a key,
+   * a copy-on-write rewrite's carried rows cancel in a keyed diff of
+   * the touched files — updates pair into pre/postimage rows; keys are
+   * assumed unique per snapshot (the keyed-upsert invariant the write
+   * paths enforce). With no key, falls back to a multiset diff (EXCEPT
+   * ALL both ways): exact inserts/deletes, updates surface as
+   * delete+insert pairs.
+   *
+   * Scale: per version only the files ADDED or REMOVED by that commit
+   * are read (O(changed files), the Delta CDF-from-log shape — never a
+   * full-table diff); the keyed diff is one equi-join. Versions that
+   * touch deferred (MoR) deltas diff the before/after MERGED views
+   * restricted (semi-join) to the record keys present in the touched
+   * files, so a deferred upsert surfaces its upserts and the later
+   * fold-in compaction correctly reports NO logical change. Schema
+   * evolution across the range aligns by name; columns a version never
+   * had read as NULL.
+   */
+  def readChanges(fromVersion: Long, toVersion: Long = Long.MaxValue,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion >= -1, s"fromVersion must be >= -1, got $fromVersion")
+    val (cur, curEntry) = currentReadable().getOrElse(
+      throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
+    val to = math.min(toVersion, cur)
+    val curSchema = DataType.fromJson(curEntry.schemaJson).asInstanceOf[StructType]
+    def emptyFeed = dfOver(Nil, curSchema)
+      .withColumn("_change_type", lit(null).cast(StringType))
+      .withColumn("_commit_version", lit(null).cast(LongType))
+      .withColumn("_commit_ts", lit(null).cast(TimestampType))
+    if (fromVersion >= to) return emptyFeed // caught-up consumer: empty, not an error
+    val perVersion = ((fromVersion + 1) to to).map { v =>
+      val e =
+        try commitEntry(v)
+        catch {
+          case NonFatal(ex) => throw new IllegalStateException(
+            s"change-feed version $v of $root is no longer readable (log " +
+              "entry expired by vacuum?) — the consumer must re-bootstrap " +
+              "from a full snapshot", ex)
+        }
+      val prev = if (v == 0) None else Some(commitEntry(v - 1))
+      versionChanges(v, prev, e, keyCols)
+    }
+    perVersion.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(emptyFeed)
+  }
+
+  /** Row-level diff of one commit against its predecessor (see
+   *  [[readChanges]]). */
+  private def versionChanges(v: Long, prevOpt: Option[CommitEntry],
+      ce: CommitEntry, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = DataType.fromJson(ce.schemaJson).asInstanceOf[StructType]
+    val prevSchema = prevOpt
+      .map(p => DataType.fromJson(p.schemaJson).asInstanceOf[StructType])
+      .getOrElse(schema)
+    val keys: Seq[String] =
+      if (keyCols.nonEmpty) keyCols
+      else ce.morKeys.orElse(prevOpt.flatMap(_.morKeys)).map(_.toSeq).getOrElse(
+        ce.properties.flatMap(_.get("graft.cdf.keys"))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    val prevFiles = prevOpt.map(_.files).getOrElse(Nil)
+    val prevPaths = prevFiles.map(_.path).toSet
+    val curPaths = ce.files.map(_.path).toSet
+    val removed = prevFiles.filterNot(f => curPaths(f.path))
+    val added = ce.files.filterNot(f => prevPaths(f.path))
+    val prevDelta = prevOpt.flatMap(_.deltaFiles).getOrElse(Nil)
+    val prevDeltaPaths = prevDelta.map(_.path).toSet
+    val newDelta = ce.deltaFiles.getOrElse(Nil).filterNot(f => prevDeltaPaths(f.path))
+    val removedDelta = prevDelta.filterNot(f =>
+      ce.deltaFiles.getOrElse(Nil).map(_.path).toSet(f.path))
+    val deltasInvolved = newDelta.nonEmpty || removedDelta.nonEmpty
+    val diff =
+      if (keys.isEmpty) {
+        require(!deltasInvolved, // unreachable: MoR commits always carry morKeys
+          s"version $v of $root touches MoR deltas but no record key is known")
+        multisetDiff(alignTo(dfOver(removed.map(_.path), prevSchema), schema),
+          dfOver(added.map(_.path), schema))
+      } else if (deltasInvolved) {
+        // deferred-upsert or fold-in commit: diff the before/after MERGED
+        // views, both restricted to the record keys the touched files
+        // name — the fold-in compaction then cancels to zero changes
+        val touchedKeys =
+          (Seq(dfOver((newDelta ++ removedDelta).map(_.path), schema)) ++
+            Seq(alignTo(dfOver(removed.map(_.path), prevSchema), schema),
+              dfOver(added.map(_.path), schema)))
+            .map(_.select(keys.map(col): _*))
+            .reduce(_ unionByName _).distinct()
+        val old = prevOpt.map(p => mergedView(p, p.files))
+          .getOrElse(dfOver(Nil, prevSchema))
+        keyedDiff(alignTo(old, schema).join(touchedKeys, keys, "left_semi"),
+          mergedView(ce, ce.files).join(touchedKeys, keys, "left_semi"),
+          keys, schema)
+      } else {
+        keyedDiff(alignTo(dfOver(removed.map(_.path), prevSchema), schema),
+          dfOver(added.map(_.path), schema), keys, schema)
+      }
+    diff
+      .withColumn("_commit_version", lit(v))
+      .withColumn("_commit_ts", ce.ts match {
+        case Some(m) => lit(new java.sql.Timestamp(m))
+        case None => lit(null).cast(TimestampType)
+      })
+  }
+
+  /** Project `df` onto `schema` by name: missing columns become NULL,
+   *  retyped columns cast (the read-side half of schema evolution). */
+  private def alignTo(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val have = df.columns.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      (if (have(f.name)) col(f.name) else lit(null)).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Keyed old/new diff → `_change_type`-tagged rows. Carried (bit-equal)
+   *  rows cancel; updates emit a pre/postimage pair via one exploded
+   *  array — a single full-outer equi-join, no second pass. */
+  private def keyedDiff(old: DataFrame, neu: DataFrame, keys: Seq[String],
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def rowStruct = struct(schema.fieldNames.toSeq.map(col): _*)
+    val o = old.select(keys.map(col) :+ rowStruct.as("__pre"): _*)
+    val n = neu.select(keys.map(col) :+ rowStruct.as("__post"): _*)
+    val changeArr = ArrayType(StructType(Seq(
+      StructField("ct", StringType, nullable = false),
+      StructField("row", schema))))
+    o.join(n, keys, "full_outer")
+      .select(explode( // explode drops the null (unchanged-row) branch
+        when(col("__post").isNull,
+          array(struct(lit("delete").as("ct"), col("__pre").as("row"))))
+        .when(col("__pre").isNull,
+          array(struct(lit("insert").as("ct"), col("__post").as("row"))))
+        .when(col("__pre") <=> col("__post"), lit(null).cast(changeArr))
+        .otherwise(array(
+          struct(lit("update_preimage").as("ct"), col("__pre").as("row")),
+          struct(lit("update_postimage").as("ct"), col("__post").as("row"))))
+      ).as("__c"))
+      .select(schema.fieldNames.toSeq.map(f => col(s"__c.row.$f").as(f)) :+
+        col("__c.ct").as("_change_type"): _*)
+  }
+
+  /** Key-less old/new diff: exact multiset semantics via EXCEPT ALL both
+   *  ways (updates surface as delete+insert). */
+  private def multisetDiff(old: DataFrame, neu: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    old.exceptAll(neu).withColumn("_change_type", lit("delete"))
+      .unionByName(neu.exceptAll(old).withColumn("_change_type", lit("insert")))
+  }
+
   /** One table-history entry (`DESCRIBE HISTORY` row). */
   final case class HistoryEntry(
       version: Long,

@@ -21,6 +21,12 @@ object SparkInternals {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The DataFrame's analyzed logical plan (for returning a frame from a
+   *  table-function builder, which must produce a LogicalPlan). */
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+
   /** Executed (physical) plan string, for plan-shape assertions. */
   def executedPlanString(df: DataFrame): String =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]

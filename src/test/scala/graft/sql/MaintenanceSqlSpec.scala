@@ -166,6 +166,26 @@ class MaintenanceSqlSpec extends SparkSpec {
       scanned === t.read().filter(org.apache.spark.sql.functions.col("ts") === cutoff).count())
   }
 
+  test("graft_table_changes TVF surfaces the change feed in SQL") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = SnapshotTable.create(spark, tmpDir("sqlcdf"),
+      Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.setProperties(Map("graft.cdf.keys" -> "id"))              // v1
+    t.update(col("id") === 2, Map("v" -> lit("B")))             // v2
+    val rows = spark.sql(
+      s"SELECT id, v, _change_type, _commit_version FROM graft_table_changes('${t.root}', 1, 2)")
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(rows === Set((2, "b", "update_preimage", 2L), (2, "B", "update_postimage", 2L)))
+    // composes like any relation: filter + count
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_table_changes('${t.root}', -1) WHERE _change_type = 'insert'")
+      .as[Long].head() === 2L)
+    // non-literal args are rejected loudly
+    val err = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_table_changes('${t.root}', id)").collect())
+    assert(err.getMessage != null)
+  }
+
   test("maintenance SQL on an unregistered name fails loudly") {
     val e = intercept[Exception](spark.sql("DESCRIBE HISTORY no_such_maint_table"))
     assert(e.getMessage.contains("no_such_maint_table"))

@@ -661,6 +661,82 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.readIncremental(1, 2).as[(Int, Double)].collect().toSet === Set((3, 7.5)))
   }
 
+  test("change feed: keyed CDF tags inserts/updates/deletes, carried rows cancel") {
+    val t = SnapshotTable.create(spark, tmpDir("cdf"),
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"))
+    t.update(col("id") === 2, Map("v" -> lit("B")))   // v1
+    t.delete(col("id") === 3)                         // v2
+    t.append(Seq((5, "e")).toDF("id", "v"))           // v3
+
+    def feed(from: Long, to: Long) =
+      t.readChanges(from, to, keyCols = Seq("id"))
+        .select($"id", $"v", $"_change_type", $"_commit_version")
+        .as[(Int, String, String, Long)].collect().toSet
+
+    // the update's CoW rewrite carried rows of the same file — they cancel
+    assert(feed(0, 1) === Set((2, "b", "update_preimage", 1L),
+      (2, "B", "update_postimage", 1L)))
+    assert(feed(1, 2) === Set((3, "c", "delete", 2L)))
+    assert(feed(2, 3) === Set((5, "e", "insert", 3L)))
+    // fromVersion = -1 streams the initial snapshot as inserts too
+    val v0 = t.readChanges(-1, 0, keyCols = Seq("id"))
+    assert(v0.select($"_change_type").distinct().as[String].collect().toSeq
+      === Seq("insert"))
+    assert(v0.count() === 4)
+    // caught-up window is empty, same columns
+    assert(t.readChanges(3).count() === 0)
+    // _commit_ts is stamped from the commit entry
+    assert(t.readChanges(0, 1, keyCols = Seq("id"))
+      .filter($"_commit_ts".isNotNull).count() === 2)
+  }
+
+  test("change feed: key-less multiset diff; graft.cdf.keys property as default") {
+    val t = SnapshotTable.create(spark, tmpDir("cdf2"),
+      Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.overwrite(Seq((1, "a"), (2, "B"), (3, "c")).toDF("id", "v")) // v1
+    // no key: updates surface as delete+insert
+    val raw = t.readChanges(0, 1)
+      .select($"id", $"v", $"_change_type").as[(Int, String, String)].collect().toSet
+    assert(raw === Set((2, "b", "delete"), (2, "B", "insert"), (3, "c", "insert")))
+    // explicit keyCols pair the same commit into pre/postimage
+    val keyed = t.readChanges(0, 1, keyCols = Seq("id"))
+      .select($"id", $"v", $"_change_type").as[(Int, String, String)].collect().toSet
+    assert(keyed === Set((2, "b", "update_preimage"), (2, "B", "update_postimage"),
+      (3, "c", "insert")))
+    // the table property supplies the key when keyCols is not passed
+    t.setProperties(Map("graft.cdf.keys" -> "id"))            // v2: metadata-only
+    assert(t.readChanges(1, 2).count() === 0)
+    t.overwrite(Seq((1, "a"), (2, "B2"), (3, "c")).toDF("id", "v")) // v3
+    val byProp = t.readChanges(2, 3)
+      .select($"id", $"v", $"_change_type").as[(Int, String, String)].collect().toSet
+    assert(byProp === Set((2, "B", "update_preimage"), (2, "B2", "update_postimage")))
+  }
+
+  test("change feed: deferred upserts surface; fold-in compaction is silent") {
+    val t = SnapshotTable.create(spark, tmpDir("cdf3"),
+      Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("id", "v", "ts"))
+    t.upsertDeferred(Seq((2L, "B", 1L), (3L, "c", 1L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), precombine = "ts")            // v1: MoR delta batch
+    val d = t.readChanges(0, 1)
+      .select($"id", $"v", $"_change_type").as[(Long, String, String)].collect().toSet
+    assert(d === Set((2L, "b", "update_preimage"), (2L, "B", "update_postimage"),
+      (3L, "c", "insert")))
+    t.applyDeltas()                                   // v2: fold-in, no logical change
+    assert(t.readChanges(1, 2).count() === 0)
+  }
+
+  test("change feed: schema evolution across the range aligns by name") {
+    val t = SnapshotTable.create(spark, tmpDir("cdf4"),
+      Seq((1, "a")).toDF("id", "v"))
+    t.addColumns(new org.apache.spark.sql.types.StructType()
+      .add("extra", org.apache.spark.sql.types.StringType)) // v1: metadata-only
+    t.append(Seq((2, "b", "x")).toDF("id", "v", "extra"))   // v2
+    val rows = t.readChanges(-1, 2, keyCols = Seq("id"))
+      .select($"id", $"v", $"extra", $"_change_type", $"_commit_version")
+      .as[(Int, String, Option[String], String, Long)].collect().toSet
+    assert(rows === Set((1, "a", None, "insert", 0L), (2, "b", Some("x"), "insert", 2L)))
+  }
+
   test("merge carries forward stats of untouched files (pruning still works)") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", lit("old")))
