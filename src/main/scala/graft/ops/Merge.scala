@@ -192,7 +192,7 @@ final class MergeInto(
         // overlapping files (one tiny agg job over the source buys it).
         val candidateFiles = discoveryCandidates(table, source, condition, allFiles)
         val tFiles = (if (candidateFiles.size == allFiles.size) targetAll
-          else spark.read.schema(targetSchema).parquet(candidateFiles: _*))
+          else table.readFilesAs(candidateFiles, targetSchema))
           .withColumn(T_FILE, input_file_name())
           .withColumn(T_UID, monotonically_increasing_id())
           .alias("t")
@@ -217,7 +217,7 @@ final class MergeInto(
       if (touched.isEmpty) {
         // No matched targets: still need the insert path over an empty target.
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], targetSchema)
-      } else spark.read.schema(targetSchema).parquet(touched: _*)
+      } else table.readFilesAs(touched, targetSchema)
 
     val t = touchedDf.withColumn(T_EXISTS, lit(true)).alias("t")
     val joined = t.join(srcExists, condition, "full_outer")

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlread
 import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -146,9 +146,9 @@ class GraftTableCatalog extends TableCatalog {
    *  subsequent commit (`delta/delta_scd_script.py:43`), added columns
    *  read as NULL from existing files, dropped columns stop being
    *  projected and are tombstoned against resurrection
-   *  ([[SnapshotTable.dropColumns]]). Rename/retype are not supported —
-   *  they would need column mapping to avoid misreading existing
-   *  parquet. */
+   *  ([[SnapshotTable.dropColumns]]), and `RENAME COLUMN` lands as a
+   *  metadata-only name-mode column-mapping commit
+   *  ([[SnapshotTable.renameColumn]]). Retype is not supported. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val t = SnapshotTable(spark, rootFor(ident))
@@ -156,6 +156,7 @@ class GraftTableCatalog extends TableCatalog {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
       case a: TableChange.AddColumn if a.fieldNames.length == 1 => false
       case d: TableChange.DeleteColumn if d.fieldNames.length == 1 => false
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 => false
       case _ => true
     }
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
@@ -181,6 +182,8 @@ class GraftTableCatalog extends TableCatalog {
     if (adds.nonEmpty) t.addColumns(adds)
     val drops = changes.collect { case d: TableChange.DeleteColumn => d.fieldNames.head }
     if (drops.nonEmpty) t.dropColumns(drops)
+    changes.collect { case r: TableChange.RenameColumn => r }
+      .foreach(r => t.renameColumn(r.fieldNames.head, r.newName))
     new GraftTable(t, ident)
   }
 
@@ -289,15 +292,56 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
 
   override def build(): Scan = {
     val spark = table.spark
+    // manifest stats pruning runs on LOGICAL names (all commit metadata is
+    // logically keyed, even after RENAME COLUMN)
     val predicate = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
     val files = table.prunedFilesAt(version, predicate)
-    val index = new InMemoryFileIndex(
-      spark, files.map(f => new Path(f.path)), Map.empty, Some(tableSchema))
-    val psb = ParquetScanBuilder(
-      spark, index, tableSchema, tableSchema, CaseInsensitiveStringMap.empty())
-    psb.pushFilters(pushed.flatMap(f => GraftScanBuilder.toExpression(f, tableSchema)).toSeq)
-    psb.pruneColumns(required)
-    psb.build()
+    val mapping = table.columnMappingAt(version)
+    if (mapping.isEmpty) {
+      val index = new InMemoryFileIndex(
+        spark, files.map(f => new Path(f.path)), Map.empty, Some(tableSchema))
+      val psb = ParquetScanBuilder(
+        spark, index, tableSchema, tableSchema, CaseInsensitiveStringMap.empty())
+      psb.pushFilters(pushed.flatMap(f => GraftScanBuilder.toExpression(f, tableSchema)).toSeq)
+      psb.pruneColumns(required)
+      psb.build()
+    } else {
+      // RENAME COLUMN leaves data files carrying PHYSICAL names: build the
+      // parquet scan physically (schema, pushdown filters, pruned columns
+      // all translated), then report the LOGICAL names back to Spark — the
+      // positional layout is identical, only readSchema()'s names differ.
+      def physField(f: org.apache.spark.sql.types.StructField) =
+        f.copy(name = mapping.getOrElse(f.name, f.name))
+      val physTable = StructType(tableSchema.fields.map(physField))
+      val physRequired = StructType(required.fields.map(physField))
+      val index = new InMemoryFileIndex(
+        spark, files.map(f => new Path(f.path)), Map.empty, Some(physTable))
+      val psb = ParquetScanBuilder(
+        spark, index, physTable, physTable, CaseInsensitiveStringMap.empty())
+      psb.pushFilters(pushed.flatMap(f => GraftScanBuilder.toExpression(
+        GraftScanBuilder.renameFilter(f, mapping), physTable)).toSeq)
+      psb.pruneColumns(physRequired)
+      new LogicalNamesScan(psb.build(), required)
+    }
+  }
+}
+
+/** Delegating [[Scan]] over a parquet scan built with PHYSICAL column
+ *  names (column mapping): reports the LOGICAL read schema so Spark's
+ *  plan attributes bind by name, while batches flow through positionally
+ *  unchanged. Statistics forward; runtime filtering is intentionally not
+ *  forwarded (correctness never depends on it). */
+class LogicalNamesScan(underlying: Scan, logical: StructType)
+    extends Scan with SupportsReportStatistics {
+  override def readSchema(): StructType = logical
+  override def toBatch: Batch = underlying.toBatch
+  override def description(): String = underlying.description()
+  override def estimateStatistics(): Statistics = underlying match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
   }
 }
 
@@ -324,6 +368,30 @@ object GraftScanBuilder {
     case Or(l, r) =>
       for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
     case _ => None
+  }
+
+  /** `f` with attribute names translated logical→physical (RENAME COLUMN
+   *  column mapping) so parquet row-group pushdown hits the file names. */
+  def renameFilter(f: Filter, m: Map[String, String]): Filter = {
+    def a(n: String) = m.find(_._1.equalsIgnoreCase(n)).map(_._2).getOrElse(n)
+    f match {
+      case EqualTo(n, v) => EqualTo(a(n), v)
+      case EqualNullSafe(n, v) => EqualNullSafe(a(n), v)
+      case GreaterThan(n, v) => GreaterThan(a(n), v)
+      case GreaterThanOrEqual(n, v) => GreaterThanOrEqual(a(n), v)
+      case LessThan(n, v) => LessThan(a(n), v)
+      case LessThanOrEqual(n, v) => LessThanOrEqual(a(n), v)
+      case In(n, vs) => In(a(n), vs)
+      case IsNull(n) => IsNull(a(n))
+      case IsNotNull(n) => IsNotNull(a(n))
+      case StringStartsWith(n, v) => StringStartsWith(a(n), v)
+      case StringEndsWith(n, v) => StringEndsWith(a(n), v)
+      case StringContains(n, v) => StringContains(a(n), v)
+      case And(l, r) => And(renameFilter(l, m), renameFilter(r, m))
+      case Or(l, r) => Or(renameFilter(l, m), renameFilter(r, m))
+      case Not(c) => Not(renameFilter(c, m))
+      case other => other
+    }
   }
 
   /** v1 Filter → resolved Catalyst predicate (what [[ParquetScanBuilder]]'s

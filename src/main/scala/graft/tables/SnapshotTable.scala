@@ -255,14 +255,25 @@ class SnapshotTable private (
    *  `graft.bloom.ndv.<col>` pins the expected cardinality. Readers need
    *  no cooperation: Spark's parquet scan consults bloom filters during
    *  row-group filtering whenever a pushed equality predicate matches. */
-  private[graft] def writeDataDir(dfIn: DataFrame): Seq[FileEntry] = {
-    // one commit-log read serves both the CHECK constraints and the bloom
-    // options (object-store round trips per write matter)
-    val props = currentReadable().flatMap(_._2.properties).getOrElse(Map.empty)
-    val df = enforceConstraints(dfIn, props)
+  private[graft] def writeDataDir(dfIn: DataFrame,
+      mappingOverride: Option[Map[String, String]] = None): Seq[FileEntry] = {
+    // one commit-log read serves the CHECK constraints, the bloom options,
+    // and the column mapping (object-store round trips per write matter)
+    val cur = currentReadable().map(_._2)
+    val props = cur.flatMap(_.properties).getOrElse(Map.empty)
+    val mapping = mappingOverride.getOrElse(
+      cur.flatMap(_.columnMapping).getOrElse(Map.empty))
+    val checked = enforceConstraints(dfIn, props) // constraints are LOGICAL
+    // files always carry PHYSICAL names so every live file stays uniform
+    // across renames (full-rewrite paths pass Some(Map.empty) to reset
+    // physical = logical)
+    val df = if (mapping.isEmpty) checked
+      else checked.select(checked.columns.toSeq.map(c => org.apache.spark.sql
+        .functions.col(c).as(mapping.getOrElse(c, c))): _*)
     val dir = new Path(dataDir, UUID.randomUUID().toString.take(12))
     val bloomCols = props.get("graft.bloom.columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(c => mapping.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c))
       .flatMap(c => df.schema.fieldNames.find(_.equalsIgnoreCase(c)))
     var writer = df.write.mode("overwrite")
     if (bloomCols.nonEmpty) {
@@ -288,10 +299,16 @@ class SnapshotTable private (
       case None => spark.conf.unset(tsKey)
     }
     val conf = hadoopConf
+    // footer stats come back keyed by the PHYSICAL names just written —
+    // remap to logical so ALL commit metadata stays logically keyed
+    val toLogical = mapping.map(_.swap)
     fs.listStatus(dir).toSeq
       .filter(s => s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
       .map(s => readFooterStats(s.getPath, s.getLen, conf))
+      .map(fe => if (toLogical.isEmpty) fe
+        else fe.copy(stats = fe.stats.map { case (k, v) =>
+          toLogical.getOrElse(k, k) -> v }))
       // zero-row part files carry no data and defeat stats pruning — drop
       // them from the manifest (rows == -1 means "stats unknown": keep)
       .filter(_.rows != 0L)
@@ -305,7 +322,9 @@ class SnapshotTable private (
     val v = currentVersion()
     val prior = if (v < 0) None else Some(commitEntry(v))
     val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
-    val files = writeDataDir(applyCluster(df, spec))
+    // full replace: write physical = logical and clear the column mapping
+    // (renames are materialized), same lifecycle as the drop tombstones
+    val files = writeDataDir(applyCluster(df, spec), Some(Map.empty))
     // a full replace leaves no file that could carry a dropped column's
     // old values — the drop-column tombstones have done their job
     val props = prior.flatMap(_.properties)
@@ -337,7 +356,8 @@ class SnapshotTable private (
     if (prior.exists(_.deltaFiles.exists(_.nonEmpty)))
       throw new IllegalStateException(
         s"table $root has pending MoR deltas; call applyDeltas() before a maintenance rewrite")
-    val files = writeDataDir(df)
+    // full replace: physical = logical again, mapping cleared (see overwrite)
+    val files = writeDataDir(df, Some(Map.empty))
     // full replace: dropped-column tombstones are cleared (see overwrite)
     val props = prior.flatMap(_.properties)
       .map(_.filterNot(_._1.startsWith("graft.dropped."))).filter(_.nonEmpty)
@@ -379,7 +399,8 @@ class SnapshotTable private (
         toOpt(spec), prior.flatMap(_.properties),
         deltaFiles = prior.flatMap(_.deltaFiles),
         morKeys = prior.flatMap(_.morKeys),
-        morPrecombine = prior.flatMap(_.morPrecombine)))
+        morPrecombine = prior.flatMap(_.morPrecombine),
+        columnMapping = prior.flatMap(_.columnMapping)))
     this
   }
 
@@ -491,7 +512,8 @@ class SnapshotTable private (
     val files = writeDataDir(applyCluster(df, spec))
     writeCommit(v + 1,
       CommitEntry(action, df.schema.json, (kept ++ files).sortBy(_.path), toOpt(spec),
-        prior.flatMap(_.properties)))
+        prior.flatMap(_.properties),
+        columnMapping = prior.flatMap(_.columnMapping)))
     this
   }
 
@@ -573,13 +595,22 @@ class SnapshotTable private (
    *  column, so re-introducing the name would read their STALE values
    *  instead of NULL. Throws until a full rewrite clears the tombstone. */
   private[graft] def assertResurrectionSafe(names: Seq[String], context: String): Unit = {
-    val props = currentReadable().flatMap(_._2.properties).getOrElse(Map.empty)
+    val entry = currentReadable().map(_._2)
+    val props = entry.flatMap(_.properties).getOrElse(Map.empty)
     val hit = names.filter(n => props.contains(s"graft.dropped.${n.toLowerCase}"))
     require(hit.isEmpty,
       s"$context: column(s) ${hit.mkString(", ")} were previously dropped and " +
         "live files may still carry the old values (they would resurface " +
         "instead of reading NULL); overwrite or OPTIMIZE ZORDER the table " +
         "first to rewrite them")
+    // live files also still carry a RENAMED column's physical name — a new
+    // logical column claiming that name would read the renamed column's data
+    val phys = entry.flatMap(_.columnMapping).getOrElse(Map.empty).values.toSeq
+    val clash = names.filter(n => phys.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty,
+      s"$context: column(s) ${clash.mkString(", ")} collide with the physical " +
+        "name of a renamed column; overwrite or OPTIMIZE ZORDER the table " +
+        "first to materialize the rename")
   }
 
   /** `ALTER TABLE … DROP COLUMNS` (metadata-only, the Delta-without-
@@ -606,23 +637,110 @@ class SnapshotTable private (
     // poison every later write — refuse the drop instead
     val specCols = e.clusterBy.getOrElse(Nil).map(ClusterTransform.sourceColumn) ++
       e.morKeys.getOrElse(Nil) ++ e.morPrecombine.toList
-    val constraintCols = e.properties.getOrElse(Map.empty).collect {
+    val inUse = names.filter(n =>
+      (specCols ++ constraintColumns(e)).exists(_.equalsIgnoreCase(n)))
+    require(inUse.isEmpty,
+      s"ALTER TABLE $root DROP COLUMNS: ${inUse.mkString(", ")} referenced by " +
+        "the cluster spec, MoR spec, or a CHECK constraint")
+    // tombstone the PHYSICAL name — that is what live files still carry
+    // (equals the logical name unless the column was renamed)
+    val mapping = mappingOf(e)
+    val tombs = names.map { n =>
+      val exact = committed.fields.find(_.name.equalsIgnoreCase(n)).map(_.name).getOrElse(n)
+      s"graft.dropped.${mapping.getOrElse(exact, exact).toLowerCase}" -> v.toString
+    }.toMap
+    val mapping2 = mapping.filterNot { case (l, _) =>
+      names.exists(_.equalsIgnoreCase(l)) }
+    writeCommit(v + 1, e.copy(action = "drop-columns",
+      schemaJson = StructType(remaining).json,
+      properties = Some(e.properties.getOrElse(Map.empty) ++ tombs),
+      columnMapping = Some(mapping2).filter(_.nonEmpty)))
+    this
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new` — metadata-only, via
+   *  name-mode column mapping (the Delta column-mapping design: Iceberg
+   *  gets the same via field ids): data files keep their PHYSICAL column
+   *  name forever; this commit records logical→physical, reads project
+   *  back, writes keep emitting the physical name, and file stats /
+   *  cluster spec / MoR spec / bloom properties are remapped in the same
+   *  commit so pruning and upserts keep working. Any full rewrite
+   *  ([[overwrite]] / OPTIMIZE ZORDER) materializes renames physically
+   *  and clears the mapping. Columns referenced by a CHECK constraint
+   *  are refused (the constraint's SQL text cannot be rewritten
+   *  reliably — drop and re-add the constraint around the rename). */
+  def renameColumn(oldName: String, newName: String): SnapshotTable = {
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    require(newName.trim.nonEmpty && !newName.contains("."),
+      s"ALTER TABLE $root RENAME COLUMN: invalid new name: '$newName'")
+    val e = commitEntry(v)
+    val committed = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+    val field = committed.fields.find(_.name.equalsIgnoreCase(oldName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER TABLE $root RENAME COLUMN: no such column: $oldName"))
+    require(!committed.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"ALTER TABLE $root RENAME COLUMN: column $newName already exists")
+    // tombstoned drops and renamed-away physical names both make the new
+    // name unsafe while un-rewritten files still carry the old bytes —
+    // EXCEPT this column's own physical name (renaming back is exactly
+    // the safe round trip: the bytes ARE this column's)
+    require(!e.properties.getOrElse(Map.empty)
+        .contains(s"graft.dropped.${newName.toLowerCase}"),
+      s"ALTER TABLE $root RENAME COLUMN: $newName was previously dropped and " +
+        "live files may still carry the old values; overwrite or OPTIMIZE " +
+        "ZORDER the table first to rewrite them")
+    val otherPhys = (mappingOf(e) - field.name).values.toSeq
+    require(!otherPhys.exists(_.equalsIgnoreCase(newName)),
+      s"ALTER TABLE $root RENAME COLUMN: $newName collides with the physical " +
+        "name of another renamed column; overwrite or OPTIMIZE ZORDER the " +
+        "table first to materialize the rename")
+    val constrained = constraintColumns(e)
+    require(!constrained.exists(_.equalsIgnoreCase(field.name)),
+      s"ALTER TABLE $root RENAME COLUMN: ${field.name} is referenced by a " +
+        "CHECK constraint; drop the constraint, rename, and re-add it")
+    def rn(n: String): String = if (n.equalsIgnoreCase(field.name)) newName else n
+    def rnStats(files: Seq[FileEntry]): Seq[FileEntry] = files.map(fe =>
+      fe.copy(stats = fe.stats.map { case (k, s) => rn(k) -> s }))
+    val mapping = mappingOf(e)
+    val physical = mapping.getOrElse(field.name, field.name)
+    // identity entries carry no information — dropping them keeps the
+    // mapping empty (and every fast path untouched) for round-trip renames
+    val mapping2 = ((mapping - field.name) + (newName -> physical))
+      .filter { case (l, p) => l != p }
+    val schema2 = StructType(committed.fields.map(f =>
+      if (f.name == field.name) f.copy(name = newName) else f))
+    val props2 = e.properties.map(_.map {
+      case ("graft.bloom.columns", cols) =>
+        "graft.bloom.columns" -> cols.split(",").map(c => rn(c.trim)).mkString(",")
+      case (k, value) if k.equalsIgnoreCase(s"graft.bloom.ndv.${field.name}") =>
+        s"graft.bloom.ndv.${newName.toLowerCase}" -> value
+      case kv => kv
+    })
+    writeCommit(v + 1, e.copy(action = "rename-column",
+      schemaJson = schema2.json,
+      files = rnStats(e.files),
+      deltaFiles = e.deltaFiles.map(rnStats),
+      clusterBy = e.clusterBy.map(_.map(spec =>
+        ClusterTransform.rename(spec, field.name, newName))),
+      morKeys = e.morKeys.map(_.map(rn)),
+      morPrecombine = e.morPrecombine.map(rn),
+      properties = props2,
+      columnMapping = Some(mapping2).filter(_.nonEmpty)))
+    this
+  }
+
+  /** Column names referenced by any `graft.constraint.*` CHECK expression
+   *  (conservatively ALL table columns when one fails to parse). */
+  private def constraintColumns(e: CommitEntry): Seq[String] = {
+    val all = DataType.fromJson(e.schemaJson).asInstanceOf[StructType].fieldNames.toSeq
+    e.properties.getOrElse(Map.empty).collect {
       case (k, sql) if k.startsWith("graft.constraint.") =>
         try spark.sessionState.sqlParser.parseExpression(sql).collect {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
             a.nameParts.last
-        } catch { case NonFatal(_) => names } // unparseable: refuse conservatively
+        } catch { case NonFatal(_) => all } // unparseable: refuse conservatively
     }.flatten.toSeq
-    val inUse = names.filter(n =>
-      (specCols ++ constraintCols).exists(_.equalsIgnoreCase(n)))
-    require(inUse.isEmpty,
-      s"ALTER TABLE $root DROP COLUMNS: ${inUse.mkString(", ")} referenced by " +
-        "the cluster spec, MoR spec, or a CHECK constraint")
-    val tombs = names.map(n => s"graft.dropped.${n.toLowerCase}" -> v.toString).toMap
-    writeCommit(v + 1, e.copy(action = "drop-columns",
-      schemaJson = StructType(remaining).json,
-      properties = Some(e.properties.getOrElse(Map.empty) ++ tombs)))
-    this
   }
 
   // ------------------------------------------------------------------ reads
@@ -646,7 +764,8 @@ class SnapshotTable private (
     val (_, entry) = currentReadable().getOrElse(
       throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
     dfOver(entry.files.map(_.path),
-      DataType.fromJson(entry.schemaJson).asInstanceOf[StructType])
+      DataType.fromJson(entry.schemaJson).asInstanceOf[StructType],
+      mappingOf(entry))
   }
 
   /** Base ∪ pending-delta assembly (the MoR read-time merge): base rows
@@ -655,11 +774,12 @@ class SnapshotTable private (
    *  set; the base side stays a plain pruned parquet scan. */
   private def mergedView(entry: CommitEntry, baseFiles: Seq[FileEntry]): DataFrame = {
     val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
-    val base = dfOver(baseFiles.map(_.path), schema)
+    val base = dfOver(baseFiles.map(_.path), schema, mappingOf(entry))
     val deltaEntries = entry.deltaFiles.getOrElse(Nil)
     if (deltaEntries.isEmpty) return base
     val keys = entry.morKeys.getOrElse(Nil)
-    val latest = latestDeltaRows(deltaEntries, schema, keys, entry.morPrecombine.get)
+    val latest = latestDeltaRows(deltaEntries, schema, keys,
+      entry.morPrecombine.get, mappingOf(entry))
     base.join(latest.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti")
       .unionByName(latest)
@@ -674,7 +794,8 @@ class SnapshotTable private (
       deltaEntries: Seq[FileEntry],
       schema: StructType,
       keys: Seq[String],
-      precombine: String): DataFrame = {
+      precombine: String,
+      mapping: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions._
     // consecutive files sharing a data dir = one arrival batch
     val groups = scala.collection.mutable.ArrayBuffer[(String, List[String])]()
@@ -685,7 +806,7 @@ class SnapshotTable private (
       else groups += ((parent, List(f.path)))
     }
     val parts = groups.toSeq.zipWithIndex.map { case ((_, paths), i) =>
-      spark.read.schema(schema).parquet(paths: _*).withColumn("__delta_seq", lit(i))
+      dfOver(paths, schema, mapping).withColumn("__delta_seq", lit(i))
     }
     val all = parts.reduce(_ unionByName _)
     val cols = schema.fieldNames.toSeq
@@ -733,10 +854,33 @@ class SnapshotTable private (
       catch { case NonFatal(_) => true }
     }.size
 
-  private def dfOver(paths: Seq[String], schema: StructType): DataFrame =
+  private def dfOver(paths: Seq[String], schema: StructType,
+      mapping: Map[String, String] = Map.empty): DataFrame =
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(paths: _*)
+    else if (mapping.isEmpty) spark.read.schema(schema).parquet(paths: _*)
+    else {
+      // data files carry PHYSICAL names (stable across RENAME COLUMN):
+      // read physically, project back to the logical names
+      val phys = StructType(schema.fields.map(f =>
+        f.copy(name = mapping.getOrElse(f.name, f.name))))
+      spark.read.schema(phys).parquet(paths: _*)
+        .select(schema.fields.toSeq.map(f => org.apache.spark.sql.functions
+          .col(mapping.getOrElse(f.name, f.name)).as(f.name)): _*)
+    }
+
+  /** The logical→physical column mapping of one commit (empty = identity). */
+  private def mappingOf(e: CommitEntry): Map[String, String] =
+    e.columnMapping.getOrElse(Map.empty)
+
+  /** Read a subset of the CURRENT snapshot's live files as `schema` —
+   *  physical names mapped back to logical per the current column
+   *  mapping. `schema` may be wider than the committed schema (MERGE
+   *  WITH SCHEMA EVOLUTION); extra fields have no mapping entry and
+   *  null-fill as usual. */
+  private[graft] def readFilesAs(paths: Seq[String], schema: StructType): DataFrame =
+    dfOver(paths, schema,
+      currentReadable().map(e => mappingOf(e._2)).getOrElse(Map.empty))
 
   /**
    * Stats-pruned scan: files whose per-column [min,max] cannot satisfy
@@ -779,6 +923,11 @@ class SnapshotTable private (
         entry.files.filter(f => Pruning.mayMatch(f, expr, schema))
     }
   }
+
+  /** Logical→physical column mapping AT a version (empty = identity;
+   *  the DSv2 scan consults the PINNED snapshot's mapping). */
+  private[graft] def columnMappingAt(version: Long): Map[String, String] =
+    if (version < 0) Map.empty else mappingOf(commitEntry(version))
 
   def schema: StructType =
     DataType.fromJson(currentReadable()
@@ -829,7 +978,7 @@ class SnapshotTable private (
     val live = entry.files.map(_.path)
     val groups = live.groupBy(p => first.getOrElse(p, (cur, entry.ts))).toSeq.sortBy(_._1._1)
     val parts = groups.map { case ((v, ts), paths) =>
-      dfOver(paths, schema)
+      dfOver(paths, schema, mappingOf(entry))
         .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
         .withColumn("_commit_ts", ts match {
           case Some(m) => org.apache.spark.sql.functions.lit(new java.sql.Timestamp(m))
@@ -887,7 +1036,7 @@ class SnapshotTable private (
       newPaths(toEntry.files, fromEntry.map(_.files)) ++
         newPaths(toEntry.deltaFiles.getOrElse(Nil),
           fromEntry.map(_.deltaFiles.getOrElse(Nil))),
-      schema)
+      schema, mappingOf(toEntry))
   }
 
   /**
@@ -976,16 +1125,20 @@ class SnapshotTable private (
       if (keys.isEmpty) {
         require(!deltasInvolved, // unreachable: MoR commits always carry morKeys
           s"version $v of $root touches MoR deltas but no record key is known")
-        multisetDiff(alignTo(dfOver(removed.map(_.path), prevSchema), schema),
-          dfOver(added.map(_.path), schema))
+        multisetDiff(
+          alignTo(dfOver(removed.map(_.path), prevSchema,
+            prevOpt.map(mappingOf).getOrElse(Map.empty)), schema),
+          dfOver(added.map(_.path), schema, mappingOf(ce)))
       } else if (deltasInvolved) {
         // deferred-upsert or fold-in commit: diff the before/after MERGED
         // views, both restricted to the record keys the touched files
         // name — the fold-in compaction then cancels to zero changes
         val touchedKeys =
-          (Seq(dfOver((newDelta ++ removedDelta).map(_.path), schema)) ++
-            Seq(alignTo(dfOver(removed.map(_.path), prevSchema), schema),
-              dfOver(added.map(_.path), schema)))
+          (Seq(dfOver((newDelta ++ removedDelta).map(_.path), schema,
+              mappingOf(ce))) ++
+            Seq(alignTo(dfOver(removed.map(_.path), prevSchema,
+                prevOpt.map(mappingOf).getOrElse(Map.empty)), schema),
+              dfOver(added.map(_.path), schema, mappingOf(ce))))
             .map(_.select(keys.map(col): _*))
             .reduce(_ unionByName _).distinct()
         val old = prevOpt.map(p => mergedView(p, p.files))
@@ -994,8 +1147,10 @@ class SnapshotTable private (
           mergedView(ce, ce.files).join(touchedKeys, keys, "left_semi"),
           keys, schema)
       } else {
-        keyedDiff(alignTo(dfOver(removed.map(_.path), prevSchema), schema),
-          dfOver(added.map(_.path), schema), keys, schema)
+        keyedDiff(
+          alignTo(dfOver(removed.map(_.path), prevSchema,
+            prevOpt.map(mappingOf).getOrElse(Map.empty)), schema),
+          dfOver(added.map(_.path), schema, mappingOf(ce)), keys, schema)
       }
     diff
       .withColumn("_commit_version", lit(v))
@@ -1105,7 +1260,7 @@ class SnapshotTable private (
     val pred = org.apache.spark.sql.graftshim.SparkInternals.expr(predicate)
     val (touched, untouched) = entry.files.partition(f => Pruning.mayMatch(f, pred, tschema))
     if (touched.isEmpty) return 0
-    val kept = spark.read.schema(tschema).parquet(touched.map(_.path): _*)
+    val kept = dfOver(touched.map(_.path), tschema, mappingOf(entry))
       .filter(!predicate || predicate.isNull)
     replaceFiles(untouched.map(_.path), kept, "delete", expectVersion = Some(v))
     touched.size
@@ -1141,7 +1296,7 @@ class SnapshotTable private (
         case None => c(f.name)
       }
     }
-    val rewritten = spark.read.schema(tschema).parquet(touched.map(_.path): _*)
+    val rewritten = dfOver(touched.map(_.path), tschema, mappingOf(entry))
       .select(cols: _*)
     replaceFiles(untouched.map(_.path), rewritten, "update", expectVersion = Some(v))
     touched.size
@@ -1165,7 +1320,7 @@ class SnapshotTable private (
     if (small.size < 2) return 0
     val totalBytes = small.map(_.bytes).sum
     val outFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val packed = spark.read.schema(tschema).parquet(small.map(_.path): _*)
+    val packed = dfOver(small.map(_.path), tschema, mappingOf(entry))
       .coalesce(outFiles)
     replaceFiles(healthy.map(_.path), packed, "compact", expectVersion = Some(v))
     small.size
@@ -1316,14 +1471,15 @@ class SnapshotTable private (
     if (deltaEntries.isEmpty) return 0
     val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
     val keys = entry.morKeys.getOrElse(Nil)
-    val latest = latestDeltaRows(deltaEntries, schema, keys, entry.morPrecombine.get)
+    val latest = latestDeltaRows(deltaEntries, schema, keys,
+      entry.morPrecombine.get, mappingOf(entry))
     val (touched, untouched) = deltaKeyRange(deltaEntries, keys, schema) match {
       case Some(p) =>
         val pe = org.apache.spark.sql.graftshim.SparkInternals.expr(p)
         entry.files.partition(f => Pruning.mayMatch(f, pe, schema))
       case None => (entry.files, Nil)
     }
-    val rewritten = dfOver(touched.map(_.path), schema)
+    val rewritten = dfOver(touched.map(_.path), schema, mappingOf(entry))
       .join(latest.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti")
       .unionByName(latest)
@@ -1397,6 +1553,14 @@ object SnapshotTable {
       case plain => plain
     }
 
+    /** `spec` with column `from` renamed to `to` (RENAME COLUMN). */
+    def rename(spec: String, from: String, to: String): String = spec match {
+      case Bucket(n, c) if c.equalsIgnoreCase(from) => s"bucket($n, $to)"
+      case Time(u, c) if c.equalsIgnoreCase(from) => s"$u($to)"
+      case plain if plain.equalsIgnoreCase(from) => to
+      case other => other
+    }
+
     def expr(spec: String): Column = spec match {
       case Bucket(n, c) =>
         val count = scala.util.Try(n.toInt).toOption.filter(_ > 0).getOrElse(
@@ -1438,7 +1602,14 @@ object SnapshotTable {
       ts: Option[Long] = None,
       deltaFiles: Option[Seq[FileEntry]] = None,
       morKeys: Option[List[String]] = None,
-      morPrecombine: Option[String] = None) {
+      morPrecombine: Option[String] = None,
+      // LOGICAL column name → PHYSICAL parquet name, populated by RENAME
+      // COLUMN (Delta name-mode column mapping); identity entries omitted.
+      // Every data file always carries physical names; stats keys and all
+      // other commit metadata stay logical. Cleared by any full rewrite
+      // (overwrite / OPTIMIZE ZORDER), which re-materializes physical =
+      // logical.
+      columnMapping: Option[Map[String, String]] = None) {
     def toJson: String = {
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       org.json4s.jackson.Serialization.write(this)

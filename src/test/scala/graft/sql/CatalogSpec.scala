@@ -223,9 +223,8 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graft.db.t13 VALUES (2, 'b', 7.5)")
     assert(spark.table("graft.db.t13").as[(Int, String, Option[Double])].collect().toSet ===
       Set((1, "a", None), (2, "b", Some(7.5))))
-    // rename/retype stay unsupported (would misread existing parquet)
-    intercept[Exception](
-      spark.sql("ALTER TABLE graft.db.t13 RENAME COLUMN v TO w"))
+    // retype stays unsupported (would misread existing parquet); rename
+    // is covered by its own column-mapping test below
     intercept[Exception](
       spark.sql("ALTER TABLE graft.db.t13 ALTER COLUMN id TYPE BIGINT"))
   }
@@ -375,6 +374,35 @@ class CatalogSpec extends SparkSpec {
     val v = spark.sql("SELECT max(void) AS hi FROM graft.db.mmts")
     assert(v.head().isNullAt(0))
     assert(hasLocalRelation(v))
+  }
+
+  test("ALTER TABLE RENAME COLUMN: SQL reads, pushdown, and writes follow") {
+    spark.range(0, 300).toDF("id")
+      .withColumn("v", concat(lit("p"), col("id")))
+      .repartitionByRange(3, col("id"))
+      .writeTo("graft.db.ren").createOrReplace()
+    spark.sql("ALTER TABLE graft.db.ren RENAME COLUMN id TO key")
+    assert(spark.table("graft.db.ren").schema.fieldNames.toSeq === Seq("key", "v"))
+    // filter on the renamed column reads the right data (physical name
+    // translated into the parquet scan + row-group pushdown)
+    val q = spark.sql("SELECT v FROM graft.db.ren WHERE key = 7")
+    assert(q.as[String].head() === "p7")
+    val plan = executedPlanString(q)
+    assert(plan.contains("PushedFilters:") && plan.contains("id"),
+      s"expected physical-name pushdown in:\n$plan")
+    // column pruning still reaches the scan (physical names in ReadSchema)
+    assert(executedPlanString(spark.sql("SELECT v FROM graft.db.ren"))
+      .contains("ReadSchema: struct<v:string>"))
+    // DSv2 writes after the rename land physically consistent
+    Seq((1000L, "new")).toDF("key", "v").writeTo("graft.db.ren").append()
+    assert(spark.sql("SELECT v FROM graft.db.ren WHERE key = 1000")
+      .as[String].head() === "new")
+    // time travel before the rename still shows the old name
+    assert(spark.sql("SELECT * FROM graft.db.ren VERSION AS OF 0").schema
+      .fieldNames.toSeq === Seq("id", "v"))
+    // metadata-only count still answers from the manifest
+    val cnt = spark.sql("SELECT count(*) FROM graft.db.ren")
+    assert(hasLocalRelation(cnt) && cnt.as[Long].head() === 301L)
   }
 
   test("TRUNCATE TABLE empties the table as a new versioned commit") {

@@ -737,6 +737,88 @@ class SnapshotTableSpec extends SparkSpec {
     assert(rows === Set((1, "a", None, "insert", 0L), (2, "b", Some("x"), "insert", 2L)))
   }
 
+  test("rename column: metadata-only mapping; reads, writes, pruning all follow") {
+    val t = SnapshotTable.create(spark, tmpDir("ren"),
+      spark.range(0, 400).toDF("id").withColumn("v", concat(lit("p"), col("id")))
+        .repartitionByRange(4, col("id")))
+    val filesBefore = t.manifest()
+    t.renameColumn("id", "key")                       // v1: metadata-only
+    assert(t.manifest() === filesBefore)              // no file rewritten
+    assert(t.schema.fieldNames.toSeq === Seq("key", "v"))
+    assert(t.read().filter($"key" === 7).select($"v").as[String].head() === "p7")
+    // stats were remapped with the name: pruning on the renamed key works
+    assert(t.prunedManifest($"key" === 103).size === 1)
+    assert(t.scan($"key" === 103).count() === 1)
+    // writes keep emitting the PHYSICAL name so live files stay uniform
+    t.append(Seq((1000L, "new")).toDF("key", "v"))    // v2
+    val newFile = t.manifest().diff(filesBefore)
+    assert(newFile.nonEmpty &&
+      spark.read.parquet(newFile: _*).schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(t.read().filter($"key" === 1000).count() === 1)
+    // row-level ops through the mapping
+    t.update($"key" === 7, Map("v" -> lit("P7")))     // v3
+    assert(t.scan($"key" === 7).select($"v").as[String].head() === "P7")
+    t.delete($"key" === 8)                            // v4
+    assert(t.read().filter($"key" === 8).count() === 0)
+    // time travel sees each version's own names
+    assert(t.readVersion(0).schema.fieldNames.toSeq === Seq("id", "v"))
+    // chained rename composes (key → pk still maps to physical id)
+    t.renameColumn("key", "pk")                       // v5
+    assert(t.read().filter($"pk" === 7).select($"v").as[String].head() === "P7")
+    // a full rewrite materializes the rename and clears the mapping
+    t.overwrite(t.read())                             // v6
+    assert(spark.read.parquet(t.manifest(): _*).schema.fieldNames.toSeq
+      === Seq("pk", "v"))
+    // ... after which re-using the old physical name is safe again
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField(
+      "id", org.apache.spark.sql.types.LongType)))
+    assert(t.schema.fieldNames.toSeq === Seq("pk", "v", "id"))
+  }
+
+  test("rename column guards: collisions, constraints, physical-name reuse") {
+    val t = SnapshotTable.create(spark, tmpDir("ren2"),
+      Seq((1L, "a", 10.0)).toDF("id", "v", "price"))
+    intercept[IllegalArgumentException](t.renameColumn("id", "v"))
+    intercept[IllegalArgumentException](t.renameColumn("nope", "x"))
+    t.setProperties(Map("graft.constraint.pos" -> "price >= 0"))
+    intercept[IllegalArgumentException](t.renameColumn("price", "cost"))
+    t.renameColumn("v", "payload")
+    // the physical name "v" is still carried by live files — re-adding it
+    // would resurrect payload's bytes under a new logical column
+    intercept[IllegalArgumentException](t.addColumns(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType))))
+    // renaming ANOTHER column onto the physical name is just as unsafe
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("extra",
+      org.apache.spark.sql.types.StringType)))
+    intercept[IllegalArgumentException](t.renameColumn("extra", "v"))
+    // round-trip rename back to the original name empties the mapping
+    t.renameColumn("payload", "v")
+    assert(t.read().select($"v").as[String].head() === "a")
+    val newFile = { t.append(Seq((2L, "b", 1.0, "e")).toDF("id", "v", "price", "extra")); t }
+    assert(t.scan($"v" === "b").count() === 1)
+  }
+
+  test("rename column: MoR deltas, upserts, and the change feed follow the mapping") {
+    val t = SnapshotTable.create(spark, tmpDir("ren3"),
+      Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("id", "v", "ts"))
+    t.upsertDeferred(Seq((2L, "B", 1L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), precombine = "ts")            // v1: pending delta
+    t.renameColumn("id", "key")                       // v2: remaps morKeys too
+    assert(t.read().orderBy($"key").select($"v").as[String].collect().toSeq
+      === Seq("a", "B"))
+    // deferred upserts keep working under the new key name
+    t.upsertDeferred(Seq((3L, "c", 2L)).toDF("key", "v", "ts"),
+      keys = Seq("key"), precombine = "ts")           // v3
+    assert(t.read().count() === 3)
+    t.applyDeltas()                                   // v4: fold-in
+    assert(t.readChanges(3, 4).count() === 0)         // compaction is silent
+    // CDF across the rename window aligns by the current logical names
+    val d = t.readChanges(2, 3)
+      .select($"key", $"v", $"_change_type").as[(Long, String, String)].collect().toSet
+    assert(d === Set((3L, "c", "insert")))
+  }
+
   test("merge carries forward stats of untouched files (pruning still works)") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", lit("old")))
