@@ -148,7 +148,8 @@ class GraftTableCatalog extends TableCatalog {
    *  projected and are tombstoned against resurrection
    *  ([[SnapshotTable.dropColumns]]), and `RENAME COLUMN` lands as a
    *  metadata-only name-mode column-mapping commit
-   *  ([[SnapshotTable.renameColumn]]). Retype is not supported. */
+   *  ([[SnapshotTable.renameColumn]]). `ALTER COLUMN … TYPE` accepts
+   *  lossless widenings only ([[SnapshotTable.widenColumnType]]). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val t = SnapshotTable(spark, rootFor(ident))
@@ -157,6 +158,7 @@ class GraftTableCatalog extends TableCatalog {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 => false
       case d: TableChange.DeleteColumn if d.fieldNames.length == 1 => false
       case r: TableChange.RenameColumn if r.fieldNames.length == 1 => false
+      case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 => false
       case _ => true
     }
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
@@ -184,6 +186,8 @@ class GraftTableCatalog extends TableCatalog {
     if (drops.nonEmpty) t.dropColumns(drops)
     changes.collect { case r: TableChange.RenameColumn => r }
       .foreach(r => t.renameColumn(r.fieldNames.head, r.newName))
+    changes.collect { case u: TableChange.UpdateColumnType => u }
+      .foreach(u => t.widenColumnType(u.fieldNames.head, u.newDataType))
     new GraftTable(t, ident)
   }
 

@@ -730,6 +730,45 @@ class SnapshotTable private (
     this
   }
 
+  /** `ALTER TABLE … ALTER COLUMN c TYPE <wider>` — metadata-only type
+   *  widening (Delta's type-widening table feature; Iceberg allows the
+   *  same promotions): only the committed schema retypes, existing files
+   *  keep the narrow physical type and Spark's parquet reader up-casts at
+   *  scan time (int32→int64, float→double, int→double); new writes emit
+   *  the wide type. Only LOSSLESS widenings are accepted — byte/short/int
+   *  up the integral ladder to long, byte/short/int → double, float →
+   *  double; long → double is refused (53-bit mantissa). File stats stay
+   *  sound unchanged: integral stats are stored in the long domain and
+   *  re-parse into the double domain losslessly, so pruning keeps
+   *  working without a stats rewrite. */
+  def widenColumnType(name: String, newType: DataType): SnapshotTable = {
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val e = commitEntry(v)
+    val committed = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+    val field = committed.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER TABLE $root ALTER COLUMN: no such column: $name"))
+    val intRank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    val lossless = (field.dataType, newType) match {
+      case (a, b) if intRank.contains(a) && intRank.contains(b) =>
+        intRank(a) < intRank(b)
+      case (a, DoubleType) if intRank.get(a).exists(_ <= 3) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(lossless,
+      s"ALTER TABLE $root ALTER COLUMN ${field.name}: " +
+        s"${field.dataType.simpleString} -> ${newType.simpleString} is not a " +
+        "lossless widening (allowed: byte/short/int -> long, " +
+        "byte/short/int -> double, float -> double)")
+    val schema2 = StructType(committed.fields.map(f =>
+      if (f.name == field.name) f.copy(dataType = newType) else f))
+    writeCommit(v + 1, e.copy(action = "widen-type", schemaJson = schema2.json))
+    this
+  }
+
   /** Column names referenced by any `graft.constraint.*` CHECK expression
    *  (conservatively ALL table columns when one fails to parse). */
   private def constraintColumns(e: CommitEntry): Seq[String] = {

@@ -223,10 +223,17 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graft.db.t13 VALUES (2, 'b', 7.5)")
     assert(spark.table("graft.db.t13").as[(Int, String, Option[Double])].collect().toSet ===
       Set((1, "a", None), (2, "b", Some(7.5))))
-    // retype stays unsupported (would misread existing parquet); rename
-    // is covered by its own column-mapping test below
+    // lossless widening is metadata-only; lossy retypes stay refused
+    spark.sql("ALTER TABLE graft.db.t13 ALTER COLUMN id TYPE BIGINT")
+    assert(spark.table("graft.db.t13").schema("id").dataType
+      === org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT id FROM graft.db.t13 WHERE id = 1").as[Long].head() === 1L)
+    spark.sql("INSERT INTO graft.db.t13 VALUES (9999999999999, 'w', 1.0)")
+    assert(spark.table("graft.db.t13").count() === 3)
     intercept[Exception](
-      spark.sql("ALTER TABLE graft.db.t13 ALTER COLUMN id TYPE BIGINT"))
+      spark.sql("ALTER TABLE graft.db.t13 ALTER COLUMN v TYPE INT"))
+    intercept[Exception]( // long → double loses precision: refused
+      spark.sql("ALTER TABLE graft.db.t13 ALTER COLUMN id TYPE DOUBLE"))
   }
 
   test("CHECK constraints via TBLPROPERTIES block violating SQL inserts") {

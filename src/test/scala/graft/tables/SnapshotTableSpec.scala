@@ -819,6 +819,36 @@ class SnapshotTableSpec extends SparkSpec {
     assert(d === Set((3L, "c", "insert")))
   }
 
+  test("type widening: metadata-only, old files up-cast, pruning stays sound") {
+    val t = SnapshotTable.create(spark, tmpDir("widen"),
+      spark.range(0, 200).select(col("id").cast("int").as("id"),
+          (col("id") / 4).cast("float").as("score"))
+        .repartitionByRange(4, col("id")))
+    val filesBefore = t.manifest()
+    t.widenColumnType("id", org.apache.spark.sql.types.LongType)
+    t.widenColumnType("score", org.apache.spark.sql.types.DoubleType)
+    assert(t.manifest() === filesBefore) // no data rewritten
+    assert(t.schema("id").dataType === org.apache.spark.sql.types.LongType)
+    // narrow files read through the wide schema, values intact
+    assert(t.read().filter($"id" === 7L).select($"score").as[Double].head() === 1.75)
+    // stats pruning on the widened column still opens one file
+    assert(t.prunedManifest($"id" === 103L).size === 1)
+    assert(t.scan($"id" === 103L).count() === 1)
+    // new writes land wide; values beyond int range round-trip
+    t.append(Seq((9999999999L, 0.5)).toDF("id", "score"))
+    assert(t.scan($"id" === 9999999999L).count() === 1)
+    // lossy retypes are refused
+    intercept[IllegalArgumentException](
+      t.widenColumnType("id", org.apache.spark.sql.types.DoubleType))
+    intercept[IllegalArgumentException](
+      t.widenColumnType("id", org.apache.spark.sql.types.IntegerType))
+    intercept[IllegalArgumentException](
+      t.widenColumnType("score", org.apache.spark.sql.types.FloatType))
+    // widening composes with a rename (mapping + wide type both apply)
+    t.renameColumn("score", "quality")
+    assert(t.read().filter($"id" === 7L).select($"quality").as[Double].head() === 1.75)
+  }
+
   test("merge carries forward stats of untouched files (pruning still works)") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", lit("old")))
