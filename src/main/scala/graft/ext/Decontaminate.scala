@@ -48,11 +48,15 @@ object Decontaminate {
   def flag(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 8,
       broadcastBenchmark: Boolean = true): DataFrame = {
+    // internal hit-marker name: a corpus that ALREADY carries a
+    // `contaminated` column (re-flagging a previous pass) must not make
+    // the join ambiguous — the final withColumn simply replaces it
     val hits =
       contaminatedIds(corpus, idCol, textCol, benchmark, benchTextCol, n,
           broadcastBenchmark)
-        .withColumn("contaminated", lit(true))
+        .withColumn("__contam_hit", lit(true))
     corpus.join(hits, Seq(idCol), "left")
-      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("contaminated", coalesce(col("__contam_hit"), lit(false)))
+      .drop("__contam_hit")
   }
 }

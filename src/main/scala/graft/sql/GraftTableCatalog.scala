@@ -375,12 +375,13 @@ object GraftScanBuilder {
   }
 
   /** `f` with attribute names translated logical→physical (RENAME COLUMN
-   *  column mapping) so parquet row-group pushdown hits the file names. */
+   *  column mapping) so parquet row-group pushdown hits the file names.
+   *  Covers exactly the shapes [[toColumn]] accepts (nothing else is
+   *  ever pushed); an untranslated shape passes through harmlessly. */
   def renameFilter(f: Filter, m: Map[String, String]): Filter = {
     def a(n: String) = m.find(_._1.equalsIgnoreCase(n)).map(_._2).getOrElse(n)
     f match {
       case EqualTo(n, v) => EqualTo(a(n), v)
-      case EqualNullSafe(n, v) => EqualNullSafe(a(n), v)
       case GreaterThan(n, v) => GreaterThan(a(n), v)
       case GreaterThanOrEqual(n, v) => GreaterThanOrEqual(a(n), v)
       case LessThan(n, v) => LessThan(a(n), v)
@@ -389,11 +390,8 @@ object GraftScanBuilder {
       case IsNull(n) => IsNull(a(n))
       case IsNotNull(n) => IsNotNull(a(n))
       case StringStartsWith(n, v) => StringStartsWith(a(n), v)
-      case StringEndsWith(n, v) => StringEndsWith(a(n), v)
-      case StringContains(n, v) => StringContains(a(n), v)
       case And(l, r) => And(renameFilter(l, m), renameFilter(r, m))
       case Or(l, r) => Or(renameFilter(l, m), renameFilter(r, m))
-      case Not(c) => Not(renameFilter(c, m))
       case other => other
     }
   }

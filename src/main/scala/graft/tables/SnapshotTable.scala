@@ -271,10 +271,14 @@ class SnapshotTable private (
       else checked.select(checked.columns.toSeq.map(c => org.apache.spark.sql
         .functions.col(c).as(mapping.getOrElse(c, c))): _*)
     val dir = new Path(dataDir, UUID.randomUUID().toString.take(12))
+    // (logical name for the ndv property lookup, physical for the writer)
     val bloomCols = props.get("graft.bloom.columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      .map(c => mapping.find(_._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c))
-      .flatMap(c => df.schema.fieldNames.find(_.equalsIgnoreCase(c)))
+      .flatMap { logical =>
+        val phys = mapping.find(_._1.equalsIgnoreCase(logical)).map(_._2)
+          .getOrElse(logical)
+        df.schema.fieldNames.find(_.equalsIgnoreCase(phys)).map(logical -> _)
+      }
     var writer = df.write.mode("overwrite")
     if (bloomCols.nonEmpty) {
       writer = writer.option("parquet.bloom.filter.adaptive.enabled", "true")
@@ -282,10 +286,10 @@ class SnapshotTable private (
         case (k, v) if k.toLowerCase.startsWith("graft.bloom.ndv.") =>
           k.substring("graft.bloom.ndv.".length).toLowerCase -> v
       }
-      bloomCols.foreach { c =>
-        writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
-        ndvByCol.get(c.toLowerCase).foreach(ndv =>
-          writer = writer.option(s"parquet.bloom.filter.expected.ndv#$c", ndv))
+      bloomCols.foreach { case (logical, phys) =>
+        writer = writer.option(s"parquet.bloom.filter.enabled#$phys", "true")
+        ndvByCol.get(logical.toLowerCase).foreach(ndv =>
+          writer = writer.option(s"parquet.bloom.filter.expected.ndv#$phys", ndv))
       }
     }
     // Spark's default INT96 timestamps carry no parquet min/max stats and
@@ -420,8 +424,12 @@ class SnapshotTable private (
       s"append to $root: incoming frame is missing required committed column(s) " +
         missingRequired.map(_.name).mkString(", ") +
         " — committing this schema would misread prior files")
+    // producers still writing a pre-[[widenColumnType]] narrow type keep
+    // working: a lossless up-cast aligns them (the type-widening contract);
+    // anything else is a real mismatch
     val retyped = committed.fields.flatMap { f =>
-      find(f.name).filter(_.dataType != f.dataType)
+      find(f.name).filter(g => g.dataType != f.dataType &&
+          !Widening.isLossless(g.dataType, f.dataType))
         .map(g => s"${f.name} (committed ${f.dataType.simpleString}, incoming ${g.dataType.simpleString})")
     }
     if (retyped.nonEmpty) throw new IllegalArgumentException(
@@ -435,6 +443,8 @@ class SnapshotTable private (
     val aligned = df.select(evolved.fields.map { f =>
       import org.apache.spark.sql.functions.{col => c, lit}
       find(f.name) match {
+        case Some(g) if g.dataType != f.dataType => // lossless up-cast (widening)
+          c(g.name).cast(f.dataType).as(f.name)
         case Some(g) => c(g.name).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name) // missing nullable: NULL fill
       }
@@ -636,12 +646,14 @@ class SnapshotTable private (
     // like days(ts)), the MoR upsert spec, or a CHECK constraint would
     // poison every later write — refuse the drop instead
     val specCols = e.clusterBy.getOrElse(Nil).map(ClusterTransform.sourceColumn) ++
-      e.morKeys.getOrElse(Nil) ++ e.morPrecombine.toList
+      e.morKeys.getOrElse(Nil) ++ e.morPrecombine.toList ++
+      e.properties.getOrElse(Map.empty).get("graft.cdf.keys").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val inUse = names.filter(n =>
       (specCols ++ constraintColumns(e)).exists(_.equalsIgnoreCase(n)))
     require(inUse.isEmpty,
       s"ALTER TABLE $root DROP COLUMNS: ${inUse.mkString(", ")} referenced by " +
-        "the cluster spec, MoR spec, or a CHECK constraint")
+        "the cluster spec, MoR spec, the change-feed key, or a CHECK constraint")
     // tombstone the PHYSICAL name — that is what live files still carry
     // (equals the logical name unless the column was renamed)
     val mapping = mappingOf(e)
@@ -679,8 +691,11 @@ class SnapshotTable private (
     val field = committed.fields.find(_.name.equalsIgnoreCase(oldName)).getOrElse(
       throw new IllegalArgumentException(
         s"ALTER TABLE $root RENAME COLUMN: no such column: $oldName"))
-    require(!committed.fieldNames.exists(_.equalsIgnoreCase(newName)),
+    require(!committed.fieldNames.exists(n =>
+        n.equalsIgnoreCase(newName) && !n.equalsIgnoreCase(field.name)),
       s"ALTER TABLE $root RENAME COLUMN: column $newName already exists")
+    require(newName != field.name,
+      s"ALTER TABLE $root RENAME COLUMN: $newName is already the column's name")
     // tombstoned drops and renamed-away physical names both make the new
     // name unsafe while un-rewritten files still carry the old bytes —
     // EXCEPT this column's own physical name (renaming back is exactly
@@ -713,6 +728,8 @@ class SnapshotTable private (
     val props2 = e.properties.map(_.map {
       case ("graft.bloom.columns", cols) =>
         "graft.bloom.columns" -> cols.split(",").map(c => rn(c.trim)).mkString(",")
+      case ("graft.cdf.keys", keys) => // the change feed's key follows too
+        "graft.cdf.keys" -> keys.split(",").map(c => rn(c.trim)).mkString(",")
       case (k, value) if k.equalsIgnoreCase(s"graft.bloom.ndv.${field.name}") =>
         s"graft.bloom.ndv.${newName.toLowerCase}" -> value
       case kv => kv
@@ -749,16 +766,7 @@ class SnapshotTable private (
     val field = committed.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
       throw new IllegalArgumentException(
         s"ALTER TABLE $root ALTER COLUMN: no such column: $name"))
-    val intRank = Map[DataType, Int](
-      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
-    val lossless = (field.dataType, newType) match {
-      case (a, b) if intRank.contains(a) && intRank.contains(b) =>
-        intRank(a) < intRank(b)
-      case (a, DoubleType) if intRank.get(a).exists(_ <= 3) => true
-      case (FloatType, DoubleType) => true
-      case _ => false
-    }
-    require(lossless,
+    require(Widening.isLossless(field.dataType, newType),
       s"ALTER TABLE $root ALTER COLUMN ${field.name}: " +
         s"${field.dataType.simpleString} -> ${newType.simpleString} is not a " +
         "lossless widening (allowed: byte/short/int -> long, " +
@@ -1119,17 +1127,22 @@ class SnapshotTable private (
       .withColumn("_commit_version", lit(null).cast(LongType))
       .withColumn("_commit_ts", lit(null).cast(TimestampType))
     if (fromVersion >= to) return emptyFeed // caught-up consumer: empty, not an error
+    def entryOf(v: Long): CommitEntry =
+      try commitEntry(v)
+      catch {
+        case NonFatal(ex) => throw new IllegalStateException(
+          s"change-feed version $v of $root is no longer readable (log " +
+            "entry expired by vacuum?) — the consumer must re-bootstrap " +
+            "from a full snapshot", ex)
+      }
+    // one metadata read per version: each iteration's entry is the next
+    // iteration's predecessor
+    var prev = if (fromVersion < 0) None else Some(entryOf(fromVersion))
     val perVersion = ((fromVersion + 1) to to).map { v =>
-      val e =
-        try commitEntry(v)
-        catch {
-          case NonFatal(ex) => throw new IllegalStateException(
-            s"change-feed version $v of $root is no longer readable (log " +
-              "entry expired by vacuum?) — the consumer must re-bootstrap " +
-              "from a full snapshot", ex)
-        }
-      val prev = if (v == 0) None else Some(commitEntry(v - 1))
-      versionChanges(v, prev, e, keyCols)
+      val e = entryOf(v)
+      val changes = versionChanges(v, prev, e, keyCols)
+      prev = Some(e)
+      changes
     }
     perVersion.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(emptyFeed)
@@ -1203,9 +1216,14 @@ class SnapshotTable private (
    *  retyped columns cast (the read-side half of schema evolution). */
   private def alignTo(df: DataFrame, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions._
-    val have = df.columns.toSet
+    // case-INSENSITIVE match, like every other schema-evolution path — a
+    // case-changing overwrite must not null out the column
+    val have = df.columns.map(c => c.toLowerCase -> c).toMap
     df.select(schema.fields.toSeq.map { f =>
-      (if (have(f.name)) col(f.name) else lit(null)).cast(f.dataType).as(f.name)
+      (have.get(f.name.toLowerCase) match {
+        case Some(actual) => col(actual)
+        case None => lit(null)
+      }).cast(f.dataType).as(f.name)
     }: _*)
   }
 
@@ -1790,6 +1808,20 @@ object SnapshotTable {
   }
 
   /** Conservative file-level predicate evaluation over footer stats. */
+  /** Lossless type-widening lattice, shared by `widenColumnType` (the
+   *  DDL) and `alignToCommitted` (narrow producers keep appending). */
+  private[tables] object Widening {
+    private val intRank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    def isLossless(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if intRank.contains(a) && intRank.contains(b) =>
+        intRank(a) < intRank(b)
+      case (a, DoubleType) if intRank.get(a).exists(_ <= 3) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   private[tables] object Pruning {
 
     def mayMatch(f: FileEntry, pred: Expression, schema: StructType): Boolean =

@@ -461,7 +461,16 @@ class ExtSpec extends SparkSpec {
     val none = Decontaminate.flag(corpus, "id", "text", bench, "q", n = 50)
     assert(none.count() === 6)
     assert(none.filter(col("contaminated")).count() === 0)
+    // re-flagging an already-flagged frame replaces the column cleanly
+    val twice = Decontaminate.flag(flaggedFrame(corpus, bench), "id", "text",
+      bench, "q", n = 5)
+    assert(twice.filter(col("contaminated")).select(col("id")).as[Long]
+      .collect().sorted === Array(1L, 2L, 4L))
   }
+
+  private def flaggedFrame(corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame) =
+    Decontaminate.flag(corpus, "id", "text", bench, "q", n = 5)
 
   test("text analysis: tokens, shingles, quality, langid") {
     val en = Seq((1L, "the cat and the dog is of to the barn and back again ok")).toDF("id", "text")

@@ -849,6 +849,30 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().filter($"id" === 7L).select($"quality").as[Double].head() === 1.75)
   }
 
+  test("rename/drop follow the change-feed key; widened appends up-cast") {
+    val t = SnapshotTable.create(spark, tmpDir("rev"),
+      Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.setProperties(Map("graft.cdf.keys" -> "id"))
+    t.renameColumn("id", "key") // must remap graft.cdf.keys with it
+    t.update(col("key") === 2, Map("v" -> lit("B")))
+    val d = t.readChanges(2, 3).select($"key", $"v", $"_change_type")
+      .as[(Int, String, String)].collect().toSet
+    assert(d === Set((2, "b", "update_preimage"), (2, "B", "update_postimage")))
+    // dropping the CDF key column is refused, like MoR/cluster/constraint cols
+    intercept[IllegalArgumentException](t.dropColumns(Seq("key")))
+    // a widened table keeps accepting the original narrow producers
+    val t2 = SnapshotTable.create(spark, tmpDir("rev2"),
+      Seq((1, 1.5f)).toDF("id", "score"))
+    t2.widenColumnType("score", org.apache.spark.sql.types.DoubleType)
+    t2.append(Seq((2, 2.5f)).toDF("id", "score")) // float producer: up-cast
+    assert(t2.read().orderBy($"id").select($"score").as[Double].collect().toSeq
+      === Seq(1.5, 2.5))
+    // case-only rename is a rename, not a collision
+    t2.renameColumn("id", "ID")
+    assert(t2.schema.fieldNames.toSeq === Seq("ID", "score"))
+    assert(t2.read().count() === 2)
+  }
+
   test("merge carries forward stats of untouched files (pruning still works)") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", lit("old")))
