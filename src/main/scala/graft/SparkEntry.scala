@@ -1029,6 +1029,67 @@ object SparkEntry {
       |  SELECT id, state, 'delete', 2 FROM del)
       |ORDER BY id, _change_type""".stripMargin
 
+  /** Q56 — heavy-hitter domain capping ([[ext.Sampling.capPerGroup]]):
+   *  keep the best `cap` documents per source, ranked by the q46 quality
+   *  score (doc_id tie-break), via the two-phase salted top-k (no single
+   *  reducer ever sees a whole hot domain). The oracle is the plain
+   *  single-window rank — the two-phase plan must select exactly the
+   *  same rows. */
+  private def capPerSourceQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .withColumn("quality", ext.TextAnalysis.qualityScore(col("text")))
+    ext.Sampling.capPerGroup(docs, "source",
+        Seq(col("quality").desc, col("doc_id").asc), n = 15)
+      .select(col("source"), col("doc_id"), col("quality"))
+      .orderBy("source", "doc_id")
+  }
+  private val Q56Duck =
+    """WITH q AS (
+      |  SELECT source, doc_id, round(
+      |    (len(list_distinct(string_split(text,' ')))*1.0 / len(string_split(text,' ')))
+      |    * (CASE WHEN len(string_split(text,' ')) >= 10 THEN 1.0
+      |            ELSE len(string_split(text,' '))/10.0 END)
+      |    * (CASE WHEN length(replace(text,' ',''))*1.0/len(string_split(text,' '))
+      |                 BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS quality
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn FROM q)
+      |SELECT source, doc_id, quality FROM r WHERE rn <= 15
+      |ORDER BY source, doc_id""".stripMargin
+
+  /** Q57 — greedy sequence packing ([[ext.Packing.packGreedy]]): pack
+   *  documents into 256-token context windows, sharded by doc_id % 8 so
+   *  each shard packs independently (the scale unit). The oracle replays
+   *  the sequential first-fit recurrence as a recursive CTE — the
+   *  distributed shard-ordered mapPartitions must reproduce it exactly,
+   *  bin ids, offsets and all. */
+  private def packQuery(s: SparkSession, dir: String): DataFrame =
+    ext.Packing.packGreedy(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id") % 8, col("doc_id"),
+        ext.TextAnalysis.tokenCount(col("text")), capacity = 256)
+      .select(col("shard"), col("id").as("doc_id"), col("n_tokens"),
+        col("bin_id"), col("bin_offset"))
+      .orderBy("shard", "doc_id")
+  private val Q57Duck =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id % 8 AS shard, doc_id,
+      |         CAST(len(string_split(text,' ')) AS INT) AS n_tokens
+      |  FROM documents),
+      |s AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      |      FROM t),
+      |p AS (
+      |  SELECT shard, doc_id, n_tokens, rn, 0 AS bin_id, n_tokens AS fill
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.shard, s.doc_id, s.n_tokens, s.rn,
+      |         CASE WHEN p.fill + s.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+      |         CASE WHEN p.fill + s.n_tokens > 256 THEN s.n_tokens
+      |              ELSE p.fill + s.n_tokens END
+      |  FROM p JOIN s ON s.shard = p.shard AND s.rn = p.rn + 1)
+      |SELECT shard, doc_id, n_tokens, bin_id, fill - n_tokens AS bin_offset
+      |FROM p ORDER BY shard, doc_id""".stripMargin
+
   /** Q43 — Z-order clustered snapshot + stats-pruned scan: cluster orders
    *  along the (o_custkey, o_orderkey) Morton curve, commit, point-scan
    *  on the clustered key. Oracle = the plain filter. */
@@ -1140,7 +1201,9 @@ object SparkEntry {
     "q52_mix_sample" -> mixSampleQuery,
     "q53_chunking" -> chunkQuery,
     "q54_decontaminate" -> decontamQuery,
-    "q55_change_feed" -> cdfQuery)
+    "q55_change_feed" -> cdfQuery,
+    "q56_domain_cap" -> capPerSourceQuery,
+    "q57_seq_packing" -> packQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1195,7 +1258,9 @@ object SparkEntry {
     "q52_mix_sample" -> Q52Duck,
     "q53_chunking" -> Q53Duck,
     "q54_decontaminate" -> Q54Duck,
-    "q55_change_feed" -> Q55Duck)
+    "q55_change_feed" -> Q55Duck,
+    "q56_domain_cap" -> Q56Duck,
+    "q57_seq_packing" -> Q57Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN values
   // are not SQL-expressible → driver records the weaker rows-only check
   // for them; their SEMANTICS are oracled through q49's recall/precision

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -71,5 +72,48 @@ object Sampling {
       when(col(groupCol) === lit(g), lit(threshold(f))).otherwise(acc)
     }
     df.filter(hashBucket(col(idCol), salt) < cutoff)
+  }
+
+  /**
+   * Per-group capping — "keep at most `n` documents per domain, best
+   * first" — the heavy-hitter-domain control every web-corpus build runs
+   * (a handful of boilerplate-heavy domains otherwise dominate the
+   * training mix).
+   *
+   * A single `row_number() OVER (PARTITION BY group)` shuffles EVERY row
+   * of a hot domain to one reducer — the classic top-k skew wall at
+   * corpus scale. This runs the standard two-phase (salted) top-k
+   * instead:
+   *
+   *  1. rank within (group, input-partition) — the input partition id
+   *     spreads a hot group over the whole cluster — and keep the local
+   *     top `n`: any row in the global top `n` of its group is
+   *     necessarily in the top `n` of whichever slice it sits in, so
+   *     this phase is lossless;
+   *  2. rank the ≤ n·partitions survivors per group and keep the true
+   *     top `n`.
+   *
+   * Both phases shuffle, but phase 2 moves at most `n` rows per
+   * (group, slice) instead of the whole corpus. The result is
+   * deterministic and layout-independent as long as `orderBy` is a
+   * total order (tie-break on a unique id).
+   */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      orderBy: Seq[Column],
+      n: Int): DataFrame = {
+    require(n > 0, s"cap $n must be positive")
+    val local = df
+      .withColumn("_slice", spark_partition_id())
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(groupCol), col("_slice")).orderBy(orderBy: _*)))
+      .filter(col("_rn") <= n)
+      .drop("_slice", "_rn")
+    local
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
   }
 }

@@ -426,6 +426,56 @@ class ExtSpec extends SparkSpec {
     assert(mixed.count() === 5000)
   }
 
+  test("capPerGroup: two-phase top-k equals the single-window rank, any layout") {
+    // skewed fixture: a hot group that would swamp one reducer, a cold one
+    val rows = (0L until 1000L).map(i => (i, "hot", (i * 37 % 100).toDouble)) ++
+      Seq((2000L, "cold", 5.0), (2001L, "cold", 3.0), (2002L, "cold", 9.0))
+    val df = rows.toDF("id", "g", "score")
+    // single-window reference (what the oracle computes)
+    val expect = df.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("score").desc, col("id").asc)))
+      .filter(col("rn") <= 5).select("id").as[Long].collect().toSet
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Sampling.capPerGroup(df.repartition(parts),
+          "g", Seq(col("score").desc, col("id").asc), n = 5)
+        .select("id").as[Long].collect().toSet
+      assert(got === expect, s"layout parts=$parts")
+    }
+    // the cold group (3 rows < cap) survives whole
+    assert(expect.count(_ >= 2000L) === 3)
+  }
+
+  test("packGreedy: first-fit bins, oversized rows, shard reset, layout-invariant") {
+    val rows = Seq(
+      // shard 0: plain fill then overflow
+      (0L, 10L, 100), (0L, 11L, 100), (0L, 12L, 100),
+      // shard 1: oversized row gets its own bin, neighbours unharmed
+      (1L, 20L, 50), (1L, 21L, 300), (1L, 22L, 50), (1L, 23L, 200),
+      // shard 2: exact-capacity fit stays in the bin (> not >=)
+      (2L, 30L, 128), (2L, 31L, 128), (2L, 32L, 1))
+      .toDF("shard", "id", "toks")
+    val expect = Set(
+      (0L, 10L, 0, 0), (0L, 11L, 0, 100), (0L, 12L, 1, 0),
+      (1L, 20L, 0, 0), (1L, 21L, 1, 0), (1L, 22L, 2, 0), (1L, 23L, 2, 50),
+      (2L, 30L, 0, 0), (2L, 31L, 0, 128), (2L, 32L, 1, 0))
+    for (parts <- Seq(1, 5)) {
+      val got = Packing.packGreedy(rows.repartition(parts),
+          col("shard"), col("id"), col("toks"), capacity = 256)
+        .select("shard", "id", "bin_id", "bin_offset")
+        .as[(Long, Long, Int, Int)].collect().toSet
+      assert(got === expect, s"layout parts=$parts")
+    }
+    // no bin except a single-oversized-row bin exceeds capacity
+    val binTotals = Packing.packGreedy(rows, col("shard"), col("id"), col("toks"), 256)
+      .groupBy("shard", "bin_id")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .as[(Long, Int, Long, Long)].collect()
+    binTotals.foreach { case (s, b, tot, n) =>
+      assert(tot <= 256 || n === 1L, s"bin ($s,$b) total $tot with $n rows")
+    }
+  }
+
   test("scrubPii redacts URLs, emails, IPv4s; normalize canonicalizes") {
     val rows = Seq(
       (1L, "mail a.b+c@x-site.co.uk or https://ex.com/p?q=1#f then 10.0.0.255 ok"),
