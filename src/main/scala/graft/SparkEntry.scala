@@ -1090,6 +1090,36 @@ object SparkEntry {
       |SELECT shard, doc_id, n_tokens, bin_id, fill - n_tokens AS bin_offset
       |FROM p ORDER BY shard, doc_id""".stripMargin
 
+  /** Q58 — KMV distinct-count sketch ([[ext.functions.kmvDistinct]], a
+   *  mergeable TypedImperativeAggregate): distinct parts and suppliers
+   *  per return flag with k-bounded state. k = 65536 exceeds every
+   *  group's true distinct count at any driver SF, so the sketch is in
+   *  its exact regime and `count(DISTINCT)` is a precise oracle; the
+   *  estimator regime (error ≈ 1/√k) is covered by `ExtSpec`. */
+  private def kmvQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(ext.functions.kmvDistinct(col("l_partkey"), 65536).as("nd_parts"),
+        ext.functions.kmvDistinct(col("l_suppkey"), 65536).as("nd_supps"))
+      .orderBy("l_returnflag")
+  private val Q58Duck =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+      |       count(DISTINCT l_suppkey) AS nd_supps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q59 — corpus vocabulary ([[ext.TextAnalysis.vocabulary]]): per-token
+   *  total and document frequency over the documents table, thresholded
+   *  at 20 occurrences (the word-count shape: map-side explode, partial
+   *  agg before the shuffle, two-phase distinct for df). */
+  private def vocabQuery(s: SparkSession, dir: String): DataFrame =
+    ext.TextAnalysis.vocabulary(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", minCount = 20L)
+      .orderBy("token")
+  private val Q59Duck =
+    """SELECT t AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |GROUP BY 1 HAVING count(*) >= 20 ORDER BY token""".stripMargin
+
   /** Q43 — Z-order clustered snapshot + stats-pruned scan: cluster orders
    *  along the (o_custkey, o_orderkey) Morton curve, commit, point-scan
    *  on the clustered key. Oracle = the plain filter. */
@@ -1203,7 +1233,9 @@ object SparkEntry {
     "q54_decontaminate" -> decontamQuery,
     "q55_change_feed" -> cdfQuery,
     "q56_domain_cap" -> capPerSourceQuery,
-    "q57_seq_packing" -> packQuery)
+    "q57_seq_packing" -> packQuery,
+    "q58_kmv_distinct" -> kmvQuery,
+    "q59_vocabulary" -> vocabQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1260,7 +1292,9 @@ object SparkEntry {
     "q54_decontaminate" -> Q54Duck,
     "q55_change_feed" -> Q55Duck,
     "q56_domain_cap" -> Q56Duck,
-    "q57_seq_packing" -> Q57Duck)
+    "q57_seq_packing" -> Q57Duck,
+    "q58_kmv_distinct" -> Q58Duck,
+    "q59_vocabulary" -> Q59Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN values
   // are not SQL-expressible → driver records the weaker rows-only check
   // for them; their SEMANTICS are oracled through q49's recall/precision

@@ -168,6 +168,25 @@ object TextAnalysis {
     round(distinctRatio * lenOk * avgLenOk, 6)
   }
 
+  /**
+   * Corpus vocabulary: per-token total frequency (`tf`) and document
+   * frequency (`df`, for IDF weighting), thresholded at `minCount`
+   * occurrences. The canonical word-count shape: the token explode is
+   * map-side, `tf` partial-aggregates before the shuffle so only one
+   * row per (partition, token) moves, and `df` rides Spark's standard
+   * two-phase distinct aggregation — no collect, no second pass over
+   * the corpus.
+   */
+  def vocabulary(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
+      .filter(col("tf") >= minCount)
+
   /** Enrich a corpus with the full text-analysis column family. */
   def enrich(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

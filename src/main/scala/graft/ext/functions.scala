@@ -40,4 +40,9 @@ object functions {
   /** `nProbe` nearest IVF centroid indices for an array<float> embedding. */
   def nearestLists(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
     column(NearestLists(expr(v), centroids, nProbe))
+
+  /** Approximate `count(DISTINCT x)` with k-bounded state (KMV sketch);
+   *  exact while the group's distinct count stays under `k`. */
+  def kmvDistinct(c: Column, k: Int = 4096): Column =
+    column(KmvDistinct(expr(c), k).toAggregateExpression())
 }

@@ -476,6 +476,39 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("kmvDistinct: exact under k, bounded error over k, layout-invariant") {
+    // exact regime: 1000 distinct ids (each seen 3x) with k=2048
+    val dup = spark.range(0, 3000).selectExpr("id % 1000 AS v")
+    assert(dup.agg(functions.kmvDistinct(col("v"), 2048)).as[Long].head() === 1000L)
+    // estimator regime: 200k distinct, k=1024 → relative error ≈ 1/√k ≈ 3%
+    val big = spark.range(0, 200000).toDF("v")
+    val est = big.agg(functions.kmvDistinct(col("v"), 1024)).as[Long].head()
+    assert(math.abs(est - 200000.0) / 200000.0 < 0.1, s"estimate $est")
+    // partitioning-independent: partial/merge path gives the identical value
+    for (parts <- Seq(1, 7, 32)) {
+      val e = big.repartition(parts).agg(functions.kmvDistinct(col("v"), 1024))
+        .as[Long].head()
+      assert(e === est, s"layout parts=$parts")
+    }
+    // string inputs hash per-value: distinct strings counted exactly
+    val strs = spark.range(0, 500).selectExpr("concat('tok_', id % 100) AS v")
+    assert(strs.agg(functions.kmvDistinct(col("v"), 1024)).as[Long].head() === 100L)
+    // grouped: sketches are per-group
+    val grouped = spark.range(0, 1000)
+      .selectExpr("id % 2 AS g", "id % 10 + (id % 2) * 100 AS v")
+      .groupBy("g").agg(functions.kmvDistinct(col("v"), 64).as("nd"))
+      .as[(Long, Long)].collect().toMap
+    assert(grouped === Map(0L -> 5L, 1L -> 5L))
+  }
+
+  test("vocabulary: tf/df word counts with threshold") {
+    val corpus = Seq(
+      (1L, "a b a c"), (2L, "a b"), (3L, "c c c")).toDF("id", "text")
+    val got = TextAnalysis.vocabulary(corpus, "id", "text", minCount = 2L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("a", 3L, 2L), ("b", 2L, 2L), ("c", 4L, 2L)))
+  }
+
   test("scrubPii redacts URLs, emails, IPv4s; normalize canonicalizes") {
     val rows = Seq(
       (1L, "mail a.b+c@x-site.co.uk or https://ex.com/p?q=1#f then 10.0.0.255 ok"),
