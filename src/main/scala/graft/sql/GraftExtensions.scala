@@ -68,6 +68,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SparkInternals.logicalPlan(
           SnapshotTable(SparkSession.active, root).readChanges(from, to))
       }))
+    // Pure-SQL face of the ext expression family — spark.sql users get
+    // the same codegen'd kernels as the Column API
+    registerExtFunctions(ext)
+  }
+
+  /** Register the native ext expressions (fingerprints, shingles,
+   *  similarity, the KMV sketch) as SQL functions. Size/seed arguments
+   *  must be literals — they parameterize the expression itself. */
+  private def registerExtFunctions(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+    def litNum(args: Seq[Expression], i: Int, name: String,
+        default: Option[Long] = None): Long =
+      if (i >= args.size) default.getOrElse(throw new IllegalArgumentException(
+        s"$name: missing argument ${i + 1}"))
+      else {
+        val e = args(i)
+        if (!e.foldable) throw new IllegalArgumentException(
+          s"$name: argument ${i + 1} must be a literal")
+        e.eval() match {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"$name: argument ${i + 1} must be numeric, got $other")
+        }
+      }
+    def register(name: String, arity: Int,
+        builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (args: Seq[Expression]) => {
+          if (args.size < arity) throw new IllegalArgumentException(
+            s"$name takes at least $arity argument(s), got ${args.size}")
+          builder(args)
+        }))
+
+    register("fingerprint64", 1, args => graft.ext.Fingerprint64(args.head))
+    register("simhash64", 1, args => graft.ext.SimHash64(args.head))
+    register("hashed_shingles", 2, args => graft.ext.HashedShingles(args.head,
+      litNum(args, 1, "hashed_shingles").toInt,
+      litNum(args, 2, "hashed_shingles", Some(graft.ext.TextHash.DefaultSeed))))
+    register("minhash_signature", 1, args => graft.ext.MinHashSignature(args.head,
+      litNum(args, 1, "minhash_signature", Some(64L)).toInt,
+      litNum(args, 2, "minhash_signature", Some(graft.ext.TextHash.DefaultSeed))))
+    register("cosine_similarity", 2,
+      args => graft.ext.CosineSimilarity(args(0), args(1)))
+    // bare AggregateFunction: the analyzer wraps it in AggregateExpression
+    register("kmv_distinct", 1, args => graft.ext.KmvDistinct(args.head,
+      litNum(args, 1, "kmv_distinct", Some(4096L)).toInt))
   }
 }
 
