@@ -110,6 +110,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Union"), s"no union in MoR read:\n$plan")
   }
 
+  test("domain cap gets map-side top-k pruning on both phases (q56 shape)") {
+    val plan = executedPlanString(SparkEntry.queries("q56_domain_cap")(spark, dir))
+    // Spark's WindowGroupLimit prunes to the per-group top n BEFORE each
+    // exchange — rows beyond the cap never shuffle; two phases = 4 nodes
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 4, s"no group-limit pruning in:\n$plan")
+  }
+
+  test("sequence packing shuffles once, then streams (q57 shape)") {
+    val plan = executedPlanString(SparkEntry.queries("q57_seq_packing")(spark, dir))
+    // exactly one data exchange (the shard repartition) before the
+    // MapPartitions; the trailing orderBy exchange is presentation-only
+    val body = plan.substring(0, plan.indexOf("MapPartitions"))
+    assert("Exchange".r.findAllIn(body).size === 1, s"extra shuffle before packing in:\n$plan")
+  }
+
+  test("kmv sketch aggregates partial/final — only k-bounded buffers shuffle (q58 shape)") {
+    val plan = executedPlanString(SparkEntry.queries("q58_kmv_distinct")(spark, dir))
+    assert(plan.contains("partial_kmv_distinct"), s"no partial aggregation in:\n$plan")
+    // no Expand node: the sketch replaces count(DISTINCT)'s expand+regroup
+    assert(!plan.contains("Expand"), s"unexpected expand in:\n$plan")
+  }
+
   test("no declared query plans a cartesian product (q22/q45 brute-force NLJ excepted)") {
     // q22 broadcasts a small probe set by design (documented baseline);
     // q45's exhaustive-probe configuration behaves the same via its list
