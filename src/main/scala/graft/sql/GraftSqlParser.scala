@@ -38,6 +38,7 @@ import graft.tables.SnapshotTable
  *   RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'
  *   GENERATE symlink_format_manifest FOR TABLE t
  *   CONVERT TO GRAFT [parquet.]`<path>`
+ *   CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF <v>] [LOCATION '<path>']
  * }}}
  *
  * Known dialect ambiguity (shared with Delta, whose grammar this mirrors):
@@ -86,6 +87,11 @@ object GraftSqlParser {
     cmd(s"GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$Ident")
   private val ConvertStmt =
     cmd("CONVERT\\s+TO\\s+GRAFT\\s+(?:parquet\\s*\\.\\s*)?(`[^`]+`|'[^']+')")
+  // plain CREATE TABLE never matches — SHALLOW CLONE is required
+  private val ShallowCloneStmt =
+    cmd(s"CREATE\\s+TABLE\\s+$Ident\\s+SHALLOW\\s+CLONE\\s+$Ident" +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?" +
+      "(?:\\s+LOCATION\\s+'([^']+)')?")
 
   private[sql] def parseMaintenance(sqlText: String): Option[LogicalPlan] = {
     def m(p: Pattern) = Option(p.matcher(sqlText)).filter(_.matches())
@@ -107,6 +113,9 @@ object GraftSqlParser {
       .orElse(m(GenerateStmt).map(r => GraftGenerateManifestCommand(identParts(r.group(1)))))
       .orElse(m(ConvertStmt).map(r =>
         GraftConvertCommand(r.group(1).substring(1, r.group(1).length - 1))))
+      .orElse(m(ShallowCloneStmt).map(r =>
+        GraftShallowCloneCommand(identParts(r.group(1)), identParts(r.group(2)),
+          Option(r.group(3)).map(_.toLong), Option(r.group(4)))))
   }
 
   private def stripQuotes(part: String): String =
@@ -293,4 +302,35 @@ case class GraftGenerateManifestCommand(parts: Seq[String]) extends LeafRunnable
   override val output: Seq[Attribute] = Seq(notNull("manifest_path", StringType))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(resolveTable(spark, parts).generateSymlinkManifest()))
+}
+
+/** `CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n] [LOCATION 'p']`
+ *  (Delta's statement) → [[SnapshotTable.shallowCloneTo]]: zero-copy
+ *  file re-reference, the clone evolves independently. A bare target
+ *  name registers in the session [[GraftCatalog]] and needs an explicit
+ *  LOCATION; a catalog-qualified target derives its warehouse root (and
+ *  is immediately loadable through the DSv2 catalog). */
+case class GraftShallowCloneCommand(
+    target: Seq[String],
+    source: Seq[String],
+    version: Option[Long],
+    location: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(notNull("root", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = resolveTable(spark, source)
+    val root = location.getOrElse {
+      if (target.size == 1) throw new IllegalArgumentException(
+        "CREATE TABLE … SHALLOW CLONE: a session-registry target needs LOCATION '<path>'")
+      else spark.sessionState.catalogManager.catalog(target.head) match {
+        case g: GraftTableCatalog => g.rootForParts(target.tail)
+        case other => throw new IllegalArgumentException(
+          s"catalog ${target.head} is not a GraftTableCatalog " +
+            s"(got ${other.getClass.getSimpleName})")
+      }
+    }
+    val clone = src.shallowCloneTo(root, version)
+    if (target.size == 1) GraftCatalog.register(target.head, clone)
+    Seq(Row(clone.root))
+  }
 }

@@ -62,6 +62,11 @@ class GraftTableCatalog extends TableCatalog {
   private def rootFor(ident: Identifier): String =
     (warehouse +: ident.namespace() :+ ident.name()).mkString("/")
 
+  /** Warehouse location an identifier maps to — lets SQL commands that
+   *  create a table in this catalog (SHALLOW CLONE) derive the root. */
+  private[sql] def rootForParts(parts: Seq[String]): String =
+    (warehouse +: parts).mkString("/")
+
   private def exists(ident: Identifier): Boolean = {
     val t = SnapshotTable(spark, rootFor(ident))
     t.currentVersion() >= 0

@@ -1450,9 +1450,15 @@ class SnapshotTable private (
    * under the table's own `data/` dir). Deleting/vacuuming the SOURCE can
    * orphan the clone's referenced files — same caveat as Delta.
    */
-  def shallowCloneTo(newRoot: String): SnapshotTable = {
-    val (_, entry) = currentReadable().getOrElse(
-      throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
+  def shallowCloneTo(newRoot: String, asOfVersion: Option[Long] = None): SnapshotTable = {
+    val entry = asOfVersion match {
+      // version-pinned clone (`… SHALLOW CLONE t VERSION AS OF n`):
+      // re-reference the files of that snapshot; vacuuming the source
+      // past it can orphan them — same caveat as the current-version form
+      case Some(v) => commitEntry(v)
+      case None => currentReadable().getOrElse(
+        throw new IllegalArgumentException(s"requirement failed: table $root is empty"))._2
+    }
     require(entry.deltaFiles.forall(_.isEmpty),
       s"table $root has pending MoR deltas; applyDeltas() before cloning")
     val clone = new SnapshotTable(spark, newRoot)

@@ -112,6 +112,36 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.last.getString(1) === "create")
   }
 
+  test("CREATE TABLE … SHALLOW CLONE: registry target with LOCATION") {
+    val t = freshRegistered("clone_src")
+    t.append(Seq((4, "d")).toDF("id", "payload"))
+    val dst = tmpDir("sqlclone")
+    val root = spark.sql(
+      s"CREATE TABLE clone_tgt SHALLOW CLONE clone_src LOCATION '$dst'")
+      .collect().head.getString(0)
+    assert(root === dst)
+    // clone is registered and readable; content matches the source
+    assert(spark.sql("SELECT count(*) FROM clone_tgt").collect().head.getLong(0) === 4L)
+    // clone evolves independently of the source
+    GraftCatalog.get("clone_tgt").get.append(Seq((5, "e")).toDF("id", "payload"))
+    assert(GraftCatalog.get("clone_tgt").get.read().count() === 5L)
+    assert(t.read().count() === 4L)
+    // a bare-name target without LOCATION fails loudly
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE clone_nowhere SHALLOW CLONE clone_src").collect())
+    assert(e.getMessage.contains("LOCATION"))
+  }
+
+  test("CREATE TABLE … SHALLOW CLONE: version-pinned, catalog-qualified target") {
+    val t = freshRegistered("clone_vsrc")          // v0: 3 rows
+    t.append(Seq((4, "d")).toDF("id", "payload"))  // v1: 4 rows
+    spark.sql(
+      "CREATE TABLE graft.clonens.pinned SHALLOW CLONE clone_vsrc VERSION AS OF 0")
+    // the DSv2 catalog loads the clone directly at the pinned snapshot
+    assert(spark.sql("SELECT count(*) FROM graft.clonens.pinned")
+      .collect().head.getLong(0) === 3L)
+  }
+
   test("non-maintenance SQL falls through to the vanilla parser") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) === 2)
     // vanilla DESCRIBE of a table that happens to exist still works
