@@ -21,7 +21,8 @@ import graft.tables.SnapshotTable
  *   spark.readStream
  *     .format("graft-table")              // or the provider class name
  *     .option("path", tableRoot)
- *     .option("startingVersion", "3")     // optional; default: from v0
+ *     .option("startingVersion", "3")        // optional; default: from v0
+ *     .option("maxVersionsPerTrigger", "10") // optional backfill pacing
  *     .load()
  * }}}
  *
@@ -100,32 +101,54 @@ class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
     // startingVersion = first version whose files are DELIVERED (inclusive);
     // the incremental cursor is exclusive, hence the -1
     val startCursor = parameters.get("startingVersion").map(_.toLong - 1).getOrElse(-1L)
-    new GraftTableSource(sqlContext.sparkSession, table, startCursor)
+    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    require(maxPerTrigger.forall(_ > 0),
+      s"graft-table source: maxVersionsPerTrigger must be positive, got ${maxPerTrigger.get}")
+    new GraftTableSource(sqlContext.sparkSession, table, startCursor, maxPerTrigger)
   }
 }
 
 /** See [[GraftStreamProvider]]. `startCursor` is the exclusive version the
- *  first batch starts after (-1 = deliver everything). */
+ *  first batch starts after (-1 = deliver everything); `maxPerTrigger`
+ *  caps how many table versions one micro-batch may cover. */
 class GraftTableSource(
     spark: SparkSession,
     table: SnapshotTable,
-    startCursor: Long) extends Source {
+    startCursor: Long,
+    maxPerTrigger: Option[Long] = None) extends Source {
 
   override val schema: StructType = table.schema
 
-  /** Latest committed version, or None while the table is empty OR has
-   *  not yet reached `startingVersion` — advertising an offset below the
-   *  requested start would checkpoint it and silently deliver
-   *  earlier-than-requested versions once the table catches up. One
-   *  commit-log listing, no data touched. */
+  /** The newest version this source has already handed to the engine —
+   *  the base the per-trigger cap advances from. Initialized from the
+   *  checkpoint on recovery: the engine replays `getBatch` for the last
+   *  committed range before asking for new offsets (the V1-source
+   *  state-restoration contract FileStreamSource also relies on). */
+  @volatile private var delivered: Long = startCursor
+
+  /** Latest committed version — capped at `delivered + maxPerTrigger`
+   *  when rate-limited, so a cold start against a long table history
+   *  backfills in bounded micro-batches instead of one giant scan (the
+   *  scale story of Delta's maxFilesPerTrigger). None while the table is
+   *  empty OR has not yet reached `startingVersion` — advertising an
+   *  offset below the requested start would checkpoint it and silently
+   *  deliver earlier-than-requested versions once the table catches up.
+   *  One commit-log listing, no data touched. */
   override def getOffset: Option[Offset] = {
     val v = table.currentVersion()
-    if (v < 0 || v <= startCursor) None else Some(LongOffset(v))
+    if (v < 0 || v <= startCursor) None
+    else {
+      val base = math.max(delivered, startCursor)
+      val cap = maxPerTrigger.map(n => math.min(v, base + n)).getOrElse(v)
+      if (cap <= base) None else Some(LongOffset(cap))
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val batch = table.readIncremental(
-      start.map(toVersion).getOrElse(startCursor), toVersion(end))
+    val from = start.map(toVersion).getOrElse(startCursor)
+    val to = toVersion(end)
+    delivered = math.max(delivered, math.max(from, to))
+    val batch = table.readIncremental(from, to)
     // The micro-batch engine binds this plan's attributes positionally
     // against the schema declared at stream start. A window whose files
     // carry a DIFFERENT schema (ADD COLUMNS / retyping overwrite landed

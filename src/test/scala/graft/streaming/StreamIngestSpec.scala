@@ -202,6 +202,31 @@ class StreamIngestSpec extends SparkSpec {
     assert(sink.read().as[(Int, String)].collect().toSet === Set((3, "c")))
   }
 
+  test("streaming read source: maxVersionsPerTrigger paces the backfill") {
+    val root = tmpDir("streamsrc_rate")
+    val t = SnapshotTable.create(spark, root, Seq((0, "r0")).toDF("id", "v")) // v0
+    (1 to 5).foreach(i => t.append(Seq((i, s"r$i")).toDF("id", "v")))        // v1..v5
+    val sink = SnapshotTable(spark, tmpDir("streamsrc_rate_sink"))
+    val ckpt = tmpDir("ckpt")
+    def run(): Unit = StreamIngest.runOnce(
+      StreamIngest.appendSink(
+        spark.readStream.format("graft-table").option("path", root)
+          .option("maxVersionsPerTrigger", "2").load(), sink),
+      ckpt)
+    // each run covers at most 2 versions past the checkpoint; the resumed
+    // source must learn its base from the replayed last-committed batch
+    // (the V1 recovery contract), never rewind, never re-deliver
+    run()
+    assert(sink.read().count() === 2) // v0, v1
+    run()
+    assert(sink.read().count() === 4) // + v2, v3
+    run()
+    run()
+    assert(sink.read().as[(Int, String)].collect().toSet ===
+      (0 to 5).map(i => (i, s"r$i")).toSet)
+    assert(sink.read().count() === 6) // exactly once each
+  }
+
   test("streaming read source fails loudly when the table schema changes mid-stream") {
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
     val t = SnapshotTable.create(spark, tmpDir("streamsrc_schema"),
