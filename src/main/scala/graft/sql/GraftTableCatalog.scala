@@ -229,9 +229,14 @@ class GraftTable(
     ident.toString + pinnedVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = snapshotSchema
   override def properties(): util.Map[String, String] = table.properties().asJava
+  // BATCH_WRITE is declared alongside V1_BATCH_WRITE: the path-based
+  // DataFrameWriter (`.format("graft-table").save(root)`) gates on the
+  // former strictly, while the physical plan is still routed by the
+  // V1Write instance the builder returns (AppendDataExecV1).
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 

@@ -1,13 +1,17 @@
 package graft.streaming
 
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftshim.SparkInternals
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
 
+import graft.sql.GraftTable
 import graft.tables.SnapshotTable
 
 /**
@@ -42,9 +46,36 @@ import graft.tables.SnapshotTable
  * per trigger.
  */
 class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
-    with DataSourceRegister {
+    with DataSourceRegister with TableProvider {
 
   override def shortName(): String = "graft-table"
+
+  // ------------------------------------------------- batch (TableProvider)
+  // `spark.read.format("graft-table").load(root)` and
+  // `df.write.format("graft-table").mode(…).save(root)` — the path-based
+  // batch face (Delta's `format("delta")` analogue). Reads ride the same
+  // DSv2 [[GraftTable]] as the catalog (pushed filters drive file-level
+  // stats pruning); `versionAsOf` / `timestampAsOf` options pin a
+  // time-travel snapshot.
+
+  private def batchTable(params: CaseInsensitiveStringMap): GraftTable = {
+    val path = Option(params.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-table requires a path: .load(<table root>) / .save(<table root>)"))
+    val t = SnapshotTable(SparkSession.active, path)
+    val pinned = Option(params.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(params.get("timestampAsOf")).map(s =>
+        t.versionAsOf(java.sql.Timestamp.valueOf(s.replace('T', ' ')).getTime)))
+    new GraftTable(t, Identifier.of(Array.empty, path), pinned)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    batchTable(options).schema()
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    batchTable(new CaseInsensitiveStringMap(properties))
 
   /** Streaming SINK over a [[SnapshotTable]] — `writeStream
    *  .format("graft-table").option("path", root)` lands each micro-batch

@@ -227,6 +227,32 @@ class StreamIngestSpec extends SparkSpec {
     assert(sink.read().count() === 6) // exactly once each
   }
 
+  test("path-based batch reads and writes through format(\"graft-table\")") {
+    val root = tmpDir("batchfmt")
+    val t = SnapshotTable.create(spark, root, Seq((1, "a"), (2, "b")).toDF("id", "v")) // v0
+    t.append(Seq((3, "c")).toDF("id", "v"))                                            // v1
+    // current snapshot
+    assert(spark.read.format("graft-table").load(root).count() === 3)
+    // version / timestamp time travel via options
+    assert(spark.read.format("graft-table").option("versionAsOf", "0")
+      .load(root).count() === 2)
+    val ts = new java.sql.Timestamp(System.currentTimeMillis() + 60000).toString
+    assert(spark.read.format("graft-table").option("timestampAsOf", ts)
+      .load(root).count() === 3)
+    // pushed filter still prunes through the path-based read
+    assert(spark.read.format("graft-table").load(root)
+      .filter($"id" === 3).select("v").as[String].collect().toSeq === Seq("c"))
+    // path-based append lands an atomic table commit
+    Seq((4, "d")).toDF("id", "v").write.format("graft-table")
+      .mode("append").save(root)
+    assert(t.read().count() === 4 && t.currentVersion() === 2)
+    // writing to a pinned snapshot is refused
+    val e = intercept[Exception](Seq((9, "z")).toDF("id", "v")
+      .write.format("graft-table").option("versionAsOf", "0")
+      .mode("append").save(root))
+    assert(e.getMessage.contains("time-travel"))
+  }
+
   test("streaming read source fails loudly when the table schema changes mid-stream") {
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
     val t = SnapshotTable.create(spark, tmpDir("streamsrc_schema"),
