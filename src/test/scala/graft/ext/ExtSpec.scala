@@ -509,6 +509,45 @@ class ExtSpec extends SparkSpec {
     assert(got === Set(("a", 3L, 2L), ("b", 2L, 2L), ("c", 4L, 2L)))
   }
 
+  test("packGreedy == sequential first-fit model (seeded random, any layout)") {
+    val rnd = new scala.util.Random(20260813L)
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(6).toLong, i.toLong, 1 + rnd.nextInt(200)) // some rows oversized vs cap 128
+    }
+    // driver-side reference: the sequential recurrence per shard in id order
+    val expect = rows.groupBy(_._1).flatMap { case (shard, rs) =>
+      var bin = 0; var fill = 0; var first = true
+      rs.sortBy(_._2).map { case (_, id, toks) =>
+        if (!first && fill + toks > 128) { bin += 1; fill = 0 }
+        first = false
+        val off = fill; fill += toks
+        (shard, id, bin, off)
+      }
+    }.toSet
+    val df = rows.toDF("shard", "id", "toks")
+    for (parts <- Seq(1, 13)) {
+      val got = Packing.packGreedy(df.repartition(parts),
+          col("shard"), col("id"), col("toks"), capacity = 128)
+        .select("shard", "id", "bin_id", "bin_offset")
+        .as[(Long, Long, Int, Int)].collect().toSet
+      assert(got === expect, s"layout parts=$parts")
+    }
+  }
+
+  test("capPerGroup == single-window model (seeded random with ties)") {
+    val rnd = new scala.util.Random(8131L)
+    // few distinct scores force ties → the doc-id tie-break must decide
+    val rows = (0L until 500L).map(i => (i, s"g${rnd.nextInt(7)}", rnd.nextInt(4).toDouble))
+    val df = rows.toDF("id", "g", "score")
+    val expect = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.sortBy { case (id, _, score) => (-score, id) }.take(8).map(_._1)
+    }.toSet
+    val got = Sampling.capPerGroup(df.repartition(11),
+        "g", Seq(col("score").desc, col("id").asc), n = 8)
+      .select("id").as[Long].collect().toSet
+    assert(got === expect)
+  }
+
   test("scrubPii redacts URLs, emails, IPv4s; normalize canonicalizes") {
     val rows = Seq(
       (1L, "mail a.b+c@x-site.co.uk or https://ex.com/p?q=1#f then 10.0.0.255 ok"),
