@@ -1120,6 +1120,30 @@ object SparkEntry {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
       |GROUP BY 1 HAVING count(*) >= 20 ORDER BY token""".stripMargin
 
+  /** Q60 — SpaceSaving frequent-items sketch ([[ext.functions
+   *  .approxTopItems]]): top 8 tokens per language with capacity-bounded
+   *  state. capacity = 65536 exceeds any language's vocabulary at driver
+   *  SFs, so the sketch is exact (err = 0 dropped from the output) and
+   *  the count/row_number oracle is precise; the eviction regime is
+   *  covered by `ExtSpec`. */
+  private def topItemsQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(ext.TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("lang")
+      .agg(ext.functions.approxTopItems(col("token"), 65536, 8).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("lang"), (col("pos") + 1).as("rn"),
+        col("t.item").as("item"), col("t.cnt").as("cnt"))
+      .orderBy("lang", "rn")
+  private val Q60Duck =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS item FROM documents),
+      |c AS (SELECT lang, item, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY lang ORDER BY cnt DESC, item) AS rn FROM c)
+      |SELECT lang, CAST(rn AS INT) AS rn, item, cnt FROM r WHERE rn <= 8
+      |ORDER BY lang, rn""".stripMargin
+
   /** Q43 — Z-order clustered snapshot + stats-pruned scan: cluster orders
    *  along the (o_custkey, o_orderkey) Morton curve, commit, point-scan
    *  on the clustered key. Oracle = the plain filter. */
@@ -1235,7 +1259,8 @@ object SparkEntry {
     "q56_domain_cap" -> capPerSourceQuery,
     "q57_seq_packing" -> packQuery,
     "q58_kmv_distinct" -> kmvQuery,
-    "q59_vocabulary" -> vocabQuery)
+    "q59_vocabulary" -> vocabQuery,
+    "q60_top_items" -> topItemsQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1294,7 +1319,8 @@ object SparkEntry {
     "q56_domain_cap" -> Q56Duck,
     "q57_seq_packing" -> Q57Duck,
     "q58_kmv_distinct" -> Q58Duck,
-    "q59_vocabulary" -> Q59Duck)
+    "q59_vocabulary" -> Q59Duck,
+    "q60_top_items" -> Q60Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN values
   // are not SQL-expressible → driver records the weaker rows-only check
   // for them; their SEMANTICS are oracled through q49's recall/precision

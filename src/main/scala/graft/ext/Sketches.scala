@@ -62,6 +62,168 @@ object Kmv {
 }
 
 /**
+ * SpaceSaving frequent-items sketch (Metwally et al., "Efficient
+ * computation of frequent and top-k elements in data streams",
+ * ICDT'05) — the bounded-memory answer to "top tokens by count" over a
+ * corpus too wide to hold exact counts per group.
+ *
+ * The summary keeps at most `capacity` (item, count, err) entries; an
+ * unseen item arriving at a full summary replaces the current minimum,
+ * inheriting its count as overestimation error. Summaries merge by
+ * summing counts and trimming back to capacity (Agarwal et al.,
+ * "Mergeable summaries", PODS'12), so the aggregate runs partial/final
+ * like any hash aggregation. While a group's distinct-item count stays
+ * under `capacity` nothing is ever evicted: counts are exact, `err` is
+ * 0 everywhere, and the output is the deterministic exact top list —
+ * the declared query's regime.
+ */
+object SpaceSaving {
+  /** count index (TreeMap count → items) makes eviction O(log m). */
+  final class Buffer(val capacity: Int) {
+    val counts = new java.util.HashMap[String, Long]()
+    val errs = new java.util.HashMap[String, Long]()
+    private val byCount = new java.util.TreeMap[Long, java.util.HashSet[String]]()
+
+    private def index(item: String, c: Long): Unit = {
+      val s = byCount.computeIfAbsent(c, _ => new java.util.HashSet[String]())
+      s.add(item); ()
+    }
+    private def unindex(item: String, c: Long): Unit = {
+      val s = byCount.get(c)
+      if (s != null) { s.remove(item); if (s.isEmpty) { byCount.remove(c); () } }
+    }
+
+    def add(item: String, by: Long, err: Long): Unit = {
+      val cur = counts.get(item)
+      if (counts.containsKey(item)) {
+        unindex(item, cur)
+        counts.put(item, cur + by)
+        errs.put(item, errs.get(item) + err)
+        index(item, cur + by)
+      } else if (counts.size < capacity) {
+        counts.put(item, by); errs.put(item, err); index(item, by)
+      } else {
+        // evict the minimum; the newcomer inherits its count as error
+        val minEntry = byCount.firstEntry()
+        val victim = minEntry.getValue.iterator().next()
+        val minCount = minEntry.getKey
+        unindex(victim, minCount)
+        counts.remove(victim); errs.remove(victim)
+        counts.put(item, minCount + by)
+        errs.put(item, minCount + err)
+        index(item, minCount + by)
+      }
+    }
+
+    def mergeFrom(other: Buffer): Unit = {
+      val it = other.counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        add(e.getKey, e.getValue, other.errs.get(e.getKey))
+      }
+    }
+
+    /** Top `k` by (count desc, item asc) — deterministic in the exact
+     *  regime (the tie-break is total). */
+    def top(k: Int): Seq[(String, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      counts.entrySet().asScala.toSeq
+        .map(e => (e.getKey, e.getValue.longValue(), errs.get(e.getKey).longValue()))
+        .sortBy { case (item, c, _) => (-c, item) }
+        .take(k)
+    }
+  }
+}
+
+/**
+ * `approx_top_items(x, capacity, k)`: the `k` most frequent values of
+ * `x` as `array<struct<item string, cnt bigint, err bigint>>`, with
+ * `capacity`-bounded state. `err` is each count's maximum
+ * overestimation — 0 while the group's distinct count stays under
+ * `capacity` (then the result is the exact top-k).
+ */
+case class ApproxTopItems(
+    child: Expression,
+    capacity: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSaving.Buffer] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if capacity < 16 => TypeCheckResult.TypeCheckFailure(
+      s"capacity=$capacity too small (min 16)")
+    case _ if k < 1 || k > capacity => TypeCheckResult.TypeCheckFailure(
+      s"k=$k must be in [1, capacity=$capacity]")
+    case StringType | LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"approx_top_items needs a string or integral column, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): SpaceSaving.Buffer =
+    new SpaceSaving.Buffer(capacity)
+
+  override def update(b: SpaceSaving.Buffer, row: InternalRow): SpaceSaving.Buffer = {
+    val v = child.eval(row)
+    if (v != null) b.add(v.toString, 1L, 0L)
+    b
+  }
+
+  override def merge(b: SpaceSaving.Buffer, o: SpaceSaving.Buffer): SpaceSaving.Buffer = {
+    b.mergeFrom(o); b
+  }
+
+  override def eval(b: SpaceSaving.Buffer): Any = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    new GenericArrayData(b.top(k).map { case (item, c, err) =>
+      InternalRow(UTF8String.fromString(item), c, err)
+    }.toArray[Any])
+  }
+
+  override def serialize(b: SpaceSaving.Buffer): Array[Byte] = {
+    val items = b.top(b.counts.size()) // all entries, any order works
+    val bytes = items.map(_._1.getBytes("UTF-8"))
+    val buf = ByteBuffer.allocate(4 + bytes.map(4 + 16 + _.length).sum)
+    buf.putInt(items.size)
+    items.zip(bytes).foreach { case ((_, c, err), ib) =>
+      buf.putInt(ib.length); buf.put(ib); buf.putLong(c); buf.putLong(err)
+    }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSaving.Buffer = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getInt
+    val b = new SpaceSaving.Buffer(capacity)
+    var i = 0
+    while (i < n) {
+      val len = buf.getInt
+      val ib = new Array[Byte](len)
+      buf.get(ib)
+      b.add(new String(ib, "UTF-8"), buf.getLong, buf.getLong)
+      i += 1
+    }
+    b
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ApproxTopItems =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): ApproxTopItems =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ApproxTopItems =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "approx_top_items"
+}
+
+/**
  * `kmv_distinct(x, k)`: approximate `count(DISTINCT x)` with k-bounded
  * state; exact while a group's distinct count stays under `k`.
  * Accepts integral and string inputs (hashed with XXH64).

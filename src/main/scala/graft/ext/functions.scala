@@ -45,4 +45,10 @@ object functions {
    *  exact while the group's distinct count stays under `k`. */
   def kmvDistinct(c: Column, k: Int = 4096): Column =
     column(KmvDistinct(expr(c), k).toAggregateExpression())
+
+  /** Top `k` most frequent values as array<struct<item,cnt,err>> with
+   *  capacity-bounded state (SpaceSaving sketch); exact (err=0) while
+   *  the group's distinct count stays under `capacity`. */
+  def approxTopItems(c: Column, capacity: Int = 4096, k: Int = 10): Column =
+    column(ApproxTopItems(expr(c), capacity, k).toAggregateExpression())
 }

@@ -117,6 +117,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bare AggregateFunction: the analyzer wraps it in AggregateExpression
     register("kmv_distinct", 1, args => graft.ext.KmvDistinct(args.head,
       litNum(args, 1, "kmv_distinct", Some(4096L)).toInt))
+    register("approx_top_items", 1, args => graft.ext.ApproxTopItems(args.head,
+      litNum(args, 1, "approx_top_items", Some(4096L)).toInt,
+      litNum(args, 2, "approx_top_items", Some(10L)).toInt))
   }
 }
 

@@ -501,6 +501,34 @@ class ExtSpec extends SparkSpec {
     assert(grouped === Map(0L -> 5L, 1L -> 5L))
   }
 
+  test("approxTopItems: exact under capacity, heavy hitters survive eviction") {
+    // exact regime: known counts, deterministic (cnt desc, item asc) order
+    val small = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d")
+    val got = small.toDF("v").agg(functions.approxTopItems(col("v"), 64, 3))
+      .as[Seq[(String, Long, Long)]].head()
+    assert(got === Seq(("a", 5L, 0L), ("b", 3L, 0L), ("c", 3L, 0L)))
+    // exact regime is layout-invariant (partial/merge = sum, no trims)
+    val df = small.toDF("v")
+    for (parts <- Seq(1, 8)) {
+      assert(df.repartition(parts).agg(functions.approxTopItems(col("v"), 64, 3))
+        .as[Seq[(String, Long, Long)]].head() === got, s"parts=$parts")
+    }
+    // eviction regime: an item with count > n/capacity is guaranteed kept,
+    // and its reported count brackets the truth: cnt - err <= true <= cnt
+    val n = 10000
+    val rnd = new scala.util.Random(60L)
+    val stream = (0 until n).map(i =>
+      if (i % 3 == 0) "HEAVY" else s"t${rnd.nextInt(400)}")
+    val top = stream.toDF("v").repartition(4)
+      .agg(functions.approxTopItems(col("v"), 64, 5))
+      .as[Seq[(String, Long, Long)]].head()
+    val heavy = top.find(_._1 == "HEAVY")
+    val trueCount = stream.count(_ == "HEAVY").toLong
+    assert(heavy.isDefined, s"heavy hitter evicted: $top")
+    val (_, cnt, err) = heavy.get
+    assert(cnt >= trueCount && cnt - err <= trueCount, s"cnt=$cnt err=$err true=$trueCount")
+  }
+
   test("vocabulary: tf/df word counts with threshold") {
     val corpus = Seq(
       (1L, "a b a c"), (2L, "a b"), (3L, "c c c")).toDF("id", "text")
