@@ -104,16 +104,18 @@ object Sampling {
       orderBy: Seq[Column],
       n: Int): DataFrame = {
     require(n > 0, s"cap $n must be positive")
+    // helper names prefixed against collision with caller columns
+    val (slice, rn) = ("__graft_cap_slice", "__graft_cap_rn")
     val local = df
-      .withColumn("_slice", spark_partition_id())
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(groupCol), col("_slice")).orderBy(orderBy: _*)))
-      .filter(col("_rn") <= n)
-      .drop("_slice", "_rn")
+      .withColumn(slice, spark_partition_id())
+      .withColumn(rn, row_number().over(
+        Window.partitionBy(col(groupCol), col(slice)).orderBy(orderBy: _*)))
+      .filter(col(rn) <= n)
+      .drop(slice, rn)
     local
-      .withColumn("_rn", row_number().over(
+      .withColumn(rn, row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)))
-      .filter(col("_rn") <= n)
-      .drop("_rn")
+      .filter(col(rn) <= n)
+      .drop(rn)
   }
 }

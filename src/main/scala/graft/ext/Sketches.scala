@@ -37,19 +37,15 @@ object Kmv {
    *  order the estimator needs. */
   final class Buffer(val k: Int) {
     val set = new java.util.TreeSet[java.lang.Long]()
-    def insert(h: Long): Unit = {
-      val flipped = h ^ Long.MinValue
-      if (set.size < k) { set.add(flipped); () }
-      else if (flipped < set.last && set.add(flipped)) { set.pollLast(); () }
+    /** Single add-or-evict path shared by update, merge, deserialize. */
+    def insertFlipped(f: Long): Unit = {
+      if (set.size < k) { set.add(f); () }
+      else if (f < set.last && set.add(f)) { set.pollLast(); () }
     }
+    def insert(h: Long): Unit = insertFlipped(h ^ Long.MinValue)
     def mergeFrom(other: Buffer): Unit = {
       val it = other.set.iterator()
-      while (it.hasNext) {
-        val f = it.next().longValue()
-        if (set.size < k) { set.add(f); () }
-        else if (f < set.last && set.add(f)) { set.pollLast(); () }
-        else ()
-      }
+      while (it.hasNext) insertFlipped(it.next().longValue())
     }
     def estimate: Long =
       if (set.size < k) set.size.toLong
@@ -183,7 +179,10 @@ case class ApproxTopItems(
   }
 
   override def serialize(b: SpaceSaving.Buffer): Array[Byte] = {
-    val items = b.top(b.counts.size()) // all entries, any order works
+    import scala.jdk.CollectionConverters._
+    // all entries in map order — no sort; the deserializer re-adds them
+    val items = b.counts.entrySet().asScala.toSeq.map(e =>
+      (e.getKey, e.getValue.longValue(), b.errs.get(e.getKey).longValue()))
     val bytes = items.map(_._1.getBytes("UTF-8"))
     val buf = ByteBuffer.allocate(4 + bytes.map(4 + 16 + _.length).sum)
     buf.putInt(items.size)
@@ -279,7 +278,7 @@ case class KmvDistinct(
     val n = buf.getInt
     val b = new Kmv.Buffer(k)
     var i = 0
-    while (i < n) { b.set.add(buf.getLong); i += 1 }
+    while (i < n) { b.insertFlipped(buf.getLong); i += 1 }
     b
   }
 

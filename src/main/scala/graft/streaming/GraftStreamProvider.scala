@@ -64,8 +64,29 @@ class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
     val t = SnapshotTable(SparkSession.active, path)
     val pinned = Option(params.get("versionAsOf")).map(_.toLong)
       .orElse(Option(params.get("timestampAsOf")).map(s =>
-        t.versionAsOf(java.sql.Timestamp.valueOf(s.replace('T', ' ')).getTime)))
+        t.versionAsOf(parseTsMillis(s))))
     new GraftTable(t, Identifier.of(Array.empty, path), pinned)
+  }
+
+  /** Accept the timestamp shapes Delta's option does: a bare date, a
+   *  zone-less date-time (space or 'T' separator), or a zoned ISO-8601
+   *  instant. */
+  private def parseTsMillis(s: String): Long = {
+    val trimmed = s.trim
+    if (trimmed.matches("\\d{4}-\\d{2}-\\d{2}"))
+      java.sql.Timestamp.valueOf(trimmed + " 00:00:00").getTime
+    else
+      try java.sql.Timestamp.valueOf(trimmed.replace('T', ' ')).getTime
+      catch {
+        case _: IllegalArgumentException =>
+          try java.time.Instant.parse(trimmed).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"timestampAsOf: cannot parse '$s' — use yyyy-MM-dd, " +
+                  "yyyy-MM-dd HH:mm:ss[.f], or an ISO-8601 instant")
+          }
+      }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -119,8 +140,14 @@ class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(tableFor(sqlContext, parameters).schema))
+      parameters: Map[String, String]): (String, StructType) = {
+    // a user-specified schema would bind batch columns positionally against
+    // a shape the batches don't actually have — refuse like Delta does
+    require(schema.isEmpty,
+      "graft-table streaming source does not support a user-specified schema; " +
+        "the table's committed schema is authoritative")
+    (shortName(), tableFor(sqlContext, parameters).schema)
+  }
 
   override def createSource(
       sqlContext: SQLContext,

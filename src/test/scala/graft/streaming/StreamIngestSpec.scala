@@ -251,6 +251,19 @@ class StreamIngestSpec extends SparkSpec {
       .write.format("graft-table").option("versionAsOf", "0")
       .mode("append").save(root))
     assert(e.getMessage.contains("time-travel"))
+    // timestampAsOf accepts a bare date and a zoned ISO instant
+    val tomorrow = java.time.LocalDate.now(java.time.ZoneOffset.UTC).plusDays(1).toString
+    assert(spark.read.format("graft-table").option("timestampAsOf", tomorrow)
+      .load(root).count() === 4)
+    val iso = java.time.Instant.now().plusSeconds(60).toString
+    assert(spark.read.format("graft-table").option("timestampAsOf", iso)
+      .load(root).count() === 4)
+    // a reader-supplied stream schema is refused (it would misbind columns)
+    val se = intercept[Exception](spark.readStream.format("graft-table")
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("v", "string").add("id", "int"))
+      .option("path", root).load())
+    assert(se.getMessage.contains("user-specified schema"))
   }
 
   test("streaming read source fails loudly when the table schema changes mid-stream") {
