@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graftshim.SparkInternals
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Row, SparkSession}
 
@@ -31,7 +32,7 @@ import graft.tables.SnapshotTable
  * Grammar (case-insensitive, optional trailing `;`):
  * {{{
  *   VACUUM t [RETAIN <n> HOURS]
- *   OPTIMIZE t [ZORDER BY (c1, c2, …)]
+ *   OPTIMIZE t [WHERE <pred>] [ZORDER BY (c1, c2, …)]   (WHERE: compaction scope)
  *   DESCRIBE HISTORY t
  *   DESCRIBE DETAIL t
  *   RESTORE [TABLE] t TO VERSION AS OF <v>
@@ -76,7 +77,8 @@ object GraftSqlParser {
   private val VacuumStmt =
     cmd(s"VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS)?")
   private val OptimizeStmt =
-    cmd(s"OPTIMIZE\\s+$Ident(?:\\s+ZORDER\\s+BY\\s+(\\(?[^;]+?\\)?))?")
+    cmd(s"OPTIMIZE\\s+$Ident(?:\\s+WHERE\\s+(.+?))?" +
+      "(?:\\s+ZORDER\\s+BY\\s+(\\(?[^;]+?\\)?))?")
   private val HistoryStmt = cmd(s"(?:DESCRIBE|DESC)\\s+HISTORY\\s+$Ident")
   private val DetailStmt = cmd(s"(?:DESCRIBE|DESC)\\s+DETAIL\\s+$Ident")
   private val RestoreVersionStmt =
@@ -101,10 +103,11 @@ object GraftSqlParser {
     }.orElse(m(HistoryStmt).map(r => GraftDescribeHistoryCommand(identParts(r.group(1)))))
       .orElse(m(DetailStmt).map(r => GraftDescribeDetailCommand(identParts(r.group(1)))))
       .orElse(m(OptimizeStmt).map { r =>
-        val cols = Option(r.group(2)).toSeq.flatMap(
+        val cols = Option(r.group(3)).toSeq.flatMap(
           _.stripPrefix("(").stripSuffix(")").split(",").toSeq
             .map(c => stripQuotes(c.trim)).filter(_.nonEmpty))
-        GraftOptimizeCommand(identParts(r.group(1)), cols)
+        GraftOptimizeCommand(identParts(r.group(1)), cols,
+          Option(r.group(2)).map(_.trim))
       })
       .orElse(m(RestoreVersionStmt).map(r =>
         GraftRestoreCommand(identParts(r.group(1)), Some(r.group(2).toLong), None)))
@@ -225,7 +228,8 @@ case class GraftVacuumCommand(parts: Seq[String], retainHours: Option[Double])
  * ([[graft.ext.ZOrder.optimize]], output file count sized to ~128 MiB
  * targets from live-manifest byte stats — no data scan to plan).
  */
-case class GraftOptimizeCommand(parts: Seq[String], zorderBy: Seq[String])
+case class GraftOptimizeCommand(
+    parts: Seq[String], zorderBy: Seq[String], where: Option[String] = None)
     extends LeafRunnableCommand {
   import GraftSqlParser._
   override val output: Seq[Attribute] = Seq(
@@ -234,9 +238,16 @@ case class GraftOptimizeCommand(parts: Seq[String], zorderBy: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val t = resolveTable(spark, parts)
     if (zorderBy.isEmpty) {
-      val n = t.compact()
-      Seq(Row(t.root, "compact", n))
+      // WHERE bounds the compaction to stats-matching files (Delta's
+      // partition-scoped OPTIMIZE): the hot slice rewrites, nothing else
+      val scope = where.map(w => SparkInternals.column(
+        spark.sessionState.sqlParser.parseExpression(w)))
+      val n = t.compact(scope = scope)
+      Seq(Row(t.root, where.map(w => s"compact where $w").getOrElse("compact"), n))
     } else {
+      require(where.isEmpty,
+        "OPTIMIZE … WHERE … ZORDER BY is not supported: z-ordering rewrites " +
+          "a consistent clustering across the whole snapshot")
       val entries = t.manifestEntries()
       val totalBytes = entries.map(_.bytes).filter(_ > 0).sum
       val target = 128L * 1024 * 1024

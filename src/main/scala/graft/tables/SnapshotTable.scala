@@ -1368,12 +1368,23 @@ class SnapshotTable private (
    */
   def compact(
       targetFileBytes: Long = 128L * 1024 * 1024,
-      smallFileBytes: Long = 32L * 1024 * 1024): Int = {
+      smallFileBytes: Long = 32L * 1024 * 1024,
+      scope: Option[Column] = None): Int = {
     val v = currentVersion()
     require(v >= 0, s"table $root is empty")
     val entry = commitEntry(v)
     val tschema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
-    val (small, healthy) = entry.files.partition(f => f.bytes >= 0 && f.bytes < smallFileBytes)
+    // `scope` (OPTIMIZE … WHERE) bounds the rewrite to files whose stats
+    // may match — maintenance over the hot partition of a 100 TB table
+    // touches only its files, never the full manifest's
+    val inScope: FileEntry => Boolean = scope match {
+      case None => _ => true
+      case Some(p) =>
+        val expr = org.apache.spark.sql.graftshim.SparkInternals.expr(p)
+        f => Pruning.mayMatch(f, expr, tschema)
+    }
+    val (small, healthy) = entry.files.partition(f =>
+      f.bytes >= 0 && f.bytes < smallFileBytes && inScope(f))
     if (small.size < 2) return 0
     val totalBytes = small.map(_.bytes).sum
     val outFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)

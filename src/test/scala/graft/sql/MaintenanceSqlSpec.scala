@@ -65,6 +65,26 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(t.read().as[(Int, String)].collect().toSet === before)
   }
 
+  test("OPTIMIZE WHERE compacts only stats-matching files") {
+    val t = SnapshotTable.create(spark, tmpDir("sqlmaint_scope"),
+      Seq((1, "a")).toDF("id", "payload"))
+    GraftCatalog.register("maint_scope", t)
+    t.append(Seq((2, "b")).toDF("id", "payload"))     // small, id=2
+    t.append(Seq((100, "x")).toDF("id", "payload"))   // small, id=100
+    t.append(Seq((101, "y")).toDF("id", "payload"))   // small, id=101
+    val before = t.read().as[(Int, String)].collect().toSet
+    val out = spark.sql("OPTIMIZE maint_scope WHERE id >= 100").collect().head
+    // only the two id>=100 files rewrite; id=1 and id=2 files untouched
+    assert(out.getString(1) === "compact where id >= 100")
+    assert(out.getInt(2) === 2)
+    assert(t.read().as[(Int, String)].collect().toSet === before)
+    assert(t.manifest().size === 3)
+    // WHERE + ZORDER BY is rejected loudly
+    val e = intercept[Exception](
+      spark.sql("OPTIMIZE maint_scope WHERE id >= 100 ZORDER BY (id, payload)"))
+    assert(e.getMessage.contains("not supported"))
+  }
+
   test("OPTIMIZE ZORDER BY rewrites one z-clustered commit") {
     val t = SnapshotTable.create(spark, tmpDir("sqlmaint"),
       (1 to 40).map(i => (i, i * 7 % 40)).toDF("x", "y"))
