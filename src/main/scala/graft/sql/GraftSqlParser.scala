@@ -76,9 +76,9 @@ object GraftSqlParser {
 
   private val VacuumStmt =
     cmd(s"VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS)?")
-  private val OptimizeStmt =
-    cmd(s"OPTIMIZE\\s+$Ident(?:\\s+WHERE\\s+(.+?))?" +
-      "(?:\\s+ZORDER\\s+BY\\s+(\\(?[^;]+?\\)?))?")
+  // the tail (WHERE / ZORDER BY) is split by [[parseOptimizeTail]] —
+  // a regex split would find "ZORDER BY" inside a string literal
+  private val OptimizeStmt = cmd(s"OPTIMIZE\\s+$Ident(?:\\s+(.+))?")
   private val HistoryStmt = cmd(s"(?:DESCRIBE|DESC)\\s+HISTORY\\s+$Ident")
   private val DetailStmt = cmd(s"(?:DESCRIBE|DESC)\\s+DETAIL\\s+$Ident")
   private val RestoreVersionStmt =
@@ -103,11 +103,8 @@ object GraftSqlParser {
     }.orElse(m(HistoryStmt).map(r => GraftDescribeHistoryCommand(identParts(r.group(1)))))
       .orElse(m(DetailStmt).map(r => GraftDescribeDetailCommand(identParts(r.group(1)))))
       .orElse(m(OptimizeStmt).map { r =>
-        val cols = Option(r.group(3)).toSeq.flatMap(
-          _.stripPrefix("(").stripSuffix(")").split(",").toSeq
-            .map(c => stripQuotes(c.trim)).filter(_.nonEmpty))
-        GraftOptimizeCommand(identParts(r.group(1)), cols,
-          Option(r.group(2)).map(_.trim))
+        val (where, cols) = parseOptimizeTail(Option(r.group(2)).getOrElse(""))
+        GraftOptimizeCommand(identParts(r.group(1)), cols, where)
       })
       .orElse(m(RestoreVersionStmt).map(r =>
         GraftRestoreCommand(identParts(r.group(1)), Some(r.group(2).toLong), None)))
@@ -119,6 +116,46 @@ object GraftSqlParser {
       .orElse(m(ShallowCloneStmt).map(r =>
         GraftShallowCloneCommand(identParts(r.group(1)), identParts(r.group(2)),
           Option(r.group(3)).map(_.toLong), Option(r.group(4)))))
+  }
+
+  /** Split an OPTIMIZE statement tail into (WHERE predicate, ZORDER BY
+   *  columns). The ZORDER BY keyword is located OUTSIDE single-quoted
+   *  string literals only, so a predicate like `note = 'a ZORDER BY b'`
+   *  stays a predicate. */
+  private[sql] def parseOptimizeTail(tail: String): (Option[String], Seq[String]) = {
+    val zAt = indexOfUnquoted(tail, "(?i)\\bZORDER\\s+BY\\b")
+    val (wherePart, zPart) = zAt match {
+      case Some(i) => (tail.substring(0, i).trim, Some(tail.substring(i).trim))
+      case None => (tail.trim, None)
+    }
+    val where =
+      if (wherePart.isEmpty) None
+      else {
+        val m = Pattern.compile("(?is)^WHERE\\s+(.+)$").matcher(wherePart)
+        if (!m.matches()) throw new IllegalArgumentException(
+          s"cannot parse OPTIMIZE clause: '$wherePart' " +
+            "(expected [WHERE <pred>] [ZORDER BY (c1, …)])")
+        Some(m.group(1).trim)
+      }
+    val cols = zPart.toSeq.flatMap { z =>
+      val m = Pattern.compile("(?is)^ZORDER\\s+BY\\s+(.+)$").matcher(z)
+      require(m.matches(), s"cannot parse ZORDER clause: '$z'")
+      m.group(1).trim.stripPrefix("(").stripSuffix(")").split(",").toSeq
+        .map(c => stripQuotes(c.trim)).filter(_.nonEmpty)
+    }
+    (where, cols)
+  }
+
+  /** First match of `regex` in `s` outside single-quoted literals
+   *  ('' escapes toggle twice and fall out naturally). */
+  private def indexOfUnquoted(s: String, regex: String): Option[Int] = {
+    val inQuote = new Array[Boolean](math.max(s.length, 1))
+    var q = false
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == '\'') q = !q; inQuote(i) = q; i += 1 }
+    val m = Pattern.compile(regex).matcher(s)
+    while (m.find()) if (!inQuote(m.start)) return Some(m.start)
+    None
   }
 
   private def stripQuotes(part: String): String =

@@ -943,7 +943,8 @@ class SnapshotTable private (
       throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
     val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
     val pred = org.apache.spark.sql.graftshim.SparkInternals.expr(predicate)
-    val keep = entry.files.filter(f => Pruning.mayMatch(f, pred, schema))
+    val cs = Pruning.conjuncts(pred)
+    val keep = entry.files.filter(f => Pruning.mayMatchConjuncts(f, cs, schema))
     // Base-file pruning stays sound under pending deltas: a pruned base
     // row either fails `predicate` post-merge anyway or is replaced by a
     // delta row, and the delta side is never pruned here.
@@ -967,7 +968,8 @@ class SnapshotTable private (
       case Some(p) =>
         val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
         val expr = org.apache.spark.sql.graftshim.SparkInternals.expr(p)
-        entry.files.filter(f => Pruning.mayMatch(f, expr, schema))
+        val cs = Pruning.conjuncts(expr)
+        entry.files.filter(f => Pruning.mayMatchConjuncts(f, cs, schema))
     }
   }
 
@@ -1315,7 +1317,9 @@ class SnapshotTable private (
     val entry = commitEntry(v)
     val tschema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
     val pred = org.apache.spark.sql.graftshim.SparkInternals.expr(predicate)
-    val (touched, untouched) = entry.files.partition(f => Pruning.mayMatch(f, pred, tschema))
+    val cs = Pruning.conjuncts(pred)
+    val (touched, untouched) =
+      entry.files.partition(f => Pruning.mayMatchConjuncts(f, cs, tschema))
     if (touched.isEmpty) return 0
     val kept = dfOver(touched.map(_.path), tschema, mappingOf(entry))
       .filter(!predicate || predicate.isNull)
@@ -1344,7 +1348,9 @@ class SnapshotTable private (
       field.name -> (field, expr)
     }
     val pred = org.apache.spark.sql.graftshim.SparkInternals.expr(predicate)
-    val (touched, untouched) = entry.files.partition(f => Pruning.mayMatch(f, pred, tschema))
+    val cs = Pruning.conjuncts(pred)
+    val (touched, untouched) =
+      entry.files.partition(f => Pruning.mayMatchConjuncts(f, cs, tschema))
     if (touched.isEmpty) return 0
     val cols = tschema.fields.toSeq.map { f =>
       byName.get(f.name) match {
@@ -1381,7 +1387,16 @@ class SnapshotTable private (
       case None => _ => true
       case Some(p) =>
         val expr = org.apache.spark.sql.graftshim.SparkInternals.expr(p)
-        f => Pruning.mayMatch(f, expr, tschema)
+        // this predicate never runs against data, so an unknown column
+        // would silently degrade to match-all (full-table compaction) —
+        // validate the references explicitly instead
+        val fields = tschema.fieldNames.map(_.toLowerCase).toSet
+        val unknown = Pruning.referencedColumns(expr)
+          .filterNot(c => fields.contains(c.toLowerCase)).distinct
+        require(unknown.isEmpty,
+          s"compact scope references unknown column(s): ${unknown.mkString(", ")}")
+        val cs = Pruning.conjuncts(expr)
+        f => Pruning.mayMatchConjuncts(f, cs, tschema)
     }
     val (small, healthy) = entry.files.partition(f =>
       f.bytes >= 0 && f.bytes < smallFileBytes && inScope(f))
@@ -1550,7 +1565,8 @@ class SnapshotTable private (
     val (touched, untouched) = deltaKeyRange(deltaEntries, keys, schema) match {
       case Some(p) =>
         val pe = org.apache.spark.sql.graftshim.SparkInternals.expr(p)
-        entry.files.partition(f => Pruning.mayMatch(f, pe, schema))
+        val cs = Pruning.conjuncts(pe)
+        entry.files.partition(f => Pruning.mayMatchConjuncts(f, cs, schema))
       case None => (entry.files, Nil)
     }
     val rewritten = dfOver(touched.map(_.path), schema, mappingOf(entry))
@@ -1841,8 +1857,24 @@ object SnapshotTable {
 
   private[tables] object Pruning {
 
+    /** Pre-normalized conjuncts of `pred` — hoist this out of per-file
+     *  loops so the expression rewrite runs once per manifest, not once
+     *  per file. */
+    def conjuncts(pred: Expression): Seq[Expression] = splitConjuncts(normalize(pred))
+
+    def mayMatchConjuncts(f: FileEntry, cs: Seq[Expression], schema: StructType): Boolean =
+      cs.forall(c => conjunctMayMatch(f, c, schema))
+
     def mayMatch(f: FileEntry, pred: Expression, schema: StructType): Boolean =
-      splitConjuncts(normalize(pred)).forall(c => conjunctMayMatch(f, c, schema))
+      mayMatchConjuncts(f, conjuncts(pred), schema)
+
+    /** Column names `pred` references (leaf attribute names) — scope
+     *  predicates that never run against data (OPTIMIZE … WHERE) must
+     *  validate these explicitly, or a typo degrades to match-all. */
+    def referencedColumns(pred: Expression): Seq[String] = pred.collect {
+      case u: UnresolvedAttribute => u.nameParts.last
+      case a: AttributeReference => a.name
+    }
 
     /** Column-DSL comparisons arrive as `UnresolvedFunction("=", …)` nodes
      *  (Spark 4 column-node conversion); rewrite the shapes we prune on

@@ -83,6 +83,15 @@ class MaintenanceSqlSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("OPTIMIZE maint_scope WHERE id >= 100 ZORDER BY (id, payload)"))
     assert(e.getMessage.contains("not supported"))
+    // a typo'd scope column fails loudly instead of compacting everything
+    val typo = intercept[Exception](
+      spark.sql("OPTIMIZE maint_scope WHERE idd >= 100").collect())
+    assert(typo.getMessage.contains("unknown column"))
+    // 'ZORDER BY' inside a string literal stays part of the predicate
+    val quoted = spark.sql(
+      "OPTIMIZE maint_scope WHERE payload = 'a ZORDER BY b'").collect().head
+    assert(quoted.getString(1).contains("compact where"))
+    assert(quoted.getInt(2) === 0) // nothing matches; nothing rewritten
   }
 
   test("OPTIMIZE ZORDER BY rewrites one z-clustered commit") {
