@@ -1144,6 +1144,38 @@ object SparkEntry {
       |SELECT lang, CAST(rn AS INT) AS rn, item, cnt FROM r WHERE rn <= 8
       |ORDER BY lang, rn""".stripMargin
 
+  /** Q61 — materialized context windows ([[ext.Packing.packSequences]]):
+   *  q57's greedy assignment with each bin's documents joined in id order
+   *  inside the same streaming pass — one row per training sequence, one
+   *  shuffle total. The oracle extends q57's recursive CTE with an
+   *  ordered string_agg per bin. */
+  private def packSeqQuery(s: SparkSession, dir: String): DataFrame =
+    ext.Packing.packSequences(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id") % 8, col("doc_id"),
+        ext.TextAnalysis.tokenCount(col("text")), col("text"), capacity = 256)
+      .orderBy("shard", "bin_id")
+  private val Q61Duck =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id % 8 AS shard, doc_id, text,
+      |         CAST(len(string_split(text,' ')) AS INT) AS n_tokens
+      |  FROM documents),
+      |s AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      |      FROM t),
+      |p AS (
+      |  SELECT shard, doc_id, text, n_tokens, rn, 0 AS bin_id, n_tokens AS fill
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.shard, s.doc_id, s.text, s.n_tokens, s.rn,
+      |         CASE WHEN p.fill + s.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+      |         CASE WHEN p.fill + s.n_tokens > 256 THEN s.n_tokens
+      |              ELSE p.fill + s.n_tokens END
+      |  FROM p JOIN s ON s.shard = p.shard AND s.rn = p.rn + 1)
+      |SELECT shard, bin_id, CAST(count(*) AS INT) AS n_docs,
+      |       CAST(sum(n_tokens) AS INT) AS bin_tokens,
+      |       string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+      |FROM p GROUP BY shard, bin_id ORDER BY shard, bin_id""".stripMargin
+
   /** Q43 — Z-order clustered snapshot + stats-pruned scan: cluster orders
    *  along the (o_custkey, o_orderkey) Morton curve, commit, point-scan
    *  on the clustered key. Oracle = the plain filter. */
@@ -1260,7 +1292,8 @@ object SparkEntry {
     "q57_seq_packing" -> packQuery,
     "q58_kmv_distinct" -> kmvQuery,
     "q59_vocabulary" -> vocabQuery,
-    "q60_top_items" -> topItemsQuery)
+    "q60_top_items" -> topItemsQuery,
+    "q61_pack_sequences" -> packSeqQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1320,7 +1353,8 @@ object SparkEntry {
     "q57_seq_packing" -> Q57Duck,
     "q58_kmv_distinct" -> Q58Duck,
     "q59_vocabulary" -> Q59Duck,
-    "q60_top_items" -> Q60Duck)
+    "q60_top_items" -> Q60Duck,
+    "q61_pack_sequences" -> Q61Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN values
   // are not SQL-expressible → driver records the weaker rows-only check
   // for them; their SEMANTICS are oracled through q49's recall/precision

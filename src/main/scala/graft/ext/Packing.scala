@@ -36,6 +36,10 @@ object Packing {
    *  row (i.e. the row's start position in the concatenated window). */
   case class Packed(shard: Long, id: Long, n_tokens: Int, bin_id: Int, bin_offset: Int)
 
+  /** One materialized context window: the documents of a bin joined in
+   *  id order with single spaces. */
+  case class PackedSeq(shard: Long, bin_id: Int, n_docs: Int, bin_tokens: Int, seq_text: String)
+
   /**
    * Assign every row to a context-window bin. `shardCol`/`idCol` must
    * be integral (cast to long); `tokenCol` is the row's token count.
@@ -70,6 +74,69 @@ object Packing {
           fill += toks
           Packed(s, id, toks, bin, offset)
         }
+      }
+      .toDF()
+  }
+
+  /**
+   * Materialize the packed context windows themselves: the same greedy
+   * assignment as [[packGreedy]], but each bin's documents are joined
+   * (id order, single spaces) INSIDE the streaming pass — one row per
+   * window, ready for a trainer. Still exactly one shuffle; the open
+   * bin's buffer is the only state, so memory is O(capacity · token
+   * length), never O(partition).
+   */
+  def packSequences(
+      df: DataFrame,
+      shardCol: Column,
+      idCol: Column,
+      tokenCol: Column,
+      textCol: Column,
+      capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity $capacity must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(shardCol.cast("long").as("_1"), idCol.cast("long").as("_2"),
+        tokenCol.cast("int").as("_3"), textCol.cast("string").as("_4"))
+      .as[(Long, Long, Int, String)]
+      .repartition($"_1")
+      .sortWithinPartitions($"_1", $"_2")
+      .mapPartitions { rows =>
+        var shard = 0L
+        var first = true
+        var bin = 0
+        var fill = 0
+        var nDocs = 0
+        val buf = new StringBuilder
+        def emit(): PackedSeq = {
+          val r = PackedSeq(shard, bin, nDocs, fill, buf.result())
+          buf.clear(); nDocs = 0
+          r
+        }
+        val out = Iterator.unfold(()) { _ =>
+          var emitted: Option[PackedSeq] = None
+          var more = rows.hasNext
+          while (emitted.isEmpty && more) {
+            val (s, _, toks, text) = rows.next()
+            if (first) { shard = s; first = false }
+            else if (s != shard) { // shard boundary: flush, full reset
+              emitted = Some(emit()); shard = s; bin = 0; fill = 0
+            } else if (fill > 0 && fill + toks > capacity) { // bin overflow
+              emitted = Some(emit()); bin += 1; fill = 0
+            }
+            if (nDocs > 0) buf.append(' ')
+            buf.append(text)
+            nDocs += 1
+            fill += toks
+            more = rows.hasNext
+          }
+          emitted match {
+            case Some(r) => Some((r, ()))
+            case None if nDocs > 0 => Some((emit(), ())) // tail bin
+            case None => None
+          }
+        }
+        out
       }
       .toDF()
   }

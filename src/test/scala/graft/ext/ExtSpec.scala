@@ -562,6 +562,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("packSequences materializes bins: id-order join, shard flush, tail bin") {
+    val rows = Seq(
+      (0L, 10L, 100, "aa"), (0L, 11L, 100, "bb"), (0L, 12L, 100, "cc"),
+      (1L, 20L, 300, "big"), (1L, 21L, 50, "dd"))
+      .toDF("shard", "id", "toks", "text")
+    val expect = Set(
+      (0L, 0, 2, 200, "aa bb"), (0L, 1, 1, 100, "cc"),
+      (1L, 0, 1, 300, "big"), (1L, 1, 1, 50, "dd"))
+    for (parts <- Seq(1, 5)) {
+      val got = Packing.packSequences(rows.repartition(parts),
+          col("shard"), col("id"), col("toks"), col("text"), capacity = 256)
+        .as[(Long, Int, Int, Int, String)].collect().toSet
+      assert(got === expect, s"layout parts=$parts")
+    }
+    // agrees with packGreedy's assignment row-for-row
+    val bins = Packing.packGreedy(rows, col("shard"), col("id"), col("toks"), 256)
+      .groupBy("shard", "bin_id").count().as[(Long, Int, Long)].collect()
+      .map { case (s, b, n) => ((s, b), n) }.toMap
+    assert(bins === Map((0L, 0) -> 2L, (0L, 1) -> 1L, (1L, 0) -> 1L, (1L, 1) -> 1L))
+  }
+
   test("capPerGroup == single-window model (seeded random with ties)") {
     val rnd = new scala.util.Random(8131L)
     // few distinct scores force ties → the doc-id tie-break must decide
