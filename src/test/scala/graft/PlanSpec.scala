@@ -117,12 +117,14 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 4, s"no group-limit pruning in:\n$plan")
   }
 
-  test("sequence packing shuffles once, then streams (q57 shape)") {
-    val plan = executedPlanString(SparkEntry.queries("q57_seq_packing")(spark, dir))
-    // exactly one data exchange (the shard repartition) before the
-    // MapPartitions; the trailing orderBy exchange is presentation-only
-    val body = plan.substring(0, plan.indexOf("MapPartitions"))
-    assert("Exchange".r.findAllIn(body).size === 1, s"extra shuffle before packing in:\n$plan")
+  test("sequence packing shuffles once, then streams (q57/q61 shape)") {
+    for (q <- Seq("q57_seq_packing", "q61_pack_sequences")) {
+      val plan = executedPlanString(SparkEntry.queries(q)(spark, dir))
+      // exactly one data exchange (the shard repartition) before the
+      // MapPartitions; the trailing orderBy exchange is presentation-only
+      val body = plan.substring(0, plan.indexOf("MapPartitions"))
+      assert("Exchange".r.findAllIn(body).size === 1, s"extra shuffle in $q:\n$plan")
+    }
   }
 
   test("kmv sketch aggregates partial/final — only k-bounded buffers shuffle (q58 shape)") {
