@@ -84,9 +84,10 @@ class SnapshotTable private (
     if (!fs.exists(logDir)) return Nil
     fs.listStatus(logDir).toSeq
       .map(_.getPath.getName)
-      // strict match: crash-orphaned tmp/garbage names must never break reads
+      // strict match: crash-orphaned tmp/garbage names must never break
+      // reads — incl. all-digit names beyond Long range (toLongOption)
       .filter(_.matches("\\d{1,20}\\.json"))
-      .map(_.stripSuffix(".json").toLong)
+      .flatMap(_.stripSuffix(".json").toLongOption)
       .sorted
   }
 
@@ -144,12 +145,16 @@ class SnapshotTable private (
     } else {
       // HDFS-compatible stores: create(overwrite=false) claims the slot
       // atomically; content is visible after close (single-writer-per-slot).
+      // only the slot-taken signal means "concurrent commit"; a transient
+      // network/permission/quota IOException must surface as itself, or
+      // callers retry a permanent failure forever
       val out =
         try fs.create(dest, false)
         catch {
-          case _: java.io.IOException =>
+          case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                    _: java.nio.file.FileAlreadyExistsException) =>
             throw new ConcurrentCommitException(
-              s"version $version of $root was committed concurrently")
+              s"version $version of $root was committed concurrently", e)
         }
       try out.write(payload) finally out.close()
     }
@@ -471,16 +476,24 @@ class SnapshotTable private (
   private def toOpt(spec: Seq[String]): Option[List[String]] =
     if (spec.isEmpty) None else Some(spec.toList)
 
-  private def applyCluster(df: DataFrame, spec: Seq[String]): DataFrame = {
+  private def applyCluster(
+      df: DataFrame, spec: Seq[String], numFiles: Option[Int] = None): DataFrame = {
     val applicable = spec.nonEmpty && spec.forall(s =>
       df.columns.exists(_.equalsIgnoreCase(ClusterTransform.sourceColumn(s))))
     if (!applicable) df
     // range shuffle gives disjoint per-FILE bounds (manifest pruning);
     // the local sort on top gives monotone per-ROW-GROUP bounds inside
     // each file, so a pruned point lookup reads one row group, not the
-    // whole file — free at read time, one in-memory sort at write time
-    else df.repartitionByRange(spec.map(ClusterTransform.expr): _*)
-      .sortWithinPartitions(spec.map(ClusterTransform.expr): _*)
+    // whole file — free at read time, one in-memory sort at write time.
+    // `numFiles` (compact's bin-pack target) pins the partition count so
+    // re-clustering cannot explode a small rewrite into
+    // spark.sql.shuffle.partitions fragments
+    else numFiles match {
+      case Some(n) => df.repartitionByRange(n, spec.map(ClusterTransform.expr): _*)
+        .sortWithinPartitions(spec.map(ClusterTransform.expr): _*)
+      case None => df.repartitionByRange(spec.map(ClusterTransform.expr): _*)
+        .sortWithinPartitions(spec.map(ClusterTransform.expr): _*)
+    }
   }
 
   /** Action tag of the latest commit (None for an empty table). */
@@ -500,7 +513,8 @@ class SnapshotTable private (
    *  a fresh snapshot. */
   private[graft] def replaceFiles(
       keep: Seq[String], df: DataFrame, action: String,
-      expectVersion: Option[Long] = None): SnapshotTable = {
+      expectVersion: Option[Long] = None,
+      numFiles: Option[Int] = None): SnapshotTable = {
     val v = currentVersion()
     expectVersion.filter(_ != v).foreach { e =>
       throw new ConcurrentCommitException(
@@ -519,7 +533,7 @@ class SnapshotTable private (
       prior.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
     val kept = keep.map(p => priorByPath.getOrElse(p, FileEntry(p, -1L, -1L, Map.empty)))
     val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
-    val files = writeDataDir(applyCluster(df, spec))
+    val files = writeDataDir(applyCluster(df, spec, numFiles))
     writeCommit(v + 1,
       CommitEntry(action, df.schema.json, (kept ++ files).sortBy(_.path), toOpt(spec),
         prior.flatMap(_.properties),
@@ -573,6 +587,13 @@ class SnapshotTable private (
   def unsetProperties(keys: Seq[String]): SnapshotTable = {
     val v = currentVersion()
     require(v >= 0, s"table $root is empty")
+    // graft.dropped.* tombstones are the column-resurrection guard, not
+    // user metadata — removing one would let addColumns silently surface
+    // stale pre-drop values from un-rewritten files
+    val internal = keys.filter(_.toLowerCase.startsWith("graft.dropped."))
+    require(internal.isEmpty,
+      s"cannot unset engine-internal propert${if (internal.size == 1) "y" else "ies"} " +
+        internal.mkString(", "))
     val e = commitEntry(v)
     val remaining = e.properties.getOrElse(Map.empty) -- keys
     writeCommit(v + 1, e.copy(action = "set-properties",
@@ -1172,8 +1193,8 @@ class SnapshotTable private (
     val prevDelta = prevOpt.flatMap(_.deltaFiles).getOrElse(Nil)
     val prevDeltaPaths = prevDelta.map(_.path).toSet
     val newDelta = ce.deltaFiles.getOrElse(Nil).filterNot(f => prevDeltaPaths(f.path))
-    val removedDelta = prevDelta.filterNot(f =>
-      ce.deltaFiles.getOrElse(Nil).map(_.path).toSet(f.path))
+    val curDeltaPaths = ce.deltaFiles.getOrElse(Nil).map(_.path).toSet
+    val removedDelta = prevDelta.filterNot(f => curDeltaPaths(f.path))
     val deltasInvolved = newDelta.nonEmpty || removedDelta.nonEmpty
     val diff =
       if (keys.isEmpty) {
@@ -1405,7 +1426,8 @@ class SnapshotTable private (
     val outFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val packed = dfOver(small.map(_.path), tschema, mappingOf(entry))
       .coalesce(outFiles)
-    replaceFiles(healthy.map(_.path), packed, "compact", expectVersion = Some(v))
+    replaceFiles(healthy.map(_.path), packed, "compact", expectVersion = Some(v),
+      numFiles = Some(outFiles))
     small.size
   }
 
@@ -1430,8 +1452,15 @@ class SnapshotTable private (
     if (versions.isEmpty) return 0
     val retained = versions.takeRight(math.max(1, retainVersions))
     val live: Set[String] = retained.flatMap { v =>
-      val e = commitEntry(v)
-      e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
+      // a torn NEWEST entry (concurrent writer mid-commit) is tolerated:
+      // its files are minutes old, so the retainMillis mtime window keeps
+      // them; an unreadable OLDER entry is real corruption and throws
+      try {
+        val e = commitEntry(v)
+        e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
+      } catch {
+        case NonFatal(e) if v == versions.last => Nil
+      }
     }.toSet
     // expire old log entries first so no reader can resolve dropped files
     versions.dropRight(math.max(1, retainVersions)).foreach { v =>
@@ -1605,7 +1634,13 @@ class SnapshotTable private (
           c(field.name) >= l(bs.map(_._1.toDouble).min).cast(field.dataType) &&
             c(field.name) <= l(bs.map(_._2.toDouble).max).cast(field.dataType)
         case _: StringType =>
-          c(field.name) >= l(bs.map(_._1).min) && c(field.name) <= l(bs.map(_._2).max)
+          // bounds min/max selected in CODE-POINT order (what parquet stats
+          // and Pruning compare in) — Java String ordering is code-unit and
+          // disagrees beyond the BMP, which would narrow the range wrongly
+          val cpOrd: Ordering[String] =
+            (a: String, b: String) => SnapshotTable.codePointCompare(a, b)
+          c(field.name) >= l(bs.map(_._1).min(cpOrd)) &&
+            c(field.name) <= l(bs.map(_._2).max(cpOrd))
         case _ => return None
       }
     }
@@ -1625,7 +1660,8 @@ class SnapshotTable private (
 
 object SnapshotTable {
 
-  class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+  class ConcurrentCommitException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
 
   /** Cluster-spec transform grammar (see [[SnapshotTable.clusterSpec]]):
    *  `col`, `years(col)`, `months(col)`, `days(col)`, `hours(col)`,
@@ -2118,7 +2154,11 @@ object SnapshotTable {
       clusterBy: Seq[String] = Nil,
       properties: Map[String, String] = Map.empty): SnapshotTable = {
     val t = new SnapshotTable(spark, root)
-    t.writeCommit(t.currentVersion() + 1,
+    // pin version 0: two racing CREATEs then collide on one CAS slot and
+    // the loser fails loudly, instead of the second silently replacing
+    // the first (or an existing table) with an empty snapshot
+    require(t.currentVersion() < 0, s"table $root already exists")
+    t.writeCommit(0,
       CommitEntry("create", schema.json, Nil,
         if (clusterBy.isEmpty) None else Some(clusterBy.toList),
         if (properties.isEmpty) None else Some(properties)))

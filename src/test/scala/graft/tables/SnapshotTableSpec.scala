@@ -7,6 +7,63 @@ import graft.SparkSpec
 class SnapshotTableSpec extends SparkSpec {
   import spark.implicits._
 
+  test("createEmpty refuses an existing root instead of truncating it") {
+    val root = tmpDir("tbl_ce")
+    SnapshotTable.create(spark, root, Seq((1, "a")).toDF("id", "v"))
+    val e = intercept[Exception](SnapshotTable.createEmpty(spark, root,
+      new org.apache.spark.sql.types.StructType().add("x", "int")))
+    assert(e.getMessage.contains("already exists"))
+    // the original table is untouched
+    assert(SnapshotTable(spark, root).read().count() === 1)
+  }
+
+  test("unsetProperties cannot remove drop-column tombstones") {
+    val t = SnapshotTable.create(spark, tmpDir("tbl_tomb"),
+      Seq((1, "a", 5)).toDF("id", "v", "x"))
+    t.dropColumns(Seq("x"))
+    val e = intercept[Exception](t.unsetProperties(Seq("graft.dropped.x")))
+    assert(e.getMessage.contains("engine-internal"))
+    // resurrection stays blocked
+    val e2 = intercept[Exception](t.addColumns(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.IntegerType))))
+    assert(e2.getMessage.toLowerCase.contains("drop"))
+  }
+
+  test("compact converges on a clustered table (bin-pack survives re-clustering)") {
+    val t = SnapshotTable(spark, tmpDir("tbl_cc"))
+    t.overwriteClustered((1 to 50).map(i => (i, s"v$i")).toDF("id", "v"),
+      clusterBy = Seq("id"), numFiles = 1)
+    (51 to 54).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    val before = t.manifest().size
+    assert(t.compact() > 0)
+    // all small files packed into ONE range-clustered file, not exploded
+    // into spark.sql.shuffle.partitions fragments
+    assert(t.manifest().size < before, s"${t.manifest().size} !< $before")
+    assert(t.manifest().size <= 2)
+    assert(t.compact() === 0) // fixpoint: a second OPTIMIZE finds nothing
+    assert(t.read().count() === 54)
+  }
+
+  test("MoR delta key range is code-point ordered (supplementary-plane keys)") {
+    // U+E000 (one UTF-16 unit) vs U+10000 (surrogate pair): Java code-unit
+    // order disagrees with the code-point order parquet stats use — a
+    // wrongly-narrowed range would skip the base file holding U+E000 and
+    // leave two rows for that key after compaction
+    val kA = ""
+    val kB = new String(Character.toChars(0x10000))
+    val t = SnapshotTable.create(spark, tmpDir("tbl_cp"),
+      Seq((kA, "old", 0L), (kB, "old", 0L)).toDF("k", "v", "ts"))
+    t.upsertDeferred(Seq((kA, "new", 1L)).toDF("k", "v", "ts"),
+      keys = Seq("k"), precombine = "ts")
+    t.upsertDeferred(Seq((kB, "new", 1L)).toDF("k", "v", "ts"),
+      keys = Seq("k"), precombine = "ts")
+    t.applyDeltas()
+    val got = t.read().select("k", "v").as[(String, String)].collect()
+    assert(got.length === 2, s"expected 2 rows, got ${got.toSeq}")
+    assert(got.toMap === Map(kA -> "new", kB -> "new"))
+  }
+
   test("create / read round-trip") {
     val t = SnapshotTable.create(spark, tmpDir("tbl"),
       Seq((1, "a"), (2, "b")).toDF("id", "v"))
