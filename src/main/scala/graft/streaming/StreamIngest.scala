@@ -95,6 +95,24 @@ object StreamIngest {
         col("w.end").as("window_end"),
         col(keyCol), col("n"), col("sum_value"))
 
+  /**
+   * Streaming ingest dedup: drop re-deliveries of the same `idCols` row
+   * arriving within the event-time watermark — the at-least-once-source
+   * guard a training-data ingest runs before rows ever land in a table
+   * (upstream replays, producer retries). State is per-id and EXPIRES
+   * once the watermark passes `delay`, so it stays bounded at any
+   * throughput — unlike a bare `dropDuplicates`, whose state grows
+   * forever and OOMs a long-running query.
+   */
+  def dedupeWithinWatermark(
+      stream: DataFrame,
+      tsCol: String,
+      idCols: Seq[String],
+      delay: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** One closed user session (emitted once the gap timeout passes). */
   final case class Session(
       user_id: Long,

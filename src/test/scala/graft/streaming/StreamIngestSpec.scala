@@ -278,6 +278,30 @@ class StreamIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("changed schema mid-stream"))
   }
 
+  test("dedupeWithinWatermark drops redelivered rows, keeps state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val mk = (s: String) => Timestamp.valueOf(s)
+    mem.addData(
+      (1L, mk("2024-01-01 00:00:00"), "a"),
+      (1L, mk("2024-01-01 00:00:05"), "a-dup"),   // same id within watermark
+      (2L, mk("2024-01-01 00:00:10"), "b"))
+    val deduped = StreamIngest.dedupeWithinWatermark(
+      mem.toDF().toDF("id", "ts", "v"), "ts", Seq("id"), delay = "10 minutes")
+    val sink = SnapshotTable(spark, tmpDir("dedup_sink"))
+    val ckpt = tmpDir("ckpt") // ONE checkpoint — the second run resumes state
+    def run(): Unit = StreamIngest.runOnce(StreamIngest.appendSink(deduped, sink), ckpt)
+    run()
+    assert(sink.read().select("id", "v").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    // a redelivery in a LATER batch (checkpoint-resumed run), still
+    // inside the watermark — the restored per-id state must drop it
+    mem.addData((1L, mk("2024-01-01 00:00:20"), "a-dup2"))
+    run()
+    val got = sink.read().select("id", "v").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "b")), s"got $got")
+  }
+
   test("sessionization with flatMapGroupsWithState emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
