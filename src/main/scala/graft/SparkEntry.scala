@@ -1176,6 +1176,27 @@ object SparkEntry {
       |       string_agg(text, ' ' ORDER BY doc_id) AS seq_text
       |FROM p GROUP BY shard, bin_id ORDER BY shard, bin_id""".stripMargin
 
+  /** Q62 — duplicated-n-gram fraction ([[ext.TextAnalysis
+   *  .duplicateNgramFraction]]): the share of each document's word
+   *  10-grams appearing more than once across the corpus. The engine
+   *  joins on 64-bit gram hashes; the oracle replays the grams as
+   *  strings — identical counts modulo 2⁻⁶⁴ collisions (q54 argument). */
+  private def dupSpanQuery(s: SparkSession, dir: String): DataFrame =
+    ext.TextAnalysis.duplicateNgramFraction(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 10)
+      .orderBy("doc_id")
+  private val Q62Duck =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest([array_to_string(tk[i:i+9], ' ') for i in range(1, len(tk)-8)]) AS gram
+      |      FROM t WHERE len(tk) >= 10),
+      |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+      |f AS (SELECT doc_id,
+      |        round(avg(CASE WHEN cnt > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_ngram_frac
+      |      FROM g JOIN c USING (gram) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(f.dup_ngram_frac, 0.0) AS dup_ngram_frac
+      |FROM documents d LEFT JOIN f USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   /** Q43 — Z-order clustered snapshot + stats-pruned scan: cluster orders
    *  along the (o_custkey, o_orderkey) Morton curve, commit, point-scan
    *  on the clustered key. Oracle = the plain filter. */
@@ -1293,7 +1314,8 @@ object SparkEntry {
     "q58_kmv_distinct" -> kmvQuery,
     "q59_vocabulary" -> vocabQuery,
     "q60_top_items" -> topItemsQuery,
-    "q61_pack_sequences" -> packSeqQuery)
+    "q61_pack_sequences" -> packSeqQuery,
+    "q62_dup_ngram_frac" -> dupSpanQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1354,7 +1376,8 @@ object SparkEntry {
     "q58_kmv_distinct" -> Q58Duck,
     "q59_vocabulary" -> Q59Duck,
     "q60_top_items" -> Q60Duck,
-    "q61_pack_sequences" -> Q61Duck)
+    "q61_pack_sequences" -> Q61Duck,
+    "q62_dup_ngram_frac" -> Q62Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN values
   // are not SQL-expressible → driver records the weaker rows-only check
   // for them; their SEMANTICS are oracled through q49's recall/precision

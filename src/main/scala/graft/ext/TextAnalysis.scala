@@ -187,6 +187,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
       .filter(col("tf") >= minCount)
 
+  /**
+   * Per-document duplicated-n-gram fraction: the share of a document's
+   * token n-grams that appear more than once ACROSS the corpus
+   * (including its own repeats) — the cross-document complement of the
+   * within-document repetition ratio, and the standard "duplicate
+   * 50-gram fraction" quality signal of corpus-dedup pipelines (exact
+   * duplicated spans survive near-dup dedup when embedded in otherwise
+   * distinct pages). Documents shorter than `n` tokens score 0.
+   *
+   * Shape: map-side n-gram explode (grams carried as 64-bit hashes, not
+   * strings — the shuffle moves 8 bytes per gram), one count aggregate
+   * with map-side partial, one equi-join back. Linear in corpus token
+   * count; no driver-side state.
+   */
+  def duplicateNgramFraction(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n $n must be positive")
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val exploded = df.select(col(idCol), explode(grams).as("g"))
+    val counts = exploded.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val frac = exploded.join(counts, "g")
+      .groupBy(idCol)
+      .agg(round(avg(when(col("cnt") > 1, 1.0).otherwise(0.0)), 6)
+        .as("dup_ngram_frac"))
+    df.select(col(idCol))
+      .join(frac, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("dup_ngram_frac"), lit(0.0)).as("dup_ngram_frac"))
+  }
+
   /** Enrich a corpus with the full text-analysis column family. */
   def enrich(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

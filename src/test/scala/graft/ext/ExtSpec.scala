@@ -529,6 +529,22 @@ class ExtSpec extends SparkSpec {
     assert(cnt >= trueCount && cnt - err <= trueCount, s"cnt=$cnt err=$err true=$trueCount")
   }
 
+  test("duplicateNgramFraction: cross-doc spans counted, short docs score 0") {
+    val corpus = Seq(
+      (1L, "a b c d e"),   // trigrams: abc bcd cde
+      (2L, "x a b c y"),   // shares "a b c" with doc 1 → 1 of 3 duplicated
+      (3L, "p q"))         // shorter than n → 0.0
+      .toDF("id", "text")
+    val got = TextAnalysis.duplicateNgramFraction(corpus, "id", "text", n = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 0.333333, 2L -> 0.333333, 3L -> 0.0))
+    // a doc repeating its OWN span also counts as duplicated
+    val self = Seq((1L, "a b c a b c")).toDF("id", "text") // 4 trigrams: abc bca cab abc
+    val selfGot = TextAnalysis.duplicateNgramFraction(self, "id", "text", 3)
+      .as[(Long, Double)].collect().toMap
+    assert(selfGot === Map(1L -> 0.5)) // "a b c" twice of 4 grams
+  }
+
   test("vocabulary: tf/df word counts with threshold") {
     val corpus = Seq(
       (1L, "a b a c"), (2L, "a b"), (3L, "c c c")).toDF("id", "text")
