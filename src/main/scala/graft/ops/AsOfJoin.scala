@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame}
 
 /**
@@ -39,13 +38,19 @@ object AsOfJoin {
       rightTs: String,
       tolerance: Option[Column] = None): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one key column")
+    val reserved = Seq("__ts", "__side", "__r", "__match")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"asof join reserves column names ${reserved.mkString(", ")}")
     val rPayloadCols = right.columns.filterNot(keys.contains).toSeq
-    val rStruct = StructType(right.schema.fields.filter(f => rPayloadCols.contains(f.name)))
 
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
+    // a NULL right timestamp satisfies no `rightTs <= leftTs` — and it
+    // would sort NULLS FIRST, where the running last() would hand its
+    // payload to left rows as a spurious "earliest" match
     val rTagged = right
+      .filter(col(rightTs).isNotNull)
       .select((keys.map(col) :+
         col(rightTs).as("__ts") :+
         struct(rPayloadCols.map(col): _*).as("__r")): _*)

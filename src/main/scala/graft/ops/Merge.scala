@@ -146,14 +146,17 @@ final class MergeInto(
       val withAction = unmatched
         .withColumn(ACTION, firstClause(NotMatched, lit(true), DROP))
         .filter(col(ACTION) =!= DROP)
-      val sourceCols = source.columns.toSet
+      // source columns matched case-INsensitively, like Spark's resolver
+      // (and like the schema-evolution block above) — a case mismatch
+      // must not silently insert NULL
+      val sourceCols = source.columns.map(_.toLowerCase).toSet
       def insCol(name: String): Column =
         clauses.zipWithIndex.filter(_._1.kind == NotMatched)
           .foldLeft(lit(null): Column) { case (acc, (cl, idx)) =>
             val v = cl.action match {
               case InsertAll =>
-                if (sourceCols.contains(name)) col(s"s.$name") else lit(null)
-              case InsertValues(vals) => vals.getOrElse(name, lit(null))
+                if (sourceCols.contains(name.toLowerCase)) col(s"s.$name") else lit(null)
+              case InsertValues(vals) => MergeInto.ciGet(vals, name).getOrElse(lit(null))
               case _ => acc
             }
             when(col(ACTION) === idx, v).otherwise(acc)
@@ -168,8 +171,16 @@ final class MergeInto(
     // row) match counts aggregate to per-file max multiplicity; >1 source
     // row hitting one target row under an update clause is ambiguous →
     // error (Delta semantics).
-    val needsCardinality = cardinalityCheck &&
-      clauses.exists(c => c.kind == Matched && c.action != DeleteAction)
+    // Delta semantics: multiple source rows matching one target row is an
+    // error UNLESS the only matched clause is a single UNconditional
+    // DELETE (then every copy deletes — no ambiguity). A conditional
+    // delete IS ambiguous (copies can route differently), and a merge
+    // with matched clauses that can fall through to KEEP would silently
+    // duplicate the kept row.
+    val matchedClauses = clauses.filter(_.kind == Matched)
+    val needsCardinality = cardinalityCheck && matchedClauses.nonEmpty &&
+      !(matchedClauses.size == 1 && matchedClauses.head.action == DeleteAction &&
+        matchedClauses.head.condition.isEmpty)
     val touched: Seq[String] =
       if (clauses.exists(_.kind == NotMatchedBySource)) {
         // Target rows with NO source match may need updating/deleting, and
@@ -181,7 +192,7 @@ final class MergeInto(
           val dups = t.join(srcExists, condition, "inner")
             .groupBy(col(T_UID)).count().filter(col("count") > 1).limit(1).count()
           if (dups > 0) throw new MergeCardinalityException(
-            "MERGE: a target row matched multiple source rows under an UPDATE clause")
+            "MERGE: a target row matched multiple source rows under a clause that is not a single unconditional DELETE")
         }
         allFiles
       } else {
@@ -206,7 +217,7 @@ final class MergeInto(
         val rows = perFile.collect()
         if (needsCardinality && rows.exists(_.getAs[Long]("__maxc") > 1))
           throw new MergeCardinalityException(
-            "MERGE: a target row matched multiple source rows under an UPDATE clause")
+            "MERGE: a target row matched multiple source rows under a clause that is not a single unconditional DELETE")
         val hit = rows.map(r => decodeReadPath(r.getString(0))).toSet
         allFiles.filter(hit.contains)
       }
@@ -219,7 +230,14 @@ final class MergeInto(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], targetSchema)
       } else table.readFilesAs(touched, targetSchema)
 
-    val t = touchedDf.withColumn(T_EXISTS, lit(true)).alias("t")
+    // With NO matched clause (bySource-only merges), matched target rows
+    // default to KEEP — but the full-outer join emits one copy per
+    // matching source row, so a dup-key source would duplicate them.
+    // Tag rows so the kept copy can be dedup'd after routing.
+    val dedupeKeeps = matchedClauses.isEmpty
+    val t = (if (dedupeKeeps) touchedDf.withColumn(T_UID, monotonically_increasing_id())
+             else touchedDf)
+      .withColumn(T_EXISTS, lit(true)).alias("t")
     val joined = t.join(srcExists, condition, "full_outer")
 
     val matched = col(T_EXISTS).isNotNull && col(S_EXISTS).isNotNull
@@ -230,26 +248,38 @@ final class MergeInto(
         .when(sourceOnly, firstClause(NotMatched, lit(true), DROP))
         .otherwise(firstClause(NotMatchedBySource, lit(true), KEEP))
 
-    val withAction = joined.withColumn(ACTION, action)
+    val routed = joined.withColumn(ACTION, action)
       .filter(col(ACTION) =!= DROP)
       .filter(!clauses.zipWithIndex
         .filter(_._1.action == DeleteAction)
         .map { case (_, i) => col(ACTION) === i }
         .foldLeft(lit(false))(_ || _))
+    val withAction =
+      if (!dedupeKeeps) routed
+      else routed
+        // kept copies of one target row are identical on every projected
+        // (target) column — keep exactly one per T_UID; insert rows
+        // (null T_UID) are exempt from the window's verdict
+        .withColumn("__keep_rn",
+          when(matched, row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col(T_UID)).orderBy(col(T_UID)))).otherwise(lit(1)))
+        .filter(col("__keep_rn") === 1)
+        .drop("__keep_rn")
 
-    val sourceCols = source.columns.toSet
+    // case-insensitive matching throughout — see insert-only path note
+    val sourceCols = source.columns.map(_.toLowerCase).toSet
     def outCol(name: String): Column = {
       val fromTarget = col(s"t.$name")
       clauses.zipWithIndex.foldLeft(fromTarget) { case (acc, (cl, idx)) =>
         val value: Option[Column] = cl.action match {
           case UpdateAll =>
-            Some(if (sourceCols.contains(name)) col(s"s.$name") else fromTarget)
+            Some(if (sourceCols.contains(name.toLowerCase)) col(s"s.$name") else fromTarget)
           case UpdateSet(set) =>
-            Some(set.getOrElse(name, fromTarget))
+            Some(MergeInto.ciGet(set, name).getOrElse(fromTarget))
           case InsertAll =>
-            Some(if (sourceCols.contains(name)) col(s"s.$name") else lit(null))
+            Some(if (sourceCols.contains(name.toLowerCase)) col(s"s.$name") else lit(null))
           case InsertValues(vals) =>
-            Some(vals.getOrElse(name, lit(null)))
+            Some(MergeInto.ciGet(vals, name).getOrElse(lit(null)))
           case DeleteAction => None // rows already filtered out
         }
         value.map(v => when(col(ACTION) === idx, v).otherwise(acc)).getOrElse(acc)
@@ -364,14 +394,40 @@ object MergeInto {
 
   final case class Clause(kind: ClauseKind, condition: Option[Column], action: MergeAction)
 
+  /** Case-insensitive lookup for user-supplied assignment maps. */
+  private[ops] def ciGet(m: Map[String, Column], name: String): Option[Column] =
+    m.get(name).orElse(m.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v
+    })
+
   final class ClauseBuilder(m: MergeInto, kind: ClauseKind, cond: Option[Column]) {
+    // kind/action combinations are validated here, like Delta's builder:
+    // whenNotMatched().delete() or whenNotMatchedBySource().insertAll()
+    // would otherwise execute with garbage semantics
+    private def checkKind(ok: Boolean, what: String): Unit =
+      require(ok, s"$what is not valid for $kind clauses")
     /** `UPDATE SET *` — full-row by-name (`iceberg/iceberg_scd_script.py:80`). */
-    def updateAll(): MergeInto = m.add(Clause(kind, cond, UpdateAll))
+    def updateAll(): MergeInto = {
+      checkKind(kind == Matched, "updateAll (needs source columns)")
+      m.add(Clause(kind, cond, UpdateAll))
+    }
     /** `UPDATE SET col = expr, …` partial (`delta/delta_scd_script.py:93-94`). */
-    def update(set: Map[String, Column]): MergeInto = m.add(Clause(kind, cond, UpdateSet(set)))
-    def delete(): MergeInto = m.add(Clause(kind, cond, DeleteAction))
+    def update(set: Map[String, Column]): MergeInto = {
+      checkKind(kind != NotMatched, "update")
+      m.add(Clause(kind, cond, UpdateSet(set)))
+    }
+    def delete(): MergeInto = {
+      checkKind(kind != NotMatched, "delete")
+      m.add(Clause(kind, cond, DeleteAction))
+    }
     /** `INSERT *` by-name (`delta/delta_scd_script.py:95`). */
-    def insertAll(): MergeInto = m.add(Clause(kind, cond, InsertAll))
-    def insert(values: Map[String, Column]): MergeInto = m.add(Clause(kind, cond, InsertValues(values)))
+    def insertAll(): MergeInto = {
+      checkKind(kind == NotMatched, "insertAll")
+      m.add(Clause(kind, cond, InsertAll))
+    }
+    def insert(values: Map[String, Column]): MergeInto = {
+      checkKind(kind == NotMatched, "insert")
+      m.add(Clause(kind, cond, InsertValues(values)))
+    }
   }
 }

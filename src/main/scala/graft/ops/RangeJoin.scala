@@ -35,6 +35,8 @@ object RangeJoin {
       binWidth: Long,
       asLong: Column => Column = _.cast("long")): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!intervals.columns.contains("__bin") && !points.columns.contains("__bin"),
+      "intervalPointJoin reserves the __bin column name")
 
     // rename colliding non-key point columns up front so the joined output
     // has unambiguous names
@@ -45,12 +47,14 @@ object RangeJoin {
     val pCol = if (collide.contains(pointCol)) s"p_$pointCol" else pointCol
     val pPayload = pPrep.columns.toSeq.filterNot(keys.contains)
 
+    // exact integer floor-division via decimal: long/long in Spark is
+    // DOUBLE division, which mis-bins values beyond 2^53 (nanosecond
+    // epochs, large surrogate ids) and silently drops genuine matches
+    def binOf(c: Column): Column =
+      floor(asLong(c).cast("decimal(38,0)") / lit(binWidth)).cast("long")
     val binnedI = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(asLong(col(startCol)) / binWidth),
-        floor(asLong(col(endCol)) / binWidth)))).alias("i")
-    val binnedP = pPrep.withColumn("__bin",
-      floor(asLong(col(pCol)) / binWidth)).alias("b")
+      explode(sequence(binOf(col(startCol)), binOf(col(endCol))))).alias("i")
+    val binnedP = pPrep.withColumn("__bin", binOf(col(pCol))).alias("b")
 
     val cond = (keys.map(k => col(s"i.$k") === col(s"b.$k")) :+
       (col("i.__bin") === col("b.__bin"))).reduce(_ && _)

@@ -32,16 +32,21 @@ object SkewJoin {
       salt: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
-    require(SupportedJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+    // the normalized form is also what reaches join() — Spark strips
+    // underscores but not spaces, so "left outer" must not leak through
+    val normalizedType = joinType.toLowerCase.replace(" ", "_")
+    require(SupportedJoinTypes.contains(normalizedType),
       s"saltedEquiJoin supports inner/left/left_semi/left_anti joins only, got '$joinType': " +
         "unmatched replicated-side rows would be emitted once per salt value")
+    require(!skewed.columns.contains("__salt") && !other.columns.contains("__salt"),
+      "saltedEquiJoin reserves the __salt column name")
     val saltedL = skewed.withColumn("__salt",
       (rand(42) * salt).cast("int"))
     val replicatedR = other.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     val cond = (keys.map(k => saltedL(k) === replicatedR(k)) :+
       (saltedL("__salt") === replicatedR("__salt"))).reduce(_ && _)
-    val joined = saltedL.join(replicatedR, cond, joinType)
+    val joined = saltedL.join(replicatedR, cond, normalizedType)
     // drop the replicated side's key + salt copies, keep one of each
     val dropCols = keys.map(replicatedR(_)) :+ replicatedR("__salt") :+ saltedL("__salt")
     dropCols.foldLeft(joined)(_ drop _)

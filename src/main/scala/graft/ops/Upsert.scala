@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.SnapshotTable
@@ -13,8 +12,8 @@ import graft.tables.SnapshotTable
  *  1. *Precombine*: incoming rows are deduplicated per record key, keeping
  *     the row with the greatest precombine value (`hoodie.datasource.write
  *     .precombine.field`, `hudi/hudi_scd_script.py:36`). Implemented as a
- *     `row_number` window partitioned by the key — one shuffle, map-side
- *     combine-friendly, no driver involvement.
+ *     `max_by` hash aggregation keyed on the record key — one shuffle,
+ *     map-side combine-friendly, no driver involvement.
  *  2. *Index + write*: matched keys update in place, unmatched insert —
  *     exactly `MERGE … WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *`,
  *     so it reuses [[MergeInto]]'s touched-file copy-on-write path (Hudi's
@@ -53,9 +52,15 @@ object Upsert {
    *  key per map task). */
   def precombineLatest(incoming: DataFrame, keys: Seq[String], precombine: String): DataFrame = {
     val allCols = incoming.columns.toSeq
+    // the ordering key is a never-null struct: (precombine IS NOT NULL,
+    // precombine) — a bare max_by(_, ts) returns NULL when every ts in
+    // the group is null, which would collapse the group into an all-NULL
+    // row; with the struct, non-null precombine wins and an all-null
+    // group still yields a real row
     incoming
       .groupBy(keys.map(col): _*)
-      .agg(max_by(struct(allCols.map(col): _*), col(precombine)).as("__pc_row"))
+      .agg(max_by(struct(allCols.map(col): _*),
+        struct(col(precombine).isNotNull, col(precombine))).as("__pc_row"))
       .select(allCols.map(c => col(s"__pc_row.$c").as(c)): _*)
   }
 }

@@ -22,6 +22,72 @@ class MergeSpec extends SparkSpec {
     assert(got === Set((1, "a", 10), (2, "B", 200), (3, "c", 30), (4, "d", 40)))
   }
 
+  test("multi-match under a conditional DELETE errors; unconditional passes") {
+    // Delta's rule: the multiple-match relaxation applies ONLY to a
+    // single UNconditional delete — conditional routing is ambiguous
+    val t = freshTable()
+    val src = Seq((2, "x", 1), (2, "y", 2)).toDF("id", "name", "qty")
+    intercept[MergeInto.MergeCardinalityException] {
+      t.merge(src, col("t.id") === col("s.id"))
+        .whenMatched(col("s.qty") > 100).delete()
+        .execute()
+    }
+    // unconditional delete-only: every copy deletes, no ambiguity
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatched().delete()
+      .execute()
+    assert(t.read().select("id").as[Int].collect().toSet === Set(1, 3))
+  }
+
+  test("bySource-only MERGE with a dup-key source never duplicates kept rows") {
+    val t = freshTable()
+    // id=2 matches TWO source rows; with no matched clause it must be
+    // carried exactly once; id=1/3 are unmatched-by-source → deleted
+    val src = Seq((2, "x", 1), (2, "y", 2)).toDF("id", "name", "qty")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenNotMatchedBySource().delete()
+      .execute()
+    val got = t.read().as[(Int, String, Int)].collect().toSeq
+    assert(got === Seq((2, "b", 20)), s"got $got")
+  }
+
+  test("invalid kind/action combinations fail at build time") {
+    val t = freshTable()
+    val src = Seq((9, "z", 1)).toDF("id", "name", "qty")
+    val m = t.merge(src, col("t.id") === col("s.id"))
+    intercept[IllegalArgumentException](m.whenNotMatched().delete())
+    intercept[IllegalArgumentException](m.whenNotMatched().updateAll())
+    intercept[IllegalArgumentException](m.whenNotMatchedBySource().insertAll())
+    intercept[IllegalArgumentException](m.whenNotMatchedBySource().updateAll())
+  }
+
+  test("updateAll/insertAll match source columns case-insensitively") {
+    val t = freshTable()
+    val src = Seq((2, "B", 200), (4, "d", 40)).toDF("ID", "NAME", "QTY")
+    t.merge(src, col("t.id") === col("s.ID"))
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+    val got = t.read().as[(Int, String, Int)].collect().toSet
+    assert(got === Set((1, "a", 10), (2, "B", 200), (3, "c", 30), (4, "d", 40)))
+  }
+
+  test("upsert keeps a real row when every precombine value is NULL") {
+    val t = SnapshotTable.create(spark, tmpDir("merge_pcnull"),
+      Seq((1, "a", Some(1L))).toDF("id", "v", "ts"))
+    // key 2: both rows carry NULL ts — one of them must survive intact
+    // (a bare max_by would collapse the group to an all-NULL row)
+    t.upsert(Seq((2, "b1", None: Option[Long]), (2, "b2", None: Option[Long]))
+      .toDF("id", "v", "ts"), keys = Seq("id"), precombine = "ts")
+    val got = t.read().as[(Int, String, Option[Long])].collect()
+      .map { case (id, v, ts) => id -> (v, ts) }.toMap.apply(2)
+    assert(got._1.startsWith("b"), s"got $got")
+    // mixed: non-null precombine must beat null
+    t.upsert(Seq((2, "null-ts", None: Option[Long]), (2, "real", Some(9L)))
+      .toDF("id", "v", "ts"), keys = Seq("id"), precombine = "ts")
+    assert(t.read().filter(col("id") === 2).select("v").as[String].head() === "real")
+  }
+
   test("MERGE partial update with clause condition (Delta shape)") {
     val t = freshTable()
     val src = Seq((1, "ignored", 999), (3, "ignored", 31)).toDF("id", "name", "qty")

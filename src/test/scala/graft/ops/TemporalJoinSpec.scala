@@ -25,6 +25,19 @@ class TemporalJoinSpec extends SparkSpec {
       ("C", 8L, 500, None))) // unknown key
   }
 
+  test("asof join: NULL timestamps never match (either side)") {
+    val quotes = Seq(("A", Some(1L), 10.0), ("A", None: Option[Long], 99.0))
+      .toDF("sym", "ts", "px")
+    val trades = Seq(("A", Some(0L), 1), ("A", Some(2L), 2), ("A", None: Option[Long], 3))
+      .toDF("sym", "ts", "qty")
+    val r = AsOfJoin.asof(trades, quotes, Seq("sym"), "ts", "ts")
+      .select(col("qty"), col("px")).as[(Int, Option[Double])].collect().toSet
+    assert(r === Set(
+      (1, None),        // trade at 0: no quote yet — the null-ts quote must not leak in
+      (2, Some(10.0)),  // trade at 2: real quote at 1
+      (3, None)))       // null-ts trade: matches nothing
+  }
+
   test("asof join with tolerance nulls out stale matches") {
     val quotes = Seq(("A", 1L, 10.0)).toDF("sym", "ts", "px")
     val trades = Seq(("A", 2L, 1), ("A", 90L, 2)).toDF("sym", "ts", "qty")
