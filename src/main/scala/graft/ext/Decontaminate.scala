@@ -55,8 +55,12 @@ object Decontaminate {
       contaminatedIds(corpus, idCol, textCol, benchmark, benchTextCol, n,
           broadcastBenchmark)
         .withColumn("__contam_hit", lit(true))
-    corpus.join(hits, Seq(idCol), "left")
+    // null-safe join key: a NULL-id contaminated row must keep its flag
+    // (a plain equi-join never matches NULL and would silently clear it,
+    // breaking the "collisions only ADD flags" guarantee)
+    val h = hits.withColumnRenamed(idCol, "__contam_id")
+    corpus.join(h, corpus(idCol) <=> h("__contam_id"), "left")
       .withColumn("contaminated", coalesce(col("__contam_hit"), lit(false)))
-      .drop("__contam_hit")
+      .drop("__contam_hit", "__contam_id")
   }
 }

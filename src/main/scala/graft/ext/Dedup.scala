@@ -26,20 +26,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Dedup {
 
   /**
-   * Exact dedup: group by `keys`, keep the row with the minimum
-   * `tieBreak` value, report the number of copies. One hash-aggregate
-   * shuffle on the key columns; map-side partial aggregation applies.
+   * Exact-dedup SUMMARY: one row per `keys` group carrying the minimum
+   * `tieBreak` value (`keep_<tieBreak>` — the survivor's id, not its full
+   * row) and the number of copies; join back on the keys to materialize
+   * surviving rows. One hash-aggregate shuffle on the key columns;
+   * map-side partial aggregation applies.
    */
   def exact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(
         min(col(tieBreak)).as("keep_" + tieBreak),
         count(lit(1)).as("copies"))
-
-  /** (id, shingle) inverted-index rows: distinct word n-grams per doc. */
-  def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"), TextAnalysis.shingles(col(textCol), n).as("sh"))
-      .select(col("doc"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
 
   /** Spread a narrow input across the cluster before a CPU-heavy map
    *  stage: a single-file corpus otherwise shingles on ONE core while 31
@@ -184,10 +181,18 @@ object Dedup {
     // signature row is doc + numHashes longs, far smaller than the text.
     // Shingling goes through the no-allocation hashedShingles kernel;
     // minhash permutes the pre-hashed longs directly.
-    val sigs = ckpt(widen(df).select(
-      col(idCol).as("doc"),
-      functions.minhashSignature(
-        functions.hashedShingles(col(textCol), shingleSize), numHashes, seed).as("sig")))
+    // docs with NULL text or fewer than `shingleSize` tokens have NO
+    // shingles: their signatures would be the all-MaxValue constant, so
+    // every such doc would collide in every band and be reported as a
+    // perfect duplicate of every other (and a NULL key would quadratically
+    // self-join one band bucket). They cannot be near-dups — drop them.
+    val sigs = ckpt(widen(df)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        functions.hashedShingles(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc"),
+        functions.minhashSignature(col("__sh"), numHashes, seed).as("sig")))
 
     // band rows: (band index, hash of the band's slice, doc) — ids only;
     // shuffling the 64-long signatures through the self-join would move
@@ -255,8 +260,12 @@ object Dedup {
       s"$chunks-chunk pigeonhole supports maxHamming <= ${chunks - 1}")
     val w = 64 / chunks
     val mask = (1L << w) - 1
-    val hashed = df.select(col(idCol).as("doc"),
-      functions.simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
+    // NULL-text docs hash to NULL and would share every pigeonhole key
+    // (xxhash64 skips null children) — a quadratic bucket; drop them
+    val hashed = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        functions.simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
     // one 64-bit key per (chunks - maxHamming)-subset of slices: xxhash64
     // over (subset ordinal, slice values...)
     val combos = (0 until chunks).combinations(chunks - maxHamming).toSeq

@@ -94,9 +94,13 @@ object Similarity {
       iters: Int = 5,
       sampleN: Int = 10000): Array[Array[Float]] = {
     require(nlist >= 1, "nlist must be >= 1")
+    // deterministic UNBIASED sample: smallest-N by id hash (TakeOrdered:
+    // per-partition top-N, no shuffle). Ordering by raw id would train
+    // the quantizer on the oldest documents only when ids track ingest
+    // time — the usual case — and skew centroids away from newer data.
     val sample = corpus.select(col(idCol), col(vecCol))
       .where(col(vecCol).isNotNull)
-      .orderBy(col(idCol)).limit(sampleN)
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
       .collect().map(_.getSeq[Float](1).toArray)
     require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
     def normalized(v: Array[Float]): Array[Float] = {

@@ -40,7 +40,12 @@ object VecKernels {
       var bestScore = Double.NegativeInfinity
       var j = 0
       while (j < k) {
-        if (!taken(j) && scores(j) > bestScore) { best = j; bestScore = scores(j) }
+        // NaN scores (corrupt embedding component) compare false against
+        // everything; keep the first untaken list as fallback so one bad
+        // vector degrades to arbitrary-but-valid probes, not a crash
+        if (!taken(j) && (best == -1 || scores(j) > bestScore)) {
+          best = j; bestScore = scores(j)
+        }
         j += 1
       }
       taken(best) = true

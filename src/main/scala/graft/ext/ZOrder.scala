@@ -18,13 +18,16 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object ZOrder {
 
-  private val Bits = 16
+  /** Bits per column: capped so the interleaved key never reaches bit 63
+   *  — the long SIGN bit, which would make rows with a high top-column
+   *  bucket sort NEGATIVE and split the curve (4 columns: 15 bits each). */
+  private def bitsFor(n: Int): Int = math.min(16, 63 / n)
 
   /** Bit-interleaved Morton value of pre-bucketed columns (each in
-   *  [0, 2^16)). */
-  private def interleave(buckets: Seq[Column]): Column = {
+   *  [0, 2^bits)). */
+  private def interleave(buckets: Seq[Column], bits: Int): Column = {
     val n = buckets.size
-    (0 until Bits).flatMap { j =>
+    (0 until bits).flatMap { j =>
       buckets.zipWithIndex.map { case (b, i) =>
         // bit j of bucket i lands at position j*n + i
         shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * n + i)
@@ -35,21 +38,24 @@ object ZOrder {
   /** Repartition+sort `df` along the z-curve of `cols`. */
   def cluster(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
     require(cols.size >= 2 && cols.size <= 4, "z-order needs 2..4 columns")
+    val bits = bitsFor(cols.size)
     // global per-column bounds (driver-side scalars; one metadata-light agg)
-    val bounds = df.agg(
-      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"__min_$c"),
-        max(col(c).cast("double")).as(s"__max_$c"))).head,
-      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"__min_$c"),
-        max(col(c).cast("double")).as(s"__max_$c"))).tail: _*).head()
+    val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"__min_$c"),
+      max(col(c).cast("double")).as(s"__max_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    // an empty frame (or an all-NULL column) has no bounds — clustering
+    // is meaningless, and getDouble would NPE; return the frame as-is
+    // (OPTIMIZE ZORDER on an empty table becomes a clean no-op commit)
+    if ((0 until 2 * cols.size).exists(bounds.isNullAt)) return df
     val buckets = cols.zipWithIndex.map { case (c, i) =>
       val lo = bounds.getDouble(2 * i)
       val hi = bounds.getDouble(2 * i + 1)
       val span = math.max(hi - lo, 1e-12)
       least(greatest(
-        (((col(c).cast("double") - lit(lo)) / lit(span)) * lit((1 << Bits) - 1)).cast("long"),
-        lit(0L)), lit((1L << Bits) - 1))
+        (((col(c).cast("double") - lit(lo)) / lit(span)) * lit((1 << bits) - 1)).cast("long"),
+        lit(0L)), lit((1L << bits) - 1))
     }
-    df.withColumn("__z", interleave(buckets))
+    df.withColumn("__z", interleave(buckets, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -599,6 +599,43 @@ class ExtSpec extends SparkSpec {
     assert(bins === Map((0L, 0) -> 2L, (0L, 1) -> 1L, (1L, 0) -> 1L, (1L, 1) -> 1L))
   }
 
+  test("pair miners exclude shingle-less and NULL-text docs (no false dups)") {
+    // two distinct one-word docs share ZERO 3-gram shingles: their empty
+    // signatures must not collide into a "perfect duplicate" pair
+    val short = Seq((1L, "hello"), (2L, "goodbye"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    assert(Dedup.minhashPairs(short, "id", "text").count() === 0)
+    assert(Dedup.simhashPairs(short, "id", "text").count() === 0)
+    // dedupNearDuplicates must keep both short docs
+    val kept = Dedup.dedupNearDuplicates(short.filter(col("id") < 3), "id", "text")
+    assert(kept.count() === 2)
+  }
+
+  test("decontamination flags NULL-id rows too (null-safe join)") {
+    val corpus = Seq(
+      (java.lang.Long.valueOf(1L), "totally clean text here nothing shared at all ok"),
+      (null.asInstanceOf[java.lang.Long], "the secret benchmark passage appears here today"))
+      .toDF("id", "text")
+    val bench = Seq("the secret benchmark passage appears here today".toString)
+      .toDF("text")
+    val flagged = Decontaminate.flag(corpus, "id", "text", bench, "text", n = 5)
+      .select(col("id"), col("contaminated"))
+      .collect().map(r => (Option(r.get(0)), r.getBoolean(1))).toSet
+    assert(flagged === Set((Some(1L), false), (None, true)), s"got $flagged")
+  }
+
+  test("zorder cluster no-ops on empty frames and NaN probes don't crash IVF") {
+    val empty = spark.range(0).selectExpr("id AS a", "id AS b")
+    assert(ZOrder.cluster(empty, Seq("a", "b"), numFiles = 4).count() === 0)
+    // a corrupt NaN embedding degrades to arbitrary probes, not a crash
+    val vecs = (0 until 20).map(i => (i.toLong, Array(i.toFloat, 1.0f))) :+
+      (99L, Array(Float.NaN, 1.0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val r = Similarity.ivfTopK(df, df.filter(col("vec_id") === 99), "vec_id",
+      "embedding", k = 3, nlist = 4, nProbe = 4)
+    assert(r.count() >= 0) // executed without throwing
+  }
+
   test("capPerGroup == single-window model (seeded random with ties)") {
     val rnd = new scala.util.Random(8131L)
     // few distinct scores force ties → the doc-id tie-break must decide
