@@ -74,7 +74,12 @@ object Multimodal {
    *  block of `frameBytes` bytes, as array<binary>. Pure expression —
    *  no decode, no shuffle. */
   def frameSample(video: Column, frameBytes: Int, everyN: Int): Column = {
-    val nFrames = floor(length(video) / (frameBytes * everyN)).cast("int")
+    // frames = full frameBytes blocks in the payload; sampled = every
+    // everyN-th of those, INCLUDING a trailing one (flooring the payload
+    // by frameBytes*everyN would drop up to everyN-1 complete frames)
+    val fullFrames = floor(length(video) / frameBytes).cast("int")
+    val nFrames = when(fullFrames > 0,
+      floor((fullFrames - 1) / everyN).cast("int") + 1).otherwise(lit(0))
     when(nFrames > 0,
       transform(sequence(lit(0), nFrames - 1),
         i => substring(video, (i * frameBytes * everyN + 1).cast("int"), lit(frameBytes))))
@@ -85,7 +90,11 @@ object Multimodal {
    *  on metadata columns — the physical resample belongs in the decode
    *  batch, this computes the target geometry. */
   def resizeTarget(width: Column, height: Column, maxDim: Int): (Column, Column) = {
-    val scale = lit(maxDim.toDouble) / greatest(width, height).cast("double")
+    // nullif: a 0x0 metadata row would DIVIDE_BY_ZERO under ANSI mode;
+    // it resolves to a (0, 0) plan instead
+    val scale = coalesce(
+      lit(maxDim.toDouble) / nullif(greatest(width, height).cast("double"), lit(0.0)),
+      lit(0.0))
     val clamped = least(scale, lit(1.0))
     (ceil(width * clamped).cast("int"), ceil(height * clamped).cast("int"))
   }

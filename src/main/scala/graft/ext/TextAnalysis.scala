@@ -139,8 +139,10 @@ object TextAnalysis {
   /** Fraction of non-alphanumeric, non-space characters (punctuation/
    *  symbol density — high values flag boilerplate and markup). */
   def punctRatio(text: Column): Column =
-    round(length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
-      .cast("double") / length(text), 6)
+    // nullif guard: an empty document would DIVIDE_BY_ZERO under Spark
+    // 4's default ANSI mode; score it 0 instead of failing the job
+    coalesce(round(length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
+      .cast("double") / nullif(length(text), lit(0)), 6), lit(0.0))
 
   /** Fraction of tokens found in `stopwords` (default: the English
    *  markers) — natural prose sits well above machine-generated or

@@ -163,7 +163,7 @@ object Scd2 {
     val w = Window.partitionBy(col("id")).orderBy(col("valid_from"))
     val src = unioned
       .withColumn("eff_from", lead(col("valid_from"), 1).over(w))
-      .withColumn("valid_to", coalesce(col("eff_from"), lit(null)).cast(TimestampType))
+      .withColumn("valid_to", col("eff_from"))
       .withColumn("iscurrent", when(col("eff_from").isNull, 1).otherwise(0).cast(IntegerType))
       .drop("eff_from")
 

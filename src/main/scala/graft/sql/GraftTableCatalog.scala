@@ -90,8 +90,12 @@ class GraftTableCatalog extends TableCatalog {
    *  here (snapshot isolation made queryable, SURVEY.md §2.1 S2). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
-    new GraftTable(SnapshotTable(spark, rootFor(ident)), ident,
-      pinnedVersion = Some(version.toLong))
+    val t = SnapshotTable(spark, rootFor(ident))
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"VERSION AS OF needs an integer version, got '$version'"))
+    require(v >= 0 && v <= t.currentVersion(),
+      s"table ${ident.name} has no version $v (latest: ${t.currentVersion()})")
+    new GraftTable(t, ident, pinnedVersion = Some(v))
   }
 
   /** Timestamp time travel: `SELECT … FROM graft.db.t TIMESTAMP AS OF
@@ -136,6 +140,17 @@ class GraftTableCatalog extends TableCatalog {
         s"bucket($n, ${t.references.head.fieldNames.mkString(".")})"
       case other => throw new UnsupportedOperationException(
         s"unsupported partition transform for graft tables: $other")
+    }
+    // A user-supplied LOCATION that differs from the warehouse layout
+    // cannot be honored (loadTable derives the root from the identifier);
+    // silently writing somewhere else would strand the user's path empty
+    Option(properties.get(TableCatalog.PROP_LOCATION)).foreach { loc =>
+      val want = new Path(rootFor(ident)).toUri.getPath
+      val got = new Path(loc).toUri.getPath
+      if (got != want) throw new UnsupportedOperationException(
+        s"graft tables live at <warehouse>/<ns>/<name> ($want); " +
+          s"custom LOCATION '$loc' is not supported — use CONVERT TO GRAFT " +
+          "or the path-based format(\"graft-table\") for external roots")
     }
     // Spark mixes engine-reserved entries (provider, location, owner, …)
     // into the properties map; persist only genuine user TBLPROPERTIES.
@@ -184,15 +199,26 @@ class GraftTableCatalog extends TableCatalog {
       org.apache.spark.sql.types.StructField(
         c.fieldNames.head, c.dataType, nullable = true)
     }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d.fieldNames.head }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
+    // Pre-validate EVERY statically-checkable change before the first
+    // commit: each sub-change commits separately, so a doomed later
+    // change must not leave earlier ones durably applied. (A
+    // data-dependent failure — e.g. a CHECK constraint scan — can still
+    // interrupt the sequence; sub-changes remain individually atomic.)
+    val fields = t.schema.fieldNames
+    (drops ++ renames.map(_.fieldNames.head)).foreach { c =>
+      require(fields.exists(_.equalsIgnoreCase(c)),
+        s"ALTER TABLE ${ident.name}: no such column: $c")
+    }
+    widens.foreach(u => t.validateWidening(u.fieldNames.head, u.newDataType))
     if (sets.nonEmpty) t.setProperties(sets.toMap)
     if (unsets.nonEmpty) t.unsetProperties(unsets)
     if (adds.nonEmpty) t.addColumns(adds)
-    val drops = changes.collect { case d: TableChange.DeleteColumn => d.fieldNames.head }
     if (drops.nonEmpty) t.dropColumns(drops)
-    changes.collect { case r: TableChange.RenameColumn => r }
-      .foreach(r => t.renameColumn(r.fieldNames.head, r.newName))
-    changes.collect { case u: TableChange.UpdateColumnType => u }
-      .foreach(u => t.widenColumnType(u.fieldNames.head, u.newDataType))
+    renames.foreach(r => t.renameColumn(r.fieldNames.head, r.newName))
+    widens.foreach(u => t.widenColumnType(u.fieldNames.head, u.newDataType))
     new GraftTable(t, ident)
   }
 

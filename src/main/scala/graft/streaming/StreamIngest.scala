@@ -28,7 +28,7 @@ object StreamIngest {
   private val StreamAction = "stream-(\\d+)".r
 
   private[streaming] def lastStreamBatch(table: SnapshotTable): Option[Long] =
-    table.manifestAction() match {
+    table.findRecentAction(_.startsWith("stream-")) match {
       case Some(StreamAction(id)) => Some(id.toLong)
       case _ => None
     }
@@ -83,13 +83,14 @@ object StreamIngest {
       tsCol: String,
       keyCol: String,
       window: String = "1 minute",
-      watermark: String = "2 minutes"): DataFrame =
+      watermark: String = "2 minutes",
+      valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(
         org.apache.spark.sql.functions.window(col(tsCol), window).as("w"),
         col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
       .select(
         col("w.start").as("window_start"),
         col("w.end").as("window_end"),
@@ -137,14 +138,19 @@ object StreamIngest {
       tsCol: String,
       userCol: String,
       gapMs: Long = 30 * 60 * 1000L,
-      watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[Session] = {
+      watermark: String = "10 minutes",
+      valueCol: String = "value"): org.apache.spark.sql.Dataset[Session] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
       .select(col(userCol).cast("long").as("__u"),
         col(tsCol).cast("timestamp").as("__ts"),
-        col("value").cast("double").as("__v"))
+        // a NULL metric contributes 0 to the session sum; a NULL or
+        // non-numeric user id / NULL timestamp cannot be sessionized
+        // and would crash the non-nullable tuple encoder — drop those
+        coalesce(col(valueCol).cast("double"), lit(0.0)).as("__v"))
+      .filter(col("__u").isNotNull && col("__ts").isNotNull)
       .withWatermark("__ts", watermark) // after the cast, or the tag is lost
       .as[(Long, Timestamp, Double)]
 

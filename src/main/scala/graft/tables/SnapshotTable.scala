@@ -500,6 +500,15 @@ class SnapshotTable private (
   def manifestAction(): Option[String] =
     currentReadable().map(_._2.action)
 
+  /** Newest commit action satisfying `p`, scanning backwards with early
+   *  exit — the streaming sinks' redelivery guard must find their own
+   *  last stream commit THROUGH any interleaved maintenance commits
+   *  (compact, applyDeltas, set-properties), not just at the head. */
+  private[graft] def findRecentAction(p: String => Boolean): Option[String] =
+    listVersions().reverseIterator
+      .map(v => scala.util.Try(commitEntry(v).action).toOption)
+      .collectFirst { case Some(a) if p(a) => a }
+
   /** Replace the live file set with `keep` (paths from the current manifest,
    *  stats carried forward) plus newly-written `df` files — the
    *  copy-on-write commit used by upsert/merge (graft.ops).
@@ -779,11 +788,13 @@ class SnapshotTable private (
    *  sound unchanged: integral stats are stored in the long domain and
    *  re-parse into the double domain losslessly, so pruning keeps
    *  working without a stats rewrite. */
-  def widenColumnType(name: String, newType: DataType): SnapshotTable = {
+  /** The widening checks of [[widenColumnType]] without the commit —
+   *  multi-change ALTER statements pre-validate every change before the
+   *  first one commits, so a doomed statement leaves no partial state. */
+  private[graft] def validateWidening(name: String, newType: DataType): Unit = {
     val v = currentVersion()
     require(v >= 0, s"table $root is empty")
-    val e = commitEntry(v)
-    val committed = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+    val committed = DataType.fromJson(commitEntry(v).schemaJson).asInstanceOf[StructType]
     val field = committed.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
       throw new IllegalArgumentException(
         s"ALTER TABLE $root ALTER COLUMN: no such column: $name"))
@@ -792,6 +803,14 @@ class SnapshotTable private (
         s"${field.dataType.simpleString} -> ${newType.simpleString} is not a " +
         "lossless widening (allowed: byte/short/int -> long, " +
         "byte/short/int -> double, float -> double)")
+  }
+
+  def widenColumnType(name: String, newType: DataType): SnapshotTable = {
+    validateWidening(name, newType)
+    val v = currentVersion()
+    val e = commitEntry(v)
+    val committed = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+    val field = committed.fields.find(_.name.equalsIgnoreCase(name)).get
     val schema2 = StructType(committed.fields.map(f =>
       if (f.name == field.name) f.copy(dataType = newType) else f))
     writeCommit(v + 1, e.copy(action = "widen-type", schemaJson = schema2.json))

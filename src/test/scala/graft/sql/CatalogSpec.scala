@@ -412,6 +412,36 @@ class CatalogSpec extends SparkSpec {
     assert(hasLocalRelation(cnt) && cnt.as[Long].head() === 301L)
   }
 
+  test("a doomed multi-change ALTER leaves no partial state") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    spark.sql("CREATE TABLE graft.alterns.pv (id INT, v STRING) USING parquet")
+    spark.sql("INSERT INTO graft.alterns.pv VALUES (1, 'a')")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftTableCatalog]
+    val ident = Identifier.of(Array("alterns"), "pv")
+    val before = spark.sql("SHOW TBLPROPERTIES graft.alterns.pv").count()
+    // SetProperty would succeed alone; the invalid narrowing must stop
+    // the whole statement BEFORE the property commits
+    intercept[Exception](cat.alterTable(ident,
+      TableChange.setProperty("graft.note", "x"),
+      TableChange.updateColumnType(Array("id"),
+        org.apache.spark.sql.types.ByteType))) // int -> byte: narrowing
+    assert(spark.sql("SHOW TBLPROPERTIES graft.alterns.pv").count() === before)
+    // same for a typo'd drop column
+    intercept[Exception](cat.alterTable(ident,
+      TableChange.setProperty("graft.note", "x"),
+      TableChange.deleteColumn(Array("nope"), false)))
+    assert(spark.sql("SHOW TBLPROPERTIES graft.alterns.pv").count() === before)
+  }
+
+  test("VERSION AS OF rejects junk versions with a clear error") {
+    spark.sql("CREATE TABLE graft.alterns.tt (id INT) USING parquet")
+    spark.sql("INSERT INTO graft.alterns.tt VALUES (1)")
+    val bad = intercept[Exception](
+      spark.sql("SELECT * FROM graft.alterns.tt VERSION AS OF 999").collect())
+    assert(bad.getMessage.contains("no version"), bad.getMessage)
+  }
+
   test("TRUNCATE TABLE empties the table as a new versioned commit") {
     Seq((1, "a"), (2, "b")).toDF("id", "v").writeTo("graft.db.trunc").createOrReplace()
     spark.sql("TRUNCATE TABLE graft.db.trunc")

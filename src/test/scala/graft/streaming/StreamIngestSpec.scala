@@ -266,6 +266,18 @@ class StreamIngestSpec extends SparkSpec {
     assert(se.getMessage.contains("user-specified schema"))
   }
 
+  test("redelivery guard sees its stream commit through interleaved maintenance") {
+    val t = SnapshotTable.create(spark, tmpDir("stream_guard"),
+      Seq((1, "a")).toDF("id", "v"))
+    t.appendAs(Seq((2, "b")).toDF("id", "v"), "stream-42")
+    // maintenance commits land AFTER the stream commit
+    t.setProperties(Map("graft.note" -> "x"))
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    // the guard must still recognize batch 42 as already committed — a
+    // head-only check would re-apply a redelivered batch here
+    assert(StreamIngest.lastStreamBatch(t) === Some(42L))
+  }
+
   test("streaming read source fails loudly when the table schema changes mid-stream") {
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
     val t = SnapshotTable.create(spark, tmpDir("streamsrc_schema"),
