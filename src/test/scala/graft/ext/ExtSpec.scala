@@ -274,7 +274,17 @@ class ExtSpec extends SparkSpec {
     val df = Seq((1L, Array.tabulate(100)(_.toByte))).toDF("id", "media")
     val frames = df.select(Multimodal.frameSample(col("media"), frameBytes = 10, everyN = 2).as("f"))
       .select(size(col("f")).as("n"), col("f")).first()
-    assert(frames.getInt(0) === 5) // 100 / (10*2)
+    assert(frames.getInt(0) === 5) // frames at 0,20,40,60,80
+    // trailing complete frame is kept: blocks at 0,30,60,90 all fit —
+    // flooring by frameBytes*everyN would have dropped the one at 90
+    val odd = df.select(size(Multimodal.frameSample(col("media"), 10, 3)).as("n"))
+      .as[Int].head()
+    assert(odd === 4)
+    // empty docs under ANSI: ratio guards return 0 instead of throwing
+    val ratios = Seq((1L, "")).toDF("id", "text")
+      .select(TextAnalysis.punctRatio(col("text")).as("p"))
+      .as[Double].head()
+    assert(ratios === 0.0)
   }
 
   test("multimodal features feed similarity search (pipeline composition)") {
