@@ -112,7 +112,10 @@ object Similarity {
       while (i < v.length) { out(i) = (v(i) * inv).toFloat; i += 1 }
       out
     }
-    val unit = sample.map(normalized)
+    // a single NaN component would poison its centroid and, through it,
+    // every later assignment — corrupt vectors don't get a vote
+    val unit = sample.filterNot(_.exists(_.isNaN)).map(normalized)
+    require(unit.nonEmpty, "cannot train IVF centroids: all sampled vectors are NaN")
     val k = math.min(nlist, unit.length)
     // deterministic spread init: every (n/k)-th sample vector
     var cents = Array.tabulate(k)(i => unit((i.toLong * unit.length / k).toInt).clone())

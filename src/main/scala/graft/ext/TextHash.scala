@@ -65,15 +65,26 @@ object TextHash {
   /** MinHash signature: for hash function i, min over tokens of
    *  `a_i * xxh64(token) + b_i` (odd multipliers from the seed stream).
    *  Estimated Jaccard of two docs = fraction of equal components. */
+  /** (a_i, b_i) coefficient arrays per (numHashes, seed) — pure
+   *  functions of the parameters, cached so the hot loop does not
+   *  rebuild 2*numHashes hashes per ROW. */
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+  private def coeffs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent((numHashes, seed), { case (n, sd) =>
+      val as = new Array[Long](n)
+      val bs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        as(i) = XXH64.hashLong(2L * i, sd) | 1L
+        bs(i) = XXH64.hashLong(2L * i + 1, sd)
+        i += 1
+      }
+      (as, bs)
+    })
+
   def minhash(tokens: ArrayData, numHashes: Int, seed: Long): ArrayData = {
-    val as = new Array[Long](numHashes)
-    val bs = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      as(i) = XXH64.hashLong(2L * i, seed) | 1L
-      bs(i) = XXH64.hashLong(2L * i + 1, seed)
-      i += 1
-    }
+    val (as, bs) = coeffs(numHashes, seed)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val n = tokens.numElements()
     var t = 0
@@ -95,14 +106,7 @@ object TextHash {
   /** [[minhash]] over PRE-HASHED elements (array<long>, e.g.
    *  [[hashedShingles]] output) — skips the per-string xxh64. */
   def minhashLongs(hashes: ArrayData, numHashes: Int, seed: Long): ArrayData = {
-    val as = new Array[Long](numHashes)
-    val bs = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      as(i) = XXH64.hashLong(2L * i, seed) | 1L
-      bs(i) = XXH64.hashLong(2L * i + 1, seed)
-      i += 1
-    }
+    val (as, bs) = coeffs(numHashes, seed)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val n = hashes.numElements()
     var t = 0
@@ -181,7 +185,7 @@ object TextHash {
   /** Cosine similarity of two float vectors, accumulated in double,
    *  sequential order (matches columnar engines' scalar loops). */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedDim(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -190,12 +194,23 @@ object TextHash {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Mixed-dimension inputs (embeddings from different models in one
+   *  table) must fail loudly — truncating to the shorter vector would
+   *  return a plausible-looking but meaningless similarity. Zero-norm
+   *  vectors score 0.0 (not NaN, which silently fails every threshold). */
+  private def checkedDim(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na != nb) throw new IllegalArgumentException(
+      s"cosine_similarity: dimension mismatch ($na vs $nb)")
+    na
   }
 
   /** Cosine similarity of two double vectors. */
   def cosineD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedDim(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -204,7 +219,7 @@ object TextHash {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Intersection size of two string arrays that are BOTH sorted ascending
@@ -217,6 +232,10 @@ object TextHash {
     val nb = b.numElements()
     var i = 0; var j = 0; var cnt = 0
     while (i < na && j < nb) {
+      // null elements (sort_array puts them first) match nothing
+      if (a.isNullAt(i)) { i += 1 }
+      else if (b.isNullAt(j)) { j += 1 }
+      else {
       val x = a.getUTF8String(i)
       val y = b.getUTF8String(j)
       val c = x.compareTo(y)
@@ -228,6 +247,7 @@ object TextHash {
         while (j < nb && b.getUTF8String(j).compareTo(y) == 0) j += 1
       } else if (c < 0) i += 1
       else j += 1
+      }
     }
     cnt
   }
@@ -239,6 +259,10 @@ object TextHash {
     val nb = b.numElements()
     var i = 0; var j = 0; var cnt = 0
     while (i < na && j < nb) {
+      // null slots read as 0 and would count spurious 0==0 matches
+      if (a.isNullAt(i)) { i += 1 }
+      else if (b.isNullAt(j)) { j += 1 }
+      else {
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x == y) {
@@ -248,6 +272,7 @@ object TextHash {
         while (j < nb && b.getLong(j) == y) j += 1
       } else if (x < y) i += 1
       else j += 1
+      }
     }
     cnt
   }
@@ -255,16 +280,40 @@ object TextHash {
   /** Random-hyperplane LSH bucket for a float vector: bit i = sign of the
    *  dot product with a deterministic ±1 hyperplane derived from
    *  xxh64(plane, dim). Cosine-similar vectors land in equal/near buckets. */
+  /** planes x d ±1 sign matrix per (planes, seed, d) — row-independent,
+   *  cached: rebuilding planes*d hashes per ROW dominated the kernel. */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long, Int), Array[Double]]()
+  private def signs(planes: Int, seed: Long, d: Int): Array[Double] =
+    signCache.computeIfAbsent((planes, seed, d), { case (p0, sd, dim) =>
+      val m = new Array[Double](p0 * dim)
+      var p = 0
+      while (p < p0) {
+        var i = 0
+        while (i < dim) {
+          m(p * dim + i) =
+            if ((XXH64.hashLong(p.toLong * 1000003L + i, sd) & 1L) == 0L) 1.0 else -1.0
+          i += 1
+        }
+        p += 1
+      }
+      m
+    })
+
   def hyperplaneBucketF(v: ArrayData, planes: Int, seed: Long): Long = {
+    // 1..64: a shift past 63 wraps mod 64 and silently corrupts buckets;
+    // 0 planes would put the whole corpus in one quadratic bucket
+    require(planes >= 1 && planes <= 64, s"planes must be in 1..64, got $planes")
     val d = v.numElements()
+    val m = signs(planes, seed, d)
     var out = 0L
     var p = 0
     while (p < planes) {
       var dot = 0.0
       var i = 0
+      val base = p * d
       while (i < d) {
-        val sign = if ((XXH64.hashLong(p.toLong * 1000003L + i, seed) & 1L) == 0L) 1.0 else -1.0
-        dot += sign * v.getFloat(i)
+        dot += m(base + i) * v.getFloat(i)
         i += 1
       }
       if (dot >= 0) out |= (1L << p)

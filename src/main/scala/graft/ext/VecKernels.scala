@@ -28,6 +28,9 @@ object VecKernels {
         dot += v.getFloat(i).toDouble * c(i)
         i += 1
       }
+      // NaN (corrupt component) compares false against everything and
+      // would otherwise hijack or freeze the selection below
+      if (dot.isNaN) dot = Double.NegativeInfinity
       scores(ci) = dot
       ci += 1
     }

@@ -52,6 +52,9 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
+      case _ if numHashes < 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash needs numHashes >= 1, got $numHashes")
       case ArrayType(_: StringType, _) | ArrayType(LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -74,7 +77,9 @@ case class HashedShingles(child: Expression, n: Int, seed: Long)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType.isInstanceOf[StringType]) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    if (n < 1) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles needs n >= 1, got $n") // n=0 would hash every doc to [seed]
+    else if (child.dataType.isInstanceOf[StringType]) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"hashed_shingles needs a string column, got ${child.dataType.sql}")
   override protected def nullSafeEval(input: Any): Any =
@@ -149,6 +154,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
  *  row, no UDF, no per-row broadcast lookup. */
 case class NearestLists(child: Expression, centroids: Array[Array[Float]], nProbe: Int)
     extends UnaryExpression {
+  // case-class equality on Array fields is REFERENCE equality, which
+  // breaks canonicalization/subexpression elimination for equal-but-
+  // distinct centroid matrices — compare content instead
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestLists =>
+      child == o.child && nProbe == o.nProbe &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]], o.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(nProbe),
+      Integer.valueOf(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -172,6 +190,9 @@ case class HyperplaneBucket(child: Expression, planes: Int, seed: Long)
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
+      case _ if planes < 1 || planes > 64 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_bucket needs planes in 1..64, got $planes")
       case ArrayType(FloatType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"hyperplane_bucket needs array<float>, got ${other.sql}")
