@@ -61,6 +61,24 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r(2) - 24.0 / 25.0) < 1e-12)
   }
 
+  test("kernel guards: cosine dims, zero norms, LSH/shingle parameters") {
+    // mixed embedding dimensions fail loudly, not truncate-and-guess
+    val mixed = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f, 0.0f))).toDF("a", "b")
+    val e = intercept[Exception](
+      mixed.select(functions.cosineSimilarity(col("a"), col("b"))).collect())
+    assert(e.getMessage.contains("dimension mismatch"))
+    // zero-norm vectors score 0.0, not NaN (NaN fails every threshold silently)
+    val zero = Seq((Array(0.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+      .select(functions.cosineSimilarity(col("a"), col("b"))).as[Double].head()
+    assert(zero === 0.0)
+    // parameter validation happens at analysis time
+    intercept[Exception](docs.select(functions.hashedShingles(col("text"), 0)).collect())
+    intercept[Exception](docs.select(functions.minhashSignature(
+      TextAnalysis.tokens(col("text")), numHashes = 0)).collect())
+    intercept[Exception](Seq((1L, Array(1.0f))).toDF("id", "v")
+      .select(functions.hyperplaneBucket(col("v"), planes = 65)).collect())
+  }
+
   // ------------------------------------------------------------------ dedup
 
   test("exact dedup keeps min tie-break and counts copies") {
