@@ -1197,6 +1197,31 @@ object SparkEntry {
       |SELECT d.doc_id, coalesce(f.dup_ngram_frac, 0.0) AS dup_ngram_frac
       |FROM documents d LEFT JOIN f USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** Q63 — deterministic train/val/test split assignment
+   *  ([[ext.Sampling.assignSplits]], 80/10/10 by id hash): every row's
+   *  label is pure BIGINT arithmetic, replayed exactly by the oracle —
+   *  a rebuilt corpus assigns every document to the identical split. */
+  private def splitQuery(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.assignSplits(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id")
+  private val Q63Duck = {
+    val m = ext.Sampling.Modulus
+    val a = ext.Sampling.Mult
+    val salt = ext.Sampling.DefaultSalt
+    def thr(f: Double) = ext.Sampling.threshold(f)
+    s"""SELECT doc_id,
+       |  CASE WHEN b < ${thr(0.8)} THEN 'train'
+       |       WHEN b < ${thr(0.9)} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id,
+       |    (((doc_id % $m) * $a + $salt) % $m * $a + $salt) % $m AS b
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Q43 — Z-order clustered snapshot + stats-pruned scan: cluster orders
    *  along the (o_custkey, o_orderkey) Morton curve, commit, point-scan
    *  on the clustered key. Oracle = the plain filter. */
@@ -1315,7 +1340,8 @@ object SparkEntry {
     "q59_vocabulary" -> vocabQuery,
     "q60_top_items" -> topItemsQuery,
     "q61_pack_sequences" -> packSeqQuery,
-    "q62_dup_ngram_frac" -> dupSpanQuery)
+    "q62_dup_ngram_frac" -> dupSpanQuery,
+    "q63_split_assign" -> splitQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1377,7 +1403,8 @@ object SparkEntry {
     "q59_vocabulary" -> Q59Duck,
     "q60_top_items" -> Q60Duck,
     "q61_pack_sequences" -> Q61Duck,
-    "q62_dup_ngram_frac" -> Q62Duck)
+    "q62_dup_ngram_frac" -> Q62Duck,
+    "q63_split_assign" -> Q63Duck)
   // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN values
   // are not SQL-expressible → driver records the weaker rows-only check
   // for them; their SEMANTICS are oracled through q49's recall/precision

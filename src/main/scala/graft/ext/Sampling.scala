@@ -75,6 +75,35 @@ object Sampling {
   }
 
   /**
+   * Deterministic train/val/test split assignment: every row gets a
+   * `split` label decided purely by its id hash against cumulative
+   * fraction cutoffs — the same row lands in the same split on every
+   * run, engine, and cluster size (the property an eval set must have:
+   * a val document must never drift into train on a rebuild). Fractions
+   * must sum to 1 (±1e-9); labels are assigned in the given order, so
+   * `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)` maps buckets
+   * [0, .9) / [.9, .95) / [.95, 1). Map-side projection — no shuffle.
+   */
+  def assignSplits(
+      df: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      salt: Long = DefaultSalt): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0),
+      "assignSplits needs non-negative fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail.map(threshold)
+    val bucket = hashBucket(col(idCol), salt)
+    // last label as the fall-through so rounding at the top edge cannot
+    // leave a row unlabeled
+    val label = fractions.init.zip(cuts).foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), cut), elseCol) => when(bucket < lit(cut), lit(name)).otherwise(elseCol)
+    }
+    df.withColumn("split", label)
+  }
+
+  /**
    * Per-group capping — "keep at most `n` documents per domain, best
    * first" — the heavy-hitter-domain control every web-corpus build runs
    * (a handful of boilerplate-heavy domains otherwise dominate the

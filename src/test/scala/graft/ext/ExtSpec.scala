@@ -454,6 +454,24 @@ class ExtSpec extends SparkSpec {
     assert(mixed.count() === 5000)
   }
 
+  test("assignSplits: deterministic, rate-accurate, exhaustive labeling") {
+    val ids = spark.range(0, 10000).toDF("id")
+    val splits = Sampling.assignSplits(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = splits.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test")) // every row labeled
+    assert(counts.values.sum === 10000L)
+    assert(math.abs(counts("train") - 8000L) < 300, s"got $counts")
+    assert(math.abs(counts("val") - 1000L) < 150 && math.abs(counts("test") - 1000L) < 150)
+    // stable run-to-run and disjoint from sample(): the 80% train set is
+    // exactly the ids the same-salt 0.8-fraction sample keeps
+    val train = splits.filter(col("split") === "train").select("id").as[Long].collect().toSet
+    val sampled = Sampling.sample(ids, "id", 0.8).as[Long].collect().toSet
+    assert(train === sampled)
+    intercept[IllegalArgumentException](
+      Sampling.assignSplits(ids, "id", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
   test("capPerGroup: two-phase top-k equals the single-window rank, any layout") {
     // skewed fixture: a hot group that would swamp one reducer, a cold one
     val rows = (0L until 1000L).map(i => (i, "hot", (i * 37 % 100).toDouble)) ++
