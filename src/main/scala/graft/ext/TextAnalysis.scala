@@ -67,7 +67,9 @@ object TextAnalysis {
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
   }
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** `size(tokens(text))` via the zero-allocation byte-scan kernel —
+   *  the token array is never materialized just to be counted. */
+  def tokenCount(text: Column): Column = functions.spaceTokenCount(text)
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
@@ -83,9 +85,14 @@ object TextAnalysis {
     size(filter(regexp_extract_all(text, lit(BpePattern), lit(0)),
       t => trim(t) =!= ""))
 
-  /** Mean token length in characters (double). */
-  def avgTokenLength(text: Column): Column =
-    length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
+  /** Mean token length in characters (double). Non-space char count =
+   *  total chars − spaces = length − (tokens − 1); pure arithmetic over
+   *  the counting kernel, replacing a regexp_replace that allocated a
+   *  space-stripped copy of every document. */
+  def avgTokenLength(text: Column): Column = {
+    val nTok = functions.spaceTokenCount(text)
+    (length(text) - (nTok - lit(1))).cast("double") / nTok
+  }
 
   /** Distinct word n-gram shingles ("a b c" style), the dedup unit. */
   def shingles(text: Column, n: Int): Column = {
@@ -137,23 +144,26 @@ object TextAnalysis {
   }
 
   /** Fraction of non-alphanumeric, non-space characters (punctuation/
-   *  symbol density — high values flag boilerplate and markup). */
+   *  symbol density — high values flag boilerplate and markup).
+   *  Numerator is the [[functions.punctCount]] counting kernel — one
+   *  byte-level pass, no rewritten copy of the document (the
+   *  regexp_replace form allocated a Matcher + rewritten string per row
+   *  and was the suite's slowest scalar at sf0.1). */
   def punctRatio(text: Column): Column =
     // nullif guard: an empty document would DIVIDE_BY_ZERO under Spark
     // 4's default ANSI mode; score it 0 instead of failing the job
-    coalesce(round(length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
+    coalesce(round(functions.punctCount(text)
       .cast("double") / nullif(length(text), lit(0)), 6), lit(0.0))
 
   /** Fraction of tokens found in `stopwords` (default: the English
    *  markers) — natural prose sits well above machine-generated or
-   *  keyword-stuffed text. */
+   *  keyword-stuffed text. Both counts are single-pass byte kernels;
+   *  no token-array materialization. */
   def stopwordRatio(
       text: Column,
-      stopwords: Seq[String] = langMarkers.head._2): Column = {
-    val stops = array(stopwords.map(lit): _*)
-    round(size(filter(tokens(text), t => array_contains(stops, t)))
-      .cast("double") / size(tokens(text)), 6)
-  }
+      stopwords: Seq[String] = langMarkers.head._2): Column =
+    round(functions.stopwordHits(text, stopwords)
+      .cast("double") / functions.spaceTokenCount(text), 6)
 
   /**
    * Quality score in [0,1]: penalizes extreme repetition (low distinct

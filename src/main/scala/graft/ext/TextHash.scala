@@ -182,6 +182,127 @@ object TextHash {
       if (m + 1 == nSh) out else java.util.Arrays.copyOf(out, m + 1))
   }
 
+  /** ASCII classification for [[punctCount]]: true = the byte is a
+   *  letter, digit, or whitespace (java-regex `\s` = [ \t\n\x0B\f\r]) —
+   *  i.e. NOT punctuation. Table lookup keeps the hot loop branchless. */
+  private val asciiNonPunct: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    var c = 'a'; while (c <= 'z') { t(c) = true; c = (c + 1).toChar }
+    c = 'A'; while (c <= 'Z') { t(c) = true; c = (c + 1).toChar }
+    c = '0'; while (c <= '9') { t(c) = true; c = (c + 1).toChar }
+    Seq(' ', '\t', '\n', 0x0B.toChar, '\f', '\r').foreach(w => t(w) = true)
+    t
+  }
+
+  /** True iff the (non-ASCII) code point is neither a Unicode letter
+   *  (categories L*) nor a Unicode number (Nd/Nl/No) — the complement of
+   *  java-regex `[\p{L}\p{N}]`. Non-ASCII whitespace (e.g. U+00A0) is NOT
+   *  `\s` in java/RE2 default mode, so it counts as punctuation here,
+   *  exactly like the regex it replaces. */
+  private def isPunctCodePoint(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t != Character.UPPERCASE_LETTER && t != Character.LOWERCASE_LETTER &&
+      t != Character.TITLECASE_LETTER && t != Character.MODIFIER_LETTER &&
+      t != Character.OTHER_LETTER && t != Character.DECIMAL_DIGIT_NUMBER &&
+      t != Character.LETTER_NUMBER && t != Character.OTHER_NUMBER
+  }
+
+  /**
+   * Number of code points matching java-regex `[^\p{L}\p{N}\s]` — the
+   * punctuation/symbol count of the quality-ratio family. Semantically
+   * `length(regexp_replace(s, "[\\p{L}\\p{N}\\s]", ""))`, but a single
+   * pass over the UTF-8 bytes with ZERO allocation: no Matcher, no
+   * StringBuilder, no rewritten copy of the document — the difference
+   * between a map-stage and a multiple of the corpus scan cost at 100 TB.
+   * ASCII bytes classify via table lookup; multi-byte sequences decode
+   * inline and classify via `Character.getType`. Malformed trailing
+   * sequences count as one punctuation code point per byte (regex
+   * engines never see them; parquet strings are valid UTF-8 in practice).
+   */
+  def punctCount(s: UTF8String): Int = {
+    val nb = s.numBytes()
+    var i = 0
+    var cnt = 0
+    while (i < nb) {
+      val b = s.getByte(i)
+      if ((b & 0x80) == 0) {
+        if (!asciiNonPunct(b)) cnt += 1
+        i += 1
+      } else {
+        val len = UTF8String.numBytesForFirstByte(b)
+        if (len <= 1 || i + len > nb) { cnt += 1; i += 1 }
+        else {
+          var cp = len match {
+            case 2 => b & 0x1F
+            case 3 => b & 0x0F
+            case _ => b & 0x07
+          }
+          var k = 1
+          while (k < len) {
+            cp = (cp << 6) | (s.getByte(i + k) & 0x3F)
+            k += 1
+          }
+          if (isPunctCodePoint(cp)) cnt += 1
+          i += len
+        }
+      }
+    }
+    cnt
+  }
+
+  /** `size(split(s, " "))` without materializing the token array: the
+   *  single-space tokenizer yields exactly (number of 0x20 bytes) + 1
+   *  tokens (empty tokens included, split's limit=-1 semantics). One
+   *  byte scan, zero allocation. */
+  def spaceTokenCount(s: UTF8String): Int = {
+    val nb = s.numBytes()
+    var i = 0
+    var spaces = 0
+    while (i < nb) {
+      if (s.getByte(i) == 0x20) spaces += 1
+      i += 1
+    }
+    spaces + 1
+  }
+
+  /**
+   * Number of single-space-delimited tokens of `s` that equal one of the
+   * `stopwords` (each an UTF-8 byte array) — the numerator of
+   * [[graft.ext.TextAnalysis.stopwordRatio]]. Replaces a
+   * `filter(split(text," "), t => array_contains(...))` lambda chain
+   * (token-array allocation + per-token UTF8String boxing) with one byte
+   * scan: token spans compare length-first against the (small) stopword
+   * table, bytes only on a length hit. Exact — no hashing involved.
+   */
+  def stopwordHits(s: UTF8String, stopwords: Array[Array[Byte]]): Int = {
+    val nb = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var cnt = 0
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || s.getByte(i) == 0x20) {
+        val len = i - start
+        var k = 0
+        var hit = false
+        while (!hit && k < stopwords.length) {
+          val w = stopwords(k)
+          if (w.length == len &&
+            org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+              base, off + start, w, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len.toLong)) {
+            hit = true
+          }
+          k += 1
+        }
+        if (hit) cnt += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    cnt
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double,
    *  sequential order (matches columnar engines' scalar loops). */
   def cosineF(a: ArrayData, b: ArrayData): Double = {

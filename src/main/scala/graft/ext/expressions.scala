@@ -90,6 +90,65 @@ case class HashedShingles(child: Expression, n: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Count of code points matching `[^\p{L}\p{N}\s]` — the punctuation
+ *  numerator of [[TextAnalysis.punctRatio]]; see [[TextHash.punctCount]].
+ *  Counting kernel, never rewrites the string. */
+case class PunctCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"punct_count needs a string column, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.punctCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.TextHash.punctCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): PunctCount =
+    copy(child = newChild)
+}
+
+/** `size(split(s, " "))` as a zero-allocation byte scan — the token
+ *  count of the single-space tokenizer (empty tokens included). */
+case class SpaceTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"space_token_count needs a string column, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.spaceTokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.TextHash.spaceTokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): SpaceTokenCount =
+    copy(child = newChild)
+}
+
+/** Number of single-space tokens equal to one of `stopwords` — the
+ *  numerator of [[TextAnalysis.stopwordRatio]]. The stopword table rides
+ *  the expression as a codegen reference object (byte[][]); comparison
+ *  is exact (length-first, then bytes). */
+case class StopwordHits(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val table: Array[Array[Byte]] =
+    stopwords.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (stopwords.isEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "stopword_hits needs a non-empty stopword list")
+    else if (child.dataType.isInstanceOf[StringType]) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"stopword_hits needs a string column, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.stopwordHits(input.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwords", table, "byte[][]")
+    defineCodeGen(ctx, ev, c => s"graft.ext.TextHash.stopwordHits($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}
+
 /** Cosine similarity over array<float> or array<double>, computed in
  *  double precision. */
 case class CosineSimilarity(left: Expression, right: Expression)

@@ -18,6 +18,18 @@ object functions {
       seed: Long = TextHash.DefaultSeed): Column =
     column(MinHashSignature(expr(tokens), numHashes, seed))
 
+  /** Count of `[^\p{L}\p{N}\s]` code points (punctuation/symbols) —
+   *  single-pass counting kernel, never rewrites the string. */
+  def punctCount(text: Column): Column = column(PunctCount(expr(text)))
+
+  /** `size(split(text, " "))` without materializing the token array. */
+  def spaceTokenCount(text: Column): Column = column(SpaceTokenCount(expr(text)))
+
+  /** Number of single-space tokens of `text` found in `stopwords`
+   *  (exact byte comparison, zero allocation). */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    column(StopwordHits(expr(text), stopwords))
+
   /** Sorted distinct hashed word n-gram shingles (array<long>) of a
    *  string column — single-pass, no string allocation. */
   def hashedShingles(text: Column, n: Int,

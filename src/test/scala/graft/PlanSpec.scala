@@ -80,6 +80,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text-ratio counting kernels stay inside WholeStageCodegen (q47 shape)") {
+    SparkEntry.registerViews(spark, dir)
+    val df = spark.table("documents").select(
+      ext.TextAnalysis.punctRatio(col("text")),
+      ext.TextAnalysis.stopwordRatio(col("text")),
+      ext.TextAnalysis.avgTokenLength(col("text")))
+    val plan = executedPlanString(df)
+    assert(plan.contains("punctcount(") && plan.contains("stopwordhits(") &&
+      plan.contains("spacetokencount("), s"kernels missing from plan:\n$plan")
+    assert(plan.contains("*(1) Project ["), s"no codegen span in:\n$plan")
+    assert(!plan.contains("CodegenFallback"), s"codegen fallback in:\n$plan")
+    // the rewriting regex forms are gone from the q47 hot path
+    assert(!plan.contains("regexp_replace"), s"regex rewrite survived in:\n$plan")
+  }
+
   test("hashed shingling stays inside WholeStageCodegen") {
     SparkEntry.registerViews(spark, dir)
     val df = spark.table("documents").select(

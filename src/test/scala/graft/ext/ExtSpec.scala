@@ -402,6 +402,51 @@ class ExtSpec extends SparkSpec {
     assert(r(4L) === 0.0)
   }
 
+  test("counting kernels match the regex/lambda formulas they replaced") {
+    // the q47 hot-path kernels (punctCount / stopwordHits /
+    // spaceTokenCount) must be bit-identical to the expression forms
+    // they replaced, across ASCII, multi-byte UTF-8, unicode
+    // punctuation/numbers, NBSP, empty docs, and edge whitespace
+    val fixtures = Seq(
+      "hello, world! 42",
+      "",
+      "   ",                        // only spaces (empty tokens)
+      "the and of to is the the",   // stopword-dense
+      "héllo wörld«quoted»—dash",   // accented letters + unicode punct
+      "你好。世界！",                 // CJK + fullwidth punctuation
+      "Ⅻ ① ٣ digits",              // Nl / No / Nd unicode numbers
+      "a\tb\nc\rd",                 // non-space whitespace (\s but not tokenizer split)
+      "nbsp here",             // NBSP: punct for \s-default regex
+      "trailing space ",
+      " leading",
+      "emoji 😀 and math ∑∞",       // supplementary plane + Sm symbols
+      "the quick брown лиса")       // cyrillic letters
+    val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val stops = TextAnalysis.langMarkers.head._2
+    val stopsArr = array(stops.map(lit): _*)
+    val rows = df.select(
+      functions.punctCount(col("text")).as("pk"),
+      length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")).as("pr"),
+      functions.spaceTokenCount(col("text")).as("tk"),
+      size(split(col("text"), " ")).as("tr"),
+      functions.stopwordHits(col("text"), stops).as("sk"),
+      size(filter(split(col("text"), " "), t => array_contains(stopsArr, t))).as("sr"),
+      col("text"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1), s"punctCount mismatch on '${r.getString(6)}'")
+      assert(r.getInt(2) === r.getInt(3), s"spaceTokenCount mismatch on '${r.getString(6)}'")
+      assert(r.getInt(4) === r.getInt(5), s"stopwordHits mismatch on '${r.getString(6)}'")
+    }
+    // null text propagates null through all three kernels
+    val nulls = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(functions.punctCount(col("text")),
+        functions.spaceTokenCount(col("text")),
+        functions.stopwordHits(col("text"), stops))
+      .first()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
+  }
+
   test("bpe-ish token counting splits contractions, numbers, punctuation") {
     val df = Seq(
       (1L, "I'll pay $42.50 for it!"),
