@@ -447,11 +447,52 @@ object SparkEntry {
       |SELECT id_a, id_b FROM pairs WHERE inter*1.0/(na+nb-inter) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
-  private def simhashQuery(s: SparkSession, dir: String): DataFrame =
-    ext.Dedup.simhashPairs(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", maxHamming = 3)
+  /** Q26 — SimHash pigeonhole near-dup, structurally oracled (the q49
+   *  planted-ground-truth technique inlined): an id-shifted copy of every
+   *  document is planted, so each base doc's copy MUST surface as a
+   *  verified pair (identical text → identical simhash → Hamming 0); and
+   *  because a (chunks−maxHamming)-subset decomposition is COMPLETE for
+   *  Hamming ≤ maxHamming, the verified partner set under chunks=4 must
+   *  equal the one under chunks=8. Both facts are SF-invariant booleans
+   *  DuckDB replays; raw pair values stay covered by ExtSpec. */
+  private def simhashQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    val sim4 = ext.Dedup.simhashPairs(doubled, "doc_id", "text", maxHamming = 3, chunks = 4)
       .select(col("id_a"), col("id_b"))
-      .orderBy("id_a", "id_b")
+    val sim8 = ext.Dedup.simhashPairs(doubled, "doc_id", "text", maxHamming = 3, chunks = 8)
+      .select(col("id_a"), col("id_b"))
+    def partners(p: DataFrame) =
+      p.select(col("id_a").as("d"), col("id_b").as("p"))
+        .unionByName(p.select(col("id_b").as("d"), col("id_a").as("p")))
+    // per doubled-doc: every partner present under BOTH decompositions
+    val cons = partners(sim4).withColumn("in4", lit(1))
+      .join(partners(sim8).withColumn("in8", lit(1)), Seq("d", "p"), "full_outer")
+      .groupBy("d")
+      .agg(min(when(col("in4").isNotNull && col("in8").isNotNull, 1).otherwise(0)).as("c"))
+    // fold a doc's and its planted copy's consistency onto the base id
+    val consBase = cons
+      .withColumn("doc_id",
+        when(col("d") >= 1000000L, col("d") - 1000000L).otherwise(col("d")))
+      .groupBy("doc_id").agg(min("c").as("c"))
+    val found4 = sim4.filter(col("id_b") === col("id_a") + 1000000L)
+      .select(col("id_a").as("doc_id")).withColumn("f4", lit(1))
+    val found8 = sim8.filter(col("id_b") === col("id_a") + 1000000L)
+      .select(col("id_a").as("doc_id")).withColumn("f8", lit(1))
+    docs.select(col("doc_id"))
+      .join(found4, Seq("doc_id"), "left")
+      .join(found8, Seq("doc_id"), "left")
+      .join(consBase, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("f4").isNotNull && col("f8").isNotNull).as("planted_found"),
+        coalesce(col("c") === 1, lit(true)).as("partners_consistent"))
+      .orderBy("doc_id")
+  }
+  private val Q26Duck =
+    """SELECT doc_id, true AS planted_found, true AS partners_consistent
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   private def multimodalQuery(s: SparkSession, dir: String): DataFrame =
     ext.Multimodal.decodeImages(
@@ -465,14 +506,41 @@ object SparkEntry {
       |  3 AS channels
       |FROM documents ORDER BY asset_id""".stripMargin
 
-  /** Rows-only checks (no SQL-expressible oracle): content hashes and
-   *  approximate ANN. Both are covered by ScalaTest specs instead. */
-  private def fingerprintQuery(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+  /** Q28 — content hashes structurally oracled: over the corpus plus an
+   *  id-shifted copy of every document, fingerprint64 must collide
+   *  EXACTLY on text equality — per doc, the same-fingerprint partner
+   *  count equals the same-text partner count, and that count itself
+   *  (`n_text_dups`) is data-derived: DuckDB re-computes it with a
+   *  window over text. simhash64 must assign each doc and its planted
+   *  copy the same value (identical token multiset). The raw 64-bit
+   *  hash values stay covered by ExtSpec (not SQL-expressible). */
+  private def fingerprintQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    val hashed = doubled.select(col("doc_id"), col("text"),
+      ext.functions.fingerprint64(col("text")).as("fp"),
+      ext.functions.simhash64(ext.TextAnalysis.tokens(col("text"))).as("sh"))
+    val byFp = hashed.groupBy("fp").agg(count(lit(1)).as("nfp"))
+    val byText = hashed.groupBy("text").agg(count(lit(1)).as("ntxt"))
+    val base = hashed.filter(col("doc_id") < 1000000L)
+    val copies = hashed.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_id"),
+        col("fp").as("fp_copy"), col("sh").as("sh_copy"))
+    base.join(byFp, "fp").join(byText, "text").join(copies, "doc_id")
       .select(col("doc_id"),
-        ext.functions.fingerprint64(col("text")).as("fingerprint"),
-        ext.functions.simhash64(ext.TextAnalysis.tokens(col("text"))).as("simhash"))
+        (col("ntxt") - 1).cast("int").as("n_text_dups"),
+        (col("nfp") === col("ntxt")).as("fp_consistent"),
+        (col("fp") === col("fp_copy") && col("sh") === col("sh_copy"))
+          .as("copy_hashes_match"))
       .orderBy("doc_id")
+  }
+  private val Q28Duck =
+    """SELECT doc_id,
+      |  CAST(2 * count(*) OVER (PARTITION BY text) - 1 AS INT) AS n_text_dups,
+      |  true AS fp_consistent, true AS copy_hashes_match
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Q45 — IVF-Flat ANN with every inverted list probed: assignment +
    *  probe-join machinery verified exactly (exhaustive probing ≡ brute
@@ -485,12 +553,35 @@ object SparkEntry {
       .orderBy("q_id", "n_id")
   }
 
+  /** Q29 — hyperplane-LSH ANN structurally oracled (q49 technique
+   *  inlined): an identical id-shifted copy of every vector is planted;
+   *  identical vectors collide in EVERY bucket, so the operator must
+   *  return each probe's copy (recall), the exact-cosine re-rank must
+   *  place it first (ranking precision), and its cosine must be 1
+   *  (re-rank exactness). DuckDB replays all three as constants over the
+   *  probe set; raw approximate neighbor lists stay ExtSpec-covered. */
   private def lshTopKQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
-    ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
-      .orderBy("q_id", "n_id")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val doubled = emb.unionByName(
+      emb.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+    val probes = emb.filter(col("vec_id") < 10)
+    val dup = ext.Similarity.lshTopK(doubled, probes, "vec_id", "embedding", k = 5)
+      .filter(col("n_id") === col("q_id") + lit(1000000L))
+      .select(col("q_id"), (col("rank") === 1).as("first"),
+        round(col("cos"), 4).as("cos"))
+    probes.select(col("vec_id").as("q_id"))
+      .join(dup, Seq("q_id"), "left")
+      .select(col("q_id"),
+        col("first").isNotNull.as("dup_found"),
+        coalesce(col("first"), lit(false)).as("dup_first"),
+        coalesce(col("cos"), lit(0.0)).as("dup_cos"))
+      .orderBy("q_id")
   }
+  private val Q29Duck =
+    """SELECT CAST(vec_id AS BIGINT) AS q_id, true AS dup_found,
+      |  true AS dup_first, 1.0 AS dup_cos
+      |FROM embeddings WHERE vec_id < 10 ORDER BY q_id""".stripMargin
 
   /** Q50 — n-gram repetition ratio (the Gopher-style duplicate-trigram
    *  quality filter), formula replayed verbatim in the oracle. */
@@ -1370,7 +1461,10 @@ object SparkEntry {
     "q23_text_stats" -> Q23Duck,
     "q24_langid" -> Q24Duck,
     "q25_minhash_neardup" -> Q25Duck,
+    "q26_simhash_neardup" -> Q26Duck,
     "q27_multimodal_decode" -> Q27Duck,
+    "q28_fingerprint_simhash" -> Q28Duck,
+    "q29_lsh_topk" -> Q29Duck,
     "q30_ddl_external_table" -> Q02,
     "q31_catalog_roundtrip" -> Q02,
     "q32_asof_join" -> Q32Duck,
@@ -1405,8 +1499,9 @@ object SparkEntry {
     "q61_pack_sequences" -> Q61Duck,
     "q62_dup_ngram_frac" -> Q62Duck,
     "q63_split_assign" -> Q63Duck)
-  // q26/q28/q29 intentionally omitted: simhash/fingerprint/LSH-ANN values
-  // are not SQL-expressible → driver records the weaker rows-only check
-  // for them; their SEMANTICS are oracled through q49's recall/precision
-  // harness (exact ground truth re-derived by DuckDB) plus graft.ext.ExtSpec.
+  // q26/q28/q29 emit structural ground-truth columns (planted-copy
+  // recall, decomposition invariance, collide-exactly-on-text-equality,
+  // re-rank exactness) rather than raw 64-bit hashes — the q49 technique
+  // inlined per query, so every declared query is DuckDB-oracled; the
+  // raw hash/neighbor values stay covered by graft.ext.ExtSpec.
 }
