@@ -294,6 +294,14 @@ object Dedup {
    * Embedding cosine near-dup pairs: hyperplane-LSH bucket equi-join for
    * candidates, exact cosine ≥ `minCos` filter. Buckets with few planes
    * keep recall high; at scale, multi-probe = union over several seeds.
+   *
+   * 100 TB sizing: the 8-plane default is FIXED-CARDINALITY (256 buckets
+   * per seed) — right for ≲10⁶-row corpora; at 10⁹ rows a bucket holds
+   * ~4M vectors and the bucket self-join goes quadratic. Size planes to
+   * ⌈log₂(n / targetBucketRows)⌉ and restore recall with more seeds —
+   * [[Similarity.autoLshParams]] computes the (planes, seeds) pair
+   * jointly from a corpus-row estimate; [[embeddingPairsAuto]] wires it
+   * in (mirrors [[simhashPairs]]'s chunk-width scaling recipe).
    */
   def embeddingPairs(
       df: DataFrame,
@@ -319,6 +327,21 @@ object Dedup {
       .withColumn("cos", functions.cosineSimilarity(col("va"), col("vb")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** [[embeddingPairs]] with (planes, seeds) auto-sized from the corpus
+   *  row count via [[Similarity.autoLshParams]] — the 10⁹-row-safe entry
+   *  point. One `count()` action (metadata-cheap over parquet scans). */
+  def embeddingPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double = 0.95,
+      targetBucketRows: Long = 1024,
+      targetRecall: Double = 0.90): DataFrame = {
+    val (planes, seeds) =
+      Similarity.autoLshParams(df.count(), targetBucketRows, minCos, targetRecall)
+    embeddingPairs(df, idCol, vecCol, minCos, planes, seeds)
   }
 
   /**

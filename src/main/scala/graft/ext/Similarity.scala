@@ -27,6 +27,74 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object Similarity {
 
+  /**
+   * Joint (planes, seeds) sizing for the hyperplane-LSH operators — the
+   * AND-OR amplification recipe (Indyk–Motwani; MMDS ch.3 LSH families):
+   *
+   *  - `planes` bounds BUCKET OCCUPANCY: expected rows per bucket is
+   *    ~`corpusRows / 2^planes`, so planes = ⌈log₂(n / targetBucketRows)⌉
+   *    keeps the per-bucket self-join linear in n. A fixed plane count is
+   *    the scale trap: 8 planes = 256 buckets regardless of corpus size,
+   *    so at 10⁹ rows a bucket holds ~4M vectors and the bucket join goes
+   *    quadratic.
+   *  - raising planes LOWERS RECALL: two vectors at angle θ collide under
+   *    one seed with probability (1 − θ/π)^planes. `seeds` restores it:
+   *    s independent seeds give recall 1 − (1 − q)^s, so
+   *    s = ⌈ln(1 − targetRecall) / ln(1 − q)⌉ at the design similarity
+   *    `minCos`.
+   *
+   * Pure arithmetic — callers pass a corpus-row estimate (`df.count()`
+   * on a parquet-backed corpus is metadata-cheap, or reuse a known
+   * table row count). planes clamps to [8, 30] (2³⁰ buckets ≫ any
+   * realistic executor count), seeds to [1, 64] (past that, the corpus
+   * duplication cost says use more planes or a tighter design point).
+   * Seed values derive deterministically from `baseSeed`, so a re-run
+   * — or a different cluster — buckets identically.
+   */
+  def autoLshParams(
+      corpusRows: Long,
+      targetBucketRows: Long = 1024,
+      minCos: Double = 0.95,
+      targetRecall: Double = 0.90,
+      baseSeed: Long = TextHash.DefaultSeed): (Int, Seq[Long]) = {
+    require(corpusRows >= 0, s"corpusRows $corpusRows must be >= 0")
+    require(targetBucketRows >= 1, s"targetBucketRows $targetBucketRows must be >= 1")
+    require(minCos > -1.0 && minCos < 1.0, s"minCos $minCos must be in (-1, 1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall $targetRecall must be in (0, 1)")
+    val forBuckets =
+      if (corpusRows <= targetBucketRows) 1
+      else math.ceil(math.log(corpusRows.toDouble / targetBucketRows) / math.log(2.0)).toInt
+    val planes = math.min(30, math.max(8, forBuckets))
+    // per-seed collision probability at the design similarity
+    val q = math.pow(1.0 - math.acos(minCos) / math.Pi, planes)
+    val s =
+      if (q <= 0.0) 64
+      else if (q >= 1.0) 1
+      else math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - q)).toInt
+    val nSeeds = math.min(64, math.max(1, s))
+    val seeds = Seq.tabulate(nSeeds)(i =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(i.toLong, baseSeed))
+    (planes, seeds)
+  }
+
+  /** [[lshTopK]] with (planes, seeds) auto-sized from the corpus row
+   *  count via [[autoLshParams]] — the 10⁹-row-safe entry point. One
+   *  `count()` action (metadata-cheap over parquet scans). */
+  def lshTopKAuto(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      targetBucketRows: Long = 1024,
+      designCos: Double = 0.90,
+      targetRecall: Double = 0.90): DataFrame = {
+    val (planes, seeds) =
+      autoLshParams(corpus.count(), targetBucketRows, designCos, targetRecall)
+    lshTopK(corpus, probes, idCol, vecCol, k, planes, seeds)
+  }
+
   /** Exact top-k neighbors per probe row. `probes` must be broadcast-small
    *  (it is sent to every executor). Self-pairs are excluded when probe
    *  and corpus ids collide. */
@@ -49,7 +117,14 @@ object Similarity {
 
   /** Approximate top-k: candidates from multi-probe hyperplane-LSH bucket
    *  collisions, exact cosine re-rank. Both sides shuffle on (seed,
-   *  bucket) — scale-safe for corpus-sized probe sets too. */
+   *  bucket) — scale-safe for corpus-sized probe sets too.
+   *
+   *  100 TB sizing: the 8-plane default is FIXED-CARDINALITY (256
+   *  buckets per seed) — right for ≲10⁶-row corpora; beyond that the
+   *  per-bucket join grows quadratically in corpus size. Size planes to
+   *  ⌈log₂(n / targetBucketRows)⌉ and compensate recall with more seeds
+   *  ([[autoLshParams]] computes the pair jointly; [[lshTopKAuto]] wires
+   *  it in). */
   def lshTopK(
       corpus: DataFrame,
       probes: DataFrame,

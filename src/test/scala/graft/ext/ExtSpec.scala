@@ -135,6 +135,56 @@ class ExtSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("autoLshParams: planes track corpus size, seeds restore recall") {
+    // small corpora keep the 8-plane default (256 buckets covers them)
+    assert(Similarity.autoLshParams(1000)._1 === 8)
+    assert(Similarity.autoLshParams(0)._1 === 8)
+    // 10^9 rows / 1024-row target buckets -> ceil(log2(n/target)) = 20
+    val (p9, s9) = Similarity.autoLshParams(1000000000L)
+    assert(p9 === math.ceil(math.log(1e9 / 1024) / math.log(2)).toInt)
+    // expected occupancy bounded by design: n / 2^planes <= target
+    assert(1e9 / math.pow(2, p9) <= 1024)
+    // seeds follow the amplification formula at the design point
+    val q = math.pow(1.0 - math.acos(0.95) / math.Pi, p9)
+    assert(s9.length === math.ceil(math.log(1 - 0.90) / math.log(1 - q)).toInt)
+    // the modeled recall actually clears the target
+    assert(1.0 - math.pow(1.0 - q, s9.length) >= 0.90)
+    // monotone: 100x the corpus never shrinks the plane count
+    assert(Similarity.autoLshParams(100000000000L)._1 >= p9)
+    // clamps: planes <= 30, seeds <= 64, deterministic seed derivation
+    assert(Similarity.autoLshParams(Long.MaxValue)._1 <= 30)
+    assert(Similarity.autoLshParams(Long.MaxValue, 1, 0.999, 0.999999)._2.length <= 64)
+    assert(Similarity.autoLshParams(1000000000L) === Similarity.autoLshParams(1000000000L))
+    intercept[IllegalArgumentException](Similarity.autoLshParams(-1))
+    intercept[IllegalArgumentException](Similarity.autoLshParams(10, 1, 1.0))
+    intercept[IllegalArgumentException](Similarity.autoLshParams(10, 1, 0.9, 1.0))
+  }
+
+  test("auto-sized LSH bounds bucket occupancy on a large synthetic corpus") {
+    // 200k pseudo-random 16-dim vectors: fixed 8 planes would average
+    // ~780 rows/bucket; the auto sizing must keep buckets near the target
+    val n = 200000L
+    val target = 256L
+    val (planes, seeds) = Similarity.autoLshParams(n, target)
+    assert(planes === 10) // ceil(log2(200000/256))
+    val vecs = spark.range(0, n).toDF("id")
+      .withColumn("vec", expr(
+        "transform(sequence(0, 15), i -> cast(pmod(xxhash64(id, i), 1000) / 500.0 - 1.0 as float))"))
+    val occ = vecs
+      .select(functions.hyperplaneBucket(col("vec"), planes, seeds.head).as("b"))
+      .groupBy("b").count()
+      .agg(avg("count").as("avgOcc"), max("count").as("maxOcc"),
+        count(lit(1)).as("nBuckets"))
+      .as[(Double, Long, Long)].head()
+    val (avgOcc, maxOcc, nBuckets) = occ
+    // expected occupancy n/2^planes ≈ 195; hyperplane buckets are uneven
+    // but must stay within small multiples of the design target — the
+    // point is O(target²) per-bucket join work, not 8-plane quadratic
+    assert(avgOcc <= 4.0 * target, s"avg occupancy $avgOcc vs target $target")
+    assert(maxOcc <= 64L * target, s"max occupancy $maxOcc vs target $target")
+    assert(nBuckets > 100, s"only $nBuckets buckets used")
+  }
+
   test("ivfTopK: full probing equals brute force; partial probing finds cluster neighbors") {
     // three well-separated direction clusters, 4 vectors each
     val base = Seq(
