@@ -74,14 +74,21 @@ object Kmv {
  * the declared query's regime.
  */
 object SpaceSaving {
-  /** count index (TreeMap count → items) makes eviction O(log m). */
+  /** count index (TreeMap count → TreeSet of items) makes eviction
+   *  O(log m) AND deterministic: among minimum-count entries the
+   *  lexicographically smallest item is evicted, and merges replay the
+   *  other summary in sorted-item order — so the retained set is a
+   *  function of the data and merge tree, never of JVM hash iteration
+   *  order. (The merge TREE itself — which partial buffers combine
+   *  first — still follows shuffle arrival order; eviction-free
+   *  [exact-regime] summaries are fully order-independent.) */
   final class Buffer(val capacity: Int) {
     val counts = new java.util.HashMap[String, Long]()
     val errs = new java.util.HashMap[String, Long]()
-    private val byCount = new java.util.TreeMap[Long, java.util.HashSet[String]]()
+    private val byCount = new java.util.TreeMap[Long, java.util.TreeSet[String]]()
 
     private def index(item: String, c: Long): Unit = {
-      val s = byCount.computeIfAbsent(c, _ => new java.util.HashSet[String]())
+      val s = byCount.computeIfAbsent(c, _ => new java.util.TreeSet[String]())
       s.add(item); ()
     }
     private def unindex(item: String, c: Long): Unit = {
@@ -99,9 +106,10 @@ object SpaceSaving {
       } else if (counts.size < capacity) {
         counts.put(item, by); errs.put(item, err); index(item, by)
       } else {
-        // evict the minimum; the newcomer inherits its count as error
+        // evict the minimum (ties: lexicographically smallest item —
+        // deterministic); the newcomer inherits its count as error
         val minEntry = byCount.firstEntry()
-        val victim = minEntry.getValue.iterator().next()
+        val victim = minEntry.getValue.first()
         val minCount = minEntry.getKey
         unindex(victim, minCount)
         counts.remove(victim); errs.remove(victim)
@@ -112,7 +120,10 @@ object SpaceSaving {
     }
 
     def mergeFrom(other: Buffer): Unit = {
-      val it = other.counts.entrySet().iterator()
+      // sorted-item replay: HashMap iteration order would make the
+      // over-capacity eviction sequence depend on JVM hashing
+      val items = new java.util.TreeMap[String, Long](other.counts)
+      val it = items.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
         add(e.getKey, e.getValue, other.errs.get(e.getKey))

@@ -256,15 +256,24 @@ final class MergeInto(
         .foldLeft(lit(false))(_ || _))
     val withAction =
       if (!dedupeKeeps) routed
-      else routed
+      else {
         // kept copies of one target row are identical on every projected
-        // (target) column — keep exactly one per T_UID; insert rows
-        // (null T_UID) are exempt from the window's verdict
-        .withColumn("__keep_rn",
-          when(matched, row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col(T_UID)).orderBy(col(T_UID)))).otherwise(lit(1)))
-        .filter(col("__keep_rn") === 1)
-        .drop("__keep_rn")
+        // (target) column — keep exactly one per T_UID. Only the MATCHED
+        // subset enters the Window: insert-routed rows carry NULL T_UID,
+        // so ranking them too would hash every insert into one window
+        // partition — a single-reducer funnel for insert-heavy
+        // bySource-only merges at the 100 TB design point.
+        val dedup = routed.filter(matched)
+          .withColumn("__keep_rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col(T_UID)).orderBy(col(T_UID))))
+          .filter(col("__keep_rn") === 1)
+          .drop("__keep_rn")
+        // positional union: both branches are the same routed projection
+        // (the joined frame carries duplicate t./s. column names, which
+        // unionByName would reject)
+        dedup.union(routed.filter(!matched))
+      }
 
     // case-insensitive matching throughout — see insert-only path note
     val sourceCols = source.columns.map(_.toLowerCase).toSet

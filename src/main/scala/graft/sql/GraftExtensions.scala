@@ -74,8 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   /** Register the native ext expressions (fingerprints, shingles,
-   *  similarity, the KMV sketch) as SQL functions. Size/seed arguments
-   *  must be literals — they parameterize the expression itself. */
+   *  similarity, sketches, text-quality kernels) and the composite
+   *  text-analysis functions as SQL functions, so the SQL-first user has
+   *  the whole ext library. Size/seed arguments must be literals — they
+   *  parameterize the expression itself. Arity is validated as an exact
+   *  range (extra trailing arguments are an error, not silently
+   *  ignored), and numeric literals are bounds-checked before narrowing
+   *  to Int. */
   private def registerExtFunctions(ext: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -94,32 +99,93 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"$name: argument ${i + 1} must be numeric, got $other")
         }
       }
-    def register(name: String, arity: Int,
+    // a Long literal silently truncated by .toInt would turn e.g. a
+    // 5_000_000_000 sketch capacity into a wrong (even negative) value
+    def litInt(args: Seq[Expression], i: Int, name: String,
+        default: Option[Long] = None): Int = {
+      val v = litNum(args, i, name, default)
+      if (v < Int.MinValue || v > Int.MaxValue) throw new IllegalArgumentException(
+        s"$name: argument ${i + 1} value $v is out of Int range")
+      v.toInt
+    }
+    def litStr(args: Seq[Expression], i: Int, name: String): String = {
+      val e = args(i)
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"$name: argument ${i + 1} must be a literal")
+      e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$name: argument ${i + 1} must be a string literal, got $other")
+      }
+    }
+    def register(name: String, minArity: Int, maxArity: Int,
         builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         (args: Seq[Expression]) => {
-          if (args.size < arity) throw new IllegalArgumentException(
-            s"$name takes at least $arity argument(s), got ${args.size}")
+          if (args.size < minArity || args.size > maxArity) {
+            val want = if (minArity == maxArity) s"exactly $minArity"
+              else if (maxArity == Int.MaxValue) s"at least $minArity"
+              else s"$minArity to $maxArity"
+            throw new IllegalArgumentException(
+              s"$name takes $want argument(s), got ${args.size}")
+          }
           builder(args)
         }))
+    // composite functions: build the Column-API tree over the parsed
+    // child expression — SQL users get the identical Catalyst nodes
+    import org.apache.spark.sql.graftshim.SparkInternals.{column => asCol, expr => asExpr}
+    import graft.ext.TextAnalysis
+    def registerText(name: String, f: Column => Column): Unit =
+      register(name, 1, 1, args => asExpr(f(asCol(args.head))))
 
-    register("fingerprint64", 1, args => graft.ext.Fingerprint64(args.head))
-    register("simhash64", 1, args => graft.ext.SimHash64(args.head))
-    register("hashed_shingles", 2, args => graft.ext.HashedShingles(args.head,
-      litNum(args, 1, "hashed_shingles").toInt,
+    register("fingerprint64", 1, 1, args => graft.ext.Fingerprint64(args.head))
+    register("simhash64", 1, 1, args => graft.ext.SimHash64(args.head))
+    register("hashed_shingles", 2, 3, args => graft.ext.HashedShingles(args.head,
+      litInt(args, 1, "hashed_shingles"),
       litNum(args, 2, "hashed_shingles", Some(graft.ext.TextHash.DefaultSeed))))
-    register("minhash_signature", 1, args => graft.ext.MinHashSignature(args.head,
-      litNum(args, 1, "minhash_signature", Some(64L)).toInt,
+    register("minhash_signature", 1, 3, args => graft.ext.MinHashSignature(args.head,
+      litInt(args, 1, "minhash_signature", Some(64L)),
       litNum(args, 2, "minhash_signature", Some(graft.ext.TextHash.DefaultSeed))))
-    register("cosine_similarity", 2,
+    register("cosine_similarity", 2, 2,
       args => graft.ext.CosineSimilarity(args(0), args(1)))
+    register("sorted_intersect_count", 2, 2,
+      args => graft.ext.SortedIntersectCount(args(0), args(1)))
+    register("hyperplane_bucket", 1, 3, args => graft.ext.HyperplaneBucket(args.head,
+      litInt(args, 1, "hyperplane_bucket", Some(16L)),
+      litNum(args, 2, "hyperplane_bucket", Some(graft.ext.TextHash.DefaultSeed))))
+    register("punct_count", 1, 1, args => graft.ext.PunctCount(args.head))
+    register("space_token_count", 1, 1, args => graft.ext.SpaceTokenCount(args.head))
+    // stopword_hits(text, 'w1', 'w2', …): the word list parameterizes the
+    // kernel's byte table, so each word must be a string literal
+    register("stopword_hits", 2, Int.MaxValue, args => graft.ext.StopwordHits(args.head,
+      args.indices.drop(1).map(i => litStr(args, i, "stopword_hits"))))
     // bare AggregateFunction: the analyzer wraps it in AggregateExpression
-    register("kmv_distinct", 1, args => graft.ext.KmvDistinct(args.head,
-      litNum(args, 1, "kmv_distinct", Some(4096L)).toInt))
-    register("approx_top_items", 1, args => graft.ext.ApproxTopItems(args.head,
-      litNum(args, 1, "approx_top_items", Some(4096L)).toInt,
-      litNum(args, 2, "approx_top_items", Some(10L)).toInt))
+    register("kmv_distinct", 1, 2, args => graft.ext.KmvDistinct(args.head,
+      litInt(args, 1, "kmv_distinct", Some(4096L))))
+    register("approx_top_items", 1, 3, args => graft.ext.ApproxTopItems(args.head,
+      litInt(args, 1, "approx_top_items", Some(4096L)),
+      litInt(args, 2, "approx_top_items", Some(10L))))
+    // text-analysis composites (SURVEY §7.5 north star, one per
+    // TextAnalysis entry point)
+    registerText("token_count", TextAnalysis.tokenCount)
+    registerText("bpe_token_count", TextAnalysis.bpeTokenCount)
+    registerText("avg_token_length", TextAnalysis.avgTokenLength)
+    registerText("punct_ratio", TextAnalysis.punctRatio)
+    registerText("quality_score", TextAnalysis.qualityScore)
+    registerText("lang_id", TextAnalysis.langId)
+    registerText("normalize_text", TextAnalysis.normalize)
+    registerText("scrub_pii", TextAnalysis.scrubPii)
+    register("stopword_ratio", 1, Int.MaxValue, args => asExpr(
+      if (args.size == 1) TextAnalysis.stopwordRatio(asCol(args.head))
+      else TextAnalysis.stopwordRatio(asCol(args.head),
+        args.indices.drop(1).map(i => litStr(args, i, "stopword_ratio")))))
+    register("repetition_ratio", 1, 2, args => asExpr(
+      TextAnalysis.repetitionRatio(asCol(args.head),
+        litInt(args, 1, "repetition_ratio", Some(3L)))))
+    register("chunk_tokens", 3, 3, args => asExpr(
+      TextAnalysis.chunks(asCol(args.head),
+        litInt(args, 1, "chunk_tokens"), litInt(args, 2, "chunk_tokens"))))
   }
 }
 

@@ -146,13 +146,24 @@ object GraftSqlParser {
     (where, cols)
   }
 
-  /** First match of `regex` in `s` outside single-quoted literals
-   *  ('' escapes toggle twice and fall out naturally). */
+  /** First match of `regex` in `s` outside quoted regions: single- and
+   *  double-quoted string literals and backtick-quoted identifiers are
+   *  all opaque (Spark SQL accepts all three), so
+   *  `OPTIMIZE t WHERE note = "x ZORDER BY y"` never splits inside the
+   *  literal. Doubled-quote escapes ('' / "") toggle twice and fall out
+   *  naturally; quote characters inside a differently-quoted region do
+   *  not open a new region. */
   private def indexOfUnquoted(s: String, regex: String): Option[Int] = {
     val inQuote = new Array[Boolean](math.max(s.length, 1))
-    var q = false
+    var q: Char = 0 // 0 = outside; otherwise the active quote char
     var i = 0
-    while (i < s.length) { if (s.charAt(i) == '\'') q = !q; inQuote(i) = q; i += 1 }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q == 0 && (c == '\'' || c == '"' || c == '`')) q = c
+      else if (c == q) q = 0
+      inQuote(i) = q != 0
+      i += 1
+    }
     val m = Pattern.compile(regex).matcher(s)
     while (m.find()) if (!inQuote(m.start)) return Some(m.start)
     None

@@ -1469,20 +1469,32 @@ class SnapshotTable private (
       retainMillis: Long = 24L * 3600 * 1000): Int = {
     val versions = listVersions()
     if (versions.isEmpty) return 0
-    val retained = versions.takeRight(math.max(1, retainVersions))
+    // a torn NEWEST entry (concurrent writer mid-commit — or a writer
+    // that died mid-publish) is tolerated: its files are inside the
+    // retainMillis mtime window. But it must NOT count toward
+    // retainVersions: with retainVersions=1 and a permanently torn head,
+    // counting it would expire the older GOOD entries and reclaim the
+    // files of the last version currentReadable() still falls back to.
+    // The retention window extends one version past a torn head instead,
+    // so the newest READABLE version is always retained. An unreadable
+    // OLDER entry is real corruption and throws before anything deletes.
+    val headTorn =
+      try { commitEntry(versions.last); false } catch { case NonFatal(_) => true }
+    val keep = math.max(1, retainVersions) match {
+      case k if headTorn && k < Int.MaxValue => k + 1
+      case k => k
+    }
+    val retained = versions.takeRight(keep)
     val live: Set[String] = retained.flatMap { v =>
-      // a torn NEWEST entry (concurrent writer mid-commit) is tolerated:
-      // its files are minutes old, so the retainMillis mtime window keeps
-      // them; an unreadable OLDER entry is real corruption and throws
       try {
         val e = commitEntry(v)
         e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
       } catch {
-        case NonFatal(e) if v == versions.last => Nil
+        case NonFatal(e) if v == versions.last && headTorn => Nil
       }
     }.toSet
     // expire old log entries first so no reader can resolve dropped files
-    versions.dropRight(math.max(1, retainVersions)).foreach { v =>
+    versions.dropRight(keep).foreach { v =>
       fs.delete(new Path(logDir, f"$v%020d.json"), false)
     }
     val cutoff = System.currentTimeMillis() - math.max(0L, retainMillis)

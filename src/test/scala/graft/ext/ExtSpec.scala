@@ -135,6 +135,32 @@ class ExtSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("SpaceSaving estimator regime: deterministic eviction and merge") {
+    // over capacity, the evicted victim under tied counts must be the
+    // lexicographically smallest item — not HashSet iteration order —
+    // and merges must replay entries in sorted-item order, so two
+    // buffers with identical CONTENT behave identically regardless of
+    // the insertion order that built their hash maps
+    def build(items: Seq[String]): SpaceSaving.Buffer = {
+      val b = new SpaceSaving.Buffer(16)
+      items.foreach(b.add(_, 1L, 0L))
+      b
+    }
+    val items = (0 until 16).map(i => f"w$i%02d")
+    val fwd = build(items)
+    val rev = build(items.reverse)
+    fwd.add("zz", 1L, 0L)
+    rev.add("zz", 1L, 0L)
+    assert(fwd.top(16) === rev.top(16))
+    assert(!fwd.counts.containsKey("w00"), "victim was not the smallest tied item")
+    assert(fwd.counts.containsKey("w15"))
+    // merge determinism: same content, different build order, same result
+    val extra = (0 until 16).map(i => f"x$i%02d")
+    val m1 = build(items); m1.mergeFrom(build(extra))
+    val m2 = build(items.reverse); m2.mergeFrom(build(extra.reverse))
+    assert(m1.top(32) === m2.top(32))
+  }
+
   test("autoLshParams: planes track corpus size, seeds restore recall") {
     // small corpora keep the 8-plane default (256 buckets covers them)
     assert(Similarity.autoLshParams(1000)._1 === 8)

@@ -50,4 +50,63 @@ class FunctionsSqlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("literal"))
   }
+
+  test("arity is an exact range; extra or out-of-Int-range args fail loudly") {
+    // extra trailing argument: error, not silent ignore
+    val extra = intercept[Exception] {
+      spark.sql("SELECT fingerprint64('a', 99)").collect()
+    }
+    assert(extra.getMessage.contains("argument"))
+    val extraCos = intercept[Exception] {
+      spark.sql("""SELECT cosine_similarity(CAST(array(1.0) AS ARRAY<DOUBLE>),
+                  |CAST(array(1.0) AS ARRAY<DOUBLE>), 3)""".stripMargin).collect()
+    }
+    assert(extraCos.getMessage.contains("argument"))
+    // a Long literal past Int.MaxValue must not silently truncate into a
+    // wrong (even negative) sketch capacity
+    val big = intercept[Exception] {
+      spark.sql("SELECT kmv_distinct(id, 5000000000) FROM range(5)").collect()
+    }
+    assert(big.getMessage.contains("out of Int range"))
+  }
+
+  test("text-quality kernels and composites resolve in SQL, match Column API") {
+    val docs = Seq((1L, "the quick brown fox! and the lazy dog."),
+      (2L, "a b a b a b a b a b")).toDF("id", "text")
+    docs.createOrReplaceTempView("fn_docs2")
+    import graft.ext.TextAnalysis
+    val sql = spark.sql(
+      """SELECT id, punct_count(text) AS pc, space_token_count(text) AS tc,
+        |       stopword_hits(text, 'the', 'and', 'of', 'to', 'is') AS sh,
+        |       punct_ratio(text) AS pr, stopword_ratio(text) AS sr,
+        |       quality_score(text) AS qs, lang_id(text) AS lang,
+        |       repetition_ratio(text) AS rep,
+        |       bpe_token_count(text) AS bpe
+        |FROM fn_docs2 ORDER BY id""".stripMargin)
+    val api = docs.select(col("id"),
+      gf.punctCount(col("text")).as("pc"),
+      gf.spaceTokenCount(col("text")).as("tc"),
+      gf.stopwordHits(col("text"), Seq("the", "and", "of", "to", "is")).as("sh"),
+      TextAnalysis.punctRatio(col("text")).as("pr"),
+      TextAnalysis.stopwordRatio(col("text")).as("sr"),
+      TextAnalysis.qualityScore(col("text")).as("qs"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.repetitionRatio(col("text")).as("rep"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe")).orderBy("id")
+    assert(sql.collect().toSeq === api.collect().toSeq)
+
+    val more = spark.sql(
+      """SELECT normalize_text(scrub_pii(' Mail a@b.co  NOW ')) AS clean,
+        |  chunk_tokens('a b c d e f', 4, 3) AS ch,
+        |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
+        |  hyperplane_bucket(CAST(array(1.0, -1.0) AS ARRAY<FLOAT>)) AS hb""".stripMargin)
+      .collect().head
+    assert(more.getString(0) === "mail <email> now")
+    assert(more.getSeq[String](1) === Seq("a b c d", "d e f"))
+    assert(more.getInt(2) === 2)
+    // same bucket as the Column API default parameters
+    val hbApi = Seq(Tuple1(Array(1.0f, -1.0f))).toDF("v")
+      .select(gf.hyperplaneBucket(col("v")).as("b")).as[Long].head()
+    assert(more.getLong(3) === hbApi)
+  }
 }

@@ -92,6 +92,16 @@ class MaintenanceSqlSpec extends SparkSpec {
       "OPTIMIZE maint_scope WHERE payload = 'a ZORDER BY b'").collect().head
     assert(quoted.getString(1).contains("compact where"))
     assert(quoted.getInt(2) === 0) // nothing matches; nothing rewritten
+    // …and so do double-quoted literals and backtick-quoted identifiers
+    // (Spark SQL accepts all three quoting forms)
+    val dquoted = spark.sql(
+      """OPTIMIZE maint_scope WHERE payload = "a ZORDER BY b"""").collect().head
+    assert(dquoted.getString(1).contains("compact where"))
+    assert(dquoted.getInt(2) === 0)
+    val bquoted = spark.sql(
+      "OPTIMIZE maint_scope WHERE `payload` = 'x'").collect().head
+    assert(bquoted.getString(1).contains("compact where"))
+    assert(bquoted.getInt(2) === 0)
   }
 
   test("OPTIMIZE ZORDER BY rewrites one z-clustered commit") {

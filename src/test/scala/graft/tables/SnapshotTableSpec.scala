@@ -346,6 +346,29 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[Exception](t.readVersion(0).count())
   }
 
+  test("vacuum with a torn newest entry retains the last readable version") {
+    // a writer died mid-publish: the newest log entry is permanently
+    // torn. vacuum(retainVersions=1) must NOT count the torn head toward
+    // the retention window — doing so would expire the older GOOD entry
+    // and reclaim the very files currentReadable() still falls back to.
+    val root = tmpDir("tbl")
+    val t = SnapshotTable(spark, root)
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    t.overwrite(Seq((2, "b")).toDF("id", "v"))
+    val logDir = java.nio.file.Paths.get(root, "_log")
+    val entries = java.nio.file.Files.list(logDir)
+      .filter(_.toString.endsWith(".json")).sorted().toArray
+    val newest = entries.last.asInstanceOf[java.nio.file.Path]
+    java.nio.file.Files.writeString(newest, "{ torn json") // crash artifact
+    t.vacuum(retainVersions = 1, retainMillis = 0)
+    // v0 (the readable fallback behind the torn v1) survives: its log
+    // entry is retained and its data files are intact (the torn head's
+    // own orphaned data may legitimately be reclaimed at retainMillis=0)
+    assert(java.nio.file.Files.exists(entries.head.asInstanceOf[java.nio.file.Path]),
+      "vacuum expired the log entry of the last readable version")
+    assert(t.read().as[(Int, String)].collect().toSet === Set((1, "a")))
+  }
+
   test("vacuum retention window protects in-flight writers' files") {
     val root = tmpDir("tbl")
     val t = SnapshotTable(spark, root)
