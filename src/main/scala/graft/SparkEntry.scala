@@ -1085,6 +1085,49 @@ object SparkEntry {
       |                         WHEN c_custkey % 5 = 0 THEN 100 ELSE 0 END, 2) AS bal
       |FROM customer ORDER BY id""".stripMargin
 
+  // ------------------------------------------------------------------------
+  // Q64 — MoR deferred DELETES mixed with deferred upserts (Hudi delete
+  // log-block semantics): base + upsert batch (%5 bump) + delete batch
+  // (%7=3 tombstones) + resurrecting upsert batch (%14=3 returns with a
+  // later version). No base rewrite anywhere in the setup; the measured
+  // operation is the real-time read resolving all three delta batches in
+  // arrival order, which the oracle replays as CASE + WHERE.
+  // ------------------------------------------------------------------------
+
+  private def morDeleteResult(s: SparkSession, dir: String): DataFrame = {
+    val customer = s.read.parquet(s"$dir/customer.parquet")
+    def shape(bump: Column, ver: Int) = Seq(
+      col("c_custkey").as("id"),
+      (col("c_acctbal") + bump).as("bal"),
+      lit(ver.toLong).as("ver"))
+    val table = warmTable("q64", dir) {
+      val t = SnapshotTable.create(s,
+        Files.createTempDirectory("graft_q64").toString,
+        customer.select(shape(lit(0), 0): _*))
+      t.upsertDeferred(
+        customer.filter(col("c_custkey") % 5 === 0).select(shape(lit(100), 1): _*),
+        keys = Seq("id"), precombine = "ver")
+      t.deleteDeferred(col("id") % 7 === 3, keys = Seq("id"), precombine = "ver")
+      t.upsertDeferred(
+        customer.filter(col("c_custkey") % 14 === 3).select(shape(lit(300), 3): _*),
+        keys = Seq("id"), precombine = "ver")
+      t
+    }
+    table.read()
+      .select(col("id"), col("ver"), round(col("bal"), 2).as("bal"))
+      .orderBy("id")
+  }
+
+  private val Q64Duck =
+    """SELECT c_custkey AS id,
+      |  CAST(CASE WHEN c_custkey % 14 = 3 THEN 3
+      |            WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS ver,
+      |  round(c_acctbal + CASE WHEN c_custkey % 14 = 3 THEN 300
+      |                         WHEN c_custkey % 5 = 0 THEN 100 ELSE 0 END, 2) AS bal
+      |FROM customer
+      |WHERE c_custkey % 7 <> 3 OR c_custkey % 14 = 3
+      |ORDER BY id""".stripMargin
+
   /** Q55 — change data feed ([[SnapshotTable.readChanges]], the Delta CDF
    *  / Hudi incremental-changes surface): deterministic update + delete on
    *  a customer-derived table, then the keyed row-level diff of versions
@@ -1432,7 +1475,8 @@ object SparkEntry {
     "q60_top_items" -> topItemsQuery,
     "q61_pack_sequences" -> packSeqQuery,
     "q62_dup_ngram_frac" -> dupSpanQuery,
-    "q63_split_assign" -> splitQuery)
+    "q63_split_assign" -> splitQuery,
+    "q64_mor_delete" -> morDeleteResult)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1498,7 +1542,8 @@ object SparkEntry {
     "q60_top_items" -> Q60Duck,
     "q61_pack_sequences" -> Q61Duck,
     "q62_dup_ngram_frac" -> Q62Duck,
-    "q63_split_assign" -> Q63Duck)
+    "q63_split_assign" -> Q63Duck,
+    "q64_mor_delete" -> Q64Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -858,23 +858,29 @@ class SnapshotTable private (
   /** Base ∪ pending-delta assembly (the MoR read-time merge): base rows
    *  whose record key appears in a delta are replaced by the delta's
    *  latest version — one anti-join + one key-agg over the (small) delta
-   *  set; the base side stays a plain pruned parquet scan. */
+   *  set; the base side stays a plain pruned parquet scan. Keys whose
+   *  winning delta row is a delete tombstone ([[deleteDeferred]]) are
+   *  anti-joined away and contribute no replacement row. */
   private def mergedView(entry: CommitEntry, baseFiles: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions._
     val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
     val base = dfOver(baseFiles.map(_.path), schema, mappingOf(entry))
     val deltaEntries = entry.deltaFiles.getOrElse(Nil)
     if (deltaEntries.isEmpty) return base
     val keys = entry.morKeys.getOrElse(Nil)
-    val latest = latestDeltaRows(deltaEntries, schema, keys,
+    val winners = latestDeltaRows(deltaEntries, schema, keys,
       entry.morPrecombine.get, mappingOf(entry))
-    base.join(latest.select(keys.map(org.apache.spark.sql.functions.col): _*),
-        keys, "left_anti")
-      .unionByName(latest)
+    base.join(winners.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(winners.filter(!col(SnapshotTable.DeleteMarker))
+        .drop(SnapshotTable.DeleteMarker))
   }
 
-  /** Latest version of each record key across the pending delta batches.
-   *  Replay-equivalent to applying the batches as eager upserts in
-   *  arrival order: within a batch the max precombine wins
+  /** Latest version of each record key across the pending delta batches,
+   *  with a `DeleteMarker` boolean column (true = the key's latest
+   *  pending operation is a delete tombstone; upsert batches lack the
+   *  physical column and read as false). Replay-equivalent to applying
+   *  the batches as eager upserts/deletes in arrival order: within a
+   *  batch the max precombine wins
    *  ([[graft.ops.Upsert.precombineLatest]]), across batches the later
    *  batch wins — `max_by` on (batch ordinal, precombine). */
   private def latestDeltaRows(
@@ -892,15 +898,21 @@ class SnapshotTable private (
         groups(groups.size - 1) = (parent, groups.last._2 :+ f.path)
       else groups += ((parent, List(f.path)))
     }
+    // read with the marker column appended: tombstone batches carry it
+    // as physical `true`, upsert batches null-fill → false
+    val extSchema = StructType(schema.fields :+
+      StructField(SnapshotTable.DeleteMarker, BooleanType, nullable = true))
     val parts = groups.toSeq.zipWithIndex.map { case ((_, paths), i) =>
-      dfOver(paths, schema, mapping).withColumn("__delta_seq", lit(i))
+      dfOver(paths, extSchema, mapping).withColumn("__delta_seq", lit(i))
     }
     val all = parts.reduce(_ unionByName _)
-    val cols = schema.fieldNames.toSeq
+    val cols = schema.fieldNames.toSeq :+ SnapshotTable.DeleteMarker
     all.groupBy(keys.map(col): _*)
       .agg(max_by(struct(cols.map(col): _*),
         struct(col("__delta_seq"), col(precombine))).as("__r"))
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+      .withColumn(SnapshotTable.DeleteMarker,
+        coalesce(col(SnapshotTable.DeleteMarker), lit(false)))
   }
 
   /** Time travel (reference formats' snapshot isolation made explicit);
@@ -1595,6 +1607,57 @@ class SnapshotTable private (
     this
   }
 
+  /**
+   * MoR deferred DELETE (Hudi delete log-block semantics — the
+   * reference's MoR pipelines append delete blocks instead of rewriting
+   * base files, `hudi/hudi_scd_script.py:13-18` table types): rows
+   * matching `predicate` in the CURRENT real-time view are recorded as a
+   * delete-tombstone delta batch — key columns plus a marker, O(matching
+   * keys) written, NO base-file rewrite. The RT view ([[read]]/[[scan]])
+   * anti-joins tombstoned keys away; a LATER [[upsertDeferred]] of the
+   * same key resurrects it (batch order wins, exactly like eager
+   * replay); [[applyDeltas]] folds tombstones into the base rewrite;
+   * [[readChanges]] reports them as `delete` rows. Contrast [[delete]],
+   * the CoW path that rewrites touched files immediately.
+   *
+   * Returns without committing when nothing matches (a no-op delete
+   * must not pin `keys`/`precombine` on the table's MoR state).
+   */
+  def deleteDeferred(
+      predicate: Column,
+      keys: Seq[String],
+      precombine: String,
+      action: String = "delta-delete"): SnapshotTable = {
+    require(keys.nonEmpty, "deleteDeferred needs at least one record-key column")
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val e = commitEntry(v)
+    val committed = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+    (keys :+ precombine).foreach(k => require(
+      committed.fieldNames.exists(_.equalsIgnoreCase(k)),
+      s"deleteDeferred: column $k is not in the table schema"))
+    e.morKeys.foreach(prev => require(prev == keys.toList,
+      s"pending deltas keyed on $prev; applyDeltas() before switching to $keys"))
+    e.morPrecombine.foreach(prev => require(prev == precombine,
+      s"pending deltas precombine on $prev; applyDeltas() before switching to $precombine"))
+    // resolve against the RT view so a delete composes with pending
+    // upserts (deleting a key whose latest version exists only in a
+    // delta batch must still tombstone it)
+    val matching = mergedView(e, e.files).filter(predicate)
+      .select(keys.map(org.apache.spark.sql.functions.col): _*).distinct()
+    // full-width tombstone rows (payload nulls) + physical marker: one
+    // uniform read schema covers upsert and tombstone batches
+    val tombstones = alignTo(matching, committed)
+      .withColumn(SnapshotTable.DeleteMarker, org.apache.spark.sql.functions.lit(true))
+    val files = writeDataDir(tombstones)
+    if (files.isEmpty) return this // nothing matched: no-op, no commit
+    writeCommit(v + 1, e.copy(action = action,
+      deltaFiles = Some(e.deltaFiles.getOrElse(Nil) ++ files),
+      morKeys = Some(keys.toList),
+      morPrecombine = Some(precombine)))
+    this
+  }
+
   /** Pending delta file list (empty when the table is pure CoW). */
   def deltaManifest(): Seq[String] =
     currentReadable().flatMap(_._2.deltaFiles).map(_.map(_.path)).getOrElse(Nil)
@@ -1632,7 +1695,9 @@ class SnapshotTable private (
     val rewritten = dfOver(touched.map(_.path), schema, mappingOf(entry))
       .join(latest.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti")
-      .unionByName(latest)
+      .unionByName(latest
+        .filter(!org.apache.spark.sql.functions.col(SnapshotTable.DeleteMarker))
+        .drop(SnapshotTable.DeleteMarker))
     // expectVersion: an upsertDeferred landing between the snapshot read
     // above and this commit must NOT be silently cleared from deltaFiles
     replaceFiles(untouched.map(_.path), rewritten, "compact-deltas",
@@ -1693,6 +1758,12 @@ object SnapshotTable {
 
   class ConcurrentCommitException(msg: String, cause: Throwable = null)
     extends RuntimeException(msg, cause)
+
+  /** Marker column of MoR delete-tombstone delta files
+   *  ([[SnapshotTable.deleteDeferred]]): physical `true` in tombstone
+   *  batches, absent (→ read as false) in upsert batches. Never appears
+   *  in a table's logical schema or any read surface. */
+  private[graft] val DeleteMarker = "__graft_delete"
 
   /** Cluster-spec transform grammar (see [[SnapshotTable.clusterSpec]]):
    *  `col`, `years(col)`, `months(col)`, `days(col)`, `hours(col)`,

@@ -465,6 +465,61 @@ class SnapshotTableSpec extends SparkSpec {
     (0L to 4L).foreach(id => assert(after(id) === expectFor(id), s"post-compact id=$id"))
   }
 
+  test("merge-on-read: deferred deletes tombstone, resurrect, and fold in") {
+    val t = SnapshotTable(spark, tmpDir("mor_del"))
+    t.overwrite(spark.range(0, 100).toDF("id")
+      .withColumn("v", lit("base")).withColumn("ts", lit(0L)))
+    val baseFiles = t.manifest()
+    // delete lands as a tombstone batch — O(matching keys), no base rewrite
+    t.deleteDeferred(col("id") < 10, keys = Seq("id"), precombine = "ts")
+    assert(t.manifest() === baseFiles)
+    assert(t.deltaManifest().nonEmpty)
+    assert(t.manifestAction().contains("delta-delete"))
+    // RT view drops the keys; RO view still has them; scan agrees
+    assert(t.read().count() === 90)
+    assert(t.readBase().count() === 100)
+    assert(t.scan(col("id") === 5).count() === 0)
+    assert(t.scan(col("id") === 50).count() === 1)
+    // delete composes with pending upserts: delete a delta-only key
+    t.upsertDeferred(Seq((200L, "new", 1L)).toDF("id", "v", "ts"), Seq("id"), "ts")
+    assert(t.read().count() === 91)
+    t.deleteDeferred(col("id") === 200, Seq("id"), "ts")
+    assert(t.read().count() === 90)
+    // a LATER upsert of a tombstoned key resurrects it (batch order wins)
+    t.upsertDeferred(Seq((5L, "back", 9L)).toDF("id", "v", "ts"), Seq("id"), "ts")
+    assert(t.read().filter(col("id") === 5).select("v").as[String].head() === "back")
+    assert(t.read().count() === 91)
+    // no-op delete: no commit, MoR state untouched
+    val vBefore = t.currentVersion()
+    t.deleteDeferred(col("id") === 99999, Seq("id"), "ts")
+    assert(t.currentVersion() === vBefore)
+    // time travel sees the pre-delete state
+    assert(t.readVersion(0).count() === 100)
+    // compaction folds tombstones into the base rewrite
+    val before = t.read().as[(Long, String, Long)].collect().toSet
+    assert(t.applyDeltas() >= 1)
+    assert(t.deltaManifest().isEmpty)
+    assert(t.read().as[(Long, String, Long)].collect().toSet === before)
+    assert(t.readBase().as[(Long, String, Long)].collect().toSet === before)
+    assert(t.read().count() === 91)
+    // marker never leaks into any read surface
+    Seq(t.read(), t.readBase(), t.readVersion(1)).foreach(df =>
+      assert(!df.columns.exists(_.contains("delete")), df.columns.mkString(",")))
+  }
+
+  test("change feed reports deferred deletes as delete rows") {
+    val t = SnapshotTable(spark, tmpDir("mor_del_cdf"))
+    t.overwrite(Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("id", "v", "ts"))
+    t.deleteDeferred(col("id") <= 2, keys = Seq("id"), precombine = "ts")
+    val feed = t.readChanges(0)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(feed === Set((1L, "delete", 1L), (2L, "delete", 1L)))
+    // fold-in compaction reports no further change
+    t.applyDeltas()
+    assert(t.readChanges(1).count() === 0)
+  }
+
   test("meta-columns: _commit_version/_commit_ts trace file lineage") {
     val t = SnapshotTable(spark, tmpDir("meta"))
     t.overwrite(Seq((1, "a")).toDF("id", "v"))
