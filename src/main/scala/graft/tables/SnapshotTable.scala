@@ -120,43 +120,29 @@ class SnapshotTable private (
     }
   }
 
-  /** Atomically publish `entry` as version `version` (CAS on the slot). */
+  /** The commit-slot CAS implementation — filesystem-native by default;
+   *  object-store deployments swap in a conditional-put/lock-service
+   *  impl via [[withCommitLock]] (see [[CommitLock]]). */
+  @volatile private var commitLock: CommitLock = FileSystemCommitLock
+
+  /** Use `lock` as this table's commit CAS (e.g. a conditional-put
+   *  implementation for S3/GCS). Returns this table. */
+  def withCommitLock(lock: CommitLock): SnapshotTable = {
+    commitLock = lock
+    this
+  }
+
+  /** Atomically publish `entry` as version `version` — the CAS on the
+   *  commit slot is delegated to the pluggable [[CommitLock]]. */
   private def writeCommit(version: Long, entryIn: CommitEntry): Unit = {
     val entry = entryIn.copy(ts = Some(System.currentTimeMillis()))
     fs.mkdirs(logDir)
     val dest = new Path(logDir, f"$version%020d.json")
-    val payload = entry.toJson.getBytes("UTF-8")
-    val scheme = dest.toUri.getScheme
-    if (scheme == null || scheme == "file") {
-      // Local FS: full-content tmp file + hard link = atomic claim AND
-      // atomic publication (link(2) is EEXCL; rename would overwrite).
-      val tmpJ = new java.io.File(tmpDir.toUri.getPath)
-      tmpJ.mkdirs()
-      val tmp = new java.io.File(tmpJ, s"commit-${UUID.randomUUID().toString.take(12)}.json")
-      java.nio.file.Files.write(tmp.toPath, payload)
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dest.toUri.getPath), tmp.toPath)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new ConcurrentCommitException(
-            s"version $version of $root was committed concurrently")
-      } finally tmp.delete()
-    } else {
-      // HDFS-compatible stores: create(overwrite=false) claims the slot
-      // atomically; content is visible after close (single-writer-per-slot).
-      // only the slot-taken signal means "concurrent commit"; a transient
-      // network/permission/quota IOException must surface as itself, or
-      // callers retry a permanent failure forever
-      val out =
-        try fs.create(dest, false)
-        catch {
-          case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                    _: java.nio.file.FileAlreadyExistsException) =>
-            throw new ConcurrentCommitException(
-              s"version $version of $root was committed concurrently", e)
-        }
-      try out.write(payload) finally out.close()
+    try commitLock.publish(fs, dest, tmpDir, entry.toJson.getBytes("UTF-8"))
+    catch {
+      case e: ConcurrentCommitException =>
+        throw new ConcurrentCommitException(
+          s"version $version of $root was committed concurrently", e)
     }
     publishSymlinkManifest(entry)
     refreshViews()

@@ -346,6 +346,36 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[Exception](t.readVersion(0).count())
   }
 
+  test("commit CAS is pluggable behind the CommitLock seam") {
+    val t = SnapshotTable(spark, tmpDir("tbl"))
+    // a delegating lock observes every commit
+    var calls = 0
+    t.withCommitLock(new CommitLock {
+      override def publish(fs: org.apache.hadoop.fs.FileSystem,
+          dest: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+          payload: Array[Byte]): Unit = {
+        calls += 1
+        FileSystemCommitLock.publish(fs, dest, tmp, payload)
+      }
+    })
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    assert(calls === 2)
+    // a lock reporting a lost race surfaces as ConcurrentCommitException
+    // and leaves the committed state untouched
+    t.withCommitLock(new CommitLock {
+      override def publish(fs: org.apache.hadoop.fs.FileSystem,
+          dest: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+          payload: Array[Byte]): Unit =
+        throw new SnapshotTable.ConcurrentCommitException("slot taken")
+    })
+    intercept[SnapshotTable.ConcurrentCommitException](
+      t.append(Seq((3, "c")).toDF("id", "v")))
+    assert(t.currentVersion() === 1)
+    t.withCommitLock(FileSystemCommitLock)
+    assert(t.read().as[(Int, String)].collect().toSet === Set((1, "a"), (2, "b")))
+  }
+
   test("vacuum with a torn newest entry retains the last readable version") {
     // a writer died mid-publish: the newest log entry is permanently
     // torn. vacuum(retainVersions=1) must NOT count the torn head toward
