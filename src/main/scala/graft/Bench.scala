@@ -56,7 +56,41 @@ object Bench {
     val mins = results.map { case (k, (_, mn)) => "\"" + k + f"""\":$mn%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"sf":"$sfDir"}""")
+    // Scaling-curve evidence for the pair-mining queries (SURVEY §6):
+    // re-time them at the next SF down and report the observed wall-clock
+    // exponent log10(t_hi / t_lo) over the 10x data step. Exponents near
+    // 1 = linear; anything approaching 2 flags a quadratic pair
+    // generator. (Wall-clock exponents BELOW the work exponent are
+    // expected at these sizes — fixed job overhead dominates the small
+    // SF.)
+    val scalingTrio = Seq("q21_jaccard_neardup", "q48_embedding_pairs", "q62_dup_ngram_frac")
+    val loDir = sfDir.replace("sf0.1", "sf0.01")
+    val scaling =
+      if (loDir == sfDir || !new java.io.File(loDir).isDirectory) ""
+      else {
+        val parts = scalingTrio.flatMap { name =>
+          SparkEntry.queries.get(name).flatMap { fn =>
+            val hi = results.collectFirst { case (`name`, (_, mn)) => mn }
+            try {
+              fn(spark, loDir).write.format("noop").mode("overwrite").save() // warm
+              val lo = (1 to reps).map { _ =>
+                val t0 = System.nanoTime()
+                fn(spark, loDir).write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9
+              }.min
+              hi.filter(_ > 0).map { h =>
+                val exp = math.log10(h / lo)
+                "\"" + name + f"""\":{"lo":$lo%.3f,"hi":$h%.3f,"exp":$exp%.2f}"""
+              }
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench][scaling] $name: ${e.getMessage}"); None
+            }
+          }
+        }
+        if (parts.isEmpty) ""
+        else parts.mkString(s""","scaling_lo_sf":"$loDir","scaling_10x":{""", ",", "}")
+      }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins$scaling,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -456,14 +456,23 @@ object SparkEntry {
    *  equal the one under chunks=8. Both facts are SF-invariant booleans
    *  DuckDB replays; raw pair values stay covered by ExtSpec. */
   private def simhashQuery(s: SparkSession, dir: String): DataFrame = {
+    // deterministic 1-in-2 sample (q49 precedent): the checks are
+    // per-planted-duplicate, so half the corpus gives the same
+    // regression power at a fraction of the doubled-corpus mining cost;
+    // the oracle replays the same predicate
     val docs = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val doubled = docs.unionByName(
       docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    // each pair list feeds three consumers (planted check, partner set,
+    // consistency join) — pin so the pigeonhole mining runs once, not 3x;
+    // the blocks are pair-list-sized and stay pinned for the (lazy)
+    // returned plan's lifetime
     val sim4 = ext.Dedup.simhashPairs(doubled, "doc_id", "text", maxHamming = 3, chunks = 4)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")).localCheckpoint()
     val sim8 = ext.Dedup.simhashPairs(doubled, "doc_id", "text", maxHamming = 3, chunks = 8)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")).localCheckpoint()
     def partners(p: DataFrame) =
       p.select(col("id_a").as("d"), col("id_b").as("p"))
         .unionByName(p.select(col("id_b").as("d"), col("id_a").as("p")))
@@ -492,7 +501,7 @@ object SparkEntry {
   }
   private val Q26Duck =
     """SELECT doc_id, true AS planted_found, true AS partners_consistent
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin
 
   private def multimodalQuery(s: SparkSession, dir: String): DataFrame =
     ext.Multimodal.decodeImages(
@@ -519,9 +528,12 @@ object SparkEntry {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val doubled = docs.unionByName(
       docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    // four consumers (fp-group, text-group, base, copies) — pin so the
+    // hash projection over the doubled corpus runs once
     val hashed = doubled.select(col("doc_id"), col("text"),
       ext.functions.fingerprint64(col("text")).as("fp"),
       ext.functions.simhash64(ext.TextAnalysis.tokens(col("text"))).as("sh"))
+      .localCheckpoint()
     val byFp = hashed.groupBy("fp").agg(count(lit(1)).as("nfp"))
     val byText = hashed.groupBy("text").agg(count(lit(1)).as("ntxt"))
     val base = hashed.filter(col("doc_id") < 1000000L)
