@@ -60,6 +60,39 @@ class MergeModelSpec extends SparkSpec {
     assert(mor.deltaManifest().isEmpty)
   }
 
+  test("MoR interleaved upserts+deletes == map/set model, pre and post compaction") {
+    // randomized interleaving of deferred upsert batches and deferred
+    // delete batches vs a plain Scala map simulation: the tombstone
+    // path's replay semantics (delete wins over earlier batches, later
+    // upsert resurrects) checked against an implementation that cannot
+    // share bugs with the engine
+    val rnd = new Random(13)
+    val base = randomBatch(rnd, 40, 35).groupBy(_._1).map(_._2.head).toSeq
+    val t = SnapshotTable.create(spark, tmpDir("mor_model"), base.toDF("id", "v", "ts"))
+    var model: Map[Long, (Long, String, Long)] = base.map(r => r._1 -> r).toMap
+    (1 to 8).foreach { i =>
+      if (i % 3 == 0) {
+        // delete batch: a random residue class — predicate-driven like
+        // the API surface
+        val m = 2 + rnd.nextInt(4)
+        val r = rnd.nextInt(m)
+        t.deleteDeferred(col("id") % m === r, keys = Seq("id"), precombine = "ts")
+        model = model.filter { case (k, _) => k % m != r }
+      } else {
+        val batch = randomBatch(rnd, 40, 10).groupBy(_._1).map(_._2.head).toSeq
+          .map { case (k, v, _) => (k, v + s"_b$i", i.toLong) }
+        t.upsertDeferred(batch.toDF("id", "v", "ts"), Seq("id"), "ts")
+        batch.foreach(r => model += r._1 -> r)
+      }
+      val got = t.read().as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got === model, s"RT view diverged from model after batch $i")
+    }
+    t.applyDeltas()
+    val folded = t.read().as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(folded === model, "compacted view diverged from model")
+    assert(t.deltaManifest().isEmpty)
+  }
+
   test("conditioned MERGE clauses == model routing (update/delete/insert)") {
     val target = Seq((1L, 10L), (2L, 25L), (3L, 30L), (4L, 45L)).toDF("id", "n")
     val source = Seq((2L, 100L), (3L, 100L), (5L, 55L), (6L, 60L)).toDF("id", "n")
