@@ -1347,12 +1347,25 @@ class SnapshotTable private (
    * Row-level DELETE: files whose stats can't contain matching rows are
    * carried forward untouched; only files that may match are rewritten
    * with the complement predicate (copy-on-write at file granularity,
-   * like MERGE). Returns the number of files rewritten.
+   * like MERGE). Returns the number of files rewritten. On a table with
+   * pending MoR deltas the delete lands as a [[deleteDeferred]]
+   * tombstone batch instead (Hudi MoR delete-log-block semantics) and
+   * returns 0 — no base file is touched.
    */
   def delete(predicate: Column): Int = {
     val v = currentVersion()
     require(v >= 0, s"table $root is empty")
     val entry = commitEntry(v)
+    // a table operating MoR (pending deltas) takes the tombstone path:
+    // the CoW rewrite below would have to refuse (rewriting the BASE
+    // under pending keyed deltas resurrects overridden rows), and Hudi
+    // MoR semantics are precisely "deletes are log blocks". Zero files
+    // rewritten; SQL DELETE FROM / DSv2 deleteWhere work unchanged on
+    // MoR tables instead of demanding applyDeltas() first.
+    if (entry.deltaFiles.exists(_.nonEmpty)) {
+      deleteDeferred(predicate, entry.morKeys.get, entry.morPrecombine.get)
+      return 0
+    }
     val tschema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
     val pred = org.apache.spark.sql.graftshim.SparkInternals.expr(predicate)
     val cs = Pruning.conjuncts(pred)

@@ -136,6 +136,23 @@ class MergeSqlSpec extends SparkSpec {
     assert(t.readVersion(t.currentVersion() - 1).count() === 3)
   }
 
+  test("SQL DELETE FROM a table with pending MoR deltas lands as tombstones") {
+    val t = SnapshotTable.create(spark, tmpDir("sqlmerge"),
+      Seq((1, "ck1", 1L), (2, "ck2", 1L), (3, "ck3", 1L)).toDF("id", "checksum", "ts"))
+    GraftCatalog.register("contact_mordel", t)
+    t.upsertDeferred(Seq((4, "ck4", 2L)).toDF("id", "checksum", "ts"),
+      keys = Seq("id"), precombine = "ts")
+    val baseFiles = t.manifest()
+    // DELETE must not demand applyDeltas(): it routes to the tombstone path
+    spark.sql("DELETE FROM contact_mordel WHERE id <= 2")
+    assert(t.manifest() === baseFiles, "base was rewritten")
+    assert(t.manifestAction().contains("delta-delete"))
+    assert(t.read().select("id").as[Int].collect().toSet === Set(3, 4))
+    // fold-in produces the same state
+    t.applyDeltas()
+    assert(t.read().select("id").as[Int].collect().toSet === Set(3, 4))
+  }
+
   test("DELETE and UPDATE reject foreign qualifiers in conditions") {
     val t = freshRegistered("contact_fq")
     val e1 = intercept[Exception](
