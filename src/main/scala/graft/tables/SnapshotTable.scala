@@ -1385,7 +1385,12 @@ class SnapshotTable private (
    * carried forward untouched; touched files are rewritten with the
    * assignments applied under `predicate` (CASE per assigned column,
    * pure codegen'd expressions, no driver data). Returns the number of
-   * files rewritten.
+   * files rewritten. On a table with pending MoR deltas the update
+   * lands as an [[upsertDeferred]] batch of the re-assigned matching
+   * rows instead (MoR updates ARE upserts, Hudi semantics) and returns
+   * 0 — no base file is touched; assignments to a record-key column are
+   * rejected there (they would insert under the new key and strand the
+   * old row).
    */
   def update(predicate: Column, set: Map[String, Column]): Int = {
     import org.apache.spark.sql.functions.{col => c, when}
@@ -1397,6 +1402,21 @@ class SnapshotTable private (
       val field = tschema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
         throw new IllegalArgumentException(s"UPDATE $root: column $k is not in the table schema"))
       field.name -> (field, expr)
+    }
+    if (entry.deltaFiles.exists(_.nonEmpty)) {
+      val keys = entry.morKeys.get
+      byName.keys.foreach(k => require(!keys.exists(_.equalsIgnoreCase(k)),
+        s"UPDATE $root: cannot assign record-key column $k while MoR deltas " +
+          "are pending (the upsert would land under the new key); applyDeltas() first"))
+      val updated = mergedView(entry, entry.files).filter(predicate)
+        .select(tschema.fields.toSeq.map { f =>
+          byName.get(f.name) match {
+            case Some((field, nv)) => nv.cast(field.dataType).as(f.name)
+            case None => c(f.name)
+          }
+        }: _*)
+      upsertDeferred(updated, keys, entry.morPrecombine.get, action = "delta-update")
+      return 0
     }
     val pred = org.apache.spark.sql.graftshim.SparkInternals.expr(predicate)
     val cs = Pruning.conjuncts(pred)

@@ -537,6 +537,33 @@ class SnapshotTableSpec extends SparkSpec {
       assert(!df.columns.exists(_.contains("delete")), df.columns.mkString(",")))
   }
 
+  test("update/delete on a delta-bearing table land as deferred batches") {
+    val t = SnapshotTable(spark, tmpDir("mor_upd"))
+    t.overwrite(spark.range(0, 10).toDF("id")
+      .withColumn("v", lit("base")).withColumn("ts", lit(0L)))
+    t.upsertDeferred(Seq((3L, "d1", 1L)).toDF("id", "v", "ts"), Seq("id"), "ts")
+    val baseFiles = t.manifest()
+    // MoR update = deferred upsert of the re-assigned matching rows
+    assert(t.update(col("id") <= 4, Map("v" -> lit("upd"))) === 0)
+    assert(t.manifest() === baseFiles, "base was rewritten")
+    assert(t.manifestAction().contains("delta-update"))
+    val got = t.read().select("id", "v").as[(Long, String)].collect().toMap
+    (0L to 4L).foreach(id => assert(got(id) === "upd", s"id=$id"))
+    (5L to 9L).foreach(id => assert(got(id) === "base", s"id=$id"))
+    // assigning a record-key column is rejected while deltas are pending
+    val e = intercept[IllegalArgumentException](
+      t.update(lit(true), Map("id" -> lit(99L))))
+    assert(e.getMessage.contains("record-key"))
+    // MoR delete = tombstone batch through the same dispatch
+    assert(t.delete(col("id") === 7) === 0)
+    assert(t.manifest() === baseFiles)
+    assert(t.read().count() === 9)
+    // fold-in agrees with the RT view
+    val before = t.read().as[(Long, String, Long)].collect().toSet
+    t.applyDeltas()
+    assert(t.read().as[(Long, String, Long)].collect().toSet === before)
+  }
+
   test("change feed reports deferred deletes as delete rows") {
     val t = SnapshotTable(spark, tmpDir("mor_del_cdf"))
     t.overwrite(Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("id", "v", "ts"))
