@@ -1771,6 +1771,41 @@ class SnapshotTable private (
   /** Delta/Iceberg-semantics MERGE INTO — see [[graft.ops.MergeInto]]. */
   def merge(source: DataFrame, condition: Column): graft.ops.MergeInto =
     new graft.ops.MergeInto(this, source, condition)
+
+  /**
+   * Apply a change feed ([[readChanges]] output — local or from another
+   * table) to THIS table: the downstream-materialization consumer of
+   * CDC, i.e. the reference ecosystem's "incremental query feeds the
+   * next table" pattern (Hudi incremental pull → downstream upsert).
+   *
+   * Reduction first: preimages are dropped, then the LATEST change per
+   * key (by `_commit_version`) wins — replaying a multi-version window
+   * in one shot converges to the same state as version-by-version
+   * application, and re-applying an overlapping window is idempotent.
+   * The reduced set routes through one [[merge]]: `delete` rows delete
+   * matched targets, everything else updates-by-name or inserts
+   * (feed-only meta columns are ignored by name binding).
+   */
+  def applyChanges(feed: DataFrame, keys: Seq[String]): SnapshotTable = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "applyChanges needs at least one record-key column")
+    val meta = Set("_change_type", "_commit_version", "_commit_ts")
+    keys.foreach(k => require(feed.columns.exists(_.equalsIgnoreCase(k)),
+      s"applyChanges: key column $k is not in the feed"))
+    meta.foreach(m => require(feed.columns.contains(m),
+      s"applyChanges: $m missing — is this a readChanges feed?"))
+    val carried = feed.columns.toSeq.filterNot(c => meta(c)) :+ "_change_type"
+    val latest = feed.filter(col("_change_type") =!= "update_preimage")
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(carried.map(col): _*), col("_commit_version")).as("__c"))
+      .select(carried.map(c => col(s"__c.$c").as(c)): _*)
+    merge(latest, keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _))
+      .whenMatched(col("s._change_type") === "delete").delete()
+      .whenMatched().updateAll()
+      .whenNotMatched(col("s._change_type") =!= "delete").insertAll()
+      .execute()
+    this
+  }
 }
 
 object SnapshotTable {
