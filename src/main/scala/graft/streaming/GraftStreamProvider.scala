@@ -136,6 +136,13 @@ class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
     SnapshotTable(sqlContext.sparkSession, path)
   }
 
+  /** `readChangeFeed=true` switches the source from row delivery to
+   *  change delivery (Delta's streaming CDF option). */
+  private def cdfEnabled(parameters: Map[String, String]): Boolean =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v.toBoolean
+    }.getOrElse(false)
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
@@ -146,7 +153,9 @@ class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
     require(schema.isEmpty,
       "graft-table streaming source does not support a user-specified schema; " +
         "the table's committed schema is authoritative")
-    (shortName(), tableFor(sqlContext, parameters).schema)
+    val t = tableFor(sqlContext, parameters)
+    (shortName(),
+      if (cdfEnabled(parameters)) GraftTableSource.cdfSchema(t) else t.schema)
   }
 
   override def createSource(
@@ -162,20 +171,34 @@ class GraftStreamProvider extends StreamSourceProvider with StreamSinkProvider
     val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     require(maxPerTrigger.forall(_ > 0),
       s"graft-table source: maxVersionsPerTrigger must be positive, got ${maxPerTrigger.get}")
-    new GraftTableSource(sqlContext.sparkSession, table, startCursor, maxPerTrigger)
+    // record key for the change-feed diff (falls back to the commit's
+    // MoR keys or the `graft.cdf.keys` table property when omitted)
+    val cdfKeys = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("cdfKeys") => v
+    }.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    new GraftTableSource(sqlContext.sparkSession, table, startCursor, maxPerTrigger,
+      cdf = cdfEnabled(parameters), cdfKeys = cdfKeys)
   }
 }
 
 /** See [[GraftStreamProvider]]. `startCursor` is the exclusive version the
  *  first batch starts after (-1 = deliver everything); `maxPerTrigger`
- *  caps how many table versions one micro-batch may cover. */
+ *  caps how many table versions one micro-batch may cover; `cdf = true`
+ *  streams the CHANGE FEED ([[SnapshotTable.readChanges]] rows tagged
+ *  `_change_type`/`_commit_version`/`_commit_ts`) instead of raw rows —
+ *  Delta's `readChangeFeed` streaming option: the consumer sees exact
+ *  keyed row-level deltas (deletes included) per commit, not the
+ *  file-granularity superset of the default mode. */
 class GraftTableSource(
     spark: SparkSession,
     table: SnapshotTable,
     startCursor: Long,
-    maxPerTrigger: Option[Long] = None) extends Source {
+    maxPerTrigger: Option[Long] = None,
+    cdf: Boolean = false,
+    cdfKeys: Seq[String] = Nil) extends Source {
 
-  override val schema: StructType = table.schema
+  override val schema: StructType =
+    if (cdf) GraftTableSource.cdfSchema(table) else table.schema
 
   /** The newest version this source has already handed to the engine —
    *  the base the per-trigger cap advances from. Initialized from the
@@ -206,7 +229,9 @@ class GraftTableSource(
     val from = start.map(toVersion).getOrElse(startCursor)
     val to = toVersion(end)
     delivered = math.max(delivered, math.max(from, to))
-    val batch = table.readIncremental(from, to)
+    val batch =
+      if (cdf) table.readChanges(from, to, cdfKeys)
+      else table.readIncremental(from, to)
     // The micro-batch engine binds this plan's attributes positionally
     // against the schema declared at stream start. A window whose files
     // carry a DIFFERENT schema (ADD COLUMNS / retyping overwrite landed
@@ -223,9 +248,13 @@ class GraftTableSource(
 
   /** The micro-batch engine requires `isStreaming=true` on the plan a V1
    *  source returns (FileStreamSource marks its per-batch file relation
-   *  the same way); the incremental read is a plain batch scan, so flip
-   *  the flag on its leaf relation. */
+   *  the same way). The incremental read is a plain single-relation
+   *  parquet scan, so flip the flag on its leaf. A CHANGE-FEED batch is
+   *  a multi-relation diff plan (joins/unions) — marking its leaves
+   *  would read as a stream-stream join, so wrap the whole plan as one
+   *  streaming leaf instead ([[SparkInternals.asStreamingLeaf]]). */
   private def asStreaming(df: DataFrame): DataFrame = {
+    if (cdf) return org.apache.spark.sql.graftshim.SparkInternals.asStreamingLeaf(df)
     import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val plan = df.queryExecution.analyzed.transform {
@@ -248,6 +277,19 @@ class GraftTableSource(
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftTableSource[${table.root}]"
+}
+
+object GraftTableSource {
+  /** Schema of the change-feed streaming mode: the table's committed
+   *  schema plus [[SnapshotTable.readChanges]]'s three meta columns. */
+  private[streaming] def cdfSchema(t: SnapshotTable): StructType =
+    StructType(t.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("_commit_ts",
+        org.apache.spark.sql.types.TimestampType, nullable = true)))
 }
 
 /** See [[GraftStreamProvider.createSink]]: each micro-batch commits

@@ -42,4 +42,17 @@ object SparkInternals {
       classic.queryExecution.toRdd, classic, isStreaming = false)
     org.apache.spark.sql.classic.Dataset.ofRows(classic.sparkSession, node)
   }
+
+  /** The inverse marking of [[rebatch]]: wrap a batch plan's executed RDD
+   *  as a single STREAMING leaf. A V1 streaming source must return an
+   *  `isStreaming` plan, but marking the leaves of a multi-relation plan
+   *  (joins/unions, e.g. a change-feed diff) would make the engine read
+   *  it as a stream-stream join — wrapping the whole plan keeps it one
+   *  leaf. The RDD is lazy; nothing executes until the batch runs. */
+  def asStreamingLeaf(data: DataFrame): DataFrame = {
+    val classic = data.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      classic.queryExecution.toRdd, classic, isStreaming = true)
+    org.apache.spark.sql.classic.Dataset.ofRows(classic.sparkSession, node)
+  }
 }

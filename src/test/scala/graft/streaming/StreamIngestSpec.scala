@@ -183,6 +183,54 @@ class StreamIngestSpec extends SparkSpec {
       .as[(Int, String)].collect().toSet === Set((2, "b"), (2, "b2")))
   }
 
+  test("streaming change feed delivers tagged row-level deltas incl. deletes") {
+    val root = tmpDir("streamcdf")
+    val t = SnapshotTable.create(spark, root,
+      Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("id", "v", "ts")) // v0
+    t.update(col("id") === 2, Map("v" -> lit("b2")))                          // v1
+    t.deleteDeferred(col("id") === 3, Seq("id"), "ts")                        // v2
+    val stream = spark.readStream.format("graft-table")
+      .option("path", root).option("startingVersion", "1")
+      .option("readChangeFeed", "true").option("cdfKeys", "id").load()
+    assert(stream.isStreaming)
+    assert(stream.columns.takeRight(3).toSeq ===
+      Seq("_change_type", "_commit_version", "_commit_ts"))
+    val q = stream.writeStream.format("memory").queryName("graft_cdf_stream")
+      .option("checkpointLocation", tmpDir("ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("graft_cdf_stream")
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got === Set(
+      (2L, "b", "update_preimage", 1L),
+      (2L, "b2", "update_postimage", 1L),
+      (3L, "c", "delete", 2L)))
+
+    // resume: accumulate the feed into a graft sink over ONE checkpoint;
+    // a commit while the stream is down arrives exactly once
+    val sink = SnapshotTable(spark, tmpDir("streamcdf_sink"))
+    val ckpt = tmpDir("cdf_ckpt")
+    def run(): Unit = StreamIngest.runOnce(
+      StreamIngest.appendSink(
+        spark.readStream.format("graft-table").option("path", root)
+          .option("readChangeFeed", "true").option("cdfKeys", "id").load(), sink),
+      ckpt)
+    run()
+    val firstCount = sink.read().count() // whole history so far
+    t.update(col("id") === 1, Map("v" -> lit("a2"))) // while stream is down
+    run()
+    val tail = sink.read()
+      .filter(col("_change_type").isin("update_preimage", "update_postimage") &&
+        col("id") === 1)
+      .select("v", "_change_type").as[(String, String)].collect().toSet
+    assert(tail === Set(("a", "update_preimage"), ("a2", "update_postimage")))
+    assert(sink.read().count() === firstCount + 2) // only the new window
+    run() // caught up: nothing more
+    assert(sink.read().count() === firstCount + 2)
+  }
+
   test("streaming read source: startingVersion ahead of the table waits, never rewinds") {
     val root = tmpDir("streamsrc_ahead")
     val t = SnapshotTable.create(spark, root, Seq((1, "a")).toDF("id", "v")) // v0
