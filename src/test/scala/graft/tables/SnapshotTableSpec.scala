@@ -564,6 +564,20 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().as[(Long, String, Long)].collect().toSet === before)
   }
 
+  test("deferred upserts and deletes work under a column mapping (rename)") {
+    val t = SnapshotTable(spark, tmpDir("mor_map"))
+    t.overwrite(Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("id", "v", "ts"))
+    t.renameColumn("v", "val") // files keep the physical name `v`
+    t.upsertDeferred(Seq((2L, "b2", 1L)).toDF("id", "val", "ts"), Seq("id"), "ts")
+    t.deleteDeferred(col("id") === 1, Seq("id"), "ts")
+    assert(t.read().as[(Long, String, Long)].collect().toSet ===
+      Set((2L, "b2", 1L), (3L, "c", 0L)))
+    t.applyDeltas()
+    assert(t.read().as[(Long, String, Long)].collect().toSet ===
+      Set((2L, "b2", 1L), (3L, "c", 0L)))
+    assert(t.read().columns.toSeq === Seq("id", "val", "ts"))
+  }
+
   test("change feed reports deferred deletes as delete rows") {
     val t = SnapshotTable(spark, tmpDir("mor_del_cdf"))
     t.overwrite(Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("id", "v", "ts"))
