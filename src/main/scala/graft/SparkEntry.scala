@@ -1368,6 +1368,27 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Q65 — deterministic epoch shuffle ([[ext.Sampling.epochShuffle]]):
+   *  a rebuild-stable global training order per epoch, with a contiguous
+   *  position from range-sort + zipWithIndex (no global window). The
+   *  oracle replays the BIGINT hash recipe and ranks with row_number —
+   *  order and positions must agree exactly. */
+  private def epochShuffleQuery(s: SparkSession, dir: String): DataFrame =
+    ext.Sampling.epochShuffle(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+        "doc_id", epoch = 3)
+      .select(col("doc_id"), col("pos"))
+      .orderBy("doc_id")
+  private val Q65Duck = {
+    val m = ext.Sampling.Modulus
+    val a = ext.Sampling.Mult
+    val salt = ext.Sampling.DefaultSalt + 3 // epoch folds into the salt
+    s"""SELECT doc_id,
+       |  row_number() OVER (ORDER BY
+       |    (((doc_id % $m) * $a + $salt) % $m * $a + $salt) % $m, doc_id) - 1 AS pos
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Q43 — Z-order clustered snapshot + stats-pruned scan: cluster orders
    *  along the (o_custkey, o_orderkey) Morton curve, commit, point-scan
    *  on the clustered key. Oracle = the plain filter. */
@@ -1488,7 +1509,8 @@ object SparkEntry {
     "q61_pack_sequences" -> packSeqQuery,
     "q62_dup_ngram_frac" -> dupSpanQuery,
     "q63_split_assign" -> splitQuery,
-    "q64_mor_delete" -> morDeleteResult)
+    "q64_mor_delete" -> morDeleteResult,
+    "q65_epoch_shuffle" -> epochShuffleQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1555,7 +1577,8 @@ object SparkEntry {
     "q61_pack_sequences" -> Q61Duck,
     "q62_dup_ngram_frac" -> Q62Duck,
     "q63_split_assign" -> Q63Duck,
-    "q64_mor_delete" -> Q64Duck)
+    "q64_mor_delete" -> Q64Duck,
+    "q65_epoch_shuffle" -> Q65Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -104,6 +104,41 @@ object Sampling {
   }
 
   /**
+   * Deterministic epoch shuffle: a rebuild-stable pseudo-random GLOBAL
+   * training order for the corpus, one per `epoch` — what a data loader
+   * needs from "shuffle each epoch" without RNG state: the same epoch
+   * produces the same order on every run, engine, and cluster size, and
+   * different epochs produce decorrelated orders (the epoch folds into
+   * the hash salt). Returns the rows sorted in shuffle order with a
+   * contiguous `pos` column (0-based).
+   *
+   * Scale shape: the sort is Spark's standard range-partitioned total
+   * sort (the one shuffle the semantics require), and `pos` comes from
+   * `zipWithIndex` — per-partition offsets from one lightweight count
+   * pass — NOT from a global `row_number()` window, which would funnel
+   * the whole corpus through a single reducer. Ties on the hash bucket
+   * (birthday-likely at ~10⁹ rows against the 1e9+7 modulus) break on
+   * the id, so the order is total and deterministic.
+   */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String,
+      epoch: Long,
+      salt: Long = DefaultSalt): DataFrame = {
+    // additive epoch mixing stays inside the replayable BIGINT recipe;
+    // the multiplicative rounds decorrelate consecutive epochs
+    val epochSalt = salt + epoch
+    val sorted = df.orderBy(hashBucket(col(idCol), epochSalt).asc, col(idCol).asc)
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(indexed, schema)
+  }
+
+  /**
    * Per-group capping — "keep at most `n` documents per domain, best
    * first" — the heavy-hitter-domain control every web-corpus build runs
    * (a handful of boilerplate-heavy domains otherwise dominate the

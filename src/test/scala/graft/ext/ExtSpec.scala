@@ -554,6 +554,27 @@ class ExtSpec extends SparkSpec {
     assert(covered === Map(1L -> 10L, 2L -> 3L, 3L -> 4L))
   }
 
+  test("epochShuffle: stable order, contiguous positions, epochs decorrelate") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val e1 = Sampling.epochShuffle(ids, "id", epoch = 1)
+      .select("id", "pos").as[(Long, Long)].collect()
+    // contiguous 0-based positions, every id exactly once
+    assert(e1.map(_._2).sorted.toSeq === (0L until 2000L))
+    assert(e1.map(_._1).toSet === (0L until 2000L).toSet)
+    // layout-independence: a repartitioned input produces the SAME order
+    val e1b = Sampling.epochShuffle(ids.repartition(13), "id", 1)
+      .select("id", "pos").as[(Long, Long)].collect()
+    assert(e1.toMap === e1b.toMap)
+    // a different epoch produces a genuinely different permutation
+    val e2 = Sampling.epochShuffle(ids, "id", epoch = 2)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    val same = e1.count { case (id, p) => e2(id) == p }
+    assert(same < 100, s"epochs 1 and 2 agree on $same/2000 positions")
+    // the order is not the identity (it actually shuffles)
+    val identity = e1.count { case (id, p) => id == p }
+    assert(identity < 100, s"epoch order is near-identity ($identity/2000)")
+  }
+
   test("deterministic sampling: rate-accurate, stable, salt-sensitive") {
     val ids = spark.range(0, 10000).toDF("id")
     val kept = Sampling.sample(ids, "id", 0.5).as[Long].collect().toSet
