@@ -70,15 +70,18 @@ object Bench {
       else {
         val parts = scalingTrio.flatMap { name =>
           SparkEntry.queries.get(name).flatMap { fn =>
-            val hi = results.collectFirst { case (`name`, (_, mn)) => mn }
-            try {
+            // no (positive) high-SF measurement → no exponent to compute;
+            // skip before burning 1+reps low-SF executions on it
+            val hi = results.collectFirst { case (`name`, (_, mn)) => mn }.filter(_ > 0)
+            if (hi.isEmpty) None
+            else try {
               fn(spark, loDir).write.format("noop").mode("overwrite").save() // warm
               val lo = (1 to reps).map { _ =>
                 val t0 = System.nanoTime()
                 fn(spark, loDir).write.format("noop").mode("overwrite").save()
                 (System.nanoTime() - t0) / 1e9
               }.min
-              hi.filter(_ > 0).map { h =>
+              hi.map { h =>
                 val exp = math.log10(h / lo)
                 "\"" + name + f"""\":{"lo":$lo%.3f,"hi":$h%.3f,"exp":$exp%.2f}"""
               }

@@ -258,21 +258,23 @@ final class MergeInto(
       if (!dedupeKeeps) routed
       else {
         // kept copies of one target row are identical on every projected
-        // (target) column — keep exactly one per T_UID. Only the MATCHED
-        // subset enters the Window: insert-routed rows carry NULL T_UID,
-        // so ranking them too would hash every insert into one window
-        // partition — a single-reducer funnel for insert-heavy
-        // bySource-only merges at the 100 TB design point.
-        val dedup = routed.filter(matched)
+        // (target) column — keep exactly one per T_UID. Insert-routed
+        // rows carry NULL T_UID: ranking them on the raw key would hash
+        // every insert into ONE window partition (a single-reducer
+        // funnel for insert-heavy bySource-only merges), while a
+        // filter/union split of matched vs unmatched would execute the
+        // full-outer-join subtree twice. Instead give each insert row a
+        // unique NEGATIVE surrogate key (target UIDs are non-negative
+        // monotonically_increasing_id values, so the spaces are
+        // disjoint) — one window pass, one join, hash-distributed.
+        val surrogate = monotonically_increasing_id() + lit(Long.MinValue)
+        routed
+          .withColumn("__keep_key", coalesce(col(T_UID), surrogate))
           .withColumn("__keep_rn",
             row_number().over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col(T_UID)).orderBy(col(T_UID))))
+              .partitionBy(col("__keep_key")).orderBy(col("__keep_key"))))
           .filter(col("__keep_rn") === 1)
-          .drop("__keep_rn")
-        // positional union: both branches are the same routed projection
-        // (the joined frame carries duplicate t./s. column names, which
-        // unionByName would reject)
-        dedup.union(routed.filter(!matched))
+          .drop("__keep_rn", "__keep_key")
       }
 
     // case-insensitive matching throughout — see insert-only path note

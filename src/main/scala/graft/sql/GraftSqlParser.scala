@@ -151,18 +151,27 @@ object GraftSqlParser {
    *  all opaque (Spark SQL accepts all three), so
    *  `OPTIMIZE t WHERE note = "x ZORDER BY y"` never splits inside the
    *  literal. Doubled-quote escapes ('' / "") toggle twice and fall out
-   *  naturally; quote characters inside a differently-quoted region do
-   *  not open a new region. */
+   *  naturally; backslash escapes (\' / \" / \\, honored by Spark's
+   *  default non-ANSI string literals) skip the next char so an escaped
+   *  quote does not close the region; quote characters inside a
+   *  differently-quoted region do not open a new region. */
   private def indexOfUnquoted(s: String, regex: String): Option[Int] = {
     val inQuote = new Array[Boolean](math.max(s.length, 1))
     var q: Char = 0 // 0 = outside; otherwise the active quote char
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (q == 0 && (c == '\'' || c == '"' || c == '`')) q = c
-      else if (c == q) q = 0
-      inQuote(i) = q != 0
-      i += 1
+      if (q != 0 && q != '`' && c == '\\' && i + 1 < s.length) {
+        // escaped char inside a string literal: both chars stay quoted
+        // (backticked identifiers have no escapes in Spark SQL)
+        inQuote(i) = true; inQuote(i + 1) = true
+        i += 2
+      } else {
+        if (q == 0 && (c == '\'' || c == '"' || c == '`')) q = c
+        else if (c == q) q = 0
+        inQuote(i) = q != 0
+        i += 1
+      }
     }
     val m = Pattern.compile(regex).matcher(s)
     while (m.find()) if (!inQuote(m.start)) return Some(m.start)

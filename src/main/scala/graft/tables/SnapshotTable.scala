@@ -1099,7 +1099,8 @@ class SnapshotTable private (
       return dfOver(Nil, DataType.fromJson(entry.schemaJson).asInstanceOf[StructType])
     // files present at `to` but not at `from` = first committed after
     // `from`; pending MoR delta files diff the same way, so deferred
-    // upserts surface incrementally too
+    // upserts surface incrementally too (delete tombstones are filtered
+    // out below — they are not representable as plain rows)
     val fromEntry =
       if (fromVersion < 0) None
       else try Some(commitEntry(fromVersion))
@@ -1119,11 +1120,26 @@ class SnapshotTable private (
       val seen = base.map(_.map(_.path).toSet).getOrElse(Set.empty)
       at.map(_.path).filterNot(seen)
     }
-    dfOver(
-      newPaths(toEntry.files, fromEntry.map(_.files)) ++
-        newPaths(toEntry.deltaFiles.getOrElse(Nil),
-          fromEntry.map(_.deltaFiles.getOrElse(Nil))),
+    val dataPart = dfOver(newPaths(toEntry.files, fromEntry.map(_.files)),
       schema, mappingOf(toEntry))
+    val deltaPaths = newPaths(toEntry.deltaFiles.getOrElse(Nil),
+      fromEntry.map(_.deltaFiles.getOrElse(Nil)))
+    if (deltaPaths.isEmpty) dataPart
+    else {
+      // delta batches mix upsert rows with delete tombstones
+      // ([[deleteDeferred]]'s marker column, absent from the logical
+      // schema) — serve only the upsert rows: a tombstone has no
+      // row-shaped representation in a plain incremental feed (consumers
+      // needing deletes use [[readChanges]] / readChangeFeed)
+      val extSchema = StructType(schema.fields :+
+        StructField(SnapshotTable.DeleteMarker, BooleanType, nullable = true))
+      val deltaPart = dfOver(deltaPaths, extSchema, mappingOf(toEntry))
+        .filter(!org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.col(SnapshotTable.DeleteMarker),
+          org.apache.spark.sql.functions.lit(false)))
+        .drop(SnapshotTable.DeleteMarker)
+      dataPart.unionByName(deltaPart)
+    }
   }
 
   /**
@@ -1619,6 +1635,11 @@ class SnapshotTable private (
       s"pending deltas precombine on $prev; applyDeltas() before switching to $precombine"))
     val (aligned, _) = alignToCommitted(incoming, committed, mergeSchema = false)
     val files = writeDataDir(aligned)
+    // empty batch (e.g. a MoR-routed UPDATE whose predicate matched
+    // nothing): no-op, no commit — same contract as [[deleteDeferred]];
+    // a junk version with an unchanged delta list would pollute history
+    // and advance streaming cursors for no logical change
+    if (files.isEmpty) return this
     writeCommit(v + 1, e.copy(action = action,
       deltaFiles = Some(e.deltaFiles.getOrElse(Nil) ++ files),
       morKeys = Some(keys.toList),

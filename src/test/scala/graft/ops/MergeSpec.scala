@@ -51,6 +51,22 @@ class MergeSpec extends SparkSpec {
     assert(got === Seq((2, "b", 20)), s"got $got")
   }
 
+  test("bySource-only MERGE dedups kept rows without dropping any insert") {
+    val t = freshTable()
+    // id=2 matches two source rows (kept ONCE); ids 7/8/9 are new and
+    // must ALL insert — the dedup window ranks them under unique
+    // surrogate keys (a NULL-key ranking would both funnel them into one
+    // partition and be the only candidate to miscount them)
+    val src = Seq((2, "x", 1), (2, "y", 2), (7, "g", 7), (8, "h", 8), (9, "i", 9))
+      .toDF("id", "name", "qty")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenNotMatched().insertAll()
+      .whenNotMatchedBySource().delete()
+      .execute()
+    val got = t.read().as[(Int, String, Int)].collect().toSet
+    assert(got === Set((2, "b", 20), (7, "g", 7), (8, "h", 8), (9, "i", 9)), s"got $got")
+  }
+
   test("invalid kind/action combinations fail at build time") {
     val t = freshTable()
     val src = Seq((9, "z", 1)).toDF("id", "name", "qty")

@@ -102,6 +102,17 @@ class MaintenanceSqlSpec extends SparkSpec {
       "OPTIMIZE maint_scope WHERE `payload` = 'x'").collect().head
     assert(bquoted.getString(1).contains("compact where"))
     assert(bquoted.getInt(2) === 0)
+    // a backslash-escaped quote does NOT close the literal (Spark's
+    // default string-literal escaping) — the scanner must not split on
+    // the ZORDER BY that follows it inside the string
+    val escq = spark.sql(
+      "OPTIMIZE maint_scope WHERE payload = 'it\\'s ZORDER BY b'").collect().head
+    assert(escq.getString(1).contains("compact where"))
+    assert(escq.getInt(2) === 0)
+    val escd = spark.sql(
+      "OPTIMIZE maint_scope WHERE payload = \"a \\\" ZORDER BY b\"").collect().head
+    assert(escd.getString(1).contains("compact where"))
+    assert(escd.getInt(2) === 0)
   }
 
   test("OPTIMIZE ZORDER BY rewrites one z-clustered commit") {

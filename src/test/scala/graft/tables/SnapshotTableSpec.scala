@@ -537,6 +537,31 @@ class SnapshotTableSpec extends SparkSpec {
       assert(!df.columns.exists(_.contains("delete")), df.columns.mkString(",")))
   }
 
+  test("incremental read serves deferred upserts but never delete tombstones") {
+    val t = SnapshotTable(spark, tmpDir("mor_inc"))
+    t.overwrite(Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("id", "v", "ts"))
+    t.upsertDeferred(Seq((2L, "b2", 1L)).toDF("id", "v", "ts"), Seq("id"), "ts") // v1
+    t.deleteDeferred(col("id") === 1, Seq("id"), "ts")                           // v2
+    // the upsert batch surfaces; the tombstone batch must NOT surface as
+    // phantom all-null-payload rows (a delete has no row shape in a
+    // plain incremental feed — readChanges carries it instead)
+    val inc = t.readIncremental(0).as[(Long, String, Long)].collect().toSet
+    assert(inc === Set((2L, "b2", 1L)))
+    assert(t.readIncremental(1).count() === 0)
+    assert(t.readIncremental(0).columns.toSeq === Seq("id", "v", "ts"))
+  }
+
+  test("MoR-routed update with no matching rows commits nothing") {
+    val t = SnapshotTable(spark, tmpDir("mor_upd_noop"))
+    t.overwrite(Seq((1L, "a", 0L)).toDF("id", "v", "ts"))
+    t.upsertDeferred(Seq((1L, "d1", 1L)).toDF("id", "v", "ts"), Seq("id"), "ts")
+    val vBefore = t.currentVersion()
+    val deltasBefore = t.deltaManifest()
+    assert(t.update(col("id") === 99999, Map("v" -> lit("x"))) === 0)
+    assert(t.currentVersion() === vBefore, "junk version committed for a no-op update")
+    assert(t.deltaManifest() === deltasBefore)
+  }
+
   test("update/delete on a delta-bearing table land as deferred batches") {
     val t = SnapshotTable(spark, tmpDir("mor_upd"))
     t.overwrite(spark.range(0, 10).toDF("id")
