@@ -33,7 +33,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * `ifGenerationMatch`) or an external lock service — the role the
  * reference delegates to its DynamoDB lock manager
  * (`hudi/hudi_scd_script.py:41-48`, `iceberg/iceberg_submit.sh:33-34`).
- * Wire it in per table with [[SnapshotTable.withCommitLock]].
+ * [[LockServiceCommitLock]] implements the lock-service shape of that
+ * (lease + fencing token over a [[CommitLockService]]); wire either in
+ * per table with [[SnapshotTable.withCommitLock]].
  */
 trait CommitLock {
 
