@@ -1409,6 +1409,57 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Q66 — incremental near-dup dedup ([[ext.Dedup.minhashSignatures]] /
+   *  [[ext.Dedup.minhashPairsIncremental]] / [[ext.Dedup.dedupIncremental]]),
+   *  structurally oracled (q49 technique): the corpus index is the even
+   *  docs; the batch mixes planted copies of every 4th doc (MUST match
+   *  the corpus and be dropped) with synthetic fresh docs whose
+   *  id-derived tokens cannot reach the 0.5 MinHash threshold against
+   *  natural text (MUST survive). DuckDB replays both as constants over
+   *  the two id classes. Raw pair lists stay ExtSpec-covered. */
+  private def incrementalDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    // the persistable index: built once per corpus, pinned for the two
+    // consumers below (pair mining + end-to-end filtering)
+    val index = ext.Dedup.minhashSignatures(corpus, "doc_id", "text").localCheckpoint()
+    val copies = docs.filter(col("doc_id") % 4 === 0)
+      .select(shiftedId(col("doc_id")).as("doc_id"), col("text"))
+    // fresh docs in a third id range ([2·shift, 3·shift)); five tokens
+    // baked from the id give 3 shingles sharing nothing with any corpus
+    // doc — far below any est_jaccard >= 0.5 collision
+    val fresh = docs.filter(col("doc_id") % 4 === 2)
+      .select((shiftedId(col("doc_id")) + lit(PlantShift)).as("doc_id"),
+        format_string("zqa%d zqb%d zqc%d zqd%d zqe%d",
+          col("doc_id"), col("doc_id"), col("doc_id"), col("doc_id"),
+          col("doc_id")).as("text"))
+    val batch = copies.unionByName(fresh)
+    val corpusFound = ext.Dedup
+      .minhashPairsIncremental(index, batch, "doc_id", "text", minEst = 0.5)
+      .filter(col("in_corpus"))
+      .select(col("id_a").as("doc_id")).distinct().withColumn("cf", lit(1))
+    val survived = ext.Dedup
+      .dedupIncremental(index, batch, "doc_id", "text", minEst = 0.5)
+      .select(col("doc_id")).withColumn("sv", lit(1))
+    batch.select(col("doc_id"))
+      .join(corpusFound, Seq("doc_id"), "left")
+      .join(survived, Seq("doc_id"), "left")
+      .select(
+        when(col("doc_id") >= 2L * PlantShift, col("doc_id") - 2L * PlantShift)
+          .otherwise(col("doc_id") - PlantShift).as("doc_id"),
+        (col("doc_id") < 2L * PlantShift).as("is_copy"),
+        col("cf").isNotNull.as("corpus_dup_found"),
+        col("sv").isNotNull.as("survived"))
+      .orderBy("doc_id")
+  }
+  private val Q66Duck =
+    """SELECT doc_id, true AS is_copy, true AS corpus_dup_found, false AS survived
+      |FROM documents WHERE doc_id % 4 = 0
+      |UNION ALL
+      |SELECT doc_id, false, false, true FROM documents WHERE doc_id % 4 = 2
+      |ORDER BY doc_id""".stripMargin
+
   /** Q43 — Z-order clustered snapshot + stats-pruned scan: cluster orders
    *  along the (o_custkey, o_orderkey) Morton curve, commit, point-scan
    *  on the clustered key. Oracle = the plain filter. */
@@ -1530,7 +1581,8 @@ object SparkEntry {
     "q62_dup_ngram_frac" -> dupSpanQuery,
     "q63_split_assign" -> splitQuery,
     "q64_mor_delete" -> morDeleteResult,
-    "q65_epoch_shuffle" -> epochShuffleQuery)
+    "q65_epoch_shuffle" -> epochShuffleQuery,
+    "q66_incremental_dedup" -> incrementalDedupQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1598,7 +1650,8 @@ object SparkEntry {
     "q62_dup_ngram_frac" -> Q62Duck,
     "q63_split_assign" -> Q63Duck,
     "q64_mor_delete" -> Q64Duck,
-    "q65_epoch_shuffle" -> Q65Duck)
+    "q65_epoch_shuffle" -> Q65Duck,
+    "q66_incremental_dedup" -> Q66Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

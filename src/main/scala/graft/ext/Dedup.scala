@@ -16,6 +16,10 @@ import org.apache.spark.sql.{Column, DataFrame}
  *  - [[minhashPairs]]: MinHash+LSH banding — signatures (map-side),
  *    band-hash equi-join for candidates, signature-agreement estimate to
  *    confirm. Cost O(docs · bands) + O(colliding pairs).
+ *  - [[minhashSignatures]] + [[minhashPairsIncremental]] +
+ *    [[dedupIncremental]]: the INCREMENTAL form — a persistable
+ *    signature index, batch-vs-index matching that never self-joins the
+ *    corpus, and end-to-end batch filtering (steady-state ingest).
  *  - [[simhashPairs]]: SimHash + pigeonhole chunk equi-join + exact
  *    Hamming filter (`bit_count(a XOR b)`).
  *  - [[embeddingPairs]]: cosine near-dup via hyperplane-LSH bucket
@@ -179,34 +183,12 @@ object Dedup {
     // confirmation — materialized once (eager localCheckpoint), released
     // as soon as the small pair result exists (see jaccardPairs). A
     // signature row is doc + numHashes longs, far smaller than the text.
-    // Shingling goes through the no-allocation hashedShingles kernel;
-    // minhash permutes the pre-hashed longs directly.
-    // docs with NULL text or fewer than `shingleSize` tokens have NO
-    // shingles: their signatures would be the all-MaxValue constant, so
-    // every such doc would collide in every band and be reported as a
-    // perfect duplicate of every other (and a NULL key would quadratically
-    // self-join one band bucket). They cannot be near-dups — drop them.
-    val sigs = ckpt(widen(df)
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc"),
-        functions.hashedShingles(col(textCol), shingleSize).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col("doc"),
-        functions.minhashSignature(col("__sh"), numHashes, seed).as("sig")))
+    val sigs = ckpt(minhashSignatures(df, idCol, textCol, shingleSize, numHashes, seed))
 
-    // band rows: (band index, hash of the band's slice, doc) — ids only;
-    // shuffling the 64-long signatures through the self-join would move
-    // ~numHashes*8 bytes per band row for nothing (candidates are rare).
-    // NOT checkpointed: both self-join sides re-derive the band hashes
-    // map-side from the pinned signatures — cheaper than another
+    // band rows NOT checkpointed: both self-join sides re-derive the band
+    // hashes map-side from the pinned signatures — cheaper than another
     // materialization job.
-    val bandHashes = sigs.select(
-      col("doc"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bidx => xxhash64(bidx, slice(col("sig"), bidx * r + 1, lit(r))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bandhash")
-
+    val bandHashes = bandRows(sigs, bands, r)
     val a = bandHashes.alias("a")
     val b = bandHashes.alias("b")
     val candidates = a.join(b,
@@ -220,16 +202,178 @@ object Dedup {
     val sa = sigs.select(col("doc").as("id_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc").as("id_b"), col("sig").as("sig_b"))
     val out = candidates.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= minEst)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
     if (!materialize) return out
     val result = out.localCheckpoint()
     release(sigs)
     result
+  }
+
+  /**
+   * MinHash signatures as a standalone (doc, sig) frame — the
+   * PERSISTABLE near-dup index behind [[minhashPairsIncremental]]: build
+   * once over the corpus, store (e.g. in a snapshot table), and dedup
+   * each incoming batch against it without ever re-mining corpus pairs.
+   * Entirely map-side (no shuffle): shingling goes through the
+   * no-allocation `hashedShingles` kernel; minhash permutes the
+   * pre-hashed longs directly. Docs with NULL text or fewer than
+   * `shingleSize` tokens have NO shingles: their signatures would be the
+   * all-MaxValue constant, so every such doc would collide in every band
+   * and be reported as a perfect duplicate of every other (and a NULL
+   * key would quadratically self-join one band bucket). They cannot be
+   * near-dups — dropped.
+   *
+   * Consumers comparing signatures MUST use the same (shingleSize,
+   * numHashes, seed) the index was built with — under a different seed
+   * the permutations differ and identical texts stop colliding.
+   */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      seed: Long = TextHash.DefaultSeed): DataFrame =
+    widen(df)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        functions.hashedShingles(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc"),
+        functions.minhashSignature(col("__sh"), numHashes, seed).as("sig"))
+
+  /** Band rows (doc, band, bandhash) for LSH candidate joins — ids only;
+   *  shuffling the numHashes-long signatures through a join would move
+   *  ~numHashes·8 bytes per band row for nothing (candidates are rare). */
+  private def bandRows(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    sigs.select(
+      col("doc"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bidx => xxhash64(bidx, slice(col("sig"), bidx * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandhash")
+
+  /** Signature-agreement Jaccard estimate (fraction of matching minhash
+   *  slots), with a width guard that rides the scan: comparing against an
+   *  index built with a different numHashes would otherwise silently
+   *  under-estimate (zip_with null-pads the shorter array). */
+  private def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column = {
+    def guarded(s: Column) = when(size(s) === numHashes, s)
+      .otherwise(raise_error(format_string(
+        s"signature width %s does not match numHashes=$numHashes — was the " +
+          "index built with different minhash parameters?", size(s))))
+    aggregate(zip_with(guarded(sigA), guarded(sigB),
+      (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+  }
+
+  /**
+   * INCREMENTAL near-dup pair mining: match an incoming `batch` against
+   * an existing signature index ([[minhashSignatures]] output, read back
+   * from wherever it is stored) plus within the batch itself — the
+   * steady-state shape of a production ingest pipeline, where the
+   * corpus is orders of magnitude larger than each batch and re-mining
+   * corpus×corpus pairs per batch ([[minhashPairs]] over the union)
+   * would be quadratic over time.
+   *
+   * The index side is touched exactly once per call: a map-side band
+   * explode into the candidate equi-join — it is NEVER self-joined, so
+   * per-batch cost is O(index bands + batch²-collisions), independent
+   * of corpus pair density. Returns (id_a, id_b, est_jaccard,
+   * in_corpus): `id_a` is always a batch doc; `in_corpus` tells whether
+   * `id_b` is an index doc (true) or an earlier batch doc (false,
+   * id_a < id_b). Batch and index id spaces are assumed disjoint —
+   * re-ingesting an id already in the index reports it as a perfect
+   * corpus dup, which is usually what re-delivery handling wants.
+   *
+   * `shingleSize`/`numHashes`/`seed` MUST match the index build
+   * (signature-width mismatches are caught by a scan-riding guard;
+   * seed mismatches are not detectable — document the seed with the
+   * stored index).
+   */
+  def minhashPairsIncremental(
+      indexSigs: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minEst: Double = 0.5,
+      seed: Long = TextHash.DefaultSeed,
+      materialize: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    def ckpt(d: DataFrame): DataFrame = if (materialize) d.localCheckpoint() else d
+    // batch signatures feed two candidate joins + confirmation; the
+    // index is streamed through once, never pinned (it is the BIG side)
+    val bsigs = ckpt(minhashSignatures(batch, idCol, textCol, shingleSize, numHashes, seed))
+    val bBands = bandRows(bsigs, bands, r)
+    val iBands = bandRows(indexSigs, bands, r)
+    val cross = bBands.alias("a").join(iBands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bandhash") === col("b.bandhash"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    val within = bBands.alias("a").join(bBands.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandhash") === col("b.bandhash") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    val ba = bsigs.select(col("doc").as("id_a"), col("sig").as("sig_a"))
+    val bb = bsigs.select(col("doc").as("id_b"), col("sig").as("sig_b"))
+    val ib = indexSigs.select(col("doc").as("id_b"), col("sig").as("sig_b"))
+    def confirm(cand: DataFrame, sigB: DataFrame, fromCorpus: Boolean) =
+      cand.join(ba, "id_a").join(sigB, "id_b")
+        .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
+        .filter(col("est_jaccard") >= minEst)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"),
+          lit(fromCorpus).as("in_corpus"))
+    val out = confirm(cross, ib, fromCorpus = true)
+      .unionByName(confirm(within, bb, fromCorpus = false))
+    if (!materialize) return out
+    val result = out.localCheckpoint()
+    release(bsigs)
+    result
+  }
+
+  /**
+   * Incremental dedup end-to-end: the batch rows worth ingesting, given
+   * the corpus signature index. A batch doc is dropped when it matches
+   * the corpus (directly, or transitively through a within-batch
+   * component any member of which matches the corpus — its content
+   * already exists), or when it is a non-minimal member of a clean
+   * within-batch component (first occurrence wins, [[dedupNearDuplicates]]
+   * semantics). Survivors' [[minhashSignatures]] appended to the index
+   * keep the cycle going. Lazy over the batch input; pins only the
+   * (small) loser-id set.
+   */
+  def dedupIncremental(
+      indexSigs: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      minEst: Double = 0.5): DataFrame = {
+    val pairs = minhashPairsIncremental(indexSigs, batch, idCol, textCol, minEst = minEst)
+    val corpusMatched = pairs.filter(col("in_corpus"))
+      .select(col("id_a").as("id")).distinct()
+    val comps = connectedComponents(
+      pairs.filter(!col("in_corpus")).select(col("id_a"), col("id_b")))
+    // components with ANY corpus-matched member are dropped whole; clean
+    // components keep their minimum id (= the component label)
+    val contam = comps.join(corpusMatched, Seq("id"), "left_semi")
+      .select(col("component")).distinct()
+    val compLosers = comps.join(contam, Seq("component"), "left_semi")
+      .select(col("id"))
+      .unionByName(comps.join(contam, Seq("component"), "left_anti")
+        .filter(col("id") =!= col("component")).select(col("id")))
+    val losers = corpusMatched.unionByName(compLosers).distinct()
+      .localCheckpoint() // small: duplicate ids only
+    release(comps)
+    release(pairs)
+    batch.join(losers, batch(idCol) === losers("id"), "left_anti")
   }
 
   /**

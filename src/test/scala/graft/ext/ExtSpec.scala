@@ -104,6 +104,50 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental minhash: batch matches the index and itself, never index×index") {
+    // corpus index: docs 1-3; batch: 11 = copy of corpus 1, 12 = copy of
+    // 11 (within-batch dup of a corpus-linked doc), 13 = fresh, 14 = copy
+    // of 13 (clean within-batch dup), plus corpus 1≡4 which must NOT
+    // resurface (no index self-join)
+    val corpus = docs.filter(col("id") <= 4)
+    val index = Dedup.minhashSignatures(corpus, "id", "text").localCheckpoint()
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the red barn"),
+      (12L, "the quick brown fox jumps over the lazy dog near the red barn"),
+      (13L, "entirely novel sentences describing incremental ingest pipelines today"),
+      (14L, "entirely novel sentences describing incremental ingest pipelines today"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashPairsIncremental(index, batch, "id", "text", minEst = 0.4)
+      .select(col("id_a"), col("id_b"), col("in_corpus"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(pairs.contains((11L, 1L, true)))
+    assert(pairs.contains((11L, 4L, true)))
+    assert(pairs.contains((12L, 1L, true)))
+    assert(pairs.contains((11L, 12L, false)))
+    assert(pairs.contains((13L, 14L, false)))
+    // id_a is ALWAYS a batch doc: corpus-internal pairs never mined
+    assert(pairs.forall(_._1 >= 11L), s"corpus self-pair leaked: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L), "unrelated corpus doc matched")
+
+    // end-to-end: corpus-linked component (11,12) drops whole; clean
+    // component (13,14) keeps its minimum; nothing else is touched
+    val survivors = Dedup.dedupIncremental(index, batch, "id", "text", minEst = 0.4)
+      .select("id").as[Long].collect().toSet
+    assert(survivors === Set(13L), s"got $survivors")
+    Dedup.release(index)
+  }
+
+  test("incremental minhash: signature width mismatch fails loudly") {
+    val index = Dedup.minhashSignatures(docs, "id", "text", numHashes = 32)
+    val batch = Seq((11L, "the quick brown fox jumps over the lazy dog near the red barn"))
+      .toDF("id", "text")
+    val e = intercept[Exception] {
+      Dedup.minhashPairsIncremental(index, batch, "id", "text", numHashes = 64)
+        .collect()
+    }
+    assert(e.getMessage.contains("numHashes"), e.getMessage)
+  }
+
   test("simhashPairs: pigeonhole candidates + exact hamming filter") {
     val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3)
       .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
