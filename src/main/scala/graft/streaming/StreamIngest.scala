@@ -74,6 +74,58 @@ object StreamIngest {
     }
 
   /**
+   * Streaming ingest with incremental near-dup dedup: each micro-batch
+   * is filtered against a PERSISTENT MinHash signature index
+   * ([[graft.ext.Dedup.dedupIncremental]]) before landing — the
+   * steady-state "only ingest novel documents" loop. Survivors append
+   * to `table`; their signatures ([[graft.ext.Dedup.minhashSignatures]]
+   * at the library defaults — the index's parameters, fixed for its
+   * lifetime) append to `sigTable`, so the NEXT batch (and the next
+   * run) dedups against everything ingested so far.
+   *
+   * Crash safety: the two appends share the stream-batch tag and are
+   * individually idempotent. A crash between them re-delivers the
+   * batch, which recomputes the SAME survivor set — the index cannot
+   * yet contain this batch's signatures, and within-batch grouping is
+   * deterministic — so the guard fills in only the missing side.
+   *
+   * 100 TB shape: the index is streamed through one band join per
+   * batch (never self-joined), so per-batch cost stays O(index bands +
+   * batch collisions) no matter how many batches have accumulated.
+   */
+  def dedupIngestSink(
+      stream: DataFrame,
+      table: SnapshotTable,
+      sigTable: SnapshotTable,
+      idCol: String,
+      textCol: String,
+      minEst: Double = 0.5): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val tag = s"stream-$batchId"
+        // first batch ever: the index table has no commits yet — an
+        // empty index with the right schema, derived from the batch
+        val index =
+          if (sigTable.currentVersion() < 0)
+            graft.ext.Dedup.minhashSignatures(batch.limit(0), idCol, textCol)
+          else sigTable.read()
+        val survivors = graft.ext.Dedup
+          .dedupIncremental(index, batch, idCol, textCol, minEst)
+          .localCheckpoint() // two consumers: data append + signature build
+        try {
+          if (!survivors.isEmpty) {
+            if (!lastStreamBatch(table).contains(batchId))
+              table.appendAs(survivors, tag)
+            if (!lastStreamBatch(sigTable).contains(batchId))
+              sigTable.appendAs(
+                graft.ext.Dedup.minhashSignatures(survivors, idCol, textCol), tag)
+          }
+        } finally graft.ext.Dedup.release(survivors)
+      }
+      ()
+    }
+
+  /**
    * Watermarked tumbling-window aggregation → snapshot table: the
    * standard streaming-rollup pipeline (event time, late-data bound,
    * append-mode emission of finalized windows).

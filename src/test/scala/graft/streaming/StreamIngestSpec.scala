@@ -44,6 +44,42 @@ class StreamIngestSpec extends SparkSpec {
       Set((1, "new", 5L), (2, "ins", 1L)))
   }
 
+  test("dedup ingest sink: batches land deduped against the growing index") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val table = SnapshotTable(spark, tmpDir("dedup_data"))
+    val sigTable = SnapshotTable(spark, tmpDir("dedup_sigs"))
+    val ckpt = tmpDir("ckpt")
+    def sink = StreamIngest.dedupIngestSink(
+      mem.toDF().toDF("doc_id", "text"), table, sigTable, "doc_id", "text")
+    // batch 0: within-batch dup (1≡2) → min id wins; 3 is novel
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog near the barn"),
+      (2L, "the quick brown fox jumps over the lazy dog near the barn"),
+      (3L, "completely different text about spark catalyst optimizer rules"))
+    StreamIngest.runOnce(sink, ckpt)
+    assert(table.read().select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    assert(sigTable.read().count() === 2) // survivors' signatures only
+    // batch 1: 11 re-sends batch-0 content (dropped against the INDEX,
+    // not this batch); 12 is novel and survives
+    mem.addData(
+      (11L, "the quick brown fox jumps over the lazy dog near the barn"),
+      (12L, "yet another entirely unrelated document body goes right here"))
+    StreamIngest.runOnce(sink, ckpt)
+    assert(table.read().select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 12L))
+    assert(sigTable.read().count() === 3)
+    // crash-between-appends recovery: simulate the data append having
+    // landed for batch 2 while the signature append was lost — the
+    // re-delivered batch must fill in ONLY the signature side
+    val extra = Seq((21L, "fresh content for the recovery scenario of this test"))
+      .toDF("doc_id", "text")
+    table.appendAs(extra, "stream-2")
+    mem.addData((21L, "fresh content for the recovery scenario of this test"))
+    StreamIngest.runOnce(sink, ckpt)
+    assert(table.read().filter(col("doc_id") === 21L).count() === 1, "data duplicated")
+    assert(sigTable.read().filter(col("doc") === 21L).count() === 1, "sigs missing")
+  }
+
   test("re-delivered batch id is skipped (idempotent recovery)") {
     val table = SnapshotTable(spark, tmpDir("stream"))
     val batch = Seq((1, "a")).toDF("id", "v")
