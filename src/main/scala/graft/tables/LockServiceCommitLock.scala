@@ -96,6 +96,69 @@ trait CommitLockService {
   def release(name: String, token: Long): Unit
 }
 
+/**
+ * Filesystem-backed [[CommitLockService]] for CROSS-PROCESS writers
+ * sharing a local/NFS/HDFS-style path: the lease for `name` is a lock
+ * file created atomically (`CREATE_NEW`), holding `token:deadline`.
+ * An expired lease is stolen by renaming the stale file aside — rename
+ * succeeds for exactly one stealer — then re-creating; the stolen
+ * token seeds the next one, keeping tokens increasing per name.
+ *
+ * Best-effort caveats (vs the synchronized in-memory impl): `release`
+ * is read-check-delete, so a holder releasing AFTER its lease expired
+ * can in a narrow window delete a stealer's fresh lease — correct
+ * usage releases well before expiry (size the lease to the publish,
+ * see [[LockServiceCommitLock]]); and like every lease lock here, the
+ * store does not validate fencing tokens on write. Same class of
+ * guarantees as lock-file coordination in mainstream schedulers; for
+ * strictness under arbitrary pauses use a conditional-put store.
+ */
+final class FileLeaseLockService(dir: java.nio.file.Path) extends CommitLockService {
+  java.nio.file.Files.createDirectories(dir)
+  private def lockPath(name: String) = dir.resolve(s"$name.lock")
+
+  override def tryAcquire(name: String, leaseMillis: Long): Option[Long] = {
+    val path = lockPath(name)
+    val now = System.currentTimeMillis()
+    def create(token: Long): Option[Long] =
+      try {
+        java.nio.file.Files.write(path, s"$token:${now + leaseMillis}".getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        Some(token)
+      } catch { case _: java.nio.file.FileAlreadyExistsException => None }
+    create(now).orElse {
+      // held or stale: a torn/unparseable file counts as held until its
+      // writer finishes or a later acquire sees it expired-by-content
+      val parsed =
+        try {
+          val Array(t, d) = new String(
+            java.nio.file.Files.readAllBytes(path), "UTF-8").split(":")
+          Some((t.toLong, d.toLong))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      parsed match {
+        case Some((staleToken, deadline)) if deadline <= now =>
+          // steal: exactly one renamer wins the stale file
+          val trash = dir.resolve(s".stale-$name-${java.util.UUID.randomUUID()}")
+          try {
+            java.nio.file.Files.move(path, trash)
+            java.nio.file.Files.deleteIfExists(trash)
+            create(math.max(staleToken + 1, now))
+          } catch { case _: java.io.IOException => None } // lost the steal
+        case _ => None
+      }
+    }
+  }
+
+  override def release(name: String, token: Long): Unit = {
+    val path = lockPath(name)
+    try {
+      val Array(t, _) = new String(
+        java.nio.file.Files.readAllBytes(path), "UTF-8").split(":")
+      if (t.toLong == token) java.nio.file.Files.deleteIfExists(path)
+    } catch { case scala.util.control.NonFatal(_) => () } // already gone/stolen
+  }
+}
+
 /** In-process [[CommitLockService]]: the contract reference used by the
  *  seam's tests, and sufficient for many-threads-one-JVM writers (e.g.
  *  concurrent streaming queries in one driver). Cross-process

@@ -137,6 +137,18 @@ class ExtSpec extends SparkSpec {
     Dedup.release(index)
   }
 
+  test("incremental dedup over an empty index equals batch-mode dedup") {
+    // with nothing in the corpus, "drop corpus-linked components" never
+    // fires and both operators reduce to min-id-per-component — the
+    // incremental path must agree with dedupNearDuplicates exactly
+    val empty = Dedup.minhashSignatures(docs.limit(0), "id", "text")
+    val inc = Dedup.dedupIncremental(empty, docs, "id", "text", minEst = 0.4)
+      .select("id").as[Long].collect().toSet
+    val batchMode = Dedup.dedupNearDuplicates(docs, "id", "text", minEst = 0.4)
+      .select("id").as[Long].collect().toSet
+    assert(inc === batchMode, s"incremental $inc vs batch $batchMode")
+  }
+
   test("incremental minhash: signature width mismatch fails loudly") {
     val index = Dedup.minhashSignatures(docs, "id", "text", numHashes = 32)
     val batch = Seq((11L, "the quick brown fox jumps over the lazy dog near the red barn"))

@@ -35,6 +35,28 @@ class CommitLockSpec extends SparkSpec {
     assert(svc.tryAcquire("tbl", 60000).isDefined)
   }
 
+  test("file lease service: atomic create, expiry steal, torn file treated as held") {
+    val dir = java.nio.file.Paths.get(tmpDir("filelease"))
+    val svc = new FileLeaseLockService(dir)
+    val t1 = svc.tryAcquire("tbl", 60000)
+    assert(t1.isDefined)
+    assert(svc.tryAcquire("tbl", 60000).isEmpty) // live → held
+    svc.release("tbl", t1.get)
+    assert(!java.nio.file.Files.exists(dir.resolve("tbl.lock")))
+    // expired lease: stolen, and the stolen token fences strictly higher
+    val t2 = svc.tryAcquire("tbl", leaseMillis = 1)
+    Thread.sleep(5)
+    val t3 = svc.tryAcquire("tbl", 60000)
+    assert(t3.isDefined && t3.get > t2.get)
+    // the expired holder's stale release is a no-op for the new lease
+    svc.release("tbl", t2.get)
+    assert(svc.tryAcquire("tbl", 60000).isEmpty)
+    svc.release("tbl", t3.get)
+    // a torn/unparseable lock file counts as held, never as stealable
+    java.nio.file.Files.write(dir.resolve("torn.lock"), "garbage".getBytes)
+    assert(svc.tryAcquire("torn", 60000).isEmpty)
+  }
+
   test("racing writers through the lease lock: every version slot has one winner") {
     val root = tmpDir("lease_race")
     val svc = new InMemoryCommitLockService

@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
  */
 object OccRaceChild {
   def main(args: Array[String]): Unit = {
-    val Array(root, writerId, commitsStr) = args
+    val (root, writerId, commitsStr, lockMode) = args match {
+      case Array(r, w, c) => (r, w, c, "")
+      case Array(r, w, c, m) => (r, w, c, m)
+    }
     val commits = commitsStr.toInt
     val spark = SparkSession.builder()
       .master("local[2]")
@@ -23,6 +26,14 @@ object OccRaceChild {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val table = SnapshotTable(spark, root)
+    // optional 4th arg "lease:<dir>": commit through the lease-based
+    // lock-service protocol over a shared lock directory instead of the
+    // default hard-link CAS
+    if (lockMode.startsWith("lease:")) {
+      val svc = new FileLeaseLockService(
+        java.nio.file.Paths.get(lockMode.stripPrefix("lease:")))
+      table.withCommitLock(new LockServiceCommitLock(svc, "occ-race"))
+    }
     (1 to commits).foreach { i =>
       var done = false
       var attempts = 0

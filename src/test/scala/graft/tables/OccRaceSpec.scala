@@ -25,18 +25,15 @@ class OccRaceSpec extends SparkSpec {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  test("two forked JVMs: every version has exactly one winner; losers vacuum away") {
-    val root = tmpDir("occ_fork")
-    val t = SnapshotTable.create(spark, root, Seq(("seed", 0)).toDF("writer", "n"))
-    val commitsPerWriter = 4
-
+  private def raceTwoWriters(root: String, commitsPerWriter: Int,
+      extraArgs: Seq[String]): Unit = {
     val javaBin = sys.props("java.home") + "/bin/java"
     val cp = sys.props("java.class.path")
     def spawn(id: String): Process = {
       val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
         "-Xmx1g", "-Dspark.ui.enabled=false",
         "-cp", cp, "graft.tables.OccRaceChild",
-        root, id, commitsPerWriter.toString)).toArray
+        root, id, commitsPerWriter.toString) ++ extraArgs).toArray
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       pb.redirectErrorStream(false)
@@ -50,6 +47,13 @@ class OccRaceSpec extends SparkSpec {
     assert(p2.waitFor(300, TimeUnit.SECONDS), "writer 2 timed out")
     assert(p1.exitValue() === 0, "writer 1 failed")
     assert(p2.exitValue() === 0, "writer 2 failed")
+  }
+
+  test("two forked JVMs: every version has exactly one winner; losers vacuum away") {
+    val root = tmpDir("occ_fork")
+    val t = SnapshotTable.create(spark, root, Seq(("seed", 0)).toDF("writer", "n"))
+    val commitsPerWriter = 4
+    raceTwoWriters(root, commitsPerWriter, Nil)
 
     // every writer landed every commit exactly once → the log is a
     // contiguous 0..2n range with one parseable entry per slot
@@ -69,5 +73,28 @@ class OccRaceSpec extends SparkSpec {
     val latest = t.read().as[(String, Int)].head()
     assert(t.vacuum(retainVersions = 1, retainMillis = 0) >= 1)
     assert(t.read().as[(String, Int)].head() === latest)
+  }
+
+  test("two forked JVMs coordinating through the file-lease lock service") {
+    // same race, but commits serialize through LockServiceCommitLock +
+    // FileLeaseLockService over a shared lock dir — the cross-process
+    // proof for the object-store-shaped protocol (the DynamoDB role)
+    val root = tmpDir("occ_lease")
+    val lockDir = tmpDir("occ_lease_locks")
+    val t = SnapshotTable.create(spark, root, Seq(("seed", 0)).toDF("writer", "n"))
+    val commitsPerWriter = 4
+    raceTwoWriters(root, commitsPerWriter, Seq(s"lease:$lockDir"))
+    assert(t.currentVersion() === 2L * commitsPerWriter)
+    val history = t.history()
+    assert(history.size === 2 * commitsPerWriter + 1)
+    assert(history.map(_.version).sorted === (0L to 2L * commitsPerWriter))
+    val finals = (0L to 2L * commitsPerWriter).map(v =>
+      t.readVersion(v).as[(String, Int)].head()).toSet
+    assert(finals.contains(("w1", commitsPerWriter)))
+    assert(finals.contains(("w2", commitsPerWriter)))
+    // all leases released: the lock dir holds no live lock files
+    val leftover = new java.io.File(lockDir).listFiles()
+      .filter(_.getName.endsWith(".lock"))
+    assert(leftover.isEmpty, s"unreleased leases: ${leftover.mkString(",")}")
   }
 }
