@@ -349,6 +349,14 @@ object Dedup {
    * semantics). Survivors' [[minhashSignatures]] appended to the index
    * keep the cycle going. Lazy over the batch input; pins only the
    * (small) loser-id set.
+   *
+   * Survivor-only indexing caveat: a dropped doc's signatures are NOT
+   * added, so a later doc near-dupping the DROPPED doc but not its
+   * surviving representative can slip through (the A≈B≈C chain where
+   * only A is indexed). Batch-mode [[dedupNearDuplicates]] over the
+   * full corpus catches such chains; pipelines needing chain recall
+   * can index every batch doc's signatures instead, trading index
+   * growth for it.
    */
   def dedupIncremental(
       indexSigs: DataFrame,
