@@ -227,6 +227,80 @@ object Similarity {
    * cross join — and re-rank candidates by exact cosine. `nProbe = nlist`
    * probes every list → exhaustive (exact) search.
    */
+  /**
+   * Persistable IVF-Flat index: `centroids` (list, centroid) is
+   * nlist-bounded and tiny; `assigned` (list, n_id, n_vec) is the
+   * corpus in inverted-list order. Both are plain frames — store them
+   * (e.g. in snapshot tables) and probe forever without retraining:
+   * the serving pattern, where one expensive [[ivfBuild]] amortizes
+   * over every later [[ivfProbe]] and [[ivfAssign]] grows the index
+   * with new batches under the FIXED quantizer (standard IVF practice;
+   * rebuild when drift accumulates).
+   */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  /** Train the quantizer and assign the corpus — one pass, map-side
+   *  assignment ([[ivfTopK]]'s machinery, reified as storable frames). */
+  def ivfBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      iters: Int = 5,
+      sampleN: Int = 10000): IvfIndex = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, iters, sampleN)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("list", "centroid")
+    IvfIndex(centDf, ivfAssign(centDf, corpus, idCol, vecCol))
+  }
+
+  /** Assign a batch to the index's inverted lists (map-side, the
+   *  incremental-add path): rows to append to `assigned`. */
+  def ivfAssign(
+      centroids: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val cents = collectCentroids(centroids)
+    batch.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("list",
+        element_at(functions.nearestLists(col("n_vec"), cents, 1), 1))
+      .select(col("list"), col("n_id"), col("n_vec"))
+  }
+
+  /** Top-k over a stored index — [[ivfTopK]] semantics without the
+   *  training step. The centroid frame is collected (nlist-bounded,
+   *  the one driver row set of the IVF family). */
+  def ivfProbe(
+      index: IvfIndex,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val cents = collectCentroids(index.centroids)
+    val c = index.assigned
+    val q = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("list",
+        explode(functions.nearestLists(col("q_vec"), cents, math.min(nProbe, cents.length))))
+    val candidates = q.join(c, q("list") === c("list") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+    val scored = candidates
+      .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
+  private def collectCentroids(centroids: DataFrame): Array[Array[Float]] = {
+    val rows = centroids.select(col("list"), col("centroid")).orderBy("list").collect()
+    require(rows.nonEmpty, "empty centroid frame — build the index first")
+    rows.map(r => r.getSeq[Float](1).toArray)
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       probes: DataFrame,

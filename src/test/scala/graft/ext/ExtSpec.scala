@@ -293,6 +293,37 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("IVF index round-trips through snapshot tables; ivfAssign extends it") {
+    import graft.tables.SnapshotTable
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val vecs = (0 until 12).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (x, j) => x + (if (j == 3) 0.01f * i else 0f) })
+    }.toDF("id", "vec")
+    val probes = vecs.filter(col("id") < 3)
+    val idx = Similarity.ivfBuild(vecs, "id", "vec", nlist = 4, sampleN = 100)
+    // persist both frames, read back, probe — no retraining
+    val centT = SnapshotTable.create(spark, tmpDir("ivf_cent"), idx.centroids)
+    val asgT = SnapshotTable.create(spark, tmpDir("ivf_asg"), idx.assigned)
+    val stored = Similarity.IvfIndex(centT.read(), asgT.read())
+    val exact = Similarity.bruteForceTopK(vecs, probes, "id", "vec", k = 3)
+      .select(col("q_id"), col("n_id"), col("rank")).as[(Long, Long, Int)].collect().toSet
+    // every list probed → exhaustive → equals brute force
+    val full = Similarity.ivfProbe(stored, probes, "id", "vec", k = 3, nProbe = 4)
+      .select(col("q_id"), col("n_id"), col("rank")).as[(Long, Long, Int)].collect().toSet
+    assert(full === exact)
+    // incremental add under the FIXED quantizer: a new vector lands in
+    // its nearest list and becomes findable without a rebuild
+    val extra = Seq((100L, Array(0.99f, 0f, 0f, 0.02f))).toDF("id", "vec")
+    asgT.append(Similarity.ivfAssign(centT.read(), extra, "id", "vec"))
+    val grown = Similarity.IvfIndex(centT.read(), asgT.read())
+    val hits = Similarity.ivfProbe(grown, probes.filter(col("id") === 0), "id", "vec",
+        k = 12, nProbe = 4)
+      .select(col("n_id")).as[Long].collect().toSet
+    assert(hits.contains(100L), s"appended vector not found: $hits")
+  }
+
   test("pair mining pins only its result block (leak regression guard)") {
     // r2 leaked operator caches; r3's fix recomputed instead. The contract
     // now: after a pair miner returns, the ONLY surviving pinned block is
