@@ -33,6 +33,37 @@ class FunctionsSqlSpec extends SparkSpec {
     assert(cos === 0.0)
   }
 
+  test("minhash_signature, token_count, avg_token_length match the Column API") {
+    val docs = Seq((1L, "the quick brown fox jumps over"), (2L, "pack my box"))
+      .toDF("id", "text")
+    docs.createOrReplaceTempView("fn_docs3")
+    import graft.ext.TextAnalysis
+    val sql = spark.sql(
+      """SELECT id, minhash_signature(split(text, ' ')) AS mh,
+        |       minhash_signature(split(text, ' '), 16, 7) AS mh16,
+        |       token_count(text) AS tc, avg_token_length(text) AS atl
+        |FROM fn_docs3 ORDER BY id""".stripMargin)
+    val tokens = split(col("text"), " ")
+    val api = docs.select(col("id"),
+      gf.minhashSignature(tokens).as("mh"),
+      gf.minhashSignature(tokens, numHashes = 16, seed = 7L).as("mh16"),
+      TextAnalysis.tokenCount(col("text")).as("tc"),
+      TextAnalysis.avgTokenLength(col("text")).as("atl")).orderBy("id")
+    assert(sql.collect().toSeq === api.collect().toSeq)
+  }
+
+  test("approx_top_items works as a SQL aggregate in the exact regime") {
+    // 60 a, 30 b, 10 c — capacity 16 > 3 distinct items → exact counts
+    spark.range(0, 100).selectExpr(
+      "CASE WHEN id < 60 THEN 'a' WHEN id < 90 THEN 'b' ELSE 'c' END AS w")
+      .createOrReplaceTempView("fn_words")
+    val got = spark.sql(
+      "SELECT approx_top_items(w, 16, 2) AS top FROM fn_words")
+      .selectExpr("inline(top)").as[(String, Long, Long)].collect().toSeq
+    // err = 0: capacity never overflowed, counts are exact
+    assert(got === Seq(("a", 60L, 0L), ("b", 30L, 0L)))
+  }
+
   test("kmv_distinct works as a SQL aggregate, grouped and exact under k") {
     spark.range(0, 3000).selectExpr("id % 3 AS g", "id % 300 AS v")
       .createOrReplaceTempView("fn_vals")
