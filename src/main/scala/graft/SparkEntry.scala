@@ -585,6 +585,36 @@ object SparkEntry {
       .orderBy("q_id", "n_id")
   }
 
+  /** Q67 — the persistable-IVF serving path: the index (centroid +
+   *  inverted-list frames) is built once per scale dir, STORED as
+   *  snapshot tables, read back, and probed with nProbe = nlist —
+   *  exhaustive probing makes the stored-index path exact, so the q22
+   *  brute-force oracle applies verbatim. What this adds over q45: the
+   *  probe runs against table-persisted frames (build-once /
+   *  probe-forever, one training cost amortized over every later
+   *  query), and the measured steady-state cost is the probe alone —
+   *  the serving pattern at 100 TB, where retraining per query would
+   *  dwarf the search. */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap[String, ext.Similarity.IvfIndex]()
+
+  private def ivfStoredQuery(s: SparkSession, dir: String): DataFrame = {
+    val stored = ivfIndexCache.getOrElseUpdate(dir, {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val idx = ext.Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 16)
+      val cent = SnapshotTable.create(s,
+        Files.createTempDirectory("graft_ivf_cent").toString, idx.centroids)
+      val asg = SnapshotTable.create(s,
+        Files.createTempDirectory("graft_ivf_asg").toString, idx.assigned)
+      ext.Similarity.IvfIndex(cent.read(), asg.read())
+    })
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    ext.Similarity.ivfProbe(stored, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 16)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "n_id")
+  }
+
   /** Q29 — hyperplane-LSH ANN structurally oracled (q49 technique
    *  inlined): an identical id-shifted copy of every vector is planted;
    *  identical vectors collide in EVERY bucket, so the operator must
@@ -1582,7 +1612,8 @@ object SparkEntry {
     "q63_split_assign" -> splitQuery,
     "q64_mor_delete" -> morDeleteResult,
     "q65_epoch_shuffle" -> epochShuffleQuery,
-    "q66_incremental_dedup" -> incrementalDedupQuery)
+    "q66_incremental_dedup" -> incrementalDedupQuery,
+    "q67_ivf_stored" -> ivfStoredQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1651,7 +1682,8 @@ object SparkEntry {
     "q63_split_assign" -> Q63Duck,
     "q64_mor_delete" -> Q64Duck,
     "q65_epoch_shuffle" -> Q65Duck,
-    "q66_incremental_dedup" -> Q66Duck)
+    "q66_incremental_dedup" -> Q66Duck,
+    "q67_ivf_stored" -> Q22Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique
