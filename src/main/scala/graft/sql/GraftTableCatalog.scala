@@ -8,14 +8,15 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -317,10 +318,39 @@ class GraftTable(
  *  `tableSchema` are resolved together by [[GraftTable]] at load time —
  *  schema and file list always come from the same snapshot. */
 class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var metaAgg: Option[(StructType, Array[Any])] = None
+
+  /** Metadata-only aggregates at the DSv2 layer: COUNT(*) / COUNT(col) /
+   *  MIN / MAX answered from the commit manifest's per-file row counts
+   *  and column stats — zero data files touched. At 100 TB this turns a
+   *  full-corpus scan into a driver-side manifest fold (the
+   *  Iceberg/Delta metadata-only-query optimization).
+   *
+   *  Division of labor with [[MetadataOnlyAgg]] (the optimizer rule the
+   *  extensions inject, which runs FIRST and collapses pure
+   *  count(*)/min/max shapes to a LocalRelation): this layer adds
+   *  COUNT(col) (answered as rows − nullCount), and is the path that
+   *  exists at all when only the catalog is configured, without
+   *  [[GraftExtensions]].
+   *
+   *  Refused (→ ordinary scan, always correct) whenever exactness isn't
+   *  provable: any pushed filter, any GROUP BY, a file with unknown row
+   *  count, a column missing stats in any file, or a column type outside
+   *  the exact-stats domains — strings (footer bounds may be truncated)
+   *  and float/double (NaN is invisible to parquet min/max, but sorts
+   *  above +Inf in Spark; the rule handles these with its stronger
+   *  all-NULL gate). Spark plans its own final merge on top (partial
+   *  pushdown), so one emitted row is exactly right. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty) return false
+    metaAgg = GraftScanBuilder.metadataAggregate(table, version, tableSchema, aggregation)
+    metaAgg.isDefined
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
@@ -330,7 +360,13 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
+  override def build(): Scan = metaAgg match {
+    case Some((aggSchema, row)) =>
+      new MetadataAggScan(aggSchema, row, table.root)
+    case None => buildFileScan()
+  }
+
+  private def buildFileScan(): Scan = {
     val spark = table.spark
     // manifest stats pruning runs on LOGICAL names (all commit metadata is
     // logically keyed, even after RENAME COLUMN)
@@ -385,7 +421,106 @@ class LogicalNamesScan(underlying: Scan, logical: StructType)
   }
 }
 
+/** One-row, one-partition scan carrying a metadata-answered aggregate.
+ *  Spark binds the fields positionally to the pushed aggregate functions
+ *  and applies its own final merge (sum of counts, min of mins), so a
+ *  single partial row is exactly right. */
+class MetadataAggScan(aggSchema: StructType, row: Array[Any], source: String)
+    extends Scan with Batch with Serializable {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftMetadataAgg [${aggSchema.fieldNames.mkString(", ")}] $source"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MetadataAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory = MetadataAggReaderFactory
+}
+
+final case class MetadataAggPartition(row: Array[Any]) extends InputPartition
+
+object MetadataAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val values = partition.asInstanceOf[MetadataAggPartition].row
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
+  }
+}
+
 object GraftScanBuilder {
+
+  /** Fold COUNT(*) / COUNT(col) / MIN(col) / MAX(col) over the commit
+   *  manifest. Returns the scan output schema (positional, matching the
+   *  aggregate list) and the single partial row, or None when any
+   *  aggregate can't be answered exactly from stats. */
+  private[sql] def metadataAggregate(
+      table: SnapshotTable,
+      version: Long,
+      schema: StructType,
+      agg: Aggregation): Option[(StructType, Array[Any])] = {
+    val files = table.prunedFilesAt(version, None)
+    // rows == -1 marks a foreign/adopted file whose footer row count was
+    // unreadable — nothing is provable from this manifest
+    if (files.exists(_.rows < 0)) return None
+    val totalRows = files.map(_.rows).sum
+
+    // exact-stats domains: stats strings hold the full long value
+    def statsExact(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => true
+      case _ => false
+    }
+    def field(e: V2Expression): Option[StructField] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        schema.fields.find(_.name == f.fieldNames()(0))
+      case _ => None
+    }
+    // internal-row representation of a manifest bound (Date=days Int,
+    // Timestamp=micros Long — exactly the stats domains)
+    def internal(v: Long, dt: DataType): Any = dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType | DateType => v.toInt
+      case _ => v
+    }
+    def bound(name: String, dt: DataType, takeMin: Boolean): Option[Any] = {
+      if (!statsExact(dt)) return None
+      if (files.isEmpty) return Some(null) // empty table: MIN/MAX is NULL
+      val bounds = files.map(_.stats.get(name).flatMap(s => if (takeMin) s.min else s.max))
+      if (bounds.exists(_.isEmpty)) return None // a file without stats
+      val longs = bounds.map(_.get.toLong)
+      Some(internal(if (takeMin) longs.min else longs.max, dt))
+    }
+
+    val resolved = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(StructField("count(*)", LongType, nullable = false) -> (totalRows: Any))
+      case c: Count if !c.isDistinct =>
+        field(c.column).flatMap { f =>
+          if (f.nullable) {
+            val nulls = files.map(_.stats.get(f.name).flatMap(_.nullCount))
+            if (nulls.exists(_.isEmpty)) None
+            else Some(StructField(s"count(${f.name})", LongType, nullable = false) ->
+              ((totalRows - nulls.map(_.get).sum): Any))
+          } else Some(StructField(s"count(${f.name})", LongType, nullable = false) ->
+            (totalRows: Any))
+        }
+      case m: Min =>
+        field(m.column).flatMap(f => bound(f.name, f.dataType, takeMin = true)
+          .map(v => StructField(s"min(${f.name})", f.dataType) -> v))
+      case m: Max =>
+        field(m.column).flatMap(f => bound(f.name, f.dataType, takeMin = false)
+          .map(v => StructField(s"max(${f.name})", f.dataType) -> v))
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) None
+    else Some((StructType(resolved.map(_.get._1)), resolved.map(_.get._2).toArray))
+  }
+
   /** v1 Filter → Column predicate for the shapes our stats pruning (and
    *  parquet pushdown underneath) understands. */
   def toColumn(f: Filter): Option[Column] = f match {

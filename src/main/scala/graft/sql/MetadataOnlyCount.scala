@@ -35,7 +35,11 @@ import graft.tables.SnapshotTable.FileEntry
  *    footer bounds at all, so they fail this gate rather than mis-answer).
  *
  * Runs in the operator-optimization batch, BEFORE V2ScanRelationPushDown
- * turns the relation into a scan.
+ * turns the relation into a scan. Shapes this rule refuses (e.g. a mix
+ * involving `count(col)`) get a second chance at the DSv2 layer:
+ * [[GraftScanBuilder]] implements `SupportsPushDownAggregates` with
+ * conservative integral/date/timestamp gates, which also serves
+ * catalog-only deployments that never install the extensions.
  */
 object MetadataOnlyAgg extends Rule[LogicalPlan] {
 

@@ -326,10 +326,12 @@ class CatalogSpec extends SparkSpec {
     assert(filtered.as[Long].head() === 10L)
     assert(!hasLocalRelation(filtered))
 
-    // count(col) has NULL semantics the manifest cannot answer — scan kept
+    // count(col) is beyond the optimizer rule (NULL semantics) but the
+    // DSv2 layer answers it from nullCount — metadata scan, no file read
     val colCount = spark.sql("SELECT count(v) AS n FROM graft.db.cnt")
     assert(colCount.as[Long].head() === 1235L)
     assert(!hasLocalRelation(colCount))
+    assert(executedPlanString(colCount).contains("GraftMetadataAgg"))
 
     // the rule honors a pinned time-travel snapshot
     val v0 = spark.sql("SELECT count(*) AS n FROM graft.db.cnt VERSION AS OF 1")
@@ -381,6 +383,44 @@ class CatalogSpec extends SparkSpec {
     val v = spark.sql("SELECT max(void) AS hi FROM graft.db.mmts")
     assert(v.head().isNullAt(0))
     assert(hasLocalRelation(v))
+  }
+
+  test("DSv2 metadata scan: count(col) mixes, with conservative refusals") {
+    val df = (1 to 500).map(i => (i, if (i % 5 == 0) null else s"v$i")).toDF("id", "v")
+    df.writeTo("graft.db.cagg").createOrReplace()
+
+    // the optimizer rule refuses count(col); the DSv2 layer answers the
+    // whole mix from rows/nullCount/bounds — one metadata row, no file scan
+    val q = spark.sql(
+      "SELECT count(v) AS nv, count(*) AS n, min(id) AS lo, max(id) AS hi FROM graft.db.cagg")
+    assert(q.as[(Long, Long, Int, Int)].head() === ((400L, 500L, 1, 500)))
+    assert(!hasLocalRelation(q))
+    val plan = executedPlanString(q)
+    assert(plan.contains("GraftMetadataAgg"), s"expected metadata agg scan:\n$plan")
+    assert(!plan.contains("Location: InMemoryFileIndex"), "no parquet scan expected")
+
+    // a filter keeps the real scan — and stays correct
+    val f = spark.sql("SELECT count(v) AS nv FROM graft.db.cagg WHERE id <= 10")
+    assert(f.as[Long].head() === 8L) // v is NULL at 5 and 10
+    assert(!executedPlanString(f).contains("GraftMetadataAgg"))
+
+    // GROUP BY keeps the real scan
+    val g = spark.sql("SELECT id % 2 AS p, count(v) AS nv FROM graft.db.cagg GROUP BY 1")
+    assert(g.orderBy("p").as[(Int, Long)].collect().toSeq === Seq((0, 200L), (1, 200L)))
+    assert(!executedPlanString(g).contains("GraftMetadataAgg"))
+
+    // a column added later has no stats in pre-evolution files: the
+    // metadata path must refuse (NULLs there are implicit, not counted)
+    spark.sql("ALTER TABLE graft.db.cagg ADD COLUMNS (w STRING)")
+    Seq((501, "x", "w1")).toDF("id", "v", "w").writeTo("graft.db.cagg").append()
+    val cw = spark.sql("SELECT count(w) AS nw FROM graft.db.cagg")
+    assert(cw.as[Long].head() === 1L)
+    assert(!executedPlanString(cw).contains("GraftMetadataAgg"))
+
+    // time travel: the pinned snapshot's manifest answers
+    val tt = spark.sql("SELECT count(v) AS nv FROM graft.db.cagg VERSION AS OF 1")
+    assert(tt.as[Long].head() === 400L)
+    assert(executedPlanString(tt).contains("GraftMetadataAgg"))
   }
 
   test("ALTER TABLE RENAME COLUMN: SQL reads, pushdown, and writes follow") {
