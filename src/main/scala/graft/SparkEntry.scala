@@ -804,6 +804,24 @@ object SparkEntry {
       |SELECT id_a, id_b, round(c, 4) AS cos FROM pairs WHERE c >= 0.95
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Q68 — SemDeDup ([[ext.Dedup.semDedupPairs]]): k-means-clustered
+   *  within-cluster cosine pair mining (the clustered sibling of q48's
+   *  hyperplane-LSH miner). The oracle is EXACT, not structural: planted
+   *  identical copies assign to the same centroid with certainty (same
+   *  vector ⇒ same nearest list), background cosines top out ≈ 0.51 far
+   *  under the 0.95 bar, so the within-cluster pair list must equal the
+   *  full exact-cosine pair list DuckDB computes — cluster-recall failure
+   *  or a wrong cosine kernel both break the hash. */
+  private def semDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val doubled = emb.unionByName(
+      emb.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
+    ext.Dedup.semDedupPairs(doubled, "vec_id", "embedding", minCos = 0.95, nlist = 16)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   /**
    * Q49 — correctness harness for the approximate trio that has no direct
    * SQL oracle (q26 simhash, q28 fingerprint, q29 LSH ANN). Each
@@ -1613,7 +1631,8 @@ object SparkEntry {
     "q64_mor_delete" -> morDeleteResult,
     "q65_epoch_shuffle" -> epochShuffleQuery,
     "q66_incremental_dedup" -> incrementalDedupQuery,
-    "q67_ivf_stored" -> ivfStoredQuery)
+    "q67_ivf_stored" -> ivfStoredQuery,
+    "q68_semdedup" -> semDedupQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1683,7 +1702,8 @@ object SparkEntry {
     "q64_mor_delete" -> Q64Duck,
     "q65_epoch_shuffle" -> Q65Duck,
     "q66_incremental_dedup" -> Q66Duck,
-    "q67_ivf_stored" -> Q22Duck)
+    "q67_ivf_stored" -> Q22Duck,
+    "q68_semdedup" -> Q48Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -694,4 +694,77 @@ object Dedup {
     release(pairs)
     df.join(losers, df(idCol) === losers("id"), "left_anti")
   }
+
+  /**
+   * SemDeDup pair mining (Abbas et al., "SemDeDup: Data-efficient
+   * learning at web-scale through semantic deduplication", 2023):
+   * cluster the embedding corpus with a k-means coarse quantizer, then
+   * mine cosine-similar pairs WITHIN each cluster only. The clustered
+   * variant of [[embeddingPairs]]: hyperplane LSH buckets by random
+   * projections (data-independent), SemDeDup buckets by learned
+   * centroids — near-identical embeddings land in the same cluster, and
+   * the paper's observation is that semantic duplicates essentially
+   * never cross clusters at reasonable k.
+   *
+   * Scale shape: centroid training is a bounded driver-side sample
+   * ([[Similarity.trainCentroids]], the FAISS recipe), assignment is a
+   * map-side projection (no shuffle), and pair mining is one `list`
+   * equi-join — no candidate ever crosses clusters, so the quadratic
+   * term is bounded by the largest cluster. Hold cluster size constant
+   * as the corpus grows by scaling nlist ∝ n / targetClusterRows
+   * (SemDeDup itself runs k = 11k clusters on LAION-440M);
+   * [[semDedupPairsAuto]] wires that sizing in.
+   */
+  def semDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double = 0.95,
+      nlist: Int = 16,
+      iters: Int = 5,
+      sampleN: Int = 10000): DataFrame = {
+    val cents = Similarity.trainCentroids(df, idCol, vecCol, nlist, iters, sampleN)
+    val base = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
+      .withColumn("list", element_at(functions.nearestLists(col("v"), cents, 1), 1))
+    val a = base.alias("a")
+    val b = base.alias("b")
+    a.join(b, col("a.list") === col("b.list") && col("a.doc") < col("b.doc"))
+      .withColumn("cos", functions.cosineSimilarity(col("a.v"), col("b.v")))
+      .filter(col("cos") >= minCos)
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"), col("cos"))
+  }
+
+  /** [[semDedupPairs]] with nlist sized to hold clusters near
+   *  `targetClusterRows` as the corpus grows — one `count()` action. */
+  def semDedupPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double = 0.95,
+      targetClusterRows: Long = 4096): DataFrame = {
+    val n = df.count()
+    val nlist = math.max(1L, (n + targetClusterRows - 1) / targetClusterRows)
+    require(nlist <= Int.MaxValue, s"nlist $nlist out of range")
+    semDedupPairs(df, idCol, vecCol, minCos, nlist.toInt)
+  }
+
+  /** SemDeDup end-to-end: within-cluster cosine pairs → connected
+   *  components → keep the min-id representative of every duplicate
+   *  group (the paper keeps one exemplar per semantic cluster-duplicate
+   *  set). Same anti-join-vs-small-loser-set shape as
+   *  [[dedupNearDuplicates]]. */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double = 0.95,
+      nlist: Int = 16): DataFrame = {
+    val pairs = semDedupPairs(df, idCol, vecCol, minCos, nlist).localCheckpoint()
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
+      .localCheckpoint() // small: the duplicate ids only
+    release(comps)
+    release(pairs)
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
 }

@@ -324,6 +324,52 @@ class ExtSpec extends SparkSpec {
     assert(hits.contains(100L), s"appended vector not found: $hits")
   }
 
+  test("semDedupPairs: nlist=1 equals brute force; clustered recall on planted copies") {
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    def jitter(i: Int): Array[Float] = {
+      val c = base(i % 3)
+      // jitter is LARGE on purpose: same-cluster originals stay similar
+      // (≥ ~0.98 for neighbors) but never reach the 0.9999 dup bar, so
+      // only planted identical copies count as semantic duplicates
+      c.zipWithIndex.map { case (x, j) => x + (if (j == 3) 0.05f * i else 0f) }
+    }
+    val originals = (0 until 30).map(i => (i.toLong, jitter(i)))
+    val corpus = originals.toDF("id", "vec")
+
+    // nlist=1: one cluster → all-pairs → must equal exact brute force
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val dot = x.zip(y).map { case (a, b) => a.toDouble * b }.sum
+      val nx = math.sqrt(x.map(a => a.toDouble * a).sum)
+      val ny = math.sqrt(y.map(a => a.toDouble * a).sum)
+      dot / (nx * ny)
+    }
+    val expected = (for {
+      (ia, va) <- originals; (ib, vb) <- originals
+      if ia < ib && cos(va, vb) >= 0.98
+    } yield (ia, ib)).toSet
+    val exhaustive = Dedup.semDedupPairs(corpus, "id", "vec", minCos = 0.98, nlist = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exhaustive === expected)
+    assert(expected.nonEmpty, "fixture must contain near-duplicate pairs")
+
+    // clustered: identical planted copies (id+100) share their
+    // original's cluster by construction → recall 1 on planted pairs,
+    // and semDedup keeps exactly the min-id representative per group
+    val planted = originals.filter(_._1 < 6).map { case (i, v) => (i + 100L, v) }
+    val doubled = corpus.unionByName(planted.toDF("id", "vec"))
+    val pairs = Dedup.semDedupPairs(doubled, "id", "vec", minCos = 0.9999, nlist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 6).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 100L)), s"planted pair $i missing: $pairs")
+    }
+    val survivors = Dedup.semDedup(doubled, "id", "vec", minCos = 0.9999, nlist = 3)
+      .select("id").as[Long].collect().toSet
+    assert(survivors.intersect((100L until 106L).toSet).isEmpty,
+      s"planted copies must be dropped: $survivors")
+    assert((0L until 6L).toSet.subsetOf(survivors), "originals must survive")
+  }
+
   test("pair mining pins only its result block (leak regression guard)") {
     // r2 leaked operator caches; r3's fix recomputed instead. The contract
     // now: after a pair miner returns, the ONLY surviving pinned block is
