@@ -297,7 +297,7 @@ class SnapshotTable private (
     // footer stats come back keyed by the PHYSICAL names just written —
     // remap to logical so ALL commit metadata stays logically keyed
     val toLogical = mapping.map(_.swap)
-    fs.listStatus(dir).toSeq
+    val entries = fs.listStatus(dir).toSeq
       .filter(s => s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
       .map(s => readFooterStats(s.getPath, s.getLen, conf))
@@ -307,6 +307,56 @@ class SnapshotTable private (
       // zero-row part files carry no data and defeat stats pruning — drop
       // them from the manifest (rows == -1 means "stats unknown": keep)
       .filter(_.rows != 0L)
+    attachManifestBlooms(entries, bloomCols, props)
+  }
+
+  /** Manifest-level bloom filters ([[FileBloom]]): with
+   *  `graft.bloom.manifest=true`, harvest one filter per (new file,
+   *  bloom column) in ONE distributed job over the just-written files —
+   *  planner-side file skipping for point lookups, the Hudi bloom-index
+   *  role on top of the row-group filters the writer already emitted.
+   *  Cost: one extra scan of the indexed columns of the new files,
+   *  commit-time only. Any harvest failure degrades to "no filter". */
+  private def attachManifestBlooms(
+      entries: Seq[FileEntry],
+      bloomCols: Seq[(String, String)],
+      props: Map[String, String]): Seq[FileEntry] = {
+    if (bloomCols.isEmpty || entries.isEmpty ||
+        !props.get("graft.bloom.manifest").contains("true")) return entries
+    val maxBytes = props.get("graft.bloom.manifest.maxbytes")
+      .flatMap(_.toLongOption).getOrElse(FileBloom.DefaultMaxBytes)
+    val mBits = FileBloom.sizeBits(entries.map(_.rows).max, maxBytes)
+    try {
+      import org.apache.spark.sql.functions.{col, input_file_name}
+      val shim = org.apache.spark.sql.graftshim.SparkInternals
+      val aggs = bloomCols.map { case (logical, phys) =>
+        shim.column(BloomBuild(shim.expr(col(phys)), mBits)
+          .toAggregateExpression()).as(s"__bloom_$logical")
+      }
+      val rows = spark.read.parquet(entries.map(_.path): _*)
+        .groupBy(input_file_name().as("__file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // O(new files) rows, each O(mBits/8) — commit metadata
+      val byPath = rows.map { r =>
+        val p = new Path(r.getString(0)).toUri.getPath
+        p -> bloomCols.zipWithIndex.map { case ((logical, _), i) =>
+          logical -> r.getString(i + 1)
+        }.toMap
+      }.toMap
+      entries.map { fe =>
+        byPath.get(new Path(fe.path).toUri.getPath) match {
+          case Some(m) => fe.copy(blooms = Some(m))
+          case None => fe
+        }
+      }
+    } catch {
+      case NonFatal(e) =>
+        // a failed harvest must not fail the commit: pruning just stays
+        // min/max-only for these files
+        Console.err.println(
+          s"graft: manifest bloom harvest failed, committing without filters: $e")
+        entries
+    }
   }
 
   /** Full-replace (reference "bulk insert overwrite" S4/S7,
@@ -732,7 +782,8 @@ class SnapshotTable private (
         "CHECK constraint; drop the constraint, rename, and re-add it")
     def rn(n: String): String = if (n.equalsIgnoreCase(field.name)) newName else n
     def rnStats(files: Seq[FileEntry]): Seq[FileEntry] = files.map(fe =>
-      fe.copy(stats = fe.stats.map { case (k, s) => rn(k) -> s }))
+      fe.copy(stats = fe.stats.map { case (k, s) => rn(k) -> s },
+        blooms = fe.blooms.map(_.map { case (k, b) => rn(k) -> b })))
     val mapping = mappingOf(e)
     val physical = mapping.getOrElse(field.name, field.name)
     // identity entries carry no information — dropping them keeps the
@@ -1881,7 +1932,8 @@ object SnapshotTable {
    *  utf8); absent when the footer had no usable stats. */
   final case class ColStats(min: Option[String], max: Option[String], nullCount: Option[Long])
 
-  final case class FileEntry(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats])
+  final case class FileEntry(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats],
+      blooms: Option[Map[String, String]] = None)
 
   /** A committed table state: live files (+stats) and schema, one JSON doc
    *  per version (json4s — bundled with Spark, no extra dependency).
@@ -2126,6 +2178,24 @@ object SnapshotTable {
       case _ => None
     }
 
+    /** Manifest-bloom probe for `col = lit` ([[FileBloom]]): false ⇒ the
+     *  file provably lacks the value (a bloom never lies about absence).
+     *  True whenever no filter applies — missing filter, NULL literal, or
+     *  a literal that can't represent exactly in the column's type. */
+    private def bloomMayContain(
+        f: FileEntry, nameE: Expression, l: Literal, schema: StructType): Boolean =
+      (for {
+        name <- attrName(nameE)
+        field <- schema.fields.find(_.name.equalsIgnoreCase(name))
+        blooms <- f.blooms
+        enc <- blooms.get(field.name)
+        if l.value != null
+        cv <- FileBloom.catalystValue(l.value, field.dataType)
+      } yield {
+        val (h1, h2) = FileBloom.hashes(cv, field.dataType)
+        FileBloom.mightContain(enc, h1, h2)
+      }).getOrElse(true)
+
     /** (statsDomainValue, isDouble) for a literal against column type `dt`. */
     private def litValue(l: Literal, dt: DataType): Option[Either[Long, Either[Double, String]]] = {
       if (l.value == null) return None
@@ -2203,8 +2273,10 @@ object SnapshotTable {
         // splitConjuncts only splits ANDs, so OR arrives whole)
         case Or(l, r) =>
           conjunctMayMatch(f, l, schema) || conjunctMayMatch(f, r, schema)
-        case EqualTo(a, l: Literal) => check(a, l)((cMin, cMax) => cMin <= 0 && cMax >= 0)
-        case EqualTo(l: Literal, a) => check(a, l)((cMin, cMax) => cMin <= 0 && cMax >= 0)
+        case EqualTo(a, l: Literal) =>
+          check(a, l)((cMin, cMax) => cMin <= 0 && cMax >= 0) && bloomMayContain(f, a, l, schema)
+        case EqualTo(l: Literal, a) =>
+          check(a, l)((cMin, cMax) => cMin <= 0 && cMax >= 0) && bloomMayContain(f, a, l, schema)
         case GreaterThan(a, l: Literal) => check(a, l)((_, cMax) => cMax > 0)
         case GreaterThan(l: Literal, a) => check(a, l)((cMin, _) => cMin < 0) // lit > col ⇔ col < lit
         case GreaterThanOrEqual(a, l: Literal) => check(a, l)((_, cMax) => cMax >= 0)
@@ -2214,7 +2286,11 @@ object SnapshotTable {
         case LessThanOrEqual(a, l: Literal) => check(a, l)((cMin, _) => cMin <= 0)
         case LessThanOrEqual(l: Literal, a) => check(a, l)((_, cMax) => cMax >= 0)
         case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-          vs.exists(v => check(a, v.asInstanceOf[Literal])((cMin, cMax) => cMin <= 0 && cMax >= 0))
+          vs.exists { v =>
+            val l = v.asInstanceOf[Literal]
+            check(a, l)((cMin, cMax) => cMin <= 0 && cMax >= 0) &&
+              bloomMayContain(f, a, l, schema)
+          }
         case IsNull(a) =>
           (for {
             name <- attrName(a)

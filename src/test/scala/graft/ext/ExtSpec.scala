@@ -325,6 +325,17 @@ class ExtSpec extends SparkSpec {
   }
 
   test("semDedupPairs: nlist=1 equals brute force; clustered recall on planted copies") {
+    // semDedup pins a loser-id checkpoint its lazy result reads; clean it
+    // up SYNCHRONOUSLY on exit so the async ContextCleaner doesn't mutate
+    // pinned-block counts under the leak-regression guard below
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try semDedupBody()
+    finally spark.sparkContext.getPersistentRDDs
+      .filter(e => !pinnedBefore.contains(e._1))
+      .foreach(_._2.unpersist(blocking = true))
+  }
+
+  private def semDedupBody(): Unit = {
     val base = Seq(
       Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
     def jitter(i: Int): Array[Float] = {
