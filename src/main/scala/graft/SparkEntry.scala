@@ -289,6 +289,30 @@ object SparkEntry {
     t
   }
 
+  /** Q69 — point lookup on a HASH-DISTRIBUTED key (every file's
+   *  [min,max] spans the whole key space, so q19's min/max stats pruning
+   *  cannot skip anything): the manifest-level bloom index
+   *  ([[graft.tables.FileBloom]]) is what prunes here, the Hudi
+   *  bloom-index role. Table built once per scale dir with
+   *  `graft.bloom.columns`/`graft.bloom.manifest` set BEFORE the data
+   *  write so every file carries filters; the measured query is the
+   *  bloom-pruned scan. */
+  private def bloomLookupQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = warmTable("bloom_lookup", dir) {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val tbl = SnapshotTable.create(s,
+        Files.createTempDirectory("graft_bloom_lookup").toString,
+        orders.limit(1)) // seed commit carries the properties
+        .setProperties(Map(
+          "graft.bloom.columns" -> "o_custkey",
+          "graft.bloom.manifest" -> "true"))
+      tbl.overwrite(orders.repartition(8, col("o_custkey")))
+    }
+    t.scan(col("o_custkey") === 271)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   private def snapshotPointLookup(s: SparkSession, dir: String): DataFrame =
     ordersSnapshot(s, dir)
       .scan(col("o_orderkey") === 103)
@@ -1632,7 +1656,8 @@ object SparkEntry {
     "q65_epoch_shuffle" -> epochShuffleQuery,
     "q66_incremental_dedup" -> incrementalDedupQuery,
     "q67_ivf_stored" -> ivfStoredQuery,
-    "q68_semdedup" -> semDedupQuery)
+    "q68_semdedup" -> semDedupQuery,
+    "q69_bloom_lookup" -> bloomLookupQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1703,7 +1728,10 @@ object SparkEntry {
     "q65_epoch_shuffle" -> Q65Duck,
     "q66_incremental_dedup" -> Q66Duck,
     "q67_ivf_stored" -> Q22Duck,
-    "q68_semdedup" -> Q48Duck)
+    "q68_semdedup" -> Q48Duck,
+    "q69_bloom_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey = 271 ORDER BY o_orderkey""".stripMargin)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique
