@@ -89,6 +89,11 @@ object GraftSqlParser {
     cmd(s"GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$Ident")
   private val ConvertStmt =
     cmd("CONVERT\\s+TO\\s+GRAFT\\s+(?:parquet\\s*\\.\\s*)?(`[^`]+`|'[^']+')")
+  // cluster-spec evolution (Iceberg ALTER TABLE … PARTITION FIELD role):
+  // vanilla Spark has no ALTER TABLE … CLUSTER BY, so the whole statement
+  // is ours — CLUSTER BY NONE clears the spec
+  private val AlterClusterStmt =
+    cmd(s"ALTER\\s+TABLE\\s+$Ident\\s+CLUSTER\\s+BY\\s+(?:(NONE)|\\(([^)]*)\\))")
   // plain CREATE TABLE never matches — SHALLOW CLONE is required
   private val ShallowCloneStmt =
     cmd(s"CREATE\\s+TABLE\\s+$Ident\\s+SHALLOW\\s+CLONE\\s+$Ident" +
@@ -116,6 +121,12 @@ object GraftSqlParser {
       .orElse(m(ShallowCloneStmt).map(r =>
         GraftShallowCloneCommand(identParts(r.group(1)), identParts(r.group(2)),
           Option(r.group(3)).map(_.toLong), Option(r.group(4)))))
+      .orElse(m(AlterClusterStmt).map { r =>
+        // group 2 captures NONE, group 3 the parenthesized column list
+        val spec = if (r.group(3) == null) Nil
+          else r.group(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        GraftAlterClusterCommand(identParts(r.group(1)), spec)
+      })
   }
 
   /** Split an OPTIMIZE statement tail into (WHERE predicate, ZORDER BY
@@ -312,6 +323,22 @@ case class GraftOptimizeCommand(
       graft.ext.ZOrder.optimize(t, zorderBy, nFiles)
       Seq(Row(t.root, s"zorder(${zorderBy.mkString(",")})", entries.size))
     }
+  }
+}
+
+/** `ALTER TABLE t CLUSTER BY (spec, …)` / `CLUSTER BY NONE` →
+ *  [[SnapshotTable.setClusterSpec]]: metadata-only cluster-spec
+ *  evolution — existing files untouched (stats-based pruning needs no
+ *  layout migration), new writes cluster by the new spec. */
+case class GraftAlterClusterCommand(parts: Seq[String], spec: Seq[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    notNull("path", StringType), notNull("cluster_by", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = resolveTable(spark, parts)
+    t.setClusterSpec(spec)
+    Seq(Row(t.root, spec.mkString(",")))
   }
 }
 

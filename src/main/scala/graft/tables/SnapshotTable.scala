@@ -628,6 +628,33 @@ class SnapshotTable private (
     this
   }
 
+  /**
+   * Cluster-spec evolution (Iceberg `ALTER TABLE … ADD/DROP PARTITION
+   * FIELD` analogue, a headline Iceberg-over-Hive capability): a
+   * METADATA-ONLY commit swapping the clustering spec. Existing files
+   * are untouched and stay fully readable — pruning here is driven by
+   * per-file STATS, never by path layout, so a table whose history
+   * mixes specs needs no rewrite, no dual-plan reads, and no migration
+   * job. New writes (append/overwrite/compact/merge rewrites) cluster
+   * by the new spec from the next commit on; an `OPTIMIZE … ZORDER BY`
+   * or plain `compact()` gradually re-clusters old data if wanted.
+   * An empty spec clears clustering (`CLUSTER BY NONE`).
+   */
+  def setClusterSpec(spec: Seq[String]): SnapshotTable = {
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val e = commitEntry(v)
+    val schema = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+    spec.foreach { s =>
+      val src = ClusterTransform.sourceColumn(s)
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(src)),
+        s"cluster spec entry '$s' references unknown column '$src' " +
+          s"(table columns: ${schema.fieldNames.mkString(", ")})")
+    }
+    writeCommit(v + 1, e.copy(action = "set-cluster", clusterBy = toOpt(spec)))
+    this
+  }
+
   /** Remove table properties (`ALTER TABLE … UNSET TBLPROPERTIES`). */
   def unsetProperties(keys: Seq[String]): SnapshotTable = {
     val v = currentVersion()

@@ -270,4 +270,48 @@ class MaintenanceSqlSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("DESCRIBE HISTORY no_such_maint_table"))
     assert(e.getMessage.contains("no_such_maint_table"))
   }
+
+  test("ALTER TABLE CLUSTER BY: metadata-only spec evolution") {
+    import org.apache.spark.sql.functions.col
+    val t = SnapshotTable.create(spark, tmpDir("sqlmaint"),
+      (1 to 400).map(i => (i, i * 2, s"p$i")).toDF("id", "n", "payload"))
+    GraftCatalog.register("maint_clu", t)
+    assert(t.clusterSpec() === Nil)
+    val filesBefore = t.manifest().toSet
+
+    val out = spark.sql("ALTER TABLE maint_clu CLUSTER BY (id)").collect().head
+    assert(out.getString(1) === "id")
+    assert(t.clusterSpec() === Seq("id"))
+    // metadata-only: same files, no rewrite
+    assert(t.manifest().toSet === filesBefore)
+    assert(spark.sql("DESCRIBE DETAIL maint_clu").collect().head.getString(5) === "id")
+
+    // new writes range-cluster by the evolved spec: per-file id bounds
+    // of the appended files are disjoint. (Tiny fixture: stop AQE folding
+    // the range partitions into one file — at real scale the advisory
+    // size IS the desired file sizing.)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesceKey, "false")
+    try t.append((401 to 1200).map(i => (i, i * 2, s"p$i")).toDF("id", "n", "payload")
+      .repartition(4))
+    finally spark.conf.unset(coalesceKey)
+    val newEntries = t.manifestEntries().filterNot(e => filesBefore.contains(e.path))
+    assert(newEntries.size > 1)
+    val bounds = newEntries.flatMap(_.stats.get("id"))
+      .map(cs => (cs.min.get.toLong, cs.max.get.toLong)).sortBy(_._1)
+    assert(bounds.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi <= lo
+      case _ => true
+    }, s"appended files must be range-clustered on id: $bounds")
+    // old unclustered files still read fine alongside (mixed-spec history)
+    assert(t.read().count() === 1200)
+    assert(t.scan(col("id") === 7).count() === 1)
+
+    // CLUSTER BY NONE clears; unknown column rejected
+    spark.sql("ALTER TABLE maint_clu CLUSTER BY NONE")
+    assert(t.clusterSpec() === Nil)
+    val bad = intercept[Exception](
+      spark.sql("ALTER TABLE maint_clu CLUSTER BY (days(no_such))"))
+    assert(bad.getMessage.contains("no_such"))
+  }
 }
