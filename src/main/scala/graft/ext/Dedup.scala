@@ -685,8 +685,16 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      minEst: Double = 0.5): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, minEst = minEst)
+      minEst: Double = 0.5): DataFrame =
+    keepMinIdSurvivors(df, idCol,
+      minhashPairs(df, idCol, textCol, minEst = minEst))
+
+  /** The shared dedup tail: duplicate pairs → connected components →
+   *  drop every non-min-id member of each component via an anti-join
+   *  against the (small) loser set. `pairs` must be checkpointed or
+   *  cheap to recompute; it is released here. */
+  private def keepMinIdSurvivors(
+      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
     val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
       .localCheckpoint() // small: the duplicate ids only
@@ -758,13 +766,7 @@ object Dedup {
       idCol: String,
       vecCol: String,
       minCos: Double = 0.95,
-      nlist: Int = 16): DataFrame = {
-    val pairs = semDedupPairs(df, idCol, vecCol, minCos, nlist).localCheckpoint()
-    val comps = connectedComponents(pairs)
-    val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
-      .localCheckpoint() // small: the duplicate ids only
-    release(comps)
-    release(pairs)
-    df.join(losers, df(idCol) === losers("id"), "left_anti")
-  }
+      nlist: Int = 16): DataFrame =
+    keepMinIdSurvivors(df, idCol,
+      semDedupPairs(df, idCol, vecCol, minCos, nlist).localCheckpoint())
 }

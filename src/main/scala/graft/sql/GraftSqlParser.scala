@@ -91,9 +91,28 @@ object GraftSqlParser {
     cmd("CONVERT\\s+TO\\s+GRAFT\\s+(?:parquet\\s*\\.\\s*)?(`[^`]+`|'[^']+')")
   // cluster-spec evolution (Iceberg ALTER TABLE … PARTITION FIELD role):
   // vanilla Spark has no ALTER TABLE … CLUSTER BY, so the whole statement
-  // is ours — CLUSTER BY NONE clears the spec
+  // is ours — CLUSTER BY NONE clears the spec. The greedy (.*) runs to
+  // the LAST closing paren so transform entries like days(ts) and
+  // bucket(4, id) survive; [[splitSpecEntries]] then splits on
+  // depth-0 commas only.
   private val AlterClusterStmt =
-    cmd(s"ALTER\\s+TABLE\\s+$Ident\\s+CLUSTER\\s+BY\\s+(?:(NONE)|\\(([^)]*)\\))")
+    cmd(s"ALTER\\s+TABLE\\s+$Ident\\s+CLUSTER\\s+BY\\s+(?:(NONE)|\\((.*)\\))")
+
+  /** Split a cluster-spec column list on commas OUTSIDE parentheses, so
+   *  `days(ts), bucket(4, id)` yields two entries, not three. */
+  private[sql] def splitSpecEntries(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
   // plain CREATE TABLE never matches — SHALLOW CLONE is required
   private val ShallowCloneStmt =
     cmd(s"CREATE\\s+TABLE\\s+$Ident\\s+SHALLOW\\s+CLONE\\s+$Ident" +
@@ -123,8 +142,7 @@ object GraftSqlParser {
           Option(r.group(3)).map(_.toLong), Option(r.group(4)))))
       .orElse(m(AlterClusterStmt).map { r =>
         // group 2 captures NONE, group 3 the parenthesized column list
-        val spec = if (r.group(3) == null) Nil
-          else r.group(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val spec = if (r.group(3) == null) Nil else splitSpecEntries(r.group(3))
         GraftAlterClusterCommand(identParts(r.group(1)), spec)
       })
   }

@@ -48,16 +48,15 @@ private[graft] object FileBloom {
   val BitsPerKey = 10
   val DefaultMaxBytes: Long = 128L * 1024
 
-  /** Filter size in bits for `rows` keys under `maxBytes`: next power of
-   *  two ≥ 10·rows, clamped to [8192, maxBytes·8]. */
+  /** Filter size in bits for `rows` keys under `maxBytes`: a power of
+   *  two near 10·rows, never above maxBytes·8 (the cap ROUNDS DOWN —
+   *  `graft.bloom.manifest.maxbytes` is a hard manifest-size contract,
+   *  not a hint), floored at 8192 bits (1 KiB). */
   def sizeBits(rows: Long, maxBytes: Long = DefaultMaxBytes): Int = {
     val want = math.max(8192L, rows * BitsPerKey)
-    val cap = math.max(8192L, maxBytes * 8)
-    val clamped = math.min(want, cap)
-    java.lang.Long.highestOneBit(clamped - 1) match {
-      case h if h * 2 <= Int.MaxValue => (h * 2).toInt
-      case _ => Int.MaxValue / 2 + 1
-    }
+    val capped = java.lang.Long.highestOneBit(math.max(8192L, maxBytes * 8))
+    val grown = java.lang.Long.highestOneBit(want - 1) * 2 // next pow2 ≥ want
+    math.min(math.min(grown, capped), Int.MaxValue / 2 + 1).toInt
   }
 
   def encode(bits: Array[Long], k: Int): String = {
@@ -75,7 +74,9 @@ private[graft] object FileBloom {
       val k = parts(0).toInt
       val m = parts(1).toInt
       val bytes = Base64.getDecoder.decode(parts(2))
-      if (k < 1 || m < 64 || bytes.length * 8 != m) return None
+      // m must be a whole number of words or probe indices in the last
+      // partial word would walk off the array
+      if (k < 1 || m < 64 || m % 64 != 0 || bytes.length * 8 != m) return None
       val bb = ByteBuffer.wrap(bytes)
       Some((k, m, Array.fill(m / 64)(bb.getLong)))
     } catch { case _: IllegalArgumentException | _: NumberFormatException => None }
@@ -104,14 +105,19 @@ private[graft] object FileBloom {
   def mightContain(encoded: String, h1: Long, h2: Long): Boolean =
     decode(encoded) match {
       case None => true // unreadable filter: never prune on it
-      case Some((k, m, bits)) =>
-        var i = 0
-        while (i < k) {
-          if (!getBit(bits, (((h1 + i * h2) & Long.MaxValue) % m).toInt)) return false
-          i += 1
-        }
-        true
+      case Some((k, m, bits)) => mightContainDecoded(k, m, bits, h1, h2)
     }
+
+  /** Probe an already-decoded filter — callers probing many values
+   *  against one filter (IN lists) decode once, not per value. */
+  def mightContainDecoded(k: Int, m: Int, bits: Array[Long], h1: Long, h2: Long): Boolean = {
+    var i = 0
+    while (i < k) {
+      if (!getBit(bits, (((h1 + i * h2) & Long.MaxValue) % m).toInt)) return false
+      i += 1
+    }
+    true
+  }
 
   /** Catalyst-domain conversion of an external literal value for type
    *  `dt`, or None when the value can't represent in `dt` exactly (the

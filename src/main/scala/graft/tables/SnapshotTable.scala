@@ -337,14 +337,18 @@ class SnapshotTable private (
         .groupBy(input_file_name().as("__file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect() // O(new files) rows, each O(mBits/8) — commit metadata
-      val byPath = rows.map { r =>
-        val p = new Path(r.getString(0)).toUri.getPath
-        p -> bloomCols.zipWithIndex.map { case ((logical, _), i) =>
-          logical -> r.getString(i + 1)
-        }.toMap
+      // match by FILE NAME, not full path: input_file_name() returns a
+      // URI-escaped string while FileStatus paths are unescaped, so a
+      // root with a space/%/# would never full-path-match; part-file
+      // names embed a per-job UUID, unique within this commit's dir
+      val byName = rows.map { r =>
+        new Path(r.getString(0)).getName ->
+          bloomCols.zipWithIndex.map { case ((logical, _), i) =>
+            logical -> r.getString(i + 1)
+          }.toMap
       }.toMap
       entries.map { fe =>
-        byPath.get(new Path(fe.path).toUri.getPath) match {
+        byName.get(new Path(fe.path).getName) match {
           case Some(m) => fe.copy(blooms = Some(m))
           case None => fe
         }
@@ -1960,7 +1964,16 @@ object SnapshotTable {
   final case class ColStats(min: Option[String], max: Option[String], nullCount: Option[Long])
 
   final case class FileEntry(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats],
-      blooms: Option[Map[String, String]] = None)
+      blooms: Option[Map[String, String]] = None) {
+    /** Decoded manifest blooms, materialized once per entry — an IN-list
+     *  probe hits one file's filter once per VALUE, and re-base64-ing a
+     *  128 KiB filter per value would turn plan-time pruning into driver
+     *  CPU. Not part of the serialized form. */
+    @transient lazy val decodedBlooms: Map[String, (Int, Int, Array[Long])] =
+      blooms.getOrElse(Map.empty).flatMap { case (c, enc) =>
+        FileBloom.decode(enc).map(c -> _)
+      }
+  }
 
   /** A committed table state: live files (+stats) and schema, one JSON doc
    *  per version (json4s — bundled with Spark, no extra dependency).
@@ -2207,20 +2220,20 @@ object SnapshotTable {
 
     /** Manifest-bloom probe for `col = lit` ([[FileBloom]]): false ⇒ the
      *  file provably lacks the value (a bloom never lies about absence).
-     *  True whenever no filter applies — missing filter, NULL literal, or
-     *  a literal that can't represent exactly in the column's type. */
+     *  True whenever no filter applies — missing/malformed filter, NULL
+     *  literal, or a literal that can't represent exactly in the
+     *  column's type. Probes the per-entry DECODED form. */
     private def bloomMayContain(
         f: FileEntry, nameE: Expression, l: Literal, schema: StructType): Boolean =
       (for {
         name <- attrName(nameE)
         field <- schema.fields.find(_.name.equalsIgnoreCase(name))
-        blooms <- f.blooms
-        enc <- blooms.get(field.name)
+        (k, m, bits) <- f.decodedBlooms.get(field.name)
         if l.value != null
         cv <- FileBloom.catalystValue(l.value, field.dataType)
       } yield {
         val (h1, h2) = FileBloom.hashes(cv, field.dataType)
-        FileBloom.mightContain(enc, h1, h2)
+        FileBloom.mightContainDecoded(k, m, bits, h1, h2)
       }).getOrElse(true)
 
     /** (statsDomainValue, isDouble) for a literal against column type `dt`. */

@@ -310,8 +310,22 @@ class MaintenanceSqlSpec extends SparkSpec {
     // CLUSTER BY NONE clears; unknown column rejected
     spark.sql("ALTER TABLE maint_clu CLUSTER BY NONE")
     assert(t.clusterSpec() === Nil)
-    val bad = intercept[Exception](
+    val bad = intercept[IllegalArgumentException](
       spark.sql("ALTER TABLE maint_clu CLUSTER BY (days(no_such))"))
     assert(bad.getMessage.contains("no_such"))
+  }
+
+  test("ALTER TABLE CLUSTER BY parses transform specs with nested parens") {
+    val t = SnapshotTable.create(spark, tmpDir("sqlmaint"),
+      (1 to 50).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-03-${i % 28 + 1}%02d 10:00:00")))
+        .toDF("id", "ts"))
+    GraftCatalog.register("maint_clu2", t)
+    // days(ts) and bucket(4, id) both contain parens; bucket also a comma
+    spark.sql("ALTER TABLE maint_clu2 CLUSTER BY (days(ts), bucket(4, id))")
+    assert(t.clusterSpec() === Seq("days(ts)", "bucket(4, id)"))
+    t.append(Seq((51L, java.sql.Timestamp.valueOf("2024-03-05 11:00:00")))
+      .toDF("id", "ts"))
+    assert(t.read().count() === 51)
   }
 }

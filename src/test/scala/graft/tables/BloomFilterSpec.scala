@@ -125,10 +125,19 @@ class BloomFilterSpec extends SparkSpec {
     // malformed filters never prune
     assert(FileBloom.mightContain("garbage", a1, a2))
     assert(FileBloom.mightContain("1:64:AAA?", a1, a2))
+    // a bit count that is not a whole number of words must be REJECTED
+    // (probing its last partial word would walk off the array), i.e.
+    // treated as "no filter", never a crash
+    val nineBytes = java.util.Base64.getEncoder.encodeToString(new Array[Byte](9))
+    assert(FileBloom.decode(s"7:72:$nineBytes").isEmpty)
+    assert(FileBloom.mightContain(s"7:72:$nineBytes", a1, a2))
     // sizing: clamped, power of two
     assert(FileBloom.sizeBits(0) === 8192)
     assert(FileBloom.sizeBits(100000) === 1 << 20)
     assert(FileBloom.sizeBits(1000000000L) === FileBloom.DefaultMaxBytes * 8)
+    // a non-power-of-two cap ROUNDS DOWN — maxbytes is a hard ceiling
+    assert(FileBloom.sizeBits(1000000000L, maxBytes = 100000) === 524288)
+    assert(524288 <= 100000L * 8)
   }
 
   test("unknown or malformed bloom column names are ignored, not fatal") {
