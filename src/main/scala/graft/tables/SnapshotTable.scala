@@ -443,15 +443,51 @@ class SnapshotTable private (
     }
     val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
     val files = writeDataDir(applyCluster(aligned, spec))
-    writeCommit(v + 1,
-      CommitEntry(action, schema.json, prior.map(_.files).getOrElse(Nil) ++ files,
-        toOpt(spec), prior.flatMap(_.properties),
-        deltaFiles = prior.flatMap(_.deltaFiles),
-        morKeys = prior.flatMap(_.morKeys),
-        morPrecombine = prior.flatMap(_.morPrecombine),
-        columnMapping = prior.flatMap(_.columnMapping)))
+    // Optimistic-transaction retry (Delta's blind-append rule): an append
+    // adds files and reads nothing, so losing the commit race to another
+    // FILE-ONLY commit (append, upsert, compact, delete) is not a logical
+    // conflict — re-base the already-written files onto the new head and
+    // re-commit, carrying the HEAD's file list and deltas. Anything that
+    // touched table METADATA (schema, properties incl. constraints,
+    // cluster spec, column mapping, MoR config) invalidates what this
+    // write was validated against, so those still surface the
+    // ConcurrentCommitException to the caller.
+    var base = prior
+    var baseV = v
+    var attempts = 0
+    while (true) {
+      try {
+        writeCommit(baseV + 1,
+          CommitEntry(action, schema.json, base.map(_.files).getOrElse(Nil) ++ files,
+            toOpt(spec), base.flatMap(_.properties),
+            deltaFiles = base.flatMap(_.deltaFiles),
+            morKeys = base.flatMap(_.morKeys),
+            morPrecombine = base.flatMap(_.morPrecombine),
+            columnMapping = base.flatMap(_.columnMapping)))
+        return this
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          val headV = currentVersion()
+          val head = if (headV < 0) None else Some(commitEntry(headV))
+          if (attempts >= 5 || headV <= baseV ||
+              !head.exists(h => base.exists(b => appendRebaseSafe(b, h)))) throw e
+          base = head
+          baseV = headV
+      }
+    }
     this
   }
+
+  /** True when re-basing a blind append from `base` onto `head` is
+   *  conflict-free: the interleaved commit(s) changed FILES only. */
+  private[tables] def appendRebaseSafe(base: CommitEntry, head: CommitEntry): Boolean =
+    head.schemaJson == base.schemaJson &&
+      head.properties == base.properties &&
+      head.clusterBy == base.clusterBy &&
+      head.columnMapping == base.columnMapping &&
+      head.morKeys == base.morKeys &&
+      head.morPrecombine == base.morPrecombine
 
   /** By-name alignment of an incoming frame against the committed schema;
    *  returns (aligned frame, schema to commit). See [[append]]. Missing

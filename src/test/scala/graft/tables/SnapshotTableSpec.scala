@@ -109,22 +109,23 @@ class SnapshotTableSpec extends SparkSpec {
     assert(spark.read.parquet(m: _*).count() === 100)
   }
 
-  test("concurrent writers: exactly one wins the version slot") {
+  test("concurrent writers: version slot is exclusive; overwrites surface the race") {
     val root = tmpDir("tbl")
     val t = SnapshotTable.create(spark, root, Seq((1, "a")).toDF("id", "v"))
-    // Two racing tables (separate handles) append from the same base version.
+    // Two racing OVERWRITES from the same base version: overwrite REPLACES
+    // what the loser read, so (unlike blind appends, which re-base) the
+    // lost race must surface. CAS-slot exclusivity itself is additionally
+    // proven cross-process in OccRaceSpec.
     val t1 = SnapshotTable(spark, root)
     val t2 = SnapshotTable(spark, root)
-    // Pre-write the data dirs on the main thread (Spark actions), then race
-    // only the commit step from two threads.
     import java.util.concurrent.{CountDownLatch, Executors}
     val pool = Executors.newFixedThreadPool(2)
     val gate = new CountDownLatch(1)
-    val futures = Seq(t1, t2).map { h =>
+    val futures = Seq(t1 -> 10, t2 -> 20).map { case (h, tag) =>
       pool.submit(new java.util.concurrent.Callable[String] {
         def call(): String = {
           gate.await()
-          try { h.append(Seq((99, "x")).toDF("id", "v")); "ok" }
+          try { h.overwrite(Seq((tag, "x")).toDF("id", "v")); "ok" }
           catch { case _: SnapshotTable.ConcurrentCommitException => "lost" }
         }
       })
@@ -134,7 +135,7 @@ class SnapshotTableSpec extends SparkSpec {
     pool.shutdown()
     assert(results.count(_ == "ok") === 1, s"got $results")
     assert(results.count(_ == "lost") === 1, s"got $results")
-    assert(t.read().count() === 2) // exactly one append landed
+    assert(t.read().count() === 1) // exactly one overwrite landed
   }
 
   test("garbage and in-flight tmp files never break reads") {
@@ -1146,5 +1147,52 @@ class SnapshotTableSpec extends SparkSpec {
     // untouched file [0,100) kept its stats → point lookup in it prunes to 1
     assert(t.prunedManifest(col("id") === 50).size === 1)
     assert(t.scan(col("id") === 50).count() === 1)
+  }
+
+  test("racing blind appends auto-retry onto file-only heads (no lost rows)") {
+    import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
+    val root = tmpDir("appendretry")
+    SnapshotTable.create(spark, root, Seq((0, "seed")).toDF("id", "v"))
+    val n = 4
+    val barrier = new CyclicBarrier(n)
+    val pool = Executors.newFixedThreadPool(n)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to n).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            val t = SnapshotTable(spark, root)
+            barrier.await(60, TimeUnit.SECONDS)
+            t.append(Seq((i, s"w$i")).toDF("id", "v"))
+          } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS))
+    assert(errs.isEmpty,
+      s"losing appends must re-base and succeed, got: ${errs.toArray.mkString("; ")}")
+    val t = SnapshotTable(spark, root)
+    // every writer landed as its own commit, nobody's files were dropped
+    assert(t.currentVersion() === n.toLong)
+    assert(t.read().count() === (n + 1).toLong)
+    assert(t.read().select("id").as[Int].collect().toSet === (0 to n).toSet)
+  }
+
+  test("append re-base is refused across metadata changes") {
+    val t = SnapshotTable(spark, tmpDir("tbl"))
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    val base = t.commitEntry(t.currentVersion())
+    // file-only interleavings are safe
+    assert(t.appendRebaseSafe(base, base.copy(files = Nil)))
+    assert(t.appendRebaseSafe(base, base.copy(action = "compact")))
+    // any metadata delta is a real conflict
+    assert(!t.appendRebaseSafe(base,
+      base.copy(properties = Some(Map("graft.constraint.c" -> "id > 0")))))
+    assert(!t.appendRebaseSafe(base, base.copy(clusterBy = Some(List("id")))))
+    assert(!t.appendRebaseSafe(base,
+      base.copy(columnMapping = Some(Map("v" -> "p_v")))))
+    assert(!t.appendRebaseSafe(base, base.copy(morKeys = Some(List("id")))))
+    assert(!t.appendRebaseSafe(base,
+      base.copy(schemaJson = base.schemaJson.replace("\"id\"", "\"id2\""))))
   }
 }
