@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
@@ -265,7 +265,8 @@ class GraftTable(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   /** The pinned snapshot's manifest for stats-only answering — None when
    *  MoR deltas are pending (base stats would be stale; the
@@ -597,18 +598,42 @@ object GraftScanBuilder {
 
 /** V1 write: append by default; truncate (createOrReplace / INSERT
  *  OVERWRITE) maps to the atomic snapshot overwrite. */
+/** Append / truncate-overwrite / predicate-scoped overwrite. The
+ *  `SupportsOverwrite` face serves both `df.writeTo(t).overwrite(cond)`
+ *  and SQL `INSERT INTO t REPLACE WHERE cond …` — Delta's replaceWhere,
+ *  routed to [[SnapshotTable.overwriteWhere]]'s single-commit
+ *  delete-matching + insert. */
 class GraftWriteBuilder(table: SnapshotTable)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsOverwrite {
 
   private var overwrite = false
+  private var replaceWhere: Option[Column] = None
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(f =>
+      f.isInstanceOf[AlwaysTrue] || GraftScanBuilder.toColumn(f).isDefined)
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) overwrite = true
+    else {
+      val cols = filters.map(f => GraftScanBuilder.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft REPLACE WHERE cannot express filter $f")))
+      replaceWhere = Some(cols.reduce(_ && _))
+    }
+    this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ignored: Boolean): Unit =
-          if (overwrite) table.overwrite(data) else table.append(data)
+          replaceWhere match {
+            case Some(cond) => table.overwriteWhere(cond, data)
+            case None => if (overwrite) table.overwrite(data) else table.append(data)
+          }
       }
   }
 }

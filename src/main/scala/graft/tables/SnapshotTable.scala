@@ -1513,6 +1513,45 @@ class SnapshotTable private (
   }
 
   /**
+   * Predicate-scoped atomic overwrite — Delta's `replaceWhere` (the
+   * idempotent-backfill primitive: re-materialize one day/partition of a
+   * derived table in ONE commit, `overwriteWhere(col("dt") === d, df)`).
+   * Semantics: delete every row matching `predicate`, insert `df`, as a
+   * single atomic commit. Incoming rows must ALL satisfy the predicate
+   * (Delta's replaceWhere constraint) — a row outside the declared scope
+   * would clobber data no reader of the predicate expects to change;
+   * violating writes fail before any file or commit is produced.
+   *
+   * File granularity mirrors [[delete]]: files whose stats prove they
+   * cannot match carry forward untouched (stats and manifest blooms
+   * intact); partially-matching files rewrite with the complement; `df`
+   * lands as new files — all under one version. Refused while MoR
+   * deltas are pending (fold them with [[applyDeltas]] first).
+   */
+  def overwriteWhere(predicate: Column, df: DataFrame): SnapshotTable = {
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val entry = commitEntry(v)
+    val tschema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    val (aligned, _) = alignToCommitted(df, tschema, mergeSchema = false)
+    // one cheap job: any incoming row OUTSIDE the predicate fails the
+    // whole write before anything is written
+    if (aligned.filter(!predicate || predicate.isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"overwriteWhere on $root: incoming rows must all satisfy the " +
+          s"replace predicate ($predicate); found at least one that does not")
+    val pred = org.apache.spark.sql.graftshim.SparkInternals.expr(predicate)
+    val cs = Pruning.conjuncts(pred)
+    val (touched, untouched) =
+      entry.files.partition(f => Pruning.mayMatchConjuncts(f, cs, tschema))
+    val survivors = dfOver(touched.map(_.path), tschema, mappingOf(entry))
+      .filter(!predicate || predicate.isNull)
+    replaceFiles(untouched.map(_.path), survivors.unionByName(aligned),
+      "replace-where", expectVersion = Some(v))
+    this
+  }
+
+  /**
    * Row-level UPDATE (`UPDATE t SET … WHERE …`, the SQL surface all three
    * reference formats provide): copy-on-write at file granularity like
    * [[delete]]/merge — files whose stats cannot contain matching rows are

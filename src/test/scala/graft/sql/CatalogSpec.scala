@@ -385,6 +385,31 @@ class CatalogSpec extends SparkSpec {
     assert(hasLocalRelation(v))
   }
 
+  test("REPLACE WHERE and writeTo.overwrite(cond) route to overwriteWhere") {
+    (0 until 100).map(i => (i, if (i < 50) "a" else "b")).toDF("id", "part")
+      .writeTo("graft.db.rw").createOrReplace()
+
+    // SQL REPLACE WHERE: swap partition 'b' for two rows, one commit
+    spark.sql(
+      "INSERT INTO graft.db.rw REPLACE WHERE part = 'b' VALUES (900, 'b'), (901, 'b')")
+    val afterSql = spark.table("graft.db.rw").as[(Int, String)].collect()
+    assert(afterSql.count(_._2 == "a") === 50)
+    assert(afterSql.filter(_._2 == "b").map(_._1).sorted.toSeq === Seq(900, 901))
+
+    // DataFrame writeTo.overwrite(condition)
+    Seq((1000, "a")).toDF("id", "part")
+      .writeTo("graft.db.rw").overwrite(col("part") === "a")
+    val afterDf = spark.table("graft.db.rw").as[(Int, String)].collect()
+    assert(afterDf.filter(_._2 == "a").map(_._1).toSeq === Seq(1000))
+    assert(afterDf.filter(_._2 == "b").map(_._1).sorted.toSeq === Seq(900, 901))
+
+    // rows outside the declared scope are rejected
+    val bad = intercept[Exception] {
+      spark.sql("INSERT INTO graft.db.rw REPLACE WHERE part = 'a' VALUES (7, 'b')")
+    }
+    assert(bad.getMessage.contains("satisfy"))
+  }
+
   test("DSv2 metadata scan: count(col) mixes, with conservative refusals") {
     val df = (1 to 500).map(i => (i, if (i % 5 == 0) null else s"v$i")).toDF("id", "v")
     df.writeTo("graft.db.cagg").createOrReplace()

@@ -1149,6 +1149,32 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.scan(col("id") === 50).count() === 1)
   }
 
+  test("overwriteWhere replaces exactly the predicate scope in one commit") {
+    val t = SnapshotTable(spark, tmpDir("tbl"))
+    t.overwrite(spark.range(0, 100).toDF("id").withColumn("v", lit("old")))
+    t.append(spark.range(100, 200).toDF("id").withColumn("v", lit("old")))
+    val untouchedFiles = t.prunedManifest(col("id") < 100).toSet
+    val vBefore = t.currentVersion()
+
+    // re-materialize the [100, 200) slice with fewer, different rows
+    t.overwriteWhere(col("id") >= 100,
+      Seq((150L, "new"), (199L, "new")).toDF("id", "v"))
+    assert(t.currentVersion() === vBefore + 1, "one atomic commit")
+    val rows = t.read().as[(Long, String)].collect()
+    assert(rows.count(_._2 == "old") === 100) // [0,100) untouched
+    assert(rows.filter(_._2 == "new").map(_._1).sorted.toSeq === Seq(150L, 199L))
+    assert(rows.length === 102)
+    // the out-of-scope file carried forward untouched (same physical file)
+    assert(untouchedFiles.subsetOf(t.manifest().toSet))
+
+    // incoming rows outside the predicate fail before anything commits
+    val bad = intercept[IllegalArgumentException](
+      t.overwriteWhere(col("id") >= 100, Seq((5L, "rogue")).toDF("id", "v")))
+    assert(bad.getMessage.contains("satisfy"))
+    assert(t.currentVersion() === vBefore + 1, "failed write must not commit")
+    assert(t.read().count() === 102)
+  }
+
   test("racing blind appends auto-retry onto file-only heads (no lost rows)") {
     import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
     val root = tmpDir("appendretry")
