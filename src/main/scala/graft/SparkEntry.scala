@@ -313,6 +313,28 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Q70 — `replaceWhere` (predicate-scoped atomic overwrite, the
+   *  idempotent-backfill primitive): re-materialize the 1997+ slice of
+   *  the orders table with doubled prices in ONE commit; files outside
+   *  the slice carry forward untouched. The ×2 is binary-exact on
+   *  doubles, so the oracle replays the replace algebra as a plain
+   *  UNION ALL with no rounding hazards. Warm table restored to its
+   *  pristine version between reps (the q18 mutation pattern). */
+  private def replaceWhereQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = warmTable("replace_where", dir) {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      SnapshotTable.create(s,
+        Files.createTempDirectory("graft_replace").toString,
+        orders.repartitionByRange(8, col("o_orderdate")))
+    }
+    val pred = col("o_orderdate") >= lit(java.sql.Date.valueOf("1997-01-01"))
+    val replacement = t.read().filter(pred)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t.overwriteWhere(pred, replacement)
+    t.read().select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   private def snapshotPointLookup(s: SparkSession, dir: String): DataFrame =
     ordersSnapshot(s, dir)
       .scan(col("o_orderkey") === 103)
@@ -1657,7 +1679,8 @@ object SparkEntry {
     "q66_incremental_dedup" -> incrementalDedupQuery,
     "q67_ivf_stored" -> ivfStoredQuery,
     "q68_semdedup" -> semDedupQuery,
-    "q69_bloom_lookup" -> bloomLookupQuery)
+    "q69_bloom_lookup" -> bloomLookupQuery,
+    "q70_replace_where" -> replaceWhereQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1731,7 +1754,14 @@ object SparkEntry {
     "q68_semdedup" -> Q48Duck,
     "q69_bloom_lookup" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_custkey = 271 ORDER BY o_orderkey""".stripMargin)
+        |WHERE o_custkey = 271 ORDER BY o_orderkey""".stripMargin,
+    "q70_replace_where" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderdate < DATE '1997-01-01'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+        |ORDER BY o_orderkey""".stripMargin)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique
