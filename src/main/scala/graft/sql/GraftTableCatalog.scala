@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
@@ -596,8 +596,6 @@ object GraftScanBuilder {
   }
 }
 
-/** V1 write: append by default; truncate (createOrReplace / INSERT
- *  OVERWRITE) maps to the atomic snapshot overwrite. */
 /** Append / truncate-overwrite / predicate-scoped overwrite. The
  *  `SupportsOverwrite` face serves both `df.writeTo(t).overwrite(cond)`
  *  and SQL `INSERT INTO t REPLACE WHERE cond …` — Delta's replaceWhere,
@@ -611,9 +609,9 @@ class GraftWriteBuilder(table: SnapshotTable)
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
+  // toColumn already covers AlwaysTrue (→ lit(true))
   override def canOverwrite(filters: Array[Filter]): Boolean =
-    filters.forall(f =>
-      f.isInstanceOf[AlwaysTrue] || GraftScanBuilder.toColumn(f).isDefined)
+    filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     if (filters.forall(_.isInstanceOf[AlwaysTrue])) overwrite = true

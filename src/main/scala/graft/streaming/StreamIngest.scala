@@ -105,10 +105,11 @@ object StreamIngest {
         val tag = s"stream-$batchId"
         // first batch ever: the index table has no commits yet — an
         // empty index with the right schema, derived from the batch
+        val indexV = sigTable.currentVersion()
         val index =
-          if (sigTable.currentVersion() < 0)
+          if (indexV < 0)
             graft.ext.Dedup.minhashSignatures(batch.limit(0), idCol, textCol)
-          else sigTable.read()
+          else sigTable.readVersion(indexV) // pin exactly what we dedup against
         val survivors = graft.ext.Dedup
           .dedupIncremental(index, batch, idCol, textCol, minEst)
           .localCheckpoint() // two consumers: data append + signature build
@@ -116,9 +117,19 @@ object StreamIngest {
           if (!survivors.isEmpty) {
             if (!lastStreamBatch(table).contains(batchId))
               table.appendAs(survivors, tag)
+            // the signature append is NOT blind — survivors were computed
+            // against index version `indexV`, so a foreign writer landing
+            // sigs in between must fail this batch (expectVersion guard;
+            // no silent rebase). Spark then re-runs the batch: the doc
+            // append idempotent-skips via its stream tag, and the sig
+            // append recomputes against the fresh index. The few extra
+            // docs the first attempt admitted are near-dups of content
+            // whose signatures the FOREIGN writer indexed, so future
+            // duplicates of them are still caught by those entries.
             if (!lastStreamBatch(sigTable).contains(batchId))
               sigTable.appendAs(
-                graft.ext.Dedup.minhashSignatures(survivors, idCol, textCol), tag)
+                graft.ext.Dedup.minhashSignatures(survivors, idCol, textCol), tag,
+                expectVersion = Some(indexV))
           }
         } finally graft.ext.Dedup.release(survivors)
       }

@@ -429,8 +429,18 @@ class SnapshotTable private (
   /** Append with a caller-supplied action tag (streaming sinks record
    *  their micro-batch id here for idempotent redelivery). */
   private[graft] def appendAs(
-      df: DataFrame, action: String, mergeSchema: Boolean = false): SnapshotTable = {
+      df: DataFrame, action: String, mergeSchema: Boolean = false,
+      expectVersion: Option[Long] = None): SnapshotTable = {
     val v = currentVersion()
+    // expectVersion marks this append as NOT blind: the caller computed
+    // `df` from a read of version `expectVersion` (read-compute-append),
+    // so advancing past it is a real conflict — surface it and DISABLE
+    // the rebase retry below (a rebase would commit stale-derived rows)
+    expectVersion.filter(_ != v).foreach { e =>
+      throw new ConcurrentCommitException(
+        s"table $root advanced from version $e to $v since this $action was " +
+          "computed; recompute against the fresh snapshot")
+    }
     val prior = if (v < 0) None else Some(commitEntry(v))
     val committed = prior.map(e => DataType.fromJson(e.schemaJson).asInstanceOf[StructType])
     val (aligned, schema) = committed match {
@@ -468,12 +478,17 @@ class SnapshotTable private (
       } catch {
         case e: ConcurrentCommitException =>
           attempts += 1
-          val headV = currentVersion()
-          val head = if (headV < 0) None else Some(commitEntry(headV))
-          if (attempts >= 5 || headV <= baseV ||
-              !head.exists(h => base.exists(b => appendRebaseSafe(b, h)))) throw e
-          base = head
-          baseV = headV
+          // torn-tolerant head read: the winner's entry may still be
+          // mid-write on HDFS-likes; currentReadable() falls back to the
+          // newest PARSEABLE entry, and the hv > baseV guard rethrows
+          // (conservative) if that fallback is not actually ahead of us
+          val head = currentReadable()
+          if (expectVersion.isDefined || attempts >= 5 ||
+              !head.exists { case (hv, h) =>
+                hv > baseV && base.exists(b => appendRebaseSafe(b, h)) }) throw e
+          val (hv, h) = head.get
+          base = Some(h)
+          baseV = hv
       }
     }
     this
@@ -1533,13 +1548,23 @@ class SnapshotTable private (
     require(v >= 0, s"table $root is empty")
     val entry = commitEntry(v)
     val tschema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
-    val (aligned, _) = alignToCommitted(df, tschema, mergeSchema = false)
-    // one cheap job: any incoming row OUTSIDE the predicate fails the
-    // whole write before anything is written
-    if (aligned.filter(!predicate || predicate.isNull).limit(1).count() > 0)
-      throw new IllegalArgumentException(
-        s"overwriteWhere on $root: incoming rows must all satisfy the " +
-          s"replace predicate ($predicate); found at least one that does not")
+    val (aligned0, _) = alignToCommitted(df, tschema, mergeSchema = false)
+    // scope guard folded into the write projection itself (the
+    // enforceConstraints pattern): ONE pass — no separate validation job
+    // recomputing the frame, and a non-deterministic frame cannot show
+    // the validator one set of rows and the writer another. A violating
+    // row fails the write job, so no commit happens and the partial data
+    // dir stays invisible to readers (vacuum-reclaimable).
+    val aligned = {
+      import org.apache.spark.sql.functions.{coalesce, col, lit, raise_error, when}
+      val head = aligned0.schema.fields.head
+      aligned0.withColumn(head.name, coalesce(
+        when(predicate.isNull || !predicate,
+          raise_error(lit(s"overwriteWhere on $root: incoming rows must all " +
+            "satisfy the replace predicate; found at least one that does not"))
+            .cast(head.dataType)),
+        col(head.name)))
+    }
     val pred = org.apache.spark.sql.graftshim.SparkInternals.expr(predicate)
     val cs = Pruning.conjuncts(pred)
     val (touched, untouched) =

@@ -403,11 +403,14 @@ class CatalogSpec extends SparkSpec {
     assert(afterDf.filter(_._2 == "a").map(_._1).toSeq === Seq(1000))
     assert(afterDf.filter(_._2 == "b").map(_._1).sorted.toSeq === Seq(900, 901))
 
-    // rows outside the declared scope are rejected
+    // rows outside the declared scope are rejected (raise_error guard in
+    // the write projection; message surfaces somewhere in the cause chain)
     val bad = intercept[Exception] {
       spark.sql("INSERT INTO graft.db.rw REPLACE WHERE part = 'a' VALUES (7, 'b')")
     }
-    assert(bad.getMessage.contains("satisfy"))
+    val chain = Iterator.iterate(bad: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("satisfy"), s"unexpected failure: $chain")
   }
 
   test("DSv2 metadata scan: count(col) mixes, with conservative refusals") {

@@ -99,7 +99,7 @@ class CommitLockSpec extends SparkSpec {
     }
   }
 
-  test("losing the version race under the lease surfaces as retryable, lock released") {
+  test("losing the version race under the lease: appends re-base, overwrites surface") {
     val root = tmpDir("lease_lost")
     val svc = new InMemoryCommitLockService
     val t = SnapshotTable.create(spark, root, Seq((1, "a")).toDF("id", "v"))
@@ -107,8 +107,7 @@ class CommitLockSpec extends SparkSpec {
     val leased = SnapshotTable(spark, root)
     val inner = new LockServiceCommitLock(svc, "lease_lost")
     // deterministic interleaving: just before the leased handle's FIRST
-    // publish, a competing writer claims the same slot — the leased
-    // publish must throw the RETRYABLE lost-race signal, not IO
+    // publish, a competing writer claims the same slot
     var sabotaged = false
     leased.withCommitLock(new CommitLock {
       override def publish(fs: org.apache.hadoop.fs.FileSystem,
@@ -118,12 +117,23 @@ class CommitLockSpec extends SparkSpec {
         inner.publish(fs, dest, tmp, payload)
       }
     })
-    intercept[SnapshotTable.ConcurrentCommitException](
-      leased.append(Seq((3, "c")).toDF("id", "v")))
-    // …and must have released the lease: the immediate retry wins
+    // A blind append auto-re-bases onto the sabotage commit. That retry
+    // doubles as the lease-release proof: the SECOND publish re-acquires
+    // the same lock name, which would dead-time-out had the first (lost)
+    // publish kept its lease.
     leased.append(Seq((3, "c")).toDF("id", "v"))
+    assert(sabotaged)
+    assert(t.currentVersion() === 2) // create, sabotage append, re-based append
     assert(t.read().as[(Int, String)].collect().toSet ===
       Set((1, "a"), (2, "b"), (3, "c")))
+    // An OVERWRITE replaces what the loser read — its lost race still
+    // surfaces as the RETRYABLE signal (not IO), and releases the lease
+    // for the explicit retry
+    sabotaged = false
+    intercept[SnapshotTable.ConcurrentCommitException](
+      leased.overwrite(Seq((9, "z")).toDF("id", "v")))
+    leased.overwrite(Seq((9, "z")).toDF("id", "v"))
+    assert(t.read().as[(Int, String)].collect().toSet === Set((9, "z")))
   }
 
   test("unacquirable lock times out as IO, never as a lost race") {

@@ -112,30 +112,31 @@ class SnapshotTableSpec extends SparkSpec {
   test("concurrent writers: version slot is exclusive; overwrites surface the race") {
     val root = tmpDir("tbl")
     val t = SnapshotTable.create(spark, root, Seq((1, "a")).toDF("id", "v"))
-    // Two racing OVERWRITES from the same base version: overwrite REPLACES
-    // what the loser read, so (unlike blind appends, which re-base) the
-    // lost race must surface. CAS-slot exclusivity itself is additionally
-    // proven cross-process in OccRaceSpec.
-    val t1 = SnapshotTable(spark, root)
-    val t2 = SnapshotTable(spark, root)
-    import java.util.concurrent.{CountDownLatch, Executors}
-    val pool = Executors.newFixedThreadPool(2)
-    val gate = new CountDownLatch(1)
-    val futures = Seq(t1 -> 10, t2 -> 20).map { case (h, tag) =>
-      pool.submit(new java.util.concurrent.Callable[String] {
-        def call(): String = {
-          gate.await()
-          try { h.overwrite(Seq((tag, "x")).toDF("id", "v")); "ok" }
-          catch { case _: SnapshotTable.ConcurrentCommitException => "lost" }
-        }
-      })
-    }
-    gate.countDown()
-    val results = futures.map(_.get())
-    pool.shutdown()
-    assert(results.count(_ == "ok") === 1, s"got $results")
-    assert(results.count(_ == "lost") === 1, s"got $results")
-    assert(t.read().count() === 1) // exactly one overwrite landed
+    // Deterministic interleaving (no thread-scheduling luck): just before
+    // the instrumented handle's commit publish, a competing handle takes
+    // the same version slot. Overwrite REPLACES what the loser read, so
+    // (unlike blind appends, which re-base) the lost race must surface.
+    // CAS-slot exclusivity is additionally proven cross-process in
+    // OccRaceSpec.
+    val winner = SnapshotTable(spark, root)
+    val loser = SnapshotTable(spark, root)
+    var sabotaged = false
+    loser.withCommitLock(new CommitLock {
+      override def publish(fs: org.apache.hadoop.fs.FileSystem,
+          dest: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+          payload: Array[Byte]): Unit = {
+        if (!sabotaged) { sabotaged = true
+          winner.overwrite(Seq((10, "w")).toDF("id", "v")) }
+        FileSystemCommitLock.publish(fs, dest, tmp, payload)
+      }
+    })
+    intercept[SnapshotTable.ConcurrentCommitException](
+      loser.overwrite(Seq((20, "l")).toDF("id", "v")))
+    assert(sabotaged)
+    assert(t.read().as[(Int, String)].collect().toSet === Set((10, "w")))
+    // the loser retries against the fresh head and wins cleanly
+    loser.overwrite(Seq((20, "l")).toDF("id", "v"))
+    assert(t.read().as[(Int, String)].collect().toSet === Set((20, "l")))
   }
 
   test("garbage and in-flight tmp files never break reads") {
@@ -1167,10 +1168,13 @@ class SnapshotTableSpec extends SparkSpec {
     // the out-of-scope file carried forward untouched (same physical file)
     assert(untouchedFiles.subsetOf(t.manifest().toSet))
 
-    // incoming rows outside the predicate fail before anything commits
-    val bad = intercept[IllegalArgumentException](
+    // incoming rows outside the predicate fail the WRITE JOB (raise_error
+    // guard in the write projection — single pass) before any commit
+    val bad = intercept[Exception](
       t.overwriteWhere(col("id") >= 100, Seq((5L, "rogue")).toDF("id", "v")))
-    assert(bad.getMessage.contains("satisfy"))
+    val chain = Iterator.iterate(bad: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("satisfy"), s"unexpected failure: $chain")
     assert(t.currentVersion() === vBefore + 1, "failed write must not commit")
     assert(t.read().count() === 102)
   }
