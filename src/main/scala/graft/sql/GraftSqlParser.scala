@@ -75,7 +75,8 @@ object GraftSqlParser {
       Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
 
   private val VacuumStmt =
-    cmd(s"VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS)?")
+    cmd(s"VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS)?" +
+      "(?:\\s+(DRY\\s+RUN))?")
   // the tail (WHERE / ZORDER BY) is split by [[parseOptimizeTail]] —
   // a regex split would find "ZORDER BY" inside a string literal
   private val OptimizeStmt = cmd(s"OPTIMIZE\\s+$Ident(?:\\s+(.+))?")
@@ -123,7 +124,7 @@ object GraftSqlParser {
     def m(p: Pattern) = Option(p.matcher(sqlText)).filter(_.matches())
     m(VacuumStmt).map { r =>
       GraftVacuumCommand(identParts(r.group(1)),
-        Option(r.group(2)).map(_.toDouble))
+        Option(r.group(2)).map(_.toDouble), dryRun = r.group(3) != null)
     }.orElse(m(HistoryStmt).map(r => GraftDescribeHistoryCommand(identParts(r.group(1)))))
       .orElse(m(DetailStmt).map(r => GraftDescribeDetailCommand(identParts(r.group(1)))))
       .orElse(m(OptimizeStmt).map { r =>
@@ -291,7 +292,8 @@ case class GraftDescribeDetailCommand(parts: Seq[String]) extends LeafRunnableCo
  * time-travelable (their log entries and files are never touched), and
  * younger-than-window unreferenced files are left for in-flight writers.
  */
-case class GraftVacuumCommand(parts: Seq[String], retainHours: Option[Double])
+case class GraftVacuumCommand(
+    parts: Seq[String], retainHours: Option[Double], dryRun: Boolean = false)
     extends LeafRunnableCommand {
   import GraftSqlParser._
   override val output: Seq[Attribute] =
@@ -303,8 +305,14 @@ case class GraftVacuumCommand(parts: Seq[String], retainHours: Option[Double])
     // the newest contiguous run of commits inside the window (current
     // version always retained); torn/pre-ts log entries count as in-window
     val keep = math.max(1, t.versionsSince(cutoff))
-    val deleted = t.vacuum(retainVersions = keep, retainMillis = retainMillis)
-    Seq(Row(t.root, deleted.toLong))
+    if (dryRun) {
+      // Delta DRY RUN semantics: list what WOULD be reclaimed, touch nothing
+      val would = t.vacuumDryRun(retainVersions = keep, retainMillis = retainMillis)
+      would.map(p => Row(p, would.size.toLong))
+    } else {
+      val deleted = t.vacuum(retainVersions = keep, retainMillis = retainMillis)
+      Seq(Row(t.root, deleted.toLong))
+    }
   }
 }
 

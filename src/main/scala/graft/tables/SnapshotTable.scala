@@ -1726,18 +1726,56 @@ class SnapshotTable private (
     versions.dropRight(keep).foreach { v =>
       fs.delete(new Path(logDir, f"$v%020d.json"), false)
     }
-    val cutoff = System.currentTimeMillis() - math.max(0L, retainMillis)
     var deleted = 0
+    vacuumCandidates(live, retainMillis).foreach { p =>
+      if (fs.delete(p, false)) deleted += 1
+    }
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).foreach { d =>
-        val files = fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
-        val (dead, alive) = files.partition(f =>
-          !live.contains(f.getPath.toUri.getPath) && f.getModificationTime < cutoff)
-        dead.foreach { f => if (fs.delete(f.getPath, false)) deleted += 1 }
-        if (alive.isEmpty && fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
+        if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
       }
     }
     deleted
+  }
+
+  /** Unreferenced-and-old data files `live` does not cover — the delete
+   *  set vacuum acts on. */
+  private def vacuumCandidates(live: Set[String], retainMillis: Long): Seq[Path] = {
+    val cutoff = System.currentTimeMillis() - math.max(0L, retainMillis)
+    if (!fs.exists(dataDir)) return Nil
+    fs.listStatus(dataDir).toSeq.flatMap { d =>
+      fs.listStatus(d.getPath).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .filter(f => !live.contains(f.getPath.toUri.getPath) &&
+          f.getModificationTime < cutoff)
+        .map(_.getPath)
+    }
+  }
+
+  /** `VACUUM … DRY RUN` (Delta parity): the files [[vacuum]] WOULD
+   *  reclaim under the same retention arguments — log entries included
+   *  in the would-expire window still count toward `live`, and NOTHING
+   *  is deleted or expired. */
+  def vacuumDryRun(
+      retainVersions: Int = Int.MaxValue,
+      retainMillis: Long = 24L * 3600 * 1000): Seq[String] = {
+    val versions = listVersions()
+    if (versions.isEmpty) return Nil
+    val headTorn =
+      try { commitEntry(versions.last); false } catch { case NonFatal(_) => true }
+    val keep = math.max(1, retainVersions) match {
+      case k if headTorn && k < Int.MaxValue => k + 1
+      case k => k
+    }
+    val live: Set[String] = versions.takeRight(keep).flatMap { v =>
+      try {
+        val e = commitEntry(v)
+        e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
+      } catch {
+        case NonFatal(e) if v == versions.last && headTorn => Nil
+      }
+    }.toSet
+    vacuumCandidates(live, retainMillis).map(_.toUri.getPath)
   }
 
   /**

@@ -42,6 +42,14 @@ class MaintenanceSqlSpec extends SparkSpec {
     val beforeFiles = t.manifest().toSet
     t.overwrite(Seq((9, "z")).toDF("id", "payload"))
     Thread.sleep(20) // commit ts strictly inside the zero-hour window
+    // DRY RUN first: lists exactly the files real vacuum would reclaim,
+    // deletes and expires NOTHING
+    val would = spark.sql("VACUUM maint_vac RETAIN 0 HOURS DRY RUN").collect()
+      .map(_.getString(0)).toSet
+    assert(would === beforeFiles, s"dry run must list v0's files: $would")
+    assert(beforeFiles.forall(p => new java.io.File(p).exists()),
+      "dry run must not delete")
+    assert(t.currentVersion() === 1)
     val out = spark.sql("VACUUM maint_vac RETAIN 0 HOURS").collect().head
     assert(out.getString(0) === t.root)
     assert(out.getLong(1) >= 1, "v0's files must be reclaimed")
