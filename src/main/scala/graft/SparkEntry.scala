@@ -1457,6 +1457,42 @@ object SparkEntry {
       |SELECT d.doc_id, coalesce(f.dup_ngram_frac, 0.0) AS dup_ngram_frac
       |FROM documents d LEFT JOIN f USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** Q71 — corpus-wide exact duplicated-span removal
+   *  ([[ext.TextAnalysis.removeDuplicatedSpans]], Lee et al. 2022 exact
+   *  substring dedup): every duplicated 10-token span keeps only its
+   *  canonical first occurrence (min (doc_id, pos)); covered tokens are
+   *  cut and documents rebuilt. Spark mines on 64-bit gram hashes; the
+   *  oracle replays the same algebra on the gram strings — identical
+   *  removals modulo 2⁻⁶⁴ collisions (the q62 argument). */
+  private def spanRemovalQuery(s: SparkSession, dir: String): DataFrame =
+    ext.TextAnalysis.removeDuplicatedSpans(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 10)
+      .orderBy("doc_id")
+  private val Q71Duck =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |g0 AS (SELECT doc_id,
+      |         unnest([{'pos': i - 1, 'gram': array_to_string(tk[i:i+9], ' ')}
+      |                 for i in range(1, len(tk) - 8)]) AS o
+      |       FROM t WHERE len(tk) >= 10),
+      |g AS (SELECT doc_id, o.pos AS pos, o.gram AS gram FROM g0),
+      |c AS (SELECT gram, count(*) AS cnt,
+      |             min({'d': doc_id, 'p': pos}) AS canon
+      |      FROM g GROUP BY gram),
+      |rm AS (SELECT doc_id, pos FROM g JOIN c USING (gram)
+      |       WHERE cnt > 1 AND {'d': doc_id, 'p': pos} <> canon),
+      |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 10)) AS p FROM rm),
+      |tok0 AS (SELECT doc_id,
+      |           unnest([{'p': i - 1, 'token': tk[i]} for i in range(1, len(tk) + 1)]) AS o
+      |         FROM t),
+      |tok AS (SELECT doc_id, o.p AS p, o.token AS token FROM tok0),
+      |kept AS (SELECT tok.doc_id, tok.p, tok.token FROM tok
+      |         ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p)
+      |SELECT d.doc_id,
+      |       coalesce(string_agg(k.token, ' ' ORDER BY k.p), '') AS clean_text,
+      |       len(string_split(d.text, ' ')) - count(k.token) AS n_removed
+      |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+      |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin
+
   /** Q63 — deterministic train/val/test split assignment
    *  ([[ext.Sampling.assignSplits]], 80/10/10 by id hash): every row's
    *  label is pure BIGINT arithmetic, replayed exactly by the oracle —
@@ -1680,7 +1716,8 @@ object SparkEntry {
     "q67_ivf_stored" -> ivfStoredQuery,
     "q68_semdedup" -> semDedupQuery,
     "q69_bloom_lookup" -> bloomLookupQuery,
-    "q70_replace_where" -> replaceWhereQuery)
+    "q70_replace_where" -> replaceWhereQuery,
+    "q71_span_removal" -> spanRemovalQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1761,7 +1798,8 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
         |FROM orders WHERE o_orderdate >= DATE '1997-01-01'
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q71_span_removal" -> Q71Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -236,6 +236,71 @@ object TextAnalysis {
         coalesce(col("dup_ngram_frac"), lit(0.0)).as("dup_ngram_frac"))
   }
 
+  /**
+   * Corpus-wide exact duplicated-span removal (the "exact substring
+   * dedup" of training-data pipelines, à la Lee et al. 2022
+   * "Deduplicating Training Data Makes Language Models Better"): every
+   * n-token span that occurs more than once ANYWHERE in the corpus —
+   * across documents or repeated within one — keeps only its canonical
+   * first occurrence (lexicographic min of (doc id, position)); tokens
+   * covered by any other occurrence are dropped and the document is
+   * rebuilt from the survivors. Exact duplicated boilerplate (license
+   * headers, navigation chrome, templated paragraphs) disappears from
+   * all but one document while the unique prose around it survives —
+   * the span-level complement of the document-level near-dup dedup in
+   * [[graft.ext.Dedup]]. A full exact-duplicate document loses every
+   * token (`clean_text` empty) — span dedup subsumes exact doc dedup.
+   *
+   * Shape: grams travel as 64-bit hashes (8 B per gram through the
+   * shuffle, never the strings); the gram aggregate partial-aggregates
+   * map-side and only grams with `cnt > 1` — the duplicated minority —
+   * flow into the join/explode stages, so the removal side scales with
+   * the amount of duplication, not the corpus; the rebuild is one
+   * groupBy collecting (pos, token) pairs re-ordered by a codegen'd
+   * `array_sort` (no window, no skew pivot). Everything is equi-join +
+   * hash-agg — linear in corpus token count, no driver-side state.
+   * Overlapping duplicated spans union their covered positions.
+   */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n $n must be positive")
+    val toks = tokens(col(textCol))
+    val gramHashes = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    // occurrence = (doc, start position, gram hash); `occ` is the
+    // struct the canonical min orders on — unbounded ids/positions
+    // (no arithmetic encoding to overflow at corpus scale)
+    val occs = df.select(col(idCol),
+        posexplode(gramHashes).as(Seq("pos", "g")))
+      .withColumn("occ", struct(col(idCol).as("d"), col("pos").as("p")))
+    val dupGrams = occs.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), min("occ").as("canon"))
+      .filter(col("cnt") > 1)
+    val removals = occs.join(dupGrams, "g")
+      .filter(col("occ") =!= col("canon"))
+    val covered = removals
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+    val tokRows = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("p", "token")))
+    val kept = tokRows.join(covered, Seq(idCol, "p"), "left_anti")
+    val rebuilt = kept.groupBy(idCol).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("token")))),
+          x => x.getField("token")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(toks).as("n_toks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
+  }
+
   /** Enrich a corpus with the full text-analysis column family. */
   def enrich(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -877,6 +877,34 @@ class ExtSpec extends SparkSpec {
     assert(selfGot === Map(1L -> 0.5)) // "a b c" twice of 4 grams
   }
 
+  test("removeDuplicatedSpans: canonical first occurrence survives, others cut") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),  // canonical owner of every duplicated gram
+      (2L, "x y a b c d q r"),  // shares span "a b c d" → loses those 4 tokens
+      (3L, "a b c d e f z z"),  // overlapping dup grams union → loses 6 tokens
+      (4L, "tiny doc"))         // shorter than n → untouched
+      .toDF("id", "text")
+    val got = TextAnalysis.removeDuplicatedSpans(corpus, "id", "text", n = 4)
+      .as[(Long, String, Long)].collect().map { case (i, t, r) => i -> ((t, r)) }.toMap
+    assert(got === Map(
+      1L -> ("a b c d e f g h", 0L),
+      2L -> ("x y q r", 4L),
+      3L -> ("z z", 6L),
+      4L -> ("tiny doc", 0L)))
+    // an exact duplicate document is erased entirely (span dedup subsumes
+    // exact doc dedup); a WITHIN-doc repeat keeps only its first copy
+    val hard = Seq(
+      (1L, "p q r s t u"),
+      (2L, "p q r s t u"),           // exact dup of 1 → empty
+      (3L, "m n o p m n o p"))       // self-repeat of "m n o p"
+      .toDF("id", "text")
+    val got2 = TextAnalysis.removeDuplicatedSpans(hard, "id", "text", n = 4)
+      .as[(Long, String, Long)].collect().map { case (i, t, r) => i -> ((t, r)) }.toMap
+    assert(got2(1L) === (("p q r s t u", 0L)))
+    assert(got2(2L) === (("", 6L)))
+    assert(got2(3L) === (("m n o p", 4L)))
+  }
+
   test("vocabulary: tf/df word counts with threshold") {
     val corpus = Seq(
       (1L, "a b a c"), (2L, "a b"), (3L, "c c c")).toDF("id", "text")
