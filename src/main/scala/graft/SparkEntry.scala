@@ -1493,6 +1493,31 @@ object SparkEntry {
       |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
       |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin
 
+  /** Q72 — Okapi BM25 full-text top-k ([[ext.Search.bm25TopK]]): corpus
+   *  retrieval without an external search service. Integer tf/df/dl
+   *  feed an IEEE-double formula both engines evaluate identically;
+   *  ranking and emitted score are both decided on the 4-decimal
+   *  rounding so rank and value can never disagree cross-engine. */
+  private def bm25Query(s: SparkSession, dir: String): DataFrame =
+    ext.Search.bm25TopK(
+      s.read.parquet(s"$dir/documents.parquet"),
+      "doc_id", "text", query = "vector merge stream", k = 20)
+  private val Q72Duck =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |tok AS (SELECT doc_id, unnest(tk) AS token FROM t),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tfq AS (SELECT doc_id, token, count(*) AS tf FROM tok
+      |        WHERE token IN ('vector', 'merge', 'stream') GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(*) AS df FROM tfq GROUP BY 1),
+      |s AS (SELECT tfq.doc_id,
+      |        sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+      |            (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS raw
+      |      FROM tfq JOIN dfreq USING (token) JOIN dl USING (doc_id)
+      |      CROSS JOIN stats GROUP BY tfq.doc_id)
+      |SELECT doc_id, round(raw, 4) AS bm25 FROM s
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   /** Q63 — deterministic train/val/test split assignment
    *  ([[ext.Sampling.assignSplits]], 80/10/10 by id hash): every row's
    *  label is pure BIGINT arithmetic, replayed exactly by the oracle —
@@ -1717,7 +1742,8 @@ object SparkEntry {
     "q68_semdedup" -> semDedupQuery,
     "q69_bloom_lookup" -> bloomLookupQuery,
     "q70_replace_where" -> replaceWhereQuery,
-    "q71_span_removal" -> spanRemovalQuery)
+    "q71_span_removal" -> spanRemovalQuery,
+    "q72_bm25_search" -> bm25Query)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1799,7 +1825,8 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
         |FROM orders WHERE o_orderdate >= DATE '1997-01-01'
         |ORDER BY o_orderkey""".stripMargin,
-    "q71_span_removal" -> Q71Duck)
+    "q71_span_removal" -> Q71Duck,
+    "q72_bm25_search" -> Q72Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -152,8 +152,12 @@ class PlanSpec extends SparkSpec {
   test("no declared query plans a cartesian product (q22/q45 brute-force NLJ excepted)") {
     // q22 broadcasts a small probe set by design (documented baseline);
     // q45's exhaustive-probe configuration behaves the same via its list
-    // join, which is an equi-join — only q22 may nested-loop.
-    val allowNlj = Set("q22_cosine_topk")
+    // join, which is an equi-join — only q22 may nested-loop. q72's NLJ
+    // build side is the one-row corpus-stats scalar aggregate — O(n)
+    // by construction; the assertion below pins that the ONLY broadcast
+    // feeding its NLJ is a global (keys=[]) aggregate, so a regression
+    // to a many-row build side fails loudly.
+    val allowNlj = Set("q22_cosine_topk", "q72_bm25_search")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = executedPlanString(fn(spark, dir))
       assert(!plan.contains("CartesianProduct"),
@@ -161,6 +165,12 @@ class PlanSpec extends SparkSpec {
       if (!allowNlj.contains(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join:\n$plan")
+      if (name == "q72_bm25_search" && plan.contains("BroadcastNestedLoopJoin")) {
+        // the NLJ's broadcast subtree must be the scalar stats aggregate
+        val bcast = plan.substring(plan.indexOf("BroadcastNestedLoopJoin"))
+        assert(bcast.contains("HashAggregate(keys=[], functions=[count(1), avg("),
+          s"q72's nested-loop build side is not the one-row stats aggregate:\n$plan")
+      }
     }
   }
 

@@ -905,6 +905,42 @@ class ExtSpec extends SparkSpec {
     assert(got2(3L) === (("m n o p", 4L)))
   }
 
+  test("bm25TopK == driver-side reference model; absent terms score nothing") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry date"),
+      (4L, "date egg fig"))
+    val query = "apple cherry zebra" // zebra absent from the corpus
+    val (k1, b) = (1.2, 0.75)
+    // reference: the BM25 formula evaluated directly in Scala
+    val docs = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.size).sum / n
+    val terms = query.split(" ").distinct.toSeq
+    val dfm = terms.map(t => t -> docs.count(_._2.contains(t))).toMap
+    val expect = docs.toSeq.flatMap { case (id, tk) =>
+      val s = terms.filter(dfm(_) > 0).map { t =>
+        val tf = tk.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * tk.size / avgdl))
+        }
+      }.sum
+      if (s > 0) Some(id -> BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }.sortBy { case (id, s) => (-s, id) }
+    val got = Search.bm25TopK(corpus.toDF("id", "text"), "id", "text", query, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === expect, s"got $got expect $expect")
+    assert(!got.exists(_._1 == 4L), "doc 4 matches no term and must not appear")
+    // k truncates the ranking deterministically
+    val top1 = Search.bm25TopK(corpus.toDF("id", "text"), "id", "text", query, k = 1)
+      .as[(Long, Double)].collect().toSeq
+    assert(top1 === expect.take(1))
+  }
+
   test("vocabulary: tf/df word counts with threshold") {
     val corpus = Seq(
       (1L, "a b a c"), (2L, "a b"), (3L, "c c c")).toDF("id", "text")
