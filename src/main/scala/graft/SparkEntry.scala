@@ -1518,6 +1518,45 @@ object SparkEntry {
       |SELECT doc_id, round(raw, 4) AS bm25 FROM s
       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Q73 — composable C4/Gopher quality filter
+   *  ([[ext.TextAnalysis.qualityFilter]]): five independent rule
+   *  verdicts, the bitmask of failed rules, and the kept conjunction —
+   *  the audit-friendly form of corpus filtering. All five signals are
+   *  integer counts into single IEEE divisions; the oracle replays each
+   *  rule verbatim (trigram distinct via strings vs 64-bit hashes — the
+   *  q50 collision argument). */
+  private def qualityFilterQuery(s: SparkSession, dir: String): DataFrame =
+    ext.TextAnalysis.qualityFilter(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .orderBy("doc_id")
+  private val Q73Duck = {
+    val stops = ext.TextAnalysis.langMarkers.head._2
+      .map("'" + _ + "'").mkString("[", ",", "]")
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+       |s AS (SELECT doc_id, len(tk) AS n,
+       |  (length(text) - (len(tk) - 1)) * 1.0 / len(tk) AS avgw,
+       |  len(list_filter(tk, x -> list_contains($stops, x))) AS hits,
+       |  CASE WHEN len(tk) - 2 > 0
+       |    THEN 1.0 - len(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+       |                                  for i in range(1, len(tk) - 1)])) * 1.0 / (len(tk) - 2)
+       |    ELSE 0.0 END AS rep,
+       |  len(list_distinct(tk)) * 1.0 / len(tk) AS dis
+       |FROM t),
+       |r AS (SELECT doc_id,
+       |  n BETWEEN 30 AND 100000 AS len_ok,
+       |  avgw BETWEEN 3.0 AND 10.0 AS avg_word_ok,
+       |  hits >= 2 AS stopwords_ok,
+       |  rep <= 0.05 AS repetition_ok,
+       |  dis >= 0.35 AS distinct_ok FROM s)
+       |SELECT doc_id, len_ok, avg_word_ok, stopwords_ok, repetition_ok, distinct_ok,
+       |  CASE WHEN len_ok THEN 0 ELSE 1 END + CASE WHEN avg_word_ok THEN 0 ELSE 2 END
+       |  + CASE WHEN stopwords_ok THEN 0 ELSE 4 END
+       |  + CASE WHEN repetition_ok THEN 0 ELSE 8 END
+       |  + CASE WHEN distinct_ok THEN 0 ELSE 16 END AS fail_mask,
+       |  len_ok AND avg_word_ok AND stopwords_ok AND repetition_ok AND distinct_ok AS kept
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** Q63 — deterministic train/val/test split assignment
    *  ([[ext.Sampling.assignSplits]], 80/10/10 by id hash): every row's
    *  label is pure BIGINT arithmetic, replayed exactly by the oracle —
@@ -1743,7 +1782,8 @@ object SparkEntry {
     "q69_bloom_lookup" -> bloomLookupQuery,
     "q70_replace_where" -> replaceWhereQuery,
     "q71_span_removal" -> spanRemovalQuery,
-    "q72_bm25_search" -> bm25Query)
+    "q72_bm25_search" -> bm25Query,
+    "q73_quality_filter" -> qualityFilterQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1826,7 +1866,8 @@ object SparkEntry {
         |FROM orders WHERE o_orderdate >= DATE '1997-01-01'
         |ORDER BY o_orderkey""".stripMargin,
     "q71_span_removal" -> Q71Duck,
-    "q72_bm25_search" -> Q72Duck)
+    "q72_bm25_search" -> Q72Duck,
+    "q73_quality_filter" -> Q73Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -237,6 +237,52 @@ object TextAnalysis {
   }
 
   /**
+   * Composable C4/Gopher-style quality filter (Raffel et al. 2020 §2.2,
+   * Rae et al. 2021 §A1.1): each document is judged by an independent
+   * rule family — token-count bounds, mean-word-length band, minimum
+   * stopword evidence, duplicate-n-gram ceiling, distinct-token floor —
+   * and the result carries every per-rule verdict, a bitmask of FAILED
+   * rules (`fail_mask`, bit i = rule i failed, 0 = clean), and the
+   * conjunction (`kept`). Keeping the verdicts instead of just
+   * filtering is what a corpus build needs: rule-level ablations,
+   * "why was this dropped" audits, and re-filtering under new
+   * thresholds without re-scanning the text.
+   *
+   * Every signal is a single-pass counting kernel or pure integer
+   * arithmetic over one ([[functions.spaceTokenCount]],
+   * [[functions.stopwordHits]], [[functions.hashedShingles]]) feeding
+   * IEEE-double divisions both engines evaluate identically — a
+   * map-side codegen'd projection, no shuffle at any scale.
+   */
+  def qualityFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 30,
+      maxTokens: Int = 100000,
+      minAvgTokenLen: Double = 3.0,
+      maxAvgTokenLen: Double = 10.0,
+      minStopwordHits: Int = 2,
+      maxRepetition: Double = 0.05,
+      minDistinctRatio: Double = 0.35,
+      stopwords: Seq[String] = langMarkers.head._2): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val rules: Seq[(String, Column)] = Seq(
+      "len_ok" -> nTok.between(minTokens, maxTokens),
+      "avg_word_ok" -> avgTokenLength(t).between(minAvgTokenLen, maxAvgTokenLen),
+      "stopwords_ok" -> (functions.stopwordHits(t, stopwords) >= minStopwordHits),
+      "repetition_ok" -> (repetitionRatio(t) <= maxRepetition),
+      "distinct_ok" ->
+        (distinctTokenCount(t).cast("double") / nTok >= minDistinctRatio))
+    val failMask = rules.zipWithIndex
+      .map { case ((_, c), i) => when(c, lit(0)).otherwise(lit(1 << i)) }
+      .reduce(_ + _)
+    df.select(col(idCol) +: rules.map { case (n, c) => c.as(n) } :+
+      failMask.as("fail_mask") :+ rules.map(_._2).reduce(_ && _).as("kept"): _*)
+  }
+
+  /**
    * Corpus-wide exact duplicated-span removal (the "exact substring
    * dedup" of training-data pipelines, à la Lee et al. 2022
    * "Deduplicating Training Data Makes Language Models Better"): every

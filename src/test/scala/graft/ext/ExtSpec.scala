@@ -877,6 +877,48 @@ class ExtSpec extends SparkSpec {
     assert(selfGot === Map(1L -> 0.5)) // "a b c" twice of 4 grams
   }
 
+  test("qualityFilter: per-rule verdicts, fail bitmask, kept conjunction") {
+    val base = "the quick brown fox jumps over seven lazy dogs and then walks " +
+      "of beyond into green fields where birds sing while rivers flow under " +
+      "bright morning light carrying fresh scents toward distant quiet hills"
+    val corpus = Seq(
+      (1L, base),                                     // clean → kept
+      (2L, "the quick brown fox jumps over lazy dogs and cats"), // short
+      (3L, ("the is " + (1 to 28).map(i => s"abcdefghijklm$i").mkString(" "))), // long words
+      (4L, Seq.fill(20)("x y z").mkString(" ")),      // degenerate repetition
+      (5L, base.replace("the ", "cat ").replace(" and ", " pig ").replace(" of ", " elk ").replace(" is ", " owl "))) // no stopwords
+      .toDF("id", "text")
+    // driver-side model of the five rules
+    val stops = TextAnalysis.langMarkers.head._2.toSet
+    def model(text: String): (Seq[Boolean], Int) = {
+      val tk = text.split(" ").toSeq
+      val n = tk.size
+      val avg = (text.length - (n - 1)).toDouble / n
+      val tri = tk.sliding(3).map(_.mkString(" ")).toSeq
+      val rep = if (n - 2 > 0) 1.0 - tri.distinct.size.toDouble / (n - 2) else 0.0
+      val rules = Seq(
+        n >= 30 && n <= 100000,
+        avg >= 3.0 && avg <= 10.0,
+        tk.count(stops) >= 2,
+        rep <= 0.05,
+        tk.distinct.size.toDouble / n >= 0.35)
+      (rules, rules.zipWithIndex.collect { case (false, i) => 1 << i }.sum)
+    }
+    val texts = corpus.as[(Long, String)].collect().toMap
+    val got = TextAnalysis.qualityFilter(corpus, "id", "text")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Int, Boolean)]
+      .collect().sortBy(_._1)
+    got.foreach { case (id, r1, r2, r3, r4, r5, mask, kept) =>
+      val (exp, expMask) = model(texts(id))
+      assert(Seq(r1, r2, r3, r4, r5) === exp, s"doc $id rule verdicts")
+      assert(mask === expMask, s"doc $id mask: got $mask expect $expMask")
+      assert(kept === (expMask == 0), s"doc $id kept")
+    }
+    // the fixture planted one clean doc and four distinct failures
+    assert(got.count(_._8) === 1)
+    assert(got.find(_._1 == 2L).get._7 === 1, "short doc fails only length")
+  }
+
   test("removeDuplicatedSpans: canonical first occurrence survives, others cut") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),  // canonical owner of every duplicated gram
