@@ -1557,6 +1557,36 @@ object SparkEntry {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Q74 — Johnson–Lindenstrauss random projection
+   *  ([[ext.Similarity.randomProjection]], 64 → 16 dims): the Rademacher
+   *  sign matrix derives from the engine-portable BIGINT hash, the
+   *  float→double widening is exact, and both engines fold the sum
+   *  left-to-right — so the oracle replays the projection to the last
+   *  rounded decimal. Exploded to (vec_id, j, p) scalar rows. */
+  private def randomProjQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        posexplode(ext.Similarity.randomProjection(col("embedding"), 16))
+          .as(Seq("j", "p")))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        round(col("p"), 4).as("p"))
+      .orderBy("vec_id", "j")
+  private val Q74Duck = {
+    val m = ext.Sampling.Modulus
+    val a = ext.Sampling.Mult
+    val salt = ext.Sampling.DefaultSalt
+    val stride = ext.Similarity.ProjIndexStride
+    s"""WITH p AS (SELECT vec_id,
+       |  [{'j': j, 'p': round(list_sum(list_transform(range(len(embedding)),
+       |       i -> embedding[i+1] * CASE WHEN
+       |         ((((j * $stride + i) % $m) * $a + $salt) % $m * $a + $salt) % $m
+       |           < ${m / 2} THEN 1.0 ELSE -1.0 END)) / 4.0, 4)}
+       |   for j in range(16)] AS pr
+       |  FROM embeddings),
+       |u AS (SELECT vec_id, unnest(pr) AS o FROM p)
+       |SELECT vec_id, o.j AS j, o.p AS p FROM u ORDER BY vec_id, j""".stripMargin
+  }
+
   /** Q63 — deterministic train/val/test split assignment
    *  ([[ext.Sampling.assignSplits]], 80/10/10 by id hash): every row's
    *  label is pure BIGINT arithmetic, replayed exactly by the oracle —
@@ -1783,7 +1813,8 @@ object SparkEntry {
     "q70_replace_where" -> replaceWhereQuery,
     "q71_span_removal" -> spanRemovalQuery,
     "q72_bm25_search" -> bm25Query,
-    "q73_quality_filter" -> qualityFilterQuery)
+    "q73_quality_filter" -> qualityFilterQuery,
+    "q74_random_projection" -> randomProjQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1867,7 +1898,8 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "q71_span_removal" -> Q71Duck,
     "q72_bm25_search" -> Q72Duck,
-    "q73_quality_filter" -> Q73Duck)
+    "q73_quality_filter" -> Q73Duck,
+    "q74_random_projection" -> Q74Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

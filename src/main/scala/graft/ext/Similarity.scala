@@ -327,4 +327,41 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
+
+  /** (j, i) index stride for [[randomProjection]]'s sign matrix: input
+   *  dimension must stay below this so index pairs never collide. */
+  val ProjIndexStride: Long = 1L << 20
+
+  /**
+   * Johnson–Lindenstrauss random projection to `outDim` dimensions with
+   * a Rademacher (±1) sign matrix, scaled by 1/√outDim so inner
+   * products and distances are preserved in expectation (Achlioptas
+   * 2003: database-friendly random projections). The cheap front end of
+   * an embedding pipeline — shrink 1024-dim vectors to 64 before
+   * LSH/IVF indexing, at a distortion bound that depends only on
+   * `outDim`, not the input dimension.
+   *
+   * The sign matrix is never materialized: entry (j, i) derives from
+   * the engine-portable [[Sampling.hashBucket]] BIGINT arithmetic on
+   * index `j·2²⁰ + i`, so the projection is deterministic across runs,
+   * partitionings, and engines — an external SQL auditor replays it
+   * bit-for-bit (the float→double widening and the left-to-right
+   * summation order are both IEEE-exact and order-stable). Pure
+   * codegen'd collection expressions; a map-side projection with no
+   * shuffle at any scale. Input dimension must be < 2²⁰.
+   */
+  def randomProjection(
+      vec: Column,
+      outDim: Int,
+      salt: Long = Sampling.DefaultSalt): Column = {
+    require(outDim > 0 && outDim <= 4096, s"outDim $outDim not in [1, 4096]")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    transform(sequence(lit(0), lit(outDim - 1)), j => {
+      val signed = zip_with(vec, sequence(lit(0L), size(vec).cast("long") - 1L),
+        (v, i) => v.cast("double") *
+          when(Sampling.hashBucket(j.cast("long") * lit(ProjIndexStride) + i, salt)
+            < lit(Sampling.Modulus / 2), lit(1.0)).otherwise(lit(-1.0)))
+      aggregate(signed, lit(0.0), (acc, x) => acc + x) * lit(scale)
+    })
+  }
 }

@@ -877,6 +877,48 @@ class ExtSpec extends SparkSpec {
     assert(selfGot === Map(1L -> 0.5)) // "a b c" twice of 4 grams
   }
 
+  test("randomProjection == portable-hash model; JL distances roughly preserved") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 20L).map(i => i -> Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.toDF("id", "v")
+    val outDim = 16
+    val got = df.select(col("id"),
+        Similarity.randomProjection(col("v"), outDim).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // driver-side model: identical arithmetic in plain Scala
+    val (m, a, salt) = (Sampling.Modulus, Sampling.Mult, Sampling.DefaultSalt)
+    def bucket(id: Long): Long = {
+      val r1 = ((id % m) * a + salt) % m
+      (r1 * a + salt) % m
+    }
+    def model(v: Array[Float]): Seq[Double] =
+      (0 until outDim).map { j =>
+        var acc = 0.0
+        v.indices.foreach { i =>
+          val s = if (bucket(j * Similarity.ProjIndexStride + i) < m / 2) 1.0 else -1.0
+          acc += v(i).toDouble * s
+        }
+        acc * (1.0 / math.sqrt(outDim.toDouble))
+      }
+    vecs.foreach { case (id, v) =>
+      assert(got(id) === model(v), s"projection mismatch for vec $id")
+    }
+    // JL sanity: relative pairwise-distance distortion stays bounded
+    def dist(x: Seq[Double], y: Seq[Double]) =
+      math.sqrt(x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum)
+    val origs = vecs.toMap.view.mapValues(_.map(_.toDouble).toSeq).toMap
+    val ratios = for {
+      i <- 0L until 10L; k <- (i + 1) until 10L
+    } yield dist(got(i), got(k)) / dist(origs(i), origs(k))
+    assert(ratios.forall(r => r > 0.4 && r < 1.8),
+      s"JL distortion out of range: ${ratios.min} .. ${ratios.max}")
+    // a different salt projects differently
+    val other = df.select(col("id"),
+        Similarity.randomProjection(col("v"), outDim, salt = 99L).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(other(0L) !== got(0L))
+  }
+
   test("qualityFilter: per-rule verdicts, fail bitmask, kept conjunction") {
     val base = "the quick brown fox jumps over seven lazy dogs and then walks " +
       "of beyond into green fields where birds sing while rivers flow under " +
