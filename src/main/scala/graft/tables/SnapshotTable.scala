@@ -78,7 +78,58 @@ class SnapshotTable private (
   // ---------------------------------------------------------------- commits
 
   /** Latest committed version, or -1 if the table is empty/uninitialized. */
-  def currentVersion(): Long = listVersions().lastOption.getOrElse(-1L)
+  def currentVersion(): Long =
+    probeLatest().getOrElse(listVersions().lastOption.getOrElse(-1L))
+
+  // ----------------------------------------------------- latest-version hint
+  // The read hot path must not pay an O(#commits) log LIST per snapshot
+  // resolution (on an object store a LIST is paginated and slow; a table
+  // with 10⁵ commits would spend more time listing metadata than reading
+  // data). Committers leave an ADVISORY hint with the version they just
+  // published; readers existence-probe forward from it — O(1 +
+  // commits-since-hint) point lookups instead of a directory listing.
+  // The hint carries no authority: stale → probe forward finds the true
+  // head (the retained tail is contiguous: CAS slots increment by one,
+  // vacuum only expires from the oldest end, restore copies forward);
+  // torn/garbage/ahead-of-truth/missing → fall back to the full listing.
+  // Losing every hint write forever only costs performance, never
+  // correctness.
+
+  private def hintPath = new Path(logDir, "_latest_hint")
+
+  /** Best-effort: failure to persist the hint must never fail a commit. */
+  private def writeHint(v: Long): Unit =
+    try {
+      val out = fs.create(hintPath, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case NonFatal(_) => () }
+
+  private def readHint(): Option[Long] =
+    try {
+      if (!fs.exists(hintPath)) None
+      else {
+        val in = fs.open(hintPath)
+        val bytes = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          out.toByteArray
+        } finally in.close()
+        new String(bytes, "UTF-8").trim.toLongOption.filter(_ >= 0)
+      }
+    } catch { case NonFatal(_) => None }
+
+  /** Newest version via hint + forward probes; None → caller must list. */
+  private def probeLatest(): Option[Long] =
+    readHint().flatMap { h =>
+      if (!fs.exists(slotPath(h))) None // ahead of truth or expired: re-list
+      else {
+        var v = h
+        while (fs.exists(slotPath(v + 1))) v += 1
+        Some(v)
+      }
+    }
+
+  private def slotPath(v: Long) = new Path(logDir, f"$v%020d.json")
 
   private def listVersions(): Seq[Long] = {
     if (!fs.exists(logDir)) return Nil
@@ -110,7 +161,18 @@ class SnapshotTable private (
    * still throws — it is data loss, not a race.
    */
   private[graft] def currentReadable(): Option[(Long, CommitEntry)] = {
-    val versions = listVersions()
+    // hint fast path: the newest version and (for the torn-head
+    // fallback) its predecessor — the only two entries this method can
+    // touch; the full listing is reserved for tables without a usable
+    // hint. Vacuum retains one version past a torn head, so when v is
+    // torn, v−1 is a retained readable entry exactly like in the
+    // listing-based path.
+    val versions: Seq[Long] = probeLatest() match {
+      case Some(last) =>
+        if (last >= 1 && fs.exists(slotPath(last - 1))) Seq(last - 1, last)
+        else Seq(last)
+      case None => listVersions()
+    }
     if (versions.isEmpty) return None
     try Some((versions.last, commitEntry(versions.last)))
     catch {
@@ -144,6 +206,7 @@ class SnapshotTable private (
         throw new ConcurrentCommitException(
           s"version $version of $root was committed concurrently", e)
     }
+    writeHint(version)
     publishSymlinkManifest(entry)
     refreshViews()
   }
@@ -1724,8 +1787,11 @@ class SnapshotTable private (
     }.toSet
     // expire old log entries first so no reader can resolve dropped files
     versions.dropRight(keep).foreach { v =>
-      fs.delete(new Path(logDir, f"$v%020d.json"), false)
+      fs.delete(slotPath(v), false)
     }
+    // re-anchor the hint at the head: a hint pointing below the retained
+    // window would force every subsequent read back onto the full listing
+    writeHint(versions.last)
     var deleted = 0
     vacuumCandidates(live, retainMillis).foreach { p =>
       if (fs.delete(p, false)) deleted += 1

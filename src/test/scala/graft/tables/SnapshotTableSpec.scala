@@ -378,6 +378,36 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().as[(Int, String)].collect().toSet === Set((1, "a"), (2, "b")))
   }
 
+  test("latest-version hint: written per commit, advisory under any damage") {
+    val root = tmpDir("tbl")
+    val t = SnapshotTable.create(spark, root, Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    val hint = java.nio.file.Paths.get(root, "_log", "_latest_hint")
+    assert(java.nio.file.Files.readString(hint).trim === "1", "hint tracks head")
+    // stale hint (writer crashed before updating it): probe walks forward
+    java.nio.file.Files.writeString(hint, "0")
+    assert(t.currentVersion() === 1)
+    assert(t.read().count() === 2)
+    // hint ahead of truth: falls back to the listing
+    java.nio.file.Files.writeString(hint, "99")
+    assert(t.currentVersion() === 1)
+    // garbage hint: falls back to the listing
+    java.nio.file.Files.writeString(hint, "not a number")
+    assert(t.currentVersion() === 1)
+    // deleted hint: falls back, and the next commit restores it
+    java.nio.file.Files.delete(hint)
+    assert(t.currentVersion() === 1)
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    assert(java.nio.file.Files.readString(hint).trim === "2")
+    // vacuum expiry re-anchors the hint at the retained head
+    java.nio.file.Files.writeString(hint, "0")
+    t.vacuum(retainVersions = 1, retainMillis = 0)
+    assert(java.nio.file.Files.readString(hint).trim === "2",
+      "hint below the retained window would force full listings forever")
+    assert(t.read().as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("vacuum with a torn newest entry retains the last readable version") {
     // a writer died mid-publish: the newest log entry is permanently
     // torn. vacuum(retainVersions=1) must NOT count the torn head toward
