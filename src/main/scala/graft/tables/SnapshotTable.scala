@@ -2297,8 +2297,44 @@ object SnapshotTable {
       case s: BinaryStatistics
           if prim.getLogicalTypeAnnotation != null &&
             prim.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-        Some((Some(s.genericGetMin.toStringUsingUTF8), Some(s.genericGetMax.toStringUsingUTF8)))
+        // manifest bloat guard: a long text column must not ship its whole
+        // min/max value into EVERY commit entry (self-contained snapshot
+        // entries × files × long bounds = metadata that dwarfs the data
+        // problem at 10⁵ files). Delta/Iceberg semantics: min truncates to
+        // a prefix (still a valid lower bound), max truncates-and-
+        // increments the last code point (still a valid upper bound);
+        // an unincrementable max degrades to "no upper bound".
+        Some((Some(truncateStatsMin(s.genericGetMin.toStringUsingUTF8)),
+          truncateStatsMax(s.genericGetMax.toStringUsingUTF8)))
       case _ => Some((None, None))
+    }
+  }
+
+  /** Code points kept in a truncated string bound (Delta's 32). */
+  private[tables] val StatsPrefixCodePoints = 32
+
+  /** Lower bound after truncation: a prefix is always ≤ the value in
+   *  unsigned-UTF-8 (code point) order, so plain truncation is sound. */
+  private[tables] def truncateStatsMin(s: String): String =
+    if (s.codePointCount(0, s.length) <= StatsPrefixCodePoints) s
+    else s.substring(0, s.offsetByCodePoints(0, StatsPrefixCodePoints))
+
+  /** Upper bound after truncation: prefix alone would UNDERSTATE the max
+   *  (the real value continues past it), so the last prefix code point
+   *  increments — skipping the surrogate gap, which unsigned UTF-8 order
+   *  jumps over anyway. A prefix of all U+10FFFF cannot be incremented:
+   *  the bound degrades to None ("upper bound unknown"), which pruning
+   *  already treats conservatively. */
+  private[tables] def truncateStatsMax(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= StatsPrefixCodePoints) return Some(s)
+    val cps = s.codePoints().limit(StatsPrefixCodePoints).toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      var next = cps(i) + 1
+      if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+      Some(new String(cps.take(i) :+ next, 0, i + 1))
     }
   }
 

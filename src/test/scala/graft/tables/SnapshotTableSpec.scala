@@ -378,6 +378,36 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().as[(Int, String)].collect().toSet === Set((1, "a"), (2, "b")))
   }
 
+  test("string stats truncate to bounded prefixes that stay sound for pruning") {
+    // helpers: min is a plain prefix; max increments the last code point
+    assert(SnapshotTable.truncateStatsMin("short") === "short")
+    assert(SnapshotTable.truncateStatsMin("a" * 100) === "a" * 32)
+    assert(SnapshotTable.truncateStatsMax("short") === Some("short"))
+    assert(SnapshotTable.truncateStatsMax("a" * 100) === Some("a" * 31 + "b"))
+    // surrogate gap skipped: U+D7FF increments to U+E000, never into D800–DFFF
+    assert(SnapshotTable.truncateStatsMax("a" * 31 + "퟿" + "tail") ===
+      Some("a" * 31 + ""))
+    // unincrementable prefix (all U+10FFFF) degrades to no-upper-bound
+    val maxCp = new String(Character.toChars(0x10FFFF))
+    assert(SnapshotTable.truncateStatsMax(maxCp * 33) === None)
+    // integration: long text values never ship whole into the manifest
+    val long1 = "alpha " + ("x" * 500)
+    val long2 = "omega " + ("y" * 500)
+    val t = SnapshotTable.create(spark, tmpDir("tbl"),
+      Seq((1, long1), (2, long2)).toDF("id", "txt").repartition(2, col("id")))
+    val st = t.manifestEntries().flatMap(_.stats.get("txt"))
+    assert(st.nonEmpty)
+    st.foreach { cs =>
+      assert(cs.min.forall(_.length <= 33), s"min not truncated: ${cs.min}")
+      assert(cs.max.forall(_.length <= 33), s"max not truncated: ${cs.max}")
+    }
+    // pruning on the truncated bounds still finds every real value
+    assert(t.scan(col("txt") === long1).count() === 1)
+    assert(t.scan(col("txt") === long2).count() === 1)
+    // and still prunes what is provably out of bounds
+    assert(t.scan(col("txt") === "zzzz").count() === 0)
+  }
+
   test("latest-version hint: written per commit, advisory under any damage") {
     val root = tmpDir("tbl")
     val t = SnapshotTable.create(spark, root, Seq((1, "a")).toDF("id", "v"))
