@@ -186,6 +186,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("chunk_tokens", 3, 3, args => asExpr(
       TextAnalysis.chunks(asCol(args.head),
         litInt(args, 1, "chunk_tokens"), litInt(args, 2, "chunk_tokens"))))
+    register("random_projection", 2, 3, args => asExpr(
+      graft.ext.Similarity.randomProjection(asCol(args.head),
+        litInt(args, 1, "random_projection"),
+        litNum(args, 2, "random_projection", Some(graft.ext.Sampling.DefaultSalt)))))
   }
 }
 

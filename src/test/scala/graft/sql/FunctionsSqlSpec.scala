@@ -140,4 +140,22 @@ class FunctionsSqlSpec extends SparkSpec {
       .select(gf.hyperplaneBucket(col("v")).as("b")).as[Long].head()
     assert(more.getLong(3) === hbApi)
   }
+
+  test("random_projection resolves in SQL and matches the Column API") {
+    val vecs = Seq((1L, Array(0.5f, -1.0f, 2.0f, 0.25f)),
+      (2L, Array(1.0f, 1.0f, 1.0f, 1.0f))).toDF("id", "v")
+    vecs.createOrReplaceTempView("fn_vecs")
+    val sql = spark.sql(
+      "SELECT id, random_projection(v, 2) AS p FROM fn_vecs ORDER BY id")
+      .as[(Long, Seq[Double])].collect().toSeq
+    val api = vecs.select(col("id"),
+        graft.ext.Similarity.randomProjection(col("v"), 2).as("p"))
+      .orderBy("id").as[(Long, Seq[Double])].collect().toSeq
+    assert(sql === api)
+    // outDim must be a literal; arity is exact
+    intercept[Exception](
+      spark.sql("SELECT random_projection(v, id) FROM fn_vecs").collect())
+    intercept[Exception](
+      spark.sql("SELECT random_projection(v, 2, 1, 9) FROM fn_vecs").collect())
+  }
 }
