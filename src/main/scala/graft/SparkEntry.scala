@@ -1587,6 +1587,28 @@ object SparkEntry {
        |SELECT vec_id, o.j AS j, o.p AS p FROM u ORDER BY vec_id, j""".stripMargin
   }
 
+  /** Q75 — incremental exact-span dedup
+   *  ([[ext.TextAnalysis.removeDuplicatedSpansIncremental]]): the
+   *  steady-state form of q71 — an ingest batch dedups against the
+   *  already-ingested corpus represented ONLY by its 8-byte-per-gram
+   *  [[ext.TextAnalysis.spanGramIndex]]; the corpus text never
+   *  re-scans. Because batch ids order after corpus ids, the cleaned
+   *  batch is BIT-IDENTICAL to a full-corpus batch run, so the oracle
+   *  is q71's replay restricted to the batch — an exact hash-match
+   *  oracle for the incremental path, no structural weakening. */
+  private def incrementalSpanQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    val index = ext.TextAnalysis.spanGramIndex(corpus, "doc_id", "text", n = 10)
+    ext.TextAnalysis.removeDuplicatedSpansIncremental(
+        batch, index, "doc_id", "text", n = 10)
+      .orderBy("doc_id")
+  }
+  private val Q75Duck = Q71Duck.replace(
+    "GROUP BY d.doc_id, d.text ORDER BY d.doc_id",
+    "WHERE d.doc_id >= 250 GROUP BY d.doc_id, d.text ORDER BY d.doc_id")
+
   /** Q63 — deterministic train/val/test split assignment
    *  ([[ext.Sampling.assignSplits]], 80/10/10 by id hash): every row's
    *  label is pure BIGINT arithmetic, replayed exactly by the oracle —
@@ -1814,7 +1836,8 @@ object SparkEntry {
     "q71_span_removal" -> spanRemovalQuery,
     "q72_bm25_search" -> bm25Query,
     "q73_quality_filter" -> qualityFilterQuery,
-    "q74_random_projection" -> randomProjQuery)
+    "q74_random_projection" -> randomProjQuery,
+    "q75_incremental_span" -> incrementalSpanQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1899,7 +1922,8 @@ object SparkEntry {
     "q71_span_removal" -> Q71Duck,
     "q72_bm25_search" -> Q72Duck,
     "q73_quality_filter" -> Q73Duck,
-    "q74_random_projection" -> Q74Duck)
+    "q74_random_projection" -> Q74Duck,
+    "q75_incremental_span" -> Q75Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -313,22 +313,83 @@ object TextAnalysis {
       textCol: String,
       n: Int): DataFrame = {
     require(n > 0, s"n $n must be positive")
-    val toks = tokens(col(textCol))
-    val gramHashes = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<bigint>"))
-    // occurrence = (doc, start position, gram hash); `occ` is the
-    // struct the canonical min orders on — unbounded ids/positions
-    // (no arithmetic encoding to overflow at corpus scale)
-    val occs = df.select(col(idCol),
-        posexplode(gramHashes).as(Seq("pos", "g")))
-      .withColumn("occ", struct(col(idCol).as("d"), col("pos").as("p")))
+    val occs = gramOccurrences(df, idCol, textCol, n)
     val dupGrams = occs.groupBy("g")
       .agg(count(lit(1)).as("cnt"), min("occ").as("canon"))
       .filter(col("cnt") > 1)
     val removals = occs.join(dupGrams, "g")
       .filter(col("occ") =!= col("canon"))
+    cutAndRebuild(df, idCol, textCol, n, removals)
+  }
+
+  /** One row per DISTINCT n-token-gram hash of the corpus — the
+   *  persistable index behind [[removeDuplicatedSpansIncremental]]
+   *  (8 bytes per distinct gram; store it as a snapshot table and
+   *  extend it per ingested batch). */
+  def spanGramIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n $n must be positive")
+    gramOccurrences(df, idCol, textCol, n).select(col("g")).distinct()
+  }
+
+  /**
+   * Steady-state form of [[removeDuplicatedSpans]]: dedup an ingest
+   * batch against an already-ingested corpus represented ONLY by its
+   * [[spanGramIndex]] — the corpus text never re-scans. A batch span
+   * whose gram exists in the index loses every batch occurrence (the
+   * canonical copy lives in the corpus); a span fresh to the corpus
+   * keeps its batch-canonical first occurrence exactly like batch mode.
+   * With batch ids ordered after corpus ids, ingesting batch-by-batch
+   * produces BIT-IDENTICAL cleaned text to one full-corpus batch run —
+   * the invariant the spec pins with a randomized split model.
+   *
+   * Scale shape: the index side joins by gram hash (equi-join, 8 B
+   * keys); the batch side is the small stream. Extend the index with
+   * `spanGramIndex(batch…)` unioned in (grams of removed spans stay
+   * indexed — their canonical already lives in the corpus).
+   */
+  def removeDuplicatedSpansIncremental(
+      batch: DataFrame,
+      indexGrams: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n $n must be positive")
+    val occs = gramOccurrences(batch, idCol, textCol, n)
+    val canon = occs.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), min("occ").as("canon"))
+    val removals = occs.join(canon, "g")
+      .join(indexGrams.select(col("g")).distinct().withColumn("_in_idx", lit(true)),
+        Seq("g"), "left")
+      .filter(col("_in_idx").isNotNull ||
+        (col("cnt") > 1 && col("occ") =!= col("canon")))
+    cutAndRebuild(batch, idCol, textCol, n, removals)
+  }
+
+  /** Gram occurrences of every document: (id, pos, g, occ) where `occ`
+   *  is the (doc, pos) struct canonical selection min-orders on —
+   *  unbounded ids/positions (no arithmetic encoding to overflow at
+   *  corpus scale). */
+  private def gramOccurrences(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val gramHashes = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(col(idCol), posexplode(gramHashes).as(Seq("pos", "g")))
+      .withColumn("occ", struct(col(idCol).as("d"), col("pos").as("p")))
+  }
+
+  /** Cut every token covered by a removal occurrence (positions
+   *  pos..pos+n−1, overlaps unioned) and rebuild each document from the
+   *  survivors — ordered by a codegen'd `array_sort`, no window. */
+  private def cutAndRebuild(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      removals: DataFrame): DataFrame = {
     val covered = removals
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
       .distinct()
@@ -340,7 +401,7 @@ object TextAnalysis {
         transform(array_sort(collect_list(struct(col("p"), col("token")))),
           x => x.getField("token")), " ").as("clean_text"),
       count(lit(1)).as("n_kept"))
-    df.select(col(idCol), size(toks).as("n_toks"))
+    df.select(col(idCol), size(tokens(col(textCol))).as("n_toks"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

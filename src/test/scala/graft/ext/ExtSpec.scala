@@ -1025,6 +1025,48 @@ class ExtSpec extends SparkSpec {
     assert(top1 === expect.take(1))
   }
 
+  test("incremental span removal: index hits cut, sequential == one batch run") {
+    // an indexed span loses EVERY batch occurrence; fresh spans keep
+    // their batch-canonical copy
+    val corpus = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val idx = TextAnalysis.spanGramIndex(corpus, "id", "text", n = 4)
+    val batch = Seq(
+      (10L, "x a b c d y"),       // "a b c d" indexed → cut even as sole batch occurrence
+      (11L, "p q r s t u"),
+      (12L, "p q r s t u"))       // fresh dup of 11 → erased, 11 kept
+      .toDF("id", "text")
+    val got = TextAnalysis.removeDuplicatedSpansIncremental(batch, idx, "id", "text", 4)
+      .as[(Long, String, Long)].collect().map { case (i, t, r) => i -> ((t, r)) }.toMap
+    assert(got === Map(
+      10L -> (("x y", 4L)),
+      11L -> (("p q r s t u", 0L)),
+      12L -> (("", 6L))))
+    // empty index ≡ batch mode
+    val empty = idx.filter(lit(false))
+    val inc = TextAnalysis.removeDuplicatedSpansIncremental(batch, empty, "id", "text", 4)
+      .as[(Long, String, Long)].collect().toSet
+    val bat = TextAnalysis.removeDuplicatedSpans(batch, "id", "text", 4)
+      .as[(Long, String, Long)].collect().toSet
+    assert(inc === bat)
+    // randomized model: ingesting (batch1, batch2) sequentially — corpus
+    // ids below batch ids — equals ONE batch-mode run over everything
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Seq("aa", "bb", "cc", "dd", "ee")
+    val docs = (0L until 40L).map { i =>
+      i -> (1 to (5 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val (c1, c2) = docs.partition(_._1 < 20L)
+    val full = TextAnalysis.removeDuplicatedSpans(docs.toDF("id", "text"), "id", "text", 3)
+      .as[(Long, String, Long)].collect().toSet
+    val idx1 = TextAnalysis.spanGramIndex(c1.toDF("id", "text"), "id", "text", 3)
+    val seq1 = TextAnalysis.removeDuplicatedSpans(c1.toDF("id", "text"), "id", "text", 3)
+      .as[(Long, String, Long)].collect().toSet
+    val seq2 = TextAnalysis.removeDuplicatedSpansIncremental(
+        c2.toDF("id", "text"), idx1, "id", "text", 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert((seq1 ++ seq2) === full, "sequential ingest must equal one batch run")
+  }
+
   test("vocabulary: tf/df word counts with threshold") {
     val corpus = Seq(
       (1L, "a b a c"), (2L, "a b"), (3L, "c c c")).toDF("id", "text")
