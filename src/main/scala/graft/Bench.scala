@@ -63,7 +63,8 @@ object Bench {
     // generator. (Wall-clock exponents BELOW the work exponent are
     // expected at these sizes — fixed job overhead dominates the small
     // SF.)
-    val scalingTrio = Seq("q21_jaccard_neardup", "q48_embedding_pairs", "q62_dup_ngram_frac")
+    val scalingTrio = Seq("q21_jaccard_neardup", "q48_embedding_pairs",
+      "q62_dup_ngram_frac", "q71_span_removal")
     val loDir = sfDir.replace("sf0.1", "sf0.01")
     val scaling =
       if (loDir == sfDir || !new java.io.File(loDir).isDirectory) ""

@@ -110,6 +110,31 @@ class GraftTableCatalog extends TableCatalog {
       pinnedVersion = Some(t.versionAsOf(Math.floorDiv(timestampMicros, 1000L))))
   }
 
+  /** Generated columns land in the CREATE schema as field metadata;
+   *  advertising the capability is what lets Spark's parser/analyzer
+   *  accept `GENERATED ALWAYS AS (expr)` for this catalog at all. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
+  /** Spark 4 routes CREATE TABLE through the v2-Column variant, and the
+   *  generation expression lives ONLY on the v2 `Column` (the StructType
+   *  conversion drops it) — capture it here as a table property, then
+   *  delegate. */
+  override def createTable(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val merged = new util.HashMap[String, String](properties)
+    columns.foreach { c =>
+      Option(c.generationExpression()).foreach(e =>
+        merged.put(s"graft.generated.${c.name}", e))
+    }
+    createTable(ident,
+      org.apache.spark.sql.graftshim.SparkInternals.v2ColumnsToStructType(columns),
+      partitions, merged)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -158,7 +183,22 @@ class GraftTableCatalog extends TableCatalog {
     val userProps = properties.asScala.toMap --
       Seq(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
         TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL)
-    val t = SnapshotTable.createEmpty(spark, rootFor(ident), schema, clusterBy, userProps)
+    // `c GENERATED ALWAYS AS (expr)` arrives as field metadata; persist
+    // the expression as a table property (the write path computes it)
+    // and store the schema clean of parser-internal metadata
+    import org.apache.spark.sql.catalyst.util.GeneratedColumn
+    val genCols = schema.fields.toSeq.flatMap(f =>
+      GeneratedColumn.getGenerationExpression(f).map(f.name -> _))
+    val cleanSchema = StructType(schema.fields.map { f =>
+      if (GeneratedColumn.isGeneratedColumn(f))
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove(GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY).build())
+      else f
+    })
+    val genProps = genCols.map { case (c, e) => s"graft.generated.$c" -> e }.toMap
+    val t = SnapshotTable.createEmpty(
+      spark, rootFor(ident), cleanSchema, clusterBy, userProps ++ genProps)
     new GraftTable(t, ident)
   }
 

@@ -279,6 +279,41 @@ class SnapshotTable private (
    * NULL results pass, matching SQL CHECK semantics (use
    * `col IS NOT NULL` for NOT NULL enforcement).
    */
+  /**
+   * Generated columns (Delta `GENERATED ALWAYS AS` semantics through
+   * table properties): every `graft.generated.<col> = <SQL expr>` is
+   * computed in the write projection. A write that omits the column
+   * gets the computed value (both the DSv2 writer and [[append]]'s
+   * alignment NULL-fill omitted nullable columns before this point, so
+   * NULL means "not provided"); a provided non-NULL value must agree
+   * with the expression or the write fails via the same one-pass
+   * `raise_error` mechanism as CHECK constraints — no commit happens,
+   * no separate validation job. Runs BEFORE constraint enforcement so
+   * constraints may reference generated columns.
+   */
+  private def applyGeneratedColumns(df: DataFrame, props: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, raise_error, when}
+    val gens = props.collect {
+      case (k, v) if k.startsWith("graft.generated.") =>
+        (k.stripPrefix("graft.generated."), v)
+    }.toSeq.sortBy(_._1)
+    if (gens.isEmpty) return df
+    gens.foldLeft(df) { case (d, (c, sql)) =>
+      val computed = expr(sql)
+      if (!d.columns.exists(_.equalsIgnoreCase(c))) d.withColumn(c, computed)
+      else {
+        val declared = d.schema.fields.find(_.name.equalsIgnoreCase(c)).get
+        d.withColumn(declared.name,
+          when(col(declared.name).isNull || (col(declared.name) <=> computed),
+            computed.cast(declared.dataType))
+            .otherwise(raise_error(lit(
+              s"generated column '${declared.name}' value conflicts with its " +
+                s"expression ($sql) — omit the column or write the computed value"))
+              .cast(declared.dataType)))
+      }
+    }
+  }
+
   private def enforceConstraints(df: DataFrame, props: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, raise_error, when}
     val checks = props.collect {
@@ -317,7 +352,8 @@ class SnapshotTable private (
     val props = cur.flatMap(_.properties).getOrElse(Map.empty)
     val mapping = mappingOverride.getOrElse(
       cur.flatMap(_.columnMapping).getOrElse(Map.empty))
-    val checked = enforceConstraints(dfIn, props) // constraints are LOGICAL
+    val checked = enforceConstraints( // constraints are LOGICAL
+      applyGeneratedColumns(dfIn, props), props)
     // files always carry PHYSICAL names so every live file stays uniform
     // across renames (full-rewrite paths pass Some(Map.empty) to reset
     // physical = logical)

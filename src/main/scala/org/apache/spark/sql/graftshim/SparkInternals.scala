@@ -12,6 +12,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * for access; keep this surface minimal.
  */
 object SparkInternals {
+  /** v2 Column array → StructType (CatalogV2Util is `private[sql]`). */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.v2ColumnsToStructType(cols)
+
   /** Fully-converted Catalyst tree (ExpressionUtils.expression returns a
    *  lazy ColumnNodeExpression wrapper that hides the real node shapes). */
   def expr(c: Column): Expression =

@@ -529,4 +529,43 @@ class CatalogSpec extends SparkSpec {
     val e = intercept[Exception](spark.table("graft.db.t6").collect())
     assert(e.getMessage.toLowerCase.contains("table") )
   }
+
+  test("GENERATED ALWAYS AS: computed on every path, conflicts rejected") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.gen")
+    spark.sql(
+      """CREATE TABLE graft.db.gen (
+        |  id INT, name STRING,
+        |  checksum STRING GENERATED ALWAYS AS (md5(concat(name, '!'))),
+        |  doubled INT GENERATED ALWAYS AS (id * 2)
+        |) USING graft""".stripMargin)
+    // omitted by name-list INSERT → computed
+    spark.sql("INSERT INTO graft.db.gen (id, name) VALUES (1, 'a')")
+    // provided and MATCHING → accepted
+    spark.sql("INSERT INTO graft.db.gen VALUES (2, 'b', md5('b!'), 4)")
+    // DataFrame append omitting the generated columns → computed
+    Seq((3, "c")).toDF("id", "name").writeTo("graft.db.gen").append()
+    val got = spark.table("graft.db.gen")
+      .as[(Int, String, String, Int)].collect().sortBy(_._1).toSeq
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s + "!")
+    assert(got === Seq((1, "a", m("a"), 2), (2, "b", m("b"), 4), (3, "c", m("c"), 6)))
+    // provided and CONFLICTING → the write fails and nothing commits
+    val before = spark.table("graft.db.gen").count()
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.db.gen VALUES (9, 'z', 'wrong', 99)"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("generated column")), s"got: ${msgs(e)}")
+    assert(spark.table("graft.db.gen").count() === before, "failed write must not commit")
+    // the property view documents the expressions
+    val props = spark.sql("SHOW TBLPROPERTIES graft.db.gen").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.generated.doubled").contains("id * 2"))
+    // the API path honors the same property contract
+    val t = graft.tables.SnapshotTable(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db/gen")
+    t.append(Seq((4, "d")).toDF("id", "name"))
+    assert(spark.table("graft.db.gen").count() === 4)
+    assert(spark.table("graft.db.gen").filter(col("id") === 4)
+      .select("checksum", "doubled").as[(String, Int)].head() === ((m("d"), 8)))
+  }
 }
