@@ -114,7 +114,9 @@ class GraftTableCatalog extends TableCatalog {
    *  advertising the capability is what lets Spark's parser/analyzer
    *  accept `GENERATED ALWAYS AS (expr)` for this catalog at all. */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** Spark 4 routes CREATE TABLE through the v2-Column variant, and the
    *  generation expression lives ONLY on the v2 `Column` (the StructType
@@ -237,8 +239,22 @@ class GraftTableCatalog extends TableCatalog {
       if (c.position() != null) throw new UnsupportedOperationException(
         s"ADD COLUMNS ${c.fieldNames.mkString(".")}: FIRST/AFTER positions are " +
           "not supported (columns append last)")
-      org.apache.spark.sql.types.StructField(
+      val base = org.apache.spark.sql.types.StructField(
         c.fieldNames.head, c.dataType, nullable = true)
+      // `ADD COLUMN … DEFAULT v`: persist Spark's standard default-value
+      // metadata — the analyzer fills CURRENT_DEFAULT into later INSERTs,
+      // and the file-source reader serves EXISTS_DEFAULT for rows written
+      // before the column existed (instead of NULL)
+      Option(c.defaultValue()) match {
+        case Some(dv) =>
+          val sql = Option(dv.getSql).getOrElse(throw new UnsupportedOperationException(
+            s"ADD COLUMNS ${c.fieldNames.mkString(".")}: expression-only default " +
+              "values are not supported — use a SQL-literal DEFAULT"))
+          base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", sql).build())
+        case None => base
+      }
     }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d.fieldNames.head }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }

@@ -530,6 +530,28 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("table") )
   }
 
+  test("column DEFAULT values: create, insert, DEFAULT keyword, ALTER backfill") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.defs")
+    spark.sql(
+      """CREATE TABLE graft.db.defs (
+        |  id INT, status STRING DEFAULT 'new', score DOUBLE DEFAULT 1.5
+        |) USING graft""".stripMargin)
+    spark.sql("INSERT INTO graft.db.defs (id) VALUES (1)")
+    spark.sql("INSERT INTO graft.db.defs VALUES (2, DEFAULT, DEFAULT)")
+    spark.sql("INSERT INTO graft.db.defs VALUES (3, 'done', 9.0)")
+    // a column added WITH a default: rows written before the column
+    // existed read the exists-default (not NULL); later inserts fill it
+    spark.sql("ALTER TABLE graft.db.defs ADD COLUMN tag STRING DEFAULT 'none'")
+    spark.sql("INSERT INTO graft.db.defs (id) VALUES (4)")
+    val got = spark.table("graft.db.defs")
+      .as[(Int, String, Double, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1, "new", 1.5, "none"),
+      (2, "new", 1.5, "none"),
+      (3, "done", 9.0, "none"),
+      (4, "new", 1.5, "none")))
+  }
+
   test("GENERATED ALWAYS AS: computed on every path, conflicts rejected") {
     spark.sql("DROP TABLE IF EXISTS graft.db.gen")
     spark.sql(
