@@ -219,12 +219,9 @@ object TextAnalysis {
       textCol: String,
       n: Int): DataFrame = {
     require(n > 0, s"n $n must be positive")
-    val toks = tokens(col(textCol))
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<bigint>"))
-    val exploded = df.select(col(idCol), explode(grams).as("g"))
+    // same positional kernel as the span miners — no gram strings built
+    val exploded = df.select(col(idCol),
+      explode(functions.positionalGramHashes(col(textCol), n)).as("g"))
     val counts = exploded.groupBy("g").agg(count(lit(1)).as("cnt"))
     val frac = exploded.join(counts, "g")
       .groupBy(idCol)
@@ -374,15 +371,14 @@ object TextAnalysis {
    *  unbounded ids/positions (no arithmetic encoding to overflow at
    *  corpus scale). */
   private def gramOccurrences(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = tokens(col(textCol))
-    val gramHashes = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<bigint>"))
-    df.select(col(idCol), posexplode(gramHashes).as(Seq("pos", "g")))
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    // grams hash through the zero-allocation positional kernel (one byte
+    // pass per doc, chained token hashes per window) — the array_join+
+    // xxhash64 form allocated every gram string; short docs yield an
+    // empty array, NULL text no rows (posexplode of NULL)
+    df.select(col(idCol),
+        posexplode(functions.positionalGramHashes(col(textCol), n)).as(Seq("pos", "g")))
       .withColumn("occ", struct(col(idCol).as("d"), col("pos").as("p")))
-  }
 
   /** Cut every token covered by a removal occurrence (positions
    *  pos..pos+n−1, overlaps unioned) and rebuild each document from the

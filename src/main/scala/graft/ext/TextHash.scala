@@ -182,6 +182,53 @@ object TextHash {
       if (m + 1 == nSh) out else java.util.Arrays.copyOf(out, m + 1))
   }
 
+  /** POSITIONAL gram hashes: one 64-bit hash per n-token window in
+   *  document order — [[hashedShingles]] without the sort/dedup tail,
+   *  for operators that need (position, gram) occurrences (duplicated-
+   *  span mining) rather than a shingle set. Same zero-allocation
+   *  byte-level kernel: tokens hash in one pass over the UTF-8 bytes,
+   *  windows chain the token hashes; no token strings, no gram strings,
+   *  no java-regex. Shorter-than-n documents return an empty array. */
+  def positionalGramHashes(s: UTF8String, n: Int, seed: Long): ArrayData = {
+    val nb = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var spaces = 0
+    var i = 0
+    while (i < nb) {
+      if (s.getByte(i) == 0x20) spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    val nSh = nTok - n + 1
+    if (nSh <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](nTok)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= nb) {
+      if (i == nb || s.getByte(i) == 0x20) {
+        th(t) = XXH64.hashUnsafeBytes(base, off + start, i - start, seed)
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](nSh)
+    var w = 0
+    while (w < nSh) {
+      var h = seed
+      var k = 0
+      while (k < n) {
+        h = XXH64.hashLong(th(w + k), h)
+        k += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ASCII classification for [[punctCount]]: true = the byte is a
    *  letter, digit, or whitespace (java-regex `\s` = [ \t\n\x0B\f\r]) —
    *  i.e. NOT punctuation. Table lookup keeps the hot loop branchless. */

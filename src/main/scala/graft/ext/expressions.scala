@@ -90,6 +90,26 @@ case class HashedShingles(child: Expression, n: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** One hash per n-token window in document order (no dedup) — the
+ *  occurrence-mining sibling of [[HashedShingles]]; see
+ *  [[TextHash.positionalGramHashes]]. */
+case class PositionalGramHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (n < 1) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"positional_gram_hashes needs n >= 1, got $n")
+    else if (child.dataType.isInstanceOf[StringType]) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"positional_gram_hashes needs a string column, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.positionalGramHashes(input.asInstanceOf[UTF8String], n, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.TextHash.positionalGramHashes($c, $n, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): PositionalGramHashes =
+    copy(child = newChild)
+}
+
 /** Count of code points matching `[^\p{L}\p{N}\s]` — the punctuation
  *  numerator of [[TextAnalysis.punctRatio]]; see [[TextHash.punctCount]].
  *  Counting kernel, never rewrites the string. */

@@ -36,6 +36,12 @@ object functions {
       seed: Long = TextHash.DefaultSeed): Column =
     column(HashedShingles(expr(text), n, seed))
 
+  /** One hash per n-token window in document order (array<long>,
+   *  position i = window starting at token i) — occurrence mining. */
+  def positionalGramHashes(text: Column, n: Int,
+      seed: Long = TextHash.DefaultSeed): Column =
+    column(PositionalGramHashes(expr(text), n, seed))
+
   /** Intersection size of two ASC-sorted array<string> cols (merge scan). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     column(SortedIntersectCount(expr(a), expr(b)))

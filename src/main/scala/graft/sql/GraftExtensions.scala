@@ -144,6 +144,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("hashed_shingles", 2, 3, args => graft.ext.HashedShingles(args.head,
       litInt(args, 1, "hashed_shingles"),
       litNum(args, 2, "hashed_shingles", Some(graft.ext.TextHash.DefaultSeed))))
+    register("positional_gram_hashes", 2, 3, args => graft.ext.PositionalGramHashes(args.head,
+      litInt(args, 1, "positional_gram_hashes"),
+      litNum(args, 2, "positional_gram_hashes", Some(graft.ext.TextHash.DefaultSeed))))
     register("minhash_signature", 1, 3, args => graft.ext.MinHashSignature(args.head,
       litInt(args, 1, "minhash_signature", Some(64L)),
       litNum(args, 2, "minhash_signature", Some(graft.ext.TextHash.DefaultSeed))))

@@ -961,6 +961,27 @@ class ExtSpec extends SparkSpec {
     assert(got.find(_._1 == 2L).get._7 === 1, "short doc fails only length")
   }
 
+  test("positionalGramHashes: cross-doc window agreement, order, short docs") {
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d"),   // shares windows shifted by one position
+      (3L, "a b"),         // shorter than n → empty
+      (4L, "a b c d e"))   // identical to 1 → identical hash sequence
+      .toDF("id", "text")
+    val got = df.select(col("id"), functions.positionalGramHashes(col("text"), 3).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L).size === 3 && got(3L).isEmpty)
+    assert(got(1L) === got(4L), "same text must hash identically")
+    // doc 2's window starting at token 1 is doc 1's window at token 0
+    assert(got(2L)(1) === got(1L)(0))
+    assert(got(2L)(2) === got(1L)(1))
+    assert(got(2L)(0) !== got(1L)(0), "different windows must differ")
+    // the multiset of hashes matches hashedShingles' distinct set
+    val sh = df.filter(col("id") === 1).select(
+      functions.hashedShingles(col("text"), 3)).as[Seq[Long]].head()
+    assert(got(1L).toSet === sh.toSet)
+  }
+
   test("removeDuplicatedSpans: canonical first occurrence survives, others cut") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),  // canonical owner of every duplicated gram

@@ -141,6 +141,16 @@ class FunctionsSqlSpec extends SparkSpec {
     assert(more.getLong(3) === hbApi)
   }
 
+  test("positional_gram_hashes resolves in SQL and matches the Column API") {
+    val docs = Seq((1L, "a b c d e")).toDF("id", "text")
+    docs.createOrReplaceTempView("fn_docs_pg")
+    val sql = spark.sql("SELECT positional_gram_hashes(text, 3) AS h FROM fn_docs_pg")
+      .as[Seq[Long]].head()
+    val api = docs.select(gf.positionalGramHashes(col("text"), 3).as("h"))
+      .as[Seq[Long]].head()
+    assert(sql === api && sql.size === 3)
+  }
+
   test("random_projection resolves in SQL and matches the Column API") {
     val vecs = Seq((1L, Array(0.5f, -1.0f, 2.0f, 0.25f)),
       (2L, Array(1.0f, 1.0f, 1.0f, 1.0f))).toDF("id", "v")
