@@ -1609,6 +1609,23 @@ object SparkEntry {
     "GROUP BY d.doc_id, d.text ORDER BY d.doc_id",
     "WHERE d.doc_id >= 250 GROUP BY d.doc_id, d.text ORDER BY d.doc_id")
 
+  /** Q76 — corpus-self-scored unigram-LM mean log-probability
+   *  ([[ext.TextAnalysis.unigramLogProb]]): the perplexity-proxy quality
+   *  signal of CCNet-style pipelines. Integer tf/total/|V| into one ln
+   *  per token; score decided on the 4-decimal rounding (q72's
+   *  cross-engine argument). */
+  private def unigramLpQuery(s: SparkSession, dir: String): DataFrame =
+    ext.TextAnalysis.unigramLogProb(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .orderBy("doc_id")
+  private val Q76Duck =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |v AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
+      |s AS (SELECT sum(tf) AS total, count(*) AS vs FROM v)
+      |SELECT doc_id, round(avg(ln((tf + 1.0) / (total + vs))), 4) AS avg_logprob
+      |FROM tok JOIN v USING (token) CROSS JOIN s
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Q63 — deterministic train/val/test split assignment
    *  ([[ext.Sampling.assignSplits]], 80/10/10 by id hash): every row's
    *  label is pure BIGINT arithmetic, replayed exactly by the oracle —
@@ -1837,7 +1854,8 @@ object SparkEntry {
     "q72_bm25_search" -> bm25Query,
     "q73_quality_filter" -> qualityFilterQuery,
     "q74_random_projection" -> randomProjQuery,
-    "q75_incremental_span" -> incrementalSpanQuery)
+    "q75_incremental_span" -> incrementalSpanQuery,
+    "q76_unigram_logprob" -> unigramLpQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1923,7 +1941,8 @@ object SparkEntry {
     "q72_bm25_search" -> Q72Duck,
     "q73_quality_filter" -> Q73Duck,
     "q74_random_projection" -> Q74Duck,
-    "q75_incremental_span" -> Q75Duck)
+    "q75_incremental_span" -> Q75Duck,
+    "q76_unigram_logprob" -> Q76Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -404,6 +404,36 @@ object TextAnalysis {
         (col("n_toks") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
   }
 
+  /**
+   * Per-document mean unigram log-probability under the corpus's own
+   * unigram language model with add-one smoothing — the cheap stand-in
+   * for the perplexity filtering of CCNet/CC-style pipelines (Wenzek et
+   * al. 2020): documents far below the corpus mean are gibberish or
+   * vocabulary outliers, documents far above are boilerplate built from
+   * the most common words; both tails get reviewed or dropped. Self-
+   * scoring (model trained on the scored corpus) means no OOV path.
+   *
+   * score(d) = avg over tokens t of ln((tf(t) + 1) / (total + |V|))
+   *
+   * Integer tf/total/|V| feed one IEEE division and ln per token — an
+   * external SQL engine replays the exact score. Shape: one token
+   * explode, one vocab hash-agg, one equi-join back, one per-doc avg;
+   * the one-row totals frame attaches by broadcast (the q72 scalar-agg
+   * NLJ shape, pinned in PlanSpec). Linear, no driver state.
+   */
+  def unigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val stats = vocab.agg(sum("tf").as("total"), count(lit(1)).as("vs"))
+    toks.join(vocab, "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("lp", log((col("tf") + lit(1.0)) / (col("total") + col("vs"))))
+      .groupBy(idCol).agg(round(avg("lp"), 4).as("avg_logprob"))
+  }
+
   /** Enrich a corpus with the full text-analysis column family. */
   def enrich(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -157,7 +157,13 @@ class PlanSpec extends SparkSpec {
     // by construction; the assertion below pins that the ONLY broadcast
     // feeding its NLJ is a global (keys=[]) aggregate, so a regression
     // to a many-row build side fails loudly.
-    val allowNlj = Set("q22_cosine_topk", "q72_bm25_search")
+    // scalar-agg NLJs: the build side must be a one-row global aggregate
+    // (keys=[]) — O(n) by construction; a regression to a many-row build
+    // side fails loudly
+    val allowNlj = Map(
+      "q22_cosine_topk" -> None, // small-probe broadcast by documented design
+      "q72_bm25_search" -> Some("HashAggregate(keys=[], functions=[count(1), avg("),
+      "q76_unigram_logprob" -> Some("HashAggregate(keys=[], functions=[sum(tf"))
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = executedPlanString(fn(spark, dir))
       assert(!plan.contains("CartesianProduct"),
@@ -165,11 +171,12 @@ class PlanSpec extends SparkSpec {
       if (!allowNlj.contains(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join:\n$plan")
-      if (name == "q72_bm25_search" && plan.contains("BroadcastNestedLoopJoin")) {
-        // the NLJ's broadcast subtree must be the scalar stats aggregate
-        val bcast = plan.substring(plan.indexOf("BroadcastNestedLoopJoin"))
-        assert(bcast.contains("HashAggregate(keys=[], functions=[count(1), avg("),
-          s"q72's nested-loop build side is not the one-row stats aggregate:\n$plan")
+      allowNlj.get(name).flatten.foreach { scalarAgg =>
+        if (plan.contains("BroadcastNestedLoopJoin")) {
+          val bcast = plan.substring(plan.indexOf("BroadcastNestedLoopJoin"))
+          assert(bcast.contains(scalarAgg),
+            s"$name's nested-loop build side is not the one-row stats aggregate:\n$plan")
+        }
       }
     }
   }

@@ -1088,6 +1088,29 @@ class ExtSpec extends SparkSpec {
     assert((seq1 ++ seq2) === full, "sequential ingest must equal one batch run")
   }
 
+  test("unigramLogProb == driver-side model; tails rank as expected") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "zq xv wq jk pf yb"))   // vocabulary outlier → lowest score
+      .toDF("id", "text")
+    val docs = corpus.as[(Long, String)].collect().toMap
+      .view.mapValues(_.split(" ").toSeq).toMap
+    val tf = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = tf.values.sum.toDouble
+    val vs = tf.size.toDouble
+    def model(tk: Seq[String]): Double = {
+      val s = tk.map(t => math.log((tf(t) + 1.0) / (total + vs))).sum / tk.size
+      BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = TextAnalysis.unigramLogProb(corpus, "id", "text")
+      .as[(Long, Double)].collect().toMap
+    docs.foreach { case (id, tk) =>
+      assert(got(id) === model(tk), s"doc $id logprob")
+    }
+    assert(got(3L) < got(1L) && got(3L) < got(2L), "outlier must score lowest")
+  }
+
   test("vocabulary: tf/df word counts with threshold") {
     val corpus = Seq(
       (1L, "a b a c"), (2L, "a b"), (3L, "c c c")).toDF("id", "text")
