@@ -116,6 +116,7 @@ class GraftTableCatalog extends TableCatalog {
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
       TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** Spark 4 routes CREATE TABLE through the v2-Column variant, and the
@@ -131,6 +132,9 @@ class GraftTableCatalog extends TableCatalog {
     columns.foreach { c =>
       Option(c.generationExpression()).foreach(e =>
         merged.put(s"graft.generated.${c.name}", e))
+      Option(c.identityColumnSpec()).foreach(s =>
+        merged.put(s"graft.identity.${c.name}",
+          s"${s.getStart},${s.getStep},${s.isAllowExplicitInsert}"))
     }
     createTable(ident,
       org.apache.spark.sql.graftshim.SparkInternals.v2ColumnsToStructType(columns),

@@ -280,6 +280,90 @@ class SnapshotTable private (
    * `col IS NOT NULL` for NOT NULL enforcement).
    */
   /**
+   * Identity columns (Delta `GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY`
+   * through table properties): `graft.identity.<col> = "start,step,
+   * allowExplicit"`. NULL (= omitted — both the DSv2 writer and the
+   * append alignment NULL-fill omitted columns) values are assigned
+   * `basis + step · monotonically-increasing-row-id`: unique and
+   * monotone per write, with GAPS (Delta's identity contract — ids are
+   * never promised contiguous). The basis derives from the live
+   * manifest's per-file stats for the column — the table's own bounds
+   * ARE the high-water mark, so there is no extra transactional state
+   * and no extra pass; a live file without usable stats for the column
+   * degrades to one max/min scan. `GENERATED ALWAYS`
+   * (allowExplicit=false) rejects explicit non-NULL values via the
+   * CHECK raise_error mechanism; `BY DEFAULT` keeps them.
+   *
+   * Concurrency: identity-bearing appends never blind-rebase onto a new
+   * head after losing the commit race — the basis was computed against
+   * the old head, so re-committing the same files could duplicate ids.
+   * The ConcurrentCommitException surfaces and the caller recomputes
+   * against the fresh snapshot ([[appendRebaseSafe]] guard).
+   */
+  private def applyIdentityColumns(
+      df: DataFrame,
+      cur: Option[CommitEntry],
+      props: Map[String, String],
+      mapping: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, monotonically_increasing_id, raise_error, when}
+    val ids = props.collect {
+      case (k, v) if k.startsWith("graft.identity.") =>
+        (k.stripPrefix("graft.identity."), v)
+    }.toSeq.sortBy(_._1)
+    if (ids.isEmpty) return df
+    ids.foldLeft(df) { case (d, (c, spec)) =>
+      val parts = spec.split(",")
+      require(parts.length == 3, s"malformed identity spec for '$c': $spec")
+      val (start, step, allow) = (parts(0).toLong, parts(1).toLong, parts(2).toBoolean)
+      require(step != 0, s"identity column '$c': step must be non-zero")
+      val basis = identityBasis(cur, mapping.getOrElse(c, c), start, step)
+      val assigned = (lit(basis) + lit(step) * monotonically_increasing_id())
+      d.schema.fields.find(_.name.equalsIgnoreCase(c)) match {
+        case None => d.withColumn(c, assigned)
+        case Some(f) =>
+          val fill = assigned.cast(f.dataType)
+          d.withColumn(f.name,
+            if (allow) coalesce(col(f.name), fill)
+            else when(col(f.name).isNull, fill)
+              .otherwise(raise_error(lit(
+                s"identity column '${f.name}' is GENERATED ALWAYS — " +
+                  "explicit values are not allowed; omit the column"))
+                .cast(f.dataType)))
+      }
+    }
+  }
+
+  /** First value the next write may assign for identity column `c`
+   *  (PHYSICAL stats name): one step past the table's own bound in the
+   *  step's direction, never before `start`. Files whose stats are
+   *  unusable for the column force one bound scan; files where the
+   *  column is all-NULL or absent constrain nothing. */
+  private def identityBasis(
+      cur: Option[CommitEntry], c: String, start: Long, step: Long): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val entries = cur.toSeq.flatMap(e => e.files ++ e.deltaFiles.getOrElse(Nil))
+    if (entries.isEmpty) return start
+    def pick(s: ColStats) = if (step > 0) s.max else s.min
+    val unusable = entries.exists(e => e.rows < 0 ||
+      (e.rows > 0 && !e.stats.contains(c)))
+    val edge: Option[Long] =
+      if (unusable) {
+        val row = read().agg(
+          (if (step > 0) max(col(c)) else min(col(c))).cast("long")).head()
+        if (row.isNullAt(0)) None else Some(row.getLong(0))
+      } else {
+        val bounds = entries.flatMap(e => e.stats.get(c).flatMap(pick)).map(_.toLong)
+        if (bounds.isEmpty) None
+        else Some(if (step > 0) bounds.max else bounds.min)
+      }
+    edge match {
+      case None => start
+      case Some(v) =>
+        if (step > 0) math.max(start, v + step) else math.min(start, v + step)
+    }
+  }
+
+  /**
    * Generated columns (Delta `GENERATED ALWAYS AS` semantics through
    * table properties): every `graft.generated.<col> = <SQL expr>` is
    * computed in the write projection. A write that omits the column
@@ -353,7 +437,9 @@ class SnapshotTable private (
     val mapping = mappingOverride.getOrElse(
       cur.flatMap(_.columnMapping).getOrElse(Map.empty))
     val checked = enforceConstraints( // constraints are LOGICAL
-      applyGeneratedColumns(dfIn, props), props)
+      applyGeneratedColumns(
+        applyIdentityColumns(dfIn, cur, props,
+          cur.flatMap(_.columnMapping).getOrElse(Map.empty)), props), props)
     // files always carry PHYSICAL names so every live file stays uniform
     // across renames (full-rewrite paths pass Some(Map.empty) to reset
     // physical = logical)
@@ -594,9 +680,13 @@ class SnapshotTable private (
   }
 
   /** True when re-basing a blind append from `base` onto `head` is
-   *  conflict-free: the interleaved commit(s) changed FILES only. */
+   *  conflict-free: the interleaved commit(s) changed FILES only — and
+   *  the table assigns no identity values (an identity basis computed
+   *  against the old head could collide with ids the interleaved commit
+   *  assigned; see [[applyIdentityColumns]]). */
   private[tables] def appendRebaseSafe(base: CommitEntry, head: CommitEntry): Boolean =
-    head.schemaJson == base.schemaJson &&
+    !base.properties.exists(_.keys.exists(_.startsWith("graft.identity."))) &&
+      head.schemaJson == base.schemaJson &&
       head.properties == base.properties &&
       head.clusterBy == base.clusterBy &&
       head.columnMapping == base.columnMapping &&

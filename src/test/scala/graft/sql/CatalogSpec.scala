@@ -552,6 +552,45 @@ class CatalogSpec extends SparkSpec {
       (4, "new", 1.5, "none")))
   }
 
+  test("identity columns: assigned past the high-water mark, ALWAYS rejects explicit") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.idt")
+    spark.sql(
+      """CREATE TABLE graft.db.idt (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 3),
+        |  v STRING
+        |) USING graft""".stripMargin)
+    spark.sql("INSERT INTO graft.db.idt (v) VALUES ('a'), ('b'), ('c')")
+    val batch1 = spark.table("graft.db.idt").as[(Long, String)].collect().toSeq
+    assert(batch1.map(_._1).distinct.size === 3, "ids must be unique")
+    assert(batch1.map(_._1).forall(i => i >= 100 && (i - 100) % 3 == 0),
+      s"ids align to start/step: $batch1")
+    // the next batch starts past the table's maximum (stats-derived basis)
+    spark.sql("INSERT INTO graft.db.idt (v) VALUES ('d'), ('e')")
+    val all = spark.table("graft.db.idt").as[(Long, String)].collect().toSeq
+    val batch2 = all.filter(r => Set("d", "e")(r._2)).map(_._1)
+    assert(all.map(_._1).distinct.size === 5, s"ids unique across batches: $all")
+    assert(batch2.min > batch1.map(_._1).max, "second batch continues past the first")
+    // GENERATED ALWAYS: explicit values rejected, nothing committed
+    val before = spark.table("graft.db.idt").count()
+    val e = intercept[Exception](spark.sql("INSERT INTO graft.db.idt VALUES (7, 'x')"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("GENERATED ALWAYS")), s"got: ${msgs(e)}")
+    assert(spark.table("graft.db.idt").count() === before)
+    // BY DEFAULT accepts explicit values and still fills omitted ones
+    spark.sql("DROP TABLE IF EXISTS graft.db.idd")
+    spark.sql(
+      """CREATE TABLE graft.db.idd (
+        |  id BIGINT GENERATED BY DEFAULT AS IDENTITY, v STRING
+        |) USING graft""".stripMargin)
+    spark.sql("INSERT INTO graft.db.idd VALUES (500, 'x')")
+    spark.sql("INSERT INTO graft.db.idd (v) VALUES ('y')")
+    val dd = spark.table("graft.db.idd").as[(Long, String)].collect()
+      .map(kv => kv._2 -> kv._1).toMap
+    assert(dd("x") === 500L)
+    assert(dd("y") > 500L, s"omitted id continues past the explicit one: $dd")
+  }
+
   test("GENERATED ALWAYS AS: computed on every path, conflicts rejected") {
     spark.sql("DROP TABLE IF EXISTS graft.db.gen")
     spark.sql(

@@ -378,6 +378,21 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().as[(Int, String)].collect().toSet === Set((1, "a"), (2, "b")))
   }
 
+  test("identity-bearing appends never blind-rebase after losing the race") {
+    // the basis is computed against the base head; re-committing the same
+    // files onto a new head could duplicate ids — the rebase guard must
+    // refuse even a files-only interleaved commit
+    val base = SnapshotTable.CommitEntry("append", "{}", Nil,
+      properties = Some(Map("graft.identity.id" -> "0,1,false")))
+    val headFilesOnly = base.copy(action = "append")
+    val t = SnapshotTable(spark, tmpDir("tbl"))
+    assert(!t.appendRebaseSafe(base, headFilesOnly),
+      "identity tables must surface the conflict instead of rebasing")
+    // without identity properties the same shape rebases fine
+    val plain = base.copy(properties = None)
+    assert(t.appendRebaseSafe(plain, plain.copy(action = "append")))
+  }
+
   test("string stats truncate to bounded prefixes that stay sound for pruning") {
     // helpers: min is a plain prefix; max increments the last code point
     assert(SnapshotTable.truncateStatsMin("short") === "short")
