@@ -304,7 +304,8 @@ class SnapshotTable private (
       df: DataFrame,
       cur: Option[CommitEntry],
       props: Map[String, String],
-      mapping: Map[String, String]): DataFrame = {
+      mapping: Map[String, String],
+      strict: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, monotonically_increasing_id, raise_error, when}
     val ids = props.collect {
       case (k, v) if k.startsWith("graft.identity.") =>
@@ -322,8 +323,13 @@ class SnapshotTable private (
         case None => d.withColumn(c, assigned)
         case Some(f) =>
           val fill = assigned.cast(f.dataType)
+          // `strict` only on USER INGEST (append/insert/overwrite):
+          // internal rewrite paths — compact, CoW update/delete, merge,
+          // MoR batches, Z-order — re-write rows that legitimately carry
+          // their already-assigned ids, so there GENERATED ALWAYS must
+          // keep non-NULL values (and still fill merge-inserted NULLs)
           d.withColumn(f.name,
-            if (allow) coalesce(col(f.name), fill)
+            if (allow || !strict) coalesce(col(f.name), fill)
             else when(col(f.name).isNull, fill)
               .otherwise(raise_error(lit(
                 s"identity column '${f.name}' is GENERATED ALWAYS — " +
@@ -429,7 +435,8 @@ class SnapshotTable private (
    *  no cooperation: Spark's parquet scan consults bloom filters during
    *  row-group filtering whenever a pushed equality predicate matches. */
   private[graft] def writeDataDir(dfIn: DataFrame,
-      mappingOverride: Option[Map[String, String]] = None): Seq[FileEntry] = {
+      mappingOverride: Option[Map[String, String]] = None,
+      strictIdentity: Boolean = false): Seq[FileEntry] = {
     // one commit-log read serves the CHECK constraints, the bloom options,
     // and the column mapping (object-store round trips per write matter)
     val cur = currentReadable().map(_._2)
@@ -439,7 +446,8 @@ class SnapshotTable private (
     val checked = enforceConstraints( // constraints are LOGICAL
       applyGeneratedColumns(
         applyIdentityColumns(dfIn, cur, props,
-          cur.flatMap(_.columnMapping).getOrElse(Map.empty)), props), props)
+          cur.flatMap(_.columnMapping).getOrElse(Map.empty),
+          strict = strictIdentity), props), props)
     // files always carry PHYSICAL names so every live file stays uniform
     // across renames (full-rewrite paths pass Some(Map.empty) to reset
     // physical = logical)
@@ -558,7 +566,8 @@ class SnapshotTable private (
     val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
     // full replace: write physical = logical and clear the column mapping
     // (renames are materialized), same lifecycle as the drop tombstones
-    val files = writeDataDir(applyCluster(df, spec), Some(Map.empty))
+    val files = writeDataDir(applyCluster(df, spec), Some(Map.empty),
+      strictIdentity = true)
     // a full replace leaves no file that could carry a dropped column's
     // old values — the drop-column tombstones have done their job
     val props = prior.flatMap(_.properties)
@@ -637,7 +646,7 @@ class SnapshotTable private (
       if (added.nonEmpty) assertResurrectionSafe(added, s"append to $root (mergeSchema)")
     }
     val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
-    val files = writeDataDir(applyCluster(aligned, spec))
+    val files = writeDataDir(applyCluster(aligned, spec), strictIdentity = true)
     // Optimistic-transaction retry (Delta's blind-append rule): an append
     // adds files and reads nothing, so losing the commit race to another
     // FILE-ONLY commit (append, upsert, compact, delete) is not a logical

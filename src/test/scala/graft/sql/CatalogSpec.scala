@@ -589,6 +589,17 @@ class CatalogSpec extends SparkSpec {
       .map(kv => kv._2 -> kv._1).toMap
     assert(dd("x") === 500L)
     assert(dd("y") > 500L, s"omitted id continues past the explicit one: $dd")
+    // internal rewrites must NOT trip GENERATED ALWAYS: an UPDATE (CoW
+    // rewrite) and a compaction both re-write rows carrying their ids
+    val idsBefore = spark.table("graft.db.idt").as[(Long, String)].collect()
+      .map(kv => kv._2 -> kv._1).toMap
+    spark.sql("UPDATE graft.db.idt SET v = concat(v, '!') WHERE v = 'a'")
+    val t = graft.tables.SnapshotTable(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db/idt")
+    t.compact(targetFileBytes = 1024 * 1024, smallFileBytes = 1024 * 1024)
+    val after = spark.table("graft.db.idt").as[(Long, String)].collect()
+      .map(kv => kv._2.stripSuffix("!") -> kv._1).toMap
+    assert(after === idsBefore, "rewrites must preserve assigned ids")
   }
 
   test("GENERATED ALWAYS AS: computed on every path, conflicts rejected") {
