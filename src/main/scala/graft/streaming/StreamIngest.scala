@@ -137,6 +137,53 @@ object StreamIngest {
     }
 
   /**
+   * Streaming ingest with EXACT duplicated-span dedup — q75's
+   * incremental substring dedup chained in-line: each micro-batch
+   * cleans against the persisted [[graft.ext.TextAnalysis.spanGramIndex]]
+   * table (spans already in the corpus lose every batch occurrence;
+   * within-batch dups keep their batch-canonical copy), fully-erased
+   * documents (exact duplicates) are dropped, survivors land in `table`
+   * with `textCol` replaced by the cleaned text (plus `n_removed`
+   * provenance), and the index extends by the batch's fresh grams only
+   * (8 bytes each; grams of removed spans are already indexed).
+   *
+   * Recovery contract mirrors [[dedupIngestSink]]: the doc append
+   * idempotent-skips on its `stream-<batchId>` tag; the gram append is
+   * `expectVersion`-guarded so a foreign index writer fails the batch
+   * and Spark's re-run recomputes against the fresh index.
+   */
+  def spanDedupIngestSink(
+      stream: DataFrame,
+      table: SnapshotTable,
+      gramTable: SnapshotTable,
+      idCol: String,
+      textCol: String,
+      n: Int = 10): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val tag = s"stream-$batchId"
+        val indexV = gramTable.currentVersion()
+        val index =
+          if (indexV < 0) // first batch: typed empty index derived from the batch
+            graft.ext.TextAnalysis.spanGramIndex(batch.limit(0), idCol, textCol, n)
+          else gramTable.readVersion(indexV) // pin exactly what we dedup against
+        val cleaned = graft.ext.TextAnalysis
+          .removeDuplicatedSpansIncremental(batch, index, idCol, textCol, n)
+          .filter(col("clean_text") =!= "") // exact dups erase fully: drop
+          .select(col(idCol), col("clean_text").as(textCol), col("n_removed"))
+        if (!lastStreamBatch(table).contains(batchId))
+          table.appendAs(cleaned, tag)
+        if (!lastStreamBatch(gramTable).contains(batchId)) {
+          val fresh = graft.ext.TextAnalysis
+            .spanGramIndex(batch, idCol, textCol, n)
+            .join(index, Seq("g"), "left_anti")
+          gramTable.appendAs(fresh, tag, expectVersion = Some(indexV))
+        }
+      }
+      ()
+    }
+
+  /**
    * Watermarked tumbling-window aggregation → snapshot table: the
    * standard streaming-rollup pipeline (event time, late-data bound,
    * append-mode emission of finalized windows).

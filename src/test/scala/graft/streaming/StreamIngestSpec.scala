@@ -80,6 +80,40 @@ class StreamIngestSpec extends SparkSpec {
     assert(sigTable.read().filter(col("doc") === 21L).count() === 1, "sigs missing")
   }
 
+  test("span-dedup ingest sink: spans cut against the growing gram index") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val table = SnapshotTable(spark, tmpDir("span_data"))
+    val gramTable = SnapshotTable(spark, tmpDir("span_grams"))
+    val ckpt = tmpDir("ckpt")
+    def sink = StreamIngest.spanDedupIngestSink(
+      mem.toDF().toDF("doc_id", "text"), table, gramTable, "doc_id", "text", n = 4)
+    // batch 0: 2 duplicates 1 exactly (→ fully erased, dropped); 3 novel
+    mem.addData(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "p q r s t u"))
+    StreamIngest.runOnce(sink, ckpt)
+    val b0 = table.read().as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(b0.keySet === Set(1L, 3L), s"exact dup must be dropped: $b0")
+    assert(b0(1L) === ((1L, "a b c d e f", 0L)))
+    val gramsAfter0 = gramTable.read().count()
+    assert(gramsAfter0 > 0)
+    // batch 1: 11 embeds batch-0's span inside fresh prose → span cut,
+    // unique tokens survive; 12 is entirely novel
+    mem.addData(
+      (11L, "x y a b c d q r"),
+      (12L, "m n o k l w"))
+    StreamIngest.runOnce(sink, ckpt)
+    val b1 = table.read().as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(b1(11L) === ((11L, "x y q r", 4L)), s"indexed span must be cut: $b1")
+    assert(b1(12L) === ((12L, "m n o k l w", 0L)))
+    // the index grew by batch-1's fresh grams only (no duplicates)
+    val grams = gramTable.read().as[Long].collect()
+    assert(grams.distinct.length === grams.length, "gram index must stay distinct")
+    assert(grams.length > gramsAfter0)
+  }
+
   test("re-delivered batch id is skipped (idempotent recovery)") {
     val table = SnapshotTable(spark, tmpDir("stream"))
     val batch = Seq((1, "a")).toDF("id", "v")
