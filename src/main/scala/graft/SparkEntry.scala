@@ -32,18 +32,26 @@ object SparkEntry {
     // testdata dirs are immutable, so registration is once per (session,
     // dir) — repeated schema reads otherwise add ~0.5 s to every query
     registeredDirs.getOrElseUpdate((spark, dir), {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read
-      // natively — read it as nanos-long and surface a proper timestamp col.
+      // events.ts has shipped as TIMESTAMP(NANOS) parquet — which Spark can
+      // only read as a nanos-long (nanosAsLong) — and as TIMESTAMP(MICROS),
+      // which surfaces as TIMESTAMP_NTZ. Normalize on the observed type so
+      // every testdata generation presents the same TIMESTAMP-typed `ts`
+      // (session tz is UTC everywhere, so the NTZ→LTZ cast is value-
+      // preserving and DuckDB sees identical micros in the oracle).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       tableNames.foreach { n =>
         val raw = spark.read.parquet(s"$dir/$n.parquet")
         val df =
-          if (n == "events")
-            // integer division: `/` would be Double arithmetic, and at
-            // ~1.7e18 ns doubles only resolve 256 ns — ~1.6% of values
-            // would land 1 µs low after the cast truncates
-            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else raw
+          if (n == "events") raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              // integer division: `/` would be Double arithmetic, and at
+              // ~1.7e18 ns doubles only resolve 256 ns — ~1.6% of values
+              // would land 1 µs low after the cast truncates
+              raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+            case _ => raw
+          } else raw
         df.createOrReplaceTempView(n)
       }
       true
