@@ -1706,12 +1706,16 @@ object SparkEntry {
           col("doc_id"), col("doc_id"), col("doc_id"), col("doc_id"),
           col("doc_id")).as("text"))
     val batch = copies.unionByName(fresh)
-    val corpusFound = ext.Dedup
+    // mine the pair list ONCE; both consumers (corpus-hit audit and the
+    // survivor filter) read the same checkpointed frame instead of
+    // paying the band join + confirmation twice
+    val pairs = ext.Dedup
       .minhashPairsIncremental(index, batch, "doc_id", "text", minEst = 0.5)
+    val corpusFound = pairs
       .filter(col("in_corpus"))
       .select(col("id_a").as("doc_id")).distinct().withColumn("cf", lit(1))
     val survived = ext.Dedup
-      .dedupIncremental(index, batch, "doc_id", "text", minEst = 0.5)
+      .dedupIncrementalFromPairs(pairs, batch, "doc_id")
       .select(col("doc_id")).withColumn("sv", lit(1))
     batch.select(col("doc_id"))
       .join(corpusFound, Seq("doc_id"), "left")

@@ -363,8 +363,26 @@ object Dedup {
       batch: DataFrame,
       idCol: String,
       textCol: String,
-      minEst: Double = 0.5): DataFrame = {
-    val pairs = minhashPairsIncremental(indexSigs, batch, idCol, textCol, minEst = minEst)
+      minEst: Double = 0.5): DataFrame =
+    dedupIncrementalFromPairs(
+      minhashPairsIncremental(indexSigs, batch, idCol, textCol, minEst = minEst),
+      batch, idCol, releasePairs = true)
+
+  /**
+   * [[dedupIncremental]] over an already-mined pair list (the
+   * [[minhashPairsIncremental]] output schema). Pipelines that audit or
+   * persist the pair list — or, like the q66 declared query, consume it
+   * alongside the survivor set — mine ONCE and feed both consumers
+   * instead of paying the band join + confirmation twice. `releasePairs`
+   * hands ownership of a checkpointed `pairs` to this call (released as
+   * soon as the loser set is pinned); leave it false when the caller
+   * still needs `pairs` afterwards.
+   */
+  def dedupIncrementalFromPairs(
+      pairs: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      releasePairs: Boolean = false): DataFrame = {
     val corpusMatched = pairs.filter(col("in_corpus"))
       .select(col("id_a").as("id")).distinct()
     val comps = connectedComponents(
@@ -380,7 +398,7 @@ object Dedup {
     val losers = corpusMatched.unionByName(compLosers).distinct()
       .localCheckpoint() // small: duplicate ids only
     release(comps)
-    release(pairs)
+    if (releasePairs) release(pairs)
     batch.join(losers, batch(idCol) === losers("id"), "left_anti")
   }
 
