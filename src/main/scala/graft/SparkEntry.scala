@@ -343,6 +343,42 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Q77 — branch write-audit-publish (the Iceberg refs/WAP cycle the
+   *  reference gets from its Iceberg runtime jars): fork an `audit`
+   *  branch off the warm orders table, run the doubled-price backfill as
+   *  a branch-isolated UPDATE, audit row conservation on the branch, and
+   *  FAST FORWARD the audited manifest back to main as one CAS squash
+   *  commit. The value columns replay in DuckDB exactly like q70 (×2 is
+   *  binary-exact on doubles); the structural booleans capture what the
+   *  replay cannot see — main never moved between fork and publish, the
+   *  publish landed as exactly one version, and its action row records
+   *  the branch lineage. */
+  private def branchWapQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = warmTable("branch_wap", dir) {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      SnapshotTable.create(s,
+        Files.createTempDirectory("graft_wap").toString,
+        orders.repartitionByRange(8, col("o_orderdate")))
+    }
+    if (t.listBranches().contains("audit")) t.dropBranch("audit")
+    val b = t.createBranch("audit")
+    val forkBase = b.history().map(_.version).min
+    val pred = col("o_orderdate") >= lit(java.sql.Date.valueOf("1997-01-01"))
+    b.update(pred, Map("o_totalprice" -> (col("o_totalprice") * 2)))
+    // AUDIT step, on the branch only: the backfill must conserve rows
+    val preTotal = t.read().count()
+    val auditOk = b.read().count() == preTotal
+    val mainHeadPre = t.currentVersion()
+    t.fastForward("audit")
+    val publishedSquash = t.currentVersion() == mainHeadPre + 1 &&
+      t.history().head.action.startsWith("publish-branch:audit@")
+    t.read().select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("audit_rows_match", lit(auditOk))
+      .withColumn("main_isolated_pre_publish", lit(mainHeadPre == forkBase))
+      .withColumn("published_squash", lit(publishedSquash))
+      .orderBy("o_orderkey")
+  }
+
   private def snapshotPointLookup(s: SparkSession, dir: String): DataFrame =
     ordersSnapshot(s, dir)
       .scan(col("o_orderkey") === 103)
@@ -1867,7 +1903,8 @@ object SparkEntry {
     "q73_quality_filter" -> qualityFilterQuery,
     "q74_random_projection" -> randomProjQuery,
     "q75_incremental_span" -> incrementalSpanQuery,
-    "q76_unigram_logprob" -> unigramLpQuery)
+    "q76_unigram_logprob" -> unigramLpQuery,
+    "q77_branch_wap" -> branchWapQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -1954,7 +1991,18 @@ object SparkEntry {
     "q73_quality_filter" -> Q73Duck,
     "q74_random_projection" -> Q74Duck,
     "q75_incremental_span" -> Q75Duck,
-    "q76_unigram_logprob" -> Q76Duck)
+    "q76_unigram_logprob" -> Q76Duck,
+    "q77_branch_wap" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  true AS audit_rows_match, true AS main_isolated_pre_publish,
+        |  true AS published_squash
+        |FROM orders WHERE o_orderdate < DATE '1997-01-01'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+        |  true AS audit_rows_match, true AS main_isolated_pre_publish,
+        |  true AS published_squash
+        |FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+        |ORDER BY o_orderkey""".stripMargin)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

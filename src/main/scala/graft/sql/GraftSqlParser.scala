@@ -114,6 +114,21 @@ object GraftSqlParser {
     out += cur.toString
     out.map(_.trim).filter(_.nonEmpty).toSeq
   }
+  // named refs (Iceberg tags/branches/WAP surface): ref names accept a
+  // bare path-safe identifier or the same single-quoted
+  private val RefName = "(?:'([A-Za-z0-9][A-Za-z0-9_.-]*)'|([A-Za-z0-9][A-Za-z0-9_.-]*))"
+  private val CreateTagStmt =
+    cmd(s"ALTER\\s+TABLE\\s+$Ident\\s+CREATE\\s+TAG\\s+$RefName" +
+      "(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?")
+  private val DropTagStmt = cmd(s"ALTER\\s+TABLE\\s+$Ident\\s+DROP\\s+TAG\\s+$RefName")
+  private val CreateBranchStmt =
+    cmd(s"ALTER\\s+TABLE\\s+$Ident\\s+CREATE\\s+BRANCH\\s+$RefName")
+  private val DropBranchStmt =
+    cmd(s"ALTER\\s+TABLE\\s+$Ident\\s+DROP\\s+BRANCH\\s+$RefName")
+  private val FastForwardStmt =
+    cmd(s"ALTER\\s+TABLE\\s+$Ident\\s+FAST\\s+FORWARD\\s+BRANCH\\s+$RefName")
+  private val ShowRefsStmt = cmd(s"(?:DESCRIBE|DESC)\\s+REFS\\s+$Ident")
+
   // plain CREATE TABLE never matches — SHALLOW CLONE is required
   private val ShallowCloneStmt =
     cmd(s"CREATE\\s+TABLE\\s+$Ident\\s+SHALLOW\\s+CLONE\\s+$Ident" +
@@ -146,7 +161,23 @@ object GraftSqlParser {
         val spec = if (r.group(3) == null) Nil else splitSpecEntries(r.group(3))
         GraftAlterClusterCommand(identParts(r.group(1)), spec)
       })
+      .orElse(m(CreateTagStmt).map(r => GraftRefCommand(identParts(r.group(1)),
+        "create-tag", refNameOf(r), Option(r.group(4)).map(_.toLong))))
+      .orElse(m(DropTagStmt).map(r =>
+        GraftRefCommand(identParts(r.group(1)), "drop-tag", refNameOf(r))))
+      .orElse(m(CreateBranchStmt).map(r =>
+        GraftRefCommand(identParts(r.group(1)), "create-branch", refNameOf(r))))
+      .orElse(m(DropBranchStmt).map(r =>
+        GraftRefCommand(identParts(r.group(1)), "drop-branch", refNameOf(r))))
+      .orElse(m(FastForwardStmt).map(r =>
+        GraftRefCommand(identParts(r.group(1)), "fast-forward", refNameOf(r))))
+      .orElse(m(ShowRefsStmt).map(r => GraftDescribeRefsCommand(identParts(r.group(1)))))
   }
+
+  /** [[RefName]] captures the quoted form in group 2 and the bare form in
+   *  group 3 (group 1 is always the table identifier). */
+  private def refNameOf(r: java.util.regex.Matcher): String =
+    Option(r.group(2)).getOrElse(r.group(3))
 
   /** Split an OPTIMIZE statement tail into (WHERE predicate, ZORDER BY
    *  columns). The ZORDER BY keyword is located OUTSIDE single-quoted
@@ -423,6 +454,49 @@ case class GraftGenerateManifestCommand(parts: Seq[String]) extends LeafRunnable
   override val output: Seq[Attribute] = Seq(notNull("manifest_path", StringType))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(resolveTable(spark, parts).generateSymlinkManifest()))
+}
+
+/** Named-ref admin (Iceberg tags/branches/WAP surface):
+ *  `ALTER TABLE t CREATE TAG name [AS OF VERSION n]` / `DROP TAG` /
+ *  `CREATE BRANCH` / `DROP BRANCH` / `FAST FORWARD BRANCH` → the
+ *  [[SnapshotTable]] ref API. One command class, `op`-dispatched — the
+ *  five statements share (table, ref name) shape and a one-row result. */
+case class GraftRefCommand(
+    parts: Seq[String], op: String, refName: String, version: Option[Long] = None)
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    notNull("path", StringType), notNull("ref", StringType),
+    notNull("version", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = resolveTable(spark, parts)
+    val v: Long = op match {
+      case "create-tag" =>
+        t.createTag(refName, version); t.tagVersion(refName)
+      case "drop-tag" =>
+        val was = t.tagVersion(refName); t.dropTag(refName); was
+      case "create-branch" => t.createBranch(refName).currentVersion()
+      case "drop-branch" =>
+        val was = t.branch(refName).currentVersion(); t.dropBranch(refName); was
+      case "fast-forward" => t.fastForward(refName).currentVersion()
+      case other => throw new IllegalStateException(s"unknown ref op $other")
+    }
+    Seq(Row(t.root, refName, v))
+  }
+}
+
+/** `DESCRIBE REFS t` — every named ref (Iceberg `refs` metadata-table
+ *  role): (name, type, version) rows, tags then branches, name-ordered. */
+case class GraftDescribeRefsCommand(parts: Seq[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    notNull("name", StringType), notNull("type", StringType),
+    notNull("version", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = resolveTable(spark, parts)
+    t.listTags().map { case (n, v) => Row(n, "tag", v) } ++
+      t.listBranches().map(n => Row(n, "branch", t.branch(n).currentVersion()))
+  }
 }
 
 /** `CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n] [LOCATION 'p']`

@@ -88,15 +88,27 @@ class GraftTableCatalog extends TableCatalog {
   }
 
   /** Time travel: `SELECT … FROM graft.db.t VERSION AS OF <n>` resolves
-   *  here (snapshot isolation made queryable, SURVEY.md §2.1 S2). */
+   *  here (snapshot isolation made queryable, SURVEY.md §2.1 S2). A
+   *  non-numeric version literal resolves as a NAMED REF (Iceberg
+   *  `VERSION AS OF 'tag'`): tags pin their recorded version; a branch
+   *  name serves the branch head as a read snapshot (pinned — a commit
+   *  racing the read does not shift the served version mid-query). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val t = SnapshotTable(spark, rootFor(ident))
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"VERSION AS OF needs an integer version, got '$version'"))
-    require(v >= 0 && v <= t.currentVersion(),
-      s"table ${ident.name} has no version $v (latest: ${t.currentVersion()})")
-    new GraftTable(t, ident, pinnedVersion = Some(v))
+    version.toLongOption match {
+      case Some(v) =>
+        require(v >= 0 && v <= t.currentVersion(),
+          s"table ${ident.name} has no version $v (latest: ${t.currentVersion()})")
+        new GraftTable(t, ident, pinnedVersion = Some(v))
+      case None if t.listTags().exists(_._1 == version) =>
+        new GraftTable(t, ident, pinnedVersion = Some(t.tagVersion(version)))
+      case None if t.listBranches().contains(version) =>
+        val b = t.branch(version)
+        new GraftTable(b, ident, pinnedVersion = Some(b.currentVersion()))
+      case None => throw new IllegalArgumentException(
+        s"VERSION AS OF '$version': not an integer version, tag, or branch of ${ident.name}")
+    }
   }
 
   /** Timestamp time travel: `SELECT … FROM graft.db.t TIMESTAMP AS OF

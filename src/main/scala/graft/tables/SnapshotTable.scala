@@ -60,14 +60,22 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  */
 class SnapshotTable private (
     val spark: SparkSession,
-    val root: String) {
+    val root: String,
+    /** `Some(branch)` when this handle addresses a named branch: commits
+     *  go to the branch's own log under `_refs/branch/<name>/_log` while
+     *  data files share the main table's `data/` dir (zero-copy fork,
+     *  Iceberg branch semantics). `None` = the main table. */
+    val branchName: Option[String] = None) {
 
   import SnapshotTable._
 
   private val rootPath = new Path(root)
   private def hadoopConf: Configuration = spark.sessionState.newHadoopConf()
   private def fs: FileSystem = rootPath.getFileSystem(hadoopConf)
-  private def logDir = new Path(rootPath, "_log")
+  private def logDir = branchName match {
+    case None => new Path(rootPath, "_log")
+    case Some(b) => new Path(rootPath, s"_refs/branch/$b/_log")
+  }
   private def tmpDir = new Path(rootPath, "_tmp")
   private def dataDir = new Path(rootPath, "data")
 
@@ -207,7 +215,10 @@ class SnapshotTable private (
           s"version $version of $root was committed concurrently", e)
     }
     writeHint(version)
-    publishSymlinkManifest(entry)
+    // branch commits must NOT republish the root-level symlink manifest:
+    // external readers consume the PUBLISHED (main) state, and a branch's
+    // audit-in-progress file list would leak out of the WAP fence
+    if (branchName.isEmpty) publishSymlinkManifest(entry)
     refreshViews()
   }
 
@@ -1894,6 +1905,10 @@ class SnapshotTable private (
   def vacuum(
       retainVersions: Int = Int.MaxValue,
       retainMillis: Long = 24L * 3600 * 1000): Int = {
+    // a branch handle's log covers only the branch lineage — computing a
+    // live set from it would reclaim files main (or sibling branches)
+    // still serve
+    requireMainHandle("vacuum")
     val versions = listVersions()
     if (versions.isEmpty) return 0
     // a torn NEWEST entry (concurrent writer mid-commit — or a writer
@@ -1919,7 +1934,7 @@ class SnapshotTable private (
       } catch {
         case NonFatal(e) if v == versions.last && headTorn => Nil
       }
-    }.toSet
+    }.toSet ++ branchLiveFiles() // unpublished branch state shares data/
     // expire old log entries first so no reader can resolve dropped files
     versions.dropRight(keep).foreach { v =>
       fs.delete(slotPath(v), false)
@@ -1960,6 +1975,7 @@ class SnapshotTable private (
   def vacuumDryRun(
       retainVersions: Int = Int.MaxValue,
       retainMillis: Long = 24L * 3600 * 1000): Seq[String] = {
+    requireMainHandle("vacuumDryRun")
     val versions = listVersions()
     if (versions.isEmpty) return Nil
     val headTorn =
@@ -1975,7 +1991,7 @@ class SnapshotTable private (
       } catch {
         case NonFatal(e) if v == versions.last && headTorn => Nil
       }
-    }.toSet
+    }.toSet ++ branchLiveFiles()
     vacuumCandidates(live, retainMillis).map(_.toUri.getPath)
   }
 
@@ -2020,6 +2036,186 @@ class SnapshotTable private (
     clone.writeCommit(0, entry.copy(action = s"clone-of:$root"))
     clone
   }
+
+  // ------------------------------------------------------------ named refs
+  // Tags and branches (Iceberg refs, `iceberg/iceberg_submit.sh` ships the
+  // full Iceberg runtime whose catalog carries them): a TAG is an immutable
+  // named pointer to a committed version — audit/repro handles that survive
+  // vacuum retention decisions being made in version numbers. A BRANCH is a
+  // mutable fork with its OWN commit log under `_refs/branch/<name>/_log`
+  // sharing the main table's `data/` directory — writes land on the branch
+  // in full isolation (main readers never see them), then [[fastForward]]
+  // publishes the audited head back to main in ONE CAS commit: the
+  // write-audit-publish (WAP) pattern. Zero data is copied at fork or
+  // publish time — both are O(manifest) metadata writes, which is what
+  // makes WAP viable on a 100 TB table.
+
+  private def refsDir = new Path(rootPath, "_refs")
+  private def tagsDir = new Path(refsDir, "tag")
+  private def tagPath(name: String) = new Path(tagsDir, s"$name.json")
+
+  /** Ref names become path components — keep them path-safe. */
+  private def validateRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*"),
+      s"ref name '$name' must match [A-Za-z0-9][A-Za-z0-9_.-]*")
+
+  private def requireMainHandle(op: String): Unit =
+    require(branchName.isEmpty,
+      s"$op must run on the main table handle, not branch '${branchName.getOrElse("")}'")
+
+  /**
+   * Create an immutable tag pointing at `asOfVersion` (default: the
+   * current head). Write-once: the ref file is claimed with
+   * `create(overwrite=false)`, so two racing `createTag`s of one name
+   * fail loudly rather than silently retargeting — retagging requires an
+   * explicit [[dropTag]] first (Iceberg tag immutability).
+   */
+  def createTag(name: String, asOfVersion: Option[Long] = None): SnapshotTable = {
+    requireMainHandle("createTag")
+    validateRefName(name)
+    val v = asOfVersion.getOrElse {
+      val cv = currentVersion()
+      require(cv >= 0, s"table $root is empty; nothing to tag")
+      cv
+    }
+    commitEntry(v) // tag targets must be readable commits, fail here not at read
+    fs.mkdirs(tagsDir)
+    val payload = s"""{"version":$v,"ts":${System.currentTimeMillis()}}"""
+    val out =
+      try fs.create(tagPath(name), false)
+      catch {
+        case NonFatal(e) => throw new IllegalArgumentException(
+          s"tag '$name' already exists on $root (tags are immutable; dropTag first)", e)
+      }
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    this
+  }
+
+  /** The version a tag points at. */
+  def tagVersion(name: String): Long = {
+    validateRefName(name)
+    val p = tagPath(name)
+    require(fs.exists(p), s"no tag '$name' on $root")
+    val in = fs.open(p)
+    val body = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      bos.toString("UTF-8")
+    } finally in.close()
+    "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"tag '$name' on $root is unreadable: $body"))
+  }
+
+  /** Snapshot read at a tag — `VERSION AS OF '<tag>'` through the SQL
+   *  surface resolves here. */
+  def readTag(name: String): DataFrame = readVersion(tagVersion(name))
+
+  /** All tags, (name, version), name-ordered. */
+  def listTags(): Seq[(String, Long)] = {
+    if (!fs.exists(tagsDir)) return Nil
+    fs.listStatus(tagsDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(f => f.stripSuffix(".json"))
+      .sorted
+      .map(n => n -> tagVersion(n))
+  }
+
+  def dropTag(name: String): Unit = {
+    requireMainHandle("dropTag")
+    validateRefName(name)
+    require(fs.delete(tagPath(name), false), s"no tag '$name' on $root")
+  }
+
+  /**
+   * Fork a branch at the current head: the head's commit entry is copied
+   * into the branch log at the SAME version number (action records the
+   * fork), so the branch handle is self-contained and its version
+   * numbers stay aligned with main for the eventual [[fastForward]].
+   * O(manifest) metadata, no data copied.
+   */
+  def createBranch(name: String): SnapshotTable = {
+    requireMainHandle("createBranch")
+    validateRefName(name)
+    val (v, entry) = currentReadable().getOrElse(
+      throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
+    require(entry.deltaFiles.forall(_.isEmpty),
+      s"table $root has pending MoR deltas; applyDeltas() before branching")
+    val b = new SnapshotTable(spark, root, Some(name))
+    require(b.currentVersion() < 0, s"branch '$name' already exists on $root")
+    b.writeCommit(v, entry.copy(action = s"branch-fork@$v"))
+    b
+  }
+
+  /** Open an existing branch. */
+  def branch(name: String): SnapshotTable = {
+    requireMainHandle("branch")
+    validateRefName(name)
+    val b = new SnapshotTable(spark, root, Some(name))
+    require(b.currentVersion() >= 0, s"no branch '$name' on $root")
+    b
+  }
+
+  /** All branch names, ordered. */
+  def listBranches(): Seq[String] = {
+    val dir = new Path(refsDir, "branch")
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  /** Delete a branch ref (log only — shared data files stay; any the
+   *  branch alone referenced become unreferenced and are reclaimed by a
+   *  later [[vacuum]] once past its retention window). */
+  def dropBranch(name: String): Unit = {
+    requireMainHandle("dropBranch")
+    validateRefName(name)
+    val dir = new Path(refsDir, s"branch/$name")
+    require(fs.exists(dir), s"no branch '$name' on $root")
+    fs.delete(dir, true)
+  }
+
+  /**
+   * Publish a branch back to main — the WAP "publish" step. The branch
+   * head's manifest lands on main as ONE squash commit in the slot right
+   * after the fork point, so publication is atomic: the commit-slot CAS
+   * itself proves main has not advanced since the fork (a true
+   * fast-forward). If main did advance, the CAS loses and throws
+   * [[SnapshotTable.ConcurrentCommitException]] — re-fork and replay, the
+   * same contract Iceberg's `fast_forward` enforces via its
+   * ancestor check. Zero data movement; audits run on the branch read
+   * the exact files main will serve after publish.
+   */
+  def fastForward(name: String): SnapshotTable = {
+    requireMainHandle("fastForward")
+    val b = branch(name)
+    val (bv, be) = b.currentReadable().getOrElse(
+      throw new IllegalStateException(s"branch '$name' on $root has no readable head"))
+    require(be.deltaFiles.forall(_.isEmpty),
+      s"branch '$name' has pending MoR deltas; applyDeltas() on the branch before publishing")
+    val base = b.listVersions().headOption.getOrElse(
+      throw new IllegalStateException(s"branch '$name' on $root has an empty log"))
+    require(bv > base, s"branch '$name' has no commits past its fork point ($base); nothing to publish")
+    writeCommit(base + 1, be.copy(action = s"publish-branch:$name@$bv"))
+    this
+  }
+
+  /** Files referenced by any branch log — unpublished branch state lives
+   *  in the shared `data/` dir and must survive a main-side [[vacuum]]. */
+  private def branchLiveFiles(): Set[String] =
+    listBranches().flatMap { name =>
+      val b = new SnapshotTable(spark, root, Some(name))
+      b.listVersions().flatMap { v =>
+        try {
+          val e = b.commitEntry(v)
+          e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
+        } catch {
+          // a torn branch entry's files are mid-write → inside the
+          // retainMillis mtime window, safe from this vacuum pass
+          case NonFatal(_) => Nil
+        }
+      }
+    }.toSet
 
   // --------------------------------------------------------- merge-on-read
 

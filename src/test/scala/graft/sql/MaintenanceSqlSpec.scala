@@ -336,4 +336,50 @@ class MaintenanceSqlSpec extends SparkSpec {
       .toDF("id", "ts"))
     assert(t.read().count() === 51)
   }
+
+  test("tag/branch admin SQL and DESCRIBE REFS cover the WAP cycle") {
+    val t = freshRegistered("maint_refs")
+    spark.sql("ALTER TABLE maint_refs CREATE TAG baseline")
+    t.append(Seq((4, "d")).toDF("id", "payload"))
+    spark.sql("ALTER TABLE maint_refs CREATE TAG 'v1' AS OF VERSION 1")
+    val br = spark.sql("ALTER TABLE maint_refs CREATE BRANCH audit").collect().head
+    assert(br.getString(1) === "audit" && br.getLong(2) === 1L)
+    // write on the branch through the API; main must not move
+    t.branch("audit").append(Seq((5, "e")).toDF("id", "payload"))
+    assert(t.read().count() === 4)
+    val refs = spark.sql("DESCRIBE REFS maint_refs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(refs === Seq(("baseline", "tag", 0L), ("v1", "tag", 1L),
+      ("audit", "branch", 2L)))
+    val ff = spark.sql("ALTER TABLE maint_refs FAST FORWARD BRANCH audit")
+      .collect().head
+    assert(ff.getLong(2) === 2L)
+    assert(t.read().count() === 5)
+    spark.sql("ALTER TABLE maint_refs DROP BRANCH audit")
+    spark.sql("ALTER TABLE maint_refs DROP TAG baseline")
+    assert(spark.sql("DESCRIBE REFS maint_refs").collect().length === 1)
+  }
+
+  test("VERSION AS OF resolves tags and branch heads through the DSv2 catalog") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS graft.db.reft")
+    Seq((1, "a"), (2, "b")).toDF("id", "v").writeTo("graft.db.reft").createOrReplace()
+    val t = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftTableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "reft")) match {
+      case g: GraftTable => g.table
+    }
+    t.createTag("first")
+    Seq((3, "c")).toDF("id", "v").writeTo("graft.db.reft").append()
+    t.createBranch("wip").append(Seq((4, "d"), (5, "e")).toDF("id", "v"))
+    assert(spark.sql("SELECT * FROM graft.db.reft VERSION AS OF 'first'").count() === 2)
+    assert(spark.sql("SELECT * FROM graft.db.reft VERSION AS OF 'wip'").count() === 5)
+    assert(spark.table("graft.db.reft").count() === 3) // main untouched
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft.db.reft VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("not an integer version, tag, or branch"))
+    assert(spark.sql("SELECT * FROM graft.db.reft VERSION AS OF 1")
+      .where(col("id") === 3).count() === 0)
+  }
 }

@@ -1,0 +1,112 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Named refs: immutable tags, branch fork/isolation, and the
+ *  write-audit-publish fast-forward (SnapshotTable's Iceberg-refs role). */
+class TagBranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(prefix: String): SnapshotTable =
+    SnapshotTable.create(spark, tmpDir(prefix),
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+
+  test("tags pin versions, are immutable, and resolve through readTag") {
+    val t = freshTable("tag_basic")
+    t.createTag("v0-audit")
+    t.append(Seq((11L, "v11")).toDF("id", "v"))
+    t.createTag("after-append", asOfVersion = Some(t.currentVersion()))
+    assert(t.tagVersion("v0-audit") === 0L)
+    assert(t.readTag("v0-audit").count() === 10)
+    assert(t.readTag("after-append").count() === 11)
+    assert(t.listTags() === Seq("after-append" -> 1L, "v0-audit" -> 0L))
+    // immutable: re-tagging the same name fails loudly
+    val e = intercept[IllegalArgumentException](t.createTag("v0-audit"))
+    assert(e.getMessage.contains("immutable"))
+    t.dropTag("v0-audit")
+    assert(t.listTags().map(_._1) === Seq("after-append"))
+    intercept[Exception](t.readTag("v0-audit"))
+  }
+
+  test("tag targets must be readable commits and names must be path-safe") {
+    val t = freshTable("tag_guard")
+    intercept[Exception](t.createTag("ghost", asOfVersion = Some(99L)))
+    intercept[IllegalArgumentException](t.createTag("../escape"))
+    intercept[IllegalArgumentException](t.createTag(".hidden"))
+  }
+
+  test("branch writes are invisible to main until fastForward publishes them") {
+    val t = freshTable("br_wap")
+    val b = t.createBranch("audit")
+    // fork is zero-copy: branch head serves the exact same files
+    assert(b.manifest().toSet === t.manifest().toSet)
+    b.append(Seq((11L, "v11"), (12L, "v12")).toDF("id", "v"))
+    // isolation both ways
+    assert(t.read().count() === 10)
+    assert(b.read().count() === 12)
+    assert(t.currentVersion() === 0L)
+    // publish: one squash commit lands the audited manifest on main
+    t.fastForward("audit")
+    assert(t.read().count() === 12)
+    assert(t.currentVersion() === 1L)
+    // zero-copy publish: main now references the branch's data files
+    assert(t.manifest().toSet === b.manifest().toSet)
+    val action = t.history().head.action
+    assert(action.startsWith("publish-branch:audit@"), action)
+  }
+
+  test("fastForward loses the CAS when main advanced since the fork") {
+    val t = freshTable("br_race")
+    val b = t.createBranch("audit")
+    b.append(Seq((11L, "v11")).toDF("id", "v"))
+    t.append(Seq((99L, "v99")).toDF("id", "v")) // main advances first
+    intercept[SnapshotTable.ConcurrentCommitException](t.fastForward("audit"))
+    // main is unharmed and still serves its own lineage
+    assert(t.read().count() === 11)
+    assert(t.read().filter(col("id") === 99).count() === 1)
+  }
+
+  test("vacuum on main never reclaims unpublished branch files; dropBranch releases them") {
+    val t = freshTable("br_vac")
+    val b = t.createBranch("wip")
+    b.overwrite((1 to 5).map(i => (i.toLong, s"w$i")).toDF("id", "v"))
+    val branchFiles = b.manifest().toSet
+    assert(branchFiles.intersect(t.manifest().toSet).isEmpty)
+    // aggressive retention: only the branch ref keeps these files alive
+    assert(t.vacuum(retainVersions = 1, retainMillis = 0L) === 0)
+    assert(b.read().count() === 5)
+    t.dropBranch("wip")
+    assert(t.listBranches().isEmpty)
+    // now they are orphans and reclaimable
+    val dropped = t.vacuum(retainVersions = 1, retainMillis = 0L)
+    assert(dropped === branchFiles.size, s"$dropped != ${branchFiles.size}")
+    assert(t.read().count() === 10) // main lineage untouched
+  }
+
+  test("branch handles cannot run ref admin or vacuum") {
+    val t = freshTable("br_guard")
+    val b = t.createBranch("x")
+    intercept[IllegalArgumentException](b.vacuum())
+    intercept[IllegalArgumentException](b.vacuumDryRun())
+    intercept[IllegalArgumentException](b.createBranch("nested"))
+    intercept[IllegalArgumentException](b.createTag("t1"))
+    intercept[IllegalArgumentException](b.fastForward("x"))
+    intercept[IllegalArgumentException](t.createBranch("x")) // duplicate name
+    intercept[IllegalArgumentException](t.fastForward("x")) // nothing to publish
+    intercept[IllegalArgumentException](t.branch("nope"))
+  }
+
+  test("branch supports schema evolution and publishes the evolved schema") {
+    val t = freshTable("br_schema")
+    val b = t.createBranch("evolve")
+    b.addColumns(Seq(org.apache.spark.sql.types.StructField("score",
+      org.apache.spark.sql.types.DoubleType)))
+    b.append(Seq((11L, "v11", 0.5)).toDF("id", "v", "score"))
+    assert(!t.schema.fieldNames.contains("score"))
+    t.fastForward("evolve")
+    assert(t.schema.fieldNames.contains("score"))
+    assert(t.read().filter(col("score").isNotNull).count() === 1)
+  }
+}
