@@ -379,6 +379,60 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Q78 — streaming source→sink round trip (§2.6's Delta-streaming role
+   *  as a gated query, not just a spec): the events click-slice is
+   *  committed to a snapshot table in THREE versions, `readStream
+   *  .format("graft-table")` replays them as version micro-batches
+   *  (`maxVersionsPerTrigger=1` backfill pacing), a stateless transform
+   *  runs in-stream, and [[graft.streaming.StreamIngest.appendSink]]
+   *  lands each batch as one atomic idempotent commit. Deterministic by
+   *  construction — stateless transforms make the result independent of
+   *  batch boundaries, and the boundaries themselves are pinned by the
+   *  paced version replay (the `paced_batches` structural column
+   *  asserts one `stream-*` commit per source version reached the sink
+   *  log). */
+  private def streamRoundtripQuery(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    val ev = s.table("events")
+    val src = warmTable("stream_src", dir) {
+      val base = SnapshotTable.create(s,
+        Files.createTempDirectory("graft_stream_src").toString,
+        ev.filter(col("event_id") % 3 === 0))
+      base.append(ev.filter(col("event_id") % 3 === 1))
+      base.append(ev.filter(col("event_id") % 3 === 2))
+      base
+    }
+    val out = SnapshotTable.createEmpty(s,
+      Files.createTempDirectory("graft_stream_out").toString,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value2",
+          org.apache.spark.sql.types.DoubleType))))
+    // one checkpoint across the runs: each paced run resumes exactly
+    // where the previous stopped (the V1 recovery contract) and covers
+    // ONE more source version — three runs replay the three commits as
+    // three micro-batches
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    (1 to 3).foreach { _ =>
+      val stream = s.readStream.format("graft-table")
+        .option("path", src.root)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), (col("value") * 2).as("value2"))
+      graft.streaming.StreamIngest.runOnce(
+        graft.streaming.StreamIngest.appendSink(stream, out), ckpt)
+    }
+    val pacedBatches =
+      out.history().count(_.action.startsWith("stream-")) == 3
+    out.read().select(col("event_id"), col("user_id"), col("value2"))
+      .withColumn("paced_batches", lit(pacedBatches))
+      .orderBy("event_id")
+  }
+
   private def snapshotPointLookup(s: SparkSession, dir: String): DataFrame =
     ordersSnapshot(s, dir)
       .scan(col("o_orderkey") === 103)
@@ -1904,7 +1958,8 @@ object SparkEntry {
     "q74_random_projection" -> randomProjQuery,
     "q75_incremental_span" -> incrementalSpanQuery,
     "q76_unigram_logprob" -> unigramLpQuery,
-    "q77_branch_wap" -> branchWapQuery)
+    "q77_branch_wap" -> branchWapQuery,
+    "q78_stream_roundtrip" -> streamRoundtripQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2002,7 +2057,11 @@ object SparkEntry {
         |  true AS audit_rows_match, true AS main_isolated_pre_publish,
         |  true AS published_squash
         |FROM orders WHERE o_orderdate >= DATE '1997-01-01'
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q78_stream_roundtrip" ->
+      """SELECT event_id, user_id, value * 2 AS value2, true AS paced_batches
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique
