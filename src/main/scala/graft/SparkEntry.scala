@@ -948,6 +948,52 @@ object SparkEntry {
       |SELECT id_a, id_b, round(c, 4) AS cos FROM pairs WHERE c >= 0.95
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Q79 — int8 scalar-quantized ANN ([[ext.Similarity.quantizedTopK]]):
+   *  both sides quantize map-side to 4×-smaller int8 codes (SQ8), and
+   *  scoring is the pure integer [[ext.functions.int8Cosine]] kernel —
+   *  the per-vector scales cancel in the cosine, so the whole pipeline
+   *  is integer arithmetic + one double division, replayed bit-exactly
+   *  by DuckDB (floor(x/s + 0.5) rounding, integer dots ≪ 2⁵³). The
+   *  planted id-shifted copies must surface at rank 1 with qcos exactly
+   *  1.0 — identical vectors quantize to identical codes. */
+  private def quantizedTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val doubled = emb.unionByName(
+      emb.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
+    ext.Similarity.quantizedTopK(doubled,
+        doubled.filter(col("vec_id") < 25), "vec_id", "embedding", k = 3)
+      .select(col("q_id"), col("n_id"), round(col("qcos"), 4).as("qcos"))
+      .orderBy("q_id", "n_id")
+  }
+  private val Q79Duck =
+    """WITH base AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT CAST(vec_id AS BIGINT) + 1000000, embedding::DOUBLE[] FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id,
+      |         CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+      |              ELSE list_transform(v, x ->
+      |                greatest(-127.0, least(127.0, floor(x / s + 0.5)))) END AS codes
+      |  FROM (SELECT vec_id, v,
+      |          list_max(list_transform(v, x -> abs(x))) / 127 AS s FROM base)),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |         CASE WHEN list_dot_product(q.codes, q.codes) = 0
+      |                OR list_dot_product(c.codes, c.codes) = 0 THEN 0.0
+      |              ELSE list_dot_product(q.codes, c.codes) /
+      |                   (sqrt(list_dot_product(q.codes, q.codes)) *
+      |                    sqrt(list_dot_product(c.codes, c.codes))) END AS qc
+      |  FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 25),
+      |ranked AS (
+      |  SELECT q_id, n_id, qc,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY qc DESC, n_id) AS r
+      |  FROM scored)
+      |SELECT q_id, n_id, round(qc, 4) AS qcos FROM ranked WHERE r <= 3
+      |ORDER BY q_id, n_id""".stripMargin
+
   /** Q68 — SemDeDup ([[ext.Dedup.semDedupPairs]]): k-means-clustered
    *  within-cluster cosine pair mining (the clustered sibling of q48's
    *  hyperplane-LSH miner). The oracle is EXACT, not structural: planted
@@ -1959,7 +2005,8 @@ object SparkEntry {
     "q75_incremental_span" -> incrementalSpanQuery,
     "q76_unigram_logprob" -> unigramLpQuery,
     "q77_branch_wap" -> branchWapQuery,
-    "q78_stream_roundtrip" -> streamRoundtripQuery)
+    "q78_stream_roundtrip" -> streamRoundtripQuery,
+    "q79_int8_topk" -> quantizedTopKQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2061,7 +2108,8 @@ object SparkEntry {
     "q78_stream_roundtrip" ->
       """SELECT event_id, user_id, value * 2 AS value2, true AS paced_batches
         |FROM events WHERE event_type = 'click'
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q79_int8_topk" -> Q79Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

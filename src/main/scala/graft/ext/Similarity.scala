@@ -115,6 +115,37 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
+  /**
+   * [[bruteForceTopK]] over int8 scalar-quantized codes (SQ8): both
+   * sides quantize map-side ([[functions.int8Codes]], 4× smaller than
+   * float32 — at 10⁹×1 KB vectors that is the difference between a
+   * corpus that fits executor memory and one that spills), and scoring
+   * is the pure integer [[functions.int8Cosine]] kernel (per-vector
+   * scales cancel in the cosine, so no scale column travels). Ranking
+   * error vs exact cosine is bounded by the quantization step (~1/127
+   * per component); identical vectors still score exactly 1.0. The
+   * quantize-once/probe-many pattern: persist the codes column next to
+   * the corpus and amortize quantization across every query.
+   */
+  def quantizedTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"),
+      functions.int8Codes(col(vecCol)).as("n_codes"))
+    val q = probes.select(col(idCol).as("q_id"),
+      functions.int8Codes(col(vecCol)).as("q_codes"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("qcos", functions.int8Cosine(col("q_codes"), col("n_codes")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("qcos"), col("rank"))
+  }
+
   /** Approximate top-k: candidates from multi-probe hyperplane-LSH bucket
    *  collisions, exact cosine re-rank. Both sides shuffle on (seed,
    *  bucket) — scale-safe for corpus-sized probe sets too.

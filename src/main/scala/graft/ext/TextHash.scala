@@ -390,6 +390,83 @@ object TextHash {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /**
+   * Symmetric int8 scalar quantization of a float vector: per-vector
+   * scale = maxAbs/127, code_i = clamp(floor(x_i/scale + 0.5), ±127) —
+   * the standard 4× memory/bandwidth reduction for embedding corpora
+   * (an int8 FAISS/SQ8 code layout). Rounding is spelled
+   * `floor(x + 0.5)` (not `Math.round`'s half-up on longs or banker's
+   * `rint`) so ANY engine with floor replays the codes bit-exactly —
+   * the oracle-portability rule the deterministic-sampling hashes
+   * follow. An all-zero (or zero-scale) vector quantizes to all-zero
+   * codes rather than dividing by zero.
+   */
+  def int8CodesF(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(v.getFloat(i).toDouble)
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    if (maxAbs == 0.0) return out
+    val scale = maxAbs / 127.0
+    i = 0
+    while (i < n) {
+      val q = math.floor(v.getFloat(i).toDouble / scale + 0.5)
+      out(i) = math.max(-127.0, math.min(127.0, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** [[int8CodesF]] for array<double> input. */
+  def int8CodesD(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(v.getDouble(i))
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    if (maxAbs == 0.0) return out
+    val scale = maxAbs / 127.0
+    i = 0
+    while (i < n) {
+      val q = math.floor(v.getDouble(i) / scale + 0.5)
+      out(i) = math.max(-127.0, math.min(127.0, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /**
+   * Cosine similarity of two int8 code vectors. The per-vector scales
+   * CANCEL in the cosine — cos(s_a·q_a, s_b·q_b) = (q_a·q_b)/(‖q_a‖‖q_b‖)
+   * — so the kernel is a pure integer dot/norm accumulation (the
+   * SIMD-able hot loop of quantized ANN; 64-dim worst case |dot| ≤
+   * 64·127² ≪ 2⁵³, exact in the final double conversion). Zero-norm
+   * codes score 0.0, dimension mismatch fails loudly ([[checkedDim]]
+   * contract).
+   */
+  def int8Cosine(a: Array[Byte], b: Array[Byte]): Double = {
+    if (a.length != b.length) throw new IllegalArgumentException(
+      s"int8_cosine: dimension mismatch (${a.length} vs ${b.length})")
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toLong; val y = b(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
   /** Intersection size of two string arrays that are BOTH sorted ascending
    *  (binary/UTF8 order, e.g. via `sort_array`): one merge scan, O(n+m)
    *  byte comparisons — the verification kernel for similarity joins

@@ -197,6 +197,53 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Symmetric int8 scalar quantization codes (binary) for an
+ *  array<float> / array<double> embedding — [[TextHash.int8CodesF]]. */
+case class Int8Codes(child: Expression) extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"int8_codes needs array<float> or array<double>, got ${t.sql}")
+    }
+  override protected def nullSafeEval(v: Any): Any =
+    if (isFloat) TextHash.int8CodesF(v.asInstanceOf[ArrayData])
+    else TextHash.int8CodesD(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "int8CodesF" else "int8CodesD"
+    defineCodeGen(ctx, ev, v => s"graft.ext.TextHash.$fn($v)")
+  }
+  override protected def withNewChildInternal(c: Expression): Int8Codes = copy(child = c)
+}
+
+/** Cosine similarity of two int8 code columns (binary) — the pure
+ *  integer kernel of quantized ANN ([[TextHash.int8Cosine]]; the
+ *  per-vector scales cancel, so no scale column travels with the
+ *  codes). */
+case class Int8Cosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"int8_cosine needs two binary code columns, got ${l.sql} / ${r.sql}")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.int8Cosine(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.TextHash.int8Cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8Cosine =
+    copy(left = l, right = r)
+}
+
 /** Intersection size of two ASC-sorted array<string> or array<long>
  *  columns (merge scan, set semantics) — the codegen-friendly
  *  similarity-join verifier. */

@@ -50,6 +50,14 @@ object functions {
   def cosineSimilarity(a: Column, b: Column): Column =
     column(CosineSimilarity(expr(a), expr(b)))
 
+  /** Symmetric int8 scalar-quantization codes (binary) of an embedding
+   *  column — 4× smaller than float32, scales cancel in [[int8Cosine]]. */
+  def int8Codes(v: Column): Column = column(Int8Codes(expr(v)))
+
+  /** Cosine similarity of two [[int8Codes]] columns (pure integer kernel). */
+  def int8Cosine(a: Column, b: Column): Column =
+    column(Int8Cosine(expr(a), expr(b)))
+
   /** Random-hyperplane LSH bucket id for an array<float> embedding. */
   def hyperplaneBucket(v: Column, planes: Int = 16,
       seed: Long = TextHash.DefaultSeed): Column =

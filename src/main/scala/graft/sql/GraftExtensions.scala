@@ -152,6 +152,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       litNum(args, 2, "minhash_signature", Some(graft.ext.TextHash.DefaultSeed))))
     register("cosine_similarity", 2, 2,
       args => graft.ext.CosineSimilarity(args(0), args(1)))
+    register("int8_codes", 1, 1, args => graft.ext.Int8Codes(args.head))
+    register("int8_cosine", 2, 2,
+      args => graft.ext.Int8Cosine(args(0), args(1)))
     register("sorted_intersect_count", 2, 2,
       args => graft.ext.SortedIntersectCount(args(0), args(1)))
     register("hyperplane_bucket", 1, 3, args => graft.ext.HyperplaneBucket(args.head,

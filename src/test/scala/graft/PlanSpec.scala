@@ -45,6 +45,14 @@ class PlanSpec extends SparkSpec {
     // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
     assert(plan.contains("*(1) Project [fingerprint64("), s"no codegen span in:\n$plan")
     assert(!plan.contains("CodegenFallback"), s"codegen fallback in:\n$plan")
+    // the int8 quantization kernels fuse too (q79's hot path)
+    val q = spark.table("embeddings").select(
+      ext.functions.int8Cosine(ext.functions.int8Codes(col("embedding")),
+        ext.functions.int8Codes(col("embedding"))))
+    val qPlan = executedPlanString(q)
+    assert(qPlan.contains("*(1) Project [int8cosine(int8codes("),
+      s"no codegen span in:\n$qPlan")
+    assert(!qPlan.contains("CodegenFallback"), s"codegen fallback in:\n$qPlan")
   }
 
   test("snapshot point lookup scans exactly one file after pruning") {
@@ -162,6 +170,7 @@ class PlanSpec extends SparkSpec {
     // side fails loudly
     val allowNlj = Map(
       "q22_cosine_topk" -> None, // small-probe broadcast by documented design
+      "q79_int8_topk" -> None, // same brute-force small-probe design, SQ8 codes
       "q72_bm25_search" -> Some("HashAggregate(keys=[], functions=[count(1), avg("),
       "q76_unigram_logprob" -> Some("HashAggregate(keys=[], functions=[sum(tf"))
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

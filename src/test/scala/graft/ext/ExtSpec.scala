@@ -61,6 +61,55 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r(2) - 24.0 / 25.0) < 1e-12)
   }
 
+  test("int8 quantization: codes bounded, identical vectors exact, error bounded") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("id", "vec")
+    val codes = vecs.select(col("id"), functions.int8Codes(col("vec")).as("c"))
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(codes.values.forall(c => c.length === 64 &&
+      c.forall(b => b >= -127 && b <= 127)))
+    // max-magnitude component always hits ±127 (symmetric scale contract)
+    assert(codes.values.forall(_.exists(b => math.abs(b.toInt) === 127)))
+    // identical vectors → identical codes → int8 cosine exactly 1.0
+    val self = vecs.select(functions.int8Cosine(
+      functions.int8Codes(col("vec")), functions.int8Codes(col("vec"))))
+      .as[Double].collect()
+    // sqrt(na)*sqrt(nb) rounds once per factor, so identical codes score
+    // 1.0 only to within one ulp — the oracle replays the same IEEE ops
+    assert(self.forall(v => math.abs(v - 1.0) < 1e-12))
+    // quantized cosine tracks exact cosine within the SQ8 error envelope
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(
+        functions.cosineSimilarity(col("a.vec"), col("b.vec")).as("exact"),
+        functions.int8Cosine(functions.int8Codes(col("a.vec")),
+          functions.int8Codes(col("b.vec"))).as("q"))
+      .as[(Double, Double)].collect()
+    assert(pairs.forall { case (e, q) => math.abs(e - q) < 0.02 })
+    // zero vector → all-zero codes → cosine 0.0, no division by zero
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(functions.int8Cosine(functions.int8Codes(col("a")),
+        functions.int8Codes(col("b")))).as[Double].head()
+    assert(z === 0.0)
+    // dimension mismatch fails loudly
+    val e = intercept[Exception](Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(functions.int8Cosine(functions.int8Codes(col("a")),
+        functions.int8Codes(col("b")))).collect())
+    assert(e.getMessage.contains("dimension mismatch"))
+  }
+
+  test("quantizedTopK finds the planted nearest neighbor first") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 30L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
+    val planted = base.map { case (i, v) => (i + 1000L, v) } // identical copies
+    val all = (base ++ planted).toDF("id", "vec")
+    val got = Similarity.quantizedTopK(all, all.filter(col("id") < 5), "id", "vec", k = 1)
+      .select("q_id", "n_id", "qcos").as[(Long, Long, Double)].collect()
+    assert(got.length === 5)
+    assert(got.forall { case (q, n, c) => n === q + 1000L && math.abs(c - 1.0) < 1e-12 })
+  }
+
   test("kernel guards: cosine dims, zero norms, LSH/shingle parameters") {
     // mixed embedding dimensions fail loudly, not truncate-and-guess
     val mixed = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f, 0.0f))).toDF("a", "b")

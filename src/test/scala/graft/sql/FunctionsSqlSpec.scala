@@ -33,6 +33,27 @@ class FunctionsSqlSpec extends SparkSpec {
     assert(cos === 0.0)
   }
 
+  test("int8_codes / int8_cosine resolve in SQL and match the Column API") {
+    val vecs = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.75f)),
+      (2L, Array(0.5f, -1.0f, 0.25f, 0.75f)),
+      (3L, Array(-0.2f, 0.9f, 0.1f, -0.6f))).toDF("id", "vec")
+    vecs.createOrReplaceTempView("fn_int8")
+    val sql = spark.sql(
+      """SELECT a.id AS ia, b.id AS ib,
+        |       int8_cosine(int8_codes(a.vec), int8_codes(b.vec)) AS qc
+        |FROM fn_int8 a JOIN fn_int8 b ON a.id < b.id
+        |ORDER BY ia, ib""".stripMargin)
+    val api = vecs.as("a").join(vecs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        gf.int8Cosine(gf.int8Codes(col("a.vec")), gf.int8Codes(col("b.vec"))).as("qc"))
+      .orderBy("ia", "ib")
+    assert(sql.collect().toSeq === api.collect().toSeq)
+    // identical vectors quantize identically → ≈1.0 through SQL (one ulp
+    // from the sqrt(na)*sqrt(nb) rounding)
+    assert(math.abs(sql.filter("ia = 1 and ib = 2").select("qc")
+      .as[Double].head() - 1.0) < 1e-12)
+  }
+
   test("minhash_signature, token_count, avg_token_length match the Column API") {
     val docs = Seq((1L, "the quick brown fox jumps over"), (2L, "pack my box"))
       .toDF("id", "text")
