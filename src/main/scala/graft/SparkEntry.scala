@@ -530,6 +530,39 @@ object SparkEntry {
       |               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS quality
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Q80 — token-budget corpus selection ([[ext.Sampling.budgetPerGroup]]):
+   *  per source, the best-quality documents whose cumulative token count
+   *  fits a 700-token budget — greedy strict-prefix semantics, so the
+   *  oracle is ONE window cumsum. The engine runs the histogram
+   *  two-phase (bucket classification + boundary-bucket-only ranking, the
+   *  q56 skew lesson applied to prefix sums); the oracle's single window
+   *  proves the decomposition exact. */
+  private def budgetSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    val scored = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        ext.TextAnalysis.qualityScore(col("text")).as("quality"),
+        ext.TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+    ext.Sampling.budgetPerGroup(scored, "source", "quality", "tokens", "doc_id",
+        budget = 700L)
+      .orderBy("doc_id")
+  }
+  private val Q80Duck =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    round((len(list_distinct(string_split(text,' ')))*1.0 / len(string_split(text,' ')))
+      |      * (CASE WHEN len(string_split(text,' ')) >= 10 THEN 1.0
+      |              ELSE len(string_split(text,' '))/10.0 END)
+      |      * (CASE WHEN length(replace(text,' ',''))*1.0/len(string_split(text,' '))
+      |                   BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS quality,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT *, sum(tokens) OVER (PARTITION BY source
+      |    ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM scored)
+      |SELECT doc_id, source, quality, tokens FROM ranked WHERE cum <= 700
+      |ORDER BY doc_id""".stripMargin
+
   /** Q47 — punctuation/stopword density ratios (the remaining members of
    *  the quality-heuristic family), formulas replayed in the oracle. */
   private def textRatiosQuery(s: SparkSession, dir: String): DataFrame = {
@@ -2006,7 +2039,8 @@ object SparkEntry {
     "q76_unigram_logprob" -> unigramLpQuery,
     "q77_branch_wap" -> branchWapQuery,
     "q78_stream_roundtrip" -> streamRoundtripQuery,
-    "q79_int8_topk" -> quantizedTopKQuery)
+    "q79_int8_topk" -> quantizedTopKQuery,
+    "q80_budget_sample" -> budgetSampleQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2109,7 +2143,8 @@ object SparkEntry {
       """SELECT event_id, user_id, value * 2 AS value2, true AS paced_batches
         |FROM events WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
-    "q79_int8_topk" -> Q79Duck)
+    "q79_int8_topk" -> Q79Duck,
+    "q80_budget_sample" -> Q80Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

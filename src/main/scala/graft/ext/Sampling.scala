@@ -162,6 +162,74 @@ object Sampling {
    * deterministic and layout-independent as long as `orderBy` is a
    * total order (tie-break on a unique id).
    */
+  /**
+   * Token-budget corpus selection — "the best documents per source whose
+   * cumulative token count fits the budget", the data-mixing primitive
+   * for hitting a training recipe's per-source token targets. Greedy
+   * strict-prefix semantics: rank each group by (`scoreCol` DESC,
+   * `idCol` ASC) and keep the maximal prefix whose INCLUSIVE running
+   * `weightCol` sum stays ≤ `budget` (the running sum is monotone, so
+   * the kept set is exactly a prefix — trivially replayable as one SQL
+   * window cumsum). Rows with NULL score or weight are excluded.
+   *
+   * Scale shape (the q56 lesson, prefix-sum edition): a single
+   * `sum() OVER (PARTITION BY group ORDER BY …)` funnels every row of a
+   * hot source through one sorting reducer. Instead, a HISTOGRAM
+   * two-phase: scores quantize into `buckets` slots (scores are
+   * [0,1]-ish quality values; out-of-range clamps), one tiny
+   * per-(group, bucket) weight-sum aggregate classifies every bucket by
+   * its exclusive prefix total — buckets fully inside the budget keep
+   * all rows with NO window, buckets fully past it drop map-side, and
+   * only the ONE boundary bucket per group ranks its own rows
+   * (offset by the bucket prefix). Reducer work is bounded by the
+   * boundary bucket's size, not the group's.
+   */
+  def budgetPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      weightCol: String,
+      idCol: String,
+      budget: Long,
+      buckets: Int = 1024): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    require(buckets > 0, s"buckets $buckets must be positive")
+    val b = "__graft_budget_bucket"
+    val wsum = "__graft_budget_wsum"
+    val above = "__graft_budget_above"
+    val cum = "__graft_budget_cum"
+    // floor quantization is order-preserving, so bucket order == score
+    // order and equal scores never straddle a bucket edge — the
+    // within-bucket (score, id) sort IS the global order restricted to
+    // the bucket, which is what makes the decomposition exact
+    val bucketed = df
+      .filter(col(scoreCol).isNotNull && col(weightCol).isNotNull)
+      .withColumn(b, least(lit(buckets), greatest(lit(0),
+        floor(col(scoreCol) * buckets))).cast("int"))
+    val hist = bucketed.groupBy(col(groupCol), col(b))
+      .agg(sum(col(weightCol)).as(wsum))
+    val wAbove = Window.partitionBy(col(groupCol)).orderBy(col(b).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classified = hist
+      .withColumn(above, coalesce(sum(col(wsum)).over(wAbove), lit(0L)))
+    val joined = bucketed.join(classified, Seq(groupCol, b))
+    val fullKeep = col(above) + col(wsum) <= budget
+    val fullDrop = col(above) >= budget
+    val helperCols = Seq(b, wsum, above)
+    val kept = joined.filter(fullKeep).drop(helperCols: _*)
+    // boundary rows: exactly one bucket per group reaches here, so the
+    // window sorts bucket-sized slices, never whole groups
+    val wIn = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundaryKept = joined.filter(!fullKeep && !fullDrop)
+      .withColumn(cum, sum(col(weightCol)).over(wIn))
+      .filter(col(above) + col(cum) <= budget)
+      .drop((helperCols :+ cum): _*)
+    // join re-ordered columns (keys first); restore the caller's layout
+    kept.unionByName(boundaryKept).select(df.columns.map(col).toSeq: _*)
+  }
+
   def capPerGroup(
       df: DataFrame,
       groupCol: String,

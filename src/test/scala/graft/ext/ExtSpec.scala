@@ -827,6 +827,34 @@ class ExtSpec extends SparkSpec {
     assert(expect.count(_ >= 2000L) === 3)
   }
 
+  test("budgetPerGroup: histogram two-phase equals the single-window cumsum, any layout") {
+    // hot group with many rows and tied scores across the boundary, a
+    // cold group that fits whole, and a group whose best row overflows
+    val rows = (0L until 800L).map(i => (i, "hot", (i % 50) / 100.0, 10L + i % 7)) ++
+      Seq((2000L, "cold", 0.9, 100L), (2001L, "cold", 0.8, 50L)) ++
+      Seq((3000L, "fat", 0.99, 100000L), (3001L, "fat", 0.5, 10L))
+    val df = rows.toDF("id", "g", "score", "w")
+    val budget = 2000L
+    // single-window reference — exactly what a SQL oracle computes
+    val expect = df.withColumn("cum",
+        sum(col("w")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("cum") <= budget).select("id").as[Long].collect().toSet
+    for ((parts, buckets) <- Seq((1, 1024), (7, 1024), (32, 16), (5, 1))) {
+      val got = Sampling.budgetPerGroup(df.repartition(parts),
+          "g", "score", "w", "id", budget, buckets)
+        .select("id").as[Long].collect().toSet
+      assert(got === expect, s"layout parts=$parts buckets=$buckets")
+    }
+    // cold group fits whole; fat group's oversized best blocks everything
+    assert(expect.contains(2000L) && expect.contains(2001L))
+    assert(!expect.exists(_ >= 3000L))
+    // output carries the original columns only (helpers dropped)
+    assert(Sampling.budgetPerGroup(df, "g", "score", "w", "id", budget)
+      .columns.toSeq === Seq("id", "g", "score", "w"))
+  }
+
   test("packGreedy: first-fit bins, oversized rows, shard reset, layout-invariant") {
     val rows = Seq(
       // shard 0: plain fill then overflow
