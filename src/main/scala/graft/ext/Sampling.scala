@@ -139,30 +139,6 @@ object Sampling {
   }
 
   /**
-   * Per-group capping — "keep at most `n` documents per domain, best
-   * first" — the heavy-hitter-domain control every web-corpus build runs
-   * (a handful of boilerplate-heavy domains otherwise dominate the
-   * training mix).
-   *
-   * A single `row_number() OVER (PARTITION BY group)` shuffles EVERY row
-   * of a hot domain to one reducer — the classic top-k skew wall at
-   * corpus scale. This runs the standard two-phase (salted) top-k
-   * instead:
-   *
-   *  1. rank within (group, input-partition) — the input partition id
-   *     spreads a hot group over the whole cluster — and keep the local
-   *     top `n`: any row in the global top `n` of its group is
-   *     necessarily in the top `n` of whichever slice it sits in, so
-   *     this phase is lossless;
-   *  2. rank the ≤ n·partitions survivors per group and keep the true
-   *     top `n`.
-   *
-   * Both phases shuffle, but phase 2 moves at most `n` rows per
-   * (group, slice) instead of the whole corpus. The result is
-   * deterministic and layout-independent as long as `orderBy` is a
-   * total order (tie-break on a unique id).
-   */
-  /**
    * Token-budget corpus selection — "the best documents per source whose
    * cumulative token count fits the budget", the data-mixing primitive
    * for hitting a training recipe's per-source token targets. Greedy
@@ -214,7 +190,10 @@ object Sampling {
       .withColumn(above, coalesce(sum(col(wsum)).over(wAbove), lit(0L)))
     val joined = bucketed.join(classified, Seq(groupCol, b))
     val fullKeep = col(above) + col(wsum) <= budget
-    val fullDrop = col(above) >= budget
+    // strict >: a bucket whose exclusive prefix EQUALS the budget still
+    // routes to the boundary window — its zero-weight rows have inclusive
+    // cumsum == budget and the oracle's `cum <= budget` keeps them
+    val fullDrop = col(above) > budget
     val helperCols = Seq(b, wsum, above)
     val kept = joined.filter(fullKeep).drop(helperCols: _*)
     // boundary rows: exactly one bucket per group reaches here, so the
@@ -230,6 +209,30 @@ object Sampling {
     kept.unionByName(boundaryKept).select(df.columns.map(col).toSeq: _*)
   }
 
+  /**
+   * Per-group capping — "keep at most `n` documents per domain, best
+   * first" — the heavy-hitter-domain control every web-corpus build runs
+   * (a handful of boilerplate-heavy domains otherwise dominate the
+   * training mix).
+   *
+   * A single `row_number() OVER (PARTITION BY group)` shuffles EVERY row
+   * of a hot domain to one reducer — the classic top-k skew wall at
+   * corpus scale. This runs the standard two-phase (salted) top-k
+   * instead:
+   *
+   *  1. rank within (group, input-partition) — the input partition id
+   *     spreads a hot group over the whole cluster — and keep the local
+   *     top `n`: any row in the global top `n` of its group is
+   *     necessarily in the top `n` of whichever slice it sits in, so
+   *     this phase is lossless;
+   *  2. rank the ≤ n·partitions survivors per group and keep the true
+   *     top `n`.
+   *
+   * Both phases shuffle, but phase 2 moves at most `n` rows per
+   * (group, slice) instead of the whole corpus. The result is
+   * deterministic and layout-independent as long as `orderBy` is a
+   * total order (tie-break on a unique id).
+   */
   def capPerGroup(
       df: DataFrame,
       groupCol: String,

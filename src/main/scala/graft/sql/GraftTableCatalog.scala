@@ -101,9 +101,9 @@ class GraftTableCatalog extends TableCatalog {
         require(v >= 0 && v <= t.currentVersion(),
           s"table ${ident.name} has no version $v (latest: ${t.currentVersion()})")
         new GraftTable(t, ident, pinnedVersion = Some(v))
-      case None if t.listTags().exists(_._1 == version) =>
+      case None if t.hasTag(version) =>
         new GraftTable(t, ident, pinnedVersion = Some(t.tagVersion(version)))
-      case None if t.listBranches().contains(version) =>
+      case None if t.hasBranch(version) =>
         val b = t.branch(version)
         new GraftTable(b, ident, pinnedVersion = Some(b.currentVersion()))
       case None => throw new IllegalArgumentException(

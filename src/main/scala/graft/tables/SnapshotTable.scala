@@ -1926,7 +1926,11 @@ class SnapshotTable private (
       case k if headTorn && k < Int.MaxValue => k + 1
       case k => k
     }
-    val retained = versions.takeRight(keep)
+    // tag-referenced versions are exempt from expiry (the Iceberg
+    // tagged-snapshot rule — a tag is precisely a promise that vacuum
+    // retention decisions will not take this version away)
+    val tagged = listTags().map(_._2).toSet
+    val retained = (versions.takeRight(keep) ++ versions.filter(tagged)).distinct
     val live: Set[String] = retained.flatMap { v =>
       try {
         val e = commitEntry(v)
@@ -1936,7 +1940,7 @@ class SnapshotTable private (
       }
     }.toSet ++ branchLiveFiles() // unpublished branch state shares data/
     // expire old log entries first so no reader can resolve dropped files
-    versions.dropRight(keep).foreach { v =>
+    versions.dropRight(keep).filterNot(tagged).foreach { v =>
       fs.delete(slotPath(v), false)
     }
     // re-anchor the hint at the head: a hint pointing below the retained
@@ -1984,14 +1988,16 @@ class SnapshotTable private (
       case k if headTorn && k < Int.MaxValue => k + 1
       case k => k
     }
-    val live: Set[String] = versions.takeRight(keep).flatMap { v =>
-      try {
-        val e = commitEntry(v)
-        e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
-      } catch {
-        case NonFatal(e) if v == versions.last && headTorn => Nil
-      }
-    }.toSet ++ branchLiveFiles()
+    val tagged = listTags().map(_._2).toSet
+    val live: Set[String] =
+      (versions.takeRight(keep) ++ versions.filter(tagged)).distinct.flatMap { v =>
+        try {
+          val e = commitEntry(v)
+          e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
+        } catch {
+          case NonFatal(e) if v == versions.last && headTorn => Nil
+        }
+      }.toSet ++ branchLiveFiles()
     vacuumCandidates(live, retainMillis).map(_.toUri.getPath)
   }
 
@@ -2054,10 +2060,17 @@ class SnapshotTable private (
   private def tagsDir = new Path(refsDir, "tag")
   private def tagPath(name: String) = new Path(tagsDir, s"$name.json")
 
-  /** Ref names become path components — keep them path-safe. */
-  private def validateRefName(name: String): Unit =
+  /** Ref names become path components — keep them path-safe. All-digit
+   *  names are rejected: `VERSION AS OF '2024'` parses as an integer
+   *  version first, so such a tag could never be addressed through the
+   *  SQL time-travel surface (or, worse, would silently shadow a real
+   *  version number). */
+  private def validateRefName(name: String): Unit = {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*"),
       s"ref name '$name' must match [A-Za-z0-9][A-Za-z0-9_.-]*")
+    require(!name.forall(_.isDigit),
+      s"ref name '$name' is all digits — indistinguishable from a version number")
+  }
 
   private def requireMainHandle(op: String): Unit =
     require(branchName.isEmpty,
@@ -2090,6 +2103,16 @@ class SnapshotTable private (
     try out.write(payload.getBytes("UTF-8")) finally out.close()
     this
   }
+
+  /** Whether a tag exists — one existence probe, no ref listing (the
+   *  time-travel resolution path must not pay O(tags) reads). */
+  def hasTag(name: String): Boolean =
+    name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*") && fs.exists(tagPath(name))
+
+  /** Whether a branch exists — one existence probe. */
+  def hasBranch(name: String): Boolean =
+    name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*") &&
+      fs.exists(new Path(refsDir, s"branch/$name/_log"))
 
   /** The version a tag points at. */
   def tagVersion(name: String): Long = {
@@ -2196,6 +2219,16 @@ class SnapshotTable private (
     val base = b.listVersions().headOption.getOrElse(
       throw new IllegalStateException(s"branch '$name' on $root has an empty log"))
     require(bv > base, s"branch '$name' has no commits past its fork point ($base); nothing to publish")
+    // the slot CAS alone is not enough once vacuum may have EXPIRED old
+    // slots: with main at v5 and slots 0..4 reclaimed, a stale branch
+    // forked at v0 would find slot 1 free and "win" a commit BELOW the
+    // head — a silently lost publish and a hole in the contiguous
+    // retained tail. Probe the head first; the CAS then only has to
+    // arbitrate the head==base → head==base+1 transition itself.
+    val head = currentVersion()
+    if (head != base) throw new ConcurrentCommitException(
+      s"main of $root advanced since branch '$name' forked " +
+        s"(fork base $base, head $head); re-fork and replay")
     writeCommit(base + 1, be.copy(action = s"publish-branch:$name@$bv"))
     this
   }

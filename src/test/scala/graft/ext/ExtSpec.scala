@@ -832,7 +832,11 @@ class ExtSpec extends SparkSpec {
     // cold group that fits whole, and a group whose best row overflows
     val rows = (0L until 800L).map(i => (i, "hot", (i % 50) / 100.0, 10L + i % 7)) ++
       Seq((2000L, "cold", 0.9, 100L), (2001L, "cold", 0.8, 50L)) ++
-      Seq((3000L, "fat", 0.99, 100000L), (3001L, "fat", 0.5, 10L))
+      Seq((3000L, "fat", 0.99, 100000L), (3001L, "fat", 0.5, 10L)) ++
+      // exclusive prefix exactly == budget: the zero-weight row still has
+      // inclusive cumsum == budget and must be kept (oracle semantics)
+      Seq((4000L, "zero", 0.9, 2000L), (4001L, "zero", 0.5, 0L),
+        (4002L, "zero", 0.4, 1L))
     val df = rows.toDF("id", "g", "score", "w")
     val budget = 2000L
     // single-window reference — exactly what a SQL oracle computes
@@ -849,7 +853,9 @@ class ExtSpec extends SparkSpec {
     }
     // cold group fits whole; fat group's oversized best blocks everything
     assert(expect.contains(2000L) && expect.contains(2001L))
-    assert(!expect.exists(_ >= 3000L))
+    assert(!expect.exists(i => i >= 3000L && i < 4000L))
+    // exact-budget edge: the zero-weight row at cum == budget is kept
+    assert(expect.contains(4000L) && expect.contains(4001L) && !expect.contains(4002L))
     // output carries the original columns only (helpers dropped)
     assert(Sampling.budgetPerGroup(df, "g", "score", "w", "id", budget)
       .columns.toSeq === Seq("id", "g", "score", "w"))

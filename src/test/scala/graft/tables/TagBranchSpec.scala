@@ -98,6 +98,43 @@ class TagBranchSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.branch("nope"))
   }
 
+  test("tagged versions are exempt from vacuum expiry and reclamation") {
+    val t = freshTable("tag_vac")
+    t.createTag("keepme") // pins v0
+    val v0Files = t.manifest().toSet
+    t.overwrite((1 to 3).map(i => (i.toLong, s"n$i")).toDF("id", "v")) // v1
+    t.overwrite((1 to 4).map(i => (i.toLong, s"m$i")).toDF("id", "v")) // v2
+    assert(t.vacuum(retainVersions = 1, retainMillis = 0L) > 0) // v1 reclaimed
+    // the tagged v0 survives both log expiry and file reclamation
+    assert(t.readTag("keepme").count() === 10)
+    assert(v0Files.forall(p => new java.io.File(p).exists()))
+    intercept[Exception](t.readVersion(1).collect()) // untagged v1 is gone
+    // dropping the tag releases it: the next vacuum reclaims v0
+    t.dropTag("keepme")
+    assert(t.vacuum(retainVersions = 1, retainMillis = 0L) === v0Files.size)
+    intercept[Exception](t.readTag("keepme"))
+  }
+
+  test("stale-branch publish fails even when vacuum freed the fork-era slots") {
+    val t = freshTable("br_stale")
+    val b = t.createBranch("stale") // fork at v0
+    b.append(Seq((11L, "v11")).toDF("id", "v"))
+    t.overwrite(Seq((1L, "x")).toDF("id", "v")) // v1
+    t.overwrite(Seq((2L, "y")).toDF("id", "v")) // v2
+    t.vacuum(retainVersions = 1, retainMillis = 0L) // expires slots 0 and 1
+    // slot 1 is free again — a bare CAS would "win" below the head
+    intercept[SnapshotTable.ConcurrentCommitException](t.fastForward("stale"))
+    assert(t.currentVersion() === 2L)
+    assert(t.read().as[(Long, String)].collect().toSet === Set((2L, "y")))
+  }
+
+  test("all-digit ref names are rejected (VERSION AS OF would shadow them)") {
+    val t = freshTable("ref_digits")
+    intercept[IllegalArgumentException](t.createTag("2024"))
+    intercept[IllegalArgumentException](t.createBranch("7"))
+    assert(!t.hasTag("2024") && !t.hasBranch("7"))
+  }
+
   test("branch supports schema evolution and publishes the evolved schema") {
     val t = freshTable("br_schema")
     val b = t.createBranch("evolve")
