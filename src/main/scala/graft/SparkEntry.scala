@@ -433,6 +433,72 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Q81 — streaming WATERMARKED windowed aggregation as a gated query
+   *  (§2.6's streaming-rollup role): daily event counts per type via
+   *  [[graft.streaming.StreamIngest.windowedCounts]] (event-time
+   *  tumbling windows, 1-hour watermark, append-mode emission of
+   *  finalized windows only). Deterministic despite watermark
+   *  semantics: the first run drains every committed version (all real
+   *  data plus a far-future sentinel) in ONE batch, so no row is ever
+   *  late relative to a mid-stream watermark; the sentinel leaves the
+   *  final watermark past every real window; and a second sentinel
+   *  commit + resumed run provides the data batch in which all of them
+   *  emit (a restarted AvailableNow query runs no no-data flush batch).
+   *  The oracle is then a plain GROUP BY. Counts only — a streamed
+   *  double sum's addition order is not an oracle-stable quantity. */
+  private def streamWindowQuery(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    val ev = s.table("events").select(col("ts"), col("event_type"))
+    val src = warmTable("stream_win_src", dir) {
+      def slice(from: String, until: String) =
+        ev.filter(col("ts") >= lit(java.sql.Timestamp.valueOf(from)) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf(until)))
+      val base = SnapshotTable.create(s,
+        Files.createTempDirectory("graft_stream_win").toString,
+        slice("2000-01-01 00:00:00", "2024-01-11 00:00:00"))
+      base.append(slice("2024-01-11 00:00:00", "2024-01-21 00:00:00"))
+      base.append(slice("2024-01-21 00:00:00", "2100-01-01 00:00:00"))
+      base
+    }
+    // TWO sentinel commits bracket the runs below: the first rides along
+    // with the real data and pushes the watermark past every real
+    // window; the second arrives as one more DATA batch so those windows
+    // actually emit (a restarted AvailableNow query does not run the
+    // no-data flush batch a continuous query would). Appended per
+    // invocation — a restored warm table re-accumulates them, which is
+    // harmless: sentinel rows are filtered and re-delivered duplicates
+    // cannot move the watermark.
+    def sentinel(ts: String) = src.append(s.createDataFrame(
+      Seq((java.sql.Timestamp.valueOf(ts), "__sentinel"))).toDF("ts", "event_type"))
+    val out = SnapshotTable.createEmpty(s,
+      Files.createTempDirectory("graft_stream_win_out").toString,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("window_start",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+    val ckpt = Files.createTempDirectory("graft_stream_win_ckpt").toString
+    def run(): Unit = {
+      val stream = graft.streaming.StreamIngest.windowedCounts(
+        s.readStream.format("graft-table")
+          .option("path", src.root)
+          .load()
+          .withColumn("value", lit(0.0)),
+        tsCol = "ts", keyCol = "event_type", window = "1 day", watermark = "1 hour")
+        .select(col("window_start"), col("event_type"), col("n"))
+      graft.streaming.StreamIngest.runOnce(
+        graft.streaming.StreamIngest.appendSink(stream, out), ckpt)
+    }
+    sentinel("2024-03-01 00:00:00")
+    run() // drains all committed versions in one batch; emits nothing yet
+    sentinel("2024-04-01 00:00:00")
+    run() // the sentinel data batch emits every watermark-closed window
+    out.read().filter(col("event_type") =!= "__sentinel")
+      .orderBy("window_start", "event_type")
+  }
+
   private def snapshotPointLookup(s: SparkSession, dir: String): DataFrame =
     ordersSnapshot(s, dir)
       .scan(col("o_orderkey") === 103)
@@ -2040,7 +2106,8 @@ object SparkEntry {
     "q77_branch_wap" -> branchWapQuery,
     "q78_stream_roundtrip" -> streamRoundtripQuery,
     "q79_int8_topk" -> quantizedTopKQuery,
-    "q80_budget_sample" -> budgetSampleQuery)
+    "q80_budget_sample" -> budgetSampleQuery,
+    "q81_stream_window" -> streamWindowQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2144,7 +2211,12 @@ object SparkEntry {
         |FROM events WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
     "q79_int8_topk" -> Q79Duck,
-    "q80_budget_sample" -> Q80Duck)
+    "q80_budget_sample" -> Q80Duck,
+    "q81_stream_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique
