@@ -37,9 +37,14 @@ import graft.tables.SnapshotTable
  *   DESCRIBE DETAIL t
  *   RESTORE [TABLE] t TO VERSION AS OF <v>
  *   RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'
+ *   RESTORE [TABLE] t TO TAG '<name>'
  *   GENERATE symlink_format_manifest FOR TABLE t
  *   CONVERT TO GRAFT [parquet.]`<path>`
  *   CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF <v>] [LOCATION '<path>']
+ *   ALTER TABLE t CLUSTER BY (spec…) | NONE
+ *   ALTER TABLE t CREATE TAG name [AS OF VERSION <v>] / DROP TAG name
+ *   ALTER TABLE t CREATE BRANCH name / DROP BRANCH name / FAST FORWARD BRANCH name
+ *   DESCRIBE REFS t
  * }}}
  *
  * Known dialect ambiguity (shared with Delta, whose grammar this mirrors):
@@ -86,6 +91,8 @@ object GraftSqlParser {
     cmd(s"RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
   private val RestoreTimestampStmt =
     cmd(s"RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'")
+  private val RestoreTagStmt =
+    cmd(s"RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+TAG\\s+'?([A-Za-z0-9][A-Za-z0-9_.-]*)'?")
   private val GenerateStmt =
     cmd(s"GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$Ident")
   private val ConvertStmt =
@@ -150,6 +157,8 @@ object GraftSqlParser {
         GraftRestoreCommand(identParts(r.group(1)), Some(r.group(2).toLong), None)))
       .orElse(m(RestoreTimestampStmt).map(r =>
         GraftRestoreCommand(identParts(r.group(1)), None, Some(r.group(2)))))
+      .orElse(m(RestoreTagStmt).map(r =>
+        GraftRestoreCommand(identParts(r.group(1)), None, None, Some(r.group(2)))))
       .orElse(m(GenerateStmt).map(r => GraftGenerateManifestCommand(identParts(r.group(1)))))
       .orElse(m(ConvertStmt).map(r =>
         GraftConvertCommand(r.group(1).substring(1, r.group(1).length - 1))))
@@ -399,11 +408,14 @@ case class GraftAlterClusterCommand(parts: Seq[String], spec: Seq[String])
   }
 }
 
-/** `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF …` →
+/** `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF …` / `TO TAG '<name>'` →
  *  [[SnapshotTable.restore]] (a new commit re-referencing the old files —
- *  Delta `RESTORE TABLE` semantics, nothing is copied or lost). */
+ *  Delta `RESTORE TABLE` semantics, nothing is copied or lost; the TAG
+ *  form is the named-ref rollback, always resolvable because tagged
+ *  versions are vacuum-exempt). */
 case class GraftRestoreCommand(
-    parts: Seq[String], version: Option[Long], timestamp: Option[String])
+    parts: Seq[String], version: Option[Long], timestamp: Option[String],
+    tag: Option[String] = None)
     extends LeafRunnableCommand {
   import GraftSqlParser._
   override val output: Seq[Attribute] = Seq(
@@ -411,7 +423,7 @@ case class GraftRestoreCommand(
     notNull("new_version", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
     val t = resolveTable(spark, parts)
-    val v = version.getOrElse {
+    val v = version.orElse(tag.map(t.tagVersion)).getOrElse {
       val lit = timestamp.get.trim
       val millis =
         try {

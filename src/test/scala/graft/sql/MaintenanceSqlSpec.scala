@@ -360,6 +360,17 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(spark.sql("DESCRIBE REFS maint_refs").collect().length === 1)
   }
 
+  test("RESTORE TO TAG rolls back to the tagged version") {
+    val t = freshRegistered("maint_rtag")
+    spark.sql("ALTER TABLE maint_rtag CREATE TAG good")
+    t.overwrite(Seq((9, "z")).toDF("id", "payload"))
+    assert(t.read().count() === 1)
+    val r = spark.sql("RESTORE TABLE maint_rtag TO TAG 'good'").collect().head
+    assert(r.getLong(1) === 0L && r.getLong(2) === 2L)
+    assert(t.read().count() === 3)
+    intercept[Exception](spark.sql("RESTORE TABLE maint_rtag TO TAG 'nope'").collect())
+  }
+
   test("VERSION AS OF resolves tags and branch heads through the DSv2 catalog") {
     import org.apache.spark.sql.functions.col
     spark.sql("DROP TABLE IF EXISTS graft.db.reft")
