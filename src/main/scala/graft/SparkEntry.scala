@@ -1869,6 +1869,35 @@ object SparkEntry {
       |FROM tok JOIN v USING (token) CROSS JOIN s
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Q82 — DSIR importance weights ([[ext.TextAnalysis.dsirWeights]],
+   *  Xie et al. 2023): every document scored by the unigram-LM
+   *  log-likelihood ratio between the TARGET domain (the `en` slice)
+   *  and the raw corpus. English documents must surface with positive
+   *  weights, off-target languages negative — and the oracle replays
+   *  the add-one-smoothed shared-vocabulary arithmetic to the rounded
+   *  decimal, so the whole ranking is exact, not structural. */
+  private def dsirQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    ext.TextAnalysis.dsirWeights(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+  private val Q82Duck =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |ttok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE lang = 'en'),
+      |craw AS (SELECT token, count(*) AS tf_raw FROM tok GROUP BY 1),
+      |ttf AS (SELECT token, count(*) AS tf_tgt FROM ttok GROUP BY 1),
+      |v AS (SELECT coalesce(craw.token, ttf.token) AS token,
+      |             coalesce(tf_raw, 0) AS tf_raw, coalesce(tf_tgt, 0) AS tf_tgt
+      |      FROM craw FULL OUTER JOIN ttf ON craw.token = ttf.token),
+      |s AS (SELECT sum(tf_raw) AS total_raw, sum(tf_tgt) AS total_tgt,
+      |             count(*) AS vs FROM v)
+      |SELECT doc_id, round(avg(
+      |    ln((tf_tgt + 1.0) / (total_tgt + vs)) -
+      |    ln((tf_raw + 1.0) / (total_raw + vs))), 4) + 0.0 AS dsir_weight
+      |FROM tok JOIN v USING (token) CROSS JOIN s
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Q63 — deterministic train/val/test split assignment
    *  ([[ext.Sampling.assignSplits]], 80/10/10 by id hash): every row's
    *  label is pure BIGINT arithmetic, replayed exactly by the oracle —
@@ -2107,7 +2136,8 @@ object SparkEntry {
     "q78_stream_roundtrip" -> streamRoundtripQuery,
     "q79_int8_topk" -> quantizedTopKQuery,
     "q80_budget_sample" -> budgetSampleQuery,
-    "q81_stream_window" -> streamWindowQuery)
+    "q81_stream_window" -> streamWindowQuery,
+    "q82_dsir_weights" -> dsirQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2216,7 +2246,8 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2
-        |ORDER BY window_start, event_type""".stripMargin)
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q82_dsir_weights" -> Q82Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -434,6 +434,62 @@ object TextAnalysis {
       .groupBy(idCol).agg(round(avg("lp"), 4).as("avg_logprob"))
   }
 
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every corpus
+   * document by the log-likelihood RATIO between a TARGET-domain unigram
+   * LM and the raw-corpus LM —
+   *
+   * w(d) = avg over token occurrences t of
+   *          ln((tf_target(t)+1)/(total_target+|V|))
+   *        − ln((tf_raw(t)+1)/(total_raw+|V|))
+   *
+   * Positive w(d): the document looks more like the target domain than
+   * like the corpus at large — rank by w (or Gumbel-perturb for
+   * sampled selection) to build a target-shaped training mix. Both LMs
+   * are add-one smoothed over the SHARED vocabulary |V| (raw ∪ target
+   * distinct tokens), so an unseen-in-target token contributes the
+   * floor probability rather than −∞, and the score replays exactly in
+   * any SQL engine (integer counts into IEEE ln/division — the
+   * [[unigramLogProb]] portability argument). The paper hashes n-gram
+   * features into buckets for speed at 10⁹ docs; that variant is
+   * [[functions.positionalGramHashes]] feeding the same count/ratio
+   * arithmetic, traded here for string unigrams so external engines can
+   * replay the exact weights.
+   *
+   * Shape: two token explodes (corpus + target), two vocab hash-aggs,
+   * one vocab-sized left join, one equi-join back to corpus occurrences,
+   * one per-doc avg; the one-row totals attach by broadcast (the q72
+   * scalar-agg NLJ shape). Linear in corpus + target size.
+   */
+  def dsirWeights(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val ctoks = corpus.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val craw = ctoks.groupBy("token").agg(count(lit(1)).as("tf_raw"))
+    val ttoks = target.select(explode(tokens(col(textCol))).as("token"))
+    val ttf = ttoks.groupBy("token").agg(count(lit(1)).as("tf_tgt"))
+    // shared vocabulary: raw ∪ target (target-only tokens matter for
+    // |V| even though no corpus occurrence joins to them)
+    val vocab = craw.join(ttf, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("tf_raw"), lit(0L)).as("tf_raw"),
+        coalesce(col("tf_tgt"), lit(0L)).as("tf_tgt"))
+    val stats = vocab.agg(
+      sum("tf_raw").as("total_raw"), sum("tf_tgt").as("total_tgt"),
+      count(lit(1)).as("vs"))
+    ctoks.join(vocab, "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("lr",
+        log((col("tf_tgt") + lit(1.0)) / (col("total_tgt") + col("vs"))) -
+          log((col("tf_raw") + lit(1.0)) / (col("total_raw") + col("vs"))))
+      // + 0.0 canonicalizes IEEE −0.0 (a near-zero ratio rounding down)
+      // to +0.0 so replaying engines agree on the sign of zero
+      .groupBy(idCol).agg((round(avg("lr"), 4) + lit(0.0)).as("dsir_weight"))
+  }
+
   /** Enrich a corpus with the full text-analysis column family. */
   def enrich(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -827,6 +827,27 @@ class ExtSpec extends SparkSpec {
     assert(expect.count(_ >= 2000L) === 3)
   }
 
+  test("dsirWeights: target-like docs score positive, off-target negative") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta"),   // pure target vocabulary
+      (2L, "zeta eta theta zeta eta"),       // pure off-target vocabulary
+      (3L, "alpha beta zeta eta gamma"))     // mixed
+      .toDF("id", "text")
+    val target = Seq(
+      (10L, "alpha beta gamma alpha"),
+      (11L, "beta gamma alpha beta")).toDF("id", "text")
+    val w = TextAnalysis.dsirWeights(corpus, target, "id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(w.keySet === Set(1L, 2L, 3L))
+    assert(w(1L) > 0, s"target-like doc must score positive, got ${w(1L)}")
+    assert(w(2L) < 0, s"off-target doc must score negative, got ${w(2L)}")
+    assert(w(2L) < w(3L) && w(3L) < w(1L), s"mixed doc must rank between: $w")
+    // layout invariance: same weights on a different partitioning
+    val w7 = TextAnalysis.dsirWeights(corpus.repartition(7), target.repartition(3),
+      "id", "text").as[(Long, Double)].collect().toMap
+    assert(w7 === w)
+  }
+
   test("budgetPerGroup: histogram two-phase equals the single-window cumsum, any layout") {
     // hot group with many rows and tied scores across the boundary, a
     // cold group that fits whole, and a group whose best row overflows
