@@ -135,6 +135,39 @@ class TagBranchSpec extends SparkSpec {
     assert(!t.hasTag("2024") && !t.hasBranch("7"))
   }
 
+  test("racing ref admin: one winner per tag name, branch name, and publish slot") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val t = freshTable("br_race2")
+    def race(n: Int)(body: => Unit): Int = {
+      val pool = Executors.newFixedThreadPool(n)
+      val gate = new CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      (1 to n).foreach { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            gate.await()
+            try { body; wins.incrementAndGet() } catch { case _: Exception => () }
+            ()
+          }
+        })
+      }
+      gate.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+      wins.get()
+    }
+    // two racing createTag of one name: exactly one wins (write-once file)
+    assert(race(2)(t.createTag("only-once")) === 1)
+    assert(t.tagVersion("only-once") === 0L)
+    // two racing createBranch of one name: exactly one wins (slot CAS)
+    assert(race(2)(t.createBranch("contested")) === 1)
+    // two racing publishes of one branch: exactly one lands, one commit
+    t.branch("contested").append(Seq((11L, "v11")).toDF("id", "v"))
+    assert(race(2)(t.fastForward("contested")) === 1)
+    assert(t.currentVersion() === 1L)
+    assert(t.read().count() === 11)
+  }
+
   test("branch supports schema evolution and publishes the evolved schema") {
     val t = freshTable("br_schema")
     val b = t.createBranch("evolve")
