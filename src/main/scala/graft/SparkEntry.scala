@@ -1898,6 +1898,49 @@ object SparkEntry {
       |FROM tok JOIN v USING (token) CROSS JOIN s
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Q83 — DSIR resampling ([[ext.Sampling.gumbelTopK]] over
+   *  [[ext.TextAnalysis.dsirWeights]]): the paper's actual selection
+   *  step — sample 100 documents without replacement with probability
+   *  ∝ exp(weight/T) via the Gumbel-max trick, made rebuild-stable by
+   *  drawing each document's Gumbel noise from the engine-portable id
+   *  hash instead of RNG state. The oracle replays weight, hash, noise,
+   *  and ranking to the exact double, so the selected SET and its
+   *  ordering are exact. */
+  private def dsirSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val weights = ext.TextAnalysis.dsirWeights(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+    ext.Sampling.gumbelTopK(weights, "doc_id", "dsir_weight", k = 100)
+      .select(col("doc_id"), col("dsir_weight"), round(col("gumbel_key"), 4).as("gkey"))
+      .orderBy("doc_id")
+  }
+  private val Q83Duck = {
+    val m = ext.Sampling.Modulus
+    val a = ext.Sampling.Mult
+    val salt = ext.Sampling.DefaultSalt
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |ttok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE lang = 'en'),
+       |craw AS (SELECT token, count(*) AS tf_raw FROM tok GROUP BY 1),
+       |ttf AS (SELECT token, count(*) AS tf_tgt FROM ttok GROUP BY 1),
+       |v AS (SELECT coalesce(craw.token, ttf.token) AS token,
+       |             coalesce(tf_raw, 0) AS tf_raw, coalesce(tf_tgt, 0) AS tf_tgt
+       |      FROM craw FULL OUTER JOIN ttf ON craw.token = ttf.token),
+       |s AS (SELECT sum(tf_raw) AS total_raw, sum(tf_tgt) AS total_tgt,
+       |             count(*) AS vs FROM v),
+       |w AS (SELECT doc_id, round(avg(
+       |        ln((tf_tgt + 1.0) / (total_tgt + vs)) -
+       |        ln((tf_raw + 1.0) / (total_raw + vs))), 4) + 0.0 AS dsir_weight
+       |      FROM tok JOIN v USING (token) CROSS JOIN s GROUP BY doc_id),
+       |g AS (SELECT doc_id, dsir_weight,
+       |        dsir_weight - ln(-ln(
+       |          (((((doc_id % $m) * $a + $salt) % $m * $a + $salt) % $m) + 0.5) / $m
+       |        )) AS gumbel_key
+       |      FROM w),
+       |topk AS (SELECT * FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 100)
+       |SELECT doc_id, dsir_weight, round(gumbel_key, 4) AS gkey FROM topk
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Q63 — deterministic train/val/test split assignment
    *  ([[ext.Sampling.assignSplits]], 80/10/10 by id hash): every row's
    *  label is pure BIGINT arithmetic, replayed exactly by the oracle —
@@ -2137,7 +2180,8 @@ object SparkEntry {
     "q79_int8_topk" -> quantizedTopKQuery,
     "q80_budget_sample" -> budgetSampleQuery,
     "q81_stream_window" -> streamWindowQuery,
-    "q82_dsir_weights" -> dsirQuery)
+    "q82_dsir_weights" -> dsirQuery,
+    "q83_dsir_sample" -> dsirSampleQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2247,7 +2291,8 @@ object SparkEntry {
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
-    "q82_dsir_weights" -> Q82Duck)
+    "q82_dsir_weights" -> Q82Duck,
+    "q83_dsir_sample" -> Q83Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -210,6 +210,41 @@ object Sampling {
   }
 
   /**
+   * Deterministic Gumbel top-k — sampling WITHOUT replacement,
+   * probability proportional to exp(score/temperature), as one ranking
+   * pass (the Gumbel-max trick: adding independent Gumbel noise to each
+   * score and taking the top k IS weighted sampling without
+   * replacement). This is DSIR's resampling step over
+   * [[TextAnalysis.dsirWeights]] scores, made rebuild-stable: the
+   * "noise" g = −ln(−ln(u)) draws its uniform u from the engine-portable
+   * id hash (u = (bucket + 0.5)/Modulus — the +0.5 keeps u strictly
+   * inside (0,1), so the double log never sees 0), NOT from RNG state —
+   * the same k documents are selected on every run, engine, and
+   * partitioning, and an external auditor replays the exact draw.
+   * Lower `temperature` sharpens toward pure top-k by score; higher
+   * flattens toward uniform.
+   *
+   * Scale shape: orderBy(...).limit(k) plans as TakeOrderedAndProject —
+   * per-partition top-k then a driver merge of k-row heaps, never a
+   * global sort shuffle.
+   */
+  def gumbelTopK(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      k: Int,
+      temperature: Double = 1.0,
+      salt: Long = DefaultSalt): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    require(temperature > 0, s"temperature $temperature must be positive")
+    val u = (hashBucket(col(idCol), salt).cast("double") + lit(0.5)) / lit(Modulus.toDouble)
+    val key = col(scoreCol) / lit(temperature) - log(-log(u))
+    df.withColumn("gumbel_key", key)
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * Per-group capping — "keep at most `n` documents per domain, best
    * first" — the heavy-hitter-domain control every web-corpus build runs
    * (a handful of boilerplate-heavy domains otherwise dominate the

@@ -173,7 +173,8 @@ class PlanSpec extends SparkSpec {
       "q79_int8_topk" -> None, // same brute-force small-probe design, SQ8 codes
       "q72_bm25_search" -> Some("HashAggregate(keys=[], functions=[count(1), avg("),
       "q76_unigram_logprob" -> Some("HashAggregate(keys=[], functions=[sum(tf"),
-      "q82_dsir_weights" -> Some("HashAggregate(keys=[], functions=[sum(tf_raw"))
+      "q82_dsir_weights" -> Some("HashAggregate(keys=[], functions=[sum(tf_raw"),
+      "q83_dsir_sample" -> Some("HashAggregate(keys=[], functions=[sum(tf_raw"))
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = executedPlanString(fn(spark, dir))
       assert(!plan.contains("CartesianProduct"),

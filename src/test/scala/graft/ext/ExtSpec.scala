@@ -848,6 +848,23 @@ class ExtSpec extends SparkSpec {
     assert(w7 === w)
   }
 
+  test("gumbelTopK: deterministic weighted sampling, layout-invariant, score-sensitive") {
+    val df = (0L until 500L).map(i => (i, if (i < 50) 5.0 else -5.0)).toDF("id", "w")
+    val sel = Sampling.gumbelTopK(df, "id", "w", k = 60)
+      .select("id").as[Long].collect().toSet
+    assert(sel.size === 60)
+    // exp(5)/exp(-5) ≈ 22000:1 — essentially all 50 high-weight ids selected
+    assert((0L until 50L).toSet.subsetOf(sel), s"high-weight ids missing: $sel")
+    // rebuild-stable: identical selection on a different partitioning
+    val sel7 = Sampling.gumbelTopK(df.repartition(7), "id", "w", k = 60)
+      .select("id").as[Long].collect().toSet
+    assert(sel7 === sel)
+    // high temperature flattens toward uniform: low-weight ids now appear
+    val flat = Sampling.gumbelTopK(df, "id", "w", k = 60, temperature = 1000.0)
+      .select("id").as[Long].collect().toSet
+    assert(flat.count(_ >= 50L) > 20, s"flat draw still score-dominated: $flat")
+  }
+
   test("budgetPerGroup: histogram two-phase equals the single-window cumsum, any layout") {
     // hot group with many rows and tied scores across the boundary, a
     // cold group that fits whole, and a group whose best row overflows
