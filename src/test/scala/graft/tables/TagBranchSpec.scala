@@ -168,6 +168,22 @@ class TagBranchSpec extends SparkSpec {
     assert(t.read().count() === 11)
   }
 
+  test("change feed reports a published branch update as keyed row-level changes") {
+    val t = freshTable("br_cdf")
+    val b = t.createBranch("audit")
+    b.update(org.apache.spark.sql.functions.col("id") === 3L,
+      Map("v" -> org.apache.spark.sql.functions.lit("v3x")))
+    t.fastForward("audit")
+    // the squash commit diffs like any other: one update pre/postimage
+    // pair for the touched key, carried CoW rows cancel out
+    val feed = t.readChanges(fromVersion = 0, keyCols = Seq("id"))
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(feed === Set(
+      (3L, "v3", "update_preimage", 1L),
+      (3L, "v3x", "update_postimage", 1L)), s"unexpected feed: $feed")
+  }
+
   test("branch supports schema evolution and publishes the evolved schema") {
     val t = freshTable("br_schema")
     val b = t.createBranch("evolve")
