@@ -1093,6 +1093,28 @@ object SparkEntry {
       |SELECT q_id, n_id, round(qc, 4) AS qcos FROM ranked WHERE r <= 3
       |ORDER BY q_id, n_id""".stripMargin
 
+  /** Q84 — IVF-SQ8 serving path ([[ext.Similarity.ivfBuildQuantized]] /
+   *  `ivfProbeQuantized`): the stored inverted lists carry int8 codes
+   *  (4× smaller index — the FAISS production trade), probes quantize
+   *  map-side, and re-ranking is the pure-integer int8 cosine. With
+   *  `nProbe = nlist` the search is exhaustive, so the result must
+   *  EQUAL the brute-force SQ8 ranking — q79's oracle applies
+   *  verbatim, making cluster assignment, code storage, and the
+   *  integer kernel all hash-checked at once. */
+  private def ivfQuantizedQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val doubled = emb.unionByName(
+      emb.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
+    val index = ext.Similarity.ivfBuildQuantized(doubled, "vec_id", "embedding",
+      nlist = 16)
+    ext.Similarity.ivfProbeQuantized(index,
+        doubled.filter(col("vec_id") < 25), "vec_id", "embedding",
+        k = 3, nProbe = 16)
+      .select(col("q_id"), col("n_id"), round(col("qcos"), 4).as("qcos"))
+      .orderBy("q_id", "n_id")
+  }
+
   /** Q68 — SemDeDup ([[ext.Dedup.semDedupPairs]]): k-means-clustered
    *  within-cluster cosine pair mining (the clustered sibling of q48's
    *  hyperplane-LSH miner). The oracle is EXACT, not structural: planted
@@ -2181,7 +2203,8 @@ object SparkEntry {
     "q80_budget_sample" -> budgetSampleQuery,
     "q81_stream_window" -> streamWindowQuery,
     "q82_dsir_weights" -> dsirQuery,
-    "q83_dsir_sample" -> dsirSampleQuery)
+    "q83_dsir_sample" -> dsirSampleQuery,
+    "q84_ivf_sq8" -> ivfQuantizedQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2292,7 +2315,8 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
     "q82_dsir_weights" -> Q82Duck,
-    "q83_dsir_sample" -> Q83Duck)
+    "q83_dsir_sample" -> Q83Duck,
+    "q84_ivf_sq8" -> Q79Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -326,6 +326,55 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
+  /**
+   * IVF-SQ8 build: [[ivfBuild]] with the inverted lists storing int8
+   * codes ([[functions.int8Codes]]) instead of float vectors — the
+   * standard FAISS production trade (IVF coarse quantizer kept in
+   * float, list payload scalar-quantized): the STORED index shrinks 4×,
+   * which at 10⁹×1 KB vectors is what lets the lists live in executor
+   * memory instead of spilling. Probe with [[ivfProbeQuantized]];
+   * re-ranking is the pure-integer [[functions.int8Cosine]] kernel
+   * (scales cancel), so with `nProbe = nlist` the result is EXACTLY the
+   * brute-force SQ8 ranking ([[quantizedTopK]]) — same oracle applies.
+   */
+  def ivfBuildQuantized(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      iters: Int = 5,
+      sampleN: Int = 10000): IvfIndex = {
+    val full = ivfBuild(corpus, idCol, vecCol, nlist, iters, sampleN)
+    full.copy(assigned = full.assigned
+      .withColumn("n_codes", functions.int8Codes(col("n_vec")))
+      .select(col("list"), col("n_id"), col("n_codes")))
+  }
+
+  /** Top-k over an [[ivfBuildQuantized]] index: probes quantize
+   *  map-side, candidates come from the same list equi-join, scoring is
+   *  the integer [[functions.int8Cosine]] kernel. Returns
+   *  (q_id, n_id, qcos, rank). */
+  def ivfProbeQuantized(
+      index: IvfIndex,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val cents = collectCentroids(index.centroids)
+    val c = index.assigned
+    val q = probes.select(col(idCol).as("q_id"),
+        functions.int8Codes(col(vecCol)).as("q_codes"),
+        explode(functions.nearestLists(col(vecCol), cents,
+          math.min(nProbe, cents.length))).as("list"))
+    val scored = q.join(c, q("list") === c("list") && col("q_id") =!= col("n_id"))
+      .withColumn("qcos", functions.int8Cosine(col("q_codes"), col("n_codes")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("qcos"), col("rank"))
+  }
+
   private def collectCentroids(centroids: DataFrame): Array[Array[Float]] = {
     val rows = centroids.select(col("list"), col("centroid")).orderBy("list").collect()
     require(rows.nonEmpty, "empty centroid frame — build the index first")

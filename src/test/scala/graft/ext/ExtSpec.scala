@@ -99,6 +99,24 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("dimension mismatch"))
   }
 
+  test("ivfProbeQuantized: planted copy shares a list and ranks first even at nProbe=1") {
+    val rnd = new scala.util.Random(17)
+    val base = (0L until 60L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
+    val planted = base.map { case (i, v) => (i + 1000L, v) }
+    val all = (base ++ planted).toDF("id", "vec")
+    val index = Similarity.ivfBuildQuantized(all, "id", "vec", nlist = 8)
+    // the stored lists carry codes only — no float payload survives
+    assert(index.assigned.columns.toSeq === Seq("list", "n_id", "n_codes"))
+    // identical vectors assign to the same nearest centroid with
+    // certainty, so even single-list probing must surface the copy at
+    // rank 1 with int8 cosine ≈ 1.0
+    val got = Similarity.ivfProbeQuantized(index,
+        all.filter(col("id") < 5), "id", "vec", k = 1, nProbe = 1)
+      .select("q_id", "n_id", "qcos").as[(Long, Long, Double)].collect()
+    assert(got.length === 5)
+    assert(got.forall { case (q, n, c) => n === q + 1000L && math.abs(c - 1.0) < 1e-12 })
+  }
+
   test("quantizedTopK finds the planted nearest neighbor first") {
     val rnd = new scala.util.Random(11)
     val base = (0L until 30L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
