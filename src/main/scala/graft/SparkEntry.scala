@@ -1904,8 +1904,11 @@ object SparkEntry {
         docs, docs.filter(col("lang") === "en"), "doc_id", "text")
       .orderBy("doc_id")
   }
-  private val Q82Duck =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+  /** The DSIR weight pipeline as shared CTEs — Q82Duck exposes it as
+   *  rows, Q83Duck builds the Gumbel ranking on top. ONE definition so
+   *  the two oracles cannot drift apart. */
+  private val DsirWeightCtes =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
       |ttok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE lang = 'en'),
       |craw AS (SELECT token, count(*) AS tf_raw FROM tok GROUP BY 1),
       |ttf AS (SELECT token, count(*) AS tf_tgt FROM ttok GROUP BY 1),
@@ -1913,12 +1916,14 @@ object SparkEntry {
       |             coalesce(tf_raw, 0) AS tf_raw, coalesce(tf_tgt, 0) AS tf_tgt
       |      FROM craw FULL OUTER JOIN ttf ON craw.token = ttf.token),
       |s AS (SELECT sum(tf_raw) AS total_raw, sum(tf_tgt) AS total_tgt,
-      |             count(*) AS vs FROM v)
-      |SELECT doc_id, round(avg(
-      |    ln((tf_tgt + 1.0) / (total_tgt + vs)) -
-      |    ln((tf_raw + 1.0) / (total_raw + vs))), 4) + 0.0 AS dsir_weight
-      |FROM tok JOIN v USING (token) CROSS JOIN s
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |             count(*) AS vs FROM v),
+      |w AS (SELECT doc_id, round(avg(
+      |        ln((tf_tgt + 1.0) / (total_tgt + vs)) -
+      |        ln((tf_raw + 1.0) / (total_raw + vs))), 4) + 0.0 AS dsir_weight
+      |      FROM tok JOIN v USING (token) CROSS JOIN s GROUP BY doc_id)""".stripMargin
+  private val Q82Duck =
+    s"""WITH $DsirWeightCtes
+       |SELECT doc_id, dsir_weight FROM w ORDER BY doc_id""".stripMargin
 
   /** Q83 — DSIR resampling ([[ext.Sampling.gumbelTopK]] over
    *  [[ext.TextAnalysis.dsirWeights]]): the paper's actual selection
@@ -1940,19 +1945,7 @@ object SparkEntry {
     val m = ext.Sampling.Modulus
     val a = ext.Sampling.Mult
     val salt = ext.Sampling.DefaultSalt
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-       |ttok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE lang = 'en'),
-       |craw AS (SELECT token, count(*) AS tf_raw FROM tok GROUP BY 1),
-       |ttf AS (SELECT token, count(*) AS tf_tgt FROM ttok GROUP BY 1),
-       |v AS (SELECT coalesce(craw.token, ttf.token) AS token,
-       |             coalesce(tf_raw, 0) AS tf_raw, coalesce(tf_tgt, 0) AS tf_tgt
-       |      FROM craw FULL OUTER JOIN ttf ON craw.token = ttf.token),
-       |s AS (SELECT sum(tf_raw) AS total_raw, sum(tf_tgt) AS total_tgt,
-       |             count(*) AS vs FROM v),
-       |w AS (SELECT doc_id, round(avg(
-       |        ln((tf_tgt + 1.0) / (total_tgt + vs)) -
-       |        ln((tf_raw + 1.0) / (total_raw + vs))), 4) + 0.0 AS dsir_weight
-       |      FROM tok JOIN v USING (token) CROSS JOIN s GROUP BY doc_id),
+    s"""WITH $DsirWeightCtes,
        |g AS (SELECT doc_id, dsir_weight,
        |        dsir_weight - ln(-ln(
        |          (((((doc_id % $m) * $a + $salt) % $m * $a + $salt) % $m) + 0.5) / $m

@@ -227,6 +227,10 @@ object Sampling {
    * Scale shape: orderBy(...).limit(k) plans as TakeOrderedAndProject —
    * per-partition top-k then a driver merge of k-row heaps, never a
    * global sort shuffle.
+   *
+   * Output: the input columns plus the ranking key as `gumbel_key` — a
+   * pre-existing column of that name is REPLACED (withColumn
+   * semantics).
    */
   def gumbelTopK(
       df: DataFrame,

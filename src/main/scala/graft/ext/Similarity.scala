@@ -106,13 +106,11 @@ object Similarity {
       k: Int = 5): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val q = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    rankTopK(
+      c.crossJoin(broadcast(q))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec"))),
+      "cos", k)
   }
 
   /**
@@ -137,13 +135,11 @@ object Similarity {
       functions.int8Codes(col(vecCol)).as("n_codes"))
     val q = probes.select(col(idCol).as("q_id"),
       functions.int8Codes(col(vecCol)).as("q_codes"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("qcos", functions.int8Cosine(col("q_codes"), col("n_codes")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("qcos"), col("rank"))
+    rankTopK(
+      c.crossJoin(broadcast(q))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("qcos", functions.int8Cosine(col("q_codes"), col("n_codes"))),
+      "qcos", k)
   }
 
   /** Approximate top-k: candidates from multi-probe hyperplane-LSH bucket
@@ -177,12 +173,9 @@ object Similarity {
           col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
       .dropDuplicates("q_id", "n_id")
-    val scored = candidates
-      .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    rankTopK(candidates
+      .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec"))),
+      "cos", k)
   }
 
   /**
@@ -318,13 +311,34 @@ object Similarity {
         explode(functions.nearestLists(col("q_vec"), cents, math.min(nProbe, cents.length))))
     val candidates = q.join(c, q("list") === c("list") && col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
-    val scored = candidates
-      .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    rankTopK(candidates
+      .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec"))),
+      "cos", k)
+  }
+
+  /**
+   * Per-probe top-k rank over a scored candidate frame — the shared
+   * tail of every top-k searcher in this file. q84's exactness contract
+   * (IVF-SQ8 exhaustive ≡ brute-force SQ8) depends on the window order
+   * and self-pair handling staying byte-identical across variants, so
+   * they share this one definition.
+   */
+  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col(scoreCol).desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .select(col("q_id"), col("n_id"), col(scoreCol), col("rank"))
   }
+
+  /**
+   * Persistable IVF-SQ8 index: like [[IvfIndex]] but the inverted lists
+   * store int8 codes (`list`, `n_id`, `n_codes`) — 4× smaller than the
+   * float payload. Its OWN type because the frames are not
+   * interchangeable with [[IvfIndex]]'s: [[ivfProbe]]/[[ivfAssign]]
+   * expect `n_vec`, this index's consumers are [[ivfProbeQuantized]] /
+   * [[ivfAssignQuantized]].
+   */
+  final case class IvfIndexSq8(centroids: DataFrame, assigned: DataFrame)
 
   /**
    * IVF-SQ8 build: [[ivfBuild]] with the inverted lists storing int8
@@ -343,19 +357,31 @@ object Similarity {
       vecCol: String,
       nlist: Int = 16,
       iters: Int = 5,
-      sampleN: Int = 10000): IvfIndex = {
+      sampleN: Int = 10000): IvfIndexSq8 = {
     val full = ivfBuild(corpus, idCol, vecCol, nlist, iters, sampleN)
-    full.copy(assigned = full.assigned
+    IvfIndexSq8(full.centroids, full.assigned
       .withColumn("n_codes", functions.int8Codes(col("n_vec")))
       .select(col("list"), col("n_id"), col("n_codes")))
   }
+
+  /** Assign a batch to a quantized index's lists (map-side — the
+   *  incremental-add path, [[ivfAssign]] for [[IvfIndexSq8]]): rows to
+   *  append to its `assigned` frame. */
+  def ivfAssignQuantized(
+      centroids: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    ivfAssign(centroids, batch, idCol, vecCol)
+      .withColumn("n_codes", functions.int8Codes(col("n_vec")))
+      .select(col("list"), col("n_id"), col("n_codes"))
 
   /** Top-k over an [[ivfBuildQuantized]] index: probes quantize
    *  map-side, candidates come from the same list equi-join, scoring is
    *  the integer [[functions.int8Cosine]] kernel. Returns
    *  (q_id, n_id, qcos, rank). */
   def ivfProbeQuantized(
-      index: IvfIndex,
+      index: IvfIndexSq8,
       probes: DataFrame,
       idCol: String,
       vecCol: String,
@@ -367,12 +393,10 @@ object Similarity {
         functions.int8Codes(col(vecCol)).as("q_codes"),
         explode(functions.nearestLists(col(vecCol), cents,
           math.min(nProbe, cents.length))).as("list"))
-    val scored = q.join(c, q("list") === c("list") && col("q_id") =!= col("n_id"))
-      .withColumn("qcos", functions.int8Cosine(col("q_codes"), col("n_codes")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("qcos"), col("rank"))
+    rankTopK(
+      q.join(c, q("list") === c("list") && col("q_id") =!= col("n_id"))
+        .withColumn("qcos", functions.int8Cosine(col("q_codes"), col("n_codes"))),
+      "qcos", k)
   }
 
   private def collectCentroids(centroids: DataFrame): Array[Array[Float]] = {
@@ -400,12 +424,9 @@ object Similarity {
         explode(functions.nearestLists(col("q_vec"), cents, math.min(nProbe, cents.length))))
     val candidates = q.join(c, q("list") === c("list") && col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
-    val scored = candidates
-      .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+    rankTopK(candidates
+      .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec"))),
+      "cos", k)
   }
 
   /** (j, i) index stride for [[randomProjection]]'s sign matrix: input

@@ -2094,13 +2094,16 @@ class SnapshotTable private (
     commitEntry(v) // tag targets must be readable commits, fail here not at read
     fs.mkdirs(tagsDir)
     val payload = s"""{"version":$v,"ts":${System.currentTimeMillis()}}"""
-    val out =
-      try fs.create(tagPath(name), false)
-      catch {
-        case NonFatal(e) => throw new IllegalArgumentException(
-          s"tag '$name' already exists on $root (tags are immutable; dropTag first)", e)
-      }
-    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    // the ref file is claimed through the pluggable CommitLock — the same
+    // atomic slot primitive commits use. A bare create(overwrite=false)
+    // is a non-atomic exists-then-create on the local filesystem
+    // (CommitLock.scala's own rationale), so two racing createTag calls
+    // could both "win" and last-writer-wins the supposedly immutable ref
+    try commitLock.publish(fs, tagPath(name), tmpDir, payload.getBytes("UTF-8"))
+    catch {
+      case e: ConcurrentCommitException => throw new IllegalArgumentException(
+        s"tag '$name' already exists on $root (tags are immutable; dropTag first)", e)
+    }
     this
   }
 
