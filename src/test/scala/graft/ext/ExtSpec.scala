@@ -866,6 +866,33 @@ class ExtSpec extends SparkSpec {
     assert(w7 === w)
   }
 
+  test("budgetPerGroup fuzz: 25 seeded random instances equal the window-cumsum model") {
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 25) {
+      val nGroups = 1 + rnd.nextInt(4)
+      val rows = (0 until 40 + rnd.nextInt(160)).map { i =>
+        (i.toLong, s"g${rnd.nextInt(nGroups)}",
+          // coarse score grid forces cross-row ties; occasional zero weights
+          // and a zero-score band hit the bucket-edge cases
+          rnd.nextInt(20) / 20.0,
+          if (rnd.nextInt(10) == 0) 0L else 1L + rnd.nextInt(50).toLong)
+      }
+      val df = rows.toDF("id", "g", "score", "w")
+      val budget = 1L + rnd.nextInt(800).toLong
+      val buckets = Seq(1, 4, 64, 1024)(rnd.nextInt(4))
+      val expect = df.withColumn("cum",
+          sum(col("w")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .filter(col("cum") <= budget).select("id").as[Long].collect().toSet
+      val got = Sampling.budgetPerGroup(df.repartition(1 + rnd.nextInt(8)),
+          "g", "score", "w", "id", budget, buckets)
+        .select("id").as[Long].collect().toSet
+      assert(got === expect,
+        s"trial $trial: budget=$budget buckets=$buckets rows=${rows.size}")
+    }
+  }
+
   test("gumbelTopK: deterministic weighted sampling, layout-invariant, score-sensitive") {
     val df = (0L until 500L).map(i => (i, if (i < 50) 5.0 else -5.0)).toDF("id", "w")
     val sel = Sampling.gumbelTopK(df, "id", "w", k = 60)
