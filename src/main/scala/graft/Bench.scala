@@ -3,13 +3,71 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /**
- * Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
- * prints ONE JSON line. Each query is materialized with a noop-format
- * write — the full declared plan executes (projections, expressions,
- * joins) without Catalyst pruning work the way a bare `count()` would,
- * and without writing bytes anywhere.
+ * Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR.
+ *
+ * Output contract (the driver keeps only the LAST ~2000 chars of stdout, so
+ * ordering matters — round 6's recorded bench lost q01–q19 and the suite
+ * total to the tail capture):
+ *
+ *   1. a full detail JSON line (all 84 medians + mins + per-rep times for
+ *      the mutation queries) — printed first AND written to
+ *      `BENCH_DETAIL.json` in the working directory so it survives intact;
+ *   2. a compact headline JSON line printed LAST (< ~1800 chars): suite
+ *      total, point-lookup class, mutation class with per-rep times,
+ *      worst-3 regressions vs the previous recorded round, and the
+ *      scaling exponents. This line alone is a parseable summary.
+ *
+ * Each query is materialized with a noop-format write — the full declared
+ * plan executes (projections, expressions, joins) without the Catalyst
+ * pruning a bare `count()` would trigger, and without writing bytes.
  */
 object Bench {
+  /** Queries that do real table mutations (parquet writes / commits) per
+    * rep — a disturbed rep (box contention during a write) shows up as one
+    * outlier in the per-rep list rather than poisoning a single number. */
+  private val mutationClass = Set(
+    "q18_scd2_merge", "q41_hudi_upsert", "q55_change_feed", "q64_mor_delete",
+    "q70_replace_where", "q77_branch_wap", "q78_stream_roundtrip",
+    "q81_stream_window")
+
+  /** Point-lookup class graded against BASELINE.md's Athena lookups. */
+  private val lookupClass = Seq(
+    "q02_point_lookup", "q19_snapshot_point_lookup", "q43_zorder_scan",
+    "q69_bloom_lookup")
+
+  /** Best-effort per-query minimums from a prior round's recorded bench.
+    * The prior artifact may be a truncated tail wrapper, so parse leniently:
+    * scan for `"qNN_name":N.NNN` pairs and keep the minimum seen per key
+    * (keys appear in both the median and min maps; min-of-seen ≈ min map). */
+  private def prevMins(path: String): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) Map.empty
+    else {
+      val text =
+        try scala.io.Source.fromFile(f, "UTF-8").mkString
+        catch { case scala.util.control.NonFatal(_) => return Map.empty }
+      // Quotes may be backslash-escaped: the driver's BENCH_r*.json wraps the
+      // bench line inside a JSON "tail" string field.
+      val pair = """\\?"(q\d{2}_[a-z0-9_]+)\\?"\s*:\s*(-?\d+\.\d+)""".r
+      pair.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .toSeq.filter(_._2 >= 0)
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+  }
+
+  private def defaultPrevBench(): Option[String] = {
+    val rx = """BENCH_r(\d+)\.json""".r
+    Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => f.getName match {
+        case rx(n) => Some(n.toInt -> f.getPath)
+        case _     => None
+      })
+      .sortBy(-_._1).headOption.map(_._2)
+  }
+
+  private def jnum(d: Double): String = f"$d%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] is the contract for recorded rounds (32-core box); keep the
@@ -36,7 +94,7 @@ object Bench {
     // reported alongside so the JSON carries noise information
     // (median >> min on a given query = that query's runs were disturbed).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = ordered.map { case (name, fn) =>
+    val results: Seq[(String, Seq[Double])] = ordered.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -45,17 +103,20 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
       }
-      if (times.isEmpty) name -> (-1.0, -1.0)
-      else {
-        val sorted = times.sorted
-        name -> (sorted(sorted.size / 2), sorted.head)
-      }
+      name -> times
     }
-    val qs = results.map { case (k, (med, _)) => "\"" + k + f"""\":$med%.3f""" }
-      .mkString("{", ",", "}")
-    val mins = results.map { case (k, (_, mn)) => "\"" + k + f"""\":$mn%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
+    def med(ts: Seq[Double]): Double =
+      if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
+    def mn(ts: Seq[Double]): Double = if (ts.isEmpty) -1.0 else ts.min
+    val medians = results.map { case (k, ts) => k -> med(ts) }
+    val minima  = results.map { case (k, ts) => k -> mn(ts) }.toMap
+    val qs   = medians.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    val mins = results.map { case (k, ts) => "\"" + k + "\":" + jnum(mn(ts)) }.mkString("{", ",", "}")
+    val perRep = results.collect { case (k, ts) if mutationClass(k) =>
+      "\"" + k + "\":[" + ts.map(jnum).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    val totalMin = minima.values.filter(_ >= 0).sum
     // Scaling-curve evidence for the pair-mining queries (SURVEY §6):
     // re-time them at the next SF down and report the observed wall-clock
     // exponent log10(t_hi / t_lo) over the 10x data step. Exponents near
@@ -65,26 +126,36 @@ object Bench {
     // SF.)
     val scalingTrio = Seq("q21_jaccard_neardup", "q48_embedding_pairs",
       "q62_dup_ngram_frac", "q71_span_removal")
-    val loDir = sfDir.replace("sf0.1", "sf0.01")
-    val scaling =
-      if (loDir == sfDir || !new java.io.File(loDir).isDirectory) ""
+    val loDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_LO", sfDir.replace("sf0.1", "sf0.01"))
+    // Optional larger upper point (a locally synthesized ~10x corpus, see
+    // tools/make_scale_corpus.py): when set, exponents are computed over
+    // sfDir -> hiDir instead of loDir -> sfDir, so fixed overhead no longer
+    // dominates the step.
+    val hiDir = sys.env.get("SPARK_GRAFT_SCALING_HI").filter(d => new java.io.File(d).isDirectory)
+    val scaling = {
+      val (fromDir, toDir) = hiDir match {
+        case Some(hi) => (sfDir, hi)
+        case None     => (loDir, sfDir)
+      }
+      if (fromDir == toDir || !new java.io.File(fromDir).isDirectory) ""
       else {
         val parts = scalingTrio.flatMap { name =>
           SparkEntry.queries.get(name).flatMap { fn =>
-            // no (positive) high-SF measurement → no exponent to compute;
-            // skip before burning 1+reps low-SF executions on it
-            val hi = results.collectFirst { case (`name`, (_, mn)) => mn }.filter(_ > 0)
-            if (hi.isEmpty) None
-            else try {
-              fn(spark, loDir).write.format("noop").mode("overwrite").save() // warm
-              val lo = (1 to reps).map { _ =>
-                val t0 = System.nanoTime()
-                fn(spark, loDir).write.format("noop").mode("overwrite").save()
-                (System.nanoTime() - t0) / 1e9
-              }.min
-              hi.map { h =>
-                val exp = math.log10(h / lo)
-                "\"" + name + f"""\":{"lo":$lo%.3f,"hi":$h%.3f,"exp":$exp%.2f}"""
+            try {
+              def timeAt(dir: String): Double = {
+                fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
+                (1 to reps).map { _ =>
+                  val t0 = System.nanoTime()
+                  fn(spark, dir).write.format("noop").mode("overwrite").save()
+                  (System.nanoTime() - t0) / 1e9
+                }.min
+              }
+              val lo = if (fromDir == sfDir) minima.getOrElse(name, -1.0) else timeAt(fromDir)
+              val hi = timeAt(toDir)
+              if (lo <= 0 || hi <= 0) None
+              else {
+                val exp = math.log10(hi / lo)
+                Some("\"" + name + s"""\":{"lo":${jnum(lo)},"hi":${jnum(hi)},"exp":${f"$exp%.2f"}}""")
               }
             } catch { case e: Throwable =>
               System.err.println(s"[bench][scaling] $name: ${e.getMessage}"); None
@@ -92,9 +163,34 @@ object Bench {
           }
         }
         if (parts.isEmpty) ""
-        else parts.mkString(s""","scaling_lo_sf":"$loDir","scaling_10x":{""", ",", "}")
+        else parts.mkString(
+          s""","scaling_lo_sf":"$fromDir","scaling_hi_sf":"$toDir","scaling_10x":{""", ",", "}")
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins$scaling,"sf":"$sfDir"}""")
+    }
+    // Worst-3 regressions vs the previous recorded round (min vs min).
+    val prevPath = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse(defaultPrevBench())
+    val prev = prevPath.map(prevMins).getOrElse(Map.empty)
+    val deltas = minima.toSeq.flatMap { case (k, now) =>
+      prev.get(k).filter(p => p > 0 && now > 0).map(p => (k, p, now, now / p))
+    }.sortBy(-_._4).take(3)
+    val worst = deltas.map { case (k, p, now, r) =>
+      "{\"q\":\"" + k + s"""\",\"prev\":${jnum(p)},\"now\":${jnum(now)},\"ratio\":${f"$r%.2f"}}"""
+    }.mkString("[", ",", "]")
+    val lookups = lookupClass.flatMap(k => minima.get(k).map(v => "\"" + k + "\":" + jnum(v)))
+      .mkString("{", ",", "}")
+
+    val detailLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"mutation_reps":$perRep,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter(new java.io.File("BENCH_DETAIL.json"), "UTF-8")
+      try w.println(detailLine) finally w.close()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
+    }
+    println(detailLine)
+    // Headline block LAST: this is the line the tail capture must preserve.
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"reps":$reps,"n_queries":${results.size},"lookup_min":$lookups,"mutation_reps":$perRep,"worst3_vs_prev":$worst,"prev_bench":"${prevPath.getOrElse("none")}"$scaling,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
