@@ -91,8 +91,12 @@ object GraftSqlParser {
     cmd(s"RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
   private val RestoreTimestampStmt =
     cmd(s"RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'")
+  // named refs (Iceberg tags/branches/WAP surface): ref names accept a
+  // bare path-safe identifier or the same single-quoted — the alternation
+  // keeps the quotes PAIRED (`'name` / `name'` must not parse)
+  private val RefName = "(?:'([A-Za-z0-9][A-Za-z0-9_.-]*)'|([A-Za-z0-9][A-Za-z0-9_.-]*))"
   private val RestoreTagStmt =
-    cmd(s"RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+TAG\\s+'?([A-Za-z0-9][A-Za-z0-9_.-]*)'?")
+    cmd(s"RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+TAG\\s+$RefName")
   private val GenerateStmt =
     cmd(s"GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$Ident")
   private val ConvertStmt =
@@ -121,9 +125,6 @@ object GraftSqlParser {
     out += cur.toString
     out.map(_.trim).filter(_.nonEmpty).toSeq
   }
-  // named refs (Iceberg tags/branches/WAP surface): ref names accept a
-  // bare path-safe identifier or the same single-quoted
-  private val RefName = "(?:'([A-Za-z0-9][A-Za-z0-9_.-]*)'|([A-Za-z0-9][A-Za-z0-9_.-]*))"
   private val CreateTagStmt =
     cmd(s"ALTER\\s+TABLE\\s+$Ident\\s+CREATE\\s+TAG\\s+$RefName" +
       "(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?")
@@ -158,7 +159,7 @@ object GraftSqlParser {
       .orElse(m(RestoreTimestampStmt).map(r =>
         GraftRestoreCommand(identParts(r.group(1)), None, Some(r.group(2)))))
       .orElse(m(RestoreTagStmt).map(r =>
-        GraftRestoreCommand(identParts(r.group(1)), None, None, Some(r.group(2)))))
+        GraftRestoreCommand(identParts(r.group(1)), None, None, Some(refNameOf(r)))))
       .orElse(m(GenerateStmt).map(r => GraftGenerateManifestCommand(identParts(r.group(1)))))
       .orElse(m(ConvertStmt).map(r =>
         GraftConvertCommand(r.group(1).substring(1, r.group(1).length - 1))))

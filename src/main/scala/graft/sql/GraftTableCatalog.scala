@@ -101,6 +101,12 @@ class GraftTableCatalog extends TableCatalog {
         require(v >= 0 && v <= t.currentVersion(),
           s"table ${ident.name} has no version $v (latest: ${t.currentVersion()})")
         new GraftTable(t, ident, pinnedVersion = Some(v))
+      case None if t.hasTag(version) && t.hasBranch(version) =>
+        // separate namespaces; creation rejects collisions, but a table
+        // written by older code could carry both — refuse to guess
+        throw new IllegalArgumentException(
+          s"VERSION AS OF '$version' is ambiguous on ${ident.name}: both a tag " +
+            "and a branch of that name exist; drop or rename one")
       case None if t.hasTag(version) =>
         new GraftTable(t, ident, pinnedVersion = Some(t.tagVersion(version)))
       case None if t.hasBranch(version) =>

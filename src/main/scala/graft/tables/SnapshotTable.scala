@@ -152,12 +152,22 @@ class SnapshotTable private (
 
   private[graft] def commitEntry(version: Long): CommitEntry = {
     val p = new Path(logDir, f"$version%020d.json")
-    val in = fs.open(p)
-    val bytes = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-      out.toByteArray
-    } finally in.close()
+    val bytes =
+      try {
+        val in = fs.open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          out.toByteArray
+        } finally in.close()
+      } catch {
+        // slot expired by vacuum but version pinned by a tag: resolve from
+        // the tag's embedded entry copy (branch handles share main's tags
+        // only for versions at/below the fork, which is exactly when the
+        // slot can have been main-log-expired)
+        case e: java.io.FileNotFoundException =>
+          return tagEntryFor(version).getOrElse(throw e)
+      }
     CommitEntry.fromJson(new String(bytes, "UTF-8"))
   }
 
@@ -1926,21 +1936,39 @@ class SnapshotTable private (
       case k if headTorn && k < Int.MaxValue => k + 1
       case k => k
     }
-    // tag-referenced versions are exempt from expiry (the Iceberg
+    // Tag-referenced versions keep their FILES alive (the Iceberg
     // tagged-snapshot rule — a tag is precisely a promise that vacuum
-    // retention decisions will not take this version away)
-    val tagged = listTags().map(_._2).toSet
-    val retained = (versions.takeRight(keep) ++ versions.filter(tagged)).distinct
-    val live: Set[String] = retained.flatMap { v =>
+    // retention decisions will not take this data away) but NOT their log
+    // slots: slots expire uniformly from the oldest end so the retained
+    // tail stays contiguous — probeLatest's invariant; a surviving island
+    // slot plus a stale hint would resolve as a false head (split brain).
+    // Tag reads resolve from the entry copy embedded in the ref payload
+    // once the slot is gone ([[commitEntry]]'s fallback). Tags written
+    // before entries were embedded are repaired in place here, while
+    // their slot is still readable.
+    def entryFiles(e: CommitEntry): Seq[String] =
+      e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
+    val tagLive: Set[String] = listTags().flatMap { case (name, v) =>
       try {
-        val e = commitEntry(v)
-        e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
-      } catch {
+        val e = commitEntry(v) // slot while present, embedded copy after
+        if (versions.dropRight(keep).contains(v) &&
+            tagEmbeddedEntry(tagBody(name)).isEmpty) {
+          val payload =
+            s"""{"version":$v,"ts":${System.currentTimeMillis()},"entry":${e.toJson}}"""
+          val out = fs.create(tagPath(name), true)
+          try out.write(payload.getBytes("UTF-8")) finally out.close()
+        }
+        entryFiles(e)
+      } catch { case NonFatal(_) => Nil }
+    }.toSet
+    val live: Set[String] = versions.takeRight(keep).flatMap { v =>
+      try entryFiles(commitEntry(v))
+      catch {
         case NonFatal(e) if v == versions.last && headTorn => Nil
       }
-    }.toSet ++ branchLiveFiles() // unpublished branch state shares data/
+    }.toSet ++ tagLive ++ branchLiveFiles() // unpublished branch state shares data/
     // expire old log entries first so no reader can resolve dropped files
-    versions.dropRight(keep).filterNot(tagged).foreach { v =>
+    versions.dropRight(keep).foreach { v =>
       fs.delete(slotPath(v), false)
     }
     // re-anchor the hint at the head: a hint pointing below the retained
@@ -1988,16 +2016,20 @@ class SnapshotTable private (
       case k if headTorn && k < Int.MaxValue => k + 1
       case k => k
     }
-    val tagged = listTags().map(_._2).toSet
+    // same liveness rule as [[vacuum]]: retained tail + tag-pinned
+    // entries (resolved via slot or embedded copy) + branch state
+    def entryFiles(e: CommitEntry): Seq[String] =
+      e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
+    val tagLive: Set[String] = listTags().flatMap { case (_, v) =>
+      try entryFiles(commitEntry(v)) catch { case NonFatal(_) => Nil }
+    }.toSet
     val live: Set[String] =
-      (versions.takeRight(keep) ++ versions.filter(tagged)).distinct.flatMap { v =>
-        try {
-          val e = commitEntry(v)
-          e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
-        } catch {
+      versions.takeRight(keep).flatMap { v =>
+        try entryFiles(commitEntry(v))
+        catch {
           case NonFatal(e) if v == versions.last && headTorn => Nil
         }
-      }.toSet ++ branchLiveFiles()
+      }.toSet ++ tagLive ++ branchLiveFiles()
     vacuumCandidates(live, retainMillis).map(_.toUri.getPath)
   }
 
@@ -2091,9 +2123,22 @@ class SnapshotTable private (
       require(cv >= 0, s"table $root is empty; nothing to tag")
       cv
     }
-    commitEntry(v) // tag targets must be readable commits, fail here not at read
+    // tags and branches are separate namespaces, but `VERSION AS OF
+    // '<name>'` resolves both — a name living in each would be ambiguous
+    require(!hasBranch(name),
+      s"a branch named '$name' exists on $root; tag and branch names share " +
+        "the VERSION AS OF namespace and must not collide")
+    val entry = commitEntry(v) // tag targets must be readable commits, fail here not at read
     fs.mkdirs(tagsDir)
-    val payload = s"""{"version":$v,"ts":${System.currentTimeMillis()}}"""
+    // The tag carries a COPY of the commit entry (entry key LAST so it can
+    // be extracted without a JSON parser): a tag is a retention promise,
+    // and honoring it by leaving the tagged log SLOT alive would break the
+    // contiguity invariant probeLatest depends on (an expired-around
+    // island slot + a stale hint could resolve as a false head — split
+    // brain). Self-contained refs keep the main log uniformly expirable;
+    // only file LIVENESS is tag-exempt in vacuum.
+    val payload =
+      s"""{"version":$v,"ts":${System.currentTimeMillis()},"entry":${entry.toJson}}"""
     // the ref file is claimed through the pluggable CommitLock — the same
     // atomic slot primitive commits use. A bare create(overwrite=false)
     // is a non-atomic exists-then-create on the local filesystem
@@ -2117,20 +2162,55 @@ class SnapshotTable private (
     name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*") &&
       fs.exists(new Path(refsDir, s"branch/$name/_log"))
 
-  /** The version a tag points at. */
-  def tagVersion(name: String): Long = {
-    validateRefName(name)
+  private def tagBody(name: String): String = {
     val p = tagPath(name)
     require(fs.exists(p), s"no tag '$name' on $root")
     val in = fs.open(p)
-    val body = try {
+    try {
       val bos = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
       bos.toString("UTF-8")
     } finally in.close()
+  }
+
+  /** The version a tag points at. */
+  def tagVersion(name: String): Long = {
+    validateRefName(name)
+    val body = tagBody(name)
     "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body)
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(s"tag '$name' on $root is unreadable: $body"))
+  }
+
+  /** The commit entry embedded in a tag payload (entry is the LAST key,
+   *  so extraction is a substring, no JSON parser). None for a payload
+   *  without one. */
+  private def tagEmbeddedEntry(body: String): Option[CommitEntry] = {
+    val key = "\"entry\":"
+    val t = body.trim
+    val idx = t.indexOf(key)
+    if (idx < 0) None
+    else Some(CommitEntry.fromJson(t.substring(idx + key.length, t.length - 1)))
+  }
+
+  /** Resolve `version`'s entry from any tag that pinned it — the fallback
+   *  [[commitEntry]] uses once vacuum has expired the log slot. O(tags)
+   *  ref reads, paid only on the slot-miss path. */
+  private def tagEntryFor(version: Long): Option[CommitEntry] = {
+    if (!fs.exists(tagsDir)) return None
+    fs.listStatus(tagsDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .iterator
+      .flatMap { f =>
+        try {
+          val body = tagBody(f.stripSuffix(".json"))
+          if ("\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body)
+                .exists(_.group(1).toLong == version)) tagEmbeddedEntry(body)
+          else None
+        } catch { case NonFatal(_) => None }
+      }
+      .nextOption()
   }
 
   /** Snapshot read at a tag — `VERSION AS OF '<tag>'` through the SQL
@@ -2164,6 +2244,9 @@ class SnapshotTable private (
   def createBranch(name: String): SnapshotTable = {
     requireMainHandle("createBranch")
     validateRefName(name)
+    require(!hasTag(name),
+      s"a tag named '$name' exists on $root; tag and branch names share " +
+        "the VERSION AS OF namespace and must not collide")
     val (v, entry) = currentReadable().getOrElse(
       throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
     require(entry.deltaFiles.forall(_.isEmpty),

@@ -369,6 +369,13 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(r.getLong(1) === 0L && r.getLong(2) === 2L)
     assert(t.read().count() === 3)
     intercept[Exception](spark.sql("RESTORE TABLE maint_rtag TO TAG 'nope'").collect())
+    // quotes must be PAIRED — mismatched forms fall through to Spark's
+    // parser and fail, rather than silently parsing as a tag name
+    intercept[Exception](spark.sql("RESTORE TABLE maint_rtag TO TAG 'good").collect())
+    intercept[Exception](spark.sql("RESTORE TABLE maint_rtag TO TAG good'").collect())
+    // the bare unquoted form is accepted (same RefName rule as other refs)
+    val r2 = spark.sql("RESTORE TABLE maint_rtag TO TAG good").collect().head
+    assert(r2.getLong(1) === 0L)
   }
 
   test("VERSION AS OF resolves tags and branch heads through the DSv2 catalog") {

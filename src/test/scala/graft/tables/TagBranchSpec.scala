@@ -128,6 +128,47 @@ class TagBranchSpec extends SparkSpec {
     assert(t.read().as[(Long, String)].collect().toSet === Set((2L, "y")))
   }
 
+  test("vacuum keeps the main log contiguous: tagged slots expire, tag reads survive") {
+    val t = freshTable("tag_island")
+    t.createTag("pin0") // pins v0
+    t.overwrite((1 to 3).map(i => (i.toLong, s"a$i")).toDF("id", "v")) // v1
+    t.overwrite((1 to 4).map(i => (i.toLong, s"b$i")).toDF("id", "v")) // v2
+    t.overwrite((1 to 5).map(i => (i.toLong, s"c$i")).toDF("id", "v")) // v3
+    t.vacuum(retainVersions = 1, retainMillis = 0L)
+    // the log holds ONLY the retained tail — no tagged island slot below it
+    val logDir = new java.io.File(t.root, "_log")
+    val slots = logDir.listFiles().map(_.getName)
+      .filter(_.matches("\\d{1,20}\\.json")).sorted.toSeq
+    assert(slots === Seq(f"${3L}%020d.json"), slots)
+    // tag still resolves — from the entry copy embedded in the ref
+    assert(t.tagVersion("pin0") === 0L)
+    assert(t.readTag("pin0").count() === 10)
+    // ...and so does slot-path resolution for the pinned version
+    assert(t.readVersion(0).count() === 10)
+    // a stale hint pointing at the tagged version must NOT resolve a
+    // false head (the split-brain the island slot would have enabled)
+    val hint = new java.io.File(logDir, "_latest_hint")
+    java.nio.file.Files.write(hint.toPath, "0".getBytes("UTF-8"))
+    assert(t.currentVersion() === 3L)
+    // and a commit after the stale hint lands ABOVE the true head
+    t.append(Seq((99L, "z")).toDF("id", "v"))
+    assert(t.currentVersion() === 4L)
+    assert(t.read().count() === 6)
+    // restore-to-tag still works with the slot long expired
+    t.restore(t.tagVersion("pin0"))
+    assert(t.read().count() === 10)
+  }
+
+  test("tag and branch names must not collide (shared VERSION AS OF namespace)") {
+    val t = freshTable("ref_collide")
+    t.createTag("prod")
+    val e1 = intercept[IllegalArgumentException](t.createBranch("prod"))
+    assert(e1.getMessage.contains("collide"))
+    t.createBranch("wip")
+    val e2 = intercept[IllegalArgumentException](t.createTag("wip"))
+    assert(e2.getMessage.contains("collide"))
+  }
+
   test("all-digit ref names are rejected (VERSION AS OF would shadow them)") {
     val t = freshTable("ref_digits")
     intercept[IllegalArgumentException](t.createTag("2024"))
