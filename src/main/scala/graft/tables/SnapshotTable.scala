@@ -1967,10 +1967,21 @@ class SnapshotTable private (
         case NonFatal(e) if v == versions.last && headTorn => Nil
       }
     }.toSet ++ tagLive ++ branchLiveFiles() // unpublished branch state shares data/
-    // expire old log entries first so no reader can resolve dropped files
-    versions.dropRight(keep).foreach { v =>
-      fs.delete(slotPath(v), false)
-    }
+    // Expire old log entries first so no reader can resolve dropped
+    // files. Slot expiry honors the SAME retention window as data files
+    // (Delta's log-retention rationale): a slot freed while a publisher
+    // is between its head probe and its commit CAS would let that CAS
+    // wrongly win BELOW the head — an in-flight writer only ever targets
+    // a slot adjacent to a head it resolved moments ago, so slots
+    // younger than retainMillis are never freed. Only the contiguous
+    // PREFIX of old-enough slots is deleted, keeping the log island-free.
+    val slotCutoff = System.currentTimeMillis() - math.max(0L, retainMillis)
+    versions.dropRight(keep)
+      .takeWhile { v =>
+        try fs.getFileStatus(slotPath(v)).getModificationTime <= slotCutoff
+        catch { case NonFatal(_) => true } // already gone: prefix continues
+      }
+      .foreach { v => fs.delete(slotPath(v), false) }
     // re-anchor the hint at the head: a hint pointing below the retained
     // window would force every subsequent read back onto the full listing
     writeHint(versions.last)
@@ -2323,16 +2334,23 @@ class SnapshotTable private (
    *  in the shared `data/` dir and must survive a main-side [[vacuum]]. */
   private def branchLiveFiles(): Set[String] =
     listBranches().flatMap { name =>
-      val b = new SnapshotTable(spark, root, Some(name))
-      b.listVersions().flatMap { v =>
-        try {
-          val e = b.commitEntry(v)
-          e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
-        } catch {
-          // a torn branch entry's files are mid-write → inside the
-          // retainMillis mtime window, safe from this vacuum pass
-          case NonFatal(_) => Nil
+      try {
+        val b = new SnapshotTable(spark, root, Some(name))
+        b.listVersions().flatMap { v =>
+          try {
+            val e = b.commitEntry(v)
+            e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
+          } catch {
+            // a torn branch entry's files are mid-write → inside the
+            // retainMillis mtime window, safe from this vacuum pass
+            case NonFatal(_) => Nil
+          }
         }
+      } catch {
+        // branch dropped between the listing and the log read (concurrent
+        // dropBranch): it contributes no liveness — its mid-delete files,
+        // like torn entries, are covered by the retainMillis mtime window
+        case NonFatal(_) => Nil
       }
     }.toSet
 

@@ -1,0 +1,76 @@
+package graft.tables
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Child process for the cross-process fastForward-vs-vacuum race
+ * ([[TagBranchSpec]]): two roles against one shared table root.
+ *
+ *  - `churn`: overwrites main and vacuums with retainVersions=1 and a
+ *    SHORT slot/file retention, so log slots genuinely expire while the
+ *    other process is publishing — the adversarial schedule for the
+ *    head-probe + commit-CAS in [[SnapshotTable.fastForward]].
+ *  - `publish`: loops write-audit-publish cycles (fork branch, append a
+ *    marker row, fastForward); a lost CAS re-forks and replays, and every
+ *    win is verified by reading the marker back from MAIN — a dangling
+ *    file reference or lost publish fails the read and exits nonzero.
+ *
+ * Exits 0 only if every iteration behaved: publishes either land
+ * verifiably or lose with ConcurrentCommitException, never anything else.
+ */
+object RefRaceChild {
+  def main(args: Array[String]): Unit = {
+    val Array(root, role, itersStr) = args
+    val iters = itersStr.toInt
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"ref-race-$role")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val table = SnapshotTable(spark, root)
+    role match {
+      case "churn" =>
+        (1 to iters).foreach { i =>
+          var done = false
+          while (!done) {
+            try { table.overwrite(Seq(("churn", i)).toDF("writer", "n")); done = true }
+            catch { case _: SnapshotTable.ConcurrentCommitException => Thread.sleep(3) }
+          }
+          // retainMillis guards BOTH data files and log slots for
+          // in-flight writers; 1500 ms is far above any probe→CAS window
+          // and far below the test's runtime, so expiry really happens
+          table.vacuum(retainVersions = 1, retainMillis = 1500L)
+        }
+      case "publish" =>
+        var wins = 0
+        var attempts = 0
+        while (wins < iters) {
+          attempts += 1
+          require(attempts <= 400, s"publisher starved after $attempts attempts")
+          try {
+            if (table.hasBranch("wap")) table.dropBranch("wap")
+            val b = table.createBranch("wap")
+            b.append(Seq((s"pub$wins", wins)).toDF("writer", "n"))
+            table.fastForward("wap")
+            // verify on MAIN: the publish is readable and complete —
+            // a dangling file reference would fail this collect
+            val seen = table.read().as[(String, Int)].collect().toSet
+            require(seen.contains((s"pub$wins", wins)),
+              s"publish $wins landed but is not readable on main: $seen")
+            wins += 1
+          } catch {
+            case _: SnapshotTable.ConcurrentCommitException => Thread.sleep(3)
+            case e: IllegalStateException
+                if e.getMessage != null && e.getMessage.contains("no readable head") =>
+              Thread.sleep(3) // forked log entry raced vacuum's hint rewrite
+          }
+        }
+      case other => sys.error(s"unknown role $other")
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -209,6 +209,62 @@ class TagBranchSpec extends SparkSpec {
     assert(t.read().count() === 11)
   }
 
+  test("two forked JVMs: fastForward publishes race main-side vacuum without dangling refs") {
+    // the cross-process proof for the WAP publish path: one JVM churns
+    // main (overwrite + aggressive vacuum, so log slots genuinely expire
+    // mid-race), one JVM loops write-audit-publish cycles. Losers must
+    // surface as ConcurrentCommitException (the child retries), winners
+    // must be READABLE on main — a publish that won its CAS below the
+    // head, or a vacuum that reclaimed published files, fails the child.
+    val root = tmpDir("ref_race_fork")
+    SnapshotTable.create(spark, root, Seq(("seed", 0)).toDF("writer", "n"))
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def spawn(role: String, iters: Int): Process = {
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx1g", "-Dspark.ui.enabled=false",
+        "-cp", cp, "graft.tables.RefRaceChild", root, role, iters.toString)).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      pb.start()
+    }
+    val churn = spawn("churn", 20)
+    val publish = spawn("publish", 5)
+    import java.util.concurrent.TimeUnit
+    assert(publish.waitFor(300, TimeUnit.SECONDS), "publisher timed out")
+    assert(churn.waitFor(300, TimeUnit.SECONDS), "churner timed out")
+    assert(publish.exitValue() === 0, "publisher failed (lost publish or dangling read)")
+    assert(churn.exitValue() === 0, "churner failed")
+
+    // post-race invariants, checked from the parent JVM:
+    val t = SnapshotTable(spark, root)
+    // (1) the head is readable and every file it references exists
+    val head = t.currentVersion()
+    assert(head > 0)
+    t.read().collect()
+    assert(t.manifest().forall(p => new java.io.File(p).exists()),
+      "head manifest references a reclaimed file")
+    // (2) the retained log is a contiguous tail ending at the head —
+    // no island slot a stale hint could resolve as a false head
+    val slots = new java.io.File(root, "_log").listFiles().map(_.getName)
+      .filter(_.matches("\\d{1,20}\\.json")).map(_.stripSuffix(".json").toLong).sorted.toSeq
+    assert(slots.last === head)
+    assert(slots === (slots.head to slots.last), s"log has holes: $slots")
+    // (3) one final aggressive vacuum leaves the table fully readable
+    t.vacuum(retainVersions = 1, retainMillis = 0L)
+    t.read().collect()
+  }
+
   test("change feed reports a published branch update as keyed row-level changes") {
     val t = freshTable("br_cdf")
     val b = t.createBranch("audit")
