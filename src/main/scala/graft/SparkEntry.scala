@@ -759,16 +759,37 @@ object SparkEntry {
     """SELECT doc_id, true AS planted_found, true AS partners_consistent
       |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin
 
-  private def multimodalQuery(s: SparkSession, dir: String): DataFrame =
-    ext.Multimodal.decodeImages(
-        ext.Multimodal.asAssets(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
-      .select(col("asset_id"), col("width"), col("height"), col("channels"))
+  /** Q27 — REAL image decode with planted ground truth: per doc_id a
+   *  solid-gray PNG is synthesized executor-side (pure-JDK encoder) with
+   *  dimensions and gray level derived from the id, then decoded through
+   *  `javax.imageio` ([[graft.ext.Multimodal.decodeImage]]). The oracle
+   *  replays width/height/channels from the generating arithmetic, and
+   *  `lum_bin` — the argmax bin of the luminance histogram computed from
+   *  DECODED PIXELS — proves the codec read the image content, not just
+   *  the header. */
+  private def multimodalQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 1 + (id % 16).toInt
+        val h = 1 + ((id * 3) % 16).toInt
+        (id, ext.Multimodal.encodePng(w, h, (id % 256).toInt))
+      }
+    }.toDF("asset_id", "media")
+    ext.Multimodal.decodeImages(assets)
+      .select(col("asset_id"), col("width"), col("height"), col("channels"),
+        (array_position(col("features"), array_max(col("features"))) - 1)
+          .cast("int").as("lum_bin"))
       .orderBy("asset_id")
+  }
   private val Q27Duck =
     """SELECT doc_id AS asset_id,
-      |  CAST(1 + length(text) % 512 AS INT) AS width,
-      |  CAST(1 + (length(text) * 7) % 512 AS INT) AS height,
-      |  3 AS channels
+      |  CAST(1 + doc_id % 16 AS INT) AS width,
+      |  CAST(1 + (doc_id * 3) % 16 AS INT) AS height,
+      |  3 AS channels,
+      |  CAST((doc_id % 256) // 32 AS INT) AS lum_bin
       |FROM documents ORDER BY asset_id""".stripMargin
 
   /** Q28 — content hashes structurally oracled: over the corpus plus an

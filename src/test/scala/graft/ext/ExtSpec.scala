@@ -575,6 +575,39 @@ class ExtSpec extends SparkSpec {
     assert(rows.forall(r => again(r._1) === r._5.toSeq))
   }
 
+  test("multimodal: real PNG decode recovers planted dimensions, channels, and pixels") {
+    // encode → decode roundtrip through the actual JDK codecs: solid
+    // 5x7 gray-160 and 16x1 gray-31 images
+    val png1 = Multimodal.encodePng(5, 7, 160)
+    val png2 = Multimodal.encodePng(16, 1, 31)
+    // PNG magic bytes prove a real encoder ran
+    assert((png1(0) & 0xFF) === 0x89 && png1(1) === 'P'.toByte)
+    val d1 = Multimodal.decodeImage(1L, png1).get
+    assert((d1.width, d1.height, d1.channels) === ((5, 7, 3)))
+    // solid gray 160 → all luminance mass in bin 160>>5 = 5
+    assert(d1.features(5) === 1.0f)
+    assert(d1.features.sum === 1.0f)
+    val d2 = Multimodal.decodeImage(2L, png2).get
+    assert((d2.width, d2.height) === ((16, 1)))
+    assert(d2.features(0) === 1.0f) // 31>>5 = 0
+    // decodeImages routes decodable payloads through the REAL decoder
+    // and corrupt/undecodable ones through the stub — one row each
+    val mixed = Seq(
+      (10L, png1),
+      (11L, "not an image at all".getBytes("UTF-8")),
+      (12L, png1.take(8).toArray), // truncated header: ImageIO rejects
+      (13L, null.asInstanceOf[Array[Byte]])).toDF("asset_id", "media")
+    val out = Multimodal.decodeImages(mixed)
+      .as[(Long, Int, Int, Int, Array[Float])].collect().map(r => r._1 -> r).toMap
+    assert(out.size === 4)
+    assert((out(10L)._2, out(10L)._3) === ((5, 7))) // real decode
+    val stub11 = Multimodal.decodeStub(11L, "not an image at all".getBytes("UTF-8"))
+    assert((out(11L)._2, out(11L)._3) === ((stub11.width, stub11.height)))
+    assert(out(11L)._5.toSeq === stub11.features.toSeq)
+    assert(out(12L)._2 === Multimodal.decodeStub(12L, png1.take(8).toArray).width)
+    assert(out(13L)._2 === Multimodal.decodeStub(13L, null).width)
+  }
+
   test("multimodal: frame sampling slices fixed-stride binary frames") {
     val df = Seq((1L, Array.tabulate(100)(_.toByte))).toDF("id", "media")
     val frames = df.select(Multimodal.frameSample(col("media"), frameBytes = 10, everyN = 2).as("f"))
