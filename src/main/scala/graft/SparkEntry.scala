@@ -439,13 +439,14 @@ object SparkEntry {
    *  tumbling windows, 1-hour watermark, append-mode emission of
    *  finalized windows only). Deterministic despite watermark
    *  semantics: the first run drains every committed version (all real
-   *  data plus a far-future sentinel) in ONE batch, so no row is ever
-   *  late relative to a mid-stream watermark; the sentinel leaves the
-   *  final watermark past every real window; and a second sentinel
-   *  commit + resumed run provides the data batch in which all of them
-   *  emit (a restarted AvailableNow query runs no no-data flush batch).
-   *  The oracle is then a plain GROUP BY. Counts only — a streamed
-   *  double sum's addition order is not an oracle-stable quantity. */
+   *  data plus a data-derived far-future sentinel) in ONE batch, so no
+   *  row is ever late relative to a mid-stream watermark, and the
+   *  sentinel leaves the final watermark past every real window; the
+   *  resumed second run begins with the drained source's FLUSH batch
+   *  ([[graft.streaming.GraftTableSource]] finalization), in which every
+   *  watermark-closed window emits. The oracle is then a plain GROUP BY.
+   *  Counts only — a streamed double sum's addition order is not an
+   *  oracle-stable quantity. */
   private def streamWindowQuery(s: SparkSession, dir: String): DataFrame = {
     registerViews(s, dir)
     val ev = s.table("events").select(col("ts"), col("event_type"))
@@ -460,16 +461,26 @@ object SparkEntry {
       base.append(slice("2024-01-21 00:00:00", "2100-01-01 00:00:00"))
       base
     }
-    // TWO sentinel commits bracket the runs below: the first rides along
-    // with the real data and pushes the watermark past every real
-    // window; the second arrives as one more DATA batch so those windows
-    // actually emit (a restarted AvailableNow query does not run the
-    // no-data flush batch a continuous query would). Appended per
-    // invocation — a restored warm table re-accumulates them, which is
-    // harmless: sentinel rows are filtered and re-delivered duplicates
-    // cannot move the watermark.
-    def sentinel(ts: String) = src.append(s.createDataFrame(
-      Seq((java.sql.Timestamp.valueOf(ts), "__sentinel"))).toDF("ts", "event_type"))
+    // ONE sentinel commit rides along with the real data and pushes the
+    // watermark past every real window: its timestamp is DERIVED from the
+    // observed max event ts (+ window + watermark + margin), so a
+    // testdata regeneration with a longer event range cannot silently
+    // leave late windows unemitted. The windows then EMIT in the second
+    // run's finalization batch — the source offers one empty flush batch
+    // once the offset log shows every version drained
+    // ([[graft.streaming.GraftTableSource]] odd offsets), which replaced
+    // the old second-sentinel commit. Appended per invocation — a
+    // restored warm table re-accumulates sentinels, which is harmless:
+    // sentinel rows are filtered and re-delivered duplicates cannot move
+    // the watermark.
+    def sentinel(): Unit = {
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val ts = new java.sql.Timestamp(
+        maxTs.getTime + (24L + 1L + 1L) * 3600L * 1000L) // window + watermark + margin
+      src.append(s.createDataFrame(
+        Seq((ts, "__sentinel"))).toDF("ts", "event_type"))
+      ()
+    }
     val out = SnapshotTable.createEmpty(s,
       Files.createTempDirectory("graft_stream_win_out").toString,
       org.apache.spark.sql.types.StructType(Seq(
@@ -491,10 +502,9 @@ object SparkEntry {
       graft.streaming.StreamIngest.runOnce(
         graft.streaming.StreamIngest.appendSink(stream, out), ckpt)
     }
-    sentinel("2024-03-01 00:00:00")
+    sentinel()
     run() // drains all committed versions in one batch; emits nothing yet
-    sentinel("2024-04-01 00:00:00")
-    run() // the sentinel data batch emits every watermark-closed window
+    run() // the drained source's flush batch emits every closed window
     out.read().filter(col("event_type") =!= "__sentinel")
       .orderBy("window_start", "event_type")
   }

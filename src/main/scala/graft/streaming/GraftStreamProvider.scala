@@ -200,35 +200,56 @@ class GraftTableSource(
   override val schema: StructType =
     if (cdf) GraftTableSource.cdfSchema(table) else table.schema
 
-  /** The newest version this source has already handed to the engine —
-   *  the base the per-trigger cap advances from. Initialized from the
-   *  checkpoint on recovery: the engine replays `getBatch` for the last
-   *  committed range before asking for new offsets (the V1-source
-   *  state-restoration contract FileStreamSource also relies on). */
-  @volatile private var delivered: Long = startCursor
+  // ---- offset encoding -------------------------------------------------
+  // Logical offsets are NOT raw table versions: data offsets are EVEN
+  // (2·(version+1)) and an ODD offset (data offset + 1) is a one-shot
+  // FLUSH marker. After the source has drained every committed version it
+  // offers exactly one flush offset, whose batch is EMPTY — the no-data
+  // micro-batch that lets a watermarked aggregation finalize windows the
+  // last data batch's watermark advance unlocked (the AvailableNow /
+  // Trigger.Once finalization real Delta/Hudi sources perform; without
+  // it a run that ends on a data batch leaves closed windows unemitted
+  // until the next run delivers more data). The marker is checkpointed
+  // like any offset, so a RESTART with no new commits replays it as
+  // already-delivered and terminates without inventing batches forever.
+  private def encode(v: Long): Long = 2L * (v + 1)
+  private def versionOf(o: Long): Long = o / 2 - 1 // odd o → its data version
+  private def isFlush(o: Long): Boolean = (o & 1L) == 1L
+
+  /** The newest LOGICAL offset this source has already handed to the
+   *  engine — the base the per-trigger cap advances from. Initialized
+   *  from the checkpoint on recovery: the engine replays `getBatch` for
+   *  the last committed range before asking for new offsets (the
+   *  V1-source state-restoration contract FileStreamSource also relies
+   *  on). */
+  @volatile private var delivered: Long = encode(startCursor)
 
   /** Latest committed version — capped at `delivered + maxPerTrigger`
-   *  when rate-limited, so a cold start against a long table history
-   *  backfills in bounded micro-batches instead of one giant scan (the
-   *  scale story of Delta's maxFilesPerTrigger). None while the table is
-   *  empty OR has not yet reached `startingVersion` — advertising an
-   *  offset below the requested start would checkpoint it and silently
-   *  deliver earlier-than-requested versions once the table catches up.
+   *  versions when rate-limited, so a cold start against a long table
+   *  history backfills in bounded micro-batches instead of one giant scan
+   *  (the scale story of Delta's maxFilesPerTrigger). None while the
+   *  table is empty OR has not yet reached `startingVersion` —
+   *  advertising an offset below the requested start would checkpoint it
+   *  and silently deliver earlier-than-requested versions once the table
+   *  catches up. Once drained, ONE flush offset (see encoding above).
    *  One commit-log listing, no data touched. */
   override def getOffset: Option[Offset] = {
     val v = table.currentVersion()
-    if (v < 0 || v <= startCursor) None
-    else {
-      val base = math.max(delivered, startCursor)
+    if (v < 0 || v <= startCursor) return None
+    val base = math.max(versionOf(delivered), startCursor)
+    if (v > base) {
       val cap = maxPerTrigger.map(n => math.min(v, base + n)).getOrElse(v)
-      if (cap <= base) None else Some(LongOffset(cap))
-    }
+      Some(LongOffset(encode(cap)))
+    } else if (!isFlush(delivered) && delivered > encode(startCursor)) {
+      Some(LongOffset(delivered + 1)) // drained: one finalization batch
+    } else None
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(toVersion).getOrElse(startCursor)
-    val to = toVersion(end)
-    delivered = math.max(delivered, math.max(from, to))
+    val endLogical = toLogical(end)
+    val from = start.map(o => versionOf(toLogical(o))).getOrElse(startCursor)
+    val to = versionOf(endLogical)
+    delivered = math.max(delivered, endLogical)
     val batch =
       if (cdf) table.readChanges(from, to, cdfKeys)
       else table.readIncremental(from, to)
@@ -268,8 +289,8 @@ class GraftTableSource(
 
   /** Offsets come back as [[LongOffset]] live, or as a checkpointed JSON
    *  string ([[org.apache.spark.sql.execution.streaming.runtime.SerializedOffset]])
-   *  after recovery. */
-  private def toVersion(o: Offset): Long = o match {
+   *  after recovery. Values are LOGICAL offsets (see encoding above). */
+  private def toLogical(o: Offset): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json.trim.toLong
   }
@@ -308,11 +329,13 @@ class GraftTableSink(
     if (StreamIngest.lastStreamBatch(table).contains(batchId)) return
     val batch = SparkInternals.rebatch(data.toDF())
     val action = s"stream-$batchId"
-    if (keys.isEmpty) table.appendAs(batch, action)
-    // empty upsert batches commit nothing (same guard as StreamIngest's
-    // foreachBatch sinks): a merge over zero rows is wasted work, and a
-    // zero-row MoR delta would pin the table's (keys, precombine) spec
-    else if (batch.isEmpty) ()
+    // empty batches commit nothing (same guard as StreamIngest's
+    // foreachBatch sinks): the source's finalization batch and no-data
+    // triggers must not grow the table history with junk versions, a
+    // merge over zero rows is wasted work, and a zero-row MoR delta
+    // would pin the table's (keys, precombine) spec
+    if (batch.isEmpty) ()
+    else if (keys.isEmpty) table.appendAs(batch, action)
     else if (deferred) table.upsertDeferred(batch, keys, precombine.get, action)
     else table.upsertAs(batch, keys, precombine.get, action)
     ()

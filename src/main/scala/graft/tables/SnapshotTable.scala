@@ -2398,6 +2398,7 @@ class SnapshotTable private (
       deltaFiles = Some(e.deltaFiles.getOrElse(Nil) ++ files),
       morKeys = Some(keys.toList),
       morPrecombine = Some(precombine)))
+    maybeAutoCompact(e, e.deltaFiles.getOrElse(Nil).size + files.size)
     this
   }
 
@@ -2449,7 +2450,30 @@ class SnapshotTable private (
       deltaFiles = Some(e.deltaFiles.getOrElse(Nil) ++ files),
       morKeys = Some(keys.toList),
       morPrecombine = Some(precombine)))
+    maybeAutoCompact(e, e.deltaFiles.getOrElse(Nil).size + files.size)
     this
+  }
+
+  /**
+   * Inline auto-compaction (Hudi `hoodie.compact.inline.max.delta.commits`
+   * role, `hudi/hudi_scd_script.py:13-18` MoR table semantics): when
+   * table property `graft.compact.maxDeltas = N` is set and a deferred
+   * commit leaves MORE than N pending delta files, [[applyDeltas]] runs
+   * inline as its own follow-up commit. Readers are indifferent — the RT
+   * view is identical across the boundary and the change feed reports
+   * compaction as no row-level change — so losing an auto-compaction
+   * race to a concurrent writer is harmless: that writer's own deferred
+   * commit re-evaluates the threshold.
+   */
+  private def maybeAutoCompact(prior: CommitEntry, pendingDeltaFiles: Int): Unit = {
+    val threshold = prior.properties.getOrElse(Map.empty)
+      .get("graft.compact.maxDeltas").flatMap(_.toIntOption)
+    threshold.foreach { n =>
+      if (pendingDeltaFiles > n) {
+        try applyDeltas()
+        catch { case _: ConcurrentCommitException => () }
+      }
+    }
   }
 
   /** Pending delta file list (empty when the table is pure CoW). */

@@ -482,4 +482,41 @@ class StreamIngestSpec extends SparkSpec {
       .select("user_id", "n", "sum_value").as[(Long, Long, Double)].collect().toSet
     assert(rows.contains((1L, 2L, 5.0)), s"got $rows")
   }
+
+  test("drained graft source runs one finalization batch: closed windows emit without new commits") {
+    // The AvailableNow no-data problem: a run that ends on a data batch
+    // advances the watermark but never runs the batch in which the
+    // now-closed windows emit. The source's odd flush offsets provide
+    // that batch on the next run — no sentinel commit required.
+    val root = tmpDir("stream_final")
+    val src = SnapshotTable.create(spark, root, Seq(
+      (Timestamp.valueOf("2024-01-01 00:10:00"), "a"),
+      (Timestamp.valueOf("2024-01-01 00:20:00"), "b")).toDF("ts", "k"))
+    // late row pushes the watermark (1h) past the [00:00, 01:00) window
+    src.append(Seq((Timestamp.valueOf("2024-01-01 03:00:00"), "late"))
+      .toDF("ts", "k"))
+    val out = SnapshotTable(spark, tmpDir("stream_final_out"))
+    val ckpt = tmpDir("stream_final_ckpt")
+    def run(): Unit = StreamIngest.runOnce(
+      StreamIngest.appendSink(
+        StreamIngest.windowedCounts(
+          spark.readStream.format("graft-table").option("path", root).load()
+            .withColumn("value", lit(0.0)),
+          tsCol = "ts", keyCol = "k", window = "1 hour", watermark = "1 hour")
+          .select(col("window_start"), col("k"), col("n")), out),
+      ckpt)
+    run() // drains both commits; watermark advances AFTER the batch
+    val sinkV1 = out.currentVersion()
+    run() // NO new source commits: the flush batch finalizes the windows
+    val rows = out.read().select("k", "n").as[(String, Long)].collect().toSet
+    assert(rows === Set(("a", 1L), ("b", 1L)), s"got $rows")
+    // a third drained run must be a no-op: the flush offset is
+    // checkpointed, so it is not re-offered, and empty batches never
+    // commit junk versions to the sink table
+    val sinkV2 = out.currentVersion()
+    run()
+    assert(out.currentVersion() === sinkV2)
+    assert(out.read().select("k", "n").as[(String, Long)].collect().toSet === rows)
+    assert(sinkV2 > sinkV1) // the finalization batch itself DID commit
+  }
 }

@@ -505,6 +505,52 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.scan(col("id") === 7777).count() === 1)
   }
 
+  test("merge-on-read: graft.compact.maxDeltas auto-compacts inline at the threshold") {
+    val t = SnapshotTable(spark, tmpDir("mor_auto"))
+    t.overwrite(spark.range(0, 100).toDF("id")
+      .withColumn("v", lit("base")).withColumn("ts", lit(0L)))
+    t.setProperties(Map("graft.compact.maxDeltas" -> "2"))
+    // single-row batches → exactly one delta file per deferred commit
+    t.upsertDeferred(Seq((5L, "d1", 1L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), precombine = "ts")
+    assert(t.deltaManifest().size === 1) // 1 <= 2: no compaction yet
+    t.upsertDeferred(Seq((6L, "d2", 1L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), precombine = "ts")
+    assert(t.deltaManifest().size === 2) // 2 <= 2: still pending
+    assert(t.manifestAction().contains("delta-upsert"))
+    val rtBefore = t.read().as[(Long, String, Long)].collect().toSet
+    val vBefore = t.currentVersion()
+    // third batch crosses the threshold → applyDeltas runs inline as a
+    // follow-up commit
+    t.upsertDeferred(Seq((200L, "d3", 1L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), precombine = "ts")
+    assert(t.manifestAction().contains("compact-deltas"))
+    assert(t.deltaManifest().isEmpty)
+    assert(t.currentVersion() === vBefore + 2) // deferred commit + compaction
+    // read results identical across the auto-compaction boundary
+    val expected = rtBefore + ((200L, "d3", 1L))
+    assert(t.read().as[(Long, String, Long)].collect().toSet === expected)
+    assert(t.readBase().as[(Long, String, Long)].collect().toSet === expected)
+    // the change feed reports the compaction commit as NO row-level
+    // change (the q55 invariant): only the deferred upsert's own row
+    // appears across the two-version window
+    val changes = t.readChanges(vBefore, keyCols = Seq("id"))
+      .select(col("id").cast("long"), col("_change_type"), col("_commit_version").cast("long"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(changes.filter(_._3 === vBefore + 2).isEmpty,
+      s"compaction must report no changes, got $changes")
+    assert(changes.map(c => (c._1, c._2)) === Seq((200L, "insert")))
+    // a deferred DELETE also re-evaluates the threshold
+    t.deleteDeferred(col("id") === 5L, keys = Seq("id"), precombine = "ts")
+    t.deleteDeferred(col("id") === 6L, keys = Seq("id"), precombine = "ts")
+    assert(t.deltaManifest().size === 2)
+    t.deleteDeferred(col("id") === 200L, keys = Seq("id"), precombine = "ts")
+    assert(t.deltaManifest().isEmpty)
+    assert(t.manifestAction().contains("compact-deltas"))
+    assert(t.read().count() === 98) // 100 base + 1 insert - 3 deletes
+    assert(t.read().filter(col("id").isin(5L, 6L, 200L)).count() === 0)
+  }
+
   test("merge-on-read: deferred upserts resolve at read time; applyDeltas compacts") {
     val t = SnapshotTable(spark, tmpDir("mor"))
     t.overwrite(spark.range(0, 100).toDF("id")
