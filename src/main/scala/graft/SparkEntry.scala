@@ -509,6 +509,37 @@ object SparkEntry {
       .orderBy("window_start", "event_type")
   }
 
+  /** Q85 — deletion-vector DELETE ([[graft.tables.SnapshotTable]]
+   *  `graft.dv.enabled`, Delta DV / Iceberg positional-delete parity):
+   *  two stacked deletes land as O(deleted rows) parquet sidecars — zero
+   *  base files rewritten (DeletionVectorSpec pins the byte accounting) —
+   *  and the read anti-joins the positions away through a broadcast
+   *  join. The oracle replays both predicates over the raw table. */
+  private def dvDeleteQuery(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val table = warmTable("q85", dir) {
+      val t = SnapshotTable.create(s,
+        Files.createTempDirectory("graft_q85").toString,
+        orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice")).repartition(8))
+      t.setProperties(Map("graft.dv.enabled" -> "true"))
+      t
+    }
+    table.delete(col("o_orderkey") % 97 === 0)
+    table.delete(col("o_custkey") % 89 === 0) // stacked second sidecar
+    table.read()
+      .filter(col("o_orderkey") < 5000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderkey")
+  }
+
+  private val Q85Duck =
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+      |FROM orders
+      |WHERE o_orderkey % 97 <> 0 AND o_custkey % 89 <> 0 AND o_orderkey < 5000
+      |ORDER BY o_orderkey""".stripMargin
+
   private def snapshotPointLookup(s: SparkSession, dir: String): DataFrame =
     ordersSnapshot(s, dir)
       .scan(col("o_orderkey") === 103)
@@ -2228,7 +2259,8 @@ object SparkEntry {
     "q81_stream_window" -> streamWindowQuery,
     "q82_dsir_weights" -> dsirQuery,
     "q83_dsir_sample" -> dsirSampleQuery,
-    "q84_ivf_sq8" -> ivfQuantizedQuery)
+    "q84_ivf_sq8" -> ivfQuantizedQuery,
+    "q85_dv_delete" -> dvDeleteQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2340,7 +2372,8 @@ object SparkEntry {
         |ORDER BY window_start, event_type""".stripMargin,
     "q82_dsir_weights" -> Q82Duck,
     "q83_dsir_sample" -> Q83Duck,
-    "q84_ivf_sq8" -> Q79Duck)
+    "q84_ivf_sq8" -> Q79Duck,
+    "q85_dv_delete" -> Q85Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

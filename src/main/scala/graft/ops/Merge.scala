@@ -202,9 +202,10 @@ final class MergeInto(
         // staged batch merged into a huge clustered table only opens the
         // overlapping files (one tiny agg job over the source buys it).
         val candidateFiles = discoveryCandidates(table, source, condition, allFiles)
-        val tFiles = (if (candidateFiles.size == allFiles.size) targetAll
-          else table.readFilesAs(candidateFiles, targetSchema))
-          .withColumn(T_FILE, input_file_name())
+        // lineage captured inside the table read: on a DV-bearing table
+        // the scan carries an anti-join, under which input_file_name()
+        // would come back empty and discovery would touch nothing
+        val tFiles = table.readFilesWithLineage(candidateFiles, targetSchema, T_FILE)
           .withColumn(T_UID, monotonically_increasing_id())
           .alias("t")
         val joined = tFiles.join(srcExists, condition, "inner")

@@ -355,7 +355,8 @@ class GraftTable(
     if (snapshotVersion < 0) Some(Nil)
     else {
       val e = table.commitEntry(snapshotVersion)
-      if (e.deltaFiles.exists(_.nonEmpty)) None else Some(e.files)
+      if (e.deltaFiles.exists(_.nonEmpty) || e.dvFiles.exists(_.nonEmpty)) None
+      else Some(e.files)
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -363,6 +364,10 @@ class GraftTable(
     // pending MoR deltas would silently return stale rows. Checked at
     // the PINNED snapshot — a time-travel read of an old delta-bearing
     // version is just as stale as the current one.
+    require(table.dvManifestAt(snapshotVersion).isEmpty,
+      s"${name()} has deletion vectors at version $snapshotVersion: query via " +
+        "SnapshotTable.read()/scan() (they apply the vectors) or " +
+        "purgeDeletionVectors() first")
     require(table.deltaManifestAt(snapshotVersion).isEmpty,
       s"${name()} has pending MoR deltas at version $snapshotVersion: query via " +
         "SnapshotTable.read()/readVersion() (real-time view) or applyDeltas() first")
@@ -542,6 +547,9 @@ object GraftScanBuilder {
       version: Long,
       schema: StructType,
       agg: Aggregation): Option[(StructType, Array[Any])] = {
+    // manifest row counts OVERCOUNT when deletion vectors are pending —
+    // nothing exact is provable until they are purged
+    if (table.dvManifestAt(version).nonEmpty) return None
     val files = table.prunedFilesAt(version, None)
     // rows == -1 marks a foreign/adopted file whose footer row count was
     // unreadable — nothing is provable from this manifest

@@ -252,6 +252,17 @@ class SnapshotTable private (
   private def publishSymlinkManifest(entry: CommitEntry): Unit = {
     val dir = new Path(rootPath, "_symlink_format_manifest")
     val dest = new Path(dir, "manifest")
+    if (entry.dvFiles.exists(_.nonEmpty)) {
+      // a path-list manifest cannot express positional deletes; an
+      // external reader following it would resurrect DV-deleted rows.
+      // Delta fails manifest generation on DV tables for the same
+      // reason; the auto-publication path skips with a warning instead
+      // of failing the commit. purgeDeletionVectors() restores it.
+      if (entry.properties.exists(_.get("graft.symlink.manifest").contains("true")))
+        Console.err.println(s"graft: symlink manifest for $root skipped — " +
+          "deletion vectors present; purgeDeletionVectors() to re-enable")
+      return
+    }
     if (entry.properties.exists(_.get("graft.symlink.manifest").contains("true"))) {
       fs.mkdirs(dir)
       val tmp = new Path(dir, s".manifest-${UUID.randomUUID().toString.take(12)}.tmp")
@@ -688,7 +699,8 @@ class SnapshotTable private (
             deltaFiles = base.flatMap(_.deltaFiles),
             morKeys = base.flatMap(_.morKeys),
             morPrecombine = base.flatMap(_.morPrecombine),
-            columnMapping = base.flatMap(_.columnMapping)))
+            columnMapping = base.flatMap(_.columnMapping),
+            dvFiles = base.flatMap(_.dvFiles)))
         return this
       } catch {
         case e: ConcurrentCommitException =>
@@ -786,6 +798,9 @@ class SnapshotTable private (
   private def toOpt(spec: Seq[String]): Option[List[String]] =
     if (spec.isEmpty) None else Some(spec.toList)
 
+  private def toOpt(entries: Seq[FileEntry])(implicit d: DummyImplicit): Option[Seq[FileEntry]] =
+    if (entries.isEmpty) None else Some(entries)
+
   private def applyCluster(
       df: DataFrame, spec: Seq[String], numFiles: Option[Int] = None): DataFrame = {
     val applicable = spec.nonEmpty && spec.forall(s =>
@@ -833,7 +848,9 @@ class SnapshotTable private (
   private[graft] def replaceFiles(
       keep: Seq[String], df: DataFrame, action: String,
       expectVersion: Option[Long] = None,
-      numFiles: Option[Int] = None): SnapshotTable = {
+      numFiles: Option[Int] = None,
+      addDvFiles: Seq[FileEntry] = Nil,
+      clearDvFiles: Boolean = false): SnapshotTable = {
     val v = currentVersion()
     expectVersion.filter(_ != v).foreach { e =>
       throw new ConcurrentCommitException(
@@ -853,10 +870,16 @@ class SnapshotTable private (
     val kept = keep.map(p => priorByPath.getOrElse(p, FileEntry(p, -1L, -1L, Map.empty)))
     val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
     val files = writeDataDir(applyCluster(df, spec, numFiles))
+    // deletion vectors carry forward by default (rewritten files take new
+    // names, so their stale DV rows are inert); a DV delete appends its
+    // sidecar, a purge clears the list
+    val dv = if (clearDvFiles) None
+      else toOpt(prior.flatMap(_.dvFiles).getOrElse(Nil) ++ addDvFiles)
     writeCommit(v + 1,
       CommitEntry(action, df.schema.json, (kept ++ files).sortBy(_.path), toOpt(spec),
         prior.flatMap(_.properties),
-        columnMapping = prior.flatMap(_.columnMapping)))
+        columnMapping = prior.flatMap(_.columnMapping),
+        dvFiles = dv))
     this
   }
 
@@ -1188,7 +1211,9 @@ class SnapshotTable private (
   def readBase(): DataFrame = {
     val (_, entry) = currentReadable().getOrElse(
       throw new IllegalArgumentException(s"requirement failed: table $root is empty"))
-    dfOver(entry.files.map(_.path),
+    // deletion vectors are BASE state (the rows are deleted, not
+    // deferred), so the read-optimized view applies them too
+    dvRemoveOver(entry, entry.files.map(_.path),
       DataType.fromJson(entry.schemaJson).asInstanceOf[StructType],
       mappingOf(entry))
   }
@@ -1199,10 +1224,38 @@ class SnapshotTable private (
    *  set; the base side stays a plain pruned parquet scan. Keys whose
    *  winning delta row is a delete tombstone ([[deleteDeferred]]) are
    *  anti-joined away and contribute no replacement row. */
+  /** Anti-join `entry`'s deletion vectors out of a base-file scan `df`.
+   *  `df` must be a (projection over a) parquet file relation — the
+   *  `_metadata` struct resolves through projections but not joins. The
+   *  DV side is small BY POLICY (rows above `graft.dv.maxFraction` of a
+   *  file rewrite instead), so the anti-join is a broadcast hash join:
+   *  the 100 TB base side never shuffles. Name-keyed, so a scan over any
+   *  SUBSET of files is filtered correctly and rewritten files (new
+   *  names) are never hit by stale DV rows. */
+  private def dvRemove(entry: CommitEntry, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dvs = entry.dvFiles.getOrElse(Nil)
+    if (dvs.isEmpty) return df
+    val dv = spark.read.schema(SnapshotTable.DvSchema).parquet(dvs.map(_.path): _*)
+    df.withColumn(SnapshotTable.DvFileCol, col("_metadata.file_name"))
+      .withColumn(SnapshotTable.DvPosCol, col("_metadata.row_index"))
+      .join(broadcast(dv),
+        Seq(SnapshotTable.DvFileCol, SnapshotTable.DvPosCol), "left_anti")
+      .drop(SnapshotTable.DvFileCol, SnapshotTable.DvPosCol)
+  }
+
+  /** [[dvRemove]] guarded for possibly-empty file lists (an empty scan is
+   *  a LocalRelation with no `_metadata` to resolve). */
+  private def dvRemoveOver(entry: CommitEntry, paths: Seq[String],
+      schema: StructType, mapping: Map[String, String]): DataFrame = {
+    val df = dfOver(paths, schema, mapping)
+    if (paths.isEmpty) df else dvRemove(entry, df)
+  }
+
   private def mergedView(entry: CommitEntry, baseFiles: Seq[FileEntry]): DataFrame = {
     import org.apache.spark.sql.functions._
     val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
-    val base = dfOver(baseFiles.map(_.path), schema, mappingOf(entry))
+    val base = dvRemoveOver(entry, baseFiles.map(_.path), schema, mappingOf(entry))
     val deltaEntries = entry.deltaFiles.getOrElse(Nil)
     if (deltaEntries.isEmpty) return base
     val keys = entry.morKeys.getOrElse(Nil)
@@ -1316,8 +1369,28 @@ class SnapshotTable private (
    *  WITH SCHEMA EVOLUTION); extra fields have no mapping entry and
    *  null-fill as usual. */
   private[graft] def readFilesAs(paths: Seq[String], schema: StructType): DataFrame =
-    dfOver(paths, schema,
-      currentReadable().map(e => mappingOf(e._2)).getOrElse(Map.empty))
+    currentReadable() match {
+      // current deletion vectors apply: a rewrite (MERGE) reading raw
+      // file bytes would resurrect DV-deleted rows
+      case Some((_, e)) => dvRemoveOver(e, paths, schema, mappingOf(e))
+      case None => dfOver(paths, schema)
+    }
+
+  /** [[readFilesAs]] with per-row file lineage captured into `fileCol`
+   *  (from `_metadata.file_path`, a URI string) BEFORE the DV anti-join —
+   *  `input_file_name()` over the joined plan would come back empty.
+   *  MERGE's touched-file discovery is the consumer. */
+  private[graft] def readFilesWithLineage(
+      paths: Seq[String], schema: StructType, fileCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    currentReadable() match {
+      case Some((_, e)) if paths.nonEmpty =>
+        dvRemove(e, dfOver(paths, schema, mappingOf(e))
+          .withColumn(fileCol, col("_metadata.file_path")))
+      case _ =>
+        dfOver(paths, schema).withColumn(fileCol, lit(null).cast(StringType))
+    }
+  }
 
   /**
    * Stats-pruned scan: files whose per-column [min,max] cannot satisfy
@@ -1417,7 +1490,7 @@ class SnapshotTable private (
     val live = entry.files.map(_.path)
     val groups = live.groupBy(p => first.getOrElse(p, (cur, entry.ts))).toSeq.sortBy(_._1._1)
     val parts = groups.map { case ((v, ts), paths) =>
-      dfOver(paths, schema, mappingOf(entry))
+      dvRemoveOver(entry, paths, schema, mappingOf(entry)) // name-keyed: per-branch subset ok
         .withColumn("_commit_version", org.apache.spark.sql.functions.lit(v))
         .withColumn("_commit_ts", ts match {
           case Some(m) => org.apache.spark.sql.functions.lit(new java.sql.Timestamp(m))
@@ -1472,7 +1545,9 @@ class SnapshotTable private (
       val seen = base.map(_.map(_.path).toSet).getOrElse(Set.empty)
       at.map(_.path).filterNot(seen)
     }
-    val dataPart = dfOver(newPaths(toEntry.files, fromEntry.map(_.files)),
+    // rows the to-version has DV-deleted are not incremental data; filter
+    // as of `toEntry` (name-keyed, so only the new files' rows are hit)
+    val dataPart = dvRemoveOver(toEntry, newPaths(toEntry.files, fromEntry.map(_.files)),
       schema, mappingOf(toEntry))
     val deltaPaths = newPaths(toEntry.deltaFiles.getOrElse(Nil),
       fromEntry.map(_.deltaFiles.getOrElse(Nil)))
@@ -1581,14 +1656,36 @@ class SnapshotTable private (
     val curDeltaPaths = ce.deltaFiles.getOrElse(Nil).map(_.path).toSet
     val removedDelta = prevDelta.filterNot(f => curDeltaPaths(f.path))
     val deltasInvolved = newDelta.nonEmpty || removedDelta.nonEmpty
+    // Deletion-vector changes: a DV commit adds no data file, so the
+    // file-level diff alone would miss it. Carried files named by a NEW
+    // sidecar enter BOTH diff sides — prev side read under prev's DVs,
+    // cur side under cur's — so the newly-deleted rows surface as
+    // `delete` and every carried row cancels. A purge commit (rewrite +
+    // DV clear) cancels the same way with no special case.
+    val prevDvPaths = prevOpt.flatMap(_.dvFiles).getOrElse(Nil).map(_.path).toSet
+    val newDv = ce.dvFiles.getOrElse(Nil).filterNot(f => prevDvPaths(f.path))
+    val dvTouched: Seq[FileEntry] =
+      if (newDv.isEmpty) Nil
+      else {
+        val names = spark.read.schema(SnapshotTable.DvSchema)
+          .parquet(newDv.map(_.path): _*)
+          .select(SnapshotTable.DvFileCol).distinct()
+          .collect().map(_.getString(0)).toSet
+        ce.files.filter(f => prevPaths(f.path) && names(new Path(f.path).getName))
+      }
+    val removedX = removed ++ dvTouched
+    val addedX = added ++ dvTouched
+    def readPrev(files: Seq[FileEntry]): DataFrame = prevOpt match {
+      case Some(p) => dvRemoveOver(p, files.map(_.path), prevSchema, mappingOf(p))
+      case None => dfOver(files.map(_.path), prevSchema)
+    }
+    def readCur(files: Seq[FileEntry]): DataFrame =
+      dvRemoveOver(ce, files.map(_.path), schema, mappingOf(ce))
     val diff =
       if (keys.isEmpty) {
         require(!deltasInvolved, // unreachable: MoR commits always carry morKeys
           s"version $v of $root touches MoR deltas but no record key is known")
-        multisetDiff(
-          alignTo(dfOver(removed.map(_.path), prevSchema,
-            prevOpt.map(mappingOf).getOrElse(Map.empty)), schema),
-          dfOver(added.map(_.path), schema, mappingOf(ce)))
+        multisetDiff(alignTo(readPrev(removedX), schema), readCur(addedX))
       } else if (deltasInvolved) {
         // deferred-upsert or fold-in commit: diff the before/after MERGED
         // views, both restricted to the record keys the touched files
@@ -1607,10 +1704,8 @@ class SnapshotTable private (
           mergedView(ce, ce.files).join(touchedKeys, keys, "left_semi"),
           keys, schema)
       } else {
-        keyedDiff(
-          alignTo(dfOver(removed.map(_.path), prevSchema,
-            prevOpt.map(mappingOf).getOrElse(Map.empty)), schema),
-          dfOver(added.map(_.path), schema, mappingOf(ce)), keys, schema)
+        keyedDiff(alignTo(readPrev(removedX), schema), readCur(addedX),
+          keys, schema)
       }
     diff
       .withColumn("_commit_version", lit(v))
@@ -1740,9 +1835,117 @@ class SnapshotTable private (
     val (touched, untouched) =
       entry.files.partition(f => Pruning.mayMatchConjuncts(f, cs, tschema))
     if (touched.isEmpty) return 0
-    val kept = dfOver(touched.map(_.path), tschema, mappingOf(entry))
+    if (entry.properties.exists(_.get("graft.dv.enabled").contains("true")))
+      return deleteWithVectors(v, entry, tschema, predicate, touched, untouched)
+    val kept = dvRemoveOver(entry, touched.map(_.path), tschema, mappingOf(entry))
       .filter(!predicate || predicate.isNull)
     replaceFiles(untouched.map(_.path), kept, "delete", expectVersion = Some(v))
+    touched.size
+  }
+
+  /**
+   * Deletion-vector DELETE (Delta DV / Iceberg positional-delete parity,
+   * enabled by `graft.dv.enabled=true`): instead of rewriting every file
+   * a deleted row lives in, the commit appends a small parquet SIDECAR of
+   * (file name, row position) pairs — O(deleted rows) bytes written, not
+   * O(touched file bytes). Readers anti-join the positions away
+   * ([[dvRemove]], a broadcast join — the base side never shuffles).
+   * Files where the deleted fraction exceeds `graft.dv.maxFraction`
+   * (default 0.2) rewrite classically in the same commit: a DV is a
+   * deferral, and deferring most of a file just taxes every later read.
+   * [[purgeDeletionVectors]] (REORG … APPLY PURGE role) folds DVs back
+   * into clean files. Returns the number of files rewritten (0 = pure
+   * DV commit).
+   */
+  private def deleteWithVectors(
+      v: Long, entry: CommitEntry, tschema: StructType, predicate: Column,
+      touched: Seq[FileEntry], untouched: Seq[FileEntry]): Int = {
+    import org.apache.spark.sql.functions._
+    val maxFraction = entry.properties.getOrElse(Map.empty)
+      .get("graft.dv.maxFraction").flatMap(_.toDoubleOption).getOrElse(0.2)
+    // matched positions, EXCLUDING already-DV'd rows (re-deleting a
+    // deleted row must not duplicate positions); lineage captured under
+    // private names so dvRemove's own capture cannot collide
+    def matchedPositions() = dvRemove(entry,
+        dfOver(touched.map(_.path), tschema, mappingOf(entry))
+          .withColumn("__del_file", col("_metadata.file_name"))
+          .withColumn("__del_pos", col("_metadata.row_index")))
+      .filter(predicate)
+      .select(col("__del_file").as(SnapshotTable.DvFileCol),
+        col("__del_pos").as(SnapshotTable.DvPosCol))
+    // job 1: per-file deleted-row counts — O(touched files) driver rows
+    val counts = matchedPositions()
+      .groupBy(SnapshotTable.DvFileCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return 0
+    val byName = touched.map(f => new Path(f.path).getName -> f).toMap
+    val (vectorized, rewrite) = counts.keys.toSeq.sorted.partition { name =>
+      // unknown row counts cannot assess the fraction: rewrite (safe)
+      byName.get(name).exists(f => f.rows > 0 && counts(name).toDouble / f.rows <= maxFraction)
+    }
+    // job 2: the sidecar — deleted positions of the vectorized files only
+    val sidecar: Seq[FileEntry] =
+      if (vectorized.isEmpty) Nil
+      else {
+        val dir = new Path(dataDir, UUID.randomUUID().toString.take(12) + "-dv")
+        matchedPositions()
+          .filter(col(SnapshotTable.DvFileCol).isin(vectorized: _*))
+          .coalesce(1)
+          .write.parquet(dir.toString)
+        readFooterStatsAll(fs.listStatus(dir).toSeq
+          .filter(s => s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName), hadoopConf)
+          .filter(_.rows != 0L)
+      }
+    val rewriteFiles = rewrite.flatMap(byName.get)
+    if (rewriteFiles.isEmpty) {
+      // pure-DV commit: zero data files written or changed
+      writeCommit(v + 1, entry.copy(action = "delete-dv", ts = None,
+        dvFiles = toOpt(entry.dvFiles.getOrElse(Nil) ++ sidecar)))
+      0
+    } else {
+      // mixed commit: high-fraction files rewrite with the complement
+      // (and their own prior DV rows applied); the rest take the sidecar
+      val kept = dvRemoveOver(entry, rewriteFiles.map(_.path), tschema, mappingOf(entry))
+        .filter(!predicate || predicate.isNull)
+      val carry = untouched ++ touched.filterNot(f => rewrite.contains(new Path(f.path).getName))
+      replaceFiles(carry.map(_.path), kept, "delete", expectVersion = Some(v),
+        addDvFiles = sidecar)
+      rewriteFiles.size
+    }
+  }
+
+  /** The current snapshot's deletion-vector sidecar paths. */
+  def dvManifest(): Seq[String] =
+    currentReadable().flatMap(_._2.dvFiles).map(_.map(_.path)).getOrElse(Nil)
+
+  /** Deletion-vector sidecars AT a version (time-travel variant). */
+  private[graft] def dvManifestAt(version: Long): Seq[String] =
+    if (version < 0) Nil
+    else commitEntry(version).dvFiles.map(_.map(_.path)).getOrElse(Nil)
+
+  /**
+   * Fold every deletion vector back into clean base files (Delta's
+   * `REORG TABLE … APPLY (PURGE)` role): files named by any DV sidecar
+   * rewrite without their deleted rows, every other file carries
+   * forward, and the DV list clears — one commit, change-feed-neutral
+   * (the same rows are live before and after). Returns the number of
+   * files rewritten.
+   */
+  def purgeDeletionVectors(): Int = {
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val entry = commitEntry(v)
+    val dvs = entry.dvFiles.getOrElse(Nil)
+    if (dvs.isEmpty) return 0
+    val tschema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    val names = spark.read.schema(SnapshotTable.DvSchema).parquet(dvs.map(_.path): _*)
+      .select(SnapshotTable.DvFileCol).distinct()
+      .collect().map(_.getString(0)).toSet // O(live DV'd files) driver rows
+    val (touched, rest) = entry.files.partition(f => names(new Path(f.path).getName))
+    val rewritten = dvRemoveOver(entry, touched.map(_.path), tschema, mappingOf(entry))
+    replaceFiles(rest.map(_.path), rewritten, "purge-dv",
+      expectVersion = Some(v), clearDvFiles = true)
     touched.size
   }
 
@@ -1788,7 +1991,7 @@ class SnapshotTable private (
     val cs = Pruning.conjuncts(pred)
     val (touched, untouched) =
       entry.files.partition(f => Pruning.mayMatchConjuncts(f, cs, tschema))
-    val survivors = dfOver(touched.map(_.path), tschema, mappingOf(entry))
+    val survivors = dvRemoveOver(entry, touched.map(_.path), tschema, mappingOf(entry))
       .filter(!predicate || predicate.isNull)
     replaceFiles(untouched.map(_.path), survivors.unionByName(aligned),
       "replace-where", expectVersion = Some(v))
@@ -1847,7 +2050,7 @@ class SnapshotTable private (
         case None => c(f.name)
       }
     }
-    val rewritten = dfOver(touched.map(_.path), tschema, mappingOf(entry))
+    val rewritten = dvRemoveOver(entry, touched.map(_.path), tschema, mappingOf(entry))
       .select(cols: _*)
     replaceFiles(untouched.map(_.path), rewritten, "update", expectVersion = Some(v))
     touched.size
@@ -1891,7 +2094,7 @@ class SnapshotTable private (
     if (small.size < 2) return 0
     val totalBytes = small.map(_.bytes).sum
     val outFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val packed = dfOver(small.map(_.path), tschema, mappingOf(entry))
+    val packed = dvRemoveOver(entry, small.map(_.path), tschema, mappingOf(entry))
       .coalesce(outFiles)
     replaceFiles(healthy.map(_.path), packed, "compact", expectVersion = Some(v),
       numFiles = Some(outFiles))
@@ -1947,7 +2150,8 @@ class SnapshotTable private (
     // before entries were embedded are repaired in place here, while
     // their slot is still readable.
     def entryFiles(e: CommitEntry): Seq[String] =
-      e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
+      e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path) ++
+        e.dvFiles.getOrElse(Nil).map(_.path)
     val tagLive: Set[String] = listTags().flatMap { case (name, v) =>
       try {
         val e = commitEntry(v) // slot while present, embedded copy after
@@ -2030,7 +2234,8 @@ class SnapshotTable private (
     // same liveness rule as [[vacuum]]: retained tail + tag-pinned
     // entries (resolved via slot or embedded copy) + branch state
     def entryFiles(e: CommitEntry): Seq[String] =
-      e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
+      e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path) ++
+        e.dvFiles.getOrElse(Nil).map(_.path)
     val tagLive: Set[String] = listTags().flatMap { case (_, v) =>
       try entryFiles(commitEntry(v)) catch { case NonFatal(_) => Nil }
     }.toSet
@@ -2339,7 +2544,8 @@ class SnapshotTable private (
         b.listVersions().flatMap { v =>
           try {
             val e = b.commitEntry(v)
-            e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path)
+            e.files.map(_.path) ++ e.deltaFiles.getOrElse(Nil).map(_.path) ++
+              e.dvFiles.getOrElse(Nil).map(_.path)
           } catch {
             // a torn branch entry's files are mid-write → inside the
             // retainMillis mtime window, safe from this vacuum pass
@@ -2510,7 +2716,7 @@ class SnapshotTable private (
         entry.files.partition(f => Pruning.mayMatchConjuncts(f, cs, schema))
       case None => (entry.files, Nil)
     }
-    val rewritten = dfOver(touched.map(_.path), schema, mappingOf(entry))
+    val rewritten = dvRemoveOver(entry, touched.map(_.path), schema, mappingOf(entry))
       .join(latest.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti")
       .unionByName(latest
@@ -2618,6 +2824,15 @@ object SnapshotTable {
    *  in a table's logical schema or any read surface. */
   private[graft] val DeleteMarker = "__graft_delete"
 
+  /** Deletion-vector sidecar schema: deleted positions keyed by base-file
+   *  NAME (part-file names embed a per-job UUID — unique table-wide) and
+   *  the parquet reader's within-file `_metadata.row_index`. */
+  private[graft] val DvFileCol = "__dv_file"
+  private[graft] val DvPosCol = "__dv_pos"
+  private[graft] val DvSchema = StructType(Seq(
+    StructField(DvFileCol, StringType, nullable = false),
+    StructField(DvPosCol, LongType, nullable = false)))
+
   /** Cluster-spec transform grammar (see [[SnapshotTable.clusterSpec]]):
    *  `col`, `years(col)`, `months(col)`, `days(col)`, `hours(col)`,
    *  `bucket(n, col)`. Pure `Column` expressions — evaluated only while
@@ -2700,7 +2915,15 @@ object SnapshotTable {
       // other commit metadata stay logical. Cleared by any full rewrite
       // (overwrite / OPTIMIZE ZORDER), which re-materializes physical =
       // logical.
-      columnMapping: Option[Map[String, String]] = None) {
+      columnMapping: Option[Map[String, String]] = None,
+      // Deletion-vector sidecars (Delta DV / Iceberg positional-delete
+      // parity): small parquet files of (__dv_file, __dv_pos) rows naming
+      // deleted positions in live base files BY FILE NAME. Name-keying
+      // makes invalidation structural — any rewrite gives a file a new
+      // name, so stale DV rows can never hit it. Readers anti-join them
+      // away ([[SnapshotTable.dvRemove]]); cleared by full rewrites and
+      // by [[SnapshotTable.purgeDeletionVectors]]. Absent in pre-DV logs.
+      dvFiles: Option[Seq[FileEntry]] = None) {
     def toJson: String = {
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       org.json4s.jackson.Serialization.write(this)
