@@ -71,6 +71,104 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Pure-SQL face of the ext expression family — spark.sql users get
     // the same codegen'd kernels as the Column API
     registerExtFunctions(ext)
+    // SQL face of the sampling family (graft.ext.Sampling) — TVFs over a
+    // resolvable table/view name, graft_table_changes-style
+    registerSamplingTableFunctions(ext)
+  }
+
+  /**
+   * Table-valued SQL forms of the [[graft.ext.Sampling]] operators. Each
+   * takes the name of a resolvable table or view (temp view, catalog
+   * identifier like `graft.db.t`) as its first literal argument and
+   * returns the operator's output relation:
+   *
+   *  - `graft_cap_per_group('t', groupCol, orderCols, n)` — orderCols is
+   *    comma-separated column names, each optionally prefixed `-` for
+   *    descending; include a unique id for a total (deterministic) order
+   *  - `graft_budget_per_group('t', groupCol, scoreCol, weightCol,
+   *    idCol, budget[, buckets])`
+   *  - `graft_gumbel_topk('t', idCol, scoreCol, k[, temperature])`
+   *  - `graft_epoch_shuffle('t', idCol, epoch[, salt])`
+   *
+   * Column/size arguments must be literals — they parameterize the plan
+   * itself, exactly like the ext scalar functions' seeds.
+   */
+  private def registerSamplingTableFunctions(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    import org.apache.spark.sql.functions.col
+
+    def lit(args: Seq[Expression], i: Int, name: String): Any = {
+      val e = args(i)
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"$name: argument ${i + 1} must be a literal, got $e")
+      e.eval()
+    }
+    def str(args: Seq[Expression], i: Int, name: String): String =
+      lit(args, i, name) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$name: argument ${i + 1} must be a string literal, got $other")
+      }
+    def num(args: Seq[Expression], i: Int, name: String,
+        default: Option[Long] = None): Long =
+      if (i >= args.size) default.getOrElse(throw new IllegalArgumentException(
+        s"$name: missing argument ${i + 1}"))
+      else lit(args, i, name) match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"$name: argument ${i + 1} must be numeric, got $other")
+      }
+    def dbl(args: Seq[Expression], i: Int, name: String, default: Double): Double =
+      if (i >= args.size) default
+      else lit(args, i, name) match {
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"$name: argument ${i + 1} must be numeric, got $other")
+      }
+    def registerTvf(name: String, minArity: Int, maxArity: Int,
+        builder: Seq[Expression] => org.apache.spark.sql.DataFrame): Unit =
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (args: Seq[Expression]) => {
+          if (args.size < minArity || args.size > maxArity)
+            throw new IllegalArgumentException(
+              s"$name takes $minArity to $maxArity arguments, got ${args.size}")
+          SparkInternals.logicalPlan(builder(args))
+        }))
+    def input(args: Seq[Expression], name: String): org.apache.spark.sql.DataFrame =
+      SparkSession.active.table(str(args, 0, name))
+
+    registerTvf("graft_cap_per_group", 4, 4, args => {
+      val name = "graft_cap_per_group"
+      val order = str(args, 2, name).split(",").map(_.trim).filter(_.nonEmpty)
+        .map(c => if (c.startsWith("-")) col(c.stripPrefix("-").trim).desc
+          else col(c).asc).toSeq
+      require(order.nonEmpty, s"$name: orderCols must name at least one column")
+      graft.ext.Sampling.capPerGroup(input(args, name), str(args, 1, name),
+        order, num(args, 3, name).toInt)
+    })
+    registerTvf("graft_budget_per_group", 6, 7, args => {
+      val name = "graft_budget_per_group"
+      graft.ext.Sampling.budgetPerGroup(input(args, name),
+        groupCol = str(args, 1, name), scoreCol = str(args, 2, name),
+        weightCol = str(args, 3, name), idCol = str(args, 4, name),
+        budget = num(args, 5, name),
+        buckets = num(args, 6, name, Some(1024L)).toInt)
+    })
+    registerTvf("graft_gumbel_topk", 4, 5, args => {
+      val name = "graft_gumbel_topk"
+      graft.ext.Sampling.gumbelTopK(input(args, name),
+        idCol = str(args, 1, name), scoreCol = str(args, 2, name),
+        k = num(args, 3, name).toInt,
+        temperature = dbl(args, 4, name, 1.0))
+    })
+    registerTvf("graft_epoch_shuffle", 3, 4, args => {
+      val name = "graft_epoch_shuffle"
+      graft.ext.Sampling.epochShuffle(input(args, name),
+        idCol = str(args, 1, name), epoch = num(args, 2, name),
+        salt = num(args, 3, name, Some(graft.ext.Sampling.DefaultSalt)))
+    })
   }
 
   /** Register the native ext expressions (fingerprints, shingles,

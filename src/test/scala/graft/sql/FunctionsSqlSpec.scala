@@ -189,4 +189,57 @@ class FunctionsSqlSpec extends SparkSpec {
     intercept[Exception](
       spark.sql("SELECT random_projection(v, 2, 1, 9) FROM fn_vecs").collect())
   }
+
+  test("sampling TVFs resolve in SQL and match the Column API") {
+    import graft.ext.Sampling
+    val docs = (1L to 40L).map(i =>
+      (i, s"d${i % 4}", (i % 7).toDouble, (i % 5) + 1L)).toDF("id", "dom", "score", "w")
+    docs.createOrReplaceTempView("tvf_docs")
+
+    // capPerGroup: top-2 per domain by (-score, id)
+    val capSql = spark.sql(
+      "SELECT id FROM graft_cap_per_group('tvf_docs', 'dom', '-score,id', 2) ORDER BY id")
+      .as[Long].collect().toSeq
+    val capApi = Sampling.capPerGroup(docs, "dom", Seq(col("score").desc, col("id").asc), 2)
+      .select("id").orderBy("id").as[Long].collect().toSeq
+    assert(capSql === capApi && capSql.nonEmpty)
+
+    // budgetPerGroup: weight-budgeted selection per domain
+    val budSql = spark.sql(
+      "SELECT id FROM graft_budget_per_group('tvf_docs', 'dom', 'score', 'w', 'id', 9) ORDER BY id")
+      .as[Long].collect().toSeq
+    val budApi = Sampling.budgetPerGroup(docs, "dom", "score", "w", "id", budget = 9)
+      .select("id").orderBy("id").as[Long].collect().toSeq
+    assert(budSql === budApi && budSql.nonEmpty)
+
+    // gumbelTopK: deterministic salted resample
+    val gumSql = spark.sql(
+      "SELECT id FROM graft_gumbel_topk('tvf_docs', 'id', 'score', 5) ORDER BY id")
+      .as[Long].collect().toSeq
+    val gumApi = Sampling.gumbelTopK(docs, "id", "score", k = 5)
+      .select("id").orderBy("id").as[Long].collect().toSeq
+    assert(gumSql === gumApi && gumSql.size === 5)
+
+    // epochShuffle: replayable epoch-keyed total order with positions
+    val shSql = spark.sql(
+      "SELECT id, pos FROM graft_epoch_shuffle('tvf_docs', 'id', 3) ORDER BY pos")
+      .as[(Long, Long)].collect().toSeq
+    val shApi = Sampling.epochShuffle(docs, "id", epoch = 3)
+      .select(col("id"), col("pos")).orderBy("pos").as[(Long, Long)].collect().toSeq
+    assert(shSql === shApi && shSql.size === 40)
+    // different epoch → different permutation (same set)
+    val sh4 = spark.sql(
+      "SELECT id, pos FROM graft_epoch_shuffle('tvf_docs', 'id', 4) ORDER BY pos")
+      .as[(Long, Long)].collect().toSeq
+    assert(sh4.map(_._1) !== shSql.map(_._1))
+    assert(sh4.map(_._1).toSet === shSql.map(_._1).toSet)
+
+    // guards: literal-only arguments, arity ranges, resolvable view name
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft_gumbel_topk('tvf_docs', 'id', 'score')").collect())
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft_cap_per_group('tvf_docs', 'dom', '', 2)").collect())
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graft_epoch_shuffle('no_such_view', 'id', 1)").collect())
+  }
 }
