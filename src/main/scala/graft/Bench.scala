@@ -127,11 +127,19 @@ object Bench {
     val scalingTrio = Seq("q21_jaccard_neardup", "q48_embedding_pairs",
       "q62_dup_ngram_frac", "q71_span_removal")
     val loDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_LO", sfDir.replace("sf0.1", "sf0.01"))
-    // Optional larger upper point (a locally synthesized ~10x corpus, see
-    // tools/make_scale_corpus.py): when set, exponents are computed over
-    // sfDir -> hiDir instead of loDir -> sfDir, so fixed overhead no longer
-    // dominates the step.
-    val hiDir = sys.env.get("SPARK_GRAFT_SCALING_HI").filter(d => new java.io.File(d).isDirectory)
+    // Larger upper point: a synthesized ~10x corpus
+    // ([[graft.tools.ScaleCorpus]]) moves the scaling step to
+    // sf0.1 -> 10x, where fixed job overhead no longer dominates and the
+    // exponent reflects the actual work curve. Recorded rounds run at
+    // sf0.1, so generate the corpus by default (idempotent, a few
+    // seconds); SPARK_GRAFT_SCALING_HI overrides the location.
+    val hiDir = sys.env.get("SPARK_GRAFT_SCALING_HI")
+      .orElse {
+        if (sfDir.contains("sf0.1") &&
+            graft.tools.ScaleCorpus.ensure(spark)) Some(graft.tools.ScaleCorpus.DefaultDir)
+        else None
+      }
+      .filter(d => new java.io.File(d).isDirectory)
     val scaling = {
       val (fromDir, toDir) = hiDir match {
         case Some(hi) => (sfDir, hi)
