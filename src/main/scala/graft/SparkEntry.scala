@@ -515,9 +515,9 @@ object SparkEntry {
    *  base files rewritten (DeletionVectorSpec pins the byte accounting) —
    *  and the read anti-joins the positions away through a broadcast
    *  join. The oracle replays both predicates over the raw table. */
-  private def dvDeleteQuery(s: SparkSession, dir: String): DataFrame = {
-    val orders = s.read.parquet(s"$dir/orders.parquet")
-    val table = warmTable("q85", dir) {
+  private def dvOrdersTable(s: SparkSession, dir: String): SnapshotTable =
+    warmTable("q85", dir) {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
       val t = SnapshotTable.create(s,
         Files.createTempDirectory("graft_q85").toString,
         orders.select(col("o_orderkey"), col("o_custkey"),
@@ -525,6 +525,9 @@ object SparkEntry {
       t.setProperties(Map("graft.dv.enabled" -> "true"))
       t
     }
+
+  private def dvDeleteQuery(s: SparkSession, dir: String): DataFrame = {
+    val table = dvOrdersTable(s, dir)
     table.delete(col("o_orderkey") % 97 === 0)
     table.delete(col("o_custkey") % 89 === 0) // stacked second sidecar
     table.read()
@@ -538,6 +541,30 @@ object SparkEntry {
     """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
       |FROM orders
       |WHERE o_orderkey % 97 <> 0 AND o_custkey % 89 <> 0 AND o_orderkey < 5000
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Q86 — deletion-vector UPDATE (Delta's DV update model): matched
+   *  rows' old positions land in a sidecar, the reassigned rows append
+   *  as new files — bytes written scale with matched rows, not touched
+   *  files (DeletionVectorSpec pins the accounting). The oracle replays
+   *  the assignment as a CASE over the raw table. */
+  private def dvUpdateQuery(s: SparkSession, dir: String): DataFrame = {
+    val table = dvOrdersTable(s, dir)
+    table.update(col("o_orderkey") % 101 === 0,
+      Map("o_orderstatus" -> lit("U"), "o_totalprice" -> (col("o_totalprice") * 2)))
+    table.read()
+      .filter(col("o_orderkey") < 5000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderkey")
+  }
+
+  private val Q86Duck =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 101 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      |  round(CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice * 2
+      |             ELSE o_totalprice END, 2) AS price
+      |FROM orders WHERE o_orderkey < 5000
       |ORDER BY o_orderkey""".stripMargin
 
   private def snapshotPointLookup(s: SparkSession, dir: String): DataFrame =
@@ -2260,7 +2287,8 @@ object SparkEntry {
     "q82_dsir_weights" -> dsirQuery,
     "q83_dsir_sample" -> dsirSampleQuery,
     "q84_ivf_sq8" -> ivfQuantizedQuery,
-    "q85_dv_delete" -> dvDeleteQuery)
+    "q85_dv_delete" -> dvDeleteQuery,
+    "q86_dv_update" -> dvUpdateQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2373,7 +2401,8 @@ object SparkEntry {
     "q82_dsir_weights" -> Q82Duck,
     "q83_dsir_sample" -> Q83Duck,
     "q84_ivf_sq8" -> Q79Duck,
-    "q85_dv_delete" -> Q85Duck)
+    "q85_dv_delete" -> Q85Duck,
+    "q86_dv_update" -> Q86Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

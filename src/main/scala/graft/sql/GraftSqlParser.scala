@@ -86,6 +86,9 @@ object GraftSqlParser {
   // a regex split would find "ZORDER BY" inside a string literal
   private val OptimizeStmt = cmd(s"OPTIMIZE\\s+$Ident(?:\\s+(.+))?")
   private val HistoryStmt = cmd(s"(?:DESCRIBE|DESC)\\s+HISTORY\\s+$Ident")
+  // Delta dialect: fold deletion vectors back into clean files
+  private val ReorgPurgeStmt =
+    cmd(s"REORG\\s+TABLE\\s+$Ident\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)")
   private val DetailStmt = cmd(s"(?:DESCRIBE|DESC)\\s+DETAIL\\s+$Ident")
   private val RestoreVersionStmt =
     cmd(s"RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
@@ -160,6 +163,7 @@ object GraftSqlParser {
         GraftRestoreCommand(identParts(r.group(1)), None, Some(r.group(2)))))
       .orElse(m(RestoreTagStmt).map(r =>
         GraftRestoreCommand(identParts(r.group(1)), None, None, Some(refNameOf(r)))))
+      .orElse(m(ReorgPurgeStmt).map(r => GraftReorgPurgeCommand(identParts(r.group(1)))))
       .orElse(m(GenerateStmt).map(r => GraftGenerateManifestCommand(identParts(r.group(1)))))
       .orElse(m(ConvertStmt).map(r =>
         GraftConvertCommand(r.group(1).substring(1, r.group(1).length - 1))))
@@ -390,6 +394,22 @@ case class GraftOptimizeCommand(
       graft.ext.ZOrder.optimize(t, zorderBy, nFiles)
       Seq(Row(t.root, s"zorder(${zorderBy.mkString(",")})", entries.size))
     }
+  }
+}
+
+/** `REORG TABLE t APPLY (PURGE)` →
+ *  [[graft.tables.SnapshotTable.purgeDeletionVectors]]: every DV-named
+ *  file rewrites without its deleted rows and the vector list clears —
+ *  Delta's REORG … APPLY (PURGE), the pass that re-enables external
+ *  consumers (symlink manifest, DSv2 catalog scans) on a DV table. */
+case class GraftReorgPurgeCommand(parts: Seq[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    notNull("path", StringType), notNull("operation", StringType),
+    notNull("rewritten_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = resolveTable(spark, parts)
+    Seq(Row(t.root, "purge-dv", t.purgeDeletionVectors()))
   }
 }
 

@@ -2043,6 +2043,8 @@ class SnapshotTable private (
     val (touched, untouched) =
       entry.files.partition(f => Pruning.mayMatchConjuncts(f, cs, tschema))
     if (touched.isEmpty) return 0
+    if (entry.properties.exists(_.get("graft.dv.enabled").contains("true")))
+      return updateWithVectors(v, entry, tschema, predicate, byName, touched, untouched)
     val cols = tschema.fields.toSeq.map { f =>
       byName.get(f.name) match {
         case Some((field, nv)) =>
@@ -2054,6 +2056,84 @@ class SnapshotTable private (
       .select(cols: _*)
     replaceFiles(untouched.map(_.path), rewritten, "update", expectVersion = Some(v))
     touched.size
+  }
+
+  /**
+   * Deletion-vector UPDATE (Delta's DV update model): the matched rows'
+   * OLD positions land in a sidecar — their files carry forward
+   * byte-identical — and the reassigned rows append as new files, all in
+   * one commit: bytes written scale with the MATCHED rows, not with
+   * every touched file. The same `graft.dv.maxFraction` policy applies —
+   * a file where most rows match rewrites classically in the same
+   * commit (deferring most of a file just taxes every later read).
+   * Returns the number of files rewritten (0 = pure DV+append commit).
+   */
+  private def updateWithVectors(
+      v: Long, entry: CommitEntry, tschema: StructType, predicate: Column,
+      byName: Map[String, (StructField, Column)],
+      touched: Seq[FileEntry], untouched: Seq[FileEntry]): Int = {
+    import org.apache.spark.sql.functions._
+    val maxFraction = entry.properties.getOrElse(Map.empty)
+      .get("graft.dv.maxFraction").flatMap(_.toDoubleOption).getOrElse(0.2)
+    def matchedPositions() = dvRemove(entry,
+        dfOver(touched.map(_.path), tschema, mappingOf(entry))
+          .withColumn("__upd_file", col("_metadata.file_name"))
+          .withColumn("__upd_pos", col("_metadata.row_index")))
+      .filter(predicate)
+    val counts = matchedPositions()
+      .groupBy(col("__upd_file")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return 0
+    val byFileName = touched.map(f => new Path(f.path).getName -> f).toMap
+    val (vectorized, rewrite) = counts.keys.toSeq.sorted.partition { name =>
+      byFileName.get(name).exists(f =>
+        f.rows > 0 && counts(name).toDouble / f.rows <= maxFraction)
+    }
+    val sidecar: Seq[FileEntry] =
+      if (vectorized.isEmpty) Nil
+      else {
+        val dir = new Path(dataDir, UUID.randomUUID().toString.take(12) + "-dv")
+        matchedPositions()
+          .filter(col("__upd_file").isin(vectorized: _*))
+          .select(col("__upd_file").as(SnapshotTable.DvFileCol),
+            col("__upd_pos").as(SnapshotTable.DvPosCol))
+          .coalesce(1)
+          .write.parquet(dir.toString)
+        readFooterStatsAll(fs.listStatus(dir).toSeq
+          .filter(s => s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName), hadoopConf)
+          .filter(_.rows != 0L)
+      }
+    // reassigned versions of the DV'd rows, appended as new files
+    val assigned = tschema.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case Some((field, nv)) => nv.cast(field.dataType).as(f.name)
+        case None => col(f.name).as(f.name)
+      }
+    }
+    val vectorizedFiles = vectorized.flatMap(byFileName.get)
+    val updatedRows = dvRemoveOver(entry, vectorizedFiles.map(_.path),
+        tschema, mappingOf(entry))
+      .filter(predicate).select(assigned: _*)
+    val rewriteFiles = rewrite.flatMap(byFileName.get)
+    // high-fraction files rewrite in place with the conditional CASE
+    val caseCols = tschema.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case Some((field, nv)) =>
+          when(predicate, nv.cast(field.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    val rewrittenRows = dvRemoveOver(entry, rewriteFiles.map(_.path),
+        tschema, mappingOf(entry))
+      .select(caseCols: _*)
+    val carry = untouched ++ vectorizedFiles ++
+      touched.filterNot(f => counts.contains(new Path(f.path).getName))
+    replaceFiles(carry.map(_.path).distinct,
+      updatedRows.unionByName(rewrittenRows),
+      if (rewriteFiles.isEmpty) "update-dv" else "update",
+      expectVersion = Some(v), addDvFiles = sidecar)
+    rewriteFiles.size
   }
 
   /**

@@ -15,6 +15,22 @@ class MaintenanceSqlSpec extends SparkSpec {
     GraftCatalog.register(name, t)
   }
 
+  test("REORG TABLE APPLY (PURGE) folds deletion vectors via SQL") {
+    val t = SnapshotTable.create(spark, tmpDir("sqlreorg"),
+      spark.range(0, 100).toDF("id").withColumn("payload", org.apache.spark.sql.functions.lit("x")))
+    GraftCatalog.register("maint_reorg", t)
+    t.setProperties(Map("graft.dv.enabled" -> "true"))
+    t.delete(org.apache.spark.sql.functions.col("id") === 7)
+    assert(t.dvManifest().nonEmpty)
+    val r = spark.sql("REORG TABLE maint_reorg APPLY (PURGE)").collect().head
+    assert(r.getString(1) === "purge-dv" && r.getInt(2) > 0)
+    assert(t.dvManifest().isEmpty)
+    assert(t.read().count() === 99)
+    // idempotent; malformed forms fall through to Spark's parser
+    assert(spark.sql("REORG TABLE maint_reorg APPLY (PURGE)").collect().head.getInt(2) === 0)
+    intercept[Exception](spark.sql("REORG TABLE maint_reorg APPLY PURGE").collect())
+  }
+
   test("DESCRIBE HISTORY lists commits newest first") {
     val t = freshRegistered("maint_hist")
     t.append(Seq((4, "d")).toDF("id", "payload"))

@@ -119,6 +119,43 @@ class DeletionVectorSpec extends SparkSpec {
     assert(inc.as[(Long, String)].collect().toSet === Set((500L, "appended")))
   }
 
+  test("DV update: O(matched rows) commit — positions vectorized, new rows appended") {
+    val t = dvTable("dv_upd")
+    val baseFiles = t.manifest().toSet
+    val rewritten = t.update(col("id") % 1000 === 0, // 10 of 10000 rows
+      Map("v" -> lit("updated")))
+    assert(rewritten === 0) // pure DV + append: no touched file rewritten
+    assert(t.manifestAction().contains("update-dv"))
+    assert(baseFiles.subsetOf(t.manifest().toSet)) // old files byte-identical
+    val appended = t.manifest().toSet -- baseFiles
+    assert(appended.nonEmpty)
+    // the appended files hold ONLY the 10 reassigned rows
+    val appendedRows = spark.read.parquet(appended.toSeq: _*)
+    assert(appendedRows.count() === 10)
+    assert(appendedRows.select("v").distinct().as[String].collect().toSeq === Seq("updated"))
+    // the view: updated rows visible once, with new values
+    assert(t.read().count() === 10000)
+    assert(t.read().filter(col("v") === "updated").count() === 10)
+    assert(t.read().filter(col("id") === 3000).select("v").as[String].head() === "updated")
+    assert(t.read().filter(col("id") === 3001).select("v").as[String].head() === "row3001")
+    // update of already-DV-updated rows composes
+    t.update(col("id") === 3000, Map("v" -> lit("twice")))
+    assert(t.read().filter(col("id") === 3000).select("v").as[String].head() === "twice")
+    assert(t.read().count() === 10000)
+    // CDF: pre/postimage pair for the keyed diff
+    t.setProperties(Map("graft.cdf.keys" -> "id"))
+    val vb = t.currentVersion()
+    t.update(col("id") === 7777, Map("v" -> lit("cdf")))
+    val ch = t.readChanges(vb).select(col("id").cast("long"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSet
+    assert(ch === Set((7777L, "row7777", "update_preimage"), (7777L, "cdf", "update_postimage")))
+    // mass update blows the fraction policy: classic rewrite, same result
+    val rw = t.update(col("id") < 9000, Map("v" -> lit("bulk")))
+    assert(rw > 0)
+    assert(t.read().filter(col("v") === "bulk").count() === 9000)
+    assert(t.read().count() === 10000)
+  }
+
   test("vacuum keeps sidecars alive; catalog scans refuse DV snapshots until purge") {
     val t = dvTable("dv_vacuum", n = 1000)
     t.delete(col("id") === 1)
