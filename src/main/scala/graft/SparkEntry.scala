@@ -1204,6 +1204,35 @@ object SparkEntry {
       .orderBy("q_id", "n_id")
   }
 
+  /** Q87 — IVF-PQ with exact refine ([[ext.Similarity.ivfBuildPq]] /
+   *  `ivfProbePqRefined`): the FAISS billion-scale serving shape —
+   *  inverted lists store 8-byte residual PQ codes (32× smaller than
+   *  the float payload), probing scores candidates by O(M) ADC table
+   *  lookups, and only the top-`refine` candidates per probe fetch
+   *  their full vectors for an exact cosine re-rank. ADC is lossy, so
+   *  the oracle is STRUCTURAL: each probe's refined top-1 must be its
+   *  planted identical copy at exactly cosine 1.0 (measured copy ADC
+   *  rank ≤ 9 on both sf fixtures vs refine = 50; background cosines
+   *  top out ≈ 0.49, so the exact re-rank is unambiguous). */
+  private def ivfPqQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val doubled = emb.unionByName(
+      emb.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
+    val index = ext.Similarity.ivfBuildPq(doubled, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 16)
+    ext.Similarity.ivfProbePqRefined(index, doubled,
+        doubled.filter(col("vec_id") < 25), "vec_id", "embedding",
+        k = 1, nProbe = 16, refine = 50)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id")
+  }
+  private val Q87Duck =
+    """SELECT CAST(vec_id AS BIGINT) AS q_id,
+      |       CAST(vec_id AS BIGINT) + 1000000 AS n_id,
+      |       1.0 AS cos
+      |FROM embeddings WHERE vec_id < 25 ORDER BY q_id""".stripMargin
+
   /** Q68 — SemDeDup ([[ext.Dedup.semDedupPairs]]): k-means-clustered
    *  within-cluster cosine pair mining (the clustered sibling of q48's
    *  hyperplane-LSH miner). The oracle is EXACT, not structural: planted
@@ -2288,7 +2317,8 @@ object SparkEntry {
     "q83_dsir_sample" -> dsirSampleQuery,
     "q84_ivf_sq8" -> ivfQuantizedQuery,
     "q85_dv_delete" -> dvDeleteQuery,
-    "q86_dv_update" -> dvUpdateQuery)
+    "q86_dv_update" -> dvUpdateQuery,
+    "q87_ivf_pq" -> ivfPqQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2402,7 +2432,8 @@ object SparkEntry {
     "q83_dsir_sample" -> Q83Duck,
     "q84_ivf_sq8" -> Q79Duck,
     "q85_dv_delete" -> Q85Duck,
-    "q86_dv_update" -> Q86Duck)
+    "q86_dv_update" -> Q86Duck,
+    "q87_ivf_pq" -> Q87Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -321,6 +321,38 @@ object TextHash {
    * scan: token spans compare length-first against the (small) stopword
    * table, bytes only on a length hit. Exact — no hashing involved.
    */
+  /**
+   * Σ weight(token) over the single-space-separated tokens of `s`
+   * against a vocabulary shipped as parallel arrays: `hashes` holds the
+   * ASC-sorted xxHash64 of each vocab token's bytes, `weights` the
+   * aligned weight. One binary search per token — O(log V) with zero
+   * allocation, so a 10⁶-entry exported model (fastText / logistic
+   * regression) scores documents map-side inside whole-stage codegen.
+   * 64-bit hash collisions are the usual negligible trade.
+   */
+  def tokenWeightSum(
+      s: UTF8String,
+      hashes: Array[Long],
+      weights: Array[Double],
+      seed: Long): Double = {
+    val nb = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var sum = 0.0
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || s.getByte(i) == 0x20) {
+        val h = XXH64.hashUnsafeBytes(base, off + start, i - start, seed)
+        val k = java.util.Arrays.binarySearch(hashes, h)
+        if (k >= 0) sum += weights(k)
+        start = i + 1
+      }
+      i += 1
+    }
+    sum
+  }
+
   def stopwordHits(s: UTF8String, stopwords: Array[Array[Byte]]): Int = {
     val nb = s.numBytes()
     val base = s.getBaseObject

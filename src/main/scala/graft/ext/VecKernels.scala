@@ -57,4 +57,109 @@ object VecKernels {
     }
     new GenericArrayData(out)
   }
+
+  /**
+   * Product-quantization encode (FAISS IVFPQ residual encoding, Jégou
+   * et al. 2011 "Product quantization for nearest neighbor search"):
+   * the residual `v − cents(list)` splits into `M = books.length`
+   * contiguous subvectors, each replaced by the index of its nearest
+   * (L2) codebook entry. One byte per subspace — a 64-dim float vector
+   * becomes M=8 bytes, a 32× compression of the stored list payload.
+   * Codes are written as unsigned bytes (`ksub ≤ 256`).
+   */
+  def pqEncode(
+      v: ArrayData,
+      list: Int,
+      cents: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): Array[Byte] = {
+    val m = books.length
+    val cent = cents(list)
+    val d = v.numElements()
+    val dsub = d / m
+    val out = new Array[Byte](m)
+    var mi = 0
+    while (mi < m) {
+      val book = books(mi)
+      val base = mi * dsub
+      var bestJ = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < book.length) {
+        val e = book(j)
+        var dist = 0.0
+        var i = 0
+        while (i < dsub) {
+          val r = v.getFloat(base + i).toDouble -
+            (if (base + i < cent.length) cent(base + i).toDouble else 0.0)
+          val diff = r - e(i)
+          dist += diff * diff
+          i += 1
+        }
+        // NaN distances (corrupt component) never win; the first finite
+        // entry — or entry 0 when all are NaN — stands
+        if (dist < bestD) { bestD = dist; bestJ = j }
+        j += 1
+      }
+      out(mi) = bestJ.toByte
+      mi += 1
+    }
+    out
+  }
+
+  /**
+   * Per-query ADC lookup table for inner-product scoring against a PQ
+   * list (the FAISS `compute_distance_table` role): entry
+   * `m·ksub + j = dot(q_m, books(m)(j))`, plus one trailing bias slot
+   * `dot(q, cents(list))` — so a candidate's approximate inner product
+   * is `bias + Σ_m lut[m·ksub + code_m]`, an O(M) sum per candidate
+   * instead of the O(D) full dot. Built once per (query, probed list)
+   * map-side; the join fan-out only ever sees [[pqAdc]]'s O(M) lookups.
+   */
+  def pqLut(
+      v: ArrayData,
+      list: Int,
+      cents: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): ArrayData = {
+    val m = books.length
+    val ksub = books(0).length
+    val d = v.numElements()
+    val dsub = d / m
+    val out = new Array[Double](m * ksub + 1)
+    var mi = 0
+    while (mi < m) {
+      val book = books(mi)
+      val base = mi * dsub
+      var j = 0
+      while (j < ksub) {
+        val e = book(j)
+        var dot = 0.0
+        var i = 0
+        while (i < dsub) { dot += v.getFloat(base + i).toDouble * e(i); i += 1 }
+        out(mi * ksub + j) = dot
+        j += 1
+      }
+      mi += 1
+    }
+    val cent = cents(list)
+    var bias = 0.0
+    var i = 0
+    val n = math.min(d, cent.length)
+    while (i < n) { bias += v.getFloat(i).toDouble * cent(i); i += 1 }
+    out(m * ksub) = bias
+    new GenericArrayData(out)
+  }
+
+  /** Approximate inner product of the LUT's query against a PQ-coded
+   *  candidate: bias + M table lookups (codes read as unsigned). */
+  def pqAdc(lut: ArrayData, codes: Array[Byte]): Double = {
+    val m = codes.length
+    val ksub = (lut.numElements() - 1) / m
+    var s = lut.getDouble(lut.numElements() - 1)
+    var mi = 0
+    while (mi < m) {
+      s += lut.getDouble(mi * ksub + (codes(mi) & 0xFF))
+      mi += 1
+    }
+    s
+  }
 }

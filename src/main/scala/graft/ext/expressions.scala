@@ -330,3 +330,144 @@ case class HyperplaneBucket(child: Expression, planes: Int, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
 }
+
+/** Shared deep content equality/hash for the PQ expressions' embedded
+ *  quantizer state (case-class equality on nested Arrays is reference
+ *  equality, which breaks canonicalization — compare content). */
+private[ext] object PqState {
+  def eq2(a: Array[Array[Float]], b: Array[Array[Float]]): Boolean =
+    java.util.Arrays.deepEquals(a.asInstanceOf[Array[AnyRef]], b.asInstanceOf[Array[AnyRef]])
+  def eq3(a: Array[Array[Array[Float]]], b: Array[Array[Array[Float]]]): Boolean =
+    java.util.Arrays.deepEquals(a.asInstanceOf[Array[AnyRef]], b.asInstanceOf[Array[AnyRef]])
+  def hash2(a: Array[Array[Float]]): Int =
+    java.util.Arrays.deepHashCode(a.asInstanceOf[Array[AnyRef]])
+  def hash3(a: Array[Array[Array[Float]]]): Int =
+    java.util.Arrays.deepHashCode(a.asInstanceOf[Array[AnyRef]])
+}
+
+/** Residual product-quantization codes (binary, one unsigned byte per
+ *  subspace) for an array<float> embedding already assigned to coarse
+ *  list `list` — [[VecKernels.pqEncode]], the IVF-PQ storage kernel. */
+case class PqEncode(
+    left: Expression,
+    right: Expression,
+    cents: Array[Array[Float]],
+    books: Array[Array[Array[Float]]]) extends BinaryExpression {
+  override def equals(other: Any): Boolean = other match {
+    case o: PqEncode =>
+      left == o.left && right == o.right &&
+        PqState.eq2(cents, o.cents) && PqState.eq3(books, o.books)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(left, right,
+    Integer.valueOf(PqState.hash2(cents)), Integer.valueOf(PqState.hash3(books)))
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_encode needs (array<float>, int), got ${l.sql} / ${r.sql}")
+    }
+  override protected def nullSafeEval(v: Any, list: Any): Any =
+    VecKernels.pqEncode(v.asInstanceOf[ArrayData], list.asInstanceOf[Int], cents, books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCents", cents, "float[][]")
+    val bRef = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    defineCodeGen(ctx, ev, (v, l) => s"graft.ext.VecKernels.pqEncode($v, $l, $cRef, $bRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(left = l, right = r)
+}
+
+/** Per-(query, probed list) ADC lookup table (array<double>, M·ksub
+ *  entries + one coarse-centroid bias slot) — [[VecKernels.pqLut]]. */
+case class PqLut(
+    left: Expression,
+    right: Expression,
+    cents: Array[Array[Float]],
+    books: Array[Array[Array[Float]]]) extends BinaryExpression {
+  override def equals(other: Any): Boolean = other match {
+    case o: PqLut =>
+      left == o.left && right == o.right &&
+        PqState.eq2(cents, o.cents) && PqState.eq3(books, o.books)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(left, right,
+    Integer.valueOf(PqState.hash2(cents)), Integer.valueOf(PqState.hash3(books)))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_lut needs (array<float>, int), got ${l.sql} / ${r.sql}")
+    }
+  override protected def nullSafeEval(v: Any, list: Any): Any =
+    VecKernels.pqLut(v.asInstanceOf[ArrayData], list.asInstanceOf[Int], cents, books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCents", cents, "float[][]")
+    val bRef = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    defineCodeGen(ctx, ev, (v, l) => s"graft.ext.VecKernels.pqLut($v, $l, $cRef, $bRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqLut =
+    copy(left = l, right = r)
+}
+
+/** Approximate inner product of a [[PqLut]] table against a [[PqEncode]]
+ *  code column: bias + M table lookups, O(M) per candidate — the ADC
+ *  scoring kernel of IVF-PQ ([[VecKernels.pqAdc]]). */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc needs (array<double> lut, binary codes), got ${l.sql} / ${r.sql}")
+    }
+  override protected def nullSafeEval(lut: Any, codes: Any): Any =
+    VecKernels.pqAdc(lut.asInstanceOf[ArrayData], codes.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.VecKernels.pqAdc($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}
+
+/** Σ weight(token) of a document against a hashed vocabulary shipped as
+ *  sorted parallel arrays — the linear-classifier inference kernel
+ *  ([[TextHash.tokenWeightSum]]): one binary search per token, zero
+ *  allocation, whole-stage codegen. */
+case class TokenWeightSum(
+    child: Expression,
+    hashes: Array[Long],
+    weights: Array[Double],
+    seed: Long) extends UnaryExpression {
+  override def equals(other: Any): Boolean = other match {
+    case o: TokenWeightSum =>
+      child == o.child && seed == o.seed &&
+        java.util.Arrays.equals(hashes, o.hashes) &&
+        java.util.Arrays.equals(weights, o.weights)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    java.lang.Long.valueOf(seed),
+    Integer.valueOf(java.util.Arrays.hashCode(hashes)),
+    Integer.valueOf(java.util.Arrays.hashCode(weights)))
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"token_weight_sum needs a string column, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.tokenWeightSum(input.asInstanceOf[UTF8String], hashes, weights, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hRef = ctx.addReferenceObj("vocabHashes", hashes, "long[]")
+    val wRef = ctx.addReferenceObj("vocabWeights", weights, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ext.TextHash.tokenWeightSum($c, $hRef, $wRef, ${seed}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenWeightSum =
+    copy(child = newChild)
+}

@@ -67,6 +67,39 @@ object functions {
   def nearestLists(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
     column(NearestLists(expr(v), centroids, nProbe))
 
+  /** Residual PQ codes (binary, one byte per subspace) for an embedding
+   *  assigned to coarse list `list` — the IVF-PQ storage kernel. */
+  def pqEncode(v: Column, list: Column, cents: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): Column =
+    column(PqEncode(expr(v), expr(list), cents, books))
+
+  /** Per-(query, probed list) ADC lookup table (array<double>). */
+  def pqLut(v: Column, list: Column, cents: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): Column =
+    column(PqLut(expr(v), expr(list), cents, books))
+
+  /** Approximate inner product: [[pqLut]] table vs [[pqEncode]] codes,
+   *  O(M) lookups per candidate. */
+  def pqAdc(lut: Column, codes: Column): Column =
+    column(PqAdc(expr(lut), expr(codes)))
+
+  /** Σ weight(token) of a document against an exported vocabulary model
+   *  (token → weight): the map-side linear-classifier inference kernel.
+   *  The vocabulary ships as sorted hash/weight arrays embedded in the
+   *  expression — O(log V) per token, no join, no shuffle. */
+  def tokenWeightSum(text: Column, model: Map[String, Double],
+      seed: Long = TextHash.DefaultSeed): Column = {
+    require(model.nonEmpty, "empty model vocabulary")
+    val entries = model.toArray.map { case (tok, w) =>
+      val b = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed), w)
+    }.sortBy(_._1)
+    require(entries.map(_._1).distinct.length == entries.length,
+      "hash collision inside the model vocabulary — change the seed")
+    column(TokenWeightSum(expr(text), entries.map(_._1), entries.map(_._2), seed))
+  }
+
   /** Approximate `count(DISTINCT x)` with k-bounded state (KMV sketch);
    *  exact while the group's distinct count stays under `k`. */
   def kmvDistinct(c: Column, k: Int = 4096): Column =
