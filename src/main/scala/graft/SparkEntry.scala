@@ -664,6 +664,46 @@ object SparkEntry {
       |               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS quality
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Q88's exported linear model: token → weight. English markers vote
+   *  keep, other-language markers vote drop; one token absent from every
+   *  fixture document exercises the miss path. Weights are dyadic
+   *  rationals (k/16) so every partial sum is exactly representable —
+   *  the score is order-independent and bit-identical across engines
+   *  (the [[ext.TextAnalysis.linearScore]] determinism contract). */
+  private val Q88Model: Seq[(String, Double)] = Seq(
+    "the" -> 0.5, "and" -> 0.375, "of" -> 0.25, "to" -> 0.25, "is" -> 0.125,
+    "der" -> -0.5, "die" -> -0.375, "und" -> -0.25, "ist" -> -0.125,
+    "el" -> -0.25, "la" -> -0.25, "le" -> -0.375, "les" -> -0.25,
+    "zz_never_seen" -> 4.0)
+  private val Q88Bias = -0.0625
+
+  /** Q88 — model-based quality classification: an exported LINEAR text
+   *  classifier (the fastText / CCNet "wiki-like page" filter role)
+   *  applied map-side via [[ext.TextAnalysis.linearScore]] — the
+   *  vocabulary ships inside the codegen'd expression as sorted
+   *  hash/weight arrays, so scoring is one pass per document with no
+   *  token explode, no model join, and no shuffle at any corpus size.
+   *  The oracle replays the same inference the expensive way: token
+   *  explode + model-table join + group-by — proving the O(log V)
+   *  binary-search kernel computes exactly the textbook formula. */
+  private def linearScoreQuery(s: SparkSession, dir: String): DataFrame = {
+    val sc = ext.TextAnalysis.linearScore(col("text"), Q88Model.toMap, bias = Q88Bias)
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), round(sc, 6).as("lscore"), (sc > lit(0.0d)).as("keep"))
+      .orderBy("doc_id")
+  }
+  private val Q88Duck = {
+    val vals = Q88Model.map { case (t, w) => s"('$t', CAST($w AS DOUBLE))" }.mkString(", ")
+    s"""WITH model AS (SELECT * FROM (VALUES $vals) m(tok, w)),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |e AS (SELECT doc_id, len(tk) AS n, unnest(tk) AS tok FROM t),
+       |a AS (SELECT e.doc_id, any_value(e.n) AS n, coalesce(sum(m.w), 0.0) AS ws
+       |      FROM e LEFT JOIN model m USING (tok) GROUP BY e.doc_id)
+       |SELECT doc_id, round(CAST($Q88Bias AS DOUBLE) + ws / n, 6) AS lscore,
+       |       (CAST($Q88Bias AS DOUBLE) + ws / n) > 0.0 AS keep
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
   /** Q80 — token-budget corpus selection ([[ext.Sampling.budgetPerGroup]]):
    *  per source, the best-quality documents whose cumulative token count
    *  fits a 700-token budget — greedy strict-prefix semantics, so the
@@ -2318,7 +2358,8 @@ object SparkEntry {
     "q84_ivf_sq8" -> ivfQuantizedQuery,
     "q85_dv_delete" -> dvDeleteQuery,
     "q86_dv_update" -> dvUpdateQuery,
-    "q87_ivf_pq" -> ivfPqQuery)
+    "q87_ivf_pq" -> ivfPqQuery,
+    "q88_linear_score" -> linearScoreQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2433,7 +2474,8 @@ object SparkEntry {
     "q84_ivf_sq8" -> Q79Duck,
     "q85_dv_delete" -> Q85Duck,
     "q86_dv_update" -> Q86Duck,
-    "q87_ivf_pq" -> Q87Duck)
+    "q87_ivf_pq" -> Q87Duck,
+    "q88_linear_score" -> Q88Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

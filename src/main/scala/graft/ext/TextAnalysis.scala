@@ -181,6 +181,32 @@ object TextAnalysis {
   }
 
   /**
+   * Model-based quality scoring: apply an exported LINEAR text
+   * classifier (fastText-style bag-of-words / logistic regression —
+   * the CCNet / LLaMA "wiki-like page" filter role) at corpus scale.
+   * `logit = bias + Σ weight(token) / tokenCount` — the mean feature
+   * weight plus bias, i.e. inference over averaged one-hot token
+   * embeddings. The vocabulary ships INSIDE the expression as sorted
+   * hash/weight arrays ([[functions.tokenWeightSum]]): scoring is one
+   * map-side pass per document with O(log V) per token — no token
+   * explode, no model join, no shuffle, whatever the corpus size.
+   *
+   * Determinism contract: weights that are dyadic rationals (k/2ⁿ —
+   * e.g. 0.5, −0.25, 1.125) keep every partial sum exactly
+   * representable, so the score is bit-identical across runs,
+   * partitionings, and engines; an external SQL auditor replays it
+   * with a token-explode + model-table join. Classify with
+   * `linearScore(...) > threshold`.
+   */
+  def linearScore(
+      text: Column,
+      model: Map[String, Double],
+      bias: Double = 0.0,
+      seed: Long = TextHash.DefaultSeed): Column =
+    lit(bias) + functions.tokenWeightSum(text, model, seed) /
+      functions.spaceTokenCount(text).cast("double")
+
+  /**
    * Corpus vocabulary: per-token total frequency (`tf`) and document
    * frequency (`df`, for IDF weighting), thresholded at `minCount`
    * occurrences. The canonical word-count shape: the token explode is

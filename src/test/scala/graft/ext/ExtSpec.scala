@@ -767,6 +767,46 @@ class ExtSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
   }
 
+  test("linearScore matches the explode+model-join replay exactly") {
+    // the q88 kernel (binary search over sorted vocab hashes, one pass,
+    // no shuffle) must equal the textbook formulation: explode tokens,
+    // join the model table, mean the weights, add the bias. Dyadic
+    // weights keep every partial sum exact, so equality is bitwise.
+    val model = Map("the" -> 0.5, "and" -> -0.25, "héllo" -> 1.125,
+      "" -> 0.0625, "missing" -> 8.0)
+    val bias = -0.125
+    val fixtures = Seq(
+      "the and the and the",
+      "no vocab tokens here",
+      "",                        // one empty token — matches "" in vocab
+      "a  b",                    // double space: empty middle token
+      "héllo wörld héllo",       // multi-byte UTF-8 vocab hit
+      "the")
+    val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val fast = df.select(col("id"),
+        TextAnalysis.linearScore(col("text"), model, bias).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val modelDf = model.toSeq.toDF("tok", "w")
+    val slow = df.select(col("id"), explode(split(col("text"), " ")).as("tok"),
+        size(split(col("text"), " ")).as("n"))
+      .join(modelDf, Seq("tok"), "left")
+      .groupBy("id").agg((lit(bias) +
+        coalesce(sum("w"), lit(0.0)) / first("n")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    fixtures.indices.foreach { i =>
+      assert(fast(i.toLong) === slow(i.toLong),
+        s"linearScore mismatch on '${fixtures(i)}'")
+    }
+    // null text propagates null
+    val n = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(TextAnalysis.linearScore(col("text"), model, bias)).first()
+    assert(n.isNullAt(0))
+    // empty vocabulary is rejected eagerly
+    intercept[IllegalArgumentException] {
+      functions.tokenWeightSum(col("text"), Map.empty[String, Double])
+    }
+  }
+
   test("bpe-ish token counting splits contractions, numbers, punctuation") {
     val df = Seq(
       (1L, "I'll pay $42.50 for it!"),
