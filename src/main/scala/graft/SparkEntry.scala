@@ -900,6 +900,48 @@ object SparkEntry {
       |  CAST((doc_id % 256) // 32 AS INT) AS lum_bin
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  /** Q89 — REAL audio decode ([[ext.Multimodal.decodeAudios]], the JDK's
+   *  `javax.sound.sampled` WAV codec — encoder AND decoder sides): each
+   *  document plants a deterministic 16-bit PCM square wave (amplitude,
+   *  half-period, and length derived from doc_id), round-trips it through
+   *  `AudioSystem.write` → batched `mapPartitions` decode, and extracts
+   *  container metadata plus signal features from the DECODED frames. A
+   *  ±a square wave makes every feature exactly replayable: RMS = a
+   *  (n·a² and a² are exact doubles, sqrt is correctly rounded), zero
+   *  crossings = ⌊(n−1)/half⌋, peak = a — so the oracle is pure
+   *  arithmetic, yet only passes if the codec round-trip preserved every
+   *  frame. */
+  private def audioDecodeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val a = (128 + (id % 50) * 16).toInt
+        val half = (1 + id % 7).toInt
+        val n = (400 + (id % 100) * 8).toInt
+        val samples = Array.tabulate(n) { t =>
+          (if ((t / half) % 2 == 0) a else -a).toShort
+        }
+        (id, ext.Multimodal.encodeWav(8000, samples))
+      }
+    }.toDF("asset_id", "media")
+    ext.Multimodal.decodeAudios(assets)
+      .select(col("asset_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("rms"), col("zero_crossings"), col("peak"))
+      .orderBy("asset_id")
+  }
+  private val Q89Duck =
+    """SELECT doc_id AS asset_id,
+      |  8000 AS sample_rate,
+      |  1 AS channels,
+      |  CAST(400 + (doc_id % 100) * 8 AS BIGINT) AS n_frames,
+      |  CAST(128 + (doc_id % 50) * 16 AS DOUBLE) AS rms,
+      |  CAST((400 + (doc_id % 100) * 8 - 1) // (1 + doc_id % 7) AS BIGINT)
+      |    AS zero_crossings,
+      |  CAST(128 + (doc_id % 50) * 16 AS INT) AS peak
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   /** Q28 — content hashes structurally oracled: over the corpus plus an
    *  id-shifted copy of every document, fingerprint64 must collide
    *  EXACTLY on text equality — per doc, the same-fingerprint partner
@@ -2359,7 +2401,8 @@ object SparkEntry {
     "q85_dv_delete" -> dvDeleteQuery,
     "q86_dv_update" -> dvUpdateQuery,
     "q87_ivf_pq" -> ivfPqQuery,
-    "q88_linear_score" -> linearScoreQuery)
+    "q88_linear_score" -> linearScoreQuery,
+    "q89_audio_decode" -> audioDecodeQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2475,7 +2518,8 @@ object SparkEntry {
     "q85_dv_delete" -> Q85Duck,
     "q86_dv_update" -> Q86Duck,
     "q87_ivf_pq" -> Q87Duck,
-    "q88_linear_score" -> Q88Duck)
+    "q88_linear_score" -> Q88Duck,
+    "q89_audio_decode" -> Q89Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

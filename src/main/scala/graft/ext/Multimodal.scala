@@ -136,6 +136,133 @@ object Multimodal {
       .toDF()
   }
 
+  /** One decoded audio asset: true container metadata plus signal
+   *  features from the decoded PCM frames. `sample_rate == 0` marks the
+   *  undecodable-payload fallback row ([[audioStub]]). */
+  final case class DecodedAudio(
+      asset_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      rms: Double,
+      zero_crossings: Long,
+      peak: Int)
+
+  /** REAL audio decode through the JDK's sampled-audio stack
+   *  (`javax.sound.sampled` ships WAV/AIFF/AU readers — no external
+   *  dependency). Extracts the container's true sample rate / channel
+   *  count / frame length, then streams the PCM frames once through a
+   *  reused chunk buffer — bounded memory regardless of clip length —
+   *  accumulating RMS amplitude, zero-crossing count (channel 0 sign
+   *  flips), and peak |sample|. PCM_SIGNED 16-bit only (what the JDK
+   *  WAV writer emits); other encodings fall back like corrupt bytes.
+   *
+   *  Determinism: features accumulate sequentially in frame order
+   *  within one asset, so results are independent of partitioning. */
+  def decodeAudio(assetId: Long, media: Array[Byte]): Option[DecodedAudio] = {
+    if (media == null || media.length == 0) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(media))
+      try {
+        val fmt = ais.getFormat
+        val pcm16 = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16
+        if (!pcm16) None
+        else {
+          val ch = fmt.getChannels
+          val frameSize = fmt.getFrameSize // 2 * ch bytes
+          val big = fmt.isBigEndian
+          // whole frames per chunk so a channel-0 sample never splits
+          val chunk = new Array[Byte](frameSize * 1024)
+          var sumSq = 0.0
+          var zc = 0L
+          var peak = 0
+          var frames = 0L
+          var prevSign = 0 // sign of previous channel-0 sample; 0 = none yet
+          var read = ais.read(chunk)
+          while (read > 0) {
+            var off = 0
+            while (off + frameSize <= read) {
+              var c = 0
+              while (c < ch) {
+                val i = off + 2 * c
+                val s =
+                  if (big) ((chunk(i) << 8) | (chunk(i + 1) & 0xFF)).toShort
+                  else ((chunk(i + 1) << 8) | (chunk(i) & 0xFF)).toShort
+                sumSq += s.toDouble * s.toDouble
+                val as = math.abs(s.toInt)
+                if (as > peak) peak = as
+                if (c == 0) {
+                  val sign = if (s < 0) -1 else 1
+                  if (prevSign != 0 && sign != prevSign) zc += 1
+                  prevSign = sign
+                }
+                c += 1
+              }
+              frames += 1
+              off += frameSize
+            }
+            read = ais.read(chunk)
+          }
+          val n = frames * ch
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+          Some(DecodedAudio(assetId, fmt.getSampleRate.toInt, ch, frames,
+            rms, zc, peak))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fallback row for payloads no JDK audio reader recognizes —
+   *  all-zero features, `sample_rate = 0` as the marker, so the batch
+   *  pipeline never drops a row (the [[decodeStub]] role). */
+  def audioStub(assetId: Long): DecodedAudio =
+    DecodedAudio(assetId, 0, 0, 0L, 0.0, 0L, 0)
+
+  /** Deterministic WAV synthesis (pure JDK, encoder side of the same
+   *  codec stack): PCM_SIGNED 16-bit little-endian mono through
+   *  `AudioSystem.write` — fixture generator for planted-ground-truth
+   *  decode tests, where rate/frames/RMS/crossings/peak all replay from
+   *  the generating arithmetic. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Batched audio decode over the asset table — the [[decodeImages]]
+   *  pipeline for the audio modality: partition iterator →
+   *  [[DecodeBatchSize]] groups → real [[decodeAudio]], [[audioStub]]
+   *  for anything the JDK readers reject, one output row per asset. */
+  def decodeAudios(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            decodeAudio(id, bytes).getOrElse(audioStub(id))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Fixed-stride frame sampling from a video payload: every `everyN`-th
    *  block of `frameBytes` bytes, as array<binary>. Pure expression —
    *  no decode, no shuffle. */

@@ -608,6 +608,44 @@ class ExtSpec extends SparkSpec {
     assert(out(13L)._2 === Multimodal.decodeStub(13L, null).width)
   }
 
+  test("multimodal: real WAV decode recovers planted rate, frames, and signal features") {
+    // encode → decode roundtrip through the actual JDK sampled-audio
+    // codecs: a ±200 square wave with half-period 3 over 60 frames
+    val a = 200
+    val samples = Array.tabulate(60)(t => (if ((t / 3) % 2 == 0) a else -a).toShort)
+    val wav = Multimodal.encodeWav(8000, samples)
+    // RIFF/WAVE magic proves a real encoder ran
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val d = Multimodal.decodeAudio(1L, wav).get
+    assert((d.sample_rate, d.channels, d.n_frames) === ((8000, 1, 60L)))
+    assert(d.rms === a.toDouble)          // all |s| = a → RMS exactly a
+    assert(d.zero_crossings === 59L / 3)  // sign flips at multiples of 3
+    assert(d.peak === a)
+    // a silent clip: rms 0, no crossings under the sign convention
+    val silent = Multimodal.decodeAudio(2L, Multimodal.encodeWav(16000, new Array[Short](32))).get
+    assert((silent.rms, silent.zero_crossings, silent.peak) === ((0.0, 0L, 0)))
+    assert(silent.sample_rate === 16000)
+    // batched pipeline: decodable rows go through the REAL decoder,
+    // corrupt/null ones land on the zero-marked stub — one row each
+    val mixed = Seq(
+      (10L, wav),
+      (11L, "not audio".getBytes("UTF-8")),
+      (12L, wav.take(16).toArray),
+      (13L, null.asInstanceOf[Array[Byte]])).toDF("asset_id", "media")
+    val out = Multimodal.decodeAudios(mixed)
+    assert(out.schema.fieldNames.toSeq === Seq("asset_id", "sample_rate",
+      "channels", "n_frames", "rms", "zero_crossings", "peak"))
+    val rows = out.as[(Long, Int, Int, Long, Double, Long, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows.size === 4)
+    assert((rows(10L)._2, rows(10L)._4, rows(10L)._5) === ((8000, 60L, a.toDouble)))
+    Seq(11L, 12L, 13L).foreach { id =>
+      assert(rows(id)._2 === 0, s"asset $id should be the stub row")
+      assert((rows(id)._4, rows(id)._5, rows(id)._7) === ((0L, 0.0, 0)))
+    }
+  }
+
   test("multimodal: frame sampling slices fixed-stride binary frames") {
     val df = Seq((1L, Array.tabulate(100)(_.toByte))).toDF("id", "media")
     val frames = df.select(Multimodal.frameSample(col("media"), frameBytes = 10, everyN = 2).as("f"))
