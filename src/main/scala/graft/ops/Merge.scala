@@ -79,8 +79,9 @@ final class MergeInto(
   def execute(): SnapshotTable = {
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
     // Materialize the source ONCE (Delta's merge does the same): the plan
-    // is consumed up to three times (key-bounds agg, touched-file
-    // discovery join, rewrite join), and a staged source is typically the
+    // is consumed up to four times (key-bounds agg, key-probe distinct
+    // collect, touched-file discovery join, rewrite join), and a staged
+    // source is typically the
     // output of its own join/window pipeline — recomputing it per
     // consumer triples that cost, and a non-deterministic source could
     // even change between discovery and rewrite. Blocks are released
@@ -329,7 +330,8 @@ object MergeInto {
     val pairs = equiPairs(org.apache.spark.sql.graftshim.SparkInternals.expr(condition))
     if (pairs.isEmpty) return allFiles
     val aggs = pairs.zipWithIndex.flatMap { case ((_, s, _), i) =>
-      Seq(min(col(s)).as(s"__mn$i"), max(col(s)).as(s"__mx$i"), count(col(s)).as(s"__cnt$i"))
+      Seq(min(col(s)).as(s"__mn$i"), max(col(s)).as(s"__mx$i"), count(col(s)).as(s"__cnt$i"),
+        approx_count_distinct(col(s)).as(s"__ndv$i"))
     } :+ count(lit(1)).as("__total")
     val row = source.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getAs[Long]("__total")
@@ -341,10 +343,55 @@ object MergeInto {
       if (mn == null || mx == null || (nullSafe && nonNull < total)) None
       else Some(col(t) >= lit(mn) && col(t) <= lit(mx))
     }
-    if (preds.isEmpty) allFiles
-    else {
-      val pruned = table.prunedManifest(preds.reduce(_ && _)).toSet
-      allFiles.filter(pruned.contains)
+    val ranged =
+      if (preds.isEmpty) allFiles
+      else {
+        val pruned = table.prunedManifest(preds.reduce(_ && _)).toSet
+        allFiles.filter(pruned.contains)
+      }
+    keyProbedCandidates(table, source, row, total, pairs, ranged)
+  }
+
+  /** Per-KEY refinement of the range-pruned candidate set — the Hudi
+   *  bloom-index tagging role (`hoodie.index.type=BLOOM`). The global
+   *  [min(source), max(source)] envelope degrades to no pruning the
+   *  moment a source batch holds one low and one high key; probing each
+   *  file with the source's DISTINCT keys prunes the gap files by
+   *  stats range and, where the table carries manifest blooms
+   *  ([[graft.tables.FileBloom]]), files whose key range fully overlaps
+   *  (interleaved clustering). Only runs when the source's approximate
+   *  key cardinality fits `spark.graft.merge.probeMaxKeys` (default
+   *  100 000 — a bounded, documented driver collect; keys are scalar, so
+   *  ≲ a few MB), which is also when pruning pays: a source touching
+   *  millions of distinct keys touches most files anyway. Skipped for
+   *  null-safe pairs with null keys (`<=>` can match NULL, which no
+   *  key probe represents); conservative on any miss. */
+  private def keyProbedCandidates(
+      table: SnapshotTable,
+      source: DataFrame,
+      row: org.apache.spark.sql.Row,
+      total: Long,
+      pairs: Seq[(String, String, Boolean)],
+      ranged: Seq[String]): Seq[String] = {
+    if (ranged.isEmpty) return ranged
+    val maxKeys = source.sparkSession.conf
+      .get("spark.graft.merge.probeMaxKeys", "100000").toInt
+    if (maxKeys <= 0) return ranged
+    val eligible = pairs.zipWithIndex.find { case ((_, _, nullSafe), i) =>
+      val nonNull = row.getAs[Long](s"__cnt$i")
+      (!nullSafe || nonNull == total) && row.getAs[Long](s"__ndv$i") <= maxKeys
+    }
+    eligible match {
+      case None => ranged
+      case Some(((t, s, _), _)) =>
+        // exact key set, re-capped: approx_count_distinct may undercount
+        val keys = source.select(col(s)).na.drop().distinct()
+          .limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+        if (keys.isEmpty || keys.length > maxKeys) ranged
+        else {
+          val probed = table.keyProbedManifest(t, keys).toSet
+          ranged.filter(probed.contains)
+        }
     }
   }
 

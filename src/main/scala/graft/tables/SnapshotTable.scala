@@ -1436,6 +1436,30 @@ class SnapshotTable private (
     }
   }
 
+  /** Current-snapshot file paths that may contain at least one of `keys`
+   *  in `column` — the Hudi bloom-index "tagging" step
+   *  (`hoodie.index.type=BLOOM`) that keyed MERGE discovery uses to
+   *  touch only key-hit files. Per key, the stats-domain value and the
+   *  two bloom hash passes compute once ([[Pruning.prepKeyProbes]]);
+   *  each file then pays a range check plus a filter probe per key with
+   *  early exit on the first possible hit. Strictly sharper than one
+   *  global [min(keys), max(keys)] overlap test: scattered keys prune
+   *  the gap files too, and manifest blooms prune files whose key range
+   *  fully overlaps (interleaved clustering). Conservative everywhere —
+   *  files without stats or filters always stay. */
+  private[graft] def keyProbedManifest(column: String, keys: Seq[Any]): Seq[String] = {
+    val v = currentVersion()
+    if (v < 0) return Nil
+    val entry = commitEntry(v)
+    val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    val probes = schema.fields.find(_.name.equalsIgnoreCase(column))
+      .map(f => Pruning.prepKeyProbes(keys, f.dataType)).getOrElse(Nil)
+    if (probes.isEmpty) entry.files.map(_.path)
+    else entry.files
+      .filter(f => Pruning.fileMayContainAnyKey(f, column, probes, schema))
+      .map(_.path)
+  }
+
   /** Logical→physical column mapping AT a version (empty = identity;
    *  the DSv2 scan consults the PINNED snapshot's mapping). */
   private[graft] def columnMappingAt(version: Long): Map[String, String] =
@@ -3229,6 +3253,50 @@ object SnapshotTable {
 
     def mayMatch(f: FileEntry, pred: Expression, schema: StructType): Boolean =
       mayMatchConjuncts(f, conjuncts(pred), schema)
+
+    /** Pre-resolved probe form of one non-null key for
+     *  [[fileMayContainAnyKey]]: the stats-domain value (min/max range
+     *  check) and the two bloom hash passes, each computed ONCE per key
+     *  instead of once per (file, key) — an IN-list of merge keys probed
+     *  through [[conjunctMayMatch]] would re-derive both per file.
+     *  `None` components degrade to "can't disprove", exactly like the
+     *  per-literal paths they mirror. */
+    final case class KeyProbe(
+        sv: Option[Either[Long, Either[Double, String]]],
+        hash: Option[(Long, Long)])
+
+    def prepKeyProbes(keys: Seq[Any], dt: DataType): Seq[KeyProbe] =
+      keys.filter(_ != null).map { v =>
+        val sv = scala.util.Try(Literal(v)).toOption.flatMap(l => litValue(l, dt))
+        val hash = FileBloom.catalystValue(v, dt).map(cv => FileBloom.hashes(cv, dt))
+        KeyProbe(sv, hash)
+      }
+
+    /** May `f` contain at least one of `probes` in column `name`?
+     *  Per-file work is one stats lookup + one (already-decoded) bloom
+     *  lookup, then per key a two-comparison range check and a k-bit
+     *  filter probe, early-exiting on the first possible hit. The
+     *  per-key range check strictly sharpens the single global
+     *  [min(keys), max(keys)] overlap test — a scattered key set also
+     *  prunes the files living in the GAPS between its keys — and the
+     *  bloom probe prunes files whose key range fully overlaps. */
+    def fileMayContainAnyKey(
+        f: FileEntry, name: String, probes: Seq[KeyProbe], schema: StructType): Boolean = {
+      if (probes.isEmpty) return true
+      val dtOpt = colType(name, schema)
+      if (dtOpt.isEmpty) return true
+      val dt = dtOpt.get
+      val bnds = bounds(f, name, schema)
+      val bloom = schema.fields.find(_.name.equalsIgnoreCase(name))
+        .flatMap(fl => f.decodedBlooms.get(fl.name))
+      if (bnds.isEmpty && bloom.isEmpty) return true
+      probes.exists { p =>
+        val rangeOk = (for { (mn, mx) <- bnds; v <- p.sv }
+          yield cmp(mn, v, dt) <= 0 && cmp(mx, v, dt) >= 0).getOrElse(true)
+        rangeOk && (for { (k, m, bits) <- bloom; (h1, h2) <- p.hash }
+          yield FileBloom.mightContainDecoded(k, m, bits, h1, h2)).getOrElse(true)
+      }
+    }
 
     /** Column names `pred` references (leaf attribute names) — scope
      *  predicates that never run against data (OPTIMIZE … WHERE) must

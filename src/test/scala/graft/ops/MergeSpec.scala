@@ -218,6 +218,60 @@ class MergeSpec extends SparkSpec {
     assert(t.read().as[(Int, String)].collect().toSet === Set((1, "a"), (100, "Z")))
   }
 
+  test("key-probe discovery prunes the gap files a global range cannot") {
+    val t = SnapshotTable(spark, tmpDir("merge"))
+    // three commits → three files with disjoint key ranges
+    t.overwrite((0 to 99).map(i => (i, "lo")).toDF("id", "v"))
+    val m1 = t.manifest()
+    t.append((100 to 199).map(i => (i, "mid")).toDF("id", "v"))
+    val m2 = t.manifest()
+    t.append((200 to 299).map(i => (i, "hi")).toDF("id", "v"))
+    val midFile = m2.diff(m1)
+    // one low + one high key: the global [5, 250] envelope covers every
+    // file, but no source key lives in the middle file's [100, 199]
+    val src = Seq((5, "LO"), (250, "HI")).toDF("id", "v")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatched().updateAll()
+      .execute()
+    assert(midFile.forall(t.manifest().contains),
+      "gap file was rewritten — per-key range probe did not prune it")
+    assert(t.read().filter($"id".isin(5, 150, 250)).as[(Int, String)]
+      .collect().toSet === Set((5, "LO"), (150, "mid"), (250, "HI")))
+  }
+
+  test("key-probe discovery prunes via manifest blooms when ranges fully overlap") {
+    val t = SnapshotTable(spark, tmpDir("merge"))
+    t.overwrite(Seq((-1, "seed")).toDF("id", "v")) // properties need a live table
+    t.setProperties(Map("graft.bloom.columns" -> "id", "graft.bloom.manifest" -> "true"))
+    // evens and odds: [0,198] and [1,199] overlap almost entirely, so no
+    // range test can separate them — only the bloom knows file 2 lacks 4
+    t.overwrite((0 to 198 by 2).map(i => (i, "even")).toDF("id", "v")
+      .repartition(1))
+    val evenFiles = t.manifest()
+    t.append((1 to 199 by 2).map(i => (i, "odd")).toDF("id", "v")
+      .repartition(1))
+    val oddFiles = t.manifest().diff(evenFiles)
+    val src = Seq((4, "EVEN")).toDF("id", "v")
+    t.merge(src, col("t.id") === col("s.id"))
+      .whenMatched().updateAll()
+      .execute()
+    assert(oddFiles.forall(t.manifest().contains),
+      "odd-keys file was rewritten — bloom probe did not prune it")
+    assert(evenFiles.forall(f => !t.manifest().contains(f)),
+      "even-keys file should have been rewritten")
+    assert(t.read().filter($"id".isin(3, 4)).as[(Int, String)]
+      .collect().toSet === Set((3, "odd"), (4, "EVEN")))
+    // a key in NO file: discovery candidates collapse to zero, the merge
+    // degrades to pure insert, and every live file survives verbatim
+    val before = t.manifest()
+    t.merge(Seq((5000, "NEW")).toDF("id", "v"), col("t.id") === col("s.id"))
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+    assert(before.forall(t.manifest().contains))
+    assert(t.read().filter($"id" === 5000).count() === 1)
+  }
+
   test("insert-only MERGE skips source rows whose keys already exist") {
     val t = freshTable()
     // ids 1,2 exist → must NOT be duplicated; 5 is new → inserted once
