@@ -2083,6 +2083,31 @@ object SparkEntry {
     ext.TextAnalysis.unigramLogProb(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
       .orderBy("doc_id")
+
+  /** Q90 — bigram-LM scoring ([[ext.TextAnalysis.bigramLogProb]], the
+   *  CCNet/KenLM perplexity-filter role): every document scored by the
+   *  average ln P(w₂|w₁) under the corpus's own add-one-smoothed bigram
+   *  model. The oracle replays the zipped-bigram extraction, both count
+   *  aggs, and the smoothing arithmetic — integer counts into IEEE
+   *  ln/division, rounded at 4 decimals like q76 — so the whole score
+   *  column is exact, not structural. */
+  private def bigramLpQuery(s: SparkSession, dir: String): DataFrame =
+    ext.TextAnalysis.bigramLogProb(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .orderBy("doc_id")
+  private val Q90Duck =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |bb AS (SELECT doc_id,
+      |         unnest(tk[1:len(tk)-1]) AS w1,
+      |         unnest(tk[2:len(tk)]) AS w2
+      |       FROM t WHERE len(tk) >= 2),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bb GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+      |vs AS (SELECT count(DISTINCT token) AS vs FROM
+      |        (SELECT unnest(string_split(text, ' ')) AS token FROM documents))
+      |SELECT doc_id, round(avg(ln((c2 + 1.0) / (c1 + vs))), 4) AS avg_logprob2
+      |FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   private val Q76Duck =
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
       |v AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
@@ -2402,7 +2427,8 @@ object SparkEntry {
     "q86_dv_update" -> dvUpdateQuery,
     "q87_ivf_pq" -> ivfPqQuery,
     "q88_linear_score" -> linearScoreQuery,
-    "q89_audio_decode" -> audioDecodeQuery)
+    "q89_audio_decode" -> audioDecodeQuery,
+    "q90_bigram_logprob" -> bigramLpQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2519,7 +2545,8 @@ object SparkEntry {
     "q86_dv_update" -> Q86Duck,
     "q87_ivf_pq" -> Q87Duck,
     "q88_linear_score" -> Q88Duck,
-    "q89_audio_decode" -> Q89Duck)
+    "q89_audio_decode" -> Q89Duck,
+    "q90_bigram_logprob" -> Q90Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

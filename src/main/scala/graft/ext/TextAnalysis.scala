@@ -461,6 +461,47 @@ object TextAnalysis {
   }
 
   /**
+   * Bigram-LM log-probability — the CCNet / KenLM perplexity-filter role
+   * one order up from [[unigramLogProb]]: score = avg over a document's
+   * bigrams of ln P(w₂|w₁), add-one smoothed over the corpus counts:
+   * P(w₂|w₁) = (c(w₁,w₂)+1) / (ctx(w₁)+|V|), where ctx(w₁) =
+   * Σ_w c(w₁,w) (occurrences of w₁ as a bigram left context) and |V| is
+   * the corpus distinct-unigram count. Low scores flag improbable token
+   * SEQUENCES — repetition, shuffled text, boilerplate — that unigram
+   * frequencies alone cannot see. Documents with fewer than two tokens
+   * have no bigrams and drop out (same convention as the oracle's join).
+   *
+   * Shape: bigram pairs via map-side array zip (no positional
+   * self-join), one (w₁,w₂) count agg, one w₁ context agg derived from
+   * it (bigram-model-sized, not corpus-sized), join back to occurrences,
+   * one-row |V| by broadcast (the q72 scalar-agg shape), per-doc avg —
+   * linear in corpus size, and the model aggs shuffle bigram TYPES, not
+   * occurrences. Portability: integer counts into IEEE ln/division;
+   * the per-doc avg rounds to 4 decimals to absorb summation order
+   * (the [[unigramLogProb]] argument).
+   */
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    val n = size(tk)
+    val bi = df.select(col(idCol),
+        explode(arrays_zip(
+          slice(tk, lit(1), n - 1).as("w1"),
+          slice(tk, lit(2), n - 1).as("w2"))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val vstats = df.select(explode(tokens(col(textCol))).as("token"))
+      .agg(count_distinct(col("token")).as("vs"))
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vstats))
+      .withColumn("lp", log((col("c2") + lit(1.0)) / (col("c1") + col("vs"))))
+      .groupBy(idCol).agg(round(avg("lp"), 4).as("avg_logprob2"))
+  }
+
+  /**
    * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
    * Language Models via Importance Resampling"): score every corpus
    * document by the log-likelihood RATIO between a TARGET-domain unigram

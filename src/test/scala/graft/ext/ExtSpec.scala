@@ -805,6 +805,29 @@ class ExtSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
   }
 
+  test("bigramLogProb matches hand-computed add-one-smoothed scores") {
+    // corpus: d1 "a b a b", d2 "a b", d3 "x" (no bigrams — drops out)
+    // c2(a,b)=3, c2(b,a)=1; ctx(a)=3, ctx(b)=1; |V| = |{a,b,x}| = 3
+    // P(b|a) = 4/6, P(a|b) = 2/4
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("id", "text")
+    val got = TextAnalysis.bigramLogProb(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set(1L, 2L))
+    val pba = math.log(4.0 / 6.0)
+    val pab = math.log(2.0 / 4.0)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L) === r4(pba))
+    assert(got(1L) === r4((2 * pba + pab) / 3))
+    // sequence sensitivity: shuffled text scores below natural order even
+    // when unigram frequencies are identical
+    val corp = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the mat"),
+      (3L, "the cat sat on the rug"), (4L, "mat the on sat cat the")).toDF("id", "text")
+    val s = TextAnalysis.bigramLogProb(corp, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(4L) < s(1L), s"shuffled ${s(4L)} should score below natural ${s(1L)}")
+  }
+
   test("linearScore matches the explode+model-join replay exactly") {
     // the q88 kernel (binary search over sorted vocab hashes, one pass,
     // no shuffle) must equal the textbook formulation: explode tokens,
