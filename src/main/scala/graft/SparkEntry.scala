@@ -2095,6 +2095,66 @@ object SparkEntry {
     ext.TextAnalysis.bigramLogProb(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
       .orderBy("doc_id")
+  /** Q91 — gap-based sessionization via `session_window`, Spark's native
+   *  session-window operator in BATCH mode (the same operator serves
+   *  streaming aggregation): per user, events separated by less than the
+   *  30-minute gap merge into one session spanning [first_ts,
+   *  last_ts + gap). One shuffle on user_id; sessions form inside each
+   *  hash partition. The oracle replays the merge with the textbook
+   *  lag/cumsum window construction — a break wherever the gap from the
+   *  previous event EXCEEDS 30 minutes (session_window's window
+   *  [ts, ts+gap] is closed on the right: an event landing exactly at
+   *  the previous end still merges, pinned by spec) — proving the
+   *  operator's session
+   *  assignment exactly; value sums ride DECIMAL (the q11 convention) so
+   *  both engines are exact. */
+  private def sessionWindowQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+  private val Q91Duck =
+    """WITH m AS (SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Q92 — collocation mining ([[ext.TextAnalysis.pmiCollocations]]):
+   *  the corpus's strongest bigram phrases by pointwise mutual
+   *  information over the ≥5-count bigram types, the Mikolov-style
+   *  phrase glue step. Log-space scoring (no c·N overflow at scale),
+   *  TakeOrderedAndProject top-k, and the ROUNDED-score ordering with a
+   *  lexicographic tiebreak make the selected set replay exactly. */
+  private def pmiQuery(s: SparkSession, dir: String): DataFrame =
+    ext.TextAnalysis.pmiCollocations(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      minCount = 5, k = 15)
+  private val Q92Duck =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |bb AS (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+      |       FROM t WHERE len(tk) >= 2),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bb GROUP BY 1, 2),
+      |cl AS (SELECT w1, sum(c2) AS cl FROM c2 GROUP BY 1),
+      |cr AS (SELECT w2, sum(c2) AS cr FROM c2 GROUP BY 1),
+      |n AS (SELECT sum(c2) AS n_bi FROM c2)
+      |SELECT w1, w2, c2, round(ln(c2) + ln(n_bi) - ln(cl) - ln(cr), 4) AS pmi
+      |FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN n
+      |WHERE c2 >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 15""".stripMargin
+
   private val Q90Duck =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |bb AS (SELECT doc_id,
@@ -2428,7 +2488,9 @@ object SparkEntry {
     "q87_ivf_pq" -> ivfPqQuery,
     "q88_linear_score" -> linearScoreQuery,
     "q89_audio_decode" -> audioDecodeQuery,
-    "q90_bigram_logprob" -> bigramLpQuery)
+    "q90_bigram_logprob" -> bigramLpQuery,
+    "q91_session_window" -> sessionWindowQuery,
+    "q92_pmi_collocations" -> pmiQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2546,7 +2608,9 @@ object SparkEntry {
     "q87_ivf_pq" -> Q87Duck,
     "q88_linear_score" -> Q88Duck,
     "q89_audio_decode" -> Q89Duck,
-    "q90_bigram_logprob" -> Q90Duck)
+    "q90_bigram_logprob" -> Q90Duck,
+    "q91_session_window" -> Q91Duck,
+    "q92_pmi_collocations" -> Q92Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

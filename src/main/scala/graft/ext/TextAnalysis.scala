@@ -480,17 +480,25 @@ object TextAnalysis {
    * the per-doc avg rounds to 4 decimals to absorb summation order
    * (the [[unigramLogProb]] argument).
    */
-  def bigramLogProb(
-      df: DataFrame,
-      idCol: String,
-      textCol: String): DataFrame = {
+  /** One row per (doc, bigram occurrence), extracted by a map-side array
+   *  zip of the token list against its own tail — no positional
+   *  self-join, no shuffle. Documents with fewer than two tokens yield
+   *  no rows. */
+  private def bigramPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tk = tokens(col(textCol))
     val n = size(tk)
-    val bi = df.select(col(idCol),
+    df.select(col(idCol),
         explode(arrays_zip(
           slice(tk, lit(1), n - 1).as("w1"),
           slice(tk, lit(2), n - 1).as("w2"))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
+
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val bi = bigramPairs(df, idCol, textCol)
     val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     val vstats = df.select(explode(tokens(col(textCol))).as("token"))
@@ -499,6 +507,46 @@ object TextAnalysis {
       .crossJoin(broadcast(vstats))
       .withColumn("lp", log((col("c2") + lit(1.0)) / (col("c1") + col("vs"))))
       .groupBy(idCol).agg(round(avg("lp"), 4).as("avg_logprob2"))
+  }
+
+  /**
+   * Collocation mining by pointwise mutual information: the corpus's
+   * top-`k` bigrams (with ≥ `minCount` occurrences) ranked by
+   * PMI(w₁,w₂) = ln c(w₁,w₂) + ln N − ln cl(w₁) − ln cr(w₂), where N is
+   * the total bigram count and cl/cr are the words' left/right-position
+   * marginals — the classic phrase detector (Mikolov et al. 2013 use
+   * the same score to glue "new_york" before word2vec training), and
+   * the `minCount` floor is what keeps rare-pair noise (PMI's known
+   * bias) out of the top slots.
+   *
+   * Scale: every aggregate is over bigram TYPES (model-sized), not
+   * occurrences; the log-space sum never overflows (c·N products would
+   * pass 2⁶³ on a 100 TB corpus); the final ranking is a top-k over the
+   * ≥ minCount types (TakeOrderedAndProject — per-partition heaps, no
+   * global sort). Portability: ordering uses the ROUNDED score (4
+   * decimals, absorbing last-ulp ln differences across libm
+   * implementations) with a lexicographic (w₁,w₂) tiebreak, so the
+   * selected set and order replay exactly in any SQL engine.
+   */
+  def pmiCollocations(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5,
+      k: Int = 20): DataFrame = {
+    val c2 = bigramPairs(df, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cl = c2.groupBy("w1").agg(sum("c2").as("cl"))
+    val cr = c2.groupBy("w2").agg(sum("c2").as("cr"))
+    val nbi = c2.agg(sum("c2").as("n_bi"))
+    c2.filter(col("c2") >= minCount)
+      .join(cl, "w1").join(cr, "w2")
+      .crossJoin(broadcast(nbi))
+      .withColumn("pmi", round(
+        log(col("c2")) + log(col("n_bi")) - log(col("cl")) - log(col("cr")), 4))
+      .select(col("w1"), col("w2"), col("c2"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
   }
 
   /**

@@ -828,6 +828,48 @@ class ExtSpec extends SparkSpec {
     assert(s(4L) < s(1L), s"shuffled ${s(4L)} should score below natural ${s(1L)}")
   }
 
+  test("pmiCollocations matches hand-computed log-space PMI and ordering") {
+    // c2: (a,b)=3, (b,a)=2, (c,c)=6; N=11; cl: a=3,b=2,c=6; cr: b=3,a=2,c=6
+    val df = Seq((1L, "a b a b a b"), (2L, "c c c c c c c")).toDF("id", "text")
+    val got = TextAnalysis.pmiCollocations(df, "id", "text", minCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq(
+      ("b", "a", 2L, r4(math.log(2) + math.log(11) - math.log(2) - math.log(2))),
+      ("a", "b", 3L, r4(math.log(3) + math.log(11) - math.log(3) - math.log(3))),
+      ("c", "c", 6L, r4(math.log(6) + math.log(11) - math.log(6) - math.log(6)))))
+    // minCount floors rare pairs out entirely
+    assert(TextAnalysis.pmiCollocations(df, "id", "text", minCount = 4, k = 10)
+      .count() === 1)
+  }
+
+  test("session_window break-at-gap convention matches the q91 oracle replay") {
+    // session_window's [ts, ts+gap] is closed on the right: an event at
+    // EXACTLY the previous session end still merges; the first strictly
+    // later event breaks. The q91 oracle encodes the same convention
+    // (break on gap > 30 min) — pin the boundary case, which the fixture
+    // data never exercises
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),
+      (1L, ts("2024-01-01 10:40:00"), 4.0), // exactly at 10:10+30m: MERGES
+      (1L, ts("2024-01-01 11:10:00.000001"), 16.0), // 1 µs past the end: breaks
+      (2L, ts("2024-01-01 09:00:00"), 8.0)).toDF("user_id", "ts", "value")
+    val got = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .select(col("user_id"), col("sw.start").as("st"), col("sw.end").as("en"),
+        col("n"), col("v"))
+      .orderBy("user_id", "st")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 11:10:00.0", 3L, 7.0),
+      (1L, "2024-01-01 11:10:00.000001", "2024-01-01 11:40:00.000001", 1L, 16.0),
+      (2L, "2024-01-01 09:00:00.0", "2024-01-01 09:30:00.0", 1L, 8.0)))
+  }
+
   test("linearScore matches the explode+model-join replay exactly") {
     // the q88 kernel (binary search over sorted vocab hashes, one pass,
     // no shuffle) must equal the textbook formulation: explode tokens,
