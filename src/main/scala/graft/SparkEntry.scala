@@ -900,6 +900,39 @@ object SparkEntry {
       |  CAST((doc_id % 256) // 32 AS INT) AS lum_bin
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  /** Q93 — REAL multi-frame video decode ([[ext.Multimodal.decodeVideos]],
+   *  the JDK GIF codec — encoder AND decoder sides): each document plants
+   *  an animated GIF (frame count, dims, and per-frame gray derived from
+   *  doc_id; one-entry indexed palettes so grays survive exactly),
+   *  round-trips it through `writeToSequence` → batched `mapPartitions`
+   *  decode at stride 2 — skipped frames never pixel-decode, the point
+   *  of stride sampling at scale — and emits per-sampled-frame dominant
+   *  luminance bins the oracle replays as pure arithmetic. */
+  private def videoDecodeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+    val assets = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 1 + (id % 8).toInt
+        val h = 1 + ((id * 5) % 8).toInt
+        val nf = 2 + (id % 5).toInt
+        val grays = (0 until nf).map(f => ((id * 31 + f * 40) % 256).toInt)
+        (id, ext.Multimodal.encodeGif(w, h, grays))
+      }
+    }.toDF("asset_id", "media")
+    ext.Multimodal.decodeVideos(assets, everyN = 2)
+      .orderBy("asset_id")
+  }
+  private val Q93Duck =
+    """SELECT doc_id AS asset_id,
+      |  CAST(1 + doc_id % 8 AS INT) AS width,
+      |  CAST(1 + (doc_id * 5) % 8 AS INT) AS height,
+      |  CAST(2 + doc_id % 5 AS INT) AS n_frames,
+      |  [CAST(((doc_id * 31 + f * 40) % 256) // 32 AS INT)
+      |   for f in range(0, 2 + doc_id % 5, 2)] AS sampled_bins
+      |FROM documents ORDER BY asset_id""".stripMargin
+
   /** Q89 — REAL audio decode ([[ext.Multimodal.decodeAudios]], the JDK's
    *  `javax.sound.sampled` WAV codec — encoder AND decoder sides): each
    *  document plants a deterministic 16-bit PCM square wave (amplitude,
@@ -2490,7 +2523,8 @@ object SparkEntry {
     "q89_audio_decode" -> audioDecodeQuery,
     "q90_bigram_logprob" -> bigramLpQuery,
     "q91_session_window" -> sessionWindowQuery,
-    "q92_pmi_collocations" -> pmiQuery)
+    "q92_pmi_collocations" -> pmiQuery,
+    "q93_video_decode" -> videoDecodeQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2610,7 +2644,8 @@ object SparkEntry {
     "q89_audio_decode" -> Q89Duck,
     "q90_bigram_logprob" -> Q90Duck,
     "q91_session_window" -> Q91Duck,
-    "q92_pmi_collocations" -> Q92Duck)
+    "q92_pmi_collocations" -> Q92Duck,
+    "q93_video_decode" -> Q93Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

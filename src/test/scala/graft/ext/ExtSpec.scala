@@ -646,6 +646,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: real animated-GIF decode samples frames at stride") {
+    // 5 solid frames, grays 16,80,144,208,240 → bins 0,2,4,6,7; stride 2
+    // samples frames 0,2,4 → bins 0,4,7
+    val gif = Multimodal.encodeGif(6, 4, Seq(16, 80, 144, 208, 240))
+    assert(new String(gif.take(3), "US-ASCII") === "GIF") // real encoder ran
+    val d = Multimodal.decodeVideo(1L, gif, everyN = 2).get
+    assert((d.width, d.height, d.n_frames) === ((6, 4, 5)))
+    assert(d.sampled_bins.toSeq === Seq(0, 4, 7))
+    // stride 1 decodes every frame
+    assert(Multimodal.decodeVideo(1L, gif, 1).get.sampled_bins.toSeq ===
+      Seq(0, 2, 4, 6, 7))
+    // batched pipeline: corrupt payloads land on the zero-marked stub
+    val mixed = Seq(
+      (10L, gif),
+      (11L, "not a video".getBytes("UTF-8")),
+      (12L, null.asInstanceOf[Array[Byte]])).toDF("asset_id", "media")
+    val out = Multimodal.decodeVideos(mixed, everyN = 2)
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("asset_id", "width", "height", "n_frames", "sampled_bins"))
+    val rows = out.as[(Long, Int, Int, Int, Array[Int])]
+      .collect().map(r => r._1 -> r).toMap
+    assert((rows(10L)._2, rows(10L)._4, rows(10L)._5.toSeq) === ((6, 5, Seq(0, 4, 7))))
+    Seq(11L, 12L).foreach { id =>
+      assert((rows(id)._4, rows(id)._5.toSeq) === ((0, Seq())), s"asset $id")
+    }
+  }
+
   test("multimodal: frame sampling slices fixed-stride binary frames") {
     val df = Seq((1L, Array.tabulate(100)(_.toByte))).toDF("id", "media")
     val frames = df.select(Multimodal.frameSample(col("media"), frameBytes = 10, everyN = 2).as("f"))
