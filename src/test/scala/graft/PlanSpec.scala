@@ -174,7 +174,9 @@ class PlanSpec extends SparkSpec {
       "q72_bm25_search" -> Some("HashAggregate(keys=[], functions=[count(1), avg("),
       "q76_unigram_logprob" -> Some("HashAggregate(keys=[], functions=[sum(tf"),
       "q82_dsir_weights" -> Some("HashAggregate(keys=[], functions=[sum(tf_raw"),
-      "q83_dsir_sample" -> Some("HashAggregate(keys=[], functions=[sum(tf_raw"))
+      "q83_dsir_sample" -> Some("HashAggregate(keys=[], functions=[sum(tf_raw"),
+      "q90_bigram_logprob" -> Some("HashAggregate(keys=[], functions=[count(distinct token"),
+      "q92_pmi_collocations" -> Some("HashAggregate(keys=[], functions=[sum(c2"))
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = executedPlanString(fn(spark, dir))
       assert(!plan.contains("CartesianProduct"),
