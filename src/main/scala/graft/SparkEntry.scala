@@ -328,6 +328,47 @@ object SparkEntry {
    *  doubles, so the oracle replays the replace algebra as a plain
    *  UNION ALL with no rounding hazards. Warm table restored to its
    *  pristine version between reps (the q18 mutation pattern). */
+  /** Q94 — idempotent batch ingest ([[graft.tables.SnapshotTable.copyInto]],
+   *  Delta's exactly-once COPY INTO surface; the SQL statement form is
+   *  MaintenanceSqlSpec-covered): the customer table is staged as
+   *  three parquet files across two staging dirs; the query copies
+   *  the first dir TWICE (the second run is a recorded no-op — the
+   *  loaded-file registry commits atomically with the data) and then the
+   *  second dir. The final table must equal the full staged data with NO
+   *  duplicates — the oracle is a plain SELECT over customer, and any
+   *  double-load doubles counts and fails the hash. Staging dirs are
+   *  built once per scale dir and recorded as table properties; each rep
+   *  restores the pristine (empty, registry-free) seed so the
+   *  three-phase load replays identically. */
+  private def copyIntoQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = warmTable("copy_into", dir) {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val stage1 = Files.createTempDirectory("graft_copy_stage1").toString
+      val stage2 = Files.createTempDirectory("graft_copy_stage2").toString
+      cust.filter(col("c_custkey") % 3 === 0).coalesce(1)
+        .write.mode("append").parquet(stage1)
+      cust.filter(col("c_custkey") % 3 === 1).coalesce(1)
+        .write.mode("append").parquet(stage1)
+      cust.filter(col("c_custkey") % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(stage2)
+      SnapshotTable.create(s,
+        Files.createTempDirectory("graft_copyinto").toString,
+        cust.filter(col("c_custkey") < 0)) // empty seed, right schema
+        .setProperties(Map("graft.q94.stage1" -> stage1, "graft.q94.stage2" -> stage2))
+    }
+    val stage1 = t.properties()("graft.q94.stage1")
+    val stage2 = t.properties()("graft.q94.stage2")
+    t.copyInto(stage1)
+    val noop = t.copyInto(stage1) // recorded no-op: registry committed with the data
+    require(noop == ((0, 0L)), s"COPY INTO re-run was not a no-op: $noop")
+    t.copyInto(stage2)
+    t.read().select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+  private val Q94Duck =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   private def replaceWhereQuery(s: SparkSession, dir: String): DataFrame = {
     val t = warmTable("replace_where", dir) {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -2524,7 +2565,8 @@ object SparkEntry {
     "q90_bigram_logprob" -> bigramLpQuery,
     "q91_session_window" -> sessionWindowQuery,
     "q92_pmi_collocations" -> pmiQuery,
-    "q93_video_decode" -> videoDecodeQuery)
+    "q93_video_decode" -> videoDecodeQuery,
+    "q94_copy_into" -> copyIntoQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2645,7 +2687,8 @@ object SparkEntry {
     "q90_bigram_logprob" -> Q90Duck,
     "q91_session_window" -> Q91Duck,
     "q92_pmi_collocations" -> Q92Duck,
-    "q93_video_decode" -> Q93Duck)
+    "q93_video_decode" -> Q93Duck,
+    "q94_copy_into" -> Q94Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -90,6 +90,10 @@ object GraftSqlParser {
   private val ReorgPurgeStmt =
     cmd(s"REORG\\s+TABLE\\s+$Ident\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)")
   private val DetailStmt = cmd(s"(?:DESCRIBE|DESC)\\s+DETAIL\\s+$Ident")
+  // Delta dialect: idempotent batch file ingest from a staging directory
+  private val CopyIntoStmt =
+    cmd(s"COPY\\s+INTO\\s+$Ident\\s+FROM\\s+'([^']+)'" +
+      "(?:\\s+FILEFORMAT\\s*=\\s*([A-Za-z]+))?")
   private val RestoreVersionStmt =
     cmd(s"RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)")
   private val RestoreTimestampStmt =
@@ -164,6 +168,8 @@ object GraftSqlParser {
       .orElse(m(RestoreTagStmt).map(r =>
         GraftRestoreCommand(identParts(r.group(1)), None, None, Some(refNameOf(r)))))
       .orElse(m(ReorgPurgeStmt).map(r => GraftReorgPurgeCommand(identParts(r.group(1)))))
+      .orElse(m(CopyIntoStmt).map(r => GraftCopyIntoCommand(identParts(r.group(1)),
+        r.group(2), Option(r.group(3)).map(_.toLowerCase).getOrElse("parquet"))))
       .orElse(m(GenerateStmt).map(r => GraftGenerateManifestCommand(identParts(r.group(1)))))
       .orElse(m(ConvertStmt).map(r =>
         GraftConvertCommand(r.group(1).substring(1, r.group(1).length - 1))))
@@ -410,6 +416,24 @@ case class GraftReorgPurgeCommand(parts: Seq[String]) extends LeafRunnableComman
   override def run(spark: SparkSession): Seq[Row] = {
     val t = resolveTable(spark, parts)
     Seq(Row(t.root, "purge-dv", t.purgeDeletionVectors()))
+  }
+}
+
+/** `COPY INTO t FROM '<dir>' [FILEFORMAT = <fmt>]` →
+ *  [[graft.tables.SnapshotTable.copyInto]]: Delta's idempotent batch
+ *  ingest — staging files load exactly once, the loaded-file registry
+ *  committing atomically with the data; re-running the statement is a
+ *  recorded no-op (num_files/num_rows = 0). */
+case class GraftCopyIntoCommand(parts: Seq[String], dir: String, format: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    notNull("path", StringType), notNull("num_files", IntegerType),
+    notNull("num_rows", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = resolveTable(spark, parts)
+    val (nf, nr) = t.copyInto(dir, format)
+    Seq(Row(t.root, nf, nr))
   }
 }
 

@@ -652,11 +652,55 @@ class SnapshotTable private (
   def append(df: DataFrame, mergeSchema: Boolean = false): SnapshotTable =
     appendAs(df, "append", mergeSchema)
 
+  /** Idempotent batch file ingest — Delta's `COPY INTO` surface: load
+   *  the staging directory's data files into the table EXACTLY ONCE
+   *  across any number of invocations. Already-loaded files are tracked
+   *  by path in the [[SnapshotTable.CopyLoadedProp]] table property,
+   *  updated ATOMICALLY with the data commit itself, so a retried job
+   *  (scheduler re-run, restarted driver) never double-loads: a crash
+   *  before the commit loads nothing, a crash after it leaves the file
+   *  recorded and the re-run skips it. Listing is top-level; hidden
+   *  files (`_`/`.` prefixes, the Hadoop convention) are excluded.
+   *  The loaded registry costs O(total staged files) bytes of commit
+   *  metadata — right-sized for the 10⁴-file staging areas COPY INTO
+   *  serves; past that, page it into a sidecar log the way Delta's
+   *  transaction log pages file actions.
+   *  Returns (filesLoaded, rowsLoaded), both 0 on a no-op re-run. */
+  def copyInto(stagingDir: String, format: String = "parquet"): (Int, Long) = {
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val dir = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val listed = fs.listStatus(dir).toSeq
+      .filter(_.isFile)
+      .map(_.getPath.toString)
+      .filterNot { p =>
+        val n = p.substring(p.lastIndexOf('/') + 1)
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .sorted
+    val loadedProp = properties().getOrElse(CopyLoadedProp, "")
+    val loaded = if (loadedProp.isEmpty) Set.empty[String] else loadedProp.split("\n").toSet
+    val fresh = listed.filterNot(loaded)
+    if (fresh.isEmpty) (0, 0L)
+    else {
+      val before = manifestEntries().map(_.path).toSet
+      appendAs(spark.read.format(format).load(fresh: _*), "copy-into",
+        extraProps = Map(
+          CopyLoadedProp -> (loaded ++ fresh).toSeq.sorted.mkString("\n")))
+      // row count from the committed manifest (stats already harvested) —
+      // no second scan of the ingested data
+      val rows = manifestEntries().filterNot(e => before.contains(e.path)).map(_.rows).sum
+      (fresh.length, rows)
+    }
+  }
+
   /** Append with a caller-supplied action tag (streaming sinks record
    *  their micro-batch id here for idempotent redelivery). */
   private[graft] def appendAs(
       df: DataFrame, action: String, mergeSchema: Boolean = false,
-      expectVersion: Option[Long] = None): SnapshotTable = {
+      expectVersion: Option[Long] = None,
+      extraProps: Map[String, String] = Map.empty): SnapshotTable = {
     val v = currentVersion()
     // expectVersion marks this append as NOT blind: the caller computed
     // `df` from a read of version `expectVersion` (read-compute-append),
@@ -695,7 +739,9 @@ class SnapshotTable private (
       try {
         writeCommit(baseV + 1,
           CommitEntry(action, schema.json, base.map(_.files).getOrElse(Nil) ++ files,
-            toOpt(spec), base.flatMap(_.properties),
+            toOpt(spec),
+            { val m = base.flatMap(_.properties).getOrElse(Map.empty) ++ extraProps
+              if (m.isEmpty) None else Some(m) },
             deltaFiles = base.flatMap(_.deltaFiles),
             morKeys = base.flatMap(_.morKeys),
             morPrecombine = base.flatMap(_.morPrecombine),
@@ -2921,6 +2967,12 @@ object SnapshotTable {
 
   class ConcurrentCommitException(msg: String, cause: Throwable = null)
     extends RuntimeException(msg, cause)
+
+  /** Table property holding the newline-joined, sorted list of staging
+   *  file paths already ingested by [[SnapshotTable.copyInto]] — the
+   *  exactly-once registry of Delta's COPY INTO, carried forward (and
+   *  updated atomically with the data) by every commit. */
+  val CopyLoadedProp = "graft.copyinto.loaded"
 
   /** Marker column of MoR delete-tombstone delta files
    *  ([[SnapshotTable.deleteDeferred]]): physical `true` in tombstone

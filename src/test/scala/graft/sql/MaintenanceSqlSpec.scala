@@ -31,6 +31,35 @@ class MaintenanceSqlSpec extends SparkSpec {
     intercept[Exception](spark.sql("REORG TABLE maint_reorg APPLY PURGE").collect())
   }
 
+  test("COPY INTO loads staging files exactly once across re-runs") {
+    import org.apache.spark.sql.functions.col
+    val t = freshRegistered("maint_copy")
+    val staging = tmpDir("copy_staging")
+    // two staged files (separate writes → separate names)
+    Seq((10, "s1")).toDF("id", "payload").coalesce(1)
+      .write.mode("append").parquet(staging)
+    Seq((11, "s2")).toDF("id", "payload").coalesce(1)
+      .write.mode("append").parquet(staging)
+    val r1 = spark.sql(s"COPY INTO maint_copy FROM '$staging'").collect().head
+    assert(r1.getInt(1) === 2 && r1.getLong(2) === 2L)
+    assert(t.read().count() === 5)
+    // re-run: recorded no-op — nothing double-loads
+    val r2 = spark.sql(s"COPY INTO maint_copy FROM '$staging'").collect().head
+    assert(r2.getInt(1) === 0 && r2.getLong(2) === 0L)
+    assert(t.read().count() === 5)
+    // a NEW staged file loads alone on the next run
+    Seq((12, "s3")).toDF("id", "payload").coalesce(1)
+      .write.mode("append").parquet(staging)
+    val r3 = spark.sql(s"COPY INTO maint_copy FROM '$staging'").collect().head
+    assert(r3.getInt(1) === 1 && r3.getLong(2) === 1L)
+    assert(t.read().filter(col("id") >= 10).count() === 3)
+    // the registry survives unrelated commits (properties carry forward)
+    t.append(Seq((20, "x")).toDF("id", "payload"))
+    assert(spark.sql(s"COPY INTO maint_copy FROM '$staging'").collect().head.getInt(1) === 0)
+    // hidden/_ files (parquet _SUCCESS markers) were never counted as data
+    assert(t.read().count() === 7)
+  }
+
   test("DESCRIBE HISTORY lists commits newest first") {
     val t = freshRegistered("maint_hist")
     t.append(Seq((4, "d")).toDF("id", "payload"))
