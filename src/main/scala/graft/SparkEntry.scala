@@ -2182,8 +2182,9 @@ object SparkEntry {
    *  operator's session
    *  assignment exactly; value sums ride DECIMAL (the q11 convention) so
    *  both engines are exact. */
-  private def sessionWindowQuery(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
+  private def sessionWindowQuery(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir) // events via the type-normalized view (ts drift)
+    s.table("events")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
@@ -2191,6 +2192,7 @@ object SparkEntry {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("total_value"))
       .orderBy("user_id", "session_start")
+  }
   private val Q91Duck =
     """WITH m AS (SELECT user_id, ts, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
