@@ -68,6 +68,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SparkInternals.logicalPlan(
           SnapshotTable(SparkSession.active, root).readChanges(from, to))
       }))
+    // `SELECT … FROM graft_table_files('<root>'[, version])` — the SQL
+    // face of [[SnapshotTable.filesMetadata]] (Iceberg's `<table>.files`
+    // metadata-table role): live files with stats, from commit metadata
+    // only
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_table_files"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftExtensions].getName, "graft_table_files"),
+      (args: Seq[Expression]) => {
+        if (args.isEmpty || args.size > 2) throw new IllegalArgumentException(
+          "graft_table_files(tableRoot[, version]) takes 1 or 2 arguments")
+        def arg(i: Int, what: String): Any = {
+          val e = args(i)
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"graft_table_files: $what must be a literal, got $e")
+          e.eval()
+        }
+        val root = String.valueOf(arg(0, "tableRoot"))
+        val version = if (args.size == 2) arg(1, "version") match {
+          case n: Number => Some(n.longValue())
+          case other => throw new IllegalArgumentException(
+            s"graft_table_files: version must be an integer, got $other")
+        } else None
+        SparkInternals.logicalPlan(
+          SnapshotTable(SparkSession.active, root).filesMetadata(version))
+      }))
     // Pure-SQL face of the ext expression family — spark.sql users get
     // the same codegen'd kernels as the Column API
     registerExtFunctions(ext)

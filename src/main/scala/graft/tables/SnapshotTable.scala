@@ -1525,6 +1525,25 @@ class SnapshotTable private (
   def manifestEntries(): Seq[FileEntry] =
     currentReadable().map(_._2.files).getOrElse(Nil)
 
+  /** Iceberg `<table>.files`-style metadata relation: one row per live
+   *  file of the current (or a pinned) snapshot — path, size, row count,
+   *  per-column stats, and which columns carry manifest bloom filters.
+   *  Pure commit metadata: no data file is opened. The SQL face is the
+   *  `graft_table_files('<root>'[, version])` TVF. */
+  def filesMetadata(version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.getOrElse(currentVersion())
+    require(v >= 0, s"table $root is empty")
+    val entry = commitEntry(v)
+    entry.files.map { f =>
+      (f.path, f.rows, f.bytes,
+        f.stats.map { case (c, s) =>
+          c -> ColStatsRow(s.min.orNull, s.max.orNull, s.nullCount.getOrElse(-1L))
+        },
+        f.blooms.getOrElse(Map.empty).keys.toSeq.sorted)
+    }.toDF("path", "rows", "bytes", "stats", "bloom_columns")
+  }
+
   /**
    * Current snapshot with engine meta-columns — the native analogue of
    * Hudi's `_hoodie_commit_time`/`_hoodie_record_key` columns the
@@ -3029,6 +3048,10 @@ object SnapshotTable {
    *  (integral/timestamp/date → long, float/double → double, string →
    *  utf8); absent when the footer had no usable stats. */
   final case class ColStats(min: Option[String], max: Option[String], nullCount: Option[Long])
+
+  /** Row shape of [[SnapshotTable.filesMetadata]]'s per-column stats map
+   *  (nulls for absent bounds, -1 for an unrecorded null count). */
+  final case class ColStatsRow(min: String, max: String, null_count: Long)
 
   final case class FileEntry(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats],
       blooms: Option[Map[String, String]] = None) {

@@ -299,6 +299,34 @@ class MaintenanceSqlSpec extends SparkSpec {
       scanned === t.read().filter(org.apache.spark.sql.functions.col("ts") === cutoff).count())
   }
 
+  test("graft_table_files TVF lists live files with stats from commit metadata") {
+    import org.apache.spark.sql.functions.col
+    val t = SnapshotTable.create(spark, tmpDir("sqlfiles"),
+      Seq((1, "a"), (2, "b")).toDF("id", "payload"))
+    val beforeAppend = t.manifest().toSet
+    t.append(Seq((9, "z")).toDF("id", "payload"))
+    val rows = spark.sql(
+      s"SELECT path, rows, bytes, stats, bloom_columns FROM graft_table_files('${t.root}')")
+      .collect()
+    assert(rows.length === t.manifestEntries().size)
+    assert(rows.map(_.getString(0)).toSet === t.manifest().toSet)
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
+    // per-column stats carry the id bounds the pruner uses
+    val statsOfAppend = rows.find(r => !beforeAppend.contains(r.getString(0))).get
+      .getMap[String, org.apache.spark.sql.Row](3)
+    assert(statsOfAppend("id").getString(0) === "9")
+    assert(statsOfAppend("id").getString(1) === "9")
+    // version arg pins the pre-append snapshot
+    assert(spark.sql(s"SELECT * FROM graft_table_files('${t.root}', 0)").count()
+      === t.filesMetadata(Some(0L)).count())
+    assert(spark.sql(s"SELECT * FROM graft_table_files('${t.root}', 0)").count()
+      < rows.length)
+    // no blooms configured → empty bloom_columns everywhere
+    assert(rows.forall(_.getSeq[String](4).isEmpty))
+    val dfApi = t.filesMetadata().orderBy(col("path")).collect()
+    assert(dfApi.map(_.getString(0)).toSet === t.manifest().toSet)
+  }
+
   test("graft_table_changes TVF surfaces the change feed in SQL") {
     import org.apache.spark.sql.functions.{col, lit}
     val t = SnapshotTable.create(spark, tmpDir("sqlcdf"),
