@@ -1906,6 +1906,40 @@ object SparkEntry {
       |       count(DISTINCT l_suppkey) AS nd_supps
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Q95 — persistable sketch states ([[ext.functions.kmvState]] /
+   *  [[ext.functions.kmvMerge]], the pre-aggregated-cube flow of
+   *  Agarwal et al.'s mergeable summaries): per-source distinct-token
+   *  counts built INCREMENTALLY — half the corpus sketches into binary
+   *  KMV states stored in a snapshot table (once per scale dir), the
+   *  other half sketches fresh at query time, and the serve step merges
+   *  stored ∪ fresh states. Because a KMV state is a pure function of
+   *  the input set, store-then-merge is bit-identical to one full-corpus
+   *  pass — and in the exact regime (k = 65536 > any source's
+   *  vocabulary) the oracle is a plain `count(DISTINCT token)` over the
+   *  WHOLE corpus: stale stored states, a missed batch, or a broken
+   *  merge all shift the counts and fail the hash. */
+  private def sketchCubeQuery(s: SparkSession, dir: String): DataFrame = {
+    def toks(half: Int) = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 2 === half)
+      .select(col("source"), explode(ext.TextAnalysis.tokens(col("text"))).as("token"))
+    val store = warmTable("sketch_cube", dir) {
+      SnapshotTable.create(s,
+        Files.createTempDirectory("graft_sketch_cube").toString,
+        toks(0).groupBy("source")
+          .agg(ext.functions.kmvState(col("token"), 65536).as("state")))
+    }
+    val fresh = toks(1).groupBy("source")
+      .agg(ext.functions.kmvState(col("token"), 65536).as("state"))
+    store.read().unionByName(fresh)
+      .groupBy("source")
+      .agg(ext.functions.kmvMerge(col("state"), 65536).as("nd_tokens"))
+      .orderBy("source")
+  }
+  private val Q95Duck =
+    """SELECT source, count(DISTINCT token) AS nd_tokens
+      |FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Q59 — corpus vocabulary ([[ext.TextAnalysis.vocabulary]]): per-token
    *  total and document frequency over the documents table, thresholded
    *  at 20 occurrences (the word-count shape: map-side explode, partial
@@ -2568,7 +2602,8 @@ object SparkEntry {
     "q91_session_window" -> sessionWindowQuery,
     "q92_pmi_collocations" -> pmiQuery,
     "q93_video_decode" -> videoDecodeQuery,
-    "q94_copy_into" -> copyIntoQuery)
+    "q94_copy_into" -> copyIntoQuery,
+    "q95_sketch_cube" -> sketchCubeQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2690,7 +2725,8 @@ object SparkEntry {
     "q91_session_window" -> Q91Duck,
     "q92_pmi_collocations" -> Q92Duck,
     "q93_video_decode" -> Q93Duck,
-    "q94_copy_into" -> Q94Duck)
+    "q94_copy_into" -> Q94Duck,
+    "q95_sketch_cube" -> Q95Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

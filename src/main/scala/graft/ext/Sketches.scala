@@ -304,3 +304,192 @@ case class KmvDistinct(
     copy(inputAggBufferOffset = o)
   override def prettyName: String = "kmv_distinct"
 }
+
+/**
+ * `kmv_state(x, k)`: the [[KmvDistinct]] sketch evaluated to its
+ * SERIALIZED buffer (binary) instead of the estimate — the STORE step
+ * of incremental corpus profiling: per-group sketch states persist as
+ * an ordinary table column and later merge with fresh partials
+ * ([[KmvMergeDistinct]] / [[KmvMergeState]]), so corpus-wide distinct
+ * counts extend batch-by-batch without ever rescanning history — the
+ * pre-aggregated-cube pattern (Agarwal et al., "Mergeable summaries",
+ * PODS'12). The buffer is the k smallest distinct hashes in a sorted
+ * set — a pure function of the input SET — so the state bytes are
+ * canonical: store-then-merge is bit-identical to one full-corpus pass
+ * regardless of batch split or partitioning.
+ */
+case class KmvState(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Kmv.Buffer] {
+
+  private lazy val base = KmvDistinct(child, k)
+
+  override def checkInputDataTypes(): TypeCheckResult = base.checkInputDataTypes()
+  override def createAggregationBuffer(): Kmv.Buffer = new Kmv.Buffer(k)
+  override def update(b: Kmv.Buffer, row: InternalRow): Kmv.Buffer = base.update(b, row)
+  override def merge(b: Kmv.Buffer, o: Kmv.Buffer): Kmv.Buffer = base.merge(b, o)
+  override def eval(b: Kmv.Buffer): Any = base.serialize(b)
+  override def serialize(b: Kmv.Buffer): Array[Byte] = base.serialize(b)
+  override def deserialize(bytes: Array[Byte]): Kmv.Buffer = base.deserialize(bytes)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvState =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): KmvState =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvState =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "kmv_state"
+}
+
+/** Shared shape of the two KMV state-merging aggregates: the input
+ *  column holds SERIALIZED [[Kmv.Buffer]]s ([[KmvState]] output). */
+sealed trait KmvMergeLike extends TypedImperativeAggregate[Kmv.Buffer] {
+  def child: Expression
+  def k: Int
+  protected lazy val base: KmvDistinct = KmvDistinct(child, k)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if k < 16 => TypeCheckResult.TypeCheckFailure(s"k=$k too small (min 16)")
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a binary kmv_state column, got ${t.sql}")
+  }
+  override def createAggregationBuffer(): Kmv.Buffer = new Kmv.Buffer(k)
+  override def update(b: Kmv.Buffer, row: InternalRow): Kmv.Buffer = {
+    val v = child.eval(row)
+    if (v != null) b.mergeFrom(base.deserialize(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+  override def merge(b: Kmv.Buffer, o: Kmv.Buffer): Kmv.Buffer = { b.mergeFrom(o); b }
+  override def serialize(b: Kmv.Buffer): Array[Byte] = base.serialize(b)
+  override def deserialize(bytes: Array[Byte]): Kmv.Buffer = base.deserialize(bytes)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+}
+
+/** `kmv_merge(state, k)`: union stored [[KmvState]] buffers back into a
+ *  distinct-count estimate — the SERVE step of incremental profiling.
+ *  Exact whenever the union holds fewer than `k` hashes. */
+case class KmvMergeDistinct(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends KmvMergeLike {
+  override def eval(b: Kmv.Buffer): Any = b.estimate
+  override def dataType: DataType = LongType
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvMergeDistinct =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): KmvMergeDistinct =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMergeDistinct =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "kmv_merge"
+}
+
+/** `kmv_merge_state(state, k)`: union stored states into a NEW state —
+ *  the rollup step (day → month → total) of a sketch cube. */
+case class KmvMergeState(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends KmvMergeLike {
+  override def eval(b: Kmv.Buffer): Any = base.serialize(b)
+  override def dataType: DataType = BinaryType
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvMergeState =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): KmvMergeState =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMergeState =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "kmv_merge_state"
+}
+
+/** `top_items_state(x, capacity)`: [[ApproxTopItems]] evaluated to its
+ *  serialized summary (binary) — the STORE step for frequent-items
+ *  cubes; merge stored states with [[TopItemsMerge]]. Counts stay exact
+ *  (err 0) while every contributing group's distinct-item count fits
+ *  `capacity` — the mergeable-summaries guarantee. */
+case class TopItemsState(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSaving.Buffer] {
+
+  private lazy val base = ApproxTopItems(child, capacity, 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = base.checkInputDataTypes()
+  override def createAggregationBuffer(): SpaceSaving.Buffer =
+    new SpaceSaving.Buffer(capacity)
+  override def update(b: SpaceSaving.Buffer, row: InternalRow): SpaceSaving.Buffer =
+    base.update(b, row)
+  override def merge(b: SpaceSaving.Buffer, o: SpaceSaving.Buffer): SpaceSaving.Buffer =
+    base.merge(b, o)
+  override def eval(b: SpaceSaving.Buffer): Any = base.serialize(b)
+  override def serialize(b: SpaceSaving.Buffer): Array[Byte] = base.serialize(b)
+  override def deserialize(bytes: Array[Byte]): SpaceSaving.Buffer = base.deserialize(bytes)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopItemsState =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): TopItemsState =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopItemsState =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "top_items_state"
+}
+
+/** `top_items_merge(state, capacity, j)`: merge stored [[TopItemsState]]
+ *  summaries and emit the top `j` items — the SERVE step; same output
+ *  shape as [[ApproxTopItems]]. */
+case class TopItemsMerge(
+    child: Expression,
+    capacity: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSaving.Buffer] {
+
+  private lazy val base = ApproxTopItems(child, capacity, k)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if capacity < 16 => TypeCheckResult.TypeCheckFailure(
+      s"capacity=$capacity too small (min 16)")
+    case _ if k < 1 || k > capacity => TypeCheckResult.TypeCheckFailure(
+      s"k=$k must be in [1, capacity=$capacity]")
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_items_merge needs a binary top_items_state column, got ${t.sql}")
+  }
+  override def createAggregationBuffer(): SpaceSaving.Buffer =
+    new SpaceSaving.Buffer(capacity)
+  override def update(b: SpaceSaving.Buffer, row: InternalRow): SpaceSaving.Buffer = {
+    val v = child.eval(row)
+    if (v != null) b.mergeFrom(base.deserialize(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+  override def merge(b: SpaceSaving.Buffer, o: SpaceSaving.Buffer): SpaceSaving.Buffer = {
+    b.mergeFrom(o); b
+  }
+  override def eval(b: SpaceSaving.Buffer): Any = base.eval(b)
+  override def serialize(b: SpaceSaving.Buffer): Array[Byte] = base.serialize(b)
+  override def deserialize(bytes: Array[Byte]): SpaceSaving.Buffer = base.deserialize(bytes)
+  override def dataType: DataType = base.dataType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopItemsMerge =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): TopItemsMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopItemsMerge =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "top_items_merge"
+}

@@ -110,4 +110,32 @@ object functions {
    *  the group's distinct count stays under `capacity`. */
   def approxTopItems(c: Column, capacity: Int = 4096, k: Int = 10): Column =
     column(ApproxTopItems(expr(c), capacity, k).toAggregateExpression())
+
+  /** The [[kmvDistinct]] sketch as a persistable BINARY state — the
+   *  store step of incremental profiling; extend with [[kmvMerge]] /
+   *  [[kmvMergeState]] instead of rescanning history. Canonical bytes:
+   *  a pure function of the input set, independent of partitioning. */
+  def kmvState(c: Column, k: Int = 4096): Column =
+    column(KmvState(expr(c), k).toAggregateExpression())
+
+  /** Union stored [[kmvState]] buffers into the distinct-count estimate
+   *  (exact while the union holds < k hashes) — the serve step. */
+  def kmvMerge(state: Column, k: Int = 4096): Column =
+    column(KmvMergeDistinct(expr(state), k).toAggregateExpression())
+
+  /** Union stored [[kmvState]] buffers into a NEW state — the rollup
+   *  step (day → month → total) of a sketch cube. */
+  def kmvMergeState(state: Column, k: Int = 4096): Column =
+    column(KmvMergeState(expr(state), k).toAggregateExpression())
+
+  /** The [[approxTopItems]] summary as a persistable BINARY state;
+   *  extend/serve with [[topItemsMerge]]. Exact while every
+   *  contributing group's distinct-item count fits `capacity`. */
+  def topItemsState(c: Column, capacity: Int = 4096): Column =
+    column(TopItemsState(expr(c), capacity).toAggregateExpression())
+
+  /** Merge stored [[topItemsState]] summaries, emitting the top `k`
+   *  items in [[approxTopItems]]'s output shape. */
+  def topItemsMerge(state: Column, capacity: Int = 4096, k: Int = 10): Column =
+    column(TopItemsMerge(expr(state), capacity, k).toAggregateExpression())
 }

@@ -296,6 +296,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("approx_top_items", 1, 3, args => graft.ext.ApproxTopItems(args.head,
       litInt(args, 1, "approx_top_items", Some(4096L)),
       litInt(args, 2, "approx_top_items", Some(10L))))
+    // persistable sketch states (store / rollup / serve — the
+    // pre-aggregated-cube flow, q95)
+    register("kmv_state", 1, 2, args => graft.ext.KmvState(args.head,
+      litInt(args, 1, "kmv_state", Some(4096L))))
+    register("kmv_merge", 1, 2, args => graft.ext.KmvMergeDistinct(args.head,
+      litInt(args, 1, "kmv_merge", Some(4096L))))
+    register("kmv_merge_state", 1, 2, args => graft.ext.KmvMergeState(args.head,
+      litInt(args, 1, "kmv_merge_state", Some(4096L))))
+    register("top_items_state", 1, 2, args => graft.ext.TopItemsState(args.head,
+      litInt(args, 1, "top_items_state", Some(4096L))))
+    register("top_items_merge", 1, 3, args => graft.ext.TopItemsMerge(args.head,
+      litInt(args, 1, "top_items_merge", Some(4096L)),
+      litInt(args, 2, "top_items_merge", Some(10L))))
     // text-analysis composites (SURVEY §7.5 north star, one per
     // TextAnalysis entry point)
     registerText("token_count", TextAnalysis.tokenCount)

@@ -855,6 +855,52 @@ class ExtSpec extends SparkSpec {
     assert(s(4L) < s(1L), s"shuffled ${s(4L)} should score below natural ${s(1L)}")
   }
 
+  test("sketch states store, roll up, and merge back to the one-pass result") {
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("g", (col("id") % 3).cast("int"))
+      .withColumn("v", concat(lit("tok"), col("id") % 700))
+    // KMV: split → per-half states → merge == direct one-pass aggregate
+    val direct = df.groupBy("g").agg(functions.kmvDistinct(col("v"), 1024).as("nd"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val s1 = df.filter(col("id") % 2 === 0).groupBy("g")
+      .agg(functions.kmvState(col("v"), 1024).as("st"))
+    val s2 = df.filter(col("id") % 2 === 1).groupBy("g")
+      .agg(functions.kmvState(col("v"), 1024).as("st"))
+    val merged = s1.unionByName(s2).groupBy("g")
+      .agg(functions.kmvMerge(col("st"), 1024).as("nd"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged === direct)
+    assert(direct.values.toSet === Set(700L)) // exact regime: true distinct count
+    // two-level rollup: merge_state per group, then merge across groups,
+    // equals the direct global answer
+    val global = df.agg(functions.kmvDistinct(col("v"), 1024)).head().getLong(0)
+    val rolled = s1.unionByName(s2)
+      .groupBy("g").agg(functions.kmvMergeState(col("st"), 1024).as("st"))
+      .agg(functions.kmvMerge(col("st"), 1024)).head().getLong(0)
+    assert(rolled === global && global === 700L)
+    // canonical state bytes: identical across partitionings
+    val b1 = df.repartition(3).agg(functions.kmvState(col("v"), 1024))
+      .head().getAs[Array[Byte]](0)
+    val b2 = df.repartition(17).agg(functions.kmvState(col("v"), 1024))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(b1, b2))
+    // SpaceSaving: store halves → merge == direct, exact regime (err 0)
+    val sk = df.withColumn("w", concat(lit("t"), floor(sqrt(col("id") % 100))))
+    val dTop = sk.groupBy("g").agg(functions.approxTopItems(col("w"), 4096, 16).as("top"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+        (x.getString(0), x.getLong(1), x.getLong(2))).toSet).toMap
+    val t1 = sk.filter(col("id") % 2 === 0).groupBy("g")
+      .agg(functions.topItemsState(col("w"), 4096).as("st"))
+    val t2 = sk.filter(col("id") % 2 === 1).groupBy("g")
+      .agg(functions.topItemsState(col("w"), 4096).as("st"))
+    val mTop = t1.unionByName(t2).groupBy("g")
+      .agg(functions.topItemsMerge(col("st"), 4096, 16).as("top"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+        (x.getString(0), x.getLong(1), x.getLong(2))).toSet).toMap
+    assert(mTop === dTop)
+    assert(dTop.values.flatten.forall(_._3 === 0L)) // exact: no eviction error
+  }
+
   test("pmiCollocations matches hand-computed log-space PMI and ordering") {
     // c2: (a,b)=3, (b,a)=2, (c,c)=6; N=11; cl: a=3,b=2,c=6; cr: b=3,a=2,c=6
     val df = Seq((1L, "a b a b a b"), (2L, "c c c c c c c")).toDF("id", "text")

@@ -96,6 +96,30 @@ class FunctionsSqlSpec extends SparkSpec {
     assert(got === Seq((0L, 100L), (1L, 100L), (2L, 100L)))
   }
 
+  test("sketch state/merge functions resolve in SQL and round-trip through a view") {
+    spark.range(0, 3000).selectExpr("id % 3 AS g", "id % 300 AS v")
+      .createOrReplaceTempView("fn_state_vals")
+    // store per (g, parity) states, then merge back per g — exact regime
+    spark.sql(
+      """SELECT g, kmv_state(v, 1024) AS st, top_items_state(CAST(v % 7 AS STRING), 1024) AS ts
+        |FROM fn_state_vals GROUP BY g, v % 2""".stripMargin)
+      .createOrReplaceTempView("fn_states")
+    val got = spark.sql(
+      "SELECT g, kmv_merge(st, 1024) AS nd FROM fn_states GROUP BY g ORDER BY g")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 100L), (1L, 100L), (2L, 100L)))
+    // rollup: merge_state across groups, then serve globally
+    val global = spark.sql(
+      """SELECT kmv_merge(st2, 1024) FROM
+        |  (SELECT kmv_merge_state(st, 1024) AS st2 FROM fn_states GROUP BY g)""".stripMargin)
+      .as[Long].head()
+    assert(global === 300L)
+    val top = spark.sql(
+      "SELECT top_items_merge(ts, 1024, 2) FROM fn_states")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.length === 2 && top.forall(_.getLong(2) === 0L))
+  }
+
   test("size/seed arguments must be literals") {
     val e = intercept[Exception] {
       spark.sql("SELECT kmv_distinct(id, CAST(id AS INT)) FROM range(5)").collect()
