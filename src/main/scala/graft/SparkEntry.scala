@@ -1940,6 +1940,41 @@ object SparkEntry {
       |FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Q96's exported tokenizer: merges that build "hello" into one piece
+   *  (id 256+3 = 259) and "world" into [wor = 261, l = 108, d = 100]. */
+  private val Q96Merges = Seq("h" -> "e", "he" -> "l", "hel" -> "l",
+    "hell" -> "o", "w" -> "o", "wo" -> "r")
+
+  /** Q96 — byte-level BPE tokenization ([[ext.functions.bpeEncode]],
+   *  GPT-2-family tokenizer inference over an exported merges list, run
+   *  map-side inside codegen — no tokenizer service, no join, no
+   *  shuffle). Each document plants `a = 1 + id%4` copies of "hello" and
+   *  `b = 1 + id%3` of "world"; under [[Q96Merges]] the exact greedy
+   *  algorithm must produce a + 3b pieces summing to 259a + 469b, with
+   *  piece boundaries 259 / 100 — so the oracle replays the ENCODING as
+   *  pure arithmetic while the engine really runs the merge loop. */
+  private def bpeEncodeQuery(s: SparkSession, dir: String): DataFrame = {
+    val a = (col("doc_id") % 4 + 1).cast("int")
+    val b = (col("doc_id") % 3 + 1).cast("int")
+    val text = concat_ws(" ",
+      flatten(array(array_repeat(lit("hello"), a), array_repeat(lit("world"), b))))
+    val ids = ext.functions.bpeEncode(text, Q96Merges)
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), ids.as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).as("n_pieces"),
+        aggregate(col("ids"), lit(0L), (acc, x) => acc + x).as("ids_sum"),
+        element_at(col("ids"), 1).as("first_id"),
+        element_at(col("ids"), -1).as("last_id"))
+      .orderBy("doc_id")
+  }
+  private val Q96Duck =
+    """SELECT doc_id,
+      |  CAST((1 + doc_id % 4) + 3 * (1 + doc_id % 3) AS INT) AS n_pieces,
+      |  CAST((1 + doc_id % 4) * 259 + (1 + doc_id % 3) * 469 AS BIGINT) AS ids_sum,
+      |  259 AS first_id, 100 AS last_id
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Q59 — corpus vocabulary ([[ext.TextAnalysis.vocabulary]]): per-token
    *  total and document frequency over the documents table, thresholded
    *  at 20 occurrences (the word-count shape: map-side explode, partial
@@ -2603,7 +2638,8 @@ object SparkEntry {
     "q92_pmi_collocations" -> pmiQuery,
     "q93_video_decode" -> videoDecodeQuery,
     "q94_copy_into" -> copyIntoQuery,
-    "q95_sketch_cube" -> sketchCubeQuery)
+    "q95_sketch_cube" -> sketchCubeQuery,
+    "q96_bpe_encode" -> bpeEncodeQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2726,7 +2762,8 @@ object SparkEntry {
     "q92_pmi_collocations" -> Q92Duck,
     "q93_video_decode" -> Q93Duck,
     "q94_copy_into" -> Q94Duck,
-    "q95_sketch_cube" -> Q95Duck)
+    "q95_sketch_cube" -> Q95Duck,
+    "q96_bpe_encode" -> Q96Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

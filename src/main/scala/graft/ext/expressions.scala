@@ -434,6 +434,31 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** Byte-level BPE tokenization of a document against a compiled merges
+ *  table ([[Bpe]]): array of piece ids, one map-side pass per document
+ *  inside whole-stage codegen — no tokenizer service, no join, no
+ *  shuffle. The table ships as one referenced object; expressions
+ *  compare by the merges list so plan dedup still works. */
+case class BpeEncode(
+    child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression {
+  @transient private lazy val table: Bpe.Table = Bpe.compile(merges)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode needs a string column, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.encodeDocData(input.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bpeTable", table, classOf[Bpe.Table].getName)
+    defineCodeGen(ctx, ev, c => s"graft.ext.Bpe.encodeDocData($c, $tRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 /** Σ weight(token) of a document against a hashed vocabulary shipped as
  *  sorted parallel arrays — the linear-classifier inference kernel
  *  ([[TextHash.tokenWeightSum]]): one binary search per token, zero

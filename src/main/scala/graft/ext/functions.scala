@@ -83,6 +83,15 @@ object functions {
   def pqAdc(lut: Column, codes: Column): Column =
     column(PqAdc(expr(lut), expr(codes)))
 
+  /** Byte-level BPE tokenization against an exported merges list
+   *  (GPT-2-family tokenizer inference): array of piece ids — base
+   *  bytes 0–255, merge i yielding id 256+i — in one map-side codegen'd
+   *  pass per document; nothing is ever out-of-vocabulary. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty, "empty BPE merges list")
+    column(BpeEncode(expr(text), merges))
+  }
+
   /** Σ weight(token) of a document against an exported vocabulary model
    *  (token → weight): the map-side linear-classifier inference kernel.
    *  The vocabulary ships as sorted hash/weight arrays embedded in the

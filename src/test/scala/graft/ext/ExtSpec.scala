@@ -855,6 +855,34 @@ class ExtSpec extends SparkSpec {
     assert(s(4L) < s(1L), s"shuffled ${s(4L)} should score below natural ${s(1L)}")
   }
 
+  test("bpeEncode runs exact greedy byte-level merges") {
+    // merges build "hello" fully (id 259) and "world" partially
+    // ([wor=261, l=108, d=100]); (a,a) tests leftmost-first no-overlap
+    val merges = Seq("h" -> "e", "he" -> "l", "hel" -> "l", "hell" -> "o",
+      "w" -> "o", "wo" -> "r", "a" -> "a")
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "hello hello"),
+      (3L, ""),
+      (4L, "a  b"),    // empty middle word contributes no pieces
+      (5L, "héllo"),   // é: two UTF-8 bytes; no merge applies → raw bytes
+      (6L, "aaa")).toDF("id", "text")
+    val got = df.select(col("id"), functions.bpeEncode(col("text"), merges).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(got(1L) === Seq(259, 261, 108, 100))
+    assert(got(2L) === Seq(259, 259))
+    assert(got(3L) === Seq())
+    assert(got(4L) === Seq(97, 98))
+    assert(got(5L) === Seq(104, 0xC3, 0xA9, 108, 108, 111))
+    assert(got(6L) === Seq(262, 97)) // (a,a)=rank 6 merges leftmost pair only
+    // null text → null; malformed merges fail at driver time
+    val n = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(functions.bpeEncode(col("text"), merges)).first()
+    assert(n.isNullAt(0))
+    intercept[IllegalArgumentException](Bpe.compile(Seq("xy" -> "z")))
+    intercept[IllegalArgumentException](Bpe.compile(Seq("a" -> "b", "a" -> "b")))
+  }
+
   test("sketch states store, roll up, and merge back to the one-pass result") {
     val df = spark.range(0, 5000).toDF("id")
       .withColumn("g", (col("id") % 3).cast("int"))
