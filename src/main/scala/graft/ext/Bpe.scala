@@ -75,16 +75,17 @@ object Bpe {
     new Table(ranks, merges.size)
   }
 
-  /** Encode ONE word already materialized as piece ids in `ids[0, n)`;
-   *  returns the encoded length (ids compact in place). */
-  private def encodeWord(ids: Array[Int], n0: Int, table: Table): Int = {
+  /** Encode ONE word already materialized as piece ids in
+   *  `ids[off, off+n0)`; returns the encoded length (ids compact in
+   *  place at `off`). */
+  private def encodeWord(ids: Array[Int], off: Int, n0: Int, table: Table): Int = {
     var n = n0
     while (n > 1) {
       // find the lowest-rank adjacent pair type
       var best = Int.MaxValue
       var i = 0
       while (i < n - 1) {
-        val r = table.rankOf(ids(i), ids(i + 1))
+        val r = table.rankOf(ids(off + i), ids(off + i + 1))
         if (r < best) best = r
         i += 1
       }
@@ -94,10 +95,10 @@ object Bpe {
       var w = 0
       i = 0
       while (i < n) {
-        if (i < n - 1 && table.rankOf(ids(i), ids(i + 1)) == best) {
-          ids(w) = mergedId; i += 2
+        if (i < n - 1 && table.rankOf(ids(off + i), ids(off + i + 1)) == best) {
+          ids(off + w) = mergedId; i += 2
         } else {
-          ids(w) = ids(i); i += 1
+          ids(off + w) = ids(off + i); i += 1
         }
         w += 1
       }
@@ -107,31 +108,29 @@ object Bpe {
   }
 
   /** Encode a whole document: split on 0x20, BPE each word, concatenate
-   *  piece ids. One pass, one reused buffer per word span. */
+   *  piece ids. One pass; primitive buffers only — the per-document
+   *  output can never exceed the byte length, so the output buffer is
+   *  sized once and trimmed at the end (no boxing, no growth churn in
+   *  the map-side hot path). */
   def encodeDoc(s: UTF8String, table: Table): Array[Int] = {
     val bytes = s.getBytes // materialized once; words re-slice it
-    val out = new java.util.ArrayList[Integer]()
+    val out = new Array[Int](bytes.length) // ids per word ≤ word bytes
+    var w = 0
     var start = 0
     var i = 0
     while (i <= bytes.length) {
       if (i == bytes.length || bytes(i) == 0x20) {
         val len = i - start
         if (len > 0) {
-          val ids = new Array[Int](len)
           var j = 0
-          while (j < len) { ids(j) = bytes(start + j) & 0xFF; j += 1 }
-          val n = encodeWord(ids, len, table)
-          j = 0
-          while (j < n) { out.add(ids(j)); j += 1 }
+          while (j < len) { out(w + j) = bytes(start + j) & 0xFF; j += 1 }
+          w += encodeWord(out, w, len, table)
         }
         start = i + 1
       }
       i += 1
     }
-    val res = new Array[Int](out.size)
-    var k = 0
-    while (k < res.length) { res(k) = out.get(k).intValue(); k += 1 }
-    res
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
   }
 
   /** [[encodeDoc]] in the Catalyst array representation — the form the

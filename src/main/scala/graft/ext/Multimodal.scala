@@ -283,6 +283,9 @@ object Multimodal {
    *  Each sampled frame contributes its dominant 8-bin luminance
    *  (BT.601) bin. */
   def decodeVideo(assetId: Long, media: Array[Byte], everyN: Int): Option[DecodedVideo] = {
+    // validated OUTSIDE the decode try: a bad stride must fail loudly,
+    // not make every asset look like a corrupt payload via the catch
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     if (media == null || media.length == 0) None
     else try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -297,6 +300,9 @@ object Multimodal {
             val n = reader.getNumImages(true)
             if (n <= 0) None
             else {
+              // container dims from the header only — no pixel decode
+              val cw = reader.getWidth(0)
+              val ch = reader.getHeight(0)
               val bins = (0 until n by everyN).map { i =>
                 val img = reader.read(i)
                 val w = img.getWidth
@@ -321,8 +327,7 @@ object Multimodal {
                 while (b < 8) { if (hist(b) > hist(best)) best = b; b += 1 }
                 best
               }.toArray
-              val first = reader.read(0)
-              Some(DecodedVideo(assetId, first.getWidth, first.getHeight, n, bins))
+              Some(DecodedVideo(assetId, cw, ch, n, bins))
             }
           } finally reader.dispose()
         }
@@ -368,6 +373,7 @@ object Multimodal {
    *  stride `everyN`, [[videoStub]] for anything the JDK readers
    *  reject, one output row per asset. */
   def decodeVideos(assets: DataFrame, everyN: Int): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select(col("asset_id").cast("long"), col("media"))

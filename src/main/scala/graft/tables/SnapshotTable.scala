@@ -679,18 +679,29 @@ class SnapshotTable private (
         n.startsWith("_") || n.startsWith(".")
       }
       .sorted
-    val loadedProp = properties().getOrElse(CopyLoadedProp, "")
+    val entry = commitEntry(v)
+    val loadedProp = entry.properties.getOrElse(Map.empty)
+      .getOrElse(CopyLoadedProp, "")
     val loaded = if (loadedProp.isEmpty) Set.empty[String] else loadedProp.split("\n").toSet
     val fresh = listed.filterNot(loaded)
     if (fresh.isEmpty) (0, 0L)
     else {
-      val before = manifestEntries().map(_.path).toSet
+      // expectVersion pins the registry read: a commit landing between
+      // reading `loaded` and committing here (another COPY INTO would
+      // rewrite the registry; any commit could) surfaces as
+      // ConcurrentCommitException instead of silently building on — and
+      // possibly erasing — a stale registry (exactly-once would break)
       appendAs(spark.read.format(format).load(fresh: _*), "copy-into",
+        expectVersion = Some(v),
         extraProps = Map(
           CopyLoadedProp -> (loaded ++ fresh).toSeq.sorted.mkString("\n")))
-      // row count from the committed manifest (stats already harvested) —
-      // no second scan of the ingested data
-      val rows = manifestEntries().filterNot(e => before.contains(e.path)).map(_.rows).sum
+      // with expectVersion set there is no rebase: OUR commit is exactly
+      // v+1, so its file-list delta is precisely what this load wrote —
+      // row counts from its harvested stats, no second scan, and no
+      // contamination from interleaved commits
+      val beforePaths = entry.files.map(_.path).toSet
+      val rows = commitEntry(v + 1).files
+        .filterNot(f => beforePaths.contains(f.path)).map(_.rows).sum
       (fresh.length, rows)
     }
   }
