@@ -125,7 +125,7 @@ object Bench {
     // expected at these sizes — fixed job overhead dominates the small
     // SF.)
     val scalingTrio = Seq("q21_jaccard_neardup", "q48_embedding_pairs",
-      "q62_dup_ngram_frac", "q71_span_removal")
+      "q62_dup_ngram_frac", "q71_span_removal", "q90_bigram_logprob")
     val loDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_LO", sfDir.replace("sf0.1", "sf0.01"))
     // Larger upper point: a synthesized ~10x corpus
     // ([[graft.tools.ScaleCorpus]]) moves the scaling step to
