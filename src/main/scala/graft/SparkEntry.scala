@@ -670,6 +670,35 @@ object SparkEntry {
       |SELECT q_id, n_id, round(c, 4) AS cos FROM ranked WHERE rnk <= 5
       |ORDER BY q_id, n_id""".stripMargin
 
+  /** Q97 — hard-negative mining ([[ext.Similarity.hardNegatives]], the
+   *  DPR contrastive-training data-prep step): for ten (query, positive)
+   *  pairs — positive planted as vec_id + 10 — the top-3 most similar
+   *  corpus vectors excluding the query AND its positive, exclusion
+   *  applied before ranking so a positive can never displace a real
+   *  negative. The oracle replays scoring, exclusion, and the
+   *  (cos desc, n_id) ranking exactly, q22-style. */
+  private def hardNegativesQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val pairs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), (col("vec_id") + 10).as("pos_id"))
+    ext.Similarity.hardNegatives(emb, pairs, "vec_id", "embedding", k = 3)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "n_id")
+  }
+  private val Q97Duck =
+    """WITH scored AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+      |  FROM embeddings a JOIN embeddings b
+      |    ON b.vec_id <> a.vec_id AND b.vec_id <> a.vec_id + 10
+      |  WHERE a.vec_id < 10),
+      |ranked AS (
+      |  SELECT q_id, n_id, c,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, n_id, round(c, 4) AS cos FROM ranked WHERE rnk <= 3
+      |ORDER BY q_id, n_id""".stripMargin
+
   private def textStatsQuery(s: SparkSession, dir: String): DataFrame = {
     import ext.TextAnalysis._
     val t = col("text")
@@ -2639,7 +2668,8 @@ object SparkEntry {
     "q93_video_decode" -> videoDecodeQuery,
     "q94_copy_into" -> copyIntoQuery,
     "q95_sketch_cube" -> sketchCubeQuery,
-    "q96_bpe_encode" -> bpeEncodeQuery)
+    "q96_bpe_encode" -> bpeEncodeQuery,
+    "q97_hard_negatives" -> hardNegativesQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2763,7 +2793,8 @@ object SparkEntry {
     "q93_video_decode" -> Q93Duck,
     "q94_copy_into" -> Q94Duck,
     "q95_sketch_cube" -> Q95Duck,
-    "q96_bpe_encode" -> Q96Duck)
+    "q96_bpe_encode" -> Q96Duck,
+    "q97_hard_negatives" -> Q97Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

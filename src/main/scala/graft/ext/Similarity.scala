@@ -114,6 +114,39 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive training — the DPR /
+   * sentence-transformers data-prep step (Karpukhin et al. 2020,
+   * "Dense passage retrieval for open-domain question answering"):
+   * for each (query, positive) pair, the top-`k` corpus vectors most
+   * similar to the QUERY excluding the query itself and its positive —
+   * the negatives a bi-encoder most confuses, which is exactly what
+   * makes them worth training on. Exclusion applies BEFORE ranking, so
+   * a positive can never displace a real negative out of the top-k.
+   *
+   * Scale: the pair batch broadcasts against the corpus (mining batches
+   * are small relative to the corpus — the q22 small-probe shape), with
+   * each query's positive riding the same broadcast row, so exclusion
+   * costs one comparison, not a join. For corpus-×-corpus mining, feed
+   * IVF-probed candidates ([[ivfProbe]]) through the same exclusion +
+   * rank — hard negatives need recall, not exactness.
+   */
+  def hardNegatives(
+      corpus: DataFrame,
+      pairs: DataFrame, // (q_id, pos_id)
+      idCol: String,
+      vecCol: String,
+      k: Int = 5): DataFrame = {
+    val q = corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .join(pairs.select(col("q_id"), col("pos_id")), "q_id")
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    rankTopK(
+      c.crossJoin(broadcast(q))
+        .filter(col("n_id") =!= col("q_id") && col("n_id") =!= col("pos_id"))
+        .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec"))),
+      "cos", k)
+  }
+
+  /**
    * [[bruteForceTopK]] over int8 scalar-quantized codes (SQ8): both
    * sides quantize map-side ([[functions.int8Codes]], 4× smaller than
    * float32 — at 10⁹×1 KB vectors that is the difference between a

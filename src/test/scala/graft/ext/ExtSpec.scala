@@ -555,6 +555,25 @@ class ExtSpec extends SparkSpec {
     assert(r.forall(_._3 <= 1.0 + 1e-12))
   }
 
+  test("hardNegatives excludes the positive before ranking") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)),        // query
+      (11L, Array(0.99f, 0.14f)), // its positive: most similar, must be excluded
+      (2L, Array(0.9f, 0.43f)),   // the true hard negative
+      (3L, Array(0f, 1f)),        // easy negative
+      (4L, Array(-1f, 0f))).toDF("vec_id", "vec")
+    val pairs = Seq((1L, 11L)).toDF("q_id", "pos_id")
+    val got = Similarity.hardNegatives(vecs, pairs, "vec_id", "vec", k = 2)
+      .select(col("q_id"), col("n_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._3)
+    // the positive would have ranked first; with pre-rank exclusion the
+    // hard negative tops the list and the easy one fills k=2
+    assert(got.map(_._2) === Seq(2L, 3L))
+    // a query with no row in pairs is simply not mined
+    assert(Similarity.hardNegatives(vecs, pairs, "vec_id", "vec", k = 2)
+      .select("q_id").distinct().count() === 1)
+  }
+
   // ------------------------------------------------------------- multimodal
 
   test("multimodal: batched stub decode is deterministic with real schema") {
