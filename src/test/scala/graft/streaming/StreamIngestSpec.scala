@@ -432,6 +432,41 @@ class StreamIngestSpec extends SparkSpec {
     assert(got === Set((1L, "a"), (2L, "b")), s"got $got")
   }
 
+  test("sketch aggregates run inside watermarked streaming windows") {
+    // the KMV TypedImperativeAggregate must serialize through streaming
+    // state: windowed distinct-user counts, append mode, exact regime —
+    // a second run (checkpoint resume) must merge restored window state
+    // with new rows before the watermark closes the window
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val mk = (s: String) => Timestamp.valueOf(s)
+    mem.addData(
+      (1L, mk("2024-01-01 00:01:00")),
+      (2L, mk("2024-01-01 00:02:00")),
+      (1L, mk("2024-01-01 00:03:00")), // dup user inside the window
+      (3L, mk("2024-01-01 00:59:00")))
+    val counted = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.ext.functions.kmvDistinct(col("user_id"), 1024).as("nd_users"))
+      .select(col("w.start").as("ws"), col("nd_users"))
+    val sink = SnapshotTable(spark, tmpDir("sketch_sink"))
+    val ckpt = tmpDir("ckpt_sketch") // ONE checkpoint: run 2 resumes state
+    def run(): Unit = StreamIngest.runOnce(StreamIngest.appendSink(counted, sink), ckpt)
+    run()
+    // window [00:00, 01:00) not yet closed: nothing emitted
+    assert(sink.currentVersion() < 0 || sink.read().count() === 0)
+    // one more distinct user in-window, plus an event far enough ahead
+    // to push the watermark past the window end
+    mem.addData(
+      (4L, mk("2024-01-01 00:30:00")),
+      (9L, mk("2024-01-01 02:30:00")))
+    run()
+    val rows = sink.read().as[(Timestamp, Long)].collect().toMap
+    // restored sketch state {1,2,3} merged with {4} → exactly 4 distinct
+    assert(rows(mk("2024-01-01 00:00:00")) === 4L)
+  }
+
   test("sessionization with flatMapGroupsWithState emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
