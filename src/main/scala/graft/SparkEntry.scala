@@ -699,6 +699,39 @@ object SparkEntry {
       |SELECT q_id, n_id, round(c, 4) AS cos FROM ranked WHERE rnk <= 3
       |ORDER BY q_id, n_id""".stripMargin
 
+  /** Q98 — SEMANTIC decontamination
+   *  ([[ext.Decontaminate.semanticContaminatedIds]]): flag corpus
+   *  vectors within 0.95 cosine of any "benchmark" vector (every 50th
+   *  id) — the paraphrase-leakage pass n-gram overlap (q54) cannot see,
+   *  stacked the way DataComp/FineWeb pipelines run both. Benchmark
+   *  embeddings broadcast; the corpus never shuffles. The corpus is
+   *  doubled with ×2-SCALED copies of the benchmark vectors under
+   *  shifted ids (float doubling is exact in both engines, and cosine
+   *  ignores scale — so the copies prove DIRECTIONAL matching, not
+   *  byte equality), while the raw table's max pairwise cosine is 0.51:
+   *  the 0.95 threshold sits in a wide margin on both sides and the
+   *  double-accumulated cosine replays exactly. */
+  private def semanticDecontamQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.unionByName(bench.select(
+      (col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    ext.Decontaminate.semanticContaminatedIds(
+        corpus, "vec_id", "embedding", bench, "embedding", minCos = 0.95)
+      .orderBy("vec_id")
+  }
+  private val Q98Duck =
+    """WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+      |corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000, list_transform(embedding, x -> x * 2) FROM bench)
+      |SELECT DISTINCT a.vec_id FROM corpus a JOIN bench b
+      |  ON list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+      |ORDER BY a.vec_id""".stripMargin
+
   private def textStatsQuery(s: SparkSession, dir: String): DataFrame = {
     import ext.TextAnalysis._
     val t = col("text")
@@ -2669,7 +2702,8 @@ object SparkEntry {
     "q94_copy_into" -> copyIntoQuery,
     "q95_sketch_cube" -> sketchCubeQuery,
     "q96_bpe_encode" -> bpeEncodeQuery,
-    "q97_hard_negatives" -> hardNegativesQuery)
+    "q97_hard_negatives" -> hardNegativesQuery,
+    "q98_semantic_decontam" -> semanticDecontamQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2794,7 +2828,8 @@ object SparkEntry {
     "q94_copy_into" -> Q94Duck,
     "q95_sketch_cube" -> Q95Duck,
     "q96_bpe_encode" -> Q96Duck,
-    "q97_hard_negatives" -> Q97Duck)
+    "q97_hard_negatives" -> Q97Duck,
+    "q98_semantic_decontam" -> Q98Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -63,4 +63,33 @@ object Decontaminate {
       .withColumn("contaminated", coalesce(col("__contam_hit"), lit(false)))
       .drop("__contam_hit", "__contam_id")
   }
+
+  /**
+   * SEMANTIC decontamination: flag training documents whose embedding
+   * sits within `minCos` cosine of ANY evaluation embedding — the
+   * paraphrase leakage n-gram overlap cannot see (reworded benchmark
+   * questions, translated answers), run as a second pass after
+   * [[contaminatedIds]] the way DataComp/FineWeb-class pipelines stack
+   * the two.
+   *
+   * Scale shape mirrors the n-gram path: benchmarks are small by
+   * construction, so the benchmark embeddings BROADCAST and the corpus
+   * never shuffles — each scan partition scores its vectors against the
+   * broadcast set map-side (cost |corpus| · |bench| dot products; fine
+   * to ~10⁵ bench vectors), and only the contaminated id set moves.
+   * For an unusually large benchmark, bucket both sides with the
+   * hyperplane-LSH pair miner ([[Dedup.embeddingPairs]]) instead —
+   * recall-oriented, like every LSH path here.
+   */
+  def semanticContaminatedIds(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      benchmark: DataFrame, benchVecCol: String,
+      minCos: Double = 0.95): DataFrame = {
+    require(minCos > 0.0 && minCos <= 1.0, s"minCos must be in (0, 1], got $minCos")
+    corpus.select(col(idCol), col(vecCol).as("__c_vec"))
+      .crossJoin(broadcast(benchmark.select(col(benchVecCol).as("__b_vec"))))
+      .filter(functions.cosineSimilarity(col("__c_vec"), col("__b_vec")) >= minCos)
+      .select(col(idCol))
+      .distinct()
+  }
 }

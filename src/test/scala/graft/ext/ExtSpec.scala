@@ -555,6 +555,22 @@ class ExtSpec extends SparkSpec {
     assert(r.forall(_._3 <= 1.0 + 1e-12))
   }
 
+  test("semanticContaminatedIds flags embedding-near docs n-grams cannot see") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)),       // benchmark direction → flagged
+      (2L, Array(0.97f, 0.24f, 0f)), // cos ≈ 0.97 → flagged
+      (3L, Array(0f, 1f, 0f)),       // orthogonal → clean
+      (4L, Array(-1f, 0f, 0f))).toDF("id", "vec")
+    val bench = Seq(Tuple1(Array(1f, 0f, 0f))).toDF("bvec")
+    val got = Decontaminate
+      .semanticContaminatedIds(corpus, "id", "vec", bench, "bvec", minCos = 0.95)
+      .as[Long].collect().toSet
+    assert(got === Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Decontaminate.semanticContaminatedIds(corpus, "id", "vec", bench, "bvec", 0.0)
+    }
+  }
+
   test("hardNegatives excludes the positive before ranking") {
     val vecs = Seq(
       (1L, Array(1f, 0f)),        // query
