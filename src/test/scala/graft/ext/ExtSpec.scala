@@ -947,6 +947,20 @@ class ExtSpec extends SparkSpec {
     val b2 = df.repartition(17).agg(functions.kmvState(col("v"), 1024))
       .head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(b1, b2))
+    // ESTIMATOR regime (k far below distinct): the state is a pure
+    // function of the input set, so split-store-merge equals direct
+    // EXACTLY — same k-smallest hashes, same u_k, same estimate — even
+    // when the count itself is approximate
+    val big = spark.range(0, 60000).toDF("id")
+      .withColumn("v", concat(lit("x"), col("id")))
+    val dBig = big.agg(functions.kmvDistinct(col("v"), 256)).head().getLong(0)
+    val mBig = big.filter(col("id") % 2 === 0)
+      .agg(functions.kmvState(col("v"), 256).as("st"))
+      .unionByName(big.filter(col("id") % 2 === 1)
+        .agg(functions.kmvState(col("v"), 256).as("st")))
+      .agg(functions.kmvMerge(col("st"), 256)).head().getLong(0)
+    assert(mBig === dBig)
+    assert(math.abs(dBig - 60000.0) / 60000.0 < 0.2) // ~1/sqrt(k-2) error
     // SpaceSaving: store halves → merge == direct, exact regime (err 0)
     val sk = df.withColumn("w", concat(lit("t"), floor(sqrt(col("id") % 100))))
     val dTop = sk.groupBy("g").agg(functions.approxTopItems(col("w"), 4096, 16).as("top"))
