@@ -732,6 +732,66 @@ object SparkEntry {
       |  ON list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
       |ORDER BY a.vec_id""".stripMargin
 
+  /** Q99 — the FLAGSHIP pipeline composition: quality gate → exact
+   *  dedup → n-gram decontamination → per-source token-budget selection,
+   *  chained exactly as a training-data build runs them (each stage is
+   *  an already-proven operator: q23's counting kernel, q20's dedup,
+   *  q54's decontaminate, q80's budget sampler). The oracle replays the
+   *  WHOLE chain as one CTE pipeline, so a row leaking past any stage —
+   *  a duplicate surviving, a contaminated doc slipping through, a
+   *  budget overrun — shifts the final selection and fails the hash.
+   *  Every stage keeps its scale shape: predicate pushdown on the gate,
+   *  hash-agg dedup, broadcast-semi decontamination (corpus never
+   *  shuffles), histogram two-phase budget selection. */
+  private def pipelineQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val kept = docs.filter(ext.TextAnalysis.tokenCount(col("text")) >= 30)
+    val survivors = ext.Dedup.exact(kept, Seq("text"), "doc_id")
+      .select(col("keep_doc_id").as("doc_id"))
+    val deduped = kept.join(survivors, "doc_id")
+    val bench = docs.filter(col("doc_id") % 20 === 3).select(col("text"))
+    val contam = ext.Decontaminate.contaminatedIds(
+      deduped, "doc_id", "text", bench, "text", n = 5)
+    val clean = deduped.join(contam, Seq("doc_id"), "left_anti")
+    val scored = clean.select(col("doc_id"), col("source"),
+      ext.TextAnalysis.qualityScore(col("text")).as("quality"),
+      ext.TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+    ext.Sampling.budgetPerGroup(scored, "source", "quality", "tokens", "doc_id",
+        budget = 400L)
+      .orderBy("doc_id")
+  }
+  private val Q99Duck =
+    """WITH kept AS (
+      |  SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 30),
+      |ded AS (
+      |  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper
+      |                 FROM kept) WHERE doc_id = keeper),
+      |sh AS (
+      |  SELECT doc_id, unnest([t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+      |                         for i in range(1, len(t)-3)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ded)),
+      |bsh AS (
+      |  SELECT DISTINCT unnest([t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+      |                          for i in range(1, len(t)-3)]) AS s
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 20 = 3)),
+      |contam AS (SELECT DISTINCT doc_id FROM sh JOIN bsh USING (s)),
+      |clean AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      |scored AS (
+      |  SELECT doc_id, source,
+      |    round((len(list_distinct(string_split(text,' ')))*1.0 / len(string_split(text,' ')))
+      |      * (CASE WHEN len(string_split(text,' ')) >= 10 THEN 1.0
+      |              ELSE len(string_split(text,' '))/10.0 END)
+      |      * (CASE WHEN length(replace(text,' ',''))*1.0/len(string_split(text,' '))
+      |                   BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 6) AS quality,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS tokens
+      |  FROM clean),
+      |ranked AS (
+      |  SELECT *, sum(tokens) OVER (PARTITION BY source
+      |    ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM scored)
+      |SELECT doc_id, source, quality, tokens FROM ranked WHERE cum <= 400
+      |ORDER BY doc_id""".stripMargin
+
   private def textStatsQuery(s: SparkSession, dir: String): DataFrame = {
     import ext.TextAnalysis._
     val t = col("text")
@@ -2703,7 +2763,8 @@ object SparkEntry {
     "q95_sketch_cube" -> sketchCubeQuery,
     "q96_bpe_encode" -> bpeEncodeQuery,
     "q97_hard_negatives" -> hardNegativesQuery,
-    "q98_semantic_decontam" -> semanticDecontamQuery)
+    "q98_semantic_decontam" -> semanticDecontamQuery,
+    "q99_pipeline" -> pipelineQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2829,7 +2890,8 @@ object SparkEntry {
     "q95_sketch_cube" -> Q95Duck,
     "q96_bpe_encode" -> Q96Duck,
     "q97_hard_negatives" -> Q97Duck,
-    "q98_semantic_decontam" -> Q98Duck)
+    "q98_semantic_decontam" -> Q98Duck,
+    "q99_pipeline" -> Q99Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique
