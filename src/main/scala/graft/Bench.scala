@@ -48,7 +48,7 @@ object Bench {
         catch { case scala.util.control.NonFatal(_) => return Map.empty }
       // Quotes may be backslash-escaped: the driver's BENCH_r*.json wraps the
       // bench line inside a JSON "tail" string field.
-      val pair = """\\?"(q\d{2}_[a-z0-9_]+)\\?"\s*:\s*(-?\d+\.\d+)""".r
+      val pair = """\\?"(q\d{2,3}_[a-z0-9_]+)\\?"\s*:\s*(-?\d+\.\d+)""".r
       pair.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .toSeq.filter(_._2 >= 0)
@@ -124,8 +124,13 @@ object Bench {
     // generator. (Wall-clock exponents BELOW the work exponent are
     // expected at these sizes — fixed job overhead dominates the small
     // SF.)
+    // q48 (fixed 8 planes) and q102 (auto-sized geometry) ride together:
+    // the fixed-plane exponent creeps toward linear as buckets saturate,
+    // the auto path holds per-bucket load near its target — the pair of
+    // rows IS the evidence the auto sizing works.
     val scalingTrio = Seq("q21_jaccard_neardup", "q48_embedding_pairs",
-      "q62_dup_ngram_frac", "q71_span_removal", "q90_bigram_logprob")
+      "q102_embedding_pairs_auto", "q62_dup_ngram_frac", "q71_span_removal",
+      "q90_bigram_logprob")
     val loDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_LO", sfDir.replace("sf0.1", "sf0.01"))
     // Larger upper point: a synthesized ~10x corpus
     // ([[graft.tools.ScaleCorpus]]) moves the scaling step to
@@ -170,25 +175,117 @@ object Bench {
             }
           }
         }
-        if (parts.isEmpty) ""
-        else parts.mkString(
+        // ANN SERVING latency — the build-once/probe-forever steady state
+        // (q67/q84/q87's 100 TB shape): the index builds UNTIMED on each
+        // corpus with nlist ∝ √N (the FAISS sizing rule, so per-list load
+        // grows as √N, not N), then ONLY the probe is timed. The exponent
+        // says how serving latency moves with a 10× corpus — the declared
+        // queries can't show this because they time build + probe.
+        import org.apache.spark.sql.functions.col
+        def annScaling(name: String)(
+            mk: String => (() => Unit, () => Unit)): Option[String] =
+          try {
+            def timeAt(dir: String): Double = {
+              val (probe, cleanup) = mk(dir)
+              try {
+                probe() // warm
+                (1 to reps).map { _ =>
+                  val t0 = System.nanoTime(); probe(); (System.nanoTime() - t0) / 1e9
+                }.min
+              } finally cleanup()
+            }
+            val lo = timeAt(fromDir)
+            val hi = timeAt(toDir)
+            if (lo <= 0 || hi <= 0) None
+            else Some("\"" + name +
+              s"""\":{"lo":${jnum(lo)},"hi":${jnum(hi)},"exp":${f"${math.log10(hi / lo)}%.2f"}}""")
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench][scaling] $name: ${e.getMessage}"); None
+          }
+        def embAt(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        def nlistFor(df: org.apache.spark.sql.DataFrame): Int =
+          math.max(16, math.sqrt(df.count().toDouble).toInt)
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val annParts = Seq(
+          annScaling("ivf_probe") { dir =>
+            val emb = embAt(dir)
+            val idx = ext.Similarity.ivfBuild(emb, "vec_id", "embedding",
+              nlist = nlistFor(emb))
+            idx.assigned.persist(); idx.assigned.count() // index is built state
+            val probes = emb.filter(col("vec_id") < 100)
+            (() => noop(ext.Similarity.ivfProbe(idx, probes, "vec_id", "embedding",
+              k = 5, nProbe = 4)),
+             () => { idx.assigned.unpersist(); () })
+          },
+          annScaling("ivf_probe_pq_refined") { dir =>
+            val emb = embAt(dir)
+            val idx = ext.Similarity.ivfBuildPq(emb, "vec_id", "embedding",
+              nlist = nlistFor(emb), m = 8, ksub = 16)
+            idx.assigned.persist(); idx.assigned.count()
+            val probes = emb.filter(col("vec_id") < 100)
+            (() => noop(ext.Similarity.ivfProbePqRefined(idx, emb, probes,
+              "vec_id", "embedding", k = 5, nProbe = 4, refine = 50)),
+             () => { idx.assigned.unpersist(); () })
+          }).flatten
+        val all = parts ++ annParts
+        if (all.isEmpty) ""
+        else all.mkString(
           s""","scaling_lo_sf":"$fromDir","scaling_hi_sf":"$toDir","scaling_10x":{""", ",", "}")
       }
     }
-    // Worst-3 regressions vs the previous recorded round (min vs min).
+    // Testdata fingerprint: per-table row counts + an order-independent
+    // content hash (bit_xor of per-row xxhash64). The driver may
+    // REGENERATE /root/testdata between rounds (round 6's events.ts type
+    // flip; r7's q38-q40 drift) — recording the fingerprint makes fixture
+    // drift distinguishable from performance regression by construction.
+    val fpTables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val fps: Seq[(String, Long, Long)] = fpTables.flatMap { t =>
+      try {
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        val hashExpr = s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(",")}))"
+        val row = df.selectExpr("count(1)", hashExpr).head()
+        Some((t, row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1)))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench][fp] $t: ${e.getMessage}"); None
+      }
+    }
+    val fpHex = f"${fps.foldLeft(0L) { case (acc, (_, n, h)) =>
+      acc ^ h ^ java.lang.Long.rotateLeft(n * 0x9E3779B97F4A7C15L, 17) }}%016x"
+    val fpDetail = fps.map { case (t, n, h) =>
+      "\"" + t + s"""\":{"rows":$n,"hash":"${f"$h%016x"}"}"""
+    }.mkString("{", ",", "}")
+
+    // Worst-3 regressions vs the previous recorded round (min vs min) —
+    // suppressed entirely when the previous round recorded a DIFFERENT
+    // testdata fingerprint (the numbers are not comparable; r7 burned a
+    // worst-3 slot on exactly that).
     val prevPath = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse(defaultPrevBench())
+    val prevFp: Option[String] = prevPath.flatMap { p =>
+      val f = new java.io.File(p)
+      if (!f.isFile) None
+      else scala.util.Try(scala.io.Source.fromFile(f, "UTF-8").mkString).toOption
+        .flatMap("""testdata_fp\\?":\s*\\?"([0-9a-f]{16})""".r
+          .findFirstMatchIn(_).map(_.group(1)))
+    }
+    val fixtureDrift = prevFp.exists(_ != fpHex)
     val prev = prevPath.map(prevMins).getOrElse(Map.empty)
     val deltas = minima.toSeq.flatMap { case (k, now) =>
       prev.get(k).filter(p => p > 0 && now > 0).map(p => (k, p, now, now / p))
     }.sortBy(-_._4).take(3)
-    val worst = deltas.map { case (k, p, now, r) =>
-      "{\"q\":\"" + k + s"""\",\"prev\":${jnum(p)},\"now\":${jnum(now)},\"ratio\":${f"$r%.2f"}}"""
-    }.mkString("[", ",", "]")
+    val worst = if (fixtureDrift) "[]"
+      else deltas.map { case (k, p, now, r) =>
+        "{\"q\":\"" + k + s"""\",\"prev\":${jnum(p)},\"now\":${jnum(now)},\"ratio\":${f"$r%.2f"}}"""
+      }.mkString("[", ",", "]")
+    val worstNote = if (fixtureDrift)
+      s""","worst3_note":"suppressed: testdata fingerprint changed (prev ${prevFp.get})"""" else ""
     val lookups = lookupClass.flatMap(k => minima.get(k).map(v => "\"" + k + "\":" + jnum(v)))
       .mkString("{", ",", "}")
 
     val detailLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"mutation_reps":$perRep,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"mutation_reps":$perRep,"testdata_fp":"$fpHex","testdata_fingerprint":$fpDetail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File("BENCH_DETAIL.json"), "UTF-8")
       try w.println(detailLine) finally w.close()
@@ -198,7 +295,7 @@ object Bench {
     println(detailLine)
     // Headline block LAST: this is the line the tail capture must preserve.
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"reps":$reps,"n_queries":${results.size},"lookup_min":$lookups,"mutation_reps":$perRep,"worst3_vs_prev":$worst,"prev_bench":"${prevPath.getOrElse("none")}"$scaling,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"reps":$reps,"n_queries":${results.size},"lookup_min":$lookups,"mutation_reps":$perRep,"worst3_vs_prev":$worst$worstNote,"testdata_fp":"$fpHex","prev_bench":"${prevPath.getOrElse("none")}"$scaling,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

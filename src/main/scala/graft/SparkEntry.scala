@@ -1084,7 +1084,13 @@ object SparkEntry {
         (id, ext.Multimodal.encodeGif(w, h, grays))
       }
     }.toDF("asset_id", "media")
+    // sampled_bins scalarized to a CSV string: the driver's row-hash
+    // comparator sorts/hashes column VALUES, and a list column is
+    // unhashable on the pandas side — the decode itself still runs on
+    // the full array (ExtSpec pins the array form)
     ext.Multimodal.decodeVideos(assets, everyN = 2)
+      .withColumn("sampled_bins",
+        array_join(col("sampled_bins").cast("array<string>"), ","))
       .orderBy("asset_id")
   }
   private val Q93Duck =
@@ -1092,8 +1098,8 @@ object SparkEntry {
       |  CAST(1 + doc_id % 8 AS INT) AS width,
       |  CAST(1 + (doc_id * 5) % 8 AS INT) AS height,
       |  CAST(2 + doc_id % 5 AS INT) AS n_frames,
-      |  [CAST(((doc_id * 31 + f * 40) % 256) // 32 AS INT)
-      |   for f in range(0, 2 + doc_id % 5, 2)] AS sampled_bins
+      |  array_to_string([CAST(((doc_id * 31 + f * 40) % 256) // 32 AS INT)
+      |   for f in range(0, 2 + doc_id % 5, 2)], ',') AS sampled_bins
       |FROM documents ORDER BY asset_id""".stripMargin
 
   /** Q89 — REAL audio decode ([[ext.Multimodal.decodeAudios]], the JDK's
@@ -1414,6 +1420,27 @@ object SparkEntry {
       |SELECT id_a, id_b, round(c, 4) AS cos FROM pairs WHERE c >= 0.95
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Q102 — AUTO-SIZED embedding near-dup pairs
+   *  ([[ext.Dedup.embeddingPairsAuto]]): q48's planted-copy mining with
+   *  the LSH geometry derived from the corpus size (plane count sized to
+   *  hold per-bucket load near a target, seeds to a recall floor) instead
+   *  of a fixed 8 planes — the knob that keeps bucket cardinality from
+   *  saturating as the corpus scales (a fixed plane count's buckets grow
+   *  linearly with the corpus, and bucket-join cost quadratically in
+   *  bucket size). Identical planted copies collide in every bucket under
+   *  ANY plane count, so the result set — and the q48 oracle — is
+   *  unchanged; what changes is the cost curve, which the bench's
+   *  scaling block measures on this query. */
+  private def embeddingPairsAutoQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val doubled = emb.unionByName(
+      emb.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
+    ext.Dedup.embeddingPairsAuto(doubled, "vec_id", "embedding", minCos = 0.95)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Q79 — int8 scalar-quantized ANN ([[ext.Similarity.quantizedTopK]]):
    *  both sides quantize map-side to 4×-smaller int8 codes (SQ8), and
    *  scoring is the pure integer [[ext.functions.int8Cosine]] kernel —
@@ -1643,15 +1670,23 @@ object SparkEntry {
         |WHERE o_orderkey = 103 ORDER BY o_orderkey""".stripMargin)
   }
 
-  /** Q31 — S6 DSv2 catalog round-trip: writeTo createOrReplace into the
-   *  graft TableCatalog, read back through SQL with a pushed-down filter
-   *  (stats pruning behind the catalog scan). */
-  private def catalogRoundTrip(s: SparkSession, dir: String): DataFrame = {
+  /** Configure the graft DSv2 catalog once per session; returns its
+   *  warehouse root (tables created directly at warehouse paths become
+   *  addressable by catalog name). */
+  private def ensureCatalog(s: SparkSession): String = {
     if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
       s.conf.set("spark.sql.catalog.graft", "graft.sql.GraftTableCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse",
         Files.createTempDirectory("graft-wh").toString)
     }
+    s.conf.get("spark.sql.catalog.graft.warehouse")
+  }
+
+  /** Q31 — S6 DSv2 catalog round-trip: writeTo createOrReplace into the
+   *  graft TableCatalog, read back through SQL with a pushed-down filter
+   *  (stats pruning behind the catalog scan). */
+  private def catalogRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
     registerViews(s, dir)
     s.table("orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -1871,6 +1906,46 @@ object SparkEntry {
       |  round(c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 200
       |                         WHEN c_custkey % 5 = 0 THEN 100 ELSE 0 END, 2) AS bal
       |FROM customer ORDER BY id""".stripMargin
+
+  /** Q101 — MoR `_ro`/`_rt` SQL faces (Hudi hive-sync parity,
+   *  `README.md:158`, `hudi/hudi_scd_script.py:35-40`): the q42-shape
+   *  MoR table addressed by NAME through the DSv2 catalog — `t_ro`
+   *  serves the base files (the pending %5 upsert batch invisible, the
+   *  read-optimized contract), `t_rt` the merged real-time view — and
+   *  the oracle replays both faces from the customer table. */
+  private def morFacesQuery(s: SparkSession, dir: String): DataFrame = {
+    val wh = ensureCatalog(s)
+    val customer = s.read.parquet(s"$dir/customer.parquet")
+    def shape(bump: Column, ver: Int) = Seq(
+      col("c_custkey").as("id"),
+      (col("c_acctbal") + bump).as("bal"),
+      lit(ver.toLong).as("ver"))
+    warmTable("q101", dir) {
+      val t = SnapshotTable.create(s, s"$wh/bench/q101mor",
+        customer.select(shape(lit(0), 0): _*))
+      t.upsertDeferred(
+        customer.filter(col("c_custkey") % 5 === 0).select(shape(lit(100), 1): _*),
+        keys = Seq("id"), precombine = "ver")
+      t
+    }
+    s.sql(
+      """SELECT 'ro' AS face, id, ver, round(bal, 2) AS bal
+        |FROM graft.bench.q101mor_ro
+        |UNION ALL
+        |SELECT 'rt' AS face, id, ver, round(bal, 2) AS bal
+        |FROM graft.bench.q101mor_rt
+        |ORDER BY face, id""".stripMargin)
+  }
+  private val Q101Duck =
+    """SELECT 'ro' AS face, c_custkey AS id, CAST(0 AS BIGINT) AS ver,
+      |  round(c_acctbal, 2) AS bal
+      |FROM customer
+      |UNION ALL
+      |SELECT 'rt' AS face, c_custkey AS id,
+      |  CAST(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS ver,
+      |  round(c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 100 ELSE 0 END, 2) AS bal
+      |FROM customer
+      |ORDER BY face, id""".stripMargin
 
   // ------------------------------------------------------------------------
   // Q64 — MoR deferred DELETES mixed with deferred upserts (Hudi delete
@@ -2097,6 +2172,47 @@ object SparkEntry {
       |  259 AS first_id, 100 AS last_id
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Q100 — BPE TRAINING ([[ext.BpeTrain.train]], the learning half of
+   *  the GPT-2 tokenizer pipeline whose inference half is q96): learn 8
+   *  merges from the planted per-doc corpus (a = 1+id%4 "hello"s,
+   *  b = 1+id%3 "world"s — word counts A = Σa > B = Σb for every
+   *  corpus of ≥4 docs), then re-encode the corpus with the LEARNED
+   *  tokenizer. The winner rule (count desc, left id asc, right id asc)
+   *  makes the whole 8-round trace hand-derivable — (e,l) (h,el) (l,o)
+   *  (hel,lo) (l,d) (o,r) (w,or) (wor,ld) — so `merges_fp`
+   *  (Σ (rank+1)·(4096·l + r)) pins the exact learned list and order,
+   *  and the per-doc stats (hello→259, world→263, single pieces each)
+   *  pin the training→inference round trip; the oracle replays both as
+   *  pure arithmetic. */
+  private def bpeTrainQuery(s: SparkSession, dir: String): DataFrame = {
+    val a = (col("doc_id") % 4 + 1).cast("int")
+    val b = (col("doc_id") % 3 + 1).cast("int")
+    val text = concat_ws(" ",
+      flatten(array(array_repeat(lit("hello"), a), array_repeat(lit("world"), b))))
+    val corpus = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), text.as("text"))
+    val merges = ext.BpeTrain.train(corpus, "text", numMerges = 8)
+    val fp = merges.zipWithIndex.map { case ((l, r), i) =>
+      (i + 1).toLong * (4096L * l + r)
+    }.sum
+    corpus
+      .select(col("doc_id"), ext.functions.bpeEncodeIds(col("text"), merges).as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).as("n_pieces"),
+        aggregate(col("ids"), lit(0L), (acc, x) => acc + x).as("ids_sum"),
+        element_at(col("ids"), 1).as("first_id"),
+        element_at(col("ids"), -1).as("last_id"),
+        lit(fp).as("merges_fp"))
+      .orderBy("doc_id")
+  }
+  private val Q100Duck =
+    """SELECT doc_id,
+      |  CAST((1 + doc_id % 4) + (1 + doc_id % 3) AS INT) AS n_pieces,
+      |  CAST((1 + doc_id % 4) * 259 + (1 + doc_id % 3) * 263 AS BIGINT) AS ids_sum,
+      |  259 AS first_id, 263 AS last_id,
+      |  CAST(23747492 AS BIGINT) AS merges_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Q59 — corpus vocabulary ([[ext.TextAnalysis.vocabulary]]): per-token
    *  total and document frequency over the documents table, thresholded
    *  at 20 occurrences (the word-count shape: map-side explode, partial
@@ -2299,7 +2415,10 @@ object SparkEntry {
         posexplode(ext.Similarity.randomProjection(col("embedding"), 16))
           .as(Seq("j", "p")))
       .select(col("vec_id"), col("j").cast("long").as("j"),
-        round(col("p"), 4).as("p"))
+        // + 0.0 canonicalizes IEEE signed zero: a sum that is exactly
+        // zero can carry either sign depending on the engine's fold,
+        // and -0.0 vs 0.0 hash-mismatch under repr-based comparators
+        (round(col("p"), 4) + lit(0.0)).as("p"))
       .orderBy("vec_id", "j")
   private val Q74Duck = {
     val m = ext.Sampling.Modulus
@@ -2310,7 +2429,7 @@ object SparkEntry {
        |  [{'j': j, 'p': round(list_sum(list_transform(range(len(embedding)),
        |       i -> embedding[i+1] * CASE WHEN
        |         ((((j * $stride + i) % $m) * $a + $salt) % $m * $a + $salt) % $m
-       |           < ${m / 2} THEN 1.0 ELSE -1.0 END)) / 4.0, 4)}
+       |           < ${m / 2} THEN 1.0 ELSE -1.0 END)) / 4.0, 4) + 0.0}
        |   for j in range(16)] AS pr
        |  FROM embeddings),
        |u AS (SELECT vec_id, unnest(pr) AS o FROM p)
@@ -2764,7 +2883,10 @@ object SparkEntry {
     "q96_bpe_encode" -> bpeEncodeQuery,
     "q97_hard_negatives" -> hardNegativesQuery,
     "q98_semantic_decontam" -> semanticDecontamQuery,
-    "q99_pipeline" -> pipelineQuery)
+    "q99_pipeline" -> pipelineQuery,
+    "q100_bpe_train" -> bpeTrainQuery,
+    "q101_mor_faces" -> morFacesQuery,
+    "q102_embedding_pairs_auto" -> embeddingPairsAutoQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -2891,7 +3013,12 @@ object SparkEntry {
     "q96_bpe_encode" -> Q96Duck,
     "q97_hard_negatives" -> Q97Duck,
     "q98_semantic_decontam" -> Q98Duck,
-    "q99_pipeline" -> Q99Duck)
+    "q99_pipeline" -> Q99Duck,
+    "q100_bpe_train" -> Q100Duck,
+    "q101_mor_faces" -> Q101Duck,
+    // identical result set to q48 (planted copies collide under any LSH
+    // geometry; the cos filter excludes every background pair exactly)
+    "q102_embedding_pairs_auto" -> Q48Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

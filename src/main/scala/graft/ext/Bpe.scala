@@ -75,6 +75,94 @@ object Bpe {
     new Table(ranks, merges.size)
   }
 
+  /** Compile a merges list given directly as piece-ID pairs — the
+   *  lossless form [[BpeTrain.train]] produces (merge `i`'s pair ids
+   *  must each be a byte or the result of an earlier merge, i.e.
+   *  `< 256 + i`). The string form ([[compile]]) is the interchange
+   *  format; this one skips the byte↔string round trip, which is only
+   *  faithful for ASCII pieces. */
+  def compileIds(merges: Seq[(Int, Int)]): Table = {
+    val ranks = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      require(l >= 0 && l < 256 + i && r >= 0 && r < 256 + i,
+        s"BPE merge $i pair ($l, $r) references an id not yet defined (max ${256 + i - 1})")
+      val key = java.lang.Long.valueOf((l.toLong << 32) | (r.toLong & 0xFFFFFFFFL))
+      require(!ranks.containsKey(key), s"duplicate BPE merge ($l, $r)")
+      ranks.put(key, i)
+    }
+    new Table(ranks, merges.size)
+  }
+
+  /** Render an id-pair merges list as the exported STRING form
+   *  [[compile]] accepts — the GPT-2 `merges.txt` interchange format.
+   *  Only faithful when every constituent byte is ASCII (a lone byte
+   *  ≥ 0x80 is not a valid UTF-8 string, so the round trip through
+   *  [[compile]]'s UTF-8 decode would corrupt it); fails loudly
+   *  otherwise — use [[compileIds]] for raw-byte vocabularies. */
+  def renderMerges(merges: Seq[(Int, Int)]): Seq[(String, String)] = {
+    val pieces = new java.util.HashMap[Integer, String]()
+    def pieceOf(id: Int, i: Int): String =
+      if (id < 256) {
+        require(id < 128,
+          s"BPE merge $i references non-ASCII byte $id; string export cannot " +
+            "represent it — persist the id pairs and use compileIds instead")
+        new String(Array(id.toByte), java.nio.charset.StandardCharsets.UTF_8)
+      } else {
+        val p = pieces.get(id)
+        require(p != null, s"BPE merge $i references undefined id $id")
+        p
+      }
+    merges.zipWithIndex.map { case ((l, r), i) =>
+      val (ls, rs) = (pieceOf(l, i), pieceOf(r, i))
+      pieces.put(256 + i, ls + rs)
+      (ls, rs)
+    }
+  }
+
+  /** Replace every left-to-right non-overlapping occurrence of the
+   *  adjacent pair `(l, r)` in `ids` with `mergedId` — the single-round
+   *  training-side counterpart of [[encodeWord]]'s merge step, applied
+   *  to the word-TYPE table each round of [[BpeTrain.train]]. Returns
+   *  `ids` itself when the pair does not occur; when it does, the input
+   *  array's prefix is clobbered as scratch (callers pass owned
+   *  arrays). */
+  def applyMerge(ids: Array[Int], l: Int, r: Int, mergedId: Int): Array[Int] = {
+    val n = ids.length
+    var w = 0
+    var i = 0
+    var changed = false
+    while (i < n) {
+      if (i < n - 1 && ids(i) == l && ids(i + 1) == r) {
+        ids(w) = mergedId; i += 2; changed = true
+      } else {
+        ids(w) = ids(i); i += 1
+      }
+      w += 1
+    }
+    if (!changed) ids
+    else java.util.Arrays.copyOf(ids, w)
+  }
+
+  /** A string's UTF-8 bytes as base piece ids 0–255 (array<int>) — the
+   *  byte-level BPE starting state ([[Utf8Bytes]] codegen kernel). */
+  def utf8Ids(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val out = new Array[Int](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i) & 0xFF; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** [[applyMerge]] in the Catalyst array representation (the
+   *  [[BpeApplyMerge]] codegen kernel). */
+  def applyMergeData(
+      ids: org.apache.spark.sql.catalyst.util.ArrayData,
+      l: Int, r: Int, mergedId: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val arr = ids.toIntArray()
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(applyMerge(arr, l, r, mergedId))
+  }
+
   /** Encode ONE word already materialized as piece ids in
    *  `ids[off, off+n0)`; returns the encoded length (ids compact in
    *  place at `off`). */

@@ -125,8 +125,12 @@ object Similarity {
    *
    * Scale: the pair batch broadcasts against the corpus (mining batches
    * are small relative to the corpus — the q22 small-probe shape), with
-   * each query's positive riding the same broadcast row, so exclusion
-   * costs one comparison, not a join. For corpus-×-corpus mining, feed
+   * each query's positive SET riding the same broadcast row. Positives
+   * are aggregated per query before the crossJoin — ranking partitions
+   * by q_id alone, so a per-(q_id, pos_id) row shape would both emit a
+   * query's other positives as "negatives" and duplicate every
+   * candidate once per pair. Membership in the (small) per-query set
+   * costs an array probe, not a join. For corpus-×-corpus mining, feed
    * IVF-probed candidates ([[ivfProbe]]) through the same exclusion +
    * rank — hard negatives need recall, not exactness.
    */
@@ -136,12 +140,15 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int = 5): DataFrame = {
+    val posSets = pairs.groupBy(col("q_id"))
+      .agg(collect_set(col("pos_id")).as("pos_ids"))
     val q = corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .join(pairs.select(col("q_id"), col("pos_id")), "q_id")
+      .join(posSets, "q_id")
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     rankTopK(
       c.crossJoin(broadcast(q))
-        .filter(col("n_id") =!= col("q_id") && col("n_id") =!= col("pos_id"))
+        .filter(col("n_id") =!= col("q_id") &&
+          !array_contains(col("pos_ids"), col("n_id")))
         .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec"))),
       "cos", k)
   }

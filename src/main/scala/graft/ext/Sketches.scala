@@ -55,6 +55,32 @@ object Kmv {
         math.round((k - 1) / uk)
       }
   }
+
+  /** Canonical wire form: `k`, then size, then the sorted flipped
+   *  hashes. `k` travels IN the bytes so a stored state remembers the
+   *  capacity it was built with — without it, merging a k=256 state
+   *  under a k=4096 server deserializes into an under-filled buffer,
+   *  hits the exact branch of [[Buffer.estimate]], and silently
+   *  reports ~k instead of ~n. */
+  def serialize(b: Buffer): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(8 + 8 * b.set.size)
+    buf.putInt(b.k)
+    buf.putInt(b.set.size)
+    val it = b.set.iterator()
+    while (it.hasNext) buf.putLong(it.next().longValue())
+    buf.array()
+  }
+
+  /** Inverse of [[serialize]]: the buffer comes back with its OWN k. */
+  def deserialize(bytes: Array[Byte]): Buffer = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val k = buf.getInt
+    val n = buf.getInt
+    val b = new Buffer(k)
+    var i = 0
+    while (i < n) { b.insertFlipped(buf.getLong); i += 1 }
+    b
+  }
 }
 
 /**
@@ -276,22 +302,9 @@ case class KmvDistinct(
 
   override def eval(b: Kmv.Buffer): Any = b.estimate
 
-  override def serialize(b: Kmv.Buffer): Array[Byte] = {
-    val buf = ByteBuffer.allocate(4 + 8 * b.set.size)
-    buf.putInt(b.set.size)
-    val it = b.set.iterator()
-    while (it.hasNext) buf.putLong(it.next().longValue())
-    buf.array()
-  }
+  override def serialize(b: Kmv.Buffer): Array[Byte] = Kmv.serialize(b)
 
-  override def deserialize(bytes: Array[Byte]): Kmv.Buffer = {
-    val buf = ByteBuffer.wrap(bytes)
-    val n = buf.getInt
-    val b = new Kmv.Buffer(k)
-    var i = 0
-    while (i < n) { b.insertFlipped(buf.getLong); i += 1 }
-    b
-  }
+  override def deserialize(bytes: Array[Byte]): Kmv.Buffer = Kmv.deserialize(bytes)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
@@ -362,12 +375,22 @@ sealed trait KmvMergeLike extends TypedImperativeAggregate[Kmv.Buffer] {
   override def createAggregationBuffer(): Kmv.Buffer = new Kmv.Buffer(k)
   override def update(b: Kmv.Buffer, row: InternalRow): Kmv.Buffer = {
     val v = child.eval(row)
-    if (v != null) b.mergeFrom(base.deserialize(v.asInstanceOf[Array[Byte]]))
+    if (v != null) {
+      val st = Kmv.deserialize(v.asInstanceOf[Array[Byte]])
+      // a state built with a smaller k holds only its k smallest hashes:
+      // served under a larger k the union under-fills the buffer, hits
+      // the exact branch of the estimator, and reports ~storedK instead
+      // of ~n — fail loudly rather than return a silently wrong count
+      if (st.k < k) throw new IllegalArgumentException(
+        s"$prettyName(k=$k) over a state built with k=${st.k}: a stored " +
+          "state cannot serve a larger k; rebuild the states or lower k")
+      b.mergeFrom(st)
+    }
     b
   }
   override def merge(b: Kmv.Buffer, o: Kmv.Buffer): Kmv.Buffer = { b.mergeFrom(o); b }
-  override def serialize(b: Kmv.Buffer): Array[Byte] = base.serialize(b)
-  override def deserialize(bytes: Array[Byte]): Kmv.Buffer = base.deserialize(bytes)
+  override def serialize(b: Kmv.Buffer): Array[Byte] = Kmv.serialize(b)
+  override def deserialize(bytes: Array[Byte]): Kmv.Buffer = Kmv.deserialize(bytes)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
 }

@@ -67,6 +67,20 @@ object VecKernels {
    * becomes M=8 bytes, a 32× compression of the stored list payload.
    * Codes are written as unsigned bytes (`ksub ≤ 256`).
    */
+  /** Shared geometry guard for [[pqEncode]]/[[pqLut]]: pqTrain only
+   *  validates the SAMPLED training vectors, so a corpus row with a
+   *  drifted dimension would otherwise truncate (dsub floors away
+   *  trailing dims) or zero-pad (out-of-range centroid reads) into
+   *  quietly wrong codes/tables. Wrong-silently is the one failure mode
+   *  an ANN index cannot surface later — fail the task instead. */
+  private def checkPqGeometry(d: Int, centLen: Int, m: Int): Unit = {
+    if (d != centLen) throw new IllegalArgumentException(
+      s"PQ vector dimension $d != centroid dimension $centLen — " +
+        "corpus row does not match the trained index")
+    if (m == 0 || d % m != 0) throw new IllegalArgumentException(
+      s"PQ vector dimension $d is not divisible into m=$m subspaces")
+  }
+
   def pqEncode(
       v: ArrayData,
       list: Int,
@@ -75,6 +89,7 @@ object VecKernels {
     val m = books.length
     val cent = cents(list)
     val d = v.numElements()
+    checkPqGeometry(d, cent.length, m)
     val dsub = d / m
     val out = new Array[Byte](m)
     var mi = 0
@@ -89,8 +104,7 @@ object VecKernels {
         var dist = 0.0
         var i = 0
         while (i < dsub) {
-          val r = v.getFloat(base + i).toDouble -
-            (if (base + i < cent.length) cent(base + i).toDouble else 0.0)
+          val r = v.getFloat(base + i).toDouble - cent(base + i).toDouble
           val diff = r - e(i)
           dist += diff * diff
           i += 1
@@ -123,6 +137,7 @@ object VecKernels {
     val m = books.length
     val ksub = books(0).length
     val d = v.numElements()
+    checkPqGeometry(d, cents(list).length, m)
     val dsub = d / m
     val out = new Array[Double](m * ksub + 1)
     var mi = 0
@@ -143,8 +158,7 @@ object VecKernels {
     val cent = cents(list)
     var bias = 0.0
     var i = 0
-    val n = math.min(d, cent.length)
-    while (i < n) { bias += v.getFloat(i).toDouble * cent(i); i += 1 }
+    while (i < d) { bias += v.getFloat(i).toDouble * cent(i); i += 1 }
     out(m * ksub) = bias
     new GenericArrayData(out)
   }

@@ -72,10 +72,13 @@ object ZOrder {
       cols: Seq[String],
       numFiles: Int): graft.tables.SnapshotTable = {
     // pin the snapshot the rewrite is derived from: a commit landing while
-    // the clustering job runs must fail this optimize loudly, not be
-    // silently overwritten by it (same OCC guard as merge/delete/update)
+    // the clustering job runs either absorbs via the disjoint-file rebase
+    // (a blind append — its files carry forward un-z-ordered, the
+    // z-order-then-append serial schedule) or fails this optimize loudly
+    // (anything touching the files/metadata the re-layout was derived
+    // from) — never a silent overwrite
     val v = table.currentVersion()
     table.overwritePreClustered(cluster(table.read(), cols, numFiles),
-      "optimize-zorder", expectVersion = Some(v))
+      "optimize-zorder", expectVersion = Some(v), rebaseDisjoint = true)
   }
 }

@@ -459,6 +459,74 @@ case class BpeEncode(
     copy(child = newChild)
 }
 
+/** A string column's UTF-8 bytes as base BPE piece ids 0–255
+ *  ([[Bpe.utf8Ids]]) — the byte-level starting state of both BPE
+ *  inference and training. */
+case class Utf8Bytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"utf8_bytes needs a string column, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.utf8Ids(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.Bpe.utf8Ids($c)")
+  override protected def withNewChildInternal(newChild: Expression): Utf8Bytes =
+    copy(child = newChild)
+}
+
+/** One BPE training round's merge application over an `array<int>`
+ *  piece-id column ([[Bpe.applyMerge]]): every left-to-right
+ *  non-overlapping `(left, right)` adjacency becomes `mergedId`. Runs
+ *  map-side in whole-stage codegen over [[BpeTrain]]'s word-type
+ *  table — the per-round corpus rewrite is a projection, not a join. */
+case class BpeApplyMerge(
+    child: Expression,
+    left: Int,
+    right: Int,
+    mergedId: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_apply_merge needs an array<int> column, got ${t.sql}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.applyMergeData(input.asInstanceOf[ArrayData], left, right, mergedId)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ext.Bpe.applyMergeData($c, $left, $right, $mergedId)")
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyMerge =
+    copy(child = newChild)
+}
+
+/** [[BpeEncode]] with the merges given directly as piece-ID pairs (the
+ *  lossless form [[BpeTrain.train]] produces — [[Bpe.compileIds]]);
+ *  byte-exact for vocabularies whose pieces are not valid UTF-8. */
+case class BpeEncodeIds(
+    child: Expression,
+    merges: Seq[(Int, Int)]) extends UnaryExpression {
+  @transient private lazy val table: Bpe.Table = Bpe.compileIds(merges)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_ids needs a string column, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.encodeDocData(input.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bpeTable", table, classOf[Bpe.Table].getName)
+    defineCodeGen(ctx, ev, c => s"graft.ext.Bpe.encodeDocData($c, $tRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
+    copy(child = newChild)
+}
+
 /** Σ weight(token) of a document against a hashed vocabulary shipped as
  *  sorted parallel arrays — the linear-classifier inference kernel
  *  ([[TextHash.tokenWeightSum]]): one binary search per token, zero

@@ -92,6 +92,24 @@ object functions {
     column(BpeEncode(expr(text), merges))
   }
 
+  /** [[bpeEncode]] with the merges as piece-ID pairs — the lossless
+   *  form [[BpeTrain.train]] learns (byte-exact even for pieces that
+   *  are not valid UTF-8, where the string export cannot go). */
+  def bpeEncodeIds(text: Column, merges: Seq[(Int, Int)]): Column = {
+    require(merges.nonEmpty, "empty BPE merges list")
+    column(BpeEncodeIds(expr(text), merges))
+  }
+
+  /** A string's UTF-8 bytes as base BPE piece ids 0–255 — the
+   *  byte-level starting state of BPE training ([[BpeTrain]]). */
+  def utf8Bytes(text: Column): Column = column(Utf8Bytes(expr(text)))
+
+  /** One BPE training round's merge rewrite: every left-to-right
+   *  non-overlapping `(left, right)` adjacency in the piece-id array
+   *  becomes `mergedId` ([[BpeTrain]]'s distributed loop body). */
+  def bpeApplyMerge(ids: Column, left: Int, right: Int, mergedId: Int): Column =
+    column(BpeApplyMerge(expr(ids), left, right, mergedId))
+
   /** Σ weight(token) of a document against an exported vocabulary model
    *  (token → weight): the map-side linear-classifier inference kernel.
    *  The vocabulary ships as sorted hash/weight arrays embedded in the

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -83,8 +83,35 @@ class GraftTableCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
-    if (!exists(ident)) throw new NoSuchTableException(ident)
-    new GraftTable(SnapshotTable(spark, rootFor(ident)), ident)
+    if (exists(ident)) new GraftTable(SnapshotTable(spark, rootFor(ident)), ident)
+    else faceTable(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** Hudi hive-sync parity (reference `README.md:158`,
+   *  `hudi/hudi_scd_script.py:35-40`): an MoR table answers to TWO SQL
+   *  names — `t_ro`, the read-optimized face (base files only; pending
+   *  deltas invisible until compaction — the documented staleness
+   *  trade), and `t_rt`, the real-time face (the merged view, deltas
+   *  applied at read). Resolved only when no physical table of the
+   *  suffixed name exists (a real `foo_rt` directory always wins), so
+   *  the faces are pure name-resolution sugar over the one table. For a
+   *  table with no pending deltas the faces coincide with the plain
+   *  name, matching Hudi where both views serve identical rows between
+   *  delta commits. */
+  private def faceTable(ident: Identifier): Option[Table] = {
+    val n = ident.name()
+    val face = if (n.length > 3 && n.endsWith("_ro")) Some("ro")
+      else if (n.length > 3 && n.endsWith("_rt")) Some("rt")
+      else None
+    face.flatMap { f =>
+      val base = Identifier.of(ident.namespace(), n.dropRight(3))
+      if (!exists(base)) None
+      else {
+        val t = SnapshotTable(spark, rootFor(base))
+        if (f == "ro") Some(new GraftTable(t, ident, readOptimized = true))
+        else Some(new GraftRtTable(t, ident))
+      }
+    }
   }
 
   /** Time travel: `SELECT … FROM graft.db.t VERSION AS OF <n>` resolves
@@ -322,7 +349,8 @@ class GraftTableCatalog extends TableCatalog {
 class GraftTable(
     val table: SnapshotTable,
     ident: Identifier,
-    pinnedVersion: Option[Long] = None)
+    pinnedVersion: Option[Long] = None,
+    readOptimized: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private val snapshotVersion: Long =
@@ -355,7 +383,10 @@ class GraftTable(
     if (snapshotVersion < 0) Some(Nil)
     else {
       val e = table.commitEntry(snapshotVersion)
-      if (e.deltaFiles.exists(_.nonEmpty) || e.dvFiles.exists(_.nonEmpty)) None
+      // the read-optimized face SERVES the base files, so base stats are
+      // exact for it even while deltas are pending
+      if (e.dvFiles.exists(_.nonEmpty) ||
+        (!readOptimized && e.deltaFiles.exists(_.nonEmpty))) None
       else Some(e.files)
     }
 
@@ -363,14 +394,19 @@ class GraftTable(
     // The catalog scan reads BASE files; serving it for a snapshot with
     // pending MoR deltas would silently return stale rows. Checked at
     // the PINNED snapshot — a time-travel read of an old delta-bearing
-    // version is just as stale as the current one.
+    // version is just as stale as the current one. The `_ro` face
+    // (`readOptimized`) is the one reader for which base-only IS the
+    // contract — Hudi's read-optimized view — so it skips the delta
+    // check (but never the DV one: deletion vectors are base state;
+    // resurrecting deleted rows is staleness of a different kind).
     require(table.dvManifestAt(snapshotVersion).isEmpty,
       s"${name()} has deletion vectors at version $snapshotVersion: query via " +
         "SnapshotTable.read()/scan() (they apply the vectors) or " +
         "purgeDeletionVectors() first")
-    require(table.deltaManifestAt(snapshotVersion).isEmpty,
-      s"${name()} has pending MoR deltas at version $snapshotVersion: query via " +
-        "SnapshotTable.read()/readVersion() (real-time view) or applyDeltas() first")
+    require(readOptimized || table.deltaManifestAt(snapshotVersion).isEmpty,
+      s"${name()} has pending MoR deltas at version $snapshotVersion: query the " +
+        "_rt/_ro faces, SnapshotTable.read()/readVersion() (real-time view), " +
+        "or applyDeltas() first")
     new GraftScanBuilder(table, snapshotVersion, snapshotSchema)
   }
 
@@ -389,6 +425,50 @@ class GraftTable(
       .getOrElse(lit(true)) // DELETE with no predicate = truncate
     table.delete(predicate)
   }
+}
+
+/** The `_rt` (real-time) SQL face of an MoR table: the MERGED view —
+ *  base rows overlaid with pending deltas and deletion vectors applied,
+ *  exactly [[SnapshotTable.readVersion]] — served through a [[V1Scan]]
+ *  bridge, because the record-level merge is a plan (anti-join + key
+ *  agg), not a file list a [[GraftScanBuilder]] could hand to the
+ *  parquet reader. Read-only by construction (writes go to the plain
+ *  table name). This is the slower face, as Hudi's own real-time view
+ *  is (its record-merging InputFormat vs plain columnar splits); the
+ *  base side of the merged plan is still a native pruned parquet scan,
+ *  and the delta side is bounded by the auto-compaction policy
+ *  (`graft.compact.maxDeltas`), so the bridge's row tax applies to a
+ *  capped overlay, not the 100 TB base. Snapshot-pinned at load time,
+ *  like [[GraftTable]]. */
+class GraftRtTable(val table: SnapshotTable, ident: Identifier)
+    extends Table with SupportsRead {
+
+  private val snapshotVersion: Long =
+    table.currentReadable().map(_._1).getOrElse(-1L)
+  private val snapshotSchema: StructType =
+    if (snapshotVersion < 0) new StructType()
+    else table.readVersion(snapshotVersion).schema
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = snapshotSchema
+  override def properties(): util.Map[String, String] = table.properties().asJava
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = snapshotSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: org.apache.spark.sql.SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext = context
+            override def schema: StructType = snapshotSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              table.readVersion(snapshotVersion).rdd
+          }.asInstanceOf[T]
+      }
+    }
 }
 
 /** Scan builder: accepts pushed filters (kept as post-scan filters too —

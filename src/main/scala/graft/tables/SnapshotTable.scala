@@ -620,14 +620,16 @@ class SnapshotTable private (
    *  commit path would silently drop them. */
   private[graft] def overwritePreClustered(
       df: DataFrame, action: String = "overwrite",
-      expectVersion: Option[Long] = None): SnapshotTable = {
+      expectVersion: Option[Long] = None,
+      rebaseDisjoint: Boolean = false): SnapshotTable = {
     val v = currentVersion()
     expectVersion.filter(_ != v).foreach { e =>
-      throw new ConcurrentCommitException(
+      if (!rebaseDisjoint) throw new ConcurrentCommitException(
         s"table $root advanced from version $e to $v since this $action was " +
           "computed; retry against the fresh snapshot")
     }
-    val prior = if (v < 0) None else Some(commitEntry(v))
+    val v0 = expectVersion.getOrElse(v)
+    val prior = if (v0 < 0) None else Some(commitEntry(v0))
     if (prior.exists(_.deltaFiles.exists(_.nonEmpty)))
       throw new IllegalStateException(
         s"table $root has pending MoR deltas; call applyDeltas() before a maintenance rewrite")
@@ -636,9 +638,40 @@ class SnapshotTable private (
     // full replace: dropped-column tombstones are cleared (see overwrite)
     val props = prior.flatMap(_.properties)
       .map(_.filterNot(_._1.startsWith("graft.dropped."))).filter(_.nonEmpty)
-    writeCommit(v + 1,
-      CommitEntry(action, df.schema.json, files,
-        prior.flatMap(_.clusterBy), props))
+    // Z-ORDER's disjoint rebase (Delta's OPTIMIZE-vs-append rule): the
+    // re-layout read the WHOLE v0 snapshot, so its sources are all of
+    // v0's files; an interleaved blind append added files the rewrite
+    // never read — carry them forward un-z-ordered (exactly the
+    // z-order-then-append serial schedule). Only safe while physical =
+    // logical everywhere: with a column mapping or dropped-column
+    // tombstones in play, this commit REWRITES that metadata, which the
+    // carried appended files were written under — conflict instead.
+    val sources: Set[String] = prior.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    val rebaseOk = rebaseDisjoint &&
+      prior.forall(p => p.columnMapping.isEmpty &&
+        !p.properties.exists(_.keys.exists(_.startsWith("graft.dropped."))))
+    var baseV = v0
+    var carried: Seq[FileEntry] = Nil
+    var attempts = 0
+    while (true) {
+      try {
+        writeCommit(baseV + 1,
+          CommitEntry(action, df.schema.json, (carried ++ files).sortBy(_.path),
+            prior.flatMap(_.clusterBy), props))
+        return this
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          val head = currentReadable()
+          if (!rebaseOk || attempts >= 5 ||
+              !head.exists { case (hv, h) =>
+                hv > baseV && prior.exists(p => maintenanceRebaseSafe(p, h, sources)) })
+            throw e
+          val (hv, h) = head.get
+          baseV = hv
+          carried = h.files.filterNot(f => sources.contains(f.path))
+      }
+    }
     this
   }
 
@@ -907,14 +940,21 @@ class SnapshotTable private (
       expectVersion: Option[Long] = None,
       numFiles: Option[Int] = None,
       addDvFiles: Seq[FileEntry] = Nil,
-      clearDvFiles: Boolean = false): SnapshotTable = {
+      clearDvFiles: Boolean = false,
+      rebaseDisjoint: Boolean = false): SnapshotTable = {
     val v = currentVersion()
     expectVersion.filter(_ != v).foreach { e =>
-      throw new ConcurrentCommitException(
+      // maintenance commits (compact / purge-dv / compact-deltas) may
+      // instead try the disjoint-file rebase below — the losing commit's
+      // slot CAS fails and routes through the same safety check
+      if (!rebaseDisjoint) throw new ConcurrentCommitException(
         s"table $root advanced from version $e to $v since this $action was " +
           "computed; retry against the fresh snapshot")
     }
-    val prior = if (v < 0) None else Some(commitEntry(v))
+    // the snapshot the caller COMPUTED against — under rebaseDisjoint the
+    // head may already be past it
+    val v0 = expectVersion.getOrElse(v)
+    val prior = if (v0 < 0) None else Some(commitEntry(v0))
     // A row-level rewrite against the BASE while keyed deltas are pending
     // would silently resurrect overridden rows (the rewrite sees stale
     // values) — fold the deltas in first. The fold itself commits through
@@ -925,6 +965,10 @@ class SnapshotTable private (
     val priorByPath: Map[String, FileEntry] =
       prior.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
     val kept = keep.map(p => priorByPath.getOrElse(p, FileEntry(p, -1L, -1L, Map.empty)))
+    // the files this operation READ and is replacing — the op's read set,
+    // which interleaved commits must have left untouched for a rebase
+    val sources: Set[String] =
+      prior.map(_.files.map(_.path).toSet -- keep.toSet).getOrElse(Set.empty)
     val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
     val files = writeDataDir(applyCluster(df, spec, numFiles))
     // deletion vectors carry forward by default (rewritten files take new
@@ -932,13 +976,63 @@ class SnapshotTable private (
     // sidecar, a purge clears the list
     val dv = if (clearDvFiles) None
       else toOpt(prior.flatMap(_.dvFiles).getOrElse(Nil) ++ addDvFiles)
-    writeCommit(v + 1,
-      CommitEntry(action, df.schema.json, (kept ++ files).sortBy(_.path), toOpt(spec),
-        prior.flatMap(_.properties),
-        columnMapping = prior.flatMap(_.columnMapping),
-        dvFiles = dv))
+    // Optimistic-transaction retry for MAINTENANCE rewrites (Delta's
+    // disjoint-file conflict rule): a compaction/purge reads `sources`
+    // and writes their replacement — losing the commit race to a commit
+    // that did not touch those sources (a blind append being the steady
+    // state: ingest beside scheduled maintenance) is not a logical
+    // conflict. Rebase = carry the HEAD's file list minus our sources
+    // (interleaved appends' files ride along untouched) and re-commit.
+    // Anything else — metadata, a source file rewritten or removed, DV
+    // or delta changes — still surfaces the conflict.
+    var baseV = v0
+    var carried = kept
+    var attempts = 0
+    while (true) {
+      try {
+        writeCommit(baseV + 1,
+          CommitEntry(action, df.schema.json, (carried ++ files).sortBy(_.path),
+            toOpt(spec),
+            prior.flatMap(_.properties),
+            columnMapping = prior.flatMap(_.columnMapping),
+            dvFiles = dv))
+        return this
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          val head = currentReadable()
+          if (!rebaseDisjoint || attempts >= 5 ||
+              !head.exists { case (hv, h) =>
+                hv > baseV && prior.exists(p => maintenanceRebaseSafe(p, h, sources)) })
+            throw e
+          val (hv, h) = head.get
+          baseV = hv
+          carried = h.files.filterNot(f => sources.contains(f.path))
+      }
+    }
     this
   }
+
+  /** True when re-basing a maintenance rewrite (computed against `base`,
+   *  reading exactly `sources`) onto `head` is conflict-free: every
+   *  interleaved commit left the read set, the table metadata, and the
+   *  DV/delta overlays untouched — i.e. it only ADDED disjoint files
+   *  (Delta's compaction-vs-append conflict rule). `deltaFiles` must be
+   *  UNCHANGED, not merely empty: an interleaved `upsertDeferred`'s
+   *  deltas would be silently cleared by the rebased commit. */
+  private[tables] def maintenanceRebaseSafe(
+      base: CommitEntry, head: CommitEntry, sources: Set[String]): Boolean =
+    head.schemaJson == base.schemaJson &&
+      head.properties == base.properties &&
+      head.clusterBy == base.clusterBy &&
+      head.columnMapping == base.columnMapping &&
+      head.morKeys == base.morKeys &&
+      head.morPrecombine == base.morPrecombine &&
+      head.deltaFiles.getOrElse(Nil) == base.deltaFiles.getOrElse(Nil) &&
+      head.dvFiles.getOrElse(Nil) == base.dvFiles.getOrElse(Nil) && {
+        val live = head.files.map(_.path).toSet
+        sources.forall(live.contains)
+      }
 
   // ------------------------------------------------------------- properties
 
@@ -2045,7 +2139,7 @@ class SnapshotTable private (
     val (touched, rest) = entry.files.partition(f => names(new Path(f.path).getName))
     val rewritten = dvRemoveOver(entry, touched.map(_.path), tschema, mappingOf(entry))
     replaceFiles(rest.map(_.path), rewritten, "purge-dv",
-      expectVersion = Some(v), clearDvFiles = true)
+      expectVersion = Some(v), clearDvFiles = true, rebaseDisjoint = true)
     touched.size
   }
 
@@ -2277,7 +2371,7 @@ class SnapshotTable private (
     val packed = dvRemoveOver(entry, small.map(_.path), tschema, mappingOf(entry))
       .coalesce(outFiles)
     replaceFiles(healthy.map(_.path), packed, "compact", expectVersion = Some(v),
-      numFiles = Some(outFiles))
+      numFiles = Some(outFiles), rebaseDisjoint = true)
     small.size
   }
 
@@ -2904,8 +2998,11 @@ class SnapshotTable private (
         .drop(SnapshotTable.DeleteMarker))
     // expectVersion: an upsertDeferred landing between the snapshot read
     // above and this commit must NOT be silently cleared from deltaFiles
+    // (maintenanceRebaseSafe requires deltas UNCHANGED, so the disjoint
+    // rebase only absorbs interleaved appends — which commute: the
+    // rebased result equals the applyDeltas-then-append serial schedule)
     replaceFiles(untouched.map(_.path), rewritten, "compact-deltas",
-      expectVersion = Some(v))
+      expectVersion = Some(v), rebaseDisjoint = true)
     touched.size
   }
 

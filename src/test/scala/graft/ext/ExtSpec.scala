@@ -590,6 +590,26 @@ class ExtSpec extends SparkSpec {
       .select("q_id").distinct().count() === 1)
   }
 
+  test("hardNegatives with several positives per query excludes all, duplicates none") {
+    // two (q_id, pos_id) pairs for one query: ranking partitions by
+    // q_id alone, so a per-pair row shape would let each positive
+    // survive via the OTHER pair's rows and emit every candidate twice
+    val vecs = Seq(
+      (1L, Array(1f, 0f)),         // query
+      (11L, Array(0.99f, 0.14f)),  // positive A — most similar
+      (12L, Array(0.97f, 0.24f)),  // positive B — second most similar
+      (2L, Array(0.9f, 0.43f)),    // the true hard negative
+      (3L, Array(0f, 1f)),         // easy negative
+      (4L, Array(-1f, 0f))).toDF("vec_id", "vec")
+    val pairs = Seq((1L, 11L), (1L, 12L)).toDF("q_id", "pos_id")
+    val got = Similarity.hardNegatives(vecs, pairs, "vec_id", "vec", k = 3)
+      .select(col("q_id"), col("n_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._3)
+    // both positives excluded, each candidate exactly once, ranks dense
+    assert(got.map(_._2) === Seq(2L, 3L, 4L))
+    assert(got.map(_._3) === Seq(1, 2, 3))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   test("multimodal: batched stub decode is deterministic with real schema") {
@@ -976,6 +996,30 @@ class ExtSpec extends SparkSpec {
         (x.getString(0), x.getLong(1), x.getLong(2))).toSet).toMap
     assert(mTop === dTop)
     assert(dTop.values.flatten.forall(_._3 === 0L)) // exact: no eviction error
+  }
+
+  test("kmvMerge fails loudly when served with a larger k than the stored states") {
+    // a k=256 state holds only its 256 smallest hashes over 60k distinct
+    // values; merged under k=4096 the buffer under-fills, hits the exact
+    // branch, and would silently report ~256 — the state carries its
+    // build-time k so the mismatch throws instead
+    val big = spark.range(0, 60000).toDF("id")
+      .withColumn("v", concat(lit("x"), col("id")))
+    val st = big.agg(functions.kmvState(col("v"), 256).as("st"))
+    val e = intercept[Exception] {
+      st.agg(functions.kmvMerge(col("st"), 4096)).head()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("cannot serve a larger k")))
+    // the safe direction — stored k ABOVE the serving k — merges fine:
+    // the k-smallest of a 1024-hash state under k=256 is still the true
+    // 256-smallest-distinct set, so the estimate matches a direct k=256 run
+    val direct = big.agg(functions.kmvDistinct(col("v"), 256)).as[Long].head()
+    val down = big.agg(functions.kmvState(col("v"), 1024).as("st"))
+      .agg(functions.kmvMerge(col("st"), 256)).as[Long].head()
+    assert(down === direct)
   }
 
   test("pmiCollocations matches hand-computed log-space PMI and ordering") {

@@ -131,6 +131,40 @@ class PqSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("pqEncode/pqLut reject dimension drift instead of truncating") {
+    // pqTrain only validates the SAMPLED training vectors — a corpus row
+    // whose dimension drifted from the trained index must fail the task,
+    // not silently floor into dsub-truncated codes or zero-padded LUTs
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cents = Array(Array.fill(Dim)(0f))
+    val books = Array.fill(M)(Array.fill(8)(Array.fill(Dim / M)(0f)))
+    val short = new GenericArrayData(Array.fill(Dim - 1)(0f))
+    val okLen = new GenericArrayData(Array.fill(Dim)(0f))
+    assert(intercept[IllegalArgumentException](
+      VecKernels.pqEncode(short, 0, cents, books)).getMessage.contains("dimension"))
+    assert(intercept[IllegalArgumentException](
+      VecKernels.pqLut(short, 0, cents, books)).getMessage.contains("dimension"))
+    // d not divisible into m subspaces is caught even when lengths agree
+    val cents6 = Array(Array.fill(6)(0f))
+    val v6 = new GenericArrayData(Array.fill(6)(0f))
+    assert(intercept[IllegalArgumentException](
+      VecKernels.pqEncode(v6, 0, cents6, books)).getMessage.contains("subspace"))
+    VecKernels.pqEncode(okLen, 0, cents, books) // matched geometry passes
+    // and through the expression path: a drifted corpus row fails encode
+    val c = corpus(30)
+    val idx = Similarity.ivfBuildPq(c, "id", "vec", nlist = 4, m = M, ksub = 8)
+    val drifted = c.unionByName(
+      Seq((9999L, Array.fill(Dim - 1)(0.5f))).toDF("id", "vec")
+        .select(col("id"), col("vec").cast("array<float>").as("vec")))
+    val e = intercept[Exception] {
+      Similarity.ivfAssignPq(idx.centroids, idx.codebooks, drifted, "id", "vec")
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(_.isInstanceOf[IllegalArgumentException]))
+  }
+
   test("incremental assign: re-encoding the corpus reproduces the stored lists") {
     val c = corpus(30)
     val idx = Similarity.ivfBuildPq(c, "id", "vec", nlist = 4, m = M, ksub = 8)

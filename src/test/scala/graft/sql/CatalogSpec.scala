@@ -640,4 +640,38 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("graft.db.gen").filter(col("id") === 4)
       .select("checksum", "doubled").as[(String, Int)].head() === ((m("d"), 8)))
   }
+
+  test("MoR _ro/_rt faces: read-optimized vs real-time by table NAME") {
+    // Hudi hive-sync parity: an MoR table answers to t_ro (base files
+    // only, pending deltas invisible) and t_rt (merged view) in SQL
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    Seq((1, "a", 1L), (2, "b", 1L)).toDF("id", "v", "ts")
+      .writeTo("graft.db.mor1").createOrReplace()
+    val t = graft.tables.SnapshotTable(spark, s"$wh/db/mor1")
+    t.upsertDeferred(Seq((2, "b2", 2L), (3, "c", 2L)).toDF("id", "v", "ts"),
+      Seq("id"), "ts")
+    // the PLAIN name still refuses while deltas are pending (serving the
+    // stale base silently is the one wrong answer)...
+    val e = intercept[Exception](spark.table("graft.db.mor1").collect())
+    assert(e.getMessage.contains("pending MoR deltas"))
+    // ...the _ro face serves exactly the base (staleness is its contract)
+    assert(spark.table("graft.db.mor1_ro").as[(Int, String, Long)].collect().toSet ===
+      Set((1, "a", 1L), (2, "b", 1L)))
+    // ...and the _rt face serves the merged view, filterable/joinable SQL
+    assert(spark.table("graft.db.mor1_rt").as[(Int, String, Long)].collect().toSet ===
+      Set((1, "a", 1L), (2, "b2", 2L), (3, "c", 2L)))
+    assert(spark.sql("SELECT v FROM graft.db.mor1_rt WHERE id = 2")
+      .as[String].head() === "b2")
+    // after compaction the three names coincide
+    t.applyDeltas()
+    assert(spark.table("graft.db.mor1").count() === 3)
+    assert(spark.table("graft.db.mor1_ro").as[(Int, String, Long)].collect().toSet ===
+      spark.table("graft.db.mor1_rt").as[(Int, String, Long)].collect().toSet)
+    // a PHYSICAL table whose name happens to end in _rt wins resolution
+    Seq((7, "x")).toDF("id", "v").writeTo("graft.db.real_rt").createOrReplace()
+    assert(spark.table("graft.db.real_rt").as[(Int, String)].collect().toSet ===
+      Set((7, "x")))
+    // faces never conjure a table that does not exist
+    intercept[Exception](spark.table("graft.db.nothere_rt").collect())
+  }
 }

@@ -1,0 +1,71 @@
+package graft.tables
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Child process for the cross-process maintenance-vs-ingest race
+ * ([[MaintenanceRaceSpec]]): the steady state of the reference's
+ * scheduled pipelines — one job appends (ingest), another runs
+ * compaction beside it. With the disjoint-file rebase on BOTH sides
+ * (appends rebase past compactions, compactions rebase past appends —
+ * Delta's conflict-rule pairing), every commit should land without a
+ * surfaced conflict; retries are allowed but bounded.
+ */
+object MaintRaceChild {
+  def main(args: Array[String]): Unit = {
+    val Array(root, role, itersStr) = args
+    val iters = itersStr.toInt
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"maint-race-$role")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val table = SnapshotTable(spark, root)
+    var conflicts = 0
+    def retrying(what: String)(op: => Unit): Unit = {
+      var done = false
+      var attempts = 0
+      while (!done) {
+        attempts += 1
+        require(attempts <= 50, s"$role: $what starved after $attempts attempts")
+        try { op; done = true }
+        catch {
+          case _: SnapshotTable.ConcurrentCommitException =>
+            conflicts += 1; Thread.sleep(5)
+        }
+      }
+    }
+    role match {
+      case "ingest" =>
+        (1 to iters).foreach { i =>
+          retrying(s"append $i")(
+            table.append(Seq((s"a$i", i)).toDF("writer", "n")))
+          Thread.sleep(40) // spread the appends across the maint window
+        }
+      case "maint" =>
+        // compact continuously while ingest runs; only compactions that
+        // actually rewrote files count (a 1-file table no-ops), so the
+        // child cannot "finish" before ingest has produced anything
+        var productive = 0
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (productive < iters && System.nanoTime() < deadline) {
+          var n = 0
+          retrying("compact") {
+            n = table.compact(targetFileBytes = 1L << 30, smallFileBytes = 1L << 30)
+          }
+          if (n > 0) productive += 1 else Thread.sleep(20)
+        }
+        require(productive >= 2,
+          s"maintenance only achieved $productive productive compactions")
+      case other => sys.error(s"unknown role $other")
+    }
+    // surfaced conflicts are LEGAL (rebase attempts cap at 5) but should
+    // be rare once both sides rebase — the parent asserts completion and
+    // content, not zero conflicts
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -65,22 +65,15 @@ object RefRaceChild {
         while (wins < iters) {
           attempts += 1
           require(attempts <= 400, s"publisher starved after $attempts attempts")
+          // PHASE 1 — fork/append/fastForward: losing a race here is the
+          // retention trade, so FileNotFound and lost-CAS retry.
+          var published = false
           try {
             if (table.hasBranch("wap")) table.dropBranch("wap")
             val b = table.createBranch("wap")
             b.append(Seq((s"pub$wins", wins)).toDF("writer", "n"))
             table.fastForward("wap")
-            // verify on MAIN: the publish must be readable and complete —
-            // a dangling file reference would fail this collect. The one
-            // legitimate alternative: churn's overwrite already REPLACED
-            // our published head (its CAS won the next slot), in which
-            // case the head shows churn's row — the publish itself still
-            // won its own CAS, so it counts
-            val seen = table.read().as[(String, Int)].collect().toSet
-            require(seen.contains((s"pub$wins", wins)) ||
-              seen.exists(_._1 == "churn"),
-              s"publish $wins vanished without a superseding overwrite: $seen")
-            wins += 1
+            published = true
           } catch {
             case _: SnapshotTable.ConcurrentCommitException => Thread.sleep(3)
             case e: IllegalStateException
@@ -88,6 +81,25 @@ object RefRaceChild {
               Thread.sleep(3) // forked log entry raced vacuum's hint rewrite
             case e: Exception if fileGone(e) =>
               Thread.sleep(3) // paused past the retention window; re-fork
+          }
+          // PHASE 2 — verification: the publish committed, so NOTHING is
+          // retryable anymore. A FileNotFound here is a published commit
+          // whose data files were vacuumed out from under it — the exact
+          // dangling-reference atomicity bug this race exists to catch —
+          // and must fail the child, not loop back as a deflake.
+          if (published) {
+            val seen = table.read().as[(String, Int)].collect().toSet
+            if (!seen.contains((s"pub$wins", wins))) {
+              // marker absent is only legitimate if churn's overwrite
+              // SUPERSEDED our publish: the retained log's head must be
+              // churn's later overwrite commit, not merely any churn row
+              // riding along in our own published snapshot
+              val hist = table.history()
+              require(hist.headOption.exists(_.action == "overwrite"),
+                s"publish $wins vanished but the head commit is not a " +
+                  s"superseding overwrite: ${hist.take(3)}")
+            }
+            wins += 1
           }
         }
       case other => sys.error(s"unknown role $other")
