@@ -1441,6 +1441,58 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Q103 — hybrid retrieval via reciprocal-rank fusion
+   *  ([[ext.Search.rrfFuse]], Cormack et al. SIGIR'09 — the lexical ∪
+   *  dense combiner every RAG / hard-negative-mining stack runs): BM25
+   *  top-20 (q72's retriever) fused with embedding-cosine top-20 (q22's
+   *  retriever, probe = vector 0) by summed reciprocal ranks — no score
+   *  calibration, which is RRF's point. Both component rankings are
+   *  already oracle-proven; the oracle replays them AND the fusion
+   *  (exact IEEE divisions, ≤2-term sums) to the exact fused order. */
+  private def rrfFuseQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = ext.Search.bm25TopK(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", query = "vector merge stream", k = 20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val dense = ext.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+      .select(col("n_id").as("doc_id"), col("rank"))
+    ext.Search.rrfFuse(Seq(lex.select("doc_id", "rank"), dense),
+        "doc_id", "rank", k = 10)
+      .select(col("doc_id"), round(col("rrf"), 6).as("rrf"), col("n_lists"))
+  }
+  private val Q103Duck =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |tok AS (SELECT doc_id, unnest(tk) AS token FROM t),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tfq AS (SELECT doc_id, token, count(*) AS tf FROM tok
+      |        WHERE token IN ('vector', 'merge', 'stream') GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(*) AS df FROM tfq GROUP BY 1),
+      |s AS (SELECT tfq.doc_id,
+      |        round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+      |            (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+      |      FROM tfq JOIN dfreq USING (token) JOIN dl USING (doc_id)
+      |      CROSS JOIN stats GROUP BY tfq.doc_id),
+      |lext AS (SELECT doc_id, bm25 FROM s ORDER BY bm25 DESC, doc_id LIMIT 20),
+      |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      |        FROM lext),
+      |q0 AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |dall AS (SELECT e.vec_id AS doc_id,
+      |          list_cosine_similarity(e.embedding::DOUBLE[], q0.embedding::DOUBLE[]) AS c
+      |         FROM embeddings e CROSS JOIN q0 WHERE e.vec_id <> 0),
+      |den AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+      |        FROM dall ORDER BY c DESC, doc_id LIMIT 20),
+      |u AS (SELECT doc_id, 1.0::DOUBLE / (60 + r) AS contrib FROM lex
+      |      UNION ALL SELECT doc_id, 1.0::DOUBLE / (60 + r) FROM den),
+      |f AS (SELECT doc_id, sum(contrib) AS rrf, count(*) AS n_lists FROM u GROUP BY 1)
+      |SELECT doc_id, round(rrf, 6) AS rrf, CAST(n_lists AS BIGINT) AS n_lists
+      |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   /** Q79 — int8 scalar-quantized ANN ([[ext.Similarity.quantizedTopK]]):
    *  both sides quantize map-side to 4×-smaller int8 codes (SQ8), and
    *  scoring is the pure integer [[ext.functions.int8Cosine]] kernel —
@@ -2886,7 +2938,8 @@ object SparkEntry {
     "q99_pipeline" -> pipelineQuery,
     "q100_bpe_train" -> bpeTrainQuery,
     "q101_mor_faces" -> morFacesQuery,
-    "q102_embedding_pairs_auto" -> embeddingPairsAutoQuery)
+    "q102_embedding_pairs_auto" -> embeddingPairsAutoQuery,
+    "q103_rrf_fusion" -> rrfFuseQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3018,7 +3071,8 @@ object SparkEntry {
     "q101_mor_faces" -> Q101Duck,
     // identical result set to q48 (planted copies collide under any LSH
     // geometry; the cos filter excludes every background pair exactly)
-    "q102_embedding_pairs_auto" -> Q48Duck)
+    "q102_embedding_pairs_auto" -> Q48Duck,
+    "q103_rrf_fusion" -> Q103Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -501,13 +501,22 @@ object Dedup {
 
   /** [[embeddingPairs]] with (planes, seeds) auto-sized from the corpus
    *  row count via [[Similarity.autoLshParams]] — the 10⁹-row-safe entry
-   *  point. One `count()` action (metadata-cheap over parquet scans). */
+   *  point. One `count()` action (metadata-cheap over parquet scans).
+   *
+   *  `targetBucketRows` defaults far below [[Similarity.lshTopKAuto]]'s
+   *  1024 because the cost models differ: a probe pays O(bucketRows) per
+   *  lookup, but PAIR mining pays O(bucketRows²) per bucket — total
+   *  candidate pairs ≈ N·bucketRows/2 per seed. Halving the bucket
+   *  (one more plane) halves that work while the seeds needed for the
+   *  recall floor grow only logarithmically, so small buckets win until
+   *  the per-seed fixed cost (one corpus pass to hash + shuffle)
+   *  dominates — 64 sits near that knee across the measured range. */
   def embeddingPairsAuto(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       minCos: Double = 0.95,
-      targetBucketRows: Long = 1024,
+      targetBucketRows: Long = 64,
       targetRecall: Double = 0.90): DataFrame = {
     val (planes, seeds) =
       Similarity.autoLshParams(df.count(), targetBucketRows, minCos, targetRecall)

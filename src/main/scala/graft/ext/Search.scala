@@ -70,4 +70,39 @@ object Search {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al., SIGIR'09 — the standard
+   * hybrid-retrieval combiner, e.g. lexical BM25 ∪ dense ANN in every
+   * RAG/hard-negative-mining stack): each input ranking contributes
+   * `1 / (kRrf + rank)` per document, fused score = the sum across
+   * rankings, top-`k` by (score desc, id asc). Rank-based, so the
+   * component scores need no calibration — BM25's unbounded scores and
+   * cosine's [-1, 1] fuse without normalization, which is the entire
+   * point of RRF over score averaging.
+   *
+   * Scale: the inputs are already per-query top-k frames (tiny relative
+   * to the corpus — each retriever did its own pruning); fusion is one
+   * union + one hash aggregate over ≤ Σ kᵢ rows, then a bounded sort.
+   * Determinism: each contribution is one exact IEEE division and
+   * groups sum at most `rankings.size` terms, so an external engine
+   * replays the exact fused ordering.
+   */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0, s"k $k must be positive")
+    require(kRrf >= 0, s"kRrf $kRrf must be >= 0")
+    val contribs = rankings.map(_.select(col(idCol),
+      (lit(1.0) / (lit(kRrf) + col(rankCol))).as("contrib")))
+    contribs.reduce(_.unionByName(_))
+      .groupBy(idCol)
+      .agg(sum("contrib").as("rrf"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
 }

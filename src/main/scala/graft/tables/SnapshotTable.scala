@@ -994,6 +994,11 @@ class SnapshotTable private (
           CommitEntry(action, df.schema.json, (carried ++ files).sortBy(_.path),
             toOpt(spec),
             prior.flatMap(_.properties),
+            // MoR key/precombine config is TABLE state (Hudi's table
+            // config), not per-delta state: a CoW rewrite or the fold
+            // itself clears the deltas but keeps the config
+            morKeys = prior.flatMap(_.morKeys),
+            morPrecombine = prior.flatMap(_.morPrecombine),
             columnMapping = prior.flatMap(_.columnMapping),
             dvFiles = dv))
         return this
@@ -2863,9 +2868,14 @@ class SnapshotTable private (
     (keys :+ precombine).foreach(k => require(
       committed.fieldNames.exists(_.equalsIgnoreCase(k)),
       s"upsertDeferred: column $k is not in the table schema"))
-    e.morKeys.foreach(prev => require(prev == keys.toList,
+    // config persists across folds/rewrites as table state; it only
+    // PINS the keying while deltas are actually pending (mixing keyings
+    // within one un-folded overlay is the unresolvable case) — with a
+    // clean overlay a re-key simply updates the recorded config
+    val pendingDeltas = e.deltaFiles.exists(_.nonEmpty)
+    e.morKeys.foreach(prev => require(!pendingDeltas || prev == keys.toList,
       s"pending deltas keyed on $prev; applyDeltas() before switching to $keys"))
-    e.morPrecombine.foreach(prev => require(prev == precombine,
+    e.morPrecombine.foreach(prev => require(!pendingDeltas || prev == precombine,
       s"pending deltas precombine on $prev; applyDeltas() before switching to $precombine"))
     val (aligned, _) = alignToCommitted(incoming, committed, mergeSchema = false)
     val files = writeDataDir(aligned)
@@ -2911,9 +2921,12 @@ class SnapshotTable private (
     (keys :+ precombine).foreach(k => require(
       committed.fieldNames.exists(_.equalsIgnoreCase(k)),
       s"deleteDeferred: column $k is not in the table schema"))
-    e.morKeys.foreach(prev => require(prev == keys.toList,
+    // same pinning rule as [[upsertDeferred]]: the keying is only fixed
+    // while an un-folded overlay exists
+    val pendingDeltas = e.deltaFiles.exists(_.nonEmpty)
+    e.morKeys.foreach(prev => require(!pendingDeltas || prev == keys.toList,
       s"pending deltas keyed on $prev; applyDeltas() before switching to $keys"))
-    e.morPrecombine.foreach(prev => require(prev == precombine,
+    e.morPrecombine.foreach(prev => require(!pendingDeltas || prev == precombine,
       s"pending deltas precombine on $prev; applyDeltas() before switching to $precombine"))
     // resolve against the RT view so a delete composes with pending
     // upserts (deleting a key whose latest version exists only in a

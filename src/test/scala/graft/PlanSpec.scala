@@ -172,6 +172,7 @@ class PlanSpec extends SparkSpec {
       "q22_cosine_topk" -> None, // small-probe broadcast by documented design
       "q79_int8_topk" -> None, // same brute-force small-probe design, SQ8 codes
       "q97_hard_negatives" -> None, // q22's small-probe broadcast, pairs ride it
+      "q103_rrf_fusion" -> None, // dense side IS q22's small-probe broadcast
       "q98_semantic_decontam" -> None, // small benchmark set broadcasts by design
       "q72_bm25_search" -> Some("HashAggregate(keys=[], functions=[count(1), avg("),
       "q76_unigram_logprob" -> Some("HashAggregate(keys=[], functions=[sum(tf"),

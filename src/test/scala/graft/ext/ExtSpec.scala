@@ -1582,6 +1582,23 @@ class ExtSpec extends SparkSpec {
     assert(top1 === expect.take(1))
   }
 
+  test("rrfFuse: rank-based fusion matches the hand-computed combination") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val den = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("id", "rank")
+    val got = Search.rrfFuse(Seq(lex, den), "id", "rank", k = 4, kRrf = 60)
+      .as[(Long, Double, Long)].collect().toSeq
+    // doc 20: 1/62 + 1/61 beats doc 10: 1/61 + 1/63; singles by own rank
+    assert(got.map(_._1) === Seq(20L, 10L, 40L, 30L))
+    assert(got.map(_._2) === Seq(
+      1.0 / 62 + 1.0 / 61, 1.0 / 61 + 1.0 / 63, 1.0 / 62, 1.0 / 63))
+    assert(got.map(_._3) === Seq(2L, 2L, 1L, 1L))
+    // k truncates AFTER fusion, not per input list
+    assert(Search.rrfFuse(Seq(lex, den), "id", "rank", k = 2)
+      .as[(Long, Double, Long)].collect().map(_._1).toSeq === Seq(20L, 10L))
+    intercept[IllegalArgumentException](Search.rrfFuse(Nil, "id", "rank", 3))
+    intercept[IllegalArgumentException](Search.rrfFuse(Seq(lex), "id", "rank", 0))
+  }
+
   test("incremental span removal: index hits cut, sequential == one batch run") {
     // an indexed span loses EVERY batch occurrence; fresh spans keep
     // their batch-canonical copy

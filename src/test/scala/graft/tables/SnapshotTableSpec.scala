@@ -591,6 +591,28 @@ class SnapshotTableSpec extends SparkSpec {
     // superseded delta/base files reclaimable afterwards
     assert(t.vacuum(retainVersions = 1, retainMillis = 0) >= 1)
     assert(t.read().as[(Long, String, Long)].collect().toSet === before)
+
+    // MoR key/precombine config is TABLE state (Hudi table-config role):
+    // the fold cleared the deltas but KEPT the config...
+    val cfg = t.commitEntry(t.currentVersion())
+    assert(cfg.morKeys === Some(List("id")))
+    assert(cfg.morPrecombine === Some("ts"))
+    // ...a CoW rewrite keeps it too...
+    t.delete(col("id") === 99L)
+    val cfg2 = t.commitEntry(t.currentVersion())
+    assert(cfg2.morKeys === Some(List("id")) && cfg2.morPrecombine === Some("ts"))
+    // ...and it only PINS the keying while deltas are pending: with a
+    // clean overlay a re-key updates the config; with a pending one the
+    // mismatch still fails loudly
+    t.upsertDeferred(Seq((3L, "v2", 9L)).toDF("id", "v", "ts"),
+      keys = Seq("id"), precombine = "ts")
+    intercept[IllegalArgumentException](
+      t.upsertDeferred(Seq(("x", 1L)).toDF("v", "ts"),
+        keys = Seq("v"), precombine = "ts"))
+    t.applyDeltas()
+    t.upsertDeferred(Seq(("d2x", 10L)).toDF("v", "ts").withColumn("id", lit(5L)),
+      keys = Seq("v"), precombine = "ts") // clean overlay: re-key allowed
+    assert(t.commitEntry(t.currentVersion()).morKeys === Some(List("v")))
   }
 
   test("merge-on-read: many small delta batches stay correct and compact away") {
