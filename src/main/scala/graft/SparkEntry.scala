@@ -1972,8 +1972,11 @@ object SparkEntry {
       col("c_custkey").as("id"),
       (col("c_acctbal") + bump).as("bal"),
       lit(ver.toLong).as("ver"))
+    // per-dir table name: warmTable caches per (key, dir), so two scale
+    // dirs in one session must not share one physical catalog table
+    val tbl = s"q101mor${math.abs(dir.hashCode).toString}"
     warmTable("q101", dir) {
-      val t = SnapshotTable.create(s, s"$wh/bench/q101mor",
+      val t = SnapshotTable.create(s, s"$wh/bench/$tbl",
         customer.select(shape(lit(0), 0): _*))
       t.upsertDeferred(
         customer.filter(col("c_custkey") % 5 === 0).select(shape(lit(100), 1): _*),
@@ -1981,12 +1984,12 @@ object SparkEntry {
       t
     }
     s.sql(
-      """SELECT 'ro' AS face, id, ver, round(bal, 2) AS bal
-        |FROM graft.bench.q101mor_ro
-        |UNION ALL
-        |SELECT 'rt' AS face, id, ver, round(bal, 2) AS bal
-        |FROM graft.bench.q101mor_rt
-        |ORDER BY face, id""".stripMargin)
+      s"""SELECT 'ro' AS face, id, ver, round(bal, 2) AS bal
+         |FROM graft.bench.${tbl}_ro
+         |UNION ALL
+         |SELECT 'rt' AS face, id, ver, round(bal, 2) AS bal
+         |FROM graft.bench.${tbl}_rt
+         |ORDER BY face, id""".stripMargin)
   }
   private val Q101Duck =
     """SELECT 'ro' AS face, c_custkey AS id, CAST(0 AS BIGINT) AS ver,

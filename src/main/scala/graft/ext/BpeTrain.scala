@@ -56,15 +56,24 @@ object BpeTrain {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     if (numMerges == 0) return Nil
+    // octet_length, not length: training is BYTE-level, and a 1-CHAR
+    // word can still be a multi-byte pair (e.g. "é" = 0xC3 0xA9) —
+    // char-length filtering would silently exclude every such word
     val words = docs
       .select(explode(split(col(textCol), " ")).as("w"))
-      .filter(length(col("w")) >= 2) // 1-byte words never form a pair
+      .filter(octet_length(col("w")) >= 2) // 1-BYTE words never form a pair
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    val probeLimit = math.min(driverMaxWordTypes + 1, Int.MaxValue.toLong).toInt
-    if (words.limit(probeLimit).count() <= driverMaxWordTypes)
-      trainDriver(words, numMerges, minCount)
-    else
-      trainDistributed(words, numMerges, minCount)
+    // persist around the dispatch probe: the probe and the training
+    // entry otherwise each run the full corpus tokenize+aggregate —
+    // the dominant cost at scale — twice
+    words.persist()
+    try {
+      val probeLimit = math.min(driverMaxWordTypes + 1, Int.MaxValue.toLong).toInt
+      if (words.limit(probeLimit).count() <= driverMaxWordTypes)
+        trainDriver(words, numMerges, minCount)
+      else
+        trainDistributed(words, numMerges, minCount)
+    } finally { words.unpersist(); () }
   }
 
   /** In-memory merge loop over a collected word-type table. */

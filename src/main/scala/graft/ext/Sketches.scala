@@ -56,14 +56,20 @@ object Kmv {
       }
   }
 
-  /** Canonical wire form: `k`, then size, then the sorted flipped
+  /** Wire-format tag: rejects foreign or pre-k-bearing blobs LOUDLY —
+   *  without it, bytes in any other layout can misparse into a
+   *  silently-empty or truncated buffer and undercount. */
+  private val Magic = 0x4B4D5631 // "KMV1"
+
+  /** Canonical wire form: magic, `k`, size, then the sorted flipped
    *  hashes. `k` travels IN the bytes so a stored state remembers the
    *  capacity it was built with — without it, merging a k=256 state
    *  under a k=4096 server deserializes into an under-filled buffer,
    *  hits the exact branch of [[Buffer.estimate]], and silently
    *  reports ~k instead of ~n. */
   def serialize(b: Buffer): Array[Byte] = {
-    val buf = java.nio.ByteBuffer.allocate(8 + 8 * b.set.size)
+    val buf = java.nio.ByteBuffer.allocate(12 + 8 * b.set.size)
+    buf.putInt(Magic)
     buf.putInt(b.k)
     buf.putInt(b.set.size)
     val it = b.set.iterator()
@@ -74,6 +80,9 @@ object Kmv {
   /** Inverse of [[serialize]]: the buffer comes back with its OWN k. */
   def deserialize(bytes: Array[Byte]): Buffer = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
+    require(bytes.length >= 12 && buf.getInt == Magic,
+      "not a kmv_state blob (bad magic): the column does not hold " +
+        "states serialized by kmv_state")
     val k = buf.getInt
     val n = buf.getInt
     val b = new Buffer(k)
@@ -377,13 +386,15 @@ sealed trait KmvMergeLike extends TypedImperativeAggregate[Kmv.Buffer] {
     val v = child.eval(row)
     if (v != null) {
       val st = Kmv.deserialize(v.asInstanceOf[Array[Byte]])
-      // a state built with a smaller k holds only its k smallest hashes:
-      // served under a larger k the union under-fills the buffer, hits
-      // the exact branch of the estimator, and reports ~storedK instead
-      // of ~n — fail loudly rather than return a silently wrong count
-      if (st.k < k) throw new IllegalArgumentException(
-        s"$prettyName(k=$k) over a state built with k=${st.k}: a stored " +
-          "state cannot serve a larger k; rebuild the states or lower k")
+      // a SATURATED state built with a smaller k holds only its k
+      // smallest hashes: served under a larger k the union under-fills
+      // the buffer, hits the exact branch of the estimator, and reports
+      // ~storedK instead of ~n — fail loudly rather than return a
+      // silently wrong count. An UNSATURATED smaller-k state holds its
+      // input set exactly and merges safely under any serving k.
+      if (st.k < k && st.set.size >= st.k) throw new IllegalArgumentException(
+        s"$prettyName(k=$k) over a SATURATED state built with k=${st.k}: a " +
+          "saturated state cannot serve a larger k; rebuild the states or lower k")
       b.mergeFrom(st)
     }
     b

@@ -135,9 +135,9 @@ object VecKernels {
       cents: Array[Array[Float]],
       books: Array[Array[Array[Float]]]): ArrayData = {
     val m = books.length
-    val ksub = books(0).length
     val d = v.numElements()
-    checkPqGeometry(d, cents(list).length, m)
+    checkPqGeometry(d, cents(list).length, m) // before books(0): m=0 fails loudly
+    val ksub = books(0).length
     val dsub = d / m
     val out = new Array[Double](m * ksub + 1)
     var mi = 0

@@ -76,9 +76,13 @@ object ZOrder {
     // (a blind append — its files carry forward un-z-ordered, the
     // z-order-then-append serial schedule) or fails this optimize loudly
     // (anything touching the files/metadata the re-layout was derived
-    // from) — never a silent overwrite
+    // from) — never a silent overwrite. readVersion(v), NOT read(): the
+    // expectVersion pin and the file list MUST come from the same
+    // snapshot — read() re-resolves the head, so an append landing
+    // between the two calls would have its rows inside the rewrite AND
+    // its file carried forward by the rebase (duplicated rows)
     val v = table.currentVersion()
-    table.overwritePreClustered(cluster(table.read(), cols, numFiles),
+    table.overwritePreClustered(cluster(table.readVersion(v), cols, numFiles),
       "optimize-zorder", expectVersion = Some(v), rebaseDisjoint = true)
   }
 }

@@ -84,7 +84,7 @@ class GraftTableCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     if (exists(ident)) new GraftTable(SnapshotTable(spark, rootFor(ident)), ident)
-    else faceTable(ident).getOrElse(throw new NoSuchTableException(ident))
+    else faceTable(ident, t => (t, None)).getOrElse(throw new NoSuchTableException(ident))
   }
 
   /** Hudi hive-sync parity (reference `README.md:158`,
@@ -98,7 +98,13 @@ class GraftTableCatalog extends TableCatalog {
    *  table with no pending deltas the faces coincide with the plain
    *  name, matching Hudi where both views serve identical rows between
    *  delta commits. */
-  private def faceTable(ident: Identifier): Option[Table] = {
+  /** `resolve` maps the BASE table to the (handle, pinned version) the
+   *  face should serve — identity for plain reads, the time-travel
+   *  resolution for `VERSION/TIMESTAMP AS OF`, so the faces answer on
+   *  every read surface the plain name does. */
+  private def faceTable(
+      ident: Identifier,
+      resolve: SnapshotTable => (SnapshotTable, Option[Long])): Option[Table] = {
     val n = ident.name()
     val face = if (n.length > 3 && n.endsWith("_ro")) Some("ro")
       else if (n.length > 3 && n.endsWith("_rt")) Some("rt")
@@ -107,9 +113,10 @@ class GraftTableCatalog extends TableCatalog {
       val base = Identifier.of(ident.namespace(), n.dropRight(3))
       if (!exists(base)) None
       else {
-        val t = SnapshotTable(spark, rootFor(base))
-        if (f == "ro") Some(new GraftTable(t, ident, readOptimized = true))
-        else Some(new GraftRtTable(t, ident))
+        val (t, pinned) = resolve(SnapshotTable(spark, rootFor(base)))
+        if (f == "ro")
+          Some(new GraftTable(t, ident, pinnedVersion = pinned, readOptimized = true))
+        else Some(new GraftRtTable(t, ident, pinnedVersion = pinned))
       }
     }
   }
@@ -120,28 +127,38 @@ class GraftTableCatalog extends TableCatalog {
    *  `VERSION AS OF 'tag'`): tags pin their recorded version; a branch
    *  name serves the branch head as a read snapshot (pinned — a commit
    *  racing the read does not shift the served version mid-query). */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    if (!exists(ident)) throw new NoSuchTableException(ident)
-    val t = SnapshotTable(spark, rootFor(ident))
+  /** Shared `VERSION AS OF` resolution: integer version, tag, or branch
+   *  of `t` → the (handle, pinned version) to serve. */
+  private def resolveVersionRef(
+      t: SnapshotTable, name: String, version: String): (SnapshotTable, Long) =
     version.toLongOption match {
       case Some(v) =>
         require(v >= 0 && v <= t.currentVersion(),
-          s"table ${ident.name} has no version $v (latest: ${t.currentVersion()})")
-        new GraftTable(t, ident, pinnedVersion = Some(v))
+          s"table $name has no version $v (latest: ${t.currentVersion()})")
+        (t, v)
       case None if t.hasTag(version) && t.hasBranch(version) =>
         // separate namespaces; creation rejects collisions, but a table
         // written by older code could carry both — refuse to guess
         throw new IllegalArgumentException(
-          s"VERSION AS OF '$version' is ambiguous on ${ident.name}: both a tag " +
+          s"VERSION AS OF '$version' is ambiguous on $name: both a tag " +
             "and a branch of that name exist; drop or rename one")
-      case None if t.hasTag(version) =>
-        new GraftTable(t, ident, pinnedVersion = Some(t.tagVersion(version)))
+      case None if t.hasTag(version) => (t, t.tagVersion(version))
       case None if t.hasBranch(version) =>
         val b = t.branch(version)
-        new GraftTable(b, ident, pinnedVersion = Some(b.currentVersion()))
+        (b, b.currentVersion())
       case None => throw new IllegalArgumentException(
-        s"VERSION AS OF '$version': not an integer version, tag, or branch of ${ident.name}")
+        s"VERSION AS OF '$version': not an integer version, tag, or branch of $name")
     }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (exists(ident)) {
+      val (h, v) = resolveVersionRef(
+        SnapshotTable(spark, rootFor(ident)), ident.name(), version)
+      new GraftTable(h, ident, pinnedVersion = Some(v))
+    } else faceTable(ident, { t =>
+      val (h, v) = resolveVersionRef(t, ident.name(), version)
+      (h, Some(v))
+    }).getOrElse(throw new NoSuchTableException(ident))
   }
 
   /** Timestamp time travel: `SELECT … FROM graft.db.t TIMESTAMP AS OF
@@ -149,10 +166,12 @@ class GraftTableCatalog extends TableCatalog {
    *  pinned version is the newest one committed at or before it
    *  (Delta/Iceberg `AS OF` semantics, [[SnapshotTable.versionAsOf]]). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    if (!exists(ident)) throw new NoSuchTableException(ident)
-    val t = SnapshotTable(spark, rootFor(ident))
-    new GraftTable(t, ident,
-      pinnedVersion = Some(t.versionAsOf(Math.floorDiv(timestampMicros, 1000L))))
+    def pin(t: SnapshotTable): Long = t.versionAsOf(Math.floorDiv(timestampMicros, 1000L))
+    if (exists(ident)) {
+      val t = SnapshotTable(spark, rootFor(ident))
+      new GraftTable(t, ident, pinnedVersion = Some(pin(t)))
+    } else faceTable(ident, t => (t, Some(pin(t))))
+      .getOrElse(throw new NoSuchTableException(ident))
   }
 
   /** Generated columns land in the CREATE schema as field metadata;
@@ -412,14 +431,21 @@ class GraftTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty, "cannot write to a time-travel snapshot")
+    // the _ro face is a READ surface (as _rt is by construction): a
+    // write addressed to it is a misdirected write, not a base append
+    require(!readOptimized,
+      s"${name()} is the read-optimized face; write to the base table name")
     new GraftWriteBuilder(table)
   }
 
   // ---- row-level DELETE (`DELETE FROM graft.db.t WHERE …`)
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    pinnedVersion.isEmpty && filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
+    pinnedVersion.isEmpty && !readOptimized &&
+      filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!readOptimized,
+      s"${name()} is the read-optimized face; delete via the base table name")
     val predicate = filters.flatMap(GraftScanBuilder.toColumn)
       .reduceOption(_ && _)
       .getOrElse(lit(true)) // DELETE with no predicate = truncate
@@ -440,16 +466,20 @@ class GraftTable(
  *  (`graft.compact.maxDeltas`), so the bridge's row tax applies to a
  *  capped overlay, not the 100 TB base. Snapshot-pinned at load time,
  *  like [[GraftTable]]. */
-class GraftRtTable(val table: SnapshotTable, ident: Identifier)
+class GraftRtTable(
+    val table: SnapshotTable,
+    ident: Identifier,
+    pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead {
 
   private val snapshotVersion: Long =
-    table.currentReadable().map(_._1).getOrElse(-1L)
+    pinnedVersion.getOrElse(table.currentReadable().map(_._1).getOrElse(-1L))
   private val snapshotSchema: StructType =
     if (snapshotVersion < 0) new StructType()
     else table.readVersion(snapshotVersion).schema
 
-  override def name(): String = ident.toString
+  override def name(): String =
+    ident.toString + pinnedVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = snapshotSchema
   override def properties(): util.Map[String, String] = table.properties().asJava
   override def capabilities(): util.Set[TableCapability] =

@@ -69,6 +69,20 @@ class BpeTrainSpec extends SparkSpec {
       driverMaxWordTypes = 0L) === merges)
   }
 
+  test("byte-level: a one-CHAR multi-byte word still trains its byte pair") {
+    // "é" is one character but two UTF-8 bytes (0xC3 0xA9) — a
+    // char-length word filter would silently exclude it from training
+    val df = Seq("é é é").toDF("text")
+    val merges = BpeTrain.train(df, "text", numMerges = 2)
+    assert(merges === Seq((0xC3, 0xA9)))
+    assert(BpeTrain.train(df, "text", 2, driverMaxWordTypes = 0L) === merges)
+    // the learned merge encodes the word to its single piece id (the
+    // ID path — renderMerges correctly refuses non-ASCII bytes)
+    assert(df.select(functions.bpeEncodeIds(col("text"), merges))
+      .as[Seq[Int]].head() === Seq(256, 256, 256))
+    intercept[IllegalArgumentException](Bpe.renderMerges(merges))
+  }
+
   test("training stops when no pair reaches minCount") {
     // every word appears once: no pair reaches the default minCount=2
     assert(BpeTrain.train(Seq("ab cd").toDF("text"), "text", 8) === Nil)

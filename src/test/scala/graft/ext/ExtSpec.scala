@@ -1020,6 +1020,23 @@ class ExtSpec extends SparkSpec {
     val down = big.agg(functions.kmvState(col("v"), 1024).as("st"))
       .agg(functions.kmvMerge(col("st"), 256)).as[Long].head()
     assert(down === direct)
+    // an UNSATURATED smaller-k state holds its input set exactly, so
+    // serving it under a larger k is exact and allowed
+    val small = spark.range(0, 50).toDF("id")
+      .withColumn("v", concat(lit("y"), col("id")))
+    val up = small.agg(functions.kmvState(col("v"), 256).as("st"))
+      .agg(functions.kmvMerge(col("st"), 4096)).as[Long].head()
+    assert(up === 50L)
+    // foreign bytes are rejected loudly, never misparsed as a state
+    val junk = Seq(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+      .toDF("st")
+    val e2 = intercept[Exception] {
+      junk.agg(functions.kmvMerge(col("st"), 256)).head()
+    }
+    def chain2(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain2(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("bad magic")))
   }
 
   test("pmiCollocations matches hand-computed log-space PMI and ordering") {

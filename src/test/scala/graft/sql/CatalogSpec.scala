@@ -673,5 +673,25 @@ class CatalogSpec extends SparkSpec {
       Set((7, "x")))
     // faces never conjure a table that does not exist
     intercept[Exception](spark.table("graft.db.nothere_rt").collect())
+    // faces are READ surfaces: DML addressed to a face is a misdirected
+    // write, rejected instead of silently mutating the base table
+    val w = intercept[Exception] {
+      spark.sql("INSERT INTO graft.db.mor1_ro VALUES (8, 'h', 3)")
+    }
+    assert(w.getMessage.contains("read-optimized face") ||
+      w.getMessage.contains("does not support"), w.getMessage)
+    assert(spark.table("graft.db.mor1").count() === 3)
+    // time travel resolves on faces too: relative to the post-fold head,
+    // cur-1 carries the pending overlay and cur-2 is the pre-delta base
+    // — each face serves its own view of the pinned snapshot
+    val cur = t.currentVersion()
+    val roPre = spark.sql(
+        s"SELECT id, v, ts FROM graft.db.mor1_ro VERSION AS OF ${cur - 2}")
+      .as[(Int, String, Long)].collect().toSet
+    assert(roPre === Set((1, "a", 1L), (2, "b", 1L)))
+    val rtOverlay = spark.sql(
+        s"SELECT id, v, ts FROM graft.db.mor1_rt VERSION AS OF ${cur - 1}")
+      .as[(Int, String, Long)].collect().toSet
+    assert(rtOverlay === Set((1, "a", 1L), (2, "b2", 2L), (3, "c", 2L)))
   }
 }
