@@ -228,6 +228,15 @@ object Bench {
             (() => noop(ext.Similarity.ivfProbePqRefined(idx, emb, probes,
               "vec_id", "embedding", k = 5, nProbe = 4, refine = 50)),
              () => { idx.assigned.unpersist(); () })
+          },
+          // tokenizer TRAINING cost curve (q100's operator on the real
+          // corpus): per-round work rides the word-TYPE table, which
+          // grows sub-linearly in corpus size — the Sennrich collapse
+          // is what the exponent evidences
+          annScaling("bpe_train16") { dir =>
+            val docs = spark.read.parquet(s"$dir/documents.parquet")
+            (() => { ext.BpeTrain.train(docs, "text", numMerges = 16); () },
+             () => ())
           }).flatten
         val all = parts ++ annParts
         if (all.isEmpty) ""
