@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
  * [[Dedup.connectedComponents]] hybrid:
  *
  *  - type table fits the driver (probed via `limit(n+1).count`, default
- *    ≤ 2²⁰ types): collect once and run the merge loop in memory —
- *    `numMerges` rounds with zero Spark jobs, the right trade when the
- *    expensive part was the corpus scan;
+ *    ≤ 2²⁰ types): collect once and run the merge loop in memory with
+ *    INCREMENTAL pair counting (inverted index + lazy priority queue —
+ *    each merge touches only the words containing the winning pair), so
+ *    a production-scale 50k-merge vocabulary costs O(corpus-types·len)
+ *    total, not O(rounds·types) — zero Spark jobs after the collect;
  *  - larger: the table stays distributed; each round is ONE aggregation
  *    (explode adjacent pairs → partial-agg'd sum by pair → `limit(1)`
  *    of a total order, only the single winner reaches the driver) and
@@ -76,38 +78,80 @@ object BpeTrain {
     } finally { words.unpersist(); () }
   }
 
-  /** In-memory merge loop over a collected word-type table. */
+  /** In-memory merge loop over a collected word-type table, with
+   *  INCREMENTAL pair counting (the HuggingFace-tokenizers scheme): pair
+   *  counts and a pair→words inverted index build once; each merge
+   *  updates only the words that CONTAIN the winning pair (subtract
+   *  their old pair contributions, rewrite, add the new ones), and the
+   *  winner comes off a lazy-invalidation priority queue. A full
+   *  recount per round would be O(rounds · corpus-types) — untenable at
+   *  a 50k-merge production vocabulary; this is O(types·len) to build
+   *  plus O(affected-word length) per merge. Winner rule unchanged:
+   *  count desc, then packed (left, right) key asc — the packed long's
+   *  natural order IS (left asc, right asc) for non-negative ids. */
   private def trainDriver(
       words: DataFrame,
       numMerges: Int,
       minCount: Long): Seq[(Int, Int)] = {
-    var types: Array[(Array[Int], Long)] = words.collect().map { r =>
+    val types: Array[(Array[Int], Long)] = words.collect().map { r =>
       val bytes = r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
       (bytes.map(_ & 0xFF), r.getLong(1))
     }
+    val seqs: Array[Array[Int]] = types.map(_._1)
+    val weights: Array[Long] = types.map(_._2)
+    @inline def key(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xFFFFFFFFL)
+
+    val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val wordsOf = new java.util.HashMap[java.lang.Long, java.util.HashSet[Integer]]()
+    // (count desc, packed key asc); entries are snapshots — stale ones
+    // (count no longer current) are discarded on pop
+    val queue = new java.util.PriorityQueue[(Long, Long)](
+      (a: (Long, Long), b: (Long, Long)) => {
+        val c = java.lang.Long.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      })
+    def bump(k: Long, delta: Long, wordIdx: Int): Unit = {
+      val nv = counts.merge(k, java.lang.Long.valueOf(delta), (a, b) => a + b)
+      if (nv <= 0) counts.remove(k)
+      // push on EVERY surviving change, decreases included: the old
+      // entry is now stale (liveness check discards it), so without a
+      // fresh entry at the decreased count the pair would silently
+      // drop out of contention
+      else queue.add((nv.longValue(), k))
+      if (delta > 0)
+        wordsOf.computeIfAbsent(k, _ => new java.util.HashSet[Integer]())
+          .add(Integer.valueOf(wordIdx))
+      // negative deltas leave the membership set: the word may still
+      // contain the pair at another position; stale members cost one
+      // containment re-check at merge time, never correctness
+    }
+    def addWordPairs(w: Int, sign: Long): Unit = {
+      val ids = seqs(w)
+      var i = 0
+      while (i < ids.length - 1) {
+        bump(key(ids(i), ids(i + 1)), sign * weights(w), w)
+        i += 1
+      }
+    }
+    seqs.indices.foreach(w => if (seqs(w).length >= 2) addWordPairs(w, 1L))
+
     val merges = Seq.newBuilder[(Int, Int)]
     var round = 0
     var done = false
     while (round < numMerges && !done) {
-      val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-      types.foreach { case (ids, cnt) =>
-        var i = 0
-        while (i < ids.length - 1) {
-          val key = java.lang.Long.valueOf(
-            (ids(i).toLong << 32) | (ids(i + 1).toLong & 0xFFFFFFFFL))
-          counts.merge(key, java.lang.Long.valueOf(cnt), (a, b) => a + b)
-          i += 1
-        }
-      }
-      // winner: count desc, then (left, right) asc — the packed key's
-      // natural order IS the (left asc, right asc) order for ids >= 0
+      // pop to the first LIVE entry: count still current for its key
       var bestKey = -1L
       var bestCnt = 0L
-      val it = counts.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val (k, c) = (e.getKey.longValue(), e.getValue.longValue())
-        if (c > bestCnt || (c == bestCnt && k < bestKey)) { bestKey = k; bestCnt = c }
+      var searching = true
+      while (searching) {
+        val top = queue.poll()
+        if (top == null) { searching = false }
+        else {
+          val cur = counts.get(top._2)
+          if (cur != null && cur.longValue() == top._1) {
+            bestKey = top._2; bestCnt = top._1; searching = false
+          }
+        }
       }
       if (bestCnt < minCount) done = true
       else {
@@ -115,9 +159,30 @@ object BpeTrain {
         val r = (bestKey & 0xFFFFFFFFL).toInt
         merges += ((l, r))
         val mergedId = 256 + round
-        types = types
-          .map { case (ids, cnt) => (Bpe.applyMerge(ids, l, r, mergedId), cnt) }
-          .filter(_._1.length >= 2)
+        val members = wordsOf.remove(java.lang.Long.valueOf(bestKey))
+        counts.remove(java.lang.Long.valueOf(bestKey))
+        if (members != null) {
+          val it = members.iterator()
+          while (it.hasNext) {
+            val w = it.next().intValue()
+            val ids = seqs(w)
+            // stale membership (pair already merged away here): skip
+            var contains = false
+            var i = 0
+            while (!contains && i < ids.length - 1) {
+              if (ids(i) == l && ids(i + 1) == r) contains = true
+              i += 1
+            }
+            if (contains) {
+              addWordPairs(w, -1L)
+              seqs(w) = Bpe.applyMerge(ids, l, r, mergedId)
+              if (seqs(w).length >= 2) addWordPairs(w, 1L)
+            }
+          }
+        }
+        // the merged pair's own count must stay gone even if a stale
+        // queue entry resurfaces — counts.remove above guarantees the
+        // liveness check fails for it
         round += 1
       }
     }

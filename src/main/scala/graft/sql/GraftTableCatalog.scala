@@ -491,11 +491,30 @@ class GraftRtTable(
         override def readSchema(): StructType = snapshotSchema
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: org.apache.spark.sql.SQLContext): T =
-          new BaseRelation with TableScan {
+          // PrunedFilteredScan, not bare TableScan: translated predicates
+          // and the column projection re-enter the merged-view PLAN, so
+          // Catalyst pushes them into the base parquet scan (and the
+          // delta overlay's scans) — `WHERE id = 5` through the face
+          // stats-prunes and row-group-skips like the API path instead
+          // of materializing the whole base through the row bridge.
+          // Spark re-applies every filter above, so partial translation
+          // is always safe.
+          new BaseRelation with TableScan with PrunedFilteredScan {
             override def sqlContext: org.apache.spark.sql.SQLContext = context
             override def schema: StructType = snapshotSchema
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
               table.readVersion(snapshotVersion).rdd
+            override def buildScan(
+                requiredColumns: Array[String],
+                filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              val base = table.readVersion(snapshotVersion)
+              val filtered = filters.flatMap(GraftScanBuilder.toColumn)
+                .foldLeft(base)(_ filter _)
+              val pruned =
+                if (requiredColumns.isEmpty) filtered
+                else filtered.select(requiredColumns.map(col).toSeq: _*)
+              pruned.rdd
+            }
           }.asInstanceOf[T]
       }
     }

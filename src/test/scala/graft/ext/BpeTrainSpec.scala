@@ -93,6 +93,55 @@ class BpeTrainSpec extends SparkSpec {
     assert(BpeTrain.train(Seq("a b c").toDF("text"), "text", 8) === Nil)
   }
 
+  test("incremental driver loop == naive per-round recount (seeded random corpora)") {
+    // reference model: full recount each round, same winner rule — the
+    // O(rounds·types) loop the incremental index/queue version replaces
+    def naive(types0: Seq[(Array[Int], Long)], numMerges: Int,
+        minCount: Long): Seq[(Int, Int)] = {
+      var types = types0.map { case (ids, c) => (ids.clone(), c) }
+      val out = Seq.newBuilder[(Int, Int)]
+      var round = 0
+      var done = false
+      while (round < numMerges && !done) {
+        val counts = scala.collection.mutable.Map[Long, Long]()
+        types.foreach { case (ids, c) =>
+          (0 until ids.length - 1).foreach { i =>
+            val k = (ids(i).toLong << 32) | (ids(i + 1).toLong & 0xFFFFFFFFL)
+            counts(k) = counts.getOrElse(k, 0L) + c
+          }
+        }
+        val live = counts.filter(_._2 >= minCount)
+        if (live.isEmpty) done = true
+        else {
+          val (k, _) = live.minBy { case (k, c) => (-c, k) }
+          val (l, r) = ((k >>> 32).toInt, (k & 0xFFFFFFFFL).toInt)
+          out += ((l, r))
+          types = types.map { case (ids, c) =>
+            (Bpe.applyMerge(ids, l, r, 256 + round), c)
+          }.filter(_._1.length >= 2)
+          round += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val words = Seq.fill(40)(
+        (1 to (2 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+      val df = Seq(words.mkString(" ")).toDF("text")
+      val got = BpeTrain.train(df, "text", numMerges = 20)
+      val types = words.filter(_.length >= 2).groupBy(identity).map { case (w, g) =>
+        (w.getBytes("UTF-8").map(_ & 0xFF), g.size.toLong) }.toSeq
+      assert(got === naive(types, 20, 2L), s"trial $trial: ${words.mkString(" ")}")
+    }
+    // one trial through the distributed loop too (costly per round)
+    val words = Seq.fill(30)(
+      (1 to (2 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val df = Seq(words.mkString(" ")).toDF("text")
+    assert(BpeTrain.train(df, "text", 8, driverMaxWordTypes = 0L) ===
+      BpeTrain.train(df, "text", 8))
+  }
+
   test("compileIds validates ranks; renderMerges rejects non-ASCII bytes") {
     intercept[IllegalArgumentException](Bpe.compileIds(Seq((97, 300)))) // undefined id
     intercept[IllegalArgumentException](Bpe.compileIds(Seq((97, 98), (97, 98))))

@@ -693,5 +693,12 @@ class CatalogSpec extends SparkSpec {
         s"SELECT id, v, ts FROM graft.db.mor1_rt VERSION AS OF ${cur - 1}")
       .as[(Int, String, Long)].collect().toSet
     assert(rtOverlay === Set((1, "a", 1L), (2, "b2", 2L), (3, "c", 2L)))
+    // the rt face's V1 bridge hands translated filters + the projection
+    // back into the merged-view plan (PrunedFilteredScan): translatable
+    // conjuncts, untranslatable ones (Spark re-applies them above), and
+    // projection order all behave
+    assert(spark.sql(
+        "SELECT ts, v FROM graft.db.mor1_rt WHERE id % 2 = 1 AND id <= 3")
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "c")))
   }
 }
