@@ -1493,6 +1493,43 @@ object SparkEntry {
       |SELECT doc_id, round(rrf, 6) AS rrf, CAST(n_lists AS BIGINT) AS n_lists
       |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Q104 — LINE-level dedup ([[ext.Dedup.dedupLines]], the CCNet/Dolma
+   *  paragraph granularity between q20's whole-document dedup and q71's
+   *  token-span removal): every distinct non-empty line keeps only its
+   *  minimum-(doc, position) occurrence — the boilerplate-header removal
+   *  pass. Three planted lines per doc ("header" everywhere, seg by
+   *  id%7, tail by id%3) give every doc past id 6 a fully-deduplicated
+   *  body, and the oracle replays the winner rule relationally
+   *  (row_number over (line) ordered by (doc, pos)). */
+  private def dedupLinesQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat_ws("\n", lit("header"),
+          concat(lit("seg"), col("doc_id") % 7),
+          concat(lit("tail"), col("doc_id") % 3)).as("body"))
+    ext.Dedup.dedupLines(docs, "doc_id", "body")
+      .select(col("id").as("doc_id"), col("text_dedup"), col("n_removed"))
+      .orderBy("doc_id")
+  }
+  private val Q104Duck =
+    """WITH d AS (SELECT doc_id,
+      |  ['header', 'seg' || (doc_id % 7), 'tail' || (doc_id % 3)] AS tk
+      |  FROM documents),
+      |l AS (SELECT doc_id, o.pos AS pos, o.line AS line FROM d,
+      |      unnest([{'pos': i - 1, 'line': tk[i]}
+      |              for i in range(1, len(tk) + 1)]) AS u(o)),
+      |k AS (SELECT doc_id, pos, line,
+      |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      |      FROM l),
+      |agg AS (SELECT doc_id,
+      |          string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+      |          count(*) AS n_kept
+      |        FROM k WHERE rn = 1 GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(agg.text_dedup, '') AS text_dedup,
+      |  CAST(3 - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM d LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Q79 — int8 scalar-quantized ANN ([[ext.Similarity.quantizedTopK]]):
    *  both sides quantize map-side to 4×-smaller int8 codes (SQ8), and
    *  scoring is the pure integer [[ext.functions.int8Cosine]] kernel —
@@ -2942,7 +2979,8 @@ object SparkEntry {
     "q100_bpe_train" -> bpeTrainQuery,
     "q101_mor_faces" -> morFacesQuery,
     "q102_embedding_pairs_auto" -> embeddingPairsAutoQuery,
-    "q103_rrf_fusion" -> rrfFuseQuery)
+    "q103_rrf_fusion" -> rrfFuseQuery,
+    "q104_dedup_lines" -> dedupLinesQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3075,7 +3113,8 @@ object SparkEntry {
     // identical result set to q48 (planted copies collide under any LSH
     // geometry; the cos filter excludes every background pair exactly)
     "q102_embedding_pairs_auto" -> Q48Duck,
-    "q103_rrf_fusion" -> Q103Duck)
+    "q103_rrf_fusion" -> Q103Duck,
+    "q104_dedup_lines" -> Q104Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

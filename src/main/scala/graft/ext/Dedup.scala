@@ -42,6 +42,63 @@ object Dedup {
         min(col(tieBreak)).as("keep_" + tieBreak),
         count(lit(1)).as("copies"))
 
+  /**
+   * LINE-level (paragraph-level) exact dedup across the corpus — the
+   * CCNet/Dolma granularity between [[exact]] (whole documents) and
+   * [[TextAnalysis.removeDuplicatedSpans]] (token spans): every distinct
+   * non-empty line keeps only its CANONICAL first occurrence (minimum
+   * (doc id, position)), all other copies are cut, and each document
+   * reassembles from its surviving lines in original order. Boilerplate
+   * headers/footers repeated across a crawl disappear from every page
+   * but one. Returns one row per input document:
+   * `(id, text_dedup, n_removed)` — fully-deduplicated documents come
+   * back with an empty string, not a dropped row.
+   *
+   * Empty lines never participate (they reassemble verbatim): deduping
+   * them would collapse every blank separator in the corpus onto one
+   * document's.
+   *
+   * Scale shape: one explode, a hash aggregate on the 64-bit line hash
+   * (shuffles move longs, the [[TextHash]] collision trade), an
+   * equi-join back on the hash, and one per-document reassembly
+   * aggregate — no cross join, no driver data, cost linear in corpus
+   * lines.
+   */
+  def dedupLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+    val nonEmpty = lines.filter(length(col("line")) > 0)
+      .withColumn("h", xxhash64(col("line")))
+    val winners = nonEmpty.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+    val kept = nonEmpty.join(winners, "h")
+      .filter(col("id") === col("w.id") && col("pos") === col("w.pos"))
+      .select("id", "pos", "line")
+      .unionByName(lines.filter(length(col("line")) === 0)
+        .select("id", "pos", "line"))
+    val reassembled = kept.groupBy("id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x("line")), sep).as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col(idCol).as("id"),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("n_lines"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"))
+  }
+
   /** Spread a narrow input across the cluster before a CPU-heavy map
    *  stage: a single-file corpus otherwise shingles on ONE core while 31
    *  idle. The pre-shuffle moves only the raw input once; no-op when the

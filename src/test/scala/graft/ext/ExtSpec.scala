@@ -1599,6 +1599,25 @@ class ExtSpec extends SparkSpec {
     assert(top1 === expect.take(1))
   }
 
+  test("dedupLines: cross-corpus line dedup keeps canonical first occurrences") {
+    val docs = Seq(
+      (1L, "a\nb\n\nc"),
+      (2L, "b\nx\na"),
+      (3L, "c\nc")).toDF("id", "text")
+    val got = Dedup.dedupLines(docs, "id", "text")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // doc1 keeps everything (all first occurrences; the empty line rides
+    // along verbatim), doc2 keeps only its novel line, doc3 loses both
+    // copies of c to doc1's canonical one — but stays as a row
+    assert(got === Seq(
+      (1L, "a\nb\n\nc", 0L),
+      (2L, "x", 2L),
+      (3L, "", 2L)))
+    // within-document duplicates collapse onto the first position too
+    assert(Dedup.dedupLines(Seq((9L, "p\np\nq")).toDF("id", "text"), "id", "text")
+      .as[(Long, String, Long)].head() === ((9L, "p\nq", 1L)))
+  }
+
   test("rrfFuse: rank-based fusion matches the hand-computed combination") {
     val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val den = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("id", "rank")
