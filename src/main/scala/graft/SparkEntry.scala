@@ -1391,6 +1391,37 @@ object SparkEntry {
       |FROM documents d LEFT JOIN contam c USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Q105 — contamination overlap REPORT
+   *  ([[ext.Decontaminate.overlapReport]]): q54's probe graded into the
+   *  per-document distinct-5-gram overlap fraction — the score
+   *  threshold-based decontamination policies (GPT-3 appendix / Llama
+   *  data papers) cut on; q54's boolean is the `frac > 0` special case.
+   *  Hashed-gram counts vs the oracle's string grams: identical modulo
+   *  2⁻⁶⁴ collisions, the q21/q25 argument. */
+  private def overlapReportQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 20 === 3).select(col("text"))
+    ext.Decontaminate.overlapReport(docs, "doc_id", "text", bench, "text", n = 5)
+      .select(col("id").as("doc_id"), col("matched"), col("total"),
+        round(col("frac"), 4).as("frac"))
+      .orderBy("doc_id")
+  }
+  private val Q105Duck =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  unnest(list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+      |                        for i in range(1, len(t) - 3)])) AS s
+      |  FROM t),
+      |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 3),
+      |m AS (SELECT sh.doc_id, count(*) AS total, count(b.s) AS matched
+      |      FROM sh LEFT JOIN b ON sh.s = b.s GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(matched, 0) AS BIGINT) AS matched,
+      |  CAST(coalesce(total, 0) AS BIGINT) AS total,
+      |  round(CASE WHEN coalesce(total, 0) = 0 THEN 0.0
+      |        ELSE matched::DOUBLE / total END, 4) AS frac
+      |FROM documents d LEFT JOIN m USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Q48 — embedding cosine near-dup pairs ([[ext.Dedup.embeddingPairs]],
    *  hyperplane-LSH bucket join + exact cosine filter). The embeddings
    *  fixture has NO planted near-dups (max background cosine ≈ 0.51), so
@@ -2980,7 +3011,8 @@ object SparkEntry {
     "q101_mor_faces" -> morFacesQuery,
     "q102_embedding_pairs_auto" -> embeddingPairsAutoQuery,
     "q103_rrf_fusion" -> rrfFuseQuery,
-    "q104_dedup_lines" -> dedupLinesQuery)
+    "q104_dedup_lines" -> dedupLinesQuery,
+    "q105_contam_report" -> overlapReportQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3114,7 +3146,8 @@ object SparkEntry {
     // geometry; the cos filter excludes every background pair exactly)
     "q102_embedding_pairs_auto" -> Q48Duck,
     "q103_rrf_fusion" -> Q103Duck,
-    "q104_dedup_lines" -> Q104Duck)
+    "q104_dedup_lines" -> Q104Duck,
+    "q105_contam_report" -> Q105Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -65,6 +65,48 @@ object Decontaminate {
   }
 
   /**
+   * Per-document contamination REPORT: how much of each document's
+   * distinct n-gram set appears in the benchmark — the graded score
+   * behind threshold-based decontamination policies (the GPT-3 appendix
+   * / Llama data-paper "high-overlap document" rules pick a cutoff on
+   * exactly this fraction; [[flag]] is the `frac > 0` special case).
+   * Returns every corpus row as `(id, matched, total, frac)` with
+   * `frac = matched / total` over DISTINCT grams ([[TextHash
+   * .hashedShingles]] already emits each document's distinct sorted
+   * hashes); documents shorter than `n` tokens report `(0, 0, 0.0)`.
+   *
+   * Same scale shape as [[contaminatedIds]]: the benchmark's distinct
+   * hashes broadcast, the corpus never shuffles for the probe — the
+   * only shuffle is the per-document match count, which moves one row
+   * per (doc, matched gram), bounded by corpus grams.
+   */
+  def overlapReport(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val benchSh0 = benchmark
+      .select(explode(functions.hashedShingles(col(benchTextCol), n)).as("s"))
+      .distinct()
+    val benchSh = if (broadcastBenchmark) broadcast(benchSh0) else benchSh0
+    val grams = corpus.select(col(idCol).as("id"),
+      functions.hashedShingles(col(textCol), n).as("sh"))
+    val matched = grams
+      .select(col("id"), explode(col("sh")).as("s"))
+      .join(benchSh, Seq("s"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("matched"))
+    grams
+      .select(col("id"), size(col("sh")).cast("long").as("total"))
+      .join(matched.withColumnRenamed("id", "__m_id"),
+        col("id") <=> col("__m_id"), "left")
+      .select(col("id"),
+        coalesce(col("matched"), lit(0L)).as("matched"),
+        col("total"),
+        when(col("total") === 0, lit(0.0))
+          .otherwise(coalesce(col("matched"), lit(0L)).cast("double") / col("total"))
+          .as("frac"))
+  }
+
+  /**
    * SEMANTIC decontamination: flag training documents whose embedding
    * sits within `minCos` cosine of ANY evaluation embedding — the
    * paraphrase leakage n-gram overlap cannot see (reworded benchmark

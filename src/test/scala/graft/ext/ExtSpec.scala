@@ -1599,6 +1599,20 @@ class ExtSpec extends SparkSpec {
     assert(top1 === expect.take(1))
   }
 
+  test("overlapReport grades distinct-gram overlap; flag is its frac>0 case") {
+    val docs = Seq(
+      (1L, "a b c d e f"),     // 3-grams: abc bcd cde def
+      (2L, "c d e x y z"),     // 3-grams: cde dex exy xyz
+      (3L, "q r")).toDF("id", "text") // shorter than n: no grams
+    val bench = Seq("a b c d e").toDF("text") // grams: abc bcd cde
+    val got = Decontaminate.overlapReport(docs, "id", "text", bench, "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 3L, 4L, 0.75),
+      (2L, 1L, 4L, 0.25),
+      (3L, 0L, 0L, 0.0)))
+  }
+
   test("dedupLines: cross-corpus line dedup keeps canonical first occurrences") {
     val docs = Seq(
       (1L, "a\nb\n\nc"),
