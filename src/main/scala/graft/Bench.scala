@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
  * ordering matters — round 6's recorded bench lost q01–q19 and the suite
  * total to the tail capture):
  *
- *   1. a full detail JSON line (all 84 medians + mins + per-rep times for
+ *   1. a full detail JSON line (every query's median + min, per-rep times for
  *      the mutation queries) — printed first AND written to
  *      `BENCH_DETAIL.json` in the working directory so it survives intact;
  *   2. a compact headline JSON line printed LAST (< ~1800 chars): suite

@@ -1422,6 +1422,41 @@ object SparkEntry {
       |FROM documents d LEFT JOIN m USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Q106 — temperature-balanced mixing
+   *  ([[ext.Sampling.temperatureMix]], the mT5/XLM-R multilingual
+   *  sampling rule): per-language keep rates derived from
+   *  count^(1/T)/Σcount^(1/T) against a 2000-row target, selection by
+   *  the engine-portable id-hash arithmetic. T = 0.5 makes the power
+   *  exact (w = c², integer-exact in doubles), so the oracle replays
+   *  the WHOLE derivation — counts → weights → clamped 1e-6-grid rates
+   *  → thresholds — plus the selection, and the exact chosen document
+   *  set must match. */
+  private def temperatureMixQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    ext.Sampling.temperatureMix(docs, "doc_id", "lang",
+        targetRows = 2000L, temperature = 0.5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+  private val Q106Duck = {
+    val m = ext.Sampling.Modulus
+    val a = ext.Sampling.Mult
+    val salt = ext.Sampling.DefaultSalt
+    s"""WITH c AS (SELECT lang, count(*) AS c FROM documents
+       |           WHERE lang IS NOT NULL GROUP BY 1),
+       |z AS (SELECT sum(c * c) AS z FROM c),
+       |f AS (SELECT lang,
+       |        floor(least(1.0::DOUBLE, (2000 * c * c)::DOUBLE / (z * c)::DOUBLE)
+       |              * 1000000) / 1000000 AS f
+       |      FROM c CROSS JOIN z),
+       |b AS (SELECT doc_id, lang,
+       |        (((doc_id % $m) * $a + $salt) % $m * $a + $salt) % $m AS b
+       |      FROM documents)
+       |SELECT doc_id, lang FROM b JOIN f USING (lang)
+       |WHERE b < CAST(floor(f * $m) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Q48 — embedding cosine near-dup pairs ([[ext.Dedup.embeddingPairs]],
    *  hyperplane-LSH bucket join + exact cosine filter). The embeddings
    *  fixture has NO planted near-dups (max background cosine ≈ 0.51), so
@@ -3012,7 +3047,8 @@ object SparkEntry {
     "q102_embedding_pairs_auto" -> embeddingPairsAutoQuery,
     "q103_rrf_fusion" -> rrfFuseQuery,
     "q104_dedup_lines" -> dedupLinesQuery,
-    "q105_contam_report" -> overlapReportQuery)
+    "q105_contam_report" -> overlapReportQuery,
+    "q106_temperature_mix" -> temperatureMixQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3147,7 +3183,8 @@ object SparkEntry {
     "q102_embedding_pairs_auto" -> Q48Duck,
     "q103_rrf_fusion" -> Q103Duck,
     "q104_dedup_lines" -> Q104Duck,
-    "q105_contam_report" -> Q105Duck)
+    "q105_contam_report" -> Q105Duck,
+    "q106_temperature_mix" -> Q106Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -75,6 +75,50 @@ object Sampling {
   }
 
   /**
+   * TEMPERATURE-balanced corpus mixing — the multilingual sampling rule
+   * (mT5 / XLM-R and the Llama-family data recipes): group `g`'s
+   * expected share of the ~`targetRows` output is
+   * `count_g^(1/temperature) / Σ count^(1/temperature)`. T > 1 flattens
+   * toward uniform (small languages upsample — capped at keeping every
+   * row, rates clamp to 1), T < 1 sharpens toward the head, T = 1 is
+   * proportional (uniform rate across groups). Selection rides the same
+   * deterministic id-hash arithmetic as [[mixByGroup]]; the derived
+   * rates are floored to a 1e-6 grid, so an external engine replaying
+   * the derivation lands on the identical rate even when its `pow`
+   * differs in the last ulp. `z` sums in group-key order (doubles are
+   * order-sensitive; exact-replay oracles additionally pick a
+   * temperature whose power is exact, e.g. 1/T = 2).
+   *
+   * One |groups|-row aggregate to the driver derives the rates; the
+   * selection itself is [[mixByGroup]]'s map-side codegen'd filter —
+   * nothing else moves. NULL-group rows are dropped, as [[mixByGroup]]
+   * drops unlisted groups.
+   */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      targetRows: Long,
+      temperature: Double,
+      salt: Long = DefaultSalt): DataFrame = {
+    require(temperature > 0.0, s"temperature $temperature must be > 0")
+    require(targetRows > 0, s"targetRows $targetRows must be > 0")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val z = counts.map { case (_, c) => math.pow(c.toDouble, 1.0 / temperature) }.sum
+    val fractions = counts.map { case (g, c) =>
+      val w = math.pow(c.toDouble, 1.0 / temperature)
+      // association fixed as (N·w)/(z·c) — the form an oracle replays
+      val f0 = (targetRows * w) / (z * c)
+      g -> math.floor(math.min(1.0, f0) * 1e6) / 1e6
+    }.toMap
+    mixByGroup(df, idCol, groupCol, fractions, salt)
+  }
+
+  /**
    * Deterministic train/val/test split assignment: every row gets a
    * `split` label decided purely by its id hash against cumulative
    * fraction cutoffs — the same row lands in the same split on every

@@ -1599,6 +1599,32 @@ class ExtSpec extends SparkSpec {
     assert(top1 === expect.take(1))
   }
 
+  test("temperatureMix: T=1 proportional, T→large flattens, clamps at 1") {
+    // groups: a×900, b×90, c×10 over ids 0..999
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("g", when(col("id") < 900, "a").when(col("id") < 990, "b")
+        .otherwise("c"))
+    // T=1: every group keeps ~ the same fraction target/total = 0.5
+    val t1 = Sampling.temperatureMix(df, "id", "g", targetRows = 500L, temperature = 1.0)
+    val byG = t1.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash selection is rate-accurate, not exact — wide tolerance
+    assert(math.abs(byG("a") - 450L) < 60, byG.toString)
+    // T large → near-uniform shares: the tiny group's rate clamps at 1
+    // (keeps all 10 rows), the big group keeps far fewer than T=1 would
+    val tBig = Sampling.temperatureMix(df, "id", "g", targetRows = 300L, temperature = 100.0)
+    val byG2 = tBig.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG2("c") === 10L, byG2.toString) // clamped: every row kept
+    assert(byG2("a") < byG("a"), byG2.toString)
+    // deterministic: same call, same exact selection
+    assert(t1.select("id").as[Long].collect().toSet ===
+      Sampling.temperatureMix(df, "id", "g", 500L, 1.0).select("id")
+        .as[Long].collect().toSet)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(df, "id", "g", 500L, 0.0))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(df, "id", "g", 0L, 1.0))
+  }
+
   test("overlapReport grades distinct-gram overlap; flag is its frac>0 case") {
     val docs = Seq(
       (1L, "a b c d e f"),     // 3-grams: abc bcd cde def
