@@ -486,33 +486,42 @@ class GraftRtTable(
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    // Pushdown happens at the DSv2 LAYER (V2ScanRelationPushDown talks
+    // to the ScanBuilder; the V1 wrapper only ever calls the no-arg
+    // TableScan.buildScan) — so the builder captures pushed filters and
+    // the pruned projection, and buildScan applies them INSIDE the
+    // merged-view plan: Catalyst then pushes the predicates into the
+    // base parquet scan (and the delta overlay's scans). `WHERE id = 5`
+    // through the face stats-prunes and row-group-skips like the API
+    // path instead of materializing the whole base through the row
+    // bridge. Every filter is also RETURNED as a post-scan filter —
+    // Spark re-applies them, so partial translation is always safe.
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var pushed: Array[Filter] = Array.empty
+      private var required: Option[StructType] = None
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema)
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = snapshotSchema
+        override def readSchema(): StructType = required.getOrElse(snapshotSchema)
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: org.apache.spark.sql.SQLContext): T =
-          // PrunedFilteredScan, not bare TableScan: translated predicates
-          // and the column projection re-enter the merged-view PLAN, so
-          // Catalyst pushes them into the base parquet scan (and the
-          // delta overlay's scans) — `WHERE id = 5` through the face
-          // stats-prunes and row-group-skips like the API path instead
-          // of materializing the whole base through the row bridge.
-          // Spark re-applies every filter above, so partial translation
-          // is always safe.
-          new BaseRelation with TableScan with PrunedFilteredScan {
+          new BaseRelation with TableScan {
             override def sqlContext: org.apache.spark.sql.SQLContext = context
-            override def schema: StructType = snapshotSchema
-            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-              table.readVersion(snapshotVersion).rdd
-            override def buildScan(
-                requiredColumns: Array[String],
-                filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            override def schema: StructType = readSchema()
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
               val base = table.readVersion(snapshotVersion)
-              val filtered = filters.flatMap(GraftScanBuilder.toColumn)
+              val filtered = pushed.flatMap(GraftScanBuilder.toColumn)
                 .foldLeft(base)(_ filter _)
-              val pruned =
-                if (requiredColumns.isEmpty) filtered
-                else filtered.select(requiredColumns.map(col).toSeq: _*)
+              // zero-column projections (count(*)) are legal: select()
+              // keeps the row count with no fields
+              val pruned = required
+                .map(rs => filtered.select(rs.fieldNames.map(col).toSeq: _*))
+                .getOrElse(filtered)
               pruned.rdd
             }
           }.asInstanceOf[T]

@@ -694,11 +694,39 @@ class CatalogSpec extends SparkSpec {
       .as[(Int, String, Long)].collect().toSet
     assert(rtOverlay === Set((1, "a", 1L), (2, "b2", 2L), (3, "c", 2L)))
     // the rt face's V1 bridge hands translated filters + the projection
-    // back into the merged-view plan (PrunedFilteredScan): translatable
-    // conjuncts, untranslatable ones (Spark re-applies them above), and
-    // projection order all behave
+    // back into the merged-view plan: translatable conjuncts,
+    // untranslatable ones (Spark re-applies them above), and projection
+    // order all behave
     assert(spark.sql(
         "SELECT ts, v FROM graft.db.mor1_rt WHERE id % 2 = 1 AND id <= 3")
       .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "c")))
+    // ...and the pushdown is REAL, twice over: (1) the planner consults
+    // the face's ScanBuilder — the physical scan advertises the pushed
+    // predicate — and (2) the captured filters/projection apply INSIDE
+    // buildScan (driving the builder directly returns already-filtered,
+    // already-pruned rows; no outer Filter exists to mask a no-op)
+    val facePlan = executedPlanString(
+      spark.sql("SELECT v FROM graft.db.mor1_rt WHERE id = 2"))
+    assert(facePlan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"),
+      facePlan)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val rt = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("db"), "mor1_rt"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val sb = rt.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+    sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(Array(org.apache.spark.sql.sources.EqualTo("id", 2)))
+    sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    val rel = sb.build().asInstanceOf[org.apache.spark.sql.connector.read.V1Scan]
+      .toV1TableScan[org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan](spark.sqlContext)
+    val inner = rel.buildScan().collect()
+    assert(inner.length === 1 && inner.head.length === 1 &&
+      inner.head.getString(0) === "b2", inner.toSeq.toString)
   }
 }

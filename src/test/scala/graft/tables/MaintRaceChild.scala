@@ -41,6 +41,19 @@ object MaintRaceChild {
     role match {
       case "ingest" =>
         (1 to iters).foreach { i =>
+          if (i == 6) {
+            // overlap is GUARANTEED, not hoped for: don't finish ingest
+            // until maintenance has landed at least one compaction, so
+            // appends 6.. provably commit after (and race with) it —
+            // without this gate a slow-starting maint JVM could see only
+            // a finished corpus and the race would go unexercised
+            val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+            while (!table.history().exists(_.action == "compact") &&
+                System.nanoTime() < deadline)
+              Thread.sleep(20)
+            require(table.history().exists(_.action == "compact"),
+              "no compaction observed mid-ingest; race never overlapped")
+          }
           retrying(s"append $i")(
             table.append(Seq((s"a$i", i)).toDF("writer", "n")))
           Thread.sleep(40) // spread the appends across the maint window

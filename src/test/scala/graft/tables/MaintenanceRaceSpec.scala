@@ -166,6 +166,13 @@ class MaintenanceRaceSpec extends SparkSpec {
     val versions = t.history().map(_.version).sorted
     assert(versions === (versions.head to versions.last))
     assert(t.history().exists(_.action == "compact"), "no compaction committed")
+    // the race genuinely interleaved (the ingest child gates on it, the
+    // log proves it): appends landed BOTH before and after a compaction
+    val hist = t.history()
+    val compactVs = hist.filter(_.action == "compact").map(_.version)
+    val appendVs = hist.filter(_.action == "append").map(_.version)
+    assert(appendVs.min < compactVs.min, "no append before the first compaction")
+    assert(appendVs.max > compactVs.min, "no append after a compaction")
     // maintenance left the table fully readable after an aggressive GC
     t.vacuum(retainVersions = 1, retainMillis = 0L)
     assert(t.read().count() === appends + 1)
