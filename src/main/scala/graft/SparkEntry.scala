@@ -1457,6 +1457,33 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Q107 — corpus length-distribution profiling: per-language
+   *  p50/p90/p99 token counts via SQL-standard `PERCENTILE_DISC` — the
+   *  numbers a pipeline reads off to PICK its length-filter thresholds
+   *  (q73's rules consume exactly such cutoffs). DISC, not CONT, on
+   *  purpose: discrete percentiles return actual data values (integers
+   *  here), so the cross-engine comparison is exact with no
+   *  interpolation arithmetic to align. Stock Spark exact percentile —
+   *  a one-shuffle sort-based aggregate; for streaming/mergeable
+   *  profiling at 100 TB the KMV/TopItems sketch family (q58/q60/q95)
+   *  is the bounded-memory counterpart. */
+  private val Q107 =
+    """SELECT lang,
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT) AS p50,
+      |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n) AS BIGINT) AS p90,
+      |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS BIGINT) AS p99,
+      |  count(*) AS docs
+      |FROM (SELECT lang, size(split(text, ' ')) AS n FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  private val Q107Duck =
+    """SELECT lang,
+      |  CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+      |  CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90,
+      |  CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99,
+      |  count(*) AS docs
+      |FROM (SELECT lang, len(string_split(text, ' ')) AS n FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Q48 — embedding cosine near-dup pairs ([[ext.Dedup.embeddingPairs]],
    *  hyperplane-LSH bucket join + exact cosine filter). The embeddings
    *  fixture has NO planted near-dups (max background cosine ≈ 0.51), so
@@ -3048,7 +3075,8 @@ object SparkEntry {
     "q103_rrf_fusion" -> rrfFuseQuery,
     "q104_dedup_lines" -> dedupLinesQuery,
     "q105_contam_report" -> overlapReportQuery,
-    "q106_temperature_mix" -> temperatureMixQuery)
+    "q106_temperature_mix" -> temperatureMixQuery,
+    "q107_length_percentiles" -> q(Q107))
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3184,7 +3212,8 @@ object SparkEntry {
     "q103_rrf_fusion" -> Q103Duck,
     "q104_dedup_lines" -> Q104Duck,
     "q105_contam_report" -> Q105Duck,
-    "q106_temperature_mix" -> Q106Duck)
+    "q106_temperature_mix" -> Q106Duck,
+    "q107_length_percentiles" -> Q107Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique
