@@ -123,6 +123,67 @@ class MaintenanceRaceSpec extends SparkSpec {
       Set((1, "a", 0L), (2, "b2", 1L), (9, "z", 0L)))
   }
 
+  test("threaded mixed race: appends + compact + z-order, nothing lost or doubled") {
+    // in-JVM stress of the combined conflict rules: two appenders (blind
+    // appends auto-rebase past file-only commits) race one maintenance
+    // thread alternating compaction and z-order (both rebase past
+    // disjoint appends). Serializability criterion: every appended row
+    // present exactly once at the end, contiguous log, readable head.
+    val root = tmpDir("mixed_race")
+    SnapshotTable.create(spark, root,
+      Seq(("seed", 0, 0)).toDF("writer", "n", "n2"))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def worker(name: String)(body: SnapshotTable => Unit): Thread = {
+      val th = new Thread(() => {
+        try body(SnapshotTable(spark, root))
+        catch { case e: Throwable => errors.add(e); () }
+      }, name)
+      th.start(); th
+    }
+    def retrying(op: => Unit): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        require(attempts <= 100, "starved")
+        try { op; done = true }
+        catch { case _: SnapshotTable.ConcurrentCommitException => Thread.sleep(2) }
+      }
+    }
+    val a = worker("appender-a") { t =>
+      (1 to 12).foreach { i =>
+        retrying(t.append(Seq((s"a$i", i, i * 7)).toDF("writer", "n", "n2")))
+        Thread.sleep(3)
+      }
+    }
+    val b = worker("appender-b") { t =>
+      (1 to 12).foreach { i =>
+        retrying(t.append(Seq((s"b$i", i, i * 3)).toDF("writer", "n", "n2")))
+        Thread.sleep(3)
+      }
+    }
+    val m = worker("maintenance") { t =>
+      (1 to 6).foreach { i =>
+        retrying {
+          if (i % 2 == 0) { t.compact(1L << 30, 1L << 30); () }
+          else graft.ext.ZOrder.optimize(t, Seq("n", "n2"), 1)
+        }
+        Thread.sleep(10)
+      }
+    }
+    Seq(a, b, m).foreach(_.join(120000))
+    assert(errors.isEmpty, errors.toArray.mkString("; "))
+    val t = SnapshotTable(spark, root)
+    val rows = t.read().as[(String, Int, Int)].collect().toSeq
+    assert(rows.size === rows.toSet.size, "duplicated rows")
+    assert(rows.toSet === (("seed", 0, 0) +:
+      ((1 to 12).map(i => (s"a$i", i, i * 7)) ++
+        (1 to 12).map(i => (s"b$i", i, i * 3)))).toSet,
+      "lost or phantom rows")
+    val versions = t.history().map(_.version).sorted
+    assert(versions === (versions.head to versions.last))
+  }
+
   private val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
