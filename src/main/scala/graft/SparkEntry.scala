@@ -1554,9 +1554,11 @@ object SparkEntry {
     val dense = ext.Similarity.bruteForceTopK(
         emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
       .select(col("n_id").as("doc_id"), col("rank"))
+    // rrfFuse rounds internally and ORDERS on the rounded score (ties by
+    // id), exactly as the oracle's ORDER BY binds to its rounded alias
     ext.Search.rrfFuse(Seq(lex.select("doc_id", "rank"), dense),
         "doc_id", "rank", k = 10)
-      .select(col("doc_id"), round(col("rrf"), 6).as("rrf"), col("n_lists"))
+      .select(col("doc_id"), col("rrf"), col("n_lists"))
   }
   private val Q103Duck =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

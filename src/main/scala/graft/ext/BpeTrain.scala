@@ -93,10 +93,15 @@ object BpeTrain {
       words: DataFrame,
       numMerges: Int,
       minCount: Long): Seq[(Int, Int)] = {
-    val types: Array[(Array[Int], Long)] = words.collect().map { r =>
-      val bytes = r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      (bytes.map(_ & 0xFF), r.getLong(1))
-    }
+    // byte extraction through the SAME kernel the distributed path uses
+    // ([[functions.utf8Bytes]], raw UTF8String bytes): a java.lang.String
+    // round trip would substitute U+FFFD for invalid UTF-8 and the two
+    // paths could learn different merges on byte-dirty corpora
+    val types: Array[(Array[Int], Long)] = words
+      .select(graft.ext.functions.utf8Bytes(col("w")).as("ids"), col("cnt"))
+      .collect().map { r =>
+        (r.getSeq[Int](0).toArray, r.getLong(1))
+      }
     val seqs: Array[Array[Int]] = types.map(_._1)
     val weights: Array[Long] = types.map(_._2)
     @inline def key(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xFFFFFFFFL)

@@ -76,9 +76,11 @@ object Decontaminate {
    * hashes); documents shorter than `n` tokens report `(0, 0, 0.0)`.
    *
    * Same scale shape as [[contaminatedIds]]: the benchmark's distinct
-   * hashes broadcast, the corpus never shuffles for the probe — the
-   * only shuffle is the per-document match count, which moves one row
-   * per (doc, matched gram), bounded by corpus grams.
+   * hashes broadcast, and the corpus tokenizes + shingle-hashes ONCE —
+   * a single explode carrying the per-document total, one broadcast
+   * LEFT join marking hits, one per-document aggregate. (A semi-join
+   * branch plus a separate total branch would run the dominant
+   * tokenize-hash pass twice.)
    */
   def overlapReport(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 8,
@@ -87,22 +89,20 @@ object Decontaminate {
     val benchSh0 = benchmark
       .select(explode(functions.hashedShingles(col(benchTextCol), n)).as("s"))
       .distinct()
+      .withColumn("__hit", lit(true))
     val benchSh = if (broadcastBenchmark) broadcast(benchSh0) else benchSh0
-    val grams = corpus.select(col(idCol).as("id"),
-      functions.hashedShingles(col(textCol), n).as("sh"))
-    val matched = grams
-      .select(col("id"), explode(col("sh")).as("s"))
-      .join(benchSh, Seq("s"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("matched"))
-    grams
-      .select(col("id"), size(col("sh")).cast("long").as("total"))
-      .join(matched.withColumnRenamed("id", "__m_id"),
-        col("id") <=> col("__m_id"), "left")
+    corpus
+      .select(col(idCol).as("id"), functions.hashedShingles(col(textCol), n).as("sh"))
+      // explode_outer: a doc shorter than n keeps its row (s NULL, total 0)
       .select(col("id"),
-        coalesce(col("matched"), lit(0L)).as("matched"),
-        col("total"),
+        coalesce(size(col("sh")), lit(0)).cast("long").as("total"),
+        explode_outer(col("sh")).as("s"))
+      .join(benchSh, Seq("s"), "left")
+      .groupBy("id")
+      .agg(count(col("__hit")).as("matched"), max(col("total")).as("total"))
+      .select(col("id"), col("matched"), col("total"),
         when(col("total") === 0, lit(0.0))
-          .otherwise(coalesce(col("matched"), lit(0L)).cast("double") / col("total"))
+          .otherwise(col("matched").cast("double") / col("total"))
           .as("frac"))
   }
 

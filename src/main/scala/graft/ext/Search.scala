@@ -85,15 +85,21 @@ object Search {
    * to the corpus — each retriever did its own pruning); fusion is one
    * union + one hash aggregate over ≤ Σ kᵢ rows, then a bounded sort.
    * Determinism: each contribution is one exact IEEE division and
-   * groups sum at most `rankings.size` terms, so an external engine
-   * replays the exact fused ordering.
+   * groups sum at most `rankings.size` terms; the order is decided on
+   * the score ROUNDED to `roundTo` decimals (ties by id) — the
+   * [[bm25TopK]] rule: rank and emitted value can never disagree, so an
+   * external engine ordering on the emitted score replays the exact
+   * cut. (Distinct two-term reciprocal sums can sit closer together
+   * than the rounding quantum — ordering on the unrounded score while
+   * emitting the rounded one would let rank and value contradict.)
    */
   def rrfFuse(
       rankings: Seq[DataFrame],
       idCol: String,
       rankCol: String,
       k: Int,
-      kRrf: Int = 60): DataFrame = {
+      kRrf: Int = 60,
+      roundTo: Int = 6): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     require(k > 0, s"k $k must be positive")
     require(kRrf >= 0, s"kRrf $kRrf must be >= 0")
@@ -101,7 +107,7 @@ object Search {
       (lit(1.0) / (lit(kRrf) + col(rankCol))).as("contrib")))
     contribs.reduce(_.unionByName(_))
       .groupBy(idCol)
-      .agg(sum("contrib").as("rrf"), count(lit(1)).as("n_lists"))
+      .agg(round(sum("contrib"), roundTo).as("rrf"), count(lit(1)).as("n_lists"))
       .orderBy(col("rrf").desc, col(idCol))
       .limit(k)
   }

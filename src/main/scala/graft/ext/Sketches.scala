@@ -81,8 +81,9 @@ object Kmv {
   def deserialize(bytes: Array[Byte]): Buffer = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
     require(bytes.length >= 12 && buf.getInt == Magic,
-      "not a kmv_state blob (bad magic): the column does not hold " +
-        "states serialized by kmv_state")
+      "not a kmv_state blob (bad magic): the column does not hold states " +
+        "serialized by this release's kmv_state — foreign bytes, or a " +
+        "legacy pre-header blob; rebuild the stored states")
     val k = buf.getInt
     val n = buf.getInt
     val b = new Buffer(k)

@@ -474,9 +474,15 @@ class GraftRtTable(
 
   private val snapshotVersion: Long =
     pinnedVersion.getOrElse(table.currentReadable().map(_._1).getOrElse(-1L))
+  // the committed LOGICAL schema from the entry JSON: the merged view
+  // aligns deltas to it by construction, so building the whole merged
+  // plan here just to read .schema would pay delta/DV resolution on
+  // every catalog lookup of the face
   private val snapshotSchema: StructType =
     if (snapshotVersion < 0) new StructType()
-    else table.readVersion(snapshotVersion).schema
+    else org.apache.spark.sql.types.DataType
+      .fromJson(table.commitEntry(snapshotVersion).schemaJson)
+      .asInstanceOf[StructType]
 
   override def name(): String =
     ident.toString + pinnedVersion.map(v => s"@v$v").getOrElse("")

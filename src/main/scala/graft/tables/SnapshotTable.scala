@@ -657,7 +657,12 @@ class SnapshotTable private (
       try {
         writeCommit(baseV + 1,
           CommitEntry(action, df.schema.json, (carried ++ files).sortBy(_.path),
-            prior.flatMap(_.clusterBy), props))
+            prior.flatMap(_.clusterBy), props,
+            // a maintenance re-layout (the only caller) keeps the MoR
+            // key/precombine TABLE config, like every replaceFiles
+            // rewrite; deltas are guaranteed empty by the guard above
+            morKeys = prior.flatMap(_.morKeys),
+            morPrecombine = prior.flatMap(_.morPrecombine)))
         return this
       } catch {
         case e: ConcurrentCommitException =>

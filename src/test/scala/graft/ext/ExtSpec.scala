@@ -1663,10 +1663,12 @@ class ExtSpec extends SparkSpec {
     val den = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("id", "rank")
     val got = Search.rrfFuse(Seq(lex, den), "id", "rank", k = 4, kRrf = 60)
       .as[(Long, Double, Long)].collect().toSeq
-    // doc 20: 1/62 + 1/61 beats doc 10: 1/61 + 1/63; singles by own rank
+    // doc 20: 1/62 + 1/61 beats doc 10: 1/61 + 1/63; singles by own rank.
+    // Scores come back ROUNDED to 6 — the order is decided on them too
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.map(_._1) === Seq(20L, 10L, 40L, 30L))
     assert(got.map(_._2) === Seq(
-      1.0 / 62 + 1.0 / 61, 1.0 / 61 + 1.0 / 63, 1.0 / 62, 1.0 / 63))
+      1.0 / 62 + 1.0 / 61, 1.0 / 61 + 1.0 / 63, 1.0 / 62, 1.0 / 63).map(r6))
     assert(got.map(_._3) === Seq(2L, 2L, 1L, 1L))
     // k truncates AFTER fusion, not per input list
     assert(Search.rrfFuse(Seq(lex, den), "id", "rank", k = 2)
