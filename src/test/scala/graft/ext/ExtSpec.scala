@@ -1658,6 +1658,30 @@ class ExtSpec extends SparkSpec {
       .as[(Long, String, Long)].head() === ((9L, "p\nq", 1L)))
   }
 
+  test("dedupLines == naive first-occurrence reference on seeded random corpora") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val docs = (0L until 12L).map { id =>
+        val lines = Seq.fill(1 + rnd.nextInt(6))(
+          if (rnd.nextInt(4) == 0) "" else "l" + rnd.nextInt(8))
+        (id, lines.mkString("\n"))
+      }
+      // reference model: scan docs in (id, pos) order, keep a line's
+      // first occurrence, keep every empty line
+      val expect: Map[Long, (String, Long)] = {
+        val seen = scala.collection.mutable.Set[String]()
+        docs.map { case (id, text) =>
+          val lines = text.split("\n", -1)
+          val kept = lines.filter(l => l.isEmpty || seen.add(l))
+          id -> ((kept.mkString("\n"), (lines.length - kept.length).toLong))
+        }.toMap
+      }
+      val got = Dedup.dedupLines(docs.toDF("id", "text"), "id", "text")
+        .as[(Long, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(got === expect, s"trial $trial: $docs")
+    }
+  }
+
   test("rrfFuse: rank-based fusion matches the hand-computed combination") {
     val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val den = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("id", "rank")
