@@ -1484,6 +1484,41 @@ object SparkEntry {
       |FROM (SELECT lang, len(string_split(text, ' ')) AS n FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Q108 — fill-in-middle transformation
+   *  ([[ext.TextAnalysis.fimTransform]], Bavarian et al. 2022 — the
+   *  Codex/StarCoder code-data prep): a deterministic half of the
+   *  corpus rewrites PSM-style (`<PRE>prefix<SUF>suffix<MID>middle`,
+   *  cut points from the id-hash streams), the rest passes through.
+   *  Selection AND both character cuts are the engine-portable BIGINT
+   *  arithmetic, so the oracle replays the transformed corpus down to
+   *  the character. */
+  private def fimQuery(s: SparkSession, dir: String): DataFrame =
+    ext.TextAnalysis.fimTransform(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", rate = 0.5)
+      .select(col("doc_id"), col("fim"), col("text_fim"))
+      .orderBy("doc_id")
+  private val Q108Duck = {
+    val m = ext.Sampling.Modulus
+    val a = ext.Sampling.Mult
+    val s0 = ext.Sampling.DefaultSalt
+    val (s1, s2) = (s0 + 1, s0 + 2)
+    val thr = ext.Sampling.threshold(0.5)
+    s"""WITH b AS (SELECT doc_id, text, length(text) AS len,
+       |  (((doc_id % $m) * $a + $s0) % $m * $a + $s0) % $m AS b0,
+       |  (((doc_id % $m) * $a + $s1) % $m * $a + $s1) % $m AS b1,
+       |  (((doc_id % $m) * $a + $s2) % $m * $a + $s2) % $m AS b2
+       |  FROM documents),
+       |p1c AS (SELECT *, CAST(b1 % (len + 1) AS INT) AS p1 FROM b),
+       |p2c AS (SELECT *, p1 + CAST(b2 % (len - p1 + 1) AS INT) AS p2 FROM p1c)
+       |SELECT doc_id, (b0 < $thr) AS fim,
+       |  CASE WHEN b0 < $thr THEN
+       |    '<PRE>' || substr(text, 1, p1) || '<SUF>' ||
+       |    substr(text, p2 + 1, len - p2) || '<MID>' ||
+       |    substr(text, p1 + 1, p2 - p1)
+       |  ELSE text END AS text_fim
+       |FROM p2c ORDER BY doc_id""".stripMargin
+  }
+
   /** Q48 — embedding cosine near-dup pairs ([[ext.Dedup.embeddingPairs]],
    *  hyperplane-LSH bucket join + exact cosine filter). The embeddings
    *  fixture has NO planted near-dups (max background cosine ≈ 0.51), so
@@ -3078,7 +3113,8 @@ object SparkEntry {
     "q104_dedup_lines" -> dedupLinesQuery,
     "q105_contam_report" -> overlapReportQuery,
     "q106_temperature_mix" -> temperatureMixQuery,
-    "q107_length_percentiles" -> q(Q107))
+    "q107_length_percentiles" -> q(Q107),
+    "q108_fim_transform" -> fimQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3215,7 +3251,8 @@ object SparkEntry {
     "q104_dedup_lines" -> Q104Duck,
     "q105_contam_report" -> Q105Duck,
     "q106_temperature_mix" -> Q106Duck,
-    "q107_length_percentiles" -> Q107Duck)
+    "q107_length_percentiles" -> Q107Duck,
+    "q108_fim_transform" -> Q108Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -618,4 +618,49 @@ object TextAnalysis {
       .withColumn("fingerprint", functions.fingerprint64(t))
       .withColumn("simhash", functions.simhash64(tokens(t)))
   }
+
+  /**
+   * FILL-IN-MIDDLE transformation (Bavarian et al. 2022, "Efficient
+   * training of language models to fill in the middle" — the
+   * Codex/StarCoder code-data prep): a deterministic `rate` fraction of
+   * documents is rewritten PSM-style — two cut points split the text
+   * into prefix/middle/suffix, emitted as
+   * `<PRE>prefix<SUF>suffix<MID>middle` so the model learns to infill;
+   * the rest pass through (the FIM-rate knob of those papers). Returns
+   * the input plus `fim` (was this row transformed) and `text_fim`.
+   *
+   * Everything derives from the [[Sampling.hashBucket]] id-hash
+   * arithmetic — selection AND both cut points — so the exact
+   * transformed corpus is reproducible across runs, engines, and
+   * cluster sizes, and an external engine replays it down to the
+   * character (character-position cuts, `substr` on both sides). One
+   * map-side projection: no shuffle, no RNG state.
+   */
+  def fimTransform(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rate: Double,
+      preTok: String = "<PRE>",
+      sufTok: String = "<SUF>",
+      midTok: String = "<MID>",
+      salt: Long = Sampling.DefaultSalt): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate not in [0,1]")
+    val text = col(textCol)
+    val len = length(text)
+    val selected = Sampling.hashBucket(col(idCol), salt) <
+      lit(Sampling.threshold(rate))
+    // cut points from two derived hash streams: 0 <= p1 <= p2 <= len
+    val p1 = pmod(Sampling.hashBucket(col(idCol), salt + 1),
+      (len + 1).cast("long")).cast("int")
+    val p2 = p1 + pmod(Sampling.hashBucket(col(idCol), salt + 2),
+      (len - p1 + 1).cast("long")).cast("int")
+    val psm = concat(
+      lit(preTok), text.substr(lit(1), p1),
+      lit(sufTok), text.substr(p2 + 1, len - p2),
+      lit(midTok), text.substr(p1 + 1, p2 - p1))
+    docs
+      .withColumn("fim", selected && text.isNotNull)
+      .withColumn("text_fim", when(col("fim"), psm).otherwise(text))
+  }
 }

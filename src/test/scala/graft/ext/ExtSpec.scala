@@ -1599,6 +1599,35 @@ class ExtSpec extends SparkSpec {
     assert(top1 === expect.take(1))
   }
 
+  test("fimTransform: PSM reassembly is lossless; rate 0/1 behave; deterministic") {
+    val docs = Seq((1L, "abcdefgh"), (2L, "xy"), (3L, "")).toDF("id", "text")
+    val out = TextAnalysis.fimTransform(docs, "id", "text", rate = 1.0)
+      .as[(Long, String, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    out.foreach { case (id, (fim, t)) =>
+      assert(fim, s"id=$id not transformed at rate 1")
+      // <PRE>p<SUF>s<MID>m reassembles to the original as p + m + s
+      val m1 = t.indexOf("<SUF>"); val m2 = t.indexOf("<MID>")
+      val (pre, suf, mid) = (t.substring(5, m1), t.substring(m1 + 5, m2),
+        t.substring(m2 + 5))
+      val orig = Map(1L -> "abcdefgh", 2L -> "xy", 3L -> "")(id)
+      assert(pre + mid + suf === orig, s"id=$id lossless reassembly")
+    }
+    // rate 0: pure passthrough
+    assert(TextAnalysis.fimTransform(docs, "id", "text", 0.0)
+      .filter(col("fim")).count() === 0L)
+    assert(TextAnalysis.fimTransform(docs, "id", "text", 0.0)
+      .select("text_fim").as[String].collect().toSet === Set("abcdefgh", "xy", ""))
+    // deterministic: identical output across invocations
+    val a = TextAnalysis.fimTransform(docs, "id", "text", 0.5)
+      .select("id", "text_fim").as[(Long, String)].collect().toSet
+    val b = TextAnalysis.fimTransform(docs, "id", "text", 0.5)
+      .select("id", "text_fim").as[(Long, String)].collect().toSet
+    assert(a === b)
+    intercept[IllegalArgumentException](
+      TextAnalysis.fimTransform(docs, "id", "text", 1.5))
+  }
+
   test("temperatureMix: T=1 proportional, T→large flattens, clamps at 1") {
     // groups: a×900, b×90, c×10 over ids 0..999
     val df = spark.range(0, 1000).toDF("id")
