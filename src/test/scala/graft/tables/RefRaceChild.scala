@@ -82,22 +82,44 @@ object RefRaceChild {
             case e: Exception if fileGone(e) =>
               Thread.sleep(3) // paused past the retention window; re-fork
           }
-          // PHASE 2 — verification: the publish committed, so NOTHING is
-          // retryable anymore. A FileNotFound here is a published commit
-          // whose data files were vacuumed out from under it — the exact
-          // dangling-reference atomicity bug this race exists to catch —
-          // and must fail the child, not loop back as a deflake.
+          // PHASE 2 — verification: the publish committed, so a failure
+          // here is never silently retried as a re-fork. Two distinct
+          // failure shapes must be told apart:
+          //  - the read raced a SUPERSEDING overwrite + vacuum (head
+          //    moved past our publish and reclaimed its files mid-read):
+          //    the documented stale-reader retention trade — legitimate,
+          //    but only if the log proves the supersession AND the fresh
+          //    head itself reads cleanly;
+          //  - anything else — marker lost without a superseding commit,
+          //    or an UNREADABLE head — is the dangling-reference
+          //    atomicity bug this race exists to catch, and fails.
           if (published) {
-            val seen = table.read().as[(String, Int)].collect().toSet
-            if (!seen.contains((s"pub$wins", wins))) {
-              // marker absent is only legitimate if churn's overwrite
-              // SUPERSEDED our publish: the retained log's head must be
-              // churn's later overwrite commit, not merely any churn row
-              // riding along in our own published snapshot
+            def requireSuperseded(): Unit = {
               val hist = table.history()
               require(hist.headOption.exists(_.action == "overwrite"),
                 s"publish $wins vanished but the head commit is not a " +
                   s"superseding overwrite: ${hist.take(3)}")
+            }
+            try {
+              val seen = table.read().as[(String, Int)].collect().toSet
+              if (!seen.contains((s"pub$wins", wins))) requireSuperseded()
+            } catch {
+              case e: Exception if fileGone(e) =>
+                requireSuperseded()
+                // the fresh head must read; further supersession races
+                // get a bounded number of re-checks, then it's a bug
+                var ok = false
+                var tries = 0
+                while (!ok && tries < 5) {
+                  tries += 1
+                  try { table.read().as[(String, Int)].collect(); ok = true }
+                  catch {
+                    case e2: Exception if fileGone(e2) =>
+                      requireSuperseded(); Thread.sleep(10)
+                  }
+                }
+                require(ok, "head unreadable after 5 post-publish attempts " +
+                  "— dangling file reference at the head")
             }
             wins += 1
           }
