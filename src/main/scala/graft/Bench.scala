@@ -124,10 +124,11 @@ object Bench {
     // generator. (Wall-clock exponents BELOW the work exponent are
     // expected at these sizes — fixed job overhead dominates the small
     // SF.)
-    // q48 (fixed 8 planes) and q102 (auto-sized geometry) ride together:
-    // the fixed-plane exponent creeps toward linear as buckets saturate,
-    // the auto path holds per-bucket load near its target — the pair of
-    // rows IS the evidence the auto sizing works.
+    // q48 and q102 both run the auto-sized geometry now (auto became
+    // embeddingPairs' default in round 9; the fixed-plane form survives
+    // only as the explicit embeddingPairsFixed test override) — their
+    // exponents should track each other and stay well under the old
+    // fixed-plane 1.15.
     val scalingTrio = Seq("q21_jaccard_neardup", "q48_embedding_pairs",
       "q102_embedding_pairs_auto", "q62_dup_ngram_frac", "q71_span_removal",
       "q90_bigram_logprob")

@@ -119,9 +119,10 @@ object Decontaminate {
    * never shuffles — each scan partition scores its vectors against the
    * broadcast set map-side (cost |corpus| · |bench| dot products; fine
    * to ~10⁵ bench vectors), and only the contaminated id set moves.
-   * For an unusually large benchmark, bucket both sides with the
-   * hyperplane-LSH pair miner ([[Dedup.embeddingPairs]]) instead —
-   * recall-oriented, like every LSH path here.
+   * This is the EXACT kernel: every vector pair is scored, recall 1 by
+   * construction. For an unusually large benchmark (stacked eval
+   * suites), [[semanticContaminatedIdsAuto]] cuts over to an
+   * LSH-bucketed regime instead of growing this broadcast without bound.
    */
   def semanticContaminatedIds(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -133,5 +134,62 @@ object Decontaminate {
       .filter(functions.cosineSimilarity(col("__c_vec"), col("__b_vec")) >= minCos)
       .select(col(idCol))
       .distinct()
+  }
+
+  /**
+   * [[semanticContaminatedIds]] with the broadcast-vs-bucketed regime
+   * picked from the benchmark's actual size (one `count()` action,
+   * metadata-cheap over parquet scans) — the entry point that stays safe
+   * when "the benchmark" is every eval suite a lab decontaminates
+   * against stacked together (10⁷⁺ vectors would otherwise be shipped to
+   * every executor and dotted against every corpus row).
+   *
+   *  - `benchRows <= broadcastMaxBenchRows`: the exact broadcast kernel,
+   *    unchanged — corpus never shuffles, recall 1.
+   *  - above it: hyperplane-LSH bucketing on BOTH sides, equi-join on
+   *    (seed, bucket), exact cosine filter inside the bucket. Planes are
+   *    sized from the BENCHMARK row count (per-bucket bench load ≈
+   *    `targetBucketRows`), so join work ≈ |corpus| · targetBucketRows
+   *    per seed — linear in the corpus, never |corpus| · |bench|. Seeds
+   *    come from the same [[Similarity.autoLshParams]] recall floor as
+   *    the pair miner ([[Dedup.embeddingPairs]]). The corpus shuffles
+   *    once per seed on the bucket key; seed count grows only
+   *    logarithmically in the recall target.
+   *
+   * The bucketed regime is RECALL-ORIENTED like every LSH path here: a
+   * contaminated pair colliding in no seed's bucket is missed
+   * (probability bounded by `targetRecall`; raise it for a tighter
+   * guarantee). Hyperplane buckets depend only on vector DIRECTION, so
+   * anything the cosine threshold flags is bucketable — the two regimes
+   * agree exactly on near-duplicate (high-cosine) contamination.
+   */
+  def semanticContaminatedIdsAuto(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      benchmark: DataFrame, benchVecCol: String,
+      minCos: Double = 0.95,
+      broadcastMaxBenchRows: Long = 100000,
+      targetBucketRows: Long = 64,
+      targetRecall: Double = 0.90): DataFrame = {
+    require(minCos > 0.0 && minCos < 1.0, s"minCos must be in (0, 1), got $minCos")
+    require(broadcastMaxBenchRows >= 0,
+      s"broadcastMaxBenchRows must be >= 0, got $broadcastMaxBenchRows")
+    val benchRows = benchmark.count()
+    if (benchRows <= broadcastMaxBenchRows)
+      semanticContaminatedIds(corpus, idCol, vecCol, benchmark, benchVecCol, minCos)
+    else {
+      val (planes, seeds) =
+        Similarity.autoLshParams(benchRows, targetBucketRows, minCos, targetRecall)
+      def bucketed(df: DataFrame, vec: String): DataFrame =
+        seeds.map { s =>
+          df.withColumn("__seed", lit(s))
+            .withColumn("__bucket", functions.hyperplaneBucket(col(vec), planes, s))
+        }.reduce(_ unionByName _)
+      val c = bucketed(corpus.select(col(idCol), col(vecCol).as("__c_vec")), "__c_vec")
+      val b = bucketed(benchmark.select(col(benchVecCol).as("__b_vec")), "__b_vec")
+      c.join(b, Seq("__seed", "__bucket"))
+        .filter(functions.cosineSimilarity(col("__c_vec"), col("__b_vec")) >= minCos)
+        .select(col(idCol))
+        .distinct()
+    }
   }
 }

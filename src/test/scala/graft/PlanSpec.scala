@@ -123,6 +123,29 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast left-semi probe in:\n$plan")
   }
 
+  test("semantic decontamination: corpus never shuffles in the broadcast regime; " +
+      "bucketed regime equi-joins") {
+    SparkEntry.registerViews(spark, dir)
+    val emb = spark.table("embeddings")
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    // broadcast regime (bench under the cutover): the benchmark rides a
+    // BroadcastExchange; the only hash exchange is the final tiny
+    // distinct on flagged ids — the corpus scan itself never shuffles
+    val bPlan = executedPlanString(ext.Decontaminate.semanticContaminatedIdsAuto(
+      emb, "vec_id", "embedding", bench, "embedding", minCos = 0.95))
+    assert(bPlan.contains("BroadcastExchange"), s"benchmark not broadcast in:\n$bPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(bPlan).size === 1,
+      s"corpus side shuffles in the broadcast regime:\n$bPlan")
+    // bucketed regime (cutover 0): candidate generation is an equi-join
+    // on (seed, bucket) — never a cartesian/nested-loop pairing
+    val lPlan = executedPlanString(ext.Decontaminate.semanticContaminatedIdsAuto(
+      emb, "vec_id", "embedding", bench, "embedding", minCos = 0.95,
+      broadcastMaxBenchRows = 0))
+    assert(!lPlan.contains("CartesianProduct") &&
+      !lPlan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed regime plans a cross join:\n$lPlan")
+  }
+
   test("MoR merged read plans as anti-join + union, never a cross join") {
     val t = SnapshotTable.create(spark, tmpDir("mor_plan"),
       spark.range(0, 1000).toDF("id").withColumn("v", lit("base")).withColumn("ts", lit(0L)))

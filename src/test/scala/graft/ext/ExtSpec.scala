@@ -253,7 +253,8 @@ class ExtSpec extends SparkSpec {
       (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
       (2L, Array(1.01f, 2.0f, 3.0f, 4.0f)), // near-dup of 1
       (3L, Array(-4.0f, 3.0f, -2.0f, 1.0f))).toDF("id", "vec")
-    val pairs = Dedup.embeddingPairs(vecs, "id", "vec", minCos = 0.99, planes = 4)
+    val pairs = Dedup.embeddingPairsFixed(vecs, "id", "vec", minCos = 0.99, planes = 4,
+      seeds = Seq(42L, 4242L))
       .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
@@ -569,6 +570,35 @@ class ExtSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Decontaminate.semanticContaminatedIds(corpus, "id", "vec", bench, "bvec", 0.0)
     }
+  }
+
+  test("semanticContaminatedIdsAuto: broadcast and LSH-bucketed regimes flag identical ids") {
+    // the q98 fixture shape: benchmark = every 50th vector, corpus =
+    // table ∪ ×2-scaled copies of the benchmark under shifted ids
+    // (direction identical ⇒ same hyperplane buckets ⇒ structurally
+    // recall-proof for the bucketed regime)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.unionByName(bench.select(
+      (col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    def run(cutover: Long): Set[Long] =
+      Decontaminate.semanticContaminatedIdsAuto(
+          corpus, "vec_id", "embedding", bench, "embedding", minCos = 0.95,
+          broadcastMaxBenchRows = cutover)
+        .as[Long].collect().toSet
+    val viaBroadcast = run(cutover = Long.MaxValue / 2)
+    val viaBuckets = run(cutover = 0) // force the LSH-bucketed regime
+    assert(viaBroadcast.nonEmpty, "fixture planted no contamination")
+    assert(viaBuckets === viaBroadcast,
+      s"regimes disagree: broadcast-only=${viaBroadcast -- viaBuckets} " +
+        s"buckets-only=${viaBuckets -- viaBroadcast}")
+    // and the broadcast regime matches the exact kernel it claims to be
+    val exact = Decontaminate.semanticContaminatedIds(
+        corpus, "vec_id", "embedding", bench, "embedding", minCos = 0.95)
+      .as[Long].collect().toSet
+    assert(viaBroadcast === exact)
   }
 
   test("hardNegatives excludes the positive before ranking") {

@@ -40,8 +40,12 @@ class MaintenanceRaceSpec extends SparkSpec {
     t.replaceFiles(Nil, packed, "compact",
       expectVersion = Some(v), rebaseDisjoint = true)
     assert(t.currentVersion() === v + 2)
-    // serial-equivalent result: exactly the compact-then-append rows
-    assert(t.read().as[(Int, String)].collect().toSet ===
+    // serial-equivalent result: exactly the compact-then-append rows —
+    // and exactly ONCE each (a carried-forward file duplicated into the
+    // rewrite would survive a toSet-only comparison)
+    val compactRows = t.read().as[(Int, String)].collect()
+    assert(compactRows.length === compactRows.toSet.size)
+    assert(compactRows.toSet ===
       Set((1, "a"), (2, "b"), (3, "c"), (4, "d")))
     // the appended file rode through the rebase un-rewritten; every
     // compacted source is gone from the head manifest
@@ -57,7 +61,9 @@ class MaintenanceRaceSpec extends SparkSpec {
     t.append(Seq((4, "d")).toDF("id", "v"))
     t.overwritePreClustered(relayout, "optimize-zorder",
       expectVersion = Some(v), rebaseDisjoint = true)
-    assert(t.read().as[(Int, String)].collect().toSet ===
+    val zRows = t.read().as[(Int, String)].collect()
+    assert(zRows.length === zRows.toSet.size) // no duplicated carried row
+    assert(zRows.toSet ===
       Set((1, "a"), (2, "b"), (3, "c"), (4, "d")))
     assert(t.commitEntry(t.currentVersion()).action === "optimize-zorder")
   }
