@@ -1,0 +1,137 @@
+package graft.sql
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import graft.tables.{CommitLock, FileSystemCommitLock, SnapshotTable}
+
+/**
+ * Durable name→root registry for [[GraftTableCatalog]] — the engine's
+ * hive-sync/Glue role (reference `hudi/hudi_scd_script.py:35-40`,
+ * `delta/delta_submit.sh:28,31`, `iceberg/iceberg_submit.sh:29-34`): in
+ * the reference every commit syncs the table into an external metastore
+ * so ANY later session or engine resolves it by NAME, not path. Tables
+ * created under the warehouse layout already resolve by name in a fresh
+ * session (the catalog derives `<warehouse>/<ns>/<name>` mechanically);
+ * this registry covers the tables that DON'T live there — `CREATE TABLE
+ * … LOCATION '<external root>'` — which previously resolved only in the
+ * session that registered them.
+ *
+ * Layout: versioned full-state JSON commits under
+ * `<warehouse>/_registry/` (`v%020d.json`), claimed through the same
+ * commit-slot CAS as table commits ([[CommitLock]]) — concurrent
+ * registrations race on the slot, the loser re-reads the head and
+ * retries on top of it, so no registration is ever lost. Full state per
+ * commit (not a delta log): a registry holds NAMES, thousands at most,
+ * so one head read serves every lookup and there is nothing to replay.
+ * A torn newest entry (non-local-FS writer mid-publish) falls back to
+ * its predecessor, mirroring `SnapshotTable.currentReadable`.
+ *
+ * Keys are `ns1.ns2….name`, lowercased: SQL identifiers resolve
+ * case-insensitively here, matching the warehouse-layout path behavior
+ * on case-insensitive filesystems and Spark's default resolver.
+ */
+object CatalogRegistry {
+
+  private val MaxRetries = 64
+
+  private[sql] def key(parts: Seq[String]): String =
+    parts.map(_.toLowerCase).mkString(".")
+
+  private def regDir(warehouse: String) = new Path(warehouse, "_registry")
+  private def slot(warehouse: String, v: Long) =
+    new Path(regDir(warehouse), f"v$v%020d.json")
+
+  private def fsOf(spark: SparkSession, warehouse: String): FileSystem =
+    regDir(warehouse).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def readSlot(fs: FileSystem, p: Path): Map[String, String] = {
+    val in = fs.open(p)
+    val s =
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        out.toString("UTF-8")
+      } finally in.close()
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    org.json4s.jackson.Serialization.read[Map[String, String]](s)
+  }
+
+  private def versions(fs: FileSystem, warehouse: String): Seq[Long] = {
+    val dir = regDir(warehouse)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{1,20}\\.json"))
+      .flatMap(_.stripPrefix("v").stripSuffix(".json").toLongOption)
+      .sorted
+  }
+
+  /** Head (version, state) with torn-newest tolerance; (-1, empty) when
+   *  no registry exists yet. */
+  private def head(fs: FileSystem, warehouse: String): (Long, Map[String, String]) = {
+    val vs = versions(fs, warehouse)
+    if (vs.isEmpty) return (-1L, Map.empty)
+    try (vs.last, readSlot(fs, slot(warehouse, vs.last)))
+    catch {
+      case NonFatal(e) =>
+        if (vs.size >= 2) (vs.last, readSlot(fs, slot(warehouse, vs(vs.size - 2))))
+        else throw e
+    }
+  }
+
+  /** Registered root for `parts`, or None. One head read — no caching:
+   *  a registration committed by ANOTHER session/process must be
+   *  visible here immediately (the whole point of the registry). */
+  def lookup(spark: SparkSession, warehouse: String, parts: Seq[String]): Option[String] =
+    head(fsOf(spark, warehouse), warehouse)._2.get(key(parts))
+
+  /** All registered keys under `namespace` (exact namespace level). */
+  def list(spark: SparkSession, warehouse: String, namespace: Seq[String]): Seq[String] = {
+    val prefix = if (namespace.isEmpty) "" else key(namespace) + "."
+    head(fsOf(spark, warehouse), warehouse)._2.keys.toSeq.collect {
+      case k if k.startsWith(prefix) && !k.stripPrefix(prefix).contains(".") =>
+        k.stripPrefix(prefix)
+    }.sorted
+  }
+
+  def register(spark: SparkSession, warehouse: String, parts: Seq[String],
+      root: String, lock: CommitLock = FileSystemCommitLock): Unit =
+    update(spark, warehouse, lock)(_ + (key(parts) -> root))
+
+  def unregister(spark: SparkSession, warehouse: String, parts: Seq[String],
+      lock: CommitLock = FileSystemCommitLock): Unit =
+    update(spark, warehouse, lock)(_ - key(parts))
+
+  /** Read-modify-CAS loop: read the head, apply `f`, publish head+1;
+   *  a lost race re-reads and retries on top of the winner — the same
+   *  protocol as every table commit, so concurrent registrations from
+   *  different sessions/JVMs all land. No-op updates short-circuit
+   *  without a commit (re-registering an identical mapping must not
+   *  grow the log). */
+  private def update(spark: SparkSession, warehouse: String, lock: CommitLock)(
+      f: Map[String, String] => Map[String, String]): Unit = {
+    val fs = fsOf(spark, warehouse)
+    var attempt = 0
+    while (true) {
+      val (v, state) = head(fs, warehouse)
+      val next = f(state)
+      if (next == state) return
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val payload = org.json4s.jackson.Serialization.write(next).getBytes("UTF-8")
+      fs.mkdirs(regDir(warehouse))
+      try {
+        lock.publish(fs, slot(warehouse, v + 1),
+          new Path(regDir(warehouse), "_tmp"), payload)
+        return
+      } catch {
+        case _: SnapshotTable.ConcurrentCommitException =>
+          attempt += 1
+          if (attempt >= MaxRetries) throw new SnapshotTable.ConcurrentCommitException(
+            s"catalog registry at $warehouse: lost $MaxRetries consecutive " +
+              "registration races; giving up")
+      }
+    }
+  }
+}

@@ -45,6 +45,14 @@ import graft.tables.SnapshotTable
  * columnar read, whole-stage codegen, parquet row-group pushdown. Only
  * writes remain V1 ([[V1Write]]): append/truncate map onto
  * `SnapshotTable.append`/`overwrite` (atomic snapshot commits).
+ *
+ * Name resolution is DURABLE across sessions (the reference's
+ * hive-sync/Glue role): managed tables resolve mechanically from the
+ * warehouse layout, and `CREATE TABLE … LOCATION '<external root>'`
+ * records its name→root mapping in the warehouse's on-disk
+ * [[CatalogRegistry]] (CAS-committed) — a freshly built session
+ * resolves both kinds, plus their `_rt`/`_ro` faces and time travel,
+ * with nothing but the catalog conf.
  */
 class GraftTableCatalog extends TableCatalog {
 
@@ -68,23 +76,45 @@ class GraftTableCatalog extends TableCatalog {
   private[sql] def rootForParts(parts: Seq[String]): String =
     (warehouse +: parts).mkString("/")
 
-  private def exists(ident: Identifier): Boolean = {
-    val t = SnapshotTable(spark, rootFor(ident))
-    t.currentVersion() >= 0
+  /** The root `ident` resolves to: the mechanical warehouse layout when
+   *  a committed table lives there, else the durable [[CatalogRegistry]]
+   *  (external-LOCATION tables registered by ANY session — the
+   *  hive-sync/Glue role; resolution survives session restarts because
+   *  both sources are on disk, not in session state). Warehouse layout
+   *  wins: a managed table created at the derived path must not be
+   *  shadowed by a stale registration of the same name. */
+  private def resolveRoot(ident: Identifier): Option[String] = {
+    val managed = rootFor(ident)
+    if (SnapshotTable(spark, managed).currentVersion() >= 0) Some(managed)
+    else CatalogRegistry.lookup(spark, warehouse, identParts(ident))
+      .filter(r => SnapshotTable(spark, r).currentVersion() >= 0)
   }
+
+  private def identParts(ident: Identifier): Seq[String] =
+    ident.namespace().toSeq :+ ident.name()
+
+  private def exists(ident: Identifier): Boolean = resolveRoot(ident).isDefined
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new Path((warehouse +: namespace).mkString("/"))
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir)) Array.empty
-    else fs.listStatus(dir).filter(_.isDirectory)
-      .map(s => Identifier.of(namespace, s.getPath.getName))
+    val managed =
+      if (!fs.exists(dir)) Array.empty[Identifier]
+      else fs.listStatus(dir).filter(_.isDirectory)
+        .map(s => Identifier.of(namespace, s.getPath.getName))
+        .filter(exists)
+    val registered = CatalogRegistry.list(spark, warehouse, namespace.toSeq)
+      .map(n => Identifier.of(namespace, n))
       .filter(exists)
+    (managed ++ registered).distinct
   }
 
   override def loadTable(ident: Identifier): Table = {
-    if (exists(ident)) new GraftTable(SnapshotTable(spark, rootFor(ident)), ident)
-    else faceTable(ident, t => (t, None)).getOrElse(throw new NoSuchTableException(ident))
+    resolveRoot(ident) match {
+      case Some(root) => new GraftTable(SnapshotTable(spark, root), ident)
+      case None => faceTable(ident, t => (t, None))
+        .getOrElse(throw new NoSuchTableException(ident))
+    }
   }
 
   /** Hudi hive-sync parity (reference `README.md:158`,
@@ -111,12 +141,11 @@ class GraftTableCatalog extends TableCatalog {
       else None
     face.flatMap { f =>
       val base = Identifier.of(ident.namespace(), n.dropRight(3))
-      if (!exists(base)) None
-      else {
-        val (t, pinned) = resolve(SnapshotTable(spark, rootFor(base)))
+      resolveRoot(base).map { baseRoot =>
+        val (t, pinned) = resolve(SnapshotTable(spark, baseRoot))
         if (f == "ro")
-          Some(new GraftTable(t, ident, pinnedVersion = pinned, readOptimized = true))
-        else Some(new GraftRtTable(t, ident, pinnedVersion = pinned))
+          new GraftTable(t, ident, pinnedVersion = pinned, readOptimized = true): Table
+        else new GraftRtTable(t, ident, pinnedVersion = pinned): Table
       }
     }
   }
@@ -151,14 +180,16 @@ class GraftTableCatalog extends TableCatalog {
     }
 
   override def loadTable(ident: Identifier, version: String): Table = {
-    if (exists(ident)) {
-      val (h, v) = resolveVersionRef(
-        SnapshotTable(spark, rootFor(ident)), ident.name(), version)
-      new GraftTable(h, ident, pinnedVersion = Some(v))
-    } else faceTable(ident, { t =>
-      val (h, v) = resolveVersionRef(t, ident.name(), version)
-      (h, Some(v))
-    }).getOrElse(throw new NoSuchTableException(ident))
+    resolveRoot(ident) match {
+      case Some(root) =>
+        val (h, v) = resolveVersionRef(
+          SnapshotTable(spark, root), ident.name(), version)
+        new GraftTable(h, ident, pinnedVersion = Some(v))
+      case None => faceTable(ident, { t =>
+        val (h, v) = resolveVersionRef(t, ident.name(), version)
+        (h, Some(v))
+      }).getOrElse(throw new NoSuchTableException(ident))
+    }
   }
 
   /** Timestamp time travel: `SELECT … FROM graft.db.t TIMESTAMP AS OF
@@ -167,11 +198,13 @@ class GraftTableCatalog extends TableCatalog {
    *  (Delta/Iceberg `AS OF` semantics, [[SnapshotTable.versionAsOf]]). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     def pin(t: SnapshotTable): Long = t.versionAsOf(Math.floorDiv(timestampMicros, 1000L))
-    if (exists(ident)) {
-      val t = SnapshotTable(spark, rootFor(ident))
-      new GraftTable(t, ident, pinnedVersion = Some(pin(t)))
-    } else faceTable(ident, t => (t, Some(pin(t))))
-      .getOrElse(throw new NoSuchTableException(ident))
+    resolveRoot(ident) match {
+      case Some(root) =>
+        val t = SnapshotTable(spark, root)
+        new GraftTable(t, ident, pinnedVersion = Some(pin(t)))
+      case None => faceTable(ident, t => (t, Some(pin(t))))
+        .getOrElse(throw new NoSuchTableException(ident))
+    }
   }
 
   /** Generated columns land in the CREATE schema as field metadata;
@@ -237,17 +270,14 @@ class GraftTableCatalog extends TableCatalog {
       case other => throw new UnsupportedOperationException(
         s"unsupported partition transform for graft tables: $other")
     }
-    // A user-supplied LOCATION that differs from the warehouse layout
-    // cannot be honored (loadTable derives the root from the identifier);
-    // silently writing somewhere else would strand the user's path empty
-    Option(properties.get(TableCatalog.PROP_LOCATION)).foreach { loc =>
-      val want = new Path(rootFor(ident)).toUri.getPath
-      val got = new Path(loc).toUri.getPath
-      if (got != want) throw new UnsupportedOperationException(
-        s"graft tables live at <warehouse>/<ns>/<name> ($want); " +
-          s"custom LOCATION '$loc' is not supported — use CONVERT TO GRAFT " +
-          "or the path-based format(\"graft-table\") for external roots")
-    }
+    // A user-supplied LOCATION outside the warehouse layout makes this an
+    // EXTERNAL table: the name→root mapping is durably recorded in the
+    // warehouse's CatalogRegistry (CAS-committed), so ANY later session
+    // resolves it by name — the reference's hive-sync of a table whose
+    // data lives at its own S3 root (`delta/delta_scd_script.py:41-43`).
+    val externalRoot = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .filter(loc =>
+        new Path(loc).toUri.getPath != new Path(rootFor(ident)).toUri.getPath)
     // Spark mixes engine-reserved entries (provider, location, owner, …)
     // into the properties map; persist only genuine user TBLPROPERTIES.
     val userProps = properties.asScala.toMap --
@@ -267,8 +297,35 @@ class GraftTableCatalog extends TableCatalog {
       else f
     })
     val genProps = genCols.map { case (c, e) => s"graft.generated.$c" -> e }.toMap
-    val t = SnapshotTable.createEmpty(
-      spark, rootFor(ident), cleanSchema, clusterBy, userProps ++ genProps)
+    val t = externalRoot match {
+      case None =>
+        SnapshotTable.createEmpty(
+          spark, rootFor(ident), cleanSchema, clusterBy, userProps ++ genProps)
+      case Some(loc) =>
+        val existing = SnapshotTable(spark, loc)
+        val adopted =
+          if (existing.currentVersion() >= 0) {
+            // CREATE over an existing external root ADOPTS the committed
+            // table (Delta's `CREATE TABLE t USING delta LOCATION p`): a
+            // user-supplied schema must match what is on disk — silently
+            // serving a different schema than declared is a lie either way
+            if (cleanSchema.nonEmpty) {
+              val committed = existing.schema
+              val same = committed.length == cleanSchema.length &&
+                committed.fields.zip(cleanSchema.fields).forall { case (a, b) =>
+                  a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType
+                }
+              require(same,
+                s"CREATE TABLE $ident LOCATION '$loc': declared schema " +
+                  s"${cleanSchema.simpleString} does not match the committed " +
+                  s"schema ${committed.simpleString}; omit the column list to adopt")
+            }
+            existing
+          } else SnapshotTable.createEmpty(
+            spark, loc, cleanSchema, clusterBy, userProps ++ genProps)
+        CatalogRegistry.register(spark, warehouse, identParts(ident), loc)
+        adopted
+    }
     new GraftTable(t, ident)
   }
 
@@ -282,8 +339,8 @@ class GraftTableCatalog extends TableCatalog {
    *  ([[SnapshotTable.renameColumn]]). `ALTER COLUMN … TYPE` accepts
    *  lossless widenings only ([[SnapshotTable.widenColumnType]]). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    if (!exists(ident)) throw new NoSuchTableException(ident)
-    val t = SnapshotTable(spark, rootFor(ident))
+    val t = SnapshotTable(spark,
+      resolveRoot(ident).getOrElse(throw new NoSuchTableException(ident)))
     val unsupported = changes.filter {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
       case a: TableChange.AddColumn if a.fieldNames.length == 1 => false
@@ -348,9 +405,16 @@ class GraftTableCatalog extends TableCatalog {
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    // managed (warehouse-layout) tables drop their data; a REGISTERED
+    // external table only loses its catalog entry — hive EXTERNAL
+    // semantics: the catalog never owned that data
     val root = new Path(rootFor(ident))
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(root) && fs.delete(root, true)
+    if (fs.exists(root)) fs.delete(root, true)
+    else if (CatalogRegistry.lookup(spark, warehouse, identParts(ident)).isDefined) {
+      CatalogRegistry.unregister(spark, warehouse, identParts(ident))
+      true
+    } else false
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
