@@ -2361,6 +2361,116 @@ object SparkEntry {
       |FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Q109 — mergeable quantile sketch ([[ext.functions.quantileState]] /
+   *  [[ext.functions.quantileMerge]], the KLL compactor completing the
+   *  sketch family next to KMV/SpaceSaving): per-priority order-value
+   *  percentiles built INCREMENTALLY in the q95 cube flow — even order
+   *  keys sketch into binary states stored in a snapshot table (once per
+   *  scale dir), odd keys sketch fresh at query time, and the serve step
+   *  merges stored ∪ fresh. k = 65536 exceeds every group's row count at
+   *  any driver SF, so the sketch is in its EXACT regime: the state is
+   *  the full sorted multiset (canonical — store-then-merge ≡ one pass,
+   *  spec-pinned bit-identical) and the served quantile follows the
+   *  `percentile_disc` rule — smallest value whose cumulative count
+   *  reaches q·n, IEEE-compared — which the oracle replays verbatim with
+   *  a window. The estimator regime (k-bounded error) is ExtSpec's. */
+  private def quantileSketchQuery(s: SparkSession, dir: String): DataFrame = {
+    def half(rem: Int) = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 2 === rem)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val store = warmTable("quantile_cube", dir) {
+      SnapshotTable.create(s,
+        Files.createTempDirectory("graft_quantile_cube").toString,
+        half(0).groupBy("o_orderpriority")
+          .agg(ext.functions.quantileState(col("o_totalprice"), 65536).as("state")))
+    }
+    val fresh = half(1).groupBy("o_orderpriority")
+      .agg(ext.functions.quantileState(col("o_totalprice"), 65536).as("state"))
+    store.read().unionByName(fresh)
+      .groupBy("o_orderpriority")
+      .agg(
+        ext.functions.quantileMerge(col("state"), 0.25, 65536).as("p25"),
+        ext.functions.quantileMerge(col("state"), 0.5, 65536).as("p50"),
+        ext.functions.quantileMerge(col("state"), 0.75, 65536).as("p75"),
+        ext.functions.quantileMerge(col("state"), 0.99, 65536).as("p99"))
+      .orderBy("o_orderpriority")
+  }
+  private val Q109Duck =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_totalprice AS v,
+      |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+      |         count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  min(CASE WHEN rn::DOUBLE >= 0.25::DOUBLE * n THEN v END) AS p25,
+      |  min(CASE WHEN rn::DOUBLE >= 0.5::DOUBLE * n THEN v END) AS p50,
+      |  min(CASE WHEN rn::DOUBLE >= 0.75::DOUBLE * n THEN v END) AS p75,
+      |  min(CASE WHEN rn::DOUBLE >= 0.99::DOUBLE * n THEN v END) AS p99
+      |FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q110 — KMV distinct-count sketch in its ESTIMATOR regime,
+   *  cross-engine-proven: q58/q95 pin the exact regime (k exceeds the
+   *  true distinct count, oracle = `count(DISTINCT)`); here k = 64 sits
+   *  far BELOW every group's ~1300 distinct customers, so the served
+   *  number is the estimator n̂ = (k−1)/u₍ₖ₎ — and the oracle replays
+   *  that arithmetic from first principles in DuckDB: XXH64 of each
+   *  distinct key (the hash's multiply/rotate/xor pipeline spelled out
+   *  in 128-bit modular SQL arithmetic, [[Q110Duck]]'s `mul64`), rank to
+   *  the k-th smallest unsigned hash, map it to the unit interval with
+   *  the SAME two IEEE roundings the JVM performs (signed-long→double,
+   *  then +2⁶³), divide, round. A deviation ANYWHERE — hash constants,
+   *  unsigned ordering, the estimator formula, its floating-point
+   *  evaluation order — shifts an estimate and fails the hash. This is
+   *  the guarantee that stored sketch states are portable: another
+   *  engine can serve them by replaying published arithmetic. */
+  private def kmvEstimatorQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_orderpriority")
+      .agg(ext.functions.kmvDistinct(col("o_custkey"), 64).as("nd_est"))
+      .orderBy("o_orderpriority")
+
+  /** DuckDB replay of XXH64(hashLong) + the KMV estimator. Built
+   *  programmatically: `mul64` expands to 64-bit modular multiplication
+   *  via 32-bit limbs in HUGEINT (a 64×64 product would overflow even
+   *  128-bit), rotations are shift-pairs on disjoint bit ranges, and the
+   *  constants are Spark's XXH64 primes with the engine's fixed seed. */
+  private val Q110Duck: String = {
+    val M = "18446744073709551616" // 2^64
+    val P1 = BigInt("11400714785074694791") // 0x9E3779B185EBCA87
+    val P2 = BigInt("14029467366897019727") // 0xC2B2AE3D27D4EB4F
+    val P3 = BigInt("1609587929392839161") //  0x165667B19E3779F9
+    val P4 = BigInt("9650029242287828579") //  0x85EBCA77C2B2AE63
+    // seed + PRIME64_5 + 8 (mod 2^64): hashLong's initial accumulator
+    val H0 = "14270892269335798754"
+    def mul64(a: String, b: BigInt): String = {
+      val bLo = b % BigInt(4294967296L)
+      val bHi = b / BigInt(4294967296L)
+      s"(($a % 4294967296) * $bLo + ((($a % 4294967296) * $bHi + " +
+        s"($a // 4294967296) * $bLo) % 4294967296) * 4294967296) % $M"
+    }
+    s"""WITH vals AS (
+       |  SELECT DISTINCT o_orderpriority, o_custkey::HUGEINT AS x FROM orders),
+       |s1 AS (SELECT o_orderpriority, ${mul64("x", P2)} AS t1 FROM vals),
+       |s2 AS (SELECT o_orderpriority, (t1 * 2147483648 % $M) + (t1 // 8589934592) AS t2 FROM s1),
+       |s3 AS (SELECT o_orderpriority, xor($H0::HUGEINT, ${mul64("t2", P1)}) AS h1 FROM s2),
+       |s4 AS (SELECT o_orderpriority, (h1 * 134217728 % $M) + (h1 // 137438953472) AS h2 FROM s3),
+       |s5 AS (SELECT o_orderpriority, (${mul64("h2", P1)} + $P4) % $M AS h3 FROM s4),
+       |f1 AS (SELECT o_orderpriority, xor(h3, h3 // 8589934592) AS g1 FROM s5),
+       |f2 AS (SELECT o_orderpriority, ${mul64("g1", P2)} AS g2 FROM f1),
+       |f3 AS (SELECT o_orderpriority, xor(g2, g2 // 536870912) AS g3 FROM f2),
+       |f4 AS (SELECT o_orderpriority, ${mul64("g3", P3)} AS g4 FROM f3),
+       |f5 AS (SELECT o_orderpriority, xor(g4, g4 // 4294967296) AS h FROM f4),
+       |ranked AS (
+       |  SELECT o_orderpriority, h,
+       |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+       |  FROM (SELECT DISTINCT o_orderpriority, h FROM f5)),
+       |kth AS (SELECT o_orderpriority, h FROM ranked WHERE rn = 64)
+       |SELECT o_orderpriority,
+       |  floor(63::DOUBLE / (((h - 9223372036854775808)::BIGINT::DOUBLE + 9.223372036854776e18)
+       |    / 1.8446744073709552e19) + 0.5::DOUBLE)::BIGINT AS nd_est
+       |FROM kth ORDER BY o_orderpriority""".stripMargin
+  }
+
   /** Q96's exported tokenizer: merges that build "hello" into one piece
    *  (id 256+3 = 259) and "world" into [wor = 261, l = 108, d = 100]. */
   private val Q96Merges = Seq("h" -> "e", "he" -> "l", "hel" -> "l",
@@ -3116,7 +3226,9 @@ object SparkEntry {
     "q105_contam_report" -> overlapReportQuery,
     "q106_temperature_mix" -> temperatureMixQuery,
     "q107_length_percentiles" -> q(Q107),
-    "q108_fim_transform" -> fimQuery)
+    "q108_fim_transform" -> fimQuery,
+    "q109_quantile_sketch" -> quantileSketchQuery,
+    "q110_kmv_estimator" -> kmvEstimatorQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3254,7 +3366,9 @@ object SparkEntry {
     "q105_contam_report" -> Q105Duck,
     "q106_temperature_mix" -> Q106Duck,
     "q107_length_percentiles" -> Q107Duck,
-    "q108_fim_transform" -> Q108Duck)
+    "q108_fim_transform" -> Q108Duck,
+    "q109_quantile_sketch" -> Q109Duck,
+    "q110_kmv_estimator" -> Q110Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

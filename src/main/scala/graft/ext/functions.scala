@@ -165,4 +165,26 @@ object functions {
    *  items in [[approxTopItems]]'s output shape. */
   def topItemsMerge(state: Column, capacity: Int = 4096, k: Int = 10): Column =
     column(TopItemsMerge(expr(state), capacity, k).toAggregateExpression())
+
+  /** q-quantile of a numeric column with k-bounded mergeable state (KLL
+   *  sketch); equals `percentile_disc(q)` while the group holds ≤ k
+   *  values. The 100 TB face of percentile aggregation — Spark's exact
+   *  percentile buffers every value per group. */
+  def quantileSketch(c: Column, q: Double, k: Int = 4096): Column =
+    column(QuantileSketchAgg(expr(c), k, q).toAggregateExpression())
+
+  /** The [[quantileSketch]] sketch as a persistable BINARY state — the
+   *  store step; canonical bytes while the group stays ≤ k values. */
+  def quantileState(c: Column, k: Int = 4096): Column =
+    column(QuantileState(expr(c), k).toAggregateExpression())
+
+  /** Union stored [[quantileState]] buffers into a quantile — the serve
+   *  step of incremental profiling. */
+  def quantileMerge(state: Column, q: Double, k: Int = 4096): Column =
+    column(QuantileMergeQuantile(expr(state), k, q).toAggregateExpression())
+
+  /** Union stored [[quantileState]] buffers into a NEW state — the
+   *  rollup step (day → month → total) of a sketch cube. */
+  def quantileMergeState(state: Column, k: Int = 4096): Column =
+    column(QuantileMergeState(expr(state), k).toAggregateExpression())
 }

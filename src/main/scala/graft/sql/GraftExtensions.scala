@@ -309,6 +309,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("top_items_merge", 1, 3, args => graft.ext.TopItemsMerge(args.head,
       litInt(args, 1, "top_items_merge", Some(4096L)),
       litInt(args, 2, "top_items_merge", Some(10L))))
+    // quantile sketch family: quantile_sketch(x, q[, k]) mirrors
+    // percentile(x, q)'s argument order
+    def litDouble(args: Seq[Expression], i: Int, name: String): Double = {
+      if (i >= args.size) throw new IllegalArgumentException(
+        s"$name: missing argument ${i + 1}")
+      val e = args(i)
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"$name: argument ${i + 1} must be a literal")
+      e.eval() match {
+        case n: Number => n.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case other => throw new IllegalArgumentException(
+          s"$name: argument ${i + 1} must be numeric, got $other")
+      }
+    }
+    register("quantile_sketch", 2, 3, args => graft.ext.QuantileSketchAgg(args.head,
+      litInt(args, 2, "quantile_sketch", Some(4096L)),
+      litDouble(args, 1, "quantile_sketch")))
+    register("quantile_state", 1, 2, args => graft.ext.QuantileState(args.head,
+      litInt(args, 1, "quantile_state", Some(4096L))))
+    register("quantile_merge", 2, 3, args => graft.ext.QuantileMergeQuantile(args.head,
+      litInt(args, 2, "quantile_merge", Some(4096L)),
+      litDouble(args, 1, "quantile_merge")))
+    register("quantile_merge_state", 1, 2, args => graft.ext.QuantileMergeState(args.head,
+      litInt(args, 1, "quantile_merge_state", Some(4096L))))
     // text-analysis composites (SURVEY §7.5 north star, one per
     // TextAnalysis entry point)
     registerText("token_count", TextAnalysis.tokenCount)

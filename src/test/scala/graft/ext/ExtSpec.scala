@@ -1444,6 +1444,116 @@ class ExtSpec extends SparkSpec {
     assert(cnt >= trueCount && cnt - err <= trueCount, s"cnt=$cnt err=$err true=$trueCount")
   }
 
+  test("quantileSketch: exact regime equals the percentile_disc rule, layout-invariant") {
+    // reference: smallest v with cumulative count >= q*n (IEEE compare) —
+    // the percentile_disc definition, replayed naively
+    def disc(vs: Seq[Double], q: Double): Double = {
+      val s = vs.sorted
+      val target = q * s.size
+      var cum = 0L
+      s.find { _ => cum += 1; cum.toDouble >= target }.getOrElse(s.last)
+    }
+    val raw = (0 until 1000).map(i => (i % 5, (i * 7 % 997).toDouble))
+    val df = raw.toDF("g", "v")
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    for (q <- qs; parts <- Seq(1, 7, 32)) {
+      val got = df.repartition(parts).groupBy("g")
+        .agg(functions.quantileSketch(col("v"), q, k = 4096).as("p"))
+        .as[(Int, Double)].collect().toMap
+      val want = raw.groupBy(_._1).map { case (g, xs) => g -> disc(xs.map(_._2), q) }
+      assert(got === want, s"q=$q parts=$parts")
+    }
+    // duplicates: the disc rule returns an input value, ties respected
+    val dup = Seq(1.0, 1.0, 1.0, 2.0, 9.0).toDF("v")
+    assert(dup.agg(functions.quantileSketch(col("v"), 0.5, 64)).as[Double].head() === 1.0)
+    // empty input → NULL, nulls skipped
+    val withNulls = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    assert(withNulls.agg(functions.quantileSketch(col("v"), 1.0, 64)).as[Double].head() === 3.0)
+    assert(spark.sql("SELECT quantile_sketch(cast(null as double), 0.5)")
+      .head().isNullAt(0))
+  }
+
+  test("quantileSketch store-then-merge is bit-identical to the direct state (exact regime)") {
+    val df = spark.range(0, 3000)
+      .selectExpr("id % 4 AS g", "cast(id * 13 % 4093 AS double) AS v", "id % 3 AS batch")
+    // STORE: one state per (group, batch) — three independent partials
+    val states = df.groupBy("g", "batch")
+      .agg(functions.quantileState(col("v"), k = 4096).as("st"))
+    // ROLLUP: merge the batch states per group
+    val merged = states.groupBy("g")
+      .agg(functions.quantileMergeState(col("st"), k = 4096).as("st"))
+      .as[(Long, Array[Byte])].collect().toMap
+    // DIRECT: one pass over everything
+    val direct = df.groupBy("g")
+      .agg(functions.quantileState(col("v"), k = 4096).as("st"))
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(merged.keySet === direct.keySet)
+    merged.foreach { case (g, bytes) =>
+      assert(java.util.Arrays.equals(bytes, direct(g)),
+        s"group $g: store-then-merge bytes differ from direct")
+    }
+    // SERVE: quantile_merge over stored states equals the direct quantile
+    val servedP50 = states.groupBy("g")
+      .agg(functions.quantileMerge(col("st"), 0.5, k = 4096).as("p"))
+      .as[(Long, Double)].collect().toMap
+    val directP50 = df.groupBy("g")
+      .agg(functions.quantileSketch(col("v"), 0.5, k = 4096).as("p"))
+      .as[(Long, Double)].collect().toMap
+    assert(servedP50 === directP50)
+  }
+
+  test("quantileSketch estimator regime: bounded rank error, k-bounded state") {
+    val n = 100000
+    // deterministic pseudo-uniform values in [0, 1): quantile q ≈ q
+    val df = spark.range(0, n)
+      .selectExpr("cast(pmod(hash(id) * 2654435761, 1048576) AS double) / 1048576 AS v")
+      .repartition(8)
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val got = df.agg(
+      functions.quantileSketch(col("v"), qs.head, k = 256).as("q0"),
+      qs.tail.zipWithIndex.map { case (q, i) =>
+        functions.quantileSketch(col("v"), q, k = 256).as(s"q${i + 1}") }: _*)
+      .head()
+    // true rank of the returned value must sit within 3% of the target
+    // rank (KLL-style bound for k=256 is far tighter; 3% is the pinned
+    // regression envelope, not the expected error)
+    val vals = df.as[Double].collect().sorted
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val v = got.getDouble(i)
+      val rank = vals.count(_ <= v).toDouble / n
+      assert(math.abs(rank - q) < 0.03, s"q=$q served=$v rank=$rank")
+    }
+    // the state stays k-bounded: far smaller than the 800 KB raw column
+    val stBytes = df.agg(functions.quantileState(col("v"), k = 256))
+      .as[Array[Byte]].head()
+    assert(stBytes.length < 256 * 8 * 16, s"state ${stBytes.length} bytes")
+  }
+
+  test("quantile sketch SQL faces and loud foreign-bytes rejection") {
+    spark.range(0, 100).selectExpr("cast(id AS double) AS v", "id % 2 AS g")
+      .createOrReplaceTempView("qsk_vals")
+    val viaSql = spark.sql(
+      """SELECT g, quantile_sketch(v, 0.5) AS p50 FROM qsk_vals GROUP BY g ORDER BY g""")
+      .as[(Long, Double)].collect().toSeq
+    // 50 values/group (evens vs odds); disc rule → the 25th smallest
+    assert(viaSql === Seq((0L, 48.0), (1L, 49.0)))
+    // state → merge roundtrip through SQL
+    spark.sql(
+      """SELECT g, quantile_state(v, 512) AS st FROM qsk_vals GROUP BY g, v % 5""")
+      .createOrReplaceTempView("qsk_states")
+    val served = spark.sql(
+      """SELECT g, quantile_merge(st, 0.5, 512) AS p50 FROM qsk_states GROUP BY g ORDER BY g""")
+      .as[(Long, Double)].collect().toSeq
+    assert(served === viaSql)
+    // foreign bytes fail loudly, never misparse into a silent answer
+    val e = intercept[Exception] {
+      Seq(Array[Byte](1, 2, 3, 4, 5)).toDF("st")
+        .agg(functions.quantileMerge(col("st"), 0.5)).collect()
+    }
+    assert(e.getMessage.contains("bad magic") ||
+      Option(e.getCause).exists(_.getMessage.contains("bad magic")))
+  }
+
   test("duplicateNgramFraction: cross-doc spans counted, short docs score 0") {
     val corpus = Seq(
       (1L, "a b c d e"),   // trigrams: abc bcd cde
