@@ -2471,6 +2471,103 @@ object SparkEntry {
        |FROM kth ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** Q111 — EXTERNAL-ENGINE manifest consumption proof
+   *  ([[SnapshotTable.generateSymlinkManifest]]; reference
+   *  `delta/delta_scd_script.py:42-43,57-60` generates the same artifact
+   *  so Athena can query the Delta table): the table is mutated (CoW
+   *  delete, append, compaction — each one rewrites or retires files),
+   *  the symlink manifest is published, and the query then reads ONLY
+   *  what a foreign engine would touch — the plain-text path list plus
+   *  plain parquet reads of exactly those files, no snapshot/manifest
+   *  code in the read path. The oracle recomputes the expected LOGICAL
+   *  table from the base data: a stale manifest (pre-compaction or
+   *  pre-delete list — those superseded files still exist physically
+   *  until vacuum, so a stale list READS fine but reads WRONG rows)
+   *  shifts the aggregate and fails the hash. */
+  private def manifestExternalQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = warmTable("manifest_external", dir) {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val tbl = SnapshotTable.create(s,
+        Files.createTempDirectory("graft_manifest_ext").toString,
+        orders.repartitionByRange(8, col("o_orderkey")))
+      tbl.delete(col("o_orderpriority") === "5-LOW")
+      tbl.append(orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderstatus", lit("RESTATED")))
+      tbl.compact()
+      tbl
+    }
+    val manifest = t.generateSymlinkManifest()
+    // the foreign-reader path: list of live files, then bare parquet
+    val files = s.read.textFile(manifest).collect().toSeq.filter(_.nonEmpty)
+    s.read.parquet(files: _*)
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_price"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+  private val Q111Duck =
+    """WITH logical AS (
+      |  SELECT o_orderpriority, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderpriority <> '5-LOW'
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'RESTATED' AS o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 97 = 0)
+      |SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+      |FROM logical GROUP BY o_orderpriority, o_orderstatus
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  /** Q112 — MERGE WITH SCHEMA EVOLUTION, both axes in one commit
+   *  ([[graft.ops.MergeInto.withSchemaEvolution]]; Delta's
+   *  `autoMerge`/type-widening merge semantics): the target stores
+   *  `price32` as FLOAT; the source restates matching orders with a
+   *  DOUBLE price (a lossless widening — the target column is retyped in
+   *  the same commit) and carries a brand-new `channel` column (appended
+   *  nullable; untouched rows read NULL, and untouched FILES keep their
+   *  narrow float physical type, upcasting at scan). The oracle replays
+   *  the evolved merge as a LEFT JOIN over the base data, including the
+   *  exact float→double round-trip for untouched rows — a wrong widening
+   *  (double-rounding, a dropped retype, a truncated value) or a
+   *  mis-routed clause shifts values and fails the hash. */
+  private def mergeEvolutionQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = warmTable("merge_evolution", dir) {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val tbl = SnapshotTable.create(s,
+        Files.createTempDirectory("graft_merge_evo").toString,
+        orders.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("float").as("price32")))
+      val src = orders.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), lit("EVOLVED").as("o_orderstatus"),
+          col("o_totalprice").as("price32"), lit("online").as("channel"))
+      tbl.merge(src, col("t.o_orderkey") === col("s.o_orderkey"))
+        .withSchemaEvolution()
+        .whenMatched().updateAll()
+        .execute()
+      tbl
+    }
+    t.read()
+      .filter(col("o_orderkey") % 100 < 20)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("price32"), col("channel"))
+      .orderBy("o_orderkey")
+  }
+  private val Q112Duck =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS FLOAT) AS price32
+      |  FROM orders),
+      |src AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 3),
+      |merged AS (
+      |  SELECT t.o_orderkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN 'EVOLVED' ELSE t.o_orderstatus END
+      |      AS o_orderstatus,
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+      |         ELSE t.price32::DOUBLE END AS price32,
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN 'online' END AS channel
+      |  FROM target t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey)
+      |SELECT o_orderkey, o_orderstatus, price32, channel FROM merged
+      |WHERE o_orderkey % 100 < 20 ORDER BY o_orderkey""".stripMargin
+
   /** Q96's exported tokenizer: merges that build "hello" into one piece
    *  (id 256+3 = 259) and "world" into [wor = 261, l = 108, d = 100]. */
   private val Q96Merges = Seq("h" -> "e", "he" -> "l", "hel" -> "l",
@@ -3228,7 +3325,9 @@ object SparkEntry {
     "q107_length_percentiles" -> q(Q107),
     "q108_fim_transform" -> fimQuery,
     "q109_quantile_sketch" -> quantileSketchQuery,
-    "q110_kmv_estimator" -> kmvEstimatorQuery)
+    "q110_kmv_estimator" -> kmvEstimatorQuery,
+    "q111_manifest_external" -> manifestExternalQuery,
+    "q112_merge_evolution" -> mergeEvolutionQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3368,7 +3467,9 @@ object SparkEntry {
     "q107_length_percentiles" -> Q107Duck,
     "q108_fim_transform" -> Q108Duck,
     "q109_quantile_sketch" -> Q109Duck,
-    "q110_kmv_estimator" -> Q110Duck)
+    "q110_kmv_estimator" -> Q110Duck,
+    "q111_manifest_external" -> Q111Duck,
+    "q112_merge_evolution" -> Q112Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -65,8 +65,15 @@ final class MergeInto(
    *  nullable fields in the same commit. `UPDATE SET *` / `INSERT *` then
    *  carry them; untouched files and non-matching rows read them as NULL
    *  (the [[graft.tables.SnapshotTable.addColumns]] mechanism — explicit
-   *  parquet schema null-fills missing columns). Existing columns are
-   *  never retyped; only NEW columns are added. */
+   *  parquet schema null-fills missing columns). A source column whose
+   *  type is a LOSSLESS widening of the target's (int→long, float→double,
+   *  …) widens the target column in the same commit (Delta's merge type
+   *  widening; untouched files keep the narrow physical type and upcast
+   *  at scan, the [[graft.tables.SnapshotTable.widenColumnType]]
+   *  contract); a source type that casts up losslessly to the target
+   *  needs no schema change; any other type drift — a NARROWING like
+   *  long→int or double→long — is rejected loudly rather than silently
+   *  truncated. */
   def withSchemaEvolution(): MergeInto = { schemaEvolution = true; this }
 
   /** Commit-log action tag for this merge (default "merge"). Streaming
@@ -109,14 +116,36 @@ final class MergeInto(
     val targetSchema =
       if (!schemaEvolution) committedSchema
       else {
-        val added = source.schema.fields
+        val srcFields = source.schema.fields
+        val added = srcFields
           .filterNot(f => committedSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
         // untouched files carried forward may still physically hold a
         // DROP COLUMNS-tombstoned name — re-widening would resurrect it
         table.assertResurrectionSafe(added.map(_.name),
           "MERGE WITH SCHEMA EVOLUTION")
+        // existing columns: a strictly wider lossless source type widens
+        // the target column; an up-castable narrower source needs no
+        // change (lockSchema casts it); anything else is a rejected
+        // narrowing — silent truncation is never schema "evolution"
+        val widened = committedSchema.fields.map { f =>
+          srcFields.find(_.name.equalsIgnoreCase(f.name)) match {
+            case Some(sf) if sf.dataType == f.dataType => f
+            case Some(sf)
+                if SnapshotTable.Widening.isLossless(f.dataType, sf.dataType) =>
+              f.copy(dataType = sf.dataType)
+            case Some(sf)
+                if SnapshotTable.Widening.isLossless(sf.dataType, f.dataType) => f
+            case Some(sf) => throw new IllegalArgumentException(
+              s"MERGE WITH SCHEMA EVOLUTION: source column ${sf.name} of type " +
+                s"${sf.dataType.simpleString} cannot evolve target type " +
+                s"${f.dataType.simpleString} — not a lossless widening " +
+                "(allowed: byte/short/int -> long, byte/short/int -> double, " +
+                "float -> double)")
+            case None => f
+          }
+        }
         org.apache.spark.sql.types.StructType(
-          committedSchema.fields ++ added.map(_.copy(nullable = true)))
+          widened ++ added.map(_.copy(nullable = true)))
       }
     val targetCols = targetSchema.fields.map(_.name).toSeq
     val allFiles = table.manifest()

@@ -3429,8 +3429,10 @@ object SnapshotTable {
 
   /** Conservative file-level predicate evaluation over footer stats. */
   /** Lossless type-widening lattice, shared by `widenColumnType` (the
-   *  DDL) and `alignToCommitted` (narrow producers keep appending). */
-  private[tables] object Widening {
+   *  DDL), `alignToCommitted` (narrow producers keep appending), and
+   *  `MergeInto`'s schema evolution (a wider source column widens the
+   *  target in the same commit). */
+  private[graft] object Widening {
     private val intRank = Map[DataType, Int](
       ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
     def isLossless(from: DataType, to: DataType): Boolean = (from, to) match {

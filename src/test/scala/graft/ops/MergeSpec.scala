@@ -140,6 +140,48 @@ class MergeSpec extends SparkSpec {
     assert(t.read().filter($"id" === 1).select("origin").as[String].head() === "apac")
   }
 
+  test("MERGE withSchemaEvolution widens an existing column to a wider lossless type") {
+    // target qty is INT; source supplies LONG values past Int range
+    val t = SnapshotTable.create(spark, tmpDir("merge_widen"),
+      Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "name", "qty"))
+    val src = Seq((2, "B", 5000000000L), (4, "d", 6000000000L))
+      .toDF("id", "name", "qty")
+    t.merge(src, col("t.id") === col("s.id"))
+      .withSchemaEvolution()
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+    assert(t.schema("qty").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val got = t.read().as[(Int, String, Long)].collect().toSet
+    // untouched rows (1, 3) upcast from the narrow physical files at scan
+    assert(got === Set(
+      (1, "a", 10L), (2, "B", 5000000000L), (3, "c", 30L), (4, "d", 6000000000L)))
+    // a narrower source after the widening needs no schema change: it
+    // casts up into the widened column
+    t.merge(Seq((1, 99)).toDF("id", "qty"), col("t.id") === col("s.id"))
+      .withSchemaEvolution()
+      .whenMatched().update(Map("qty" -> col("s.qty")))
+      .execute()
+    assert(t.schema("qty").dataType === org.apache.spark.sql.types.LongType)
+    assert(t.read().filter($"id" === 1).select("qty").as[Long].head() === 99L)
+  }
+
+  test("MERGE withSchemaEvolution rejects a narrowing instead of truncating") {
+    val t = SnapshotTable.create(spark, tmpDir("merge_narrow"),
+      Seq((1, 10L)).toDF("id", "qty")) // qty LONG
+    val src = Seq((1, 1.5)).toDF("id", "qty") // DOUBLE: long->double is lossy BOTH ways
+    val e = intercept[IllegalArgumentException] {
+      t.merge(src, col("t.id") === col("s.id"))
+        .withSchemaEvolution()
+        .whenMatched().updateAll()
+        .execute()
+    }
+    assert(e.getMessage.contains("not a lossless widening"))
+    assert(t.schema("qty").dataType === org.apache.spark.sql.types.LongType)
+    assert(t.read().as[(Int, Long)].collect().toSet === Set((1, 10L))) // untouched
+  }
+
   test("MERGE without schema evolution ignores extra source columns") {
     val t = freshTable()
     val src = Seq((2, "B", 200, "eu")).toDF("id", "name", "qty", "origin")
