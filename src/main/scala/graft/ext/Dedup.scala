@@ -478,17 +478,36 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       chunks: Int = 4): DataFrame = {
-    require(chunks >= 2 && 64 % chunks == 0, "chunks must divide 64")
-    require(maxHamming < chunks,
-      s"$chunks-chunk pigeonhole supports maxHamming <= ${chunks - 1}")
-    val w = 64 / chunks
-    val mask = (1L << w) - 1
     // NULL-text docs hash to NULL and would share every pigeonhole key
     // (xxhash64 skips null children) — a quadratic bucket; drop them
     val hashed = df
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc"),
         functions.simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
+    simhashPairsFromSignatures(hashed, "doc", "sh", maxHamming, chunks)
+  }
+
+  /** [[simhashPairs]] over PRECOMPUTED 64-bit simhash signatures — the
+   *  entry point when one signature pass feeds several band geometries
+   *  (q49's chunks=4 vs chunks=8 invariance harness) or when signatures
+   *  are persisted for incremental dedup: tokenize+simhash is the
+   *  dominant corpus scan, and recomputing it per decomposition doubles
+   *  the whole job. NULL signatures are dropped (same quadratic-bucket
+   *  guard as the text path). */
+  def simhashPairsFromSignatures(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3,
+      chunks: Int = 4): DataFrame = {
+    require(chunks >= 2 && 64 % chunks == 0, "chunks must divide 64")
+    require(maxHamming < chunks,
+      s"$chunks-chunk pigeonhole supports maxHamming <= ${chunks - 1}")
+    val w = 64 / chunks
+    val mask = (1L << w) - 1
+    val hashed = sigs
+      .filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("doc"), col(sigCol).as("sh"))
     // one 64-bit key per (chunks - maxHamming)-subset of slices: xxhash64
     // over (subset ordinal, slice values...)
     val combos = (0 until chunks).combinations(chunks - maxHamming).toSeq

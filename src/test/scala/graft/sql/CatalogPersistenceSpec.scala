@@ -47,13 +47,13 @@ class CatalogPersistenceSpec extends SparkSpec {
       keys = Seq("id"), precombine = "ts")
     // hive-sync registration of an existing table = CREATE … LOCATION
     // with no column list (adoption)
-    spark.sql(s"CREATE TABLE graft.db.mor1 USING graft LOCATION '$loc'")
+    spark.sql(s"CREATE TABLE graft.db.morext1 USING graft LOCATION '$loc'")
 
     val s2 = spark.newSession()
-    val rt = s2.sql("SELECT id, v FROM graft.db.mor1_rt ORDER BY id")
+    val rt = s2.sql("SELECT id, v FROM graft.db.morext1_rt ORDER BY id")
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(rt === Seq((1, "a"), (2, "b2"))) // real-time: delta applied
-    val ro = s2.sql("SELECT id, v FROM graft.db.mor1_ro ORDER BY id")
+    val ro = s2.sql("SELECT id, v FROM graft.db.morext1_ro ORDER BY id")
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(ro === Seq((1, "a"), (2, "b"))) // read-optimized: base only
   }
