@@ -104,6 +104,24 @@ object CatalogRegistry {
       lock: CommitLock = FileSystemCommitLock): Unit =
     update(spark, warehouse, lock)(_ - key(parts))
 
+  /** [[head]] for WRITERS: a torn newest slot means a concurrent
+   *  non-local-FS writer is mid-publish — committing v+2 on top of the
+   *  PREDECESSOR's state would silently drop their registration, so
+   *  wait briefly for the content to land before accepting the
+   *  fallback (readers never wait; serving the last good state is
+   *  their contract). Local-FS publishes are atomic, so this loop only
+   *  ever spins on HDFS-like stores. */
+  private def headForUpdate(fs: FileSystem, warehouse: String): (Long, Map[String, String]) = {
+    var waits = 0
+    while (waits < 20) {
+      val vs = versions(fs, warehouse)
+      if (vs.isEmpty) return (-1L, Map.empty)
+      try return (vs.last, readSlot(fs, slot(warehouse, vs.last)))
+      catch { case NonFatal(_) => waits += 1; Thread.sleep(25) }
+    }
+    head(fs, warehouse) // writer gave up waiting: last-good fallback
+  }
+
   /** Read-modify-CAS loop: read the head, apply `f`, publish head+1;
    *  a lost race re-reads and retries on top of the winner — the same
    *  protocol as every table commit, so concurrent registrations from
@@ -115,7 +133,7 @@ object CatalogRegistry {
     val fs = fsOf(spark, warehouse)
     var attempt = 0
     while (true) {
-      val (v, state) = head(fs, warehouse)
+      val (v, state) = headForUpdate(fs, warehouse)
       val next = f(state)
       if (next == state) return
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats

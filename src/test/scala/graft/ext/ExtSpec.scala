@@ -248,6 +248,25 @@ class ExtSpec extends SparkSpec {
       Dedup.simhashPairs(docs, "id", "text", maxHamming = 4, chunks = 4))
   }
 
+  test("simhashPairsFromSignatures equals the text path on precomputed signatures") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val viaText = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, chunks = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), functions.simhash64(TextAnalysis.tokens(col("text"))).as("sh"))
+    val viaSigs = Dedup.simhashPairsFromSignatures(sigs, "doc_id", "sh",
+        maxHamming = 3, chunks = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaSigs === viaText)
+    // NULL signatures are dropped, not quadratic-bucketed
+    val withNull = sigs.unionByName(
+      Seq((999999L, Option.empty[Long])).toDF("doc_id", "sh"))
+    val guarded = Dedup.simhashPairsFromSignatures(withNull, "doc_id", "sh", 3, 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(guarded === viaText)
+  }
+
   test("embeddingPairs finds planted near-identical vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
