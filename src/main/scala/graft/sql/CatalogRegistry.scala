@@ -29,6 +29,13 @@ import graft.tables.{CommitLock, FileSystemCommitLock, SnapshotTable}
  * A torn newest entry (non-local-FS writer mid-publish) falls back to
  * its predecessor, mirroring `SnapshotTable.currentReadable`.
  *
+ * Lookup hot path: table resolution consults the registry, so a lookup
+ * must not pay an O(#registrations) directory LIST — committers leave
+ * an advisory `_latest_hint` and readers existence-probe forward from
+ * it (the SnapshotTable hint pattern; never authoritative), and each
+ * publish prunes slots older than a fixed fallback window so the log
+ * stays O(RetainSlots) forever.
+ *
  * Keys are `ns1.ns2….name`, lowercased: SQL identifiers resolve
  * case-insensitively here, matching the warehouse-layout path behavior
  * on case-insensitive filesystems and Spark's default resolver.
@@ -37,15 +44,57 @@ object CatalogRegistry {
 
   private val MaxRetries = 64
 
+  /** Superseded slots retained behind the head: deep enough for the
+   *  torn-head fallback and for readers mid-listing while an updater
+   *  prunes; old slots hold stale full state nobody can need. */
+  private val RetainSlots = 16L
+
   private[sql] def key(parts: Seq[String]): String =
     parts.map(_.toLowerCase).mkString(".")
 
   private def regDir(warehouse: String) = new Path(warehouse, "_registry")
   private def slot(warehouse: String, v: Long) =
     new Path(regDir(warehouse), f"v$v%020d.json")
+  private def hintPath(warehouse: String) = new Path(regDir(warehouse), "_latest_hint")
 
   private def fsOf(spark: SparkSession, warehouse: String): FileSystem =
     regDir(warehouse).getFileSystem(spark.sessionState.newHadoopConf())
+
+  // Advisory latest-version hint (the SnapshotTable pattern): every
+  // lookup would otherwise LIST the registry dir — per TABLE RESOLUTION,
+  // paginated and slow on object stores once registrations accumulate.
+  // Committers leave the version they just published; readers
+  // existence-probe forward from it. The hint carries no authority: a
+  // stale hint probes forward to the true head, a torn/garbage/ahead
+  // hint falls back to the listing — losing every hint write costs
+  // performance only.
+  private def writeHint(fs: FileSystem, warehouse: String, v: Long): Unit =
+    try {
+      val out = fs.create(hintPath(warehouse), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case NonFatal(_) => () }
+
+  private def probeLatest(fs: FileSystem, warehouse: String): Option[Long] =
+    (try {
+      if (!fs.exists(hintPath(warehouse))) None
+      else {
+        val in = fs.open(hintPath(warehouse))
+        val s =
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64, false)
+            out.toString("UTF-8")
+          } finally in.close()
+        s.trim.toLongOption.filter(_ >= 0)
+      }
+    } catch { case NonFatal(_) => None }).flatMap { h =>
+      if (!fs.exists(slot(warehouse, h))) None // ahead of truth/pruned: re-list
+      else {
+        var v = h
+        while (fs.exists(slot(warehouse, v + 1))) v += 1
+        Some(v)
+      }
+    }
 
   private def readSlot(fs: FileSystem, p: Path): Map[String, String] = {
     val in = fs.open(p)
@@ -69,8 +118,19 @@ object CatalogRegistry {
   }
 
   /** Head (version, state) with torn-newest tolerance; (-1, empty) when
-   *  no registry exists yet. */
+   *  no registry exists yet. Hint fast path first — one existence probe
+   *  instead of a directory listing on the per-resolution hot path. */
   private def head(fs: FileSystem, warehouse: String): (Long, Map[String, String]) = {
+    probeLatest(fs, warehouse) match {
+      case Some(last) =>
+        try return (last, readSlot(fs, slot(warehouse, last)))
+        catch {
+          case NonFatal(_) if fs.exists(slot(warehouse, last - 1)) =>
+            return (last, readSlot(fs, slot(warehouse, last - 1)))
+          case NonFatal(_) => () // no retained predecessor: full listing
+        }
+      case None => ()
+    }
     val vs = versions(fs, warehouse)
     if (vs.isEmpty) return (-1L, Map.empty)
     try (vs.last, readSlot(fs, slot(warehouse, vs.last)))
@@ -142,6 +202,13 @@ object CatalogRegistry {
       try {
         lock.publish(fs, slot(warehouse, v + 1),
           new Path(regDir(warehouse), "_tmp"), payload)
+        writeHint(fs, warehouse, v + 1)
+        // retention: superseded slots carry stale FULL state nobody can
+        // need past the fallback window — prune best-effort so the log
+        // stays O(RetainSlots) regardless of registration count
+        try versions(fs, warehouse).filter(_ <= v + 1 - RetainSlots)
+          .foreach(old => fs.delete(slot(warehouse, old), false))
+        catch { case NonFatal(_) => () }
         return
       } catch {
         case _: SnapshotTable.ConcurrentCommitException =>

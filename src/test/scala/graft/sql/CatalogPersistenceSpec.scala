@@ -90,6 +90,27 @@ class CatalogPersistenceSpec extends SparkSpec {
     assert(names.contains("lx"))
   }
 
+  test("registry log stays bounded and hint-probed across many registrations") {
+    val wh = tmpDir("catreg_retention") // private warehouse: slot counts are exact
+    val loc = tmpDir("catreg_ret_data") + "/t"
+    SnapshotTable.create(spark, loc, Seq((1, "a")).toDF("id", "v"))
+    (0 until 40).foreach(i =>
+      CatalogRegistry.register(spark, wh, Seq("retns", s"t$i"), loc))
+    // every registration still resolves from the retained head
+    (0 until 40).foreach(i =>
+      assert(CatalogRegistry.lookup(spark, wh, Seq("retns", s"t$i")) === Some(loc)))
+    // superseded slots were pruned — the log is bounded, not O(#registrations)
+    val dir = new java.io.File(wh, "_registry")
+    val slots = dir.listFiles().map(_.getName).filter(_.matches("v\\d+\\.json"))
+    assert(slots.length <= 17, s"log not pruned: ${slots.length} slots")
+    // and the hint points at a live head (probe path, no listing needed)
+    assert(new java.io.File(dir, "_latest_hint").exists())
+    // a stale hint self-heals: overwrite it with an old version
+    val out = new java.io.FileOutputStream(new java.io.File(dir, "_latest_hint"))
+    out.write("25".getBytes("UTF-8")); out.close()
+    assert(CatalogRegistry.lookup(spark, wh, Seq("retns", "t39")) === Some(loc))
+  }
+
   test("registry survives concurrent registration from racing threads") {
     val wh = warehouse
     val roots = (0 until 16).map { i =>
