@@ -179,11 +179,12 @@ object Decontaminate {
     else {
       val (planes, seeds) =
         Similarity.autoLshParams(benchRows, targetBucketRows, minCos, targetRecall)
+      // one pass per side for ALL seeds (Similarity.seedBucketed) — a
+      // per-seed union would rescan the 100 TB corpus once per seed
       def bucketed(df: DataFrame, vec: String): DataFrame =
-        seeds.map { s =>
-          df.withColumn("__seed", lit(s))
-            .withColumn("__bucket", functions.hyperplaneBucket(col(vec), planes, s))
-        }.reduce(_ unionByName _)
+        Similarity.seedBucketed(df, vec, planes, seeds)
+          .withColumnRenamed("seed", "__seed")
+          .withColumnRenamed("bucket", "__bucket")
       val c = bucketed(corpus.select(col(idCol), col(vecCol).as("__c_vec")), "__c_vec")
       val b = bucketed(benchmark.select(col(benchVecCol).as("__b_vec")), "__b_vec")
       c.join(b, Seq("__seed", "__bucket"))

@@ -564,10 +564,11 @@ object Dedup {
       vecCol: String,
       minCos: Double = 0.95,
       targetBucketRows: Long = 64,
-      targetRecall: Double = 0.90): DataFrame = {
+      targetRecall: Double = 0.90,
+      materialize: Boolean = true): DataFrame = {
     val (planes, seeds) =
       Similarity.autoLshParams(df.count(), targetBucketRows, minCos, targetRecall)
-    embeddingPairsFixed(df, idCol, vecCol, minCos, planes, seeds)
+    embeddingPairsFixed(df, idCol, vecCol, minCos, planes, seeds, materialize)
   }
 
   /** [[embeddingPairs]] with an EXPLICIT (planes, seeds) geometry — the
@@ -581,15 +582,27 @@ object Dedup {
       vecCol: String,
       minCos: Double,
       planes: Int,
-      seeds: Seq[Long]): DataFrame = {
-    val base = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
+      seeds: Seq[Long],
+      materialize: Boolean = true): DataFrame = {
+    // ONE corpus scan for ALL seeds: the projected base (id + vector)
+    // materializes once and every seed's bucketing pass reads cached
+    // blocks — a per-seed union over the RAW input rescans the corpus
+    // once per seed, and auto sizing reaches 64 seeds. (An explode-based
+    // single pass measured SLOWER at bench scale: struct allocation in
+    // the hot projection plus ballooned post-explode size estimates.)
+    // Blocks release once the — much smaller — pair list materializes,
+    // the jaccardPairs lifetime pattern; materialize=false keeps the
+    // whole pipeline lazy for plan inspection / embedding in larger
+    // lazy pipelines (shared frames then recompute per seed).
+    def ckpt(d: DataFrame): DataFrame = if (materialize) d.localCheckpoint() else d
+    val base = ckpt(df.select(col(idCol).as("doc"), col(vecCol).as("v")))
     val bucketed = seeds.map { s =>
       base.withColumn("seed", lit(s))
         .withColumn("bucket", functions.hyperplaneBucket(col("v"), planes, s))
     }.reduce(_ unionByName _)
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")
-    a.join(b,
+    val out = a.join(b,
         col("a.seed") === col("b.seed") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
@@ -599,6 +612,10 @@ object Dedup {
       .withColumn("cos", functions.cosineSimilarity(col("va"), col("vb")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
+    if (!materialize) return out
+    val result = out.localCheckpoint() // eager: pins the (small) pair list …
+    release(base) // … so the projected corpus blocks drop NOW
+    result
   }
 
   /** Historical alias for [[embeddingPairs]] from when auto-sizing was

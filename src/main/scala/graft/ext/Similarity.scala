@@ -51,6 +51,22 @@ object Similarity {
    * Seed values derive deterministically from `baseSeed`, so a re-run
    * — or a different cluster — buckets identically.
    */
+  /** Multi-seed hyperplane bucketing in ONE pass: appends (seed, bucket)
+   *  columns, one output row per (input row, seed) via a map-side
+   *  explode. The alternative — a per-seed union — rescans the input
+   *  once per seed, and auto-sized seed counts reach 64: at 100 TB that
+   *  is 64 corpus scans for one bucketing step. Same output rows, same
+   *  downstream shuffles; only the scan count changes. */
+  private[ext] def seedBucketed(
+      df: DataFrame, vecCol: String, planes: Int, seeds: Seq[Long]): DataFrame = {
+    val sb = seeds.map(s => struct(lit(s).as("seed"),
+      functions.hyperplaneBucket(col(vecCol), planes, s).as("bucket")))
+    df.withColumn("__sb", explode(array(sb: _*)))
+      .withColumn("seed", col("__sb.seed"))
+      .withColumn("bucket", col("__sb.bucket"))
+      .drop("__sb")
+  }
+
   def autoLshParams(
       corpusRows: Long,
       targetBucketRows: Long = 1024,
@@ -199,23 +215,36 @@ object Similarity {
       vecCol: String,
       k: Int = 5,
       planes: Int = 8,
-      seeds: Seq[Long] = Seq(42L, 4242L, 424242L)): DataFrame = {
-    def bucketed(df: DataFrame, idAs: String, vecAs: String) =
+      seeds: Seq[Long] = Seq(42L, 4242L, 424242L),
+      materialize: Boolean = true): DataFrame = {
+    // ONE corpus scan for ALL seeds: the projected corpus materializes
+    // once, each seed's bucketing pass reads cached blocks (a per-seed
+    // union over the raw input rescans the corpus per seed — auto
+    // sizing reaches 64). Blocks release once the — much smaller —
+    // candidate ranking materializes; materialize=false keeps the
+    // pipeline lazy for plan inspection.
+    def ckpt(d: DataFrame): DataFrame = if (materialize) d.localCheckpoint() else d
+    val cBase = ckpt(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")))
+    def bucketed(base: DataFrame, vecAs: String) =
       seeds.map { s =>
-        df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-          .withColumn("seed", lit(s))
+        base.withColumn("seed", lit(s))
           .withColumn("bucket", functions.hyperplaneBucket(col(vecAs), planes, s))
       }.reduce(_ unionByName _)
-    val c = bucketed(corpus, "n_id", "n_vec")
-    val q = bucketed(probes, "q_id", "q_vec")
+    val c = bucketed(cBase, "n_vec")
+    val q = bucketed(
+      probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_vec")
     val candidates = q.join(c,
         q("seed") === c("seed") && q("bucket") === c("bucket") &&
           col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
       .dropDuplicates("q_id", "n_id")
-    rankTopK(candidates
+    val out = rankTopK(candidates
       .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec"))),
       "cos", k)
+    if (!materialize) return out
+    val result = out.localCheckpoint() // eager: pins the (small) top-k …
+    graft.ext.Dedup.release(cBase) // … so the projected corpus drops NOW
+    result
   }
 
   /**

@@ -75,8 +75,10 @@ class PlanSpec extends SparkSpec {
       "minhash" -> ext.Dedup.minhashPairs(docs, "doc_id", "text", materialize = false),
       "jaccard" -> ext.Dedup.jaccardPairs(docs, "doc_id", "text", materialize = false),
       "simhash" -> ext.Dedup.simhashPairs(docs, "doc_id", "text"),
-      "embedding" -> ext.Dedup.embeddingPairs(emb, "vec_id", "embedding"),
-      "lshTopK" -> ext.Similarity.lshTopK(emb, emb.limit(5), "vec_id", "embedding"),
+      "embedding" -> ext.Dedup.embeddingPairs(emb, "vec_id", "embedding",
+        materialize = false),
+      "lshTopK" -> ext.Similarity.lshTopK(emb, emb.limit(5), "vec_id", "embedding",
+        materialize = false),
       "ivfTopK" -> ext.Similarity.ivfTopK(emb, emb.limit(5), "vec_id", "embedding",
         nlist = 4, nProbe = 2, sampleN = 200))
     plans.foreach { case (name, df) =>
