@@ -2456,13 +2456,15 @@ object SparkEntry {
     }
     val fresh = half(1).groupBy("o_orderpriority")
       .agg(ext.functions.quantileState(col("o_totalprice"), 65536).as("state"))
+    // all four quantiles from ONE merged buffer and one sorted sweep
+    // (quantileMergeMulti), projected to scalars for the comparator
     store.read().unionByName(fresh)
       .groupBy("o_orderpriority")
-      .agg(
-        ext.functions.quantileMerge(col("state"), 0.25, 65536).as("p25"),
-        ext.functions.quantileMerge(col("state"), 0.5, 65536).as("p50"),
-        ext.functions.quantileMerge(col("state"), 0.75, 65536).as("p75"),
-        ext.functions.quantileMerge(col("state"), 0.99, 65536).as("p99"))
+      .agg(ext.functions.quantileMergeMulti(
+        col("state"), Seq(0.25, 0.5, 0.75, 0.99), 65536).as("ps"))
+      .select(col("o_orderpriority"),
+        col("ps")(0).as("p25"), col("ps")(1).as("p50"),
+        col("ps")(2).as("p75"), col("ps")(3).as("p99"))
       .orderBy("o_orderpriority")
   }
   private val Q109Duck =

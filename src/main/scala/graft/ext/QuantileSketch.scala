@@ -109,7 +109,13 @@ object Qsketch {
 
     /** Smallest v with cumulative weight ≥ q·total (IEEE comparison);
      *  None on an empty buffer. */
-    def quantile(q: Double): Option[Double] = {
+    def quantile(q: Double): Option[Double] = quantiles(Seq(q)).map(_.head)
+
+    /** [[quantile]] for SEVERAL probabilities from ONE sort + ONE
+     *  cumulative sweep — the profiling shape (p25/p50/p75/p99 of the
+     *  same column) without re-walking the buffer per quantile. Results
+     *  align positionally with `qs` (any order). */
+    def quantiles(qs: Seq[Double]): Option[Seq[Double]] = {
       val items = ArrayBuffer.empty[(Double, Long)]
       var i = 0
       while (i < levels.size) {
@@ -120,15 +126,21 @@ object Qsketch {
       if (items.isEmpty) return None
       val sorted = items.sortBy(_._1)
       val total = totalWeight
-      val target = q * total.toDouble
+      // one sweep serves every target: process probabilities in
+      // ascending-target order, advancing the cumulative pointer
+      val order = qs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](qs.size)
       var cum = 0L
-      var idx = 0
-      while (idx < sorted.size) {
-        cum += sorted(idx)._2
-        if (cum.toDouble >= target) return Some(sorted(idx)._1)
-        idx += 1
+      var idx = -1 // index of the last item folded into cum
+      order.foreach { case (q, oi) =>
+        val target = q * total.toDouble
+        while (cum.toDouble < target && idx < sorted.size - 1) {
+          idx += 1
+          cum += sorted(idx)._2
+        }
+        out(oi) = sorted(math.max(idx, 0))._1
       }
-      Some(sorted.last._1)
+      Some(out.toSeq)
     }
   }
 
@@ -252,6 +264,65 @@ case class QuantileSketchAgg(
   override def withNewInputAggBufferOffset(o: Int): QuantileSketchAgg =
     copy(inputAggBufferOffset = o)
   override def prettyName: String = "quantile_sketch"
+}
+
+/** `quantile_sketch_multi(x, array(q…), k)`: several quantiles of one
+ *  column from ONE k-bounded sketch — the profiling shape (p25/p50/p75/
+ *  p99 together) pays one buffer build and one sorted sweep instead of
+ *  one aggregate per probability. Output aligns positionally with the
+ *  probability array; NULL on an empty group. */
+case class QuantileSketchMultiAgg(
+    child: Expression,
+    k: Int,
+    qs: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends QsketchValueInput {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (qs.isEmpty)
+      TypeCheckResult.TypeCheckFailure("quantile_sketch_multi needs at least one q")
+    else qs.flatMap(checkQ).headOption.getOrElse(super.checkInputDataTypes())
+  override def eval(b: Qsketch.Buffer): Any =
+    b.quantiles(qs)
+      .map(vs => new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        vs.toArray[Any]))
+      .orNull
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): QuantileSketchMultiAgg =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): QuantileSketchMultiAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileSketchMultiAgg =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "quantile_sketch_multi"
+}
+
+/** `quantile_merge_multi(state, array(q…), k)`: [[QuantileSketchMultiAgg]]
+ *  over STORED states — the one-pass serve step of a sketch cube. */
+case class QuantileMergeMulti(
+    child: Expression,
+    k: Int,
+    qs: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends QsketchStateInput {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (qs.isEmpty)
+      TypeCheckResult.TypeCheckFailure("quantile_merge_multi needs at least one q")
+    else qs.flatMap(checkQ).headOption.getOrElse(super.checkInputDataTypes())
+  override def eval(b: Qsketch.Buffer): Any =
+    b.quantiles(qs)
+      .map(vs => new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        vs.toArray[Any]))
+      .orNull
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): QuantileMergeMulti =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): QuantileMergeMulti =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileMergeMulti =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "quantile_merge_multi"
 }
 
 /** `quantile_state(x, k)`: the sketch as a persistable BINARY state —

@@ -173,6 +173,16 @@ object functions {
   def quantileSketch(c: Column, q: Double, k: Int = 4096): Column =
     column(QuantileSketchAgg(expr(c), k, q).toAggregateExpression())
 
+  /** Several quantiles of one column from ONE sketch (array<double>,
+   *  positionally aligned with `qs`) — the profiling shape pays one
+   *  buffer and one sweep instead of one aggregate per probability. */
+  def quantileSketchMulti(c: Column, qs: Seq[Double], k: Int = 4096): Column =
+    column(QuantileSketchMultiAgg(expr(c), k, qs).toAggregateExpression())
+
+  /** [[quantileSketchMulti]] over STORED [[quantileState]] buffers. */
+  def quantileMergeMulti(state: Column, qs: Seq[Double], k: Int = 4096): Column =
+    column(QuantileMergeMulti(expr(state), k, qs).toAggregateExpression())
+
   /** The [[quantileSketch]] sketch as a persistable BINARY state — the
    *  store step; canonical bytes while the group stays ≤ k values. */
   def quantileState(c: Column, k: Int = 4096): Column =

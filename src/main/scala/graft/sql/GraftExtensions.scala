@@ -334,6 +334,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       litDouble(args, 1, "quantile_merge")))
     register("quantile_merge_state", 1, 2, args => graft.ext.QuantileMergeState(args.head,
       litInt(args, 1, "quantile_merge_state", Some(4096L))))
+    // multi-quantile faces: the q list arrives as a foldable array literal
+    def litDoubleArray(args: Seq[Expression], i: Int, name: String): Seq[Double] = {
+      if (i >= args.size) throw new IllegalArgumentException(
+        s"$name: missing argument ${i + 1}")
+      val e = args(i)
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"$name: argument ${i + 1} must be an array literal")
+      e.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toObjectArray(org.apache.spark.sql.types.DoubleType).toSeq.map {
+            case n: Number => n.doubleValue()
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case other => throw new IllegalArgumentException(
+              s"$name: non-numeric quantile $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"$name: argument ${i + 1} must be an array literal, got $other")
+      }
+    }
+    register("quantile_sketch_multi", 2, 3, args => graft.ext.QuantileSketchMultiAgg(
+      args.head,
+      litInt(args, 2, "quantile_sketch_multi", Some(4096L)),
+      litDoubleArray(args, 1, "quantile_sketch_multi")))
+    register("quantile_merge_multi", 2, 3, args => graft.ext.QuantileMergeMulti(
+      args.head,
+      litInt(args, 2, "quantile_merge_multi", Some(4096L)),
+      litDoubleArray(args, 1, "quantile_merge_multi")))
     // text-analysis composites (SURVEY §7.5 north star, one per
     // TextAnalysis entry point)
     registerText("token_count", TextAnalysis.tokenCount)

@@ -1548,6 +1548,39 @@ class ExtSpec extends SparkSpec {
     assert(stBytes.length < 256 * 8 * 16, s"state ${stBytes.length} bytes")
   }
 
+  test("quantileSketchMulti matches per-q quantileSketch in both regimes") {
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    for (k <- Seq(4096, 64)) { // exact regime, then estimator regime
+      val df = spark.range(0, 1000)
+        .selectExpr("id % 3 AS g", "cast(pmod(hash(id), 10007) AS double) AS v")
+        .repartition(5)
+      val multi = df.groupBy("g")
+        .agg(functions.quantileSketchMulti(col("v"), qs, k).as("ps"))
+        .as[(Long, Seq[Double])].collect().toMap
+      val singles = qs.map(q => df.groupBy("g")
+        .agg(functions.quantileSketch(col("v"), q, k).as("p"))
+        .as[(Long, Double)].collect().toMap)
+      multi.keySet.foreach { g =>
+        qs.indices.foreach(i =>
+          assert(multi(g)(i) === singles(i)(g), s"k=$k g=$g q=${qs(i)}"))
+      }
+    }
+    // SQL face with an array literal; merge-multi over stored states
+    spark.range(0, 90).selectExpr("cast(id AS double) AS v", "id % 3 AS g")
+      .createOrReplaceTempView("qskm_vals")
+    val viaSql = spark.sql(
+      """SELECT g, quantile_sketch_multi(v, array(0.5D, 1.0D)) AS ps
+        |FROM qskm_vals GROUP BY g ORDER BY g""".stripMargin)
+      .as[(Long, Seq[Double])].collect().toSeq
+    assert(viaSql.map(_._2(1)) === Seq(87.0, 88.0, 89.0)) // per-group max
+    val merged = spark.sql(
+      """SELECT g, quantile_merge_multi(st, array(0.5D, 1.0D)) AS ps FROM (
+        |  SELECT g, quantile_state(v) AS st FROM qskm_vals GROUP BY g, v % 7)
+        |GROUP BY g ORDER BY g""".stripMargin)
+      .as[(Long, Seq[Double])].collect().toSeq
+    assert(merged === viaSql)
+  }
+
   test("quantile sketch SQL faces and loud foreign-bytes rejection") {
     spark.range(0, 100).selectExpr("cast(id AS double) AS v", "id % 2 AS g")
       .createOrReplaceTempView("qsk_vals")
