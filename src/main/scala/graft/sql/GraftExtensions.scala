@@ -34,6 +34,37 @@ import graft.tables.SnapshotTable
  * }}}
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** A metadata-TVF table argument: a filesystem root verbatim, or a
+   *  catalog-qualified `<cat>.<ns…>.<name>` when `<cat>` resolves to a
+   *  configured [[GraftTableCatalog]] — the SQL metadata surfaces
+   *  (`graft_table_changes` / `graft_table_files`) then address tables
+   *  exactly like the rest of SQL does, registry-resolved external
+   *  tables included. Anything containing '/' is always a path; a
+   *  dotted name that the catalog cannot resolve falls back to being
+   *  tried as a path (so relative dotted dirs keep working). */
+  private def resolveTableRef(ref: String): SnapshotTable = {
+    val spark = SparkSession.active
+    val parts = ref.split('.')
+    if (!ref.contains('/') && parts.length >= 2) {
+      SparkInternals.catalogPlugin(spark, parts.head) match {
+        case Some(cat: GraftTableCatalog) =>
+          try {
+            cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+              parts.tail.init, parts.last)) match {
+              case g: GraftTable => return g.table
+              case rt: GraftRtTable => return rt.table
+              case _ => ()
+            }
+          } catch {
+            case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => ()
+          }
+        case _ => ()
+      }
+    }
+    SnapshotTable(spark, ref)
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => ResolveGraftMerge)
     // Delta-dialect maintenance statements (VACUUM / OPTIMIZE / DESCRIBE
@@ -41,8 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     // answer unfiltered count(*)/min/max from manifest stats, no scan
     ext.injectOptimizerRule(_ => MetadataOnlyAgg)
-    // `SELECT … FROM graft_table_changes('<root>', from[, to])` — the SQL
-    // face of [[SnapshotTable.readChanges]] (Delta's `table_changes` TVF)
+    // `SELECT … FROM graft_table_changes('<root-or-catalog-name>', from[, to])`
+    // — the SQL face of [[SnapshotTable.readChanges]] (Delta's
+    // `table_changes` TVF); the first argument is a path or a
+    // catalog-qualified name ([[resolveTableRef]])
     ext.injectTableFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_table_changes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -65,8 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val from = asLong(arg(1, "fromVersion"), "fromVersion")
         val to = if (args.size == 3) asLong(arg(2, "toVersion"), "toVersion")
           else Long.MaxValue
-        SparkInternals.logicalPlan(
-          SnapshotTable(SparkSession.active, root).readChanges(from, to))
+        SparkInternals.logicalPlan(resolveTableRef(root).readChanges(from, to))
       }))
     // `SELECT … FROM graft_table_files('<root>'[, version])` — the SQL
     // face of [[SnapshotTable.filesMetadata]] (Iceberg's `<table>.files`
@@ -91,8 +123,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_table_files: version must be an integer, got $other")
         } else None
-        SparkInternals.logicalPlan(
-          SnapshotTable(SparkSession.active, root).filesMetadata(version))
+        SparkInternals.logicalPlan(resolveTableRef(root).filesMetadata(version))
       }))
     // Pure-SQL face of the ext expression family — spark.sql users get
     // the same codegen'd kernels as the Column API

@@ -33,6 +33,14 @@ object SparkInternals {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
 
+  /** Resolve a configured catalog plugin by name (`CatalogManager` is
+   *  `private[sql]`); None when no such catalog is configured. */
+  def catalogPlugin(spark: SparkSession, name: String)
+      : Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] =
+    try Some(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.catalog(name))
+    catch { case _: org.apache.spark.sql.connector.catalog.CatalogNotFoundException => None }
+
   /** Executed (physical) plan string, for plan-shape assertions. */
   def executedPlanString(df: DataFrame): String =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]

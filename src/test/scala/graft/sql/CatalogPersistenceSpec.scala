@@ -90,6 +90,24 @@ class CatalogPersistenceSpec extends SparkSpec {
     assert(names.contains("lx"))
   }
 
+  test("metadata TVFs address tables by catalog name, registry-resolved") {
+    val loc = tmpDir("catreg_tvf") + "/t"
+    val t = SnapshotTable.create(spark, loc, Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    spark.sql(s"CREATE TABLE graft.db.tvf1 USING graft LOCATION '$loc'")
+    val s2 = spark.newSession()
+    // files metadata by NAME — the path never appears in the query
+    assert(s2.sql("SELECT * FROM graft_table_files('graft.db.tvf1')").count() === 2)
+    // change feed by NAME: (from, to] is from-EXCLUSIVE, so from=0
+    // yields exactly version 1's (2, 'b') append
+    val changes = s2.sql(
+      "SELECT id, v FROM graft_table_changes('graft.db.tvf1', 0)")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(changes === Set((2, "b")))
+    // a path argument still works verbatim
+    assert(s2.sql(s"SELECT * FROM graft_table_files('$loc')").count() === 2)
+  }
+
   test("registry log stays bounded and hint-probed across many registrations") {
     val wh = tmpDir("catreg_retention") // private warehouse: slot counts are exact
     val loc = tmpDir("catreg_ret_data") + "/t"
