@@ -238,6 +238,31 @@ object Bench {
             val docs = spark.read.parquet(s"$dir/documents.parquet")
             (() => { ext.BpeTrain.train(docs, "text", numMerges = 16); () },
              () => ())
+          },
+          // LSH-bucketed semantic decontamination (q98's large-benchmark
+          // regime, forced via cutover 0; benchmark grows WITH the
+          // corpus): auto sizing holds per-bucket bench load near its
+          // target, so the exponent evidences the |corpus|·bucketRows
+          // cost shape — not |corpus|·|bench|, which would be quadratic
+          // here since both sides scale together
+          annScaling("semantic_decontam_bucketed") { dir =>
+            val emb = embAt(dir)
+            val bench = emb.filter(col("vec_id") % 10 === 0)
+              .select(col("embedding").as("bvec"))
+            (() => noop(ext.Decontaminate.semanticContaminatedIdsAuto(
+              emb, "vec_id", "embedding", bench, "bvec", minCos = 0.95,
+              broadcastMaxBenchRows = 0)),
+             () => ())
+          },
+          // k-bounded quantile sketch in its ESTIMATOR regime (k = 256
+          // far under the per-language row count at both points): the
+          // map-side partial/final aggregation shape — cost tracks the
+          // scan, state stays k-bounded
+          annScaling("quantile_sketch_profile") { dir =>
+            val docs = spark.read.parquet(s"$dir/documents.parquet")
+            (() => noop(docs.groupBy("lang").agg(ext.functions.quantileSketchMulti(
+              col("n_chars").cast("double"), Seq(0.25, 0.5, 0.75, 0.99), 256))),
+             () => ())
           }).flatten
         val all = parts ++ annParts
         if (all.isEmpty) ""
