@@ -543,9 +543,19 @@ object SparkEntry {
       graft.streaming.StreamIngest.runOnce(
         graft.streaming.StreamIngest.appendSink(stream, out), ckpt)
     }
-    sentinel()
-    run() // drains all committed versions in one batch; emits nothing yet
-    run() // the drained source's flush batch emits every closed window
+    // Streaming aggregation instantiates ONE state store per shuffle
+    // partition per lifecycle; the aggregate here holds a few dozen
+    // (window, type) groups, so 32 partitions is 32x the store
+    // open/commit/checkpoint overhead for no parallelism. Scope the
+    // partition count down around the two runs (state partitioning is
+    // recorded in the checkpoint, so both runs must agree).
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      sentinel()
+      run() // drains all committed versions in one batch; emits nothing yet
+      run() // the drained source's flush batch emits every closed window
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     out.read().filter(col("event_type") =!= "__sentinel")
       .orderBy("window_start", "event_type")
   }
