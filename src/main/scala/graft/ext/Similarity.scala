@@ -737,22 +737,19 @@ object Similarity {
    * index `j·2²⁰ + i`, so the projection is deterministic across runs,
    * partitionings, and engines — an external SQL auditor replays it
    * bit-for-bit (the float→double widening and the left-to-right
-   * summation order are both IEEE-exact and order-stable). Pure
-   * codegen'd collection expressions; a map-side projection with no
-   * shuffle at any scale. Input dimension must be < 2²⁰.
+   * summation order are both IEEE-exact and order-stable). One static
+   * codegen'd kernel call per row ([[RandomProject]] — the equivalent
+   * higher-order-function form pays an interpreted lambda per
+   * sign-matrix entry); a map-side projection with no shuffle at any
+   * scale. Input dimension must be < 2²⁰ (checked).
    */
   def randomProjection(
       vec: Column,
       outDim: Int,
       salt: Long = Sampling.DefaultSalt): Column = {
     require(outDim > 0 && outDim <= 4096, s"outDim $outDim not in [1, 4096]")
-    val scale = 1.0 / math.sqrt(outDim.toDouble)
-    transform(sequence(lit(0), lit(outDim - 1)), j => {
-      val signed = zip_with(vec, sequence(lit(0L), size(vec).cast("long") - 1L),
-        (v, i) => v.cast("double") *
-          when(Sampling.hashBucket(j.cast("long") * lit(ProjIndexStride) + i, salt)
-            < lit(Sampling.Modulus / 2), lit(1.0)).otherwise(lit(-1.0)))
-      aggregate(signed, lit(0.0), (acc, x) => acc + x) * lit(scale)
-    })
+    org.apache.spark.sql.graftshim.SparkInternals.column(RandomProject(
+      org.apache.spark.sql.graftshim.SparkInternals.expr(vec),
+      outDim, salt, ProjIndexStride))
   }
 }

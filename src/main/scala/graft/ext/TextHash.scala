@@ -598,4 +598,58 @@ object TextHash {
     }
     out
   }
+
+  // ---- Johnson–Lindenstrauss random projection (Similarity.randomProjection)
+  // Arithmetic contract (externally replayed by the q74 oracle): sign
+  // (j, i) = +1 iff two rounds of the portable BIGINT multiplicative
+  // hash on index j·stride + i land below Modulus/2; accumulation is
+  // LEFT-TO-RIGHT in double; result scaled by 1.0/√outDim. Any change
+  // here must change the oracle and Sampling.hashBucket together.
+  private val ProjModulus = 1000000007L
+  private val ProjMult = 2654435761L
+
+  private def projSign(idx: Long, salt: Long): Boolean = {
+    val reduced = java.lang.Math.floorMod(idx, ProjModulus)
+    val r1 = java.lang.Math.floorMod(reduced * ProjMult + salt, ProjModulus)
+    val r2 = java.lang.Math.floorMod(r1 * ProjMult + salt, ProjModulus)
+    r2 < ProjModulus / 2
+  }
+
+  private def randomProject(
+      v: ArrayData, getD: Int => Double, anyNull: Boolean,
+      outDim: Int, salt: Long, stride: Long): ArrayData = {
+    val out = new Array[Any](outDim)
+    if (anyNull) return new GenericArrayData(out) // all-null row (HOF parity)
+    val d = v.numElements()
+    if (d >= stride) throw new IllegalArgumentException(
+      s"random_projection: input dimension $d must be < $stride (index stride)")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      val base = j.toLong * stride
+      var i = 0
+      while (i < d) {
+        val x = getD(i)
+        acc += (if (projSign(base + i, salt)) x else -x)
+        i += 1
+      }
+      out(j) = acc * scale
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def hasNullElement(v: ArrayData): Boolean = {
+    var i = 0
+    val n = v.numElements()
+    while (i < n) { if (v.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
+  def randomProjectF(v: ArrayData, outDim: Int, salt: Long, stride: Long): ArrayData =
+    randomProject(v, i => v.getFloat(i).toDouble, hasNullElement(v), outDim, salt, stride)
+
+  def randomProjectD(v: ArrayData, outDim: Int, salt: Long, stride: Long): ArrayData =
+    randomProject(v, i => v.getDouble(i), hasNullElement(v), outDim, salt, stride)
 }

@@ -564,3 +564,40 @@ case class TokenWeightSum(
   override protected def withNewChildInternal(newChild: Expression): TokenWeightSum =
     copy(child = newChild)
 }
+
+/** Johnson–Lindenstrauss random projection to `outDim` dimensions with
+ *  the derived Rademacher sign matrix ([[TextHash.randomProjectF]] —
+ *  the kernel of [[Similarity.randomProjection]]): one static call per
+ *  row inside whole-stage codegen. The equivalent higher-order-function
+ *  form (`transform`/`zip_with`/`aggregate`) pays an interpreted lambda
+ *  invocation per sign-matrix ENTRY — outDim·dim boxed calls per row in
+ *  the 100 TB hot path. Arithmetic is bit-identical to the HOF form
+ *  (and to the q74 oracle's replay): portable BIGINT sign derivation,
+ *  left-to-right double accumulation, 1/√outDim scale. */
+case class RandomProject(child: Expression, outDim: Int, salt: Long, stride: Long)
+    extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _ if outDim < 1 || outDim > 4096 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"random_projection: outDim $outDim not in [1, 4096]")
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"random_projection needs array<float> or array<double>, got ${t.sql}")
+    }
+  override protected def nullSafeEval(v: Any): Any =
+    if (isFloat) TextHash.randomProjectF(v.asInstanceOf[ArrayData], outDim, salt, stride)
+    else TextHash.randomProjectD(v.asInstanceOf[ArrayData], outDim, salt, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "randomProjectF" else "randomProjectD"
+    defineCodeGen(ctx, ev, v => s"graft.ext.TextHash.$fn($v, $outDim, ${salt}L, ${stride}L)")
+  }
+  override protected def withNewChildInternal(c: Expression): RandomProject =
+    copy(child = c)
+}
