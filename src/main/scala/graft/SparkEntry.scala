@@ -560,6 +560,59 @@ object SparkEntry {
       .orderBy("window_start", "event_type")
   }
 
+  /** Q114 — streaming EXACT dedup ingest
+   *  ([[graft.streaming.StreamIngest.dedupExactSink]],
+   *  `dropDuplicatesWithinWatermark` + the atomic idempotent sink): the
+   *  at-least-once upstream shape — the source table re-delivers every
+   *  5th and every 7th click as later commits, the stream drops the
+   *  re-deliveries by event_id with watermark-BOUNDED state (plain
+   *  dropDuplicates' grow-forever state is the 100 TB trap), and the
+   *  survivors land append-only. The oracle is the plain distinct click
+   *  set: a duplicate surviving (broken state), a survivor lost (over-
+   *  aggressive lateness), or a double-committed batch (broken sink
+   *  idempotence) all shift the row set and fail the hash. */
+  private def streamDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    val clicks = s.table("events").filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val src = warmTable("stream_dedup_src", dir) {
+      val base = SnapshotTable.create(s,
+        Files.createTempDirectory("graft_stream_dedup").toString, clicks)
+      base.append(clicks.filter(col("event_id") % 5 === 0)) // redelivery 1
+      base.append(clicks.filter(col("event_id") % 7 === 0)) // redelivery 2
+      base
+    }
+    val out = SnapshotTable.createEmpty(s,
+      Files.createTempDirectory("graft_stream_dedup_out").toString,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        // the watermark column must survive through the dedup operator,
+        // so it lands in the sink too; the declared output drops it
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+    val ckpt = Files.createTempDirectory("graft_stream_dedup_ckpt").toString
+    // dedup state stores scale with shuffle partitions — scope down to
+    // the stream's real width (the q81 discipline)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val stream = s.readStream.format("graft-table")
+        .option("path", src.root)
+        .load()
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.streaming.StreamIngest.runOnce(
+        graft.streaming.StreamIngest.dedupExactSink(stream, out,
+          keyCols = Seq("event_id"), tsCol = "ts", watermark = "1 hour"), ckpt)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    out.read().select(col("event_id"), col("user_id")).orderBy("event_id")
+  }
+  private val Q114Duck =
+    """SELECT event_id, user_id FROM events
+      |WHERE event_type = 'click' ORDER BY event_id""".stripMargin
+
   /** Q85 — deletion-vector DELETE ([[graft.tables.SnapshotTable]]
    *  `graft.dv.enabled`, Delta DV / Iceberg positional-delete parity):
    *  two stacked deletes land as O(deleted rows) parquet sidecars — zero
@@ -3410,7 +3463,8 @@ object SparkEntry {
     "q110_kmv_estimator" -> kmvEstimatorQuery,
     "q111_manifest_external" -> manifestExternalQuery,
     "q112_merge_evolution" -> mergeEvolutionQuery,
-    "q113_catalog_persistence" -> catalogPersistenceQuery)
+    "q113_catalog_persistence" -> catalogPersistenceQuery,
+    "q114_stream_dedup" -> streamDedupQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3553,7 +3607,8 @@ object SparkEntry {
     "q110_kmv_estimator" -> Q110Duck,
     "q111_manifest_external" -> Q111Duck,
     "q112_merge_evolution" -> Q112Duck,
-    "q113_catalog_persistence" -> Q113Duck)
+    "q113_catalog_persistence" -> Q113Duck,
+    "q114_stream_dedup" -> Q114Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

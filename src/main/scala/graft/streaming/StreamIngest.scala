@@ -33,6 +33,31 @@ object StreamIngest {
       case _ => None
     }
 
+  /**
+   * Streaming ingest with EXACT key dedup: at-least-once upstreams
+   * (Kafka redelivery, retried producers) hand the stream duplicate
+   * rows; `dropDuplicatesWithinWatermark` keeps each key's first
+   * arrival with WATERMARK-BOUNDED state — the plain `dropDuplicates`
+   * keeps every key ever seen, which is the unbounded-state trap at
+   * corpus scale — and each surviving micro-batch lands as one atomic
+   * idempotent commit ([[appendSink]]). A duplicate arriving after its
+   * key aged out of the watermark window is indistinguishable from a
+   * new row (the documented watermark trade); size `watermark` to the
+   * upstream's redelivery horizon.
+   */
+  def dedupExactSink(
+      stream: DataFrame,
+      table: SnapshotTable,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermark: String): DataStreamWriter[Row] = {
+    require(keyCols.nonEmpty, "dedupExactSink needs at least one key column")
+    appendSink(
+      stream.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols),
+      table)
+  }
+
   /** Append every micro-batch as one atomic snapshot commit. */
   def appendSink(stream: DataFrame, table: SnapshotTable): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
