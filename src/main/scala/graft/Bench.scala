@@ -153,12 +153,18 @@ object Bench {
       }
       if (fromDir == toDir || !new java.io.File(fromDir).isDirectory) ""
       else {
+        // The exponent divides two sub-second wall-clock minima, so it
+        // amplifies machine noise quadratically in rep scarcity —
+        // consecutive identical-code runs measured q48 exponents from
+        // 0.5 to 0.75 at 3 reps. The scaling block therefore takes the
+        // min over at least 5 reps (still seconds of extra bench time).
+        val scalingReps = math.max(reps, 5)
         val parts = scalingTrio.flatMap { name =>
           SparkEntry.queries.get(name).flatMap { fn =>
             try {
               def timeAt(dir: String): Double = {
                 fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
-                (1 to reps).map { _ =>
+                (1 to scalingReps).map { _ =>
                   val t0 = System.nanoTime()
                   fn(spark, dir).write.format("noop").mode("overwrite").save()
                   (System.nanoTime() - t0) / 1e9
@@ -190,7 +196,7 @@ object Bench {
               val (probe, cleanup) = mk(dir)
               try {
                 probe() // warm
-                (1 to reps).map { _ =>
+                (1 to scalingReps).map { _ =>
                   val t0 = System.nanoTime(); probe(); (System.nanoTime() - t0) / 1e9
                 }.min
               } finally cleanup()
