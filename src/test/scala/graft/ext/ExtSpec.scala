@@ -1548,6 +1548,27 @@ class ExtSpec extends SparkSpec {
     assert(stBytes.length < 256 * 8 * 16, s"state ${stBytes.length} bytes")
   }
 
+  test("quantile sketch estimator-regime STORE/MERGE keeps bounded rank error") {
+    // the incremental-cube flow in the estimator regime: four batch
+    // states at k=128 over 50k values, merged at serve time — the merge
+    // must not compound compaction error past the regression envelope
+    val n = 50000
+    val df = spark.range(0, n)
+      .selectExpr("id % 4 AS batch",
+        "cast(pmod(hash(id) * 2654435761, 1048576) AS double) / 1048576 AS v")
+      .repartition(8)
+    val states = df.groupBy("batch")
+      .agg(functions.quantileState(col("v"), k = 128).as("st"))
+    val served = states
+      .agg(functions.quantileMergeMulti(col("st"), Seq(0.25, 0.5, 0.9), k = 128))
+      .as[Seq[Double]].head()
+    val vals = df.as[(Long, Double)].collect().map(_._2).sorted
+    Seq(0.25, 0.5, 0.9).zipWithIndex.foreach { case (q, i) =>
+      val rank = vals.count(_ <= served(i)).toDouble / n
+      assert(math.abs(rank - q) < 0.05, s"q=$q served=${served(i)} rank=$rank")
+    }
+  }
+
   test("quantileSketchMulti matches per-q quantileSketch in both regimes") {
     val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
     for (k <- Seq(4096, 64)) { // exact regime, then estimator regime
