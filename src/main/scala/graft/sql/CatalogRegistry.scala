@@ -5,7 +5,7 @@ import scala.util.control.NonFatal
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
-import graft.tables.{CommitLock, FileSystemCommitLock, SnapshotTable}
+import graft.tables.{CommitLock, SnapshotTable}
 
 /**
  * Durable name→root registry for [[GraftTableCatalog]] — the engine's
@@ -156,13 +156,18 @@ object CatalogRegistry {
     }.sorted
   }
 
+  /** `lock` None → the session-wide CommitLock
+   *  (`spark.graft.commitLock`, [[SnapshotTable.sessionLock]]) — the
+   *  registry CAS rides the same deployment seam as table commits. */
   def register(spark: SparkSession, warehouse: String, parts: Seq[String],
-      root: String, lock: CommitLock = FileSystemCommitLock): Unit =
-    update(spark, warehouse, lock)(_ + (key(parts) -> root))
+      root: String, lock: Option[CommitLock] = None): Unit =
+    update(spark, warehouse,
+      lock.getOrElse(SnapshotTable.sessionLock(spark)))(_ + (key(parts) -> root))
 
   def unregister(spark: SparkSession, warehouse: String, parts: Seq[String],
-      lock: CommitLock = FileSystemCommitLock): Unit =
-    update(spark, warehouse, lock)(_ - key(parts))
+      lock: Option[CommitLock] = None): Unit =
+    update(spark, warehouse,
+      lock.getOrElse(SnapshotTable.sessionLock(spark)))(_ - key(parts))
 
   /** [[head]] for WRITERS: a torn newest slot means a concurrent
    *  non-local-FS writer is mid-publish — committing v+2 on top of the

@@ -202,8 +202,12 @@ class SnapshotTable private (
 
   /** The commit-slot CAS implementation — filesystem-native by default;
    *  object-store deployments swap in a conditional-put/lock-service
-   *  impl via [[withCommitLock]] (see [[CommitLock]]). */
-  @volatile private var commitLock: CommitLock = FileSystemCommitLock
+   *  impl via [[withCommitLock]] per handle, or session-wide with
+   *  `spark.graft.commitLock=<class>` (see [[CommitLock]] and
+   *  [[SnapshotTable.sessionLock]]) — the configuration seam that
+   *  covers tables resolved by the DSv2 catalog / SQL commands, where
+   *  no caller holds the handle to call withCommitLock on. */
+  @volatile private var commitLock: CommitLock = SnapshotTable.sessionLock(spark)
 
   /** Use `lock` as this table's commit CAS (e.g. a conditional-put
    *  implementation for S3/GCS). Returns this table. */
@@ -3716,6 +3720,34 @@ object SnapshotTable {
   }
 
   /** Open or initialize a table rooted at `root`. */
+  /** Session-wide [[CommitLock]] override: `spark.graft.commitLock`
+   *  names a no-arg CommitLock implementation class (or a Scala object,
+   *  `...$` / bare object name both accepted) — the deployment seam for
+   *  object stores where the filesystem CAS is not atomic, without
+   *  per-handle `withCommitLock` wiring (the reference delegates this
+   *  role to its DynamoDB lock manager via spark confs the same way).
+   *  Misconfiguration fails LOUDLY at table construction: a silently
+   *  ignored lock class would run unsafe commits forever. */
+  private[graft] def sessionLock(spark: SparkSession): CommitLock =
+    spark.conf.getOption("spark.graft.commitLock") match {
+      case None => FileSystemCommitLock
+      case Some(cls) =>
+        try {
+          // Scala-object form first: a bare object name ALSO resolves as
+          // its static-forwarder mirror class, which has no usable ctor
+          val viaObject =
+            try Some(Class.forName(cls + "$").getField("MODULE$").get(null))
+            catch { case _: ReflectiveOperationException => None }
+          viaObject.getOrElse(
+            Class.forName(cls).getDeclaredConstructor().newInstance())
+            .asInstanceOf[CommitLock]
+        } catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"spark.graft.commitLock=$cls is not instantiable as a " +
+              "graft.tables.CommitLock (need a no-arg class or a Scala object)", e)
+        }
+    }
+
   def apply(spark: SparkSession, root: String): SnapshotTable =
     new SnapshotTable(spark, root)
 
