@@ -108,6 +108,22 @@ class CatalogPersistenceSpec extends SparkSpec {
     assert(s2.sql(s"SELECT * FROM graft_table_files('$loc')").count() === 2)
   }
 
+  test("maintenance SQL addresses registered external tables by name") {
+    val loc = tmpDir("catreg_maint") + "/t"
+    val t = SnapshotTable.create(spark, loc, Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    spark.sql(s"CREATE TABLE graft.db.maint1 USING graft LOCATION '$loc'")
+    val s2 = spark.newSession()
+    // history, optimize, and vacuum dry-run all resolve through the
+    // registry — the path never appears in the SQL
+    assert(s2.sql("DESCRIBE HISTORY graft.db.maint1").count() >= 2)
+    s2.sql("OPTIMIZE graft.db.maint1")
+    assert(s2.sql("SELECT * FROM graft.db.maint1").count() === 2)
+    assert(SnapshotTable(spark, loc).commitEntry(
+      SnapshotTable(spark, loc).currentVersion()).action.startsWith("compact"))
+    s2.sql("VACUUM graft.db.maint1 RETAIN 168 HOURS DRY RUN")
+  }
+
   test("registry log stays bounded and hint-probed across many registrations") {
     val wh = tmpDir("catreg_retention") // private warehouse: slot counts are exact
     val loc = tmpDir("catreg_ret_data") + "/t"
