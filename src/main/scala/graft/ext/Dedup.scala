@@ -566,9 +566,20 @@ object Dedup {
       targetBucketRows: Long = 64,
       targetRecall: Double = 0.90,
       materialize: Boolean = true): DataFrame = {
+    if (!materialize) {
+      val (planes, seeds) =
+        Similarity.autoLshParams(df.count(), targetBucketRows, minCos, targetRecall)
+      return embeddingPairsFixed(df, idCol, vecCol, minCos, planes, seeds,
+        materialize = false)
+    }
+    // pin the projected base FIRST, then size from the pinned count: the
+    // upstream pipeline (which may itself be a join/filter chain, not a
+    // bare scan) executes exactly once — counting the raw frame before
+    // checkpointing it would run it twice
+    val base = df.select(col(idCol).as("doc"), col(vecCol).as("v")).localCheckpoint()
     val (planes, seeds) =
-      Similarity.autoLshParams(df.count(), targetBucketRows, minCos, targetRecall)
-    embeddingPairsFixed(df, idCol, vecCol, minCos, planes, seeds, materialize)
+      Similarity.autoLshParams(base.count(), targetBucketRows, minCos, targetRecall)
+    pairsFromBase(base, minCos, planes, seeds)
   }
 
   /** [[embeddingPairs]] with an EXPLICIT (planes, seeds) geometry — the
@@ -584,25 +595,40 @@ object Dedup {
       planes: Int,
       seeds: Seq[Long],
       materialize: Boolean = true): DataFrame = {
-    // ONE corpus scan for ALL seeds: the projected base (id + vector)
-    // materializes once and every seed's bucketing pass reads cached
-    // blocks — a per-seed union over the RAW input rescans the corpus
-    // once per seed, and auto sizing reaches 64 seeds. (An explode-based
-    // single pass measured SLOWER at bench scale: struct allocation in
-    // the hot projection plus ballooned post-explode size estimates.)
-    // Blocks release once the — much smaller — pair list materializes,
-    // the jaccardPairs lifetime pattern; materialize=false keeps the
-    // whole pipeline lazy for plan inspection / embedding in larger
-    // lazy pipelines (shared frames then recompute per seed).
-    def ckpt(d: DataFrame): DataFrame = if (materialize) d.localCheckpoint() else d
-    val base = ckpt(df.select(col(idCol).as("doc"), col(vecCol).as("v")))
+    if (!materialize)
+      return pairsPlan(df.select(col(idCol).as("doc"), col(vecCol).as("v")),
+        minCos, planes, seeds)
+    pairsFromBase(
+      df.select(col(idCol).as("doc"), col(vecCol).as("v")).localCheckpoint(),
+      minCos, planes, seeds)
+  }
+
+  /** Mining over a PINNED (doc, v) base: every seed's bucketing pass
+   *  reads the base's cached blocks — ONE corpus scan for all seeds,
+   *  where a per-seed union over the raw input rescans the corpus once
+   *  per seed (auto sizing reaches 64). An explode-based single pass
+   *  measured SLOWER at bench scale: struct allocation in the hot
+   *  projection plus ballooned post-explode size estimates. Blocks
+   *  release once the — much smaller — pair list materializes (the
+   *  jaccardPairs lifetime pattern). */
+  private def pairsFromBase(
+      base: DataFrame, minCos: Double, planes: Int, seeds: Seq[Long]): DataFrame = {
+    val result = pairsPlan(base, minCos, planes, seeds).localCheckpoint()
+    release(base)
+    result
+  }
+
+  /** The lazy mining plan over a (doc, v) frame — also served raw for
+   *  plan inspection (`materialize = false`). */
+  private def pairsPlan(
+      base: DataFrame, minCos: Double, planes: Int, seeds: Seq[Long]): DataFrame = {
     val bucketed = seeds.map { s =>
       base.withColumn("seed", lit(s))
         .withColumn("bucket", functions.hyperplaneBucket(col("v"), planes, s))
     }.reduce(_ unionByName _)
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")
-    val out = a.join(b,
+    a.join(b,
         col("a.seed") === col("b.seed") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
@@ -612,10 +638,6 @@ object Dedup {
       .withColumn("cos", functions.cosineSimilarity(col("va"), col("vb")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
-    if (!materialize) return out
-    val result = out.localCheckpoint() // eager: pins the (small) pair list …
-    release(base) // … so the projected corpus blocks drop NOW
-    result
   }
 
   /** Historical alias for [[embeddingPairs]] from when auto-sizing was
