@@ -1633,19 +1633,26 @@ object SparkEntry {
       |SELECT id_a, id_b, round(c, 4) AS cos FROM pairs WHERE c >= 0.95
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** Q102 — auto-sized embedding near-dup pairs via the historical
-   *  [[ext.Dedup.embeddingPairsAuto]] alias. Auto-sizing became
-   *  [[ext.Dedup.embeddingPairs]]'s DEFAULT (round 9), so q48 and q102
-   *  now run the same plan; q102 stays declared to pin the alias surface
-   *  and to keep the bench's scaling-curve history for the auto path
-   *  continuous across rounds. Identical planted copies collide in every
-   *  bucket under ANY plane count, so both share the q48 oracle. */
+  /** Q102 — auto-sized embedding near-dup pairs at a TIGHTENED recall
+   *  floor (targetRecall 0.99 vs q48's default 0.90, via the historical
+   *  [[ext.Dedup.embeddingPairsAuto]] alias): auto-sizing became
+   *  [[ext.Dedup.embeddingPairs]]'s default in round 9, so q102 now
+   *  exercises the SEED-SCALING axis of [[ext.Similarity
+   *  .autoLshParams]] — the recall floor multiplies the seed count
+   *  while the plane count holds, and the single-scan base makes extra
+   *  seeds cheap. The RESULT is provably geometry-independent here:
+   *  identical planted copies collide in every bucket under any
+   *  (planes, seeds), and every extra candidate the added seeds surface
+   *  is removed by the exact cos ≥ 0.95 filter — so q48's oracle
+   *  applies unchanged, and a result drift under the tighter geometry
+   *  would flag a candidate-generation bug, not a fixture change. */
   private def embeddingPairsAutoQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
     val doubled = emb.unionByName(
       emb.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
-    ext.Dedup.embeddingPairsAuto(doubled, "vec_id", "embedding", minCos = 0.95)
+    ext.Dedup.embeddingPairsAuto(doubled, "vec_id", "embedding", minCos = 0.95,
+        targetRecall = 0.99)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
   }
