@@ -619,22 +619,32 @@ object Dedup {
   }
 
   /** The lazy mining plan over a (doc, v) frame — also served raw for
-   *  plan inspection (`materialize = false`). */
+   *  plan inspection (`materialize = false`).
+   *
+   *  Shuffle discipline (the jaccardPairs verification shape): the
+   *  banded self-join and the candidate dedup move ONLY (seed, bucket,
+   *  id) longs; vectors re-join AFTER the distinct. Carrying both
+   *  vectors through the candidate shuffle multiplies its volume by the
+   *  vector width (~30× at 64 dims) — total candidates ≈
+   *  N·bucketRows/2 per seed, so a deep seed count (recall 0.99 ⇒ ~11
+   *  seeds) OOMed the 10× bench corpus before this split. */
   private def pairsPlan(
       base: DataFrame, minCos: Double, planes: Int, seeds: Seq[Long]): DataFrame = {
-    val bucketed = seeds.map { s =>
-      base.withColumn("seed", lit(s))
-        .withColumn("bucket", functions.hyperplaneBucket(col("v"), planes, s))
+    val keyed = seeds.map { s =>
+      base.select(col("doc"), lit(s).as("seed"),
+        functions.hyperplaneBucket(col("v"), planes, s).as("bucket"))
     }.reduce(_ unionByName _)
-    val a = bucketed.alias("a")
-    val b = bucketed.alias("b")
-    a.join(b,
+    val a = keyed.alias("a")
+    val b = keyed.alias("b")
+    val candidates = a.join(b,
         col("a.seed") === col("b.seed") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    val sa = base.select(col("doc").as("id_a"), col("v").as("va"))
+    val sb = base.select(col("doc").as("id_b"), col("v").as("vb"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
       .withColumn("cos", functions.cosineSimilarity(col("va"), col("vb")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -225,22 +225,28 @@ object Similarity {
     // pipeline lazy for plan inspection.
     def ckpt(d: DataFrame): DataFrame = if (materialize) d.localCheckpoint() else d
     val cBase = ckpt(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")))
-    def bucketed(base: DataFrame, vecAs: String) =
+    val qBase = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    // the candidate join + dedup move ONLY (seed, bucket, id) longs;
+    // vectors re-join after the distinct (the pair-miner shuffle
+    // discipline — carrying vectors through the candidate shuffle
+    // multiplies its volume by the vector width)
+    def keyed(base: DataFrame, id: String, vec: String) =
       seeds.map { s =>
-        base.withColumn("seed", lit(s))
-          .withColumn("bucket", functions.hyperplaneBucket(col(vecAs), planes, s))
+        base.select(col(id), lit(s).as("seed"),
+          functions.hyperplaneBucket(col(vec), planes, s).as("bucket"))
       }.reduce(_ unionByName _)
-    val c = bucketed(cBase, "n_vec")
-    val q = bucketed(
-      probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_vec")
+    val c = keyed(cBase, "n_id", "n_vec")
+    val q = keyed(qBase, "q_id", "q_vec")
     val candidates = q.join(c,
         q("seed") === c("seed") && q("bucket") === c("bucket") &&
           col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
-      .dropDuplicates("q_id", "n_id")
-    val out = rankTopK(candidates
-      .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec"))),
-      "cos", k)
+      .select(col("q_id"), col("n_id"))
+      .distinct()
+    val scored = candidates
+      .join(qBase, "q_id")
+      .join(cBase, "n_id")
+      .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec")))
+    val out = rankTopK(scored, "cos", k)
     if (!materialize) return out
     val result = out.localCheckpoint() // eager: pins the (small) top-k …
     graft.ext.Dedup.release(cBase) // … so the projected corpus drops NOW
