@@ -173,9 +173,20 @@ object Decontaminate {
     require(minCos > 0.0 && minCos < 1.0, s"minCos must be in (0, 1), got $minCos")
     require(broadcastMaxBenchRows >= 0,
       s"broadcastMaxBenchRows must be >= 0, got $broadcastMaxBenchRows")
-    val benchRows = benchmark.count()
+    // pin the projected benchmark FIRST and size from the pinned count
+    // (the embeddingPairs rule): a benchmark built as its own
+    // join/filter pipeline would otherwise execute once for the count
+    // and again for the probe. The pinned blocks are benchmark-sized
+    // and stay until GC — the small side by construction; the corpus is
+    // never pinned.
+    val bench = benchmark.select(col(benchVecCol).as("__b_vec")).localCheckpoint()
+    val benchRows = bench.count()
     if (benchRows <= broadcastMaxBenchRows)
-      semanticContaminatedIds(corpus, idCol, vecCol, benchmark, benchVecCol, minCos)
+      corpus.select(col(idCol), col(vecCol).as("__c_vec"))
+        .crossJoin(broadcast(bench))
+        .filter(functions.cosineSimilarity(col("__c_vec"), col("__b_vec")) >= minCos)
+        .select(col(idCol))
+        .distinct()
     else {
       val (planes, seeds) =
         Similarity.autoLshParams(benchRows, targetBucketRows, minCos, targetRecall)
@@ -186,7 +197,7 @@ object Decontaminate {
           .withColumnRenamed("seed", "__seed")
           .withColumnRenamed("bucket", "__bucket")
       val c = bucketed(corpus.select(col(idCol), col(vecCol).as("__c_vec")), "__c_vec")
-      val b = bucketed(benchmark.select(col(benchVecCol).as("__b_vec")), "__b_vec")
+      val b = bucketed(bench, "__b_vec")
       c.join(b, Seq("__seed", "__bucket"))
         .filter(functions.cosineSimilarity(col("__c_vec"), col("__b_vec")) >= minCos)
         .select(col(idCol))

@@ -194,7 +194,9 @@ sealed trait QsketchAggLike extends TypedImperativeAggregate[Qsketch.Buffer] {
   protected def checkK: Option[TypeCheckResult] =
     if (k < 16) Some(TypeCheckResult.TypeCheckFailure(s"k=$k too small (min 16)")) else None
   protected def checkQ(q: Double): Option[TypeCheckResult] =
-    if (q < 0.0 || q > 1.0)
+    // negated-range form so NaN (which fails BOTH q < 0 and q > 1) is
+    // rejected too, instead of silently serving the group minimum
+    if (!(q >= 0.0 && q <= 1.0))
       Some(TypeCheckResult.TypeCheckFailure(s"quantile q=$q must be in [0, 1]"))
     else None
 

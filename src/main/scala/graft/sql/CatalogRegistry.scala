@@ -49,8 +49,12 @@ object CatalogRegistry {
    *  prunes; old slots hold stale full state nobody can need. */
   private val RetainSlots = 16L
 
+  // Locale.ROOT: the default-locale toLowerCase maps "IDS" to "ıds"
+  // under a Turkish JVM locale — a different KEY than an English-locale
+  // reader computes, which breaks exactly the cross-JVM resolution this
+  // registry exists to provide
   private[sql] def key(parts: Seq[String]): String =
-    parts.map(_.toLowerCase).mkString(".")
+    parts.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(".")
 
   private def regDir(warehouse: String) = new Path(warehouse, "_registry")
   private def slot(warehouse: String, v: Long) =
@@ -147,10 +151,16 @@ object CatalogRegistry {
   def lookup(spark: SparkSession, warehouse: String, parts: Seq[String]): Option[String] =
     head(fsOf(spark, warehouse), warehouse)._2.get(key(parts))
 
+  /** The full current name→root map — ONE head read. Listing-style
+   *  consumers filter against this instead of paying one registry read
+   *  per candidate name (the N+1 shape the hint exists to avoid). */
+  def snapshot(spark: SparkSession, warehouse: String): Map[String, String] =
+    head(fsOf(spark, warehouse), warehouse)._2
+
   /** All registered keys under `namespace` (exact namespace level). */
   def list(spark: SparkSession, warehouse: String, namespace: Seq[String]): Seq[String] = {
     val prefix = if (namespace.isEmpty) "" else key(namespace) + "."
-    head(fsOf(spark, warehouse), warehouse)._2.keys.toSeq.collect {
+    snapshot(spark, warehouse).keys.toSeq.collect {
       case k if k.startsWith(prefix) && !k.stripPrefix(prefix).contains(".") =>
         k.stripPrefix(prefix)
     }.sorted

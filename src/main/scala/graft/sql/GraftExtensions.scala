@@ -40,24 +40,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
    *  configured [[GraftTableCatalog]] — the SQL metadata surfaces
    *  (`graft_table_changes` / `graft_table_files`) then address tables
    *  exactly like the rest of SQL does, registry-resolved external
-   *  tables included. Anything containing '/' is always a path; a
-   *  dotted name that the catalog cannot resolve falls back to being
-   *  tried as a path (so relative dotted dirs keep working). */
+   *  tables included. Anything containing '/' is always a path, and a
+   *  dotted name whose head is NOT a configured graft catalog is tried
+   *  as a path (relative dotted dirs keep working) — but once the head
+   *  names a real graft catalog, a missing table surfaces as
+   *  NoSuchTableException: silently retrying a typo'd name as a bogus
+   *  relative path would bury the actual error. */
   private def resolveTableRef(ref: String): SnapshotTable = {
     val spark = SparkSession.active
     val parts = ref.split('.')
     if (!ref.contains('/') && parts.length >= 2) {
       SparkInternals.catalogPlugin(spark, parts.head) match {
         case Some(cat: GraftTableCatalog) =>
-          try {
-            cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
-              parts.tail.init, parts.last)) match {
-              case g: GraftTable => return g.table
-              case rt: GraftRtTable => return rt.table
-              case _ => ()
-            }
-          } catch {
-            case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => ()
+          return cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.tail.init, parts.last)) match {
+            case g: GraftTable => g.table
+            case rt: GraftRtTable => rt.table
+            case other => throw new IllegalArgumentException(
+              s"$ref resolved to unexpected table $other")
           }
         case _ => ()
       }

@@ -98,14 +98,23 @@ class GraftTableCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new Path((warehouse +: namespace).mkString("/"))
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // ONE registry head read serves the whole listing: filtering each
+    // candidate through exists()/resolveRoot would re-read the registry
+    // per name — the N+1 shape the registry's own hint exists to avoid
+    val state = CatalogRegistry.snapshot(spark, warehouse)
     val managed =
       if (!fs.exists(dir)) Array.empty[Identifier]
       else fs.listStatus(dir).filter(_.isDirectory)
         .map(s => Identifier.of(namespace, s.getPath.getName))
-        .filter(exists)
-    val registered = CatalogRegistry.list(spark, warehouse, namespace.toSeq)
-      .map(n => Identifier.of(namespace, n))
-      .filter(exists)
+        .filter(id => SnapshotTable(spark, rootFor(id)).currentVersion() >= 0)
+    val prefix =
+      if (namespace.isEmpty) "" else CatalogRegistry.key(namespace.toSeq) + "."
+    val registered = state.toSeq.collect {
+      case (k, root) if k.startsWith(prefix) &&
+          !k.stripPrefix(prefix).contains(".") &&
+          SnapshotTable(spark, root).currentVersion() >= 0 =>
+        Identifier.of(namespace, k.stripPrefix(prefix))
+    }
     (managed ++ registered).distinct
   }
 
@@ -407,14 +416,17 @@ class GraftTableCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = {
     // managed (warehouse-layout) tables drop their data; a REGISTERED
     // external table only loses its catalog entry — hive EXTERNAL
-    // semantics: the catalog never owned that data
+    // semantics: the catalog never owned that data. BOTH are cleared
+    // when both exist: deleting only the managed dir would leave a
+    // stale same-name registration that resurrects the dropped name on
+    // the next resolution.
     val root = new Path(rootFor(ident))
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(root)) fs.delete(root, true)
-    else if (CatalogRegistry.lookup(spark, warehouse, identParts(ident)).isDefined) {
-      CatalogRegistry.unregister(spark, warehouse, identParts(ident))
-      true
-    } else false
+    val droppedManaged = fs.exists(root) && fs.delete(root, true)
+    val hadRegistration =
+      CatalogRegistry.lookup(spark, warehouse, identParts(ident)).isDefined
+    if (hadRegistration) CatalogRegistry.unregister(spark, warehouse, identParts(ident))
+    droppedManaged || hadRegistration
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

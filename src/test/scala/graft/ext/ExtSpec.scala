@@ -1625,6 +1625,10 @@ class ExtSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bad magic") ||
       Option(e.getCause).exists(_.getMessage.contains("bad magic")))
+    // NaN q is rejected at analysis, not served as the group minimum
+    val nan = intercept[Exception](
+      spark.sql("SELECT quantile_sketch(1.0D, cast('NaN' AS DOUBLE))").collect())
+    assert(nan.getMessage.toLowerCase.contains("must be in [0, 1]"))
   }
 
   test("duplicateNgramFraction: cross-doc spans counted, short docs score 0") {

@@ -124,6 +124,32 @@ class CatalogPersistenceSpec extends SparkSpec {
     s2.sql("VACUUM graft.db.maint1 RETAIN 168 HOURS DRY RUN")
   }
 
+  test("DROP clears a stale same-name registration alongside the managed dir") {
+    // the resurrection case: a name registered externally AND a managed
+    // table later materialized at the derived warehouse path — DROP
+    // must clear both, or the dropped name resolves again via the
+    // leftover registration
+    val loc = tmpDir("catreg_stale") + "/ext"
+    SnapshotTable.create(spark, loc, Seq((9, "ext")).toDF("id", "v"))
+    CatalogRegistry.register(spark, warehouse, Seq("db", "stale1"), loc)
+    Seq((1, "managed")).toDF("id", "v").writeTo("graft.db.stale1").createOrReplace()
+    // managed path wins while both exist
+    assert(spark.table("graft.db.stale1").as[(Int, String)].head() === ((1, "managed")))
+    spark.sql("DROP TABLE graft.db.stale1")
+    intercept[Exception](spark.table("graft.db.stale1").collect())
+    assert(CatalogRegistry.lookup(spark, warehouse, Seq("db", "stale1")).isEmpty)
+  }
+
+  test("registry keys are locale-independent (Locale.ROOT lowering)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      // under the Turkish default locale "IDS".toLowerCase is "ıds" —
+      // Locale.ROOT keying must still produce the portable "ids"
+      assert(CatalogRegistry.key(Seq("DB", "IDS")) === "db.ids")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("registry log stays bounded and hint-probed across many registrations") {
     val wh = tmpDir("catreg_retention") // private warehouse: slot counts are exact
     val loc = tmpDir("catreg_ret_data") + "/t"
