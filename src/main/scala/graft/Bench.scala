@@ -28,7 +28,8 @@ object Bench {
   private val mutationClass = Set(
     "q18_scd2_merge", "q41_hudi_upsert", "q55_change_feed", "q64_mor_delete",
     "q70_replace_where", "q77_branch_wap", "q78_stream_roundtrip",
-    "q81_stream_window", "q85_dv_delete", "q86_dv_update")
+    "q81_stream_window", "q85_dv_delete", "q86_dv_update",
+    "q115_apply_changes")
 
   /** Point-lookup class graded against BASELINE.md's Athena lookups. */
   private val lookupClass = Seq(

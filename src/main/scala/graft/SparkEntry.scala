@@ -2405,6 +2405,45 @@ object SparkEntry {
       |  SELECT id, state, 'delete', 2 FROM del)
       |ORDER BY id, _change_type""".stripMargin
 
+  /** Q115 — CDF CONSUMER ([[SnapshotTable.applyChanges]], the downstream
+   *  mirror-materialization half of the change-data-capture surface; q55
+   *  declares the feed side): a source table takes q55's deterministic
+   *  update (v1) + delete (v2), and a mirror bootstrapped from the v0
+   *  snapshot replays the feed through `applyChanges` — TWICE, with
+   *  OVERLAPPING windows ((0,1] then (0,2]) so the declared result also
+   *  exercises the latest-change-per-key reduction's idempotence: the v1
+   *  updates arrive in both windows and must converge, the v2 delete must
+   *  win over the overlapping v1 update for keys in both classes. The
+   *  measured read is the MIRROR, which the oracle replays by applying
+   *  the mutations directly to the base table. */
+  private def applyChangesQuery(s: SparkSession, dir: String): DataFrame = {
+    val customer = s.read.parquet(s"$dir/customer.parquet")
+    val base = customer.select(col("c_custkey").as("id"),
+      col("c_mktsegment").as("state"), col("c_acctbal").as("bal"))
+    val src = warmTable("q115src", dir)(SnapshotTable.create(s,
+      Files.createTempDirectory("graft_q115s").toString,
+      base.repartitionByRange(4, col("id"))))
+    val mirror = warmTable("q115mir", dir)(SnapshotTable.create(s,
+      Files.createTempDirectory("graft_q115m").toString,
+      base.repartitionByRange(4, col("id"))))
+    src.update(col("id") % 5 === 0, Map("state" -> lower(col("state")))) // v1
+    src.delete(col("id") % 7 === 3)                                      // v2
+    // overlapping replay windows: (0,1] then (0,2] — the second window
+    // re-delivers every v1 change the first already applied
+    mirror.applyChanges(src.readChanges(0, 1, keyCols = Seq("id")), Seq("id"))
+    mirror.applyChanges(src.readChanges(0, 2, keyCols = Seq("id")), Seq("id"))
+    mirror.read()
+      .select(col("id"), col("state"), round(col("bal"), 2).as("bal"))
+      .orderBy("id")
+  }
+  private val Q115Duck =
+    """WITH base AS (SELECT c_custkey AS id, c_mktsegment AS state,
+      |                     c_acctbal AS bal FROM customer),
+      |s1 AS (SELECT id, CASE WHEN id % 5 = 0 THEN lower(state) ELSE state END AS state,
+      |              bal FROM base)
+      |SELECT id, state, round(bal, 2) AS bal FROM s1
+      |WHERE id % 7 <> 3 ORDER BY id""".stripMargin
+
   /** Q56 — heavy-hitter domain capping ([[ext.Sampling.capPerGroup]]):
    *  keep the best `cap` documents per source, ranked by the q46 quality
    *  score (doc_id tie-break), via the two-phase salted top-k (no single
@@ -3502,7 +3541,8 @@ object SparkEntry {
     "q111_manifest_external" -> manifestExternalQuery,
     "q112_merge_evolution" -> mergeEvolutionQuery,
     "q113_catalog_persistence" -> catalogPersistenceQuery,
-    "q114_stream_dedup" -> streamDedupQuery)
+    "q114_stream_dedup" -> streamDedupQuery,
+    "q115_apply_changes" -> applyChangesQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3646,7 +3686,8 @@ object SparkEntry {
     "q111_manifest_external" -> Q111Duck,
     "q112_merge_evolution" -> Q112Duck,
     "q113_catalog_persistence" -> Q113Duck,
-    "q114_stream_dedup" -> Q114Duck)
+    "q114_stream_dedup" -> Q114Duck,
+    "q115_apply_changes" -> Q115Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

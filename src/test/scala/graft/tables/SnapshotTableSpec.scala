@@ -791,6 +791,17 @@ class SnapshotTableSpec extends SparkSpec {
     src.upsertDeferred(Seq((6L, "reborn", 9L)).toDF("id", "v", "ts"), Seq("id"), "ts")
     mirror.applyChanges(src.readChanges(v2, keyCols = Seq("id")), Seq("id"))
     assert(snap(mirror) === snap(src), "delete+reinsert window diverged")
+    // OVERLAPPING windows (not just identical ones): a consumer that
+    // re-reads from an old cursor replays already-applied changes mixed
+    // with new ones — the latest-change-per-key reduction must converge
+    val v3 = src.currentVersion()
+    src.update(col("id") === 8, Map("v" -> lit("w1")))
+    mirror.applyChanges(src.readChanges(v3, keyCols = Seq("id")), Seq("id"))
+    src.update(col("id") === 8, Map("v" -> lit("w2")))
+    src.delete(col("id") === 9)
+    // window (v3, head] overlaps the (v3, v3+1] already applied above
+    mirror.applyChanges(src.readChanges(v3, keyCols = Seq("id")), Seq("id"))
+    assert(snap(mirror) === snap(src), "overlapping replay windows diverged")
   }
 
   test("meta-columns: _commit_version/_commit_ts trace file lineage") {
