@@ -2444,6 +2444,86 @@ object SparkEntry {
       |SELECT id, state, round(bal, 2) AS bal FROM s1
       |WHERE id % 7 <> 3 ORDER BY id""".stripMargin
 
+  /** Q116 — perceptual-hash IMAGE near-dup ([[ext.Dedup.imageNearDupPairs]]
+   *  — the multimodal decode→dedup closure): per doc_id a 9×8 PNG is
+   *  synthesized with per-PIXEL grays from id arithmetic (q27's
+   *  planted-ground-truth technique at pixel granularity), REALLY decoded
+   *  through `javax.imageio`, dHashed over the decoded luminance grid,
+   *  and near-dup-mined by the banded pigeonhole join. Docs with
+   *  id % 100 == 99 plant a copy of id−1 with ONE pixel brightened by
+   *  128 — flipping at most two ADJACENT gradient bits (one grid row),
+   *  so every planted pair sits at Hamming ≤ 2 with three of four chunk
+   *  bands intact: banding MUST recover it (`planted_found`, the
+   *  structural recall gate). The hash itself is proven bit-for-bit: the
+   *  oracle replays all four 16-bit bands from the generating arithmetic
+   *  — 64 grid comparisons as pure SQL — so a decode or hash deviation
+   *  fails the value hash, not just the recall flag. */
+  private def perceptualHashQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val assets = docs.as[Long].mapPartitions { it =>
+      it.map { id =>
+        val isCopy = id % 100 == 99
+        val base = if (isCopy) id - 1 else id
+        val v = (base * 48271 + 11) % 65536
+        val u = (base * 69621 + 7) % 65536
+        val px = (id % 9).toInt
+        val py = ((id * 3) % 8).toInt
+        val png = ext.Multimodal.encodePngPixels(9, 8, (x, y) => {
+          val p = if (isCopy && x == px && y == py) 128L else 0L
+          ((v * (x + 3) + u * (y + 1) * (x + 1) + p) % 256).toInt
+        })
+        (id, png)
+      }
+    }.toDF("asset_id", "media")
+    // decode+hash once (the dominant pass): the signature frame feeds the
+    // pair miner's two join sides AND the band projection below
+    val sigs = ext.Multimodal.imageDHashes(assets).localCheckpoint()
+    val pairs = ext.Dedup.simhashPairsFromSignatures(
+      sigs, "asset_id", "dhash", maxHamming = 3, chunks = 4)
+    val found = pairs
+      .filter(col("id_a") % 100 === 98 && col("id_b") === col("id_a") + 1)
+      .select(col("id_a").as("asset_id"), lit(true).as("f"))
+    sigs.join(found, Seq("asset_id"), "left")
+      .select(col("asset_id") +:
+        (0 until 4).map(k => shiftright(col("dhash"), 16 * k)
+          .bitwiseAND(lit(0xFFFFL)).as(s"b$k")) :+
+        (coalesce(col("f"), lit(false)) ||
+          col("asset_id") % 100 =!= 98 || col("asset_id") === maxId)
+          .as("planted_found"): _*)
+      .orderBy("asset_id")
+  }
+  private val Q116Duck: String = {
+    // pixel gray g(x,y) and the 64 dHash grid comparisons, inlined as
+    // pure arithmetic — generated, not handwritten, so Spark's encoder
+    // and the oracle share one formula by construction
+    def g(x: Int, y: Int): String =
+      s"((v*${x + 3} + u*${(y + 1) * (x + 1)} + " +
+        s"CASE WHEN ic AND px=$x AND py=$y THEN 128 ELSE 0 END) % 256)"
+    val bands = (0 until 4).map { k =>
+      val terms = (for {
+        y <- Seq(2 * k, 2 * k + 1)
+        x <- 0 until 8
+      } yield s"(CASE WHEN ${g(x, y)} < ${g(x + 1, y)} " +
+        s"THEN ${1L << (y * 8 + x - 16 * k)} ELSE 0 END)").mkString(" + ")
+      s"CAST($terms AS BIGINT) AS b$k"
+    }.mkString(",\n  ")
+    s"""WITH p AS (
+       |  SELECT doc_id AS asset_id,
+       |    CASE WHEN doc_id % 100 = 99 THEN doc_id - 1 ELSE doc_id END AS base,
+       |    (doc_id % 100 = 99) AS ic,
+       |    doc_id % 9 AS px, (doc_id * 3) % 8 AS py
+       |  FROM documents),
+       |w AS (SELECT asset_id, (base*48271 + 11) % 65536 AS v,
+       |             (base*69621 + 7) % 65536 AS u, ic, px, py FROM p)
+       |SELECT asset_id,
+       |  $bands,
+       |  true AS planted_found
+       |FROM w ORDER BY asset_id""".stripMargin
+  }
+
   /** Q56 — heavy-hitter domain capping ([[ext.Sampling.capPerGroup]]):
    *  keep the best `cap` documents per source, ranked by the q46 quality
    *  score (doc_id tie-break), via the two-phase salted top-k (no single
@@ -3542,7 +3622,8 @@ object SparkEntry {
     "q112_merge_evolution" -> mergeEvolutionQuery,
     "q113_catalog_persistence" -> catalogPersistenceQuery,
     "q114_stream_dedup" -> streamDedupQuery,
-    "q115_apply_changes" -> applyChangesQuery)
+    "q115_apply_changes" -> applyChangesQuery,
+    "q116_image_neardup" -> perceptualHashQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3687,7 +3768,8 @@ object SparkEntry {
     "q112_merge_evolution" -> Q112Duck,
     "q113_catalog_persistence" -> Q113Duck,
     "q114_stream_dedup" -> Q114Duck,
-    "q115_apply_changes" -> Q115Duck)
+    "q115_apply_changes" -> Q115Duck,
+    "q116_image_neardup" -> Q116Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -533,6 +533,31 @@ object Dedup {
   }
 
   /**
+   * Perceptual-hash IMAGE near-dup pairs — the multimodal
+   * decode→dedup closure: [[Multimodal.dHash]] (9×8 luminance-gradient
+   * difference hash) over the DECODED pixels of each asset, then the
+   * 64-bit-signature pigeonhole machinery ([[simhashPairsFromSignatures]]
+   * — banded chunk equi-join, id pairs dedup'd, Hamming verified;
+   * never an all-pairs comparison). A slightly-perturbed image copy
+   * (brightness jitter, single-region edit) moves only the gradient
+   * bits its pixels touch, so copies sit within a small Hamming radius
+   * of their original while unrelated images scatter across the 2⁶⁴
+   * hash space.
+   *
+   * 100 TB shape: decode+hash is one linear mapPartitions pass (the
+   * [[Multimodal.decodeImages]] batching), the candidate join is
+   * equi-partitioned on chunk keys exactly like text simhash, and
+   * undecodable payloads hash to NULL and are dropped — never stubbed
+   * into a hash that could fake a duplicate.
+   */
+  def imageNearDupPairs(
+      assets: DataFrame,
+      maxHamming: Int = 3,
+      chunks: Int = 4): DataFrame =
+    simhashPairsFromSignatures(
+      Multimodal.imageDHashes(assets), "asset_id", "dhash", maxHamming, chunks)
+
+  /**
    * Embedding cosine near-dup pairs: hyperplane-LSH bucket equi-join for
    * candidates, exact cosine ≥ `minCos` filter. Buckets with few planes
    * keep recall high; at scale, multi-probe = union over several seeds.

@@ -97,6 +97,120 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic per-PIXEL PNG synthesis (the [[encodePng]] generator
+   *  with a gray function instead of one level): fixture generator for
+   *  structured-content decode tests (dHash near-dup planting), where
+   *  every pixel's gray replays from the generating arithmetic. PNG is
+   *  lossless and equal RGB channels make BT.601 luminance equal the
+   *  gray level exactly ((299+587+114)·g/1000 = g), so hashes computed
+   *  from DECODED pixels are replayable. */
+  def encodePngPixels(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val row = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = gray(x, y) & 0xFF
+        row(x) = (g << 16) | (g << 8) | g
+        x += 1
+      }
+      img.setRGB(0, y, width, 1, row, 0, width)
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash — the standard perceptual-hash family
+   *  member built on luminance GRADIENTS, robust to brightness shifts):
+   *  decode through the JDK codecs, area-average the BT.601 luminance
+   *  onto a 9×8 grid, then bit (x,y) = grid(x,y) < grid(x+1,y) at index
+   *  y*8+x. A 9×8 source image maps each grid cell to exactly one pixel,
+   *  so fixture hashes replay from the generating arithmetic (the q27
+   *  planted-ground-truth technique). None when no codec recognizes the
+   *  payload. */
+  def dHash(media: Array[Byte]): Option[Long] = {
+    if (media == null || media.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val gw = 9
+      val gh = 8
+      // area-averaged luminance grid: each cell averages its pixel block
+      // (block bounds floor-divided; always >= 1 pixel even when the
+      // image is smaller than the grid)
+      val grid = Array.ofDim[Double](gh, gw)
+      val rowBuf = new Array[Int](w)
+      val sums = Array.ofDim[Long](gh, gw)
+      val counts = Array.ofDim[Long](gh, gw)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        val cy = math.min(gh - 1, y * gh / h)
+        var x = 0
+        while (x < w) {
+          val rgb = rowBuf(x)
+          val lum = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+            114 * (rgb & 0xFF)) / 1000
+          val cx = math.min(gw - 1, x * gw / w)
+          sums(cy)(cx) += lum
+          counts(cy)(cx) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      var cy = 0
+      while (cy < gh) {
+        var cx = 0
+        while (cx < gw) {
+          // images smaller than the grid leave empty cells; inherit the
+          // nearest filled neighbor to the left/above so comparisons
+          // stay defined (equal cells hash to 0 bits)
+          grid(cy)(cx) =
+            if (counts(cy)(cx) > 0) sums(cy)(cx).toDouble / counts(cy)(cx)
+            else if (cx > 0) grid(cy)(cx - 1)
+            else if (cy > 0) grid(cy - 1)(cx)
+            else 0.0
+          cx += 1
+        }
+        cy += 1
+      }
+      var hash = 0L
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          if (grid(by)(bx) < grid(by)(bx + 1)) hash |= 1L << (by * 8 + bx)
+          bx += 1
+        }
+        by += 1
+      }
+      Some(hash)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Batched dHash over the asset table — the [[decodeImages]] pipeline
+   *  shape, emitting (asset_id, dhash) with NULL for payloads no codec
+   *  recognizes (pair miners drop nulls; nothing is silently stubbed
+   *  into a hash that could fake a duplicate). */
+  def imageDHashes(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) => (id, dHash(bytes)) }
+        }
+      }
+      .toDF("asset_id", "dhash")
+  }
+
   /** STUB decode of one asset — the fallback for payloads no JDK codec
    *  recognizes (and for audio/video). Deterministic: dimensions derive
    *  from payload length, features from xxHash64 of the bytes. */

@@ -712,6 +712,46 @@ class ExtSpec extends SparkSpec {
     assert(out(13L)._2 === Multimodal.decodeStub(13L, null).width)
   }
 
+  test("multimodal: dHash is scale- and brightness-invariant; image near-dup pairs mine banded") {
+    // block-constant pattern: each of the 9x8 grid cells has one gray.
+    // NONLINEAR in x (the q116 formula): a linear ramp has a constant
+    // gradient, which dHashes to the degenerate all-ones signature
+    def pattern(v: Int, u: Int)(x: Int, y: Int): Int =
+      (v * (x + 3) + u * (y + 1) * (x + 1)) % 256
+    def gray(x: Int, y: Int): Int = pattern(12345, 54321)(x, y)
+    val small = Multimodal.encodePngPixels(9, 8, gray)
+    // 10x upscale (each cell becomes a 10x10 block): area-averaging the
+    // 90x80 image back onto the 9x8 grid recovers the exact cell grays,
+    // so the hash is identical — the resize path is proven, not assumed
+    val big = Multimodal.encodePngPixels(90, 80, (x, y) => gray(x / 10, y / 10))
+    val hSmall = Multimodal.dHash(small).get
+    assert(Multimodal.dHash(big).get === hSmall, "downsampled hash diverged")
+    // dHash encodes GRADIENTS: a global brightness shift (no clipping)
+    // leaves every comparison — hence the hash — unchanged
+    val maxG = (0 until 9).flatMap(x => (0 until 8).map(y => gray(x, y))).max
+    val shift = math.min(20, 255 - maxG)
+    assert(shift > 0, "fixture grays leave no brightness headroom")
+    val brighter = Multimodal.encodePngPixels(9, 8, (x, y) => gray(x, y) + shift)
+    assert(Multimodal.dHash(brighter).get === hSmall, "brightness shift moved the hash")
+    assert(Multimodal.dHash("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.dHash(null).isEmpty)
+    // pair mining: a one-pixel perturbation flips at most two adjacent
+    // gradient bits — banding must recover the pair; an unrelated
+    // pattern and an undecodable payload must not pair with anything
+    val perturbed = Multimodal.encodePngPixels(9, 8,
+      (x, y) => if (x == 4 && y == 2) (gray(x, y) + 128) % 256 else gray(x, y))
+    val other = Multimodal.encodePngPixels(9, 8, pattern(9876, 4321))
+    val assets = Seq(
+      (1L, small), (2L, perturbed), (3L, other),
+      (4L, "junk payload".getBytes("UTF-8"))).toDF("asset_id", "media")
+    val pairs = Dedup.imageNearDupPairs(assets)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 2),
+      s"planted near-dup not recovered: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      s"unrelated/undecodable asset paired: $pairs")
+  }
+
   test("multimodal: real WAV decode recovers planted rate, frames, and signal features") {
     // encode → decode roundtrip through the actual JDK sampled-audio
     // codecs: a ±200 square wave with half-period 3 over 60 frames
