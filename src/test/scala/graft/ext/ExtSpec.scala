@@ -524,6 +524,55 @@ class ExtSpec extends SparkSpec {
     assert(driver(7L) === 7L) // a self-loop node is its own component
   }
 
+  test("connectedComponents: both paths agree on a 10^4-edge mixed graph") {
+    // The bench pair graphs all fit the driver union-find; this is the
+    // distributed path's at-depth identity gate — a 3000-hop chain (deep
+    // structure), 100 stars of 50 spokes (wide structure), duplicate AND
+    // reversed edges, plus self-pair singletons, >= 10^4 edges total.
+    val chain = spark.range(0, 3000)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val chainRev = chain.select(col("id_b").as("id_a"), col("id_a").as("id_b"))
+    val stars = spark.range(0, 5000).select(
+      (lit(10000) + (col("id") % 100) * 100).as("id_a"),
+      (lit(10000) + (col("id") % 100) * 100 + 1 + floor(col("id") / 100).cast("long")).as("id_b"))
+    val selfs = spark.range(100000, 100021)
+      .select(col("id").as("id_a"), col("id").as("id_b"))
+    val pairs = chain.union(chainRev).union(stars).union(selfs).localCheckpoint()
+    assert(pairs.count() >= 10000L)
+    val driver = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toSet
+    val dist = Dedup.connectedComponents(pairs, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(dist === driver, "distributed labels diverged from driver union-find")
+    val labels = driver.toMap
+    assert(labels.size === 3001 + 100 * 51 + 21)
+    assert((0L to 3000L).forall(labels(_) == 0L), "chain must collapse to 0")
+    assert((1 to 50).forall(k => labels(10500L + k) == 10500L), "star mislabeled")
+    assert(labels(100020L) === 100020L, "self-pair singleton lost")
+  }
+
+  test("dense-duplicate MINED pairs: distributed closure survivors match the driver path") {
+    // a corpus of 16-copy near-dup clusters mines a pair graph whose
+    // edges exceed any per-cluster driver assumption; the end-to-end
+    // survivors (min-id per component) must be identical on both paths
+    // clusters must be lexically DISJOINT (distinct per-cluster vocab):
+    // sharing all-but-one token would make cross-cluster pairs true
+    // near-dups and the per-cluster label assertion meaningless
+    val dense = (0L until 512L).map { id =>
+      val c = id / 16
+      (id, (0 until 12).map(j => s"w${c}x$j").mkString(" "))
+    }.toDF("id", "text")
+    val mined = Dedup.minhashPairs(dense, "id", "text", minEst = 0.5)
+    val byDriver = Dedup.connectedComponents(mined).as[(Long, Long)].collect().toSet
+    val byDist = Dedup.connectedComponents(mined, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(byDriver === byDist)
+    // every cluster collapses to its min id
+    val labels = byDriver.toMap
+    assert(labels.nonEmpty)
+    labels.foreach { case (id, comp) => assert(comp === (id / 16) * 16,
+      s"doc $id labeled $comp, expected ${(id / 16) * 16}") }
+  }
+
   test("ZOrder.optimize refuses pending MoR deltas and stale snapshots") {
     import graft.tables.SnapshotTable
     val t = SnapshotTable(spark, tmpDir("zopt_guard"))
