@@ -192,8 +192,13 @@ final class MergeInto(
             when(col(ACTION) === idx, v).otherwise(acc)
           }.as(name)
       val inserts = lockSchema(withAction.select(targetCols.map(insCol): _*))
+      // allFiles=Nil skips the candidate pruning/probing (unused here)
+      // while still computing the key-bounds rebase guard: an interleaved
+      // commit whose files provably hold none of our keys cannot change
+      // which source rows are "not matched", so the insert commit rebases
+      val (_, insBounds) = discoveryCandidates(table, source, condition, Nil)
       return table.replaceFiles(allFiles, inserts, actionTag,
-        expectVersion = Some(snapshotVersion))
+        expectVersion = Some(snapshotVersion), rebasePredicate = insBounds)
     }
 
     // ---- job 1: touched-file discovery, fused with the cardinality
@@ -211,7 +216,7 @@ final class MergeInto(
     val needsCardinality = cardinalityCheck && matchedClauses.nonEmpty &&
       !(matchedClauses.size == 1 && matchedClauses.head.action == DeleteAction &&
         matchedClauses.head.condition.isEmpty)
-    val touched: Seq[String] =
+    val (touched, rebaseBounds): (Seq[String], Option[Column]) =
       if (clauses.exists(_.kind == NotMatchedBySource)) {
         // Target rows with NO source match may need updating/deleting, and
         // they can live in any file — every live file is touched (Delta
@@ -224,14 +229,17 @@ final class MergeInto(
           if (dups > 0) throw new MergeCardinalityException(
             "MERGE: a target row matched multiple source rows under a clause that is not a single unconditional DELETE")
         }
-        allFiles
+        // bySource clauses read EVERY target row (any interleaved commit
+        // could change their routing) — never rebase, always conflict
+        (allFiles, None)
       } else {
         // Stats-prune the discovery scan: for equi-key conditions, target
         // files whose [min,max] key range cannot overlap the source's key
         // bounds can be skipped before the join even plans — a small
         // staged batch merged into a huge clustered table only opens the
         // overlapping files (one tiny agg job over the source buys it).
-        val candidateFiles = discoveryCandidates(table, source, condition, allFiles)
+        val (candidateFiles, bounds) =
+          discoveryCandidates(table, source, condition, allFiles)
         // lineage captured inside the table read: on a DV-bearing table
         // the scan carries an anti-join, under which input_file_name()
         // would come back empty and discovery would touch nothing
@@ -250,7 +258,7 @@ final class MergeInto(
           throw new MergeCardinalityException(
             "MERGE: a target row matched multiple source rows under a clause that is not a single unconditional DELETE")
         val hit = rows.map(r => decodeReadPath(r.getString(0))).toSet
-        allFiles.filter(hit.contains)
+        (allFiles.filter(hit.contains), bounds)
       }
     val untouched = allFiles.diff(touched)
 
@@ -330,7 +338,7 @@ final class MergeInto(
 
     val result = lockSchema(withAction.select(targetCols.map(outCol): _*))
     table.replaceFiles(untouched, result, actionTag,
-      expectVersion = Some(snapshotVersion))
+      expectVersion = Some(snapshotVersion), rebasePredicate = rebaseBounds)
   }
 }
 
@@ -350,21 +358,28 @@ object MergeInto {
    * qualify when the source has no null keys (a null source key matches
    * null target keys, which min/max pruning cannot see). Falls back to
    * all files when no usable pair exists.
+   *
+   * Also returns the key-bounds predicate itself (None when no usable
+   * pair exists or the source is empty): the conjunction under which a
+   * target file provably holds no source match — reused as the
+   * disjoint-read-set rebase guard ([[graft.tables.SnapshotTable]]
+   * `rowRewriteRebaseSafe`), so the commit-race safety test and this
+   * op's own pruning share one definition of "file this merge read".
    */
   private[ops] def discoveryCandidates(
       table: SnapshotTable,
       source: DataFrame,
       condition: Column,
-      allFiles: Seq[String]): Seq[String] = {
+      allFiles: Seq[String]): (Seq[String], Option[Column]) = {
     val pairs = equiPairs(org.apache.spark.sql.graftshim.SparkInternals.expr(condition))
-    if (pairs.isEmpty) return allFiles
+    if (pairs.isEmpty) return (allFiles, None)
     val aggs = pairs.zipWithIndex.flatMap { case ((_, s, _), i) =>
       Seq(min(col(s)).as(s"__mn$i"), max(col(s)).as(s"__mx$i"), count(col(s)).as(s"__cnt$i"),
         approx_count_distinct(col(s)).as(s"__ndv$i"))
     } :+ count(lit(1)).as("__total")
     val row = source.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getAs[Long]("__total")
-    if (total == 0) return allFiles // empty source: nothing to prune against
+    if (total == 0) return (allFiles, None) // empty source: nothing to prune against
     val preds = pairs.zipWithIndex.flatMap { case ((t, _, nullSafe), i) =>
       val mn = row.get(row.fieldIndex(s"__mn$i"))
       val mx = row.get(row.fieldIndex(s"__mx$i"))
@@ -372,13 +387,14 @@ object MergeInto {
       if (mn == null || mx == null || (nullSafe && nonNull < total)) None
       else Some(col(t) >= lit(mn) && col(t) <= lit(mx))
     }
-    val ranged =
-      if (preds.isEmpty) allFiles
-      else {
-        val pruned = table.prunedManifest(preds.reduce(_ && _)).toSet
+    val bounds = preds.reduceOption(_ && _)
+    val ranged = bounds match {
+      case None => allFiles
+      case Some(b) =>
+        val pruned = table.prunedManifest(b).toSet
         allFiles.filter(pruned.contains)
-      }
-    keyProbedCandidates(table, source, row, total, pairs, ranged)
+    }
+    (keyProbedCandidates(table, source, row, total, pairs, ranged), bounds)
   }
 
   /** Per-KEY refinement of the range-pruned candidate set — the Hudi

@@ -950,15 +950,19 @@ class SnapshotTable private (
       numFiles: Option[Int] = None,
       addDvFiles: Seq[FileEntry] = Nil,
       clearDvFiles: Boolean = false,
-      rebaseDisjoint: Boolean = false): SnapshotTable = {
+      rebaseDisjoint: Boolean = false,
+      rebasePredicate: Option[Column] = None): SnapshotTable = {
     val v = currentVersion()
     expectVersion.filter(_ != v).foreach { e =>
       // maintenance commits (compact / purge-dv / compact-deltas) may
-      // instead try the disjoint-file rebase below — the losing commit's
-      // slot CAS fails and routes through the same safety check
-      if (!rebaseDisjoint) throw new ConcurrentCommitException(
-        s"table $root advanced from version $e to $v since this $action was " +
-          "computed; retry against the fresh snapshot")
+      // instead try the disjoint-file rebase below, and row-level
+      // rewrites carrying a key-bounds `rebasePredicate` the
+      // disjoint-READ-SET rebase — the losing commit's slot CAS fails
+      // and routes through the same safety checks
+      if (!rebaseDisjoint && rebasePredicate.isEmpty)
+        throw new ConcurrentCommitException(
+          s"table $root advanced from version $e to $v since this $action was " +
+            "computed; retry against the fresh snapshot")
     }
     // the snapshot the caller COMPUTED against — under rebaseDisjoint the
     // head may already be past it
@@ -1015,10 +1019,14 @@ class SnapshotTable private (
         case e: ConcurrentCommitException =>
           attempts += 1
           val head = currentReadable()
-          if (!rebaseDisjoint || attempts >= 5 ||
-              !head.exists { case (hv, h) =>
-                hv > baseV && prior.exists(p => maintenanceRebaseSafe(p, h, sources)) })
-            throw e
+          val safe = attempts < 5 && head.exists { case (hv, h) =>
+            hv > baseV && prior.exists { p =>
+              if (rebaseDisjoint) maintenanceRebaseSafe(p, h, sources)
+              else rebasePredicate.exists(rp =>
+                rowRewriteRebaseSafe(p, h, sources, rp))
+            }
+          }
+          if (!safe) throw e
           val (hv, h) = head.get
           baseV = hv
           carried = h.files.filterNot(f => sources.contains(f.path))
@@ -1046,6 +1054,71 @@ class SnapshotTable private (
       head.dvFiles.getOrElse(Nil) == base.dvFiles.getOrElse(Nil) && {
         val live = head.files.map(_.path).toSet
         sources.forall(live.contains)
+      }
+
+  /** True when re-basing a ROW-LEVEL rewrite (UPDATE/DELETE/MERGE computed
+   *  against `base`, whose matched/not-matched routing depends only on
+   *  rows satisfying `predicate` — the op's key-bounds / WHERE read set)
+   *  onto `head` is conflict-free. Delta's ConcurrentAppend-vs-
+   *  ConcurrentDeleteRead distinction, done at file-stats granularity:
+   *
+   *   - every file the op READ AND REWROTE (`sources`) must still be
+   *     live in head — an interleaved commit rewriting or deleting one
+   *     is a ConcurrentDeleteRead-class conflict (our rewrite would
+   *     resurrect its pre-image);
+   *   - every file head ADDED relative to base must be PROVABLY unable
+   *     to contain a row matching `predicate` (the same conservative
+   *     stats test the op's own pruning used): a disjoint-key append or
+   *     a second merge over a disjoint key range rides along untouched,
+   *     while anything that could have changed this op's matched /
+   *     not-matched routing conflicts. Files without stats conflict.
+   *   - table metadata, DV sidecars, and MoR deltas must be unchanged
+   *     (same rules as [[maintenanceRebaseSafe]]); identity-bearing
+   *     tables never rebase — insert rows assigned identity values from
+   *     base's high-water mark, which any interleaved write may have
+   *     advanced (the [[append]] contract: identity never blind-rebases).
+   */
+  /** Schema equality up to NULLABILITY: CoW rewrites routinely relax
+   *  nullable (CASE-routed outputs), which is read-compatible both ways;
+   *  any field/type/metadata difference (evolution, widening, renames)
+   *  still compares unequal → conflict. */
+  private def sameLogicalSchema(a: String, b: String): Boolean = {
+    def norm(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = norm(f.dataType), nullable = true)))
+      case ArrayType(et, _) => ArrayType(norm(et), containsNull = true)
+      case MapType(k, v, _) => MapType(norm(k), norm(v), valueContainsNull = true)
+      case other => other
+    }
+    a == b || (try norm(DataType.fromJson(a)) == norm(DataType.fromJson(b))
+    catch { case NonFatal(_) => false })
+  }
+
+  private[tables] def rowRewriteRebaseSafe(
+      base: CommitEntry, head: CommitEntry, sources: Set[String],
+      predicate: Column): Boolean =
+    sameLogicalSchema(head.schemaJson, base.schemaJson) &&
+      head.properties == base.properties &&
+      !base.properties.exists(_.keys.exists(_.startsWith("graft.identity."))) &&
+      head.clusterBy == base.clusterBy &&
+      head.columnMapping == base.columnMapping &&
+      head.morKeys == base.morKeys &&
+      head.morPrecombine == base.morPrecombine &&
+      head.deltaFiles.getOrElse(Nil) == base.deltaFiles.getOrElse(Nil) &&
+      head.dvFiles.getOrElse(Nil) == base.dvFiles.getOrElse(Nil) && {
+        val live = head.files.map(_.path).toSet
+        sources.forall(live.contains)
+      } && {
+        val baseFiles = base.files.map(_.path).toSet
+        val added = head.files.filterNot(f => baseFiles.contains(f.path))
+        added.isEmpty || {
+          val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+          val cs = Pruning.conjuncts(
+            org.apache.spark.sql.graftshim.SparkInternals.expr(predicate))
+          // a predicate with no stats-usable conjunct "may match" every
+          // file — degrades to a conflict, never to a silent rebase
+          added.forall(f => !Pruning.mayMatchConjuncts(f, cs, schema))
+        }
       }
 
   // ------------------------------------------------------------- properties
@@ -2047,7 +2120,8 @@ class SnapshotTable private (
       return deleteWithVectors(v, entry, tschema, predicate, touched, untouched)
     val kept = dvRemoveOver(entry, touched.map(_.path), tschema, mappingOf(entry))
       .filter(!predicate || predicate.isNull)
-    replaceFiles(untouched.map(_.path), kept, "delete", expectVersion = Some(v))
+    replaceFiles(untouched.map(_.path), kept, "delete", expectVersion = Some(v),
+      rebasePredicate = Some(predicate))
     touched.size
   }
 
@@ -2262,7 +2336,8 @@ class SnapshotTable private (
     }
     val rewritten = dvRemoveOver(entry, touched.map(_.path), tschema, mappingOf(entry))
       .select(cols: _*)
-    replaceFiles(untouched.map(_.path), rewritten, "update", expectVersion = Some(v))
+    replaceFiles(untouched.map(_.path), rewritten, "update", expectVersion = Some(v),
+      rebasePredicate = Some(predicate))
     touched.size
   }
 

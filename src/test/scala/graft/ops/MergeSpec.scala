@@ -370,9 +370,10 @@ class MergeSpec extends SparkSpec {
     assert(t.manifest().size === 3)
     val src = Seq((1500L, "B"), (1600L, "B")).toDF("id", "v")
     // the staged keys live entirely in the middle file
-    val candidates = MergeInto.discoveryCandidates(
+    val (candidates, bounds) = MergeInto.discoveryCandidates(
       t, src, col("t.id") === col("s.id"), t.manifest())
     assert(candidates.size === 1, s"got ${candidates.size} candidates")
+    assert(bounds.isDefined, "equi-key merge must expose a rebase bounds predicate")
     // and the merge itself stays correct
     t.merge(src, col("t.id") === col("s.id")).whenMatched().updateAll().execute()
     assert(t.read().filter(col("v") === "B").count() === 2)
@@ -380,9 +381,10 @@ class MergeSpec extends SparkSpec {
     // null-safe condition with null source keys disables pruning (a null
     // key can match null target keys anywhere)
     val nullSrc = Seq((Some(1500L), "x"), (Option.empty[Long], "y")).toDF("id", "v")
-    val c2 = MergeInto.discoveryCandidates(
+    val (c2, b2) = MergeInto.discoveryCandidates(
       t, nullSrc, col("t.id") <=> col("s.id"), t.manifest())
     assert(c2.size === t.manifest().size)
+    assert(b2.isEmpty, "null-keyed null-safe source must not offer a rebase predicate")
   }
 
   test("upsert: precombine keeps max-ts row per key; updates + inserts") {

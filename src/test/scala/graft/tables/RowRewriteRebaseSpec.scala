@@ -1,0 +1,158 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Disjoint-READ-SET OCC for row-level rewrites (UPDATE/DELETE/MERGE) —
+ * Delta's ConcurrentAppend-vs-ConcurrentDeleteRead distinction at
+ * file-stats granularity: a rewrite losing the commit race to a commit
+ * whose files provably hold no row in the op's key range rebases and
+ * commits instead of recomputing; anything that could have changed the
+ * op's matched/not-matched routing (overlapping keys, a touched source
+ * file, metadata/DV/delta changes, stats-blind predicates, identity
+ * tables) still conflicts. Deterministic single-JVM injections first
+ * (the [[MaintenanceRaceSpec]] pattern), then a threaded real-API race
+ * of two disjoint MERGEs that must BOTH commit without a retry loop.
+ */
+class RowRewriteRebaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Three key-clustered files: [0,1000), [1000,2000), [2000,3000). */
+  private def rangedTable(prefix: String): SnapshotTable = {
+    def slab(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+      .withColumn("v", lit("a")).repartitionByRange(1, col("id"))
+    val t = SnapshotTable.create(spark, tmpDir(prefix), slab(0, 1000))
+    t.append(slab(1000, 2000))
+    t.append(slab(2000, 3000))
+    t
+  }
+
+  test("row rewrite rebases past a key-disjoint interleaved append") {
+    val t = rangedTable("rr_rebase")
+    val v = t.currentVersion()
+    val entry = t.commitEntry(v)
+    // a DELETE of id < 10 computed against the pinned snapshot
+    val touched = t.prunedManifest(col("id") < 10).toSet
+    assert(touched.size === 1, "fixture must prune to the low file")
+    val keep = entry.files.map(_.path).filterNot(touched)
+    val rewritten = spark.read.parquet(touched.toSeq: _*).filter(col("id") >= 10)
+    // ...an append with keys far outside the predicate lands in between
+    t.append(spark.range(5000, 5100).toDF("id").withColumn("v", lit("n"))
+      .repartitionByRange(1, col("id")))
+    // ...and the delete commit REBASES (appended file stats-disjoint
+    // from the read set) instead of surfacing the conflict
+    t.replaceFiles(keep, rewritten, "delete",
+      expectVersion = Some(v), rebasePredicate = Some(col("id") < 10))
+    assert(t.currentVersion() === v + 2)
+    val ids = t.read().select("id").as[Long].collect().toSet
+    assert(ids === ((10L until 3000L) ++ (5000L until 5100L)).toSet,
+      "rebased delete lost or resurrected rows")
+  }
+
+  test("row rewrite conflicts when interleaved keys overlap its range") {
+    val t = rangedTable("rr_overlap")
+    val v = t.currentVersion()
+    val entry = t.commitEntry(v)
+    val touched = t.prunedManifest(col("id") < 10).toSet
+    val keep = entry.files.map(_.path).filterNot(touched)
+    val rewritten = spark.read.parquet(touched.toSeq: _*).filter(col("id") >= 10)
+    // the interleaved append INSERTS keys inside the predicate range —
+    // rows this delete should have seen; rebasing would miss them
+    t.append(Seq((3L, "late"), (7L, "late")).toDF("id", "v"))
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      t.replaceFiles(keep, rewritten, "delete",
+        expectVersion = Some(v), rebasePredicate = Some(col("id") < 10))
+    }
+  }
+
+  test("row rewrite conflicts on a stats-blind predicate and on a touched source") {
+    // stats-blind: no conjunct of the predicate is stats-evaluable, so
+    // every added file "may match" — must degrade to a conflict
+    val t1 = rangedTable("rr_blind")
+    val v1 = t1.currentVersion()
+    val e1 = t1.commitEntry(v1)
+    val touched1 = t1.prunedManifest(col("id") < 10).toSet
+    val rw1 = spark.read.parquet(touched1.toSeq: _*).filter(col("id") >= 10)
+    t1.append(Seq((6000L, "x")).toDF("id", "v"))
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      t1.replaceFiles(e1.files.map(_.path).filterNot(touched1), rw1, "delete",
+        expectVersion = Some(v1),
+        rebasePredicate = Some(length(col("v")) > 100))
+    }
+    // touched source: the interleave rewrote a file this op read AND is
+    // replacing — ConcurrentDeleteRead class, never rebases
+    val t2 = rangedTable("rr_src")
+    val v2 = t2.currentVersion()
+    val e2 = t2.commitEntry(v2)
+    val touched2 = t2.prunedManifest(col("id") < 10).toSet
+    val rw2 = spark.read.parquet(touched2.toSeq: _*).filter(col("id") >= 10)
+    t2.delete(col("id") === 5) // rewrites the SAME low file
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      t2.replaceFiles(e2.files.map(_.path).filterNot(touched2), rw2, "delete",
+        expectVersion = Some(v2), rebasePredicate = Some(col("id") < 10))
+    }
+  }
+
+  test("identity-bearing tables never rebase row rewrites") {
+    // insert rows took identity values from base's high-water mark; any
+    // interleaved write may have advanced it — the safety predicate must
+    // refuse even a files-only interleaved commit
+    val base = SnapshotTable.CommitEntry("merge", "{}", Nil,
+      properties = Some(Map("graft.identity.id" -> "0,1,false")))
+    val head = base.copy(action = "append")
+    val t = SnapshotTable(spark, tmpDir("rr_identity"))
+    assert(!t.rowRewriteRebaseSafe(base, head, Set.empty, lit(false)),
+      "identity tables must surface the conflict instead of rebasing")
+    // without identity properties the same (added-nothing) shape is safe
+    val plain = base.copy(properties = None)
+    assert(t.rowRewriteRebaseSafe(plain, plain.copy(action = "append"),
+      Set.empty, lit(false)))
+  }
+
+  test("two concurrent MERGEs on disjoint key ranges both commit without recompute") {
+    // the real API end-to-end: each merge's key-bounds predicate comes
+    // from its own source agg (MergeInto.discoveryCandidates), and the
+    // commit-race loser must REBASE — no ConcurrentCommitException may
+    // surface, no retry wrapper is provided
+    val root = tmpDir("rr_merge_race")
+    def slab(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+      .withColumn("v", lit("a")).repartitionByRange(1, col("id"))
+    val seed = SnapshotTable.create(spark, root, slab(0, 1000))
+    seed.append(slab(1000, 2000))
+    seed.append(slab(2000, 3000))
+    (1 to 2).foreach { round =>
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def merger(name: String, lo: Long, hi: Long, tag: String): Thread = {
+        val th = new Thread(() => {
+          try {
+            gate.await()
+            val t = SnapshotTable(spark, root)
+            val src = spark.range(lo, hi).toDF("id")
+              .withColumn("nv", lit(tag))
+            t.merge(src, col("t.id") === col("s.id"))
+              .whenMatched().update(Map("v" -> col("s.nv")))
+              .execute()
+          } catch { case e: Throwable => errors.add(e); () }
+        }, name)
+        th.start(); th
+      }
+      val a = merger(s"merge-low-$round", 0, 100, s"low$round")
+      val b = merger(s"merge-high-$round", 2500, 2600, s"high$round")
+      gate.countDown()
+      a.join(120000)
+      b.join(120000)
+      assert(errors.isEmpty,
+        s"disjoint merges must not conflict: ${errors.toArray.mkString("; ")}")
+      val t = SnapshotTable(spark, root)
+      val got = t.read().filter(col("v") =!= "a")
+        .select("id", "v").as[(Long, String)].collect().toSet
+      assert(got === ((0L until 100L).map(i => (i, s"low$round")) ++
+        (2500L until 2600L).map(i => (i, s"high$round"))).toSet,
+        "merge lost under the race")
+      assert(t.read().count() === 3000)
+    }
+  }
+}
