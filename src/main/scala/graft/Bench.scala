@@ -118,165 +118,282 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
     val totalMin = minima.values.filter(_ >= 0).sum
-    // Scaling-curve evidence for the pair-mining queries (SURVEY §6):
-    // re-time them at the next SF down and report the observed wall-clock
-    // exponent log10(t_hi / t_lo) over the 10x data step. Exponents near
-    // 1 = linear; anything approaching 2 flags a quadratic pair
-    // generator. (Wall-clock exponents BELOW the work exponent are
-    // expected at these sizes — fixed job overhead dominates the small
-    // SF.)
-    // q48 and q102 both run the auto-sized geometry now (auto became
-    // embeddingPairs' default in round 9; the fixed-plane form survives
-    // only as the explicit embeddingPairsFixed test override) — their
-    // exponents should track each other and stay well under the old
-    // fixed-plane 1.15.
-    val scalingTrio = Seq("q21_jaccard_neardup", "q48_embedding_pairs",
-      "q102_embedding_pairs_auto", "q62_dup_ngram_frac", "q71_span_removal",
-      "q90_bigram_logprob")
-    val loDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_LO", sfDir.replace("sf0.1", "sf0.01"))
-    // Larger upper point: a synthesized ~10x corpus
-    // ([[graft.tools.ScaleCorpus]]) moves the scaling step to
-    // sf0.1 -> 10x, where fixed job overhead no longer dominates and the
-    // exponent reflects the actual work curve. Recorded rounds run at
-    // sf0.1, so generate the corpus by default (idempotent, a few
-    // seconds); SPARK_GRAFT_SCALING_HI overrides the location.
-    val hiDir = sys.env.get("SPARK_GRAFT_SCALING_HI")
+    // ---------------- scale-stress block (SURVEY §6) ----------------
+    // Three corpus points: P0 = sf0.1, P1 = a synthesized 10x corpus,
+    // P2 = a synthesized 100x corpus (round-10 stress; both from
+    // [[graft.tools.ScaleCorpus]], generated idempotently). Each row
+    // runs at the subset of points its shape needs; adjacent pairs
+    // yield the "scaling_10x" (P0->P1) and "scaling_100x" (P1->P2)
+    // exponent blocks. Exponents near 1 = linear work; approaching 2
+    // flags a quadratic pair generator; wall-clock exponents BELOW the
+    // work exponent are expected where fixed job overhead dominates.
+    //
+    // PROVENANCE (the r9 verdict's rule): every row records the
+    // exponent from per-point MINIMA **and** from per-point MEDIANS —
+    // min-only exponents at 5 reps still swung run-to-run, and the
+    // survey may quote only what this artifact records. Headline rows
+    // are "name":[exp_min, exp_med]; full lo/hi/reps detail lands in
+    // BENCH_DETAIL.json.
+    import org.apache.spark.sql.functions.{col, lit, sum => ssum, size => ssize}
+    // The scale block runs in a FRESH session: after 116 queries × 4
+    // runs the suite session carries residue (persisted snapshot-table
+    // state, streaming checkpoints, broadcast backlog, old-gen
+    // pressure) that measured the SAME 100× rows ~4× slower in-session
+    // than standalone (r10: q48 218 s aged vs 58 s fresh, identical
+    // code) — exponents must price the operator, not 25 minutes of
+    // suite history. JIT/codegen caches are JVM-level and survive; the
+    // scaling rows read only parquet corpora, never the suite's warmed
+    // tables.
+    spark.stop()
+    val sparkS = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    sparkS.sparkContext.setLogLevel("WARN")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    case class Meas(min: Double, med: Double)
+    // 5-rep floor at P0/P1 (sub-second minima divide into the exponent,
+    // amplifying noise); P2 rows run seconds-scale, 2 reps suffice.
+    val scalingReps = math.max(
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", reps.toString).toInt, 5)
+    val hiReps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS_HI", "2").toInt
+    def measure(probe: () => Unit, n: Int, warm: Boolean): Meas = {
+      if (warm) probe()
+      val ts = (1 to n).map { _ =>
+        val t0 = System.nanoTime(); probe(); (System.nanoTime() - t0) / 1e9
+      }
+      Meas(ts.min, ts.sorted.apply(ts.size / 2))
+    }
+    val sc = graft.tools.ScaleCorpus
+    val p1Dir = sys.env.get("SPARK_GRAFT_SCALING_HI")
+      .orElse(if (sfDir.contains("sf0.1") && sc.ensure(sparkS)) Some(sc.DefaultDir) else None)
+      .filter(d => new java.io.File(d).isDirectory)
+    val p2Dir = sys.env.get("SPARK_GRAFT_SCALING_100X").filter(_ != "0")
       .orElse {
-        if (sfDir.contains("sf0.1") &&
-            graft.tools.ScaleCorpus.ensure(spark)) Some(graft.tools.ScaleCorpus.DefaultDir)
+        if (sys.env.get("SPARK_GRAFT_SCALING_100X").contains("0")) None
+        else if (p1Dir.isDefined &&
+          sc.ensure(sparkS, sc.Dir100x, sc.Docs100x, sc.Vecs100x)) Some(sc.Dir100x)
         else None
       }
       .filter(d => new java.io.File(d).isDirectory)
-    val scaling = {
-      val (fromDir, toDir) = hiDir match {
-        case Some(hi) => (sfDir, hi)
-        case None     => (loDir, sfDir)
-      }
-      if (fromDir == toDir || !new java.io.File(fromDir).isDirectory) ""
-      else {
-        // The exponent divides two sub-second wall-clock minima, so it
-        // amplifies machine noise quadratically in rep scarcity —
-        // consecutive identical-code runs measured q48 exponents from
-        // 0.5 to 0.75 at 3 reps. The scaling block therefore takes the
-        // min over at least 5 reps (still seconds of extra bench time).
-        val scalingReps = math.max(reps, 5)
-        val parts = scalingTrio.flatMap { name =>
-          SparkEntry.queries.get(name).flatMap { fn =>
-            try {
-              def timeAt(dir: String): Double = {
-                fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
-                (1 to scalingReps).map { _ =>
-                  val t0 = System.nanoTime()
-                  fn(spark, dir).write.format("noop").mode("overwrite").save()
-                  (System.nanoTime() - t0) / 1e9
-                }.min
-              }
-              val lo = if (fromDir == sfDir) minima.getOrElse(name, -1.0) else timeAt(fromDir)
-              val hi = timeAt(toDir)
-              if (lo <= 0 || hi <= 0) None
-              else {
-                val exp = math.log10(hi / lo)
-                Some("\"" + name + s"""\":{"lo":${jnum(lo)},"hi":${jnum(hi)},"exp":${f"$exp%.2f"}}""")
-              }
-            } catch { case e: Throwable =>
-              System.err.println(s"[bench][scaling] $name: ${e.getMessage}"); None
-            }
-          }
-        }
-        // ANN SERVING latency — the build-once/probe-forever steady state
-        // (q67/q84/q87's 100 TB shape): the index builds UNTIMED on each
-        // corpus with nlist ∝ √N (the FAISS sizing rule, so per-list load
-        // grows as √N, not N), then ONLY the probe is timed. The exponent
-        // says how serving latency moves with a 10× corpus — the declared
-        // queries can't show this because they time build + probe.
-        import org.apache.spark.sql.functions.col
-        def annScaling(name: String)(
-            mk: String => (() => Unit, () => Unit)): Option[String] =
-          try {
-            def timeAt(dir: String): Double = {
-              val (probe, cleanup) = mk(dir)
-              try {
-                probe() // warm
-                (1 to scalingReps).map { _ =>
-                  val t0 = System.nanoTime(); probe(); (System.nanoTime() - t0) / 1e9
-                }.min
-              } finally cleanup()
-            }
-            val lo = timeAt(fromDir)
-            val hi = timeAt(toDir)
-            if (lo <= 0 || hi <= 0) None
-            else Some("\"" + name +
-              s"""\":{"lo":${jnum(lo)},"hi":${jnum(hi)},"exp":${f"${math.log10(hi / lo)}%.2f"}}""")
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench][scaling] $name: ${e.getMessage}"); None
-          }
-        def embAt(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
-          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-        def nlistFor(df: org.apache.spark.sql.DataFrame): Int =
-          math.max(16, math.sqrt(df.count().toDouble).toInt)
-        def noop(df: org.apache.spark.sql.DataFrame): Unit =
-          df.write.format("noop").mode("overwrite").save()
-        val annParts = Seq(
-          annScaling("ivf_probe") { dir =>
-            val emb = embAt(dir)
-            val idx = ext.Similarity.ivfBuild(emb, "vec_id", "embedding",
-              nlist = nlistFor(emb))
-            idx.assigned.persist(); idx.assigned.count() // index is built state
-            val probes = emb.filter(col("vec_id") < 100)
-            (() => noop(ext.Similarity.ivfProbe(idx, probes, "vec_id", "embedding",
-              k = 5, nProbe = 4)),
-             () => { idx.assigned.unpersist(); () })
-          },
-          annScaling("ivf_probe_pq_refined") { dir =>
-            val emb = embAt(dir)
-            val idx = ext.Similarity.ivfBuildPq(emb, "vec_id", "embedding",
-              nlist = nlistFor(emb), m = 8, ksub = 16)
-            idx.assigned.persist(); idx.assigned.count()
-            val probes = emb.filter(col("vec_id") < 100)
-            (() => noop(ext.Similarity.ivfProbePqRefined(idx, emb, probes,
-              "vec_id", "embedding", k = 5, nProbe = 4, refine = 50)),
-             () => { idx.assigned.unpersist(); () })
-          },
-          // tokenizer TRAINING cost curve (q100's operator on the real
-          // corpus): per-round work rides the word-TYPE table, which
-          // grows sub-linearly in corpus size — the Sennrich collapse
-          // is what the exponent evidences
-          annScaling("bpe_train16") { dir =>
-            val docs = spark.read.parquet(s"$dir/documents.parquet")
-            (() => { ext.BpeTrain.train(docs, "text", numMerges = 16); () },
-             () => ())
-          },
-          // LSH-bucketed semantic decontamination (q98's large-benchmark
-          // regime, forced via cutover 0; benchmark grows WITH the
-          // corpus): auto sizing holds per-bucket bench load near its
-          // target, so the exponent evidences the |corpus|·bucketRows
-          // cost shape — not |corpus|·|bench|, which would be quadratic
-          // here since both sides scale together
-          annScaling("semantic_decontam_bucketed") { dir =>
-            val emb = embAt(dir)
-            val bench = emb.filter(col("vec_id") % 10 === 0)
-              .select(col("embedding").as("bvec"))
-            (() => noop(ext.Decontaminate.semanticContaminatedIdsAuto(
-              emb, "vec_id", "embedding", bench, "bvec", minCos = 0.95,
-              broadcastMaxBenchRows = 0)),
-             () => ())
-          },
-          // k-bounded quantile sketch in its ESTIMATOR regime (k = 256
-          // far under the per-language row count at both points): the
-          // map-side partial/final aggregation shape — cost tracks the
-          // scan, state stays k-bounded
-          annScaling("quantile_sketch_profile") { dir =>
-            val docs = spark.read.parquet(s"$dir/documents.parquet")
-            (() => noop(docs.groupBy("lang").agg(ext.functions.quantileSketchMulti(
-              col("n_chars").cast("double"), Seq(0.25, 0.5, 0.75, 0.99), 256))),
-             () => ())
-          }).flatten
-        val all = parts ++ annParts
-        if (all.isEmpty) ""
-        else all.mkString(
-          s""","scaling_lo_sf":"$fromDir","scaling_hi_sf":"$toDir","scaling_10x":{""", ",", "}")
-      }
+    // points this row runs at: bitmask over (P0, P1, P2)
+    val P01 = Seq(0, 1); val P012 = Seq(0, 1, 2); val P12 = Seq(1, 2)
+    val pointDirs: Seq[Option[String]] = Seq(Some(sfDir), p1Dir, p2Dir)
+    def embAt(dir: String) = sparkS.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    def docsAt(dir: String) = sparkS.read.parquet(s"$dir/documents.parquet")
+    def nlistFor(df: org.apache.spark.sql.DataFrame): Int =
+      math.max(16, math.sqrt(df.count().toDouble).toInt)
+    def declaredRow(name: String): String => (() => Unit, () => Unit) = { dir =>
+      val fn = SparkEntry.queries(name)
+      (() => noop(fn(sparkS, dir)), () => ())
     }
+    // (name, points, warm-before-timing, per-row P2 rep override)
+    case class SRow(name: String, pts: Seq[Int],
+        mk: String => (() => Unit, () => Unit), warm: Boolean = true)
+    val rows = Seq(
+      SRow("q21_jaccard_neardup", P01, declaredRow("q21_jaccard_neardup")),
+      SRow("q62_dup_ngram_frac", P01, declaredRow("q62_dup_ngram_frac")),
+      SRow("q90_bigram_logprob", P01, declaredRow("q90_bigram_logprob")),
+      SRow("q102_embedding_pairs_auto", P01, declaredRow("q102_embedding_pairs_auto")),
+      // auto-sized pair mining and span removal are the flagship
+      // pair-generation shapes — they take the full 100x stress
+      SRow("q48_embedding_pairs", P012, declaredRow("q48_embedding_pairs")),
+      SRow("q71_span_removal", P012, declaredRow("q71_span_removal")),
+      // ANN SERVING latency — build-once/probe-forever steady state
+      // (q67/q84/q87's 100 TB shape): index built UNTIMED per corpus
+      // with nlist ∝ √N (FAISS sizing), ONLY the probe timed.
+      SRow("ivf_probe", P012, { dir =>
+        val emb = embAt(dir)
+        val idx = ext.Similarity.ivfBuild(emb, "vec_id", "embedding",
+          nlist = nlistFor(emb))
+        idx.assigned.persist(); idx.assigned.count()
+        val probes = emb.filter(col("vec_id") < 100)
+        (() => noop(ext.Similarity.ivfProbe(idx, probes, "vec_id", "embedding",
+          k = 5, nProbe = 4)),
+         () => { idx.assigned.unpersist(); () })
+      }),
+      SRow("ivf_probe_pq_refined", P012, { dir =>
+        val emb = embAt(dir)
+        val idx = ext.Similarity.ivfBuildPq(emb, "vec_id", "embedding",
+          nlist = nlistFor(emb), m = 8, ksub = 16)
+        idx.assigned.persist(); idx.assigned.count()
+        val probes = emb.filter(col("vec_id") < 100)
+        (() => noop(ext.Similarity.ivfProbePqRefined(idx, emb, probes,
+          "vec_id", "embedding", k = 5, nProbe = 4, refine = 50)),
+         () => { idx.assigned.unpersist(); () })
+      }),
+      // the index BUILD cost curve (the one linear pass ANN serving
+      // amortizes): timed build + assignment materialization, expected
+      // ~linear in N by design — recorded so the claim is measured,
+      // not argued
+      SRow("ivf_build", P12, { dir =>
+        val emb = embAt(dir)
+        val nl = nlistFor(emb)
+        (() => {
+          val idx = ext.Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = nl)
+          idx.assigned.count(); ()
+        }, () => ())
+      }, warm = false),
+      // tokenizer TRAINING cost curve (q100's operator): per-round work
+      // rides the word-TYPE table — the Sennrich collapse keeps it flat
+      SRow("bpe_train16", P012, { dir =>
+        (() => { ext.BpeTrain.train(docsAt(dir), "text", numMerges = 16); () },
+         () => ())
+      }),
+      // LSH-bucketed semantic decontamination (q98's large-benchmark
+      // regime, broadcast cutover forced off; benchmark grows WITH the
+      // corpus — an all-pairs kernel would be quadratic here)
+      SRow("semantic_decontam_bucketed", P012, { dir =>
+        val emb = embAt(dir)
+        val bench = emb.filter(col("vec_id") % 10 === 0)
+          .select(col("embedding").as("bvec"))
+        (() => noop(ext.Decontaminate.semanticContaminatedIdsAuto(
+          emb, "vec_id", "embedding", bench, "bvec", minCos = 0.95,
+          broadcastMaxBenchRows = 0)),
+         () => ())
+      }),
+      // k-bounded KLL quantile sketch, ESTIMATOR regime (k = 256 far
+      // under per-language row counts at every point): map-side
+      // partial/final agg — cost tracks the scan, state stays k-bounded
+      SRow("quantile_sketch_profile", P012, { dir =>
+        val docs = docsAt(dir)
+        (() => noop(docs.groupBy("lang").agg(ext.functions.quantileSketchMulti(
+          col("n_chars").cast("double"), Seq(0.25, 0.5, 0.75, 0.99), 256))),
+         () => ())
+      }),
+      // incremental dedup SERVE steady state (q66's shape): corpus
+      // signature index persisted UNTIMED, a fixed 500-doc batch mined
+      // against it — serving cost vs index size is what scales
+      SRow("dedup_serve", P12, { dir =>
+        val corpus = docsAt(dir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val index = ext.Dedup.minhashSignatures(corpus, "doc_id", "text")
+        index.persist(); index.count()
+        val batch = sc.documents(sparkS, 500)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+          .localCheckpoint()
+        (() => noop(ext.Dedup.dedupIncremental(index, batch, "doc_id", "text")),
+         () => { index.unpersist(); () })
+      })
+    )
+    // row -> point -> measurement
+    val meas: Map[(String, Int), Meas] =
+      (for {
+        row <- rows
+        p <- row.pts
+        dir <- pointDirs(p)
+      } yield {
+        try {
+          val (probe, cleanup) = row.mk(dir)
+          val n = if (p == 2) hiReps else scalingReps
+          val m = try measure(probe, n, row.warm) finally cleanup()
+          Some((row.name, p) -> m)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench][scaling] ${row.name}@p$p: ${e.getMessage}")
+          None
+        }
+      }).flatten.toMap
+    // distributed connected components on DENSE-DUPLICATE corpora (the
+    // 100 TB closure path): pairs mined UNTIMED (mining curves are the
+    // rows above), then large-star/small-star timed with the driver
+    // union-find disabled at BOTH points. At the hi point the mined
+    // edge set exceeds the 2^20-edge dispatch threshold, so the
+    // PRODUCTION hybrid would take this path on its own.
+    val ccResult: Option[(Meas, Meas, Long, Long)] =
+      if (p2Dir.isEmpty) None
+      else try {
+        def ccAt(dir: String, gen: => org.apache.spark.sql.DataFrame): (Meas, Long) = {
+          graft.tools.ScaleCorpus.ensureDocs(sparkS, dir, gen)
+          val docs = sparkS.read.parquet(s"$dir/documents.parquet")
+          val pairs = ext.Dedup.minhashPairs(docs, "doc_id", "text")
+            .select("id_a", "id_b").localCheckpoint()
+          val edges = pairs.count()
+          val m = measure(
+            () => noop(ext.Dedup.connectedComponents(pairs, driverMaxEdges = 0)),
+            hiReps, warm = false)
+          ext.Dedup.release(pairs)
+          (m, edges)
+        }
+        val (lo, eLo) = ccAt(sc.DenseLoDir, sc.denseDocuments(sparkS, sc.DenseLoDocs))
+        val (hi, eHi) = ccAt(sc.DenseHiDir, sc.denseDocuments(sparkS, sc.DenseHiDocs))
+        Some((lo, hi, eLo, eHi))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench][scaling] cc_distributed: ${e.getMessage}"); None
+      }
+    def expPair(lo: Meas, hi: Meas): (Double, Double) =
+      (math.log10(hi.min / lo.min), math.log10(hi.med / lo.med))
+    def blockFor(loP: Int, hiP: Int): Seq[(String, Meas, Meas)] =
+      rows.flatMap { r =>
+        for { lo <- meas.get((r.name, loP)); hi <- meas.get((r.name, hiP)) }
+          yield (r.name, lo, hi)
+      }
+    val block10 = blockFor(0, 1)
+    val block100 = blockFor(1, 2) ++
+      ccResult.map { case (lo, hi, _, _) => ("cc_distributed", lo, hi) }.toSeq
+    def headBlock(tag: String, b: Seq[(String, Meas, Meas)]): String =
+      if (b.isEmpty) ""
+      else b.map { case (n, lo, hi) =>
+        val (e, em) = expPair(lo, hi)
+        "\"" + n + s"""\":[${f"$e%.2f"},${f"$em%.2f"}]"""
+      }.mkString(s""","$tag":{""", ",", "}")
+    def detailBlock(tag: String, b: Seq[(String, Meas, Meas)], loN: Int, hiN: Int): String =
+      if (b.isEmpty) ""
+      else b.map { case (n, lo, hi) =>
+        val (e, em) = expPair(lo, hi)
+        "\"" + n + s"""\":{"lo":${jnum(lo.min)},"lo_med":${jnum(lo.med)},"hi":${jnum(hi.min)},"hi_med":${jnum(hi.med)},"exp":${f"$e%.2f"},"exp_med":${f"$em%.2f"},"reps_lo":$loN,"reps_hi":$hiN}"""
+      }.mkString(s""","$tag":{""", ",", "}")
+    // BPE at PRODUCTION vocabulary: train ~32k merges on the
+    // rich-lexicon corpus (the default corpora's 27-word vocabulary
+    // exhausts after a few hundred merges), then time ENCODE throughput
+    // with the full table — the O(word-length · log-ish) per-token
+    // claim measured at real vocab size. Training itself is reported
+    // but untimed-for-exponent (one-off cost).
+    val bpe32k: Option[(Int, Double, Double, Long, Long)] =
+      if (p2Dir.isEmpty) None
+      else try {
+        sc.ensureDocs(sparkS, sc.RichDir, sc.richDocuments(sparkS, sc.RichDocs))
+        val docs = sparkS.read.parquet(s"${sc.RichDir}/documents.parquet")
+          .localCheckpoint()
+        val nDocs = docs.count()
+        val t0 = System.nanoTime()
+        val merges = ext.BpeTrain.train(docs, "text", numMerges = 32768)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        var tokens = 0L
+        val enc = () => {
+          tokens = docs.select(ssum(ssize(
+            ext.functions.bpeEncodeIds(col("text"), merges))).as("t"))
+            .head().getLong(0)
+        }
+        val m = measure(enc, hiReps, warm = true)
+        Some((merges.size, trainSec, m.min, tokens, nDocs))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench][bpe32k]: ${e.getMessage}"); None
+      }
+    val bpeHead = bpe32k.map { case (nm, _, encSec, tokens, _) =>
+      s""","bpe32k":{"merges":$nm,"tok_per_sec":${(tokens / encSec).toLong}}"""
+    }.getOrElse("")
+    val bpeDetail = bpe32k.map { case (nm, trainSec, encSec, tokens, nDocs) =>
+      s""","bpe32k":{"merges":$nm,"train_sec":${jnum(trainSec)},"encode_sec":${jnum(encSec)},"docs":$nDocs,"tokens":$tokens,"tok_per_sec":${(tokens / encSec).toLong},"corpus":"${sc.RichDir}"}"""
+    }.getOrElse("")
+    val ccDetail = ccResult.map { case (_, _, eLo, eHi) =>
+      s""","cc_edges":{"lo":$eLo,"hi":$eHi,"driver_threshold":${1L << 20},"hi_past_threshold":${eHi > (1L << 20)},"lo_dir":"${sc.DenseLoDir}","hi_dir":"${sc.DenseHiDir}"}"""
+    }.getOrElse("")
+    val pointsDetail =
+      s""","scaling_points":{"p0":"$sfDir","p1":"${p1Dir.getOrElse("")}","p2":"${p2Dir.getOrElse("")}"}"""
+    // headline carries exponents only ([exp_min, exp_med]); lo/hi
+    // wall-clocks and rep counts live in BENCH_DETAIL.json — the
+    // driver's tail capture keeps ~2000 chars and the r6 bench lost
+    // its suite head to exactly this
+    val scaling = s""","scaling_fmt":"[exp_min,exp_med]"""" +
+      headBlock("scaling_10x", block10) + headBlock("scaling_100x", block100) + bpeHead
+    val scalingDetail = pointsDetail +
+      detailBlock("scaling_10x", block10, scalingReps, scalingReps) +
+      detailBlock("scaling_100x", block100, scalingReps, hiReps) +
+      ccDetail + bpeDetail
     // Testdata fingerprint: per-table row counts + an order-independent
     // content hash (bit_xor of per-row xxhash64). The driver may
     // REGENERATE /root/testdata between rounds (round 6's events.ts type
@@ -286,7 +403,7 @@ object Bench {
       "orders", "lineitem", "events", "documents", "embeddings")
     val fps: Seq[(String, Long, Long)] = fpTables.flatMap { t =>
       try {
-        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        val df = sparkS.read.parquet(s"$sfDir/$t.parquet")
         val hashExpr = s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(",")}))"
         val row = df.selectExpr("count(1)", hashExpr).head()
         Some((t, row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1)))
@@ -327,7 +444,7 @@ object Bench {
       .mkString("{", ",", "}")
 
     val detailLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"mutation_reps":$perRep,"testdata_fp":"$fpHex","testdata_fingerprint":$fpDetail,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"mutation_reps":$perRep,"testdata_fp":"$fpHex","testdata_fingerprint":$fpDetail$scalingDetail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File("BENCH_DETAIL.json"), "UTF-8")
       try w.println(detailLine) finally w.close()
@@ -335,9 +452,13 @@ object Bench {
       System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
     }
     println(detailLine)
-    // Headline block LAST: this is the line the tail capture must preserve.
+    // Headline block LAST: this is the line the tail capture must
+    // preserve. Per-query medians/minima, per-rep mutation timings, and
+    // full scaling lo/hi detail all live in BENCH_DETAIL.json — the
+    // headline keeps only what is graded against BASELINE.md plus the
+    // exponent summary, to stay inside the ~2000-char tail.
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"reps":$reps,"n_queries":${results.size},"lookup_min":$lookups,"mutation_reps":$perRep,"worst3_vs_prev":$worst$worstNote,"testdata_fp":"$fpHex","prev_bench":"${prevPath.getOrElse("none")}"$scaling,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
-    spark.stop()
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"reps":$reps,"n_queries":${results.size},"lookup_min":$lookups,"worst3_vs_prev":$worst$worstNote,"testdata_fp":"$fpHex","prev_bench":"${prevPath.getOrElse("none")}"$scaling,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    sparkS.stop()
   }
 }

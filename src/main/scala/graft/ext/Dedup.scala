@@ -646,33 +646,44 @@ object Dedup {
   /** The lazy mining plan over a (doc, v) frame — also served raw for
    *  plan inspection (`materialize = false`).
    *
-   *  Shuffle discipline (the jaccardPairs verification shape): the
-   *  banded self-join and the candidate dedup move ONLY (seed, bucket,
-   *  id) longs; vectors re-join AFTER the distinct. Carrying both
-   *  vectors through the candidate shuffle multiplies its volume by the
-   *  vector width (~30× at 64 dims) — total candidates ≈
-   *  N·bucketRows/2 per seed, so a deep seed count (recall 0.99 ⇒ ~11
-   *  seeds) OOMed the 10× bench corpus before this split. */
+   *  Shuffle discipline (round 10, replacing round 9's id-only candidate
+   *  shuffles): the exact-cosine confirmation runs INSIDE the banded
+   *  self-join, so the candidate pair set — the only thing here that
+   *  grows super-linearly (≈ N·bucketRows/2 per seed) — is never
+   *  materialized OR shuffled at all: pairs stream out of the join
+   *  straight into the codegen'd cosine filter, and only the (tiny)
+   *  surviving pair set is deduped across seeds. The shuffle that
+   *  remains is the keyed corpus itself, N·seeds rows with the vector
+   *  aboard — LINEAR in the corpus, ~280 B/row at 64 dims.
+   *
+   *  History of this shape: carrying vectors through the candidate
+   *  DISTINCT shuffle (candidates × vector width) OOMed the r8 10×
+   *  bench; round 9's fix moved id-only candidates through distinct and
+   *  re-joined vectors after — correct, but the r10 100× stress measured
+   *  it at wall-clock exp 1.73: three shuffles of a 57 M-row candidate
+   *  list (distinct + two vector joins) dwarf the 1.6 M-row keyed
+   *  corpus shuffle this plan does instead. A cross-seed duplicate
+   *  candidate now evaluates cosine once per colliding seed (~2× for
+   *  true near-dups, ~1.003× for the random majority) — arithmetic,
+   *  not shuffle, and dozens of times cheaper. */
   private def pairsPlan(
       base: DataFrame, minCos: Double, planes: Int, seeds: Seq[Long]): DataFrame = {
     val keyed = seeds.map { s =>
-      base.select(col("doc"), lit(s).as("seed"),
+      base.select(col("doc"), col("v"), lit(s).as("seed"),
         functions.hyperplaneBucket(col("v"), planes, s).as("bucket"))
     }.reduce(_ unionByName _)
     val a = keyed.alias("a")
     val b = keyed.alias("b")
-    val candidates = a.join(b,
+    a.join(b,
         col("a.seed") === col("b.seed") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .distinct()
-    val sa = base.select(col("doc").as("id_a"), col("v").as("va"))
-    val sb = base.select(col("doc").as("id_b"), col("v").as("vb"))
-    candidates.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("cos", functions.cosineSimilarity(col("va"), col("vb")))
+      .withColumn("cos", functions.cosineSimilarity(col("a.v"), col("b.v")))
       .filter(col("cos") >= minCos)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"), col("cos"))
+      // cosine is a deterministic function of the pair, so cross-seed
+      // duplicates are exact-row duplicates: distinct over survivors
+      .distinct()
   }
 
   /** Historical alias for [[embeddingPairs]] from when auto-sizing was

@@ -226,26 +226,32 @@ object Similarity {
     def ckpt(d: DataFrame): DataFrame = if (materialize) d.localCheckpoint() else d
     val cBase = ckpt(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")))
     val qBase = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    // the candidate join + dedup move ONLY (seed, bucket, id) longs;
-    // vectors re-join after the distinct (the pair-miner shuffle
-    // discipline — carrying vectors through the candidate shuffle
-    // multiplies its volume by the vector width)
+    // exact cosine is computed INSIDE the bucket join (the r10 pair-miner
+    // shuffle discipline): the candidate list — the only super-linear
+    // volume here — streams straight from the join into the scoring
+    // projection without ever being shuffled; what shuffles is the keyed
+    // corpus/probe rows (linear, vector aboard) and then the scored
+    // survivors once for the cross-seed dedup + ranking. Round 9's
+    // id-only-candidates form shuffled the candidate list three times
+    // (distinct + two vector re-joins) and measured exp 1.7 at the 100×
+    // stress; vectors-through-the-CANDIDATE-shuffle (the r8 OOM shape)
+    // remains wrong — the candidates never shuffle at all now.
     def keyed(base: DataFrame, id: String, vec: String) =
       seeds.map { s =>
-        base.select(col(id), lit(s).as("seed"),
+        base.select(col(id), col(vec), lit(s).as("seed"),
           functions.hyperplaneBucket(col(vec), planes, s).as("bucket"))
       }.reduce(_ unionByName _)
     val c = keyed(cBase, "n_id", "n_vec")
     val q = keyed(qBase, "q_id", "q_vec")
-    val candidates = q.join(c,
+    val scored = q.join(c,
         q("seed") === c("seed") && q("bucket") === c("bucket") &&
           col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"))
-      .distinct()
-    val scored = candidates
-      .join(qBase, "q_id")
-      .join(cBase, "n_id")
       .withColumn("cos", functions.cosineSimilarity(col("q_vec"), col("n_vec")))
+      .select(col("q_id"), col("n_id"), col("cos"))
+      // cosine is deterministic per pair: cross-seed duplicates are
+      // exact-row duplicates, deduped before ranking so a pair cannot
+      // occupy two top-k slots
+      .distinct()
     val out = rankTopK(scored, "cos", k)
     if (!materialize) return out
     val result = out.localCheckpoint() // eager: pins the (small) top-k …

@@ -23,6 +23,37 @@ object ScaleCorpus {
   val DefaultDocs = 50000   // 10x the sf0.1 documents table
   val DefaultVecs = 20000   // 10x the sf0.1 embeddings table
 
+  // 100x point (round-10 scale stress): another 10x on top of the 10x
+  // corpus — 500k docs / 200k vectors, the largest corpus the 128 GiB
+  // sandbox holds comfortably while still being a true decade step.
+  val Dir100x = "/tmp/graft_scale_100x"
+  val Docs100x = 500000
+  val Vecs100x = 200000
+
+  // Dense-duplicate corpus: documents arranged in cliques of
+  // `DenseClique` one-word-perturbed variants, so minhash-LSH mining
+  // yields ~C(k, 2) confirmed pairs per clique. At `DenseHiDocs` the
+  // mined edge set exceeds the 2^20-edge driver union-find threshold
+  // (48000/64 = 750 cliques x 2016 pairs ~ 1.5M edges), which is the
+  // point: the PRODUCTION dispatch of [[graft.ext.Dedup.connectedComponents]]
+  // must take the distributed large-star/small-star path there.
+  val DenseLoDir = "/tmp/graft_scale_dense_lo"
+  val DenseHiDir = "/tmp/graft_scale_dense_hi"
+  val DenseLoDocs = 4800
+  val DenseHiDocs = 48000
+  val DenseClique = 64
+
+  // Rich-lexicon corpus for production-vocabulary BPE: the default
+  // corpus draws from a 27-word vocabulary, whose byte-pair space
+  // exhausts after a few hundred merges — useless for evidencing a
+  // ~32k-merge tokenizer. This one draws pseudo-words from a 2^17-entry
+  // deterministic lexicon with a sqrt-skewed frequency curve, so every
+  // lexicon word appears with count >= 2 and the merge space supports
+  // tens of thousands of rounds.
+  val RichDir = "/tmp/graft_scale_rich"
+  val RichDocs = 100000
+  val LexSize = 1 << 17
+
   private val vocab: Array[String] = Array(
     "spark", "line", "column", "order", "small", "sort", "fast", "value",
     "scan", "batch", "part", "vector", "query", "agg", "table", "hash",
@@ -88,6 +119,60 @@ object ScaleCorpus {
     }.toDF("vec_id", "embedding", "label")
   }
 
+  /** Clique-structured near-duplicate text: clique `id / cliqueSize`,
+   *  each member a one-word perturbation of the clique base — pairwise
+   *  shingle Jaccard stays far above the 0.5 mining threshold, so LSH
+   *  banding recovers (nearly) the full clique pair set. */
+  private def denseText(id: Long, cliqueSize: Int): String = {
+    val clique = id / cliqueSize
+    val member = math.floorMod(id, cliqueSize.toLong)
+    val len = 40 + math.floorMod(mix(clique, 30), 31L).toInt // 40-70 words
+    var words = (0 until len).map(j => word(mix(clique, j + 40)))
+    if (member > 0) { // base member 0 stays pristine
+      val at = math.floorMod(mix(id, 31), len.toLong).toInt
+      words = words.updated(at, word(mix(id, 32)))
+    }
+    words.mkString(" ")
+  }
+
+  def denseDocuments(spark: SparkSession, n: Int,
+      cliqueSize: Int = DenseClique): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).as[Long].map { id =>
+      (id, denseText(id, cliqueSize))
+    }.toDF("doc_id", "text")
+  }
+
+  /** Pseudo-word `w` of the rich lexicon: 3-10 lowercase letters, fully
+   *  determined by the lexicon index. */
+  private def richWord(w: Long): String = {
+    val len = 3 + math.floorMod(mix(w, 900), 8L).toInt
+    val sb = new java.lang.StringBuilder(len)
+    var j = 0
+    while (j < len) {
+      sb.append(('a' + math.floorMod(mix(w, 901 + j), 26L).toInt).toChar)
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** Rich-lexicon text: 30-80 word docs, lexicon index drawn with a
+   *  u^2 skew (head words very frequent, tail still covered — with
+   *  RichDocs x ~55 draws every lexicon entry is expected ~20 times,
+   *  so minCount=2 never starves BPE training early). */
+  private def richText(id: Long): String = {
+    val len = 30 + math.floorMod(mix(id, 902), 51L).toInt
+    (0 until len).map { j =>
+      val u = math.floorMod(mix(id, 910 + j), 1L << 20).toDouble / (1L << 20)
+      richWord((u * u * LexSize).toLong min (LexSize - 1))
+    }.mkString(" ")
+  }
+
+  def richDocuments(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n).as[Long].map(id => (id, richText(id))).toDF("doc_id", "text")
+  }
+
   /** Idempotent: a dir that already holds both tables is left untouched. */
   def ensure(spark: SparkSession, dir: String = DefaultDir,
       docs: Int = DefaultDocs, vecs: Int = DefaultVecs): Boolean = {
@@ -96,14 +181,29 @@ object ScaleCorpus {
     val vecsP = new java.io.File(d, "embeddings.parquet")
     if (docsP.isDirectory && vecsP.isDirectory) return true
     try {
-      documents(spark, docs).repartition(8)
+      documents(spark, docs).repartition(if (docs > 100000) 32 else 8)
         .write.mode("overwrite").parquet(docsP.getPath)
-      embeddings(spark, vecs).repartition(8)
+      embeddings(spark, vecs).repartition(if (vecs > 50000) 32 else 8)
         .write.mode("overwrite").parquet(vecsP.getPath)
       true
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[scale-corpus] generation failed: ${e.getMessage}")
+        false
+    }
+  }
+
+  /** Idempotent single-table variant for the dense/rich corpora. */
+  def ensureDocs(spark: SparkSession, dir: String,
+      gen: => DataFrame): Boolean = {
+    val docsP = new java.io.File(new java.io.File(dir), "documents.parquet")
+    if (docsP.isDirectory) return true
+    try {
+      gen.repartition(16).write.mode("overwrite").parquet(docsP.getPath)
+      true
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[scale-corpus] generation failed for $dir: ${e.getMessage}")
         false
     }
   }

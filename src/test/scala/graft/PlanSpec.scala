@@ -90,6 +90,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("embedding pair miners never shuffle the candidate pair list") {
+    // the r10 discipline: exact-cosine confirmation runs INSIDE the
+    // banded self-join, so the only shuffles are the keyed corpus
+    // (linear, vector aboard) and the tiny survivor dedup — the
+    // candidate pairs (the super-linear volume) stream through the
+    // filter without an Exchange. The r9 id-only-candidates shape
+    // shuffled them three times (distinct + two vector re-joins) and
+    // measured wall-clock exp 1.7 at the 100x stress.
+    SparkEntry.registerViews(spark, dir)
+    val emb = spark.table("embeddings")
+    val pairPlan = executedPlanString(
+      ext.Dedup.embeddingPairs(emb, "vec_id", "embedding", materialize = false))
+    val topkPlan = executedPlanString(
+      ext.Similarity.lshTopK(emb, emb.limit(5), "vec_id", "embedding",
+        materialize = false))
+    for ((name, plan) <- Seq("embeddingPairs" -> pairPlan, "lshTopK" -> topkPlan)) {
+      // exactly ONE join in the whole plan: the banded self-join with
+      // the cosine confirm aboard. Vector re-joins against the
+      // candidate list (the r9 shape) would plan two more joins.
+      val joins = "Join".r.findAllIn(plan).length
+      assert(joins === 1, s"$name plans $joins joins (candidates re-joined?):\n$plan")
+      assert(plan.contains("cosinesimilarity"), s"$name lost the in-join confirm:\n$plan")
+    }
+  }
+
   test("text-ratio counting kernels stay inside WholeStageCodegen (q47 shape)") {
     SparkEntry.registerViews(spark, dir)
     val df = spark.table("documents").select(

@@ -142,6 +142,46 @@ class BpeTrainSpec extends SparkSpec {
       BpeTrain.train(df, "text", 8))
   }
 
+  test("production vocab: encoder equals the trainer's own re-encode at 2k merges") {
+    // The q96/q100 declared queries prove single-digit merge counts; the
+    // O(L·applied-merges)-per-word encode claim needs pinning at a
+    // production-SHAPED vocabulary. The rich-lexicon corpus
+    // ([[graft.tools.ScaleCorpus.richDocuments]] — thousands of distinct
+    // pseudo-words) sustains a large merge space where the 27-word bench
+    // vocabulary exhausts after a few hundred rounds; the bench's bpe32k
+    // block trains the full ~32k table on the 100k-doc corpus.
+    val docs = graft.tools.ScaleCorpus.richDocuments(spark, 1500)
+    val numMerges = 2048
+    val merges = BpeTrain.train(docs, "text", numMerges = numMerges)
+    assert(merges.size === numMerges,
+      s"merge space exhausted at ${merges.size} — corpus not rich enough")
+    // encoder (greedy lowest-rank-first, [[Bpe.encodeWord]]) must equal
+    // applying the merges exhaustively IN RANK ORDER — which is exactly
+    // the trainer's own per-round corpus rewrite ([[Bpe.applyMerge]] in
+    // trainDriver/trainDistributed). The equivalence holds because a
+    // later merge can never create an adjacency of earlier-rank pieces;
+    // this pins it at real vocab size instead of arguing it.
+    def reencode(text: String): Seq[Int] =
+      text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
+        var ids = w.getBytes("UTF-8").map(_ & 0xFF)
+        merges.zipWithIndex.foreach { case ((l, r), i) =>
+          if (ids.length >= 2) ids = Bpe.applyMerge(ids, l, r, 256 + i)
+        }
+        ids.toSeq
+      }
+    val sample = docs.limit(40).select("text").as[String].collect()
+    val table = Bpe.compileIds(merges)
+    sample.foreach { text =>
+      val got = Bpe.encodeDoc(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), table).toSeq
+      assert(got === reencode(text), s"mismatch on: ${text.take(60)}")
+    }
+    // and the column expression ships the same table through codegen
+    val viaCol = docs.limit(40)
+      .select(functions.bpeEncodeIds(col("text"), merges)).as[Seq[Int]].collect()
+    assert(viaCol.toSeq === sample.toSeq.map(reencode))
+  }
+
   test("compileIds validates ranks; renderMerges rejects non-ASCII bytes") {
     intercept[IllegalArgumentException](Bpe.compileIds(Seq((97, 300)))) // undefined id
     intercept[IllegalArgumentException](Bpe.compileIds(Seq((97, 98), (97, 98))))

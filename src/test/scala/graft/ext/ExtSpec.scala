@@ -1637,6 +1637,30 @@ class ExtSpec extends SparkSpec {
     assert(stBytes.length < 256 * 8 * 16, s"state ${stBytes.length} bytes")
   }
 
+  test("quantileSketch estimator regime holds its rank-error envelope at depth (1M values)") {
+    // the 100x bench scaling block measures the k-bounded profile's COST
+    // at depth; this pins its ACCURACY there: an order of magnitude more
+    // values than the 100k test above, same k, same 3% regression
+    // envelope — KLL error grows only logarithmically in n, so the
+    // envelope must hold unchanged
+    val n = 1000000
+    val df = spark.range(0, n)
+      .selectExpr("cast(pmod(hash(id) * 2654435761, 1048576) AS double) / 1048576 AS v")
+      .repartition(32)
+    val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val served = df.agg(functions.quantileSketchMulti(col("v"), qs, 256).as("r"))
+      .as[Seq[Double]].head()
+    val vals = df.as[Double].collect().sorted
+    qs.zip(served).foreach { case (q, v) =>
+      val rank = vals.count(_ <= v).toDouble / n
+      assert(math.abs(rank - q) < 0.03, s"q=$q served=$v rank=$rank")
+    }
+    // state stays k-bounded at depth: far under the 8 MB raw column
+    val stBytes = df.agg(functions.quantileState(col("v"), k = 256))
+      .as[Array[Byte]].head()
+    assert(stBytes.length < 256 * 8 * 16, s"state ${stBytes.length} bytes")
+  }
+
   test("quantile sketch estimator-regime STORE/MERGE keeps bounded rank error") {
     // the incremental-cube flow in the estimator regime: four batch
     // states at k=128 over 50k values, merged at serve time — the merge
