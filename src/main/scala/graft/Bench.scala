@@ -278,6 +278,26 @@ object Bench {
           .localCheckpoint()
         (() => noop(ext.Dedup.dedupIncremental(index, batch, "doc_id", "text")),
          () => { index.unpersist(); () })
+      }),
+      // the INDEXED serve against persisted band/sig snapshot tables
+      // (key-probed manifests: range stats + per-file blooms) — per-batch
+      // cost rides the batch's MATCHES, so the exponent should sit near
+      // zero where the flat row above pays the full index scan per call
+      SRow("dedup_serve_indexed", P12, { dir =>
+        val corpus = docsAt(dir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_idx")
+        val (bandT, sigT) = ext.Dedup.buildMinhashIndexTables(sparkS,
+          s"$tmp/bands", s"$tmp/sigs", corpus, "doc_id", "text",
+          filesPerTable = 64)
+        val batch = sc.documents(sparkS, 500)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+          .localCheckpoint()
+        (() => noop(ext.Dedup.dedupIncrementalFromPairs(
+           ext.Dedup.minhashPairsIncrementalIndexed(bandT, sigT, batch,
+             "doc_id", "text"),
+           batch, "doc_id")),
+         () => ())
       })
     )
     // row -> point -> measurement

@@ -3396,6 +3396,55 @@ object SparkEntry {
    *  id-derived tokens cannot reach the 0.5 MinHash threshold against
    *  natural text (MUST survive). DuckDB replays both as constants over
    *  the two id classes. Raw pair lists stay ExtSpec-covered. */
+  /** Q117 — INDEXED incremental serve
+   *  ([[ext.Dedup.buildMinhashIndexTables]] /
+   *  [[ext.Dedup.minhashPairsIncrementalIndexed]]): q66's exact
+   *  batch-vs-corpus scenario, but the serve key-probes PERSISTED
+   *  band/signature snapshot tables (range-clustered + per-file blooms
+   *  on the probe columns) instead of streaming the whole signature
+   *  index through the band join — the 100 TB serving shape where
+   *  per-batch cost rides the batch's matches, not the index size.
+   *  Pruning is file-skipping only, so the oracle is q66's verbatim;
+   *  flat-vs-indexed pair-list identity is ExtSpec-pinned. */
+  private val builtIndexPairs = scala.collection.concurrent.TrieMap[
+    String, (graft.tables.SnapshotTable, graft.tables.SnapshotTable)]()
+  private def indexedServeQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val (bandT, sigT) = builtIndexPairs.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft_q117_idx")
+      ext.Dedup.buildMinhashIndexTables(s,
+        s"$tmp/bands", s"$tmp/sigs", corpus, "doc_id", "text")
+    })
+    val copies = docs.filter(col("doc_id") % 4 === 0)
+      .select(shiftedId(col("doc_id")).as("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 4 === 2)
+      .select((shiftedId(col("doc_id")) + lit(PlantShift)).as("doc_id"),
+        format_string("zqa%d zqb%d zqc%d zqd%d zqe%d",
+          col("doc_id"), col("doc_id"), col("doc_id"), col("doc_id"),
+          col("doc_id")).as("text"))
+    val batch = copies.unionByName(fresh)
+    val pairs = ext.Dedup.minhashPairsIncrementalIndexed(
+      bandT, sigT, batch, "doc_id", "text")
+    val corpusFound = pairs
+      .filter(col("in_corpus"))
+      .select(col("id_a").as("doc_id")).distinct().withColumn("cf", lit(1))
+    val survived = ext.Dedup
+      .dedupIncrementalFromPairs(pairs, batch, "doc_id")
+      .select(col("doc_id")).withColumn("sv", lit(1))
+    batch.select(col("doc_id"))
+      .join(corpusFound, Seq("doc_id"), "left")
+      .join(survived, Seq("doc_id"), "left")
+      .select(
+        when(col("doc_id") >= 2L * PlantShift, col("doc_id") - 2L * PlantShift)
+          .otherwise(col("doc_id") - PlantShift).as("doc_id"),
+        (col("doc_id") < 2L * PlantShift).as("is_copy"),
+        col("cf").isNotNull.as("corpus_dup_found"),
+        col("sv").isNotNull.as("survived"))
+      .orderBy("doc_id")
+  }
+
   private def incrementalDedupQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -3623,7 +3672,8 @@ object SparkEntry {
     "q113_catalog_persistence" -> catalogPersistenceQuery,
     "q114_stream_dedup" -> streamDedupQuery,
     "q115_apply_changes" -> applyChangesQuery,
-    "q116_image_neardup" -> perceptualHashQuery)
+    "q116_image_neardup" -> perceptualHashQuery,
+    "q117_serve_indexed" -> indexedServeQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3769,7 +3819,10 @@ object SparkEntry {
     "q113_catalog_persistence" -> Q113Duck,
     "q114_stream_dedup" -> Q114Duck,
     "q115_apply_changes" -> Q115Duck,
-    "q116_image_neardup" -> Q116Duck)
+    "q116_image_neardup" -> Q116Duck,
+    // pruning is file-skipping only: the indexed serve answers q66's
+    // exact scenario, so its oracle is q66's verbatim
+    "q117_serve_indexed" -> Q66Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -455,6 +455,146 @@ object Dedup {
     batch.join(losers, batch(idCol) === losers("id"), "left_anti")
   }
 
+  /** Persistable BANDED index rows (doc, band, bandhash) — the probe
+   *  side of [[minhashPairsIncrementalIndexed]]. Store as a snapshot
+   *  table RANGE-CLUSTERED on `bandhash` with manifest bloom filters
+   *  (`graft.bloom.columns=bandhash`) so a batch's band keys prune the
+   *  file list instead of scanning the whole index
+   *  ([[buildMinhashIndexTables]] wires exactly that). */
+  def minhashBandIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = TextHash.DefaultSeed): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    bandRows(minhashSignatures(df, idCol, textCol, shingleSize, numHashes, seed),
+      bands, numHashes / bands)
+  }
+
+  /** Build the two snapshot tables the INDEXED serve probes: the banded
+   *  index clustered+bloomed on `bandhash` and the signature table
+   *  clustered+bloomed on `doc` — each file then carries tight
+   *  min/max stats plus a bloom filter on its probe column, so
+   *  [[minhashPairsIncrementalIndexed]]'s key-probed reads skip every
+   *  file without a possible hit (the Hudi bloom-index tagging shape).
+   *  Index tables are APPEND-ONLY by contract: extend them with
+   *  `append` of range-sorted batch rows (new files keep tight stats;
+   *  blooms are per-file, so appends never degrade existing pruning) or
+   *  rebuild; the indexed serve reads their data files directly and
+   *  does not apply DV/delta overlays. */
+  def buildMinhashIndexTables(
+      spark: org.apache.spark.sql.SparkSession,
+      bandRoot: String,
+      sigRoot: String,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = TextHash.DefaultSeed,
+      filesPerTable: Int = 16): (graft.tables.SnapshotTable, graft.tables.SnapshotTable) = {
+    val sigs =
+      minhashSignatures(corpus, idCol, textCol, shingleSize, numHashes, seed)
+        .localCheckpoint() // one corpus scan feeds both tables
+    val bandDf = bandRows(sigs, bands, numHashes / bands)
+    def build(root: String, df: DataFrame, keyCol: String) = {
+      val t = graft.tables.SnapshotTable.create(spark, root, df.limit(1))
+        .setProperties(Map( // seed commit carries the bloom config
+          "graft.bloom.columns" -> keyCol,
+          "graft.bloom.manifest" -> "true"))
+      t.overwrite(df.repartitionByRange(filesPerTable, col(keyCol)))
+      t
+    }
+    val bandTable = build(bandRoot, bandDf, "bandhash")
+    val sigTable = build(sigRoot, sigs, "doc")
+    release(sigs)
+    (bandTable, sigTable)
+  }
+
+  /**
+   * [[minhashPairsIncremental]] against a PERSISTED, file-pruned index
+   * ([[buildMinhashIndexTables]]) — the serve path whose per-batch cost
+   * scales with the batch's MATCHES, not the index size. The flat form
+   * streams the whole signature index through the band join every call:
+   * correct, but a 100 TB index pays a full scan per ingest batch. Here
+   * the batch's band keys (|batch|·bands longs, driver-bounded) key-probe
+   * the banded table's manifest — range stats plus per-file blooms — so
+   * only files that may hold a colliding band are read; the candidates'
+   * corpus ids then key-probe the signature table the same way for the
+   * confirmation sigs. Both probes are conservative (files without
+   * stats/filters always stay), so the result is EXACTLY
+   * [[minhashPairsIncremental]]'s, spec-pinned.
+   *
+   * `maxProbeKeys` bounds both driver-side key sets (the
+   * `Merge.probeMaxKeys` discipline); a batch over the bound fails
+   * loudly — split the batch rather than silently degrading.
+   */
+  def minhashPairsIncrementalIndexed(
+      bandTable: graft.tables.SnapshotTable,
+      sigTable: graft.tables.SnapshotTable,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minEst: Double = 0.5,
+      seed: Long = TextHash.DefaultSeed,
+      maxProbeKeys: Int = 1 << 20): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val spark = batch.sparkSession
+    def prunedRead(t: graft.tables.SnapshotTable, column: String,
+        keys: Array[Any]): DataFrame = {
+      val paths = t.keyProbedManifest(column, keys.toSeq)
+      if (paths.isEmpty) t.read().limit(0)
+      else spark.read.parquet(paths: _*)
+    }
+    def boundedKeys(df: DataFrame, column: String, what: String): Array[Any] = {
+      val ks = df.select(column).distinct().limit(maxProbeKeys + 1)
+        .collect().map(_.get(0))
+      require(ks.length <= maxProbeKeys,
+        s"$what key set exceeds maxProbeKeys=$maxProbeKeys — split the batch")
+      ks
+    }
+    val bsigs = minhashSignatures(batch, idCol, textCol, shingleSize, numHashes, seed)
+      .localCheckpoint()
+    val bBands = bandRows(bsigs, bands, r).localCheckpoint()
+    val idxBands = prunedRead(bandTable, "bandhash",
+      boundedKeys(bBands, "bandhash", "batch band"))
+    val cross = bBands.alias("a").join(idxBands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bandhash") === col("b.bandhash"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+      .localCheckpoint() // small: actual band collisions only
+    val idxSigs = prunedRead(sigTable, "doc",
+      boundedKeys(cross, "id_b", "candidate corpus-id"))
+    val within = bBands.alias("a").join(bBands.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandhash") === col("b.bandhash") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    val ba = bsigs.select(col("doc").as("id_a"), col("sig").as("sig_a"))
+    val bb = bsigs.select(col("doc").as("id_b"), col("sig").as("sig_b"))
+    val ib = idxSigs.select(col("doc").as("id_b"), col("sig").as("sig_b"))
+    def confirm(cand: DataFrame, sigB: DataFrame, fromCorpus: Boolean) =
+      cand.join(ba, "id_a").join(sigB, "id_b")
+        .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
+        .filter(col("est_jaccard") >= minEst)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"),
+          lit(fromCorpus).as("in_corpus"))
+    val result = confirm(cross, ib, fromCorpus = true)
+      .unionByName(confirm(within, bb, fromCorpus = false))
+      .localCheckpoint()
+    release(bsigs); release(bBands); release(cross)
+    result
+  }
+
   /**
    * SimHash near-dup pairs with Hamming distance ≤ `maxHamming`,
    * generalized pigeonhole banding (Manku et al., WWW'07): the 64-bit

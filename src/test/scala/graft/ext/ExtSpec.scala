@@ -204,6 +204,43 @@ class ExtSpec extends SparkSpec {
     Dedup.release(index)
   }
 
+  test("indexed incremental serve equals the flat form and prunes index files") {
+    // flat serve streams the WHOLE signature index through the band join
+    // per batch; the indexed form key-probes the persisted band/sig
+    // tables (range stats + per-file blooms) and must return exactly the
+    // same pairs — pruning is file-skipping, never a semantics change
+    val corpus = graft.tools.ScaleCorpus.documents(spark, 400)
+      .select(col("doc_id").as("id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_serve")
+    val (bandT, sigT) = Dedup.buildMinhashIndexTables(spark,
+      s"$tmp/bands", s"$tmp/sigs", corpus, "id", "text", filesPerTable = 32)
+    val batch = corpus.filter(col("id").isin(10L, 250L))
+      .select((col("id") + 1000L).as("id"), col("text"))
+      .unionByName(Seq(
+        (2001L, "zqa1 zqb1 zqc1 zqd1 zqe1"),
+        (2002L, "zqa2 zqb2 zqc2 zqd2 zqe2")).toDF("id", "text"))
+    val flat = Dedup.minhashPairsIncremental(
+        Dedup.minhashSignatures(corpus, "id", "text"), batch, "id", "text")
+      .select("id_a", "id_b", "est_jaccard", "in_corpus")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    val indexed = Dedup.minhashPairsIncrementalIndexed(
+        bandT, sigT, batch, "id", "text")
+      .select("id_a", "id_b", "est_jaccard", "in_corpus")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(indexed === flat)
+    assert(flat.exists(_._4), "no corpus hit — fixture lost its planted copies")
+    assert(flat.contains((1010L, 10L, 1.0, true)) &&
+      flat.contains((1250L, 250L, 1.0, true)), s"planted copies missing: $flat")
+    // the band probe reads a strict subset of the 32 clustered files:
+    // only the two copies' band keys are present in the index, so most
+    // files fail both the range check and the bloom probe
+    val keys = Dedup.minhashBandIndex(batch, "id", "text")
+      .select("bandhash").distinct().as[Long].collect().toSeq
+    val probed = bandT.keyProbedManifest("bandhash", keys)
+    assert(probed.size < bandT.manifest().size,
+      s"no pruning: ${probed.size} of ${bandT.manifest().size} files probed")
+  }
+
   test("incremental dedup over an empty index equals batch-mode dedup") {
     // with nothing in the corpus, "drop corpus-linked components" never
     // fires and both operators reduce to min-id-per-component — the
