@@ -1066,12 +1066,18 @@ class SnapshotTable private (
    *     live in head — an interleaved commit rewriting or deleting one
    *     is a ConcurrentDeleteRead-class conflict (our rewrite would
    *     resurrect its pre-image);
-   *   - every file head ADDED relative to base must be PROVABLY unable
-   *     to contain a row matching `predicate` (the same conservative
-   *     stats test the op's own pruning used): a disjoint-key append or
-   *     a second merge over a disjoint key range rides along untouched,
-   *     while anything that could have changed this op's matched /
-   *     not-matched routing conflicts. Files without stats conflict.
+   *   - every file head ADDED relative to base, AND every base file head
+   *     REMOVED, must be PROVABLY unable to contain a row matching
+   *     `predicate` (the same conservative stats test the op's own
+   *     pruning used): a disjoint-key append or a second merge over a
+   *     disjoint key range rides along untouched, while anything that
+   *     could have changed this op's matched / not-matched routing
+   *     conflicts. Files without stats conflict. The REMOVED side matters
+   *     when `sources` under-approximates the read set: an insert-only
+   *     MERGE rewrites nothing (`sources` = ∅) but anti-joins the WHOLE
+   *     target — an interleaved delete of a row matching its source keys
+   *     must conflict (Delta's ConcurrentDeleteRead), or the rebased
+   *     commit would skip an insert the delete-first serial order makes.
    *   - table metadata, DV sidecars, and MoR deltas must be unchanged
    *     (same rules as [[maintenanceRebaseSafe]]); identity-bearing
    *     tables never rebase — insert rows assigned identity values from
@@ -1110,14 +1116,22 @@ class SnapshotTable private (
         sources.forall(live.contains)
       } && {
         val baseFiles = base.files.map(_.path).toSet
+        val live = head.files.map(_.path).toSet
         val added = head.files.filterNot(f => baseFiles.contains(f.path))
-        added.isEmpty || {
+        // base files the interleaved commit(s) removed/rewrote — `sources`
+        // is already required live above, so these are files OUTSIDE the
+        // op's rewrite set whose rows it may nonetheless have READ (the
+        // insert-only MERGE anti-join; sources=∅ there)
+        val removed = base.files.filterNot(f =>
+          live.contains(f.path) || sources.contains(f.path))
+        val changed = added ++ removed
+        changed.isEmpty || {
           val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
           val cs = Pruning.conjuncts(
             org.apache.spark.sql.graftshim.SparkInternals.expr(predicate))
           // a predicate with no stats-usable conjunct "may match" every
           // file — degrades to a conflict, never to a silent rebase
-          added.forall(f => !Pruning.mayMatchConjuncts(f, cs, schema))
+          changed.forall(f => !Pruning.mayMatchConjuncts(f, cs, schema))
         }
       }
 
@@ -1686,6 +1700,11 @@ class SnapshotTable private (
    *  fully overlaps (interleaved clustering). Conservative everywhere —
    *  files without stats or filters always stay. */
   private[graft] def keyProbedManifest(column: String, keys: Seq[Any]): Seq[String] = {
+    // ZERO keys match zero files — without this, the empty set falls into
+    // the conservative no-usable-probes branch below and returns the FULL
+    // manifest, turning a no-collision probe (the steady state of an
+    // all-novel ingest batch) into a whole-index scan per call
+    if (keys.isEmpty) return Nil
     val v = currentVersion()
     if (v < 0) return Nil
     val entry = commitEntry(v)

@@ -111,6 +111,49 @@ class RowRewriteRebaseSpec extends SparkSpec {
       Set.empty, lit(false)))
   }
 
+  test("rebase guard checks files the interleave REMOVED, not just added") {
+    // the insert-only MERGE shape: sources=∅ (nothing rewritten) but the
+    // anti-join READ the whole target — an interleaved commit that
+    // dropped a file whose stats may hold one of the merge's source keys
+    // could have flipped that key from matched to not-matched, so the
+    // delete-first serial order inserts it and a silent rebase loses it
+    // (Delta's ConcurrentDeleteRead). Head removes the low file wholesale
+    // and adds NOTHING, so only the removed-files side of the guard can
+    // catch it.
+    val t = rangedTable("rr_removed")
+    val v = t.currentVersion()
+    val base = t.commitEntry(v)
+    val lowPaths = t.prunedManifest(col("id") < 10).toSet
+    assert(lowPaths.size === 1, "fixture must prune to the low file")
+    val head = base.copy(action = "delete",
+      files = base.files.filterNot(f => lowPaths(f.path)))
+    assert(!t.rowRewriteRebaseSafe(base, head, Set.empty,
+      col("id") >= 500 && col("id") <= 3500),
+      "a removed may-match file must surface the ConcurrentDeleteRead conflict")
+    // ...while key bounds provably outside every removed file still rebase
+    assert(t.rowRewriteRebaseSafe(base, head, Set.empty,
+      col("id") >= 3200 && col("id") <= 3500))
+  }
+
+  test("insert-only MERGE commit conflicts when an interleaved delete hit its key range") {
+    // end-to-end through replaceFiles exactly as Merge's insert-only
+    // branch calls it: keep = ALL files, sources = ∅, rebase guarded only
+    // by the source-key bounds. The interleaved delete rewrote the file
+    // holding a matched source key — commit must conflict, and the
+    // caller's retry (fresh snapshot: 500 now unmatched) inserts it.
+    val t = rangedTable("rr_insonly")
+    val v = t.currentVersion()
+    val allFiles = t.commitEntry(v).files.map(_.path)
+    // computed against v: source keys {500, 3500}; 500 matched → excluded
+    val inserts = Seq((3500L, "i")).toDF("id", "v")
+    val bounds = col("id") >= 500 && col("id") <= 3500
+    t.delete(col("id") === 500)
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      t.replaceFiles(allFiles, inserts, "merge",
+        expectVersion = Some(v), rebasePredicate = Some(bounds))
+    }
+  }
+
   test("two concurrent MERGEs on disjoint key ranges both commit without recompute") {
     // the real API end-to-end: each merge's key-bounds predicate comes
     // from its own source agg (MergeInto.discoveryCandidates), and the
