@@ -300,9 +300,12 @@ object Bench {
          () => ())
       })
     )
-    // row -> point -> measurement
+    // row -> point -> measurement. Every exponent pair needs P1 (block10
+    // is 0→1, block100 is 1→2), so without a P1 corpus the whole loop
+    // would burn 5+ reps per row at P0 and report nothing — skip it.
     val meas: Map[(String, Int), Meas] =
-      (for {
+      if (p1Dir.isEmpty) Map.empty
+      else (for {
         row <- rows
         p <- row.pts
         dir <- pointDirs(p)
@@ -346,23 +349,26 @@ object Bench {
       }
     def expPair(lo: Meas, hi: Meas): (Double, Double) =
       (math.log10(hi.min / lo.min), math.log10(hi.med / lo.med))
-    def blockFor(loP: Int, hiP: Int): Seq[(String, Meas, Meas)] =
+    // each row carries its OWN rep counts (cc_distributed runs hiReps at
+    // BOTH points) — the detail block must record what actually ran
+    def blockFor(loP: Int, hiP: Int, loN: Int, hiN: Int): Seq[(String, Meas, Meas, Int, Int)] =
       rows.flatMap { r =>
         for { lo <- meas.get((r.name, loP)); hi <- meas.get((r.name, hiP)) }
-          yield (r.name, lo, hi)
+          yield (r.name, lo, hi, loN, hiN)
       }
-    val block10 = blockFor(0, 1)
-    val block100 = blockFor(1, 2) ++
-      ccResult.map { case (lo, hi, _, _) => ("cc_distributed", lo, hi) }.toSeq
-    def headBlock(tag: String, b: Seq[(String, Meas, Meas)]): String =
+    val block10 = blockFor(0, 1, scalingReps, scalingReps)
+    val block100 = blockFor(1, 2, scalingReps, hiReps) ++
+      ccResult.map { case (lo, hi, _, _) =>
+        ("cc_distributed", lo, hi, hiReps, hiReps) }.toSeq
+    def headBlock(tag: String, b: Seq[(String, Meas, Meas, Int, Int)]): String =
       if (b.isEmpty) ""
-      else b.map { case (n, lo, hi) =>
+      else b.map { case (n, lo, hi, _, _) =>
         val (e, em) = expPair(lo, hi)
         "\"" + n + s"""\":[${f"$e%.2f"},${f"$em%.2f"}]"""
       }.mkString(s""","$tag":{""", ",", "}")
-    def detailBlock(tag: String, b: Seq[(String, Meas, Meas)], loN: Int, hiN: Int): String =
+    def detailBlock(tag: String, b: Seq[(String, Meas, Meas, Int, Int)]): String =
       if (b.isEmpty) ""
-      else b.map { case (n, lo, hi) =>
+      else b.map { case (n, lo, hi, loN, hiN) =>
         val (e, em) = expPair(lo, hi)
         "\"" + n + s"""\":{"lo":${jnum(lo.min)},"lo_med":${jnum(lo.med)},"hi":${jnum(hi.min)},"hi_med":${jnum(hi.med)},"exp":${f"$e%.2f"},"exp_med":${f"$em%.2f"},"reps_lo":$loN,"reps_hi":$hiN}"""
       }.mkString(s""","$tag":{""", ",", "}")
@@ -411,8 +417,8 @@ object Bench {
     val scaling = s""","scaling_fmt":"[exp_min,exp_med]"""" +
       headBlock("scaling_10x", block10) + headBlock("scaling_100x", block100) + bpeHead
     val scalingDetail = pointsDetail +
-      detailBlock("scaling_10x", block10, scalingReps, scalingReps) +
-      detailBlock("scaling_100x", block100, scalingReps, hiReps) +
+      detailBlock("scaling_10x", block10) +
+      detailBlock("scaling_100x", block100) +
       ccDetail + bpeDetail
     // Testdata fingerprint: per-table row counts + an order-independent
     // content hash (bit_xor of per-row xxhash64). The driver may

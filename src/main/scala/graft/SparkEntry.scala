@@ -3388,14 +3388,6 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** Q66 — incremental near-dup dedup ([[ext.Dedup.minhashSignatures]] /
-   *  [[ext.Dedup.minhashPairsIncremental]] / [[ext.Dedup.dedupIncremental]]),
-   *  structurally oracled (q49 technique): the corpus index is the even
-   *  docs; the batch mixes planted copies of every 4th doc (MUST match
-   *  the corpus and be dropped) with synthetic fresh docs whose
-   *  id-derived tokens cannot reach the 0.5 MinHash threshold against
-   *  natural text (MUST survive). DuckDB replays both as constants over
-   *  the two id classes. Raw pair lists stay ExtSpec-covered. */
   /** Q117 — INDEXED incremental serve
    *  ([[ext.Dedup.buildMinhashIndexTables]] /
    *  [[ext.Dedup.minhashPairsIncrementalIndexed]]): q66's exact
@@ -3445,6 +3437,14 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Q66 — incremental near-dup dedup ([[ext.Dedup.minhashSignatures]] /
+   *  [[ext.Dedup.minhashPairsIncremental]] / [[ext.Dedup.dedupIncremental]]),
+   *  structurally oracled (q49 technique): the corpus index is the even
+   *  docs; the batch mixes planted copies of every 4th doc (MUST match
+   *  the corpus and be dropped) with synthetic fresh docs whose
+   *  id-derived tokens cannot reach the 0.5 MinHash threshold against
+   *  natural text (MUST survive). DuckDB replays both as constants over
+   *  the two id classes. Raw pair lists stay ExtSpec-covered. */
   private def incrementalDedupQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))

@@ -505,7 +505,15 @@ object Dedup {
       val t = graft.tables.SnapshotTable.create(spark, root, df.limit(1))
         .setProperties(Map( // seed commit carries the bloom config
           "graft.bloom.columns" -> keyCol,
-          "graft.bloom.manifest" -> "true"))
+          "graft.bloom.manifest" -> "true",
+          // pin the signature geometry: a build/serve parameter mismatch
+          // computes bandhashes over DIFFERENT signature slices, the band
+          // equi-join finds nothing, and every corpus duplicate silently
+          // "survives" — the serve validates these before probing
+          "graft.minhash.shingleSize" -> shingleSize.toString,
+          "graft.minhash.numHashes" -> numHashes.toString,
+          "graft.minhash.bands" -> bands.toString,
+          "graft.minhash.seed" -> seed.toString))
       t.overwrite(df.repartitionByRange(filesPerTable, col(keyCol)))
       t
     }
@@ -546,6 +554,19 @@ object Dedup {
       seed: Long = TextHash.DefaultSeed,
       maxProbeKeys: Int = 1 << 20): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // refuse a geometry mismatch against what the index was BUILT with
+    // ([[buildMinhashIndexTables]] pins it in the table properties): e.g.
+    // bands=8 against a bands=16 index passes every divisibility check
+    // but band-hashes different signature slices, so the equi-join finds
+    // zero collisions and corpus duplicates silently survive
+    for (t <- Seq(bandTable, sigTable)) {
+      val props = t.properties()
+      Seq("shingleSize" -> shingleSize, "numHashes" -> numHashes,
+        "bands" -> bands, "seed" -> seed).foreach { case (k, v) =>
+        props.get(s"graft.minhash.$k").foreach(p => require(p == v.toString,
+          s"index table ${t.root} was built with $k=$p, serve called with $v"))
+      }
+    }
     val r = numHashes / bands
     val spark = batch.sparkSession
     def prunedRead(t: graft.tables.SnapshotTable, column: String,

@@ -194,20 +194,17 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Batched dHash over the asset table — the [[decodeImages]] pipeline
-   *  shape, emitting (asset_id, dhash) with NULL for payloads no codec
-   *  recognizes (pair miners drop nulls; nothing is silently stubbed
-   *  into a hash that could fake a duplicate). */
+  /** dHash over the asset table, emitting (asset_id, dhash) with NULL
+   *  for payloads no codec recognizes (pair miners drop nulls; nothing
+   *  is silently stubbed into a hash that could fake a duplicate).
+   *  Per-item decode is self-contained, so no batch-level amortization
+   *  applies — a plain per-row map, unlike [[decodeImages]]. */
   def imageDHashes(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select(col("asset_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(DecodeBatchSize).flatMap { batch =>
-          batch.iterator.map { case (id, bytes) => (id, dHash(bytes)) }
-        }
-      }
+      .mapPartitions(_.map { case (id, bytes) => (id, dHash(bytes)) })
       .toDF("asset_id", "dhash")
   }
 

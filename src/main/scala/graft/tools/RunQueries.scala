@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Dev-loop subset of [[graft.Verify]]: dump only the NAMED declared
-  * queries (plus the full oracle_sql.json) so a single new query can be
-  * checked against DuckDB without re-running the whole suite.
+  * queries, plus an oracle_sql.json FILTERED to those names, so a single
+  * new query can be checked against DuckDB without re-running the suite.
   *
   * Usage: runMain graft.tools.RunQueries <sfDir> <outDir> <name> [name…]
   */
@@ -30,19 +30,8 @@ object RunQueries {
         System.err.println(s"[run] $name FAILED: ${e.getMessage}")
       }
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = graft.SparkEntry.oracleSql.filter(o => names(o._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.Verify.writeOracleJson(outDir,
+      graft.SparkEntry.oracleSql.filter(o => names(o._1)))
     spark.stop()
   }
 }

@@ -239,6 +239,16 @@ class ExtSpec extends SparkSpec {
     val probed = bandT.keyProbedManifest("bandhash", keys)
     assert(probed.size < bandT.manifest().size,
       s"no pruning: ${probed.size} of ${bandT.manifest().size} files probed")
+    // ZERO keys prune to ZERO files — an all-novel batch (no corpus
+    // collisions) must not degrade to a full index scan per serve call
+    assert(bandT.keyProbedManifest("bandhash", Nil) === Nil)
+    // the index pins its signature geometry: probing with mismatched
+    // bands would band-hash different slices and silently find nothing
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsIncrementalIndexed(bandT, sigT, batch, "id", "text",
+        bands = 8)
+    }
+    assert(e.getMessage.contains("bands"), e.getMessage)
   }
 
   test("incremental dedup over an empty index equals batch-mode dedup") {
@@ -509,20 +519,25 @@ class ExtSpec extends SparkSpec {
     // r2 leaked operator caches; r3's fix recomputed instead. The contract
     // now: after a pair miner returns, the ONLY surviving pinned block is
     // the (small) result checkpoint, and release() frees that too.
-    def pinned() = spark.sparkContext.getPersistentRDDs.size
-    val before = pinned()
+    // track NEW block ids, not counts: the shared context's ContextCleaner
+    // unpersists earlier suites' GC'd checkpoints asynchronously, so a
+    // count delta can read 0 when one block was added and an unrelated
+    // one reclaimed concurrently (flaked exactly so under the full suite)
+    def pinnedIds() = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = pinnedIds()
+    def added() = pinnedIds() -- before
     val jp = Dedup.jaccardPairs(docs, "id", "text")
-    assert(pinned() - before === 1, "jaccardPairs left intermediate blocks pinned")
+    assert(added().size === 1, "jaccardPairs left intermediate blocks pinned")
     Dedup.release(jp)
-    assert(pinned() === before)
+    assert(added().isEmpty)
     val mp = Dedup.minhashPairs(docs, "id", "text")
-    assert(pinned() - before === 1, "minhashPairs left intermediate blocks pinned")
+    assert(added().size === 1, "minhashPairs left intermediate blocks pinned")
     Dedup.release(mp)
-    assert(pinned() === before)
+    assert(added().isEmpty)
     val survivors = Dedup.dedupNearDuplicates(docs, "id", "text")
     survivors.count()
     // one block: the loser-id set the lazy result reads
-    assert(pinned() - before === 1, "dedupNearDuplicates left intermediate blocks pinned")
+    assert(added().size === 1, "dedupNearDuplicates left intermediate blocks pinned")
   }
 
   test("connectedComponents groups transitively (both dispatch paths)") {
