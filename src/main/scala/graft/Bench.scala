@@ -298,6 +298,31 @@ object Bench {
              "doc_id", "text"),
            batch, "doc_id")),
          () => ())
+      }),
+      // the ALL-NOVEL indexed serve (the production steady state: a batch
+      // with no corpus collisions) — synthetic id-derived tokens cannot
+      // reach any corpus band, so the probe key-set prunes to ZERO index
+      // files and the serve cost is the batch's own signature pass;
+      // should sit flat regardless of index size
+      SRow("dedup_serve_indexed_novel", P12, { dir =>
+        val corpus = docsAt(dir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_idxn")
+        val (bandT, sigT) = ext.Dedup.buildMinhashIndexTables(sparkS,
+          s"$tmp/bands", s"$tmp/sigs", corpus, "doc_id", "text",
+          filesPerTable = 64)
+        val batch = sc.documents(sparkS, 500)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+            org.apache.spark.sql.functions.format_string(
+              "nvq%d nvr%d nvs%d nvt%d nvu%d",
+              col("doc_id"), col("doc_id"), col("doc_id"), col("doc_id"),
+              col("doc_id")).as("text"))
+          .localCheckpoint()
+        (() => noop(ext.Dedup.dedupIncrementalFromPairs(
+           ext.Dedup.minhashPairsIncrementalIndexed(bandT, sigT, batch,
+             "doc_id", "text"),
+           batch, "doc_id")),
+         () => ())
       })
     )
     // row -> point -> measurement. Every exponent pair needs P1 (block10

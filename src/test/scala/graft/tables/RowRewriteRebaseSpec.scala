@@ -154,6 +154,68 @@ class RowRewriteRebaseSpec extends SparkSpec {
     }
   }
 
+  test("insert-only MERGE racing a delete of a matched key serializes in commit order") {
+    // Real-API race: thread A deletes id=500, thread B runs an
+    // insert-only MERGE whose source holds {500, 3500} (500 matched at
+    // B's snapshot, 3500 fresh). B retries on conflict like any caller.
+    // Whatever interleaving happens, the final state must equal the
+    // SERIAL execution in COMMIT order: if the delete committed before
+    // the merge's successful commit, the merge recomputed and re-inserted
+    // 500 (the lost-insert case the removed-files rebase guard exists
+    // for); if the merge landed first, the delete then removed 500.
+    val root = tmpDir("rr_insonly_race")
+    def slab(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+      .withColumn("v", lit("a")).repartitionByRange(1, col("id"))
+    val seed = SnapshotTable.create(spark, root, slab(0, 1000))
+    seed.append(slab(1000, 2000))
+    seed.append(slab(2000, 3000))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def run(name: String)(body: => Unit): Thread = {
+      val th = new Thread(() => {
+        try { gate.await(); body }
+        catch { case e: Throwable => errors.add(e); () }
+      }, name)
+      th.start(); th
+    }
+    val deleter = run("race-delete") {
+      SnapshotTable(spark, root).delete(col("id") === 500)
+    }
+    val merger = run("race-merge") {
+      val src = Seq((500L, "m"), (3500L, "m")).toDF("id", "nv")
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try {
+          SnapshotTable(spark, root).merge(src, col("t.id") === col("s.id"))
+            .whenNotMatched().insert(Map("id" -> col("s.id"), "v" -> col("s.nv")))
+            .execute()
+          done = true
+        } catch {
+          case _: SnapshotTable.ConcurrentCommitException if attempts < 5 =>
+            attempts += 1
+        }
+      }
+    }
+    gate.countDown()
+    deleter.join(120000)
+    merger.join(120000)
+    assert(errors.isEmpty, s"race errored: ${errors.toArray.mkString("; ")}")
+    val t = SnapshotTable(spark, root)
+    val hist = t.history().reverse // oldest first
+    val deleteV = hist.find(_.action == "delete").get.version
+    val mergeV = hist.filter(_.action == "merge").map(_.version).max
+    val ids = t.read().select("id").as[Long].collect().toSet
+    assert(ids.contains(3500L), "fresh insert lost")
+    if (deleteV < mergeV)
+      assert(ids.contains(500L),
+        "delete committed first: the merge must have re-inserted 500 " +
+          "(a silent rebase would have lost it)")
+    else
+      assert(!ids.contains(500L),
+        "merge committed first: the later delete must have removed 500")
+  }
+
   test("two concurrent MERGEs on disjoint key ranges both commit without recompute") {
     // the real API end-to-end: each merge's key-bounds predicate comes
     // from its own source agg (MergeInto.discoveryCandidates), and the
