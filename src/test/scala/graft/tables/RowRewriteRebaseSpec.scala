@@ -216,6 +216,93 @@ class RowRewriteRebaseSpec extends SparkSpec {
         "merge committed first: the later delete must have removed 500")
   }
 
+  test("randomized trials: a permitted rebase always equals the commit-order recompute") {
+    // Property the guard must uphold, sampled across random geometries:
+    // when a row rewrite computed against v0 loses the race to an
+    // interleaved commit and the guard PERMITS the rebase, the resulting
+    // table must be byte-identical to recomputing the op against the
+    // interleaved head (commit-order serializability); when the guard
+    // refuses, a recompute-retry must land the same state. Ops sampled:
+    // range DELETE and insert-only MERGE; interleaves sampled: disjoint
+    // append, overlapping append, range delete. Seeded for reproducibility.
+    val rnd = new scala.util.Random(20260815L)
+    def slab(lo: Long, hi: Long, tag: String) = spark.range(lo, hi).toDF("id")
+      .withColumn("v", lit(tag)).repartitionByRange(1, col("id"))
+    var rebased, conflicted = 0 // the sample must hit BOTH guard outcomes
+    (1 to 12).foreach { trial =>
+      val root = tmpDir(s"rr_prop_$trial")
+      val t = SnapshotTable.create(spark, root, slab(0, 1000, "a"))
+      t.append(slab(1000, 2000, "a"))
+      t.append(slab(2000, 3000, "a"))
+      var model = (0L until 3000L).toSet // driver-side oracle of live ids
+      val v0 = t.currentVersion()
+      val e0 = t.commitEntry(v0)
+      // op B computed against v0
+      val mergeShaped = rnd.nextBoolean()
+      val (bLo, bHi) = { val x = rnd.nextInt(9000); (x.toLong, (x + 1 + rnd.nextInt(500)).toLong) }
+      val bPred = col("id") >= bLo && col("id") <= bHi
+      val (keep0, df0) =
+        if (!mergeShaped) { // range DELETE
+          val touched = t.prunedManifest(bPred).toSet
+          (e0.files.map(_.path).filterNot(touched),
+            if (touched.isEmpty) null // nothing touched at v0: B never commits
+            else spark.read.parquet(touched.toSeq: _*).filter(!bPred))
+        } else { // insert-only MERGE: insert {bLo, bHi} where absent at v0
+          val inserts = Seq(bLo, bHi).filterNot(model.contains)
+            .map((_, "m")).toDF("id", "v")
+          (e0.files.map(_.path), inserts)
+        }
+      // interleave A via the real API
+      rnd.nextInt(3) match {
+        case 0 => // append stats-disjoint from everything live
+          val lo = 10000L + rnd.nextInt(1000)
+          t.append(slab(lo, lo + 100, "n")); model ++= (lo until lo + 100)
+        case 1 if bLo >= 3200 => // append INSIDE B's key range (conflict bait)
+          t.append(slab(bLo, bLo + 50, "n")); model ++= (bLo until bLo + 50)
+        case 1 => // B's range overlaps live rows: high-disjoint append instead
+          val lo = 12000L + rnd.nextInt(1000)
+          t.append(slab(lo, lo + 100, "n")); model ++= (lo until lo + 100)
+        case 2 => // range delete
+          val dLo = rnd.nextInt(3000).toLong; val dHi = dLo + 1 + rnd.nextInt(400)
+          t.delete(col("id") >= dLo && col("id") <= dHi)
+          model = model.filterNot(i => i >= dLo && i <= dHi)
+      }
+      // expected = COMMIT-ORDER serial execution: A (already folded into
+      // model), then B recomputed against the post-A state. A delete that
+      // touched nothing at v0 never commits at all (the real API returns 0
+      // without a commit), so its serial position is before A.
+      val expected =
+        if (!mergeShaped && df0 == null) model
+        else if (!mergeShaped) model.filterNot(i => i >= bLo && i <= bHi)
+        else model ++ Seq(bLo, bHi).filterNot(model.contains)
+      // attempt B's stale commit; on conflict, recompute against head
+      def commitStale(): Unit =
+        if (!mergeShaped && df0 == null) () // B touched nothing at v0: no-op
+        else t.replaceFiles(keep0, df0, if (mergeShaped) "merge" else "delete",
+          expectVersion = Some(v0), rebasePredicate = Some(bPred))
+      try { commitStale(); if (df0 != null || mergeShaped) rebased += 1 }
+      catch {
+        case _: SnapshotTable.ConcurrentCommitException =>
+          conflicted += 1
+          if (!mergeShaped) t.delete(bPred)
+          else {
+            val live = t.read().select("id").as[Long].collect().toSet
+            val ins = Seq(bLo, bHi).filterNot(live.contains).map((_, "m")).toDF("id", "v")
+            if (!ins.isEmpty) t.append(ins)
+          }
+      }
+      val got = t.read().select("id").as[Long].collect()
+      assert(got.length === got.distinct.length,
+        s"trial $trial duplicated ids (mergeShaped=$mergeShaped range=[$bLo,$bHi])")
+      assert(got.toSet === expected,
+        s"trial $trial diverged from commit-order serial state " +
+          s"(mergeShaped=$mergeShaped range=[$bLo,$bHi]): " +
+          s"missing=${(expected -- got.toSet).take(5)} extra=${(got.toSet -- expected).take(5)}")
+    }
+    assert(rebased >= 1 && conflicted >= 1,
+      s"seed must exercise both guard outcomes (rebased=$rebased conflicted=$conflicted)")
+  }
+
   test("two concurrent MERGEs on disjoint key ranges both commit without recompute") {
     // the real API end-to-end: each merge's key-bounds predicate comes
     // from its own source agg (MergeInto.discoveryCandidates), and the
