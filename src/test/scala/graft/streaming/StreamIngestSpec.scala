@@ -301,6 +301,42 @@ class StreamIngestSpec extends SparkSpec {
     assert(sink.read().count() === firstCount + 2)
   }
 
+  test("streamed change feed replayed through applyChanges reconstructs the source") {
+    // the replication composition: CDF STREAM accumulates into a feed
+    // table, applyChanges materializes the accumulated feed into a
+    // mirror — pinning that the streamed feed is interchangeable with
+    // the batch readChanges feed for the downstream consumer
+    val root = tmpDir("cdf_replica_src")
+    val src = SnapshotTable.create(spark, root,
+      Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("id", "v", "ts")) // v0
+    src.update(col("id") === 2, Map("v" -> lit("b2")))                 // v1
+    src.append(Seq((4L, "d", 1L)).toDF("id", "v", "ts"))               // v2
+    src.delete(col("id") === 1)                                        // v3
+    val feed = SnapshotTable(spark, tmpDir("cdf_replica_feed"))
+    val ckpt = tmpDir("cdf_replica_ckpt")
+    def drain(): Unit = StreamIngest.runOnce(
+      StreamIngest.appendSink(
+        spark.readStream.format("graft-table").option("path", root)
+          .option("readChangeFeed", "true").option("cdfKeys", "id").load(),
+        feed),
+      ckpt)
+    drain()
+    // the stream starts past the initial snapshot: bootstrap from v0
+    val mirror = SnapshotTable(spark, tmpDir("cdf_replica_mir"))
+    mirror.overwrite(src.readVersion(0))
+    mirror.applyChanges(feed.read(), Seq("id"))
+    def snap(t: SnapshotTable) = t.read().select("id", "v", "ts")
+      .as[(Long, String, Long)].collect().toSet
+    assert(snap(mirror) === snap(src), "mirror diverged from source")
+    // more source commits while the stream is down; drain, replay the
+    // WHOLE accumulated feed (overlapping window) — idempotent converge
+    src.update(col("id") === 4, Map("v" -> lit("d2")))                 // v4
+    src.delete(col("id") === 3)                                        // v5
+    drain()
+    mirror.applyChanges(feed.read(), Seq("id"))
+    assert(snap(mirror) === snap(src), "overlapping streamed replay diverged")
+  }
+
   test("streaming read source: startingVersion ahead of the table waits, never rewinds") {
     val root = tmpDir("streamsrc_ahead")
     val t = SnapshotTable.create(spark, root, Seq((1, "a")).toDF("id", "v")) // v0
