@@ -3161,12 +3161,12 @@ object SparkEntry {
     // snapshot table per scale dir; the measured query is the serving
     // cost — read the stored grams, clean the batch
     val index = warmTable("span_gram_index", dir) {
-      SnapshotTable.create(s,
+      ext.TextAnalysis.buildSpanGramIndexTable(s,
         Files.createTempDirectory("graft_span_index").toString,
-        ext.TextAnalysis.spanGramIndex(corpus, "doc_id", "text", n = 10))
-    }.read()
+        corpus, "doc_id", "text", n = 10) // pins graft.spangram.n
+    }
     ext.TextAnalysis.removeDuplicatedSpansIncremental(
-        batch, index, "doc_id", "text", n = 10)
+        index, batch, "doc_id", "text", n = 10) // geometry-validated serve
       .orderBy("doc_id")
   }
   private val Q75Duck = Q71Duck.replace(

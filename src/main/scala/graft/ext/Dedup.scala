@@ -485,6 +485,30 @@ object Dedup {
    *  blooms are per-file, so appends never degrade existing pruning) or
    *  rebuild; the indexed serve reads their data files directly and
    *  does not apply DV/delta overlays. */
+  /** Signature-level geometry a persisted signature table pins (the
+   *  band count is banding-side and pinned separately by
+   *  [[buildMinhashIndexTables]]). */
+  private[graft] def signatureGeometryProps(
+      shingleSize: Int = 3, numHashes: Int = 64,
+      seed: Long = TextHash.DefaultSeed): Map[String, String] =
+    Map("graft.minhash.shingleSize" -> shingleSize.toString,
+      "graft.minhash.numHashes" -> numHashes.toString,
+      "graft.minhash.seed" -> seed.toString)
+
+  /** Refuse serving a signature table with geometry it was not built
+   *  with; unpinned tables (predating the pin, or foreign) pass. */
+  private[graft] def checkSignatureGeometry(
+      t: graft.tables.SnapshotTable,
+      shingleSize: Int = 3, numHashes: Int = 64,
+      seed: Long = TextHash.DefaultSeed): Unit = {
+    val props = t.properties()
+    signatureGeometryProps(shingleSize, numHashes, seed).foreach {
+      case (k, v) => props.get(k).foreach(p => require(p == v,
+        s"signature table ${t.root} was built with ${k.stripPrefix("graft.minhash.")}=$p, " +
+          s"serve called with $v"))
+    }
+  }
+
   def buildMinhashIndexTables(
       spark: org.apache.spark.sql.SparkSession,
       bandRoot: String,

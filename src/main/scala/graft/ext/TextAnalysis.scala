@@ -358,6 +358,52 @@ object TextAnalysis {
     gramOccurrences(df, idCol, textCol, n).select(col("g")).distinct()
   }
 
+  /** Table property a persisted span-gram index pins its gram size
+   *  under ([[buildSpanGramIndexTable]]). */
+  val SpanGramNProp = "graft.spangram.n"
+
+  /** Persist [[spanGramIndex]] as a snapshot table with its gram size
+   *  PINNED in the table properties — the same discipline as
+   *  [[Dedup.buildMinhashIndexTables]]'s signature geometry: an index
+   *  built at n=10 served at n=8 hashes DIFFERENT windows, the gram
+   *  equi-join finds nothing, and every corpus span silently "survives"
+   *  in the batch. The pin turns that silent miss into a loud refusal
+   *  at serve time. */
+  def buildSpanGramIndexTable(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): graft.tables.SnapshotTable = {
+    val grams = spanGramIndex(corpus, idCol, textCol, n)
+    val t = graft.tables.SnapshotTable.create(spark, root, grams.limit(1))
+      .setProperties(Map(SpanGramNProp -> n.toString))
+    t.overwrite(grams)
+    t
+  }
+
+  /** Refuse a build/serve gram-size mismatch against what the index
+   *  table was built with; tables that predate the pin (no property)
+   *  pass — conservative, like the minhash check. */
+  def checkSpanGramGeometry(
+      table: graft.tables.SnapshotTable, n: Int): Unit =
+    table.properties().get(SpanGramNProp).foreach(p =>
+      require(p == n.toString,
+        s"span-gram index ${table.root} was built with n=$p, serve called with n=$n"))
+
+  /** [[removeDuplicatedSpansIncremental]] served from a PERSISTED,
+   *  geometry-validated index table. */
+  def removeDuplicatedSpansIncremental(
+      index: graft.tables.SnapshotTable,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    checkSpanGramGeometry(index, n)
+    removeDuplicatedSpansIncremental(batch, index.read(), idCol, textCol, n)
+  }
+
   /**
    * Steady-state form of [[removeDuplicatedSpans]]: dedup an ingest
    * batch against an already-ingested corpus represented ONLY by its

@@ -131,6 +131,11 @@ object StreamIngest {
         // first batch ever: the index table has no commits yet — an
         // empty index with the right schema, derived from the batch
         val indexV = sigTable.currentVersion()
+        // geometry-pinned serve: this sink signs at the library defaults;
+        // a sigTable a foreign writer built (and pinned) at different
+        // minhash geometry would band-hash different slices and let every
+        // duplicate through silently — refuse it instead
+        if (indexV >= 0) graft.ext.Dedup.checkSignatureGeometry(sigTable)
         val index =
           if (indexV < 0)
             graft.ext.Dedup.minhashSignatures(batch.limit(0), idCol, textCol)
@@ -154,7 +159,10 @@ object StreamIngest {
             if (!lastStreamBatch(sigTable).contains(batchId))
               sigTable.appendAs(
                 graft.ext.Dedup.minhashSignatures(survivors, idCol, textCol), tag,
-                expectVersion = Some(indexV))
+                expectVersion = Some(indexV),
+                // pin the geometry this index is being built at, so a
+                // later serve (or session) validates against it
+                extraProps = graft.ext.Dedup.signatureGeometryProps())
           }
         } finally graft.ext.Dedup.release(survivors)
       }
@@ -188,6 +196,10 @@ object StreamIngest {
       if (!batch.isEmpty) {
         val tag = s"stream-$batchId"
         val indexV = gramTable.currentVersion()
+        // geometry-pinned serve (the minhash-index discipline): a gram
+        // table built at a different n hashes different windows, the
+        // equi-join finds nothing, and corpus spans silently survive
+        if (indexV >= 0) graft.ext.TextAnalysis.checkSpanGramGeometry(gramTable, n)
         val index =
           if (indexV < 0) // first batch: typed empty index derived from the batch
             graft.ext.TextAnalysis.spanGramIndex(batch.limit(0), idCol, textCol, n)
@@ -202,7 +214,9 @@ object StreamIngest {
           val fresh = graft.ext.TextAnalysis
             .spanGramIndex(batch, idCol, textCol, n)
             .join(index, Seq("g"), "left_anti")
-          gramTable.appendAs(fresh, tag, expectVersion = Some(indexV))
+          gramTable.appendAs(fresh, tag, expectVersion = Some(indexV),
+            // pin the gram size this index is being built at
+            extraProps = Map(graft.ext.TextAnalysis.SpanGramNProp -> n.toString))
         }
       }
       ()

@@ -2154,6 +2154,27 @@ class ExtSpec extends SparkSpec {
     assert((seq1 ++ seq2) === full, "sequential ingest must equal one batch run")
   }
 
+  test("persisted span-gram index pins its gram size; mismatched serve refused") {
+    val corpus = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val batch = Seq((10L, "x a b c d y")).toDF("id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_span_idx").toString
+    val t = TextAnalysis.buildSpanGramIndexTable(spark, root, corpus, "id", "text", n = 4)
+    assert(t.properties().get(TextAnalysis.SpanGramNProp) === Some("4"))
+    // geometry-validated serve from the table equals the DataFrame form
+    val fromTable = TextAnalysis.removeDuplicatedSpansIncremental(
+      t, batch, "id", "text", 4).as[(Long, String, Long)].collect().toSet
+    val fromDf = TextAnalysis.removeDuplicatedSpansIncremental(
+      batch, TextAnalysis.spanGramIndex(corpus, "id", "text", 4),
+      "id", "text", 4).as[(Long, String, Long)].collect().toSet
+    assert(fromTable === fromDf && fromTable === Set((10L, "x y", 4L)))
+    // serving at n=3 would hash different windows and find NOTHING —
+    // the pin turns that silent miss into a loud refusal
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.removeDuplicatedSpansIncremental(t, batch, "id", "text", 3)
+    }
+    assert(e.getMessage.contains("was built with n=4"), e.getMessage)
+  }
+
   test("unigramLogProb == driver-side model; tails rank as expected") {
     val corpus = Seq(
       (1L, "the cat sat on the mat"),

@@ -78,6 +78,13 @@ class StreamIngestSpec extends SparkSpec {
     StreamIngest.runOnce(sink, ckpt)
     assert(table.read().filter(col("doc_id") === 21L).count() === 1, "data duplicated")
     assert(sigTable.read().filter(col("doc") === 21L).count() === 1, "sigs missing")
+    // the sink pinned the library-default minhash geometry on the index
+    // it built; a foreign-geometry table is refused at serve time
+    assert(sigTable.properties().get("graft.minhash.numHashes") === Some("64"))
+    val eg = intercept[IllegalArgumentException] {
+      graft.ext.Dedup.checkSignatureGeometry(sigTable, numHashes = 32)
+    }
+    assert(eg.getMessage.contains("numHashes"), eg.getMessage)
   }
 
   test("span-dedup ingest sink: spans cut against the growing gram index") {
@@ -112,6 +119,21 @@ class StreamIngestSpec extends SparkSpec {
     val grams = gramTable.read().as[Long].collect()
     assert(grams.distinct.length === grams.length, "gram index must stay distinct")
     assert(grams.length > gramsAfter0)
+    // the sink pinned its gram size on the index it built…
+    assert(gramTable.properties().get(graft.ext.TextAnalysis.SpanGramNProp)
+      === Some("4"))
+    // …so a sink serving the same index at a DIFFERENT n (which would
+    // hash different windows and silently let every corpus span through)
+    // fails the batch loudly instead
+    mem.addData((21L, "z z1 z2 z3 z4 z5"))
+    val e = intercept[Exception] {
+      StreamIngest.runOnce(StreamIngest.spanDedupIngestSink(
+        mem.toDF().toDF("doc_id", "text"), table, gramTable,
+        "doc_id", "text", n = 3), tmpDir("ckpt2"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("was built with n=4")), msgs(e).mkString(" | "))
   }
 
   test("re-delivered batch id is skipped (idempotent recovery)") {
