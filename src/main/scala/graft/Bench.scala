@@ -156,10 +156,14 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     case class Meas(min: Double, med: Double)
     // 5-rep floor at P0/P1 (sub-second minima divide into the exponent,
-    // amplifying noise); P2 rows run seconds-scale, 2 reps suffice.
+    // amplifying noise); P2 rows run seconds-scale so fewer reps suffice,
+    // but 2 is too few for the MEDIAN side of the exponent pair —
+    // median-of-2 is the MAX, so one disturbed rep published exp_med 1.06
+    // against exp_min 0.71 on identical code. 3 reps make the median a
+    // true middle value.
     val scalingReps = math.max(
       sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", reps.toString).toInt, 5)
-    val hiReps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS_HI", "2").toInt
+    val hiReps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS_HI", "3").toInt
     def measure(probe: () => Unit, n: Int, warm: Boolean): Meas = {
       if (warm) probe()
       val ts = (1 to n).map { _ =>
