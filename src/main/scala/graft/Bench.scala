@@ -69,6 +69,35 @@ object Bench {
 
   private def jnum(d: Double): String = f"$d%.3f"
 
+  /** Fixed-work box-speed calibration, zero graft code on either path —
+    * recorded so a uniform suite-level shift vs a prior round separates
+    * into "box got slower" vs "code got slower" BY CONSTRUCTION (the r10
+    * control for this was re-running the r9 tag: its own suite came back
+    * 1.18× over its own artifact, i.e. pure box drift). `cpu` is a
+    * single-thread scalar loop (core speed / steal); `spark` is a fixed
+    * 32-partition codegen'd aggregation over `range` (scheduler + the
+    * parallel compute path). Min of 2 reps each; measured at suite start
+    * and again after the scaling block, since box conditions can change
+    * mid-run. */
+  private def calibrate(spark: SparkSession): (Double, Double) = {
+    def cpuOnce(): Double = {
+      var acc = 0L; var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 1500000000L) { acc ^= i * 0x9E3779B97F4A7C15L; i += 1 }
+      if (acc == 42L) System.err.print("") // keep the loop live
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sparkOnce(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: full-range hash values overflow a long sum
+      // under ANSI mode (Spark 4 default)
+      spark.range(0, 400000000L, 1, 32).selectExpr("bit_xor(xxhash64(id))").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sparkOnce() // warm the calibration plan's codegen once
+    (math.min(cpuOnce(), cpuOnce()), math.min(sparkOnce(), sparkOnce()))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] is the contract for recorded rounds (32-core box); keep the
@@ -81,6 +110,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val (calibCpu0, calibSpark0) = calibrate(spark)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // Untimed warm pass: JIT + codegen caches + the one-time snapshot-table
     // build behind q19, so the timed pass measures steady-state latency
@@ -308,6 +338,30 @@ object Bench {
       // reach any corpus band, so the probe key-set prunes to ZERO index
       // files and the serve cost is the batch's own signature pass;
       // should sit flat regardless of index size
+      // the REFERENCE's core op at scale: a FIXED 5k-key staged batch
+      // keyed-upserted (precombine + CoW MERGE) into the corpus table,
+      // range-clustered on the key at ~constant file size (untimed
+      // setup). Discovery stats-prunes to the batch's key range, so the
+      // rewrite touches the same few files at every corpus size — the
+      // "upsert cost rides the BATCH, not the table" claim (exp ≈ 0)
+      // measured instead of argued. Reps mutate the same table in place:
+      // each rep re-rewrites the touched files, the steady state.
+      SRow("upsert_fixed_batch", P12, { dir =>
+        val docs = docsAt(dir)
+          .select(col("doc_id").cast("long").as("id"), col("text"),
+            lit(0L).as("ver"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_upsert")
+        val nFiles = math.max(16, (docs.count() / 8192).toInt)
+        val t = graft.tables.SnapshotTable.create(sparkS, tmp.toString,
+          docs.limit(1))
+        t.setClusterSpec(Seq("id"))
+        t.overwriteClustered(docs, Seq("id"), nFiles)
+        val batch = sparkS.range(1000, 6000)
+          .select(col("id"), lit("updated text").as("text"),
+            lit(1L).as("ver"))
+          .localCheckpoint()
+        (() => { t.upsert(batch, Seq("id"), "ver"); () }, () => ())
+      }),
       SRow("dedup_serve_indexed_novel", P12, { dir =>
         val corpus = docsAt(dir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -434,6 +488,11 @@ object Bench {
     val bpeDetail = bpe32k.map { case (nm, trainSec, encSec, tokens, nDocs) =>
       s""","bpe32k":{"merges":$nm,"train_sec":${jnum(trainSec)},"encode_sec":${jnum(encSec)},"docs":$nDocs,"tokens":$tokens,"tok_per_sec":${(tokens / encSec).toLong},"corpus":"${sc.RichDir}"}"""
     }.getOrElse("")
+    // end-of-run calibration: the suite + scale matrix take ~15 min, long
+    // enough for box conditions to change under the measurements
+    val (calibCpu1, calibSpark1) = calibrate(sparkS)
+    val calib =
+      s""","calib":{"cpu":${jnum(calibCpu0)},"spark":${jnum(calibSpark0)},"cpu_end":${jnum(calibCpu1)},"spark_end":${jnum(calibSpark1)}}"""
     val ccDetail = ccResult.map { case (_, _, eLo, eHi) =>
       s""","cc_edges":{"lo":$eLo,"hi":$eHi,"driver_threshold":${1L << 20},"hi_past_threshold":${eHi > (1L << 20)},"lo_dir":"${sc.DenseLoDir}","hi_dir":"${sc.DenseHiDir}"}"""
     }.getOrElse("")
@@ -499,7 +558,7 @@ object Bench {
       .mkString("{", ",", "}")
 
     val detailLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"mutation_reps":$perRep,"testdata_fp":"$fpHex","testdata_fingerprint":$fpDetail$scalingDetail,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"mutation_reps":$perRep,"testdata_fp":"$fpHex","testdata_fingerprint":$fpDetail$calib$scalingDetail,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File("BENCH_DETAIL.json"), "UTF-8")
       try w.println(detailLine) finally w.close()
@@ -513,7 +572,7 @@ object Bench {
     // headline keeps only what is graded against BASELINE.md plus the
     // exponent summary, to stay inside the ~2000-char tail.
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"reps":$reps,"n_queries":${results.size},"lookup_min":$lookups,"worst3_vs_prev":$worst$worstNote,"testdata_fp":"$fpHex","prev_bench":"${prevPath.getOrElse("none")}"$scaling,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"reps":$reps,"n_queries":${results.size},"lookup_min":$lookups,"worst3_vs_prev":$worst$worstNote,"testdata_fp":"$fpHex","prev_bench":"${prevPath.getOrElse("none")}"$calib$scaling,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     sparkS.stop()
   }
 }
