@@ -272,6 +272,22 @@ object Bench {
           idx.assigned.count(); ()
         }, () => ())
       }, warm = false),
+      // the file-pruned TABLE serve (q118's path): index persisted as
+      // fingerprint-pinned snapshot tables UNTIMED, probes key-prune the
+      // assigned table's manifest to the probed lists' files — the same
+      // √N candidate volume as ivf_probe but read from COLD storage
+      // through the prune, no in-memory assigned frame
+      SRow("ivf_probe_indexed", P12, { dir =>
+        val emb = embAt(dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_ivfidx")
+        val t = ext.Similarity.buildIvfIndexTables(sparkS,
+          s"$tmp/cent", s"$tmp/asg", emb, "vec_id", "embedding",
+          nlist = nlistFor(emb), filesPerTable = 64)
+        val probes = emb.filter(col("vec_id") < 100)
+        (() => noop(ext.Similarity.ivfProbeIndexed(t, probes,
+          "vec_id", "embedding", k = 5, nProbe = 4)),
+         () => ())
+      }),
       // tokenizer TRAINING cost curve (q100's operator): per-round work
       // rides the word-TYPE table — the Sennrich collapse keeps it flat
       SRow("bpe_train16", P012, { dir =>

@@ -1314,6 +1314,39 @@ object SparkEntry {
       .orderBy("q_id", "n_id")
   }
 
+  /** Q118 — the PERSISTED IVF lifecycle end-to-end
+   *  ([[ext.Similarity.buildIvfIndexTables]] →
+   *  [[ext.Similarity.ivfAppendTo]] → [[ext.Similarity.ivfProbeIndexed]];
+   *  what it adds over q67's stored frames: quantizer-FINGERPRINT-pinned
+   *  snapshot tables, incremental growth under the stored quantizer, and
+   *  a probe that KEY-PRUNES the assigned table's files by the probed
+   *  list ids — the ANN serving analogue of q117's indexed dedup serve).
+   *  The index is BUILT on the even vectors, GROWN with the odd vectors,
+   *  and probed file-pruned with nProbe = nlist, which makes the search
+   *  exhaustive over build+append — so the q22 brute-force oracle
+   *  applies verbatim, and a missing append, a wrong-list assignment, or
+   *  an over-eager file prune all fail the hash outright. Pruning
+   *  strictness and the mixed-quantizer refusal are ExtSpec-pinned. */
+  private val ivfTableCache =
+    scala.collection.concurrent.TrieMap[String, ext.Similarity.IvfIndexTables]()
+
+  private def ivfIndexedQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val t = ivfTableCache.getOrElseUpdate(dir, {
+      val tt = ext.Similarity.buildIvfIndexTables(s,
+        Files.createTempDirectory("graft_q118c").toString,
+        Files.createTempDirectory("graft_q118a").toString,
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16)
+      ext.Similarity.ivfAppendTo(tt,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      tt
+    })
+    ext.Similarity.ivfProbeIndexed(t, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 16)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id", "n_id")
+  }
+
   /** Q29 — hyperplane-LSH ANN structurally oracled (q49 technique
    *  inlined): an identical id-shifted copy of every vector is planted;
    *  identical vectors collide in EVERY bucket, so the operator must
@@ -3673,7 +3706,8 @@ object SparkEntry {
     "q114_stream_dedup" -> streamDedupQuery,
     "q115_apply_changes" -> applyChangesQuery,
     "q116_image_neardup" -> perceptualHashQuery,
-    "q117_serve_indexed" -> indexedServeQuery)
+    "q117_serve_indexed" -> indexedServeQuery,
+    "q118_ivf_indexed" -> ivfIndexedQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3822,7 +3856,11 @@ object SparkEntry {
     "q116_image_neardup" -> Q116Duck,
     // pruning is file-skipping only: the indexed serve answers q66's
     // exact scenario, so its oracle is q66's verbatim
-    "q117_serve_indexed" -> Q66Duck)
+    "q117_serve_indexed" -> Q66Duck,
+    // exhaustive probing (nProbe = nlist) over build+append makes the
+    // file-pruned table serve exact, so the q22 brute-force oracle
+    // applies verbatim (q67's argument, extended over the append)
+    "q118_ivf_indexed" -> Q22Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -411,6 +411,159 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col(scoreCol), col("rank"))
   }
 
+  // ------------------------------------------------------- IVF as tables
+
+  /** Persisted IVF-Flat index: the [[IvfIndex]] frames as snapshot
+   *  tables — `centroids` nlist-bounded and tiny, `assigned`
+   *  range-clustered and manifest-bloomed on `list` so a probe reads
+   *  ONLY the probed lists' files ([[ivfProbeIndexed]]). Both tables pin
+   *  the quantizer they were built under (`graft.ivf.fingerprint`, a
+   *  content hash of the centroid matrix in list order, plus nlist/dim):
+   *  rows ASSIGNED under one quantizer SERVED under another silently
+   *  destroy recall — the probe walks the wrong lists and finds
+   *  nothing wrong-looking — which is the exact failure mode the
+   *  minhash geometry pins close for the text indexes
+   *  ([[Dedup.buildMinhashIndexTables]]). */
+  final case class IvfIndexTables(
+      centroids: graft.tables.SnapshotTable,
+      assigned: graft.tables.SnapshotTable)
+
+  /** Content hash of the centroid matrix (list order, exact float
+   *  bits — FNV-1a over `floatToIntBits`): [[trainCentroids]] is
+   *  deterministic, so equal builds fingerprint equal, and any drift in
+   *  sample, nlist, iters, or corpus changes the pin. */
+  def centroidFingerprint(cents: Array[Array[Float]]): String = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      var j = 0
+      while (j < c.length) {
+        h = (h ^ java.lang.Float.floatToIntBits(c(j))) * 0x100000001B3L
+        j += 1
+      }
+      h = (h ^ i) * 0x100000001B3L // list boundaries matter, not just values
+      i += 1
+    }
+    f"$h%016x"
+  }
+
+  private def ivfGeometryProps(cents: Array[Array[Float]]): Map[String, String] =
+    Map("graft.ivf.fingerprint" -> centroidFingerprint(cents),
+      "graft.ivf.nlist" -> cents.length.toString,
+      "graft.ivf.dim" -> cents.headOption.map(_.length).getOrElse(0).toString)
+
+  /** Build the persisted form of [[ivfBuild]]: centroid table (tiny) +
+   *  assigned table range-clustered on `list` with per-file manifest
+   *  blooms, both pinned with the quantizer fingerprint. One training +
+   *  one assignment pass; everything after is [[ivfAppendTo]] /
+   *  [[ivfProbeIndexed]] against the stored state. */
+  def buildIvfIndexTables(
+      spark: org.apache.spark.sql.SparkSession,
+      centRoot: String,
+      asgRoot: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      iters: Int = 5,
+      sampleN: Int = 10000,
+      filesPerTable: Int = 16): IvfIndexTables = {
+    val idx = ivfBuild(corpus, idCol, vecCol, nlist, iters, sampleN)
+    val props = ivfGeometryProps(collectCentroids(idx.centroids))
+    val cent = graft.tables.SnapshotTable.create(spark, centRoot, idx.centroids)
+      .setProperties(props)
+    // seed commit carries the bloom config so the data overwrite below
+    // builds per-file blooms (the buildMinhashIndexTables pattern)
+    val asg = graft.tables.SnapshotTable.create(spark, asgRoot, idx.assigned.limit(1))
+      .setProperties(props ++ Map(
+        "graft.bloom.columns" -> "list",
+        "graft.bloom.manifest" -> "true"))
+    asg.overwriteClustered(idx.assigned, Seq("list"), filesPerTable)
+    IvfIndexTables(cent, asg)
+  }
+
+  /** Refuse a centroid/assignment quantizer mismatch. Two checks, both
+   *  conservative (unpinned tables pass): the two tables' build
+   *  fingerprints must agree — an assigned table built or appended
+   *  under a different quantizer than the centroid table's is exactly
+   *  the silent-recall-loss pairing — and the centroid table's CURRENT
+   *  rows must still hash to its own pin, so a mutated or mispaired
+   *  centroid table fails loudly instead of routing probes to the
+   *  wrong lists. Cost: one nlist-row read. */
+  def checkIvfGeometry(tables: IvfIndexTables): Unit = {
+    val cp = tables.centroids.properties().get("graft.ivf.fingerprint")
+    val ap = tables.assigned.properties().get("graft.ivf.fingerprint")
+    for (c <- cp; a <- ap) require(c == a,
+      s"IVF tables disagree on their build quantizer: centroids ${tables.centroids.root} " +
+        s"pin $c, assignments ${tables.assigned.root} pin $a — rows assigned under one " +
+        "quantizer cannot be served under another")
+    cp.foreach { pin =>
+      val now = centroidFingerprint(collectCentroids(tables.centroids.read()))
+      require(now == pin,
+        s"centroid table ${tables.centroids.root} no longer matches its build " +
+          s"fingerprint ($pin -> $now); rebuild the index")
+    }
+  }
+
+  /** Grow the persisted index with a new batch under the FIXED stored
+   *  quantizer (standard IVF practice — rebuild when drift
+   *  accumulates): assignment is map-side against the table's OWN
+   *  centroids, so this path cannot mix quantizers by construction;
+   *  appended files are range-sorted on `list` to keep tight per-file
+   *  stats (per-file blooms make appends non-degrading — the minhash
+   *  index-table append contract). */
+  def ivfAppendTo(
+      tables: IvfIndexTables,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      batchFiles: Int = 4): Unit = {
+    checkIvfGeometry(tables)
+    val fresh = ivfAssign(tables.centroids.read(), batch, idCol, vecCol)
+    tables.assigned.append(fresh.repartitionByRange(batchFiles, col("list")))
+    ()
+  }
+
+  /** [[ivfProbe]] served from the PERSISTED tables with file pruning:
+   *  the union of the probes' nProbe-nearest list ids (≤ nlist values,
+   *  the IVF family's one accepted driver row set) key-probes the
+   *  assigned table's manifest — range stats plus per-file blooms on
+   *  `list` — so each call reads ~nProbe/nlist of the index files
+   *  instead of streaming the whole assignment table through the join.
+   *  Pruning is conservative file skipping only, so the result is
+   *  EXACTLY [[ivfProbe]] over the full table (spec-pinned); with
+   *  `nProbe = nlist` it is exhaustive and the brute-force oracle
+   *  applies. */
+  def ivfProbeIndexed(
+      tables: IvfIndexTables,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    checkIvfGeometry(tables)
+    val cents = collectCentroids(tables.centroids.read())
+    val spark = probes.sparkSession
+    val q = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("list",
+        explode(functions.nearestLists(col("q_vec"), cents,
+          math.min(nProbe, cents.length))))
+    // probes are small by the family's contract (bruteForceTopK
+    // broadcasts them); recomputing q for the join is cheaper than a
+    // checkpoint's persisted blocks
+    val lists = q.select("list").distinct().collect().map(_.get(0)).toSeq
+    val paths = tables.assigned.keyProbedManifest("list", lists)
+    val assigned =
+      if (paths.isEmpty) tables.assigned.read().limit(0)
+      else spark.read.parquet(paths: _*)
+    val candidates = q.join(assigned,
+        q("list") === assigned("list") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+    rankTopK(candidates.withColumn("cos",
+      functions.cosineSimilarity(col("q_vec"), col("n_vec"))), "cos", k)
+  }
+
   /**
    * Persistable IVF-SQ8 index: like [[IvfIndex]] but the inverted lists
    * store int8 codes (`list`, `n_id`, `n_codes`) — 4× smaller than the

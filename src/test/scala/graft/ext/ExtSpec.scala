@@ -458,6 +458,63 @@ class ExtSpec extends SparkSpec {
     assert(hits.contains(100L), s"appended vector not found: $hits")
   }
 
+  test("IVF index tables: pinned build, file-pruned probe, append served, mismatch refused") {
+    import graft.tables.SnapshotTable
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val vecs = (0 until 48).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (x, j) => x + (if (j == 3) 0.005f * i else 0f) })
+    }.toDF("id", "vec")
+    val probes = vecs.filter(col("id") < 3)
+    // build on the EVEN half, append the ODD half under the stored quantizer
+    val t = Similarity.buildIvfIndexTables(spark,
+      tmpDir("ivft_cent"), tmpDir("ivft_asg"),
+      vecs.filter(col("id") % 2 === 0), "id", "vec",
+      nlist = 4, sampleN = 100, filesPerTable = 4)
+    assert(t.centroids.properties().get("graft.ivf.nlist") === Some("4"))
+    assert(t.centroids.properties().get("graft.ivf.fingerprint")
+      === t.assigned.properties().get("graft.ivf.fingerprint"))
+    Similarity.ivfAppendTo(t, vecs.filter(col("id") % 2 === 1), "id", "vec")
+    // the indexed probe equals the in-memory probe over the SAME stored
+    // frames — pruning is conservative file skipping only
+    val stored = Similarity.IvfIndex(t.centroids.read(), t.assigned.read())
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q_id"), col("n_id"), col("rank")).as[(Long, Long, Int)].collect().toSet
+    val full = rows(Similarity.ivfProbeIndexed(t, probes, "id", "vec", k = 3, nProbe = 4))
+    assert(full === rows(Similarity.ivfProbe(stored, probes, "id", "vec", k = 3, nProbe = 4)))
+    // exhaustive probing over build+append = brute force over the union
+    assert(full === rows(Similarity.bruteForceTopK(vecs, probes, "id", "vec", k = 3)))
+    // file pruning is STRICT for a one-list probe: the assigned table is
+    // range-clustered on `list`, so a single probed list opens a proper
+    // subset of its files
+    // probe a list that HOLDS rows (k-means can leave a centroid empty,
+    // and an empty list correctly prunes to zero files)
+    val listIds = Seq[Any](t.assigned.read().select("list").head().get(0))
+    val pruned = t.assigned.keyProbedManifest("list", listIds)
+    assert(pruned.nonEmpty && pruned.size < t.assigned.manifest().size,
+      s"expected a strict file subset for one list, got ${pruned.size} of ${t.assigned.manifest().size}")
+    // a centroid table paired with ANOTHER build's assignments is refused:
+    // rows assigned under one quantizer served under another lose recall
+    // silently, so the fingerprint pins make it loud
+    val t2 = Similarity.buildIvfIndexTables(spark,
+      tmpDir("ivft_cent2"), tmpDir("ivft_asg2"),
+      vecs.filter(col("id") % 2 === 0), "id", "vec",
+      nlist = 2, sampleN = 100, filesPerTable = 2)
+    val mixed = Similarity.IvfIndexTables(t.centroids, t2.assigned)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfProbeIndexed(mixed, probes, "id", "vec")
+    }
+    assert(e.getMessage.contains("quantizer"), e.getMessage)
+    // a centroid table whose rows drifted from its own pin is refused too
+    t2.centroids.overwrite(t.centroids.read())
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfProbeIndexed(
+        Similarity.IvfIndexTables(t2.centroids, t2.assigned), probes, "id", "vec")
+    }
+    assert(e2.getMessage.contains("fingerprint"), e2.getMessage)
+  }
+
   test("semDedupPairs: nlist=1 equals brute force; clustered recall on planted copies") {
     // semDedup pins a loser-id checkpoint its lazy result reads; clean it
     // up SYNCHRONOUSLY on exit so the async ContextCleaner doesn't mutate
