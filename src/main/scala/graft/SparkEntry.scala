@@ -1347,6 +1347,35 @@ object SparkEntry {
       .orderBy("q_id", "n_id")
   }
 
+  /** Q119 — the persisted lifecycle for the SQ8 index (q118's
+   *  discipline on q84's operator): quantizer-pinned tables, int8 lists
+   *  grown under the stored quantizer, probe file-pruned to the probed
+   *  lists. Built on the even ids of q84's doubled corpus, grown with
+   *  the odd ids, probed exhaustively — so q84's brute-force-SQ8 oracle
+   *  (Q79Duck) applies verbatim over build+append. */
+  private val ivfSq8TableCache =
+    scala.collection.concurrent.TrieMap[String, ext.Similarity.IvfIndexTablesSq8]()
+
+  private def ivfSq8IndexedQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val doubled = emb.unionByName(
+      emb.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
+    val t = ivfSq8TableCache.getOrElseUpdate(dir, {
+      val tt = ext.Similarity.buildIvfIndexTablesSq8(s,
+        Files.createTempDirectory("graft_q119c").toString,
+        Files.createTempDirectory("graft_q119a").toString,
+        doubled.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16)
+      ext.Similarity.ivfAppendToSq8(tt,
+        doubled.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      tt
+    })
+    ext.Similarity.ivfProbeIndexedSq8(t, doubled.filter(col("vec_id") < 25),
+        "vec_id", "embedding", k = 3, nProbe = 16)
+      .select(col("q_id"), col("n_id"), round(col("qcos"), 4).as("qcos"))
+      .orderBy("q_id", "n_id")
+  }
+
   /** Q29 — hyperplane-LSH ANN structurally oracled (q49 technique
    *  inlined): an identical id-shifted copy of every vector is planted;
    *  identical vectors collide in EVERY bucket, so the operator must
@@ -3707,7 +3736,8 @@ object SparkEntry {
     "q115_apply_changes" -> applyChangesQuery,
     "q116_image_neardup" -> perceptualHashQuery,
     "q117_serve_indexed" -> indexedServeQuery,
-    "q118_ivf_indexed" -> ivfIndexedQuery)
+    "q118_ivf_indexed" -> ivfIndexedQuery,
+    "q119_ivf_sq8_indexed" -> ivfSq8IndexedQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3860,7 +3890,10 @@ object SparkEntry {
     // exhaustive probing (nProbe = nlist) over build+append makes the
     // file-pruned table serve exact, so the q22 brute-force oracle
     // applies verbatim (q67's argument, extended over the append)
-    "q118_ivf_indexed" -> Q22Duck)
+    "q118_ivf_indexed" -> Q22Duck,
+    // same argument for the SQ8 lifecycle: exhaustive over build+append
+    // = brute-force SQ8 over q84's doubled corpus, q84's oracle verbatim
+    "q119_ivf_sq8_indexed" -> Q79Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -453,6 +453,29 @@ object Similarity {
       "graft.ivf.nlist" -> cents.length.toString,
       "graft.ivf.dim" -> cents.headOption.map(_.length).getOrElse(0).toString)
 
+  /** Persist one (centroids, assigned) pair as pinned tables — shared
+   *  by the Flat and SQ8 lifecycles, so the two cannot drift on the
+   *  pinning/clustering discipline. */
+  private def persistIvfTables(
+      spark: org.apache.spark.sql.SparkSession,
+      centRoot: String,
+      asgRoot: String,
+      centDf: DataFrame,
+      assigned: DataFrame,
+      filesPerTable: Int): (graft.tables.SnapshotTable, graft.tables.SnapshotTable) = {
+    val props = ivfGeometryProps(collectCentroids(centDf))
+    val cent = graft.tables.SnapshotTable.create(spark, centRoot, centDf)
+      .setProperties(props)
+    // seed commit carries the bloom config so the data overwrite below
+    // builds per-file blooms (the buildMinhashIndexTables pattern)
+    val asg = graft.tables.SnapshotTable.create(spark, asgRoot, assigned.limit(1))
+      .setProperties(props ++ Map(
+        "graft.bloom.columns" -> "list",
+        "graft.bloom.manifest" -> "true"))
+    asg.overwriteClustered(assigned, Seq("list"), filesPerTable)
+    (cent, asg)
+  }
+
   /** Build the persisted form of [[ivfBuild]]: centroid table (tiny) +
    *  assigned table range-clustered on `list` with per-file manifest
    *  blooms, both pinned with the quantizer fingerprint. One training +
@@ -470,16 +493,8 @@ object Similarity {
       sampleN: Int = 10000,
       filesPerTable: Int = 16): IvfIndexTables = {
     val idx = ivfBuild(corpus, idCol, vecCol, nlist, iters, sampleN)
-    val props = ivfGeometryProps(collectCentroids(idx.centroids))
-    val cent = graft.tables.SnapshotTable.create(spark, centRoot, idx.centroids)
-      .setProperties(props)
-    // seed commit carries the bloom config so the data overwrite below
-    // builds per-file blooms (the buildMinhashIndexTables pattern)
-    val asg = graft.tables.SnapshotTable.create(spark, asgRoot, idx.assigned.limit(1))
-      .setProperties(props ++ Map(
-        "graft.bloom.columns" -> "list",
-        "graft.bloom.manifest" -> "true"))
-    asg.overwriteClustered(idx.assigned, Seq("list"), filesPerTable)
+    val (cent, asg) = persistIvfTables(spark, centRoot, asgRoot,
+      idx.centroids, idx.assigned, filesPerTable)
     IvfIndexTables(cent, asg)
   }
 
@@ -491,19 +506,44 @@ object Similarity {
    *  rows must still hash to its own pin, so a mutated or mispaired
    *  centroid table fails loudly instead of routing probes to the
    *  wrong lists. Cost: one nlist-row read. */
-  def checkIvfGeometry(tables: IvfIndexTables): Unit = {
-    val cp = tables.centroids.properties().get("graft.ivf.fingerprint")
-    val ap = tables.assigned.properties().get("graft.ivf.fingerprint")
+  def checkIvfGeometry(tables: IvfIndexTables): Unit =
+    checkIvfGeometry(tables.centroids, tables.assigned)
+
+  private def checkIvfGeometry(
+      centroids: graft.tables.SnapshotTable,
+      assigned: graft.tables.SnapshotTable): Unit = {
+    val cp = centroids.properties().get("graft.ivf.fingerprint")
+    val ap = assigned.properties().get("graft.ivf.fingerprint")
     for (c <- cp; a <- ap) require(c == a,
-      s"IVF tables disagree on their build quantizer: centroids ${tables.centroids.root} " +
-        s"pin $c, assignments ${tables.assigned.root} pin $a — rows assigned under one " +
+      s"IVF tables disagree on their build quantizer: centroids ${centroids.root} " +
+        s"pin $c, assignments ${assigned.root} pin $a — rows assigned under one " +
         "quantizer cannot be served under another")
     cp.foreach { pin =>
-      val now = centroidFingerprint(collectCentroids(tables.centroids.read()))
+      val now = centroidFingerprint(collectCentroids(centroids.read()))
       require(now == pin,
-        s"centroid table ${tables.centroids.root} no longer matches its build " +
+        s"centroid table ${centroids.root} no longer matches its build " +
           s"fingerprint ($pin -> $now); rebuild the index")
     }
+  }
+
+  /** The probed lists' files of a pinned assigned table: the union of
+   *  the probes' nProbe-nearest list ids (≤ nlist values, the IVF
+   *  family's one accepted driver row set) key-probes the manifest —
+   *  range stats + per-file blooms on `list`. Conservative file
+   *  skipping only. */
+  private def prunedAssignedRead(
+      assigned: graft.tables.SnapshotTable,
+      probes: DataFrame,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      nProbe: Int): DataFrame = {
+    val lists = probes
+      .select(explode(functions.nearestLists(col(vecCol), cents,
+        math.min(nProbe, cents.length))).as("list"))
+      .distinct().collect().map(_.get(0)).toSeq
+    val paths = assigned.keyProbedManifest("list", lists)
+    if (paths.isEmpty) assigned.read().limit(0)
+    else probes.sparkSession.read.parquet(paths: _*)
   }
 
   /** Grow the persisted index with a new batch under the FIXED stored
@@ -543,25 +583,71 @@ object Similarity {
       k: Int = 5,
       nProbe: Int = 4): DataFrame = {
     checkIvfGeometry(tables)
-    val cents = collectCentroids(tables.centroids.read())
-    val spark = probes.sparkSession
-    val q = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("list",
-        explode(functions.nearestLists(col("q_vec"), cents,
-          math.min(nProbe, cents.length))))
+    val centDf = tables.centroids.read()
     // probes are small by the family's contract (bruteForceTopK
-    // broadcasts them); recomputing q for the join is cheaper than a
-    // checkpoint's persisted blocks
-    val lists = q.select("list").distinct().collect().map(_.get(0)).toSeq
-    val paths = tables.assigned.keyProbedManifest("list", lists)
-    val assigned =
-      if (paths.isEmpty) tables.assigned.read().limit(0)
-      else spark.read.parquet(paths: _*)
-    val candidates = q.join(assigned,
-        q("list") === assigned("list") && col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
-    rankTopK(candidates.withColumn("cos",
-      functions.cosineSimilarity(col("q_vec"), col("n_vec"))), "cos", k)
+    // broadcasts them), so computing their list ids twice — once for the
+    // prune, once inside the delegated probe — is cheaper than a
+    // checkpoint's persisted blocks. Delegation makes the exactness
+    // claim structural: the pruned serve IS ivfProbe over fewer files.
+    val assigned = prunedAssignedRead(tables.assigned, probes, vecCol,
+      collectCentroids(centDf), nProbe)
+    ivfProbe(IvfIndex(centDf, assigned), probes, idCol, vecCol, k, nProbe)
+  }
+
+  /** [[IvfIndexTables]] for the SQ8 index — same pinned-table
+   *  discipline, inverted lists storing int8 codes (4× smaller stored
+   *  index, [[IvfIndexSq8]]'s trade). */
+  final case class IvfIndexTablesSq8(
+      centroids: graft.tables.SnapshotTable,
+      assigned: graft.tables.SnapshotTable)
+
+  /** [[buildIvfIndexTables]] for the SQ8 index. */
+  def buildIvfIndexTablesSq8(
+      spark: org.apache.spark.sql.SparkSession,
+      centRoot: String,
+      asgRoot: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      iters: Int = 5,
+      sampleN: Int = 10000,
+      filesPerTable: Int = 16): IvfIndexTablesSq8 = {
+    val idx = ivfBuildQuantized(corpus, idCol, vecCol, nlist, iters, sampleN)
+    val (cent, asg) = persistIvfTables(spark, centRoot, asgRoot,
+      idx.centroids, idx.assigned, filesPerTable)
+    IvfIndexTablesSq8(cent, asg)
+  }
+
+  /** [[ivfAppendTo]] for the SQ8 index: assignment + int8 coding both
+   *  map-side against the stored quantizer. */
+  def ivfAppendToSq8(
+      tables: IvfIndexTablesSq8,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      batchFiles: Int = 4): Unit = {
+    checkIvfGeometry(tables.centroids, tables.assigned)
+    val fresh = ivfAssignQuantized(tables.centroids.read(), batch, idCol, vecCol)
+    tables.assigned.append(fresh.repartitionByRange(batchFiles, col("list")))
+    ()
+  }
+
+  /** [[ivfProbeIndexed]] for the SQ8 index — delegates to
+   *  [[ivfProbeQuantized]] over the probed lists' files, so exactness
+   *  vs the unpruned quantized probe is structural. */
+  def ivfProbeIndexedSq8(
+      tables: IvfIndexTablesSq8,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    checkIvfGeometry(tables.centroids, tables.assigned)
+    val centDf = tables.centroids.read()
+    val assigned = prunedAssignedRead(tables.assigned, probes, vecCol,
+      collectCentroids(centDf), nProbe)
+    ivfProbeQuantized(IvfIndexSq8(centDf, assigned), probes, idCol, vecCol, k, nProbe)
   }
 
   /**

@@ -515,6 +515,29 @@ class ExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("fingerprint"), e2.getMessage)
   }
 
+  test("SQ8 IVF tables: append under the stored quantizer, pruned probe exact") {
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val vecs = (0 until 48).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (x, j) => x + (if (j == 3) 0.005f * i else 0f) })
+    }.toDF("id", "vec")
+    val probes = vecs.filter(col("id") < 3)
+    val t = Similarity.buildIvfIndexTablesSq8(spark,
+      tmpDir("ivfq_cent"), tmpDir("ivfq_asg"),
+      vecs.filter(col("id") % 2 === 0), "id", "vec",
+      nlist = 4, sampleN = 100, filesPerTable = 4)
+    Similarity.ivfAppendToSq8(t, vecs.filter(col("id") % 2 === 1), "id", "vec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q_id"), col("n_id"), col("rank")).as[(Long, Long, Int)].collect().toSet
+    // pruned table serve ≡ in-memory quantized probe over the same frames
+    val stored = Similarity.IvfIndexSq8(t.centroids.read(), t.assigned.read())
+    val full = rows(Similarity.ivfProbeIndexedSq8(t, probes, "id", "vec", k = 3, nProbe = 4))
+    assert(full === rows(Similarity.ivfProbeQuantized(stored, probes, "id", "vec", k = 3, nProbe = 4)))
+    // exhaustive over build+append ≡ brute-force SQ8 over the union
+    assert(full === rows(Similarity.quantizedTopK(vecs, probes, "id", "vec", k = 3)))
+  }
+
   test("semDedupPairs: nlist=1 equals brute force; clustered recall on planted copies") {
     // semDedup pins a loser-id checkpoint its lazy result reads; clean it
     // up SYNCHRONOUSLY on exit so the async ContextCleaner doesn't mutate
