@@ -1376,6 +1376,44 @@ object SparkEntry {
       .orderBy("q_id", "n_id")
   }
 
+  /** Q120 — the persisted lifecycle for the PQ index (q118/q119's
+   *  discipline on q87's operator, completing the stored-ANN family):
+   *  THREE pinned tables — the codebooks join the pair, because a
+   *  drifted or mispaired codebook silently MIS-DECODES every stored
+   *  code, the PQ-specific hazard the second fingerprint closes — grown
+   *  under the stored quantizers (assignment + residual coding both
+   *  map-side), ADC winnowing over the probed lists' files, exact
+   *  refine on the survivors. Built on the even ids of q87's doubled
+   *  corpus, grown with the odd ids, probed exhaustively with refine —
+   *  q87's structural oracle (each probe's refined top-1 is its planted
+   *  copy at cosine 1.0) applies verbatim, so a missed append, a
+   *  mis-decoded list, or an over-eager prune fails the hash. */
+  private val ivfPqTableCache =
+    scala.collection.concurrent.TrieMap[String, ext.Similarity.IvfIndexTablesPq]()
+
+  private def ivfPqIndexedQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val doubled = emb.unionByName(
+      emb.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
+    val t = ivfPqTableCache.getOrElseUpdate(dir, {
+      val tt = ext.Similarity.buildIvfIndexTablesPq(s,
+        Files.createTempDirectory("graft_q120c").toString,
+        Files.createTempDirectory("graft_q120b").toString,
+        Files.createTempDirectory("graft_q120a").toString,
+        doubled.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        nlist = 16, m = 8, ksub = 16)
+      ext.Similarity.ivfAppendToPq(tt,
+        doubled.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      tt
+    })
+    ext.Similarity.ivfProbeIndexedPqRefined(t, doubled,
+        doubled.filter(col("vec_id") < 25), "vec_id", "embedding",
+        k = 1, nProbe = 16, refine = 50)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("q_id")
+  }
+
   /** Q29 — hyperplane-LSH ANN structurally oracled (q49 technique
    *  inlined): an identical id-shifted copy of every vector is planted;
    *  identical vectors collide in EVERY bucket, so the operator must
@@ -3737,7 +3775,8 @@ object SparkEntry {
     "q116_image_neardup" -> perceptualHashQuery,
     "q117_serve_indexed" -> indexedServeQuery,
     "q118_ivf_indexed" -> ivfIndexedQuery,
-    "q119_ivf_sq8_indexed" -> ivfSq8IndexedQuery)
+    "q119_ivf_sq8_indexed" -> ivfSq8IndexedQuery,
+    "q120_ivf_pq_indexed" -> ivfPqIndexedQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3893,7 +3932,10 @@ object SparkEntry {
     "q118_ivf_indexed" -> Q22Duck,
     // same argument for the SQ8 lifecycle: exhaustive over build+append
     // = brute-force SQ8 over q84's doubled corpus, q84's oracle verbatim
-    "q119_ivf_sq8_indexed" -> Q79Duck)
+    "q119_ivf_sq8_indexed" -> Q79Duck,
+    // the PQ lifecycle keeps q87's STRUCTURAL oracle: refined top-1 is
+    // the planted copy at cosine 1.0, regardless of build/append split
+    "q120_ivf_pq_indexed" -> Q87Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -462,8 +462,9 @@ object Similarity {
       asgRoot: String,
       centDf: DataFrame,
       assigned: DataFrame,
-      filesPerTable: Int): (graft.tables.SnapshotTable, graft.tables.SnapshotTable) = {
-    val props = ivfGeometryProps(collectCentroids(centDf))
+      filesPerTable: Int,
+      extraProps: Map[String, String] = Map.empty): (graft.tables.SnapshotTable, graft.tables.SnapshotTable) = {
+    val props = ivfGeometryProps(collectCentroids(centDf)) ++ extraProps
     val cent = graft.tables.SnapshotTable.create(spark, centRoot, centDf)
       .setProperties(props)
     // seed commit carries the bloom config so the data overwrite below
@@ -648,6 +649,140 @@ object Similarity {
     val assigned = prunedAssignedRead(tables.assigned, probes, vecCol,
       collectCentroids(centDf), nProbe)
     ivfProbeQuantized(IvfIndexSq8(centDf, assigned), probes, idCol, vecCol, k, nProbe)
+  }
+
+  /** [[IvfIndexTables]] for the PQ index — three tables (codebooks join
+   *  the pair), pinned with BOTH the centroid fingerprint and a
+   *  codebook fingerprint: a drifted or mispaired codebook silently
+   *  MIS-DECODES every stored code (ADC scores against the wrong
+   *  reconstruction), the PQ-specific analogue of the wrong-lists
+   *  hazard. */
+  final case class IvfIndexTablesPq(
+      centroids: graft.tables.SnapshotTable,
+      codebooks: graft.tables.SnapshotTable,
+      assigned: graft.tables.SnapshotTable)
+
+  /** Content hash of the residual codebooks ((sub, code) order, exact
+   *  float bits) — [[centroidFingerprint]]'s discipline for the second
+   *  quantizer PQ carries. */
+  def bookFingerprint(books: Array[Array[Array[Float]]]): String = {
+    var h = 0xCBF29CE484222325L
+    var mi = 0
+    while (mi < books.length) {
+      var j = 0
+      while (j < books(mi).length) {
+        val e = books(mi)(j)
+        var x = 0
+        while (x < e.length) {
+          h = (h ^ java.lang.Float.floatToIntBits(e(x))) * 0x100000001B3L
+          x += 1
+        }
+        j += 1
+      }
+      h = (h ^ mi) * 0x100000001B3L
+      mi += 1
+    }
+    f"$h%016x"
+  }
+
+  private val PqPinKey = "graft.ivf.pq.fingerprint"
+
+  /** [[buildIvfIndexTables]] for the PQ index: centroid + codebook
+   *  tables (both driver-tiny) and the `list`-clustered code table, all
+   *  three pinned with both quantizer fingerprints. */
+  def buildIvfIndexTablesPq(
+      spark: org.apache.spark.sql.SparkSession,
+      centRoot: String,
+      bookRoot: String,
+      asgRoot: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 5,
+      sampleN: Int = 10000,
+      filesPerTable: Int = 16): IvfIndexTablesPq = {
+    val idx = ivfBuildPq(corpus, idCol, vecCol, nlist, m, ksub, iters, sampleN)
+    val pqPin = Map(PqPinKey -> bookFingerprint(collectBooks(idx.codebooks)))
+    val (cent, asg) = persistIvfTables(spark, centRoot, asgRoot,
+      idx.centroids, idx.assigned, filesPerTable, extraProps = pqPin)
+    val books = graft.tables.SnapshotTable.create(spark, bookRoot, idx.codebooks)
+      .setProperties(ivfGeometryProps(collectCentroids(idx.centroids)) ++ pqPin)
+    IvfIndexTablesPq(cent, books, asg)
+  }
+
+  /** Both quantizer checks for the PQ tables: the Flat-side pair +
+   *  centroid self-pin, the PQ fingerprint agreeing across all three
+   *  tables, and the codebook table's CURRENT rows hashing to its own
+   *  pin. Unpinned tables pass, as everywhere. */
+  def checkIvfGeometryPq(tables: IvfIndexTablesPq): Unit = {
+    checkIvfGeometry(tables.centroids, tables.assigned)
+    val pins = Seq(tables.centroids, tables.codebooks, tables.assigned)
+      .flatMap(t => t.properties().get(PqPinKey).map(t.root -> _))
+    require(pins.map(_._2).distinct.size <= 1,
+      s"IVF-PQ tables disagree on their codebook fingerprint: " +
+        pins.map { case (r, p) => s"$r=$p" }.mkString(", "))
+    tables.codebooks.properties().get(PqPinKey).foreach { pin =>
+      val now = bookFingerprint(collectBooks(tables.codebooks.read()))
+      require(now == pin,
+        s"codebook table ${tables.codebooks.root} no longer matches its build " +
+          s"fingerprint ($pin -> $now); stored codes would mis-decode — rebuild")
+    }
+  }
+
+  /** [[ivfAppendTo]] for the PQ index: assignment + residual PQ coding
+   *  both map-side under the STORED quantizers. */
+  def ivfAppendToPq(
+      tables: IvfIndexTablesPq,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      batchFiles: Int = 4): Unit = {
+    checkIvfGeometryPq(tables)
+    val fresh = ivfAssignPq(tables.centroids.read(), tables.codebooks.read(),
+      batch, idCol, vecCol)
+    tables.assigned.append(fresh.repartitionByRange(batchFiles, col("list")))
+    ()
+  }
+
+  /** [[ivfProbeIndexed]] for the PQ index — ADC probe delegated to
+   *  [[ivfProbePq]] over the probed lists' files. */
+  def ivfProbeIndexedPq(
+      tables: IvfIndexTablesPq,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    checkIvfGeometryPq(tables)
+    val centDf = tables.centroids.read()
+    val assigned = prunedAssignedRead(tables.assigned, probes, vecCol,
+      collectCentroids(centDf), nProbe)
+    ivfProbePq(IvfIndexPq(centDf, tables.codebooks.read(), assigned),
+      probes, idCol, vecCol, k, nProbe)
+  }
+
+  /** [[ivfProbePqRefined]] from the persisted tables: ADC winnows over
+   *  the probed lists' files, then only the `refine` survivors fetch
+   *  full vectors from `corpus` for the exact re-rank — the
+   *  billion-scale serving shape end-to-end from cold storage. */
+  def ivfProbeIndexedPqRefined(
+      tables: IvfIndexTablesPq,
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5,
+      nProbe: Int = 4,
+      refine: Int = 50): DataFrame = {
+    checkIvfGeometryPq(tables)
+    val centDf = tables.centroids.read()
+    val assigned = prunedAssignedRead(tables.assigned, probes, vecCol,
+      collectCentroids(centDf), nProbe)
+    ivfProbePqRefined(IvfIndexPq(centDf, tables.codebooks.read(), assigned),
+      corpus, probes, idCol, vecCol, k, nProbe, refine)
   }
 
   /**

@@ -538,6 +538,55 @@ class ExtSpec extends SparkSpec {
     assert(full === rows(Similarity.quantizedTopK(vecs, probes, "id", "vec", k = 3)))
   }
 
+  test("PQ IVF tables: codebook-pinned build, append, pruned ADC + refined probes") {
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val vecs = (0 until 48).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (x, j) => x + (if (j == 3) 0.005f * i else 0f) })
+    }.toDF("id", "vec")
+    val probes = vecs.filter(col("id") < 3)
+    val t = Similarity.buildIvfIndexTablesPq(spark,
+      tmpDir("ivfp_cent"), tmpDir("ivfp_book"), tmpDir("ivfp_asg"),
+      vecs.filter(col("id") % 2 === 0), "id", "vec",
+      nlist = 4, m = 2, ksub = 8, sampleN = 100, filesPerTable = 4)
+    // all three tables agree on BOTH quantizer pins
+    val pq = t.codebooks.properties().get("graft.ivf.pq.fingerprint")
+    assert(pq.isDefined)
+    assert(t.centroids.properties().get("graft.ivf.pq.fingerprint") === pq)
+    assert(t.assigned.properties().get("graft.ivf.pq.fingerprint") === pq)
+    Similarity.ivfAppendToPq(t, vecs.filter(col("id") % 2 === 1), "id", "vec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q_id"), col("n_id"), col("rank")).as[(Long, Long, Int)].collect().toSet
+    // pruned ADC serve ≡ in-memory ADC probe over the same frames
+    val stored = Similarity.IvfIndexPq(
+      t.centroids.read(), t.codebooks.read(), t.assigned.read())
+    assert(rows(Similarity.ivfProbeIndexedPq(t, probes, "id", "vec", k = 3, nProbe = 4))
+      === rows(Similarity.ivfProbePq(stored, probes, "id", "vec", k = 3, nProbe = 4)))
+    // refined probe from the tables: each probe's exact-cosine top-1 over
+    // build+append must be a same-cluster neighbor (appended ids included)
+    val ref = Similarity.ivfProbeIndexedPqRefined(t, vecs, probes, "id", "vec",
+        k = 1, nProbe = 4, refine = 12)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect()
+    assert(ref.length === 3)
+    ref.foreach { case (q, n) =>
+      assert(q % 3 === n % 3, s"refined top-1 for $q crossed clusters: $n")
+    }
+    assert(ref.exists { case (_, n) => n % 2 == 1 },
+      "no appended (odd) vector ever surfaced — append not served")
+    // a codebook table that drifted from its own pin is refused: stored
+    // codes would silently mis-decode against the altered entries
+    val t2 = Similarity.buildIvfIndexTablesPq(spark,
+      tmpDir("ivfp_cent2"), tmpDir("ivfp_book2"), tmpDir("ivfp_asg2"),
+      vecs.filter(col("id") % 2 === 0), "id", "vec",
+      nlist = 4, m = 2, ksub = 4, sampleN = 100, filesPerTable = 2)
+    t2.codebooks.overwrite(t.codebooks.read())
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfProbeIndexedPq(t2, probes, "id", "vec")
+    }
+    assert(e.getMessage.contains("fingerprint"), e.getMessage)
+  }
+
   test("semDedupPairs: nlist=1 equals brute force; clustered recall on planted copies") {
     // semDedup pins a loser-id checkpoint its lazy result reads; clean it
     // up SYNCHRONOUSLY on exit so the async ContextCleaner doesn't mutate

@@ -229,22 +229,36 @@ class TagBranchSpec extends SparkSpec {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar",
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    def spawn(role: String, iters: Int): Process = {
+    // child stderr goes to a file, not DISCARD: when a child exits
+    // nonzero the assertion must say WHY — a starved retry loop under
+    // full-suite box load (liveness flake, rerun) and a dangling-ref
+    // require() (the atomicity bug this race exists to catch) exit
+    // identically otherwise
+    def spawn(role: String, iters: Int): (Process, java.io.File) = {
+      val errF = java.io.File.createTempFile(s"ref_race_$role", ".err")
       val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
         "-Xmx1g", "-Dspark.ui.enabled=false",
         "-cp", cp, "graft.tables.RefRaceChild", root, role, iters.toString)).toArray
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
-      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-      pb.start()
+      pb.redirectError(ProcessBuilder.Redirect.to(errF))
+      (pb.start(), errF)
     }
-    val churn = spawn("churn", 20)
-    val publish = spawn("publish", 5)
+    def errTail(f: java.io.File): String = {
+      val lines = scala.util.Try(
+        scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq).getOrElse(Nil)
+      // the require/exception text, minus Spark's shutdown chatter
+      lines.filterNot(l => l.contains("INFO") || l.contains("WARN"))
+        .takeRight(15).mkString("\n")
+    }
+    val (churn, churnErr) = spawn("churn", 20)
+    val (publish, publishErr) = spawn("publish", 5)
     import java.util.concurrent.TimeUnit
     assert(publish.waitFor(300, TimeUnit.SECONDS), "publisher timed out")
     assert(churn.waitFor(300, TimeUnit.SECONDS), "churner timed out")
-    assert(publish.exitValue() === 0, "publisher failed (lost publish or dangling read)")
-    assert(churn.exitValue() === 0, "churner failed")
+    assert(publish.exitValue() === 0,
+      s"publisher failed (lost publish or dangling read):\n${errTail(publishErr)}")
+    assert(churn.exitValue() === 0, s"churner failed:\n${errTail(churnErr)}")
 
     // post-race invariants, checked from the parent JVM:
     val t = SnapshotTable(spark, root)
