@@ -454,14 +454,30 @@ object TextAnalysis {
 
   /** Cut every token covered by a removal occurrence (positions
    *  pos..pos+n−1, overlaps unioned) and rebuild each document from the
-   *  survivors — ordered by a codegen'd `array_sort`, no window. */
+   *  survivors — ordered by a codegen'd `array_sort`, no window.
+   *
+   *  Only documents that actually HAVE a removal pay the heavy
+   *  explode→anti-join→collect_list rebuild: `df` semi-joins against the
+   *  distinct affected doc ids first, so the per-token struct shuffle
+   *  scales with the duplicated minority (~the docs containing repeated
+   *  spans), not the corpus. Untouched documents emit through a pure
+   *  projection — `split`/`array_join` on the same single-space
+   *  delimiter is the identity, so their `clean_text` is bit-identical
+   *  to what the rebuild would produce, with zero removed tokens (NULL
+   *  text stays the NULL-count / empty-text convention of the join
+   *  path). Before this split, the 100×-scale row exploded EVERY
+   *  document's tokens into (pos, token) structs through one shuffle —
+   *  the recorded exp-1.5 spill driver when only ~10 % of docs needed
+   *  rebuilding. */
   private def cutAndRebuild(
       df: DataFrame, idCol: String, textCol: String, n: Int,
       removals: DataFrame): DataFrame = {
     val covered = removals
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
       .distinct()
-    val tokRows = df.select(col(idCol),
+    val affectedIds = covered.select(col(idCol)).distinct()
+    val affected = df.join(affectedIds, Seq(idCol), "left_semi")
+    val tokRows = affected.select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("p", "token")))
     val kept = tokRows.join(covered, Seq(idCol, "p"), "left_anti")
     val rebuilt = kept.groupBy(idCol).agg(
@@ -469,11 +485,17 @@ object TextAnalysis {
         transform(array_sort(collect_list(struct(col("p"), col("token")))),
           x => x.getField("token")), " ").as("clean_text"),
       count(lit(1)).as("n_kept"))
-    df.select(col(idCol), size(tokens(col(textCol))).as("n_toks"))
+    val rebuiltOut = affected
+      .select(col(idCol), size(tokens(col(textCol))).as("n_toks"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("n_toks") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
+    val untouchedOut = df.join(affectedIds, Seq(idCol), "left_anti")
+      .select(col(idCol),
+        coalesce(array_join(tokens(col(textCol)), " "), lit("")).as("clean_text"),
+        (size(tokens(col(textCol))) * lit(0)).cast("long").as("n_removed"))
+    rebuiltOut.unionByName(untouchedOut)
   }
 
   /**
