@@ -474,17 +474,6 @@ object Dedup {
       bands, numHashes / bands)
   }
 
-  /** Build the two snapshot tables the INDEXED serve probes: the banded
-   *  index clustered+bloomed on `bandhash` and the signature table
-   *  clustered+bloomed on `doc` — each file then carries tight
-   *  min/max stats plus a bloom filter on its probe column, so
-   *  [[minhashPairsIncrementalIndexed]]'s key-probed reads skip every
-   *  file without a possible hit (the Hudi bloom-index tagging shape).
-   *  Index tables are APPEND-ONLY by contract: extend them with
-   *  `append` of range-sorted batch rows (new files keep tight stats;
-   *  blooms are per-file, so appends never degrade existing pruning) or
-   *  rebuild; the indexed serve reads their data files directly and
-   *  does not apply DV/delta overlays. */
   /** Signature-level geometry a persisted signature table pins (the
    *  band count is banding-side and pinned separately by
    *  [[buildMinhashIndexTables]]). */
@@ -509,6 +498,18 @@ object Dedup {
     }
   }
 
+  /** Build the two snapshot tables the INDEXED serve probes: the banded
+   *  index clustered+bloomed on `bandhash` and the signature table
+   *  clustered+bloomed on `doc` — each file then carries tight
+   *  min/max stats plus a bloom filter on its probe column, so
+   *  [[minhashPairsIncrementalIndexed]]'s key-probed reads skip every
+   *  file without a possible hit (the Hudi bloom-index tagging shape).
+   *  Index tables are APPEND-ONLY by contract: extend them with
+   *  `append` of range-sorted batch rows (new files keep tight stats;
+   *  blooms are per-file, so appends never degrade existing pruning) or
+   *  rebuild; the indexed serve reads their data files directly and
+   *  REFUSES DV/delta/column-mapping overlays
+   *  ([[graft.tables.SnapshotTable.keyProbedRead]]). */
   def buildMinhashIndexTables(
       spark: org.apache.spark.sql.SparkSession,
       bandRoot: String,
@@ -592,13 +593,11 @@ object Dedup {
       }
     }
     val r = numHashes / bands
-    val spark = batch.sparkSession
+    // keyProbedRead refuses DV/delta/column-mapping overlays loudly —
+    // the raw pruned-file read would silently miss them otherwise
     def prunedRead(t: graft.tables.SnapshotTable, column: String,
-        keys: Array[Any]): DataFrame = {
-      val paths = t.keyProbedManifest(column, keys.toSeq)
-      if (paths.isEmpty) t.read().limit(0)
-      else spark.read.parquet(paths: _*)
-    }
+        keys: Array[Any]): DataFrame =
+      t.keyProbedRead(column, keys.toSeq)
     def boundedKeys(df: DataFrame, column: String, what: String): Array[Any] = {
       val ks = df.select(column).distinct().limit(maxProbeKeys + 1)
         .collect().map(_.get(0))

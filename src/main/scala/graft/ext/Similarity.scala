@@ -531,7 +531,8 @@ object Similarity {
    *  the probes' nProbe-nearest list ids (≤ nlist values, the IVF
    *  family's one accepted driver row set) key-probes the manifest —
    *  range stats + per-file blooms on `list`. Conservative file
-   *  skipping only. */
+   *  skipping only; the raw read refuses DV/delta/column-mapping
+   *  overlays loudly ([[graft.tables.SnapshotTable.keyProbedRead]]). */
   private def prunedAssignedRead(
       assigned: graft.tables.SnapshotTable,
       probes: DataFrame,
@@ -542,9 +543,7 @@ object Similarity {
       .select(explode(functions.nearestLists(col(vecCol), cents,
         math.min(nProbe, cents.length))).as("list"))
       .distinct().collect().map(_.get(0)).toSeq
-    val paths = assigned.keyProbedManifest("list", lists)
-    if (paths.isEmpty) assigned.read().limit(0)
-    else probes.sparkSession.read.parquet(paths: _*)
+    assigned.keyProbedRead("list", lists)
   }
 
   /** Grow the persisted index with a new batch under the FIXED stored
@@ -559,10 +558,13 @@ object Similarity {
       batch: DataFrame,
       idCol: String,
       vecCol: String,
-      batchFiles: Int = 4): Unit = {
+      batchFiles: Int = 4,
+      action: String = "append"): Unit = {
     checkIvfGeometry(tables)
     val fresh = ivfAssign(tables.centroids.read(), batch, idCol, vecCol)
-    tables.assigned.append(fresh.repartitionByRange(batchFiles, col("list")))
+    // `action` lets a streaming caller tag the commit (`stream-<batchId>`)
+    // so re-delivered micro-batches stay idempotent (StreamIngest.ivfIngestSink)
+    tables.assigned.appendAs(fresh.repartitionByRange(batchFiles, col("list")), action)
     ()
   }
 

@@ -1717,6 +1717,34 @@ class SnapshotTable private (
       .map(_.path)
   }
 
+  /** Raw read of only the files that may contain one of `keys` in
+   *  `column` ([[keyProbedManifest]]) — the serve path of the persisted
+   *  index tables (minhash band/signature, IVF assigned lists). The
+   *  pruned file list is read DIRECTLY (`spark.read.parquet`), not
+   *  through [[mergedView]], so this REFUSES — loudly, the geometry-pin
+   *  discipline — any snapshot carrying state a raw file read would
+   *  silently miss: DV sidecars or MoR deltas (a delete/update on the
+   *  index table would keep serving the deleted rows) and column
+   *  mapping (a renamed column would read under its stale physical
+   *  name). Index tables are append-only by contract; this turns a
+   *  contract violation into a refusal instead of a silent divergence
+   *  from the flat serve. Zero keys read zero files. */
+  private[graft] def keyProbedRead(column: String, keys: Seq[Any]): DataFrame = {
+    val v = currentVersion()
+    if (v >= 0) {
+      val e = commitEntry(v)
+      require(e.dvFiles.forall(_.isEmpty) && e.deltaFiles.forall(_.isEmpty) &&
+          e.columnMapping.forall(_.isEmpty),
+        s"table $root carries row-level overlays (deletion vectors / MoR deltas) " +
+          "or column mapping — a key-probed raw read serves data files directly " +
+          "and would miss them; index tables are append-only by contract " +
+          "(compact or rebuild the index table before serving)")
+    }
+    val paths = keyProbedManifest(column, keys)
+    if (paths.isEmpty) read().limit(0)
+    else spark.read.parquet(paths: _*)
+  }
+
   /** Logical→physical column mapping AT a version (empty = identity;
    *  the DSv2 scan consults the PINNED snapshot's mapping). */
   private[graft] def columnMappingAt(version: Long): Map[String, String] =

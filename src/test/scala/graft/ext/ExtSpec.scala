@@ -251,6 +251,32 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("bands"), e.getMessage)
   }
 
+  test("indexed serve refuses an index table carrying row-level overlays") {
+    // the key-probed serve reads pruned data files RAW (no mergedView), so
+    // a DV/MoR/column-mapping overlay on an index table — a violation of
+    // the append-only contract — must refuse loudly instead of silently
+    // serving deleted/stale rows that diverge from the flat serve
+    val corpus = graft.tools.ScaleCorpus.documents(spark, 100)
+      .select(col("doc_id").as("id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_ovl")
+    val (bandT, sigT) = Dedup.buildMinhashIndexTables(spark,
+      s"$tmp/bands", s"$tmp/sigs", corpus, "id", "text", filesPerTable = 8)
+    val batch = corpus.filter(col("id") === 10L)
+      .select((col("id") + 1000L).as("id"), col("text"))
+    // sanity: the clean tables serve fine
+    assert(Dedup.minhashPairsIncrementalIndexed(bandT, sigT, batch, "id", "text")
+      .collect().nonEmpty)
+    // a DV delete on the band table leaves a sidecar the raw read would miss
+    bandT.setProperties(Map("graft.dv.enabled" -> "true"))
+    bandT.delete(col("doc") === 50L) // returns 0: pure-DV commit rewrites nothing
+    assert(bandT.commitEntry(bandT.currentVersion()).dvFiles.exists(_.nonEmpty),
+      "delete did not take the DV path — overlay fixture broken")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsIncrementalIndexed(bandT, sigT, batch, "id", "text")
+    }
+    assert(e.getMessage.contains("overlays"), e.getMessage)
+  }
+
   test("incremental dedup over an empty index equals batch-mode dedup") {
     // with nothing in the corpus, "drop corpus-linked components" never
     // fires and both operators reduce to min-id-per-component — the
