@@ -288,6 +288,26 @@ object SparkEntry {
   private val builtTables =
     scala.collection.concurrent.TrieMap[(String, String), (SnapshotTable, Long)]()
 
+  /** Drop every JVM-level fixture cache. The caches are keyed by scale
+   *  dir (not by session) and hand back [[SnapshotTable]] handles bound
+   *  to the session they were built under — after a
+   *  `SparkSession.stop()` + fresh-session swap (the bench's scale
+   *  block) a cached handle launches jobs through the STOPPED session
+   *  and throws, or quietly serves suite-warmed state against the
+   *  fresh-session intent. Call this after any session swap so tables
+   *  rebuild under the live session. */
+  private[graft] def resetCaches(): Unit = {
+    registeredDirs.clear()
+    snapshotCache.clear()
+    builtTables.clear()
+    ivfIndexCache.clear()
+    ivfTableCache.clear()
+    ivfSq8TableCache.clear()
+    ivfPqTableCache.clear()
+    ivfStreamTableCache.clear()
+    builtIndexPairs.clear()
+  }
+
   private def warmTable(key: String, dir: String)(build: => SnapshotTable): SnapshotTable = {
     val (t, pristine) = builtTables.getOrElseUpdate((key, dir), {
       val built = build
@@ -1413,6 +1433,70 @@ object SparkEntry {
       .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
       .orderBy("q_id")
   }
+
+  /** Q121 — STREAMING ANN ingest
+   *  ([[graft.streaming.StreamIngest.ivfIngestSink]] — the stored-ANN
+   *  family's streaming half, closing it the way q114's
+   *  `dedupIngestSink` closed dedup's): the IVF index is BUILT on the
+   *  even vectors (pinned tables, q118's lifecycle), the odd vectors
+   *  are committed to a source snapshot table in THREE versions, and
+   *  `readStream.format("graft-table")` replays them as three paced
+   *  micro-batches through the sink — each batch assigned map-side
+   *  under the stored quantizer (fingerprint-checked per batch) and
+   *  landed as one atomic idempotent `stream-<batchId>` commit. The
+   *  probe runs nProbe = nlist, exhaustive over build+stream = the
+   *  whole corpus, so the q22 brute-force oracle applies verbatim — a
+   *  lost or double-applied micro-batch changes the served neighbor
+   *  set and fails the hash; `paced_batches` structurally asserts one
+   *  stream commit per source version reached the assigned table's
+   *  log. Exactly-once under re-delivery is ExtSpec-pinned. */
+  private val ivfStreamTableCache =
+    scala.collection.concurrent.TrieMap[String, ext.Similarity.IvfIndexTables]()
+
+  private def ivfStreamQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val t = ivfStreamTableCache.getOrElseUpdate(dir, {
+      val tt = ext.Similarity.buildIvfIndexTables(s,
+        Files.createTempDirectory("graft_q121c").toString,
+        Files.createTempDirectory("graft_q121a").toString,
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16)
+      val src = SnapshotTable.create(s,
+        Files.createTempDirectory("graft_q121s").toString,
+        emb.filter(col("vec_id") % 6 === 1))
+      src.append(emb.filter(col("vec_id") % 6 === 3))
+      src.append(emb.filter(col("vec_id") % 6 === 5))
+      val ckpt = Files.createTempDirectory("graft_q121k").toString
+      (1 to 3).foreach { _ =>
+        val stream = s.readStream.format("graft-table")
+          .option("path", src.root)
+          .option("maxVersionsPerTrigger", "1")
+          .load()
+        graft.streaming.StreamIngest.runOnce(
+          graft.streaming.StreamIngest.ivfIngestSink(
+            stream, tt, "vec_id", "embedding"), ckpt)
+      }
+      tt
+    })
+    val paced =
+      t.assigned.history().count(_.action.startsWith("stream-")) == 3
+    ext.Similarity.ivfProbeIndexed(t, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 16)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .withColumn("paced_batches", lit(paced))
+      .orderBy("q_id", "n_id")
+  }
+  private val Q121Duck =
+    """WITH scored AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 10),
+      |ranked AS (
+      |  SELECT q_id, n_id, c,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, n_id, round(c, 4) AS cos, TRUE AS paced_batches
+      |FROM ranked WHERE rnk <= 5 ORDER BY q_id, n_id""".stripMargin
 
   /** Q29 — hyperplane-LSH ANN structurally oracled (q49 technique
    *  inlined): an identical id-shifted copy of every vector is planted;
@@ -3776,7 +3860,8 @@ object SparkEntry {
     "q117_serve_indexed" -> indexedServeQuery,
     "q118_ivf_indexed" -> ivfIndexedQuery,
     "q119_ivf_sq8_indexed" -> ivfSq8IndexedQuery,
-    "q120_ivf_pq_indexed" -> ivfPqIndexedQuery)
+    "q120_ivf_pq_indexed" -> ivfPqIndexedQuery,
+    "q121_ivf_stream" -> ivfStreamQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -3935,7 +4020,12 @@ object SparkEntry {
     "q119_ivf_sq8_indexed" -> Q79Duck,
     // the PQ lifecycle keeps q87's STRUCTURAL oracle: refined top-1 is
     // the planted copy at cosine 1.0, regardless of build/append split
-    "q120_ivf_pq_indexed" -> Q87Duck)
+    "q120_ivf_pq_indexed" -> Q87Duck,
+    // exhaustive probing over build+stream = the whole corpus, so the
+    // q22 brute-force oracle applies verbatim (q118's argument with the
+    // append half delivered by the streaming sink); paced_batches is
+    // the structural stream-commit count
+    "q121_ivf_stream" -> Q121Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

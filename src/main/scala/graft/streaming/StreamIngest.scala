@@ -223,6 +223,39 @@ object StreamIngest {
     }
 
   /**
+   * Streaming ANN ingest — the stored-index closure of what
+   * [[dedupIngestSink]] does for near-dup dedup: each micro-batch of
+   * (id, vector) rows is ASSIGNED under the persisted index's pinned
+   * quantizer ([[graft.ext.Similarity.ivfAppendTo]] — map-side
+   * nearest-centroid, range-sorted on `list` so appended files keep
+   * tight stats and per-file blooms) and lands in the assigned table as
+   * ONE atomic `stream-<batchId>` commit. A re-delivered micro-batch
+   * whose id is already the latest committed stream id skips —
+   * exactly-once across recovery. The quantizer fingerprint is
+   * validated per batch (`checkIvfGeometry` inside the append), so a
+   * drifted or swapped centroid table refuses the batch loudly instead
+   * of silently assigning to wrong lists. Probes against the table
+   * ([[graft.ext.Similarity.ivfProbeIndexed]]) see every streamed batch
+   * the moment its commit lands.
+   *
+   * 100 TB shape: per-batch work is the batch's own assignment — one
+   * broadcast of ≤nlist centroids, no shuffle of the index — so ingest
+   * cost rides the batch, not the index size.
+   */
+  def ivfIngestSink(
+      stream: DataFrame,
+      tables: graft.ext.Similarity.IvfIndexTables,
+      idCol: String,
+      vecCol: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty && !lastStreamBatch(tables.assigned).contains(batchId)) {
+        graft.ext.Similarity.ivfAppendTo(tables, batch, idCol, vecCol,
+          action = s"stream-$batchId")
+      }
+      ()
+    }
+
+  /**
    * Watermarked tumbling-window aggregation → snapshot table: the
    * standard streaming-rollup pipeline (event time, late-data bound,
    * append-mode emission of finalized windows).

@@ -136,6 +136,54 @@ class StreamIngestSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("was built with n=4")), msgs(e).mkString(" | "))
   }
 
+  test("ivf ingest sink: streamed batches join the pinned index, probe exact, re-delivery skips") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Similarity
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    def v(i: Int): Array[Float] = {
+      val c = base(i % 3)
+      c.zipWithIndex.map { case (x, j) => x + (if (j == 3) 0.005f * i else 0f) }
+    }
+    val all = (0 until 48).map(i => (i.toLong, v(i)))
+    val vecs = all.toDF("vec_id", "vec")
+    // index built on the first half; the second half arrives as a stream
+    val tables = Similarity.buildIvfIndexTables(spark,
+      tmpDir("ivfs_cent"), tmpDir("ivfs_asg"),
+      vecs.filter(col("vec_id") < 24), "vec_id", "vec",
+      nlist = 4, sampleN = 100, filesPerTable = 4)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val ckpt = tmpDir("ckpt") // ONE checkpoint — restarts resume from it
+    def sink = StreamIngest.ivfIngestSink(
+      mem.toDF().toDF("vec_id", "vec"), tables, "vec_id", "vec")
+    mem.addData(all.slice(24, 36): _*)
+    StreamIngest.runOnce(sink, ckpt)
+    assert(tables.assigned.read().count() === 36)
+    assert(tables.assigned.history().count(_.action.startsWith("stream-")) === 1)
+    mem.addData(all.slice(36, 48): _*)
+    StreamIngest.runOnce(sink, ckpt)
+    assert(tables.assigned.read().count() === 48)
+    assert(tables.assigned.history().count(_.action.startsWith("stream-")) === 2)
+    // exhaustive probe (nProbe = nlist) over build+stream = brute force
+    // over the whole corpus — a lost or doubled batch would show here
+    val probes = vecs.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q_id"), col("n_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rows(Similarity.ivfProbeIndexed(tables, probes, "vec_id", "vec",
+        k = 3, nProbe = 4))
+      === rows(Similarity.bruteForceTopK(vecs, probes, "vec_id", "vec", k = 3)))
+    // re-delivery of the LATEST batch id (crash after commit, before the
+    // checkpoint advanced): the sink's guard sees the id and skips
+    val vBefore = tables.assigned.currentVersion()
+    val lastId = StreamIngest.lastStreamBatch(tables.assigned).get
+    if (!StreamIngest.lastStreamBatch(tables.assigned).contains(lastId))
+      Similarity.ivfAppendTo(tables, all.slice(36, 48).toDF("vec_id", "vec"),
+        "vec_id", "vec", action = s"stream-$lastId")
+    assert(tables.assigned.currentVersion() === vBefore)
+    assert(tables.assigned.read().count() === 48)
+  }
+
   test("re-delivered batch id is skipped (idempotent recovery)") {
     val table = SnapshotTable(spark, tmpDir("stream"))
     val batch = Seq((1, "a")).toDF("id", "v")
