@@ -182,6 +182,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     sparkS.sparkContext.setLogLevel("WARN")
+    // the fixture caches hold SnapshotTable handles bound to the STOPPED
+    // suite session — scale-block rows must build theirs under the live one
+    SparkEntry.resetCaches()
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     case class Meas(min: Double, med: Double)
@@ -200,6 +203,30 @@ object Bench {
         val t0 = System.nanoTime(); probe(); (System.nanoTime() - t0) / 1e9
       }
       Meas(ts.min, ts.sorted.apply(ts.size / 2))
+    }
+    // Structural leak guard (the r10 q48 probe made structural): after a
+    // row's probe reps + cleanup, any RDD persisted DURING the row that is
+    // still registered is recorded per row and force-released — several
+    // operators hand back small localCheckpoint'ed frames the caller owns
+    // (normally reclaimed by GC + ContextCleaner at an arbitrary later
+    // point); making the release deterministic keeps one row's residue out
+    // of the next row's measurement, and the recorded map keeps the claim
+    // "every row releases what it pins" measured, not argued. Ids are
+    // diffed, never counted (the ExtSpec flake rule: the async cleaner can
+    // reclaim an unrelated block mid-row).
+    val rddRetained = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def rddGuard[T](tag: String)(body: => T): T = {
+      val before = sparkS.sparkContext.getPersistentRDDs.keySet
+      val r = body
+      val leaked = sparkS.sparkContext.getPersistentRDDs
+        .filterNot(kv => before.contains(kv._1))
+      if (leaked.nonEmpty) {
+        rddRetained(tag) = leaked.size
+        leaked.values.foreach(_.unpersist(blocking = false))
+        System.err.println(
+          s"[bench][rdd-guard] $tag retained ${leaked.size} RDD(s) after cleanup — force-released")
+      }
+      r
     }
     val sc = graft.tools.ScaleCorpus
     val p1Dir = sys.env.get("SPARK_GRAFT_SCALING_HI")
@@ -237,10 +264,16 @@ object Bench {
       // pair-generation shapes — they take the full 100x stress
       SRow("q48_embedding_pairs", P012, declaredRow("q48_embedding_pairs")),
       SRow("q71_span_removal", P012, declaredRow("q71_span_removal")),
-      // ANN SERVING latency — build-once/probe-forever steady state
-      // (q67/q84/q87's 100 TB shape): index built UNTIMED per corpus
-      // with nlist ∝ √N (FAISS sizing), ONLY the probe timed.
-      SRow("ivf_probe", P012, { dir =>
+      // ANN probe against an IN-MEMORY index: the index is built UNTIMED
+      // per corpus with nlist ∝ √N (FAISS sizing) and ONLY the probe is
+      // timed — but each probe call still SCANS the whole persisted
+      // `assigned` frame to select the probed lists, so this row is
+      // LINEAR in corpus size BY CONSTRUCTION (recorded exp ~0.9-1.4);
+      // only candidate scoring inside the probed lists is √N. It is the
+      // lower bound the file-pruned `ivf_probe_indexed` row (q118's
+      // path, recorded flat) exists to beat — that row carries the
+      // serving claim, this one names the naive alternative.
+      SRow("ivf_probe_inmem", P012, { dir =>
         val emb = embAt(dir)
         val idx = ext.Similarity.ivfBuild(emb, "vec_id", "embedding",
           nlist = nlistFor(emb))
@@ -349,11 +382,6 @@ object Bench {
            batch, "doc_id")),
          () => ())
       }),
-      // the ALL-NOVEL indexed serve (the production steady state: a batch
-      // with no corpus collisions) — synthetic id-derived tokens cannot
-      // reach any corpus band, so the probe key-set prunes to ZERO index
-      // files and the serve cost is the batch's own signature pass;
-      // should sit flat regardless of index size
       // the REFERENCE's core op at scale: a FIXED 5k-key staged batch
       // keyed-upserted (precombine + CoW MERGE) into the corpus table,
       // range-clustered on the key at ~constant file size (untimed
@@ -378,6 +406,11 @@ object Bench {
           .localCheckpoint()
         (() => { t.upsert(batch, Seq("id"), "ver"); () }, () => ())
       }),
+      // the ALL-NOVEL indexed serve (the production steady state: a batch
+      // with no corpus collisions) — synthetic id-derived tokens cannot
+      // reach any corpus band, so the probe key-set prunes to ZERO index
+      // files and the serve cost is the batch's own signature pass;
+      // should sit flat regardless of index size
       SRow("dedup_serve_indexed_novel", P12, { dir =>
         val corpus = docsAt(dir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -410,9 +443,11 @@ object Bench {
         dir <- pointDirs(p)
       } yield {
         try {
-          val (probe, cleanup) = row.mk(dir)
-          val n = if (p == 2) hiReps else scalingReps
-          val m = try measure(probe, n, row.warm) finally cleanup()
+          val m = rddGuard(s"${row.name}@p$p") {
+            val (probe, cleanup) = row.mk(dir)
+            val n = if (p == 2) hiReps else scalingReps
+            try measure(probe, n, row.warm) finally cleanup()
+          }
           Some((row.name, p) -> m)
         } catch { case e: Throwable =>
           System.err.println(s"[bench][scaling] ${row.name}@p$p: ${e.getMessage}")
@@ -440,8 +475,10 @@ object Bench {
           ext.Dedup.release(pairs)
           (m, edges)
         }
-        val (lo, eLo) = ccAt(sc.DenseLoDir, sc.denseDocuments(sparkS, sc.DenseLoDocs))
-        val (hi, eHi) = ccAt(sc.DenseHiDir, sc.denseDocuments(sparkS, sc.DenseHiDocs))
+        val (lo, eLo) = rddGuard("cc_distributed@lo")(
+          ccAt(sc.DenseLoDir, sc.denseDocuments(sparkS, sc.DenseLoDocs)))
+        val (hi, eHi) = rddGuard("cc_distributed@hi")(
+          ccAt(sc.DenseHiDir, sc.denseDocuments(sparkS, sc.DenseHiDocs)))
         Some((lo, hi, eLo, eHi))
       } catch { case e: Throwable =>
         System.err.println(s"[bench][scaling] cc_distributed: ${e.getMessage}"); None
@@ -479,7 +516,7 @@ object Bench {
     // but untimed-for-exponent (one-off cost).
     val bpe32k: Option[(Int, Double, Double, Long, Long)] =
       if (p2Dir.isEmpty) None
-      else try {
+      else try rddGuard("bpe32k") {
         sc.ensureDocs(sparkS, sc.RichDir, sc.richDocuments(sparkS, sc.RichDocs))
         val docs = sparkS.read.parquet(s"${sc.RichDir}/documents.parquet")
           .localCheckpoint()
@@ -518,12 +555,20 @@ object Bench {
     // wall-clocks and rep counts live in BENCH_DETAIL.json — the
     // driver's tail capture keeps ~2000 chars and the r6 bench lost
     // its suite head to exactly this
+    val rddHead =
+      if (rddRetained.isEmpty) ""
+      else s""","rdd_retained_rows":${rddRetained.size}"""
     val scaling = s""","scaling_fmt":"[exp_min,exp_med]"""" +
-      headBlock("scaling_10x", block10) + headBlock("scaling_100x", block100) + bpeHead
+      headBlock("scaling_10x", block10) + headBlock("scaling_100x", block100) +
+      bpeHead + rddHead
+    // {} when every row released what it pinned — recording the emptiness
+    // is the point (the structural form of the r10 one-off leak probe)
+    val rddDetail = s""","rdd_retained":${rddRetained.map { case (k, v) =>
+      "\"" + k + "\":" + v }.mkString("{", ",", "}")}"""
     val scalingDetail = pointsDetail +
       detailBlock("scaling_10x", block10) +
       detailBlock("scaling_100x", block100) +
-      ccDetail + bpeDetail
+      ccDetail + bpeDetail + rddDetail
     // Testdata fingerprint: per-table row counts + an order-independent
     // content hash (bit_xor of per-row xxhash64). The driver may
     // REGENERATE /root/testdata between rounds (round 6's events.ts type
