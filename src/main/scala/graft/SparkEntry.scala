@@ -305,6 +305,7 @@ object SparkEntry {
     ivfSq8TableCache.clear()
     ivfPqTableCache.clear()
     ivfStreamTableCache.clear()
+    vacuumCache.clear()
     builtIndexPairs.clear()
   }
 
@@ -1497,6 +1498,100 @@ object SparkEntry {
       |  FROM scored)
       |SELECT q_id, n_id, round(c, 4) AS cos, TRUE AS paced_batches
       |FROM ranked WHERE rnk <= 5 ORDER BY q_id, n_id""".stripMargin
+
+  /** Q122 — VACUUM + retention as a gated query (the maintenance surface
+   *  q111's foreign-reader technique applied to garbage collection; the
+   *  SQL statement form stays MaintenanceSqlSpec-covered): a table takes
+   *  three deterministic mutations, a TAG pins the post-update version
+   *  as a retention promise, then `vacuum(retainVersions = 1,
+   *  retainMillis = 0)` reclaims every dead file and expires the old log
+   *  slots. The declared result reads BOTH faces afterwards — the head
+   *  (v3) and the tag (v1, resolved from the entry copy the vacuum
+   *  embeds in the ref once its log slot expires) — and the oracle
+   *  replays both from the base table. A file reclaimed too eagerly
+   *  (tag-live files, the stale-reader hazard that breaks foreign
+   *  engines) kills the tag read or its hash; a vacuum that reclaims
+   *  NOTHING fails the structural `files_reclaimed` column. Built once
+   *  per scale dir (a vacuumed table cannot restore to its pristine
+   *  version — the old slots are gone by design); reps re-read the two
+   *  faces. */
+  private val vacuumCache = scala.collection.concurrent.TrieMap[
+    String, (SnapshotTable, Boolean)]()
+
+  private def vacuumRetentionQuery(s: SparkSession, dir: String): DataFrame = {
+    val customer = s.read.parquet(s"$dir/customer.parquet")
+    val base = customer.select(col("c_custkey").as("id"),
+      col("c_mktsegment").as("state"), col("c_acctbal").as("bal"))
+    val (t, reclaimed) = vacuumCache.getOrElseUpdate(dir, {
+      val tt = SnapshotTable.create(s,
+        Files.createTempDirectory("graft_q122").toString,
+        base.repartitionByRange(4, col("id")))                            // v0
+      tt.update(col("id") % 5 === 0, Map("state" -> lower(col("state")))) // v1
+      tt.createTag("audit") // retention promise: v1's files stay alive
+      tt.delete(col("id") % 7 === 3)                                      // v2
+      tt.update(col("id") % 3 === 1, Map("bal" -> (col("bal") * 2)))      // v3
+      val n = tt.vacuum(retainVersions = 1, retainMillis = 0L)
+      (tt, n > 0)
+    })
+    t.read().withColumn("which", lit("head"))
+      .unionByName(t.readTag("audit").withColumn("which", lit("tag")))
+      .select(col("which"), col("id"), col("state"),
+        round(col("bal"), 2).as("bal"), lit(reclaimed).as("files_reclaimed"))
+      .orderBy("which", "id")
+  }
+  private val Q122Duck =
+    """WITH base AS (SELECT c_custkey AS id, c_mktsegment AS state,
+      |                     c_acctbal AS bal FROM customer),
+      |s1 AS (SELECT id, CASE WHEN id % 5 = 0 THEN lower(state) ELSE state END AS state,
+      |              bal FROM base),
+      |head AS (SELECT id, state,
+      |                CASE WHEN id % 3 = 1 THEN bal * 2 ELSE bal END AS bal
+      |         FROM s1 WHERE id % 7 <> 3)
+      |SELECT 'head' AS which, id, state, round(bal, 2) AS bal,
+      |       TRUE AS files_reclaimed FROM head
+      |UNION ALL
+      |SELECT 'tag', id, state, round(bal, 2), TRUE FROM s1
+      |ORDER BY which, id""".stripMargin
+
+  /** Q123 — KLL ESTIMATOR regime as a gated query (q109 pins the exact
+   *  regime cross-engine; this declares the compacting regime's
+   *  CONTRACT): per-language length quantiles at k = 64 — under the
+   *  per-language row counts at every shipped SF, so compaction really
+   *  fires — checked against the sketch's rank-error envelope computed
+   *  EXACTLY over the data (one equi-join + hash-agg, no window). The
+   *  emitted row is (lang, q_idx, n, within_envelope): the booleans are
+   *  deterministic across merge orders precisely because the envelope
+   *  is the estimator's portable invariant, and `n` keeps the row tied
+   *  to real data. Byte-level cross-engine replay of the compaction is
+   *  OUT OF SCOPE by design: level-0 fill order and the partial-merge
+   *  tree are scheduler-dependent, so the served VALUE is not a
+   *  portable quantity — the rank-error contract is (SURVEY §6). The
+   *  envelope is the spec's 3–5% regression band plus the 1/n rank
+   *  granularity, so the exact regime (tiny languages at sf0.001)
+   *  passes through the same check. */
+  private def kllEnvelopeQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("n_chars").cast("double").as("v"))
+    val qs = Seq(0.25, 0.5, 0.75)
+    val est = docs.groupBy("lang")
+      .agg(ext.functions.quantileSketchMulti(col("v"), qs, 64).as("est"))
+      .select(col("lang"), posexplode(col("est")).as(Seq("qi", "v_est")))
+    val q = when(col("qi") === 0, 0.25)
+      .when(col("qi") === 1, 0.5).otherwise(0.75)
+    docs.join(est, "lang")
+      .groupBy("lang", "qi", "v_est")
+      .agg(sum(when(col("v") <= col("v_est"), 1L).otherwise(0L)).as("n_le"),
+        count(lit(1)).as("n"))
+      .select(col("lang"), col("qi").cast("long").as("q_idx"), col("n"),
+        (abs(col("n_le").cast("double") / col("n") - q) <=
+          lit(0.05) + lit(1.0) / col("n")).as("within_envelope"))
+      .orderBy("lang", "q_idx")
+  }
+  private val Q123Duck =
+    """SELECT lang, CAST(t.q_idx AS BIGINT) AS q_idx, count(*) AS n,
+      |       TRUE AS within_envelope
+      |FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS t(q_idx)
+      |GROUP BY lang, t.q_idx ORDER BY lang, q_idx""".stripMargin
 
   /** Q29 — hyperplane-LSH ANN structurally oracled (q49 technique
    *  inlined): an identical id-shifted copy of every vector is planted;
@@ -3861,7 +3956,9 @@ object SparkEntry {
     "q118_ivf_indexed" -> ivfIndexedQuery,
     "q119_ivf_sq8_indexed" -> ivfSq8IndexedQuery,
     "q120_ivf_pq_indexed" -> ivfPqIndexedQuery,
-    "q121_ivf_stream" -> ivfStreamQuery)
+    "q121_ivf_stream" -> ivfStreamQuery,
+    "q122_vacuum_retention" -> vacuumRetentionQuery,
+    "q123_kll_envelope" -> kllEnvelopeQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4025,7 +4122,15 @@ object SparkEntry {
     // q22 brute-force oracle applies verbatim (q118's argument with the
     // append half delivered by the streaming sink); paced_batches is
     // the structural stream-commit count
-    "q121_ivf_stream" -> Q121Duck)
+    "q121_ivf_stream" -> Q121Duck,
+    // both faces replay from base data: head = all three mutations,
+    // tag = the pinned post-update version; a too-eager reclaim breaks
+    // the tag read (rows/hash), a no-op vacuum fails files_reclaimed
+    "q122_vacuum_retention" -> Q122Duck,
+    // the estimator's portable invariant is the rank-error envelope —
+    // the booleans are computed exactly over the data in Spark and must
+    // all come back TRUE; n ties each row to the real per-lang counts
+    "q123_kll_envelope" -> Q123Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique
