@@ -164,7 +164,7 @@ object Bench {
     // survey may quote only what this artifact records. Headline rows
     // are "name":[exp_min, exp_med]; full lo/hi/reps detail lands in
     // BENCH_DETAIL.json.
-    import org.apache.spark.sql.functions.{col, lit, sum => ssum, size => ssize}
+    import org.apache.spark.sql.functions.{col, concat, lit, sum => ssum, size => ssize}
     // The scale block runs in a FRESH session: after 116 queries × 4
     // runs the suite session carries residue (persisted snapshot-table
     // state, streaming checkpoints, broadcast backlog, old-gen
@@ -541,6 +541,90 @@ object Bench {
     val bpeDetail = bpe32k.map { case (nm, trainSec, encSec, tokens, nDocs) =>
       s""","bpe32k":{"merges":$nm,"train_sec":${jnum(trainSec)},"encode_sec":${jnum(encSec)},"docs":$nDocs,"tokens":$tokens,"tok_per_sec":${(tokens / encSec).toLong},"corpus":"${sc.RichDir}"}"""
     }.getOrElse("")
+    // -------- concurrent-writer steady state (the reference's multi-
+    // writer DynamoDB-lock scenario, hudi/hudi_scd_script.py:41-48) --------
+    // The OCC machinery (append auto-retry, maintenance rebase, row-
+    // rewrite disjoint rebase) is race-SPEC'd; this row MEASURES it under
+    // contention: four threads run keyed upserts over DISJOINT key ranges
+    // of the 10x corpus table while a fifth compacts a fifth, untouched
+    // range (OPTIMIZE ... WHERE beside ingest — the steady state of
+    // scheduled maintenance). Recorded: commits/sec, successful rebases
+    // (losing a slot CAS and re-landing with zero recompute — the
+    // expected path), surfaced conflicts (expected ZERO for disjoint
+    // ranges), and a serial-equivalence check: the concurrent table's
+    // content hash must equal a sequential replay of the same batches —
+    // disjoint keyed upserts commute, so any interleaving converges.
+    val mw: Option[(Double, Long, Long, Long, Boolean)] =
+      if (p1Dir.isEmpty) None
+      else try rddGuard("multi_writer") {
+        import graft.tables.SnapshotTable
+        val docs = docsAt(p1Dir.get)
+          .select(col("doc_id").cast("long").as("id"), col("text"),
+            lit(0L).as("ver"))
+          .localCheckpoint()
+        val n = docs.count()
+        def mkTable(): SnapshotTable = {
+          val tmp = java.nio.file.Files.createTempDirectory("graft_bench_mw")
+          val t = SnapshotTable.create(sparkS, tmp.toString, docs.limit(1))
+          t.setClusterSpec(Seq("id"))
+          t.overwriteClustered(docs, Seq("id"), 32)
+          t
+        }
+        val writers = 4
+        val batchesPer = 5
+        val span = n / (writers + 1) // the fifth span is the compactor's
+        val batches: Map[(Int, Int), org.apache.spark.sql.DataFrame] =
+          (for { w <- 0 until writers; b <- 0 until batchesPer } yield {
+            val lo = w * span + b * 500
+            (w, b) -> sparkS.range(lo, lo + 500)
+              .select(col("id"),
+                concat(lit(s"w$w b$b text "), col("id")).as("text"),
+                lit((b + 1).toLong).as("ver"))
+              .localCheckpoint()
+          }).toMap
+        val t = mkTable()
+        SnapshotTable.occStats.reset()
+        val conflicts = new java.util.concurrent.atomic.AtomicLong
+        val v0 = t.currentVersion()
+        val t0 = System.nanoTime()
+        val threads = (0 until writers).map { w =>
+          new Thread(() => (0 until batchesPer).foreach { b =>
+            try { t.upsert(batches((w, b)), Seq("id"), "ver"); () }
+            catch { case _: SnapshotTable.ConcurrentCommitException =>
+              conflicts.incrementAndGet(); () }
+          }, s"mw-writer-$w")
+        } :+ new Thread(() => (1 to 3).foreach { _ =>
+          try { t.compact(targetFileBytes = 1L << 30,
+            smallFileBytes = 1L << 30,
+            scope = Some(col("id") >= writers * span)); () }
+          catch { case _: SnapshotTable.ConcurrentCommitException =>
+            conflicts.incrementAndGet(); () }
+        }, "mw-compactor")
+        threads.foreach(_.start()); threads.foreach(_.join())
+        val sec = (System.nanoTime() - t0) / 1e9
+        val commits = t.currentVersion() - v0
+        val rebases = SnapshotTable.occStats.rebases.get()
+        val seq = mkTable()
+        for (w <- 0 until writers; b <- 0 until batchesPer)
+          seq.upsert(batches((w, b)), Seq("id"), "ver")
+        def hashOf(tt: SnapshotTable): (Long, Long) = {
+          val r = tt.read()
+            .selectExpr("bit_xor(xxhash64(id, text, ver))", "count(1)").head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val ok = hashOf(t) == hashOf(seq)
+        graft.ext.Dedup.release(docs)
+        batches.values.foreach(graft.ext.Dedup.release)
+        Some((sec, commits, rebases, conflicts.get(), ok))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench][multi_writer]: ${e.getMessage}"); None
+      }
+    val mwHead = mw.map { case (sec, commits, rebases, conflicts, ok) =>
+      s""","multi_writer":{"commits_per_sec":${jnum(commits / sec)},"rebases":$rebases,"conflicts":$conflicts,"serial_equiv":$ok}"""
+    }.getOrElse("")
+    val mwDetail = mw.map { case (sec, commits, rebases, conflicts, ok) =>
+      s""","multi_writer":{"sec":${jnum(sec)},"commits":$commits,"writers":4,"upserts_per_writer":5,"compact_passes":3,"commits_per_sec":${jnum(commits / sec)},"rebases":$rebases,"conflicts":$conflicts,"serial_equiv":$ok}"""
+    }.getOrElse("")
     // end-of-run calibration: the suite + scale matrix take ~15 min, long
     // enough for box conditions to change under the measurements
     val (calibCpu1, calibSpark1) = calibrate(sparkS)
@@ -560,7 +644,7 @@ object Bench {
       else s""","rdd_retained_rows":${rddRetained.size}"""
     val scaling = s""","scaling_fmt":"[exp_min,exp_med]"""" +
       headBlock("scaling_10x", block10) + headBlock("scaling_100x", block100) +
-      bpeHead + rddHead
+      bpeHead + mwHead + rddHead
     // {} when every row released what it pinned — recording the emptiness
     // is the point (the structural form of the r10 one-off leak probe)
     val rddDetail = s""","rdd_retained":${rddRetained.map { case (k, v) =>
@@ -568,7 +652,7 @@ object Bench {
     val scalingDetail = pointsDetail +
       detailBlock("scaling_10x", block10) +
       detailBlock("scaling_100x", block100) +
-      ccDetail + bpeDetail + rddDetail
+      ccDetail + bpeDetail + mwDetail + rddDetail
     // Testdata fingerprint: per-table row counts + an order-independent
     // content hash (bit_xor of per-row xxhash64). The driver may
     // REGENERATE /root/testdata between rounds (round 6's events.ts type

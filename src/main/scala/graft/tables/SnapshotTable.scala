@@ -677,6 +677,7 @@ class SnapshotTable private (
                 hv > baseV && prior.exists(p => maintenanceRebaseSafe(p, h, sources)) })
             throw e
           val (hv, h) = head.get
+          SnapshotTable.occStats.rebases.incrementAndGet()
           baseV = hv
           carried = h.files.filterNot(f => sources.contains(f.path))
       }
@@ -813,6 +814,7 @@ class SnapshotTable private (
               !head.exists { case (hv, h) =>
                 hv > baseV && base.exists(b => appendRebaseSafe(b, h)) }) throw e
           val (hv, h) = head.get
+          SnapshotTable.occStats.rebases.incrementAndGet()
           base = Some(h)
           baseV = hv
       }
@@ -1028,6 +1030,7 @@ class SnapshotTable private (
           }
           if (!safe) throw e
           val (hv, h) = head.get
+          SnapshotTable.occStats.rebases.incrementAndGet()
           baseV = hv
           carried = h.files.filterNot(f => sources.contains(f.path))
       }
@@ -3238,6 +3241,18 @@ object SnapshotTable {
 
   class ConcurrentCommitException(msg: String, cause: Throwable = null)
     extends RuntimeException(msg, cause)
+
+  /** Process-wide OCC observability: one counter per SUCCESSFUL rebase
+   *  retry (a commit that lost its slot CAS, verified the interleaved
+   *  head commutes under its rule — blind-append / disjoint-maintenance /
+   *  disjoint-read-set — and re-landed on the new base with zero
+   *  recompute). Surfaced conflicts are counted by the caller (they see
+   *  the exception); this counts what would otherwise be invisible.
+   *  Diagnostics/benchmarks only — never consulted by commit logic. */
+  object occStats {
+    val rebases = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = rebases.set(0)
+  }
 
   /** Table property holding the newline-joined, sorted list of staging
    *  file paths already ingested by [[SnapshotTable.copyInto]] — the
