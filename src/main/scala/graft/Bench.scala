@@ -619,6 +619,54 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench][multi_writer]: ${e.getMessage}"); None
       }
+    // -------- index maintenance steady state (build → ingest appends →
+    // recluster — the lifecycle behind q124, measured): a serve over an
+    // append-bloated index vs the same index after compactMinhashIndex.
+    // The appends are heavy-duplicate copies of corpus slices — the worst
+    // case for the probe, since every appended file's band keys ARE probe
+    // targets — so file growth translates into real per-serve read work,
+    // not just driver-side manifest checks the blooms would absorb.
+    val im: Option[(Meas, Meas, Meas, Int, Int, Int)] =
+      if (p1Dir.isEmpty) None
+      else try Some(rddGuard("index_maintenance") {
+        val corpus = docsAt(p1Dir.get)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .localCheckpoint()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_imaint")
+        val (bandT, sigT) = ext.Dedup.buildMinhashIndexTables(sparkS,
+          s"$tmp/bands", s"$tmp/sigs", corpus, "doc_id", "text",
+          filesPerTable = 64)
+        // serve batch: 500 copies — probes that really read index files
+        val batch = corpus.filter(col("doc_id") % 100 === 7).limit(500)
+          .select((col("doc_id") + lit(2000000000L)).as("doc_id"), col("text"))
+          .localCheckpoint()
+        def serve(): Unit = noop(ext.Dedup.dedupIncrementalFromPairs(
+          ext.Dedup.minhashPairsIncrementalIndexed(bandT, sigT, batch,
+            "doc_id", "text"), batch, "doc_id"))
+        val files0 = bandT.manifest().size + sigT.manifest().size
+        val m0 = measure(() => serve(), 3, warm = true)
+        (0 until 8).foreach { b =>
+          val app = corpus.filter(col("doc_id") % 100 === b).limit(500)
+            .select((col("doc_id") + lit((b + 1) * 10000000L)).as("doc_id"),
+              col("text"))
+          ext.Dedup.minhashIndexAppend(bandT, sigT, app, "doc_id", "text")
+        }
+        val files1 = bandT.manifest().size + sigT.manifest().size
+        val m1 = measure(() => serve(), 3, warm = true)
+        ext.Dedup.compactMinhashIndex(bandT, sigT, filesPerTable = 64)
+        val files2 = bandT.manifest().size + sigT.manifest().size
+        val m2 = measure(() => serve(), 3, warm = true)
+        ext.Dedup.release(corpus); ext.Dedup.release(batch)
+        (m0, m1, m2, files0, files1, files2)
+      }) catch { case e: Throwable =>
+        System.err.println(s"[bench][index_maintenance]: ${e.getMessage}"); None
+      }
+    val imHead = im.map { case (m0, m1, m2, f0, f1, f2) =>
+      s""","index_maintenance":{"serve_fresh":${jnum(m0.med)},"serve_appended":${jnum(m1.med)},"serve_compacted":${jnum(m2.med)},"files_fresh":$f0,"files_appended":$f1,"files_compacted":$f2}"""
+    }.getOrElse("")
+    val imDetail = im.map { case (m0, m1, m2, f0, f1, f2) =>
+      s""","index_maintenance":{"serve_fresh":[${jnum(m0.min)},${jnum(m0.med)}],"serve_appended":[${jnum(m1.min)},${jnum(m1.med)}],"serve_compacted":[${jnum(m2.min)},${jnum(m2.med)}],"files":[$f0,$f1,$f2],"appends":8,"append_rows":500,"batch_rows":500}"""
+    }.getOrElse("")
     val mwHead = mw.map { case (sec, commits, rebases, conflicts, ok) =>
       s""","multi_writer":{"commits_per_sec":${jnum(commits / sec)},"rebases":$rebases,"conflicts":$conflicts,"serial_equiv":$ok}"""
     }.getOrElse("")
@@ -644,7 +692,7 @@ object Bench {
       else s""","rdd_retained_rows":${rddRetained.size}"""
     val scaling = s""","scaling_fmt":"[exp_min,exp_med]"""" +
       headBlock("scaling_10x", block10) + headBlock("scaling_100x", block100) +
-      bpeHead + mwHead + rddHead
+      bpeHead + mwHead + imHead + rddHead
     // {} when every row released what it pinned — recording the emptiness
     // is the point (the structural form of the r10 one-off leak probe)
     val rddDetail = s""","rdd_retained":${rddRetained.map { case (k, v) =>
@@ -652,7 +700,7 @@ object Bench {
     val scalingDetail = pointsDetail +
       detailBlock("scaling_10x", block10) +
       detailBlock("scaling_100x", block100) +
-      ccDetail + bpeDetail + mwDetail + rddDetail
+      ccDetail + bpeDetail + mwDetail + imDetail + rddDetail
     // Testdata fingerprint: per-table row counts + an order-independent
     // content hash (bit_xor of per-row xxhash64). The driver may
     // REGENERATE /root/testdata between rounds (round 6's events.ts type

@@ -307,6 +307,8 @@ object SparkEntry {
     ivfStreamTableCache.clear()
     vacuumCache.clear()
     builtIndexPairs.clear()
+    builtMaintIndex.clear()
+    streamIndexedCache.clear()
   }
 
   private def warmTable(key: String, dir: String)(build: => SnapshotTable): SnapshotTable = {
@@ -3716,6 +3718,177 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Q124 — INDEX MAINTENANCE lifecycle (build → append → compact →
+   *  serve): q117's index pair is built on only HALF the corpus
+   *  (doc_id % 4 = 0), extended to the full even-docs corpus by two
+   *  [[ext.Dedup.minhashIndexAppend]] batches (signed under the
+   *  tables' pinned geometry — the call site passes none), then
+   *  reclustered by [[ext.Dedup.compactMinhashIndex]] back to the
+   *  build-time file floor. The declared result serves q117's exact
+   *  batch, so q66's oracle applies VERBATIM: an append that missed
+   *  rows, signed at drifted geometry, or a compaction that lost /
+   *  duplicated / mis-clustered a signature all change the served
+   *  survivor set and fail the hash. ExtSpec pins the file-count
+   *  mechanics; the 100 TB claim is the steady state this models —
+   *  continuous ingest + scheduled maintenance with zero serve
+   *  divergence. */
+  private val builtMaintIndex = scala.collection.concurrent.TrieMap[
+    String, (graft.tables.SnapshotTable, graft.tables.SnapshotTable)]()
+  private def indexMaintenanceQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val (bandT, sigT) = builtMaintIndex.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft_q124_idx")
+      val pair = ext.Dedup.buildMinhashIndexTables(s,
+        s"$tmp/bands", s"$tmp/sigs", docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text")
+      ext.Dedup.minhashIndexAppend(pair._1, pair._2,
+        docs.filter(col("doc_id") % 8 === 2), "doc_id", "text")
+      ext.Dedup.minhashIndexAppend(pair._1, pair._2,
+        docs.filter(col("doc_id") % 8 === 6), "doc_id", "text")
+      ext.Dedup.compactMinhashIndex(pair._1, pair._2)
+      pair
+    })
+    val copies = docs.filter(col("doc_id") % 4 === 0)
+      .select(shiftedId(col("doc_id")).as("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 4 === 2)
+      .select((shiftedId(col("doc_id")) + lit(PlantShift)).as("doc_id"),
+        format_string("zqa%d zqb%d zqc%d zqd%d zqe%d",
+          col("doc_id"), col("doc_id"), col("doc_id"), col("doc_id"),
+          col("doc_id")).as("text"))
+    val batch = copies.unionByName(fresh)
+    val pairs = ext.Dedup.minhashPairsIncrementalIndexed(
+      bandT, sigT, batch, "doc_id", "text")
+    val corpusFound = pairs
+      .filter(col("in_corpus"))
+      .select(col("id_a").as("doc_id")).distinct().withColumn("cf", lit(1))
+    val survived = ext.Dedup
+      .dedupIncrementalFromPairs(pairs, batch, "doc_id")
+      .select(col("doc_id")).withColumn("sv", lit(1))
+    batch.select(col("doc_id"))
+      .join(corpusFound, Seq("doc_id"), "left")
+      .join(survived, Seq("doc_id"), "left")
+      .select(
+        when(col("doc_id") >= 2L * PlantShift, col("doc_id") - 2L * PlantShift)
+          .otherwise(col("doc_id") - PlantShift).as("doc_id"),
+        (col("doc_id") < 2L * PlantShift).as("is_copy"),
+        col("cf").isNotNull.as("corpus_dup_found"),
+        col("sv").isNotNull.as("survived"))
+      .orderBy("doc_id")
+  }
+
+  /** Q125 — STREAMING INDEXED dedup ingest
+   *  ([[graft.streaming.StreamIngest.indexedDedupIngestSink]] — q114's
+   *  streaming-ingest shape over the PERSISTED key-probed index, the
+   *  production steady state at index sizes where the flat sink's
+   *  per-batch full index scan stops being payable): the index pair is
+   *  built on the even docs, a source table takes THREE commits —
+   *  (corpus copies + fresh1), (resends of fresh1 + fresh2), (resends
+   *  of fresh2 + fresh3) — replayed as paced micro-batches. Copies must
+   *  drop against the BUILT index; each resend wave must drop against
+   *  rows APPENDED by the previous batch (the cross-batch index-growth
+   *  proof); every fresh wave must land. The oracle replays all six id
+   *  classes as constants; a lost index append, a batch applied twice,
+   *  or a serve missing appended files all shift the landed set and
+   *  fail the hash. `paced_batches` structurally asserts one stream
+   *  commit per source version on BOTH the data table and the signature
+   *  index. */
+  private val streamIndexedCache = scala.collection.concurrent.TrieMap[
+    String, (graft.tables.SnapshotTable, graft.tables.SnapshotTable)]()
+  private def streamIndexedDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    def freshText(tag: String, d: Column): Column =
+      format_string(s"${tag}a%d ${tag}b%d ${tag}c%d ${tag}d%d ${tag}e%d",
+        d, d, d, d, d)
+    val (landed, sigT) = streamIndexedCache.getOrElseUpdate(dir, {
+      val tmp = Files.createTempDirectory("graft_q125_idx")
+      val (bandT, sigT) = ext.Dedup.buildMinhashIndexTables(s,
+        s"$tmp/bands", s"$tmp/sigs", docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      val d = col("doc_id")
+      val b1 = docs.filter(d % 8 === 0)
+          .select((d + lit(PlantShift)).as("doc_id"), col("text"))
+        .unionByName(docs.filter(d % 8 === 2)
+          .select((d + lit(2L * PlantShift)).as("doc_id"),
+            freshText("vq", d).as("text")))
+      val b2 = docs.filter(d % 8 === 2)
+          .select((d + lit(3L * PlantShift)).as("doc_id"),
+            freshText("vq", d).as("text")) // resend of fresh1 content
+        .unionByName(docs.filter(d % 8 === 6)
+          .select((d + lit(4L * PlantShift)).as("doc_id"),
+            freshText("wq", d).as("text")))
+      val b3 = docs.filter(d % 8 === 6)
+          .select((d + lit(5L * PlantShift)).as("doc_id"),
+            freshText("wq", d).as("text")) // resend of fresh2 content
+        .unionByName(docs.filter(d % 8 === 4)
+          .select((d + lit(6L * PlantShift)).as("doc_id"),
+            freshText("xq", d).as("text")))
+      val src = SnapshotTable.create(s,
+        Files.createTempDirectory("graft_q125s").toString, b1)
+      src.append(b2)
+      src.append(b3)
+      val landed = SnapshotTable(s,
+        Files.createTempDirectory("graft_q125d").toString)
+      val ckpt = Files.createTempDirectory("graft_q125k").toString
+      (1 to 3).foreach { _ =>
+        val stream = s.readStream.format("graft-table")
+          .option("path", src.root)
+          .option("maxVersionsPerTrigger", "1")
+          .load()
+        graft.streaming.StreamIngest.runOnce(
+          graft.streaming.StreamIngest.indexedDedupIngestSink(
+            stream, landed, bandT, sigT, "doc_id", "text"), ckpt)
+      }
+      (landed, sigT)
+    })
+    val paced =
+      landed.history().count(_.action.startsWith("stream-")) == 3 &&
+        sigT.history().count(_.action.startsWith("stream-")) == 3
+    val d = col("doc_id")
+    val streamed = docs.filter(d % 8 === 0)
+        .select(d.as("base_id"), (d + lit(PlantShift)).as("sid"),
+          lit("copy").as("cls"))
+      .unionByName(docs.filter(d % 8 === 2)
+        .select(d.as("base_id"), (d + lit(2L * PlantShift)).as("sid"),
+          lit("fresh1").as("cls")))
+      .unionByName(docs.filter(d % 8 === 2)
+        .select(d.as("base_id"), (d + lit(3L * PlantShift)).as("sid"),
+          lit("resend1").as("cls")))
+      .unionByName(docs.filter(d % 8 === 6)
+        .select(d.as("base_id"), (d + lit(4L * PlantShift)).as("sid"),
+          lit("fresh2").as("cls")))
+      .unionByName(docs.filter(d % 8 === 6)
+        .select(d.as("base_id"), (d + lit(5L * PlantShift)).as("sid"),
+          lit("resend2").as("cls")))
+      .unionByName(docs.filter(d % 8 === 4)
+        .select(d.as("base_id"), (d + lit(6L * PlantShift)).as("sid"),
+          lit("fresh3").as("cls")))
+    streamed
+      .join(landed.read().select(col("doc_id").as("sid"))
+        .withColumn("sv", lit(1)), Seq("sid"), "left")
+      .select(col("base_id").as("doc_id"), col("cls"),
+        col("sv").isNotNull.as("survived"),
+        lit(paced).as("paced_batches"))
+      .orderBy("cls", "doc_id")
+  }
+  private val Q125Duck =
+    """WITH cls AS (
+      |  SELECT doc_id, 'copy' AS cls, FALSE AS survived
+      |  FROM documents WHERE doc_id % 8 = 0
+      |  UNION ALL SELECT doc_id, 'fresh1', TRUE
+      |  FROM documents WHERE doc_id % 8 = 2
+      |  UNION ALL SELECT doc_id, 'resend1', FALSE
+      |  FROM documents WHERE doc_id % 8 = 2
+      |  UNION ALL SELECT doc_id, 'fresh2', TRUE
+      |  FROM documents WHERE doc_id % 8 = 6
+      |  UNION ALL SELECT doc_id, 'resend2', FALSE
+      |  FROM documents WHERE doc_id % 8 = 6
+      |  UNION ALL SELECT doc_id, 'fresh3', TRUE
+      |  FROM documents WHERE doc_id % 8 = 4)
+      |SELECT doc_id, cls, survived, TRUE AS paced_batches
+      |FROM cls ORDER BY cls, doc_id""".stripMargin
+
   /** Q66 — incremental near-dup dedup ([[ext.Dedup.minhashSignatures]] /
    *  [[ext.Dedup.minhashPairsIncremental]] / [[ext.Dedup.dedupIncremental]]),
    *  structurally oracled (q49 technique): the corpus index is the even
@@ -3958,7 +4131,9 @@ object SparkEntry {
     "q120_ivf_pq_indexed" -> ivfPqIndexedQuery,
     "q121_ivf_stream" -> ivfStreamQuery,
     "q122_vacuum_retention" -> vacuumRetentionQuery,
-    "q123_kll_envelope" -> kllEnvelopeQuery)
+    "q123_kll_envelope" -> kllEnvelopeQuery,
+    "q124_index_maintenance" -> indexMaintenanceQuery,
+    "q125_stream_indexed_dedup" -> streamIndexedDedupQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4130,7 +4305,12 @@ object SparkEntry {
     // the estimator's portable invariant is the rank-error envelope —
     // the booleans are computed exactly over the data in Spark and must
     // all come back TRUE; n ties each row to the real per-lang counts
-    "q123_kll_envelope" -> Q123Duck)
+    "q123_kll_envelope" -> Q123Duck,
+    // serves q117's exact batch over a built→appended→compacted index,
+    // so the q66 oracle applies verbatim — any maintenance divergence
+    // (lost/duplicated/mis-signed rows) shifts the survivor set
+    "q124_index_maintenance" -> Q66Duck,
+    "q125_stream_indexed_dedup" -> Q125Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

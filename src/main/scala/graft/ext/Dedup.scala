@@ -639,6 +639,95 @@ object Dedup {
     result
   }
 
+  /** The minhash geometry a persisted index pair was built at
+   *  ([[buildMinhashIndexTables]] pins all four parameters in the table
+   *  properties). Streaming/append callers derive their signing
+   *  parameters FROM the table instead of trusting call-site defaults —
+   *  the ivfAppendTo discipline; an unpinned table refuses loudly. */
+  final case class MinhashGeometry(
+      shingleSize: Int, numHashes: Int, bands: Int, seed: Long)
+
+  def indexGeometryOf(t: graft.tables.SnapshotTable): MinhashGeometry = {
+    val props = t.properties()
+    def req(k: String): String = props.getOrElse(s"graft.minhash.$k",
+      throw new IllegalArgumentException(
+        s"requirement failed: table ${t.root} pins no minhash $k — not an " +
+          "index table built by buildMinhashIndexTables"))
+    MinhashGeometry(req("shingleSize").toInt, req("numHashes").toInt,
+      req("bands").toInt, req("seed").toLong)
+  }
+
+  /**
+   * Extend a persisted minhash index pair with `batch`'s rows — the
+   * ingest half of the indexed-serve lifecycle ([[ivfAppendTo]]'s role
+   * for the dedup family). Signatures are computed under the geometry
+   * the tables PIN (never call-site parameters: a drifted caller would
+   * band-hash different slices and poison the index silently); band and
+   * signature rows land range-sorted on their probe columns so appended
+   * files keep tight range stats and per-file blooms, and key-probed
+   * serves keep pruning. Appends never degrade existing files' pruning
+   * (blooms are per-file), but overlapping-range append files accumulate
+   * — run [[compactMinhashIndex]] periodically to restore the
+   * files-per-probe-key floor.
+   *
+   * `action` + the skip flags support streaming exactly-once: a sink
+   * passes its `stream-<batchId>` tag and per-table redelivery skips
+   * (each table's append is individually idempotent); the
+   * `expect*Version` guards make the appends NOT blind when the rows
+   * were computed against a pinned index snapshot.
+   */
+  def minhashIndexAppend(
+      bandTable: graft.tables.SnapshotTable,
+      sigTable: graft.tables.SnapshotTable,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchFiles: Int = 4,
+      action: String = "append",
+      expectBandVersion: Option[Long] = None,
+      expectSigVersion: Option[Long] = None,
+      skipBand: Boolean = false,
+      skipSig: Boolean = false): Unit = {
+    val g = indexGeometryOf(sigTable)
+    require(indexGeometryOf(bandTable) == g,
+      s"index tables ${bandTable.root} and ${sigTable.root} pin different " +
+        "minhash geometry — not a pair built together")
+    val sigs = minhashSignatures(batch, idCol, textCol,
+      g.shingleSize, g.numHashes, g.seed).localCheckpoint()
+    try {
+      if (!skipBand)
+        bandTable.appendAs(
+          bandRows(sigs, g.bands, g.numHashes / g.bands)
+            .repartitionByRange(batchFiles, col("bandhash")),
+          action, expectVersion = expectBandVersion)
+      if (!skipSig)
+        sigTable.appendAs(sigs.repartitionByRange(batchFiles, col("doc")),
+          action, expectVersion = expectSigVersion)
+    } finally release(sigs)
+  }
+
+  /** Maintenance pass for a persisted minhash index pair: full clustered
+   *  rewrite of each table on its probe column
+   *  ([[graft.tables.SnapshotTable.recluster]]) — after many
+   *  [[minhashIndexAppend]] batches the per-append files overlap the
+   *  corpus files' key ranges, so a probe key that once pruned to one
+   *  file opens one PER APPEND; reclustering restores disjoint per-file
+   *  ranges (and rebuilds per-file + manifest blooms through the normal
+   *  write path). Geometry pins carry forward — serves validate the
+   *  compacted tables exactly as the originals; concurrent appends
+   *  rebase on top via the disjoint-file rule. Returns files rewritten
+   *  per table. */
+  def compactMinhashIndex(
+      bandTable: graft.tables.SnapshotTable,
+      sigTable: graft.tables.SnapshotTable,
+      filesPerTable: Int = 16): (Int, Int) = {
+    require(indexGeometryOf(bandTable) == indexGeometryOf(sigTable),
+      s"index tables ${bandTable.root} and ${sigTable.root} pin different " +
+        "minhash geometry — not a pair built together")
+    (bandTable.recluster(Seq("bandhash"), filesPerTable),
+      sigTable.recluster(Seq("doc"), filesPerTable))
+  }
+
   /**
    * SimHash near-dup pairs with Hamming distance ≤ `maxHamming`,
    * generalized pigeonhole banding (Manku et al., WWW'07): the 64-bit

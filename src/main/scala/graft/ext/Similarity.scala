@@ -568,6 +568,21 @@ object Similarity {
     ()
   }
 
+  /** Maintenance pass for a persisted IVF index: full clustered rewrite
+   *  of the assigned table on `list`
+   *  ([[graft.tables.SnapshotTable.recluster]]) — a long run of
+   *  [[ivfAppendTo]] / streaming batches leaves each probed list
+   *  scattered across one small file per append, so the key-probed
+   *  serve's file count (and task count) grows with ingest history even
+   *  though pruning stays exact; reclustering restores one-file-per-
+   *  list-range, rebuilds per-file and manifest blooms, and carries the
+   *  quantizer fingerprint pins forward. Concurrent appends rebase on
+   *  top via the disjoint-file rule. Returns files rewritten. */
+  def ivfCompactIndex(tables: IvfIndexTables, filesPerTable: Int = 16): Int = {
+    checkIvfGeometry(tables)
+    tables.assigned.recluster(Seq("list"), filesPerTable)
+  }
+
   /** [[ivfProbe]] served from the PERSISTED tables with file pruning:
    *  the union of the probes' nProbe-nearest list ids (≤ nlist values,
    *  the IVF family's one accepted driver row set) key-probes the

@@ -170,6 +170,69 @@ object StreamIngest {
     }
 
   /**
+   * [[dedupIngestSink]] over a PERSISTED, file-pruned minhash index
+   * ([[graft.ext.Dedup.buildMinhashIndexTables]]) — the production
+   * steady state of streaming corpus ingest at index sizes where the
+   * flat sink's per-batch full index scan stops being payable: each
+   * micro-batch key-probes the banded/signature tables
+   * ([[graft.ext.Dedup.minhashPairsIncrementalIndexed]] — per-batch cost
+   * rides the batch's matches, not the index size), survivors land in
+   * `table`, and their band + signature rows extend the index
+   * ([[graft.ext.Dedup.minhashIndexAppend]] under the tables' pinned
+   * geometry) so the NEXT batch dedups against everything ingested so
+   * far. Run [[graft.ext.Dedup.compactMinhashIndex]] periodically —
+   * recluster commits interleave transparently (the redelivery guard
+   * scans through maintenance commits; appends rebase on top).
+   *
+   * Recovery contract mirrors [[dedupIngestSink]], per table: the doc
+   * and index appends each idempotent-skip on the `stream-<batchId>`
+   * tag, and the index appends are `expectVersion`-guarded against the
+   * snapshots the survivors were computed from, so a foreign index
+   * writer fails the batch and Spark's re-run recomputes against the
+   * fresh index.
+   */
+  def indexedDedupIngestSink(
+      stream: DataFrame,
+      table: SnapshotTable,
+      bandTable: SnapshotTable,
+      sigTable: SnapshotTable,
+      idCol: String,
+      textCol: String,
+      minEst: Double = 0.5): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val tag = s"stream-$batchId"
+        val g = graft.ext.Dedup.indexGeometryOf(sigTable)
+        // pin the index snapshots the survivor set is computed against
+        val bandV = bandTable.currentVersion()
+        val sigV = sigTable.currentVersion()
+        val pairs = graft.ext.Dedup.minhashPairsIncrementalIndexed(
+          bandTable, sigTable, batch, idCol, textCol,
+          g.shingleSize, g.numHashes, g.bands, minEst, g.seed)
+        val survivors = graft.ext.Dedup
+          .dedupIncrementalFromPairs(pairs, batch, idCol)
+          .localCheckpoint() // three consumers: doc append + two index rows
+        try {
+          if (!survivors.isEmpty) {
+            if (!lastStreamBatch(table).contains(batchId))
+              table.appendAs(survivors, tag)
+            val skipBand = lastStreamBatch(bandTable).contains(batchId)
+            val skipSig = lastStreamBatch(sigTable).contains(batchId)
+            if (!skipBand || !skipSig)
+              graft.ext.Dedup.minhashIndexAppend(bandTable, sigTable,
+                survivors, idCol, textCol, action = tag,
+                expectBandVersion = Some(bandV), expectSigVersion = Some(sigV),
+                skipBand = skipBand, skipSig = skipSig)
+          }
+        } finally {
+          graft.ext.Dedup.release(survivors)
+          graft.ext.Dedup.release(pairs)
+        }
+      }
+      ()
+    }
+
+  /**
    * Streaming ingest with EXACT duplicated-span dedup — q75's
    * incremental substring dedup chained in-line: each micro-batch
    * cleans against the persisted [[graft.ext.TextAnalysis.spanGramIndex]]

@@ -657,10 +657,15 @@ class SnapshotTable private (
     var baseV = v0
     var carried: Seq[FileEntry] = Nil
     var attempts = 0
+    // maintenance re-layout: same rows, so commit the PRIOR schema —
+    // the re-laid frame round-tripped through a parquet read, whose
+    // widened nullability must not loosen the table schema (see
+    // replaceFiles' commitSchemaJson)
+    val schemaJson = prior.map(_.schemaJson).getOrElse(df.schema.json)
     while (true) {
       try {
         writeCommit(baseV + 1,
-          CommitEntry(action, df.schema.json, (carried ++ files).sortBy(_.path),
+          CommitEntry(action, schemaJson, (carried ++ files).sortBy(_.path),
             prior.flatMap(_.clusterBy), props,
             // a maintenance re-layout (the only caller) keeps the MoR
             // key/precombine TABLE config, like every replaceFiles
@@ -953,7 +958,8 @@ class SnapshotTable private (
       addDvFiles: Seq[FileEntry] = Nil,
       clearDvFiles: Boolean = false,
       rebaseDisjoint: Boolean = false,
-      rebasePredicate: Option[Column] = None): SnapshotTable = {
+      rebasePredicate: Option[Column] = None,
+      commitSchemaJson: Option[String] = None): SnapshotTable = {
     val v = currentVersion()
     expectVersion.filter(_ != v).foreach { e =>
       // maintenance commits (compact / purge-dv / compact-deltas) may
@@ -1003,10 +1009,17 @@ class SnapshotTable private (
     var baseV = v0
     var carried = kept
     var attempts = 0
+    // Schema-preserving rewrites (delete/update/compact/recluster/
+    // compact-deltas) commit the PRIOR schema verbatim: their frames
+    // round-trip through parquet reads, which widen nullability (array
+    // containsNull, field nullable flags) — committing `df.schema` would
+    // let a maintenance pass silently loosen the table schema and make
+    // the append path's type check refuse producers valid before it ran.
+    val schemaJson = commitSchemaJson.getOrElse(df.schema.json)
     while (true) {
       try {
         writeCommit(baseV + 1,
-          CommitEntry(action, df.schema.json, (carried ++ files).sortBy(_.path),
+          CommitEntry(action, schemaJson, (carried ++ files).sortBy(_.path),
             toOpt(spec),
             prior.flatMap(_.properties),
             // MoR key/precombine config is TABLE state (Hudi's table
@@ -1703,14 +1716,18 @@ class SnapshotTable private (
    *  fully overlaps (interleaved clustering). Conservative everywhere —
    *  files without stats or filters always stay. */
   private[graft] def keyProbedManifest(column: String, keys: Seq[Any]): Seq[String] = {
+    val v = currentVersion()
+    if (v < 0) Nil
+    else keyProbedPaths(commitEntry(v), column, keys)
+  }
+
+  private def keyProbedPaths(
+      entry: CommitEntry, column: String, keys: Seq[Any]): Seq[String] = {
     // ZERO keys match zero files — without this, the empty set falls into
     // the conservative no-usable-probes branch below and returns the FULL
     // manifest, turning a no-collision probe (the steady state of an
     // all-novel ingest batch) into a whole-index scan per call
     if (keys.isEmpty) return Nil
-    val v = currentVersion()
-    if (v < 0) return Nil
-    val entry = commitEntry(v)
     val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
     val probes = schema.fields.find(_.name.equalsIgnoreCase(column))
       .map(f => Pruning.prepKeyProbes(keys, f.dataType)).getOrElse(Nil)
@@ -1733,17 +1750,19 @@ class SnapshotTable private (
    *  contract violation into a refusal instead of a silent divergence
    *  from the flat serve. Zero keys read zero files. */
   private[graft] def keyProbedRead(column: String, keys: Seq[Any]): DataFrame = {
+    // one snapshot resolution serves both the overlay check and the
+    // prune — checking one version and pruning another would let a
+    // commit landing in between slip an overlay past the refusal
     val v = currentVersion()
-    if (v >= 0) {
-      val e = commitEntry(v)
-      require(e.dvFiles.forall(_.isEmpty) && e.deltaFiles.forall(_.isEmpty) &&
-          e.columnMapping.forall(_.isEmpty),
-        s"table $root carries row-level overlays (deletion vectors / MoR deltas) " +
-          "or column mapping — a key-probed raw read serves data files directly " +
-          "and would miss them; index tables are append-only by contract " +
-          "(compact or rebuild the index table before serving)")
-    }
-    val paths = keyProbedManifest(column, keys)
+    if (v < 0) return read().limit(0)
+    val e = commitEntry(v)
+    require(e.dvFiles.forall(_.isEmpty) && e.deltaFiles.forall(_.isEmpty) &&
+        e.columnMapping.forall(_.isEmpty),
+      s"table $root carries row-level overlays (deletion vectors / MoR deltas) " +
+        "or column mapping — a key-probed raw read serves data files directly " +
+        "and would miss them; index tables are append-only by contract " +
+        "(compact or rebuild the index table before serving)")
+    val paths = keyProbedPaths(e, column, keys)
     if (paths.isEmpty) read().limit(0)
     else spark.read.parquet(paths: _*)
   }
@@ -2171,7 +2190,8 @@ class SnapshotTable private (
     val kept = dvRemoveOver(entry, touched.map(_.path), tschema, mappingOf(entry))
       .filter(!predicate || predicate.isNull)
     replaceFiles(untouched.map(_.path), kept, "delete", expectVersion = Some(v),
-      rebasePredicate = Some(predicate))
+      rebasePredicate = Some(predicate),
+      commitSchemaJson = Some(entry.schemaJson))
     touched.size
   }
 
@@ -2242,7 +2262,7 @@ class SnapshotTable private (
         .filter(!predicate || predicate.isNull)
       val carry = untouched ++ touched.filterNot(f => rewrite.contains(new Path(f.path).getName))
       replaceFiles(carry.map(_.path), kept, "delete", expectVersion = Some(v),
-        addDvFiles = sidecar)
+        addDvFiles = sidecar, commitSchemaJson = Some(entry.schemaJson))
       rewriteFiles.size
     }
   }
@@ -2277,7 +2297,8 @@ class SnapshotTable private (
     val (touched, rest) = entry.files.partition(f => names(new Path(f.path).getName))
     val rewritten = dvRemoveOver(entry, touched.map(_.path), tschema, mappingOf(entry))
     replaceFiles(rest.map(_.path), rewritten, "purge-dv",
-      expectVersion = Some(v), clearDvFiles = true, rebaseDisjoint = true)
+      expectVersion = Some(v), clearDvFiles = true, rebaseDisjoint = true,
+      commitSchemaJson = Some(entry.schemaJson))
     touched.size
   }
 
@@ -2387,7 +2408,8 @@ class SnapshotTable private (
     val rewritten = dvRemoveOver(entry, touched.map(_.path), tschema, mappingOf(entry))
       .select(cols: _*)
     replaceFiles(untouched.map(_.path), rewritten, "update", expectVersion = Some(v),
-      rebasePredicate = Some(predicate))
+      rebasePredicate = Some(predicate),
+      commitSchemaJson = Some(entry.schemaJson))
     touched.size
   }
 
@@ -2465,7 +2487,8 @@ class SnapshotTable private (
     replaceFiles(carry.map(_.path).distinct,
       updatedRows.unionByName(rewrittenRows),
       if (rewriteFiles.isEmpty) "update-dv" else "update",
-      expectVersion = Some(v), addDvFiles = sidecar)
+      expectVersion = Some(v), addDvFiles = sidecar,
+      commitSchemaJson = Some(entry.schemaJson))
     rewriteFiles.size
   }
 
@@ -2510,8 +2533,58 @@ class SnapshotTable private (
     val packed = dvRemoveOver(entry, small.map(_.path), tschema, mappingOf(entry))
       .coalesce(outFiles)
     replaceFiles(healthy.map(_.path), packed, "compact", expectVersion = Some(v),
-      numFiles = Some(outFiles), rebaseDisjoint = true)
+      numFiles = Some(outFiles), rebaseDisjoint = true,
+      commitSchemaJson = Some(entry.schemaJson))
     small.size
+  }
+
+  /**
+   * Full clustered rewrite of the live file set into `numFiles` files
+   * range-partitioned (and row-group-sorted) on `clusterBy` — the
+   * maintenance pass that restores per-file range locality after many
+   * appends whose key ranges overlap the existing files (the steady
+   * state of an append-only index table under streaming ingest:
+   * [[compact]] bin-packs by SIZE and so merges whatever partitions it
+   * is handed, while a key-probed serve needs each probe key to land in
+   * as few files as possible). Per-file blooms and manifest filters
+   * rebuild through the normal write path; table properties (geometry
+   * pins) carry forward; deletion vectors are applied into the rewrite
+   * and cleared. Same rows, one new commit — concurrent appends rebase
+   * on top via the disjoint-file maintenance rule (their files ride
+   * along unclustered until the next pass). Returns the number of files
+   * rewritten (0 when there is nothing to reorganize).
+   */
+  def recluster(clusterBy: Seq[String], numFiles: Int): Int = {
+    require(clusterBy.nonEmpty, "recluster needs at least one cluster column")
+    require(numFiles >= 1, s"recluster numFiles must be >= 1, got $numFiles")
+    val v = currentVersion()
+    require(v >= 0, s"table $root is empty")
+    val entry = commitEntry(v)
+    val tschema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
+    clusterBy.foreach(c => require(tschema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"recluster column '$c' not in table schema " +
+        s"(columns: ${tschema.fieldNames.mkString(", ")})"))
+    // a recorded cluster spec means replaceFiles re-clusters the rewrite
+    // by THAT spec — a divergent explicit spec would silently lose, so
+    // refuse the ambiguity instead
+    val tableSpec = entry.clusterBy.getOrElse(Nil)
+    require(tableSpec.isEmpty ||
+        tableSpec.map(_.toLowerCase) == clusterBy.map(_.toLowerCase),
+      s"table $root clusters by [${tableSpec.mkString(", ")}]; recluster " +
+        s"called with [${clusterBy.mkString(", ")}] — use setClusterSpec first")
+    if (entry.files.size < 2) return 0
+    val all = dvRemoveOver(entry, entry.files.map(_.path), tschema, mappingOf(entry))
+    // with a recorded spec, replaceFiles' applyCluster(numFiles) does the
+    // range shuffle; otherwise shape the frame here
+    val packed =
+      if (tableSpec.nonEmpty) all
+      else all.repartitionByRange(numFiles,
+          clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+    replaceFiles(Nil, packed, "recluster", expectVersion = Some(v),
+      numFiles = Some(numFiles), rebaseDisjoint = true, clearDvFiles = true,
+      commitSchemaJson = Some(entry.schemaJson))
+    entry.files.size
   }
 
   /**
@@ -3149,7 +3222,8 @@ class SnapshotTable private (
     // rebase only absorbs interleaved appends — which commute: the
     // rebased result equals the applyDeltas-then-append serial schedule)
     replaceFiles(untouched.map(_.path), rewritten, "compact-deltas",
-      expectVersion = Some(v), rebaseDisjoint = true)
+      expectVersion = Some(v), rebaseDisjoint = true,
+      commitSchemaJson = Some(entry.schemaJson))
     touched.size
   }
 

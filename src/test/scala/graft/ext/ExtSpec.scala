@@ -277,6 +277,90 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("overlays"), e.getMessage)
   }
 
+  test("index append + compaction: serve stays flat-identical, files restored") {
+    // the full indexed lifecycle: build on part of the corpus, extend with
+    // minhashIndexAppend batches (geometry derived from the PINS, not the
+    // call site), recluster — at every stage the indexed serve must equal
+    // the flat serve over the same accumulated corpus, and compaction must
+    // undo the append-driven file growth without touching the pins
+    val all = graft.tools.ScaleCorpus.documents(spark, 400)
+      .select(col("doc_id").as("id"), col("text")).localCheckpoint()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_life")
+    val (bandT, sigT) = Dedup.buildMinhashIndexTables(spark,
+      s"$tmp/bands", s"$tmp/sigs", all.filter(col("id") < 200),
+      "id", "text", filesPerTable = 8)
+    val files0 = bandT.manifest().size
+    Dedup.minhashIndexAppend(bandT, sigT,
+      all.filter(col("id") >= 200 && col("id") < 300), "id", "text")
+    Dedup.minhashIndexAppend(bandT, sigT,
+      all.filter(col("id") >= 300), "id", "text")
+    assert(bandT.manifest().size > files0, "appends added no files")
+    // copy of id 250 lives in an APPENDED slice — finding it proves the
+    // appended rows serve (and were signed under the pinned geometry)
+    val batch = all.filter(col("id").isin(10L, 250L))
+      .select((col("id") + 1000L).as("id"), col("text"))
+      .unionByName(Seq((2001L, "zqa1 zqb1 zqc1 zqd1 zqe1")).toDF("id", "text"))
+    def flatPairs = Dedup.minhashPairsIncremental(
+        Dedup.minhashSignatures(all, "id", "text"), batch, "id", "text")
+      .select("id_a", "id_b", "est_jaccard", "in_corpus")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    def indexedPairs = Dedup.minhashPairsIncrementalIndexed(
+        bandT, sigT, batch, "id", "text")
+      .select("id_a", "id_b", "est_jaccard", "in_corpus")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    val expected = flatPairs
+    assert(expected.contains((1250L, 250L, 1.0, true)),
+      "appended-slice copy not mined by the flat form — fixture broken")
+    assert(indexedPairs === expected)
+    val (bandRw, sigRw) = Dedup.compactMinhashIndex(bandT, sigT, filesPerTable = 8)
+    assert(bandRw > 0 && sigRw > 0, s"compaction rewrote nothing: $bandRw/$sigRw")
+    assert(bandT.manifest().size === 8,
+      s"recluster did not restore the file floor: ${bandT.manifest().size}")
+    assert(indexedPairs === expected, "serve diverged after compaction")
+    // pins carried forward: the geometry refusal still fires
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsIncrementalIndexed(bandT, sigT, batch, "id", "text",
+        bands = 8)
+    }
+    assert(e.getMessage.contains("bands"), e.getMessage)
+    // and the compacted files still prune: a one-copy batch probes a
+    // strict subset
+    val keys = Dedup.minhashBandIndex(batch.filter(col("id") === 1010L),
+      "id", "text").select("bandhash").distinct().as[Long].collect().toSeq
+    assert(bandT.keyProbedManifest("bandhash", keys).size < 8)
+    Dedup.release(all)
+  }
+
+  test("minhashIndexAppend signs under the PINNED geometry, not defaults") {
+    // index built at numHashes=32/bands=8: an append that signed at the
+    // library defaults (64/16) would produce 64-wide signatures the
+    // serve's width guard rejects — a planted copy of an APPENDED doc
+    // confirming at est 1.0 proves the append read the pins
+    val docs = graft.tools.ScaleCorpus.documents(spark, 60)
+      .select(col("doc_id").as("id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_geo")
+    val (bandT, sigT) = Dedup.buildMinhashIndexTables(spark,
+      s"$tmp/bands", s"$tmp/sigs", docs.filter(col("id") < 40),
+      "id", "text", numHashes = 32, bands = 8, filesPerTable = 4)
+    Dedup.minhashIndexAppend(bandT, sigT, docs.filter(col("id") >= 40),
+      "id", "text")
+    val batch = docs.filter(col("id") === 50L)
+      .select((col("id") + 1000L).as("id"), col("text"))
+    val got = Dedup.minhashPairsIncrementalIndexed(bandT, sigT, batch,
+        "id", "text", numHashes = 32, bands = 8)
+      .select("id_a", "id_b", "est_jaccard", "in_corpus")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(got.contains((1050L, 50L, 1.0, true)), s"got $got")
+    // a plain table pins nothing — refuse deriving geometry from it
+    val plain = graft.tables.SnapshotTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_idx_plain").toString,
+      docs.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.indexGeometryOf(plain)
+    }
+    assert(e.getMessage.contains("pins no minhash"), e.getMessage)
+  }
+
   test("incremental dedup over an empty index equals batch-mode dedup") {
     // with nothing in the corpus, "drop corpus-linked components" never
     // fires and both operators reduce to min-id-per-component — the
@@ -539,6 +623,49 @@ class ExtSpec extends SparkSpec {
         Similarity.IvfIndexTables(t2.centroids, t2.assigned), probes, "id", "vec")
     }
     assert(e2.getMessage.contains("fingerprint"), e2.getMessage)
+  }
+
+  test("IVF compaction: probe identical, append files folded, pins survive") {
+    // many small streamed appends scatter each list across one file per
+    // batch; ivfCompactIndex reclusters the assigned table back to the
+    // file floor without changing a single served neighbor
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val vecs = (0 until 60).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (x, j) => x + (if (j == 3) 0.005f * i else 0f) })
+    }.toDF("id", "vec")
+    val probes = vecs.filter(col("id") < 3)
+    val t = Similarity.buildIvfIndexTables(spark,
+      tmpDir("ivfc_cent"), tmpDir("ivfc_asg"),
+      vecs.filter(col("id") < 30), "id", "vec",
+      nlist = 4, sampleN = 100, filesPerTable = 4)
+    (0 until 5).foreach { b =>
+      Similarity.ivfAppendTo(t,
+        vecs.filter(col("id") >= 30 + b * 6 && col("id") < 36 + b * 6),
+        "id", "vec")
+    }
+    val filesBefore = t.assigned.manifest().size
+    assert(filesBefore > 4, s"appends added no files: $filesBefore")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q_id"), col("n_id"), col("rank")).as[(Long, Long, Int)].collect().toSet
+    val before = rows(Similarity.ivfProbeIndexed(t, probes, "id", "vec", k = 3, nProbe = 4))
+    val rewritten = Similarity.ivfCompactIndex(t, filesPerTable = 4)
+    assert(rewritten === filesBefore, s"expected $filesBefore rewritten, got $rewritten")
+    assert(t.assigned.manifest().size <= 4,
+      s"recluster did not restore the floor: ${t.assigned.manifest().size}")
+    assert(rows(Similarity.ivfProbeIndexed(t, probes, "id", "vec", k = 3, nProbe = 4))
+      === before, "probe diverged after compaction")
+    // exhaustive probe still equals brute force over build+appends
+    assert(before === rows(Similarity.bruteForceTopK(vecs, probes, "id", "vec", k = 3)))
+    // fingerprint pins carried through the rewrite
+    assert(t.assigned.properties().get("graft.ivf.fingerprint")
+      === t.centroids.properties().get("graft.ivf.fingerprint"))
+    // and the key-probed serve still accepts the compacted table (no
+    // overlays introduced by the rewrite)
+    val listIds = Seq[Any](t.assigned.read().select("list").head().get(0))
+    assert(t.assigned.keyProbedManifest("list", listIds).size
+      < t.assigned.manifest().size)
   }
 
   test("SQ8 IVF tables: append under the stored quantizer, pruned probe exact") {

@@ -705,9 +705,12 @@ class CatalogSpec extends SparkSpec {
     // predicate — and (2) the captured filters/projection apply INSIDE
     // buildScan (driving the builder directly returns already-filtered,
     // already-pruned rows; no outer Filter exists to mask a no-op)
+    // no IsNotNull(id): maintenance rewrites (the applyDeltas fold)
+    // commit the PRIOR schema, so `id` stays non-nullable and Catalyst
+    // never manufactures the redundant null check
     val facePlan = executedPlanString(
       spark.sql("SELECT v FROM graft.db.mor1_rt WHERE id = 2"))
-    assert(facePlan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"),
+    assert(facePlan.contains("PushedFilters: [EqualTo(id,2)]"),
       facePlan)
     val cat = spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]

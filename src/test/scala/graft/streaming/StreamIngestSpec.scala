@@ -87,6 +87,55 @@ class StreamIngestSpec extends SparkSpec {
     assert(eg.getMessage.contains("numHashes"), eg.getMessage)
   }
 
+  test("indexed dedup ingest sink: probes the stored index, grows it, survives compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val table = SnapshotTable(spark, tmpDir("idx_dedup_data"))
+    val corpus = graft.tools.ScaleCorpus.documents(spark, 50)
+      .select(col("doc_id"), col("text"))
+    val tmp = tmpDir("idx_dedup_idx")
+    val (bandT, sigT) = graft.ext.Dedup.buildMinhashIndexTables(spark,
+      s"$tmp/bands", s"$tmp/sigs", corpus, "doc_id", "text", filesPerTable = 4)
+    val ckpt = tmpDir("ckpt")
+    def sink = StreamIngest.indexedDedupIngestSink(
+      mem.toDF().toDF("doc_id", "text"), table, bandT, sigT, "doc_id", "text")
+    // batch 0: 1010 copies corpus doc 10 (dropped via the key-probed
+    // index), 2001 is novel and survives
+    val freshA = "zqa1 zqb1 zqc1 zqd1 zqe1 zqf1 zqg1"
+    mem.addData((1010L, corpus.filter(col("doc_id") === 10L)
+      .select("text").as[String].head()), (2001L, freshA))
+    StreamIngest.runOnce(sink, ckpt)
+    assert(table.read().select("doc_id").as[Long].collect().toSet === Set(2001L))
+    assert(sigT.read().filter(col("doc") === 2001L).count() === 1,
+      "survivor's signature missing from the index")
+    // batch 1: 3001 re-sends batch-0's novel content — dropped against
+    // the GROWN index, proving the appended rows serve; 3002 is novel
+    mem.addData((3001L, freshA),
+      (3002L, "zqa2 zqb2 zqc2 zqd2 zqe2 zqf2 zqg2"))
+    StreamIngest.runOnce(sink, ckpt)
+    assert(table.read().select("doc_id").as[Long].collect().toSet
+      === Set(2001L, 3002L))
+    // maintenance interleaves: recluster both index tables, then the
+    // redelivery guard and the serve must both see through the commits
+    graft.ext.Dedup.compactMinhashIndex(bandT, sigT, filesPerTable = 4)
+    mem.addData((4001L, "zqa2 zqb2 zqc2 zqd2 zqe2 zqf2 zqg2"))
+    StreamIngest.runOnce(sink, ckpt)
+    assert(table.read().select("doc_id").as[Long].collect().toSet
+      === Set(2001L, 3002L), "compacted index lost a stored signature")
+    // crash-between-appends recovery: the data append landed for batch 3
+    // but both index appends were lost — the re-delivered batch fills in
+    // only the index side
+    val freshB = "zqa3 zqb3 zqc3 zqd3 zqe3 zqf3 zqg3"
+    table.appendAs(Seq((5001L, freshB)).toDF("doc_id", "text"), "stream-3")
+    mem.addData((5001L, freshB))
+    StreamIngest.runOnce(sink, ckpt)
+    assert(table.read().filter(col("doc_id") === 5001L).count() === 1,
+      "data duplicated on redelivery")
+    assert(sigT.read().filter(col("doc") === 5001L).count() === 1 &&
+      bandT.read().filter(col("doc") === 5001L).count() > 0,
+      "index side not filled in on redelivery")
+  }
+
   test("span-dedup ingest sink: spans cut against the growing gram index") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
