@@ -309,6 +309,8 @@ object SparkEntry {
     builtIndexPairs.clear()
     builtMaintIndex.clear()
     streamIndexedCache.clear()
+    builtSpanIndex.clear()
+    spjBuilt.clear()
   }
 
   private def warmTable(key: String, dir: String)(build: => SnapshotTable): SnapshotTable = {
@@ -2323,6 +2325,53 @@ object SparkEntry {
         |WHERE o_orderkey = 103 ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Q127 — STORAGE-PARTITIONED JOIN over co-bucketed catalog tables:
+   *  orders and customer land identity-routed on `bucket(8, custkey)`
+   *  (every file holds exactly one bucket; its id rides the manifest),
+   *  the DSv2 scans report the layout as KeyGroupedPartitioning through
+   *  the catalog's `bucket` function, and the fact-dim equi-join +
+   *  group-by then align per-bucket partitions directly — the layout
+   *  shuffle is paid ONCE at write time, the query pays none (the plan
+   *  shape PlanSpec pins: zero Exchange under a forced sort-merge
+   *  join). The declared result is correctness-gated against the plain
+   *  join-aggregate oracle, so a bucket-routing error (a row in the
+   *  wrong bucket file silently missing its join partner — the failure
+   *  SPJ turns into wrong answers if the layout lies) fails the hash.
+   *  Integer-floored sums keep the cross-engine aggregate exact. */
+  private val spjBuilt = scala.collection.concurrent.TrieMap[String, Boolean]()
+  private def spjJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spjBuilt.getOrElseUpdate(dir, {
+      s.table("orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .writeTo("graft.bench.spj_orders")
+        .partitionedBy(org.apache.spark.sql.functions.bucket(8, col("o_custkey")))
+        .createOrReplace()
+      s.table("customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .writeTo("graft.bench.spj_cust")
+        .partitionedBy(org.apache.spark.sql.functions.bucket(8, col("c_custkey")))
+        .createOrReplace()
+      true
+    })
+    s.sql(
+      """SELECT /*+ MERGE(o) */ c.c_custkey, c.c_mktsegment,
+        |  count(*) AS n_orders,
+        |  sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS sum_price_fl
+        |FROM graft.bench.spj_orders o
+        |JOIN graft.bench.spj_cust c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_mktsegment
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+  private val Q127Duck =
+    """SELECT c.c_custkey, c.c_mktsegment, count(*) AS n_orders,
+      |       sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS sum_price_fl
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_custkey, c.c_mktsegment
+      |ORDER BY c.c_custkey""".stripMargin
+
   /** Q32 — as-of join: each click matched to the user's most recent view
    *  (point-in-time correctness; DuckDB's native ASOF JOIN as oracle). */
   private def asofQuery(s: SparkSession, dir: String): DataFrame = {
@@ -3777,6 +3826,45 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Q126 — INDEXED span-dedup serve over a MAINTAINED gram index
+   *  (the q117/q124 serving+maintenance discipline brought to the span
+   *  family, completing the key-probed-serve triad: dedup, ANN, span):
+   *  the gram table is built CLUSTERED + BLOOMED on `g` from only part
+   *  of q75's corpus, extended to the full corpus by two
+   *  [[ext.TextAnalysis.spanGramIndexAppend]] waves (gram size from the
+   *  PIN; freshness decided against a key-probed read), reclustered by
+   *  [[ext.TextAnalysis.compactSpanGramIndex]], then q75's exact batch
+   *  is served through
+   *  [[ext.TextAnalysis.removeDuplicatedSpansIncrementalIndexed]] —
+   *  batch grams key-probe the manifest instead of streaming the whole
+   *  index through the membership join. Pruning is conservative file
+   *  skipping over a pure-membership side, so q75's oracle applies
+   *  VERBATIM: a missed append, a compaction that lost a gram, or an
+   *  over-eager prune lets a corpus span survive (or cuts a fresh one)
+   *  and fails the hash. Flat-vs-indexed identity ExtSpec-pinned. */
+  private val builtSpanIndex = scala.collection.concurrent.TrieMap[
+    String, graft.tables.SnapshotTable]()
+  private def indexedSpanServeQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val batch = docs.filter(col("doc_id") >= 250)
+    val index = builtSpanIndex.getOrElseUpdate(dir, {
+      val t = ext.TextAnalysis.buildSpanGramIndexTable(s,
+        Files.createTempDirectory("graft_q126_idx").toString,
+        docs.filter(col("doc_id") < 150), "doc_id", "text", n = 10)
+      ext.TextAnalysis.spanGramIndexAppend(t,
+        docs.filter(col("doc_id") >= 150 && col("doc_id") < 200),
+        "doc_id", "text")
+      ext.TextAnalysis.spanGramIndexAppend(t,
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 250),
+        "doc_id", "text")
+      ext.TextAnalysis.compactSpanGramIndex(t)
+      t
+    })
+    ext.TextAnalysis.removeDuplicatedSpansIncrementalIndexed(
+        index, batch, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Q125 — STREAMING INDEXED dedup ingest
    *  ([[graft.streaming.StreamIngest.indexedDedupIngestSink]] — q114's
    *  streaming-ingest shape over the PERSISTED key-probed index, the
@@ -4133,7 +4221,9 @@ object SparkEntry {
     "q122_vacuum_retention" -> vacuumRetentionQuery,
     "q123_kll_envelope" -> kllEnvelopeQuery,
     "q124_index_maintenance" -> indexMaintenanceQuery,
-    "q125_stream_indexed_dedup" -> streamIndexedDedupQuery)
+    "q125_stream_indexed_dedup" -> streamIndexedDedupQuery,
+    "q126_span_serve_indexed" -> indexedSpanServeQuery,
+    "q127_spj_join" -> spjJoinQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4310,7 +4400,12 @@ object SparkEntry {
     // so the q66 oracle applies verbatim — any maintenance divergence
     // (lost/duplicated/mis-signed rows) shifts the survivor set
     "q124_index_maintenance" -> Q66Duck,
-    "q125_stream_indexed_dedup" -> Q125Duck)
+    "q125_stream_indexed_dedup" -> Q125Duck,
+    // q75's scenario served through the maintained key-probed gram
+    // index — pruning is file-skipping over pure membership, so the
+    // flat oracle applies verbatim
+    "q126_span_serve_indexed" -> Q75Duck,
+    "q127_spj_join" -> Q127Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

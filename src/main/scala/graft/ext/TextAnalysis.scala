@@ -375,12 +375,112 @@ object TextAnalysis {
       corpus: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): graft.tables.SnapshotTable = {
+      n: Int,
+      filesPerTable: Int = 16): graft.tables.SnapshotTable = {
     val grams = spanGramIndex(corpus, idCol, textCol, n)
+    // clustered + bloomed on `g` (the buildMinhashIndexTables shape):
+    // each file carries a tight gram-hash range plus a bloom, so the
+    // INDEXED serve's key probe skips every file without a possible
+    // batch-gram hit; the flat serve reads the table unchanged
     val t = graft.tables.SnapshotTable.create(spark, root, grams.limit(1))
-      .setProperties(Map(SpanGramNProp -> n.toString))
-    t.overwrite(grams)
+      .setProperties(Map(SpanGramNProp -> n.toString,
+        "graft.bloom.columns" -> "g",
+        "graft.bloom.manifest" -> "true"))
+    t.overwrite(grams.repartitionByRange(filesPerTable, col("g")))
     t
+  }
+
+  /** Gram size a persisted span-gram index was built at — append and
+   *  indexed-serve callers derive it FROM the pin (never call-site
+   *  defaults, the minhash [[graft.ext.Dedup.indexGeometryOf]]
+   *  discipline); an unpinned table refuses loudly. */
+  def spanGramNOf(table: graft.tables.SnapshotTable): Int =
+    table.properties().getOrElse(SpanGramNProp,
+      throw new IllegalArgumentException(
+        s"requirement failed: table ${table.root} pins no span-gram size — " +
+          "not an index built by buildSpanGramIndexTable")).toInt
+
+  /**
+   * Extend a persisted span-gram index with `batch`'s FRESH grams only
+   * (grams already indexed stay single-copy — their canonical lives in
+   * the corpus), signed at the gram size the table PINS. Freshness is
+   * decided against a KEY-PROBED read of the index (only files that may
+   * hold one of the batch's grams are opened), so per-batch append cost
+   * rides the batch, not the index size. Rows land range-sorted on `g`
+   * so appended files keep tight stats and blooms; run
+   * [[compactSpanGramIndex]] periodically to restore the file floor.
+   * `action`/`expectVersion` support the streaming sinks' idempotence +
+   * not-blind-append contract.
+   */
+  def spanGramIndexAppend(
+      table: graft.tables.SnapshotTable,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchFiles: Int = 4,
+      action: String = "append",
+      expectVersion: Option[Long] = None,
+      maxProbeKeys: Int = 1 << 20): Unit = {
+    val n = spanGramNOf(table)
+    val grams = spanGramIndex(batch, idCol, textCol, n).localCheckpoint()
+    try {
+      val fresh = grams.join(
+        probeGrams(table, grams, maxProbeKeys), Seq("g"), "left_anti")
+      table.appendAs(fresh.repartitionByRange(batchFiles, col("g")),
+        action, expectVersion = expectVersion)
+      ()
+    } finally graft.ext.Dedup.release(grams)
+  }
+
+  /** Maintenance pass for a persisted span-gram index: full clustered
+   *  rewrite on `g` ([[graft.tables.SnapshotTable.recluster]]) — after
+   *  many [[spanGramIndexAppend]] batches each probe key may open one
+   *  file per append; reclustering restores disjoint per-file gram
+   *  ranges and rebuilds the blooms, with the gram-size pin carried
+   *  forward. Returns files rewritten. */
+  def compactSpanGramIndex(
+      table: graft.tables.SnapshotTable,
+      filesPerTable: Int = 16): Int = {
+    spanGramNOf(table) // refuse non-index tables before rewriting them
+    table.recluster(Seq("g"), filesPerTable)
+  }
+
+  /** The index grams that MAY match `grams` — a bounded key probe of the
+   *  clustered/bloomed table ([[graft.tables.SnapshotTable.keyProbedRead]]:
+   *  conservative file skipping, overlay-refusing). */
+  private def probeGrams(
+      table: graft.tables.SnapshotTable,
+      grams: DataFrame,
+      maxProbeKeys: Int): DataFrame = {
+    val keys = grams.select(col("g")).distinct().limit(maxProbeKeys + 1)
+      .collect().map(_.get(0))
+    require(keys.length <= maxProbeKeys,
+      s"batch gram key set exceeds maxProbeKeys=$maxProbeKeys — split the batch")
+    table.keyProbedRead("g", keys.toSeq).select(col("g"))
+  }
+
+  /** [[removeDuplicatedSpansIncremental]] served from the PERSISTED
+   *  index with file pruning — the q117/q118 serving discipline brought
+   *  to span dedup: the batch's distinct gram hashes (driver-bounded by
+   *  `maxProbeKeys`, loud on overflow) key-probe the gram table's
+   *  manifest, so only files that may hold a batch gram are read where
+   *  the flat serve streams the WHOLE index through the membership join
+   *  per batch. Pruning is conservative file skipping and the index side
+   *  is pure membership, so the result is EXACTLY the flat serve's
+   *  (spec-pinned); the gram size comes from the table's pin. */
+  def removeDuplicatedSpansIncrementalIndexed(
+      table: graft.tables.SnapshotTable,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxProbeKeys: Int = 1 << 20): DataFrame = {
+    val n = spanGramNOf(table)
+    val grams = spanGramIndex(batch, idCol, textCol, n).localCheckpoint()
+    val result = removeDuplicatedSpansIncremental(
+      batch, probeGrams(table, grams, maxProbeKeys), idCol, textCol, n)
+      .localCheckpoint()
+    graft.ext.Dedup.release(grams)
+    result
   }
 
   /** Refuse a build/serve gram-size mismatch against what the index

@@ -8,6 +8,9 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.read.SupportsReportPartitioning
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
@@ -54,10 +57,21 @@ import graft.tables.SnapshotTable
  * resolves both kinds, plus their `_rt`/`_ro` faces and time travel,
  * with nothing but the catalog conf.
  */
-class GraftTableCatalog extends TableCatalog {
+class GraftTableCatalog extends TableCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  // ---- FunctionCatalog: the `bucket` transform function. Resolving it
+  // through the TABLE's own catalog is what lets Spark turn the scan's
+  // reported KeyGroupedPartitioning(bucket(n, col)) into a catalyst
+  // partitioning BOTH join sides share (same catalog → same canonical
+  // function), the precondition for a storage-partitioned join.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -684,7 +698,7 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
         spark, index, tableSchema, tableSchema, CaseInsensitiveStringMap.empty())
       psb.pushFilters(pushed.flatMap(f => GraftScanBuilder.toExpression(f, tableSchema)).toSeq)
       psb.pruneColumns(required)
-      psb.build()
+      maybeKeyGrouped(psb.build(), files)
     } else {
       // RENAME COLUMN leaves data files carrying PHYSICAL names: build the
       // parquet scan physically (schema, pushdown filters, pruned columns
@@ -704,6 +718,105 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
       new LogicalNamesScan(psb.build(), required)
     }
   }
+
+  /** Report the identity-routed bucket layout as KeyGroupedPartitioning
+   *  (storage-partitioned join) when the gating conf is on and the
+   *  PRUNED file set still carries per-file bucket ids — otherwise the
+   *  delegated scan stands as-is (shuffle plan, never a wrong answer).
+   *  Grouping the pruned entries means a filtered scan reports only the
+   *  buckets it actually reads; Spark's partially-clustered handling
+   *  aligns the sides. */
+  private def maybeKeyGrouped(
+      built: Scan, files: Seq[SnapshotTable.FileEntry]): Scan = {
+    val spark = table.spark
+    val enabled = spark.conf
+      .getOption("spark.sql.sources.v2.bucketing.enabled").contains("true")
+    if (!enabled) return built
+    table.bucketLayoutAt(version) match {
+      case Some((n, c)) if files.nonEmpty &&
+          files.forall(f => f.bucket.isDefined && f.bytes > 0) =>
+        val key = tableSchema.fieldNames
+          .find(_.equalsIgnoreCase(c)).getOrElse(c)
+        val groups = files.groupBy(_.bucket.get).toSeq.sortBy(_._1)
+        new KeyGroupedFileScan(built, n, key, groups)
+      case _ => built
+    }
+  }
+}
+
+/** The catalog's V2 `bucket` transform function: value → `pmod(hash32,
+ *  numBuckets)` with the SQL `hash()` murmur3 (seed 42) — bit-identical
+ *  to BOTH [[SnapshotTable]]'s bucket cluster-transform expression and
+ *  the partition index `repartition(n, col)` assigns, so the identity-
+ *  routed file layout, the reported partitioning, and any runtime
+ *  evaluation Spark performs (partially-clustered SPJ padding) all
+ *  agree. Bound per key type; `canonicalName` is the cross-plan
+ *  equality token — two scans report compatible partitioning iff their
+ *  transforms resolve to this same canonical function. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, col): pmod(murmur3_hash32(col, seed=42), numBuckets)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, key), got ${inputType.catalogString}")
+    BoundBucket(inputType.fields(1).dataType)
+  }
+  final case class BoundBucket(keyType: DataType) extends ScalarFunction[Int] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    // TYPE-QUALIFIED: murmur3 of an int and a long differ for equal
+    // numeric values, so an int-keyed and a long-keyed bucket layout
+    // must never compare as co-partitioned — canonicalName is the
+    // cross-plan equality token Spark checks, and a bare "graft.bucket"
+    // would let the mixed pairing silently align wrong buckets
+    override def canonicalName(): String =
+      s"graft.bucket(${keyType.catalogString})"
+    override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Int = {
+      val n = input.getInt(0)
+      val v = if (input.isNullAt(1)) null else input.get(1, keyType)
+      java.lang.Math.floorMod(
+        org.apache.spark.sql.graftshim.SparkInternals.murmur3Hash32(v, keyType), n)
+    }
+  }
+}
+
+/** Delegating [[Scan]] that reports a CLEAN identity-routed bucket
+ *  layout ([[SnapshotTable.bucketLayoutAt]]) as
+ *  [[KeyGroupedPartitioning]]: one [[InputPartition]] per bucket
+ *  (files grouped by their manifest-recorded bucket id, each partition
+ *  carrying its key), read through the UNDERLYING parquet scan's
+ *  reader factory — columnar batches, pushdown, and codegen untouched.
+ *  With `spark.sql.sources.v2.bucketing.enabled`, two graft tables
+ *  bucketed with the same (n, key-equi-joined column) then join with
+ *  NO shuffle on either side — the storage-partitioned join, the plan
+ *  shape that makes repeated 100 TB fact-fact joins affordable (the
+ *  shuffle is paid ONCE at layout time, not per query). Degradation is
+ *  structural: any snapshot that is not a clean routed layout simply
+ *  never reports, and Spark plans the ordinary shuffle join. */
+class KeyGroupedFileScan(
+    underlying: Scan,
+    numBuckets: Int,
+    keyColumn: String,
+    groups: Seq[(Int, Seq[SnapshotTable.FileEntry])])
+    extends Scan with Batch with SupportsReportPartitioning {
+  override def readSchema(): StructType = underlying.readSchema()
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"KeyGrouped(bucket($numBuckets, $keyColumn)) " + underlying.description()
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(numBuckets, keyColumn)),
+      groups.size)
+  override def planInputPartitions(): Array[InputPartition] =
+    groups.zipWithIndex.map { case ((b, fs), i) =>
+      org.apache.spark.sql.graftshim.SparkInternals.keyedFilePartition(
+        i, fs.map(f => (f.path, f.bytes)), b)
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    underlying.toBatch.createReaderFactory()
 }
 
 /** Delegating [[Scan]] over a parquet scan built with PHYSICAL column

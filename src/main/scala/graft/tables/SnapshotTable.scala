@@ -472,7 +472,8 @@ class SnapshotTable private (
    *  row-group filtering whenever a pushed equality predicate matches. */
   private[graft] def writeDataDir(dfIn: DataFrame,
       mappingOverride: Option[Map[String, String]] = None,
-      strictIdentity: Boolean = false): Seq[FileEntry] = {
+      strictIdentity: Boolean = false,
+      bucketRouted: Option[Int] = None): Seq[FileEntry] = {
     // one commit-log read serves the CHECK constraints, the bloom options,
     // and the column mapping (object-store round trips per write matter)
     val cur = currentReadable().map(_._2)
@@ -536,7 +537,22 @@ class SnapshotTable private (
       // zero-row part files carry no data and defeat stats pruning — drop
       // them from the manifest (rows == -1 means "stats unknown": keep)
       .filter(_.rows != 0L)
-    attachManifestBlooms(entries, bloomCols, props)
+    // identity-routed bucket writes ([[applyCluster]]): the part number
+    // IS the partition index IS the bucket transform value — record it
+    // so the scan can group files by bucket (storage-partitioned join)
+    // without re-deriving hashes from data
+    val stamped = bucketRouted match {
+      case Some(n) =>
+        val PartNum = "part-(\\d+)".r.unanchored
+        entries.map { fe =>
+          fe.copy(bucket = new Path(fe.path).getName match {
+            case PartNum(i) => scala.util.Try(i.toInt).toOption.filter(_ < n)
+            case _ => None
+          })
+        }
+      case None => entries
+    }
+    attachManifestBlooms(stamped, bloomCols, props)
   }
 
   /** Manifest-level bloom filters ([[FileBloom]]): with
@@ -603,7 +619,7 @@ class SnapshotTable private (
     // full replace: write physical = logical and clear the column mapping
     // (renames are materialized), same lifecycle as the drop tombstones
     val files = writeDataDir(applyCluster(df, spec), Some(Map.empty),
-      strictIdentity = true)
+      strictIdentity = true, bucketRouted = routedBucket(df, spec))
     // a full replace leaves no file that could carry a dropped column's
     // old values — the drop-column tombstones have done their job
     val props = prior.flatMap(_.properties)
@@ -781,7 +797,8 @@ class SnapshotTable private (
       if (added.nonEmpty) assertResurrectionSafe(added, s"append to $root (mergeSchema)")
     }
     val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
-    val files = writeDataDir(applyCluster(aligned, spec), strictIdentity = true)
+    val files = writeDataDir(applyCluster(aligned, spec), strictIdentity = true,
+      bucketRouted = routedBucket(aligned, spec))
     // Optimistic-transaction retry (Delta's blind-append rule): an append
     // adds files and reads nothing, so losing the commit race to another
     // FILE-ONLY commit (append, upsert, compact, delete) is not a logical
@@ -907,23 +924,47 @@ class SnapshotTable private (
   private def toOpt(entries: Seq[FileEntry])(implicit d: DummyImplicit): Option[Seq[FileEntry]] =
     if (entries.isEmpty) None else Some(entries)
 
+  private def clusterApplicable(df: DataFrame, spec: Seq[String]): Boolean =
+    spec.nonEmpty && spec.forall(s =>
+      df.columns.exists(_.equalsIgnoreCase(ClusterTransform.sourceColumn(s))))
+
+  /** The bucket count when this write will take the identity-routed
+   *  bucket layout below — callers pass it to [[writeDataDir]] so each
+   *  written file records its bucket id in the manifest. */
+  private def routedBucket(df: DataFrame, spec: Seq[String]): Option[Int] =
+    if (clusterApplicable(df, spec)) ClusterTransform.bucketOnly(spec).map(_._1)
+    else None
+
   private def applyCluster(
       df: DataFrame, spec: Seq[String], numFiles: Option[Int] = None): DataFrame = {
-    val applicable = spec.nonEmpty && spec.forall(s =>
-      df.columns.exists(_.equalsIgnoreCase(ClusterTransform.sourceColumn(s))))
-    if (!applicable) df
-    // range shuffle gives disjoint per-FILE bounds (manifest pruning);
-    // the local sort on top gives monotone per-ROW-GROUP bounds inside
-    // each file, so a pruned point lookup reads one row group, not the
-    // whole file — free at read time, one in-memory sort at write time.
-    // `numFiles` (compact's bin-pack target) pins the partition count so
-    // re-clustering cannot explode a small rewrite into
-    // spark.sql.shuffle.partitions fragments
-    else numFiles match {
-      case Some(n) => df.repartitionByRange(n, spec.map(ClusterTransform.expr): _*)
-        .sortWithinPartitions(spec.map(ClusterTransform.expr): _*)
-      case None => df.repartitionByRange(spec.map(ClusterTransform.expr): _*)
-        .sortWithinPartitions(spec.map(ClusterTransform.expr): _*)
+    if (!clusterApplicable(df, spec)) df
+    else ClusterTransform.bucketOnly(spec) match {
+      // identity-routed bucket layout: `repartition(n, col)` assigns
+      // partition index = pmod(murmur3(col, 42), n) — EXACTLY the bucket
+      // transform's value (`hash()` is the same murmur3) — so every
+      // output file holds ONE bucket and its part number IS its bucket
+      // id. That single-bucket-per-file invariant is what lets the DSv2
+      // scan report KeyGroupedPartitioning and Spark plan co-bucketed
+      // joins with NO shuffle (storage-partitioned join). The bucket
+      // count pins the layout, so numFiles does not apply; the local
+      // sort on the SOURCE column keeps row-group bounds tight for
+      // point-lookup pruning inside each bucket file.
+      case Some((n, c)) =>
+        df.repartition(n, org.apache.spark.sql.functions.col(c))
+          .sortWithinPartitions(org.apache.spark.sql.functions.col(c))
+      // range shuffle gives disjoint per-FILE bounds (manifest pruning);
+      // the local sort on top gives monotone per-ROW-GROUP bounds inside
+      // each file, so a pruned point lookup reads one row group, not the
+      // whole file — free at read time, one in-memory sort at write time.
+      // `numFiles` (compact's bin-pack target) pins the partition count so
+      // re-clustering cannot explode a small rewrite into
+      // spark.sql.shuffle.partitions fragments
+      case None => numFiles match {
+        case Some(n) => df.repartitionByRange(n, spec.map(ClusterTransform.expr): _*)
+          .sortWithinPartitions(spec.map(ClusterTransform.expr): _*)
+        case None => df.repartitionByRange(spec.map(ClusterTransform.expr): _*)
+          .sortWithinPartitions(spec.map(ClusterTransform.expr): _*)
+      }
     }
   }
 
@@ -991,7 +1032,8 @@ class SnapshotTable private (
     val sources: Set[String] =
       prior.map(_.files.map(_.path).toSet -- keep.toSet).getOrElse(Set.empty)
     val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
-    val files = writeDataDir(applyCluster(df, spec, numFiles))
+    val files = writeDataDir(applyCluster(df, spec, numFiles),
+      bucketRouted = routedBucket(df, spec))
     // deletion vectors carry forward by default (rewritten files take new
     // names, so their stale DV rows are inert); a DV delete appends its
     // sidecar, a purge clears the list
@@ -1771,6 +1813,26 @@ class SnapshotTable private (
    *  the DSv2 scan consults the PINNED snapshot's mapping). */
   private[graft] def columnMappingAt(version: Long): Map[String, String] =
     if (version < 0) Map.empty else mappingOf(commitEntry(version))
+
+  /** Some((numBuckets, sourceColumn)) when the snapshot at `version` is
+   *  a CLEAN identity-routed bucket layout: the cluster spec is exactly
+   *  one bucket transform and EVERY live file records a valid bucket id
+   *  (written through [[applyCluster]]'s routed path) with a known
+   *  size, and no row-level overlays ride the commit. This is the
+   *  precondition for the DSv2 scan to report KeyGroupedPartitioning
+   *  (storage-partitioned join); any file predating the layout — or a
+   *  DV/MoR overlay whose anti-join would break the raw per-bucket read
+   *  grouping assumptions — degrades to an unreported scan (a shuffle
+   *  plan, never a wrong answer). */
+  private[graft] def bucketLayoutAt(version: Long): Option[(Int, String)] = {
+    if (version < 0) return None
+    val e = commitEntry(version)
+    ClusterTransform.bucketOnly(e.clusterBy.getOrElse(Nil)).filter { case (n, _) =>
+      e.files.nonEmpty &&
+        e.files.forall(f => f.bytes > 0 && f.bucket.exists(b => b >= 0 && b < n)) &&
+        e.dvFiles.forall(_.isEmpty) && e.deltaFiles.forall(_.isEmpty)
+    }
+  }
 
   def schema: StructType =
     DataType.fromJson(currentReadable()
@@ -3382,6 +3444,15 @@ object SnapshotTable {
       case Time(unit, c) => date_trunc(unit.stripSuffix("s").toUpperCase, col(c))
       case plain => col(plain)
     }
+
+    /** Some((numBuckets, sourceColumn)) when the spec is EXACTLY one
+     *  bucket transform — the layout eligible for identity-routed
+     *  writes and storage-partitioned-join scan reporting. */
+    def bucketOnly(spec: Seq[String]): Option[(Int, String)] = spec match {
+      case Seq(Bucket(n, c)) =>
+        scala.util.Try(n.toInt).toOption.filter(_ > 0).map(_ -> c)
+      case _ => None
+    }
   }
 
   /** Column min/max/nullCount of one parquet file, harvested from its
@@ -3395,7 +3466,8 @@ object SnapshotTable {
   final case class ColStatsRow(min: String, max: String, null_count: Long)
 
   final case class FileEntry(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats],
-      blooms: Option[Map[String, String]] = None) {
+      blooms: Option[Map[String, String]] = None,
+      bucket: Option[Int] = None) {
     /** Decoded manifest blooms, materialized once per entry — an IN-list
      *  probe hits one file's filter once per VALUE, and re-base64-ing a
      *  128 KiB filter per value would turn plan-time pruning into driver

@@ -57,6 +57,40 @@ object SparkInternals {
     org.apache.spark.sql.classic.Dataset.ofRows(classic.sparkSession, node)
   }
 
+  /** One [[org.apache.spark.sql.connector.read.InputPartition]] per
+   *  bucket for a storage-partitioned-join scan: a FilePartition (so
+   *  Spark's parquet PartitionReaderFactory consumes it unchanged) that
+   *  also reports its bucket id as the KeyGroupedPartitioning partition
+   *  key. `FilePartition`/`PartitionedFile` are `private[sql]`-adjacent
+   *  execution classes — constructed here, behind the shim. */
+  def keyedFilePartition(
+      index: Int,
+      files: Seq[(String, Long)], // (path, bytes)
+      bucketId: Int): org.apache.spark.sql.connector.read.InputPartition = {
+    import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+    val pfs = files.map { case (p, bytes) =>
+      PartitionedFile(
+        org.apache.spark.sql.catalyst.InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPath(new org.apache.hadoop.fs.Path(p)),
+        0L, bytes, Array.empty[String], 0L, bytes)
+    }.toArray
+    new FilePartition(index, pfs)
+        with org.apache.spark.sql.connector.read.HasPartitionKey {
+      override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](bucketId))
+    }
+  }
+
+  /** Murmur3 (seed 42) of a catalyst-native value — EXACTLY the SQL
+   *  `hash()` 32-bit result that both `ClusterTransform.expr`'s bucket
+   *  value and `repartition(n, col)`'s partition index derive from; the
+   *  V2 bucket function must agree bit-for-bit with both. */
+  def murmur3Hash32(value: Any, dataType: org.apache.spark.sql.types.DataType): Int =
+    if (value == null) 42
+    else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(value, dataType, 42L).toInt
+
   /** The inverse marking of [[rebatch]]: wrap a batch plan's executed RDD
    *  as a single STREAMING leaf. A V1 streaming source must return an
    *  `isStreaming` plan, but marking the leaves of a multi-relation plan

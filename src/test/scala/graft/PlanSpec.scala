@@ -247,6 +247,65 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("storage-partitioned join: co-bucketed tables join with no shuffle") {
+    // two tables identity-routed on bucket(8, id): the scan reports
+    // KeyGroupedPartitioning through the catalog's bucket function, so
+    // the equi-join aligns the per-bucket partitions directly — the
+    // layout shuffle was paid ONCE at write time, the join pays none
+    def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    spark.sql("DROP TABLE IF EXISTS graft.db.spj_fact")
+    spark.sql("DROP TABLE IF EXISTS graft.db.spj_dim")
+    spark.sql("CREATE TABLE graft.db.spj_fact (id BIGINT, v BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(8, id))")
+    spark.sql("CREATE TABLE graft.db.spj_dim (id BIGINT, w STRING) " +
+      "USING graft PARTITIONED BY (bucket(8, id))")
+    spark.range(0, 4000).select(col("id"), (col("id") * 3).as("v"))
+      .writeTo("graft.db.spj_fact").append()
+    spark.range(0, 1000).select(col("id"), concat(lit("w"), col("id")).as("w"))
+      .writeTo("graft.db.spj_dim").append()
+    val q = "SELECT f.id, f.v, d.w FROM graft.db.spj_fact f " +
+      "JOIN graft.db.spj_dim d ON f.id = d.id"
+    val expected = (0L until 1000L).map(i => (i, i * 3, s"w$i")).toSet
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = executedPlanString(df)
+      assert(!plan.contains("Exchange"), s"shuffle in SPJ plan:\n$plan")
+      assert(plan.contains("KeyGrouped(bucket(8, id))"),
+        s"scan did not report the bucket layout:\n$plan")
+      assert(df.as[(Long, Long, String)].collect().toSet === expected)
+      // the same report satisfies an AGGREGATION's clustering: group-by
+      // on the bucketed key plans without an exchange too
+      val agg = spark.sql(
+        "SELECT id, count(*) AS c FROM graft.db.spj_fact GROUP BY id")
+      val aggPlan = executedPlanString(agg)
+      assert(!aggPlan.contains("Exchange"),
+        s"shuffle in bucketed group-by:\n$aggPlan")
+      assert(agg.as[(Long, Long)].collect().toSet
+        === (0L until 4000L).map(_ -> 1L).toSet)
+    }
+    // degradation is structural: v2 bucketing OFF (it defaults ON in
+    // Spark 4) → the scan never reports, ordinary shuffle join, same rows
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = executedPlanString(df)
+      assert(plan.contains("Exchange"), s"expected shuffle with SPJ off:\n$plan")
+      assert(df.as[(Long, Long, String)].collect().toSet === expected)
+    }
+  }
+
   test("merge source side with equi-condition plans as a hash join, not NLJ") {
     val t = SnapshotTable.create(spark, tmpDir("plan"),
       spark.range(0, 10000).toDF("id").withColumn("v", lit("x")))

@@ -2457,6 +2457,52 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("was built with n=4"), e.getMessage)
   }
 
+  test("indexed span serve: flat-identical through append + compaction, prunes files") {
+    // the key-probed span serve must return EXACTLY the flat serve's
+    // cleaned text over the same accumulated gram set, at every
+    // lifecycle stage (built on part of the corpus, appended to the
+    // rest, reclustered) — pruning is conservative file skipping over a
+    // pure-membership side
+    val all = graft.tools.ScaleCorpus.documents(spark, 300)
+      .select(col("doc_id").as("id"), col("text")).localCheckpoint()
+    val corpus = all.filter(col("id") < 250)
+    val batch = all.filter(col("id") >= 250)
+    val root = java.nio.file.Files.createTempDirectory("graft_span_life").toString
+    val t = TextAnalysis.buildSpanGramIndexTable(spark, root,
+      all.filter(col("id") < 150), "id", "text", n = 10, filesPerTable = 8)
+    val files0 = t.manifest().size
+    TextAnalysis.spanGramIndexAppend(t,
+      all.filter(col("id") >= 150 && col("id") < 250), "id", "text")
+    assert(t.manifest().size > files0, "append added no files")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, String, Long)].collect().toSet
+    val flat = rows(TextAnalysis.removeDuplicatedSpansIncremental(
+      batch, TextAnalysis.spanGramIndex(corpus, "id", "text", 10),
+      "id", "text", 10))
+    assert(rows(TextAnalysis.removeDuplicatedSpansIncrementalIndexed(
+      t, batch, "id", "text")) === flat, "indexed serve diverged post-append")
+    val rewritten = TextAnalysis.compactSpanGramIndex(t, filesPerTable = 8)
+    assert(rewritten > 0 && t.manifest().size === 8)
+    assert(rows(TextAnalysis.removeDuplicatedSpansIncrementalIndexed(
+      t, batch, "id", "text")) === flat, "indexed serve diverged post-compact")
+    // appended grams really landed (a batch re-sending an appended-range
+    // doc's text must lose its spans) and the pin survived compaction
+    assert(t.properties().get(TextAnalysis.SpanGramNProp) === Some("10"))
+    // the probe opens a strict subset for a tiny batch
+    val tiny = all.filter(col("id") === 260)
+    val keys = TextAnalysis.spanGramIndex(tiny, "id", "text", 10)
+      .select("g").as[Long].collect().toSeq
+    assert(keys.nonEmpty &&
+      t.keyProbedManifest("g", keys).size < t.manifest().size)
+    // an unpinned table refuses append/serve/compact derivation
+    val plain = graft.tables.SnapshotTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_span_plain").toString,
+      Seq(1L).toDF("g"))
+    val e = intercept[IllegalArgumentException](TextAnalysis.spanGramNOf(plain))
+    assert(e.getMessage.contains("pins no span-gram"), e.getMessage)
+    graft.ext.Dedup.release(all)
+  }
+
   test("unigramLogProb == driver-side model; tails rank as expected") {
     val corpus = Seq(
       (1L, "the cat sat on the mat"),

@@ -335,6 +335,103 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.manifestEntries().forall(_.stats.nonEmpty))
   }
 
+  test("maintenance rewrites preserve the committed schema exactly") {
+    // a compact/delete/recluster round-trips rows through a parquet READ,
+    // whose schema widens nullability (array containsNull, field
+    // nullable) — committing the read frame's schema would silently
+    // loosen the table schema, and the append path's type check would
+    // then refuse producers that were valid before the maintenance ran
+    // (first seen as a streamed signature append failing against a
+    // reclustered minhash index)
+    def tight = spark.range(0, 20)
+      .select(col("id"), array(col("id"), col("id") + 1).as("arr"))
+    val t = SnapshotTable(spark, tmpDir("tbl_schema"))
+    (0 until 4).foreach(_ => t.append(tight))
+    val schema0 = t.schema.json
+    assert(schema0.contains("\"containsNull\":false"), schema0)
+    t.compact(targetFileBytes = 1024 * 1024, smallFileBytes = 1024 * 1024)
+    assert(t.schema.json === schema0, "compact widened the schema")
+    t.delete(col("id") === 3L)
+    assert(t.schema.json === schema0, "delete widened the schema")
+    t.recluster(Seq("id"), 2)
+    assert(t.schema.json === schema0, "recluster widened the schema")
+    // the regression: a producer with the original tight schema must
+    // still append after the maintenance passes
+    t.append(tight.filter(col("id") >= 18))
+    assert(t.schema.json === schema0)
+  }
+
+  test("recluster: range layout restored, DVs folded in, content unchanged") {
+    val t = SnapshotTable(spark, tmpDir("tbl_recluster"))
+    // every append covers the FULL id range — the append-bloated index
+    // shape where a point probe must open one file per append
+    (0 until 5).foreach(i => t.append(
+      spark.range(0, 100).select(col("id"), lit(i).as("batch")).coalesce(1)))
+    t.setProperties(Map("graft.dv.enabled" -> "true"))
+    t.delete(col("id") % 10 === 7) // lands as a DV sidecar
+    assert(t.commitEntry(t.currentVersion()).dvFiles.exists(_.nonEmpty))
+    val before = t.read().as[(Long, Int)].collect().toSet
+    val probedBefore = t.keyProbedManifest("id", Seq(42L)).size
+    assert(probedBefore === 5, s"expected one file per append, got $probedBefore")
+    val rewritten = t.recluster(Seq("id"), 4)
+    assert(rewritten === 5)
+    assert(t.manifest().size <= 4)
+    assert(t.manifestAction().contains("recluster"))
+    // DVs applied into the rewrite and cleared
+    assert(t.commitEntry(t.currentVersion()).dvFiles.forall(_.isEmpty))
+    assert(t.read().as[(Long, Int)].collect().toSet === before)
+    // disjoint per-file ranges: a point probe now opens exactly one file
+    assert(t.keyProbedManifest("id", Seq(42L)).size === 1)
+    // guards: unknown column, and a spec conflicting with the recorded one
+    val e = intercept[IllegalArgumentException](t.recluster(Seq("nope"), 2))
+    assert(e.getMessage.contains("not in table schema"), e.getMessage)
+    t.setClusterSpec(Seq("batch"))
+    val e2 = intercept[IllegalArgumentException](t.recluster(Seq("id"), 2))
+    assert(e2.getMessage.contains("setClusterSpec"), e2.getMessage)
+    // with a RECORDED spec, recluster routes the shuffle through
+    // replaceFiles' applyCluster(numFiles) — same content, same layout
+    val before2 = t.read().as[(Long, Int)].collect().toSet
+    assert(t.recluster(Seq("batch"), 2) > 0)
+    assert(t.read().as[(Long, Int)].collect().toSet === before2)
+  }
+
+  test("bucket cluster spec routes identity: one bucket per file, ids in manifest") {
+    // repartition(n, col)'s partition index IS pmod(hash(col), n) — the
+    // bucket transform value — so every routed file holds exactly one
+    // bucket and records its id; that invariant is what the DSv2 scan's
+    // KeyGroupedPartitioning report (storage-partitioned join) rests on
+    val df = spark.range(0, 2000).select(col("id"), (col("id") * 2).as("v"))
+    val t = SnapshotTable.create(spark, tmpDir("tbl_bucket"), df.limit(1))
+    t.setClusterSpec(Seq("bucket(8, id)"))
+    t.overwrite(df)
+    val entry = t.commitEntry(t.currentVersion())
+    assert(entry.files.nonEmpty && entry.files.forall(_.bucket.isDefined),
+      s"unstamped files: ${entry.files.map(f => f.path -> f.bucket)}")
+    entry.files.foreach { f =>
+      val got = spark.read.parquet(f.path)
+        .select(pmod(hash(col("id")), lit(8))).distinct().as[Int].collect().toSeq
+      assert(got === Seq(f.bucket.get),
+        s"file ${f.path} stamped ${f.bucket} but holds buckets $got")
+    }
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((8, "id")))
+    // appends route too — the layout survives growth
+    t.append(spark.range(2000, 2100).select(col("id"), (col("id") * 2).as("v")))
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((8, "id")))
+    assert(t.read().count() === 2100)
+    // compaction rewrites through the same routed path — the layout
+    // (and SPJ eligibility) survives maintenance
+    val compacted = t.compact(targetFileBytes = 1024 * 1024,
+      smallFileBytes = 1024 * 1024)
+    assert(compacted > 0)
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((8, "id")))
+    assert(t.commitEntry(t.currentVersion()).files.forall(_.bucket.isDefined))
+    // a DV overlay breaks the raw per-bucket read grouping — eligibility
+    // degrades (scan falls back to an unreported shuffle plan)
+    t.setProperties(Map("graft.dv.enabled" -> "true"))
+    t.delete(col("id") === 42L)
+    assert(t.bucketLayoutAt(t.currentVersion()).isEmpty)
+  }
+
   test("vacuum reclaims unreferenced files and expires old versions") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(Seq((1, "a")).toDF("id", "v"))

@@ -247,9 +247,15 @@ class TagBranchSpec extends SparkSpec {
     def errTail(f: java.io.File): String = {
       val lines = scala.util.Try(
         scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq).getOrElse(Nil)
-      // the require/exception text, minus Spark's shutdown chatter
-      lines.filterNot(l => l.contains("INFO") || l.contains("WARN"))
-        .takeRight(15).mkString("\n")
+        .filterNot(l => l.contains("INFO") || l.contains("WARN"))
+      // anchor on the LAST exception/require header so the MESSAGE line
+      // survives the window — an r11 full-suite flake surfaced a bare
+      // mid-stack tail that said nothing about starvation vs real bug
+      val anchor = lines.lastIndexWhere(l =>
+        l.contains("Exception") || l.contains("Error") ||
+          l.contains("starved") || l.contains("requirement failed"))
+      val from = if (anchor < 0) math.max(0, lines.size - 15) else anchor
+      lines.slice(from, math.min(lines.size, from + 20)).mkString("\n")
     }
     val (churn, churnErr) = spawn("churn", 20)
     val (publish, publishErr) = spawn("publish", 5)
