@@ -395,6 +395,34 @@ object Bench {
            noop(r); ext.Dedup.release(r) },
          () => ())
       }),
+      // ALL-NOVEL indexed span serve (the production steady state: a
+      // batch sharing no grams with the corpus) — synthetic id-derived
+      // tokens reach no stored gram, so blooms reject every index file
+      // and the serve cost is the batch's own gram pass. The heavy-dup
+      // row above is the other face: a batch whose ~45k probe grams are
+      // ALL in the index spreads over every file's hash range, pruning
+      // degrades to a full read (exactly correct, honestly recorded),
+      // and flat-vs-indexed converge.
+      SRow("span_serve_indexed_novel", P12, { dir =>
+        val corpus = docsAt(dir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_sgnov")
+        val t = ext.TextAnalysis.buildSpanGramIndexTable(sparkS,
+          tmp.toString + "/grams", corpus, "doc_id", "text", n = 10,
+          filesPerTable = 64)
+        val batch = sc.documents(sparkS, 500)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+            org.apache.spark.sql.functions.format_string(
+              "sva%d svb%d svc%d svd%d sve%d svf%d svg%d svh%d svi%d svj%d svk%d",
+              col("doc_id"), col("doc_id"), col("doc_id"), col("doc_id"),
+              col("doc_id"), col("doc_id"), col("doc_id"), col("doc_id"),
+              col("doc_id"), col("doc_id"), col("doc_id")).as("text"))
+          .localCheckpoint()
+        (() => { val r = ext.TextAnalysis
+             .removeDuplicatedSpansIncrementalIndexed(t, batch, "doc_id", "text")
+           noop(r); ext.Dedup.release(r) },
+         () => ())
+      }),
       // the INDEXED serve against persisted band/sig snapshot tables
       // (key-probed manifests: range stats + per-file blooms) — per-batch
       // cost rides the batch's MATCHES, so the exponent should sit near

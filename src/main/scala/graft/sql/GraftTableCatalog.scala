@@ -800,8 +800,18 @@ class KeyGroupedFileScan(
     numBuckets: Int,
     keyColumn: String,
     groups: Seq[(Int, Seq[SnapshotTable.FileEntry])])
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics {
   override def readSchema(): StructType = underlying.readSchema()
+  // statistics forward (the LogicalNamesScan discipline) — losing them
+  // would blind join-size estimation for exactly the scans meant to join
+  override def estimateStatistics(): Statistics = underlying match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"KeyGrouped(bucket($numBuckets, $keyColumn)) " + underlying.description()

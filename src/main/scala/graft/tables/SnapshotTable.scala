@@ -473,7 +473,7 @@ class SnapshotTable private (
   private[graft] def writeDataDir(dfIn: DataFrame,
       mappingOverride: Option[Map[String, String]] = None,
       strictIdentity: Boolean = false,
-      bucketRouted: Option[Int] = None): Seq[FileEntry] = {
+      bucketRouted: Option[(Int, String)] = None): Seq[FileEntry] = {
     // one commit-log read serves the CHECK constraints, the bloom options,
     // and the column mapping (object-store round trips per write matter)
     val cur = currentReadable().map(_._2)
@@ -540,9 +540,16 @@ class SnapshotTable private (
     // identity-routed bucket writes ([[applyCluster]]): the part number
     // IS the partition index IS the bucket transform value — record it
     // so the scan can group files by bucket (storage-partitioned join)
-    // without re-deriving hashes from data
+    // without re-deriving hashes from data. NOT when the bucket column
+    // is an identity or generated column: those are (re)computed in this
+    // method AFTER the routing shuffle, so rows routed on pre-assignment
+    // values could land in the "wrong" file and a stamped id would lie —
+    // the silent wrong-join-answer SPJ must never risk. Unstamped files
+    // simply keep the layout unreported (shuffle plan, correct).
     val stamped = bucketRouted match {
-      case Some(n) =>
+      case Some((n, c)) if !props.keys.exists(k =>
+          k.equalsIgnoreCase(s"graft.identity.$c") ||
+            k.equalsIgnoreCase(s"graft.generated.$c")) =>
         val PartNum = "part-(\\d+)".r.unanchored
         entries.map { fe =>
           fe.copy(bucket = new Path(fe.path).getName match {
@@ -550,7 +557,7 @@ class SnapshotTable private (
             case _ => None
           })
         }
-      case None => entries
+      case _ => entries
     }
     attachManifestBlooms(stamped, bloomCols, props)
   }
@@ -928,11 +935,12 @@ class SnapshotTable private (
     spec.nonEmpty && spec.forall(s =>
       df.columns.exists(_.equalsIgnoreCase(ClusterTransform.sourceColumn(s))))
 
-  /** The bucket count when this write will take the identity-routed
-   *  bucket layout below — callers pass it to [[writeDataDir]] so each
-   *  written file records its bucket id in the manifest. */
-  private def routedBucket(df: DataFrame, spec: Seq[String]): Option[Int] =
-    if (clusterApplicable(df, spec)) ClusterTransform.bucketOnly(spec).map(_._1)
+  /** The (numBuckets, column) when this write will take the
+   *  identity-routed bucket layout below — callers pass it to
+   *  [[writeDataDir]] so each written file records its bucket id in the
+   *  manifest. */
+  private def routedBucket(df: DataFrame, spec: Seq[String]): Option[(Int, String)] =
+    if (clusterApplicable(df, spec)) ClusterTransform.bucketOnly(spec)
     else None
 
   private def applyCluster(
@@ -2409,7 +2417,11 @@ class SnapshotTable private (
     val survivors = dvRemoveOver(entry, touched.map(_.path), tschema, mappingOf(entry))
       .filter(!predicate || predicate.isNull)
     replaceFiles(untouched.map(_.path), survivors.unionByName(aligned),
-      "replace-where", expectVersion = Some(v))
+      "replace-where", expectVersion = Some(v),
+      // incoming aligned to the committed schema + survivors re-read from
+      // parquet: logically schema-preserving, so commit the prior schema
+      // (the parquet-read nullability-widening rule)
+      commitSchemaJson = Some(entry.schemaJson))
     this
   }
 

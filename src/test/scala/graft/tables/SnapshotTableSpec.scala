@@ -432,6 +432,26 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.bucketLayoutAt(t.currentVersion()).isEmpty)
   }
 
+  test("bucket stamping refused when the bucket column is generated") {
+    // generated/identity columns are (re)computed AFTER the routing
+    // shuffle, so a row routed on its pre-assignment value could sit in
+    // a file whose stamped bucket id lies — the silent wrong-join-answer
+    // SPJ must never risk; such writes stay unstamped and the layout
+    // unreported (shuffle plan, correct)
+    val df = spark.range(0, 100).select(col("id"), (col("id") % 5).as("k"))
+    val t = SnapshotTable.create(spark, tmpDir("tbl_idgate"), df.limit(1))
+    t.setClusterSpec(Seq("bucket(4, k)"))
+    t.overwrite(df)
+    assert(t.bucketLayoutAt(t.currentVersion()).isDefined)
+    t.setProperties(Map("graft.generated.k" -> "id % 5"))
+    t.append(spark.range(100, 200).select(col("id"), (col("id") % 5).as("k")))
+    val entry = t.commitEntry(t.currentVersion())
+    assert(entry.files.exists(_.bucket.isEmpty),
+      "generated-column write was stamped")
+    assert(t.bucketLayoutAt(t.currentVersion()).isEmpty,
+      "poisoned layout still reported")
+  }
+
   test("vacuum reclaims unreferenced files and expires old versions") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(Seq((1, "a")).toDF("id", "v"))
