@@ -471,6 +471,25 @@ class GraftTable(
     ident.toString + pinnedVersion.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = snapshotSchema
   override def properties(): util.Map[String, String] = table.properties().asJava
+
+  /** The persisted cluster spec reported back as DSv2 partitioning
+   *  transforms — the inverse of [[GraftTableCatalog.createTable]]'s
+   *  transform→spec conversion, so DESCRIBE/SHOW CREATE round-trip the
+   *  hidden-partitioning declaration. Informational: reads prune via
+   *  stats and the SPJ report regardless. */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val Bucket = """bucket\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+    val Time = """(years|months|days|hours)\(\s*([^)]+?)\s*\)""".r
+    table.clusterSpec().map {
+      case Bucket(n, c) => Expressions.bucket(n.toInt, c)
+      case Time("years", c) => Expressions.years(c)
+      case Time("months", c) => Expressions.months(c)
+      case Time("days", c) => Expressions.days(c)
+      case Time("hours", c) => Expressions.hours(c)
+      case plain => Expressions.identity(plain)
+    }.toArray
+  }
   // BATCH_WRITE is declared alongside V1_BATCH_WRITE: the path-based
   // DataFrameWriter (`.format("graft-table").save(root)`) gates on the
   // former strictly, while the physical plan is still routed by the

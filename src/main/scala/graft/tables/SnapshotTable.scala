@@ -1871,8 +1871,11 @@ class SnapshotTable private (
         f.stats.map { case (c, s) =>
           c -> ColStatsRow(s.min.orNull, s.max.orNull, s.nullCount.getOrElse(-1L))
         },
-        f.blooms.getOrElse(Map.empty).keys.toSeq.sorted)
-    }.toDF("path", "rows", "bytes", "stats", "bloom_columns")
+        f.blooms.getOrElse(Map.empty).keys.toSeq.sorted,
+        // identity-routed bucket id (-1 = unrouted file) — the SPJ
+        // layout made observable per file
+        f.bucket.map(_.toLong).getOrElse(-1L))
+    }.toDF("path", "rows", "bytes", "stats", "bloom_columns", "bucket")
   }
 
   /**

@@ -211,6 +211,11 @@ class CatalogSpec extends SparkSpec {
     assert(t.clusterSpec() === Seq("bucket(4, id)"))
     assert(spark.table("graft.db.t15").count() === 1000)
     assert(spark.sql("SELECT v FROM graft.db.t15 WHERE id = 500").as[Long].head() === 1000L)
+    // the table reports its spec back as DSv2 partitioning (DESCRIBE /
+    // SHOW CREATE round-trip of the hidden-partitioning declaration)
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft.db.t15")
+      .collect().map(_.mkString(" ")).mkString("\n")
+    assert(desc.contains("bucket(4, id)"), desc)
   }
 
   test("ALTER TABLE ADD COLUMNS evolves the schema without touching data") {

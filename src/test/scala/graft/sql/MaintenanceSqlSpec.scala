@@ -325,6 +325,18 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(rows.forall(_.getSeq[String](4).isEmpty))
     val dfApi = t.filesMetadata().orderBy(col("path")).collect()
     assert(dfApi.map(_.getString(0)).toSet === t.manifest().toSet)
+    // unrouted files report bucket -1; an identity-routed bucket layout
+    // surfaces its per-file ids (the SPJ layout made observable)
+    assert(spark.sql(s"SELECT bucket FROM graft_table_files('${t.root}')")
+      .as[Long].collect().forall(_ === -1L))
+    val bt = SnapshotTable.create(spark, tmpDir("sqlfiles_b"),
+      spark.range(0, 200).toDF("id").limit(1))
+    bt.setClusterSpec(Seq("bucket(4, id)"))
+    bt.overwrite(spark.range(0, 200).toDF("id"))
+    val buckets = spark.sql(
+      s"SELECT DISTINCT bucket FROM graft_table_files('${bt.root}')")
+      .as[Long].collect()
+    assert(buckets.nonEmpty && buckets.forall(b => b >= 0 && b < 4), buckets.toSeq)
   }
 
   test("graft_table_changes TVF surfaces the change feed in SQL") {
