@@ -432,6 +432,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.bucketLayoutAt(t.currentVersion()).isEmpty)
   }
 
+  test("bucket layout survives upsert, CoW delete and compaction (durable SPJ)") {
+    // every row-level rewrite routes its output through the same
+    // identity-routed path and carries untouched files' bucket ids
+    // forward, so a bucketed table stays storage-partitioned-join
+    // eligible through its whole DML lifecycle — the layout is an
+    // investment, not something the first upsert silently destroys
+    val df = spark.range(0, 1000)
+      .select(col("id"), lit("v0").as("v"), lit(0L).as("ver"))
+    val t = SnapshotTable.create(spark, tmpDir("tbl_spj_dml"), df.limit(1))
+    t.setClusterSpec(Seq("bucket(4, id)"))
+    t.overwrite(df)
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, "id")))
+    t.upsert(spark.range(100, 200)
+      .select(col("id"), lit("v1").as("v"), lit(1L).as("ver")),
+      Seq("id"), "ver")
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, "id")),
+      "upsert destroyed the layout")
+    t.delete(col("id") % 10 === 3)
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, "id")),
+      "CoW delete destroyed the layout")
+    t.compact(targetFileBytes = 1024 * 1024, smallFileBytes = 1024 * 1024)
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, "id")),
+      "compaction destroyed the layout")
+    // content stayed right through it all
+    assert(t.read().count() === 900)
+    assert(t.read().filter(col("id") === 150L).select("v").as[String].head() === "v1")
+  }
+
   test("bucket stamping refused when the bucket column is generated") {
     // generated/identity columns are (re)computed AFTER the routing
     // shuffle, so a row routed on its pre-assignment value could sit in
