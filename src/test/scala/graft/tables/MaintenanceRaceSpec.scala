@@ -54,6 +54,32 @@ class MaintenanceRaceSpec extends SparkSpec {
     assert(entry.files.map(_.path).forall(p => !head.files.exists(_.path == p)))
   }
 
+  test("recluster-shape rewrite absorbs an interleaved blind append") {
+    // recluster's exact replaceFiles flag set — full replace (keep=Nil),
+    // numFiles pin, clearDvFiles, prior-schema commit — must interact
+    // with the disjoint-file rebase the same way compact's does: the
+    // interleaved append's file rides through un-rewritten, nothing
+    // doubles, and the committed schema stays the prior one verbatim
+    val t = threeFileTable("recluster_rebase")
+    val v = t.currentVersion()
+    val entry = t.commitEntry(v)
+    val all = spark.read.parquet(entry.files.map(_.path): _*)
+      .repartitionByRange(2, col("id"))
+    t.append(Seq((4, "d")).toDF("id", "v"))
+    val appendedPaths = t.commitEntry(v + 1).files.map(_.path).toSet --
+      entry.files.map(_.path)
+    t.replaceFiles(Nil, all, "recluster", expectVersion = Some(v),
+      numFiles = Some(2), rebaseDisjoint = true, clearDvFiles = true,
+      commitSchemaJson = Some(entry.schemaJson))
+    val rows = t.read().as[(Int, String)].collect()
+    assert(rows.length === rows.toSet.size)
+    assert(rows.toSet === Set((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    val head = t.commitEntry(t.currentVersion())
+    assert(head.action === "recluster")
+    assert(appendedPaths.subsetOf(head.files.map(_.path).toSet))
+    assert(head.schemaJson === entry.schemaJson, "rebase loosened the schema")
+  }
+
   test("z-order absorbs an interleaved blind append") {
     val t = threeFileTable("zorder_rebase")
     val v = t.currentVersion()
