@@ -2638,12 +2638,20 @@ class SnapshotTable private (
     require(v >= 0, s"table $root is empty")
     val entry = commitEntry(v)
     val tschema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
-    clusterBy.foreach(c => require(tschema.fieldNames.exists(_.equalsIgnoreCase(c)),
-      s"recluster column '$c' not in table schema " +
-        s"(columns: ${tschema.fieldNames.mkString(", ")})"))
+    // entries may be plain columns OR transforms (bucket/time) — the
+    // setClusterSpec vocabulary; only the SOURCE column must exist
+    clusterBy.foreach { c =>
+      val src = ClusterTransform.sourceColumn(c)
+      require(tschema.fieldNames.exists(_.equalsIgnoreCase(src)),
+        s"recluster entry '$c' references unknown column '$src' " +
+          s"(columns: ${tschema.fieldNames.mkString(", ")})")
+    }
     // a recorded cluster spec means replaceFiles re-clusters the rewrite
     // by THAT spec — a divergent explicit spec would silently lose, so
-    // refuse the ambiguity instead
+    // refuse the ambiguity instead. With a recorded BUCKET spec this is
+    // the SPJ MIGRATION path: `setClusterSpec(Seq("bucket(n, c)"))`
+    // (metadata-only) followed by one recluster rewrites the whole live
+    // set identity-routed, after which the scan reports the layout.
     val tableSpec = entry.clusterBy.getOrElse(Nil)
     require(tableSpec.isEmpty ||
         tableSpec.map(_.toLowerCase) == clusterBy.map(_.toLowerCase),
@@ -2652,12 +2660,13 @@ class SnapshotTable private (
     if (entry.files.size < 2) return 0
     val all = dvRemoveOver(entry, entry.files.map(_.path), tschema, mappingOf(entry))
     // with a recorded spec, replaceFiles' applyCluster(numFiles) does the
-    // range shuffle; otherwise shape the frame here
+    // shuffle (identity-routed for single-bucket specs, range otherwise);
+    // otherwise shape the frame here
     val packed =
       if (tableSpec.nonEmpty) all
       else all.repartitionByRange(numFiles,
-          clusterBy.map(org.apache.spark.sql.functions.col): _*)
-        .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+          clusterBy.map(ClusterTransform.expr): _*)
+        .sortWithinPartitions(clusterBy.map(ClusterTransform.expr): _*)
     replaceFiles(Nil, packed, "recluster", expectVersion = Some(v),
       numFiles = Some(numFiles), rebaseDisjoint = true, clearDvFiles = true,
       commitSchemaJson = Some(entry.schemaJson))

@@ -384,7 +384,7 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.keyProbedManifest("id", Seq(42L)).size === 1)
     // guards: unknown column, and a spec conflicting with the recorded one
     val e = intercept[IllegalArgumentException](t.recluster(Seq("nope"), 2))
-    assert(e.getMessage.contains("not in table schema"), e.getMessage)
+    assert(e.getMessage.contains("unknown column"), e.getMessage)
     t.setClusterSpec(Seq("batch"))
     val e2 = intercept[IllegalArgumentException](t.recluster(Seq("id"), 2))
     assert(e2.getMessage.contains("setClusterSpec"), e2.getMessage)
@@ -458,6 +458,29 @@ class SnapshotTableSpec extends SparkSpec {
     // content stayed right through it all
     assert(t.read().count() === 900)
     assert(t.read().filter(col("id") === 150L).select("v").as[String].head() === "v1")
+  }
+
+  test("SPJ migration: setClusterSpec(bucket) + one recluster routes an existing table") {
+    // the 100 TB adoption path: a table that predates the bucket layout
+    // flips its spec metadata-only, then ONE clustered rewrite makes it
+    // storage-partitioned-join eligible — no export/reimport
+    val df = spark.range(0, 500).select(col("id"), (col("id") * 7).as("v"))
+    val t = SnapshotTable.create(spark, tmpDir("tbl_spj_mig"), df.limit(1))
+    t.overwrite(df.repartition(5))
+    t.append(df.filter(col("id") < 50).repartition(2))
+    assert(t.bucketLayoutAt(t.currentVersion()).isEmpty)
+    t.setClusterSpec(Seq("bucket(4, id)")) // metadata-only: still ineligible
+    assert(t.bucketLayoutAt(t.currentVersion()).isEmpty)
+    val before = t.read().as[(Long, Long)].collect().toSeq.sorted
+    assert(t.recluster(Seq("bucket(4, id)"), 4) > 0)
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, "id")))
+    assert(t.read().as[(Long, Long)].collect().toSeq.sorted === before)
+    // every migrated file single-bucket
+    t.commitEntry(t.currentVersion()).files.foreach { f =>
+      val got = spark.read.parquet(f.path)
+        .select(pmod(hash(col("id")), lit(4))).distinct().as[Int].collect().toSeq
+      assert(got === Seq(f.bucket.get))
+    }
   }
 
   test("bucket stamping refused when the bucket column is generated") {
