@@ -33,6 +33,7 @@ import graft.tables.SnapshotTable
  * {{{
  *   VACUUM t [RETAIN <n> HOURS]
  *   OPTIMIZE t [WHERE <pred>] [ZORDER BY (c1, c2, …)]   (WHERE: compaction scope)
+ *   OPTIMIZE t FULL                       (full rewrite by the recorded cluster spec)
  *   DESCRIBE HISTORY t
  *   DESCRIBE DETAIL t
  *   RESTORE [TABLE] t TO VERSION AS OF <v>
@@ -158,8 +159,16 @@ object GraftSqlParser {
     }.orElse(m(HistoryStmt).map(r => GraftDescribeHistoryCommand(identParts(r.group(1)))))
       .orElse(m(DetailStmt).map(r => GraftDescribeDetailCommand(identParts(r.group(1)))))
       .orElse(m(OptimizeStmt).map { r =>
-        val (where, cols) = parseOptimizeTail(Option(r.group(2)).getOrElse(""))
-        GraftOptimizeCommand(identParts(r.group(1)), cols, where)
+        val tail = Option(r.group(2)).getOrElse("")
+        // Delta's liquid-clustering `OPTIMIZE t FULL`: full clustered
+        // rewrite by the RECORDED spec (the SPJ migration / maintenance
+        // pass), vs the default small-file compaction
+        if (tail.trim.equalsIgnoreCase("FULL"))
+          GraftOptimizeCommand(identParts(r.group(1)), Nil, None, full = true)
+        else {
+          val (where, cols) = parseOptimizeTail(tail)
+          GraftOptimizeCommand(identParts(r.group(1)), cols, where)
+        }
       })
       .orElse(m(RestoreVersionStmt).map(r =>
         GraftRestoreCommand(identParts(r.group(1)), Some(r.group(2).toLong), None)))
@@ -374,7 +383,8 @@ case class GraftVacuumCommand(
  * targets from live-manifest byte stats — no data scan to plan).
  */
 case class GraftOptimizeCommand(
-    parts: Seq[String], zorderBy: Seq[String], where: Option[String] = None)
+    parts: Seq[String], zorderBy: Seq[String], where: Option[String] = None,
+    full: Boolean = false)
     extends LeafRunnableCommand {
   import GraftSqlParser._
   override val output: Seq[Attribute] = Seq(
@@ -382,6 +392,23 @@ case class GraftOptimizeCommand(
     notNull("rewritten_files", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
     val t = resolveTable(spark, parts)
+    if (full) {
+      // `OPTIMIZE t FULL` (Delta liquid-clustering parity): full
+      // clustered rewrite by the table's RECORDED spec — the SQL face of
+      // [[SnapshotTable.recluster]], i.e. the in-place SPJ migration
+      // after `ALTER TABLE … CLUSTER BY (bucket(n, c))` and the
+      // restore-the-file-floor maintenance pass for clustered tables
+      val spec = t.clusterSpec()
+      require(spec.nonEmpty,
+        s"OPTIMIZE FULL needs a cluster spec on ${t.root}: run " +
+          "ALTER TABLE … CLUSTER BY (…) first")
+      val entries = t.manifestEntries()
+      val totalBytes = entries.map(_.bytes).filter(_ > 0).sum
+      val target = 128L * 1024 * 1024
+      val nFiles = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
+      val n = t.recluster(spec, nFiles)
+      return Seq(Row(t.root, s"recluster(${spec.mkString(",")})", n))
+    }
     if (zorderBy.isEmpty) {
       // WHERE bounds the compaction to stats-matching files (Delta's
       // partition-scoped OPTIMIZE): the hot slice rewrites, nothing else

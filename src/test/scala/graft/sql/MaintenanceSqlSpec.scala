@@ -408,6 +408,25 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(bad.getMessage.contains("no_such"))
   }
 
+  test("OPTIMIZE FULL reclusters by the recorded spec (SQL SPJ migration)") {
+    val df = spark.range(0, 400).selectExpr("id", "id * 3 AS v")
+    val t = SnapshotTable.create(spark, tmpDir("sqlmaint_full"), df.limit(1))
+    t.overwrite(df.repartition(5))
+    GraftCatalog.register("maint_full", t)
+    // no spec yet: OPTIMIZE FULL refuses with direction
+    val e = intercept[Exception](spark.sql("OPTIMIZE maint_full FULL"))
+    assert(e.getMessage.contains("CLUSTER BY"), e.getMessage)
+    // the in-place SPJ migration, all in SQL: flip the spec
+    // (metadata-only), then one full rewrite makes the layout eligible
+    spark.sql("ALTER TABLE maint_full CLUSTER BY (bucket(4, id))")
+    assert(t.bucketLayoutAt(t.currentVersion()).isEmpty)
+    val out = spark.sql("OPTIMIZE maint_full FULL").collect()
+    assert(out.head.getString(1).startsWith("recluster(bucket(4, id)"))
+    assert(out.head.getInt(2) === 5)
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, "id")))
+    assert(t.read().count() === 400)
+  }
+
   test("ALTER TABLE CLUSTER BY parses transform specs with nested parens") {
     val t = SnapshotTable.create(spark, tmpDir("sqlmaint"),
       (1 to 50).map(i => (i.toLong,
