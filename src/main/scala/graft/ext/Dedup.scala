@@ -526,6 +526,15 @@ object Dedup {
       minhashSignatures(corpus, idCol, textCol, shingleSize, numHashes, seed)
         .localCheckpoint() // one corpus scan feeds both tables
     val bandDf = bandRows(sigs, bands, numHashes / bands)
+    // file counts scale with row counts so per-file blooms stay at
+    // their FP design point under the manifest-size cap (the
+    // bloomSizedFiles lesson: saturated blooms at a fixed file count
+    // cost selective probes false-positive files that grow with scale)
+    val sigRows = sigs.count()
+    val fileCount: Map[String, Int] = Map(
+      "bandhash" -> graft.tables.FileBloom.bloomSizedFiles(
+        filesPerTable, sigRows * bands),
+      "doc" -> graft.tables.FileBloom.bloomSizedFiles(filesPerTable, sigRows))
     def build(root: String, df: DataFrame, keyCol: String) = {
       val t = graft.tables.SnapshotTable.create(spark, root, df.limit(1))
         .setProperties(Map( // seed commit carries the bloom config
@@ -539,7 +548,7 @@ object Dedup {
           "graft.minhash.numHashes" -> numHashes.toString,
           "graft.minhash.bands" -> bands.toString,
           "graft.minhash.seed" -> seed.toString))
-      t.overwrite(df.repartitionByRange(filesPerTable, col(keyCol)))
+      t.overwrite(df.repartitionByRange(fileCount(keyCol), col(keyCol)))
       t
     }
     val bandTable = build(bandRoot, bandDf, "bandhash")
@@ -724,8 +733,14 @@ object Dedup {
     require(indexGeometryOf(bandTable) == indexGeometryOf(sigTable),
       s"index tables ${bandTable.root} and ${sigTable.root} pin different " +
         "minhash geometry — not a pair built together")
-    (bandTable.recluster(Seq("bandhash"), filesPerTable),
-      sigTable.recluster(Seq("doc"), filesPerTable))
+    // filesPerTable is a floor: the rewrite re-applies the bloom sizing
+    // rule at the table's CURRENT row count (manifest stats, no scan),
+    // so a long-grown index compacts to un-saturated per-file blooms
+    def sized(t: graft.tables.SnapshotTable): Int =
+      graft.tables.FileBloom.bloomSizedFiles(filesPerTable,
+        t.manifestEntries().map(_.rows).filter(_ > 0).sum)
+    (bandTable.recluster(Seq("bandhash"), sized(bandTable)),
+      sigTable.recluster(Seq("doc"), sized(sigTable)))
   }
 
   /**

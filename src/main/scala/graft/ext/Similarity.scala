@@ -473,7 +473,10 @@ object Similarity {
       .setProperties(props ++ Map(
         "graft.bloom.columns" -> "list",
         "graft.bloom.manifest" -> "true"))
-    asg.overwriteClustered(assigned, Seq("list"), filesPerTable)
+    // file count scales with rows so per-file blooms never saturate
+    // under the manifest cap (FileBloom.bloomSizedFiles)
+    asg.overwriteClustered(assigned, Seq("list"),
+      graft.tables.FileBloom.bloomSizedFiles(filesPerTable, assigned.count()))
     (cent, asg)
   }
 
@@ -580,7 +583,9 @@ object Similarity {
    *  top via the disjoint-file rule. Returns files rewritten. */
   def ivfCompactIndex(tables: IvfIndexTables, filesPerTable: Int = 16): Int = {
     checkIvfGeometry(tables)
-    tables.assigned.recluster(Seq("list"), filesPerTable)
+    tables.assigned.recluster(Seq("list"),
+      graft.tables.FileBloom.bloomSizedFiles(filesPerTable,
+        tables.assigned.manifestEntries().map(_.rows).filter(_ > 0).sum))
   }
 
   /** [[ivfProbe]] served from the PERSISTED tables with file pruning:

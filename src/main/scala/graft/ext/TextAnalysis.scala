@@ -377,17 +377,26 @@ object TextAnalysis {
       textCol: String,
       n: Int,
       filesPerTable: Int = 16): graft.tables.SnapshotTable = {
-    val grams = spanGramIndex(corpus, idCol, textCol, n)
-    // clustered + bloomed on `g` (the buildMinhashIndexTables shape):
-    // each file carries a tight gram-hash range plus a bloom, so the
-    // INDEXED serve's key probe skips every file without a possible
-    // batch-gram hit; the flat serve reads the table unchanged
-    val t = graft.tables.SnapshotTable.create(spark, root, grams.limit(1))
-      .setProperties(Map(SpanGramNProp -> n.toString,
-        "graft.bloom.columns" -> "g",
-        "graft.bloom.manifest" -> "true"))
-    t.overwrite(grams.repartitionByRange(filesPerTable, col("g")))
-    t
+    val grams = spanGramIndex(corpus, idCol, textCol, n).localCheckpoint()
+    try {
+      // clustered + bloomed on `g` (the buildMinhashIndexTables shape):
+      // each file carries a tight gram-hash range plus a bloom, so the
+      // INDEXED serve's key probe skips every file without a possible
+      // batch-gram hit; the flat serve reads the table unchanged.
+      // filesPerTable is a FLOOR: the file count scales with the gram
+      // count so per-file blooms stay at their FP design point under
+      // the manifest-size cap (saturated blooms at a fixed file count
+      // made a 100×-scale all-novel serve pay for false-positive files
+      // that had also grown 10× — bloomSizedFiles is that lesson)
+      val files = graft.tables.FileBloom.bloomSizedFiles(
+        filesPerTable, grams.count())
+      val t = graft.tables.SnapshotTable.create(spark, root, grams.limit(1))
+        .setProperties(Map(SpanGramNProp -> n.toString,
+          "graft.bloom.columns" -> "g",
+          "graft.bloom.manifest" -> "true"))
+      t.overwrite(grams.repartitionByRange(files, col("g")))
+      t
+    } finally graft.ext.Dedup.release(grams)
   }
 
   /** Gram size a persisted span-gram index was built at — append and
@@ -442,7 +451,10 @@ object TextAnalysis {
       table: graft.tables.SnapshotTable,
       filesPerTable: Int = 16): Int = {
     spanGramNOf(table) // refuse non-index tables before rewriting them
-    table.recluster(Seq("g"), filesPerTable)
+    // floor: re-apply the bloom sizing rule at the current row count
+    table.recluster(Seq("g"),
+      graft.tables.FileBloom.bloomSizedFiles(filesPerTable,
+        table.manifestEntries().map(_.rows).filter(_ > 0).sum))
   }
 
   /** The index grams that MAY match `grams` — a bounded key probe of the

@@ -59,6 +59,22 @@ private[graft] object FileBloom {
     math.min(math.min(grown, capped), Int.MaxValue / 2 + 1).toInt
   }
 
+  /** File count that keeps per-file manifest blooms AT their FP design
+   *  point (~[[BitsPerKey]] bits per key) under the `maxBytes` cap: at a
+   *  FIXED file count, rows-per-file grow with the corpus, the capped
+   *  filters saturate, and the false-positive rate — i.e. the number of
+   *  files a selective probe reads for nothing — climbs with scale (an
+   *  r11 scale-matrix row measured exactly that on the span-gram index:
+   *  the all-novel serve drifted exp≈0.5 purely from FP files that had
+   *  also grown 10×). Index builders take
+   *  `max(requested, rows / (cap·8 / bitsPerKey))` so file count scales
+   *  with the corpus and every file's bloom stays honest. */
+  def bloomSizedFiles(
+      requested: Int, rows: Long, maxBytes: Long = DefaultMaxBytes): Int = {
+    val rowsPerFile = math.max(1L, maxBytes * 8L / BitsPerKey)
+    math.max(requested, math.ceil(rows.toDouble / rowsPerFile).toInt)
+  }
+
   def encode(bits: Array[Long], k: Int): String = {
     val bb = ByteBuffer.allocate(bits.length * 8)
     bits.foreach(bb.putLong)

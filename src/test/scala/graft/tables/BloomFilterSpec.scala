@@ -140,6 +140,21 @@ class BloomFilterSpec extends SparkSpec {
     assert(524288 <= 100000L * 8)
   }
 
+  test("bloomSizedFiles keeps per-file filters at the FP design point") {
+    // the floor wins while rows fit; past the design point (maxBytes·8 /
+    // BitsPerKey rows per file) the file count grows with the corpus —
+    // a fixed file count would saturate every capped filter and the
+    // false-positive files a selective probe reads would scale with data
+    val rowsPerFile = FileBloom.DefaultMaxBytes * 8 / FileBloom.BitsPerKey
+    assert(FileBloom.bloomSizedFiles(16, 1000) === 16)
+    assert(FileBloom.bloomSizedFiles(16, rowsPerFile * 40) === 40)
+    assert(FileBloom.bloomSizedFiles(64, rowsPerFile * 40) === 64)
+    assert(FileBloom.bloomSizedFiles(1, 0) === 1)
+    // a tighter cap means fewer rows per file, more files
+    assert(FileBloom.bloomSizedFiles(1, 100000, maxBytes = 1024)
+      > FileBloom.bloomSizedFiles(1, 100000))
+  }
+
   test("unknown or malformed bloom column names are ignored, not fatal") {
     val t = SnapshotTable.create(spark, tmpDir("bloom"),
       (1 to 100).map(i => (s"key$i", i)).toDF("k", "n"))
