@@ -443,30 +443,6 @@ object Bench {
            batch, "doc_id")),
          () => ())
       }),
-      // the REFERENCE's core op at scale: a FIXED 5k-key staged batch
-      // keyed-upserted (precombine + CoW MERGE) into the corpus table,
-      // range-clustered on the key at ~constant file size (untimed
-      // setup). Discovery stats-prunes to the batch's key range, so the
-      // rewrite touches the same few files at every corpus size — the
-      // "upsert cost rides the BATCH, not the table" claim (exp ≈ 0)
-      // measured instead of argued. Reps mutate the same table in place:
-      // each rep re-rewrites the touched files, the steady state.
-      SRow("upsert_fixed_batch", P12, { dir =>
-        val docs = docsAt(dir)
-          .select(col("doc_id").cast("long").as("id"), col("text"),
-            lit(0L).as("ver"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_upsert")
-        val nFiles = math.max(16, (docs.count() / 8192).toInt)
-        val t = graft.tables.SnapshotTable.create(sparkS, tmp.toString,
-          docs.limit(1))
-        t.setClusterSpec(Seq("id"))
-        t.overwriteClustered(docs, Seq("id"), nFiles)
-        val batch = sparkS.range(1000, 6000)
-          .select(col("id"), lit("updated text").as("text"),
-            lit(1L).as("ver"))
-          .localCheckpoint()
-        (() => { t.upsert(batch, Seq("id"), "ver"); () }, () => ())
-      }),
       // the ALL-NOVEL indexed serve (the production steady state: a batch
       // with no corpus collisions) — synthetic id-derived tokens cannot
       // reach any corpus band, so the probe key-set prunes to ZERO index
@@ -491,6 +467,30 @@ object Bench {
              "doc_id", "text"),
            batch, "doc_id")),
          () => ())
+      }),
+      // the REFERENCE's core op at scale: a FIXED 5k-key staged batch
+      // keyed-upserted (precombine + CoW MERGE) into the corpus table,
+      // range-clustered on the key at ~constant file size (untimed
+      // setup). Discovery stats-prunes to the batch's key range, so the
+      // rewrite touches the same few files at every corpus size — the
+      // "upsert cost rides the BATCH, not the table" claim (exp ≈ 0)
+      // measured instead of argued. Reps mutate the same table in place:
+      // each rep re-rewrites the touched files, the steady state.
+      SRow("upsert_fixed_batch", P12, { dir =>
+        val docs = docsAt(dir)
+          .select(col("doc_id").cast("long").as("id"), col("text"),
+            lit(0L).as("ver"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_upsert")
+        val nFiles = math.max(16, (docs.count() / 8192).toInt)
+        val t = graft.tables.SnapshotTable.create(sparkS, tmp.toString,
+          docs.limit(1))
+        t.setClusterSpec(Seq("id"))
+        t.overwriteClustered(docs, Seq("id"), nFiles)
+        val batch = sparkS.range(1000, 6000)
+          .select(col("id"), lit("updated text").as("text"),
+            lit(1L).as("ver"))
+          .localCheckpoint()
+        (() => { t.upsert(batch, Seq("id"), "ver"); () }, () => ())
       })
     )
     // row -> point -> measurement. Every exponent pair needs P1 (block10

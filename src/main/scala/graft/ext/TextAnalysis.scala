@@ -488,11 +488,12 @@ object TextAnalysis {
       maxProbeKeys: Int = 1 << 20): DataFrame = {
     val n = spanGramNOf(table)
     val grams = spanGramIndex(batch, idCol, textCol, n).localCheckpoint()
-    val result = removeDuplicatedSpansIncremental(
-      batch, probeGrams(table, grams, maxProbeKeys), idCol, textCol, n)
+    // release in finally: a throw inside the serve (e.g. maxProbeKeys
+    // overflow in probeGrams) must not leak the checkpointed RDD
+    try removeDuplicatedSpansIncremental(
+        batch, probeGrams(table, grams, maxProbeKeys), idCol, textCol, n)
       .localCheckpoint()
-    graft.ext.Dedup.release(grams)
-    result
+    finally graft.ext.Dedup.release(grams)
   }
 
   /** Refuse a build/serve gram-size mismatch against what the index

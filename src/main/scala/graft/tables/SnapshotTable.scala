@@ -2421,12 +2421,51 @@ class SnapshotTable private (
       .filter(!predicate || predicate.isNull)
     replaceFiles(untouched.map(_.path), survivors.unionByName(aligned),
       "replace-where", expectVersion = Some(v),
-      // incoming aligned to the committed schema + survivors re-read from
-      // parquet: logically schema-preserving, so commit the prior schema
-      // (the parquet-read nullability-widening rule)
-      commitSchemaJson = Some(entry.schemaJson))
+      // survivors re-read from parquet keep prior values, but INCOMING
+      // rows can carry NULLs into committed non-nullable columns
+      // (alignToCommitted checks types, not nullability) — widen exactly
+      // the columns the incoming frame declares nullable
+      commitSchemaJson = Some(widenNullability(tschema,
+        aligned0.schema.fields.filter(_.nullable).map(_.name.toLowerCase).toSet)))
     this
   }
+
+  /** Prior-schema JSON with nullability widened on `cols` (lowercase
+   *  names). Pure rewrites (delete/compact/recluster/purge-dv/
+   *  compact-deltas) commit the prior schema VERBATIM — they cannot
+   *  introduce values the prior schema excludes. UPDATE / update-dv /
+   *  replaceWhere CAN: a SET expression producing NULL, or incoming
+   *  replace-where rows with nullable fields, write NULLs into a column
+   *  the committed schema declares non-nullable — the metadata would
+   *  then lie, catalog scans would expose nullable=false attributes,
+   *  and Catalyst folds `IS NULL` on a non-nullable attribute to false:
+   *  silent wrong answers. Those paths widen exactly the columns whose
+   *  new values may be NULL and keep the committed nullability of every
+   *  other column intact (the point of the prior-schema rule: a parquet
+   *  re-read reports EVERYTHING nullable and would erase the contract
+   *  wholesale). */
+  private def widenNullability(prior: StructType, cols: Set[String]): String =
+    if (cols.isEmpty) prior.json
+    else StructType(prior.fields.map(f =>
+      if (!f.nullable && cols.contains(f.name.toLowerCase)) f.copy(nullable = true)
+      else f).toSeq).json
+
+  /** The assigned UPDATE columns whose new value can be NULL, resolved
+   *  against an empty frame carrying the COMMITTED nullability (the
+   *  table's parquet-backed frame reports every column nullable, which
+   *  would widen indiscriminately). `UPDATE SET v = v + 1` over a
+   *  non-nullable v stays non-nullable; `SET v = NULL` or a failable
+   *  cast widens v. Falls back to widening all assigned columns if the
+   *  probe cannot resolve — conservative, never a lying commit. */
+  private def nullableAssigned(
+      tschema: StructType, byName: Map[String, (StructField, Column)]): Set[String] =
+    try {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tschema)
+      empty.select(byName.toSeq.map { case (name, (field, nv)) =>
+        nv.cast(field.dataType).as(name) }: _*)
+        .schema.fields.filter(_.nullable).map(_.name.toLowerCase).toSet
+    } catch { case NonFatal(_) => byName.keySet.map(_.toLowerCase) }
 
   /**
    * Row-level UPDATE (`UPDATE t SET … WHERE …`, the SQL surface all three
@@ -2486,7 +2525,7 @@ class SnapshotTable private (
       .select(cols: _*)
     replaceFiles(untouched.map(_.path), rewritten, "update", expectVersion = Some(v),
       rebasePredicate = Some(predicate),
-      commitSchemaJson = Some(entry.schemaJson))
+      commitSchemaJson = Some(widenNullability(tschema, nullableAssigned(tschema, byName))))
     touched.size
   }
 
@@ -2565,7 +2604,7 @@ class SnapshotTable private (
       updatedRows.unionByName(rewrittenRows),
       if (rewriteFiles.isEmpty) "update-dv" else "update",
       expectVersion = Some(v), addDvFiles = sidecar,
-      commitSchemaJson = Some(entry.schemaJson))
+      commitSchemaJson = Some(widenNullability(tschema, nullableAssigned(tschema, byName))))
     rewriteFiles.size
   }
 
@@ -2657,7 +2696,13 @@ class SnapshotTable private (
         tableSpec.map(_.toLowerCase) == clusterBy.map(_.toLowerCase),
       s"table $root clusters by [${tableSpec.mkString(", ")}]; recluster " +
         s"called with [${clusterBy.mkString(", ")}] — use setClusterSpec first")
-    if (entry.files.size < 2) return 0
+    // gate on EMPTY, not <2: a single-file table with a recorded
+    // bucket(n>1) spec genuinely needs the routed rewrite (the SPJ
+    // migration path above would otherwise silently no-op — the file
+    // never gets its bucket stamp and the layout is never reported),
+    // and a caller asking to split one oversized file into numFiles
+    // range-clustered outputs asked for exactly that
+    if (entry.files.isEmpty) return 0
     val all = dvRemoveOver(entry, entry.files.map(_.path), tschema, mappingOf(entry))
     // with a recorded spec, replaceFiles' applyCluster(numFiles) does the
     // shuffle (identity-routed for single-bucket specs, range otherwise);
