@@ -496,6 +496,25 @@ object Bench {
     // row -> point -> measurement. Every exponent pair needs P1 (block10
     // is 0→1, block100 is 1→2), so without a P1 corpus the whole loop
     // would burn 5+ reps per row at P0 and report nothing — skip it.
+    // per-measurement box-speed bracket: a ~0.1 s fixed-work CPU loop
+    // taken immediately before each (row, point) timing. The r11 artifact
+    // recorded q71's 100x exponent at 1.22 while the same code measured
+    // 0.6-0.7 on a quiet box — the run-level calib pair (cpu 0.712→0.450)
+    // showed the box speeding up 1.6x ACROSS the run, which lands
+    // directly in any lo-vs-hi ratio measured minutes apart. This probe
+    // prices the box AT each point so the exponent can be read drift-
+    // corrected (exp_cal below) without re-running the round.
+    def lightCalib(): Double = {
+      def once(): Double = {
+        var acc = 0L; var i = 0L
+        val t0 = System.nanoTime()
+        while (i < 150000000L) { acc ^= i * 0x9E3779B97F4A7C15L; i += 1 }
+        if (acc == 42L) System.err.print("")
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val calibs = scala.collection.mutable.Map[(String, Int), Double]()
     val meas: Map[(String, Int), Meas] =
       if (p1Dir.isEmpty) Map.empty
       else (for {
@@ -507,6 +526,7 @@ object Bench {
           val m = rddGuard(s"${row.name}@p$p") {
             val (probe, cleanup) = row.mk(dir)
             val n = if (p == 2) hiReps else scalingReps
+            calibs((row.name, p)) = lightCalib()
             try measure(probe, n, row.warm) finally cleanup()
           }
           Some((row.name, p) -> m)
@@ -547,27 +567,39 @@ object Bench {
     def expPair(lo: Meas, hi: Meas): (Double, Double) =
       (math.log10(hi.min / lo.min), math.log10(hi.med / lo.med))
     // each row carries its OWN rep counts (cc_distributed runs hiReps at
-    // BOTH points) — the detail block must record what actually ran
-    def blockFor(loP: Int, hiP: Int, loN: Int, hiN: Int): Seq[(String, Meas, Meas, Int, Int)] =
+    // BOTH points) — the detail block must record what actually ran.
+    // calLo/calHi are the per-point box brackets; 1.0/1.0 (no correction)
+    // for rows measured outside the bracketed loop.
+    def blockFor(loP: Int, hiP: Int, loN: Int, hiN: Int)
+        : Seq[(String, Meas, Meas, Int, Int, Double, Double)] =
       rows.flatMap { r =>
         for { lo <- meas.get((r.name, loP)); hi <- meas.get((r.name, hiP)) }
-          yield (r.name, lo, hi, loN, hiN)
+          yield (r.name, lo, hi, loN, hiN,
+            calibs.getOrElse((r.name, loP), 1.0),
+            calibs.getOrElse((r.name, hiP), 1.0))
       }
     val block10 = blockFor(0, 1, scalingReps, scalingReps)
     val block100 = blockFor(1, 2, scalingReps, hiReps) ++
       ccResult.map { case (lo, hi, _, _) =>
-        ("cc_distributed", lo, hi, hiReps, hiReps) }.toSeq
-    def headBlock(tag: String, b: Seq[(String, Meas, Meas, Int, Int)]): String =
+        ("cc_distributed", lo, hi, hiReps, hiReps, 1.0, 1.0) }.toSeq
+    // head: [exp_min, exp_med, exp_cal] — exp_cal is exp_min with the
+    // box-speed bracket divided out (log10 of the calib ratio subtracted):
+    // the drift-corrected slope a steady box would have recorded
+    def headBlock(tag: String,
+        b: Seq[(String, Meas, Meas, Int, Int, Double, Double)]): String =
       if (b.isEmpty) ""
-      else b.map { case (n, lo, hi, _, _) =>
+      else b.map { case (n, lo, hi, _, _, cl, ch) =>
         val (e, em) = expPair(lo, hi)
-        "\"" + n + s"""\":[${f"$e%.2f"},${f"$em%.2f"}]"""
+        val ec = e - math.log10(ch / cl)
+        "\"" + n + s"""\":[${f"$e%.2f"},${f"$em%.2f"},${f"$ec%.2f"}]"""
       }.mkString(s""","$tag":{""", ",", "}")
-    def detailBlock(tag: String, b: Seq[(String, Meas, Meas, Int, Int)]): String =
+    def detailBlock(tag: String,
+        b: Seq[(String, Meas, Meas, Int, Int, Double, Double)]): String =
       if (b.isEmpty) ""
-      else b.map { case (n, lo, hi, loN, hiN) =>
+      else b.map { case (n, lo, hi, loN, hiN, cl, ch) =>
         val (e, em) = expPair(lo, hi)
-        "\"" + n + s"""\":{"lo":${jnum(lo.min)},"lo_med":${jnum(lo.med)},"hi":${jnum(hi.min)},"hi_med":${jnum(hi.med)},"exp":${f"$e%.2f"},"exp_med":${f"$em%.2f"},"reps_lo":$loN,"reps_hi":$hiN}"""
+        val ec = e - math.log10(ch / cl)
+        "\"" + n + s"""\":{"lo":${jnum(lo.min)},"lo_med":${jnum(lo.med)},"hi":${jnum(hi.min)},"hi_med":${jnum(hi.med)},"exp":${f"$e%.2f"},"exp_med":${f"$em%.2f"},"exp_cal":${f"$ec%.2f"},"calib_lo":${jnum(cl)},"calib_hi":${jnum(ch)},"reps_lo":$loN,"reps_hi":$hiN}"""
       }.mkString(s""","$tag":{""", ",", "}")
     // BPE at PRODUCTION vocabulary: train ~32k merges on the
     // rich-lexicon corpus (the default corpora's 27-word vocabulary
@@ -706,24 +738,41 @@ object Bench {
     // commit metadata and plan-time probe work are O(files), so the
     // floor restoration is what keeps a long-lived index's manifest from
     // growing without bound.
-    val im: Option[(Meas, Meas, Meas, Int, Int, Int)] =
+    val im: Option[(Meas, Meas, Meas, Meas, Seq[Int], Seq[Int])] =
       if (p1Dir.isEmpty) None
       else try Some(rddGuard("index_maintenance") {
         val corpus = docsAt(p1Dir.get)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
           .localCheckpoint()
         val tmp = java.nio.file.Files.createTempDirectory("graft_bench_imaint")
-        val (bandT, sigT) = ext.Dedup.buildMinhashIndexTables(sparkS,
-          s"$tmp/bands", s"$tmp/sigs", corpus, "doc_id", "text",
+        def build(sub: String) = ext.Dedup.buildMinhashIndexTables(sparkS,
+          s"$tmp/$sub/bands", s"$tmp/$sub/sigs", corpus, "doc_id", "text",
           filesPerTable = 64)
+        val (bandT, sigT) = build("a")
         // serve batch: 500 copies — probes that really read index files
         val batch = corpus.filter(col("doc_id") % 100 === 7).limit(500)
           .select((col("doc_id") + lit(2000000000L)).as("doc_id"), col("text"))
           .localCheckpoint()
-        def serve(): Unit = noop(ext.Dedup.dedupIncrementalFromPairs(
-          ext.Dedup.minhashPairsIncrementalIndexed(bandT, sigT, batch,
-            "doc_id", "text"), batch, "doc_id", releasePairs = true))
-        val files0 = bandT.manifest().size + sigT.manifest().size
+        def serveOn(bt: graft.tables.SnapshotTable,
+            st: graft.tables.SnapshotTable): Unit =
+          noop(ext.Dedup.dedupIncrementalFromPairs(
+            ext.Dedup.minhashPairsIncrementalIndexed(bt, st, batch,
+              "doc_id", "text"), batch, "doc_id", releasePairs = true))
+        def serve(): Unit = serveOn(bandT, sigT)
+        // the serve's own probe keys, replayed against the manifest: how
+        // many band files the state actually lets the probe skip (an r11
+        // diagnostic showed the heavy-dup batch probes EVERY fresh file —
+        // its keys are real corpus band hashes, uniformly spread — so
+        // serve deltas across states are drift unless this count moves)
+        val g = ext.Dedup.indexGeometryOf(sigT)
+        val bKeys = ext.Dedup.bandRows(
+            ext.Dedup.minhashSignatures(batch, "doc_id", "text",
+              g.shingleSize, g.numHashes, g.seed),
+            g.bands, g.numHashes / g.bands)
+          .select("bandhash").distinct().collect().map(_.get(0)).toSeq
+        def probed() = bandT.keyProbedManifest("bandhash", bKeys).size
+        def files() = bandT.manifest().size + sigT.manifest().size
+        val (files0, probed0) = (files(), probed())
         val m0 = measure(() => serve(), 3, warm = true)
         (0 until 8).foreach { b =>
           val app = corpus.filter(col("doc_id") % 100 === b).limit(500)
@@ -731,21 +780,29 @@ object Bench {
               col("text"))
           ext.Dedup.minhashIndexAppend(bandT, sigT, app, "doc_id", "text")
         }
-        val files1 = bandT.manifest().size + sigT.manifest().size
+        val (files1, probed1) = (files(), probed())
         val m1 = measure(() => serve(), 3, warm = true)
         ext.Dedup.compactMinhashIndex(bandT, sigT, filesPerTable = 64)
-        val files2 = bandT.manifest().size + sigT.manifest().size
+        val (files2, probed2) = (files(), probed())
         val m2 = measure(() => serve(), 3, warm = true)
+        // in-block drift control (the r11 artifact recorded compacted 35%
+        // over fresh; the instrumented re-run showed identical layouts —
+        // 64/64 files probed, blooms at design point — and flat serves):
+        // a BRAND-NEW fresh build served NOW. compacted ≈ control means
+        // any compacted-vs-fresh delta is when-it-ran, not layout.
+        val (bandC, sigC) = build("ctl")
+        val mc = measure(() => serveOn(bandC, sigC), 3, warm = true)
         ext.Dedup.release(corpus); ext.Dedup.release(batch)
-        (m0, m1, m2, files0, files1, files2)
+        (m0, m1, m2, mc, Seq(files0, files1, files2),
+          Seq(probed0, probed1, probed2))
       }) catch { case e: Throwable =>
         System.err.println(s"[bench][index_maintenance]: ${e.getMessage}"); None
       }
-    val imHead = im.map { case (m0, m1, m2, f0, f1, f2) =>
-      s""","index_maintenance":{"serve_fresh":${jnum(m0.med)},"serve_appended":${jnum(m1.med)},"serve_compacted":${jnum(m2.med)},"files_fresh":$f0,"files_appended":$f1,"files_compacted":$f2}"""
+    val imHead = im.map { case (m0, m1, m2, mc, fs, ps) =>
+      s""","index_maintenance":{"serve_fresh":${jnum(m0.med)},"serve_appended":${jnum(m1.med)},"serve_compacted":${jnum(m2.med)},"serve_fresh_control":${jnum(mc.med)},"files_fresh":${fs(0)},"files_appended":${fs(1)},"files_compacted":${fs(2)}}"""
     }.getOrElse("")
-    val imDetail = im.map { case (m0, m1, m2, f0, f1, f2) =>
-      s""","index_maintenance":{"serve_fresh":[${jnum(m0.min)},${jnum(m0.med)}],"serve_appended":[${jnum(m1.min)},${jnum(m1.med)}],"serve_compacted":[${jnum(m2.min)},${jnum(m2.med)}],"files":[$f0,$f1,$f2],"appends":8,"append_rows":500,"batch_rows":500}"""
+    val imDetail = im.map { case (m0, m1, m2, mc, fs, ps) =>
+      s""","index_maintenance":{"serve_fresh":[${jnum(m0.min)},${jnum(m0.med)}],"serve_appended":[${jnum(m1.min)},${jnum(m1.med)}],"serve_compacted":[${jnum(m2.min)},${jnum(m2.med)}],"serve_fresh_control":[${jnum(mc.min)},${jnum(mc.med)}],"files":[${fs.mkString(",")}],"band_files_probed":[${ps.mkString(",")}],"appends":8,"append_rows":500,"batch_rows":500}"""
     }.getOrElse("")
     // -------- storage-partitioned join vs shuffle join (q127's plan
     // class at the 10x point): the same co-bucketed fact-dim equi-join

@@ -300,7 +300,7 @@ object Dedup {
   /** Band rows (doc, band, bandhash) for LSH candidate joins — ids only;
    *  shuffling the numHashes-long signatures through a join would move
    *  ~numHashes·8 bytes per band row for nothing (candidates are rare). */
-  private def bandRows(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+  private[graft] def bandRows(sigs: DataFrame, bands: Int, r: Int): DataFrame =
     sigs.select(
       col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

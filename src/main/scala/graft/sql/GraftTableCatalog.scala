@@ -525,12 +525,12 @@ class GraftTable(
     // version is just as stale as the current one. The `_ro` face
     // (`readOptimized`) is the one reader for which base-only IS the
     // contract — Hudi's read-optimized view — so it skips the delta
-    // check (but never the DV one: deletion vectors are base state;
-    // resurrecting deleted rows is staleness of a different kind).
-    require(table.dvManifestAt(snapshotVersion).isEmpty,
-      s"${name()} has deletion vectors at version $snapshotVersion: query via " +
-        "SnapshotTable.read()/scan() (they apply the vectors) or " +
-        "purgeDeletionVectors() first")
+    // check. Deletion vectors are NOT refused: the scan builder applies
+    // the sidecar positions inside its readers ([[DvFilteredScan]]),
+    // so a DV-carrying snapshot serves exact rows — and keeps its
+    // reported bucket layout (storage-partitioned joins) while doing so.
+    // The _ro face never skips DVs: they are base state, and
+    // resurrecting deleted rows is staleness of a different kind.
     require(readOptimized || table.deltaManifestAt(snapshotVersion).isEmpty,
       s"${name()} has pending MoR deltas at version $snapshotVersion: query the " +
         "_rt/_ro faces, SnapshotTable.read()/readVersion() (real-time view), " +
@@ -710,14 +710,27 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
     val predicate = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
     val files = table.prunedFilesAt(version, predicate)
     val mapping = table.columnMappingAt(version)
+    // pending deletion vectors: the parquet scan is built with Spark's
+    // reserved row-index column appended, and [[DvFilteredScan]] drops
+    // the sidecar-named positions per file inside the readers — stats
+    // pruning above stays sound (file stats include deleted rows:
+    // conservative, may keep a file whose only matches are deleted)
+    val dvPos = table.dvPositionsAt(version)
+    val rowIdxField = org.apache.spark.sql.graftshim.SparkInternals.rowIndexField
+    def withIdx(s: StructType): StructType =
+      if (dvPos.isEmpty) s else StructType(s.fields :+ rowIdxField)
+    def dvWrap(built: Scan, logical: StructType): Scan =
+      if (dvPos.isEmpty) built
+      else new DvFilteredScan(built, logical, withIdx(logical),
+        spark.sparkContext.broadcast(dvPos))
     if (mapping.isEmpty) {
       val index = new InMemoryFileIndex(
         spark, files.map(f => new Path(f.path)), Map.empty, Some(tableSchema))
       val psb = ParquetScanBuilder(
         spark, index, tableSchema, tableSchema, CaseInsensitiveStringMap.empty())
       psb.pushFilters(pushed.flatMap(f => GraftScanBuilder.toExpression(f, tableSchema)).toSeq)
-      psb.pruneColumns(required)
-      maybeKeyGrouped(psb.build(), files)
+      psb.pruneColumns(withIdx(required))
+      maybeKeyGrouped(dvWrap(psb.build(), required), files)
     } else {
       // RENAME COLUMN leaves data files carrying PHYSICAL names: build the
       // parquet scan physically (schema, pushdown filters, pruned columns
@@ -733,8 +746,10 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
         spark, index, physTable, physTable, CaseInsensitiveStringMap.empty())
       psb.pushFilters(pushed.flatMap(f => GraftScanBuilder.toExpression(
         GraftScanBuilder.renameFilter(f, mapping), physTable)).toSeq)
-      psb.pruneColumns(physRequired)
-      new LogicalNamesScan(psb.build(), required)
+      psb.pruneColumns(withIdx(physRequired))
+      // DV filter runs on the PHYSICAL scan (positions are file-keyed,
+      // name mapping is irrelevant to them); logical names report on top
+      new LogicalNamesScan(dvWrap(psb.build(), physRequired), required)
     }
   }
 

@@ -1826,19 +1826,24 @@ class SnapshotTable private (
    *  a CLEAN identity-routed bucket layout: the cluster spec is exactly
    *  one bucket transform and EVERY live file records a valid bucket id
    *  (written through [[applyCluster]]'s routed path) with a known
-   *  size, and no row-level overlays ride the commit. This is the
+   *  size, and no MoR deltas ride the commit. This is the
    *  precondition for the DSv2 scan to report KeyGroupedPartitioning
    *  (storage-partitioned join); any file predating the layout — or a
-   *  DV/MoR overlay whose anti-join would break the raw per-bucket read
-   *  grouping assumptions — degrades to an unreported scan (a shuffle
-   *  plan, never a wrong answer). */
+   *  pending delta overlay, whose keyed merge is not a per-file
+   *  operation — degrades to an unreported scan (a shuffle plan, never
+   *  a wrong answer). Deletion vectors do NOT un-report the layout:
+   *  the DSv2 scan applies DV positions per file inside its readers
+   *  ([[dvPositionsAt]]), and a delete never moves a row between
+   *  buckets, so the grouping stays exact — a long-lived bucketed fact
+   *  table keeps its shuffle-free joins while carrying DVs (Iceberg's
+   *  positional-delete + SPJ behavior). */
   private[graft] def bucketLayoutAt(version: Long): Option[(Int, String)] = {
     if (version < 0) return None
     val e = commitEntry(version)
     ClusterTransform.bucketOnly(e.clusterBy.getOrElse(Nil)).filter { case (n, _) =>
       e.files.nonEmpty &&
         e.files.forall(f => f.bytes > 0 && f.bucket.exists(b => b >= 0 && b < n)) &&
-        e.dvFiles.forall(_.isEmpty) && e.deltaFiles.forall(_.isEmpty)
+        e.deltaFiles.forall(_.isEmpty)
     }
   }
 
@@ -2348,6 +2353,26 @@ class SnapshotTable private (
   private[graft] def dvManifestAt(version: Long): Seq[String] =
     if (version < 0) Nil
     else commitEntry(version).dvFiles.map(_.map(_.path)).getOrElse(Nil)
+
+  /** Deleted (file name → sorted row positions) at `version`,
+   *  materialized on the driver — the scan-side mirror of [[dvRemove]]'s
+   *  broadcast anti-join, same O(deleted rows) budget: DV volume is
+   *  bounded by `graft.dv.maxFraction` per file (heavier deletes rewrite
+   *  classically) and reclaimed by [[purgeDeletionVectors]]. The DSv2
+   *  scan ships this map to its readers and drops the positions
+   *  per file, which keeps the bucket layout reportable: a delete never
+   *  moves a row between buckets, so KeyGroupedPartitioning (and the
+   *  storage-partitioned joins it enables) survives pending DVs. */
+  private[graft] def dvPositionsAt(version: Long): Map[String, Array[Long]] = {
+    val dvs = dvManifestAt(version)
+    if (dvs.isEmpty) Map.empty
+    else spark.read.schema(SnapshotTable.DvSchema).parquet(dvs: _*)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rows) =>
+        f -> rows.map(_.getLong(1)).distinct.sorted
+      }
+  }
 
   /**
    * Fold every deletion vector back into clean base files (Delta's

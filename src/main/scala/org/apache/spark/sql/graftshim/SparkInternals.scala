@@ -82,6 +82,44 @@ object SparkInternals {
     }
   }
 
+  /** Spark's reserved temporary column name that makes the parquet
+   *  readers (vectorized AND parquet-mr — both wire
+   *  `ParquetRowIndexUtil`) emit each row's physical position in its
+   *  file. The SAME index domain `_metadata.row_index` exposes, which is
+   *  what deletion-vector sidecars record — so a scan that requests this
+   *  column can apply DV positions exactly. */
+  def rowIndexColumnName: String =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  /** StructField for the temporary row-index column. NULLABLE on
+   *  purpose: the readers' missing-column check throws on a required
+   *  column absent from the file, and this column is intercepted by the
+   *  row-index generators (never actually read from the file). Spark's
+   *  own `ROW_INDEX_FIELD` carries the `_metadata.row_index` name, not
+   *  the temporary request name, so it is built here instead. */
+  def rowIndexField: org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(
+      rowIndexColumnName, org.apache.spark.sql.types.LongType, nullable = true)
+
+  /** The (file name, single-file partition) decomposition of a file-based
+   *  [[org.apache.spark.sql.connector.read.InputPartition]] — None for
+   *  non-file partitions. Lets a wrapping reader attribute rows to their
+   *  file (deletion vectors are keyed by file name) while delegating the
+   *  actual reading to the underlying parquet reader factory per file. */
+  def filePartitionFiles(p: org.apache.spark.sql.connector.read.InputPartition)
+      : Option[Seq[(String, org.apache.spark.sql.connector.read.InputPartition)]] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    p match {
+      case fp: FilePartition =>
+        Some(fp.files.toSeq.map(pf =>
+          (pf.toPath.getName,
+            FilePartition(fp.index, Array(pf))
+              : org.apache.spark.sql.connector.read.InputPartition)))
+      case _ => None
+    }
+  }
+
   /** Murmur3 (seed 42) of a catalyst-native value — EXACTLY the SQL
    *  `hash()` 32-bit result that both `ClusterTransform.expr`'s bucket
    *  value and `repartition(n, col)`'s partition index derive from; the

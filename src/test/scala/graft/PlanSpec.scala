@@ -306,6 +306,67 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("storage-partitioned join survives deletion vectors (DV-filtered scan)") {
+    // a long-lived bucketed fact table carries DVs in steady state; the
+    // scan must keep reporting KeyGroupedPartitioning (deletes never move
+    // rows between buckets) while its readers drop the sidecar positions
+    // — previously the catalog REFUSED DV'd snapshots and the join repaid
+    // both shuffles after the first row-level delete
+    def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    spark.sql("DROP TABLE IF EXISTS graft.db.spjdv_fact")
+    spark.sql("DROP TABLE IF EXISTS graft.db.spjdv_dim")
+    spark.sql("CREATE TABLE graft.db.spjdv_fact (id BIGINT, v BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(8, id)) " +
+      "TBLPROPERTIES ('graft.dv.enabled'='true')")
+    spark.sql("CREATE TABLE graft.db.spjdv_dim (id BIGINT, w STRING) " +
+      "USING graft PARTITIONED BY (bucket(8, id))")
+    spark.range(0, 4000).select(col("id"), (col("id") * 3).as("v"))
+      .writeTo("graft.db.spjdv_fact").append()
+    spark.range(0, 1000).select(col("id"), concat(lit("w"), col("id")).as("w"))
+      .writeTo("graft.db.spjdv_dim").append()
+    // two DV commits (two sidecars): deleted fraction per file stays
+    // under graft.dv.maxFraction so no file rewrites — pure DV overlay
+    spark.sql("DELETE FROM graft.db.spjdv_fact WHERE id % 10 = 3")
+    spark.sql("DELETE FROM graft.db.spjdv_fact WHERE id = 4")
+    val q = "SELECT f.id, f.v, d.w FROM graft.db.spjdv_fact f " +
+      "JOIN graft.db.spjdv_dim d ON f.id = d.id"
+    val expected = (0L until 1000L)
+      .filterNot(i => i % 10 == 3 || i == 4)
+      .map(i => (i, i * 3, s"w$i")).toSet
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = executedPlanString(df)
+      assert(!plan.contains("Exchange"), s"shuffle in DV'd SPJ plan:\n$plan")
+      assert(plan.contains("KeyGrouped(bucket(8, id))"),
+        s"DV'd scan did not report the bucket layout:\n$plan")
+      assert(plan.contains("DvFiltered"),
+        s"scan is not DV-filtered (deleted rows would resurrect):\n$plan")
+      assert(df.as[(Long, Long, String)].collect().toSet === expected)
+    }
+    // the DV overlay is exact on every catalog read shape, not just SPJ:
+    // full scan, pushed filter, and count(*) (zero-column projection —
+    // the readers stream just the row index and still drop deletions)
+    val live = spark.sql("SELECT id FROM graft.db.spjdv_fact")
+      .as[Long].collect().toSet
+    assert(live === (0L until 4000L).filterNot(i => i % 10 == 3 || i == 4).toSet)
+    assert(spark.sql("SELECT id FROM graft.db.spjdv_fact WHERE id = 13")
+      .collect().isEmpty)
+    assert(spark.sql("SELECT count(*) AS c FROM graft.db.spjdv_fact")
+      .as[Long].head() === 4000L - 400L - 1L)
+    spark.sql("DROP TABLE graft.db.spjdv_fact")
+    spark.sql("DROP TABLE graft.db.spjdv_dim")
+  }
+
   test("merge source side with equi-condition plans as a hash join, not NLJ") {
     val t = SnapshotTable.create(spark, tmpDir("plan"),
       spark.range(0, 10000).toDF("id").withColumn("v", lit("x")))

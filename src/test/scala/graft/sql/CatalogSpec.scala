@@ -485,6 +485,40 @@ class CatalogSpec extends SparkSpec {
     assert(hasLocalRelation(cnt) && cnt.as[Long].head() === 301L)
   }
 
+  test("deletion vectors serve through the catalog scan, incl. under RENAME COLUMN") {
+    // the DSv2 scan applies DV sidecar positions inside its readers
+    // (DvFilteredScan); previously a DV'd snapshot refused catalog reads
+    spark.sql("DROP TABLE IF EXISTS graft.db.dvcat")
+    spark.sql("CREATE TABLE graft.db.dvcat (id BIGINT, v STRING) USING graft " +
+      "TBLPROPERTIES ('graft.dv.enabled'='true')")
+    spark.range(0, 500).select(col("id"), concat(lit("x"), col("id")).as("v"))
+      .repartitionByRange(4, col("id"))
+      .writeTo("graft.db.dvcat").append()
+    spark.sql("DELETE FROM graft.db.dvcat WHERE id % 7 = 2")
+    val expect = (0L until 500L).filterNot(_ % 7 == 2)
+    assert(spark.sql("SELECT id FROM graft.db.dvcat").as[Long].collect().sorted
+      === expect.toArray)
+    // matches the table API's own DV-applying read exactly
+    val apiIds = graft.tables.SnapshotTable(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db/dvcat")
+      .read().select("id").as[Long].collect().sorted
+    assert(apiIds === expect.toArray)
+    // pushed filter on a deleted key returns nothing; a live key serves
+    assert(spark.sql("SELECT v FROM graft.db.dvcat WHERE id = 2").collect().isEmpty)
+    assert(spark.sql("SELECT v FROM graft.db.dvcat WHERE id = 3")
+      .as[String].head() === "x3")
+    // DV filtering composes with column mapping: physical scan drops
+    // positions, logical names report on top
+    spark.sql("ALTER TABLE graft.db.dvcat RENAME COLUMN id TO key")
+    spark.sql("DELETE FROM graft.db.dvcat WHERE key % 7 = 3")
+    val expect2 = (0L until 500L).filterNot(i => i % 7 == 2 || i % 7 == 3)
+    assert(spark.sql("SELECT key FROM graft.db.dvcat").as[Long].collect().sorted
+      === expect2.toArray)
+    assert(spark.sql("SELECT count(*) AS c FROM graft.db.dvcat")
+      .as[Long].head() === expect2.size.toLong)
+    spark.sql("DROP TABLE graft.db.dvcat")
+  }
+
   test("a doomed multi-change ALTER leaves no partial state") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
     spark.sql("CREATE TABLE graft.alterns.pv (id INT, v STRING) USING parquet")
