@@ -862,6 +862,68 @@ object Bench {
     val spjDetail = spjRes.map { case (on, off) =>
       s""","spj_join":{"spj":[${jnum(on.min)},${jnum(on.med)}],"shuffle":[${jnum(off.min)},${jnum(off.med)}],"buckets":32,"corpus":"${p2Dir.orElse(p1Dir).get}"}"""
     }.getOrElse("")
+    // -------- FACT-FACT storage-partitioned join at the 10x AND 100x
+    // points: the 100 TB claim is REPEATED fact-fact joins, where both
+    // sides are large and multi-row per key (join fan-out), not the
+    // fact-dim shape above. Two facts bucket(32, key) — ~8 and ~4 rows
+    // per key — joined and aggregated on the key (MERGE hint, broadcast
+    // off); with SPJ the join AND the group-by plan zero Exchange. The
+    // delta vs shuffle grows with the point, which is the point.
+    val spjFF: Seq[(Int, Meas, Meas)] =
+      Seq(1 -> p1Dir, 2 -> p2Dir).flatMap {
+        case (p, Some(dir)) =>
+          try Some(rddGuard(s"spj_fact_fact@p$p") {
+            val n = docsAt(dir).count()
+            val k = math.max(1L, n / 8)
+            val prevConfs = Seq("spark.sql.catalog.graftc",
+              "spark.sql.catalog.graftc.warehouse",
+              "spark.sql.sources.v2.bucketing.enabled",
+              "spark.sql.autoBroadcastJoinThreshold")
+              .map(kk => kk -> sparkS.conf.getOption(kk))
+            sparkS.conf.set("spark.sql.catalog.graftc", "graft.sql.GraftTableCatalog")
+            sparkS.conf.set("spark.sql.catalog.graftc.warehouse",
+              java.nio.file.Files.createTempDirectory("graft_bench_spjff").toString)
+            try {
+              sparkS.range(0, n)
+                .select((col("id") % k).as("key"), (col("id") * 7L).as("a"))
+                .writeTo("graftc.b.ff_a")
+                .partitionedBy(org.apache.spark.sql.functions.bucket(32, col("key")))
+                .createOrReplace()
+              sparkS.range(0, n / 2)
+                .select((col("id") % k).as("key"), (col("id") * 11L).as("b"))
+                .writeTo("graftc.b.ff_b")
+                .partitionedBy(org.apache.spark.sql.functions.bucket(32, col("key")))
+                .createOrReplace()
+              sparkS.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+              val q = "SELECT /*+ MERGE(x) */ x.key, count(*) AS m, " +
+                "sum(x.a + y.b) AS s " +
+                "FROM graftc.b.ff_a x JOIN graftc.b.ff_b y ON x.key = y.key " +
+                "GROUP BY x.key"
+              def timed(enabled: Boolean): Meas = {
+                sparkS.conf.set("spark.sql.sources.v2.bucketing.enabled",
+                  enabled.toString)
+                measure(() => noop(sparkS.sql(q)), 3, warm = true)
+              }
+              (p, timed(enabled = true), timed(enabled = false))
+            } finally prevConfs.foreach {
+              case (kk, Some(v)) => sparkS.conf.set(kk, v)
+              case (kk, None) => sparkS.conf.unset(kk)
+            }
+          }) catch { case e: Throwable =>
+            System.err.println(s"[bench][spj_fact_fact@p$p]: ${e.getMessage}"); None
+          }
+        case _ => None
+      }
+    def spjFFJson: String =
+      if (spjFF.isEmpty) ""
+      else spjFF.map { case (p, on, off) =>
+        s""""p$p":{"spj":[${jnum(on.min)},${jnum(on.med)}],"shuffle":[${jnum(off.min)},${jnum(off.med)}]}"""
+      }.mkString(""","spj_fact_fact":{""", ",", ""","buckets":32,"rows_per_key":[8,4]}""")
+    val spjFFHead =
+      if (spjFF.isEmpty) ""
+      else spjFF.map { case (p, on, off) =>
+        s""""p$p":[${jnum(on.med)},${jnum(off.med)}]"""
+      }.mkString(""","spj_fact_fact":{""", ",", "}")
     val mwHead = mw.map { case (sec, commits, rebases, conflicts, ok) =>
       s""","multi_writer":{"commits_per_sec":${jnum(commits / sec)},"rebases":$rebases,"conflicts":$conflicts,"serial_equiv":$ok}"""
     }.getOrElse("")

@@ -2378,6 +2378,65 @@ object SparkEntry {
       |GROUP BY c.c_custkey, c.c_mktsegment
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** Q128 — COMPOSITE-KEY storage-partitioned join over the HYBRID
+   *  layout `(bucket(8, custkey), month)`: the Iceberg fact-table
+   *  pattern keyed on (entity, period). Each file holds exactly one
+   *  (bucket, month) tuple — the writer's dynamic sub-partitioning —
+   *  and the scan re-derives the month from exact file stats, so the
+   *  two-column equi-join aligns per tuple with ZERO Exchange (a single
+   *  multi-column bucket cannot convert on stock Spark; PlanSpec pins
+   *  both facts). Correctness-gated against the plain join-aggregate
+   *  oracle: a tuple-derivation error (a file claiming one month while
+   *  holding two — join partners silently lost) fails the hash. */
+  private val spjhBuilt = scala.collection.concurrent.TrieMap[String, Boolean]()
+  private def spjHybridQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    spjhBuilt.getOrElseUpdate(dir, {
+      s.sql("DROP TABLE IF EXISTS graft.bench.spjh_orders")
+      s.sql("DROP TABLE IF EXISTS graft.bench.spjh_month")
+      s.sql("CREATE TABLE graft.bench.spjh_orders " +
+        "(o_custkey BIGINT, omonth INT, price_fl BIGINT) USING graft " +
+        "PARTITIONED BY (bucket(8, o_custkey), omonth)")
+      s.sql("CREATE TABLE graft.bench.spjh_month " +
+        "(o_custkey BIGINT, omonth INT, n_orders BIGINT) USING graft " +
+        "PARTITIONED BY (bucket(8, o_custkey), omonth)")
+      s.table("orders")
+        .select(col("o_custkey"),
+          org.apache.spark.sql.functions.month(col("o_orderdate")).as("omonth"),
+          org.apache.spark.sql.functions.floor(col("o_totalprice"))
+            .cast("long").as("price_fl"))
+        .writeTo("graft.bench.spjh_orders").append()
+      s.table("orders")
+        .groupBy(col("o_custkey"),
+          org.apache.spark.sql.functions.month(col("o_orderdate")).as("omonth"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_orders"))
+        .writeTo("graft.bench.spjh_month").append()
+      true
+    })
+    s.sql(
+      """SELECT /*+ MERGE(o) */ o.o_custkey, o.omonth,
+        |  CAST(max(m.n_orders) AS BIGINT) AS n_orders,
+        |  CAST(sum(o.price_fl) AS BIGINT) AS sum_price_fl
+        |FROM graft.bench.spjh_orders o
+        |JOIN graft.bench.spjh_month m
+        |  ON o.o_custkey = m.o_custkey AND o.omonth = m.omonth
+        |GROUP BY o.o_custkey, o.omonth
+        |ORDER BY o.o_custkey, o.omonth""".stripMargin)
+  }
+  private val Q128Duck =
+    """WITH o AS (SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS omonth,
+      |                  CAST(floor(o_totalprice) AS BIGINT) AS price_fl
+      |           FROM orders),
+      |m AS (SELECT o_custkey, omonth, count(*) AS n_orders FROM o GROUP BY 1, 2)
+      |SELECT o.o_custkey, o.omonth,
+      |       CAST(max(m.n_orders) AS BIGINT) AS n_orders,
+      |       CAST(sum(o.price_fl) AS BIGINT) AS sum_price_fl
+      |FROM o JOIN m ON o.o_custkey = m.o_custkey AND o.omonth = m.omonth
+      |GROUP BY o.o_custkey, o.omonth
+      |ORDER BY o.o_custkey, o.omonth""".stripMargin
+
   /** Q32 — as-of join: each click matched to the user's most recent view
    *  (point-in-time correctness; DuckDB's native ASOF JOIN as oracle). */
   private def asofQuery(s: SparkSession, dir: String): DataFrame = {
@@ -4229,7 +4288,8 @@ object SparkEntry {
     "q124_index_maintenance" -> indexMaintenanceQuery,
     "q125_stream_indexed_dedup" -> streamIndexedDedupQuery,
     "q126_span_serve_indexed" -> indexedSpanServeQuery,
-    "q127_spj_join" -> spjJoinQuery)
+    "q127_spj_join" -> spjJoinQuery,
+    "q128_spj_hybrid" -> spjHybridQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4411,7 +4471,8 @@ object SparkEntry {
     // index — pruning is file-skipping over pure membership, so the
     // flat oracle applies verbatim
     "q126_span_serve_indexed" -> Q75Duck,
-    "q127_spj_join" -> Q127Duck)
+    "q127_spj_join" -> Q127Duck,
+    "q128_spj_hybrid" -> Q128Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

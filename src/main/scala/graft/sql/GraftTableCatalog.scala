@@ -280,7 +280,7 @@ class GraftTableCatalog extends TableCatalog with FunctionCatalog {
         t.references.head.fieldNames.mkString(".")
       case t if timeUnits.contains(t.name) && t.references.length == 1 =>
         s"${t.name}(${t.references.head.fieldNames.mkString(".")})"
-      case t if t.name == "bucket" && t.references.length == 1 =>
+      case t if t.name == "bucket" && t.references.length >= 1 =>
         val n = t.arguments.collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value.toString
         }.getOrElse(throw new UnsupportedOperationException(
@@ -289,7 +289,9 @@ class GraftTableCatalog extends TableCatalog with FunctionCatalog {
         // (ANSI) or silently un-cluster — reject at CREATE time
         require(scala.util.Try(n.toInt).toOption.exists(_ > 0),
           s"bucket transform needs a positive bucket count, got: $n")
-        s"bucket($n, ${t.references.head.fieldNames.mkString(".")})"
+        // composite keys keep declaration order — the routing hash chains
+        // over it, so (a, b) and (b, a) are different layouts
+        s"bucket($n, ${t.references.map(_.fieldNames.mkString(".")).mkString(", ")})"
       case other => throw new UnsupportedOperationException(
         s"unsupported partition transform for graft tables: $other")
     }
@@ -482,7 +484,9 @@ class GraftTable(
     val Bucket = """bucket\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
     val Time = """(years|months|days|hours)\(\s*([^)]+?)\s*\)""".r
     table.clusterSpec().map {
-      case Bucket(n, c) => Expressions.bucket(n.toInt, c)
+      case Bucket(n, cs) =>
+        Expressions.bucket(n.toInt,
+          cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq: _*)
       case Time("years", c) => Expressions.years(c)
       case Time("months", c) => Expressions.months(c)
       case Time("days", c) => Expressions.days(c)
@@ -753,13 +757,22 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
     }
   }
 
-  /** Report the identity-routed bucket layout as KeyGroupedPartitioning
+  /** Report the identity-routed layout as KeyGroupedPartitioning
    *  (storage-partitioned join) when the gating conf is on and the
    *  PRUNED file set still carries per-file bucket ids — otherwise the
    *  delegated scan stands as-is (shuffle plan, never a wrong answer).
    *  Grouping the pruned entries means a filtered scan reports only the
    *  buckets it actually reads; Spark's partially-clustered handling
-   *  aligns the sides. */
+   *  aligns the sides.
+   *
+   *  Hybrid specs (`bucket(n, c), day`) report a MULTI-key grouping:
+   *  each file's identity value comes from its exact stats
+   *  ([[SnapshotTable.fileSingleValue]] — single-valued column, fixed-
+   *  width types), the partition key is the (bucket, values…) tuple,
+   *  and a composite-key equi-join aligns with zero Exchange. Any file
+   *  whose value cannot be PROVEN single (missing stats, nulls, a
+   *  string column) structurally un-reports — degradation, never a
+   *  wrong answer. */
   private def maybeKeyGrouped(
       built: Scan, files: Seq[SnapshotTable.FileEntry]): Scan = {
     val spark = table.spark
@@ -767,12 +780,37 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
       .getOption("spark.sql.sources.v2.bucketing.enabled").contains("true")
     if (!enabled) return built
     table.bucketLayoutAt(version) match {
-      case Some((n, c)) if files.nonEmpty &&
+      case Some((n, cs, subs)) if files.nonEmpty &&
           files.forall(f => f.bucket.isDefined && f.bytes > 0) =>
-        val key = tableSchema.fieldNames
+        def resolve(c: String) = tableSchema.fieldNames
           .find(_.equalsIgnoreCase(c)).getOrElse(c)
-        val groups = files.groupBy(_.bucket.get).toSeq.sortBy(_._1)
-        new KeyGroupedFileScan(built, n, key, groups)
+        val keys = cs.map(resolve)
+        val subKeys = subs.map(resolve)
+        val transforms: Seq[org.apache.spark.sql.connector.expressions.Transform] =
+          org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n, keys: _*) +:
+            subKeys.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+        if (subs.isEmpty) {
+          val groups = files.groupBy(_.bucket.get).toSeq.sortBy(_._1)
+            .map { case (b, fs) => (Seq[Any](b), fs) }
+          new KeyGroupedFileScan(built, transforms, groups)
+        } else {
+          // per-file tuples; one unprovable file kills the whole report
+          val tuples = files.map { f =>
+            val vs = subKeys.map(c =>
+              table.fileSingleValue(f, c, tableSchema))
+            if (vs.forall(_.isDefined))
+              Some((Seq[Any](f.bucket.get) ++ vs.map(_.get), f))
+            else None
+          }
+          if (tuples.exists(_.isEmpty)) built
+          else {
+            val groups = tuples.flatten.groupBy(_._1).toSeq
+              .sortBy(_._1.mkString("|"))
+              .map { case (k, fs) => (k, fs.map(_._2)) }
+            new KeyGroupedFileScan(built, transforms, groups)
+          }
+        }
       case _ => built
     }
   }
@@ -790,28 +828,31 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
 object GraftBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
   override def description(): String =
-    "bucket(numBuckets, col): pmod(murmur3_hash32(col, seed=42), numBuckets)"
+    "bucket(numBuckets, cols...): pmod(murmur3_hash32(cols, seed=42), numBuckets)"
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length == 2,
-      s"bucket expects (numBuckets, key), got ${inputType.catalogString}")
-    BoundBucket(inputType.fields(1).dataType)
+    require(inputType.fields.length >= 2,
+      s"bucket expects (numBuckets, key, ...), got ${inputType.catalogString}")
+    BoundBucket(inputType.fields.drop(1).map(_.dataType).toSeq)
   }
-  final case class BoundBucket(keyType: DataType) extends ScalarFunction[Int] {
-    override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  final case class BoundBucket(keyTypes: Seq[DataType]) extends ScalarFunction[Int] {
+    override def inputTypes(): Array[DataType] = (IntegerType +: keyTypes).toArray
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
-    // TYPE-QUALIFIED: murmur3 of an int and a long differ for equal
-    // numeric values, so an int-keyed and a long-keyed bucket layout
-    // must never compare as co-partitioned — canonicalName is the
-    // cross-plan equality token Spark checks, and a bare "graft.bucket"
-    // would let the mixed pairing silently align wrong buckets
+    // TYPE-QUALIFIED over the FULL key-type list: murmur3 of an int and
+    // a long differ for equal numeric values, so an int-keyed and a
+    // long-keyed bucket layout must never compare as co-partitioned —
+    // canonicalName is the cross-plan equality token Spark checks, and a
+    // bare "graft.bucket" would let the mixed pairing silently align
+    // wrong buckets. A composite key's identity is the ordered list:
+    // bucket(n, a:int, b:date) ≠ bucket(n, a:int) ≠ bucket(n, b, a).
     override def canonicalName(): String =
-      s"graft.bucket(${keyType.catalogString})"
+      s"graft.bucket(${keyTypes.map(_.catalogString).mkString(",")})"
     override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Int = {
       val n = input.getInt(0)
-      val v = if (input.isNullAt(1)) null else input.get(1, keyType)
+      val vs = keyTypes.indices.map(i =>
+        if (input.isNullAt(i + 1)) null else input.get(i + 1, keyTypes(i)))
       java.lang.Math.floorMod(
-        org.apache.spark.sql.graftshim.SparkInternals.murmur3Hash32(v, keyType), n)
+        org.apache.spark.sql.graftshim.SparkInternals.murmur3Hash32(vs, keyTypes), n)
     }
   }
 }
@@ -831,9 +872,8 @@ object GraftBucketFunction extends UnboundFunction {
  *  never reports, and Spark plans the ordinary shuffle join. */
 class KeyGroupedFileScan(
     underlying: Scan,
-    numBuckets: Int,
-    keyColumn: String,
-    groups: Seq[(Int, Seq[SnapshotTable.FileEntry])])
+    transforms: Seq[org.apache.spark.sql.connector.expressions.Transform],
+    groups: Seq[(Seq[Any], Seq[SnapshotTable.FileEntry])])
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics {
   override def readSchema(): StructType = underlying.readSchema()
@@ -848,16 +888,14 @@ class KeyGroupedFileScan(
   }
   override def toBatch: Batch = this
   override def description(): String =
-    s"KeyGrouped(bucket($numBuckets, $keyColumn)) " + underlying.description()
+    s"KeyGrouped(${transforms.map(_.describe()).mkString(", ")}) " +
+      underlying.description()
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .bucket(numBuckets, keyColumn)),
-      groups.size)
+    new KeyGroupedPartitioning(transforms.toArray, groups.size)
   override def planInputPartitions(): Array[InputPartition] =
-    groups.zipWithIndex.map { case ((b, fs), i) =>
+    groups.zipWithIndex.map { case ((key, fs), i) =>
       org.apache.spark.sql.graftshim.SparkInternals.keyedFilePartition(
-        i, fs.map(f => (f.path, f.bytes)), b)
+        i, fs.map(f => (f.path, f.bytes)), key)
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     underlying.toBatch.createReaderFactory()

@@ -473,7 +473,7 @@ class SnapshotTable private (
   private[graft] def writeDataDir(dfIn: DataFrame,
       mappingOverride: Option[Map[String, String]] = None,
       strictIdentity: Boolean = false,
-      bucketRouted: Option[(Int, String)] = None): Seq[FileEntry] = {
+      bucketRouted: Option[(Int, Seq[String], Seq[String])] = None): Seq[FileEntry] = {
     // one commit-log read serves the CHECK constraints, the bloom options,
     // and the column mapping (object-store round trips per write matter)
     val cur = currentReadable().map(_._2)
@@ -500,7 +500,33 @@ class SnapshotTable private (
           .getOrElse(logical)
         df.schema.fieldNames.find(_.equalsIgnoreCase(phys)).map(logical -> _)
       }
-    var writer = df.write.mode("overwrite")
+    // hybrid routed layout (bucket + identity sub-partitions): the
+    // writer's dynamic partitioning splits each routed task's output so
+    // every file holds exactly ONE value per identity column. The split
+    // runs on DUPLICATED throwaway columns — dir-encoded partition
+    // columns are dropped from file bodies, and the real columns must
+    // stay in the data (raw path reads never consult directory names).
+    // Part numbering is per (task, dir), so a file's part number is
+    // still its routing-task index = its bucket id. The scan later
+    // re-derives each file's identity value from its exact stats
+    // (single-valued column), so the dirs themselves carry no contract.
+    val subParts: Seq[(String, String)] = bucketRouted match {
+      case Some((_, _, subs)) if subs.nonEmpty =>
+        subs.map { logical =>
+          val phys = mapping.find(_._1.equalsIgnoreCase(logical)).map(_._2)
+            .getOrElse(logical)
+          df.schema.fieldNames.find(_.equalsIgnoreCase(phys))
+            .map(p => (s"__gpart_$logical", p))
+            .getOrElse(throw new IllegalStateException(
+              s"routed write: sub-partition column $logical missing from frame"))
+        }
+      case _ => Nil
+    }
+    val toWrite = subParts.foldLeft(df) { case (d, (dup, phys)) =>
+      d.withColumn(dup, org.apache.spark.sql.functions.col(phys))
+    }
+    var writer = toWrite.write.mode("overwrite")
+    if (subParts.nonEmpty) writer = writer.partitionBy(subParts.map(_._1): _*)
     if (bloomCols.nonEmpty) {
       writer = writer.option("parquet.bloom.filter.adaptive.enabled", "true")
       val ndvByCol = props.collect {
@@ -525,12 +551,16 @@ class SnapshotTable private (
     }
     val conf = hadoopConf
     // footer stats come back keyed by the PHYSICAL names just written —
-    // remap to logical so ALL commit metadata stays logically keyed
+    // remap to logical so ALL commit metadata stays logically keyed.
+    // Dynamic sub-partitioning nests files one dir level down — walk.
+    def listParquet(d: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val (dirs, fls) = fs.listStatus(d).toSeq.partition(_.isDirectory)
+      fls.filter(_.getPath.getName.endsWith(".parquet")) ++
+        dirs.flatMap(s => listParquet(s.getPath))
+    }
     val toLogical = mapping.map(_.swap)
     val entries = readFooterStatsAll(
-      fs.listStatus(dir).toSeq
-        .filter(s => s.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName), conf)
+      listParquet(dir).sortBy(_.getPath.toString), conf)
       .map(fe => if (toLogical.isEmpty) fe
         else fe.copy(stats = fe.stats.map { case (k, v) =>
           toLogical.getOrElse(k, k) -> v }))
@@ -547,9 +577,9 @@ class SnapshotTable private (
     // the silent wrong-join-answer SPJ must never risk. Unstamped files
     // simply keep the layout unreported (shuffle plan, correct).
     val stamped = bucketRouted match {
-      case Some((n, c)) if !props.keys.exists(k =>
+      case Some((n, cols, _)) if !cols.exists(c => props.keys.exists(k =>
           k.equalsIgnoreCase(s"graft.identity.$c") ||
-            k.equalsIgnoreCase(s"graft.generated.$c")) =>
+            k.equalsIgnoreCase(s"graft.generated.$c"))) =>
         val PartNum = "part-(\\d+)".r.unanchored
         entries.map { fe =>
           fe.copy(bucket = new Path(fe.path).getName match {
@@ -933,20 +963,34 @@ class SnapshotTable private (
 
   private def clusterApplicable(df: DataFrame, spec: Seq[String]): Boolean =
     spec.nonEmpty && spec.forall(s =>
-      df.columns.exists(_.equalsIgnoreCase(ClusterTransform.sourceColumn(s))))
+      ClusterTransform.sourceColumns(s).forall(c =>
+        df.columns.exists(_.equalsIgnoreCase(c))))
 
-  /** The (numBuckets, column) when this write will take the
-   *  identity-routed bucket layout below — callers pass it to
-   *  [[writeDataDir]] so each written file records its bucket id in the
-   *  manifest. */
-  private def routedBucket(df: DataFrame, spec: Seq[String]): Option[(Int, String)] =
-    if (clusterApplicable(df, spec)) ClusterTransform.bucketOnly(spec)
+  /** The (numBuckets, bucket columns, identity sub-partition columns)
+   *  when this write will take the identity-routed layout below —
+   *  callers pass it to [[writeDataDir]] so each written file records
+   *  its bucket id in the manifest (and, with sub-partition columns,
+   *  splits per identity value). */
+  private def routedBucket(df: DataFrame, spec: Seq[String])
+      : Option[(Int, Seq[String], Seq[String])] =
+    if (clusterApplicable(df, spec)) ClusterTransform.routedSpec(spec)
     else None
 
   private def applyCluster(
       df: DataFrame, spec: Seq[String], numFiles: Option[Int] = None): DataFrame = {
     if (!clusterApplicable(df, spec)) df
-    else ClusterTransform.bucketOnly(spec) match {
+    else ClusterTransform.routedSpec(spec) match {
+      // hybrid bucket+identity layout: route by bucket (partition index
+      // = bucket id, as below); the per-identity-value file split
+      // happens in [[writeDataDir]] via the writer's dynamic
+      // partitioning. The local sort puts identity values first so each
+      // task's file split is a run, then the bucket source for in-file
+      // row-group bounds.
+      case Some((n, cols, subs)) if subs.nonEmpty =>
+        df.repartition(n, cols.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(
+            (subs ++ cols).map(org.apache.spark.sql.functions.col): _*)
+      case _ => ClusterTransform.bucketOnly(spec) match {
       // identity-routed bucket layout: `repartition(n, col)` assigns
       // partition index = pmod(murmur3(col, 42), n) — EXACTLY the bucket
       // transform's value (`hash()` is the same murmur3) — so every
@@ -957,9 +1001,9 @@ class SnapshotTable private (
       // count pins the layout, so numFiles does not apply; the local
       // sort on the SOURCE column keeps row-group bounds tight for
       // point-lookup pruning inside each bucket file.
-      case Some((n, c)) =>
-        df.repartition(n, org.apache.spark.sql.functions.col(c))
-          .sortWithinPartitions(org.apache.spark.sql.functions.col(c))
+      case Some((n, cols)) =>
+        df.repartition(n, cols.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
       // range shuffle gives disjoint per-FILE bounds (manifest pruning);
       // the local sort on top gives monotone per-ROW-GROUP bounds inside
       // each file, so a pruned point lookup reads one row group, not the
@@ -972,6 +1016,7 @@ class SnapshotTable private (
           .sortWithinPartitions(spec.map(ClusterTransform.expr): _*)
         case None => df.repartitionByRange(spec.map(ClusterTransform.expr): _*)
           .sortWithinPartitions(spec.map(ClusterTransform.expr): _*)
+      }
       }
     }
   }
@@ -1261,10 +1306,11 @@ class SnapshotTable private (
     val e = commitEntry(v)
     val schema = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
     spec.foreach { s =>
-      val src = ClusterTransform.sourceColumn(s)
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(src)),
-        s"cluster spec entry '$s' references unknown column '$src' " +
-          s"(table columns: ${schema.fieldNames.mkString(", ")})")
+      ClusterTransform.sourceColumns(s).foreach { src =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(src)),
+          s"cluster spec entry '$s' references unknown column '$src' " +
+            s"(table columns: ${schema.fieldNames.mkString(", ")})")
+      }
     }
     writeCommit(v + 1, e.copy(action = "set-cluster", clusterBy = toOpt(spec)))
     this
@@ -1353,7 +1399,7 @@ class SnapshotTable private (
     // a column referenced by the cluster spec (resolved through transforms
     // like days(ts)), the MoR upsert spec, or a CHECK constraint would
     // poison every later write — refuse the drop instead
-    val specCols = e.clusterBy.getOrElse(Nil).map(ClusterTransform.sourceColumn) ++
+    val specCols = e.clusterBy.getOrElse(Nil).flatMap(ClusterTransform.sourceColumns) ++
       e.morKeys.getOrElse(Nil) ++ e.morPrecombine.toList ++
       e.properties.getOrElse(Map.empty).get("graft.cdf.keys").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -1822,9 +1868,9 @@ class SnapshotTable private (
   private[graft] def columnMappingAt(version: Long): Map[String, String] =
     if (version < 0) Map.empty else mappingOf(commitEntry(version))
 
-  /** Some((numBuckets, sourceColumn)) when the snapshot at `version` is
+  /** Some((numBuckets, key columns)) when the snapshot at `version` is
    *  a CLEAN identity-routed bucket layout: the cluster spec is exactly
-   *  one bucket transform and EVERY live file records a valid bucket id
+   *  one bucket transform (single- or composite-key) and EVERY live file records a valid bucket id
    *  (written through [[applyCluster]]'s routed path) with a known
    *  size, and no MoR deltas ride the commit. This is the
    *  precondition for the DSv2 scan to report KeyGroupedPartitioning
@@ -1837,15 +1883,46 @@ class SnapshotTable private (
    *  buckets, so the grouping stays exact — a long-lived bucketed fact
    *  table keeps its shuffle-free joins while carrying DVs (Iceberg's
    *  positional-delete + SPJ behavior). */
-  private[graft] def bucketLayoutAt(version: Long): Option[(Int, String)] = {
+  private[graft] def bucketLayoutAt(version: Long): Option[(Int, Seq[String], Seq[String])] = {
     if (version < 0) return None
     val e = commitEntry(version)
-    ClusterTransform.bucketOnly(e.clusterBy.getOrElse(Nil)).filter { case (n, _) =>
+    ClusterTransform.routedSpec(e.clusterBy.getOrElse(Nil)).filter { case (n, _, _) =>
       e.files.nonEmpty &&
         e.files.forall(f => f.bytes > 0 && f.bucket.exists(b => b >= 0 && b < n)) &&
         e.deltaFiles.forall(_.isEmpty)
     }
   }
+
+  /** Catalyst-internal single value of `column` in file `f` — defined
+   *  only when the file provably holds EXACTLY that value in every row
+   *  (exact stats, min == max, zero nulls). This is how the hybrid
+   *  routed layout's scan re-derives each file's identity-partition
+   *  value with no manifest format change. Fixed-width types only:
+   *  parquet footer STRING bounds may be truncated, and a truncated
+   *  pair comparing equal would fabricate a tuple that two different
+   *  values share — silent wrong SPJ answers; refusing strings keeps
+   *  the derivation exact (the layout degrades to a shuffle plan). */
+  private[graft] def fileSingleValue(
+      f: FileEntry, column: String, schema: StructType): Option[Any] =
+    for {
+      field <- schema.fields.find(_.name.equalsIgnoreCase(column))
+      cs <- f.stats.get(field.name)
+      if cs.nullCount.contains(0L) && f.rows > 0
+      mn <- cs.min
+      mx <- cs.max
+      if mn == mx
+      v <- field.dataType match {
+        case ByteType => mn.toLongOption.map(_.toByte)
+        case ShortType => mn.toLongOption.map(_.toShort)
+        case IntegerType => mn.toLongOption.map(_.toInt)
+        case LongType => mn.toLongOption
+        case DateType => mn.toLongOption.map(_.toInt)
+        case TimestampType | TimestampNTZType => mn.toLongOption
+        case BooleanType => mn.toLongOption.map(_ != 0L).orElse(
+          mn.toBooleanOption)
+        case _ => None
+      }
+    } yield v
 
   def schema: StructType =
     DataType.fromJson(currentReadable()
@@ -2705,10 +2782,11 @@ class SnapshotTable private (
     // entries may be plain columns OR transforms (bucket/time) — the
     // setClusterSpec vocabulary; only the SOURCE column must exist
     clusterBy.foreach { c =>
-      val src = ClusterTransform.sourceColumn(c)
-      require(tschema.fieldNames.exists(_.equalsIgnoreCase(src)),
-        s"recluster entry '$c' references unknown column '$src' " +
-          s"(columns: ${tschema.fieldNames.mkString(", ")})")
+      ClusterTransform.sourceColumns(c).foreach { src =>
+        require(tschema.fieldNames.exists(_.equalsIgnoreCase(src)),
+          s"recluster entry '$c' references unknown column '$src' " +
+            s"(columns: ${tschema.fieldNames.mkString(", ")})")
+      }
     }
     // a recorded cluster spec means replaceFiles re-clusters the rewrite
     // by THAT spec — a divergent explicit spec would silently lose, so
@@ -3514,39 +3592,74 @@ object SnapshotTable {
     private val Bucket = """bucket\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
     private val Time = """(years|months|days|hours)\(\s*([^)]+?)\s*\)""".r
 
-    /** The underlying column a spec entry clusters on. */
-    def sourceColumn(spec: String): String = spec match {
-      case Bucket(_, c) => c
-      case Time(_, c) => c
-      case plain => plain
+    private def splitCols(cs: String): Seq[String] =
+      cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+    /** The underlying column(s) a spec entry clusters on — one for
+     *  identity/time entries, one or more for `bucket(n, a, b, …)`
+     *  (composite bucket keys: the fact-table pattern keyed on e.g.
+     *  (entity, day) where neither column alone is the join key). */
+    def sourceColumns(spec: String): Seq[String] = spec match {
+      case Bucket(_, cs) => splitCols(cs)
+      case Time(_, c) => Seq(c)
+      case plain => Seq(plain)
     }
 
     /** `spec` with column `from` renamed to `to` (RENAME COLUMN). */
     def rename(spec: String, from: String, to: String): String = spec match {
-      case Bucket(n, c) if c.equalsIgnoreCase(from) => s"bucket($n, $to)"
+      case Bucket(n, cs) if splitCols(cs).exists(_.equalsIgnoreCase(from)) =>
+        s"bucket($n, ${splitCols(cs).map(c =>
+          if (c.equalsIgnoreCase(from)) to else c).mkString(", ")})"
       case Time(u, c) if c.equalsIgnoreCase(from) => s"$u($to)"
       case plain if plain.equalsIgnoreCase(from) => to
       case other => other
     }
 
     def expr(spec: String): Column = spec match {
-      case Bucket(n, c) =>
+      case Bucket(n, cs) =>
         val count = scala.util.Try(n.toInt).toOption.filter(_ > 0).getOrElse(
           throw new IllegalArgumentException(
             s"bucket count must be a positive 32-bit int in cluster spec: $spec"))
-        pmod(hash(col(c)), lit(count))
+        // multi-column keys hash as ONE chained murmur3 (SQL `hash(a,b)`),
+        // the same chain `repartition(n, a, b)` and the V2 bucket
+        // function compute — all three layouts agree bit-for-bit
+        pmod(hash(splitCols(cs).map(col): _*), lit(count))
       case Time(unit, c) => date_trunc(unit.stripSuffix("s").toUpperCase, col(c))
       case plain => col(plain)
     }
 
-    /** Some((numBuckets, sourceColumn)) when the spec is EXACTLY one
-     *  bucket transform — the layout eligible for identity-routed
-     *  writes and storage-partitioned-join scan reporting. */
-    def bucketOnly(spec: Seq[String]): Option[(Int, String)] = spec match {
-      case Seq(Bucket(n, c)) =>
-        scala.util.Try(n.toInt).toOption.filter(_ > 0).map(_ -> c)
-      case _ => None
-    }
+    /** Some((numBuckets, sourceColumns)) when the spec is EXACTLY one
+     *  bucket transform (single- or multi-column key) — the layout
+     *  eligible for identity-routed writes and storage-partitioned-join
+     *  scan reporting. */
+    def bucketOnly(spec: Seq[String]): Option[(Int, Seq[String])] =
+      routedSpec(spec).collect { case (n, cs, subs) if subs.isEmpty => (n, cs) }
+
+    /** Some((numBuckets, bucketCols, identityCols)) when the spec is ONE
+     *  leading bucket transform followed by zero or more PLAIN identity
+     *  columns — the identity-routable layouts. With identity columns
+     *  (the Iceberg `bucket(n, entity), day` fact-table pattern), writes
+     *  additionally split each bucket's output so every file holds
+     *  exactly ONE value per identity column; the scan then re-derives
+     *  each file's (bucket, values…) tuple from its exact stats and
+     *  reports a multi-key KeyGroupedPartitioning — composite-key joins
+     *  with zero Exchange. (A SINGLE multi-column `bucket(n, a, b)`
+     *  cannot serve SPJ on stock Spark: the planner's
+     *  KeyGroupedPartitioning support gate requires one child reference
+     *  per transform expression — the hybrid spec is the upstream-
+     *  compatible encoding of a composite key.) */
+    def routedSpec(spec: Seq[String]): Option[(Int, Seq[String], Seq[String])] =
+      spec match {
+        case Bucket(n, cs) +: rest if rest.forall {
+            case Bucket(_, _) => false
+            case Time(_, _) => false
+            case _ => true
+          } =>
+          scala.util.Try(n.toInt).toOption.filter(_ > 0)
+            .map(nb => (nb, splitCols(cs), rest.toSeq))
+            .filter(_._2.nonEmpty)
+        case _ => None
+      }
   }
 
   /** Column min/max/nullCount of one parquet file, harvested from its

@@ -66,7 +66,7 @@ object SparkInternals {
   def keyedFilePartition(
       index: Int,
       files: Seq[(String, Long)], // (path, bytes)
-      bucketId: Int): org.apache.spark.sql.connector.read.InputPartition = {
+      key: Seq[Any]): org.apache.spark.sql.connector.read.InputPartition = {
     import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
     val pfs = files.map { case (p, bytes) =>
       PartitionedFile(
@@ -74,11 +74,11 @@ object SparkInternals {
         org.apache.spark.paths.SparkPath.fromPath(new org.apache.hadoop.fs.Path(p)),
         0L, bytes, Array.empty[String], 0L, bytes)
     }.toArray
+    val keyArray = key.toArray
     new FilePartition(index, pfs)
         with org.apache.spark.sql.connector.read.HasPartitionKey {
       override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](bucketId))
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyArray)
     }
   }
 
@@ -125,9 +125,26 @@ object SparkInternals {
    *  value and `repartition(n, col)`'s partition index derive from; the
    *  V2 bucket function must agree bit-for-bit with both. */
   def murmur3Hash32(value: Any, dataType: org.apache.spark.sql.types.DataType): Int =
-    if (value == null) 42
-    else org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-      .hash(value, dataType, 42L).toInt
+    murmur3Hash32(Seq(value), Seq(dataType))
+
+  /** Chained murmur3 over several values — SQL `hash(a, b, …)` and the
+   *  partition index of `repartition(n, a, b, …)`: each non-null value
+   *  hashes with the running result as seed (NULLs leave it unchanged,
+   *  the HashExpression convention), starting from 42. The V2 bucket
+   *  function's composite-key evaluation must match both bit-for-bit. */
+  def murmur3Hash32(
+      values: Seq[Any],
+      dataTypes: Seq[org.apache.spark.sql.types.DataType]): Int = {
+    var h = 42L
+    var i = 0
+    while (i < values.length) {
+      if (values(i) != null)
+        h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(values(i), dataTypes(i), h)
+      i += 1
+    }
+    h.toInt
+  }
 
   /** The inverse marking of [[rebatch]]: wrap a batch plan's executed RDD
    *  as a single STREAMING leaf. A V1 streaming source must return an

@@ -306,6 +306,143 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("composite-key SPJ via hybrid layout: (bucket(8, ent), day) with no shuffle") {
+    // fact tables keyed on (entity, day): the upstream-compatible SPJ
+    // encoding is the Iceberg-style MULTI-TRANSFORM layout — bucket the
+    // entity, identity-split the day — because Spark's
+    // KeyGroupedPartitioning support gate requires one child reference
+    // per transform expression (a single multi-column bucket(n, a, b)
+    // can never convert; see the sibling test below). Each file holds
+    // one (bucket, day) tuple; the scan re-derives the day from the
+    // file's exact stats and reports the multi-key grouping.
+    def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    spark.sql("DROP TABLE IF EXISTS graft.db.spjh_fact")
+    spark.sql("DROP TABLE IF EXISTS graft.db.spjh_dim")
+    spark.sql("CREATE TABLE graft.db.spjh_fact (ent BIGINT, day INT, v BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(8, ent), day)")
+    spark.sql("CREATE TABLE graft.db.spjh_dim (ent BIGINT, day INT, w STRING) " +
+      "USING graft PARTITIONED BY (bucket(8, ent), day)")
+    spark.range(0, 3000)
+      .select((col("id") % 500).as("ent"), (col("id") % 6).cast("int").as("day"),
+        (col("id") * 3).as("v"))
+      .writeTo("graft.db.spjh_fact").append()
+    spark.range(0, 1500)
+      .select((col("id") % 500).as("ent"), (col("id") % 3).cast("int").as("day"),
+        concat(lit("w"), col("id")).as("w"))
+      .writeTo("graft.db.spjh_dim").append()
+    val q = "SELECT f.ent, f.day, f.v, d.w FROM graft.db.spjh_fact f " +
+      "JOIN graft.db.spjh_dim d ON f.ent = d.ent AND f.day = d.day"
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, String)] =
+      df.as[(Long, Int, Long, String)].collect().toSet
+    val expected = {
+      val fact = (0L until 3000L).map(i => (i % 500, (i % 6).toInt, i * 3))
+      val dim = (0L until 1500L).map(i => (i % 500, (i % 3).toInt, s"w$i"))
+      for {
+        (fe, fd, v) <- fact.toSet
+        (de, dd, w) <- dim if de == fe && dd == fd
+      } yield (fe, fd, v, w)
+    }
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = executedPlanString(df)
+      assert(!plan.contains("Exchange"), s"shuffle in hybrid SPJ plan:\n$plan")
+      assert(plan.contains("KeyGrouped(bucket(8, ent), day)"),
+        s"scan did not report the hybrid layout:\n$plan")
+      // dim holds days 0-2, fact 0-5: the sides have DIFFERENT tuple
+      // sets and still align (partially-clustered push-part-values)
+      assert(rows(df) === expected)
+    }
+    // degradation control: bucketing off → ordinary shuffle, same rows
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      assert(executedPlanString(df).contains("Exchange"))
+      assert(rows(df) === expected)
+    }
+    spark.sql("DROP TABLE graft.db.spjh_fact")
+    spark.sql("DROP TABLE graft.db.spjh_dim")
+  }
+
+  test("multi-column bucket(8, a, b): consistent routing, honest degradation") {
+    // bucket(n, a, b) IS a valid layout (co-location + bounded file
+    // counts; both sides route by the same chained murmur3), and the
+    // scan reports it — but stock Spark's KeyGroupedPartitioning
+    // support gate (one child reference per transform expression)
+    // rejects the multi-child conversion, so the join keeps its
+    // shuffle. Pinned here so an upstream change that lifts the gate
+    // shows up as this assertion failing (then remove the Exchange
+    // expectation and enjoy the free SPJ). The zero-Exchange encoding
+    // of a composite key today is the hybrid spec in the test above.
+    def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    spark.sql("DROP TABLE IF EXISTS graft.db.spj2_fact")
+    spark.sql("DROP TABLE IF EXISTS graft.db.spj2_dim")
+    spark.sql("CREATE TABLE graft.db.spj2_fact (ent BIGINT, day INT, v BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(8, ent, day))")
+    spark.sql("CREATE TABLE graft.db.spj2_dim (ent BIGINT, day INT, w STRING) " +
+      "USING graft PARTITIONED BY (bucket(8, ent, day))")
+    spark.range(0, 2000)
+      .select((col("id") % 400).as("ent"), (col("id") % 5).cast("int").as("day"),
+        (col("id") * 3).as("v"))
+      .writeTo("graft.db.spj2_fact").append()
+    spark.range(0, 1000)
+      .select((col("id") % 400).as("ent"), (col("id") % 5).cast("int").as("day"),
+        concat(lit("w"), col("id")).as("w"))
+      .writeTo("graft.db.spj2_dim").append()
+    // identical (ent, day) pairs land in the SAME bucket id on both
+    // tables — the routing parity that makes the layout meaningful
+    val fb = spark.sql("SELECT DISTINCT ent, day, pmod(hash(ent, day), 8) AS b " +
+      "FROM graft.db.spj2_fact")
+    val factBuckets = graft.tables.SnapshotTable(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db/spj2_fact")
+      .filesMetadata().select("bucket").distinct().as[Long].collect().toSet
+    assert(factBuckets.forall(b => b >= 0 && b < 8), factBuckets.toString)
+    val q = "SELECT f.ent, f.day, f.v, d.w FROM graft.db.spj2_fact f " +
+      "JOIN graft.db.spj2_dim d ON f.ent = d.ent AND f.day = d.day"
+    val expected = {
+      val fact = (0L until 2000L).map(i => (i % 400, (i % 5).toInt, i * 3))
+      val dim = (0L until 1000L).map(i => (i % 400, (i % 5).toInt, s"w$i"))
+      for {
+        (fe, fd, v) <- fact.toSet
+        (de, dd, w) <- dim if de == fe && dd == fd
+      } yield (fe, fd, v, w)
+    }
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = executedPlanString(df)
+      assert(plan.contains("KeyGrouped(bucket(8, ent, day))"),
+        s"scan did not report the composite layout:\n$plan")
+      assert(plan.contains("Exchange"),
+        "stock Spark now converts multi-child transform expressions — " +
+          s"lift the degradation pin and claim the free SPJ:\n$plan")
+      assert(df.as[(Long, Int, Long, String)].collect().toSet === expected)
+    }
+    fb.count() // keep the routing probe evaluated
+    spark.sql("DROP TABLE graft.db.spj2_fact")
+    spark.sql("DROP TABLE graft.db.spj2_dim")
+  }
+
   test("storage-partitioned join survives deletion vectors (DV-filtered scan)") {
     // a long-lived bucketed fact table carries DVs in steady state; the
     // scan must keep reporting KeyGroupedPartitioning (deletes never move

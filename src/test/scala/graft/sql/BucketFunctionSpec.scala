@@ -44,10 +44,45 @@ class BucketFunctionSpec extends SparkSpec {
     assert(fnSide(Seq(null), LongType)
       === sparkSide(Seq[Option[Long]](None).toDF("k")))
     // type-qualified canonical names: equal within a type, distinct across
-    assert(GraftBucketFunction.BoundBucket(LongType).canonicalName()
-      === GraftBucketFunction.BoundBucket(LongType).canonicalName())
-    assert(GraftBucketFunction.BoundBucket(IntegerType).canonicalName()
-      !== GraftBucketFunction.BoundBucket(LongType).canonicalName())
+    assert(GraftBucketFunction.BoundBucket(Seq(LongType)).canonicalName()
+      === GraftBucketFunction.BoundBucket(Seq(LongType)).canonicalName())
+    assert(GraftBucketFunction.BoundBucket(Seq(IntegerType)).canonicalName()
+      !== GraftBucketFunction.BoundBucket(Seq(LongType)).canonicalName())
+    // composite identity is the ORDERED type list: (long,int) ≠ (long)
+    // ≠ (int,long) — a truncated or reordered key must never co-align
+    assert(GraftBucketFunction.BoundBucket(Seq(LongType, IntegerType)).canonicalName()
+      !== GraftBucketFunction.BoundBucket(Seq(LongType)).canonicalName())
+    assert(GraftBucketFunction.BoundBucket(Seq(LongType, IntegerType)).canonicalName()
+      !== GraftBucketFunction.BoundBucket(Seq(IntegerType, LongType)).canonicalName())
+  }
+
+  test("composite bucket function matches SQL hash(a, b) routing bit-for-bit") {
+    import spark.implicits._
+    val n = 16
+    val data = Seq((0L, 0), (1L, 5), (-1L, 7), (42L, -3),
+      (Long.MaxValue, Int.MinValue), (123456789L, 2026))
+    // SQL side: pmod(hash(a, b), n) — the exact expression
+    // ClusterTransform.expr emits and repartition(n, a, b) routes by
+    val sqlSide = data.toDF("a", "b")
+      .selectExpr(s"pmod(hash(a, b), $n)").as[Int].collect().toSeq
+    val bound = GraftBucketFunction.bind(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n", IntegerType),
+      org.apache.spark.sql.types.StructField("a", LongType),
+      org.apache.spark.sql.types.StructField("b", IntegerType))))
+      .asInstanceOf[GraftBucketFunction.BoundBucket]
+    val fnSide = data.map { case (a, b) => bound.produceResult(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, a, b)))
+    }
+    assert(fnSide === sqlSide)
+    // NULL in one component leaves the chain unchanged, like SQL hash
+    val withNull = data.toDF("a", "b")
+      .selectExpr(s"pmod(hash(a, CAST(NULL AS INT)), $n)").as[Int].collect().toSeq
+    val fnNull = data.map { case (a, _) => bound.produceResult(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, a, null)))
+    }
+    assert(fnNull === withNull)
   }
 
   test("randomized specs: every routed file holds exactly its stamped bucket") {
@@ -74,7 +109,7 @@ class BucketFunctionSpec extends SparkSpec {
         assert(got === Seq(f.bucket.get),
           s"trial $trial: file stamped ${f.bucket} holds buckets $got")
       }
-      assert(t.bucketLayoutAt(t.currentVersion()).contains((n, "k")))
+      assert(t.bucketLayoutAt(t.currentVersion()).contains((n, Seq("k"), Nil)))
       // content preserved through the routed write + append
       assert(t.read().count() === rows + df.filter(col("v") % 3 === 0).count())
     }

@@ -423,7 +423,7 @@ class MaintenanceSqlSpec extends SparkSpec {
     val out = spark.sql("OPTIMIZE maint_full FULL").collect()
     assert(out.head.getString(1).startsWith("recluster(bucket(4, id)"))
     assert(out.head.getInt(2) === 5)
-    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, "id")))
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, Seq("id"), Nil)))
     assert(t.read().count() === 400)
   }
 

@@ -413,23 +413,26 @@ class SnapshotTableSpec extends SparkSpec {
       assert(got === Seq(f.bucket.get),
         s"file ${f.path} stamped ${f.bucket} but holds buckets $got")
     }
-    assert(t.bucketLayoutAt(t.currentVersion()) === Some((8, "id")))
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((8, Seq("id"), Nil)))
     // appends route too — the layout survives growth
     t.append(spark.range(2000, 2100).select(col("id"), (col("id") * 2).as("v")))
-    assert(t.bucketLayoutAt(t.currentVersion()) === Some((8, "id")))
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((8, Seq("id"), Nil)))
     assert(t.read().count() === 2100)
     // compaction rewrites through the same routed path — the layout
     // (and SPJ eligibility) survives maintenance
     val compacted = t.compact(targetFileBytes = 1024 * 1024,
       smallFileBytes = 1024 * 1024)
     assert(compacted > 0)
-    assert(t.bucketLayoutAt(t.currentVersion()) === Some((8, "id")))
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((8, Seq("id"), Nil)))
     assert(t.commitEntry(t.currentVersion()).files.forall(_.bucket.isDefined))
-    // a DV overlay breaks the raw per-bucket read grouping — eligibility
-    // degrades (scan falls back to an unreported shuffle plan)
+    // a DV overlay no longer un-reports the layout: the DSv2 scan
+    // applies sidecar positions per file (a delete never moves a row
+    // between buckets), so SPJ eligibility survives row-level deletes —
+    // the steady state of a long-lived bucketed fact table
     t.setProperties(Map("graft.dv.enabled" -> "true"))
     t.delete(col("id") === 42L)
-    assert(t.bucketLayoutAt(t.currentVersion()).isEmpty)
+    assert(t.dvManifest().nonEmpty, "delete did not land as a deletion vector")
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((8, Seq("id"), Nil)))
   }
 
   test("bucket layout survives upsert, CoW delete and compaction (durable SPJ)") {
@@ -443,17 +446,17 @@ class SnapshotTableSpec extends SparkSpec {
     val t = SnapshotTable.create(spark, tmpDir("tbl_spj_dml"), df.limit(1))
     t.setClusterSpec(Seq("bucket(4, id)"))
     t.overwrite(df)
-    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, "id")))
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, Seq("id"), Nil)))
     t.upsert(spark.range(100, 200)
       .select(col("id"), lit("v1").as("v"), lit(1L).as("ver")),
       Seq("id"), "ver")
-    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, "id")),
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, Seq("id"), Nil)),
       "upsert destroyed the layout")
     t.delete(col("id") % 10 === 3)
-    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, "id")),
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, Seq("id"), Nil)),
       "CoW delete destroyed the layout")
     t.compact(targetFileBytes = 1024 * 1024, smallFileBytes = 1024 * 1024)
-    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, "id")),
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, Seq("id"), Nil)),
       "compaction destroyed the layout")
     // content stayed right through it all
     assert(t.read().count() === 900)
@@ -473,7 +476,7 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.bucketLayoutAt(t.currentVersion()).isEmpty)
     val before = t.read().as[(Long, Long)].collect().toSeq.sorted
     assert(t.recluster(Seq("bucket(4, id)"), 4) > 0)
-    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, "id")))
+    assert(t.bucketLayoutAt(t.currentVersion()) === Some((4, Seq("id"), Nil)))
     assert(t.read().as[(Long, Long)].collect().toSeq.sorted === before)
     // every migrated file single-bucket
     t.commitEntry(t.currentVersion()).files.foreach { f =>
