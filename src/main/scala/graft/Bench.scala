@@ -947,9 +947,9 @@ object Bench {
     val rddHead =
       if (rddRetained.isEmpty) ""
       else s""","rdd_retained_rows":${rddRetained.size}"""
-    val scaling = s""","scaling_fmt":"[exp_min,exp_med]"""" +
+    val scaling = s""","scaling_fmt":"[exp_min,exp_med,exp_cal]"""" +
       headBlock("scaling_10x", block10) + headBlock("scaling_100x", block100) +
-      bpeHead + mwHead + imHead + spjHead + rddHead
+      bpeHead + mwHead + imHead + spjHead + spjFFHead + rddHead
     // {} when every row released what it pinned — recording the emptiness
     // is the point (the structural form of the r10 one-off leak probe)
     val rddDetail = s""","rdd_retained":${rddRetained.map { case (k, v) =>
@@ -957,7 +957,7 @@ object Bench {
     val scalingDetail = pointsDetail +
       detailBlock("scaling_10x", block10) +
       detailBlock("scaling_100x", block100) +
-      ccDetail + bpeDetail + mwDetail + imDetail + spjDetail + rddDetail
+      ccDetail + bpeDetail + mwDetail + imDetail + spjDetail + spjFFJson + rddDetail
     // Testdata fingerprint: per-table row counts + an order-independent
     // content hash (bit_xor of per-row xxhash64). The driver may
     // REGENERATE /root/testdata between rounds (round 6's events.ts type
