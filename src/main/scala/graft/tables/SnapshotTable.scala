@@ -550,17 +550,42 @@ class SnapshotTable private (
       case None => spark.conf.unset(tsKey)
     }
     val conf = hadoopConf
-    // footer stats come back keyed by the PHYSICAL names just written —
-    // remap to logical so ALL commit metadata stays logically keyed.
-    // Dynamic sub-partitioning nests files one dir level down — walk.
-    def listParquet(d: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val (dirs, fls) = fs.listStatus(d).toSeq.partition(_.isDirectory)
-      fls.filter(_.getPath.getName.endsWith(".parquet")) ++
-        dirs.flatMap(s => listParquet(s.getPath))
+    // Flatten dynamic sub-partition output into the write dir under
+    // UNIQUE names. The writer emits the SAME part-file name under
+    // every value dir of one job (part number = task index), and the
+    // engine keys several invariants by file NAME — deletion-vector
+    // sidecars, update-rewrite carry lists, purge's touched set — so a
+    // name collision inside one commit silently cross-applies positions
+    // between sibling files and collapses name-keyed maps (first
+    // surfaced as an UPDATE dropping two of a bucket's three day files
+    // from the commit). Identity tuples derive from file STATS, never
+    // directory names, so the dirs carry nothing once the files move.
+    if (subParts.nonEmpty) {
+      var i = 0
+      def flatten(d: Path): Unit =
+        fs.listStatus(d).foreach { s =>
+          if (s.isDirectory) flatten(s.getPath)
+          else if (s.getPath.getName.endsWith(".parquet")) {
+            // keep the part-NNNNN token intact: the bucket stamp below
+            // parses it (unanchored) as the routing-task index
+            val target = new Path(dir, s"g$i-${s.getPath.getName}")
+            require(fs.rename(s.getPath, target),
+              s"flattening sub-partitioned write: rename failed for ${s.getPath}")
+            i += 1
+          }
+        }
+      fs.listStatus(dir).filter(_.isDirectory).foreach { s =>
+        flatten(s.getPath)
+        fs.delete(s.getPath, true)
+      }
     }
+    // footer stats come back keyed by the PHYSICAL names just written —
+    // remap to logical so ALL commit metadata stays logically keyed
     val toLogical = mapping.map(_.swap)
     val entries = readFooterStatsAll(
-      listParquet(dir).sortBy(_.getPath.toString), conf)
+      fs.listStatus(dir).toSeq
+        .filter(s => s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName), conf)
       .map(fe => if (toLogical.isEmpty) fe
         else fe.copy(stats = fe.stats.map { case (k, v) =>
           toLogical.getOrElse(k, k) -> v }))

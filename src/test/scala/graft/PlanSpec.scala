@@ -375,6 +375,94 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.spjh_dim")
   }
 
+  test("hybrid SPJ layout survives deletion vectors and row-level DML") {
+    // the two round-12 features compose: a hybrid (bucket, day) fact
+    // table keeps its multi-key grouping while carrying DVs (positions
+    // filter per file; neither the bucket nor the day of a row can
+    // change), and DML rewrites route their output back through the
+    // hybrid writer so the layout survives the lifecycle
+    def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    spark.sql("DROP TABLE IF EXISTS graft.db.hdv_fact")
+    spark.sql("DROP TABLE IF EXISTS graft.db.hdv_dim")
+    spark.sql("CREATE TABLE graft.db.hdv_fact (ent BIGINT, day INT, v BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(4, ent), day) " +
+      "TBLPROPERTIES ('graft.dv.enabled'='true')")
+    spark.sql("CREATE TABLE graft.db.hdv_dim (ent BIGINT, day INT, w STRING) " +
+      "USING graft PARTITIONED BY (bucket(4, ent), day)")
+    spark.range(0, 1200)
+      .select((col("id") % 200).as("ent"), (col("id") % 3).cast("int").as("day"),
+        (col("id") * 3).as("v"))
+      .writeTo("graft.db.hdv_fact").append()
+    spark.range(0, 600)
+      .select((col("id") % 200).as("ent"), (col("id") % 3).cast("int").as("day"),
+        concat(lit("w"), col("id")).as("w"))
+      .writeTo("graft.db.hdv_dim").append()
+    // DV delete + CoW-routed update: the rewrite lands hybrid-routed
+    spark.sql("DELETE FROM graft.db.hdv_fact WHERE ent = 7")
+    val root = spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db/hdv_fact"
+    val t = graft.tables.SnapshotTable(spark, root)
+    // hybrid writes flatten their dynamic sub-dirs under UNIQUE names:
+    // several engine invariants (DV sidecars, update carry lists) key
+    // by file NAME, and the writer otherwise reuses one part-file name
+    // across every value dir of a job — collisions silently cross-apply
+    // deletions between sibling files
+    val names = t.manifest().map(p => new org.apache.hadoop.fs.Path(p).getName)
+    assert(names.distinct.size === names.size,
+      s"file-name collision in hybrid manifest: $names")
+    assert(t.dvManifest().nonEmpty, "delete did not land as a deletion vector")
+    assert(t.bucketLayoutAt(t.currentVersion())
+      === Some((4, Seq("ent"), Seq("day"))))
+    val q = "SELECT f.ent, f.day, f.v, d.w FROM graft.db.hdv_fact f " +
+      "JOIN graft.db.hdv_dim d ON f.ent = d.ent AND f.day = d.day"
+    val expected = {
+      val fact = (0L until 1200L).map(i => (i % 200, (i % 3).toInt, i * 3))
+        .filterNot(_._1 == 7L)
+      val dim = (0L until 600L).map(i => (i % 200, (i % 3).toInt, s"w$i"))
+      for {
+        (fe, fd, v) <- fact.toSet
+        (de, dd, w) <- dim if de == fe && dd == fd
+      } yield (fe, fd, v, w)
+    }
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = executedPlanString(df)
+      assert(!plan.contains("Exchange"), s"shuffle in DV'd hybrid SPJ plan:\n$plan")
+      assert(plan.contains("KeyGrouped(bucket(4, ent), day)") &&
+        plan.contains("DvFiltered"), s"missing layout or DV filter:\n$plan")
+      assert(df.as[(Long, Int, Long, String)].collect().toSet === expected)
+    }
+    // purge folds the DVs; compact + update keep the layout reportable
+    t.purgeDeletionVectors()
+    assert(t.bucketLayoutAt(t.currentVersion())
+      === Some((4, Seq("ent"), Seq("day"))))
+    t.update(col("ent") === 11L, Map("v" -> lit(0L)))
+    assert(t.bucketLayoutAt(t.currentVersion())
+      === Some((4, Seq("ent"), Seq("day"))),
+      "CoW update lost the hybrid layout")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      assert(!executedPlanString(df).contains("Exchange"))
+      val expected2 = expected.map { case (e, d, v, w) =>
+        (e, d, if (e == 11L) 0L else v, w) }
+      assert(df.as[(Long, Int, Long, String)].collect().toSet === expected2)
+    }
+    spark.sql("DROP TABLE graft.db.hdv_fact")
+    spark.sql("DROP TABLE graft.db.hdv_dim")
+  }
+
   test("multi-column bucket(8, a, b): consistent routing, honest degradation") {
     // bucket(n, a, b) IS a valid layout (co-location + bounded file
     // counts; both sides route by the same chained murmur3), and the
