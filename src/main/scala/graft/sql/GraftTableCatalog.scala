@@ -19,7 +19,7 @@ import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -68,10 +68,13 @@ class GraftTableCatalog extends TableCatalog with FunctionCatalog {
   // partitioning BOTH join sides share (same catalog → same canonical
   // function), the precondition for a storage-partitioned join.
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    (GraftTimeFunction.Units :+ "bucket")
+      .map(Identifier.of(namespace, _)).toArray
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    else GraftTimeFunction.Units.find(_.equalsIgnoreCase(ident.name))
+      .map(GraftTimeFunction(_))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -782,14 +785,35 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
     table.bucketLayoutAt(version) match {
       case Some((n, cs, subs)) if files.nonEmpty &&
           files.forall(f => f.bucket.isDefined && f.bytes > 0) =>
+        import org.apache.spark.sql.connector.expressions.Expressions
         def resolve(c: String) = tableSchema.fieldNames
           .find(_.equalsIgnoreCase(c)).getOrElse(c)
         val keys = cs.map(resolve)
-        val subKeys = subs.map(resolve)
-        val transforms: Seq[org.apache.spark.sql.connector.expressions.Transform] =
-          org.apache.spark.sql.connector.expressions.Expressions
-            .bucket(n, keys: _*) +:
-            subKeys.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+        // sub entries: identity columns report as attribute keys with
+        // stats-derived single values; time transforms report as the
+        // catalog's V2 time function with the UTC-truncated period
+        val subPlans: Seq[(org.apache.spark.sql.connector.expressions.Transform,
+            SnapshotTable.FileEntry => Option[Any])] =
+          subs.map { entry =>
+            SnapshotTable.ClusterTransform.timeEntry(entry) match {
+              case Some((unit, c)) =>
+                val key = resolve(c)
+                val t = unit match {
+                  case "years" => Expressions.years(key)
+                  case "months" => Expressions.months(key)
+                  case "hours" => Expressions.hours(key)
+                  case _ => Expressions.days(key)
+                }
+                (t, (f: SnapshotTable.FileEntry) =>
+                  table.fileTruncValue(f, key, unit, tableSchema))
+              case None =>
+                val key = resolve(entry)
+                (Expressions.identity(key),
+                  (f: SnapshotTable.FileEntry) =>
+                    table.fileSingleValue(f, key, tableSchema))
+            }
+          }
+        val transforms = Expressions.bucket(n, keys: _*) +: subPlans.map(_._1)
         if (subs.isEmpty) {
           val groups = files.groupBy(_.bucket.get).toSeq.sortBy(_._1)
             .map { case (b, fs) => (Seq[Any](b), fs) }
@@ -797,8 +821,7 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
         } else {
           // per-file tuples; one unprovable file kills the whole report
           val tuples = files.map { f =>
-            val vs = subKeys.map(c =>
-              table.fileSingleValue(f, c, tableSchema))
+            val vs = subPlans.map(_._2(f))
             if (vs.forall(_.isDefined))
               Some((Seq[Any](f.bucket.get) ++ vs.map(_.get), f))
             else None
@@ -854,6 +877,45 @@ object GraftBucketFunction extends UnboundFunction {
       java.lang.Math.floorMod(
         org.apache.spark.sql.graftshim.SparkInternals.murmur3Hash32(vs, keyTypes), n)
     }
+  }
+}
+
+/** The catalog's V2 TIME transform functions (`days(ts)` etc.): UTC
+ *  calendar truncation of timestamp micros, shared bit-for-bit with
+ *  the hybrid layout's stats-derived partition tuples
+ *  ([[SnapshotTable.TimeTrunc]]) — the reported
+ *  KeyGroupedPartitioning's values and any runtime evaluation Spark
+ *  performs (partially-clustered padding) agree by construction.
+ *  Truncation preserves the key type, so partition values stay in the
+ *  column's own micros domain. */
+object GraftTimeFunction {
+  val Units: Seq[String] = Seq("years", "months", "days", "hours")
+  def apply(unit: String): UnboundFunction = new UnboundFunction {
+    override def name(): String = unit
+    override def description(): String =
+      s"$unit(ts): UTC calendar truncation to the containing ${unit.stripSuffix("s")}"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"$unit expects one timestamp argument, got ${inputType.catalogString}")
+      val dt = inputType.fields(0).dataType
+      require(dt == TimestampType || dt == TimestampNTZType,
+        s"$unit expects a timestamp argument, got ${dt.catalogString}")
+      BoundTime(unit, dt)
+    }
+  }
+  final case class BoundTime(unit: String, keyType: DataType)
+      extends ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(keyType)
+    override def resultType(): DataType = keyType
+    override def name(): String = unit
+    // type-qualified like the bucket function: timestamp vs ntz layouts
+    // must never compare as co-partitioned by accident
+    override def canonicalName(): String =
+      s"graft.$unit(${keyType.catalogString})"
+    override def produceResult(
+        input: org.apache.spark.sql.catalyst.InternalRow): java.lang.Long =
+      if (input.isNullAt(0)) null
+      else SnapshotTable.TimeTrunc.truncMicros(input.getLong(0), unit)
   }
 }
 

@@ -510,20 +510,29 @@ class SnapshotTable private (
     // still its routing-task index = its bucket id. The scan later
     // re-derives each file's identity value from its exact stats
     // (single-valued column), so the dirs themselves carry no contract.
-    val subParts: Seq[(String, String)] = bucketRouted match {
+    val subParts: Seq[(String, Column)] = bucketRouted match {
       case Some((_, _, subs)) if subs.nonEmpty =>
-        subs.map { logical =>
+        subs.map { entry =>
+          val logical = ClusterTransform.sourceColumns(entry).head
           val phys = mapping.find(_._1.equalsIgnoreCase(logical)).map(_._2)
             .getOrElse(logical)
-          df.schema.fieldNames.find(_.equalsIgnoreCase(phys))
-            .map(p => (s"__gpart_$logical", p))
+          val p = df.schema.fieldNames.find(_.equalsIgnoreCase(phys))
             .getOrElse(throw new IllegalStateException(
               s"routed write: sub-partition column $logical missing from frame"))
+          // identity entries split on the raw column; time transforms on
+          // the truncated time (the file then provably holds ONE period)
+          val splitExpr = ClusterTransform.timeEntry(entry) match {
+            case Some((unit, _)) => org.apache.spark.sql.functions.date_trunc(
+              unit.stripSuffix("s").toUpperCase,
+              org.apache.spark.sql.functions.col(p))
+            case None => org.apache.spark.sql.functions.col(p)
+          }
+          (s"__gpart_$logical", splitExpr)
         }
       case _ => Nil
     }
-    val toWrite = subParts.foldLeft(df) { case (d, (dup, phys)) =>
-      d.withColumn(dup, org.apache.spark.sql.functions.col(phys))
+    val toWrite = subParts.foldLeft(df) { case (d, (dup, e)) =>
+      d.withColumn(dup, e)
     }
     var writer = toWrite.write.mode("overwrite")
     if (subParts.nonEmpty) writer = writer.partitionBy(subParts.map(_._1): _*)
@@ -1014,7 +1023,8 @@ class SnapshotTable private (
       case Some((n, cols, subs)) if subs.nonEmpty =>
         df.repartition(n, cols.map(org.apache.spark.sql.functions.col): _*)
           .sortWithinPartitions(
-            (subs ++ cols).map(org.apache.spark.sql.functions.col): _*)
+            (subs.map(ClusterTransform.expr) ++
+              cols.map(org.apache.spark.sql.functions.col)): _*)
       case _ => ClusterTransform.bucketOnly(spec) match {
       // identity-routed bucket layout: `repartition(n, col)` assigns
       // partition index = pmod(murmur3(col, 42), n) — EXACTLY the bucket
@@ -1948,6 +1958,30 @@ class SnapshotTable private (
         case _ => None
       }
     } yield v
+
+  /** Truncated-time single value of `column` in file `f` — defined when
+   *  every row's `unit`-truncation provably equals it: exact stats,
+   *  zero nulls, trunc(min) == trunc(max). UTC calendar arithmetic,
+   *  matching the V2 time functions the scan reports
+   *  ([[SnapshotTable.TimeTrunc]] serves both sides, so derivation and
+   *  any runtime evaluation Spark performs agree by construction). A
+   *  writer session in a non-UTC zone may split period boundaries
+   *  differently — then a file can span two UTC periods and the layout
+   *  simply un-reports (degradation, never a wrong tuple). Micros. */
+  private[graft] def fileTruncValue(
+      f: FileEntry, column: String, unit: String, schema: StructType): Option[Long] =
+    for {
+      field <- schema.fields.find(_.name.equalsIgnoreCase(column))
+      if field.dataType == TimestampType || field.dataType == TimestampNTZType
+      cs <- f.stats.get(field.name)
+      if cs.nullCount.contains(0L) && f.rows > 0
+      mn <- cs.min
+      mx <- cs.max
+      lo <- mn.toLongOption
+      hi <- mx.toLongOption
+      tlo = SnapshotTable.TimeTrunc.truncMicros(lo, unit)
+      if tlo == SnapshotTable.TimeTrunc.truncMicros(hi, unit)
+    } yield tlo
 
   def schema: StructType =
     DataType.fromJson(currentReadable()
@@ -3612,6 +3646,27 @@ object SnapshotTable {
    *  `col`, `years(col)`, `months(col)`, `days(col)`, `hours(col)`,
    *  `bucket(n, col)`. Pure `Column` expressions — evaluated only while
    *  repartitioning a write; never stored per row. */
+  /** UTC truncation of timestamp micros to a calendar period — one
+   *  arithmetic shared by the hybrid layout's stats-derived tuples and
+   *  the catalog's V2 time functions (`days(ts)` etc.), so the reported
+   *  partitioning and any runtime evaluation agree by construction.
+   *  `Math.floorDiv` keeps pre-epoch values on the correct side. */
+  private[graft] object TimeTrunc {
+    private val HourMicros = 3600000000L
+    private val DayMicros = 86400000000L
+    def truncMicros(micros: Long, unit: String): Long =
+      unit.toLowerCase.stripSuffix("s") match {
+        case "hour" => Math.floorDiv(micros, HourMicros) * HourMicros
+        case "day" => Math.floorDiv(micros, DayMicros) * DayMicros
+        case u @ ("month" | "year") =>
+          val date = java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, DayMicros))
+          val t = if (u == "month") date.withDayOfMonth(1) else date.withDayOfYear(1)
+          t.toEpochDay * DayMicros
+        case other =>
+          throw new IllegalArgumentException(s"unsupported time unit: $other")
+      }
+  }
+
   private[graft] object ClusterTransform {
     import org.apache.spark.sql.functions._
     private val Bucket = """bucket\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
@@ -3660,12 +3715,14 @@ object SnapshotTable {
     def bucketOnly(spec: Seq[String]): Option[(Int, Seq[String])] =
       routedSpec(spec).collect { case (n, cs, subs) if subs.isEmpty => (n, cs) }
 
-    /** Some((numBuckets, bucketCols, identityCols)) when the spec is ONE
+    /** Some((numBuckets, bucketCols, subEntries)) when the spec is ONE
      *  leading bucket transform followed by zero or more PLAIN identity
-     *  columns — the identity-routable layouts. With identity columns
-     *  (the Iceberg `bucket(n, entity), day` fact-table pattern), writes
+     *  columns or TIME transforms — the identity-routable layouts. With
+     *  sub-entries (the Iceberg `bucket(n, entity), day` /
+     *  `bucket(n, entity), days(ts)` fact-table patterns), writes
      *  additionally split each bucket's output so every file holds
-     *  exactly ONE value per identity column; the scan then re-derives
+     *  exactly ONE value per sub-entry (the raw column for identity,
+     *  the truncated time for a transform); the scan then re-derives
      *  each file's (bucket, values…) tuple from its exact stats and
      *  reports a multi-key KeyGroupedPartitioning — composite-key joins
      *  with zero Exchange. (A SINGLE multi-column `bucket(n, a, b)`
@@ -3677,7 +3734,6 @@ object SnapshotTable {
       spec match {
         case Bucket(n, cs) +: rest if rest.forall {
             case Bucket(_, _) => false
-            case Time(_, _) => false
             case _ => true
           } =>
           scala.util.Try(n.toInt).toOption.filter(_ > 0)
@@ -3685,6 +3741,12 @@ object SnapshotTable {
             .filter(_._2.nonEmpty)
         case _ => None
       }
+
+    /** Some((unit, column)) when the entry is a time transform. */
+    def timeEntry(spec: String): Option[(String, String)] = spec match {
+      case Time(u, c) => Some((u, c))
+      case _ => None
+    }
   }
 
   /** Column min/max/nullCount of one parquet file, harvested from its

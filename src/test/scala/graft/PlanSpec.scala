@@ -375,6 +375,71 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.spjh_dim")
   }
 
+  test("bucket+time hybrid SPJ: (bucket(4, ent), days(ts)) with no shuffle") {
+    // the Iceberg fact-table layout for time-series joins: bucket the
+    // entity, split files per UTC day of the raw timestamp. The scan
+    // re-derives each file's day from truncated EXACT stats and reports
+    // KeyGroupedPartitioning(bucket(4, ent), days(ts)) through the
+    // catalog's V2 time function (same UTC arithmetic on both paths),
+    // so an (ent, ts) equi-join plans with zero Exchange.
+    def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    spark.sql("DROP TABLE IF EXISTS graft.db.spjt_fact")
+    spark.sql("DROP TABLE IF EXISTS graft.db.spjt_dim")
+    spark.sql("CREATE TABLE graft.db.spjt_fact (ent BIGINT, ts TIMESTAMP, v BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(4, ent), days(ts))")
+    spark.sql("CREATE TABLE graft.db.spjt_dim (ent BIGINT, ts TIMESTAMP, w STRING) " +
+      "USING graft PARTITIONED BY (bucket(4, ent), days(ts))")
+    // ts: day (id % 3) at an intra-day offset that still truncates to
+    // the same UTC day — files must hold ONE day, not one instant
+    def tsExpr = expr("timestamp_seconds(86400 * CAST(id % 3 AS LONG) + 3600 * CAST(id % 7 AS LONG))")
+    spark.range(0, 1200)
+      .select((col("id") % 100).as("ent"), tsExpr.as("ts"), (col("id") * 3).as("v"))
+      .writeTo("graft.db.spjt_fact").append()
+    spark.range(0, 1200)
+      .select((col("id") % 100).as("ent"), tsExpr.as("ts"),
+        concat(lit("w"), col("id")).as("w"))
+      .writeTo("graft.db.spjt_dim").append()
+    val q = "SELECT f.ent, f.v, d.w FROM graft.db.spjt_fact f " +
+      "JOIN graft.db.spjt_dim d ON f.ent = d.ent AND f.ts = d.ts"
+    val expected = {
+      def key(i: Long) = (i % 100, 86400 * (i % 3) + 3600 * (i % 7))
+      val fact = (0L until 1200L).map(i => (key(i), i * 3))
+      val dim = (0L until 1200L).map(i => (key(i), s"w$i"))
+      for {
+        (fk, v) <- fact.toSet
+        (dk, w) <- dim if dk == fk
+      } yield (fk._1, v, w)
+    }
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = executedPlanString(df)
+      assert(!plan.contains("Exchange"), s"shuffle in time-hybrid SPJ plan:\n$plan")
+      assert(plan.contains("KeyGrouped(bucket(4, ent), days(ts))"),
+        s"scan did not report the time-hybrid layout:\n$plan")
+      assert(df.as[(Long, Long, String)].collect().toSet === expected)
+    }
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      assert(executedPlanString(df).contains("Exchange"))
+      assert(df.as[(Long, Long, String)].collect().toSet === expected)
+    }
+    spark.sql("DROP TABLE graft.db.spjt_fact")
+    spark.sql("DROP TABLE graft.db.spjt_dim")
+  }
+
   test("hybrid SPJ layout survives deletion vectors and row-level DML") {
     // the two round-12 features compose: a hybrid (bucket, day) fact
     // table keeps its multi-key grouping while carrying DVs (positions
