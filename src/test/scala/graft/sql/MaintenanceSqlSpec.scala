@@ -427,6 +427,30 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(t.read().count() === 400)
   }
 
+  test("OPTIMIZE FULL migrates an existing table to a HYBRID SPJ layout in SQL") {
+    // the in-place composite-key migration: flip the spec to
+    // bucket + identity (metadata-only), then one full rewrite routes
+    // the live set — every file gains a bucket id AND holds exactly one
+    // day value, so the multi-key layout reports
+    val df = spark.range(0, 600)
+      .selectExpr("id % 100 AS ent", "CAST(id % 3 AS INT) AS day", "id * 3 AS v")
+    val t = SnapshotTable.create(spark, tmpDir("sqlmaint_hyb"), df.limit(1))
+    t.overwrite(df.repartition(5))
+    GraftCatalog.register("maint_hyb", t)
+    spark.sql("ALTER TABLE maint_hyb CLUSTER BY (bucket(4, ent), day)")
+    assert(t.bucketLayoutAt(t.currentVersion()).isEmpty)
+    spark.sql("OPTIMIZE maint_hyb FULL")
+    assert(t.bucketLayoutAt(t.currentVersion())
+      === Some((4, Seq("ent"), Seq("day"))))
+    // every live file single-valued on day (the tuple the scan derives)
+    val schema = t.schema
+    val entry = t.commitEntry(t.currentVersion())
+    assert(entry.files.nonEmpty && entry.files.forall(f =>
+      t.fileSingleValue(f, "day", schema).isDefined),
+      "a post-migration file is not provably single-day")
+    assert(t.read().count() === 600)
+  }
+
   test("ALTER TABLE CLUSTER BY parses transform specs with nested parens") {
     val t = SnapshotTable.create(spark, tmpDir("sqlmaint"),
       (1 to 50).map(i => (i.toLong,
