@@ -519,6 +519,44 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.dvcat")
   }
 
+  test("DV positions stay exact under parquet row-group skipping") {
+    // the interaction where a naive row counter would silently corrupt:
+    // a pushed predicate makes the reader SKIP early row groups, and the
+    // DV filter must still see each surviving row's true file position
+    // (Spark's row-index generators account for skipped groups; this
+    // pins that the DSv2 DV path actually rides them). Tiny parquet
+    // block size → many row groups per file over sorted ids.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.setLong("parquet.block.size", 65536)
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft.db.dvrg")
+      spark.sql("CREATE TABLE graft.db.dvrg (id BIGINT, v STRING) USING graft " +
+        "TBLPROPERTIES ('graft.dv.enabled'='true')")
+      spark.range(0, 60000)
+        .select(col("id"), concat(lit("xyz"), col("id")).as("v"))
+        .repartitionByRange(2, col("id"))
+        .sortWithinPartitions("id")
+        .writeTo("graft.db.dvrg").append()
+      // one deleted id inside the predicate's range, one in the skipped
+      // range — only the first must vanish from the filtered read
+      spark.sql("DELETE FROM graft.db.dvrg WHERE id = 55500 OR id = 100")
+      val t = graft.tables.SnapshotTable(spark,
+        spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db/dvrg")
+      assert(t.dvManifest().nonEmpty)
+      val got = spark.sql("SELECT id FROM graft.db.dvrg WHERE id >= 55000")
+        .as[Long].collect().sorted
+      assert(got === (55000L until 60000L).filterNot(_ == 55500L).toArray,
+        s"row-group-skipped DV read diverged (${got.length} rows)")
+      assert(spark.sql("SELECT count(*) AS c FROM graft.db.dvrg")
+        .as[Long].head() === 59998L)
+      spark.sql("DROP TABLE graft.db.dvrg")
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+  }
+
   test("a doomed multi-change ALTER leaves no partial state") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
     spark.sql("CREATE TABLE graft.alterns.pv (id INT, v STRING) USING parquet")
