@@ -924,6 +924,94 @@ object Bench {
       else spjFF.map { case (p, on, off) =>
         s""""p$p":[${jnum(on.med)},${jnum(off.med)}]"""
       }.mkString(""","spj_fact_fact":{""", ",", "}")
+    // -------- DPP / runtime file pruning at the biggest point: a
+    // fact-dim broadcast join whose dim filter is only known at run
+    // time (the standing 100 TB fact-dim shape q129 declares). The fact
+    // lands range-clustered on the join key — 64 files, disjoint key
+    // ranges — and the dim is a parquet relation whose filter keeps ~1%
+    // of keys, one contiguous band (the "recent entities" case). With
+    // DPP on, the broadcast side's surviving keys reach the fact scan
+    // as a runtime IN (SupportsRuntimeV2Filtering) and whole manifest
+    // files drop before they are read; with the optimizer conf off, the
+    // identical join reads every file. files_kept replays the runtime
+    // predicate against the scan directly, so the recorded row carries
+    // the PRUNING fact, not just the wall-clock it buys.
+    val rtRes: Option[(Meas, Meas, Int, Int, Long)] =
+      p2Dir.orElse(p1Dir).flatMap { dir =>
+        try Some(rddGuard("runtime_filter") {
+          val fn = org.apache.spark.sql.functions
+          val n = math.max(1L << 21, docsAt(dir).count() * 4)
+          val band = n / 100
+          val prevConfs = Seq("spark.sql.catalog.graftd",
+            "spark.sql.catalog.graftd.warehouse",
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled")
+            .map(k => k -> sparkS.conf.getOption(k))
+          sparkS.conf.set("spark.sql.catalog.graftd", "graft.sql.GraftTableCatalog")
+          sparkS.conf.set("spark.sql.catalog.graftd.warehouse",
+            java.nio.file.Files.createTempDirectory("graft_bench_dpp").toString)
+          try {
+            sparkS.range(0, n)
+              .select(col("id").as("key"), (col("id") * 7L).as("payload"))
+              .repartitionByRange(64, col("key"))
+              .sortWithinPartitions("key")
+              .writeTo("graftd.b.dpp_fact").createOrReplace()
+            val dimPath = java.nio.file.Files
+              .createTempDirectory("graft_bench_dppdim").toString
+            sparkS.range(0, n / 10)
+              .select(col("id").as("key"),
+                fn.when(col("id") < band, fn.lit("hot"))
+                  .otherwise(fn.lit("cold")).as("temp"))
+              .write.mode("overwrite").parquet(dimPath)
+            sparkS.read.parquet(dimPath).createOrReplaceTempView("dpp_bench_dim")
+            val q = "SELECT sum(f.payload) AS s, count(*) AS c " +
+              "FROM graftd.b.dpp_fact f JOIN dpp_bench_dim d ON f.key = d.key " +
+              "WHERE d.temp = 'hot'"
+            def timed(enabled: Boolean): Meas = {
+              sparkS.conf.set(
+                "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+                enabled.toString)
+              measure(() => noop(sparkS.sql(q)), 3, warm = true)
+            }
+            val on = timed(enabled = true)
+            val off = timed(enabled = false)
+            // replay the runtime IN against the scan: files before/after
+            import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead}
+            import org.apache.spark.sql.connector.expressions.{Expressions, Expression => V2Expr}
+            val shim = org.apache.spark.sql.graftshim.SparkInternals
+            val scan = shim.catalogPlugin(sparkS, "graftd").get
+              .asInstanceOf[graft.sql.GraftTableCatalog]
+              .loadTable(Identifier.of(Array("b"), "dpp_fact"))
+              .asInstanceOf[SupportsRead]
+              .newScanBuilder(
+                org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+              .build()
+            def fileCount(s: org.apache.spark.sql.connector.read.Scan): Int =
+              s.toBatch.planInputPartitions().toSeq.flatMap(p =>
+                shim.filePartitionFiles(p).map(_.map(_._1)).getOrElse(Nil))
+                .distinct.size
+            val filesBefore = fileCount(scan)
+            val in = new org.apache.spark.sql.connector.expressions.filter.Predicate(
+              "IN", (Expressions.column("key") +:
+                (0L until band).map(i => Expressions.literal(Long.box(i))))
+                .toArray[V2Expr])
+            scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]
+              .filter(Array(in))
+            val filesAfter = fileCount(scan)
+            (on, off, filesBefore, filesAfter, band)
+          } finally prevConfs.foreach {
+            case (k, Some(v)) => sparkS.conf.set(k, v)
+            case (k, None) => sparkS.conf.unset(k)
+          }
+        }) catch { case e: Throwable =>
+          System.err.println(s"[bench][runtime_filter]: ${e.getMessage}"); None
+        }
+      }
+    val rtHead = rtRes.map { case (on, off, fb, fa, _) =>
+      s""","runtime_filter":{"dpp":${jnum(on.med)},"off":${jnum(off.med)},"files":[$fb,$fa]}"""
+    }.getOrElse("")
+    val rtDetail = rtRes.map { case (on, off, fb, fa, band) =>
+      s""","runtime_filter":{"dpp":[${jnum(on.min)},${jnum(on.med)}],"off":[${jnum(off.min)},${jnum(off.med)}],"files_total":$fb,"files_kept":$fa,"dim_keys":$band}"""
+    }.getOrElse("")
     val mwHead = mw.map { case (sec, commits, rebases, conflicts, ok) =>
       s""","multi_writer":{"commits_per_sec":${jnum(commits / sec)},"rebases":$rebases,"conflicts":$conflicts,"serial_equiv":$ok}"""
     }.getOrElse("")
@@ -949,7 +1037,7 @@ object Bench {
       else s""","rdd_retained_rows":${rddRetained.size}"""
     val scaling = s""","scaling_fmt":"[exp_min,exp_med,exp_cal]"""" +
       headBlock("scaling_10x", block10) + headBlock("scaling_100x", block100) +
-      bpeHead + mwHead + imHead + spjHead + spjFFHead + rddHead
+      bpeHead + mwHead + imHead + spjHead + spjFFHead + rtHead + rddHead
     // {} when every row released what it pinned — recording the emptiness
     // is the point (the structural form of the r10 one-off leak probe)
     val rddDetail = s""","rdd_retained":${rddRetained.map { case (k, v) =>
@@ -957,7 +1045,8 @@ object Bench {
     val scalingDetail = pointsDetail +
       detailBlock("scaling_10x", block10) +
       detailBlock("scaling_100x", block100) +
-      ccDetail + bpeDetail + mwDetail + imDetail + spjDetail + spjFFJson + rddDetail
+      ccDetail + bpeDetail + mwDetail + imDetail + spjDetail + spjFFJson +
+      rtDetail + rddDetail
     // Testdata fingerprint: per-table row counts + an order-independent
     // content hash (bit_xor of per-row xxhash64). The driver may
     // REGENERATE /root/testdata between rounds (round 6's events.ts type

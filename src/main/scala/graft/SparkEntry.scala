@@ -2437,6 +2437,45 @@ object SparkEntry {
       |GROUP BY o.o_custkey, o.omonth
       |ORDER BY o.o_custkey, o.omonth""".stripMargin
 
+  /** Q129 — DYNAMIC PARTITION PRUNING through the DSv2 scan: the fact
+   *  table lands range-clustered on the join key (files carry disjoint
+   *  custkey ranges — the prunable layout), the dim side is a parquet
+   *  relation with a selective filter, and at EXECUTION the broadcast
+   *  side's surviving join keys reach the fact scan as a runtime IN
+   *  (`SupportsRuntimeV2Filtering`): whole manifest files drop before
+   *  they are read, by stats-range + bloom key probes. At 100 TB this
+   *  is the standing fact-dim join optimization — the dim filter is
+   *  only known at run time, yet the fact side still reads a key-pruned
+   *  slice instead of the full corpus. Correctness-gated against the
+   *  plain join oracle: runtime pruning that drops a file it should
+   *  have kept loses join rows and fails the hash. */
+  private val dppBuilt = scala.collection.concurrent.TrieMap[String, Boolean]()
+  private def dppJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    dppBuilt.getOrElseUpdate(dir, {
+      s.table("orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_custkey"))
+        .sortWithinPartitions(col("o_custkey"))
+        .writeTo("graft.bench.dpp_orders").createOrReplace()
+      true
+    })
+    s.sql(
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  CAST(floor(o.o_totalprice) AS BIGINT) AS price_fl
+        |FROM graft.bench.dpp_orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal > 9900.0
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+  private val Q129Duck =
+    """SELECT o.o_orderkey, o.o_custkey,
+      |       CAST(floor(o.o_totalprice) AS BIGINT) AS price_fl
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_acctbal > 9900.0
+      |ORDER BY o.o_orderkey""".stripMargin
+
   /** Q32 — as-of join: each click matched to the user's most recent view
    *  (point-in-time correctness; DuckDB's native ASOF JOIN as oracle). */
   private def asofQuery(s: SparkSession, dir: String): DataFrame = {
@@ -4289,7 +4328,8 @@ object SparkEntry {
     "q125_stream_indexed_dedup" -> streamIndexedDedupQuery,
     "q126_span_serve_indexed" -> indexedSpanServeQuery,
     "q127_spj_join" -> spjJoinQuery,
-    "q128_spj_hybrid" -> spjHybridQuery)
+    "q128_spj_hybrid" -> spjHybridQuery,
+    "q129_dpp_join" -> dppJoinQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4472,7 +4512,8 @@ object SparkEntry {
     // flat oracle applies verbatim
     "q126_span_serve_indexed" -> Q75Duck,
     "q127_spj_join" -> Q127Duck,
-    "q128_spj_hybrid" -> Q128Duck)
+    "q128_spj_hybrid" -> Q128Duck,
+    "q129_dpp_join" -> Q129Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -13,7 +13,8 @@ import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
 import org.apache.spark.sql.connector.read.SupportsReportPartitioning
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -663,11 +664,31 @@ class GraftRtTable(
  *  schema and file list always come from the same snapshot. */
 class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var metaAgg: Option[(StructType, Array[Any])] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT-only file capping: `SELECT … LIMIT n` over a 100 TB table
+   *  should open as few files as the manifest's EXACT per-file row
+   *  counts allow, not the whole corpus. Spark only pushes a limit that
+   *  sits directly above the scan (never through a Filter — and this
+   *  builder retains every filter post-scan, so a filtered query keeps
+   *  its Filter node and no limit arrives); the refusal on any pushed
+   *  filter is belt-and-braces for the same invariant: a row-count cap
+   *  under a filter could drop exactly the files holding the matches.
+   *  Partial pushdown — Spark keeps its own Limit on top, this layer
+   *  only bounds which files are read. Deletion-vector rows subtract
+   *  from each file's live count (a mostly-deleted file contributes
+   *  only its survivors toward the bound). */
+  override def pushLimit(l: Int): Boolean = {
+    if (pushed.nonEmpty) return false
+    limit = Some(l)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Metadata-only aggregates at the DSv2 layer: COUNT(*) / COUNT(col) /
    *  MIN / MAX answered from the commit manifest's per-file row counts
@@ -715,7 +736,7 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
     // manifest stats pruning runs on LOGICAL names (all commit metadata is
     // logically keyed, even after RENAME COLUMN)
     val predicate = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
-    val files = table.prunedFilesAt(version, predicate)
+    val allFiles = table.prunedFilesAt(version, predicate)
     val mapping = table.columnMappingAt(version)
     // pending deletion vectors: the parquet scan is built with Spark's
     // reserved row-index column appended, and [[DvFilteredScan]] drops
@@ -723,6 +744,23 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
     // pruning above stays sound (file stats include deleted rows:
     // conservative, may keep a file whose only matches are deleted)
     val dvPos = table.dvPositionsAt(version)
+    // pushed LIMIT (guaranteed filter-free): take manifest files in order
+    // until their exact LIVE row counts (manifest rows minus pending DV
+    // deletions) reach the bound — the rest are never opened
+    val files = limit match {
+      case Some(l) if pushed.isEmpty =>
+        val out = Seq.newBuilder[SnapshotTable.FileEntry]
+        var cum = 0L
+        val it = allFiles.iterator
+        while (cum < l && it.hasNext) {
+          val f = it.next()
+          val live = f.rows -
+            dvPos.get(new Path(f.path).getName).map(_.length.toLong).getOrElse(0L)
+          if (live > 0) { out += f; cum += live }
+        }
+        out.result()
+      case _ => allFiles
+    }
     val rowIdxField = org.apache.spark.sql.graftshim.SparkInternals.rowIndexField
     def withIdx(s: StructType): StructType =
       if (dvPos.isEmpty) s else StructType(s.fields :+ rowIdxField)
@@ -730,14 +768,29 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
       if (dvPos.isEmpty) built
       else new DvFilteredScan(built, logical, withIdx(logical),
         spark.sparkContext.broadcast(dvPos))
+    // the pruner advertises (and is offered) only the scan's READ columns:
+    // DPP resolves filterAttributes against the scan relation's OUTPUT, and
+    // a reference to a pruned-away column throws at optimization time.
+    // Pruning itself runs on the full table schema — manifest stats are
+    // keyed by logical column names regardless of projection.
+    val pruner = new RuntimePruner(required, tableSchema)
     if (mapping.isEmpty) {
-      val index = new InMemoryFileIndex(
-        spark, files.map(f => new Path(f.path)), Map.empty, Some(tableSchema))
-      val psb = ParquetScanBuilder(
-        spark, index, tableSchema, tableSchema, CaseInsensitiveStringMap.empty())
-      psb.pushFilters(pushed.flatMap(f => GraftScanBuilder.toExpression(f, tableSchema)).toSeq)
-      psb.pruneColumns(withIdx(required))
-      maybeKeyGrouped(dvWrap(psb.build(), required), files)
+      // `assemble` rebuilds the inner scan for a (possibly runtime-pruned)
+      // file list: ONLY the file list varies between calls — read schema,
+      // pushed filters, and reader-factory semantics are identical, which
+      // is what lets BatchScanExec pair its pre-filter reader factory
+      // with post-filter partitions
+      def assemble(fs: Seq[SnapshotTable.FileEntry]): Scan = {
+        val index = new InMemoryFileIndex(
+          spark, fs.map(f => new Path(f.path)), Map.empty, Some(tableSchema))
+        val psb = ParquetScanBuilder(
+          spark, index, tableSchema, tableSchema, CaseInsensitiveStringMap.empty())
+        psb.pushFilters(pushed.flatMap(f => GraftScanBuilder.toExpression(f, tableSchema)).toSeq)
+        psb.pruneColumns(withIdx(required))
+        dvWrap(psb.build(), required)
+      }
+      maybeKeyGrouped(assemble, files, pruner)
+        .getOrElse(new RuntimePrunedScan(assemble, files, pruner))
     } else {
       // RENAME COLUMN leaves data files carrying PHYSICAL names: build the
       // parquet scan physically (schema, pushdown filters, pruned columns
@@ -747,16 +800,21 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
         f.copy(name = mapping.getOrElse(f.name, f.name))
       val physTable = StructType(tableSchema.fields.map(physField))
       val physRequired = StructType(required.fields.map(physField))
-      val index = new InMemoryFileIndex(
-        spark, files.map(f => new Path(f.path)), Map.empty, Some(physTable))
-      val psb = ParquetScanBuilder(
-        spark, index, physTable, physTable, CaseInsensitiveStringMap.empty())
-      psb.pushFilters(pushed.flatMap(f => GraftScanBuilder.toExpression(
-        GraftScanBuilder.renameFilter(f, mapping), physTable)).toSeq)
-      psb.pruneColumns(withIdx(physRequired))
-      // DV filter runs on the PHYSICAL scan (positions are file-keyed,
-      // name mapping is irrelevant to them); logical names report on top
-      new LogicalNamesScan(dvWrap(psb.build(), physRequired), required)
+      def assemble(fs: Seq[SnapshotTable.FileEntry]): Scan = {
+        val index = new InMemoryFileIndex(
+          spark, fs.map(f => new Path(f.path)), Map.empty, Some(physTable))
+        val psb = ParquetScanBuilder(
+          spark, index, physTable, physTable, CaseInsensitiveStringMap.empty())
+        psb.pushFilters(pushed.flatMap(f => GraftScanBuilder.toExpression(
+          GraftScanBuilder.renameFilter(f, mapping), physTable)).toSeq)
+        psb.pruneColumns(withIdx(physRequired))
+        // DV filter runs on the PHYSICAL scan (positions are file-keyed,
+        // name mapping is irrelevant to them); logical names report on top
+        new LogicalNamesScan(dvWrap(psb.build(), physRequired), required)
+      }
+      // runtime filters arrive under LOGICAL names — the manifest's key —
+      // so the same pruner serves the column-mapped face unchanged
+      new RuntimePrunedScan(assemble, files, pruner)
     }
   }
 
@@ -777,11 +835,14 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
    *  string column) structurally un-reports — degradation, never a
    *  wrong answer. */
   private def maybeKeyGrouped(
-      built: Scan, files: Seq[SnapshotTable.FileEntry]): Scan = {
+      assemble: Seq[SnapshotTable.FileEntry] => Scan,
+      files: Seq[SnapshotTable.FileEntry],
+      pruner: RuntimePruner): Option[Scan] = {
     val spark = table.spark
     val enabled = spark.conf
       .getOption("spark.sql.sources.v2.bucketing.enabled").contains("true")
-    if (!enabled) return built
+    if (!enabled) return None
+    lazy val built = assemble(files)
     table.bucketLayoutAt(version) match {
       case Some((n, cs, subs)) if files.nonEmpty &&
           files.forall(f => f.bucket.isDefined && f.bytes > 0) =>
@@ -817,7 +878,7 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
         if (subs.isEmpty) {
           val groups = files.groupBy(_.bucket.get).toSeq.sortBy(_._1)
             .map { case (b, fs) => (Seq[Any](b), fs) }
-          new KeyGroupedFileScan(built, transforms, groups)
+          Some(new KeyGroupedFileScan(built, transforms, groups, Some(pruner)))
         } else {
           // per-file tuples; one unprovable file kills the whole report
           val tuples = files.map { f =>
@@ -826,15 +887,15 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
               Some((Seq[Any](f.bucket.get) ++ vs.map(_.get), f))
             else None
           }
-          if (tuples.exists(_.isEmpty)) built
+          if (tuples.exists(_.isEmpty)) None
           else {
             val groups = tuples.flatten.groupBy(_._1).toSeq
               .sortBy(_._1.mkString("|"))
               .map { case (k, fs) => (k, fs.map(_._2)) }
-            new KeyGroupedFileScan(built, transforms, groups)
+            Some(new KeyGroupedFileScan(built, transforms, groups, Some(pruner)))
           }
         }
-      case _ => built
+      case _ => None
     }
   }
 }
@@ -932,12 +993,41 @@ object GraftTimeFunction {
  *  shuffle is paid ONCE at layout time, not per query). Degradation is
  *  structural: any snapshot that is not a clean routed layout simply
  *  never reports, and Spark plans the ordinary shuffle join. */
+/** Driver-side translator from the runtime predicates Spark pushes at
+ *  execution ([[SupportsRuntimeV2Filtering]] — dynamic partition
+ *  pruning's IN over the broadcast side's join keys) to manifest file
+ *  pruning. Reporting EVERY top-level column as filterable is sound:
+ *  runtime filters only ever narrow a join input whose non-matching
+ *  rows the join drops anyway, and the manifest prune itself is
+ *  conservative (stats ranges + per-file blooms, keep on any doubt) —
+ *  so the worst case of an un-prunable predicate is the unpruned scan
+ *  Spark would have run regardless. */
+final class RuntimePruner(readSchema: StructType, tableSchema: StructType) {
+  def attributes: Array[NamedReference] =
+    readSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  /** The subset of `files` that may match `predicates` — None when no
+   *  predicate translates (leave the scan untouched). */
+  def prune(
+      predicates: Array[Predicate],
+      files: Seq[SnapshotTable.FileEntry]): Option[Seq[SnapshotTable.FileEntry]] = {
+    val v1 = predicates.flatMap(p =>
+      org.apache.spark.sql.graftshim.SparkInternals.predicateToV1(p))
+    val inSets = v1.collect { case In(a, vs) => (a, vs.toSeq) }
+    val generic = v1.collect { case f if !f.isInstanceOf[In] => f }
+      .flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
+    if (inSets.isEmpty && generic.isEmpty) None
+    else Some(SnapshotTable.pruneFilesRuntime(files, tableSchema, inSets.toSeq, generic))
+  }
+}
+
 class KeyGroupedFileScan(
     underlying: Scan,
     transforms: Seq[org.apache.spark.sql.connector.expressions.Transform],
-    groups: Seq[(Seq[Any], Seq[SnapshotTable.FileEntry])])
+    initialGroups: Seq[(Seq[Any], Seq[SnapshotTable.FileEntry])],
+    pruner: Option[RuntimePruner] = None)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+  @volatile private var groups = initialGroups
   override def readSchema(): StructType = underlying.readSchema()
   // statistics forward (the LogicalNamesScan discipline) — losing them
   // would blind join-size estimation for exactly the scans meant to join
@@ -954,6 +1044,20 @@ class KeyGroupedFileScan(
       underlying.description()
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(transforms.toArray, groups.size)
+  /** Runtime (DPP) filtering composes with the reported layout: files
+   *  prune WITHIN their group and every group stays — BatchScanExec
+   *  demands runtime filtering preserve a KeyGroupedPartitioning's
+   *  distinct partition keys exactly (a fully-pruned group plans as an
+   *  empty partition), and the storage-partitioned join then runs over
+   *  the narrowed sides with zero Exchange. */
+  override def filterAttributes(): Array[NamedReference] =
+    pruner.map(_.attributes).getOrElse(Array.empty)
+  override def filter(predicates: Array[Predicate]): Unit =
+    pruner.foreach { pr =>
+      groups = groups.map { case (k, fs) =>
+        (k, pr.prune(predicates, fs).getOrElse(fs))
+      }
+    }
   override def planInputPartitions(): Array[InputPartition] =
     groups.zipWithIndex.map { case ((key, fs), i) =>
       org.apache.spark.sql.graftshim.SparkInternals.keyedFilePartition(
@@ -961,6 +1065,46 @@ class KeyGroupedFileScan(
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     underlying.toBatch.createReaderFactory()
+}
+
+/** Runtime-filterable face of the non-key-grouped scan layouts (plain,
+ *  DV-overlaid, column-mapped): on [[filter]], the manifest file list
+ *  re-prunes against the pushed predicates (stats ranges + per-file
+ *  bloom key probes — [[SnapshotTable.pruneFilesRuntime]]) and the
+ *  inner scan REASSEMBLES over the survivors. The reassembly varies
+ *  only the file list — read schema, pushed static filters, and
+ *  reader-factory semantics are bit-identical — because BatchScanExec
+ *  caches its reader factory from the PRE-filter batch and pairs it
+ *  with post-filter partitions. At 100 TB this is the fact-side join
+ *  optimization: a selective dim filter reaches the fact scan at
+ *  execution and drops manifest files wholesale, paying one bounded
+ *  driver-side probe pass instead of reading them. */
+class RuntimePrunedScan(
+    assemble: Seq[SnapshotTable.FileEntry] => Scan,
+    initialFiles: Seq[SnapshotTable.FileEntry],
+    pruner: RuntimePruner)
+    extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+  @volatile private var files = initialFiles
+  @volatile private var inner = assemble(initialFiles)
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = inner.toBatch
+  override def description(): String = "RuntimePrunable " + inner.description()
+  // pre-filter estimates: only ever OVERstate, join planning stays safe
+  override def estimateStatistics(): Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
+  override def filterAttributes(): Array[NamedReference] = pruner.attributes
+  override def filter(predicates: Array[Predicate]): Unit =
+    pruner.prune(predicates, files).foreach { kept =>
+      if (kept.size < files.size) {
+        files = kept
+        inner = assemble(kept)
+      }
+    }
 }
 
 /** Delegating [[Scan]] over a parquet scan built with PHYSICAL column

@@ -4025,6 +4025,47 @@ object SnapshotTable {
     }
   }
 
+  /** RUNTIME (join-time) file pruning — the manifest side of dynamic
+   *  partition pruning through the DSv2 scan: of `files`, keep those
+   *  that may satisfy every bloom-probed IN set (one per column — the
+   *  shape DPP pushes at execution: the broadcast side's distinct join
+   *  keys) AND the generic residual predicate. Per IN set the key
+   *  probes (stats-domain value + two bloom hash passes) compute ONCE
+   *  ([[Pruning.prepKeyProbes]]); each file then pays per key a
+   *  two-comparison range check and a filter probe, early-exiting on
+   *  the first possible hit. Above `maxProbedKeys` the per-key pass
+   *  would cost files × keys probes (at 100 TB: a million-entry
+   *  manifest against a wide dim side), so the set degrades to its
+   *  min/max ENVELOPE — one range-overlap check per file, still
+   *  conservative. Conservative everywhere: files without stats or
+   *  blooms, un-probe-able key types, unknown columns, and NULL keys
+   *  (which never equi-join) all keep the file. Pruning here is an
+   *  OPTIMIZATION only — a kept non-matching row is dropped by the
+   *  join itself — so over-keeping is always correct. */
+  private[graft] def pruneFilesRuntime(
+      files: Seq[FileEntry],
+      schema: StructType,
+      inSets: Seq[(String, Seq[Any])],
+      generic: Option[Column],
+      maxProbedKeys: Int = 1 << 16): Seq[FileEntry] = {
+    val genericCs = generic.map(p => Pruning.conjuncts(
+      org.apache.spark.sql.graftshim.SparkInternals.expr(p)))
+    // pre-resolve every probe once; per-file work below is probe-only
+    val probes: Seq[FileEntry => Boolean] = inSets.flatMap { case (name0, keys0) =>
+      schema.fields.find(_.name.equalsIgnoreCase(name0)).map { field =>
+        val keys = keys0.filter(_ != null).distinct
+        val ps = Pruning.prepKeyProbes(keys, field.dataType)
+        if (ps.isEmpty) (_: FileEntry) => true
+        else if (ps.size > maxProbedKeys)
+          Pruning.envelopeProbe(field.name, ps, field.dataType, schema)
+        else (f: FileEntry) =>
+          Pruning.fileMayContainAnyKey(f, field.name, ps, schema)
+      }
+    }
+    files.filter(f => probes.forall(_(f)) &&
+      genericCs.forall(cs => Pruning.mayMatchConjuncts(f, cs, schema)))
+  }
+
   private[tables] object Pruning {
 
     /** Pre-normalized conjuncts of `pred` — hoist this out of per-file
@@ -4079,6 +4120,40 @@ object SnapshotTable {
           yield cmp(mn, v, dt) <= 0 && cmp(mx, v, dt) >= 0).getOrElse(true)
         rangeOk && (for { (k, m, bits) <- bloom; (h1, h2) <- p.hash }
           yield FileBloom.mightContainDecoded(k, m, bits, h1, h2)).getOrElse(true)
+      }
+    }
+
+    /** O(1)-per-file degradation of [[fileMayContainAnyKey]] for
+     *  oversized key sets: the set's min/max envelope computes ONCE
+     *  (here, at probe-build time), and each file pays a single
+     *  range-overlap check — [fileMin, fileMax] ∩ [min(keys), max(keys)]
+     *  ≠ ∅. Keys whose stats-domain value can't derive (or a mixed
+     *  domain, impossible for one typed column but checked anyway)
+     *  degrade to keep-everything. */
+    def envelopeProbe(
+        name: String, probes: Seq[KeyProbe], dt: DataType,
+        schema: StructType): FileEntry => Boolean = {
+      val svs = probes.map(_.sv)
+      if (svs.exists(_.isEmpty)) return _ => true
+      val vals = svs.flatten
+      def sameDomain = vals.forall(v => (v, vals.head) match {
+        case (Left(_), Left(_)) => true
+        case (Right(Left(_)), Right(Left(_))) => true
+        case (Right(Right(_)), Right(Right(_))) => true
+        case _ => false
+      })
+      if (vals.isEmpty || !sameDomain) return _ => true
+      def svCmp(a: Either[Long, Either[Double, String]],
+          b: Either[Long, Either[Double, String]]): Int = (a, b) match {
+        case (Left(x), Left(y)) => java.lang.Long.compare(x, y)
+        case (Right(Left(x)), Right(Left(y))) => java.lang.Double.compare(x, y)
+        case (Right(Right(x)), Right(Right(y))) => codePointCompare(x, y)
+        case _ => 0 // unreachable: sameDomain checked above
+      }
+      val lo = vals.reduce((a, b) => if (svCmp(a, b) <= 0) a else b)
+      val hi = vals.reduce((a, b) => if (svCmp(a, b) >= 0) a else b)
+      (f: FileEntry) => bounds(f, name, schema).forall { case (mn, mx) =>
+        cmp(mx, lo, dt) >= 0 && cmp(mn, hi, dt) <= 0
       }
     }
 

@@ -27,6 +27,17 @@ object SparkInternals {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** V2 runtime-filter Predicate → V1 source Filter (PredicateUtils is
+   *  `private[sql]`) — what [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering.filter]]
+   *  receives from dynamic partition pruning (an IN over the broadcast
+   *  side's join keys), translated to the shape the engine's manifest
+   *  pruning already consumes. None for shapes V1 cannot express —
+   *  the caller must treat those as non-pruning, never as false. */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+
   /** The DataFrame's analyzed logical plan (for returning a frame from a
    *  table-function builder, which must produce a LogicalPlan). */
   def logicalPlan(df: DataFrame): LogicalPlan =

@@ -657,6 +657,160 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.spjdv_dim")
   }
 
+  test("runtime filtering (DPP): a selective dim filter prunes the fact scan at execution") {
+    // the 100 TB fact-dim join optimization: the dim side's filter
+    // reaches the FACT scan as a runtime IN over its join keys
+    // (SupportsRuntimeV2Filtering), and whole manifest files drop
+    // before they are read — files here carry disjoint id ranges
+    // (two ordered appends), so the single surviving key kills most
+    spark.sql("DROP TABLE IF EXISTS graft.db.dpp_fact")
+    spark.sql("CREATE TABLE graft.db.dpp_fact (id BIGINT, v BIGINT) USING graft")
+    spark.range(0, 2000).select(col("id"), (col("id") * 3).as("v"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .writeTo("graft.db.dpp_fact").append()
+    spark.range(2000, 4000).select(col("id"), (col("id") * 3).as("v"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .writeTo("graft.db.dpp_fact").append()
+    import spark.implicits._
+    // the dim must be a FILE relation: an in-memory LocalRelation folds
+    // its filter away at optimization and DPP sees nothing selective
+    val dimPath = tmpDir("dppdim")
+    (0L until 100L).map(i => (i, s"w$i")).toDF("id", "w")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dpp_dim")
+    val df = spark.sql(
+      """SELECT f.id, f.v, d.w FROM graft.db.dpp_fact f
+        |JOIN dpp_dim d ON f.id = d.id WHERE d.w = 'w7'""".stripMargin)
+    val plan = executedPlanString(df)
+    assert(plan.contains("dynamicpruning"),
+      s"no runtime filter reached the fact scan:\n$plan")
+    assert(df.as[(Long, Long, String)].collect().toSeq === Seq((7L, 21L, "w7")))
+    spark.sql("DROP TABLE graft.db.dpp_fact")
+  }
+
+  test("SupportsRuntimeV2Filtering: IN prunes manifest files; key-grouped scans keep groups") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead}
+    import org.apache.spark.sql.connector.expressions.{Expressions, Expression => V2Expr}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.read.{Scan, SupportsRuntimeV2Filtering}
+    import org.apache.spark.sql.graftshim.SparkInternals
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    def buildScan(db: String, name: String): Scan =
+      SparkInternals.catalogPlugin(spark, "graft").get
+        .asInstanceOf[graft.sql.GraftTableCatalog]
+        .loadTable(Identifier.of(Array(db), name))
+        .asInstanceOf[SupportsRead]
+        .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    def fileCount(s: Scan): Int =
+      s.toBatch.planInputPartitions().toSeq.flatMap(p =>
+        SparkInternals.filePartitionFiles(p).map(_.map(_._1)).getOrElse(Nil))
+        .distinct.size
+    def inPred(ids: Long*): Predicate = new Predicate("IN",
+      (Expressions.column("id") +: ids.map(i => Expressions.literal(Long.box(i))))
+        .toArray[V2Expr])
+
+    // plain (non-bucketed) table: files from two ordered appends carry
+    // disjoint id ranges; IN(7) must keep only the file whose range holds 7
+    spark.sql("DROP TABLE IF EXISTS graft.db.rtp_flat")
+    spark.sql("CREATE TABLE graft.db.rtp_flat (id BIGINT, v BIGINT) USING graft")
+    for (lo <- Seq(0L, 2000L))
+      spark.range(lo, lo + 2000).select(col("id"), (col("id") * 3).as("v"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .writeTo("graft.db.rtp_flat").append()
+    val flat = buildScan("db", "rtp_flat")
+    val rfFlat = flat.asInstanceOf[SupportsRuntimeV2Filtering]
+    assert(rfFlat.filterAttributes().map(_.describe()).contains("id"))
+    val flatBefore = fileCount(flat)
+    assert(flatBefore >= 8, s"expected >=8 files, got $flatBefore")
+    rfFlat.filter(Array(inPred(7L)))
+    val flatAfter = fileCount(flat)
+    assert(flatAfter === 1, s"IN(7) should keep exactly the one range file, kept $flatAfter")
+
+    // bucketed table under the SPJ conf: pruning narrows files WITHIN
+    // groups and never drops a group — BatchScanExec requires runtime
+    // filtering to preserve a KeyGroupedPartitioning's distinct keys
+    spark.sql("DROP TABLE IF EXISTS graft.db.rtp_bucket")
+    spark.sql("CREATE TABLE graft.db.rtp_bucket (id BIGINT, v BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(8, id))")
+    for (lo <- Seq(0L, 2000L))
+      spark.range(lo, lo + 2000).select(col("id"), (col("id") * 3).as("v"))
+        .writeTo("graft.db.rtp_bucket").append()
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val bucketed = buildScan("db", "rtp_bucket")
+      assert(bucketed.isInstanceOf[graft.sql.KeyGroupedFileScan],
+        s"bucketed scan did not report its layout: ${bucketed.description()}")
+      val groupsBefore = bucketed.toBatch.planInputPartitions().length
+      val filesBefore = fileCount(bucketed)
+      assert(filesBefore === 16, s"expected 16 bucket files, got $filesBefore")
+      bucketed.asInstanceOf[SupportsRuntimeV2Filtering].filter(Array(inPred(7L)))
+      assert(bucketed.toBatch.planInputPartitions().length === groupsBefore,
+        "runtime filtering must preserve the key-grouped partition count")
+      val filesAfter = fileCount(bucketed)
+      // every second-append file (ids >= 2000) is range-disproven for 7
+      assert(filesAfter <= filesBefore / 2,
+        s"expected the second append's files pruned: $filesBefore -> $filesAfter")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+    spark.sql("DROP TABLE graft.db.rtp_flat")
+    spark.sql("DROP TABLE graft.db.rtp_bucket")
+  }
+
+  test("pushed LIMIT caps the manifest files a bare scan opens") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead}
+    import org.apache.spark.sql.connector.read.{Scan, SupportsPushDownLimit}
+    import org.apache.spark.sql.graftshim.SparkInternals
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    def fileCount(s: Scan): Int =
+      s.toBatch.planInputPartitions().toSeq.flatMap(p =>
+        SparkInternals.filePartitionFiles(p).map(_.map(_._1)).getOrElse(Nil))
+        .distinct.size
+    spark.sql("DROP TABLE IF EXISTS graft.db.lim_t")
+    spark.sql("CREATE TABLE graft.db.lim_t (id BIGINT, v BIGINT) USING graft")
+    for (lo <- Seq(0L, 2000L))
+      spark.range(lo, lo + 2000).select(col("id"), (col("id") * 3).as("v"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .writeTo("graft.db.lim_t").append()
+    val sb = SparkInternals.catalogPlugin(spark, "graft").get
+      .asInstanceOf[graft.sql.GraftTableCatalog]
+      .loadTable(Identifier.of(Array("db"), "lim_t"))
+      .asInstanceOf[SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    assert(sb.asInstanceOf[SupportsPushDownLimit].pushLimit(10))
+    val scan = sb.build()
+    assert(fileCount(scan) === 1,
+      "LIMIT 10 over 8 files of ~500 rows should open exactly one")
+    // e2e through SQL: correct rows, and still exactly `n` of them
+    assert(spark.sql("SELECT * FROM graft.db.lim_t LIMIT 10").count() === 10L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM (SELECT id FROM graft.db.lim_t LIMIT 4100) t")
+      .head().getLong(0) === 4000L.min(4100L))
+    // a filtered query refuses the cap (the limit sits above the filter)
+    val sb2 = SparkInternals.catalogPlugin(spark, "graft").get
+      .asInstanceOf[graft.sql.GraftTableCatalog]
+      .loadTable(Identifier.of(Array("db"), "lim_t"))
+      .asInstanceOf[SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    sb2.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(Array(org.apache.spark.sql.sources.GreaterThan("id", 3990L)))
+    assert(!sb2.asInstanceOf[SupportsPushDownLimit].pushLimit(10))
+    assert(spark.sql("SELECT * FROM graft.db.lim_t WHERE id > 3990 LIMIT 10")
+      .count() === 9L)
+    spark.sql("DROP TABLE graft.db.lim_t")
+  }
+
+  test("q129's executed plan carries the runtime IN filter on the fact scan") {
+    val df = SparkEntry.queries("q129_dpp_join")(spark, dir)
+    val plan = executedPlanString(df)
+    assert(plan.contains("dynamicpruning"),
+      s"q129's fact scan lost its runtime filter:\n$plan")
+    assert(plan.contains("RuntimePrunable"),
+      s"q129's fact side is not the runtime-prunable catalog scan:\n$plan")
+  }
+
   test("merge source side with equi-condition plans as a hash join, not NLJ") {
     val t = SnapshotTable.create(spark, tmpDir("plan"),
       spark.range(0, 10000).toDF("id").withColumn("v", lit("x")))
