@@ -2450,9 +2450,7 @@ object SparkEntry {
    *  plain join oracle: runtime pruning that drops a file it should
    *  have kept loses join rows and fails the hash. */
   private val dppBuilt = scala.collection.concurrent.TrieMap[String, Boolean]()
-  private def dppJoinQuery(s: SparkSession, dir: String): DataFrame = {
-    ensureCatalog(s)
-    registerViews(s, dir)
+  private def ensureDppOrders(s: SparkSession, dir: String): Unit =
     dppBuilt.getOrElseUpdate(dir, {
       s.table("orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -2461,6 +2459,10 @@ object SparkEntry {
         .writeTo("graft.bench.dpp_orders").createOrReplace()
       true
     })
+  private def dppJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    ensureDppOrders(s, dir)
     s.sql(
       """SELECT o.o_orderkey, o.o_custkey,
         |  CAST(floor(o.o_totalprice) AS BIGINT) AS price_fl
@@ -2475,6 +2477,33 @@ object SparkEntry {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |WHERE c.c_acctbal > 9900.0
       |ORDER BY o.o_orderkey""".stripMargin
+
+  /** Q130 — TopN pushdown through the DSv2 scan: `ORDER BY key LIMIT n`
+   *  over the key-clustered fact opens only the files that can hold the
+   *  top n (the θ rule on exact manifest stats — walk bounded files by
+   *  ascending max accumulating live rows to n; every file whose min
+   *  exceeds that bound provably holds none of the answer). The 100 TB
+   *  shape is the log-tail query: latest/earliest n of a time-clustered
+   *  corpus for the cost of one or two files. Spark keeps the real
+   *  sort+limit on top (partial pushdown), and the oracle is the same
+   *  TopN over the plain table — a wrongly pruned file surfaces as a
+   *  missing row and fails the hash. Tie-broken on o_orderkey so the
+   *  selected rows are total-ordered and cross-engine deterministic. */
+  private def topnQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    ensureDppOrders(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_fl
+        |FROM graft.bench.dpp_orders
+        |ORDER BY o_custkey, o_orderkey LIMIT 100""".stripMargin)
+  }
+  private val Q130Duck =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(floor(o_totalprice) AS BIGINT) AS price_fl
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey LIMIT 100""".stripMargin
 
   /** Q32 — as-of join: each click matched to the user's most recent view
    *  (point-in-time correctness; DuckDB's native ASOF JOIN as oracle). */
@@ -4329,7 +4358,8 @@ object SparkEntry {
     "q126_span_serve_indexed" -> indexedSpanServeQuery,
     "q127_spj_join" -> spjJoinQuery,
     "q128_spj_hybrid" -> spjHybridQuery,
-    "q129_dpp_join" -> dppJoinQuery)
+    "q129_dpp_join" -> dppJoinQuery,
+    "q130_topn" -> topnQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4513,7 +4543,8 @@ object SparkEntry {
     "q126_span_serve_indexed" -> Q75Duck,
     "q127_spj_join" -> Q127Duck,
     "q128_spj_hybrid" -> Q128Duck,
-    "q129_dpp_join" -> Q129Duck)
+    "q129_dpp_join" -> Q129Duck,
+    "q130_topn" -> Q130Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

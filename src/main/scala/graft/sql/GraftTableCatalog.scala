@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.read.SupportsReportPartitioning
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering, V1Scan}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -664,12 +664,14 @@ class GraftRtTable(
  *  schema and file list always come from the same snapshot. */
 class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var metaAgg: Option[(StructType, Array[Any])] = None
   private var limit: Option[Int] = None
+  private var topn: Option[(String, Boolean, Int)] = None // (column, asc, n)
 
   /** LIMIT-only file capping: `SELECT … LIMIT n` over a 100 TB table
    *  should open as few files as the manifest's EXACT per-file row
@@ -689,6 +691,85 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
     true
   }
   override def isPartiallyPushed(): Boolean = true
+
+  /** TopN file capping — `ORDER BY key [, tiebreaks…] LIMIT n` over a
+   *  key-clustered table opens only the files that can hold the top n
+   *  (the log-tail / latest-events query at 100 TB). Sound θ rule on
+   *  the PRIMARY sort key's exact manifest stats: walk bounded files by
+   *  ascending max, accumulating live row counts (manifest rows minus
+   *  pending DV deletes) until they reach n — θ is that max, so at
+   *  least n values ≤ θ exist and the true top n are all ≤ θ; every
+   *  file whose min > θ provably holds none of them. Secondary sort
+   *  keys only break ties and never change which files qualify.
+   *  Refused per-file, not per-query, wherever exactness isn't
+   *  provable: a file with missing/unparseable bounds or ANY nulls in
+   *  the key (null rows are invisible to min/max yet order first by
+   *  default) is always kept and contributes nothing toward θ.
+   *  Float/double keys refuse outright (NaN is invisible to parquet
+   *  stats but sorts above +Inf); strings refuse (footer bounds may
+   *  truncate). Partial pushdown — Spark keeps the real sort+limit. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    if (pushed.nonEmpty || orders.isEmpty) return false
+    val head = orders.head
+    val col = head.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
+      case _ => return false
+    }
+    val field = tableSchema.fields.find(_.name.equalsIgnoreCase(col))
+      .getOrElse(return false)
+    field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType =>
+        topn = Some((field.name,
+          head.direction() == org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+          n))
+        true
+      case _ => false
+    }
+  }
+
+  /** The [[pushTopN]] θ rule over a manifest file list; `dvDel` is the
+   *  per-file-name pending-deletion count. DESC mirrors with min/max
+   *  swapped. Keeps the original manifest order of the survivors. */
+  private def topNCap(
+      files: Seq[SnapshotTable.FileEntry],
+      dvDel: Map[String, Long],
+      col: String, asc: Boolean, n: Int): Seq[SnapshotTable.FileEntry] = {
+    def stat(f: SnapshotTable.FileEntry): Option[SnapshotTable.ColStats] =
+      f.stats.find(_._1.equalsIgnoreCase(col)).map(_._2)
+    def parsed(s: Option[String]): Option[Long] =
+      s.flatMap(v => scala.util.Try(v.toLong).toOption)
+    final case class B(f: SnapshotTable.FileEntry, lo: Long, hi: Long, live: Long)
+    val (bounded, alwaysKeep) = files.partition { f =>
+      stat(f).exists(cs => cs.nullCount.contains(0L) &&
+        parsed(cs.min).isDefined && parsed(cs.max).isDefined)
+    }
+    if (bounded.isEmpty) return files
+    val bs = bounded.map { f =>
+      val cs = stat(f).get
+      B(f, parsed(cs.min).get, parsed(cs.max).get,
+        math.max(0L, f.rows - dvDel.getOrElse(new Path(f.path).getName, 0L)))
+    }
+    // θ: ascending ⇒ walk by max asc; descending ⇒ by min desc
+    val walk = if (asc) bs.sortBy(_.hi) else bs.sortBy(-_.lo)
+    var cum = 0L
+    var theta: Option[Long] = None
+    val it = walk.iterator
+    while (theta.isEmpty && it.hasNext) {
+      val b = it.next()
+      cum += b.live
+      if (cum >= n) theta = Some(if (asc) b.hi else b.lo)
+    }
+    theta match {
+      case None => files // fewer than n provable rows: no pruning
+      case Some(t) =>
+        val keep = bs.filter(b => if (asc) b.lo <= t else b.hi >= t)
+          .map(_.f).toSet ++ alwaysKeep
+        files.filter(keep)
+    }
+  }
 
   /** Metadata-only aggregates at the DSv2 layer: COUNT(*) / COUNT(col) /
    *  MIN / MAX answered from the commit manifest's per-file row counts
@@ -746,19 +827,22 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
     val dvPos = table.dvPositionsAt(version)
     // pushed LIMIT (guaranteed filter-free): take manifest files in order
     // until their exact LIVE row counts (manifest rows minus pending DV
-    // deletions) reach the bound — the rest are never opened
-    val files = limit match {
-      case Some(l) if pushed.isEmpty =>
+    // deletions) reach the bound — the rest are never opened. Pushed
+    // TopN instead selects by the θ rule on the sort key's stats.
+    val dvDel: Map[String, Long] = dvPos.map { case (k, v) => k -> v.length.toLong }
+    val files = (limit, topn) match {
+      case (Some(l), _) if pushed.isEmpty =>
         val out = Seq.newBuilder[SnapshotTable.FileEntry]
         var cum = 0L
         val it = allFiles.iterator
         while (cum < l && it.hasNext) {
           val f = it.next()
-          val live = f.rows -
-            dvPos.get(new Path(f.path).getName).map(_.length.toLong).getOrElse(0L)
+          val live = f.rows - dvDel.getOrElse(new Path(f.path).getName, 0L)
           if (live > 0) { out += f; cum += live }
         }
         out.result()
+      case (None, Some((c, asc, n))) if pushed.isEmpty =>
+        topNCap(allFiles, dvDel, c, asc, n)
       case _ => allFiles
     }
     val rowIdxField = org.apache.spark.sql.graftshim.SparkInternals.rowIndexField
@@ -875,10 +959,18 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
             }
           }
         val transforms = Expressions.bucket(n, keys: _*) +: subPlans.map(_._1)
+        // write-order claim: routed bucket writes sort within partitions
+        // by the bucket source columns (identity subs are per-file
+        // constants, so they extend the order lexicographically; time
+        // subs are constants of the TRANSFORM only and stay unreported)
+        val orderingCols = keys ++ subs.flatMap(entry =>
+          if (SnapshotTable.ClusterTransform.timeEntry(entry).isDefined) None
+          else Some(resolve(entry)))
         if (subs.isEmpty) {
           val groups = files.groupBy(_.bucket.get).toSeq.sortBy(_._1)
             .map { case (b, fs) => (Seq[Any](b), fs) }
-          Some(new KeyGroupedFileScan(built, transforms, groups, Some(pruner)))
+          Some(new KeyGroupedFileScan(built, transforms, groups, Some(pruner),
+            orderingCols))
         } else {
           // per-file tuples; one unprovable file kills the whole report
           val tuples = files.map { f =>
@@ -892,7 +984,8 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
             val groups = tuples.flatten.groupBy(_._1).toSeq
               .sortBy(_._1.mkString("|"))
               .map { case (k, fs) => (k, fs.map(_._2)) }
-            Some(new KeyGroupedFileScan(built, transforms, groups, Some(pruner)))
+            Some(new KeyGroupedFileScan(built, transforms, groups, Some(pruner),
+              orderingCols))
           }
         }
       case _ => None
@@ -1024,10 +1117,36 @@ class KeyGroupedFileScan(
     underlying: Scan,
     transforms: Seq[org.apache.spark.sql.connector.expressions.Transform],
     initialGroups: Seq[(Seq[Any], Seq[SnapshotTable.FileEntry])],
-    pruner: Option[RuntimePruner] = None)
+    pruner: Option[RuntimePruner] = None,
+    orderingCols: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   @volatile private var groups = initialGroups
+  /** Per-partition sort order — the second half of the SPJ dividend:
+   *  with both sides of a storage-partitioned merge join reporting the
+   *  key order their files were WRITTEN in, Spark drops the per-query
+   *  Sort nodes too (zero Exchange AND zero Sort). Reported only when
+   *  provable: every routed bucket write sorts within partitions by the
+   *  cluster key (identity sub-partition values are single-valued per
+   *  file — constants under any lexicographic extension), so a
+   *  SINGLE-file group is key-ordered; a multi-file group concatenates
+   *  sorted runs and must not report (the gate checks the INITIAL
+   *  groups — runtime filtering only ever empties a group, and an empty
+   *  partition is trivially sorted). Columns pruned from the read
+   *  schema un-report (Spark resolves ordering refs against the scan's
+   *  output and would throw). */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val names = readSchema().fieldNames
+    if (orderingCols.nonEmpty &&
+        initialGroups.forall(_._2.lengthCompare(1) <= 0) &&
+        orderingCols.forall(c => names.exists(_.equalsIgnoreCase(c))))
+      orderingCols.map(c => Expressions.sort(
+        Expressions.column(names.find(_.equalsIgnoreCase(c)).get),
+        SortDirection.ASCENDING)).toArray
+    else Array.empty
+  }
   override def readSchema(): StructType = underlying.readSchema()
   // statistics forward (the LogicalNamesScan discipline) — losing them
   // would blind join-size estimation for exactly the scans meant to join

@@ -306,6 +306,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("SPJ merge join runs with zero Exchange AND zero Sort (reported write order)") {
+    // single-file bucket groups report their written key order
+    // (SupportsReportOrdering), so the forced sort-merge join drops the
+    // per-query Sort nodes too — the full SPJ dividend
+    def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    spark.sql("DROP TABLE IF EXISTS graft.db.spjo_fact")
+    spark.sql("DROP TABLE IF EXISTS graft.db.spjo_dim")
+    spark.sql("CREATE TABLE graft.db.spjo_fact (id BIGINT, v BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(8, id))")
+    spark.sql("CREATE TABLE graft.db.spjo_dim (id BIGINT, w STRING) " +
+      "USING graft PARTITIONED BY (bucket(8, id))")
+    spark.range(0, 4000).select(col("id"), (col("id") * 3).as("v"))
+      .writeTo("graft.db.spjo_fact").append()
+    spark.range(0, 1000).select(col("id"), concat(lit("w"), col("id")).as("w"))
+      .writeTo("graft.db.spjo_dim").append()
+    val q = "SELECT /*+ MERGE(f) */ f.id, f.v, d.w FROM graft.db.spjo_fact f " +
+      "JOIN graft.db.spjo_dim d ON f.id = d.id"
+    val expected = (0L until 1000L).map(i => (i, i * 3, s"w$i")).toSet
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = executedPlanString(df)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"shuffle in SPJ plan:\n$plan")
+      assert(!plan.contains(" Sort ["), s"per-query sort survived in:\n$plan")
+      assert(df.as[(Long, Long, String)].collect().toSet === expected)
+      // a SECOND append gives two files per bucket — concatenated sorted
+      // runs are NOT sorted, so the ordering must un-report and the
+      // sorts come back (degradation, never a wrong answer)
+      spark.range(4000, 5000).select(col("id"), (col("id") * 3).as("v"))
+        .writeTo("graft.db.spjo_fact").append()
+      val df2 = spark.sql(q)
+      val plan2 = executedPlanString(df2)
+      assert(!plan2.contains("Exchange"), s"shuffle after append:\n$plan2")
+      assert(plan2.contains(" Sort [id#"),
+        s"multi-file groups must not claim write order:\n$plan2")
+      assert(df2.as[(Long, Long, String)].collect().toSet === expected)
+    }
+    spark.sql("DROP TABLE graft.db.spjo_fact")
+    spark.sql("DROP TABLE graft.db.spjo_dim")
+  }
+
   test("composite-key SPJ via hybrid layout: (bucket(8, ent), day) with no shuffle") {
     // fact tables keyed on (entity, day): the upstream-compatible SPJ
     // encoding is the Iceberg-style MULTI-TRANSFORM layout — bucket the
@@ -759,6 +810,40 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.rtp_bucket")
   }
 
+  test("runtime filtering composes with deletion vectors and column mapping") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft.db.rtdv")
+    spark.sql("CREATE TABLE graft.db.rtdv (id BIGINT, v BIGINT) USING graft " +
+      "TBLPROPERTIES ('graft.dv.enabled'='true')")
+    for (lo <- Seq(0L, 2000L))
+      spark.range(lo, lo + 2000).select(col("id"), (col("id") * 3).as("v"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .writeTo("graft.db.rtdv").append()
+    spark.sql("DELETE FROM graft.db.rtdv WHERE id >= 5 AND id < 8") // DV commit
+    val dimPath = tmpDir("rtdvdim")
+    (0L until 100L).map(i => (i, s"w$i")).toDF("id", "w")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("rtdv_dim")
+    val df = spark.sql(
+      """SELECT f.id, f.v, d.w FROM graft.db.rtdv f
+        |JOIN rtdv_dim d ON f.id = d.id WHERE d.w IN ('w6', 'w9')""".stripMargin)
+    val plan = executedPlanString(df)
+    assert(plan.contains("dynamicpruning"), s"no runtime filter over the DV'd scan:\n$plan")
+    assert(plan.contains("DvFiltered"), s"DV overlay missing from the scan:\n$plan")
+    // id=6 is deleted — the runtime-pruned, DV-filtered scan must drop it
+    assert(df.as[(Long, Long, String)].collect().toSeq === Seq((9L, 27L, "w9")))
+    // column mapping: RENAME a column, then the same join (logical names)
+    spark.sql("ALTER TABLE graft.db.rtdv RENAME COLUMN v TO val")
+    val df2 = spark.sql(
+      """SELECT f.id, f.val, d.w FROM graft.db.rtdv f
+        |JOIN rtdv_dim d ON f.id = d.id WHERE d.w IN ('w6', 'w9')""".stripMargin)
+    val plan2 = executedPlanString(df2)
+    assert(plan2.contains("dynamicpruning"),
+      s"no runtime filter over the column-mapped scan:\n$plan2")
+    assert(df2.as[(Long, Long, String)].collect().toSeq === Seq((9L, 27L, "w9")))
+    spark.sql("DROP TABLE graft.db.rtdv")
+  }
+
   test("pushed LIMIT caps the manifest files a bare scan opens") {
     import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead}
     import org.apache.spark.sql.connector.read.{Scan, SupportsPushDownLimit}
@@ -800,6 +885,66 @@ class PlanSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.db.lim_t WHERE id > 3990 LIMIT 10")
       .count() === 9L)
     spark.sql("DROP TABLE graft.db.lim_t")
+  }
+
+  test("pushed TopN opens only the files that can hold the top n") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownTopN}
+    import org.apache.spark.sql.graftshim.SparkInternals
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    def fileCount(s: Scan): Int =
+      s.toBatch.planInputPartitions().toSeq.flatMap(p =>
+        SparkInternals.filePartitionFiles(p).map(_.map(_._1)).getOrElse(Nil))
+        .distinct.size
+    def builder(name: String): ScanBuilder =
+      SparkInternals.catalogPlugin(spark, "graft").get
+        .asInstanceOf[graft.sql.GraftTableCatalog]
+        .loadTable(Identifier.of(Array("db"), name))
+        .asInstanceOf[SupportsRead]
+        .newScanBuilder(CaseInsensitiveStringMap.empty())
+    def sortAsc(c: String) = Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    def sortDesc(c: String) = Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING)
+    spark.sql("DROP TABLE IF EXISTS graft.db.topn_t")
+    spark.sql("CREATE TABLE graft.db.topn_t (id BIGINT, v BIGINT) USING graft")
+    for (lo <- Seq(0L, 2000L))
+      spark.range(lo, lo + 2000).select(col("id"), (col("id") * 3).as("v"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+        .writeTo("graft.db.topn_t").append()
+    // ascending: top-10 smallest ids live in the lowest range file
+    val sbA = builder("topn_t")
+    assert(sbA.asInstanceOf[SupportsPushDownTopN]
+      .pushTopN(Array(sortAsc("id")), 10))
+    assert(fileCount(sbA.build()) === 1,
+      "ORDER BY id LIMIT 10 over 8 disjoint range files should open one")
+    // descending mirrors
+    val sbD = builder("topn_t")
+    assert(sbD.asInstanceOf[SupportsPushDownTopN]
+      .pushTopN(Array(sortDesc("id")), 10))
+    assert(fileCount(sbD.build()) === 1)
+    // e2e through SQL, both directions — correct rows through the cap
+    import spark.implicits._
+    assert(spark.sql("SELECT id FROM graft.db.topn_t ORDER BY id LIMIT 5")
+      .as[Long].collect().toSeq === (0L until 5L))
+    assert(spark.sql("SELECT id FROM graft.db.topn_t ORDER BY id DESC LIMIT 5")
+      .as[Long].collect().toSeq === (3999L to 3995L by -1))
+    // a null-bearing key never prunes the file holding the nulls (they
+    // order FIRST by default and are invisible to min/max stats)
+    spark.sql("DROP TABLE IF EXISTS graft.db.topn_n")
+    spark.sql("CREATE TABLE graft.db.topn_n (id BIGINT, v BIGINT) USING graft")
+    spark.range(0, 2000)
+      .select(when(col("id") % 500 === 0, lit(null)).otherwise(col("id")).as("id"),
+        (col("id") * 3).as("v"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .writeTo("graft.db.topn_n").append()
+    val first = spark.sql("SELECT id FROM graft.db.topn_n ORDER BY id LIMIT 4")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(first === Seq(None, None, None, None),
+      s"NULLS FIRST must survive the TopN cap, got $first")
+    spark.sql("DROP TABLE graft.db.topn_t")
+    spark.sql("DROP TABLE graft.db.topn_n")
   }
 
   test("q129's executed plan carries the runtime IN filter on the fact scan") {

@@ -17,6 +17,38 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable(spark, root).read().count() === 1)
   }
 
+  test("runtime prune: oversized key sets degrade to the min/max envelope, never unsound") {
+    val root = tmpDir("tbl_rtp")
+    val t = SnapshotTable.create(spark, root,
+      spark.range(0, 8000).toDF("id").withColumn("v", col("id") * 2)
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    val v = t.currentVersion()
+    val files = t.prunedFilesAt(v, None)
+    assert(files.size === 8)
+    val schema = t.read().schema
+    def prune(keys: Seq[Long], cap: Int) =
+      SnapshotTable.pruneFilesRuntime(files, schema,
+        Seq(("id", keys.map(x => x: Any))), None, maxProbedKeys = cap)
+    // a contiguous band: both regimes keep exactly the covering file
+    val band = (100L to 140L)
+    val sharp = prune(band, 1 << 16)
+    val env = prune(band, 8) // force the envelope regime
+    assert(sharp.size === 1)
+    assert(env.size === 1)
+    assert(sharp.forall(env.contains), "envelope must be a superset of the per-key pass")
+    // scattered endpoints: per-key pruning drops the gap files; the
+    // envelope spans the gap and keeps them — conservative, never wrong
+    val scattered = Seq(5L, 7995L)
+    assert(prune(scattered, 1 << 16).size === 2)
+    assert(prune(scattered, 1).size === files.size)
+    // null keys never probe (equi-joins drop them); all-null = no pruning
+    assert(SnapshotTable.pruneFilesRuntime(files, schema,
+      Seq(("id", Seq(null))), None).size === files.size)
+    // unknown column: keep everything
+    assert(SnapshotTable.pruneFilesRuntime(files, schema,
+      Seq(("nope", Seq(1L: Any))), None).size === files.size)
+  }
+
   test("unsetProperties cannot remove drop-column tombstones") {
     val t = SnapshotTable.create(spark, tmpDir("tbl_tomb"),
       Seq((1, "a", 5)).toDF("id", "v", "x"))
