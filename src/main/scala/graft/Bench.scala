@@ -924,12 +924,13 @@ object Bench {
       else spjFF.map { case (p, on, off) =>
         s""""p$p":[${jnum(on.med)},${jnum(off.med)}]"""
       }.mkString(""","spj_fact_fact":{""", ",", "}")
-    // -------- DPP / runtime file pruning at the biggest point: a
-    // fact-dim broadcast join whose dim filter is only known at run
-    // time (the standing 100 TB fact-dim shape q129 declares). The fact
-    // lands range-clustered on the join key — 64 files, disjoint key
-    // ranges — and the dim is a parquet relation whose filter keeps ~1%
-    // of keys, one contiguous band (the "recent entities" case). With
+    // -------- DPP / runtime file pruning: a fact-dim broadcast join
+    // whose dim filter is only known at run time (the standing 100 TB
+    // fact-dim shape q129 declares). The fact lands range-clustered on
+    // the join key — 512 files, disjoint key ranges, so files far
+    // outnumber cores like a real manifest — and the dim is a parquet
+    // relation whose filter keeps ~0.1% of keys, one contiguous band
+    // (the "recent entities" case). With
     // DPP on, the broadcast side's surviving keys reach the fact scan
     // as a runtime IN (SupportsRuntimeV2Filtering) and whole manifest
     // files drop before they are read; with the optimizer conf off, the
@@ -940,8 +941,8 @@ object Bench {
       p2Dir.orElse(p1Dir).flatMap { dir =>
         try Some(rddGuard("runtime_filter") {
           val fn = org.apache.spark.sql.functions
-          val n = math.max(1L << 21, docsAt(dir).count() * 4)
-          val band = n / 100
+          val n = 1L << 24 // 16.8M rows × ~180 B — the scan must outweigh
+          val band = n / 1000 // ~0.1% selective dim: the shape DPP fires for
           val prevConfs = Seq("spark.sql.catalog.graftd",
             "spark.sql.catalog.graftd.warehouse",
             "spark.sql.optimizer.dynamicPartitionPruning.enabled")
@@ -950,9 +951,14 @@ object Bench {
           sparkS.conf.set("spark.sql.catalog.graftd.warehouse",
             java.nio.file.Files.createTempDirectory("graft_bench_dpp").toString)
           try {
+            // the pad column gives the fact real scan weight (~180 B/row,
+            // ~360 MB full scan) so the row measures scan-work saved, not
+            // just plan overhead — the 100 TB ratio in miniature
             sparkS.range(0, n)
-              .select(col("id").as("key"), (col("id") * 7L).as("payload"))
-              .repartitionByRange(64, col("key"))
+              .select(col("id").as("key"), (col("id") * 7L).as("payload"),
+                fn.repeat(fn.concat(fn.lit("x"), col("id").cast("string")), 24)
+                  .as("pad"))
+              .repartitionByRange(512, col("key"))
               .sortWithinPartitions("key")
               .writeTo("graftd.b.dpp_fact").createOrReplace()
             val dimPath = java.nio.file.Files
@@ -963,7 +969,8 @@ object Bench {
                   .otherwise(fn.lit("cold")).as("temp"))
               .write.mode("overwrite").parquet(dimPath)
             sparkS.read.parquet(dimPath).createOrReplaceTempView("dpp_bench_dim")
-            val q = "SELECT sum(f.payload) AS s, count(*) AS c " +
+            val q = "SELECT sum(f.payload) AS s, sum(length(f.pad)) AS lp, " +
+              "count(*) AS c " +
               "FROM graftd.b.dpp_fact f JOIN dpp_bench_dim d ON f.key = d.key " +
               "WHERE d.temp = 'hot'"
             def timed(enabled: Boolean): Meas = {

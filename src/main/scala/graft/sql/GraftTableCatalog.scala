@@ -471,7 +471,7 @@ class GraftTable(
   private val snapshotVersion: Long =
     pinnedVersion.getOrElse(table.currentReadable().map(_._1).getOrElse(-1L))
   private val snapshotSchema: StructType =
-    if (snapshotVersion < 0) new StructType() else table.readVersion(snapshotVersion).schema
+    if (snapshotVersion < 0) new StructType() else table.schemaAt(snapshotVersion)
 
   override def name(): String =
     ident.toString + pinnedVersion.map(v => s"@v$v").getOrElse("")

@@ -1713,6 +1713,18 @@ class SnapshotTable private (
     mergedView(entry, entry.files)
   }
 
+  /** The committed LOGICAL schema at `version` — the read/scan contract,
+   *  straight from the manifest. One O(manifest) parse, NEVER a
+   *  DataFrame: resolving a snapshot's schema must stay O(1) in data
+   *  files (building the merged view for it pays a driver file-status
+   *  per file — at 512 files that was ~0.9 s of planning per catalog
+   *  query, and a 100 TB manifest would turn every loadTable into a
+   *  full-listing stall). */
+  def schemaAt(version: Long): StructType = {
+    require(version >= 0, s"table $root is empty")
+    DataType.fromJson(commitEntry(version).schemaJson).asInstanceOf[StructType]
+  }
+
   /** Newest version committed at or before `tsMillis` — the resolver
    *  behind timestamp-based time travel (`TIMESTAMP AS OF`, supported by
    *  all three reference formats; Delta/Iceberg semantics: the snapshot a
@@ -4050,16 +4062,30 @@ object SnapshotTable {
       maxProbedKeys: Int = 1 << 16): Seq[FileEntry] = {
     val genericCs = generic.map(p => Pruning.conjuncts(
       org.apache.spark.sql.graftshim.SparkInternals.expr(p)))
-    // pre-resolve every probe once; per-file work below is probe-only
+    // pre-resolve every probe once; per-file work below is probe-only.
+    // The ENVELOPE always runs first — one comparison pair per file —
+    // so a file outside [min(keys), max(keys)] never pays the per-key
+    // pass at all (without this, every PRUNED file pays |keys| probes
+    // with string-parsed bounds: the driver-side prune would cost more
+    // than the scan it saves on banded key sets, the common DPP shape)
     val probes: Seq[FileEntry => Boolean] = inSets.flatMap { case (name0, keys0) =>
       schema.fields.find(_.name.equalsIgnoreCase(name0)).map { field =>
         val keys = keys0.filter(_ != null).distinct
-        val ps = Pruning.prepKeyProbes(keys, field.dataType)
-        if (ps.isEmpty) (_: FileEntry) => true
-        else if (ps.size > maxProbedKeys)
-          Pruning.envelopeProbe(field.name, ps, field.dataType, schema)
-        else (f: FileEntry) =>
-          Pruning.fileMayContainAnyKey(f, field.name, ps, schema)
+        if (keys.isEmpty) (_: FileEntry) => true
+        else if (keys.size > maxProbedKeys)
+          // oversized: envelope ONLY, prepped WITHOUT bloom hashes — the
+          // per-key hash pass would cost |keys| xxhash rounds on the
+          // driver for probes the envelope regime never consults
+          Pruning.envelopeOnlyProbe(field.name, keys, field.dataType, schema)
+        else {
+          val ps = Pruning.prepKeyProbes(keys, field.dataType)
+          if (ps.isEmpty) (_: FileEntry) => true
+          else {
+            val envelope = Pruning.envelopeProbe(field.name, ps, field.dataType, schema)
+            (f: FileEntry) => envelope(f) &&
+              Pruning.fileMayContainAnyKey(f, field.name, ps, schema)
+          }
+        }
       }
     }
     files.filter(f => probes.forall(_(f)) &&
@@ -4132,8 +4158,33 @@ object SnapshotTable {
      *  degrade to keep-everything. */
     def envelopeProbe(
         name: String, probes: Seq[KeyProbe], dt: DataType,
+        schema: StructType): FileEntry => Boolean =
+      envelopeFromSvs(name, probes.map(_.sv), dt, schema)
+
+    /** [[envelopeProbe]] straight from RAW key values — no [[KeyProbe]]
+     *  prep, so no per-key bloom hashing: the oversized-IN regime only
+     *  ever consults the envelope. Numbers take a direct stats-domain
+     *  conversion (the DPP key columns in practice); everything else
+     *  goes through the Literal path once per key. */
+    def envelopeOnlyProbe(
+        name: String, keys: Seq[Any], dt: DataType,
         schema: StructType): FileEntry => Boolean = {
-      val svs = probes.map(_.sv)
+      val integral = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      val svs: Seq[Option[Either[Long, Either[Double, String]]]] = keys.map {
+        case n: java.lang.Number if integral => Some(Left(n.longValue()))
+        case v => scala.util.Try(Literal(v)).toOption.flatMap(l => litValue(l, dt))
+      }
+      envelopeFromSvs(name, svs, dt, schema)
+    }
+
+    private def envelopeFromSvs(
+        name: String,
+        svs: Seq[Option[Either[Long, Either[Double, String]]]],
+        dt: DataType,
+        schema: StructType): FileEntry => Boolean = {
       if (svs.exists(_.isEmpty)) return _ => true
       val vals = svs.flatten
       def sameDomain = vals.forall(v => (v, vals.head) match {
