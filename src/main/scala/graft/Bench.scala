@@ -937,7 +937,7 @@ object Bench {
     // identical join reads every file. files_kept replays the runtime
     // predicate against the scan directly, so the recorded row carries
     // the PRUNING fact, not just the wall-clock it buys.
-    val rtRes: Option[(Meas, Meas, Int, Int, Long)] =
+    val rtRes: Option[(Meas, Meas, Int, Int, Long, Double)] =
       p2Dir.orElse(p1Dir).flatMap { dir =>
         try Some(rddGuard("runtime_filter") {
           val fn = org.apache.spark.sql.functions
@@ -1004,7 +1004,19 @@ object Bench {
             scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]
               .filter(Array(in))
             val filesAfter = fileCount(scan)
-            (on, off, filesBefore, filesAfter, band)
+            // catalog PLANNING latency at this 512-file manifest — the
+            // regression guard for the schema-from-manifest fix (planning
+            // was ~1 s/query when loadTable built a merged-view DataFrame
+            // for its schema; a plan-time O(files) regression reads here
+            // long before it reads in any execution row)
+            val planQ = s"SELECT sum(payload) FROM graftd.b.dpp_fact WHERE key < $band"
+            val planSecs = (1 to 5).map { _ =>
+              val t0 = System.nanoTime()
+              org.apache.spark.sql.graftshim.SparkInternals
+                .executedPlanString(sparkS.sql(planQ))
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            (on, off, filesBefore, filesAfter, band, planSecs)
           } finally prevConfs.foreach {
             case (k, Some(v)) => sparkS.conf.set(k, v)
             case (k, None) => sparkS.conf.unset(k)
@@ -1013,11 +1025,11 @@ object Bench {
           System.err.println(s"[bench][runtime_filter]: ${e.getMessage}"); None
         }
       }
-    val rtHead = rtRes.map { case (on, off, fb, fa, _) =>
-      s""","runtime_filter":{"dpp":${jnum(on.med)},"off":${jnum(off.med)},"files":[$fb,$fa]}"""
+    val rtHead = rtRes.map { case (on, off, fb, fa, _, plan) =>
+      s""","runtime_filter":{"dpp":${jnum(on.med)},"off":${jnum(off.med)},"files":[$fb,$fa],"plan_s":${jnum(plan)}}"""
     }.getOrElse("")
-    val rtDetail = rtRes.map { case (on, off, fb, fa, band) =>
-      s""","runtime_filter":{"dpp":[${jnum(on.min)},${jnum(on.med)}],"off":[${jnum(off.min)},${jnum(off.med)}],"files_total":$fb,"files_kept":$fa,"dim_keys":$band}"""
+    val rtDetail = rtRes.map { case (on, off, fb, fa, band, plan) =>
+      s""","runtime_filter":{"dpp":[${jnum(on.min)},${jnum(on.med)}],"off":[${jnum(off.min)},${jnum(off.med)}],"files_total":$fb,"files_kept":$fa,"dim_keys":$band,"plan_s":${jnum(plan)}}"""
     }.getOrElse("")
     val mwHead = mw.map { case (sec, commits, rebases, conflicts, ok) =>
       s""","multi_writer":{"commits_per_sec":${jnum(commits / sec)},"rebases":$rebases,"conflicts":$conflicts,"serial_equiv":$ok}"""

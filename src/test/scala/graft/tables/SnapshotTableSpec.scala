@@ -49,6 +49,49 @@ class SnapshotTableSpec extends SparkSpec {
       Seq(("nope", Seq(1L: Any))), None).size === files.size)
   }
 
+  test("schemaAt matches the merged view's schema (the catalog face's contract)") {
+    // the DSv2 catalog resolves its schema from the manifest (one parse,
+    // never a DataFrame — planning must stay O(1) in file count); this
+    // pins that the manifest schema IS what the read surface serves,
+    // including after the evolutions that could plausibly diverge
+    val root = tmpDir("tbl_sa")
+    val t = SnapshotTable.create(spark, root,
+      Seq((1L, "a", 2.0)).toDF("id", "v", "w"))
+    def check(): Unit = {
+      val v = t.currentVersion()
+      val m = t.schemaAt(v)
+      val r = t.readVersion(v).schema
+      assert(m.fields.map(f => (f.name, f.dataType)).toSeq ===
+        r.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"manifest $m vs merged view $r")
+    }
+    check()
+    t.renameColumn("v", "vv"); check() // column mapping
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField(
+      "x", org.apache.spark.sql.types.IntegerType))); check()
+    t.dropColumns(Seq("w")); check()
+  }
+
+  test("TopN file capping discounts deletion-vector rows from live counts") {
+    val root = tmpDir("tbl_tdv")
+    val t = SnapshotTable.create(spark, root,
+      spark.range(0, 4000).toDF("id").withColumn("v", col("id") * 2)
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    t.setProperties(Map("graft.dv.enabled" -> "true"))
+    // delete MOST of the lowest file's rows: the θ walk must keep
+    // walking into the second file to cover n, instead of trusting the
+    // first file's inflated manifest count
+    t.delete(col("id") < 490)
+    // serve through SQL so the cap runs in the real pushdown path
+    spark.sql(s"DROP TABLE IF EXISTS graft.db.tdv")
+    spark.sql(s"CREATE TABLE graft.db.tdv USING graft LOCATION '$root'")
+    import spark.implicits._
+    val got = spark.sql("SELECT id FROM graft.db.tdv ORDER BY id LIMIT 20")
+      .as[Long].collect().toSeq
+    assert(got === (490L until 510L), s"TopN over DV'd files returned $got")
+    spark.sql("DROP TABLE graft.db.tdv")
+  }
+
   test("unsetProperties cannot remove drop-column tombstones") {
     val t = SnapshotTable.create(spark, tmpDir("tbl_tomb"),
       Seq((1, "a", 5)).toDF("id", "v", "x"))
