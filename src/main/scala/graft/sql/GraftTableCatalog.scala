@@ -730,46 +730,11 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
     }
   }
 
-  /** The [[pushTopN]] θ rule over a manifest file list; `dvDel` is the
-   *  per-file-name pending-deletion count. DESC mirrors with min/max
-   *  swapped. Keeps the original manifest order of the survivors. */
   private def topNCap(
       files: Seq[SnapshotTable.FileEntry],
       dvDel: Map[String, Long],
-      col: String, asc: Boolean, n: Int): Seq[SnapshotTable.FileEntry] = {
-    def stat(f: SnapshotTable.FileEntry): Option[SnapshotTable.ColStats] =
-      f.stats.find(_._1.equalsIgnoreCase(col)).map(_._2)
-    def parsed(s: Option[String]): Option[Long] =
-      s.flatMap(v => scala.util.Try(v.toLong).toOption)
-    final case class B(f: SnapshotTable.FileEntry, lo: Long, hi: Long, live: Long)
-    val (bounded, alwaysKeep) = files.partition { f =>
-      stat(f).exists(cs => cs.nullCount.contains(0L) &&
-        parsed(cs.min).isDefined && parsed(cs.max).isDefined)
-    }
-    if (bounded.isEmpty) return files
-    val bs = bounded.map { f =>
-      val cs = stat(f).get
-      B(f, parsed(cs.min).get, parsed(cs.max).get,
-        math.max(0L, f.rows - dvDel.getOrElse(new Path(f.path).getName, 0L)))
-    }
-    // θ: ascending ⇒ walk by max asc; descending ⇒ by min desc
-    val walk = if (asc) bs.sortBy(_.hi) else bs.sortBy(-_.lo)
-    var cum = 0L
-    var theta: Option[Long] = None
-    val it = walk.iterator
-    while (theta.isEmpty && it.hasNext) {
-      val b = it.next()
-      cum += b.live
-      if (cum >= n) theta = Some(if (asc) b.hi else b.lo)
-    }
-    theta match {
-      case None => files // fewer than n provable rows: no pruning
-      case Some(t) =>
-        val keep = bs.filter(b => if (asc) b.lo <= t else b.hi >= t)
-          .map(_.f).toSet ++ alwaysKeep
-        files.filter(keep)
-    }
-  }
+      col: String, asc: Boolean, n: Int): Seq[SnapshotTable.FileEntry] =
+    GraftScanBuilder.topNCap(files, dvDel, col, asc, n)
 
   /** Metadata-only aggregates at the DSv2 layer: COUNT(*) / COUNT(col) /
    *  MIN / MAX answered from the commit manifest's per-file row counts
@@ -1177,11 +1142,32 @@ class KeyGroupedFileScan(
         (k, pr.prune(predicates, fs).getOrElse(fs))
       }
     }
-  override def planInputPartitions(): Array[InputPartition] =
-    groups.zipWithIndex.map { case ((key, fs), i) =>
-      org.apache.spark.sql.graftshim.SparkInternals.keyedFilePartition(
-        i, fs.map(f => (f.path, f.bytes)), key)
-    }.toArray
+  /** One partition per FILE, not per group — the upstream SPJ shape:
+   *  Spark's own `groupPartitions` merges same-key partitions for the
+   *  ordinary storage-partitioned join, and its PARTIALLY-CLUSTERED
+   *  distribution (`…bucketing.partiallyClusteredDistribution.enabled`)
+   *  can then leave a SKEWED side ungrouped — the hot bucket's files
+   *  process as separate tasks with the other side's group replicated —
+   *  which a pre-merged one-partition-per-bucket emission would make
+   *  structurally impossible. A key whose files were all runtime-pruned
+   *  still emits one EMPTY partition: BatchScanExec requires runtime
+   *  filtering to preserve the distinct key set. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val out = Array.newBuilder[InputPartition]
+    var i = 0
+    groups.foreach { case (key, fs) =>
+      if (fs.isEmpty) {
+        out += org.apache.spark.sql.graftshim.SparkInternals
+          .keyedFilePartition(i, Nil, key)
+        i += 1
+      } else fs.foreach { f =>
+        out += org.apache.spark.sql.graftshim.SparkInternals
+          .keyedFilePartition(i, Seq((f.path, f.bytes)), key)
+        i += 1
+      }
+    }
+    out.result()
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     underlying.toBatch.createReaderFactory()
 }
@@ -1277,6 +1263,49 @@ object MetadataAggReaderFactory extends PartitionReaderFactory {
 }
 
 object GraftScanBuilder {
+
+  /** The [[GraftScanBuilder.pushTopN]] θ rule over a manifest file list;
+   *  `dvDel` is the per-file-name pending-deletion count. DESC mirrors
+   *  with min/max swapped. Keeps the original manifest order of the
+   *  survivors. Soundness invariant (randomized-spec-pinned): the kept
+   *  set always contains every file holding any of the true top n. */
+  private[sql] def topNCap(
+      files: Seq[SnapshotTable.FileEntry],
+      dvDel: Map[String, Long],
+      col: String, asc: Boolean, n: Int): Seq[SnapshotTable.FileEntry] = {
+    def stat(f: SnapshotTable.FileEntry): Option[SnapshotTable.ColStats] =
+      f.stats.find(_._1.equalsIgnoreCase(col)).map(_._2)
+    def parsed(s: Option[String]): Option[Long] =
+      s.flatMap(v => scala.util.Try(v.toLong).toOption)
+    final case class B(f: SnapshotTable.FileEntry, lo: Long, hi: Long, live: Long)
+    val (bounded, alwaysKeep) = files.partition { f =>
+      stat(f).exists(cs => cs.nullCount.contains(0L) &&
+        parsed(cs.min).isDefined && parsed(cs.max).isDefined)
+    }
+    if (bounded.isEmpty) return files
+    val bs = bounded.map { f =>
+      val cs = stat(f).get
+      B(f, parsed(cs.min).get, parsed(cs.max).get,
+        math.max(0L, f.rows - dvDel.getOrElse(new Path(f.path).getName, 0L)))
+    }
+    // θ: ascending ⇒ walk by max asc; descending ⇒ by min desc
+    val walk = if (asc) bs.sortBy(_.hi) else bs.sortBy(-_.lo)
+    var cum = 0L
+    var theta: Option[Long] = None
+    val it = walk.iterator
+    while (theta.isEmpty && it.hasNext) {
+      val b = it.next()
+      cum += b.live
+      if (cum >= n) theta = Some(if (asc) b.hi else b.lo)
+    }
+    theta match {
+      case None => files // fewer than n provable rows: no pruning
+      case Some(t) =>
+        val keep = bs.filter(b => if (asc) b.lo <= t else b.hi >= t)
+          .map(_.f).toSet ++ alwaysKeep
+        files.filter(keep)
+    }
+  }
 
   /** Fold COUNT(*) / COUNT(col) / MIN(col) / MAX(col) over the commit
    *  manifest. Returns the scan output schema (positional, matching the
