@@ -2346,9 +2346,7 @@ object SparkEntry {
    *  SPJ turns into wrong answers if the layout lies) fails the hash.
    *  Integer-floored sums keep the cross-engine aggregate exact. */
   private val spjBuilt = scala.collection.concurrent.TrieMap[String, Boolean]()
-  private def spjJoinQuery(s: SparkSession, dir: String): DataFrame = {
-    ensureCatalog(s)
-    registerViews(s, dir)
+  private def ensureSpjTables(s: SparkSession, dir: String): Unit =
     spjBuilt.getOrElseUpdate(dir, {
       s.table("orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -2362,6 +2360,10 @@ object SparkEntry {
         .createOrReplace()
       true
     })
+  private def spjJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    ensureSpjTables(s, dir)
     s.sql(
       """SELECT /*+ MERGE(o) */ c.c_custkey, c.c_mktsegment,
         |  count(*) AS n_orders,
@@ -2504,6 +2506,34 @@ object SparkEntry {
       |       CAST(floor(o_totalprice) AS BIGINT) AS price_fl
       |FROM orders
       |ORDER BY o_custkey, o_orderkey LIMIT 100""".stripMargin
+
+  /** Q131 — runtime filtering over the BUCKETED fact (q129's DPP with
+   *  q127's layout — the composition a long-lived 100 TB fact actually
+   *  runs): the broadcast dim's surviving keys reach the key-grouped
+   *  scan at execution and files prune WITHIN their bucket groups, the
+   *  distinct key set preserved by construction (a fully-pruned bucket
+   *  executes as an empty partition). Declared against the plain join
+   *  oracle: pruning that drops a file it should keep, or a group whose
+   *  disappearance breaks the reported partitioning, loses rows and
+   *  fails the hash. Reuses q127's co-bucketed `spj_orders` table. */
+  private def dppBucketedQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    ensureSpjTables(s, dir)
+    s.sql(
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  CAST(floor(o.o_totalprice) AS BIGINT) AS price_fl
+        |FROM graft.bench.spj_orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal > 9900.0
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+  private val Q131Duck =
+    """SELECT o.o_orderkey, o.o_custkey,
+      |       CAST(floor(o.o_totalprice) AS BIGINT) AS price_fl
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_acctbal > 9900.0
+      |ORDER BY o.o_orderkey""".stripMargin
 
   /** Q32 — as-of join: each click matched to the user's most recent view
    *  (point-in-time correctness; DuckDB's native ASOF JOIN as oracle). */
@@ -4359,7 +4389,8 @@ object SparkEntry {
     "q127_spj_join" -> spjJoinQuery,
     "q128_spj_hybrid" -> spjHybridQuery,
     "q129_dpp_join" -> dppJoinQuery,
-    "q130_topn" -> topnQuery)
+    "q130_topn" -> topnQuery,
+    "q131_dpp_bucketed" -> dppBucketedQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4544,7 +4575,8 @@ object SparkEntry {
     "q127_spj_join" -> Q127Duck,
     "q128_spj_hybrid" -> Q128Duck,
     "q129_dpp_join" -> Q129Duck,
-    "q130_topn" -> Q130Duck)
+    "q130_topn" -> Q130Duck,
+    "q131_dpp_bucketed" -> Q131Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -2514,12 +2514,13 @@ class SnapshotTable private (
   private[graft] def dvPositionsAt(version: Long): Map[String, Array[Long]] = {
     val dvs = dvManifestAt(version)
     if (dvs.isEmpty) Map.empty
-    else spark.read.schema(SnapshotTable.DvSchema).parquet(dvs: _*)
-      .collect()
-      .groupBy(_.getString(0))
-      .map { case (f, rows) =>
-        f -> rows.map(_.getLong(1)).distinct.sorted
-      }
+    else SnapshotTable.dvPositionsCached(logDir.toString, version, () =>
+      spark.read.schema(SnapshotTable.DvSchema).parquet(dvs: _*)
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rows) =>
+          f -> rows.map(_.getLong(1)).distinct.sorted
+        })
   }
 
   /**
@@ -4458,6 +4459,33 @@ object SnapshotTable {
    *  `iceberg/iceberg_scd_script.py:34-37`). */
   def create(spark: SparkSession, root: String, df: DataFrame): SnapshotTable =
     new SnapshotTable(spark, root).overwrite(df)
+
+  /** Deletion-vector position maps, memoized per (commit log, version):
+   *  a version's sidecar set is IMMUTABLE once its slot commits (CAS
+   *  slots are never rewritten; purge/delete produce NEW versions), so
+   *  the O(deleted rows) collect pays once per snapshot per JVM instead
+   *  of once per scan build — every catalog query over a DV-carrying
+   *  table otherwise re-runs the same small Spark job at PLAN time.
+   *  Branch logs key separately (their version numbers overlap main's).
+   *  Bounded LRU; eviction only re-pays the job. */
+  private val dvPosCache =
+    new java.util.LinkedHashMap[(String, Long), Map[String, Array[Long]]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Map[String, Array[Long]]]): Boolean =
+        size() > 8
+    }
+  private[tables] def dvPositionsCached(
+      logDir: String, version: Long,
+      load: () => Map[String, Array[Long]]): Map[String, Array[Long]] = {
+    val key = (logDir, version)
+    val hit = dvPosCache.synchronized(Option(dvPosCache.get(key)))
+    hit.getOrElse {
+      val v = load() // outside the lock: the load runs a Spark job
+      dvPosCache.synchronized(dvPosCache.put(key, v))
+      v
+    }
+  }
 
   /** Adopt an existing plain-parquet directory as a graft table IN PLACE
    *  (Delta `CONVERT TO DELTA` analogue, the migration path for a corpus

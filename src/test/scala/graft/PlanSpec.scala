@@ -420,6 +420,55 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.spjs_dim")
   }
 
+  test("DPP composes with SPJ end-to-end: emptied buckets execute as empty partitions") {
+    // the one composition the unit tests only plan: a storage-partitioned
+    // MERGE join carrying a DPP subquery (reuseBroadcastOnly off — no
+    // broadcast exists to reuse under SPJ), whose runtime IN empties
+    // entire buckets; those keys must still EXECUTE as empty partitions
+    // or BatchScanExec rejects the filtered partitioning outright
+    def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    spark.sql("DROP TABLE IF EXISTS graft.db.spjdpp_fact")
+    spark.sql("DROP TABLE IF EXISTS graft.db.spjdpp_dim")
+    spark.sql("CREATE TABLE graft.db.spjdpp_fact (id BIGINT, v BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(8, id))")
+    spark.sql("CREATE TABLE graft.db.spjdpp_dim (id BIGINT, w STRING) " +
+      "USING graft PARTITIONED BY (bucket(8, id))")
+    // two ordered waves: within each bucket, file ranges are disjoint
+    for (lo <- Seq(0L, 2000L))
+      spark.range(lo, lo + 2000).select(col("id"), (col("id") * 3).as("v"))
+        .writeTo("graft.db.spjdpp_fact").append()
+    spark.range(0, 4000).select(col("id"), concat(lit("w"), col("id")).as("w"))
+      .writeTo("graft.db.spjdpp_dim").append()
+    import spark.implicits._
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false") {
+      // the dim side's filter keeps exactly TWO ids: most buckets prune
+      // to zero files on the fact side at execution
+      val df = spark.sql(
+        """SELECT /*+ MERGE(f) */ f.id, f.v, d.w
+          |FROM graft.db.spjdpp_fact f JOIN graft.db.spjdpp_dim d ON f.id = d.id
+          |WHERE d.w IN ('w7', 'w3905')""".stripMargin)
+      val plan = executedPlanString(df)
+      assert(plan.contains("SortMergeJoin"), s"expected SPJ merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"shuffle in SPJ+DPP plan:\n$plan")
+      assert(plan.contains("dynamicpruning"), s"no runtime filter under SPJ:\n$plan")
+      assert(df.as[(Long, Long, String)].collect().toSet ===
+        Set((7L, 21L, "w7"), (3905L, 11715L, "w3905")))
+    }
+    spark.sql("DROP TABLE graft.db.spjdpp_fact")
+    spark.sql("DROP TABLE graft.db.spjdpp_dim")
+  }
+
   test("composite-key SPJ via hybrid layout: (bucket(8, ent), day) with no shuffle") {
     // fact tables keyed on (entity, day): the upstream-compatible SPJ
     // encoding is the Iceberg-style MULTI-TRANSFORM layout — bucket the
@@ -1020,6 +1069,15 @@ class PlanSpec extends SparkSpec {
       s"q129's fact scan lost its runtime filter:\n$plan")
     assert(plan.contains("RuntimePrunable"),
       s"q129's fact side is not the runtime-prunable catalog scan:\n$plan")
+  }
+
+  test("q131's executed plan runtime-filters the key-grouped fact scan") {
+    val df = SparkEntry.queries("q131_dpp_bucketed")(spark, dir)
+    val plan = executedPlanString(df)
+    assert(plan.contains("dynamicpruning"),
+      s"q131's bucketed fact scan lost its runtime filter:\n$plan")
+    assert(plan.contains("KeyGrouped(bucket(8, o_custkey))"),
+      s"q131's fact is not the key-grouped catalog scan:\n$plan")
   }
 
   test("merge source side with equi-condition plans as a hash join, not NLJ") {
