@@ -938,7 +938,9 @@ object Bench {
     // predicate against the scan directly, so the recorded row carries
     // the PRUNING fact, not just the wall-clock it buys.
     val rtRes: Option[(Meas, Meas, Int, Int, Long, Double)] =
-      p2Dir.orElse(p1Dir).flatMap { dir =>
+      // gated on the scale corpora existing (full-matrix runs only); the
+      // fact itself is synthesized at a pinned size
+      p2Dir.orElse(p1Dir).flatMap { _ =>
         try Some(rddGuard("runtime_filter") {
           val fn = org.apache.spark.sql.functions
           val n = 1L << 24 // 16.8M rows × ~180 B — the scan must outweigh

@@ -2394,6 +2394,18 @@ object SparkEntry {
   private def spjHybridQuery(s: SparkSession, dir: String): DataFrame = {
     ensureCatalog(s)
     registerViews(s, dir)
+    ensureSpjhTables(s, dir)
+    s.sql(
+      """SELECT /*+ MERGE(o) */ o.o_custkey, o.omonth,
+        |  CAST(max(m.n_orders) AS BIGINT) AS n_orders,
+        |  CAST(sum(o.price_fl) AS BIGINT) AS sum_price_fl
+        |FROM graft.bench.spjh_orders o
+        |JOIN graft.bench.spjh_month m
+        |  ON o.o_custkey = m.o_custkey AND o.omonth = m.omonth
+        |GROUP BY o.o_custkey, o.omonth
+        |ORDER BY o.o_custkey, o.omonth""".stripMargin)
+  }
+  private def ensureSpjhTables(s: SparkSession, dir: String): Unit = {
     spjhBuilt.getOrElseUpdate(dir, {
       s.sql("DROP TABLE IF EXISTS graft.bench.spjh_orders")
       s.sql("DROP TABLE IF EXISTS graft.bench.spjh_month")
@@ -2417,15 +2429,7 @@ object SparkEntry {
         .writeTo("graft.bench.spjh_month").append()
       true
     })
-    s.sql(
-      """SELECT /*+ MERGE(o) */ o.o_custkey, o.omonth,
-        |  CAST(max(m.n_orders) AS BIGINT) AS n_orders,
-        |  CAST(sum(o.price_fl) AS BIGINT) AS sum_price_fl
-        |FROM graft.bench.spjh_orders o
-        |JOIN graft.bench.spjh_month m
-        |  ON o.o_custkey = m.o_custkey AND o.omonth = m.omonth
-        |GROUP BY o.o_custkey, o.omonth
-        |ORDER BY o.o_custkey, o.omonth""".stripMargin)
+    ()
   }
   private val Q128Duck =
     """WITH o AS (SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS omonth,
@@ -2534,6 +2538,32 @@ object SparkEntry {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |WHERE c.c_acctbal > 9900.0
       |ORDER BY o.o_orderkey""".stripMargin
+
+  /** Q132 — METADATA-ONLY GROUP BY (Iceberg's partitions-metadata-table
+   *  query, served natively from the commit manifest): grouping q128's
+   *  hybrid fact by its per-file single-valued partition column, the
+   *  DSv2 aggregate pushdown answers one partial row per month from
+   *  per-file row counts and exact stats — ZERO data files read
+   *  (PlanSpec pins the GraftMetadataAgg plan with no ParquetScan, plus
+   *  the refusals: a non-single-valued key or a pending DV falls back
+   *  to the ordinary scan). Correctness-gated against the plain
+   *  group-by oracle: a tuple mis-derived from stats, or a count that
+   *  ignored a file, shifts a group's row and fails the hash. */
+  private def metaGroupByQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    ensureSpjhTables(s, dir)
+    s.sql(
+      """SELECT omonth, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(max(price_fl) AS BIGINT) AS max_price_fl
+        |FROM graft.bench.spjh_orders
+        |GROUP BY omonth ORDER BY omonth""".stripMargin)
+  }
+  private val Q132Duck =
+    """SELECT CAST(month(o_orderdate) AS INT) AS omonth,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(max(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS max_price_fl
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Q32 — as-of join: each click matched to the user's most recent view
    *  (point-in-time correctness; DuckDB's native ASOF JOIN as oracle). */
@@ -4390,7 +4420,8 @@ object SparkEntry {
     "q128_spj_hybrid" -> spjHybridQuery,
     "q129_dpp_join" -> dppJoinQuery,
     "q130_topn" -> topnQuery,
-    "q131_dpp_bucketed" -> dppBucketedQuery)
+    "q131_dpp_bucketed" -> dppBucketedQuery,
+    "q132_meta_groupby" -> metaGroupByQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4576,7 +4607,8 @@ object SparkEntry {
     "q128_spj_hybrid" -> Q128Duck,
     "q129_dpp_join" -> Q129Duck,
     "q130_topn" -> Q130Duck,
-    "q131_dpp_bucketed" -> Q131Duck)
+    "q131_dpp_bucketed" -> Q131Duck,
+    "q132_meta_groupby" -> Q132Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

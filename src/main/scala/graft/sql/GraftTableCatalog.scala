@@ -669,7 +669,7 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
-  private var metaAgg: Option[(StructType, Array[Any])] = None
+  private var metaAgg: Option[(StructType, Seq[Array[Any]])] = None
   private var limit: Option[Int] = None
   private var topn: Option[(String, Boolean, Int)] = None // (column, asc, n)
 
@@ -749,16 +749,23 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
    *  exists at all when only the catalog is configured, without
    *  [[GraftExtensions]].
    *
+   *  GROUP BY pushes too, when every group key is a plain column that
+   *  every file PROVES single-valued (the layout's partition columns —
+   *  hybrid cluster specs put exactly one value per file): each distinct
+   *  tuple folds its own file set, one partial row per tuple, Iceberg's
+   *  partitions-metadata-table query served from the manifest.
+   *
    *  Refused (→ ordinary scan, always correct) whenever exactness isn't
-   *  provable: any pushed filter, any GROUP BY, a file with unknown row
-   *  count, a column missing stats in any file, or a column type outside
-   *  the exact-stats domains — strings (footer bounds may be truncated)
-   *  and float/double (NaN is invisible to parquet min/max, but sorts
+   *  provable: any pushed filter, a group key any file can't prove
+   *  single-valued, a file with unknown row count, a column missing
+   *  stats in any file, or a column type outside the exact-stats
+   *  domains — strings (footer bounds may be truncated) and
+   *  float/double (NaN is invisible to parquet min/max, but sorts
    *  above +Inf in Spark; the rule handles these with its stronger
    *  all-NULL gate). Spark plans its own final merge on top (partial
-   *  pushdown), so one emitted row is exactly right. */
+   *  pushdown), so the partial rows are exactly right. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty) return false
+    if (pushed.nonEmpty) return false
     metaAgg = GraftScanBuilder.metadataAggregate(table, version, tableSchema, aggregation)
     metaAgg.isDefined
   }
@@ -772,8 +779,8 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
     required = requiredSchema
 
   override def build(): Scan = metaAgg match {
-    case Some((aggSchema, row)) =>
-      new MetadataAggScan(aggSchema, row, table.root)
+    case Some((aggSchema, rows)) =>
+      new MetadataAggScan(aggSchema, rows, table.root)
     case None => buildFileScan()
   }
 
@@ -1231,30 +1238,34 @@ class LogicalNamesScan(underlying: Scan, logical: StructType)
   }
 }
 
-/** One-row, one-partition scan carrying a metadata-answered aggregate.
- *  Spark binds the fields positionally to the pushed aggregate functions
- *  and applies its own final merge (sum of counts, min of mins), so a
- *  single partial row is exactly right. */
-class MetadataAggScan(aggSchema: StructType, row: Array[Any], source: String)
+/** One-partition scan carrying metadata-answered aggregate rows — one
+ *  row for a global aggregate, one row per distinct group tuple when a
+ *  GROUP BY over provably single-valued columns was pushed. Spark binds
+ *  the fields positionally (group columns first, then the pushed
+ *  aggregate functions) and applies its own final merge (sum of counts,
+ *  min of mins), so partial rows are exactly right. */
+class MetadataAggScan(aggSchema: StructType, rows: Seq[Array[Any]], source: String)
     extends Scan with Batch with Serializable {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftMetadataAgg [${aggSchema.fieldNames.mkString(", ")}] $source"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(MetadataAggPartition(row))
+    Array(MetadataAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory = MetadataAggReaderFactory
 }
 
-final case class MetadataAggPartition(row: Array[Any]) extends InputPartition
+final case class MetadataAggPartition(rows: Seq[Array[Any]]) extends InputPartition
 
 object MetadataAggReaderFactory extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val values = partition.asInstanceOf[MetadataAggPartition].row
+    val all = partition.asInstanceOf[MetadataAggPartition].rows
     new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      private val it = all.iterator
+      private var values: Array[Any] = null
+      override def next(): Boolean =
+        if (it.hasNext) { values = it.next(); true } else false
       override def get(): org.apache.spark.sql.catalyst.InternalRow =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       override def close(): Unit = ()
@@ -1315,7 +1326,7 @@ object GraftScanBuilder {
       table: SnapshotTable,
       version: Long,
       schema: StructType,
-      agg: Aggregation): Option[(StructType, Array[Any])] = {
+      agg: Aggregation): Option[(StructType, Seq[Array[Any]])] = {
     // manifest row counts OVERCOUNT when deletion vectors are pending —
     // nothing exact is provable until they are purged
     if (table.dvManifestAt(version).nonEmpty) return None
@@ -1323,7 +1334,6 @@ object GraftScanBuilder {
     // rows == -1 marks a foreign/adopted file whose footer row count was
     // unreadable — nothing is provable from this manifest
     if (files.exists(_.rows < 0)) return None
-    val totalRows = files.map(_.rows).sum
 
     // exact-stats domains: stats strings hold the full long value
     def statsExact(dt: DataType): Boolean = dt match {
@@ -1343,38 +1353,79 @@ object GraftScanBuilder {
       case IntegerType | DateType => v.toInt
       case _ => v
     }
-    def bound(name: String, dt: DataType, takeMin: Boolean): Option[Any] = {
+    def bound(fs: Seq[SnapshotTable.FileEntry], name: String, dt: DataType,
+        takeMin: Boolean): Option[Any] = {
       if (!statsExact(dt)) return None
-      if (files.isEmpty) return Some(null) // empty table: MIN/MAX is NULL
-      val bounds = files.map(_.stats.get(name).flatMap(s => if (takeMin) s.min else s.max))
+      if (fs.isEmpty) return Some(null) // empty table: MIN/MAX is NULL
+      val bounds = fs.map(_.stats.get(name).flatMap(s => if (takeMin) s.min else s.max))
       if (bounds.exists(_.isEmpty)) return None // a file without stats
       val longs = bounds.map(_.get.toLong)
       Some(internal(if (takeMin) longs.min else longs.max, dt))
     }
 
-    val resolved = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar =>
-        Some(StructField("count(*)", LongType, nullable = false) -> (totalRows: Any))
-      case c: Count if !c.isDistinct =>
-        field(c.column).flatMap { f =>
-          if (f.nullable) {
-            val nulls = files.map(_.stats.get(f.name).flatMap(_.nullCount))
-            if (nulls.exists(_.isEmpty)) None
-            else Some(StructField(s"count(${f.name})", LongType, nullable = false) ->
-              ((totalRows - nulls.map(_.get).sum): Any))
-          } else Some(StructField(s"count(${f.name})", LongType, nullable = false) ->
-            (totalRows: Any))
-        }
-      case m: Min =>
-        field(m.column).flatMap(f => bound(f.name, f.dataType, takeMin = true)
-          .map(v => StructField(s"min(${f.name})", f.dataType) -> v))
-      case m: Max =>
-        field(m.column).flatMap(f => bound(f.name, f.dataType, takeMin = false)
-          .map(v => StructField(s"max(${f.name})", f.dataType) -> v))
-      case _ => None
+    // each aggregate resolves to (output field, fold over a FILE SET) —
+    // the same fold serves the global row and every per-group row
+    val evals: Seq[Option[(StructField, Seq[SnapshotTable.FileEntry] => Option[Any])]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some(StructField("count(*)", LongType, nullable = false) ->
+            ((fs: Seq[SnapshotTable.FileEntry]) => Some(fs.map(_.rows).sum: Any)))
+        case c: Count if !c.isDistinct =>
+          field(c.column).map { f =>
+            StructField(s"count(${f.name})", LongType, nullable = false) ->
+              ((fs: Seq[SnapshotTable.FileEntry]) =>
+                if (!f.nullable) Some(fs.map(_.rows).sum: Any)
+                else {
+                  val nulls = fs.map(_.stats.get(f.name).flatMap(_.nullCount))
+                  if (nulls.exists(_.isEmpty)) None
+                  else Some((fs.map(_.rows).sum - nulls.map(_.get).sum): Any)
+                })
+          }
+        case m: Min =>
+          field(m.column).map(f => StructField(s"min(${f.name})", f.dataType) ->
+            ((fs: Seq[SnapshotTable.FileEntry]) => bound(fs, f.name, f.dataType, takeMin = true)))
+        case m: Max =>
+          field(m.column).map(f => StructField(s"max(${f.name})", f.dataType) ->
+            ((fs: Seq[SnapshotTable.FileEntry]) => bound(fs, f.name, f.dataType, takeMin = false)))
+        case _ => None
+      }
+    if (evals.exists(_.isEmpty)) return None
+    val resolved = evals.flatten
+    def rowFor(fs: Seq[SnapshotTable.FileEntry]): Option[Seq[Any]] = {
+      val vs = resolved.map(_._2(fs))
+      if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
     }
-    if (resolved.exists(_.isEmpty)) None
-    else Some((StructType(resolved.map(_.get._1)), resolved.map(_.get._2).toArray))
+
+    // GROUP BY pushdown — metadata-only per-PARTITION aggregation
+    // (Iceberg's partitions-metadata-table query): allowed exactly when
+    // every group key is a plain column that every file PROVES
+    // single-valued (min == max, zero nulls, fixed-width type —
+    // `fileSingleValue`, the hybrid-SPJ derivation), i.e. the layout's
+    // partition columns. Each distinct tuple folds its own file set;
+    // Spark's final aggregation merges the partial rows, so one row per
+    // tuple is exactly right. Anything unprovable refuses → full scan.
+    val groupRefs = agg.groupByExpressions.toSeq.map(field)
+    if (groupRefs.exists(_.isEmpty)) return None
+    val gfs = groupRefs.flatten
+    if (gfs.isEmpty)
+      rowFor(files).map(vs =>
+        (StructType(resolved.map(_._1)), Seq(vs.toArray)))
+    else {
+      val keyed = files.map { f =>
+        val t = gfs.map(gf => table.fileSingleValue(f, gf.name, schema))
+        if (t.exists(_.isEmpty)) return None
+        (t.map(_.get), f)
+      }
+      val rows = keyed.groupBy(_._1).toSeq.sortBy(_._1.mkString("|"))
+        .map { case (tuple, kfs) =>
+          rowFor(kfs.map(_._2)) match {
+            case Some(vs) => (tuple ++ vs).toArray
+            case None => return None
+          }
+        }
+      Some((StructType(gfs.map(_.copy(nullable = false)) ++ resolved.map(_._1)),
+        rows))
+    }
   }
 
   /** v1 Filter → Column predicate for the shapes our stats pruning (and

@@ -1080,6 +1080,49 @@ class PlanSpec extends SparkSpec {
       s"q131's fact is not the key-grouped catalog scan:\n$plan")
   }
 
+  test("metadata-only GROUP BY over provably single-valued partition columns") {
+    // the Iceberg partitions-metadata-table query served from the
+    // manifest: group keys that every file proves single-valued (hybrid
+    // layouts put one value per file) aggregate with ZERO data files read
+    spark.sql("DROP TABLE IF EXISTS graft.db.mgb")
+    spark.sql("CREATE TABLE graft.db.mgb (ent BIGINT, day INT, v BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(4, ent), day)")
+    spark.range(0, 3000).select(col("id").as("ent"),
+        (col("id") % 3).cast("int").as("day"), (col("id") * 7).as("v"))
+      .writeTo("graft.db.mgb").append()
+    val df = spark.sql(
+      "SELECT day, count(*) AS n, max(v) AS mx FROM graft.db.mgb " +
+        "GROUP BY day ORDER BY day")
+    val plan = executedPlanString(df)
+    assert(plan.contains("GraftMetadataAgg"),
+      s"group-by did not answer from the manifest:\n$plan")
+    assert(!plan.contains("ParquetScan"), s"data files read:\n$plan")
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0, 1000L, 2997L * 7), (1, 1000L, 2998L * 7), (2, 1000L, 2999L * 7)))
+    // refusal: a group key no file proves single-valued → ordinary scan,
+    // identical answer
+    val df2 = spark.sql(
+      "SELECT ent, count(*) AS n FROM graft.db.mgb GROUP BY ent")
+    assert(!executedPlanString(df2).contains("GraftMetadataAgg"))
+    assert(df2.count() === 3000L)
+    // and a pending DV refuses (counts would overcount)
+    spark.sql("ALTER TABLE graft.db.mgb SET TBLPROPERTIES ('graft.dv.enabled'='true')")
+    spark.sql("DELETE FROM graft.db.mgb WHERE ent < 30")
+    val df3 = spark.sql(
+      "SELECT day, count(*) AS n FROM graft.db.mgb GROUP BY day ORDER BY day")
+    assert(!executedPlanString(df3).contains("GraftMetadataAgg"))
+    assert(df3.collect().map(_.getLong(1)).sum === 2970L)
+    spark.sql("DROP TABLE graft.db.mgb")
+  }
+
+  test("q132's executed plan answers the group-by from the manifest alone") {
+    val df = SparkEntry.queries("q132_meta_groupby")(spark, dir)
+    val plan = executedPlanString(df)
+    assert(plan.contains("GraftMetadataAgg"),
+      s"q132 read data files for a manifest-answerable group-by:\n$plan")
+    assert(!plan.contains("ParquetScan"), s"data files in q132's plan:\n$plan")
+  }
+
   test("merge source side with equi-condition plans as a hash join, not NLJ") {
     val t = SnapshotTable.create(spark, tmpDir("plan"),
       spark.range(0, 10000).toDF("id").withColumn("v", lit("x")))
