@@ -799,20 +799,16 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
     val dvPos = table.dvPositionsAt(version)
     // pushed LIMIT (guaranteed filter-free): take manifest files in order
     // until their exact LIVE row counts (manifest rows minus pending DV
-    // deletions) reach the bound — the rest are never opened. Pushed
-    // TopN instead selects by the θ rule on the sort key's stats.
+    // deletions) reach the bound — the rest are never opened. A file
+    // with UNKNOWN row count (rows == -1, adopted with an unreadable
+    // footer) is kept but contributes nothing toward the bound — it may
+    // hold any number of live rows, so dropping it could silently
+    // return fewer than the table holds. Pushed TopN instead selects by
+    // the θ rule on the sort key's stats.
     val dvDel: Map[String, Long] = dvPos.map { case (k, v) => k -> v.length.toLong }
     val files = (limit, topn) match {
       case (Some(l), _) if pushed.isEmpty =>
-        val out = Seq.newBuilder[SnapshotTable.FileEntry]
-        var cum = 0L
-        val it = allFiles.iterator
-        while (cum < l && it.hasNext) {
-          val f = it.next()
-          val live = f.rows - dvDel.getOrElse(new Path(f.path).getName, 0L)
-          if (live > 0) { out += f; cum += live }
-        }
-        out.result()
+        GraftScanBuilder.limitCap(allFiles, dvDel, l)
       case (None, Some((c, asc, n))) if pushed.isEmpty =>
         topNCap(allFiles, dvDel, c, asc, n)
       case _ => allFiles
@@ -1280,6 +1276,28 @@ object GraftScanBuilder {
    *  with min/max swapped. Keeps the original manifest order of the
    *  survivors. Soundness invariant (randomized-spec-pinned): the kept
    *  set always contains every file holding any of the true top n. */
+  /** Pushed-LIMIT file capping: manifest files in order until their
+   *  exact live row counts reach the bound. A file with UNKNOWN row
+   *  count (rows == -1) is kept but contributes nothing toward the
+   *  bound — dropping it could silently return fewer rows than exist. */
+  private[graft] def limitCap(
+      files: Seq[SnapshotTable.FileEntry],
+      dvDel: Map[String, Long],
+      l: Int): Seq[SnapshotTable.FileEntry] = {
+    val out = Seq.newBuilder[SnapshotTable.FileEntry]
+    var cum = 0L
+    val it = files.iterator
+    while (cum < l && it.hasNext) {
+      val f = it.next()
+      if (f.rows < 0) { out += f }
+      else {
+        val live = f.rows - dvDel.getOrElse(new Path(f.path).getName, 0L)
+        if (live > 0) { out += f; cum += live }
+      }
+    }
+    out.result()
+  }
+
   private[sql] def topNCap(
       files: Seq[SnapshotTable.FileEntry],
       dvDel: Map[String, Long],

@@ -2514,13 +2514,26 @@ class SnapshotTable private (
   private[graft] def dvPositionsAt(version: Long): Map[String, Array[Long]] = {
     val dvs = dvManifestAt(version)
     if (dvs.isEmpty) Map.empty
-    else SnapshotTable.dvPositionsCached(logDir.toString, version, () =>
-      spark.read.schema(SnapshotTable.DvSchema).parquet(dvs: _*)
-        .collect()
-        .groupBy(_.getString(0))
-        .map { case (f, rows) =>
-          f -> rows.map(_.getLong(1)).distinct.sorted
-        })
+    else {
+      // cache key carries the commit SLOT FILE's identity (mtime+length),
+      // not just (logDir, version): a table dropped and recreated at the
+      // same path re-reaches overlapping version numbers with a freshly
+      // written slot file, and keying on the path alone would serve the
+      // dead incarnation's DV map — silently wrong rows. The status probe
+      // is one point lookup vs the O(deleted rows) Spark job it guards.
+      val slotId =
+        try {
+          val st = fs.getFileStatus(new Path(logDir, f"$version%020d.json"))
+          (st.getModificationTime, st.getLen)
+        } catch { case NonFatal(_) => (-1L, -1L) }
+      SnapshotTable.dvPositionsCached(logDir.toString, version, slotId, () =>
+        spark.read.schema(SnapshotTable.DvSchema).parquet(dvs: _*)
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (f, rows) =>
+            f -> rows.map(_.getLong(1)).distinct.sorted
+          })
+    }
   }
 
   /**
@@ -4469,16 +4482,16 @@ object SnapshotTable {
    *  Branch logs key separately (their version numbers overlap main's).
    *  Bounded LRU; eviction only re-pays the job. */
   private val dvPosCache =
-    new java.util.LinkedHashMap[(String, Long), Map[String, Array[Long]]](
+    new java.util.LinkedHashMap[(String, Long, (Long, Long)), Map[String, Array[Long]]](
         16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Map[String, Array[Long]]]): Boolean =
+          e: java.util.Map.Entry[(String, Long, (Long, Long)), Map[String, Array[Long]]]): Boolean =
         size() > 8
     }
   private[tables] def dvPositionsCached(
-      logDir: String, version: Long,
+      logDir: String, version: Long, slotId: (Long, Long),
       load: () => Map[String, Array[Long]]): Map[String, Array[Long]] = {
-    val key = (logDir, version)
+    val key = (logDir, version, slotId)
     val hit = dvPosCache.synchronized(Option(dvPosCache.get(key)))
     hit.getOrElse {
       val v = load() // outside the lock: the load runs a Spark job

@@ -1625,4 +1625,54 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!t.appendRebaseSafe(base,
       base.copy(schemaJson = base.schemaJson.replace("\"id\"", "\"id2\""))))
   }
+
+  test("pushed-LIMIT cap keeps files with unknown row counts") {
+    import graft.sql.GraftScanBuilder
+    def fe(p: String, rows: Long) =
+      SnapshotTable.FileEntry(p, rows, 1000L, Map.empty)
+    val files = Seq(fe("a.parquet", 500L), fe("b.parquet", -1L), fe("c.parquet", 500L))
+    // the unknown-count file may hold any number of rows: it must be
+    // KEPT (correctness) but contribute nothing toward the bound
+    val capped = GraftScanBuilder.limitCap(files, Map.empty, 600)
+    assert(capped.map(_.path) === Seq("a.parquet", "b.parquet", "c.parquet"),
+      s"unknown-rowcount file dropped from the LIMIT cap: ${capped.map(_.path)}")
+    // a bound the first known file already covers stops before the
+    // unknown file — capping still prunes when it provably can
+    assert(GraftScanBuilder.limitCap(files, Map.empty, 400)
+      .map(_.path) === Seq("a.parquet"))
+    // DV-deleted rows still subtract from known counts
+    assert(GraftScanBuilder.limitCap(files, Map("a.parquet" -> 200L), 400)
+      .map(_.path) === Seq("a.parquet", "b.parquet", "c.parquet"))
+  }
+
+  test("DV position cache is keyed per table incarnation, not just (path, version)") {
+    val root = tmpDir("tbl_dvinc")
+    def build(deleteKey: Long): Unit = {
+      val t = SnapshotTable.create(spark, root,
+        spark.range(0, 100).toDF("id").repartition(1))
+      t.setProperties(Map("graft.dv.enabled" -> "true"))
+      t.delete(col("id") === deleteKey)
+      assert(t.dvManifest().nonEmpty, "delete did not land as a deletion vector")
+    }
+    def served(): Seq[Long] = {
+      spark.sql("DROP TABLE IF EXISTS graft.db.dvinc")
+      spark.sql(s"CREATE TABLE graft.db.dvinc USING graft LOCATION '$root'")
+      val got = spark.sql("SELECT id FROM graft.db.dvinc").as[Long].collect().toSeq.sorted
+      spark.sql("DROP TABLE graft.db.dvinc") // external: unregisters only
+      got
+    }
+    build(5L)
+    assert(!served().contains(5L))
+    // drop the incarnation BEHIND the catalog's back and rebuild at the
+    // same path to the same version count with a different DV set — the
+    // plan-time DV cache must not serve the dead incarnation's map
+    val dir = java.nio.file.Paths.get(root)
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    Thread.sleep(15) // distinct slot mtime even on a coarse-grained FS
+    build(7L)
+    val got2 = served()
+    assert(got2.contains(5L) && !got2.contains(7L),
+      s"stale DV map served for the new incarnation: missing 5 or resurrecting 7 in $got2")
+  }
 }
