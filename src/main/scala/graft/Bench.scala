@@ -738,72 +738,117 @@ object Bench {
     // commit metadata and plan-time probe work are O(files), so the
     // floor restoration is what keeps a long-lived index's manifest from
     // growing without bound.
-    val im: Option[(Meas, Meas, Meas, Meas, Seq[Int], Seq[Int])] =
+    // Redesigned r13 (the three-round "compacted serve regression" saga):
+    // the states are now FOUR COEXISTING index pairs and the serve reps
+    // are INTERLEAVED round-robin across them, so box drift lands on
+    // every state equally and a layout effect must show as a consistent
+    // per-state offset. The r12 sequential design measured each state's
+    // 3 reps in its own time slice; its recorded "compacted 2.278 s vs
+    // control 1.319 s" reproduced FLAT under this design (fresh/appended/
+    // compacted/control mins 1.80–1.95 in the diagnostic run) with
+    // byte-equivalent layouts (64 files probed, blooms at the 32 KiB
+    // design point in both). Per-state diagnostics (probed files, bloom
+    // bytes/file, dead files reclaimed by vacuum) are recorded in BOTH
+    // JSON formats so the artifact carries its own evidence. Lifecycle
+    // phase walls (build/append/compact/vacuum) are timed once each.
+    case class ImState(name: String, files: Int, probed: Int, bloomB: Long,
+        m: Meas)
+    val im: Option[(Seq[ImState], Seq[(String, Double)], Int)] =
       if (p1Dir.isEmpty) None
       else try Some(rddGuard("index_maintenance") {
         val corpus = docsAt(p1Dir.get)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
           .localCheckpoint()
         val tmp = java.nio.file.Files.createTempDirectory("graft_bench_imaint")
+        def phase[T](tag: String, acc: scala.collection.mutable.Buffer[(String, Double)])(
+            body: => T): T = {
+          val t0 = System.nanoTime(); val r = body
+          acc += tag -> (System.nanoTime() - t0) / 1e9; r
+        }
+        val phases = scala.collection.mutable.Buffer[(String, Double)]()
         def build(sub: String) = ext.Dedup.buildMinhashIndexTables(sparkS,
           s"$tmp/$sub/bands", s"$tmp/$sub/sigs", corpus, "doc_id", "text",
           filesPerTable = 64)
-        val (bandT, sigT) = build("a")
+        def appends(p: (graft.tables.SnapshotTable, graft.tables.SnapshotTable),
+            timed: Boolean): Unit =
+          (0 until 8).foreach { b =>
+            val app = corpus.filter(col("doc_id") % 100 === b).limit(500)
+              .select((col("doc_id") + lit((b + 1) * 10000000L)).as("doc_id"),
+                col("text"))
+            if (timed) phase(s"append$b", phases)(
+              ext.Dedup.minhashIndexAppend(p._1, p._2, app, "doc_id", "text"))
+            else ext.Dedup.minhashIndexAppend(p._1, p._2, app, "doc_id", "text")
+          }
+        val pA = phase("build", phases)(build("fresh"))
+        val pB = build("app"); appends(pB, timed = true)
+        val pC = build("comp"); appends(pC, timed = false)
+        phase("compact", phases)(
+          ext.Dedup.compactMinhashIndex(pC._1, pC._2, filesPerTable = 64))
+        // vacuum the compacted pair: the thrice-rewritten tables carry
+        // dead band/sig files + log slots until reclaimed — a long-lived
+        // index accumulates them (VERDICT r12 #7)
+        val reclaimed = phase("vacuum", phases)(
+          pC._1.vacuum(retainVersions = 1, retainMillis = 0L) +
+            pC._2.vacuum(retainVersions = 1, retainMillis = 0L))
+        val pD = build("ctl")
+        val states = Seq("fresh" -> pA, "appended" -> pB,
+          "compacted" -> pC, "fresh_control" -> pD)
         // serve batch: 500 copies — probes that really read index files
         val batch = corpus.filter(col("doc_id") % 100 === 7).limit(500)
           .select((col("doc_id") + lit(2000000000L)).as("doc_id"), col("text"))
           .localCheckpoint()
-        def serveOn(bt: graft.tables.SnapshotTable,
-            st: graft.tables.SnapshotTable): Unit =
+        def serveOn(p: (graft.tables.SnapshotTable, graft.tables.SnapshotTable)): Unit =
           noop(ext.Dedup.dedupIncrementalFromPairs(
-            ext.Dedup.minhashPairsIncrementalIndexed(bt, st, batch,
+            ext.Dedup.minhashPairsIncrementalIndexed(p._1, p._2, batch,
               "doc_id", "text"), batch, "doc_id", releasePairs = true))
-        def serve(): Unit = serveOn(bandT, sigT)
-        // the serve's own probe keys, replayed against the manifest: how
-        // many band files the state actually lets the probe skip (an r11
-        // diagnostic showed the heavy-dup batch probes EVERY fresh file —
-        // its keys are real corpus band hashes, uniformly spread — so
-        // serve deltas across states are drift unless this count moves)
-        val g = ext.Dedup.indexGeometryOf(sigT)
+        // the serve's own probe keys, replayed against each manifest: how
+        // many band files the state actually lets the probe skip (the
+        // heavy-dup batch's keys are real corpus band hashes, uniformly
+        // spread — so serve deltas across states are drift unless this
+        // count moves), plus the per-file bloom footprint (saturation
+        // would show as a smaller-than-design filter)
+        val g = ext.Dedup.indexGeometryOf(pA._2)
         val bKeys = ext.Dedup.bandRows(
             ext.Dedup.minhashSignatures(batch, "doc_id", "text",
               g.shingleSize, g.numHashes, g.seed),
             g.bands, g.numHashes / g.bands)
           .select("bandhash").distinct().collect().map(_.get(0)).toSeq
-        def probed() = bandT.keyProbedManifest("bandhash", bKeys).size
-        def files() = bandT.manifest().size + sigT.manifest().size
-        val (files0, probed0) = (files(), probed())
-        val m0 = measure(() => serve(), 3, warm = true)
-        (0 until 8).foreach { b =>
-          val app = corpus.filter(col("doc_id") % 100 === b).limit(500)
-            .select((col("doc_id") + lit((b + 1) * 10000000L)).as("doc_id"),
-              col("text"))
-          ext.Dedup.minhashIndexAppend(bandT, sigT, app, "doc_id", "text")
+        states.foreach { case (_, p) => serveOn(p) } // warm each once
+        val reps = 3
+        val times = scala.collection.mutable.Map[String, Vector[Double]]()
+          .withDefaultValue(Vector())
+        for (_ <- 1 to reps; (n, p) <- states) {
+          val t0 = System.nanoTime(); serveOn(p)
+          times(n) = times(n) :+ (System.nanoTime() - t0) / 1e9
         }
-        val (files1, probed1) = (files(), probed())
-        val m1 = measure(() => serve(), 3, warm = true)
-        ext.Dedup.compactMinhashIndex(bandT, sigT, filesPerTable = 64)
-        val (files2, probed2) = (files(), probed())
-        val m2 = measure(() => serve(), 3, warm = true)
-        // in-block drift control (the r11 artifact recorded compacted 35%
-        // over fresh; the instrumented re-run showed identical layouts —
-        // 64/64 files probed, blooms at design point — and flat serves):
-        // a BRAND-NEW fresh build served NOW. compacted ≈ control means
-        // any compacted-vs-fresh delta is when-it-ran, not layout.
-        val (bandC, sigC) = build("ctl")
-        val mc = measure(() => serveOn(bandC, sigC), 3, warm = true)
+        val out = states.map { case (n, (bt, st)) =>
+          val bm = bt.manifestEntries()
+          val bloomB = bm.flatMap(_.decodedBlooms.values.map(_._3.length * 8L)).sum /
+            math.max(1, bm.size)
+          val ts = times(n).sorted
+          ImState(n, bm.size + st.manifestEntries().size,
+            bt.keyProbedManifest("bandhash", bKeys).size, bloomB,
+            Meas(ts.head, ts(ts.size / 2)))
+        }
         ext.Dedup.release(corpus); ext.Dedup.release(batch)
-        (m0, m1, m2, mc, Seq(files0, files1, files2),
-          Seq(probed0, probed1, probed2))
+        (out, phases.toSeq, reclaimed)
       }) catch { case e: Throwable =>
         System.err.println(s"[bench][index_maintenance]: ${e.getMessage}"); None
       }
-    val imHead = im.map { case (m0, m1, m2, mc, fs, ps) =>
-      s""","index_maintenance":{"serve_fresh":${jnum(m0.med)},"serve_appended":${jnum(m1.med)},"serve_compacted":${jnum(m2.med)},"serve_fresh_control":${jnum(mc.med)},"files_fresh":${fs(0)},"files_appended":${fs(1)},"files_compacted":${fs(2)}}"""
+    def imJson(detail: Boolean): String = im.map { case (sts, phases, reclaimed) =>
+      val serves = sts.map(s =>
+        s""""serve_${s.name}":[${jnum(s.m.min)},${jnum(s.m.med)}]""").mkString(",")
+      val filesJ = s""""files":[${sts.map(_.files).mkString(",")}]"""
+      val probedJ = s""""band_files_probed":[${sts.map(_.probed).mkString(",")}]"""
+      val bloomJ = s""""bloom_bytes_per_band_file":[${sts.map(_.bloomB).mkString(",")}]"""
+      val phaseJ =
+        if (!detail) s""""build_s":${jnum(phases.find(_._1 == "build").map(_._2).getOrElse(-1.0))},"compact_s":${jnum(phases.find(_._1 == "compact").map(_._2).getOrElse(-1.0))},"vacuum_s":${jnum(phases.find(_._1 == "vacuum").map(_._2).getOrElse(-1.0))}"""
+        else s""""phases":{${phases.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString(",")}}"""
+      val extra = if (detail) ""","appends":8,"append_rows":500,"batch_rows":500""" else ""
+      s""","index_maintenance":{$serves,$filesJ,$probedJ,$bloomJ,"files_reclaimed":$reclaimed,"interleaved_reps":3,$phaseJ$extra}"""
     }.getOrElse("")
-    val imDetail = im.map { case (m0, m1, m2, mc, fs, ps) =>
-      s""","index_maintenance":{"serve_fresh":[${jnum(m0.min)},${jnum(m0.med)}],"serve_appended":[${jnum(m1.min)},${jnum(m1.med)}],"serve_compacted":[${jnum(m2.min)},${jnum(m2.med)}],"serve_fresh_control":[${jnum(mc.min)},${jnum(mc.med)}],"files":[${fs.mkString(",")}],"band_files_probed":[${ps.mkString(",")}],"appends":8,"append_rows":500,"batch_rows":500}"""
-    }.getOrElse("")
+    val imHead = imJson(detail = false)
+    val imDetail = imJson(detail = true)
     // -------- storage-partitioned join vs shuffle join (q127's plan
     // class at the 10x point): the same co-bucketed fact-dim equi-join
     // (forced sort-merge, broadcast off) timed with V2 bucketing ON (the

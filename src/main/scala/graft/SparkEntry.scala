@@ -2565,6 +2565,103 @@ object SparkEntry {
       |       CAST(max(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS max_price_fl
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q133 — hybrid SPJ layout with a STRING identity sub-partition
+   *  (`bucket(8, o_custkey), oprio` — the Iceberg `identity(string)`
+   *  partition pattern, and the reference's own natural layout: its
+   *  contact data partitions on `state`, `hudi/hudi_scd_script.py:24-28`).
+   *  The scan proves each file's string partition value from
+   *  WRITER-EXACT stats ([[graft.tables.SnapshotTable.ColStats]] `exact`
+   *  — set only when our own writer's untruncated bounds are the
+   *  verbatim values; parquet footer bounds from foreign writers may be
+   *  truncated, which would let two different strings share a fabricated
+   *  tuple, so unflagged files structurally un-report the layout). A
+   *  co-partitioned fact-dim join on (custkey, oprio) then plans with
+   *  ZERO Exchange — q128's composite-key SPJ dividend extended to the
+   *  string domain. Correctness vs the plain join oracle: a row routed
+   *  or tuple-derived wrongly misses its join partner and fails the
+   *  hash; the exchange-free plan and the adopted-file refusal are
+   *  PlanSpec-pinned. */
+  private val spjsBuilt = scala.collection.concurrent.TrieMap[String, Boolean]()
+  private def ensureSpjsTables(s: SparkSession, dir: String): Unit = {
+    spjsBuilt.getOrElseUpdate(dir, {
+      s.sql("DROP TABLE IF EXISTS graft.bench.spjs_orders")
+      s.sql("DROP TABLE IF EXISTS graft.bench.spjs_prio")
+      s.sql("CREATE TABLE graft.bench.spjs_orders " +
+        "(o_custkey BIGINT, oprio STRING, o_status STRING, price_fl BIGINT) USING graft " +
+        "PARTITIONED BY (bucket(8, o_custkey), oprio)")
+      s.sql("CREATE TABLE graft.bench.spjs_prio " +
+        "(o_custkey BIGINT, oprio STRING, n_orders BIGINT) USING graft " +
+        "PARTITIONED BY (bucket(8, o_custkey), oprio)")
+      s.table("orders")
+        .select(col("o_custkey"), col("o_orderpriority").as("oprio"),
+          col("o_orderstatus").as("o_status"),
+          org.apache.spark.sql.functions.floor(col("o_totalprice"))
+            .cast("long").as("price_fl"))
+        .writeTo("graft.bench.spjs_orders").append()
+      s.table("orders")
+        .groupBy(col("o_custkey"), col("o_orderpriority").as("oprio"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_orders"))
+        .writeTo("graft.bench.spjs_prio").append()
+      true
+    })
+    ()
+  }
+  private def spjStringHybridQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    ensureSpjsTables(s, dir)
+    s.sql(
+      """SELECT /*+ MERGE(o) */ o.o_custkey, o.oprio,
+        |  CAST(max(m.n_orders) AS BIGINT) AS n_orders,
+        |  CAST(sum(o.price_fl) AS BIGINT) AS sum_price_fl
+        |FROM graft.bench.spjs_orders o
+        |JOIN graft.bench.spjs_prio m
+        |  ON o.o_custkey = m.o_custkey AND o.oprio = m.oprio
+        |GROUP BY o.o_custkey, o.oprio
+        |ORDER BY o.o_custkey, o.oprio""".stripMargin)
+  }
+  private val Q133Duck =
+    """WITH o AS (SELECT o_custkey, o_orderpriority AS oprio,
+      |                  CAST(floor(o_totalprice) AS BIGINT) AS price_fl
+      |           FROM orders),
+      |m AS (SELECT o_custkey, oprio, count(*) AS n_orders FROM o GROUP BY 1, 2)
+      |SELECT o.o_custkey, o.oprio,
+      |       CAST(max(m.n_orders) AS BIGINT) AS n_orders,
+      |       CAST(sum(o.price_fl) AS BIGINT) AS sum_price_fl
+      |FROM o JOIN m ON o.o_custkey = m.o_custkey AND o.oprio = m.oprio
+      |GROUP BY o.o_custkey, o.oprio
+      |ORDER BY o.o_custkey, o.oprio""".stripMargin
+
+  /** Q134 — METADATA-ONLY GROUP BY over a STRING partition column with
+   *  STRING MIN/MAX (q132's manifest-served aggregation extended to the
+   *  string domain by the writer-exact stats flag): grouping q133's
+   *  hybrid fact by its per-file single-valued string key, the DSv2
+   *  aggregate pushdown folds one partial row per priority from
+   *  per-file row counts and exact bounds — ZERO data files read — and
+   *  min/max over a SECOND string column (`o_status`) folds the
+   *  exact-flagged bounds in UTF8String binary order (Spark's string
+   *  ordering). Truncated or adopted bounds refuse (a truncated max
+   *  understates, an incremented one overstates) and fall back to the
+   *  ordinary scan — PlanSpec pins both the metadata plan and the
+   *  refusal. Oracle replays the group-by from the plain table. */
+  private def metaStringGroupByQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    ensureSpjsTables(s, dir)
+    s.sql(
+      """SELECT oprio, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(o_status) AS min_status, max(o_status) AS max_status,
+        |  CAST(max(price_fl) AS BIGINT) AS max_price_fl
+        |FROM graft.bench.spjs_orders
+        |GROUP BY oprio ORDER BY oprio""".stripMargin)
+  }
+  private val Q134Duck =
+    """SELECT o_orderpriority AS oprio, CAST(count(*) AS BIGINT) AS n_rows,
+      |       min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+      |       CAST(max(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS max_price_fl
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q32 — as-of join: each click matched to the user's most recent view
    *  (point-in-time correctness; DuckDB's native ASOF JOIN as oracle). */
   private def asofQuery(s: SparkSession, dir: String): DataFrame = {
@@ -4421,7 +4518,9 @@ object SparkEntry {
     "q129_dpp_join" -> dppJoinQuery,
     "q130_topn" -> topnQuery,
     "q131_dpp_bucketed" -> dppBucketedQuery,
-    "q132_meta_groupby" -> metaGroupByQuery)
+    "q132_meta_groupby" -> metaGroupByQuery,
+    "q133_spj_string_hybrid" -> spjStringHybridQuery,
+    "q134_meta_string_groupby" -> metaStringGroupByQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4608,7 +4707,9 @@ object SparkEntry {
     "q129_dpp_join" -> Q129Duck,
     "q130_topn" -> Q130Duck,
     "q131_dpp_bucketed" -> Q131Duck,
-    "q132_meta_groupby" -> Q132Duck)
+    "q132_meta_groupby" -> Q132Duck,
+    "q133_spj_string_hybrid" -> Q133Duck,
+    "q134_meta_string_groupby" -> Q134Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

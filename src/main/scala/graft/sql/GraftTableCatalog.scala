@@ -20,7 +20,7 @@ import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StructField, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -726,6 +726,16 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
           head.direction() == org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
           n))
         true
+      // strings accept at the QUERY level; per-file the θ walk uses only
+      // bounds carrying the writer-exact flag (verbatim values from our
+      // own writer) — files with truncated/adopted bounds are kept and
+      // contribute nothing, so the cap stays sound and simply degrades
+      // to no pruning on a table with no exact string stats
+      case StringType =>
+        topn = Some((field.name,
+          head.direction() == org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+          n))
+        true
       case _ => false
     }
   }
@@ -733,8 +743,11 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
   private def topNCap(
       files: Seq[SnapshotTable.FileEntry],
       dvDel: Map[String, Long],
-      col: String, asc: Boolean, n: Int): Seq[SnapshotTable.FileEntry] =
-    GraftScanBuilder.topNCap(files, dvDel, col, asc, n)
+      col: String, asc: Boolean, n: Int): Seq[SnapshotTable.FileEntry] = {
+    val dt = tableSchema.fields.find(_.name.equalsIgnoreCase(col))
+      .map(_.dataType).getOrElse(LongType)
+    GraftScanBuilder.topNCap(files, dvDel, col, asc, n, dt)
+  }
 
   /** Metadata-only aggregates at the DSv2 layer: COUNT(*) / COUNT(col) /
    *  MIN / MAX answered from the commit manifest's per-file row counts
@@ -1271,11 +1284,6 @@ object MetadataAggReaderFactory extends PartitionReaderFactory {
 
 object GraftScanBuilder {
 
-  /** The [[GraftScanBuilder.pushTopN]] θ rule over a manifest file list;
-   *  `dvDel` is the per-file-name pending-deletion count. DESC mirrors
-   *  with min/max swapped. Keeps the original manifest order of the
-   *  survivors. Soundness invariant (randomized-spec-pinned): the kept
-   *  set always contains every file holding any of the true top n. */
   /** Pushed-LIMIT file capping: manifest files in order until their
    *  exact live row counts reach the bound. A file with UNKNOWN row
    *  count (rows == -1) is kept but contributes nothing toward the
@@ -1298,29 +1306,56 @@ object GraftScanBuilder {
     out.result()
   }
 
+  /** The [[GraftScanBuilder.pushTopN]] θ rule over a manifest file list;
+   *  `dvDel` is the per-file-name pending-deletion count. DESC mirrors
+   *  with min/max swapped. Keeps the original manifest order of the
+   *  survivors. `dt` drives bound parsing: numeric/temporal keys parse
+   *  the stringified long; STRING keys are usable only on files whose
+   *  bounds carry the writer-exact flag ([[SnapshotTable.ColStats]]
+   *  `exact`) and compare in UTF8String binary order (Spark's string
+   *  ordering) — a file with truncated/adopted bounds is always kept
+   *  and contributes nothing toward θ, per-file conservative.
+   *  Soundness invariant (randomized-spec-pinned): the kept set always
+   *  contains every file holding any of the true top n. */
   private[sql] def topNCap(
       files: Seq[SnapshotTable.FileEntry],
       dvDel: Map[String, Long],
-      col: String, asc: Boolean, n: Int): Seq[SnapshotTable.FileEntry] = {
+      col: String, asc: Boolean, n: Int,
+      dt: DataType = LongType): Seq[SnapshotTable.FileEntry] = {
     def stat(f: SnapshotTable.FileEntry): Option[SnapshotTable.ColStats] =
       f.stats.find(_._1.equalsIgnoreCase(col)).map(_._2)
-    def parsed(s: Option[String]): Option[Long] =
-      s.flatMap(v => scala.util.Try(v.toLong).toOption)
-    final case class B(f: SnapshotTable.FileEntry, lo: Long, hi: Long, live: Long)
+    def parsed(cs: SnapshotTable.ColStats, takeMin: Boolean): Option[Any] = {
+      val s = if (takeMin) cs.min else cs.max
+      dt match {
+        case StringType =>
+          if (cs.exact.contains(true))
+            s.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+          else None
+        case _ => s.flatMap(v => scala.util.Try(v.toLong: Any).toOption)
+      }
+    }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case _ => throw new IllegalStateException(s"unexpected bound types $a / $b")
+    }
+    final case class B(f: SnapshotTable.FileEntry, lo: Any, hi: Any, live: Long)
     val (bounded, alwaysKeep) = files.partition { f =>
       stat(f).exists(cs => cs.nullCount.contains(0L) &&
-        parsed(cs.min).isDefined && parsed(cs.max).isDefined)
+        parsed(cs, takeMin = true).isDefined && parsed(cs, takeMin = false).isDefined)
     }
     if (bounded.isEmpty) return files
     val bs = bounded.map { f =>
       val cs = stat(f).get
-      B(f, parsed(cs.min).get, parsed(cs.max).get,
+      B(f, parsed(cs, takeMin = true).get, parsed(cs, takeMin = false).get,
         math.max(0L, f.rows - dvDel.getOrElse(new Path(f.path).getName, 0L)))
     }
     // θ: ascending ⇒ walk by max asc; descending ⇒ by min desc
-    val walk = if (asc) bs.sortBy(_.hi) else bs.sortBy(-_.lo)
+    val ord = new Ordering[Any] { def compare(a: Any, b: Any): Int = cmp(a, b) }
+    val walk = if (asc) bs.sortBy(_.hi)(ord) else bs.sortBy(_.lo)(ord.reverse)
     var cum = 0L
-    var theta: Option[Long] = None
+    var theta: Option[Any] = None
     val it = walk.iterator
     while (theta.isEmpty && it.hasNext) {
       val b = it.next()
@@ -1330,7 +1365,7 @@ object GraftScanBuilder {
     theta match {
       case None => files // fewer than n provable rows: no pruning
       case Some(t) =>
-        val keep = bs.filter(b => if (asc) b.lo <= t else b.hi >= t)
+        val keep = bs.filter(b => if (asc) cmp(b.lo, t) <= 0 else cmp(b.hi, t) >= 0)
           .map(_.f).toSet ++ alwaysKeep
         files.filter(keep)
     }
@@ -1373,12 +1408,30 @@ object GraftScanBuilder {
     }
     def bound(fs: Seq[SnapshotTable.FileEntry], name: String, dt: DataType,
         takeMin: Boolean): Option[Any] = {
-      if (!statsExact(dt)) return None
       if (fs.isEmpty) return Some(null) // empty table: MIN/MAX is NULL
-      val bounds = fs.map(_.stats.get(name).flatMap(s => if (takeMin) s.min else s.max))
-      if (bounds.exists(_.isEmpty)) return None // a file without stats
-      val longs = bounds.map(_.get.toLong)
-      Some(internal(if (takeMin) longs.min else longs.max, dt))
+      dt match {
+        case StringType =>
+          // strings only when EVERY file's bounds carry the writer-exact
+          // flag — verbatim values, so the fold is the true MIN/MAX.
+          // Truncated/adopted bounds refuse (a truncated max understates;
+          // an incremented one overstates). Compare in UTF8String binary
+          // order — exactly Spark's string ordering.
+          val sts = fs.map(_.stats.get(name))
+          if (sts.exists(s => s.isEmpty || !s.get.exact.contains(true)))
+            return None
+          val bs = sts.map(s => if (takeMin) s.get.min else s.get.max)
+          if (bs.exists(_.isEmpty)) return None // all-null file: no bound
+          val vals = bs.map(b =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(b.get))
+          Some(vals.reduce((a, b) =>
+            if ((a.compareTo(b) <= 0) == takeMin) a else b))
+        case _ =>
+          if (!statsExact(dt)) return None
+          val bounds = fs.map(_.stats.get(name).flatMap(s => if (takeMin) s.min else s.max))
+          if (bounds.exists(_.isEmpty)) return None // a file without stats
+          val longs = bounds.map(_.get.toLong)
+          Some(internal(if (takeMin) longs.min else longs.max, dt))
+      }
     }
 
     // each aggregate resolves to (output field, fold over a FILE SET) —

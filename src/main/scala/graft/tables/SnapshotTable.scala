@@ -594,7 +594,8 @@ class SnapshotTable private (
     val entries = readFooterStatsAll(
       fs.listStatus(dir).toSeq
         .filter(s => s.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName), conf)
+        .sortBy(_.getPath.getName), conf,
+      trustExact = true) // our own writer: untruncated string bounds are verbatim
       .map(fe => if (toLogical.isEmpty) fe
         else fe.copy(stats = fe.stats.map { case (k, v) =>
           toLogical.getOrElse(k, k) -> v }))
@@ -1967,6 +1968,14 @@ class SnapshotTable private (
         case TimestampType | TimestampNTZType => mn.toLongOption
         case BooleanType => mn.toLongOption.map(_ != 0L).orElse(
           mn.toBooleanOption)
+        // strings only under the writer-exact flag: footer bounds may be
+        // TRUNCATED (a truncated pair comparing equal would fabricate a
+        // tuple two different values share — silent wrong SPJ answers);
+        // exact-flagged bounds are verbatim values from our own writer,
+        // so min == max proves the single value (identity(string)
+        // partition parity). Adopted/foreign files never carry the flag.
+        case StringType if cs.exact.contains(true) =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(mn))
         case _ => None
       }
     } yield v
@@ -3779,7 +3788,20 @@ object SnapshotTable {
    *  footer. `min`/`max` are stringified in the column's natural domain
    *  (integral/timestamp/date → long, float/double → double, string →
    *  utf8); absent when the footer had no usable stats. */
-  final case class ColStats(min: Option[String], max: Option[String], nullCount: Option[Long])
+  /** Per-file column bounds as committed. `exact` is set (to true) ONLY
+   *  on STRING columns written by OUR OWN writer whose min/max round-
+   *  tripped untruncated ([[truncateStatsMin]]/[[truncateStatsMax]] were
+   *  identity in every chunk): such bounds are the verbatim column
+   *  values, so consumers that structurally refuse strings because
+   *  footer bounds may truncate ([[SnapshotTable!.fileSingleValue]], the
+   *  TopN θ-rule, metadata MIN/MAX) can serve them — the Iceberg
+   *  `identity(string)` partition-parity path. Never set on adopted/
+   *  foreign files ([[convert]]): their footers may have been truncated
+   *  by a writer we don't control, with no marker. Absent (None) in all
+   *  pre-flag commit logs and for non-string columns, whose exactness is
+   *  type-derived. */
+  final case class ColStats(min: Option[String], max: Option[String], nullCount: Option[Long],
+      exact: Option[Boolean] = None)
 
   /** Row shape of [[SnapshotTable.filesMetadata]]'s per-column stats map
    *  (nulls for absent bounds, -1 for an unrecorded null count). */
@@ -3857,23 +3879,27 @@ object SnapshotTable {
    *  input listing is preserved. */
   private[tables] def readFooterStatsAll(
       files: Seq[org.apache.hadoop.fs.FileStatus],
-      conf: Configuration): Seq[FileEntry] = {
+      conf: Configuration,
+      trustExact: Boolean = false): Seq[FileEntry] = {
     if (files.lengthCompare(2) < 0)
-      files.map(s => readFooterStats(s.getPath, s.getLen, conf))
+      files.map(s => readFooterStats(s.getPath, s.getLen, conf, trustExact))
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
       Await.result(
         Future.traverse(files)(s =>
-          Future(readFooterStats(s.getPath, s.getLen, conf))),
+          Future(readFooterStats(s.getPath, s.getLen, conf, trustExact))),
         Duration.Inf)
     }
   }
 
   /** Footer-only stats harvest — no row is read. Any failure degrades to
-   *  "no stats" (pruning stays conservative). */
-  private[tables] def readFooterStats(p: Path, len: Long, conf: Configuration): FileEntry = {
+   *  "no stats" (pruning stays conservative). `trustExact` marks string
+   *  bounds that round-tripped untruncated as exact ([[ColStats.exact]])
+   *  — pass true ONLY when OUR writer produced these footers. */
+  private[tables] def readFooterStats(p: Path, len: Long, conf: Configuration,
+      trustExact: Boolean = false): FileEntry = {
     val path = p.toUri.getPath
     try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
@@ -3895,13 +3921,21 @@ object SnapshotTable {
                 case Some((mn, mx)) =>
                   val prevOpt = acc.get(name)
                   val nulls = st.getNumNulls
+                  // exact only for OUR writes, string columns, EVERY chunk
+                  // untruncated (first chunk: no prev to consult)
+                  val ex: Option[Boolean] =
+                    if (!trustExact || !isStringStats(st)) None
+                    else if (statsExact(st) &&
+                      prevOpt.forall(_.exact.contains(true))) Some(true)
+                    else None
                   acc(name) = prevOpt match {
-                    case None => ColStats(mn, mx, if (nulls >= 0) Some(nulls) else None)
+                    case None => ColStats(mn, mx, if (nulls >= 0) Some(nulls) else None, ex)
                     case Some(prev) =>
                       ColStats(
                         mergeBound(prev.min, mn, st, takeMin = true),
                         mergeBound(prev.max, mx, st, takeMin = false),
-                        for (a <- prev.nullCount; if nulls >= 0) yield a + nulls)
+                        for (a <- prev.nullCount; if nulls >= 0) yield a + nulls,
+                        ex)
                   }
                 case None =>
                   // null-only chunk: no bounds to merge, but nulls count
@@ -3957,6 +3991,31 @@ object SnapshotTable {
           truncateStatsMax(s.genericGetMax.toStringUsingUTF8)))
       case _ => Some((None, None))
     }
+  }
+
+  /** True iff this chunk's stringified bounds are the VERBATIM column
+   *  values: a string chunk whose min and max both fit inside the
+   *  truncation prefix (so [[truncateStatsMin]]/[[truncateStatsMax]]
+   *  were identity), or any non-string chunk (numeric/temporal bounds
+   *  never truncate). Callers gate the exact flag on our own writer
+   *  having produced the footer — a foreign writer may have truncated
+   *  the footer values themselves, invisibly. */
+  private def statsExact(st: Statistics[_]): Boolean = st match {
+    case s: BinaryStatistics
+        if s.`type`().getLogicalTypeAnnotation != null &&
+          s.`type`().getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+      val mn = s.genericGetMin.toStringUsingUTF8
+      val mx = s.genericGetMax.toStringUsingUTF8
+      mn.codePointCount(0, mn.length) <= StatsPrefixCodePoints &&
+        mx.codePointCount(0, mx.length) <= StatsPrefixCodePoints
+    case _ => true
+  }
+
+  private def isStringStats(st: Statistics[_]): Boolean = st match {
+    case s: BinaryStatistics =>
+      s.`type`().getLogicalTypeAnnotation != null &&
+        s.`type`().getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+    case _ => false
   }
 
   /** Code points kept in a truncated string bound (Delta's 32). */

@@ -1115,6 +1115,177 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.mgb")
   }
 
+  /** Drops every `"exact":true` stats flag from a table's commit log —
+   *  simulates a pre-flag log / adopted files whose string bounds
+   *  cannot be proven verbatim. Consumers must DEGRADE (shuffle plan,
+   *  ordinary scan), never serve a possibly-truncated bound. */
+  private def stripExactFlags(root: String): Unit = {
+    val logDir = java.nio.file.Paths.get(root, "_log")
+    java.nio.file.Files.list(logDir)
+      .filter(_.toString.endsWith(".json"))
+      .forEach { p =>
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        java.nio.file.Files.write(p,
+          s.replace(",\"exact\":true", "").getBytes("UTF-8"))
+      }
+  }
+
+  test("string identity sub-partition SPJ needs the writer-exact flag") {
+    // (bucket(4, ent), tag STRING) — the Iceberg identity(string)
+    // layout (the reference's contact-by-state shape). Our writer's
+    // untruncated string bounds are verbatim values, so each file's tag
+    // proves single-valued and the composite layout reports; a log
+    // without the flag (pre-flag table, adopted files) must un-report —
+    // truncated footer bounds could let two different strings share a
+    // fabricated tuple, a silent wrong-join-answer.
+    def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val rootF = tmpDir("tbl_spjs_f"); val rootD = tmpDir("tbl_spjs_d")
+    spark.sql("DROP TABLE IF EXISTS graft.db.spjs_f")
+    spark.sql("DROP TABLE IF EXISTS graft.db.spjs_d")
+    spark.sql("CREATE TABLE graft.db.spjs_f (ent BIGINT, tag STRING, v BIGINT) " +
+      s"USING graft PARTITIONED BY (bucket(4, ent), tag) LOCATION '$rootF'")
+    spark.sql("CREATE TABLE graft.db.spjs_d (ent BIGINT, tag STRING, w BIGINT) " +
+      s"USING graft PARTITIONED BY (bucket(4, ent), tag) LOCATION '$rootD'")
+    val tags = org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.array(lit("aa"), lit("bb"), lit("cc")),
+      (col("id") % 3 + 1).cast("int"))
+    spark.range(0, 900).select((col("id") % 100).as("ent"), tags.as("tag"),
+        (col("id") * 3).as("v"))
+      .writeTo("graft.db.spjs_f").append()
+    spark.range(0, 300).select((col("id") % 100).as("ent"), tags.as("tag"),
+        (col("id") * 7).as("w"))
+      .writeTo("graft.db.spjs_d").append()
+    val q = "SELECT f.ent, f.tag, f.v, d.w FROM graft.db.spjs_f f " +
+      "JOIN graft.db.spjs_d d ON f.ent = d.ent AND f.tag = d.tag"
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val plan = executedPlanString(df)
+      assert(!plan.contains("Exchange"), s"shuffle in string-hybrid SPJ plan:\n$plan")
+      assert(plan.contains("KeyGrouped(bucket(4, ent), tag)"),
+        s"scan did not report the string-hybrid layout:\n$plan")
+      val n = df.count()
+      // same rows through the shuffle plan: strip the exact flags (the
+      // pre-flag/adopted log) — the layout must silently un-report
+      stripExactFlags(rootF); stripExactFlags(rootD)
+      val df2 = spark.sql(q)
+      val plan2 = executedPlanString(df2)
+      assert(plan2.contains("Exchange"),
+        s"unflagged string bounds still reported the layout:\n$plan2")
+      assert(df2.count() === n)
+    }
+    spark.sql("DROP TABLE graft.db.spjs_f")
+    spark.sql("DROP TABLE graft.db.spjs_d")
+  }
+
+  test("metadata GROUP BY and MIN/MAX over strings need the writer-exact flag") {
+    val root = tmpDir("tbl_msg")
+    spark.sql("DROP TABLE IF EXISTS graft.db.msg")
+    spark.sql("CREATE TABLE graft.db.msg (ent BIGINT, tag STRING, st STRING, v BIGINT) " +
+      s"USING graft PARTITIONED BY (bucket(4, ent), tag) LOCATION '$root'")
+    val tags = org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.array(lit("aa"), lit("bb"), lit("cc")),
+      (col("id") % 3 + 1).cast("int"))
+    val sts = org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.array(lit("F"), lit("O"), lit("P")),
+      (col("id") % 3 + 1).cast("int"))
+    spark.range(0, 900).select((col("id") % 100).as("ent"), tags.as("tag"),
+        sts.as("st"), (col("id") * 3).as("v"))
+      .writeTo("graft.db.msg").append()
+    val q = "SELECT tag, count(*) AS n, min(st) AS mn, max(st) AS mx " +
+      "FROM graft.db.msg GROUP BY tag ORDER BY tag"
+    val df = spark.sql(q)
+    val plan = executedPlanString(df)
+    assert(plan.contains("GraftMetadataAgg"),
+      s"string group-by did not answer from the manifest:\n$plan")
+    assert(!plan.contains("ParquetScan"), s"data files read:\n$plan")
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    assert(got === Seq(("aa", 300L, "F", "F"), ("bb", 300L, "O", "O"),
+      ("cc", 300L, "P", "P")))
+    // pre-flag/adopted log: refuse the manifest serve, identical rows
+    stripExactFlags(root)
+    val df2 = spark.sql(q)
+    assert(!executedPlanString(df2).contains("GraftMetadataAgg"),
+      "unflagged string bounds still served the metadata aggregate")
+    assert(df2.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq === got)
+    spark.sql("DROP TABLE graft.db.msg")
+  }
+
+  test("TopN cap over a string sort key uses writer-exact bounds only") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownTopN}
+    import org.apache.spark.sql.graftshim.SparkInternals
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    def fileCount(s: Scan): Int =
+      s.toBatch.planInputPartitions().toSeq.flatMap(p =>
+        SparkInternals.filePartitionFiles(p).map(_.map(_._1)).getOrElse(Nil))
+        .distinct.size
+    def builder(name: String): ScanBuilder =
+      SparkInternals.catalogPlugin(spark, "graft").get
+        .asInstanceOf[graft.sql.GraftTableCatalog]
+        .loadTable(Identifier.of(Array("db"), name))
+        .asInstanceOf[SupportsRead]
+        .newScanBuilder(CaseInsensitiveStringMap.empty())
+    def sortAsc(c: String) = Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    val root = tmpDir("tbl_topns")
+    spark.sql("DROP TABLE IF EXISTS graft.db.topns")
+    spark.sql("CREATE TABLE graft.db.topns (k STRING, v BIGINT) USING graft " +
+      s"LOCATION '$root'")
+    spark.range(0, 4000)
+      .select(format_string("k%05d", col("id")).as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .writeTo("graft.db.topns").append()
+    val sb = builder("topns")
+    assert(sb.asInstanceOf[SupportsPushDownTopN].pushTopN(Array(sortAsc("k")), 10))
+    assert(fileCount(sb.build()) === 1,
+      "ORDER BY string LIMIT 10 over 8 disjoint range files should open one")
+    import spark.implicits._
+    assert(spark.sql("SELECT k FROM graft.db.topns ORDER BY k LIMIT 5")
+      .as[String].collect().toSeq === (0 until 5).map(i => f"k$i%05d"))
+    // pre-flag/adopted bounds: the cap keeps every file (conservative,
+    // no pruning) and the answer is unchanged
+    stripExactFlags(root)
+    val sb2 = builder("topns")
+    assert(sb2.asInstanceOf[SupportsPushDownTopN].pushTopN(Array(sortAsc("k")), 10))
+    assert(fileCount(sb2.build()) === 8,
+      "unflagged string bounds must not prune TopN files")
+    assert(spark.sql("SELECT k FROM graft.db.topns ORDER BY k LIMIT 5")
+      .as[String].collect().toSeq === (0 until 5).map(i => f"k$i%05d"))
+    spark.sql("DROP TABLE graft.db.topns")
+  }
+
+  test("q133's executed plan joins exchange-free on the string hybrid layout") {
+    val df = SparkEntry.queries("q133_spj_string_hybrid")(spark, dir)
+    val plan = executedPlanString(df)
+    assert(plan.contains("KeyGrouped(bucket(8, o_custkey), oprio)"),
+      s"q133 scan did not report the string-hybrid layout:\n$plan")
+    // the only exchange is the final ORDER BY's range partitioning —
+    // the join itself is storage-partitioned
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q133's join shuffled:\n$plan")
+  }
+
+  test("q134's executed plan answers the string group-by from the manifest") {
+    val df = SparkEntry.queries("q134_meta_string_groupby")(spark, dir)
+    val plan = executedPlanString(df)
+    assert(plan.contains("GraftMetadataAgg"),
+      s"q134 read data files for a manifest-answerable group-by:\n$plan")
+    assert(!plan.contains("ParquetScan"), s"data files in q134's plan:\n$plan")
+  }
+
   test("q132's executed plan answers the group-by from the manifest alone") {
     val df = SparkEntry.queries("q132_meta_groupby")(spark, dir)
     val plan = executedPlanString(df)
