@@ -2662,6 +2662,50 @@ object SparkEntry {
       |       CAST(max(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS max_price_fl
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q135 — METADATA GROUP BY over a TIME TRANSFORM (Iceberg's
+   *  partitions-metadata query grouped by the transform itself):
+   *  `GROUP BY day(ts)` arrives at the DSv2 layer as
+   *  `EXTRACT(DAY FROM CAST(ts AS date))` and is answered from the
+   *  commit manifest when every file of the `days(ts)`-split layout
+   *  proves its truncation constant (`fileTruncValue`: trunc(min) ==
+   *  trunc(max) at the field's nailing granularity — equality of the
+   *  extracts alone would NOT be sound, two Januaries of different
+   *  years share MONTH=1). ZERO data files read; per-day counts and
+   *  user-id bounds fold from per-file stats. The session-timezone gate
+   *  (the cast is zone-dependent; only UTC matches the writer's split
+   *  calendar) and the non-split-table refusal are PlanSpec-pinned.
+   *  Oracle replays the group-by from the plain events table. */
+  private val txfBuilt = scala.collection.concurrent.TrieMap[String, Boolean]()
+  private def ensureTxfEvents(s: SparkSession, dir: String): Unit = {
+    txfBuilt.getOrElseUpdate(dir, {
+      s.sql("DROP TABLE IF EXISTS graft.bench.txf_events")
+      s.sql("CREATE TABLE graft.bench.txf_events " +
+        "(event_id BIGINT, user_id BIGINT, ts TIMESTAMP) USING graft " +
+        "PARTITIONED BY (bucket(8, user_id), days(ts))")
+      s.table("events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .writeTo("graft.bench.txf_events").append()
+      true
+    })
+    ()
+  }
+  private def metaTimeGroupByQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    ensureTxfEvents(s, dir)
+    s.sql(
+      """SELECT day(ts) AS d, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(user_id) AS BIGINT) AS min_user,
+        |  CAST(max(user_id) AS BIGINT) AS max_user
+        |FROM graft.bench.txf_events
+        |GROUP BY day(ts) ORDER BY d""".stripMargin)
+  }
+  private val Q135Duck =
+    """SELECT CAST(day(ts) AS INT) AS d, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(min(user_id) AS BIGINT) AS min_user,
+      |       CAST(max(user_id) AS BIGINT) AS max_user
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q32 — as-of join: each click matched to the user's most recent view
    *  (point-in-time correctness; DuckDB's native ASOF JOIN as oracle). */
   private def asofQuery(s: SparkSession, dir: String): DataFrame = {
@@ -4520,7 +4564,8 @@ object SparkEntry {
     "q131_dpp_bucketed" -> dppBucketedQuery,
     "q132_meta_groupby" -> metaGroupByQuery,
     "q133_spj_string_hybrid" -> spjStringHybridQuery,
-    "q134_meta_string_groupby" -> metaStringGroupByQuery)
+    "q134_meta_string_groupby" -> metaStringGroupByQuery,
+    "q135_meta_time_groupby" -> metaTimeGroupByQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4709,7 +4754,8 @@ object SparkEntry {
     "q131_dpp_bucketed" -> Q131Duck,
     "q132_meta_groupby" -> Q132Duck,
     "q133_spj_string_hybrid" -> Q133Duck,
-    "q134_meta_string_groupby" -> Q134Duck)
+    "q134_meta_string_groupby" -> Q134Duck,
+    "q135_meta_time_groupby" -> Q135Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

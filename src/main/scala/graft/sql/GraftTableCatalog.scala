@@ -778,6 +778,10 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
    *  all-NULL gate). Spark plans its own final merge on top (partial
    *  pushdown), so the partial rows are exactly right. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (sys.props.contains("graft.debug.pushagg"))
+      System.err.println(s"[pushagg] group=${aggregation.groupByExpressions.toSeq
+        .map(e => s"${e.getClass.getSimpleName}:$e")} aggs=${aggregation
+        .aggregateExpressions.toSeq.map(e => s"${e.getClass.getSimpleName}:$e")}")
     if (pushed.nonEmpty) return false
     metaAgg = GraftScanBuilder.metadataAggregate(table, version, tableSchema, aggregation)
     metaAgg.isDefined
@@ -1469,21 +1473,83 @@ object GraftScanBuilder {
 
     // GROUP BY pushdown — metadata-only per-PARTITION aggregation
     // (Iceberg's partitions-metadata-table query): allowed exactly when
-    // every group key is a plain column that every file PROVES
-    // single-valued (min == max, zero nulls, fixed-width type —
+    // every group key is either a plain column that every file PROVES
+    // single-valued (min == max, zero nulls, exact-stats type —
     // `fileSingleValue`, the hybrid-SPJ derivation), i.e. the layout's
-    // partition columns. Each distinct tuple folds its own file set;
-    // Spark's final aggregation merges the partial rows, so one row per
-    // tuple is exactly right. Anything unprovable refuses → full scan.
-    val groupRefs = agg.groupByExpressions.toSeq.map(field)
-    if (groupRefs.exists(_.isEmpty)) return None
-    val gfs = groupRefs.flatten
-    if (gfs.isEmpty)
+    // partition columns, or a datetime-field EXTRACT over a timestamp
+    // column whose per-file TRUNCATION at the field's nailing
+    // granularity is provably constant (`fileTruncValue` — the
+    // `months(ts)`-layout file sets). Each distinct tuple folds its own
+    // file set; Spark's final aggregation merges the partial rows, so
+    // one row per tuple is exactly right. Anything unprovable refuses →
+    // full scan.
+    //
+    // `GROUP BY month(ts)` arrives as `EXTRACT(MONTH FROM CAST(ts AS
+    // date))` — the session-timezone-dependent cast means this is only
+    // servable when the session zone matches the UTC calendar our
+    // truncation (and the layout's writer split) computes in; any other
+    // zone refuses. TimestampNTZ is zone-free and always eligible.
+    // Equality of extracts alone would NOT be sound (min/max both in
+    // January of different years share MONTH=1 while June rows sit
+    // between them) — the proof is trunc(min) == trunc(max) at the
+    // granularity that NAILS the field: YEAR→years, QUARTER/MONTH→
+    // months, DAY→days, HOUR→hours.
+    def extractPlan(ex: org.apache.spark.sql.connector.expressions.Extract)
+        : Option[(StructField, SnapshotTable.FileEntry => Option[Any])] = {
+      def unwrap(e: V2Expression): Option[StructField] = e match {
+        case c: org.apache.spark.sql.connector.expressions.Cast
+            if c.dataType() == org.apache.spark.sql.types.DateType =>
+          unwrap(c.expression())
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          schema.fields.find(_.name.equalsIgnoreCase(r.fieldNames()(0)))
+        case _ => None
+      }
+      for {
+        f <- unwrap(ex.source())
+        if f.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+          (f.dataType == TimestampType &&
+            table.spark.sessionState.conf.sessionLocalTimeZone == "UTC")
+        unit <- ex.field().toUpperCase match {
+          case "YEAR" => Some("years")
+          case "QUARTER" | "MONTH" => Some("months")
+          case "DAY" => Some("days")
+          case "HOUR" => Some("hours")
+          case _ => None
+        }
+      } yield {
+        def fieldOf(micros: Long): Int = {
+          val ldt = java.time.LocalDateTime.ofInstant(
+            java.time.Instant.ofEpochMilli(Math.floorDiv(micros, 1000L)),
+            java.time.ZoneOffset.UTC)
+          ex.field().toUpperCase match {
+            case "YEAR" => ldt.getYear
+            case "QUARTER" => (ldt.getMonthValue - 1) / 3 + 1
+            case "MONTH" => ldt.getMonthValue
+            case "DAY" => ldt.getDayOfMonth
+            case "HOUR" => ldt.getHour
+          }
+        }
+        (StructField(s"${ex.field().toLowerCase}(${f.name})", IntegerType,
+          nullable = false),
+          (fe: SnapshotTable.FileEntry) =>
+            table.fileTruncValue(fe, f.name, unit, schema).map(fieldOf))
+      }
+    }
+    val groupPlans: Seq[Option[(StructField, SnapshotTable.FileEntry => Option[Any])]] =
+      agg.groupByExpressions.toSeq.map {
+        case ex: org.apache.spark.sql.connector.expressions.Extract =>
+          extractPlan(ex)
+        case e => field(e).map(gf => (gf.copy(nullable = false),
+          (fe: SnapshotTable.FileEntry) => table.fileSingleValue(fe, gf.name, schema)))
+      }
+    if (groupPlans.exists(_.isEmpty)) return None
+    val gps = groupPlans.flatten
+    if (gps.isEmpty)
       rowFor(files).map(vs =>
         (StructType(resolved.map(_._1)), Seq(vs.toArray)))
     else {
       val keyed = files.map { f =>
-        val t = gfs.map(gf => table.fileSingleValue(f, gf.name, schema))
+        val t = gps.map(_._2(f))
         if (t.exists(_.isEmpty)) return None
         (t.map(_.get), f)
       }
@@ -1494,7 +1560,7 @@ object GraftScanBuilder {
             case None => return None
           }
         }
-      Some((StructType(gfs.map(_.copy(nullable = false)) ++ resolved.map(_._1)),
+      Some((StructType(gps.map(_._1) ++ resolved.map(_._1)),
         rows))
     }
   }

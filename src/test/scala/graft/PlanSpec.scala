@@ -1286,6 +1286,82 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("ParquetScan"), s"data files in q134's plan:\n$plan")
   }
 
+  test("metadata GROUP BY over time transforms: trunc-proof, UTC-gated") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.txg")
+    spark.sql("CREATE TABLE graft.db.txg (ent BIGINT, ts TIMESTAMP, v BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(4, ent), months(ts))")
+    spark.range(0, 900)
+      .select(col("id").as("ent"),
+        to_timestamp(concat(lit("2024-0"), (col("id") % 3 + 1).cast("string"),
+          lit("-15 12:00:00"))).as("ts"),
+        (col("id") * 3).as("v"))
+      .writeTo("graft.db.txg").append()
+    val q = "SELECT month(ts) AS m, count(*) AS n FROM graft.db.txg " +
+      "GROUP BY month(ts) ORDER BY m"
+    val df = spark.sql(q)
+    val plan = executedPlanString(df)
+    assert(plan.contains("GraftMetadataAgg"),
+      s"month(ts) group-by did not answer from the manifest:\n$plan")
+    assert(!plan.contains("ParquetScan"), s"data files read:\n$plan")
+    assert(df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((1, 300L), (2, 300L), (3, 300L)))
+    // YEAR nails at a coarser granularity than the months(ts) split —
+    // still provable per file
+    val dfY = spark.sql("SELECT year(ts) AS y, count(*) AS n " +
+      "FROM graft.db.txg GROUP BY year(ts)")
+    assert(executedPlanString(dfY).contains("GraftMetadataAgg"))
+    assert(dfY.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((2024, 900L)))
+    // DAY nails FINER than the split proves: trunc(min,day) !=
+    // trunc(max,day) inside a month file → refusal, ordinary scan,
+    // same answer (all rows are the 15th here, but the file cannot
+    // PROVE it from month-grain disjointness — conservative)
+    val dfD = spark.sql("SELECT day(ts) AS d, count(*) AS n " +
+      "FROM graft.db.txg GROUP BY day(ts)")
+    assert(!executedPlanString(dfD).contains("GraftMetadataAgg") ||
+      dfD.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((15, 900L)))
+    assert(dfD.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((15, 900L)))
+    // non-UTC session: the CAST(ts AS date) inside the pushed EXTRACT
+    // is zone-dependent — must refuse the manifest serve and stay
+    // correct through the ordinary scan
+    val tzKey = "spark.sql.session.timeZone"
+    val prevTz = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "America/New_York")
+    try {
+      val df2 = spark.sql(q)
+      assert(!executedPlanString(df2).contains("GraftMetadataAgg"),
+        "zone-dependent extract served from the UTC manifest calendar")
+      // NY is behind UTC: the noon-UTC timestamps stay in-month, rows agree
+      assert(df2.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+        Seq((1, 300L), (2, 300L), (3, 300L)))
+    } finally spark.conf.set(tzKey, prevTz)
+    spark.sql("DROP TABLE graft.db.txg")
+    // a table whose files SPAN months refuses (nothing provable)
+    spark.sql("DROP TABLE IF EXISTS graft.db.txp")
+    spark.sql("CREATE TABLE graft.db.txp (ent BIGINT, ts TIMESTAMP) USING graft")
+    spark.range(0, 900)
+      .select(col("id").as("ent"),
+        to_timestamp(concat(lit("2024-0"), (col("id") % 3 + 1).cast("string"),
+          lit("-15 12:00:00"))).as("ts"))
+      .coalesce(2)
+      .writeTo("graft.db.txp").append()
+    val df3 = spark.sql("SELECT month(ts) AS m, count(*) AS n " +
+      "FROM graft.db.txp GROUP BY month(ts) ORDER BY m")
+    assert(!executedPlanString(df3).contains("GraftMetadataAgg"))
+    assert(df3.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((1, 300L), (2, 300L), (3, 300L)))
+    spark.sql("DROP TABLE graft.db.txp")
+  }
+
+  test("q135's executed plan answers the time-transform group-by from the manifest") {
+    val df = SparkEntry.queries("q135_meta_time_groupby")(spark, dir)
+    val plan = executedPlanString(df)
+    assert(plan.contains("GraftMetadataAgg"),
+      s"q135 read data files for a manifest-answerable group-by:\n$plan")
+    assert(!plan.contains("ParquetScan"), s"data files in q135's plan:\n$plan")
+  }
+
   test("q132's executed plan answers the group-by from the manifest alone") {
     val df = SparkEntry.queries("q132_meta_groupby")(spark, dir)
     val plan = executedPlanString(df)
