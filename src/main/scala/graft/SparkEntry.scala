@@ -2406,7 +2406,7 @@ object SparkEntry {
         |ORDER BY o.o_custkey, o.omonth""".stripMargin)
   }
   private def ensureSpjhTables(s: SparkSession, dir: String): Unit = {
-    spjhBuilt.getOrElseUpdate(dir, {
+    spjhBuilt.getOrElseUpdate(dir, ext.PhaseLog.timed("fixture_build") {
       s.sql("DROP TABLE IF EXISTS graft.bench.spjh_orders")
       s.sql("DROP TABLE IF EXISTS graft.bench.spjh_month")
       s.sql("CREATE TABLE graft.bench.spjh_orders " +
@@ -3090,12 +3090,15 @@ object SparkEntry {
     val mirror = warmTable("q115mir", dir)(SnapshotTable.create(s,
       Files.createTempDirectory("graft_q115m").toString,
       base.repartitionByRange(4, col("id"))))
-    src.update(col("id") % 5 === 0, Map("state" -> lower(col("state")))) // v1
-    src.delete(col("id") % 7 === 3)                                      // v2
+    ext.PhaseLog.timed("update")(
+      src.update(col("id") % 5 === 0, Map("state" -> lower(col("state"))))) // v1
+    ext.PhaseLog.timed("delete")(src.delete(col("id") % 7 === 3))           // v2
     // overlapping replay windows: (0,1] then (0,2] — the second window
     // re-delivers every v1 change the first already applied
-    mirror.applyChanges(src.readChanges(0, 1, keyCols = Seq("id")), Seq("id"))
-    mirror.applyChanges(src.readChanges(0, 2, keyCols = Seq("id")), Seq("id"))
+    ext.PhaseLog.timed("apply_changes")(
+      mirror.applyChanges(src.readChanges(0, 1, keyCols = Seq("id")), Seq("id")))
+    ext.PhaseLog.timed("apply_changes")(
+      mirror.applyChanges(src.readChanges(0, 2, keyCols = Seq("id")), Seq("id")))
     mirror.read()
       .select(col("id"), col("state"), round(col("bal"), 2).as("bal"))
       .orderBy("id")
@@ -4070,8 +4073,8 @@ object SparkEntry {
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val (bandT, sigT) = builtIndexPairs.getOrElseUpdate(dir, {
       val tmp = Files.createTempDirectory("graft_q117_idx")
-      ext.Dedup.buildMinhashIndexTables(s,
-        s"$tmp/bands", s"$tmp/sigs", corpus, "doc_id", "text")
+      ext.PhaseLog.timed("build")(ext.Dedup.buildMinhashIndexTables(s,
+        s"$tmp/bands", s"$tmp/sigs", corpus, "doc_id", "text"))
     })
     val copies = docs.filter(col("doc_id") % 4 === 0)
       .select(shiftedId(col("doc_id")).as("doc_id"), col("text"))
@@ -4081,8 +4084,9 @@ object SparkEntry {
           col("doc_id"), col("doc_id"), col("doc_id"), col("doc_id"),
           col("doc_id")).as("text"))
     val batch = copies.unionByName(fresh)
-    val pairs = ext.Dedup.minhashPairsIncrementalIndexed(
-      bandT, sigT, batch, "doc_id", "text")
+    val pairs = ext.PhaseLog.timed("serve_pairs")(
+      ext.Dedup.minhashPairsIncrementalIndexed(
+        bandT, sigT, batch, "doc_id", "text"))
     val corpusFound = pairs
       .filter(col("in_corpus"))
       .select(col("id_a").as("doc_id")).distinct().withColumn("cf", lit(1))
@@ -4122,14 +4126,14 @@ object SparkEntry {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val (bandT, sigT) = builtMaintIndex.getOrElseUpdate(dir, {
       val tmp = Files.createTempDirectory("graft_q124_idx")
-      val pair = ext.Dedup.buildMinhashIndexTables(s,
+      val pair = ext.PhaseLog.timed("build")(ext.Dedup.buildMinhashIndexTables(s,
         s"$tmp/bands", s"$tmp/sigs", docs.filter(col("doc_id") % 4 === 0),
-        "doc_id", "text")
-      ext.Dedup.minhashIndexAppend(pair._1, pair._2,
-        docs.filter(col("doc_id") % 8 === 2), "doc_id", "text")
-      ext.Dedup.minhashIndexAppend(pair._1, pair._2,
-        docs.filter(col("doc_id") % 8 === 6), "doc_id", "text")
-      ext.Dedup.compactMinhashIndex(pair._1, pair._2)
+        "doc_id", "text"))
+      ext.PhaseLog.timed("append")(ext.Dedup.minhashIndexAppend(pair._1, pair._2,
+        docs.filter(col("doc_id") % 8 === 2), "doc_id", "text"))
+      ext.PhaseLog.timed("append")(ext.Dedup.minhashIndexAppend(pair._1, pair._2,
+        docs.filter(col("doc_id") % 8 === 6), "doc_id", "text"))
+      ext.PhaseLog.timed("compact")(ext.Dedup.compactMinhashIndex(pair._1, pair._2))
       pair
     })
     val copies = docs.filter(col("doc_id") % 4 === 0)
@@ -4140,8 +4144,9 @@ object SparkEntry {
           col("doc_id"), col("doc_id"), col("doc_id"), col("doc_id"),
           col("doc_id")).as("text"))
     val batch = copies.unionByName(fresh)
-    val pairs = ext.Dedup.minhashPairsIncrementalIndexed(
-      bandT, sigT, batch, "doc_id", "text")
+    val pairs = ext.PhaseLog.timed("serve_pairs")(
+      ext.Dedup.minhashPairsIncrementalIndexed(
+        bandT, sigT, batch, "doc_id", "text"))
     val corpusFound = pairs
       .filter(col("in_corpus"))
       .select(col("id_a").as("doc_id")).distinct().withColumn("cf", lit(1))
@@ -4182,20 +4187,21 @@ object SparkEntry {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val batch = docs.filter(col("doc_id") >= 250)
     val index = builtSpanIndex.getOrElseUpdate(dir, {
-      val t = ext.TextAnalysis.buildSpanGramIndexTable(s,
+      val t = ext.PhaseLog.timed("build")(ext.TextAnalysis.buildSpanGramIndexTable(s,
         Files.createTempDirectory("graft_q126_idx").toString,
-        docs.filter(col("doc_id") < 150), "doc_id", "text", n = 10)
-      ext.TextAnalysis.spanGramIndexAppend(t,
+        docs.filter(col("doc_id") < 150), "doc_id", "text", n = 10))
+      ext.PhaseLog.timed("append")(ext.TextAnalysis.spanGramIndexAppend(t,
         docs.filter(col("doc_id") >= 150 && col("doc_id") < 200),
-        "doc_id", "text")
-      ext.TextAnalysis.spanGramIndexAppend(t,
+        "doc_id", "text"))
+      ext.PhaseLog.timed("append")(ext.TextAnalysis.spanGramIndexAppend(t,
         docs.filter(col("doc_id") >= 200 && col("doc_id") < 250),
-        "doc_id", "text")
-      ext.TextAnalysis.compactSpanGramIndex(t)
+        "doc_id", "text"))
+      ext.PhaseLog.timed("compact")(ext.TextAnalysis.compactSpanGramIndex(t))
       t
     })
-    ext.TextAnalysis.removeDuplicatedSpansIncrementalIndexed(
-        index, batch, "doc_id", "text")
+    ext.PhaseLog.timed("serve_probe")(
+      ext.TextAnalysis.removeDuplicatedSpansIncrementalIndexed(
+        index, batch, "doc_id", "text"))
       .orderBy("doc_id")
   }
 
