@@ -528,4 +528,30 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.db.reft VERSION AS OF 1")
       .where(col("id") === 3).count() === 0)
   }
+
+  test("graft_scan_stats TVF reports the manifest prune a predicate buys") {
+    import org.apache.spark.sql.functions.col
+    val t = SnapshotTable.create(spark, tmpDir("scanstats"),
+      spark.range(0, 4000).toDF("id")
+        .withColumn("v", col("id") * 3)
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    // no predicate: everything kept, totals agree with the manifest
+    val base = spark.sql(s"SELECT * FROM graft_scan_stats('${t.root}')").head()
+    assert(base.getAs[Long]("files_total") === 8L)
+    assert(base.getAs[Long]("files_kept") === 8L)
+    assert(base.getAs[Long]("rows_total") === 4000L)
+    // a point predicate prunes to the one covering range file — the
+    // same stats pruning the DSv2 scan's build() runs
+    val pt = spark.sql(
+      s"SELECT * FROM graft_scan_stats('${t.root}', 'id = 42')").head()
+    assert(pt.getAs[Long]("files_kept") === 1L,
+      s"point predicate kept ${pt.getAs[Long]("files_kept")} files")
+    assert(pt.getAs[Long]("rows_kept") > 0L &&
+      pt.getAs[Long]("rows_kept") < pt.getAs[Long]("rows_total") / 4)
+    assert(pt.getAs[Long]("bytes_kept") < pt.getAs[Long]("bytes_total"))
+    // the DPP shape: paste the IN-list a runtime filter would deliver
+    val in = spark.sql(
+      s"SELECT * FROM graft_scan_stats('${t.root}', 'id IN (10, 20, 3999)')").head()
+    assert(in.getAs[Long]("files_kept") === 2L)
+  }
 }
