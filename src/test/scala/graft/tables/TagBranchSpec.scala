@@ -248,12 +248,20 @@ class TagBranchSpec extends SparkSpec {
       val lines = scala.util.Try(
         scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq).getOrElse(Nil)
         .filterNot(l => l.contains("INFO") || l.contains("WARN"))
-      // anchor on the LAST exception/require header so the MESSAGE line
+      // anchor on the LAST exception/require HEADER so the MESSAGE line
       // survives the window — an r11 full-suite flake surfaced a bare
-      // mid-stack tail that said nothing about starvation vs real bug
-      val anchor = lines.lastIndexWhere(l =>
-        l.contains("Exception") || l.contains("Error") ||
-          l.contains("starved") || l.contains("requirement failed"))
+      // mid-stack tail that said nothing about starvation vs real bug.
+      // Stack FRAMES are excluded from anchoring: `at …QueryExecution$.
+      // withInternalError(…)` contains "Exception" inside the class
+      // name, and an r13 flake anchored on the last such frame,
+      // producing a headerless tail again
+      def isFrame(l: String) = {
+        val t = l.trim
+        t.startsWith("at ") || t.startsWith("... ")
+      }
+      val anchor = lines.lastIndexWhere(l => !isFrame(l) &&
+        (l.contains("Exception") || l.contains("Error") ||
+          l.contains("starved") || l.contains("requirement failed")))
       val from = if (anchor < 0) math.max(0, lines.size - 15) else anchor
       lines.slice(from, math.min(lines.size, from + 20)).mkString("\n")
     }
