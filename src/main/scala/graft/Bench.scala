@@ -878,7 +878,7 @@ object Bench {
             g.bands, g.numHashes / g.bands)
           .select("bandhash").distinct().collect().map(_.get(0)).toSeq
         states.foreach { case (_, p) => serveOn(p) } // warm each once
-        val reps = 3
+        val reps = 5
         val times = scala.collection.mutable.Map[String, Vector[Double]]()
           .withDefaultValue(Vector())
         for (_ <- 1 to reps; (n, p) <- states) {
@@ -909,7 +909,7 @@ object Bench {
         if (!detail) s""""build_s":${jnum(phases.find(_._1 == "build").map(_._2).getOrElse(-1.0))},"compact_s":${jnum(phases.find(_._1 == "compact").map(_._2).getOrElse(-1.0))},"vacuum_s":${jnum(phases.find(_._1 == "vacuum").map(_._2).getOrElse(-1.0))}"""
         else s""""phases":{${phases.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString(",")}}"""
       val extra = if (detail) ""","appends":8,"append_rows":500,"batch_rows":500""" else ""
-      s""","index_maintenance":{$serves,$filesJ,$probedJ,$bloomJ,"files_reclaimed":$reclaimed,"interleaved_reps":3,$phaseJ$extra}"""
+      s""","index_maintenance":{$serves,$filesJ,$probedJ,$bloomJ,"files_reclaimed":$reclaimed,"interleaved_reps":5,$phaseJ$extra}"""
     }.getOrElse("")
     val imHead = imJson(detail = false)
     val imDetail = imJson(detail = true)
@@ -1075,18 +1075,38 @@ object Bench {
             .otherwise(fn.lit("cold")).as("temp"))
         .write.mode("overwrite").parquet(dimPath)
       sparkS.read.parquet(dimPath).createOrReplaceTempView("dpp_bench_dim")
-      val q = "SELECT sum(f.payload) AS s, sum(length(f.pad)) AS lp, " +
-        "count(*) AS c " +
+      // BROADCAST hint pins the join shape across scale points: the
+      // filtered dim is genuinely small (0.1% of keys), but the
+      // planner's SIZE ESTIMATE of the unfiltered 6.7M-row dim at the
+      // largest point exceeds the broadcast threshold, the join falls
+      // to SMJ, and `reuseBroadcastOnly` then silently disables DPP —
+      // the first recorded f2048 row measured an unpruned plan against
+      // itself (gain 0.87, pure noise). The row's claim is what DPP
+      // buys, not what the estimator picks.
+      val q = "SELECT /*+ BROADCAST(d) */ sum(f.payload) AS s, " +
+        "sum(length(f.pad)) AS lp, count(*) AS c " +
         "FROM graftd.b.dpp_fact f JOIN dpp_bench_dim d ON f.key = d.key " +
         "WHERE d.temp = 'hot'"
-      def timed(enabled: Boolean): Meas = {
-        sparkS.conf.set(
-          "spark.sql.optimizer.dynamicPartitionPruning.enabled",
-          enabled.toString)
-        measure(() => noop(sparkS.sql(q)), 3, warm = true)
+      // on/off reps INTERLEAVE (the round's measurement rule): the
+      // first timed state otherwise absorbs the 12 GB fixture write's
+      // page-cache writeback alone
+      def setDpp(e: Boolean): Unit = sparkS.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", e.toString)
+      def runQ(): Unit = noop(sparkS.sql(q))
+      setDpp(true); runQ(); setDpp(false); runQ() // warm both plans
+      val tsOn = scala.collection.mutable.Buffer[Double]()
+      val tsOff = scala.collection.mutable.Buffer[Double]()
+      for (_ <- 1 to 3) {
+        setDpp(true)
+        var t0 = System.nanoTime(); runQ()
+        tsOn += (System.nanoTime() - t0) / 1e9
+        setDpp(false)
+        t0 = System.nanoTime(); runQ()
+        tsOff += (System.nanoTime() - t0) / 1e9
       }
-      val on = timed(enabled = true)
-      val off = timed(enabled = false)
+      def measOf(ts: Seq[Double]) = Meas(ts.min, ts.sorted.apply(ts.size / 2))
+      val on = measOf(tsOn.toSeq)
+      val off = measOf(tsOff.toSeq)
       // replay the runtime IN against the scan: files before/after
       import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead}
       import org.apache.spark.sql.connector.expressions.{Expressions, Expression => V2Expr}

@@ -4106,19 +4106,22 @@ object SparkEntry {
   }
 
   /** Q124 — INDEX MAINTENANCE lifecycle (build → append → compact →
-   *  serve): q117's index pair is built on only HALF the corpus
-   *  (doc_id % 4 = 0), extended to the full even-docs corpus by two
-   *  [[ext.Dedup.minhashIndexAppend]] batches (signed under the
-   *  tables' pinned geometry — the call site passes none), then
-   *  reclustered by [[ext.Dedup.compactMinhashIndex]] back to the
-   *  build-time file floor. The declared result serves q117's exact
-   *  batch, so q66's oracle applies VERBATIM: an append that missed
-   *  rows, signed at drifted geometry, or a compaction that lost /
-   *  duplicated / mis-clustered a signature all change the served
-   *  survivor set and fail the hash. ExtSpec pins the file-count
-   *  mechanics; the 100 TB claim is the steady state this models —
-   *  continuous ingest + scheduled maintenance with zero serve
-   *  divergence. */
+   *  vacuum → serve): q117's index pair is built on only HALF the
+   *  corpus (doc_id % 4 = 0), extended to the full even-docs corpus by
+   *  two [[ext.Dedup.minhashIndexAppend]] batches (signed under the
+   *  tables' pinned geometry — the call site passes none), reclustered
+   *  by [[ext.Dedup.compactMinhashIndex]] back to the build-time file
+   *  floor, then VACUUMED (retain 1 version, zero window — the
+   *  compaction's dead band/sig files and expired log slots reclaim;
+   *  a long-lived index otherwise accumulates them). The declared
+   *  result serves q117's exact batch over the vacuumed tables, so
+   *  q66's oracle applies VERBATIM: an append that missed rows, signed
+   *  at drifted geometry, a compaction that lost / duplicated /
+   *  mis-clustered a signature, or a vacuum that reclaimed a LIVE file
+   *  all change the served survivor set and fail the hash. ExtSpec
+   *  pins the file-count mechanics; the 100 TB claim is the steady
+   *  state this models — continuous ingest + scheduled maintenance +
+   *  garbage collection with zero serve divergence. */
   private val builtMaintIndex = scala.collection.concurrent.TrieMap[
     String, (graft.tables.SnapshotTable, graft.tables.SnapshotTable)]()
   private def indexMaintenanceQuery(s: SparkSession, dir: String): DataFrame = {
@@ -4134,6 +4137,14 @@ object SparkEntry {
       ext.PhaseLog.timed("append")(ext.Dedup.minhashIndexAppend(pair._1, pair._2,
         docs.filter(col("doc_id") % 8 === 6), "doc_id", "text"))
       ext.PhaseLog.timed("compact")(ext.Dedup.compactMinhashIndex(pair._1, pair._2))
+      // vacuum completes the maintenance lifecycle: the compaction's dead
+      // band/sig files and expired log slots reclaim, and the serve below
+      // must answer identically over the vacuumed tables (hash-gated) —
+      // a vacuum that reclaimed a LIVE file would shift the survivor set
+      ext.PhaseLog.timed("vacuum") {
+        pair._1.vacuum(retainVersions = 1, retainMillis = 0L)
+        pair._2.vacuum(retainVersions = 1, retainMillis = 0L)
+      }
       pair
     })
     val copies = docs.filter(col("doc_id") % 4 === 0)
