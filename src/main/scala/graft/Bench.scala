@@ -1069,7 +1069,11 @@ object Bench {
         .writeTo("graftd.b.dpp_fact").createOrReplace()
       val dimPath = java.nio.file.Files
         .createTempDirectory("graft_bench_dppdim").toString
-      sparkS.range(0, n / 10)
+      // dim size BOUNDED across scale points (the 100 TB shape: the fact
+      // scales, the dim doesn't) — a dim growing 1:10 with the fact made
+      // the dim-side scan dominate the pruned query at the largest point
+      // and capped the recorded gain at ~1.2x regardless of the prune
+      sparkS.range(0, math.min(n / 10, 1L << 20))
         .select(col("id").as("key"),
           fn.when(col("id") < band, fn.lit("hot"))
             .otherwise(fn.lit("cold")).as("temp"))
