@@ -152,6 +152,28 @@ class SnapshotTable private (
 
   private[graft] def commitEntry(version: Long): CommitEntry = {
     val p = new Path(logDir, f"$version%020d.json")
+    // parsed-entry cache, keyed by the slot file's identity (mtime+len —
+    // the dvPosCache incarnation rule): a committed slot is immutable,
+    // but the json4s parse of a large manifest is O(files) driver work
+    // paid per scan build otherwise (~0.1 s/10³ files — at 10⁵-file
+    // snapshots, seconds per query). The identity probe is ONE status
+    // round trip; any probe failure (expired slot, racing vacuum)
+    // bypasses the cache so failure semantics are exactly the uncached
+    // path's — a deleted slot still resolves from its tag or throws.
+    val slotId =
+      try {
+        val st = fs.getFileStatus(p)
+        Some((st.getModificationTime, st.getLen))
+      } catch { case NonFatal(_) => None }
+    slotId match {
+      case Some(id) =>
+        SnapshotTable.commitEntryCached(logDir.toString, version, id,
+          () => readCommitEntry(p, version))
+      case None => readCommitEntry(p, version)
+    }
+  }
+
+  private def readCommitEntry(p: Path, version: Long): CommitEntry = {
     val bytes =
       try {
         val in = fs.open(p)
@@ -4540,6 +4562,30 @@ object SnapshotTable {
    *  table otherwise re-runs the same small Spark job at PLAN time.
    *  Branch logs key separately (their version numbers overlap main's).
    *  Bounded LRU; eviction only re-pays the job. */
+  /** Parsed commit entries, memoized per (log dir, version, slot
+   *  identity) — same keying discipline as [[dvPosCache]]: the slot
+   *  file's (mtime, length) distinguishes table incarnations at the
+   *  same path, and a probe failure bypasses the cache entirely.
+   *  Bounded LRU; eviction only re-pays one read+parse. */
+  private val commitEntryCache =
+    new java.util.LinkedHashMap[(String, Long, (Long, Long)), CommitEntry](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, (Long, Long)), CommitEntry]): Boolean =
+        size() > 8
+    }
+  private[tables] def commitEntryCached(
+      logDir: String, version: Long, slotId: (Long, Long),
+      load: () => CommitEntry): CommitEntry = {
+    val key = (logDir, version, slotId)
+    val hit = commitEntryCache.synchronized(Option(commitEntryCache.get(key)))
+    hit.getOrElse {
+      val v = load()
+      commitEntryCache.synchronized(commitEntryCache.put(key, v))
+      v
+    }
+  }
+
   private val dvPosCache =
     new java.util.LinkedHashMap[(String, Long, (Long, Long)), Map[String, Array[Long]]](
         16, 0.75f, true) {
