@@ -1928,9 +1928,19 @@ class SnapshotTable private (
         "or column mapping — a key-probed raw read serves data files directly " +
         "and would miss them; index tables are append-only by contract " +
         "(compact or rebuild the index table before serving)")
-    val paths = keyProbedPaths(e, column, keys)
-    if (paths.isEmpty) read().limit(0)
-    else spark.read.parquet(paths: _*)
+    val keep = keyProbedPaths(e, column, keys).toSet
+    if (keep.isEmpty) read().limit(0)
+    else {
+      // metadata-served read: the manifest knows every surviving file's
+      // exact length, so the relation builds with ZERO filesystem round
+      // trips — `spark.read.parquet` re-stat'ed each path and, above 32
+      // paths, launched a listing JOB per probe (two per indexed serve:
+      // band + signature), pure plan-time overhead on the serve hot path
+      val ents = e.files.filter(f => keep(f.path))
+      val schema = DataType.fromJson(e.schemaJson).asInstanceOf[StructType]
+      org.apache.spark.sql.graftshim.SparkInternals.parquetOver(
+        spark, new graft.sql.ManifestFileIndex(spark, ents), schema)
+    }
   }
 
   /** Logical→physical column mapping AT a version (empty = identity;

@@ -27,6 +27,29 @@ object SparkInternals {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** DataFrame over a parquet [[org.apache.spark.sql.execution.datasources.FileIndex]]
+   *  — the metadata-served read path: `spark.read.parquet(paths…)`
+   *  re-stats every path through an InMemoryFileIndex (above 32 paths,
+   *  a Spark LISTING JOB per call); a caller that already knows each
+   *  file's exact length (the commit manifest) passes its own index and
+   *  pays zero filesystem round trips at plan time. */
+  def parquetOver(
+      spark: SparkSession,
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+  }
+
   /** V2 runtime-filter Predicate → V1 source Filter (PredicateUtils is
    *  `private[sql]`) — what [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering.filter]]
    *  receives from dynamic partition pruning (an IN over the broadcast
