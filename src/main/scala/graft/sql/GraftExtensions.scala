@@ -160,12 +160,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val keptE = all.filter(f => kept.contains(f.path))
         val spark = t.spark
         import spark.implicits._
+        // adopted files with unreadable footers carry rows == -1; summing
+        // the sentinel would understate totals by 1 per file, so they are
+        // excluded from the row sums and surfaced in their own column
+        val unknown = all.count(_.rows < 0).toLong
         val df = Seq((v, all.size.toLong, keptE.size.toLong,
-            all.map(_.rows).sum, keptE.map(_.rows).sum,
+            all.map(_.rows).filter(_ >= 0).sum,
+            keptE.map(_.rows).filter(_ >= 0).sum,
             all.map(_.bytes).sum, keptE.map(_.bytes).sum,
-            predSql.getOrElse("")))
+            unknown, predSql.getOrElse("")))
           .toDF("version", "files_total", "files_kept", "rows_total",
-            "rows_kept", "bytes_total", "bytes_kept", "predicate")
+            "rows_kept", "bytes_total", "bytes_kept", "files_unknown_rows",
+            "predicate")
         SparkInternals.logicalPlan(df)
       }))
     // Pure-SQL face of the ext expression family — spark.sql users get

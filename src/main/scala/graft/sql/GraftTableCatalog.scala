@@ -705,8 +705,12 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
    *  the key (null rows are invisible to min/max yet order first by
    *  default) is always kept and contributes nothing toward θ.
    *  Float/double keys refuse outright (NaN is invisible to parquet
-   *  stats but sorts above +Inf); strings refuse (footer bounds may
-   *  truncate). Partial pushdown — Spark keeps the real sort+limit. */
+   *  stats but sorts above +Inf). String keys accept at the query
+   *  level, but the θ walk trusts only bounds carrying the
+   *  writer-exact flag ([[SnapshotTable.ColStats.exact]]) — files with
+   *  truncated/adopted string bounds are kept and contribute nothing,
+   *  degrading to no pruning rather than unsoundness. Partial
+   *  pushdown — Spark keeps the real sort+limit. */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
@@ -1211,9 +1215,10 @@ class KeyGroupedFileScan(
  *  largest point. At 100 TB (10⁵–10⁶ files, object-store GETs) this is
  *  the difference between metadata-served planning and a listing storm
  *  — the Iceberg/Delta design: the table format IS the file index.
- *  Modification times are not recorded (0): nothing on the read path
- *  consults them — file splitting uses lengths, and the engine's
- *  `_commit_ts` meta-column serves lineage queries instead. */
+ *  Modification times come from the manifest too (harvested from the
+ *  writer's FileStatus at commit time — sound because data files are
+ *  immutable), so `_metadata.file_modification_time` reports the real
+ *  value; entries from pre-mtime commit logs fall back to epoch 0. */
 class ManifestFileIndex(
     spark: org.apache.spark.sql.SparkSession,
     entries: Seq[SnapshotTable.FileEntry])
@@ -1230,20 +1235,24 @@ class ManifestFileIndex(
       val conf = spark.sessionState.newHadoopConf()
       val fs = new Path(entries.head.path).getFileSystem(conf)
       entries.map(e =>
-        new FileStatus(e.bytes, false, 1, 128L * 1024 * 1024, 0L,
-          fs.makeQualified(new Path(e.path))))
+        new FileStatus(e.bytes, false, 1, 128L * 1024 * 1024,
+          e.mtime.getOrElse(0L), fs.makeQualified(new Path(e.path))))
     }
   }
   override def rootPaths: Seq[Path] =
     statuses.map(_.getPath.getParent).distinct
   override def partitionSpec(): org.apache.spark.sql.execution.datasources.PartitionSpec =
     org.apache.spark.sql.execution.datasources.PartitionSpec.emptySpec
-  override def leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+  // lazy VALs, not defs: PartitioningAwareFileIndex consults these
+  // several times per scan build (allFiles, sizeInBytes, listFiles), and
+  // rebuilding an O(files) map per call would repeat driver work 3–4×
+  // at the 10⁵–10⁶-file design point this index exists for
+  override lazy val leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
     val m = scala.collection.mutable.LinkedHashMap[Path, FileStatus]()
     statuses.foreach(s => m(s.getPath) = s)
     m
   }
-  override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+  override lazy val leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
     statuses.groupBy(_.getPath.getParent)
       .map { case (d, fs) => d -> fs.toArray }
   override def refresh(): Unit = ()

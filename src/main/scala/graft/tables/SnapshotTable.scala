@@ -2562,18 +2562,28 @@ class SnapshotTable private (
       // written slot file, and keying on the path alone would serve the
       // dead incarnation's DV map — silently wrong rows. The status probe
       // is one point lookup vs the O(deleted rows) Spark job it guards.
-      val slotId =
-        try {
-          val st = fs.getFileStatus(new Path(logDir, f"$version%020d.json"))
-          (st.getModificationTime, st.getLen)
-        } catch { case NonFatal(_) => (-1L, -1L) }
-      SnapshotTable.dvPositionsCached(logDir.toString, version, slotId, () =>
+      // Probe FAILURE (slot vacuumed but version still resolvable via a
+      // tag/checkpoint) bypasses the cache entirely — a sentinel key
+      // would be shared by every incarnation whose probe fails, the
+      // exact stale-DV class the slot identity exists to prevent; same
+      // rule commitEntry applies.
+      def load(): Map[String, Array[Long]] =
         spark.read.schema(SnapshotTable.DvSchema).parquet(dvs: _*)
           .collect()
           .groupBy(_.getString(0))
           .map { case (f, rows) =>
             f -> rows.map(_.getLong(1)).distinct.sorted
-          })
+          }
+      val slotId =
+        try {
+          val st = fs.getFileStatus(new Path(logDir, f"$version%020d.json"))
+          Some((st.getModificationTime, st.getLen))
+        } catch { case NonFatal(_) => None }
+      slotId match {
+        case Some(id) =>
+          SnapshotTable.dvPositionsCached(logDir.toString, version, id, () => load())
+        case None => load()
+      }
     }
   }
 
@@ -3841,7 +3851,15 @@ object SnapshotTable {
 
   final case class FileEntry(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats],
       blooms: Option[Map[String, String]] = None,
-      bucket: Option[Int] = None) {
+      bucket: Option[Int] = None,
+      // writer-side modification time (epoch millis), recorded at footer
+      // harvest so manifest-served scans can report the standard
+      // `_metadata.file_modification_time` without a filesystem round
+      // trip. Data files are immutable (any rewrite renames), so the
+      // harvest-time value stays true for the file's whole life. Absent
+      // in pre-mtime commit logs and for synthesized entries → readers
+      // fall back to 0.
+      mtime: Option[Long] = None) {
     /** Decoded manifest blooms, materialized once per entry — an IN-list
      *  probe hits one file's filter once per VALUE, and re-base64-ing a
      *  128 KiB filter per value would turn plan-time pruning into driver
@@ -3914,14 +3932,16 @@ object SnapshotTable {
       conf: Configuration,
       trustExact: Boolean = false): Seq[FileEntry] = {
     if (files.lengthCompare(2) < 0)
-      files.map(s => readFooterStats(s.getPath, s.getLen, conf, trustExact))
+      files.map(s =>
+        readFooterStats(s.getPath, s.getLen, conf, trustExact, s.getModificationTime))
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
       Await.result(
         Future.traverse(files)(s =>
-          Future(readFooterStats(s.getPath, s.getLen, conf, trustExact))),
+          Future(readFooterStats(s.getPath, s.getLen, conf, trustExact,
+            s.getModificationTime))),
         Duration.Inf)
     }
   }
@@ -3931,7 +3951,7 @@ object SnapshotTable {
    *  bounds that round-tripped untruncated as exact ([[ColStats.exact]])
    *  — pass true ONLY when OUR writer produced these footers. */
   private[tables] def readFooterStats(p: Path, len: Long, conf: Configuration,
-      trustExact: Boolean = false): FileEntry = {
+      trustExact: Boolean = false, mtime: Long = 0L): FileEntry = {
     val path = p.toUri.getPath
     try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
@@ -3980,10 +4000,12 @@ object SnapshotTable {
             }
           }
         }
-        FileEntry(path, rows, len, acc.toMap)
+        FileEntry(path, rows, len, acc.toMap,
+          mtime = if (mtime > 0L) Some(mtime) else None)
       } finally reader.close()
     } catch {
-      case NonFatal(_) => FileEntry(path, -1L, len, Map.empty)
+      case NonFatal(_) => FileEntry(path, -1L, len, Map.empty,
+        mtime = if (mtime > 0L) Some(mtime) else None)
     }
   }
 

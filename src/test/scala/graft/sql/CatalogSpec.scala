@@ -32,6 +32,23 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("graft.db.t1").as[(Int, String)].collect().toSet === Set((9, "z")))
   }
 
+  test("ManifestFileIndex serves real mtimes harvested into the manifest") {
+    Seq((1, "a"), (2, "b")).toDF("id", "v").writeTo("graft.db.tmt").createOrReplace()
+    val t = graft.tables.SnapshotTable(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db/tmt")
+    // manifest-served scans build FileStatus from commit metadata, not a
+    // filesystem listing — the harvested mtime must ride along, or
+    // `_metadata.file_modification_time` silently reports epoch 1970
+    val entries = t.manifestEntries()
+    assert(entries.nonEmpty && entries.forall(_.mtime.exists(_ > 1577836800000L)),
+      s"manifest mtimes: ${entries.map(_.mtime).mkString(",")}") // 2020-01-01
+    val idx = new ManifestFileIndex(spark, entries)
+    val statuses = idx.allFiles()
+    assert(statuses.nonEmpty &&
+      statuses.forall(_.getModificationTime > 1577836800000L),
+      s"index mtimes: ${statuses.map(_.getModificationTime).mkString(",")}")
+  }
+
   test("CTAS, INSERT INTO, INSERT OVERWRITE via SQL") {
     spark.sql("DROP TABLE IF EXISTS graft.db.t2")
     spark.sql("CREATE TABLE graft.db.t2 AS SELECT 1 AS id, 'x' AS v")

@@ -540,6 +540,10 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(base.getAs[Long]("files_total") === 8L)
     assert(base.getAs[Long]("files_kept") === 8L)
     assert(base.getAs[Long]("rows_total") === 4000L)
+    // every file here has a harvested row count; unknown-count files
+    // (adopted, unreadable footer) are excluded from the sums and
+    // surfaced in this column instead of subtracting a -1 sentinel
+    assert(base.getAs[Long]("files_unknown_rows") === 0L)
     // a point predicate prunes to the one covering range file — the
     // same stats pruning the DSv2 scan's build() runs
     val pt = spark.sql(
