@@ -2,11 +2,12 @@ package graft.sql
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression, TruncTimestamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.tables.SnapshotTable.FileEntry
 
@@ -56,6 +57,162 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
         values <- traverse(exprs.map(answer(_, rel, files)))
       } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
         .getOrElse(agg)
+    // `GROUP BY date_trunc('day', ts)` — the idiomatic spelling of the
+    // metadata time GROUP BY. Spark's V2ExpressionBuilder never
+    // translates date_trunc, so the DSv2 aggregate-pushdown layer (which
+    // serves the `EXTRACT(F FROM CAST(ts AS date))` spelling) never even
+    // sees it; this Catalyst-level case serves it with the SAME proof:
+    // every live file's trunc(min) == trunc(max) at the format's nailing
+    // granularity (quarter/week reconstruct from the months/days proof),
+    // UTC-session-gated for zoned timestamps (date_trunc truncates in
+    // the session zone; the manifest's truncation is UTC calendar).
+    // Anything unprovable keeps the scan — never a wrong tuple.
+    case agg @ Aggregate(groupExprs, exprs, _, _)
+        if groupExprs.nonEmpty && exprs.nonEmpty =>
+      serveTruncGrouped(agg).getOrElse(agg)
+  }
+
+  /** The date_trunc grouped serve, or None to keep the plan. By the
+   *  time user optimizer rules run, PullOutGroupingExpressions has
+   *  hoisted complex group keys into a Project below the Aggregate
+   *  (`_groupingexpression#N`), so keys arrive as attributes resolved
+   *  through that Project's aliases. All syntactic gates run before the
+   *  manifest is consulted. */
+  private def serveTruncGrouped(agg: Aggregate): Option[LogicalPlan] = {
+    val (aliases, inner) = agg.child match {
+      case p: Project =>
+        (p.projectList.collect {
+          case a @ Alias(c, _) => a.exprId -> c
+        }.toMap[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
+          p.child)
+      case other =>
+        (Map.empty[org.apache.spark.sql.catalyst.expressions.ExprId, Expression], other)
+    }
+    def resolved(e: Expression): Expression = e match {
+      case a: AttributeReference => aliases.getOrElse(a.exprId, a)
+      case other => other
+    }
+    val keyParts = agg.groupingExpressions.map(e => truncParts(resolved(e)))
+    if (keyParts.exists(_.isEmpty)) return None
+    if (!agg.aggregateExpressions.forall(e =>
+        isSupportedShape(e) || isGroupKeyOutput(e, agg.groupingExpressions)))
+      return None
+    for {
+      rel <- relationOf(inner)
+      g <- rel.table match { case g: GraftTable => Some(g); case _ => None }
+      files <- g.statsFiles
+      rows <- truncGroupedRows(keyParts.flatten, agg.groupingExpressions,
+        agg.aggregateExpressions, rel, g, files)
+    } yield LocalRelation(agg.output, rows)
+  }
+
+  /** date_trunc formats this rule can prove from per-file bounds:
+   *  format → (granularity whose per-file constancy nails the key,
+   *  reconstruction of the truncated value from that granularity's
+   *  trunc micros). QUARTER proves at months and WEEK at days — finer
+   *  than the key itself, so constancy transfers; files in the same
+   *  quarter but different months simply land in the same group. */
+  private def truncUnit(fmt: String): Option[(String, Long => Long)] = {
+    val DayMicros = 86400000000L
+    def dateOf(micros: Long) =
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, DayMicros))
+    fmt match {
+      case "YEAR" | "YYYY" | "YY" => Some(("years", identity))
+      case "MONTH" | "MON" | "MM" => Some(("months", identity))
+      case "DAY" | "DD" => Some(("days", identity))
+      case "HOUR" => Some(("hours", identity))
+      case "QUARTER" => Some(("months", m => {
+        val d = dateOf(m)
+        d.withMonth((d.getMonthValue - 1) / 3 * 3 + 1).toEpochDay * DayMicros
+      }))
+      case "WEEK" => Some(("days", m =>
+        dateOf(m).`with`(java.time.temporal.TemporalAdjusters
+          .previousOrSame(java.time.DayOfWeek.MONDAY)).toEpochDay * DayMicros))
+      case _ => None
+    }
+  }
+
+  /** Syntactic gate: `date_trunc(<literal supported fmt>, <timestamp
+   *  column>)`. Zone gates run on the expression's own BAKED zone ids
+   *  (set at analysis) — a zoned trunc serves only when it truncates in
+   *  UTC (the manifest's calendar). An NTZ column arrives wrapped in a
+   *  session-zone `CAST(ts AS TIMESTAMP)` (date_trunc's NTZ semantics
+   *  ARE zone-dependent in Spark); the cast is a micros no-op exactly
+   *  when its zone is UTC, so that is the only form unwrapped. Relation
+   *  identity is re-checked in [[truncGroupedRows]]. */
+  private def truncParts(e: Expression)
+      : Option[(AttributeReference, String, Long => Long)] = e match {
+    case t @ TruncTimestamp(Literal(fmt: UTF8String, StringType), src, _) =>
+      val attr: Option[AttributeReference] = src match {
+        case a: AttributeReference
+            if a.dataType == TimestampNTZType ||
+              (a.dataType == TimestampType && t.timeZoneId.forall(_ == "UTC")) =>
+          Some(a)
+        case c: org.apache.spark.sql.catalyst.expressions.Cast
+            if c.dataType == TimestampType && c.timeZoneId.forall(_ == "UTC") &&
+              t.timeZoneId.forall(_ == "UTC") =>
+          c.child match {
+            case a: AttributeReference if a.dataType == TimestampNTZType => Some(a)
+            case _ => None
+          }
+        case _ => None
+      }
+      val up = fmt.toString.toUpperCase(java.util.Locale.ROOT)
+      for { a <- attr; (unit, rec) <- truncUnit(up) } yield (a, unit, rec)
+    case _ => None
+  }
+
+  /** Is this output column just (an alias of) one of the group keys? */
+  private def isGroupKeyOutput(e: NamedExpression, keys: Seq[Expression]): Boolean =
+    e match {
+      case Alias(c, _) => keys.exists(_.semanticEquals(c))
+      case c => keys.exists(_.semanticEquals(c))
+    }
+
+  /** One InternalRow per distinct group-key tuple, or None to keep the
+   *  scan: refuses when any file's trunc value is unprovable, any key
+   *  column isn't the relation's own attribute, or (for zoned
+   *  timestamps) the session zone isn't UTC. */
+  private def truncGroupedRows(
+      keys: Seq[(AttributeReference, String, Long => Long)],
+      groupExprs: Seq[Expression],
+      exprs: Seq[NamedExpression],
+      rel: DataSourceV2Relation,
+      g: GraftTable,
+      files: Seq[FileEntry]): Option[Seq[InternalRow]] = {
+    val zonedOk = keys.forall { case (a, _, _) =>
+      a.dataType == TimestampNTZType ||
+        g.table.spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    }
+    if (!zonedOk) return None
+    if (!keys.forall { case (a, _, _) => rel.output.exists(_.exprId == a.exprId) })
+      return None
+    val schema = g.schema()
+    val keyed: Seq[(Seq[Long], FileEntry)] = files.map { f =>
+      val tuple = keys.map { case (a, unit, rec) =>
+        g.table.fileTruncValue(f, a.name, unit, schema) match {
+          case Some(m) => rec(m)
+          case None => return None
+        }
+      }
+      (tuple, f)
+    }
+    val rows = keyed.groupBy(_._1).toSeq.sortBy(_._1.mkString("|"))
+      .map { case (tuple, kfs) =>
+        val sub = kfs.map(_._2)
+        val values = exprs.map { e =>
+          if (isGroupKeyOutput(e, groupExprs)) {
+            val keyExpr = e match { case Alias(c, _) => c; case c => c }
+            val i = groupExprs.indexWhere(_.semanticEquals(keyExpr))
+            Some(tuple(i): Any)
+          } else answer(e, rel, sub)
+        }
+        traverse(values) match {
+          case Some(vs) => InternalRow.fromSeq(vs)
+          case None => return None
+        }
+      }
+    Some(rows)
   }
 
   /** Cheap syntactic pre-filter: could this output column EVER be

@@ -495,7 +495,8 @@ class SnapshotTable private (
   private[graft] def writeDataDir(dfIn: DataFrame,
       mappingOverride: Option[Map[String, String]] = None,
       strictIdentity: Boolean = false,
-      bucketRouted: Option[(Int, Seq[String], Seq[String])] = None): Seq[FileEntry] = {
+      bucketRouted: Option[(Int, Seq[String], Seq[String])] = None,
+      timeSubs: Seq[String] = Nil): Seq[FileEntry] = {
     // one commit-log read serves the CHECK constraints, the bloom options,
     // and the column mapping (object-store round trips per write matter)
     val cur = currentReadable().map(_._2)
@@ -532,8 +533,18 @@ class SnapshotTable private (
     // still its routing-task index = its bucket id. The scan later
     // re-derives each file's identity value from its exact stats
     // (single-valued column), so the dirs themselves carry no contract.
-    val subParts: Seq[(String, Column)] = bucketRouted match {
-      case Some((_, _, subs)) if subs.nonEmpty =>
+    // `timeSubs` drives the same per-value split for NON-bucketed
+    // time-transform layouts (`PARTITIONED BY (months(ts))` alone): the
+    // range shuffle applyCluster runs is only a best-effort period
+    // split — AQE coalesces small shuffle partitions, so without the
+    // writer-side split a small append lands periods together in one
+    // file and the period-provability invariant (trunc(min) ==
+    // trunc(max) per file) silently degrades to "nothing servable".
+    val subParts: Seq[(String, Column)] = (bucketRouted match {
+      case Some((_, _, subs)) => subs
+      case None => timeSubs
+    }) match {
+      case subs if subs.nonEmpty =>
         subs.map { entry =>
           val logical = ClusterTransform.sourceColumns(entry).head
           val phys = mapping.find(_._1.equalsIgnoreCase(logical)).map(_._2)
@@ -713,7 +724,8 @@ class SnapshotTable private (
     // full replace: write physical = logical and clear the column mapping
     // (renames are materialized), same lifecycle as the drop tombstones
     val files = writeDataDir(applyCluster(df, spec), Some(Map.empty),
-      strictIdentity = true, bucketRouted = routedBucket(df, spec))
+      strictIdentity = true, bucketRouted = routedBucket(df, spec),
+      timeSubs = timeOnlySubs(df, spec))
     // a full replace leaves no file that could carry a dropped column's
     // old values — the drop-column tombstones have done their job
     val props = prior.flatMap(_.properties)
@@ -892,7 +904,8 @@ class SnapshotTable private (
     }
     val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
     val files = writeDataDir(applyCluster(aligned, spec), strictIdentity = true,
-      bucketRouted = routedBucket(aligned, spec))
+      bucketRouted = routedBucket(aligned, spec),
+      timeSubs = timeOnlySubs(aligned, spec))
     // Optimistic-transaction retry (Delta's blind-append rule): an append
     // adds files and reads nothing, so losing the commit race to another
     // FILE-ONLY commit (append, upsert, compact, delete) is not a logical
@@ -1033,6 +1046,18 @@ class SnapshotTable private (
     if (clusterApplicable(df, spec)) ClusterTransform.routedSpec(spec)
     else None
 
+  /** Time-transform entries of a NON-bucketed applicable spec — passed
+   *  to [[writeDataDir]] as writer-side sub-partition splits so every
+   *  file provably holds one period even when AQE coalesces the range
+   *  shuffle's small partitions. Identity/plain entries are NOT split:
+   *  a plain spec doubles as a multi-column range-cluster key (possibly
+   *  high-cardinality), while a time transform is an unambiguous
+   *  low-cardinality period declaration. */
+  private def timeOnlySubs(df: DataFrame, spec: Seq[String]): Seq[String] =
+    if (clusterApplicable(df, spec) && ClusterTransform.routedSpec(spec).isEmpty)
+      spec.filter(ClusterTransform.timeEntry(_).isDefined)
+    else Nil
+
   private def applyCluster(
       df: DataFrame, spec: Seq[String], numFiles: Option[Int] = None): DataFrame = {
     if (!clusterApplicable(df, spec)) df
@@ -1144,7 +1169,7 @@ class SnapshotTable private (
       prior.map(_.files.map(_.path).toSet -- keep.toSet).getOrElse(Set.empty)
     val spec = prior.flatMap(_.clusterBy).getOrElse(Nil)
     val files = writeDataDir(applyCluster(df, spec, numFiles),
-      bucketRouted = routedBucket(df, spec))
+      bucketRouted = routedBucket(df, spec), timeSubs = timeOnlySubs(df, spec))
     // deletion vectors carry forward by default (rewritten files take new
     // names, so their stale DV rows are inert); a DV delete appends its
     // sidecar, a purge clears the list

@@ -1354,6 +1354,93 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.txp")
   }
 
+  test("GROUP BY date_trunc serves metadata-only: trunc-proof, UTC-gated") {
+    // the idiomatic spelling — Spark's V2ExpressionBuilder never pushes
+    // date_trunc, so this is served by the Catalyst-level MetadataOnlyAgg
+    // grouped case (collapses to a LocalRelation), not the DSv2 layer
+    spark.sql("DROP TABLE IF EXISTS graft.db.txdt")
+    spark.sql("CREATE TABLE graft.db.txdt (ent BIGINT, ts TIMESTAMP, v BIGINT) " +
+      "USING graft PARTITIONED BY (months(ts))")
+    spark.range(0, 900)
+      .select(col("id").as("ent"),
+        to_timestamp(concat(lit("2024-0"), (col("id") % 3 + 1).cast("string"),
+          lit("-"), (col("id") % 10 + 10).cast("string"),
+          lit(" 12:00:00"))).as("ts"),
+        (col("id") * 3).as("v"))
+      .writeTo("graft.db.txdt").append()
+    def ms(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+    val q = "SELECT date_trunc('MONTH', ts) AS m, count(*) AS n " +
+      "FROM graft.db.txdt GROUP BY date_trunc('MONTH', ts) ORDER BY m"
+    val df = spark.sql(q)
+    val plan = executedPlanString(df)
+    assert(plan.contains("LocalTableScan"),
+      s"date_trunc group-by did not collapse to the manifest answer:\n$plan")
+    assert(!plan.contains("ParquetScan") && !plan.contains("Scan parquet"),
+      s"data files read:\n$plan")
+    assert(df.collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq ===
+      Seq((ms("2024-01-01T00:00:00Z"), 300L), (ms("2024-02-01T00:00:00Z"), 300L),
+        (ms("2024-03-01T00:00:00Z"), 300L)))
+    // QUARTER reconstructs from the months proof (Jan/Feb/Mar → one Q1 group)
+    val dfQ = spark.sql("SELECT date_trunc('QUARTER', ts) AS qt, count(*) AS n " +
+      "FROM graft.db.txdt GROUP BY date_trunc('QUARTER', ts)")
+    assert(executedPlanString(dfQ).contains("LocalTableScan"))
+    assert(dfQ.collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq ===
+      Seq((ms("2024-01-01T00:00:00Z"), 900L)))
+    // group key + manifest-answerable min/max in one shape
+    val dfM = spark.sql("SELECT date_trunc('YEAR', ts) AS y, count(*) AS n, " +
+      "min(v) AS lo, max(v) AS hi FROM graft.db.txdt GROUP BY date_trunc('YEAR', ts)")
+    assert(executedPlanString(dfM).contains("LocalTableScan"))
+    assert(dfM.collect().map(r =>
+      (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((ms("2024-01-01T00:00:00Z"), 900L, 0L, 2697L)))
+    // DAY nails finer than the month files can prove (days 10-19 per
+    // file) → refusal, ordinary scan, correct answer
+    val dfD = spark.sql("SELECT date_trunc('DAY', ts) AS d, count(*) AS n " +
+      "FROM graft.db.txdt GROUP BY date_trunc('DAY', ts)")
+    assert(!executedPlanString(dfD).contains("LocalTableScan"),
+      "day-grain trunc served from month-grain files")
+    val dRows = dfD.collect()
+    assert(dRows.length === 30 && dRows.map(_.getLong(1)).sum === 900L)
+    // non-UTC session: zoned date_trunc truncates in the session zone,
+    // the manifest calendar is UTC — must refuse and stay correct
+    val tzKey = "spark.sql.session.timeZone"
+    val prevTz = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "America/New_York")
+    try {
+      val df2 = spark.sql(q)
+      assert(!executedPlanString(df2).contains("LocalTableScan"),
+        "zone-dependent date_trunc served from the UTC manifest calendar")
+      assert(df2.collect().map(_.getLong(1)).toSeq === Seq(300L, 300L, 300L))
+    } finally spark.conf.set(tzKey, prevTz)
+    spark.sql("DROP TABLE graft.db.txdt")
+    // TIMESTAMP_NTZ: Spark's date_trunc wraps the column in a
+    // session-zone CAST(ts AS TIMESTAMP) — zone-DEPENDENT semantics.
+    // The UTC cast is a micros no-op (unwrapped, serves); any other
+    // zone must refuse and stay correct through the scan.
+    spark.sql("DROP TABLE IF EXISTS graft.db.txnz")
+    spark.sql("CREATE TABLE graft.db.txnz (ent BIGINT, ts TIMESTAMP_NTZ) " +
+      "USING graft PARTITIONED BY (months(ts))")
+    spark.range(0, 300)
+      .select(col("id").as("ent"),
+        to_timestamp(concat(lit("2024-0"), (col("id") % 3 + 1).cast("string"),
+          lit("-15 12:00:00"))).cast("timestamp_ntz").as("ts"))
+      .writeTo("graft.db.txnz").append()
+    val qN = "SELECT date_trunc('MONTH', ts) AS m, count(*) AS n " +
+      "FROM graft.db.txnz GROUP BY date_trunc('MONTH', ts) ORDER BY m"
+    val dfN = spark.sql(qN)
+    assert(executedPlanString(dfN).contains("LocalTableScan"),
+      "NTZ date_trunc under a UTC session is a micros no-op and must serve")
+    assert(dfN.collect().map(_.getLong(1)).toSeq === Seq(100L, 100L, 100L))
+    spark.conf.set(tzKey, "America/New_York")
+    try {
+      val dfN2 = spark.sql(qN)
+      assert(!executedPlanString(dfN2).contains("LocalTableScan"),
+        "session-zone NTZ cast served from the UTC manifest calendar")
+      assert(dfN2.collect().map(_.getLong(1)).toSeq === Seq(100L, 100L, 100L))
+    } finally spark.conf.set(tzKey, prevTz)
+    spark.sql("DROP TABLE graft.db.txnz")
+  }
+
   test("q135's executed plan answers the time-transform group-by from the manifest") {
     val df = SparkEntry.queries("q135_meta_time_groupby")(spark, dir)
     val plan = executedPlanString(df)
