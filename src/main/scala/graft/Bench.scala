@@ -139,7 +139,13 @@ object Bench {
     // total's variance attributable to a phase instead of a mystery
     // (q124 recorded 1.89→4.50 s across identical code, r10–r12).
     val lifecycleQs = Set("q115_apply_changes", "q117_serve_indexed",
-      "q124_index_maintenance", "q126_span_serve_indexed", "q128_spj_hybrid")
+      "q124_index_maintenance", "q126_span_serve_indexed", "q128_spj_hybrid",
+      // the IVF lifecycles + the concurrent-families recall harness:
+      // q120 was r13's #2 suite row (7.04 s driver / 0.9 s dev) with
+      // zero phase attribution — now its three-table PQ build, append,
+      // and probe phases land in BENCH_DETAIL like q124's
+      "q118_ivf_indexed", "q119_ivf_sq8_indexed", "q120_ivf_pq_indexed",
+      "q121_ivf_stream", "q49_approx_recall")
     val warmPhases = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Double)]]()
     val steadyPhases = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Double)]]()
     ordered.foreach { case (name, fn) =>

@@ -1358,18 +1358,19 @@ object SparkEntry {
   private def ivfIndexedQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     val t = ivfTableCache.getOrElseUpdate(dir, {
-      val tt = ext.Similarity.buildIvfIndexTables(s,
+      val tt = ext.PhaseLog.timed("build")(ext.Similarity.buildIvfIndexTables(s,
         Files.createTempDirectory("graft_q118c").toString,
         Files.createTempDirectory("graft_q118a").toString,
-        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16)
-      ext.Similarity.ivfAppendTo(tt,
-        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16))
+      ext.PhaseLog.timed("append")(ext.Similarity.ivfAppendTo(tt,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding"))
       tt
     })
-    ext.Similarity.ivfProbeIndexed(t, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nProbe = 16)
-      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
-      .orderBy("q_id", "n_id")
+    ext.PhaseLog.timed("serve_plan")(
+      ext.Similarity.ivfProbeIndexed(t, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 16)
+        .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "n_id"))
   }
 
   /** Q119 — the persisted lifecycle for the SQ8 index (q118's
@@ -1387,18 +1388,19 @@ object SparkEntry {
     val doubled = emb.unionByName(
       emb.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
     val t = ivfSq8TableCache.getOrElseUpdate(dir, {
-      val tt = ext.Similarity.buildIvfIndexTablesSq8(s,
+      val tt = ext.PhaseLog.timed("build")(ext.Similarity.buildIvfIndexTablesSq8(s,
         Files.createTempDirectory("graft_q119c").toString,
         Files.createTempDirectory("graft_q119a").toString,
-        doubled.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16)
-      ext.Similarity.ivfAppendToSq8(tt,
-        doubled.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        doubled.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16))
+      ext.PhaseLog.timed("append")(ext.Similarity.ivfAppendToSq8(tt,
+        doubled.filter(col("vec_id") % 2 === 1), "vec_id", "embedding"))
       tt
     })
-    ext.Similarity.ivfProbeIndexedSq8(t, doubled.filter(col("vec_id") < 25),
-        "vec_id", "embedding", k = 3, nProbe = 16)
-      .select(col("q_id"), col("n_id"), round(col("qcos"), 4).as("qcos"))
-      .orderBy("q_id", "n_id")
+    ext.PhaseLog.timed("serve_plan")(
+      ext.Similarity.ivfProbeIndexedSq8(t, doubled.filter(col("vec_id") < 25),
+          "vec_id", "embedding", k = 3, nProbe = 16)
+        .select(col("q_id"), col("n_id"), round(col("qcos"), 4).as("qcos"))
+        .orderBy("q_id", "n_id"))
   }
 
   /** Q120 — the persisted lifecycle for the PQ index (q118/q119's
@@ -1422,21 +1424,22 @@ object SparkEntry {
     val doubled = emb.unionByName(
       emb.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
     val t = ivfPqTableCache.getOrElseUpdate(dir, {
-      val tt = ext.Similarity.buildIvfIndexTablesPq(s,
+      val tt = ext.PhaseLog.timed("build")(ext.Similarity.buildIvfIndexTablesPq(s,
         Files.createTempDirectory("graft_q120c").toString,
         Files.createTempDirectory("graft_q120b").toString,
         Files.createTempDirectory("graft_q120a").toString,
         doubled.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-        nlist = 16, m = 8, ksub = 16)
-      ext.Similarity.ivfAppendToPq(tt,
-        doubled.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        nlist = 16, m = 8, ksub = 16))
+      ext.PhaseLog.timed("append")(ext.Similarity.ivfAppendToPq(tt,
+        doubled.filter(col("vec_id") % 2 === 1), "vec_id", "embedding"))
       tt
     })
-    ext.Similarity.ivfProbeIndexedPqRefined(t, doubled,
-        doubled.filter(col("vec_id") < 25), "vec_id", "embedding",
-        k = 1, nProbe = 16, refine = 50)
-      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
-      .orderBy("q_id")
+    ext.PhaseLog.timed("serve_plan")(
+      ext.Similarity.ivfProbeIndexedPqRefined(t, doubled,
+          doubled.filter(col("vec_id") < 25), "vec_id", "embedding",
+          k = 1, nProbe = 16, refine = 50)
+        .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("q_id"))
   }
 
   /** Q121 — STREAMING ANN ingest
@@ -1461,24 +1464,29 @@ object SparkEntry {
   private def ivfStreamQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     val t = ivfStreamTableCache.getOrElseUpdate(dir, {
-      val tt = ext.Similarity.buildIvfIndexTables(s,
+      val tt = ext.PhaseLog.timed("build")(ext.Similarity.buildIvfIndexTables(s,
         Files.createTempDirectory("graft_q121c").toString,
         Files.createTempDirectory("graft_q121a").toString,
-        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16)
-      val src = SnapshotTable.create(s,
-        Files.createTempDirectory("graft_q121s").toString,
-        emb.filter(col("vec_id") % 6 === 1))
-      src.append(emb.filter(col("vec_id") % 6 === 3))
-      src.append(emb.filter(col("vec_id") % 6 === 5))
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16))
+      val src = ext.PhaseLog.timed("source_commits") {
+        val sc = SnapshotTable.create(s,
+          Files.createTempDirectory("graft_q121s").toString,
+          emb.filter(col("vec_id") % 6 === 1))
+        sc.append(emb.filter(col("vec_id") % 6 === 3))
+        sc.append(emb.filter(col("vec_id") % 6 === 5))
+        sc
+      }
       val ckpt = Files.createTempDirectory("graft_q121k").toString
-      (1 to 3).foreach { _ =>
-        val stream = s.readStream.format("graft-table")
-          .option("path", src.root)
-          .option("maxVersionsPerTrigger", "1")
-          .load()
-        graft.streaming.StreamIngest.runOnce(
-          graft.streaming.StreamIngest.ivfIngestSink(
-            stream, tt, "vec_id", "embedding"), ckpt)
+      ext.PhaseLog.timed("stream_ingest") {
+        (1 to 3).foreach { _ =>
+          val stream = s.readStream.format("graft-table")
+            .option("path", src.root)
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+          graft.streaming.StreamIngest.runOnce(
+            graft.streaming.StreamIngest.ivfIngestSink(
+              stream, tt, "vec_id", "embedding"), ckpt)
+        }
       }
       tt
     })
@@ -2181,9 +2189,11 @@ object SparkEntry {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") % 5 === 0)
     def pin(df: DataFrame): DataFrame = df.localCheckpoint()
-    val doubled = pin(docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .unionByName(docs.select(shiftedId(col("doc_id")).as("doc_id"), col("text"))))
-    val nDocs = docs.count()
+    val (doubled, nDocs) = ext.PhaseLog.timed("prep_corpus") {
+      (pin(docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .unionByName(docs.select(shiftedId(col("doc_id")).as("doc_id"), col("text")))),
+        docs.count())
+    }
     // Harness cost discipline, two axes: (1) each metric family is ONE
     // Spark job — a full-outer join of the two pair sets (unique
     // (id_a, id_b) keys on both sides by construction) with marker
@@ -2199,9 +2209,10 @@ object SparkEntry {
     // signature pass (tokenize + simhash — the dominant corpus scan) is
     // computed ONCE and checkpointed; each decomposition re-bands the
     // same pinned signatures instead of rescanning the corpus.
-    val sigs = pin(doubled.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        ext.functions.simhash64(ext.TextAnalysis.tokens(col("text"))).as("sh")))
+    val sigs = ext.PhaseLog.timed("prep_signatures")(
+      pin(doubled.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          ext.functions.simhash64(ext.TextAnalysis.tokens(col("text"))).as("sh"))))
     // q28 operator under test: fingerprint64 as an exact-dup detector;
     // ground truth = text-equality pairs on the same doubled corpus
     val fps = pin(doubled.select(col("doc_id"),
@@ -2209,7 +2220,10 @@ object SparkEntry {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val simF = Future {
+    // the three metric families run CONCURRENTLY — their phase walls
+    // overlap by design (sum of phases > query wall is expected here);
+    // each phase still attributes its family's own latency
+    val simF = Future { ext.PhaseLog.timed("family_simhash") {
       val sim4 = ext.Dedup.simhashPairsFromSignatures(sigs, "doc_id", "sh",
           maxHamming = 3, chunks = 4)
         .select(col("id_a"), col("id_b")).withColumn("m4", lit(true))
@@ -2222,8 +2236,8 @@ object SparkEntry {
           count(when(col("m4") && col("id_b") === col("id_a") + lit(PlantShift), 1))
             .as("planted"))
         .head()
-    }
-    val fpF = Future {
+    } }
+    val fpF = Future { ext.PhaseLog.timed("family_fingerprint") {
       val fpPairs = fps.alias("a")
         .join(fps.alias("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -2237,7 +2251,7 @@ object SparkEntry {
         .agg(count(col("mf")).as("nFp"), count(col("mt")).as("nTxt"),
           count(when(col("mf") && col("mt"), 1)).as("fpHits"))
         .head()
-    }
+    } }
     // q29 operator under test: hyperplane-LSH ANN. The fixture's true
     // top-k neighbors sit at cos ≈ 0.5, which 8-plane LSH collides on
     // only ~10% of the time — BY DESIGN (LSH finds near-dups, not distant
@@ -2247,7 +2261,7 @@ object SparkEntry {
     // operator MUST return each probe's duplicate (recall structural) and
     // the exact-cosine re-rank MUST place it first (precision of the
     // ranking stage).
-    val lshF = Future {
+    val lshF = Future { ext.PhaseLog.timed("family_lsh") {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       val dupEmb = emb.unionByName(
@@ -2260,7 +2274,7 @@ object SparkEntry {
       val r = lsh.agg(count(when(isDup, 1)).as("nDupHits"),
         count(when(isDup && col("rank") === 1, 1)).as("nDupTop1")).head()
       (nProbes, r.getLong(0), r.getLong(1))
-    }
+    } }
     val simRow = Await.result(simF, Duration.Inf)
     val (n4, n8, nBoth, simPlanted) =
       (simRow.getLong(0), simRow.getLong(1), simRow.getLong(2), simRow.getLong(3))
@@ -2705,6 +2719,93 @@ object SparkEntry {
       |       CAST(min(user_id) AS BIGINT) AS min_user,
       |       CAST(max(user_id) AS BIGINT) AS max_user
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q136 — the REFERENCE'S OWN contact pipeline over the round-13
+   *  layouts (`hudi/hudi_scd_script.py` end-to-end on its natural data
+   *  shape): the contact table is hudi-partitioned by `state`
+   *  (partition-path = state, record key = id — here the hybrid
+   *  `(bucket(4, id), state)` layout: record-key bucket routing plus
+   *  per-state file splits carrying writer-exact string stats), loaded
+   *  with the staged initial batch, merged via [[scd2.Scd2.hudiStyleMerge]]
+   *  (stage → expire → union → keyed upsert, the reference's exact
+   *  algorithm), then queried the way its analysts would: a GROUP BY
+   *  `state` with string checksum bounds (metadata-only — answered from
+   *  the manifest, zero data files), the golden current-rows count per
+   *  state (ordinary scan), and a TopN over the string partition key
+   *  (pushTopN file cap via writer-exact bounds). The oracle replays
+   *  the whole SCD2 pipeline and all three legs in plain SQL. */
+  private def contactPipelineQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    val customer = s.read.parquet(s"$dir/customer.parquet")
+    val contacts = customer.select(
+      col("c_custkey").cast("int").as("id"),
+      col("c_name").as("name"),
+      concat(col("c_name"), lit("@example.com")).as("email"),
+      col("c_mktsegment").as("state"))
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-02-01 00:00:00")
+    val initial = contacts.filter(col("id") % 3 =!= 0)
+    val update = contacts.filter(col("id") % 5 === 0)
+      .withColumn("email", concat(col("name"), lit("@new.example.com")))
+    val tbl = s"q136c${math.abs(dir.hashCode).toString}"
+    warmTable("q136", dir) {
+      val root = Files.createTempDirectory("graft_q136").toString + "/contact"
+      val staged0 = graft.scd2.Scd2.stage(initial, t0)
+      val t = SnapshotTable.createEmpty(s, root, staged0.schema,
+        clusterBy = Seq("bucket(4, id)", "state"))
+      t.append(staged0)
+      graft.scd2.Scd2.hudiStyleMerge(t, update, t1, withCounts = false)
+      s.sql(s"DROP TABLE IF EXISTS graft.extdb.$tbl")
+      s.sql(s"CREATE TABLE graft.extdb.$tbl USING graft LOCATION '$root'")
+      t
+    }
+    s.sql(
+      s"""WITH g AS (
+         |  SELECT state, CAST(count(*) AS BIGINT) AS n_rows,
+         |         min(checksum) AS min_ck, max(checksum) AS max_ck
+         |  FROM graft.extdb.$tbl GROUP BY state),
+         |c AS (
+         |  SELECT state, CAST(count(*) AS BIGINT) AS n_current
+         |  FROM graft.extdb.$tbl WHERE iscurrent = 1 GROUP BY state),
+         |t AS (SELECT state FROM
+         |  (SELECT state, id FROM graft.extdb.$tbl ORDER BY state, id LIMIT 25)),
+         |tc AS (SELECT state, CAST(count(*) AS BIGINT) AS n_top FROM t GROUP BY state)
+         |SELECT g.state, g.n_rows, c.n_current, g.min_ck, g.max_ck,
+         |       CAST(coalesce(tc.n_top, 0) AS BIGINT) AS n_top25
+         |FROM g JOIN c ON g.state = c.state
+         |LEFT JOIN tc ON g.state = tc.state
+         |ORDER BY g.state""".stripMargin)
+  }
+  private val Q136Duck =
+    """WITH contacts AS (
+      |  SELECT CAST(c_custkey AS INT) AS id, c_name AS name,
+      |         c_name || '@example.com' AS email, c_mktsegment AS state
+      |  FROM customer),
+      |initial AS (
+      |  SELECT id, state, md5(name || email || state) AS checksum
+      |  FROM contacts WHERE id % 3 <> 0),
+      |upd AS (
+      |  SELECT id, state,
+      |         md5(name || name || '@new.example.com' || state) AS checksum
+      |  FROM contacts WHERE id % 5 = 0),
+      |final AS (
+      |  SELECT id, state, checksum, 0 AS iscurrent
+      |  FROM initial WHERE id % 5 = 0
+      |  UNION ALL SELECT id, state, checksum, 1 FROM upd
+      |  UNION ALL SELECT id, state, checksum, 1
+      |  FROM initial WHERE id % 5 <> 0),
+      |g AS (SELECT state, CAST(count(*) AS BIGINT) AS n_rows,
+      |             min(checksum) AS min_ck, max(checksum) AS max_ck
+      |      FROM final GROUP BY state),
+      |c AS (SELECT state, CAST(count(*) AS BIGINT) AS n_current
+      |      FROM final WHERE iscurrent = 1 GROUP BY state),
+      |t AS (SELECT state FROM
+      |      (SELECT state, id FROM final ORDER BY state, id LIMIT 25)),
+      |tc AS (SELECT state, CAST(count(*) AS BIGINT) AS n_top FROM t GROUP BY state)
+      |SELECT g.state, g.n_rows, c.n_current, g.min_ck, g.max_ck,
+      |       CAST(coalesce(tc.n_top, 0) AS BIGINT) AS n_top25
+      |FROM g JOIN c USING (state) LEFT JOIN tc USING (state)
+      |ORDER BY g.state""".stripMargin
 
   /** Q32 — as-of join: each click matched to the user's most recent view
    *  (point-in-time correctness; DuckDB's native ASOF JOIN as oracle). */
@@ -4582,7 +4683,8 @@ object SparkEntry {
     "q132_meta_groupby" -> metaGroupByQuery,
     "q133_spj_string_hybrid" -> spjStringHybridQuery,
     "q134_meta_string_groupby" -> metaStringGroupByQuery,
-    "q135_meta_time_groupby" -> metaTimeGroupByQuery)
+    "q135_meta_time_groupby" -> metaTimeGroupByQuery,
+    "q136_contact_pipeline" -> contactPipelineQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4772,7 +4874,8 @@ object SparkEntry {
     "q132_meta_groupby" -> Q132Duck,
     "q133_spj_string_hybrid" -> Q133Duck,
     "q134_meta_string_groupby" -> Q134Duck,
-    "q135_meta_time_groupby" -> Q135Duck)
+    "q135_meta_time_groupby" -> Q135Duck,
+    "q136_contact_pipeline" -> Q136Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique
