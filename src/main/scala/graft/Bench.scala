@@ -1208,6 +1208,139 @@ object Bench {
         s""""f${p.files}":{"rows":${p.n},"dpp":[${jnum(p.on.min)},${jnum(p.on.med)}],"off":[${jnum(p.off.min)},${jnum(p.off.med)}],"files_total":${p.filesTotal},"files_kept":${p.filesKept},"dim_keys":${p.band},"plan_s":${jnum(p.planS)},"gain":${jnum(p.off.med / math.max(1e-9, p.on.med))}}""").mkString(",")
       s""","runtime_filter":{"scaling":{$scaleJ}}"""
     }.getOrElse("")
+    // ---------------- manifest-scale PLANNING stress (r13 verdict #5) ----
+    // The DPP scaling row pins plan_s flat to 2048 files; the 100 TB
+    // design point is 10⁵–10⁶ files. This block authors SYNTHETIC commit
+    // logs (2^11 / 2^15 / 2^17 file entries with disjoint id ranges — no
+    // data file is ever written or opened; planning is metadata-only by
+    // design, which this block proves) and measures what the manifest
+    // costs the DRIVER per query: cold first plan (registration + the
+    // one-time commit-log parse), warm planned point query (slot-cached
+    // manifest, stats prune to one file), partition planning over the
+    // UNPRUNED list (toBatch — the O(files) path), and a DPP-style
+    // runtime IN prune replayed against a fresh scan. Warm reps
+    // interleave across the three sizes per the measurement rules.
+    case class PsPoint(n: Int, coldS: Double, plan: Meas, parts: Meas,
+      dpp: Meas, filesKept: Int, dppKept: Int)
+    val psRes: Option[Seq[PsPoint]] =
+      try Some(rddGuard("plan_stress") {
+        val shim = org.apache.spark.sql.graftshim.SparkInternals
+        import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead}
+        import org.apache.spark.sql.connector.expressions.{Expressions, Expression => V2Expr}
+        val prevConfs = Seq("spark.sql.catalog.graftp",
+          "spark.sql.catalog.graftp.warehouse").map(k => k -> sparkS.conf.getOption(k))
+        val wh = java.nio.file.Files.createTempDirectory("graft_bench_plan").toString
+        // synthetic roots live OUTSIDE the warehouse: a managed-path dir
+        // that exists reads as "table already exists" to CREATE TABLE,
+        // so these register as EXTERNAL locations (q113's pattern)
+        val ext = java.nio.file.Files.createTempDirectory("graft_bench_planx").toString
+        sparkS.conf.set("spark.sql.catalog.graftp", "graft.sql.GraftTableCatalog")
+        sparkS.conf.set("spark.sql.catalog.graftp.warehouse", wh)
+        try {
+          val sizes = Seq(2048, 32768, 131072)
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.LongType, nullable = false)))
+          def mkLog(n: Int): Unit = {
+            val root = s"$ext/ps$n"
+            val entries = (0 until n).map { i =>
+              graft.tables.SnapshotTable.FileEntry(f"$root/data/f$i%07d.parquet", 1000L,
+                1L << 20,
+                Map(
+                  "id" -> graft.tables.SnapshotTable.ColStats(Some((i.toLong * 1000).toString),
+                    Some((i.toLong * 1000 + 999).toString), Some(0L)),
+                  "v" -> graft.tables.SnapshotTable.ColStats(Some("0"), Some("999999"),
+                    Some(0L))),
+                mtime = Some(1700000000000L))
+            }
+            val logDir = java.nio.file.Paths.get(root, "_log")
+            java.nio.file.Files.createDirectories(logDir)
+            java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+              graft.tables.SnapshotTable.CommitEntry("append", schema.json, entries)
+                .toJson.getBytes("UTF-8"))
+          }
+          sizes.foreach(mkLog)
+          def planOnce(n: Int): Double = {
+            val t0 = System.nanoTime()
+            shim.executedPlanString(sparkS.sql(
+              s"SELECT sum(v) AS s FROM graftp.b.ps$n WHERE id = 1234567"))
+            (System.nanoTime() - t0) / 1e9
+          }
+          // cold = registration + first plan (pays the commit-log parse)
+          val colds = sizes.map { n =>
+            val t0 = System.nanoTime()
+            sparkS.sql(s"CREATE TABLE graftp.b.ps$n USING graft " +
+              s"LOCATION '$ext/ps$n'")
+            shim.executedPlanString(sparkS.sql(
+              s"SELECT sum(v) AS s FROM graftp.b.ps$n WHERE id = 1234567"))
+            n -> (System.nanoTime() - t0) / 1e9
+          }.toMap
+          def freshScan(n: Int) = shim.catalogPlugin(sparkS, "graftp").get
+            .asInstanceOf[graft.sql.GraftTableCatalog]
+            .loadTable(Identifier.of(Array("b"), s"ps$n"))
+            .asInstanceOf[SupportsRead]
+            .newScanBuilder(
+              org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+            .build()
+          def partFiles(s: org.apache.spark.sql.connector.read.Scan): Int =
+            s.toBatch.planInputPartitions().toSeq.flatMap(p =>
+              shim.filePartitionFiles(p).map(_.map(_._1)).getOrElse(Nil))
+              .distinct.size
+          def inPred(n: Int): org.apache.spark.sql.connector.expressions.filter.Predicate = {
+            val step = n.toLong * 1000 / 64
+            new org.apache.spark.sql.connector.expressions.filter.Predicate(
+              "IN", (Expressions.column("id") +:
+                (0 until 64).map(i => Expressions.literal(Long.box(i * step + 500))))
+                .toArray[V2Expr])
+          }
+          val planT = sizes.map(_ -> scala.collection.mutable.Buffer[Double]()).toMap
+          val partT = sizes.map(_ -> scala.collection.mutable.Buffer[Double]()).toMap
+          val dppT = sizes.map(_ -> scala.collection.mutable.Buffer[Double]()).toMap
+          val kept = scala.collection.mutable.Map[Int, Int]()
+          val dppKept = scala.collection.mutable.Map[Int, Int]()
+          for (_ <- 1 to 5; n <- sizes) {
+            var t0 = System.nanoTime(); planOnce(n)
+            planT(n) += (System.nanoTime() - t0) / 1e9
+            val sUnf = freshScan(n)
+            t0 = System.nanoTime()
+            val nf = partFiles(sUnf)
+            partT(n) += (System.nanoTime() - t0) / 1e9
+            kept(n) = nf
+            val sDpp = freshScan(n)
+            t0 = System.nanoTime()
+            sDpp.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]
+              .filter(Array(inPred(n)))
+            dppT(n) += (System.nanoTime() - t0) / 1e9
+            dppKept(n) = partFiles(sDpp)
+          }
+          def measOf(ts: Seq[Double]) = Meas(ts.min, ts.sorted.apply(ts.size / 2))
+          sizes.map(n => PsPoint(n, colds(n), measOf(planT(n).toSeq),
+            measOf(partT(n).toSeq), measOf(dppT(n).toSeq), kept(n), dppKept(n)))
+        } finally {
+          Seq(2048, 32768, 131072).foreach { n =>
+            try sparkS.sql(s"DROP TABLE IF EXISTS graftp.b.ps$n")
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          prevConfs.foreach {
+            case (k, Some(v)) => sparkS.conf.set(k, v)
+            case (k, None) => sparkS.conf.unset(k)
+          }
+        }
+      }) catch { case e: Throwable =>
+        System.err.println(s"[bench][plan_stress]: ${e.getMessage}"); None
+      }
+    val psHead = psRes.map { ps =>
+      val j = ps.map(p =>
+        s""""n${p.n}":{"cold_s":${jnum(p.coldS)},"plan_s":${jnum(p.plan.med)},"parts_s":${jnum(p.parts.med)},"dpp_s":${jnum(p.dpp.med)}}""").mkString(",")
+      s""","plan_stress":{$j}"""
+    }.getOrElse("")
+    val psDetail = psRes.map { ps =>
+      val j = ps.map(p =>
+        s""""n${p.n}":{"cold_s":${jnum(p.coldS)},"plan_s":[${jnum(p.plan.min)},${jnum(p.plan.med)}],"parts_s":[${jnum(p.parts.min)},${jnum(p.parts.med)}],"dpp_s":[${jnum(p.dpp.min)},${jnum(p.dpp.med)}],"files_unpruned":${p.filesKept},"files_dpp_kept":${p.dppKept}}""").mkString(",")
+      s""","plan_stress":{$j,"reps":5,"interleaved":true}"""
+    }.getOrElse("")
     val mwHead = mw.map { case (sec, commits, rebases, conflicts, ok) =>
       s""","multi_writer":{"commits_per_sec":${jnum(commits / sec)},"rebases":$rebases,"conflicts":$conflicts,"serial_equiv":$ok}"""
     }.getOrElse("")
@@ -1236,7 +1369,7 @@ object Bench {
       else s""","rdd_retained_rows":${rddRetained.size}"""
     val scaling = s""","scaling_fmt":"[exp_min,exp_med,exp_cal]"""" +
       headBlock("scaling_10x", block10) + headBlock("scaling_100x", block100) +
-      bpeHead + mwHead + imHead + spjHead + spjFFHead + rtHead + rddHead
+      bpeHead + mwHead + imHead + spjHead + spjFFHead + rtHead + psHead + rddHead
     // {} when every row released what it pinned — recording the emptiness
     // is the point (the structural form of the r10 one-off leak probe)
     val rddDetail = s""","rdd_retained":${rddRetained.map { case (k, v) =>
@@ -1245,7 +1378,7 @@ object Bench {
       detailBlock("scaling_10x", block10) +
       detailBlock("scaling_100x", block100) +
       ccDetail + bpeDetail + mwDetail + imDetail + spjDetail + spjFFJson +
-      rtDetail + rddDetail
+      rtDetail + psDetail + rddDetail
     // Testdata fingerprint: per-table row counts + an order-independent
     // content hash (bit_xor of per-row xxhash64). The driver may
     // REGENERATE /root/testdata between rounds (round 6's events.ts type
