@@ -2807,6 +2807,38 @@ object SparkEntry {
       |FROM g JOIN c USING (state) LEFT JOIN tc USING (state)
       |ORDER BY g.state""".stripMargin
 
+  /** Q137 — METADATA GROUP BY via `date_trunc`, the IDIOMATIC spelling
+   *  (round 14 — closes the q135 family's usability gap): Spark never
+   *  translates date_trunc to a V2 expression, so the DSv2 layer that
+   *  serves q135's EXTRACT form cannot see this query; the
+   *  [[sql.MetadataOnlyAgg]] grouped Catalyst case collapses it to a
+   *  LocalRelation instead, under the same trunc-proof and UTC gates,
+   *  including the display cast users wrap the key in (`CAST(… AS
+   *  STRING)` — a deterministic function of the group key, evaluated
+   *  per group on the driver). Same `days(ts)`-split events layout as
+   *  q135, ZERO data files read (PlanSpec pins the LocalRelation
+   *  collapse); oracle replays the group-by from the plain table. */
+  private def metaTruncGroupByQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    ensureTxfEvents(s, dir)
+    s.sql(
+      """SELECT CAST(date_trunc('DAY', ts) AS STRING) AS d,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(user_id) AS BIGINT) AS min_user,
+        |  CAST(max(user_id) AS BIGINT) AS max_user
+        |FROM graft.bench.txf_events
+        |GROUP BY date_trunc('DAY', ts) ORDER BY d""".stripMargin)
+  }
+  private val Q137Duck =
+    // DuckDB's date_trunc('day') yields DATE; cast through TIMESTAMP so
+    // the string form matches Spark's "yyyy-MM-dd HH:mm:ss"
+    """SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS d,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(min(user_id) AS BIGINT) AS min_user,
+      |       CAST(max(user_id) AS BIGINT) AS max_user
+      |FROM events GROUP BY date_trunc('day', ts) ORDER BY d""".stripMargin
+
   /** Q32 — as-of join: each click matched to the user's most recent view
    *  (point-in-time correctness; DuckDB's native ASOF JOIN as oracle). */
   private def asofQuery(s: SparkSession, dir: String): DataFrame = {
@@ -4684,7 +4716,8 @@ object SparkEntry {
     "q133_spj_string_hybrid" -> spjStringHybridQuery,
     "q134_meta_string_groupby" -> metaStringGroupByQuery,
     "q135_meta_time_groupby" -> metaTimeGroupByQuery,
-    "q136_contact_pipeline" -> contactPipelineQuery)
+    "q136_contact_pipeline" -> contactPipelineQuery,
+    "q137_meta_trunc_groupby" -> metaTruncGroupByQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4875,7 +4908,8 @@ object SparkEntry {
     "q133_spj_string_hybrid" -> Q133Duck,
     "q134_meta_string_groupby" -> Q134Duck,
     "q135_meta_time_groupby" -> Q135Duck,
-    "q136_contact_pipeline" -> Q136Duck)
+    "q136_contact_pipeline" -> Q136Duck,
+    "q137_meta_trunc_groupby" -> Q137Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -95,7 +95,8 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     val keyParts = agg.groupingExpressions.map(e => truncParts(resolved(e)))
     if (keyParts.exists(_.isEmpty)) return None
     if (!agg.aggregateExpressions.forall(e =>
-        isSupportedShape(e) || isGroupKeyOutput(e, agg.groupingExpressions)))
+        isSupportedShape(e) || isGroupKeyOutput(e, agg.groupingExpressions) ||
+          derivedOfKeys(e, agg.groupingExpressions)))
       return None
     for {
       rel <- relationOf(inner)
@@ -169,6 +170,20 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       case c => keys.exists(_.semanticEquals(c))
     }
 
+  /** An output that is a DETERMINISTIC pure function of the
+   *  attribute-form group keys — `CAST(key AS STRING/DATE)`,
+   *  `date_format(key, …)` — the shapes CollapseProject folds into the
+   *  aggregate output list when users dress the key for display.
+   *  Evaluated per group on the driver by substituting each key
+   *  attribute with its group's literal value. */
+  private def derivedOfKeys(e: NamedExpression, keys: Seq[Expression]): Boolean = {
+    val keyIds = keys.collect { case a: AttributeReference => a.exprId }.toSet
+    val body = e match { case Alias(c, _) => c; case c => c }
+    body.deterministic && body.references.nonEmpty &&
+      body.references.forall(r => keyIds.contains(r.exprId)) &&
+      !body.exists(_.isInstanceOf[AggregateExpression])
+  }
+
   /** One InternalRow per distinct group-key tuple, or None to keep the
    *  scan: refuses when any file's trunc value is unprovable, any key
    *  column isn't the relation's own attribute, or (for zoned
@@ -200,11 +215,22 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     val rows = keyed.groupBy(_._1).toSeq.sortBy(_._1.mkString("|"))
       .map { case (tuple, kfs) =>
         val sub = kfs.map(_._2)
+        val keyIdx = groupExprs.zipWithIndex.collect {
+          case (a: AttributeReference, i) => a.exprId -> i
+        }.toMap
         val values = exprs.map { e =>
           if (isGroupKeyOutput(e, groupExprs)) {
             val keyExpr = e match { case Alias(c, _) => c; case c => c }
             val i = groupExprs.indexWhere(_.semanticEquals(keyExpr))
             Some(tuple(i): Any)
+          } else if (derivedOfKeys(e, groupExprs)) {
+            val body = e match { case Alias(c, _) => c; case c => c }
+            val bound = body.transform {
+              case a: AttributeReference if keyIdx.contains(a.exprId) =>
+                Literal(tuple(keyIdx(a.exprId)), a.dataType)
+            }
+            try Some(bound.eval(InternalRow.empty))
+            catch { case scala.util.control.NonFatal(_) => return None }
           } else answer(e, rel, sub)
         }
         traverse(values) match {

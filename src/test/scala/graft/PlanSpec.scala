@@ -1393,6 +1393,17 @@ class PlanSpec extends SparkSpec {
     assert(dfM.collect().map(r =>
       (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
       Seq((ms("2024-01-01T00:00:00Z"), 900L, 0L, 2697L)))
+    // display-cast group key (CAST(key AS STRING), what users actually
+    // SELECT): CollapseProject folds the cast into the aggregate output;
+    // it is a deterministic function of the key, evaluated per group on
+    // the driver — the serve must survive it
+    val dfS = spark.sql("SELECT CAST(date_trunc('MONTH', ts) AS STRING) AS m, " +
+      "count(*) AS n FROM graft.db.txdt GROUP BY date_trunc('MONTH', ts) ORDER BY m")
+    assert(executedPlanString(dfS).contains("LocalTableScan"),
+      "cast-wrapped date_trunc key lost the metadata serve")
+    assert(dfS.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("2024-01-01 00:00:00", 300L), ("2024-02-01 00:00:00", 300L),
+        ("2024-03-01 00:00:00", 300L)))
     // DAY nails finer than the month files can prove (days 10-19 per
     // file) → refusal, ordinary scan, correct answer
     val dfD = spark.sql("SELECT date_trunc('DAY', ts) AS d, count(*) AS n " +
@@ -1447,6 +1458,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("GraftMetadataAgg"),
       s"q135 read data files for a manifest-answerable group-by:\n$plan")
     assert(!plan.contains("ParquetScan"), s"data files in q135's plan:\n$plan")
+  }
+
+  test("q137's executed plan collapses the date_trunc group-by to the manifest") {
+    val df = SparkEntry.queries("q137_meta_trunc_groupby")(spark, dir)
+    val plan = executedPlanString(df)
+    assert(plan.contains("LocalTableScan"),
+      s"q137 read data files for a manifest-answerable date_trunc group-by:\n$plan")
+    assert(!plan.contains("ParquetScan") && !plan.contains("Scan parquet"),
+      s"data files in q137's plan:\n$plan")
   }
 
   test("q132's executed plan answers the group-by from the manifest alone") {
