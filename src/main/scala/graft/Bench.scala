@@ -58,13 +58,21 @@ object Bench {
   }
 
   private def defaultPrevBench(): Option[String] = {
-    val rx = """BENCH_r(\d+)\.json""".r
-    Option(new java.io.File(".").listFiles()).toSeq.flatten
-      .flatMap(f => f.getName match {
-        case rx(n) => Some(n.toInt -> f.getPath)
-        case _     => None
-      })
-      .sortBy(-_._1).headOption.map(_._2)
+    // Prefer the newest ROUND-STAMPED detail record: the driver's
+    // BENCH_r<N>.json captures only a ~2000-char tail of the headline,
+    // which truncates the per-query section (r14 found its worst3
+    // comparison empty against BENCH_r13.json for exactly this reason).
+    // BENCH_DETAIL_r<N>*.json carries the full per-query min map.
+    val detail = """BENCH_DETAIL_r(\d+)\w*\.json""".r
+    val head = """BENCH_r(\d+)\.json""".r
+    val all = Option(new java.io.File(".").listFiles()).toSeq.flatten
+    def newest(pick: String => Option[Int]): Option[String] =
+      all.flatMap(f => pick(f.getName).map(_ -> f.getPath))
+        .sortBy(-_._1).headOption.map(_._2)
+    newest(n => detail.findFirstMatchIn(n).filter(_.matched == n)
+        .map(_.group(1).toInt))
+      .orElse(newest(n => head.findFirstMatchIn(n).filter(_.matched == n)
+        .map(_.group(1).toInt)))
   }
 
   private def jnum(d: Double): String = f"$d%.3f"

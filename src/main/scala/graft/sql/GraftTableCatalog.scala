@@ -685,7 +685,9 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
    *  from each file's live count (a mostly-deleted file contributes
    *  only its survivors toward the bound). */
   override def pushLimit(l: Int): Boolean = {
-    if (pushed.nonEmpty) return false
+    // consumed no-op null guards filter nothing — the file-cap walk's
+    // row counts stay exact under them
+    if (pushed.exists(f => !consumedNoops.contains(f))) return false
     limit = Some(l)
     true
   }
@@ -714,7 +716,7 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
-    if (pushed.nonEmpty || orders.isEmpty) return false
+    if (pushed.exists(f => !consumedNoops.contains(f)) || orders.isEmpty) return false
     val head = orders.head
     val col = head.expression() match {
       case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
@@ -781,14 +783,44 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
    *  all-NULL gate). Spark plans its own final merge on top (partial
    *  pushdown), so the partial rows are exactly right. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (pushed.nonEmpty) return false
+    // consumed no-op null guards don't change any aggregate's input —
+    // only REAL filters make stats unanswerable
+    if (pushed.exists(f => !consumedNoops.contains(f))) return false
     metaAgg = GraftScanBuilder.metadataAggregate(table, version, tableSchema, aggregation)
     metaAgg.isDefined
   }
 
+  /** True when `col` provably holds NO nulls in the pinned snapshot:
+   *  declared non-nullable, or every live file carries a harvested
+   *  nullCount of 0 for it. Sound under pending deletion vectors (they
+   *  only REMOVE rows) and for the read-optimized MoR face (the proof is
+   *  over the base files it serves); delta-bearing snapshots never reach
+   *  a scan builder. */
+  private lazy val liveFiles = table.prunedFilesAt(version, None)
+  private var consumedNoops: Set[Filter] = Set.empty
+  private def provablyNoNulls(col: String): Boolean =
+    tableSchema.fields.find(_.name.equalsIgnoreCase(col)).exists { f =>
+      !f.nullable || liveFiles.forall { fe =>
+        fe.stats.find(_._1.equalsIgnoreCase(f.name))
+          .exists(_._2.nullCount.contains(0L))
+      }
+    }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
-    filters // all filters remain post-scan: correctness never depends on us
+    // Provably-no-op null guards are CONSUMED, not returned as residual:
+    // the planner wraps every aggregate that later joins in
+    // `IsNotNull(joinKey)`, and ANY residual filter between Aggregate
+    // and scan blocks Spark's aggregate pushdown entirely — so a
+    // metadata GROUP BY composed into a join would silently lose its
+    // manifest serve. Consuming is sound unconditionally: a filter that
+    // removes nothing may be skipped whether or not an aggregate
+    // follows. Everything else stays post-scan — correctness never
+    // depends on our pruning.
+    consumedNoops = filters.collect {
+      case f @ org.apache.spark.sql.sources.IsNotNull(c) if provablyNoNulls(c) => f
+    }.toSet
+    filters.filterNot(consumedNoops.contains)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =

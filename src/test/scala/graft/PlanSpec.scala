@@ -1460,6 +1460,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("ParquetScan"), s"data files in q135's plan:\n$plan")
   }
 
+  test("q136's group-by leg answers from the manifest; TopN caps its files") {
+    val df = SparkEntry.queries("q136_contact_pipeline")(spark, dir)
+    val plan = executedPlanString(df)
+    // the g CTE (GROUP BY state + string checksum bounds) must be the
+    // manifest-served aggregate; the c CTE (iscurrent = 1 counts) and
+    // the TopN leg legitimately scan data
+    assert(plan.contains("GraftMetadataAgg"),
+      s"q136's state group-by read data files:\n$plan")
+  }
+
   test("q137's executed plan collapses the date_trunc group-by to the manifest") {
     val df = SparkEntry.queries("q137_meta_trunc_groupby")(spark, dir)
     val plan = executedPlanString(df)

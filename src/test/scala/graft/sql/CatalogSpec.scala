@@ -49,6 +49,35 @@ class CatalogSpec extends SparkSpec {
       s"index mtimes: ${statuses.map(_.getModificationTime).mkString(",")}")
   }
 
+  test("IsNotNull guards: consumed only when provably no-op, kept over nulls") {
+    // nullable data: the guard must survive (rows with nulls filtered)
+    spark.sql("DROP TABLE IF EXISTS graft.db.nng")
+    Seq((1L, Option("a")), (2L, None), (3L, Option("c")))
+      .toDF("id", "v").writeTo("graft.db.nng").createOrReplace()
+    assert(spark.sql("SELECT id FROM graft.db.nng WHERE v IS NOT NULL")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // no-null data: the planner's join-key IsNotNull guard is a provable
+    // no-op and must not block the metadata aggregate serve — the
+    // aggregate-then-join shape every reporting query takes
+    spark.sql("DROP TABLE IF EXISTS graft.db.nns")
+    spark.range(0, 400)
+      .selectExpr("id", "CAST(id % 4 AS STRING) AS grp")
+      .repartition(4, col("grp")).writeTo("graft.db.nns").createOrReplace()
+    val dim = Seq(("0", "x"), ("1", "y"), ("2", "z"), ("3", "w")).toDF("grp", "label")
+    dim.createOrReplaceTempView("nns_dim")
+    val joined = spark.sql(
+      """SELECT g.grp, d.label, g.n FROM
+        |  (SELECT grp, count(*) AS n FROM graft.db.nns GROUP BY grp) g
+        |JOIN nns_dim d ON g.grp = d.grp ORDER BY g.grp""".stripMargin)
+    val plan = executedPlanString(joined)
+    assert(plan.contains("GraftMetadataAgg"),
+      s"join-key IsNotNull blocked the metadata aggregate:\n$plan")
+    assert(joined.collect().map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("0", 100L), ("1", 100L), ("2", 100L), ("3", 100L)))
+    spark.sql("DROP TABLE graft.db.nng")
+    spark.sql("DROP TABLE graft.db.nns")
+  }
+
   test("CTAS, INSERT INTO, INSERT OVERWRITE via SQL") {
     spark.sql("DROP TABLE IF EXISTS graft.db.t2")
     spark.sql("CREATE TABLE graft.db.t2 AS SELECT 1 AS id, 'x' AS v")
