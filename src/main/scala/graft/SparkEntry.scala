@@ -2839,6 +2839,35 @@ object SparkEntry {
       |       CAST(max(user_id) AS BIGINT) AS max_user
       |FROM events GROUP BY date_trunc('day', ts) ORDER BY d""".stripMargin
 
+  /** Q138 — the IDIOMATIC time filter as a declared query (round 14):
+   *  `WHERE date_trunc('DAY', ts) = <day>` reaches NO pushdown layer in
+   *  stock Spark (V2ExpressionBuilder translates neither date_trunc nor
+   *  the date-cast comparison), so the natural "one day of data" query
+   *  silently scans the corpus. [[sql.SargableTimePredicates]] rewrites
+   *  it to `ts >= day AND ts < day+1` in the Filter — three-valued-logic
+   *  equivalent, UTC-gated — which parquet row-group skipping, manifest
+   *  stats pruning, and the `days(ts)` layout's file split all serve
+   *  (PlanSpec pins the rewritten pushed range, the unaligned-literal
+   *  empty range, the date-cast spelling, and the non-UTC refusal).
+   *  Oracle replays the same predicate over the plain events table. */
+  private def truncFilterQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    ensureTxfEvents(s, dir)
+    s.sql(
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(user_id) AS BIGINT) AS min_user,
+        |  CAST(max(user_id) AS BIGINT) AS max_user
+        |FROM graft.bench.txf_events
+        |WHERE date_trunc('DAY', ts) = TIMESTAMP'2024-01-12 00:00:00'""".stripMargin)
+  }
+  private val Q138Duck =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(min(user_id) AS BIGINT) AS min_user,
+      |       CAST(max(user_id) AS BIGINT) AS max_user
+      |FROM events
+      |WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-12 00:00:00'""".stripMargin
+
   /** Q32 — as-of join: each click matched to the user's most recent view
    *  (point-in-time correctness; DuckDB's native ASOF JOIN as oracle). */
   private def asofQuery(s: SparkSession, dir: String): DataFrame = {
@@ -4717,7 +4746,8 @@ object SparkEntry {
     "q134_meta_string_groupby" -> metaStringGroupByQuery,
     "q135_meta_time_groupby" -> metaTimeGroupByQuery,
     "q136_contact_pipeline" -> contactPipelineQuery,
-    "q137_meta_trunc_groupby" -> metaTruncGroupByQuery)
+    "q137_meta_trunc_groupby" -> metaTruncGroupByQuery,
+    "q138_trunc_filter" -> truncFilterQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4909,7 +4939,8 @@ object SparkEntry {
     "q134_meta_string_groupby" -> Q134Duck,
     "q135_meta_time_groupby" -> Q135Duck,
     "q136_contact_pipeline" -> Q136Duck,
-    "q137_meta_trunc_groupby" -> Q137Duck)
+    "q137_meta_trunc_groupby" -> Q137Duck,
+    "q138_trunc_filter" -> Q138Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

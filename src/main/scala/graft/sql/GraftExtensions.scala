@@ -72,6 +72,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     // answer unfiltered count(*)/min/max from manifest stats, no scan
     ext.injectOptimizerRule(_ => MetadataOnlyAgg)
+    // date_trunc / date-cast filters → sargable ranges, so the idiomatic
+    // time predicates reach parquet skipping and manifest pruning
+    ext.injectOptimizerRule(_ => SargableTimePredicates)
     // `SELECT … FROM graft_table_changes('<root-or-catalog-name>', from[, to])`
     // — the SQL face of [[SnapshotTable.readChanges]] (Delta's
     // `table_changes` TVF); the first argument is a path or a

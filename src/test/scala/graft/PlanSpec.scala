@@ -1460,6 +1460,64 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("ParquetScan"), s"data files in q135's plan:\n$plan")
   }
 
+  test("date_trunc / date-cast filters rewrite to sargable ts ranges") {
+    spark.sql("DROP TABLE IF EXISTS graft.db.sgt")
+    spark.sql("CREATE TABLE graft.db.sgt (id BIGINT, ts TIMESTAMP) " +
+      "USING graft PARTITIONED BY (days(ts))")
+    spark.range(0, 900)
+      .select(col("id"),
+        to_timestamp(concat(lit("2024-01-"), (col("id") % 10 + 10).cast("string"),
+          lit(" 12:00:00"))).as("ts"))
+      .writeTo("graft.db.sgt").append()
+    // the idiomatic day filter: must push as a ts range and prune to the
+    // one day file (stats pruning serves the rewritten range)
+    val q = "SELECT count(*) AS n FROM graft.db.sgt " +
+      "WHERE date_trunc('DAY', ts) = TIMESTAMP'2024-01-12 00:00:00'"
+    val df = spark.sql(q)
+    val plan = executedPlanString(df)
+    assert(plan.contains(">= 2024-01-12 00:00:00") &&
+      plan.contains("< 2024-01-13 00:00:00"),
+      s"date_trunc equality did not rewrite to a pushed ts range:\n$plan")
+    assert(df.head().getLong(0) === 90L)
+    // the date-cast spelling
+    val dfC = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+      "WHERE CAST(ts AS DATE) = DATE'2024-01-13'")
+    assert(executedPlanString(dfC).contains(">= 2024-01-13 00:00:00"))
+    assert(dfC.head().getLong(0) === 90L)
+    // inequalities: trunc(ts) >= an UNALIGNED literal must ceil to the
+    // next boundary (days 14.. → 6 days of rows)
+    val dfG = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+      "WHERE date_trunc('DAY', ts) >= TIMESTAMP'2024-01-13 07:00:00'")
+    assert(dfG.head().getLong(0) === 6 * 90L)
+    // unaligned equality is an empty range — false, never a wrong row
+    val dfU = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+      "WHERE date_trunc('DAY', ts) = TIMESTAMP'2024-01-12 10:30:00'")
+    assert(dfU.head().getLong(0) === 0L)
+    // IN-list of day starts
+    val dfI = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+      "WHERE date_trunc('DAY', ts) IN (TIMESTAMP'2024-01-10 00:00:00', " +
+      "TIMESTAMP'2024-01-19 00:00:00')")
+    assert(dfI.head().getLong(0) === 180L)
+    // non-UTC session: the zoned trunc is session-zone-dependent — no
+    // rewrite (no pushed ts range), rows still correct via the raw plan
+    val tzKey = "spark.sql.session.timeZone"
+    val prevTz = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "America/New_York")
+    try {
+      val dfN = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+        "WHERE date_trunc('DAY', ts) = TIMESTAMP'2024-01-12 00:00:00'")
+      assert(executedPlanString(dfN).contains("date_trunc"),
+        "zone-dependent trunc filter rewrote against the UTC calendar")
+      // noon-UTC rows are 07:00 NY the same date, so the NY day-trunc of
+      // Jan 12's rows equals midnight-NY Jan 12 — 90 rows via the
+      // UNREWRITTEN plan (a UTC-calendar rewrite would have read the
+      // [05:00Z, 05:00Z+day) range and still found them, but the gate
+      // exists for literals near boundaries where the calendars diverge)
+      assert(dfN.head().getLong(0) === 90L)
+    } finally spark.conf.set(tzKey, prevTz)
+    spark.sql("DROP TABLE graft.db.sgt")
+  }
+
   test("q136's group-by leg answers from the manifest; TopN caps its files") {
     val df = SparkEntry.queries("q136_contact_pipeline")(spark, dir)
     val plan = executedPlanString(df)
