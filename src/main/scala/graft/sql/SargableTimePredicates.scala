@@ -143,8 +143,12 @@ object SargableTimePredicates extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def tsLit(micros: Long, ts: Expression): Literal =
-    Literal(micros, ts.dataType)
+  private def tsLit(micros: Long, ts: Expression): Literal = ts.dataType match {
+    // DATE targets take the days value; every boundary that can reach a
+    // DATE target (year starts) is day-aligned
+    case DateType => Literal(Math.floorDiv(micros, DayMicros).toInt, DateType)
+    case dt => Literal(micros, dt)
+  }
 
   /** Range translation of `trunc(ts) <cmp> v` — see scaladoc derivation:
    *  with a = trunc(v), ceil = (v aligned ? v : next(a)):
@@ -177,6 +181,24 @@ object SargableTimePredicates extends Rule[LogicalPlan] {
   private def truncSide(e: Expression): Option[(Expression, String)] =
     truncOf(e).orElse(dateCastOf(e).map(_ -> "day"))
 
+  /** `year(ts)` — the one EXTRACT whose value classes are contiguous
+   *  time ranges (month/quarter/day-of-x repeat across periods and
+   *  cannot become a single range). `year(ts)` analyzes as
+   *  `Year(CAST(ts AS DATE))`; the int literal maps to the Jan-1
+   *  boundary and the aligned-case range formulas apply verbatim. */
+  private def yearSide(e: Expression): Option[Expression] = e match {
+    case Year(c) => dateCastOf(c).orElse(c match {
+      // a plain DATE column: rewriting to a date range is equally
+      // sargable and zone-free
+      case d if d.dataType == DateType => Some(d)
+      case _ => None
+    })
+    case _ => None
+  }
+
+  private def yearMicros(y: Int): Long =
+    java.time.LocalDate.of(y, 1, 1).toEpochDay * DayMicros
+
   private def rewrite(cond: Expression): Expression = cond.transformUp {
     case cmp @ BinaryComparison(l, r) =>
       val op = cmp match {
@@ -187,11 +209,19 @@ object SargableTimePredicates extends Rule[LogicalPlan] {
         case _: LessThan => Some("<")
         case _ => None // EqualNullSafe: false-on-null differs from the range
       }
+      def intLit(e: Expression): Option[Int] = e match {
+        case Literal(v: Int, IntegerType) if v >= 1 && v <= 9999 => Some(v)
+        case _ => None
+      }
       op.flatMap { o =>
         truncSide(l).zip(litMicros(r)).headOption
           .map { case ((ts, u), v) => range(ts, u, v, o) }
           .orElse(truncSide(r).zip(litMicros(l)).headOption
             .map { case ((ts, u), v) => range(ts, u, v, flip(o)) })
+          .orElse(yearSide(l).zip(intLit(r)).headOption
+            .map { case (ts, y) => range(ts, "year", yearMicros(y), o) })
+          .orElse(yearSide(r).zip(intLit(l)).headOption
+            .map { case (ts, y) => range(ts, "year", yearMicros(y), flip(o)) })
       }.getOrElse(cmp)
     case in @ In(t, list) if list.nonEmpty && list.length <= 64 &&
         truncSide(t).isDefined && list.forall(litMicros(_).isDefined) =>

@@ -1498,6 +1498,14 @@ class PlanSpec extends SparkSpec {
       "WHERE date_trunc('DAY', ts) IN (TIMESTAMP'2024-01-10 00:00:00', " +
       "TIMESTAMP'2024-01-19 00:00:00')")
     assert(dfI.head().getLong(0) === 180L)
+    // year(ts): the one contiguous extract — rewrites to the year range
+    val dfY = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+      "WHERE year(ts) = 2024")
+    assert(executedPlanString(dfY).contains(">= 2024-01-01 00:00:00"),
+      s"year() equality did not rewrite:\n${executedPlanString(dfY)}")
+    assert(dfY.head().getLong(0) === 900L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+      "WHERE year(ts) < 2024").head().getLong(0) === 0L)
     // non-UTC session: the zoned trunc is session-zone-dependent — no
     // rewrite (no pushed ts range), rows still correct via the raw plan
     val tzKey = "spark.sql.session.timeZone"
