@@ -63,16 +63,21 @@ object Bench {
     // which truncates the per-query section (r14 found its worst3
     // comparison empty against BENCH_r13.json for exactly this reason).
     // BENCH_DETAIL_r<N>*.json carries the full per-query min map.
-    val detail = """BENCH_DETAIL_r(\d+)\w*\.json""".r
+    val detail = """BENCH_DETAIL_r(\d+)(\w*)\.json""".r
     val head = """BENCH_r(\d+)\.json""".r
     val all = Option(new java.io.File(".").listFiles()).toSeq.flatten
-    def newest(pick: String => Option[Int]): Option[String] =
-      all.flatMap(f => pick(f.getName).map(_ -> f.getPath))
-        .sortBy(-_._1).headOption.map(_._2)
-    newest(n => detail.findFirstMatchIn(n).filter(_.matched == n)
-        .map(_.group(1).toInt))
-      .orElse(newest(n => head.findFirstMatchIn(n).filter(_.matched == n)
-        .map(_.group(1).toInt)))
+    // within a round, the UNTAGGED record is the round-official one;
+    // tagged variants (_dev, _quiet, …) are development-box states that
+    // must not silently become the cross-round comparison base
+    all.flatMap { f =>
+      detail.findFirstMatchIn(f.getName).filter(_.matched == f.getName)
+        .map(m => (m.group(1).toInt, m.group(2).isEmpty, f.getPath))
+    }.sortBy { case (round, untagged, _) => (-round, if (untagged) 0 else 1) }
+      .headOption.map(_._3)
+      .orElse(all.flatMap(f =>
+          head.findFirstMatchIn(f.getName).filter(_.matched == f.getName)
+            .map(m => m.group(1).toInt -> f.getPath))
+        .sortBy(-_._1).headOption.map(_._2))
   }
 
   private def jnum(d: Double): String = f"$d%.3f"
@@ -746,7 +751,22 @@ object Bench {
     // contract), and a serial-equivalence check: the concurrent table's
     // content hash must equal a sequential replay of the same batches —
     // disjoint keyed upserts commute, so any interleaving converges.
-    val mw: Option[(Double, Long, Long, Long, Boolean)] =
+    // Per-commit phase attribution (r14 verdict #2): commits/s swung
+    // 2.9× across rounds with nothing in the artifact to adjudicate it.
+    // `SnapshotTable.commitPhases` records wall nanos per phase
+    // (index / write_job / harvest / cas) across all writer threads
+    // during the concurrent window; `busy` sums each thread's own
+    // start→end wall and `recompute` the wall of surfaced-conflict
+    // attempts whose work was thrown away (recompute time ALSO lands in
+    // the phase sums — it is attribution of the same seconds, not an
+    // extra phase). phase_coverage = phases/busy: the fraction of
+    // writer-thread time the artifact can attribute — a future swing
+    // reads directly as "cas grew 4×" / "write_job grew uniformly (box)"
+    // instead of a plausibility argument.
+    case class MwResult(sec: Double, commits: Long, rebases: Long,
+      conflicts: Long, ok: Boolean, busySec: Double, recomputeSec: Double,
+      phases: Seq[(String, Double)])
+    val mw: Option[MwResult] =
       if (p1Dir.isEmpty) None
       else try rddGuard("multi_writer") {
         import graft.tables.SnapshotTable
@@ -776,7 +796,10 @@ object Bench {
           }).toMap
         val t = mkTable()
         SnapshotTable.occStats.reset()
+        SnapshotTable.commitPhases.reset()
         val conflicts = new java.util.concurrent.atomic.AtomicLong
+        val busyNanos = new java.util.concurrent.atomic.AtomicLong
+        val recomputeNanos = new java.util.concurrent.atomic.AtomicLong
         val v0 = t.currentVersion()
         val t0 = System.nanoTime()
         // a surfaced ConcurrentCommitException is the API's retry
@@ -790,22 +813,31 @@ object Bench {
           var attempts = 0
           var done = false
           while (!done && attempts < 20) {
+            val a0 = System.nanoTime()
             try { what; done = true }
             catch { case _: SnapshotTable.ConcurrentCommitException =>
+              recomputeNanos.addAndGet(System.nanoTime() - a0)
               conflicts.incrementAndGet(); attempts += 1 }
           }
         }
+        def busyThread(name: String)(work: => Unit): Thread =
+          new Thread(() => {
+            val b0 = System.nanoTime()
+            try work finally busyNanos.addAndGet(System.nanoTime() - b0)
+          }, name)
         val threads = (0 until writers).map { w =>
-          new Thread(() => (0 until batchesPer).foreach { b =>
+          busyThread(s"mw-writer-$w")((0 until batchesPer).foreach { b =>
             withRetry { t.upsert(batches((w, b)), Seq("id"), "ver"); () }
-          }, s"mw-writer-$w")
-        } :+ new Thread(() => (1 to 3).foreach { _ =>
+          })
+        } :+ busyThread("mw-compactor")((1 to 3).foreach { _ =>
           withRetry { t.compact(targetFileBytes = 1L << 30,
             smallFileBytes = 1L << 30,
             scope = Some(col("id") >= writers * span)); () }
-        }, "mw-compactor")
+        })
         threads.foreach(_.start()); threads.foreach(_.join())
         val sec = (System.nanoTime() - t0) / 1e9
+        val phases = SnapshotTable.commitPhases.secondsByPhase
+        SnapshotTable.commitPhases.disable() // exclude the serial replay
         val commits = t.currentVersion() - v0
         val rebases = SnapshotTable.occStats.rebases.get()
         val seq = mkTable()
@@ -819,10 +851,46 @@ object Bench {
         val ok = hashOf(t) == hashOf(seq)
         graft.ext.Dedup.release(docs)
         batches.values.foreach(graft.ext.Dedup.release)
-        Some((sec, commits, rebases, conflicts.get(), ok))
+        Some(MwResult(sec, commits, rebases, conflicts.get(), ok,
+          busyNanos.get() / 1e9, recomputeNanos.get() / 1e9, phases))
       } catch { case e: Throwable =>
         System.err.println(s"[bench][multi_writer]: ${e.getMessage}"); None
       }
+    // -------- reference-scale anchor (r14 verdict #7): the reference's
+    // own 999+1,100-row contact CSVs (`data/*.csv`) through the same
+    // hudi-script SCD2 algorithm q18/q41 bench at 600k rows — the
+    // cleanest SAME-SCALE read against BASELINE.md's anchors (merge: one
+    // whole EMR job; lookup: Athena `id=103` 0.664–3.619 s → 2 rows).
+    // Three reps, each on a fresh table (the merge mutates); lookup runs
+    // against the just-merged table, cold per rep.
+    val refScale: Option[(Seq[Double], Seq[Double], Long)] = try {
+      val initCsv = "/root/reference/data/initial_contacts.csv"
+      val updCsv = "/root/reference/data/update_contacts.csv"
+      if (!new java.io.File(initCsv).isFile) None
+      else rddGuard("reference_scale") {
+        val merges = scala.collection.mutable.Buffer[Double]()
+        val lookups = scala.collection.mutable.Buffer[Double]()
+        var lookupRows = 0L
+        for (_ <- 1 to 3) {
+          val root = java.nio.file.Files.createTempDirectory("graft_bench_ref")
+            .toString + "/contact"
+          val initial = graft.scd2.Scd2.readContactsCsv(sparkS, initCsv)
+          val update = graft.scd2.Scd2.readContactsCsv(sparkS, updCsv)
+          val t = graft.scd2.Scd2.initialLoad(sparkS, root, initial,
+            java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+          val m0 = System.nanoTime()
+          graft.scd2.Scd2.hudiStyleMerge(t, update,
+            java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), withCounts = false)
+          merges += (System.nanoTime() - m0) / 1e9
+          val l0 = System.nanoTime()
+          lookupRows = t.read().filter(col("id") === 103).collect().length.toLong
+          lookups += (System.nanoTime() - l0) / 1e9
+        }
+        Some((merges.toSeq, lookups.toSeq, lookupRows))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench][reference_scale]: ${e.getMessage}"); None
+    }
     // -------- index maintenance steady state (build → ingest appends →
     // recluster — the lifecycle behind q124, measured): a serve over an
     // append-bloated index vs the same index after compactMinhashIndex.
@@ -1245,7 +1313,12 @@ object Bench {
         sparkS.conf.set("spark.sql.catalog.graftp", "graft.sql.GraftTableCatalog")
         sparkS.conf.set("spark.sql.catalog.graftp.warehouse", wh)
         try {
-          val sizes = Seq(2048, 32768, 131072)
+          // 2^20 entries (r14 verdict #5): the 100 TB design point spans
+          // 10^5–10^6 files, and the one honest O(files) driver cost —
+          // the UNPRUNED toBatch partition materialization at ~11 µs/file
+          // — projects to ~12 s there; record it rather than assert it.
+          // Warm point planning must stay sub-second at every size.
+          val sizes = Seq(2048, 32768, 131072, 1048576)
           val schema = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("id",
               org.apache.spark.sql.types.LongType, nullable = false),
@@ -1253,21 +1326,37 @@ object Bench {
               org.apache.spark.sql.types.LongType, nullable = false)))
           def mkLog(n: Int): Unit = {
             val root = s"$ext/ps$n"
-            val entries = (0 until n).map { i =>
-              graft.tables.SnapshotTable.FileEntry(f"$root/data/f$i%07d.parquet", 1000L,
-                1L << 20,
-                Map(
-                  "id" -> graft.tables.SnapshotTable.ColStats(Some((i.toLong * 1000).toString),
-                    Some((i.toLong * 1000 + 999).toString), Some(0L)),
-                  "v" -> graft.tables.SnapshotTable.ColStats(Some("0"), Some("999999"),
-                    Some(0L))),
-                mtime = Some(1700000000000L))
-            }
             val logDir = java.nio.file.Paths.get(root, "_log")
             java.nio.file.Files.createDirectories(logDir)
-            java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
-              graft.tables.SnapshotTable.CommitEntry("append", schema.json, entries)
-                .toJson.getBytes("UTF-8"))
+            // STREAMED, entry by entry (same JSON CommitEntry.fromJson
+            // reads back): the 2^20-entry log is a ~250 MB document, and
+            // materializing the full entry Seq + toJson string in the
+            // bench driver's heap would compete with late-suite Spark
+            // state for no measurement benefit
+            implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+            val w = new java.io.BufferedWriter(new java.io.FileWriter(
+              logDir.resolve(f"${0L}%020d.json").toFile), 1 << 20)
+            try {
+              w.write("""{"action":"append","schemaJson":""")
+              w.write(org.json4s.jackson.Serialization.write(schema.json))
+              w.write(""","files":[""")
+              var i = 0
+              while (i < n) {
+                if (i > 0) w.write(",")
+                w.write(org.json4s.jackson.Serialization.write(
+                  graft.tables.SnapshotTable.FileEntry(f"$root/data/f$i%07d.parquet",
+                    1000L, 1L << 20,
+                    Map(
+                      "id" -> graft.tables.SnapshotTable.ColStats(
+                        Some((i.toLong * 1000).toString),
+                        Some((i.toLong * 1000 + 999).toString), Some(0L)),
+                      "v" -> graft.tables.SnapshotTable.ColStats(Some("0"),
+                        Some("999999"), Some(0L))),
+                    mtime = Some(1700000000000L))))
+                i += 1
+              }
+              w.write("]}")
+            } finally w.close()
           }
           sizes.foreach(mkLog)
           def planOnce(n: Int): Double = {
@@ -1327,7 +1416,7 @@ object Bench {
           sizes.map(n => PsPoint(n, colds(n), measOf(planT(n).toSeq),
             measOf(partT(n).toSeq), measOf(dppT(n).toSeq), kept(n), dppKept(n)))
         } finally {
-          Seq(2048, 32768, 131072).foreach { n =>
+          Seq(2048, 32768, 131072, 1048576).foreach { n =>
             try sparkS.sql(s"DROP TABLE IF EXISTS graftp.b.ps$n")
             catch { case scala.util.control.NonFatal(_) => () }
           }
@@ -1349,11 +1438,26 @@ object Bench {
         s""""n${p.n}":{"cold_s":${jnum(p.coldS)},"plan_s":[${jnum(p.plan.min)},${jnum(p.plan.med)}],"parts_s":[${jnum(p.parts.min)},${jnum(p.parts.med)}],"dpp_s":[${jnum(p.dpp.min)},${jnum(p.dpp.med)}],"files_unpruned":${p.filesKept},"files_dpp_kept":${p.dppKept}}""").mkString(",")
       s""","plan_stress":{$j,"reps":5,"interleaved":true}"""
     }.getOrElse("")
-    val mwHead = mw.map { case (sec, commits, rebases, conflicts, ok) =>
-      s""","multi_writer":{"commits_per_sec":${jnum(commits / sec)},"rebases":$rebases,"conflicts":$conflicts,"serial_equiv":$ok}"""
+    def mwPhasesJson(m: MwResult): String = {
+      val ph = m.phases.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString(",")
+      val cov = if (m.busySec > 0) m.phases.map(_._2).sum / m.busySec else 0.0
+      s""""phases":{$ph},"busy_s":${jnum(m.busySec)},"recompute_s":${jnum(m.recomputeSec)},"phase_coverage":${jnum(cov)}"""
+    }
+    def refJson(r: (Seq[Double], Seq[Double], Long), detail: Boolean): String = {
+      val (m, l, rows) = r
+      def pair(xs: Seq[Double]) =
+        s"[${jnum(xs.min)},${jnum(xs.sorted.apply(xs.size / 2))}]"
+      val extra = if (detail)
+        s""","reps":${m.size},"anchor":"BASELINE.md: Athena id=103 lookup 0.664-3.619 s (2 rows); merge = one EMR job"""" else ""
+      s""","reference_scale":{"merge_s":${pair(m)},"lookup_s":${pair(l)},"lookup_rows":$rows$extra}"""
+    }
+    val refHead = refScale.map(refJson(_, detail = false)).getOrElse("")
+    val refDetail = refScale.map(refJson(_, detail = true)).getOrElse("")
+    val mwHead = mw.map { m =>
+      s""","multi_writer":{"commits_per_sec":${jnum(m.commits / m.sec)},"rebases":${m.rebases},"conflicts":${m.conflicts},"serial_equiv":${m.ok},${mwPhasesJson(m)}}"""
     }.getOrElse("")
-    val mwDetail = mw.map { case (sec, commits, rebases, conflicts, ok) =>
-      s""","multi_writer":{"sec":${jnum(sec)},"commits":$commits,"writers":4,"upserts_per_writer":5,"compact_passes":3,"commits_per_sec":${jnum(commits / sec)},"rebases":$rebases,"conflicts":$conflicts,"serial_equiv":$ok}"""
+    val mwDetail = mw.map { m =>
+      s""","multi_writer":{"sec":${jnum(m.sec)},"commits":${m.commits},"writers":4,"upserts_per_writer":5,"compact_passes":3,"commits_per_sec":${jnum(m.commits / m.sec)},"rebases":${m.rebases},"conflicts":${m.conflicts},"serial_equiv":${m.ok},${mwPhasesJson(m)}}"""
     }.getOrElse("")
     // end-of-run calibration: the suite + scale matrix take ~15 min, long
     // enough for box conditions to change under the measurements
@@ -1377,7 +1481,10 @@ object Bench {
       else s""","rdd_retained_rows":${rddRetained.size}"""
     val scaling = s""","scaling_fmt":"[exp_min,exp_med,exp_cal]"""" +
       headBlock("scaling_10x", block10) + headBlock("scaling_100x", block100) +
-      bpeHead + mwHead + imHead + spjHead + spjFFHead + rtHead + psHead + rddHead
+      // plan_stress lives in the DETAIL record only: the driver's tail
+      // capture keeps ~2000 chars and r14's headline already overflowed
+      // it (BENCH_r14.json parsed:null) — every byte here costs the head
+      bpeHead + mwHead + refHead + imHead + spjHead + spjFFHead + rtHead + rddHead
     // {} when every row released what it pinned — recording the emptiness
     // is the point (the structural form of the r10 one-off leak probe)
     val rddDetail = s""","rdd_retained":${rddRetained.map { case (k, v) =>
@@ -1385,7 +1492,7 @@ object Bench {
     val scalingDetail = pointsDetail +
       detailBlock("scaling_10x", block10) +
       detailBlock("scaling_100x", block100) +
-      ccDetail + bpeDetail + mwDetail + imDetail + spjDetail + spjFFJson +
+      ccDetail + bpeDetail + mwDetail + refDetail + imDetail + spjDetail + spjFFJson +
       rtDetail + psDetail + rddDetail
     // Testdata fingerprint: per-table row counts + an order-independent
     // content hash (bit_xor of per-row xxhash64). The driver may
@@ -1436,8 +1543,12 @@ object Bench {
     val lookups = lookupClass.flatMap(k => minima.get(k).map(v => "\"" + k + "\":" + jnum(v)))
       .mkString("{", ",", "}")
 
+    // record the JVM heap beside the measurements: the r15 default moved
+    // 8g → 16g (plan_stress 2^20), and a heap change is instrument state
+    // a cross-round reader should see
+    val heapGb = Runtime.getRuntime.maxMemory() / (1L << 30)
     val detailLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"reps":$reps,"interleaved_passes":true,"queries":$qs,"queries_min":$mins,"mutation_reps":$perRep,"lifecycle_phases":{"warm":${phasesJson(warmPhases)},"steady":${phasesJson(steadyPhases)}},"testdata_fp":"$fpHex","testdata_fingerprint":$fpDetail$calib$scalingDetail,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"reps":$reps,"interleaved_passes":true,"driver_heap_gb":$heapGb,"queries":$qs,"queries_min":$mins,"mutation_reps":$perRep,"lifecycle_phases":{"warm":${phasesJson(warmPhases)},"steady":${phasesJson(steadyPhases)}},"testdata_fp":"$fpHex","testdata_fingerprint":$fpDetail$calib$scalingDetail,"sf":"$sfDir"}"""
     // Round-stamped detail record alongside the floating latest: the r13
     // driver run overwrote the committed dev record in the working tree,
     // silently replacing one measurement with another. Each run now also
@@ -1468,6 +1579,12 @@ object Bench {
     // exponent summary, to stay inside the ~2000-char tail.
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"gate":"total_min","reps":$reps,"interleaved_passes":true,"n_queries":${results.size},"lookup_min":$lookups,"worst3_vs_prev":$worst$worstNote,"testdata_fp":"$fpHex","prev_bench":"${prevPath.getOrElse("none")}"$calib$scaling,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    // Final ultra-compact line: the driver keeps the LAST ~2000 chars of
+    // stdout and json-parses what it finds — r14's full headline
+    // overflowed that window and the round record came back
+    // parsed:null. This line (<400 chars) always survives intact.
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"gate":"total_min","reps":$reps,"n_queries":${results.size},"lookup_min":$lookups,"testdata_fp":"$fpHex","detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     sparkS.stop()
   }
 }

@@ -2868,6 +2868,59 @@ object SparkEntry {
       |FROM events
       |WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-12 00:00:00'""".stripMargin
 
+  /** Q139 — the CANONICAL reporting shape, metadata-only (round 15 —
+   *  VERDICT r14 Next #1): `GROUP BY event_type, date_trunc('MONTH',
+   *  ts)` — mixed identity + time group keys in the idiomatic
+   *  date_trunc spelling. The DSv2 aggregate pushdown serves mixed
+   *  identity+EXTRACT keys but never sees date_trunc
+   *  (V2ExpressionBuilder does not translate it); the
+   *  [[sql.MetadataOnlyAgg]] grouped case now accepts identity keys
+   *  proved per-file single-valued ([[graft.tables.SnapshotTable
+   *  .fileSingleValue]] — exact stats, min == max, zero nulls;
+   *  writer-exact string bounds qualify) alongside trunc keys, so the
+   *  whole query collapses to a LocalRelation: one row per
+   *  (event_type, month), ZERO data files read (PlanSpec pins the
+   *  collapse and the refusal fallbacks). Layout: the hybrid
+   *  `(bucket(8, user_id), event_type, months(ts))` spec — the writer's
+   *  dynamic sub-partition split puts exactly one (event_type, month)
+   *  pair per file, the same invariant q136's per-state files prove.
+   *  Oracle replays the group-by from the plain events table. */
+  private val txmBuilt = scala.collection.concurrent.TrieMap[String, Boolean]()
+  private def ensureTxmEvents(s: SparkSession, dir: String): Unit = {
+    txmBuilt.getOrElseUpdate(dir, {
+      s.sql("DROP TABLE IF EXISTS graft.bench.txm_events")
+      s.sql("CREATE TABLE graft.bench.txm_events " +
+        "(event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP) " +
+        "USING graft " +
+        "PARTITIONED BY (bucket(8, user_id), event_type, months(ts))")
+      s.table("events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .writeTo("graft.bench.txm_events").append()
+      true
+    })
+    ()
+  }
+  private def metaMixedGroupByQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    ensureTxmEvents(s, dir)
+    s.sql(
+      """SELECT event_type, CAST(date_trunc('MONTH', ts) AS STRING) AS m,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(user_id) AS BIGINT) AS min_user,
+        |  CAST(max(user_id) AS BIGINT) AS max_user
+        |FROM graft.bench.txm_events
+        |GROUP BY event_type, date_trunc('MONTH', ts)
+        |ORDER BY event_type, m""".stripMargin)
+  }
+  private val Q139Duck =
+    """SELECT event_type,
+      |       CAST(CAST(date_trunc('month', ts) AS TIMESTAMP) AS VARCHAR) AS m,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(min(user_id) AS BIGINT) AS min_user,
+      |       CAST(max(user_id) AS BIGINT) AS max_user
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Q32 — as-of join: each click matched to the user's most recent view
    *  (point-in-time correctness; DuckDB's native ASOF JOIN as oracle). */
   private def asofQuery(s: SparkSession, dir: String): DataFrame = {
@@ -4747,7 +4800,8 @@ object SparkEntry {
     "q135_meta_time_groupby" -> metaTimeGroupByQuery,
     "q136_contact_pipeline" -> contactPipelineQuery,
     "q137_meta_trunc_groupby" -> metaTruncGroupByQuery,
-    "q138_trunc_filter" -> truncFilterQuery)
+    "q138_trunc_filter" -> truncFilterQuery,
+    "q139_meta_mixed_groupby" -> metaMixedGroupByQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4940,7 +4994,8 @@ object SparkEntry {
     "q135_meta_time_groupby" -> Q135Duck,
     "q136_contact_pipeline" -> Q136Duck,
     "q137_meta_trunc_groupby" -> Q137Duck,
-    "q138_trunc_filter" -> Q138Duck)
+    "q138_trunc_filter" -> Q138Duck,
+    "q139_meta_mixed_groupby" -> Q139Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -253,7 +253,7 @@ final class MergeInto(
               .groupBy(col(T_FILE)).agg(max(col("__c")).as("__maxc"))
           else joined.select(col(T_FILE)).distinct()
             .withColumn("__maxc", lit(1L))
-        val rows = perFile.collect()
+        val rows = SnapshotTable.commitPhases.timed("index")(perFile.collect())
         if (needsCardinality && rows.exists(_.getAs[Long]("__maxc") > 1))
           throw new MergeCardinalityException(
             "MERGE: a target row matched multiple source rows under a clause that is not a single unconditional DELETE")

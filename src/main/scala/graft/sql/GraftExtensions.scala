@@ -158,7 +158,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (v < 0) throw new IllegalArgumentException(
           s"graft_scan_stats: table $root is empty")
         val all = t.manifestEntries()
-        val pred = predSql.map(org.apache.spark.sql.functions.expr)
+        // Replay the predicate EXACTLY as the executed scan would see
+        // it: OPTIMIZE it against the table's frame, so literal casts
+        // fold and the injected [[SargableTimePredicates]] rewrite runs
+        // (the analyzer alone leaves `id = CAST(42 AS BIGINT)` unfolded,
+        // which the pruner cannot read; and without the rewrite the TVF
+        // would report "nothing pruned" for the very date_trunc /
+        // date-cast / year() spellings the real query now prunes on).
+        // Any shape that does not survive as a Filter (folded-away
+        // condition, a plan the optimizer restructured, analysis
+        // failure) falls back to the raw expression, whose pruning
+        // degrades conservatively like before.
+        val pred = predSql.map { sql =>
+          val raw = org.apache.spark.sql.functions.expr(sql)
+          try {
+            t.read().filter(raw).queryExecution.optimizedPlan match {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                SparkInternals.column(f.condition)
+              case _ => raw
+            }
+          } catch { case scala.util.control.NonFatal(_) => raw }
+        }
         val kept = t.prunedFilesAt(v, pred).map(_.path).toSet
         val keptE = all.filter(f => kept.contains(f.path))
         val spark = t.spark

@@ -798,13 +798,22 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
    *  a scan builder. */
   private lazy val liveFiles = table.prunedFilesAt(version, None)
   private var consumedNoops: Set[Filter] = Set.empty
-  private def provablyNoNulls(col: String): Boolean =
-    tableSchema.fields.find(_.name.equalsIgnoreCase(col)).exists { f =>
+  private def provablyNoNulls(col: String): Boolean = {
+    // resolve per the SESSION's case sensitivity (this proof feeds a
+    // row-affecting filter consumption, unlike the pruning lookups that
+    // may merely keep extra files); ambiguity keeps the filter
+    val caseSensitive = table.spark.sessionState.conf.caseSensitiveAnalysis
+    val fields = tableSchema.fields.filter(f =>
+      if (caseSensitive) f.name == col else f.name.equalsIgnoreCase(col))
+    fields.length == 1 && fields.forall { f =>
       !f.nullable || liveFiles.forall { fe =>
-        fe.stats.find(_._1.equalsIgnoreCase(f.name))
-          .exists(_._2.nullCount.contains(0L))
+        fe.stats.get(f.name).orElse {
+          val m = fe.stats.keys.filter(_.equalsIgnoreCase(f.name)).toSeq
+          if (m.size == 1) fe.stats.get(m.head) else None
+        }.exists(_.nullCount.contains(0L))
       }
     }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
@@ -834,9 +843,18 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
 
   private def buildFileScan(): Scan = {
     val spark = table.spark
+    // Consumed no-op guards must NOT reach the inner parquet scan: Spark
+    // pruned their columns from the read schema (that is what consuming
+    // buys), and parquet's record-level filter evaluates a filter column
+    // missing from the requested schema as NULL — IsNotNull(absent)
+    // would silently drop EVERY row (r15 found `SELECT v FROM t WHERE
+    // id IS NOT NULL` returning zero rows through exactly this). They
+    // are provably row-neutral, so skipping them loses nothing at any
+    // layer — manifest pruning included.
+    val realPushed = pushed.filterNot(consumedNoops.contains)
     // manifest stats pruning runs on LOGICAL names (all commit metadata is
     // logically keyed, even after RENAME COLUMN)
-    val predicate = pushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
+    val predicate = realPushed.flatMap(GraftScanBuilder.toColumn).reduceOption(_ && _)
     val allFiles = table.prunedFilesAt(version, predicate)
     val mapping = table.columnMappingAt(version)
     // pending deletion vectors: the parquet scan is built with Spark's
@@ -854,10 +872,14 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
     // return fewer than the table holds. Pushed TopN instead selects by
     // the θ rule on the sort key's stats.
     val dvDel: Map[String, Long] = dvPos.map { case (k, v) => k -> v.length.toLong }
+    // the caps require a filter-free scan; pushed filters that are ALL
+    // consumed no-op null guards qualify (they remove nothing), matching
+    // pushLimit/pushTopN's acceptance — gating on pushed.isEmpty here
+    // would leave the promised cap dead in exactly that case
     val files = (limit, topn) match {
-      case (Some(l), _) if pushed.isEmpty =>
+      case (Some(l), _) if pushed.forall(consumedNoops.contains) =>
         GraftScanBuilder.limitCap(allFiles, dvDel, l)
-      case (None, Some((c, asc, n))) if pushed.isEmpty =>
+      case (None, Some((c, asc, n))) if pushed.forall(consumedNoops.contains) =>
         topNCap(allFiles, dvDel, c, asc, n)
       case _ => allFiles
     }
@@ -884,7 +906,8 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
         val index = new ManifestFileIndex(spark, fs)
         val psb = ParquetScanBuilder(
           spark, index, tableSchema, tableSchema, CaseInsensitiveStringMap.empty())
-        psb.pushFilters(pushed.flatMap(f => GraftScanBuilder.toExpression(f, tableSchema)).toSeq)
+        psb.pushFilters(realPushed.flatMap(f =>
+          GraftScanBuilder.toExpression(f, tableSchema)).toSeq)
         psb.pruneColumns(withIdx(required))
         dvWrap(psb.build(), required)
       }
@@ -903,7 +926,7 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
         val index = new ManifestFileIndex(spark, fs)
         val psb = ParquetScanBuilder(
           spark, index, physTable, physTable, CaseInsensitiveStringMap.empty())
-        psb.pushFilters(pushed.flatMap(f => GraftScanBuilder.toExpression(
+        psb.pushFilters(realPushed.flatMap(f => GraftScanBuilder.toExpression(
           GraftScanBuilder.renameFilter(f, mapping), physTable)).toSeq)
         psb.pruneColumns(withIdx(physRequired))
         // DV filter runs on the PHYSICAL scan (positions are file-keyed,

@@ -58,19 +58,36 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
         .getOrElse(agg)
     // `GROUP BY date_trunc('day', ts)` — the idiomatic spelling of the
-    // metadata time GROUP BY. Spark's V2ExpressionBuilder never
-    // translates date_trunc, so the DSv2 aggregate-pushdown layer (which
-    // serves the `EXTRACT(F FROM CAST(ts AS date))` spelling) never even
-    // sees it; this Catalyst-level case serves it with the SAME proof:
-    // every live file's trunc(min) == trunc(max) at the format's nailing
-    // granularity (quarter/week reconstruct from the months/days proof),
-    // UTC-session-gated for zoned timestamps (date_trunc truncates in
-    // the session zone; the manifest's truncation is UTC calendar).
-    // Anything unprovable keeps the scan — never a wrong tuple.
+    // metadata time GROUP BY — and its MIXED form `GROUP BY state,
+    // date_trunc('month', ts)`, the canonical reporting shape. Spark's
+    // V2ExpressionBuilder never translates date_trunc, so the DSv2
+    // aggregate-pushdown layer (which serves the `EXTRACT(F FROM
+    // CAST(ts AS date))` spelling, identity keys included) never even
+    // sees these; this Catalyst-level case serves them with the SAME
+    // proofs: trunc keys by per-file period constancy (trunc(min) ==
+    // trunc(max) at the format's nailing granularity — quarter/week
+    // reconstruct from the months/days proof), identity keys by the
+    // per-file single-value proof the SPJ layout derivation already
+    // trusts (exact stats, min == max, zero nulls — writer-exact
+    // strings included), UTC-session-gated for zoned timestamps
+    // (date_trunc truncates in the session zone; the manifest's
+    // truncation is UTC calendar). Anything unprovable keeps the
+    // scan — never a wrong tuple.
     case agg @ Aggregate(groupExprs, exprs, _, _)
         if groupExprs.nonEmpty && exprs.nonEmpty =>
       serveTruncGrouped(agg).getOrElse(agg)
   }
+
+  /** Group-key forms the grouped metadata serve accepts, each carrying
+   *  its per-file proof obligation. At least one [[TruncKey]] is
+   *  required before the manifest is consulted: identity-only GROUP
+   *  BYs already serve (partially pushed) through the DSv2 aggregate
+   *  path, and intercepting them here would churn plans that are
+   *  already right. */
+  private sealed trait KeyProof { def attr: AttributeReference }
+  private final case class TruncKey(
+      attr: AttributeReference, unit: String, rec: Long => Long) extends KeyProof
+  private final case class IdentityKey(attr: AttributeReference) extends KeyProof
 
   /** The date_trunc grouped serve, or None to keep the plan. By the
    *  time user optimizer rules run, PullOutGroupingExpressions has
@@ -92,8 +109,9 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       case a: AttributeReference => aliases.getOrElse(a.exprId, a)
       case other => other
     }
-    val keyParts = agg.groupingExpressions.map(e => truncParts(resolved(e)))
+    val keyParts = agg.groupingExpressions.map(e => keyProof(resolved(e)))
     if (keyParts.exists(_.isEmpty)) return None
+    if (!keyParts.flatten.exists(_.isInstanceOf[TruncKey])) return None
     if (!agg.aggregateExpressions.forall(e =>
         isSupportedShape(e) || isGroupKeyOutput(e, agg.groupingExpressions) ||
           derivedOfKeys(e, agg.groupingExpressions)))
@@ -147,11 +165,13 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       val attr: Option[AttributeReference] = src match {
         case a: AttributeReference
             if a.dataType == TimestampNTZType ||
-              (a.dataType == TimestampType && t.timeZoneId.forall(_ == "UTC")) =>
+              (a.dataType == TimestampType &&
+                t.timeZoneId.forall(SargableTimePredicates.isUtcZone)) =>
           Some(a)
         case c: org.apache.spark.sql.catalyst.expressions.Cast
-            if c.dataType == TimestampType && c.timeZoneId.forall(_ == "UTC") &&
-              t.timeZoneId.forall(_ == "UTC") =>
+            if c.dataType == TimestampType &&
+              c.timeZoneId.forall(SargableTimePredicates.isUtcZone) &&
+              t.timeZoneId.forall(SargableTimePredicates.isUtcZone) =>
           c.child match {
             case a: AttributeReference if a.dataType == TimestampNTZType => Some(a)
             case _ => None
@@ -161,6 +181,17 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       val up = fmt.toString.toUpperCase(java.util.Locale.ROOT)
       for { a <- attr; (unit, rec) <- truncUnit(up) } yield (a, unit, rec)
     case _ => None
+  }
+
+  /** The proof form of one group key: a trunc-like expression, or a
+   *  bare relation attribute whose per-file single value
+   *  [[graft.tables.SnapshotTable.fileSingleValue]] may prove (the
+   *  file-level gates run later, against the manifest). Types
+   *  fileSingleValue never serves (arrays, structs, non-exact-flagged
+   *  strings of foreign files) refuse there, per file. */
+  private def keyProof(e: Expression): Option[KeyProof] = e match {
+    case a: AttributeReference => Some(IdentityKey(a))
+    case other => truncParts(other).map { case (a, unit, rec) => TruncKey(a, unit, rec) }
   }
 
   /** Is this output column just (an alias of) one of the group keys? */
@@ -185,30 +216,39 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
   }
 
   /** One InternalRow per distinct group-key tuple, or None to keep the
-   *  scan: refuses when any file's trunc value is unprovable, any key
-   *  column isn't the relation's own attribute, or (for zoned
-   *  timestamps) the session zone isn't UTC. */
+   *  scan: refuses when any file's trunc value or identity value is
+   *  unprovable, any key column isn't the relation's own attribute, or
+   *  (for zoned-timestamp trunc keys) the session zone isn't UTC. */
   private def truncGroupedRows(
-      keys: Seq[(AttributeReference, String, Long => Long)],
+      keys: Seq[KeyProof],
       groupExprs: Seq[Expression],
       exprs: Seq[NamedExpression],
       rel: DataSourceV2Relation,
       g: GraftTable,
       files: Seq[FileEntry]): Option[Seq[InternalRow]] = {
-    val zonedOk = keys.forall { case (a, _, _) =>
-      a.dataType == TimestampNTZType ||
-        g.table.spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    val zonedOk = keys.forall {
+      case TruncKey(a, _, _) =>
+        a.dataType == TimestampNTZType ||
+          SargableTimePredicates.isUtcZone(
+            g.table.spark.sessionState.conf.sessionLocalTimeZone)
+      case _: IdentityKey => true // single-value proof is zone-free
     }
     if (!zonedOk) return None
-    if (!keys.forall { case (a, _, _) => rel.output.exists(_.exprId == a.exprId) })
+    if (!keys.forall(k => rel.output.exists(_.exprId == k.attr.exprId)))
       return None
     val schema = g.schema()
-    val keyed: Seq[(Seq[Long], FileEntry)] = files.map { f =>
-      val tuple = keys.map { case (a, unit, rec) =>
-        g.table.fileTruncValue(f, a.name, unit, schema) match {
-          case Some(m) => rec(m)
-          case None => return None
-        }
+    val keyed: Seq[(Seq[Any], FileEntry)] = files.map { f =>
+      val tuple: Seq[Any] = keys.map {
+        case TruncKey(a, unit, rec) =>
+          g.table.fileTruncValue(f, a.name, unit, schema) match {
+            case Some(m) => rec(m)
+            case None => return None
+          }
+        case IdentityKey(a) =>
+          g.table.fileSingleValue(f, a.name, schema) match {
+            case Some(v) => v
+            case None => return None
+          }
       }
       (tuple, f)
     }

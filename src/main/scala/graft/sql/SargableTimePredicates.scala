@@ -48,6 +48,15 @@ object SargableTimePredicates extends Rule[LogicalPlan] {
       if (rewritten.fastEquals(f.condition)) f else f.copy(condition = rewritten)
   }
 
+  /** Zone-id gate shared by every zoned rewrite here and by
+   *  [[MetadataOnlyAgg]]: any id that NORMALIZES to UTC (`Etc/UTC`,
+   *  `GMT`, `UT`, `+00:00`, `Z`, …) is semantically the UTC calendar —
+   *  comparing the raw string to `"UTC"` would silently drop the
+   *  rewrite for those sessions (missed optimization, never wrong). */
+  private[sql] def isUtcZone(id: String): Boolean =
+    try java.time.ZoneId.of(id).normalized() == java.time.ZoneOffset.UTC
+    catch { case _: java.time.DateTimeException => false }
+
   private val DayMicros = 86400000000L
 
   /** (source timestamp expression, unit tag) when `e` is a rewritable
@@ -67,7 +76,7 @@ object SargableTimePredicates extends Rule[LogicalPlan] {
       }
       for {
         u <- unit
-        s <- unwrapTs(src, truncZoneOk = t.timeZoneId.forall(_ == "UTC"))
+        s <- unwrapTs(src, truncZoneOk = t.timeZoneId.forall(isUtcZone))
       } yield (s, u)
     case _ => None
   }
@@ -80,7 +89,7 @@ object SargableTimePredicates extends Rule[LogicalPlan] {
       case s if s.dataType == TimestampType && truncZoneOk => Some(s)
       case c: Cast
           if c.dataType == TimestampType && truncZoneOk &&
-            c.timeZoneId.forall(_ == "UTC") &&
+            c.timeZoneId.forall(isUtcZone) &&
             c.child.dataType == TimestampNTZType =>
         Some(c.child)
       case _ => None
@@ -91,7 +100,7 @@ object SargableTimePredicates extends Rule[LogicalPlan] {
     case c: Cast if c.dataType == DateType =>
       c.child match {
         case s if s.dataType == TimestampNTZType => Some(s)
-        case s if s.dataType == TimestampType && c.timeZoneId.forall(_ == "UTC") =>
+        case s if s.dataType == TimestampType && c.timeZoneId.forall(isUtcZone) =>
           Some(s)
         case _ => None
       }
@@ -199,6 +208,48 @@ object SargableTimePredicates extends Rule[LogicalPlan] {
   private def yearMicros(y: Int): Long =
     java.time.LocalDate.of(y, 1, 1).toEpochDay * DayMicros
 
+  /** Year literal of a `year(ts)` comparison/IN operand. The 1–9999
+   *  bound keeps the range arithmetic inside LocalDate's comfort zone;
+   *  out-of-range years simply keep the original predicate. */
+  private def yearLit(e: Expression): Option[Int] = e match {
+    case Literal(v: Int, IntegerType) if v >= 1 && v <= 9999 => Some(v)
+    case _ => None
+  }
+
+  /** `date_format(ts, 'yyyy-MM-dd')` — the STRING spelling of the date
+   *  cast, rewritable for EQUALITY only: lexicographic string order is
+   *  NOT chronological once years leave four digits, so `>=`-class
+   *  comparisons stay. The zone gates mirror [[dateCastOf]]. */
+  private def dateFormatSide(e: Expression): Option[Expression] = e match {
+    case d @ DateFormatClass(src, Literal(fmt: UTF8String, StringType), _)
+        if fmt.toString == "yyyy-MM-dd" =>
+      unwrapTs(src, truncZoneOk = d.timeZoneId.forall(isUtcZone))
+    case _ => None
+  }
+
+  /** The canonical `yyyy-MM-dd` literal as a LocalDate. Only the strict
+   *  zero-padded 4-digit-year form rewrites: that is the one shape the
+   *  formatter's output can take for years 1–9999, so equality against
+   *  anything else never constrains `ts` this rewrite could serve
+   *  (non-canonical spellings keep the original predicate — sound, the
+   *  comparison just stays unpushed). Spark's formatter prints proleptic
+   *  years (BCE with a leading '-' — PlanSpec asserts the property, so a
+   *  formatter-semantics change fails loudly), meaning a signless
+   *  4-digit literal can only match a CE-year timestamp. */
+  private val DateStr = "^(\\d{4})-(\\d{2})-(\\d{2})$".r
+  private def dateStrLit(e: Expression): Option[java.time.LocalDate] = e match {
+    case Literal(s: UTF8String, StringType) => s.toString match {
+      case DateStr(y, m, d) =>
+        try Some(java.time.LocalDate.of(y.toInt, m.toInt, d.toInt))
+        catch { case _: java.time.DateTimeException => None }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The rewrite over one Filter condition. (The `graft_scan_stats` TVF
+   *  replays it by OPTIMIZING the pasted predicate against the table's
+   *  frame — this rule is injected there — rather than calling in.) */
   private def rewrite(cond: Expression): Expression = cond.transformUp {
     case cmp @ BinaryComparison(l, r) =>
       val op = cmp match {
@@ -209,24 +260,33 @@ object SargableTimePredicates extends Rule[LogicalPlan] {
         case _: LessThan => Some("<")
         case _ => None // EqualNullSafe: false-on-null differs from the range
       }
-      def intLit(e: Expression): Option[Int] = e match {
-        case Literal(v: Int, IntegerType) if v >= 1 && v <= 9999 => Some(v)
-        case _ => None
-      }
       op.flatMap { o =>
+        def dfmtEq(side: Expression, lit: Expression): Option[Expression] =
+          if (o != "=") None
+          else dateFormatSide(side).zip(dateStrLit(lit)).headOption
+            .map { case (ts, d) => range(ts, "day", d.toEpochDay * DayMicros, "=") }
         truncSide(l).zip(litMicros(r)).headOption
           .map { case ((ts, u), v) => range(ts, u, v, o) }
           .orElse(truncSide(r).zip(litMicros(l)).headOption
             .map { case ((ts, u), v) => range(ts, u, v, flip(o)) })
-          .orElse(yearSide(l).zip(intLit(r)).headOption
+          .orElse(yearSide(l).zip(yearLit(r)).headOption
             .map { case (ts, y) => range(ts, "year", yearMicros(y), o) })
-          .orElse(yearSide(r).zip(intLit(l)).headOption
+          .orElse(yearSide(r).zip(yearLit(l)).headOption
             .map { case (ts, y) => range(ts, "year", yearMicros(y), flip(o)) })
+          .orElse(dfmtEq(l, r))
+          .orElse(dfmtEq(r, l))
       }.getOrElse(cmp)
     case in @ In(t, list) if list.nonEmpty && list.length <= 64 &&
         truncSide(t).isDefined && list.forall(litMicros(_).isDefined) =>
       val (ts, u) = truncSide(t).get
       list.map(l => range(ts, u, litMicros(l).get, "="))
+        .reduceLeft[Expression](Or(_, _))
+    // `year(ts) IN (2023, 2024)` — each member is its own year range;
+    // 3VL matches the comparison case (null ts → every disjunct null)
+    case in @ In(t, list) if list.nonEmpty && list.length <= 64 &&
+        yearSide(t).isDefined && list.forall(yearLit(_).isDefined) =>
+      val ts = yearSide(t).get
+      list.map(l => range(ts, "year", yearMicros(yearLit(l).get), "="))
         .reduceLeft[Expression](Or(_, _))
   }
 }

@@ -999,6 +999,22 @@ class PlanSpec extends SparkSpec {
     assert(!sb2.asInstanceOf[SupportsPushDownLimit].pushLimit(10))
     assert(spark.sql("SELECT * FROM graft.db.lim_t WHERE id > 3990 LIMIT 10")
       .count() === 9L)
+    // a CONSUMED no-op IsNotNull guard must not kill the cap (ADVICE
+    // r14: pushLimit accepted it but buildFileScan still gated on
+    // pushed.isEmpty, leaving the promised cap dead)
+    val sb3 = SparkInternals.catalogPlugin(spark, "graft").get
+      .asInstanceOf[graft.sql.GraftTableCatalog]
+      .loadTable(Identifier.of(Array("db"), "lim_t"))
+      .asInstanceOf[SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    val residual = sb3.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(Array(org.apache.spark.sql.sources.IsNotNull("id")))
+    assert(residual.isEmpty, "provably no-op guard not consumed")
+    assert(sb3.asInstanceOf[SupportsPushDownLimit].pushLimit(10))
+    assert(fileCount(sb3.build()) === 1,
+      "LIMIT 10 under a consumed no-op guard should still cap to one file")
+    assert(spark.sql(
+      "SELECT * FROM graft.db.lim_t WHERE id IS NOT NULL LIMIT 10").count() === 10L)
     spark.sql("DROP TABLE graft.db.lim_t")
   }
 
@@ -1506,6 +1522,68 @@ class PlanSpec extends SparkSpec {
     assert(dfY.head().getLong(0) === 900L)
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
       "WHERE year(ts) < 2024").head().getLong(0) === 0L)
+    // year(ts) IN (…) — each member its own year range (r14 verdict #4)
+    val dfYI = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+      "WHERE year(ts) IN (2023, 2024)")
+    assert(executedPlanString(dfYI).contains(">= 2023-01-01 00:00:00"),
+      s"year() IN did not rewrite:\n${executedPlanString(dfYI)}")
+    assert(dfYI.head().getLong(0) === 900L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+      "WHERE year(ts) IN (2022, 2023)").head().getLong(0) === 0L)
+    // to_date(ts) = DATE'…': RuntimeReplaceable lands it as the date
+    // cast by optimizer time, so the existing cast case serves it — pin
+    val dfTD = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+      "WHERE to_date(ts) = DATE'2024-01-13'")
+    assert(executedPlanString(dfTD).contains(">= 2024-01-13 00:00:00"),
+      s"to_date equality did not reach the cast rewrite:\n${executedPlanString(dfTD)}")
+    assert(dfTD.head().getLong(0) === 90L)
+    // date_format(ts,'yyyy-MM-dd') = '…' — the string spelling
+    // (equality only: string order is not chronological beyond 4-digit
+    // years). Soundness rests on Spark printing PROLEPTIC years — a BCE
+    // timestamp must not format to a signless 4-digit date a CE literal
+    // could equal; assert that property here, where the rewrite's gate
+    // can see it fail if a Spark upgrade changes formatter semantics.
+    val bce = spark.sql(
+      "SELECT date_format(TIMESTAMP'-0044-03-15 00:00:00', 'yyyy-MM-dd')")
+      .head().getString(0)
+    assert(!bce.matches("^\\d{4}-\\d{2}-\\d{2}$"),
+      s"BCE year formats signless ('$bce') — the date_format rewrite is unsound")
+    val dfF = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+      "WHERE date_format(ts, 'yyyy-MM-dd') = '2024-01-12'")
+    assert(executedPlanString(dfF).contains(">= 2024-01-12 00:00:00"),
+      s"date_format equality did not rewrite:\n${executedPlanString(dfF)}")
+    assert(dfF.head().getLong(0) === 90L)
+    // non-canonical literal: the formatter can never produce it for
+    // 4-digit years, but the predicate stays UNREWRITTEN (sound either
+    // way; rewriting to an empty range would need the BCE-free proof)
+    val dfNC = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+      "WHERE date_format(ts, 'yyyy-MM-dd') = '2024-1-12'")
+    assert(executedPlanString(dfNC).contains("date_format"),
+      "non-canonical date string rewrote")
+    assert(dfNC.head().getLong(0) === 0L)
+    // a >= on the string spelling must NOT rewrite (not chronological)
+    assert(executedPlanString(spark.sql("SELECT count(*) FROM graft.db.sgt " +
+      "WHERE date_format(ts, 'yyyy-MM-dd') >= '2024-01-12'")).contains("date_format"),
+      "string-order comparison rewrote to a ts range")
+    // zone NORMALIZATION: Etc/UTC is semantically UTC — the rewrite must
+    // survive it (ADVICE r14: raw string compare dropped it)
+    val tzKey0 = "spark.sql.session.timeZone"
+    val prevTz0 = spark.conf.get(tzKey0)
+    spark.conf.set(tzKey0, "Etc/UTC")
+    try {
+      val dfE = spark.sql(q)
+      assert(executedPlanString(dfE).contains(">= 2024-01-12 00:00:00"),
+        s"Etc/UTC session lost the sargable rewrite:\n${executedPlanString(dfE)}")
+      assert(dfE.head().getLong(0) === 90L)
+    } finally spark.conf.set(tzKey0, prevTz0)
+    // graft_scan_stats must report the SAME prune the executed scan
+    // enjoys for the idiomatic spelling (r14 verdict #6): 1 of 10 day
+    // files kept
+    val tvf = spark.sql("SELECT files_total, files_kept FROM graft_scan_stats(" +
+      "'graft.db.sgt', \"date_trunc('DAY', ts) = TIMESTAMP'2024-01-12 00:00:00'\")")
+      .head()
+    assert(tvf.getLong(0) === 10L && tvf.getLong(1) === 1L,
+      s"graft_scan_stats disagreed with the rewritten scan: $tvf")
     // non-UTC session: the zoned trunc is session-zone-dependent — no
     // rewrite (no pushed ts range), rows still correct via the raw plan
     val tzKey = "spark.sql.session.timeZone"
@@ -1543,6 +1621,68 @@ class PlanSpec extends SparkSpec {
       s"q137 read data files for a manifest-answerable date_trunc group-by:\n$plan")
     assert(!plan.contains("ParquetScan") && !plan.contains("Scan parquet"),
       s"data files in q137's plan:\n$plan")
+  }
+
+  test("GROUP BY identity, date_trunc serves metadata-only: mixed keys") {
+    // the canonical reporting shape (VERDICT r14 Next #1): identity key
+    // proved per-file single-valued (fileSingleValue — writer-exact
+    // strings qualify), trunc key proved period-constant; one row per
+    // (identity, period) tuple from the manifest alone
+    spark.sql("DROP TABLE IF EXISTS graft.db.txmx")
+    spark.sql("CREATE TABLE graft.db.txmx (ent BIGINT, st STRING, ts TIMESTAMP, " +
+      "v BIGINT) USING graft PARTITIONED BY (bucket(2, ent), st, months(ts))")
+    spark.range(0, 900)
+      .select(col("id").as("ent"),
+        concat(lit("S"), (col("id") % 2).cast("string")).as("st"),
+        to_timestamp(concat(lit("2024-0"), (col("id") % 3 + 1).cast("string"),
+          lit("-15 12:00:00"))).as("ts"),
+        (col("id") * 2).as("v"))
+      .writeTo("graft.db.txmx").append()
+    def ms(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+    val q = "SELECT st, date_trunc('MONTH', ts) AS m, count(*) AS n, " +
+      "min(v) AS lo, max(v) AS hi FROM graft.db.txmx " +
+      "GROUP BY st, date_trunc('MONTH', ts) ORDER BY st, m"
+    val df = spark.sql(q)
+    val plan = executedPlanString(df)
+    assert(plan.contains("LocalTableScan"),
+      s"mixed identity+trunc group-by did not collapse to the manifest:\n$plan")
+    assert(!plan.contains("ParquetScan") && !plan.contains("Scan parquet"),
+      s"data files read:\n$plan")
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === 6)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq === Seq(
+      ("S0", ms("2024-01-01T00:00:00Z"), 150L), ("S0", ms("2024-02-01T00:00:00Z"), 150L),
+      ("S0", ms("2024-03-01T00:00:00Z"), 150L), ("S1", ms("2024-01-01T00:00:00Z"), 150L),
+      ("S1", ms("2024-02-01T00:00:00Z"), 150L), ("S1", ms("2024-03-01T00:00:00Z"), 150L)))
+    // cross-check one group's bounds against the scan
+    assert(rows.head._4 === 0L && rows.head._5 === 1788L) // S0=even ids, Jan = id%3==0
+    // identity-ONLY group keys stay with the DSv2 aggregate pushdown
+    // (partially pushed, GraftMetadataAgg scan) — this rule must NOT
+    // intercept a shape that is already right
+    val dfI = spark.sql("SELECT st, count(*) AS n FROM graft.db.txmx GROUP BY st")
+    val planI = executedPlanString(dfI)
+    assert(!planI.contains("LocalTableScan"),
+      s"identity-only group-by intercepted by the Catalyst serve:\n$planI")
+    assert(planI.contains("GraftMetadataAgg"),
+      s"identity-only group-by lost its DSv2 manifest serve:\n$planI")
+    // a key NO file proves single-valued (v spans a range per file) →
+    // refusal, ordinary scan, correct rows
+    val dfR = spark.sql("SELECT v, date_trunc('MONTH', ts) AS m, count(*) AS n " +
+      "FROM graft.db.txmx GROUP BY v, date_trunc('MONTH', ts)")
+    assert(!executedPlanString(dfR).contains("LocalTableScan"),
+      "multi-valued identity key served from single-value proofs")
+    assert(dfR.collect().map(_.getLong(2)).sum === 900L)
+    spark.sql("DROP TABLE graft.db.txmx")
+  }
+
+  test("q139's executed plan collapses the mixed group-by to the manifest") {
+    val df = SparkEntry.queries("q139_meta_mixed_groupby")(spark, dir)
+    val plan = executedPlanString(df)
+    assert(plan.contains("LocalTableScan"),
+      s"q139 read data files for a manifest-answerable mixed group-by:\n$plan")
+    assert(!plan.contains("ParquetScan") && !plan.contains("Scan parquet"),
+      s"data files in q139's plan:\n$plan")
   }
 
   test("q132's executed plan answers the group-by from the manifest alone") {

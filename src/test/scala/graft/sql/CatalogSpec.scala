@@ -74,6 +74,13 @@ class CatalogSpec extends SparkSpec {
       s"join-key IsNotNull blocked the metadata aggregate:\n$plan")
     assert(joined.collect().map(r => (r.getString(0), r.getLong(2))).toSeq ===
       Seq(("0", 100L), ("1", 100L), ("2", 100L), ("3", 100L)))
+    // a consumed guard whose column is PRUNED from the projection (r15
+    // regression pin): the guard must not reach the inner parquet scan —
+    // parquet's record filter evaluates a column absent from the read
+    // schema as NULL, and IsNotNull(absent) silently dropped every row
+    assert(spark.sql("SELECT grp FROM graft.db.nns WHERE id IS NOT NULL")
+      .collect().length === 400,
+      "consumed no-op guard over a pruned column dropped rows")
     spark.sql("DROP TABLE graft.db.nng")
     spark.sql("DROP TABLE graft.db.nns")
   }

@@ -1608,6 +1608,26 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().select("id").as[Int].collect().toSet === (0 to n).toSet)
   }
 
+  test("commitPhases attributes a keyed upsert's commit path") {
+    val t = SnapshotTable.create(spark, tmpDir("phases"),
+      spark.range(0, 1000).selectExpr("id", "CAST(id AS STRING) AS v", "0L AS ver"))
+    SnapshotTable.commitPhases.reset()
+    try {
+      t.upsert(spark.range(0, 100)
+        .selectExpr("id", "'new' AS v", "1L AS ver"), Seq("id"), "ver")
+      val phases = SnapshotTable.commitPhases.secondsByPhase.toMap
+      // the upsert's commit path decomposes into exactly these seams —
+      // each must record non-zero wall so the multi_writer bench's
+      // phase_coverage is attribution, not an empty map summing to zero
+      for (p <- Seq("index", "write_job", "harvest", "cas"))
+        assert(phases.get(p).exists(_ > 0), s"phase $p missing from $phases")
+    } finally SnapshotTable.commitPhases.disable()
+    // disabled (the default): further commits record nothing
+    val before = SnapshotTable.commitPhases.secondsByPhase.toMap
+    t.append(spark.range(1000, 1010).selectExpr("id", "'x' AS v", "2L AS ver"))
+    assert(SnapshotTable.commitPhases.secondsByPhase.toMap === before)
+  }
+
   test("append re-base is refused across metadata changes") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(Seq((1, "a")).toDF("id", "v"))
