@@ -754,7 +754,8 @@ object Bench {
     // Per-commit phase attribution (r14 verdict #2): commits/s swung
     // 2.9× across rounds with nothing in the artifact to adjudicate it.
     // `SnapshotTable.commitPhases` records wall nanos per phase
-    // (index / write_job / harvest / cas) across all writer threads
+    // (source_stage / discovery / index / write_job / harvest / cas)
+    // across all writer threads
     // during the concurrent window; `busy` sums each thread's own
     // start→end wall and `recompute` the wall of surfaced-conflict
     // attempts whose work was thrown away (recompute time ALSO lands in

@@ -2921,6 +2921,42 @@ object SparkEntry {
       |       CAST(max(user_id) AS BIGINT) AS max_user
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Q140 — the TIME-BOUNDED daily report, metadata-only (round 15):
+   *  `WHERE date_trunc('DAY', ts) >= A AND date_trunc('DAY', ts) < B
+   *  GROUP BY date_trunc('DAY', ts)` — "daily counts for one week", the
+   *  canonical dashboard query, served with ZERO data files read. Two
+   *  round-15 pieces compose inside one optimizer fixed-point:
+   *  [[sql.SargableTimePredicates]] rewrites the idiomatic trunc
+   *  filter to raw `ts` ranges, then [[sql.MetadataOnlyAgg]]'s grouped
+   *  case accepts the Filter because every live file of the `days(ts)`
+   *  layout provably passes or fails it WHOLE (bounds inside the
+   *  range, zero nulls — one possibly-straddling file refuses to the
+   *  ordinary scan). The group-by then folds only the accepted files.
+   *  Oracle replays filter + group-by over the plain events table. */
+  private def metaFilteredGroupByQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    ensureTxfEvents(s, dir)
+    s.sql(
+      """SELECT CAST(date_trunc('DAY', ts) AS STRING) AS d,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(user_id) AS BIGINT) AS min_user,
+        |  CAST(max(user_id) AS BIGINT) AS max_user
+        |FROM graft.bench.txf_events
+        |WHERE date_trunc('DAY', ts) >= TIMESTAMP'2024-01-08 00:00:00'
+        |  AND date_trunc('DAY', ts) < TIMESTAMP'2024-01-15 00:00:00'
+        |GROUP BY date_trunc('DAY', ts) ORDER BY d""".stripMargin)
+  }
+  private val Q140Duck =
+    """SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS d,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(min(user_id) AS BIGINT) AS min_user,
+      |       CAST(max(user_id) AS BIGINT) AS max_user
+      |FROM events
+      |WHERE date_trunc('day', ts) >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND date_trunc('day', ts) < TIMESTAMP '2024-01-15 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q32 — as-of join: each click matched to the user's most recent view
    *  (point-in-time correctness; DuckDB's native ASOF JOIN as oracle). */
   private def asofQuery(s: SparkSession, dir: String): DataFrame = {
@@ -4801,7 +4837,8 @@ object SparkEntry {
     "q136_contact_pipeline" -> contactPipelineQuery,
     "q137_meta_trunc_groupby" -> metaTruncGroupByQuery,
     "q138_trunc_filter" -> truncFilterQuery,
-    "q139_meta_mixed_groupby" -> metaMixedGroupByQuery)
+    "q139_meta_mixed_groupby" -> metaMixedGroupByQuery,
+    "q140_meta_filtered_groupby" -> metaFilteredGroupByQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -4995,7 +5032,8 @@ object SparkEntry {
     "q136_contact_pipeline" -> Q136Duck,
     "q137_meta_trunc_groupby" -> Q137Duck,
     "q138_trunc_filter" -> Q138Duck,
-    "q139_meta_mixed_groupby" -> Q139Duck)
+    "q139_meta_mixed_groupby" -> Q139Duck,
+    "q140_meta_filtered_groupby" -> Q140Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -93,7 +93,8 @@ final class MergeInto(
     // consumer triples that cost, and a non-deterministic source could
     // even change between discovery and rewrite. Blocks are released
     // before returning.
-    val srcMat = source.localCheckpoint()
+    val srcMat = SnapshotTable.commitPhases.timed("source_stage")(
+      source.localCheckpoint())
     try executeWith(srcMat)
     finally srcMat.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
@@ -370,7 +371,8 @@ object MergeInto {
       table: SnapshotTable,
       source: DataFrame,
       condition: Column,
-      allFiles: Seq[String]): (Seq[String], Option[Column]) = {
+      allFiles: Seq[String]): (Seq[String], Option[Column])
+    = SnapshotTable.commitPhases.timed("discovery") {
     val pairs = equiPairs(org.apache.spark.sql.graftshim.SparkInternals.expr(condition))
     if (pairs.isEmpty) return (allFiles, None)
     val aggs = pairs.zipWithIndex.flatMap { case ((_, s, _), i) =>

@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BinaryComparison, Expression, Literal, NamedExpression, TruncTimestamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -51,10 +51,11 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     case agg @ Aggregate(groupless, exprs, child, _)
         if groupless.isEmpty && exprs.nonEmpty && exprs.forall(isSupportedShape) =>
       (for {
-        rel <- relationOf(child)
+        (conjuncts, rel) <- unwrap(child)
         g <- rel.table match { case g: GraftTable => Some(g); case _ => None }
         files <- g.statsFiles
-        values <- traverse(exprs.map(answer(_, rel, files)))
+        accepted <- filterFiles(conjuncts, rel, g, files)
+        values <- traverse(exprs.map(answer(_, rel, accepted)))
       } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
         .getOrElse(agg)
     // `GROUP BY date_trunc('day', ts)` — the idiomatic spelling of the
@@ -117,11 +118,12 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
           derivedOfKeys(e, agg.groupingExpressions)))
       return None
     for {
-      rel <- relationOf(inner)
+      (conjuncts, rel) <- unwrap(inner)
       g <- rel.table match { case g: GraftTable => Some(g); case _ => None }
       files <- g.statsFiles
+      accepted <- filterFiles(conjuncts, rel, g, files)
       rows <- truncGroupedRows(keyParts.flatten, agg.groupingExpressions,
-        agg.aggregateExpressions, rel, g, files)
+        agg.aggregateExpressions, rel, g, accepted)
     } yield LocalRelation(agg.output, rows)
   }
 
@@ -297,13 +299,168 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     }
   }
 
-  /** The bare graft relation beneath the aggregate — an intervening
-   *  Project is fine (attribute identity is re-checked by exprId), an
-   *  intervening Filter is not. */
-  private def relationOf(plan: LogicalPlan): Option[DataSourceV2Relation] = plan match {
-    case r: DataSourceV2Relation => Some(r)
-    case Project(_, child) => relationOf(child)
+  /** The graft relation beneath the aggregate plus the conjuncts of any
+   *  intervening Filters — Projects are fine (attribute identity is
+   *  re-checked by exprId), Filters are collected for the per-file
+   *  all-or-nothing proof in [[filterFiles]], anything else refuses. */
+  private def unwrap(plan: LogicalPlan)
+      : Option[(Seq[Expression], DataSourceV2Relation)] = plan match {
+    case r: DataSourceV2Relation => Some((Nil, r))
+    case Project(_, child) => unwrap(child)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+      unwrap(child).map { case (cs, r) => (conjunctsOf(cond) ++ cs, r) }
     case _ => None
+  }
+
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
+
+  /** Exact-stats domains the all-in/all-out filter proof compares in.
+   *  Float/double are EXCLUDED here even though min/max serves them:
+   *  IEEE signed zero and Spark's NaN ordering make "does this
+   *  comparison hold for every row" subtler than a bounds check, and a
+   *  wrong all-in would return wrong rows (min/max only ever returns a
+   *  value some row holds). Strings compare in UTF8String binary order
+   *  (Spark's string ordering); footer bounds are CONSERVATIVE order
+   *  bounds even when truncated (truncated min ≤ true min, incremented
+   *  max ≥ true max), which every proof direction here tolerates except
+   *  string-equality ALL-IN — that one requires the writer-exact flag,
+   *  matching [[graft.tables.SnapshotTable.fileSingleValue]]'s
+   *  discipline. */
+  private val filterProofTypes: Set[DataType] = Set(
+    ByteType, ShortType, IntegerType, LongType,
+    DateType, TimestampType, TimestampNTZType, StringType)
+
+  /** The subset of `files` a filtered aggregate may fold, or None to
+   *  keep the scan. Serves the canonical time-bounded report —
+   *  `WHERE ts >= A AND ts < B GROUP BY date_trunc('DAY', ts)` — from
+   *  the manifest alone: every live file must prove it passes the
+   *  filter WHOLLY (all conjuncts hold for every row: zero nulls and
+   *  bounds inside the range) or fails it WHOLLY (some conjunct holds
+   *  for no row — null rows fail every comparison, so an all-NULL file
+   *  is wholly out). One file that could straddle refuses the whole
+   *  serve; the idiomatic `date_trunc`-spelled ranges arrive here
+   *  already rewritten to raw-column ranges by [[SargableTimePredicates]]
+   *  (same optimizer batch, fixed-point). */
+  private def filterFiles(
+      conjuncts: Seq[Expression],
+      rel: DataSourceV2Relation,
+      g: GraftTable,
+      files: Seq[FileEntry]): Option[Seq[FileEntry]] = {
+    if (conjuncts.isEmpty) return Some(files)
+    // (attr, op, literal in its stats domain) of one provable conjunct;
+    // ops are the five comparisons, IsNotNull is handled separately
+    def compOf(e: Expression): Option[(AttributeReference, String, Either[Long, String])] = {
+      def side(a: Expression, l: Expression, op: String)
+          : Option[(AttributeReference, String, Either[Long, String])] =
+        (a, l) match {
+          case (attr: AttributeReference, Literal(v, dt))
+              if v != null && dt == attr.dataType &&
+                filterProofTypes.contains(attr.dataType) &&
+                rel.output.exists(_.exprId == attr.exprId) =>
+            val lit: Either[Long, String] = v match {
+              case s: UTF8String => Right(s.toString)
+              case n: Number => Left(n.longValue())
+              case _ => return None
+            }
+            Some((attr, op, lit))
+          case _ => None
+        }
+      def flip(op: String): String = op match {
+        case ">=" => "<="; case "<=" => ">="; case ">" => "<"; case "<" => ">"
+        case other => other
+      }
+      e match {
+        case cmp @ BinaryComparison(l, r) =>
+          val op = cmp match {
+            case _: org.apache.spark.sql.catalyst.expressions.EqualTo => Some("=")
+            case _: org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual => Some(">=")
+            case _: org.apache.spark.sql.catalyst.expressions.GreaterThan => Some(">")
+            case _: org.apache.spark.sql.catalyst.expressions.LessThanOrEqual => Some("<=")
+            case _: org.apache.spark.sql.catalyst.expressions.LessThan => Some("<")
+            case _ => None
+          }
+          op.flatMap(o => side(l, r, o).orElse(side(r, l, flip(o))))
+        case _ => None
+      }
+    }
+    def notNullOf(e: Expression): Option[AttributeReference] = e match {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference)
+          if rel.output.exists(_.exprId == a.exprId) => Some(a)
+      case _ => None
+    }
+    // pre-resolve every conjunct's shape once; any unprovable shape
+    // refuses before a single file is consulted
+    sealed trait Conj
+    case class Comp(attr: AttributeReference, op: String, lit: Either[Long, String]) extends Conj
+    case class NotNull(attr: AttributeReference) extends Conj
+    val shapes: Seq[Conj] = conjuncts.map { c =>
+      compOf(c).map(t => Comp(t._1, t._2, t._3))
+        .orElse(notNullOf(c).map(NotNull))
+        .getOrElse(return None)
+    }
+    val schema = g.schema()
+    def statsOf(f: FileEntry, name: String)
+        : Option[graft.tables.SnapshotTable.ColStats] =
+      schema.fields.find(_.name.equalsIgnoreCase(name))
+        .flatMap(fl => f.stats.get(fl.name))
+    // per (file, conjunct): Some(true)=wholly in, Some(false)=wholly
+    // out, None=could straddle
+    def verdict(f: FileEntry, c: Conj): Option[Boolean] = c match {
+      case NotNull(a) =>
+        statsOf(f, a.name).flatMap(_.nullCount).flatMap { n =>
+          if (n == 0L) Some(true)
+          else if (f.rows >= 0 && n == f.rows) Some(false)
+          else None
+        }
+      case Comp(a, op, lit) =>
+        val cs = statsOf(f, a.name).getOrElse(return None)
+        // an all-NULL file fails every comparison wholly (3VL: null
+        // compares to null, filtered) — out, even with no bounds
+        if (f.rows >= 0 && cs.nullCount.contains(f.rows)) return Some(false)
+        // sign of (bound − lit) in the literal's domain; None when the
+        // bound doesn't parse there
+        def cmpB(bound: String): Option[Int] = lit match {
+          case Left(l) => bound.toLongOption.map(java.lang.Long.compare(_, l))
+          case Right(s) => Some(UTF8String.fromString(bound)
+            .compareTo(UTF8String.fromString(s)))
+        }
+        val bounds = for {
+          mnS <- cs.min; mxS <- cs.max
+          mn <- cmpB(mnS); mx <- cmpB(mxS)
+        } yield (mn, mx)
+        bounds.flatMap { case (mnC, mxC) =>
+          // string-equality all-in needs VERBATIM bounds (exact flag):
+          // truncated bounds are only conservative order bounds
+          val eqExactOk = lit.isLeft || cs.exact.contains(true)
+          val in = cs.nullCount.contains(0L) && (op match {
+            case ">=" => mnC >= 0
+            case ">" => mnC > 0
+            case "<=" => mxC <= 0
+            case "<" => mxC < 0
+            case "=" => mnC == 0 && mxC == 0 && eqExactOk
+          })
+          val out = op match {
+            case ">=" => mxC < 0
+            case ">" => mxC <= 0
+            case "<=" => mnC > 0
+            case "<" => mnC >= 0
+            case "=" => mnC > 0 || mxC < 0
+          }
+          if (in) Some(true) else if (out) Some(false) else None
+        }
+    }
+    val kept = Seq.newBuilder[FileEntry]
+    for (f <- files) {
+      val vs = shapes.map(verdict(f, _))
+      if (vs.contains(Some(false))) () // wholly out: excluded
+      else if (vs.forall(_.contains(true))) kept += f
+      else return None // could straddle: refuse the serve
+    }
+    Some(kept.result())
   }
 
   private def traverse(xs: Seq[Option[Any]]): Option[Seq[Any]] =

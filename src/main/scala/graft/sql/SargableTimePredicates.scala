@@ -288,5 +288,18 @@ object SargableTimePredicates extends Rule[LogicalPlan] {
       val ts = yearSide(t).get
       list.map(l => range(ts, "year", yearMicros(yearLit(l).get), "="))
         .reduceLeft[Expression](Or(_, _))
+    // null checks over the trunc-like family collapse onto the source
+    // column (a recognized trunc/cast/year/date_format of `ts` is null
+    // IFF `ts` is null — the format literal is known-valid, so no
+    // null-producing path remains). InferFiltersFromConstraints derives
+    // `IsNotNull(date_trunc(…))` from every rewritten comparison; in
+    // that form the guard defeats stats pruning and the filtered
+    // metadata serve, in this form both consume it.
+    case inn @ IsNotNull(e) =>
+      truncSide(e).map(_._1).orElse(yearSide(e)).orElse(dateFormatSide(e))
+        .map(IsNotNull).getOrElse(inn)
+    case isn @ IsNull(e) =>
+      truncSide(e).map(_._1).orElse(yearSide(e)).orElse(dateFormatSide(e))
+        .map(IsNull).getOrElse(isn)
   }
 }

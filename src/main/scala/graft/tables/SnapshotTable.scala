@@ -3728,10 +3728,12 @@ object SnapshotTable {
    *  only — never consulted by commit logic): wall-clock nanos summed
    *  per phase across every commit on every thread while enabled. The
    *  phases partition a writer's commit path into its externally
-   *  meaningful costs — `write_job` (the Spark action computing +
-   *  writing the data files, rewrite join included), `harvest` (footer
-   *  stats readback), `cas` (commit-slot publish, lock wait included),
-   *  `index` (merge's touched-file discovery job) — so a throughput
+   *  meaningful costs — `source_stage` (merge's one-time source
+   *  materialization), `discovery` (key-bounds agg + manifest probe),
+   *  `index` (merge's touched-file discovery join), `write_job` (the
+   *  Spark action computing + writing the data files, rewrite join
+   *  included), `harvest` (footer stats readback), `cas` (commit-slot
+   *  publish, lock wait included) — so a throughput
    *  swing in a concurrency benchmark (the r14 `multi_writer` 2.9×
    *  question) adjudicates from the artifact itself instead of by
    *  plausibility. Disabled (the default) the seam is two branch

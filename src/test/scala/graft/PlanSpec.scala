@@ -1485,9 +1485,13 @@ class PlanSpec extends SparkSpec {
         to_timestamp(concat(lit("2024-01-"), (col("id") % 10 + 10).cast("string"),
           lit(" 12:00:00"))).as("ts"))
       .writeTo("graft.db.sgt").append()
+    // every probe carries a sum(id): a bare count/min/max over a
+    // whole-file-provable filter now serves METADATA-ONLY (the r15
+    // filtered serve), and these pins are about the FILTER REWRITE in
+    // the scan plan — the unanswerable sum keeps the scan alive
     // the idiomatic day filter: must push as a ts range and prune to the
     // one day file (stats pruning serves the rewritten range)
-    val q = "SELECT count(*) AS n FROM graft.db.sgt " +
+    val q = "SELECT count(*) AS n, sum(id) AS s FROM graft.db.sgt " +
       "WHERE date_trunc('DAY', ts) = TIMESTAMP'2024-01-12 00:00:00'"
     val df = spark.sql(q)
     val plan = executedPlanString(df)
@@ -1496,43 +1500,43 @@ class PlanSpec extends SparkSpec {
       s"date_trunc equality did not rewrite to a pushed ts range:\n$plan")
     assert(df.head().getLong(0) === 90L)
     // the date-cast spelling
-    val dfC = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+    val dfC = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.db.sgt " +
       "WHERE CAST(ts AS DATE) = DATE'2024-01-13'")
     assert(executedPlanString(dfC).contains(">= 2024-01-13 00:00:00"))
     assert(dfC.head().getLong(0) === 90L)
     // inequalities: trunc(ts) >= an UNALIGNED literal must ceil to the
     // next boundary (days 14.. → 6 days of rows)
-    val dfG = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+    val dfG = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.db.sgt " +
       "WHERE date_trunc('DAY', ts) >= TIMESTAMP'2024-01-13 07:00:00'")
     assert(dfG.head().getLong(0) === 6 * 90L)
     // unaligned equality is an empty range — false, never a wrong row
-    val dfU = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+    val dfU = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.db.sgt " +
       "WHERE date_trunc('DAY', ts) = TIMESTAMP'2024-01-12 10:30:00'")
     assert(dfU.head().getLong(0) === 0L)
     // IN-list of day starts
-    val dfI = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+    val dfI = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.db.sgt " +
       "WHERE date_trunc('DAY', ts) IN (TIMESTAMP'2024-01-10 00:00:00', " +
       "TIMESTAMP'2024-01-19 00:00:00')")
     assert(dfI.head().getLong(0) === 180L)
     // year(ts): the one contiguous extract — rewrites to the year range
-    val dfY = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+    val dfY = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.db.sgt " +
       "WHERE year(ts) = 2024")
     assert(executedPlanString(dfY).contains(">= 2024-01-01 00:00:00"),
       s"year() equality did not rewrite:\n${executedPlanString(dfY)}")
     assert(dfY.head().getLong(0) === 900L)
-    assert(spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+    assert(spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.db.sgt " +
       "WHERE year(ts) < 2024").head().getLong(0) === 0L)
     // year(ts) IN (…) — each member its own year range (r14 verdict #4)
-    val dfYI = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+    val dfYI = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.db.sgt " +
       "WHERE year(ts) IN (2023, 2024)")
     assert(executedPlanString(dfYI).contains(">= 2023-01-01 00:00:00"),
       s"year() IN did not rewrite:\n${executedPlanString(dfYI)}")
     assert(dfYI.head().getLong(0) === 900L)
-    assert(spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+    assert(spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.db.sgt " +
       "WHERE year(ts) IN (2022, 2023)").head().getLong(0) === 0L)
     // to_date(ts) = DATE'…': RuntimeReplaceable lands it as the date
     // cast by optimizer time, so the existing cast case serves it — pin
-    val dfTD = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+    val dfTD = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.db.sgt " +
       "WHERE to_date(ts) = DATE'2024-01-13'")
     assert(executedPlanString(dfTD).contains(">= 2024-01-13 00:00:00"),
       s"to_date equality did not reach the cast rewrite:\n${executedPlanString(dfTD)}")
@@ -1548,7 +1552,7 @@ class PlanSpec extends SparkSpec {
       .head().getString(0)
     assert(!bce.matches("^\\d{4}-\\d{2}-\\d{2}$"),
       s"BCE year formats signless ('$bce') — the date_format rewrite is unsound")
-    val dfF = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+    val dfF = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.db.sgt " +
       "WHERE date_format(ts, 'yyyy-MM-dd') = '2024-01-12'")
     assert(executedPlanString(dfF).contains(">= 2024-01-12 00:00:00"),
       s"date_format equality did not rewrite:\n${executedPlanString(dfF)}")
@@ -1556,13 +1560,13 @@ class PlanSpec extends SparkSpec {
     // non-canonical literal: the formatter can never produce it for
     // 4-digit years, but the predicate stays UNREWRITTEN (sound either
     // way; rewriting to an empty range would need the BCE-free proof)
-    val dfNC = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+    val dfNC = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.db.sgt " +
       "WHERE date_format(ts, 'yyyy-MM-dd') = '2024-1-12'")
     assert(executedPlanString(dfNC).contains("date_format"),
       "non-canonical date string rewrote")
     assert(dfNC.head().getLong(0) === 0L)
     // a >= on the string spelling must NOT rewrite (not chronological)
-    assert(executedPlanString(spark.sql("SELECT count(*) FROM graft.db.sgt " +
+    assert(executedPlanString(spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.db.sgt " +
       "WHERE date_format(ts, 'yyyy-MM-dd') >= '2024-01-12'")).contains("date_format"),
       "string-order comparison rewrote to a ts range")
     // zone NORMALIZATION: Etc/UTC is semantically UTC — the rewrite must
@@ -1590,7 +1594,7 @@ class PlanSpec extends SparkSpec {
     val prevTz = spark.conf.get(tzKey)
     spark.conf.set(tzKey, "America/New_York")
     try {
-      val dfN = spark.sql("SELECT count(*) AS n FROM graft.db.sgt " +
+      val dfN = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM graft.db.sgt " +
         "WHERE date_trunc('DAY', ts) = TIMESTAMP'2024-01-12 00:00:00'")
       assert(executedPlanString(dfN).contains("date_trunc"),
         "zone-dependent trunc filter rewrote against the UTC calendar")
@@ -1657,6 +1661,18 @@ class PlanSpec extends SparkSpec {
       ("S1", ms("2024-02-01T00:00:00Z"), 150L), ("S1", ms("2024-03-01T00:00:00Z"), 150L)))
     // cross-check one group's bounds against the scan
     assert(rows.head._4 === 0L && rows.head._5 === 1788L) // S0=even ids, Jan = id%3==0
+    // the per-partition report: a STRING equality filter on the
+    // single-valued identity column proves all-in/all-out per file
+    // (writer-exact bounds), composing with the trunc group-by
+    val dfW = spark.sql("SELECT date_trunc('MONTH', ts) AS m, count(*) AS n, " +
+      "min(v) AS lo FROM graft.db.txmx WHERE st = 'S1' " +
+      "GROUP BY date_trunc('MONTH', ts) ORDER BY m")
+    assert(executedPlanString(dfW).contains("LocalTableScan"),
+      s"string-filtered trunc group-by did not serve:\n${executedPlanString(dfW)}")
+    // S1 = odd ids; per month the smallest odd id with id%3 == m-1 is
+    // 3 (Jan), 1 (Feb), 5 (Mar); v = 2*id
+    assert(dfW.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((150L, 6L), (150L, 2L), (150L, 10L)))
     // identity-ONLY group keys stay with the DSv2 aggregate pushdown
     // (partially pushed, GraftMetadataAgg scan) — this rule must NOT
     // intercept a shape that is already right
@@ -1674,6 +1690,72 @@ class PlanSpec extends SparkSpec {
       "multi-valued identity key served from single-value proofs")
     assert(dfR.collect().map(_.getLong(2)).sum === 900L)
     spark.sql("DROP TABLE graft.db.txmx")
+  }
+
+  test("filtered metadata serve: all-in/all-out file proof, straddle refusal") {
+    // the canonical time-bounded report: WHERE ts-range GROUP BY
+    // date_trunc — served when every file provably passes or fails the
+    // filter WHOLE; one possibly-straddling file refuses everything
+    spark.sql("DROP TABLE IF EXISTS graft.db.txfr")
+    spark.sql("CREATE TABLE graft.db.txfr (ent BIGINT, ts TIMESTAMP, v BIGINT) " +
+      "USING graft PARTITIONED BY (days(ts))")
+    spark.range(0, 900)
+      .select(col("id").as("ent"),
+        to_timestamp(concat(lit("2024-01-"), (col("id") % 9 + 10).cast("string"),
+          when(col("id") % 2 === 0, lit(" 06:00:00"))
+            .otherwise(lit(" 18:00:00")))).as("ts"),
+        (col("id") * 3).as("v"))
+      .writeTo("graft.db.txfr").append()
+    // day files 10..18 (50 rows at 06:00 + 50 at 18:00 each); the
+    // [12, 15) window keeps exactly 3 whole files
+    val q = "SELECT date_trunc('DAY', ts) AS d, count(*) AS n " +
+      "FROM graft.db.txfr " +
+      "WHERE date_trunc('DAY', ts) >= TIMESTAMP'2024-01-12 00:00:00' " +
+      "AND date_trunc('DAY', ts) < TIMESTAMP'2024-01-15 00:00:00' " +
+      "GROUP BY date_trunc('DAY', ts) ORDER BY d"
+    val df = spark.sql(q)
+    val plan = executedPlanString(df)
+    assert(plan.contains("LocalTableScan"),
+      s"whole-file-provable filtered group-by did not serve:\n$plan")
+    assert(!plan.contains("ParquetScan") && !plan.contains("Scan parquet"),
+      s"data files read:\n$plan")
+    assert(df.collect().map(_.getLong(1)).toSeq === Seq(100L, 100L, 100L))
+    // groupless too: filtered count(*)/min/max folds the accepted files
+    val dfC = spark.sql("SELECT count(*) AS n, min(v) AS lo, max(v) AS hi " +
+      "FROM graft.db.txfr WHERE ts >= TIMESTAMP'2024-01-12 00:00:00' " +
+      "AND ts < TIMESTAMP'2024-01-15 00:00:00'")
+    assert(executedPlanString(dfC).contains("LocalTableScan"),
+      s"filtered groupless agg did not serve:\n${executedPlanString(dfC)}")
+    val r = dfC.head()
+    assert(r.getLong(0) === 300L)
+    // a MID-FILE bound makes the boundary file straddle (06:00 < bound
+    // < 18:00) → refusal, ordinary scan, identical rows
+    val dfS = spark.sql("SELECT count(*) AS n FROM graft.db.txfr " +
+      "WHERE ts >= TIMESTAMP'2024-01-12 13:00:00'")
+    assert(!executedPlanString(dfS).contains("LocalTableScan"),
+      "straddling boundary file served from whole-file stats")
+    assert(dfS.head().getLong(0) === 650L) // day 12's 18:00 half + days 13..18
+    // a filter on a NON-clustered column with interleaved values
+    // straddles every file → refusal, correct rows
+    val dfV = spark.sql("SELECT count(*) AS n FROM graft.db.txfr WHERE v >= 1350")
+    assert(!executedPlanString(dfV).contains("LocalTableScan"))
+    assert(dfV.head().getLong(0) === 450L)
+    // empty window: zero accepted files is a VALID proof — zero groups
+    val dfE = spark.sql("SELECT date_trunc('DAY', ts) AS d, count(*) AS n " +
+      "FROM graft.db.txfr WHERE ts >= TIMESTAMP'2025-06-01 00:00:00' " +
+      "GROUP BY date_trunc('DAY', ts)")
+    assert(executedPlanString(dfE).contains("LocalTableScan"))
+    assert(dfE.collect().isEmpty)
+    spark.sql("DROP TABLE graft.db.txfr")
+  }
+
+  test("q140's executed plan serves the filtered group-by from the manifest") {
+    val df = SparkEntry.queries("q140_meta_filtered_groupby")(spark, dir)
+    val plan = executedPlanString(df)
+    assert(plan.contains("LocalTableScan"),
+      s"q140 read data files for a whole-file-provable filtered group-by:\n$plan")
+    assert(!plan.contains("ParquetScan") && !plan.contains("Scan parquet"),
+      s"data files in q140's plan:\n$plan")
   }
 
   test("q139's executed plan collapses the mixed group-by to the manifest") {

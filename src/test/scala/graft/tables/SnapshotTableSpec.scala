@@ -1619,7 +1619,8 @@ class SnapshotTableSpec extends SparkSpec {
       // the upsert's commit path decomposes into exactly these seams —
       // each must record non-zero wall so the multi_writer bench's
       // phase_coverage is attribution, not an empty map summing to zero
-      for (p <- Seq("index", "write_job", "harvest", "cas"))
+      for (p <- Seq("source_stage", "discovery", "index", "write_job",
+          "harvest", "cas"))
         assert(phases.get(p).exists(_ > 0), s"phase $p missing from $phases")
     } finally SnapshotTable.commitPhases.disable()
     // disabled (the default): further commits record nothing
