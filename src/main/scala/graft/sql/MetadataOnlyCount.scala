@@ -334,89 +334,120 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     ByteType, ShortType, IntegerType, LongType,
     DateType, TimestampType, TimestampNTZType, StringType)
 
+  /** Pre-parsed proof tree of one filter condition: comparison /
+   *  null-check / IN leaves over relation attributes, composed by
+   *  And/Or. [[PUnknown]] marks an unprovable sub-shape — it can never
+   *  decide a file by itself, but an Or whose OTHER branch proves
+   *  all-in still decides (sound: all-in of one disjunct implies all-in
+   *  of the Or). */
+  private sealed trait PTree
+  private case class PAnd(l: PTree, r: PTree) extends PTree
+  private case class POr(l: PTree, r: PTree) extends PTree
+  private case class PComp(attr: AttributeReference, op: String,
+      lit: Either[Long, String]) extends PTree
+  private case class PIn(attr: AttributeReference,
+      lits: Seq[Either[Long, String]]) extends PTree
+  private case class PNotNull(attr: AttributeReference) extends PTree
+  private case object PUnknown extends PTree
+
   /** The subset of `files` a filtered aggregate may fold, or None to
    *  keep the scan. Serves the canonical time-bounded report —
-   *  `WHERE ts >= A AND ts < B GROUP BY date_trunc('DAY', ts)` — from
-   *  the manifest alone: every live file must prove it passes the
-   *  filter WHOLLY (all conjuncts hold for every row: zero nulls and
-   *  bounds inside the range) or fails it WHOLLY (some conjunct holds
-   *  for no row — null rows fail every comparison, so an all-NULL file
-   *  is wholly out). One file that could straddle refuses the whole
-   *  serve; the idiomatic `date_trunc`-spelled ranges arrive here
-   *  already rewritten to raw-column ranges by [[SargableTimePredicates]]
-   *  (same optimizer batch, fixed-point). */
+   *  `WHERE ts >= A AND ts < B GROUP BY date_trunc('DAY', ts)` — and
+   *  its IN/OR variants (`date_trunc IN (d1, d2)` arrives as the
+   *  sargable rewrite's Or-of-ranges; `state IN ('CA','NY')` as an In
+   *  leaf) from the manifest alone: every live file must prove it
+   *  passes the filter WHOLLY (every row satisfies it: zero nulls and
+   *  bounds deciding every needed branch) or fails it WHOLLY (no row
+   *  can satisfy it — null rows fail every comparison, so an all-NULL
+   *  file is wholly out). One file that could straddle refuses the
+   *  whole serve. */
   private def filterFiles(
       conjuncts: Seq[Expression],
       rel: DataSourceV2Relation,
       g: GraftTable,
       files: Seq[FileEntry]): Option[Seq[FileEntry]] = {
     if (conjuncts.isEmpty) return Some(files)
-    // (attr, op, literal in its stats domain) of one provable conjunct;
-    // ops are the five comparisons, IsNotNull is handled separately
-    def compOf(e: Expression): Option[(AttributeReference, String, Either[Long, String])] = {
-      def side(a: Expression, l: Expression, op: String)
-          : Option[(AttributeReference, String, Either[Long, String])] =
-        (a, l) match {
-          case (attr: AttributeReference, Literal(v, dt))
-              if v != null && dt == attr.dataType &&
-                filterProofTypes.contains(attr.dataType) &&
-                rel.output.exists(_.exprId == attr.exprId) =>
-            val lit: Either[Long, String] = v match {
-              case s: UTF8String => Right(s.toString)
-              case n: Number => Left(n.longValue())
-              case _ => return None
-            }
-            Some((attr, op, lit))
-          case _ => None
-        }
-      def flip(op: String): String = op match {
-        case ">=" => "<="; case "<=" => ">="; case ">" => "<"; case "<" => ">"
-        case other => other
-      }
-      e match {
-        case cmp @ BinaryComparison(l, r) =>
-          val op = cmp match {
-            case _: org.apache.spark.sql.catalyst.expressions.EqualTo => Some("=")
-            case _: org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual => Some(">=")
-            case _: org.apache.spark.sql.catalyst.expressions.GreaterThan => Some(">")
-            case _: org.apache.spark.sql.catalyst.expressions.LessThanOrEqual => Some("<=")
-            case _: org.apache.spark.sql.catalyst.expressions.LessThan => Some("<")
-            case _ => None
-          }
-          op.flatMap(o => side(l, r, o).orElse(side(r, l, flip(o))))
-        case _ => None
-      }
-    }
-    def notNullOf(e: Expression): Option[AttributeReference] = e match {
-      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference)
-          if rel.output.exists(_.exprId == a.exprId) => Some(a)
+    def litOf(v: Any): Option[Either[Long, String]] = v match {
+      case s: UTF8String => Some(Right(s.toString))
+      case n: Number => Some(Left(n.longValue()))
       case _ => None
     }
-    // pre-resolve every conjunct's shape once; any unprovable shape
-    // refuses before a single file is consulted
-    sealed trait Conj
-    case class Comp(attr: AttributeReference, op: String, lit: Either[Long, String]) extends Conj
-    case class NotNull(attr: AttributeReference) extends Conj
-    val shapes: Seq[Conj] = conjuncts.map { c =>
-      compOf(c).map(t => Comp(t._1, t._2, t._3))
-        .orElse(notNullOf(c).map(NotNull))
-        .getOrElse(return None)
+    def attrOk(a: AttributeReference): Boolean =
+      filterProofTypes.contains(a.dataType) &&
+        rel.output.exists(_.exprId == a.exprId)
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo, GreaterThan, GreaterThanOrEqual, In => CIn, IsNotNull => CIsNotNull, LessThan, LessThanOrEqual, Or => COr}
+    def flip(op: String): String = op match {
+      case ">=" => "<="; case "<=" => ">="; case ">" => "<"; case "<" => ">"
+      case other => other
     }
+    def shape(e: Expression): PTree = e match {
+      case CAnd(l, r) => PAnd(shape(l), shape(r))
+      case COr(l, r) => POr(shape(l), shape(r))
+      case CIsNotNull(a: AttributeReference) if attrOk(a) => PNotNull(a)
+      case CIn(a: AttributeReference, list) if attrOk(a) &&
+          list.forall { case Literal(_, dt) => dt == a.dataType; case _ => false } =>
+        // NULL members match no row (x IN (null, v) is null-or-match):
+        // dropping them is exact for both proof directions
+        val ls = list.collect { case Literal(v, _) if v != null => litOf(v) }
+        if (ls.exists(_.isEmpty)) PUnknown else PIn(a, ls.flatten)
+      case cmp @ BinaryComparison(l, r) =>
+        val op = cmp match {
+          case _: EqualTo => Some("=")
+          case _: GreaterThanOrEqual => Some(">=")
+          case _: GreaterThan => Some(">")
+          case _: LessThanOrEqual => Some("<=")
+          case _: LessThan => Some("<")
+          case _ => None
+        }
+        def side(a: Expression, lit: Expression, o: String): Option[PTree] =
+          (a, lit) match {
+            case (attr: AttributeReference, Literal(v, dt))
+                if v != null && dt == attr.dataType && attrOk(attr) =>
+              litOf(v).map(PComp(attr, o, _))
+            case _ => None
+          }
+        op.flatMap(o => side(l, r, o).orElse(side(r, l, flip(o))))
+          .getOrElse(PUnknown)
+      case _ => PUnknown
+    }
+    val trees = conjuncts.map(shape)
+    // a top-level conjunct that is ENTIRELY unknown can never prove in,
+    // so no file could be wholly in — refuse before touching the files
+    if (trees.contains(PUnknown)) return None
     val schema = g.schema()
     def statsOf(f: FileEntry, name: String)
         : Option[graft.tables.SnapshotTable.ColStats] =
       schema.fields.find(_.name.equalsIgnoreCase(name))
         .flatMap(fl => f.stats.get(fl.name))
-    // per (file, conjunct): Some(true)=wholly in, Some(false)=wholly
-    // out, None=could straddle
-    def verdict(f: FileEntry, c: Conj): Option[Boolean] = c match {
-      case NotNull(a) =>
+    // tri-state per (file, tree): Some(true)=every row satisfies,
+    // Some(false)=no row satisfies, None=undecided
+    def verdict(f: FileEntry, t: PTree): Option[Boolean] = t match {
+      case PUnknown => None
+      case PAnd(l, r) => (verdict(f, l), verdict(f, r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case POr(l, r) => (verdict(f, l), verdict(f, r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case PNotNull(a) =>
         statsOf(f, a.name).flatMap(_.nullCount).flatMap { n =>
           if (n == 0L) Some(true)
           else if (f.rows >= 0 && n == f.rows) Some(false)
           else None
         }
-      case Comp(a, op, lit) =>
+      case PIn(a, lits) =>
+        if (lits.isEmpty) Some(false) // only-NULL members: no row matches
+        else {
+          val per = lits.map(l => verdict(f, PComp(a, "=", l)))
+          if (per.exists(_.contains(true))) Some(true)
+          else if (per.forall(_.contains(false))) Some(false)
+          else None
+        }
+      case PComp(a, op, lit) =>
         val cs = statsOf(f, a.name).getOrElse(return None)
         // an all-NULL file fails every comparison wholly (3VL: null
         // compares to null, filtered) — out, even with no bounds
@@ -455,7 +486,7 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     }
     val kept = Seq.newBuilder[FileEntry]
     for (f <- files) {
-      val vs = shapes.map(verdict(f, _))
+      val vs = trees.map(verdict(f, _))
       if (vs.contains(Some(false))) () // wholly out: excluded
       else if (vs.forall(_.contains(true))) kept += f
       else return None // could straddle: refuse the serve

@@ -1673,6 +1673,14 @@ class PlanSpec extends SparkSpec {
     // 3 (Jan), 1 (Feb), 5 (Mar); v = 2*id
     assert(dfW.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ===
       Seq((150L, 6L), (150L, 2L), (150L, 10L)))
+    // string IN over the single-valued identity column: per-file
+    // membership decides through exact bounds (S1 files in via the S1
+    // member, S0 files out of every member)
+    val dfSin = spark.sql("SELECT count(*) AS n FROM graft.db.txmx " +
+      "WHERE st IN ('S1', 'ZZ')")
+    assert(executedPlanString(dfSin).contains("LocalTableScan"),
+      s"string IN filter did not serve:\n${executedPlanString(dfSin)}")
+    assert(dfSin.head().getLong(0) === 450L)
     // identity-ONLY group keys stay with the DSv2 aggregate pushdown
     // (partially pushed, GraftMetadataAgg scan) — this rule must NOT
     // intercept a shape that is already right
@@ -1746,6 +1754,14 @@ class PlanSpec extends SparkSpec {
       "GROUP BY date_trunc('DAY', ts)")
     assert(executedPlanString(dfE).contains("LocalTableScan"))
     assert(dfE.collect().isEmpty)
+    // IN over date_trunc: the sargable rewrite emits an Or of day
+    // ranges; the proof tree decides each file through the Or
+    val dfIn = spark.sql("SELECT count(*) AS n FROM graft.db.txfr " +
+      "WHERE date_trunc('DAY', ts) IN (TIMESTAMP'2024-01-10 00:00:00', " +
+      "TIMESTAMP'2024-01-17 00:00:00')")
+    assert(executedPlanString(dfIn).contains("LocalTableScan"),
+      s"trunc IN-list did not serve:\n${executedPlanString(dfIn)}")
+    assert(dfIn.head().getLong(0) === 200L)
     spark.sql("DROP TABLE graft.db.txfr")
   }
 
