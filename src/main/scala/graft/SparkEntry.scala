@@ -2890,11 +2890,14 @@ object SparkEntry {
     txmBuilt.getOrElseUpdate(dir, {
       s.sql("DROP TABLE IF EXISTS graft.bench.txm_events")
       s.sql("CREATE TABLE graft.bench.txm_events " +
-        "(event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP) " +
-        "USING graft " +
+        "(event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP, " +
+        "props STRING, note STRING) USING graft " +
         "PARTITIONED BY (bucket(8, user_id), event_type, months(ts))")
       s.table("events")
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          col("props"),
+          // a NULLABLE payload so count(note) exercises rows − nullCount
+          when(col("value") > 15.0, col("props")).as("note"))
         .writeTo("graft.bench.txm_events").append()
       true
     })
@@ -2919,6 +2922,35 @@ object SparkEntry {
       |       CAST(count(*) AS BIGINT) AS n_rows,
       |       CAST(min(user_id) AS BIGINT) AS min_user,
       |       CAST(max(user_id) AS BIGINT) AS max_user
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Q141 — the FULL reporting mix, metadata-only (round 15): mixed
+   *  identity + date_trunc group keys with `count(*)`, NULL-aware
+   *  `count(note)` (= Σ rows − nullCount per group, the DSv2 layer's
+   *  rule now served by the Catalyst collapse too), and STRING
+   *  min/max over writer-exact bounds (q134's rule extended to the
+   *  grouped/filtered Catalyst serves — unflagged string bounds may be
+   *  truncated and refuse). ZERO data files read; oracle replays the
+   *  whole mix, deriving `note` from the plain events table. */
+  private def metaMixAggQuery(s: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(s)
+    registerViews(s, dir)
+    ensureTxmEvents(s, dir)
+    s.sql(
+      """SELECT event_type, CAST(date_trunc('MONTH', ts) AS STRING) AS m,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(note) AS BIGINT) AS n_notes,
+        |  min(props) AS min_props, max(props) AS max_props
+        |FROM graft.bench.txm_events
+        |GROUP BY event_type, date_trunc('MONTH', ts)
+        |ORDER BY event_type, m""".stripMargin)
+  }
+  private val Q141Duck =
+    """SELECT event_type,
+      |       CAST(CAST(date_trunc('month', ts) AS TIMESTAMP) AS VARCHAR) AS m,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(CASE WHEN value > 15.0 THEN props END) AS BIGINT) AS n_notes,
+      |       min(props) AS min_props, max(props) AS max_props
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Q140 — the TIME-BOUNDED daily report, metadata-only (round 15):
@@ -4838,7 +4870,8 @@ object SparkEntry {
     "q137_meta_trunc_groupby" -> metaTruncGroupByQuery,
     "q138_trunc_filter" -> truncFilterQuery,
     "q139_meta_mixed_groupby" -> metaMixedGroupByQuery,
-    "q140_meta_filtered_groupby" -> metaFilteredGroupByQuery)
+    "q140_meta_filtered_groupby" -> metaFilteredGroupByQuery,
+    "q141_meta_mix_agg" -> metaMixAggQuery)
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -5033,7 +5066,8 @@ object SparkEntry {
     "q137_meta_trunc_groupby" -> Q137Duck,
     "q138_trunc_filter" -> Q138Duck,
     "q139_meta_mixed_groupby" -> Q139Duck,
-    "q140_meta_filtered_groupby" -> Q140Duck)
+    "q140_meta_filtered_groupby" -> Q140Duck,
+    "q141_meta_mix_agg" -> Q141Duck)
   // q26/q28/q29 emit structural ground-truth columns (planted-copy
   // recall, decomposition invariance, collide-exactly-on-text-equality,
   // re-rank exactness) rather than raw 64-bit hashes — the q49 technique

@@ -29,11 +29,13 @@ import graft.tables.SnapshotTable.FileEntry
  *  - min/max: the column is the RELATION's own attribute (matched by
  *    exprId — a projected alias shadowing a column name must not hit the
  *    stats of the column it shadows), of an exactly-representable stats
- *    type (integral/float/double/date/timestamp — strings are excluded:
- *    footer bounds are code-point ordered and may be truncated), and
+ *    type (integral/float/double/date/timestamp, plus strings whose
+ *    every bound carries the writer-exact flag — unflagged string
+ *    bounds may be truncated and must not answer), and
  *    every live file carries harvested bounds for it or is provably
  *    all-NULL (`nullCount == rows`; NaN-bearing float chunks get no
- *    footer bounds at all, so they fail this gate rather than mis-answer).
+ *    footer bounds at all, so they fail this gate rather than mis-answer);
+ *  - count(col): every live file knows rows and the column's nullCount.
  *
  * Runs in the operator-optimization batch, BEFORE V2ScanRelationPushDown
  * turns the relation into a scan. Shapes this rule refuses (e.g. a mix
@@ -520,6 +522,18 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
             case _ => false
           } =>
         if (files.forall(_.rows >= 0)) Some(files.map(_.rows).sum) else None
+      // count(col) = Σ (rows − nullCount) — the DSv2 layer's rule,
+      // served here too so FILTERED and trunc-GROUPED shapes get it
+      case Count(Seq(a: AttributeReference))
+          if rel.output.exists(_.exprId == a.exprId) =>
+        val perFile = files.map { f =>
+          if (f.rows < 0) None
+          else f.stats.get(a.name).orElse {
+            val m = f.stats.keys.filter(_.equalsIgnoreCase(a.name)).toSeq
+            if (m.size == 1) f.stats.get(m.head) else None
+          }.flatMap(_.nullCount).map(n => f.rows - n)
+        }
+        if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
       case Min(a: AttributeReference) => bound(a, rel, files, takeMin = true)
       case Max(a: AttributeReference) => bound(a, rel, files, takeMin = false)
       case _ => None
@@ -536,7 +550,8 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       files: Seq[FileEntry],
       takeMin: Boolean): Option[Any] = {
     if (!rel.output.exists(_.exprId == a.exprId)) return None
-    if (!exactTypes.contains(a.dataType)) return None
+    val isString = a.dataType == StringType
+    if (!exactTypes.contains(a.dataType) && !isString) return None
     val perFile = files.map { f =>
       f.stats.get(a.name).orElse {
         val matches = f.stats.keys.filter(_.equalsIgnoreCase(a.name))
@@ -547,6 +562,11 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     val bounds = perFile.flatten.flatMap { case (cs, rows) =>
       val b = if (takeMin) cs.min else cs.max
       b match {
+        // string bounds serve ONLY writer-exact (verbatim) values:
+        // parquet footer string bounds may be truncated/incremented,
+        // and min/max must return a value some row actually holds
+        // (q134's rule, here for the Catalyst grouped/filtered serves)
+        case Some(_) if isString && !cs.exact.contains(true) => Some(None)
         case Some(s) => Some(Some(s))
         // boundless entry: provably all-NULL (ignored by min/max) or
         // unusable stats (unsupported physical type, e.g. INT96 from a
@@ -558,7 +578,10 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     if (bounds.exists(_.isEmpty)) return None // some file's bound is unknown
     val parsed = bounds.flatten.map(parse(_, a.dataType))
     if (parsed.isEmpty) Some(null) // empty table or all rows NULL
-    else Some(parsed.reduce((x, y) => pick(x, y, a.dataType, takeMin)))
+    else {
+      val r = parsed.reduce((x, y) => pick(x, y, a.dataType, takeMin))
+      Some(if (isString) UTF8String.fromString(r.asInstanceOf[String]) else r)
+    }
   }
 
   /** Stats strings are written in the column's natural domain
@@ -572,6 +595,7 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     case LongType | TimestampType | TimestampNTZType => s.toLong
     case FloatType => s.toDouble.toFloat
     case DoubleType => s.toDouble
+    case StringType => s
     case other => throw new IllegalStateException(s"unreachable: $other")
   }
 
@@ -581,6 +605,9 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
         java.lang.Float.compare(x.asInstanceOf[Float], y.asInstanceOf[Float])
       case DoubleType =>
         java.lang.Double.compare(x.asInstanceOf[Double], y.asInstanceOf[Double])
+      // UTF8String binary order — exactly Spark's string comparison
+      case StringType => UTF8String.fromString(x.asInstanceOf[String])
+        .compareTo(UTF8String.fromString(y.asInstanceOf[String]))
       case _ => java.lang.Long.compare(
         x.asInstanceOf[Number].longValue(), y.asInstanceOf[Number].longValue())
     }

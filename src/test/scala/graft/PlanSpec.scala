@@ -1228,6 +1228,14 @@ class PlanSpec extends SparkSpec {
       (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
     assert(got === Seq(("aa", 300L, "F", "F"), ("bb", 300L, "O", "O"),
       ("cc", 300L, "P", "P")))
+    // r15: GLOBAL string min/max collapses via the Catalyst rule under
+    // the same writer-exact gate
+    val gq = "SELECT min(st) AS mn, max(st) AS mx FROM graft.db.msg"
+    val dg = spark.sql(gq)
+    assert(executedPlanString(dg).contains("LocalTableScan"),
+      s"exact-flagged global string bounds did not collapse:\n${executedPlanString(dg)}")
+    assert(dg.collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("F", "P")))
     // pre-flag/adopted log: refuse the manifest serve, identical rows
     stripExactFlags(root)
     val df2 = spark.sql(q)
@@ -1235,6 +1243,11 @@ class PlanSpec extends SparkSpec {
       "unflagged string bounds still served the metadata aggregate")
     assert(df2.collect().map(r =>
       (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq === got)
+    val dg2 = spark.sql(gq)
+    assert(!executedPlanString(dg2).contains("LocalTableScan"),
+      "unflagged string bounds still collapsed the global min/max")
+    assert(dg2.collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("F", "P")))
     spark.sql("DROP TABLE graft.db.msg")
   }
 
@@ -1772,6 +1785,15 @@ class PlanSpec extends SparkSpec {
       s"q140 read data files for a whole-file-provable filtered group-by:\n$plan")
     assert(!plan.contains("ParquetScan") && !plan.contains("Scan parquet"),
       s"data files in q140's plan:\n$plan")
+  }
+
+  test("q141's executed plan serves count(col) + string bounds from the manifest") {
+    val df = SparkEntry.queries("q141_meta_mix_agg")(spark, dir)
+    val plan = executedPlanString(df)
+    assert(plan.contains("LocalTableScan"),
+      s"q141 read data files for a manifest-answerable reporting mix:\n$plan")
+    assert(!plan.contains("ParquetScan") && !plan.contains("Scan parquet"),
+      s"data files in q141's plan:\n$plan")
   }
 
   test("q139's executed plan collapses the mixed group-by to the manifest") {

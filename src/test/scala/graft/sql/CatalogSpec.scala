@@ -384,12 +384,12 @@ class CatalogSpec extends SparkSpec {
     assert(filtered.as[Long].head() === 10L)
     assert(!hasLocalRelation(filtered))
 
-    // count(col) is beyond the optimizer rule (NULL semantics) but the
-    // DSv2 layer answers it from nullCount — metadata scan, no file read
+    // count(col) = Σ (rows − nullCount): the optimizer rule serves it
+    // too since r15 (collapses to a LocalRelation before the DSv2
+    // layer, which still serves catalog-only deployments)
     val colCount = spark.sql("SELECT count(v) AS n FROM graft.db.cnt")
     assert(colCount.as[Long].head() === 1235L)
-    assert(!hasLocalRelation(colCount))
-    assert(executedPlanString(colCount).contains("GraftMetadataAgg"))
+    assert(hasLocalRelation(colCount))
 
     // the rule honors a pinned time-travel snapshot
     val v0 = spark.sql("SELECT count(*) AS n FROM graft.db.cnt VERSION AS OF 1")
@@ -401,11 +401,13 @@ class CatalogSpec extends SparkSpec {
     assert(mm.as[(Int, Int, Long)].head() === ((1, 1235, 1235L)))
     assert(hasLocalRelation(mm), "min/max must come from the manifest")
 
-    // min/max over strings is NOT stats-answerable (code-point order,
-    // truncation) — scan kept, answer still right
+    // min/max over strings serves when EVERY file's bounds carry the
+    // writer-exact flag (r15 — q134's rule in the Catalyst collapse);
+    // unflagged (possibly truncated) bounds still refuse, pinned by the
+    // flag-stripping specs
     val sm = spark.sql("SELECT max(v) AS hi FROM graft.db.cnt")
     assert(sm.as[String].head() === "x") // the appended (1235, "x") row
-    assert(!hasLocalRelation(sm))
+    assert(hasLocalRelation(sm))
 
     // a projected alias shadowing a real column must not hit its stats
     val shadow = spark.sql(
@@ -475,14 +477,14 @@ class CatalogSpec extends SparkSpec {
     val df = (1 to 500).map(i => (i, if (i % 5 == 0) null else s"v$i")).toDF("id", "v")
     df.writeTo("graft.db.cagg").createOrReplace()
 
-    // the optimizer rule refuses count(col); the DSv2 layer answers the
-    // whole mix from rows/nullCount/bounds — one metadata row, no file scan
+    // the whole mix — count(col) from rows/nullCount, count(*), bounds —
+    // collapses to a LocalRelation (r15: the optimizer rule serves
+    // count(col) too; the DSv2 layer remains for catalog-only sessions)
     val q = spark.sql(
       "SELECT count(v) AS nv, count(*) AS n, min(id) AS lo, max(id) AS hi FROM graft.db.cagg")
     assert(q.as[(Long, Long, Int, Int)].head() === ((400L, 500L, 1, 500)))
-    assert(!hasLocalRelation(q))
     val plan = executedPlanString(q)
-    assert(plan.contains("GraftMetadataAgg"), s"expected metadata agg scan:\n$plan")
+    assert(hasLocalRelation(q), s"expected manifest-collapsed agg:\n$plan")
     assert(!plan.contains("Location: InMemoryFileIndex"), "no parquet scan expected")
 
     // a filter keeps the real scan — and stays correct
@@ -506,7 +508,8 @@ class CatalogSpec extends SparkSpec {
     // time travel: the pinned snapshot's manifest answers
     val tt = spark.sql("SELECT count(v) AS nv FROM graft.db.cagg VERSION AS OF 1")
     assert(tt.as[Long].head() === 400L)
-    assert(executedPlanString(tt).contains("GraftMetadataAgg"))
+    assert(hasLocalRelation(tt) ||
+      executedPlanString(tt).contains("GraftMetadataAgg"))
   }
 
   test("ALTER TABLE RENAME COLUMN: SQL reads, pushdown, and writes follow") {
