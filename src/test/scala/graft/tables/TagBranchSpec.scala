@@ -257,7 +257,12 @@ class TagBranchSpec extends SparkSpec {
       // producing a headerless tail again
       def isFrame(l: String) = {
         val t = l.trim
-        t.startsWith("at ") || t.startsWith("... ")
+        // `Suppressed:` wrappers count as frames too: an r15 full-suite
+        // flake anchored on `Suppressed: …OriginalTryStackTraceException`
+        // (Spark's try-with-caller-stacktrace bookkeeping), hiding the
+        // real exception message that sat just above it
+        t.startsWith("at ") || t.startsWith("... ") ||
+          t.startsWith("Suppressed:")
       }
       val anchor = lines.lastIndexWhere(l => !isFrame(l) &&
         (l.contains("Exception") || l.contains("Error") ||
