@@ -764,12 +764,17 @@ object Bench {
     // writer-thread time the artifact can attribute — a future swing
     // reads directly as "cas grew 4×" / "write_job grew uniformly (box)"
     // instead of a plausibility argument.
+    // calib_pair brackets the block (the house rule for every A-vs-B
+    // block, applied to the one block whose number swung 4.3× across
+    // three same-day records): a record's commits/s now carries the
+    // box-speed price tag measured AT the block, not just at run ends.
     case class MwResult(sec: Double, commits: Long, rebases: Long,
       conflicts: Long, ok: Boolean, busySec: Double, recomputeSec: Double,
-      phases: Seq[(String, Double)])
+      phases: Seq[(String, Double)], calibPair: (Double, Double))
     val mw: Option[MwResult] =
       if (p1Dir.isEmpty) None
       else try rddGuard("multi_writer") {
+        val mwCalib0 = lightCalib()
         import graft.tables.SnapshotTable
         val docs = docsAt(p1Dir.get)
           .select(col("doc_id").cast("long").as("id"), col("text"),
@@ -853,7 +858,8 @@ object Bench {
         graft.ext.Dedup.release(docs)
         batches.values.foreach(graft.ext.Dedup.release)
         Some(MwResult(sec, commits, rebases, conflicts.get(), ok,
-          busyNanos.get() / 1e9, recomputeNanos.get() / 1e9, phases))
+          busyNanos.get() / 1e9, recomputeNanos.get() / 1e9, phases,
+          (mwCalib0, lightCalib())))
       } catch { case e: Throwable =>
         System.err.println(s"[bench][multi_writer]: ${e.getMessage}"); None
       }
@@ -1442,7 +1448,7 @@ object Bench {
     def mwPhasesJson(m: MwResult): String = {
       val ph = m.phases.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString(",")
       val cov = if (m.busySec > 0) m.phases.map(_._2).sum / m.busySec else 0.0
-      s""""phases":{$ph},"busy_s":${jnum(m.busySec)},"recompute_s":${jnum(m.recomputeSec)},"phase_coverage":${jnum(cov)}"""
+      s""""phases":{$ph},"busy_s":${jnum(m.busySec)},"recompute_s":${jnum(m.recomputeSec)},"phase_coverage":${jnum(cov)},"calib_pair":[${jnum(m.calibPair._1)},${jnum(m.calibPair._2)}]"""
     }
     def refJson(r: (Seq[Double], Seq[Double], Long), detail: Boolean): String = {
       val (m, l, rows) = r
