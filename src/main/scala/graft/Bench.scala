@@ -393,7 +393,7 @@ object Bench {
       // through the prune, no in-memory assigned frame
       SRow("ivf_probe_indexed", P12, { dir =>
         val emb = embAt(dir)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_ivfidx")
+        val tmp = SparkEntry.trackedTempDir("graft_bench_ivfidx")
         val t = ext.Similarity.buildIvfIndexTables(sparkS,
           s"$tmp/cent", s"$tmp/asg", emb, "vec_id", "embedding",
           nlist = nlistFor(emb), filesPerTable = 64)
@@ -464,7 +464,7 @@ object Bench {
       SRow("span_serve_indexed", P12, { dir =>
         val corpus = docsAt(dir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_sgidx")
+        val tmp = SparkEntry.trackedTempDir("graft_bench_sgidx")
         val t = ext.TextAnalysis.buildSpanGramIndexTable(sparkS,
           tmp.toString + "/grams", corpus, "doc_id", "text", n = 10,
           filesPerTable = 64)
@@ -487,7 +487,7 @@ object Bench {
       SRow("span_serve_indexed_novel", P12, { dir =>
         val corpus = docsAt(dir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_sgnov")
+        val tmp = SparkEntry.trackedTempDir("graft_bench_sgnov")
         val t = ext.TextAnalysis.buildSpanGramIndexTable(sparkS,
           tmp.toString + "/grams", corpus, "doc_id", "text", n = 10,
           filesPerTable = 64)
@@ -511,7 +511,7 @@ object Bench {
       SRow("dedup_serve_indexed", P12, { dir =>
         val corpus = docsAt(dir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_idx")
+        val tmp = SparkEntry.trackedTempDir("graft_bench_idx")
         val (bandT, sigT) = ext.Dedup.buildMinhashIndexTables(sparkS,
           s"$tmp/bands", s"$tmp/sigs", corpus, "doc_id", "text",
           filesPerTable = 64)
@@ -532,7 +532,7 @@ object Bench {
       SRow("dedup_serve_indexed_novel", P12, { dir =>
         val corpus = docsAt(dir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_idxn")
+        val tmp = SparkEntry.trackedTempDir("graft_bench_idxn")
         val (bandT, sigT) = ext.Dedup.buildMinhashIndexTables(sparkS,
           s"$tmp/bands", s"$tmp/sigs", corpus, "doc_id", "text",
           filesPerTable = 64)
@@ -561,7 +561,7 @@ object Bench {
         val docs = docsAt(dir)
           .select(col("doc_id").cast("long").as("id"), col("text"),
             lit(0L).as("ver"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_upsert")
+        val tmp = SparkEntry.trackedTempDir("graft_bench_upsert")
         val nFiles = math.max(16, (docs.count() / 8192).toInt)
         val t = graft.tables.SnapshotTable.create(sparkS, tmp.toString,
           docs.limit(1))
@@ -782,7 +782,7 @@ object Bench {
           .localCheckpoint()
         val n = docs.count()
         def mkTable(): SnapshotTable = {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_bench_mw")
+          val tmp = SparkEntry.trackedTempDir("graft_bench_mw")
           val t = SnapshotTable.create(sparkS, tmp.toString, docs.limit(1))
           t.setClusterSpec(Seq("id"))
           t.overwriteClustered(docs, Seq("id"), 32)
@@ -879,7 +879,7 @@ object Bench {
         val lookups = scala.collection.mutable.Buffer[Double]()
         var lookupRows = 0L
         for (_ <- 1 to 3) {
-          val root = java.nio.file.Files.createTempDirectory("graft_bench_ref")
+          val root = SparkEntry.trackedTempDir("graft_bench_ref")
             .toString + "/contact"
           val initial = graft.scd2.Scd2.readContactsCsv(sparkS, initCsv)
           val update = graft.scd2.Scd2.readContactsCsv(sparkS, updCsv)
@@ -931,7 +931,7 @@ object Bench {
         val corpus = docsAt(p1Dir.get)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
           .localCheckpoint()
-        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_imaint")
+        val tmp = SparkEntry.trackedTempDir("graft_bench_imaint")
         def phase[T](tag: String, acc: scala.collection.mutable.Buffer[(String, Double)])(
             body: => T): T = {
           val t0 = System.nanoTime(); val r = body
@@ -1042,7 +1042,7 @@ object Bench {
           .map(k => k -> sparkS.conf.getOption(k))
         sparkS.conf.set("spark.sql.catalog.graftb", "graft.sql.GraftTableCatalog")
         sparkS.conf.set("spark.sql.catalog.graftb.warehouse",
-          java.nio.file.Files.createTempDirectory("graft_bench_spj").toString)
+          SparkEntry.trackedTempDir("graft_bench_spj").toString)
         try {
           docs.select(col("id"),
               graft.ext.functions.fingerprint64(col("text")).as("h"))
@@ -1099,7 +1099,7 @@ object Bench {
               .map(kk => kk -> sparkS.conf.getOption(kk))
             sparkS.conf.set("spark.sql.catalog.graftc", "graft.sql.GraftTableCatalog")
             sparkS.conf.set("spark.sql.catalog.graftc.warehouse",
-              java.nio.file.Files.createTempDirectory("graft_bench_spjff").toString)
+              SparkEntry.trackedTempDir("graft_bench_spjff").toString)
             try {
               sparkS.range(0, n)
                 .select((col("id") % k).as("key"), (col("id") * 7L).as("a"))
@@ -1175,8 +1175,7 @@ object Bench {
         .repartitionByRange(files, col("key"))
         .sortWithinPartitions("key")
         .writeTo("graftd.b.dpp_fact").createOrReplace()
-      val dimPath = java.nio.file.Files
-        .createTempDirectory("graft_bench_dppdim").toString
+      val dimPath = SparkEntry.trackedTempDir("graft_bench_dppdim").toString
       // dim size BOUNDED across scale points (the 100 TB shape: the fact
       // scales, the dim doesn't) — a dim growing 1:10 with the fact made
       // the dim-side scan dominate the pruned query at the largest point
@@ -1267,7 +1266,7 @@ object Bench {
             .map(k => k -> sparkS.conf.getOption(k))
           sparkS.conf.set("spark.sql.catalog.graftd", "graft.sql.GraftTableCatalog")
           sparkS.conf.set("spark.sql.catalog.graftd.warehouse",
-            java.nio.file.Files.createTempDirectory("graft_bench_dpp").toString)
+            SparkEntry.trackedTempDir("graft_bench_dpp").toString)
           try Seq((1L << 21, 64), (1L << 24, 512), (1L << 26, 2048))
             .map { case (n, f) => rtPoint(n, f) }
           finally prevConfs.foreach {
@@ -1312,11 +1311,11 @@ object Bench {
         import org.apache.spark.sql.connector.expressions.{Expressions, Expression => V2Expr}
         val prevConfs = Seq("spark.sql.catalog.graftp",
           "spark.sql.catalog.graftp.warehouse").map(k => k -> sparkS.conf.getOption(k))
-        val wh = java.nio.file.Files.createTempDirectory("graft_bench_plan").toString
+        val wh = SparkEntry.trackedTempDir("graft_bench_plan").toString
         // synthetic roots live OUTSIDE the warehouse: a managed-path dir
         // that exists reads as "table already exists" to CREATE TABLE,
         // so these register as EXTERNAL locations (q113's pattern)
-        val ext = java.nio.file.Files.createTempDirectory("graft_bench_planx").toString
+        val ext = SparkEntry.trackedTempDir("graft_bench_planx").toString
         sparkS.conf.set("spark.sql.catalog.graftp", "graft.sql.GraftTableCatalog")
         sparkS.conf.set("spark.sql.catalog.graftp.warehouse", wh)
         try {

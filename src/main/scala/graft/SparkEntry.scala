@@ -25,6 +25,27 @@ object SparkEntry {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Temp-dir registry with a JVM shutdown hook: every fixture dir this
+   *  process creates is reclaimed on exit. A day of bench/verify runs
+   *  left 79 GB of orphaned fixture dirs and filled the disk MID-RUN
+   *  (round 15) — per-process warm reuse still works (deletion happens
+   *  only at exit), crashed runs clean up too. */
+  private val tmpRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val tmpHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rec(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete(); ()
+      }
+      tmpRoots.forEach(p => rec(p.toFile))
+    }, "graft-tmp-cleanup"))
+  }
+  private[graft] def trackedTempDir(prefix: String): java.nio.file.Path = {
+    tmpHook
+    val p = Files.createTempDirectory(prefix)
+    tmpRoots.add(p)
+    p
+  }
+
   private val registeredDirs =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Boolean]()
 
@@ -206,7 +227,7 @@ object SparkEntry {
       lit(1).as("iscurrent"))
 
     val table = warmTable("q18", dir)(SnapshotTable.create(s,
-      Files.createTempDirectory("graft_q18").toString, initial))
+      trackedTempDir("graft_q18").toString, initial))
     val cols = staged.columns.toSeq
     val changed = table.read().alias("t")
       .join(staged.alias("s"),
@@ -272,7 +293,7 @@ object SparkEntry {
     snapshotCache.getOrElseUpdate(dir, {
       val orders = s.read.parquet(s"$dir/orders.parquet")
       SnapshotTable.create(s,
-        Files.createTempDirectory("graft_orders_snap").toString,
+        trackedTempDir("graft_orders_snap").toString,
         orders.repartitionByRange(8, col("o_orderkey")))
     })
 
@@ -334,7 +355,7 @@ object SparkEntry {
     val t = warmTable("bloom_lookup", dir) {
       val orders = s.read.parquet(s"$dir/orders.parquet")
       val tbl = SnapshotTable.create(s,
-        Files.createTempDirectory("graft_bloom_lookup").toString,
+        trackedTempDir("graft_bloom_lookup").toString,
         orders.limit(1)) // seed commit carries the properties
         .setProperties(Map(
           "graft.bloom.columns" -> "o_custkey",
@@ -368,8 +389,8 @@ object SparkEntry {
   private def copyIntoQuery(s: SparkSession, dir: String): DataFrame = {
     val t = warmTable("copy_into", dir) {
       val cust = s.read.parquet(s"$dir/customer.parquet")
-      val stage1 = Files.createTempDirectory("graft_copy_stage1").toString
-      val stage2 = Files.createTempDirectory("graft_copy_stage2").toString
+      val stage1 = trackedTempDir("graft_copy_stage1").toString
+      val stage2 = trackedTempDir("graft_copy_stage2").toString
       cust.filter(col("c_custkey") % 3 === 0).coalesce(1)
         .write.mode("append").parquet(stage1)
       cust.filter(col("c_custkey") % 3 === 1).coalesce(1)
@@ -377,7 +398,7 @@ object SparkEntry {
       cust.filter(col("c_custkey") % 3 === 2).coalesce(1)
         .write.mode("append").parquet(stage2)
       SnapshotTable.create(s,
-        Files.createTempDirectory("graft_copyinto").toString,
+        trackedTempDir("graft_copyinto").toString,
         cust.filter(col("c_custkey") < 0)) // empty seed, right schema
         .setProperties(Map("graft.q94.stage1" -> stage1, "graft.q94.stage2" -> stage2))
     }
@@ -398,7 +419,7 @@ object SparkEntry {
     val t = warmTable("replace_where", dir) {
       val orders = s.read.parquet(s"$dir/orders.parquet")
       SnapshotTable.create(s,
-        Files.createTempDirectory("graft_replace").toString,
+        trackedTempDir("graft_replace").toString,
         orders.repartitionByRange(8, col("o_orderdate")))
     }
     val pred = col("o_orderdate") >= lit(java.sql.Date.valueOf("1997-01-01"))
@@ -423,7 +444,7 @@ object SparkEntry {
     val t = warmTable("branch_wap", dir) {
       val orders = s.read.parquet(s"$dir/orders.parquet")
       SnapshotTable.create(s,
-        Files.createTempDirectory("graft_wap").toString,
+        trackedTempDir("graft_wap").toString,
         orders.repartitionByRange(8, col("o_orderdate")))
     }
     if (t.listBranches().contains("audit")) t.dropBranch("audit")
@@ -462,14 +483,14 @@ object SparkEntry {
     val ev = s.table("events")
     val src = warmTable("stream_src", dir) {
       val base = SnapshotTable.create(s,
-        Files.createTempDirectory("graft_stream_src").toString,
+        trackedTempDir("graft_stream_src").toString,
         ev.filter(col("event_id") % 3 === 0))
       base.append(ev.filter(col("event_id") % 3 === 1))
       base.append(ev.filter(col("event_id") % 3 === 2))
       base
     }
     val out = SnapshotTable.createEmpty(s,
-      Files.createTempDirectory("graft_stream_out").toString,
+      trackedTempDir("graft_stream_out").toString,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id",
           org.apache.spark.sql.types.LongType),
@@ -481,7 +502,7 @@ object SparkEntry {
     // where the previous stopped (the V1 recovery contract) and covers
     // ONE more source version — three runs replay the three commits as
     // three micro-batches
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val ckpt = trackedTempDir("graft_stream_ckpt").toString
     (1 to 3).foreach { _ =>
       val stream = s.readStream.format("graft-table")
         .option("path", src.root)
@@ -521,7 +542,7 @@ object SparkEntry {
         ev.filter(col("ts") >= lit(java.sql.Timestamp.valueOf(from)) &&
           col("ts") < lit(java.sql.Timestamp.valueOf(until)))
       val base = SnapshotTable.create(s,
-        Files.createTempDirectory("graft_stream_win").toString,
+        trackedTempDir("graft_stream_win").toString,
         slice("2000-01-01 00:00:00", "2024-01-11 00:00:00"))
       base.append(slice("2024-01-11 00:00:00", "2024-01-21 00:00:00"))
       base.append(slice("2024-01-21 00:00:00", "2100-01-01 00:00:00"))
@@ -548,7 +569,7 @@ object SparkEntry {
       ()
     }
     val out = SnapshotTable.createEmpty(s,
-      Files.createTempDirectory("graft_stream_win_out").toString,
+      trackedTempDir("graft_stream_win_out").toString,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("window_start",
           org.apache.spark.sql.types.TimestampType),
@@ -556,7 +577,7 @@ object SparkEntry {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("n",
           org.apache.spark.sql.types.LongType))))
-    val ckpt = Files.createTempDirectory("graft_stream_win_ckpt").toString
+    val ckpt = trackedTempDir("graft_stream_win_ckpt").toString
     def run(): Unit = {
       val stream = graft.streaming.StreamIngest.windowedCounts(
         s.readStream.format("graft-table")
@@ -602,13 +623,13 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("ts"))
     val src = warmTable("stream_dedup_src", dir) {
       val base = SnapshotTable.create(s,
-        Files.createTempDirectory("graft_stream_dedup").toString, clicks)
+        trackedTempDir("graft_stream_dedup").toString, clicks)
       base.append(clicks.filter(col("event_id") % 5 === 0)) // redelivery 1
       base.append(clicks.filter(col("event_id") % 7 === 0)) // redelivery 2
       base
     }
     val out = SnapshotTable.createEmpty(s,
-      Files.createTempDirectory("graft_stream_dedup_out").toString,
+      trackedTempDir("graft_stream_dedup_out").toString,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id",
           org.apache.spark.sql.types.LongType),
@@ -618,7 +639,7 @@ object SparkEntry {
         // so it lands in the sink too; the declared output drops it
         org.apache.spark.sql.types.StructField("ts",
           org.apache.spark.sql.types.TimestampType))))
-    val ckpt = Files.createTempDirectory("graft_stream_dedup_ckpt").toString
+    val ckpt = trackedTempDir("graft_stream_dedup_ckpt").toString
     // dedup state stores scale with shuffle partitions — scope down to
     // the stream's real width (the q81 discipline)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -648,7 +669,7 @@ object SparkEntry {
     warmTable("q85", dir) {
       val orders = s.read.parquet(s"$dir/orders.parquet")
       val t = SnapshotTable.create(s,
-        Files.createTempDirectory("graft_q85").toString,
+        trackedTempDir("graft_q85").toString,
         orders.select(col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus"), col("o_totalprice")).repartition(8))
       t.setProperties(Map("graft.dv.enabled" -> "true"))
@@ -1327,9 +1348,9 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val idx = ext.Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 16)
       val cent = SnapshotTable.create(s,
-        Files.createTempDirectory("graft_ivf_cent").toString, idx.centroids)
+        trackedTempDir("graft_ivf_cent").toString, idx.centroids)
       val asg = SnapshotTable.create(s,
-        Files.createTempDirectory("graft_ivf_asg").toString, idx.assigned)
+        trackedTempDir("graft_ivf_asg").toString, idx.assigned)
       ext.Similarity.IvfIndex(cent.read(), asg.read())
     })
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1359,8 +1380,8 @@ object SparkEntry {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     val t = ivfTableCache.getOrElseUpdate(dir, {
       val tt = ext.PhaseLog.timed("build")(ext.Similarity.buildIvfIndexTables(s,
-        Files.createTempDirectory("graft_q118c").toString,
-        Files.createTempDirectory("graft_q118a").toString,
+        trackedTempDir("graft_q118c").toString,
+        trackedTempDir("graft_q118a").toString,
         emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16))
       ext.PhaseLog.timed("append")(ext.Similarity.ivfAppendTo(tt,
         emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding"))
@@ -1389,8 +1410,8 @@ object SparkEntry {
       emb.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
     val t = ivfSq8TableCache.getOrElseUpdate(dir, {
       val tt = ext.PhaseLog.timed("build")(ext.Similarity.buildIvfIndexTablesSq8(s,
-        Files.createTempDirectory("graft_q119c").toString,
-        Files.createTempDirectory("graft_q119a").toString,
+        trackedTempDir("graft_q119c").toString,
+        trackedTempDir("graft_q119a").toString,
         doubled.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16))
       ext.PhaseLog.timed("append")(ext.Similarity.ivfAppendToSq8(tt,
         doubled.filter(col("vec_id") % 2 === 1), "vec_id", "embedding"))
@@ -1425,9 +1446,9 @@ object SparkEntry {
       emb.select(shiftedId(col("vec_id")).as("vec_id"), col("embedding")))
     val t = ivfPqTableCache.getOrElseUpdate(dir, {
       val tt = ext.PhaseLog.timed("build")(ext.Similarity.buildIvfIndexTablesPq(s,
-        Files.createTempDirectory("graft_q120c").toString,
-        Files.createTempDirectory("graft_q120b").toString,
-        Files.createTempDirectory("graft_q120a").toString,
+        trackedTempDir("graft_q120c").toString,
+        trackedTempDir("graft_q120b").toString,
+        trackedTempDir("graft_q120a").toString,
         doubled.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
         nlist = 16, m = 8, ksub = 16))
       ext.PhaseLog.timed("append")(ext.Similarity.ivfAppendToPq(tt,
@@ -1465,18 +1486,18 @@ object SparkEntry {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     val t = ivfStreamTableCache.getOrElseUpdate(dir, {
       val tt = ext.PhaseLog.timed("build")(ext.Similarity.buildIvfIndexTables(s,
-        Files.createTempDirectory("graft_q121c").toString,
-        Files.createTempDirectory("graft_q121a").toString,
+        trackedTempDir("graft_q121c").toString,
+        trackedTempDir("graft_q121a").toString,
         emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16))
       val src = ext.PhaseLog.timed("source_commits") {
         val sc = SnapshotTable.create(s,
-          Files.createTempDirectory("graft_q121s").toString,
+          trackedTempDir("graft_q121s").toString,
           emb.filter(col("vec_id") % 6 === 1))
         sc.append(emb.filter(col("vec_id") % 6 === 3))
         sc.append(emb.filter(col("vec_id") % 6 === 5))
         sc
       }
-      val ckpt = Files.createTempDirectory("graft_q121k").toString
+      val ckpt = trackedTempDir("graft_q121k").toString
       ext.PhaseLog.timed("stream_ingest") {
         (1 to 3).foreach { _ =>
           val stream = s.readStream.format("graft-table")
@@ -1536,7 +1557,7 @@ object SparkEntry {
       col("c_mktsegment").as("state"), col("c_acctbal").as("bal"))
     val (t, reclaimed) = vacuumCache.getOrElseUpdate(dir, {
       val tt = SnapshotTable.create(s,
-        Files.createTempDirectory("graft_q122").toString,
+        trackedTempDir("graft_q122").toString,
         base.repartitionByRange(4, col("id")))                            // v0
       tt.update(col("id") % 5 === 0, Map("state" -> lower(col("state")))) // v1
       tt.createTag("audit") // retention promise: v1's files stay alive
@@ -2319,7 +2340,7 @@ object SparkEntry {
     if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
       s.conf.set("spark.sql.catalog.graft", "graft.sql.GraftTableCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse",
-        Files.createTempDirectory("graft-wh").toString)
+        trackedTempDir("graft-wh").toString)
       // V2 bucketing is part of the session contract, set once here (not
       // mid-query, which would leak a conf flip into unrelated plans):
       // bucket-clustered catalog tables plan storage-partitioned joins
@@ -2749,7 +2770,7 @@ object SparkEntry {
       .withColumn("email", concat(col("name"), lit("@new.example.com")))
     val tbl = s"q136c${math.abs(dir.hashCode).toString}"
     warmTable("q136", dir) {
-      val root = Files.createTempDirectory("graft_q136").toString + "/contact"
+      val root = trackedTempDir("graft_q136").toString + "/contact"
       val staged0 = graft.scd2.Scd2.stage(initial, t0)
       val t = SnapshotTable.createEmpty(s, root, staged0.schema,
         clusterBy = Seq("bucket(4, id)", "state"))
@@ -3135,7 +3156,7 @@ object SparkEntry {
       when(col("c_custkey") % 5 === 0, upper(col("c_mktsegment")))
         .otherwise(col("c_mktsegment"))): _*)
     val table = warmTable("q41", dir)(graft.scd2.Scd2.initialLoad(s,
-      Files.createTempDirectory("graft_q41").toString, initial,
+      trackedTempDir("graft_q41").toString, initial,
       Timestamp.valueOf("2024-01-01 00:00:00")))
     graft.scd2.Scd2.hudiStyleMerge(table, staged,
       Timestamp.valueOf("2024-02-01 00:00:00"), withCounts = false)
@@ -3176,7 +3197,7 @@ object SparkEntry {
     // measured operation is the merge-on-read real-time read
     val table = warmTable("q42", dir) {
       val t = SnapshotTable.create(s,
-        Files.createTempDirectory("graft_q42").toString,
+        trackedTempDir("graft_q42").toString,
         customer.select(shape(lit(0), 0): _*))
       t.upsertDeferred(
         customer.filter(col("c_custkey") % 5 === 0).select(shape(lit(100), 1): _*),
@@ -3256,7 +3277,7 @@ object SparkEntry {
     val wh = ensureCatalog(s)
     val tbl = s"q113ext${math.abs(dir.hashCode).toString}"
     warmTable("q113", dir) {
-      val root = Files.createTempDirectory("graft_q113").toString + "/nation_ext"
+      val root = trackedTempDir("graft_q113").toString + "/nation_ext"
       val t = SnapshotTable.create(s, root, s.read.parquet(s"$dir/nation.parquet"))
       s.sql(s"DROP TABLE IF EXISTS graft.extdb.$tbl")
       s.sql(s"CREATE TABLE graft.extdb.$tbl USING graft LOCATION '$root'")
@@ -3291,7 +3312,7 @@ object SparkEntry {
       lit(ver.toLong).as("ver"))
     val table = warmTable("q64", dir) {
       val t = SnapshotTable.create(s,
-        Files.createTempDirectory("graft_q64").toString,
+        trackedTempDir("graft_q64").toString,
         customer.select(shape(lit(0), 0): _*))
       t.upsertDeferred(
         customer.filter(col("c_custkey") % 5 === 0).select(shape(lit(100), 1): _*),
@@ -3328,7 +3349,7 @@ object SparkEntry {
   private def cdfQuery(s: SparkSession, dir: String): DataFrame = {
     val customer = s.read.parquet(s"$dir/customer.parquet")
     val table = warmTable("q55", dir)(SnapshotTable.create(s,
-      Files.createTempDirectory("graft_q55").toString,
+      trackedTempDir("graft_q55").toString,
       customer.select(col("c_custkey").as("id"), col("c_mktsegment").as("state"))
         .repartitionByRange(4, col("id"))))
     table.update(col("id") % 5 === 0, Map("state" -> lower(col("state")))) // v1
@@ -3368,10 +3389,10 @@ object SparkEntry {
     val base = customer.select(col("c_custkey").as("id"),
       col("c_mktsegment").as("state"), col("c_acctbal").as("bal"))
     val src = warmTable("q115src", dir)(SnapshotTable.create(s,
-      Files.createTempDirectory("graft_q115s").toString,
+      trackedTempDir("graft_q115s").toString,
       base.repartitionByRange(4, col("id"))))
     val mirror = warmTable("q115mir", dir)(SnapshotTable.create(s,
-      Files.createTempDirectory("graft_q115m").toString,
+      trackedTempDir("graft_q115m").toString,
       base.repartitionByRange(4, col("id"))))
     ext.PhaseLog.timed("update")(
       src.update(col("id") % 5 === 0, Map("state" -> lower(col("state"))))) // v1
@@ -3570,7 +3591,7 @@ object SparkEntry {
       .select(col("source"), explode(ext.TextAnalysis.tokens(col("text"))).as("token"))
     val store = warmTable("sketch_cube", dir) {
       SnapshotTable.create(s,
-        Files.createTempDirectory("graft_sketch_cube").toString,
+        trackedTempDir("graft_sketch_cube").toString,
         toks(0).groupBy("source")
           .agg(ext.functions.kmvState(col("token"), 65536).as("state")))
     }
@@ -3605,7 +3626,7 @@ object SparkEntry {
       .select(col("o_orderpriority"), col("o_totalprice"))
     val store = warmTable("quantile_cube", dir) {
       SnapshotTable.create(s,
-        Files.createTempDirectory("graft_quantile_cube").toString,
+        trackedTempDir("graft_quantile_cube").toString,
         half(0).groupBy("o_orderpriority")
           .agg(ext.functions.quantileState(col("o_totalprice"), 65536).as("state")))
     }
@@ -3715,7 +3736,7 @@ object SparkEntry {
     val t = warmTable("manifest_external", dir) {
       val orders = s.read.parquet(s"$dir/orders.parquet")
       val tbl = SnapshotTable.create(s,
-        Files.createTempDirectory("graft_manifest_ext").toString,
+        trackedTempDir("graft_manifest_ext").toString,
         orders.repartitionByRange(8, col("o_orderkey")))
       tbl.delete(col("o_orderpriority") === "5-LOW")
       tbl.append(orders.filter(col("o_orderkey") % 97 === 0)
@@ -3761,7 +3782,7 @@ object SparkEntry {
     val t = warmTable("merge_evolution", dir) {
       val orders = s.read.parquet(s"$dir/orders.parquet")
       val tbl = SnapshotTable.create(s,
-        Files.createTempDirectory("graft_merge_evo").toString,
+        trackedTempDir("graft_merge_evo").toString,
         orders.select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("float").as("price32")))
       val src = orders.filter(col("o_orderkey") % 10 === 3)
@@ -4112,7 +4133,7 @@ object SparkEntry {
     // cost — read the stored grams, clean the batch
     val index = warmTable("span_gram_index", dir) {
       ext.TextAnalysis.buildSpanGramIndexTable(s,
-        Files.createTempDirectory("graft_span_index").toString,
+        trackedTempDir("graft_span_index").toString,
         corpus, "doc_id", "text", n = 10) // pins graft.spangram.n
     }
     ext.TextAnalysis.removeDuplicatedSpansIncremental(
@@ -4355,7 +4376,7 @@ object SparkEntry {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val (bandT, sigT) = builtIndexPairs.getOrElseUpdate(dir, {
-      val tmp = Files.createTempDirectory("graft_q117_idx")
+      val tmp = trackedTempDir("graft_q117_idx")
       ext.PhaseLog.timed("build")(ext.Dedup.buildMinhashIndexTables(s,
         s"$tmp/bands", s"$tmp/sigs", corpus, "doc_id", "text"))
     })
@@ -4411,7 +4432,7 @@ object SparkEntry {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val (bandT, sigT) = builtMaintIndex.getOrElseUpdate(dir, {
-      val tmp = Files.createTempDirectory("graft_q124_idx")
+      val tmp = trackedTempDir("graft_q124_idx")
       val pair = ext.PhaseLog.timed("build")(ext.Dedup.buildMinhashIndexTables(s,
         s"$tmp/bands", s"$tmp/sigs", docs.filter(col("doc_id") % 4 === 0),
         "doc_id", "text"))
@@ -4482,7 +4503,7 @@ object SparkEntry {
     val batch = docs.filter(col("doc_id") >= 250)
     val index = builtSpanIndex.getOrElseUpdate(dir, {
       val t = ext.PhaseLog.timed("build")(ext.TextAnalysis.buildSpanGramIndexTable(s,
-        Files.createTempDirectory("graft_q126_idx").toString,
+        trackedTempDir("graft_q126_idx").toString,
         docs.filter(col("doc_id") < 150), "doc_id", "text", n = 10))
       ext.PhaseLog.timed("append")(ext.TextAnalysis.spanGramIndexAppend(t,
         docs.filter(col("doc_id") >= 150 && col("doc_id") < 200),
@@ -4524,7 +4545,7 @@ object SparkEntry {
       format_string(s"${tag}a%d ${tag}b%d ${tag}c%d ${tag}d%d ${tag}e%d",
         d, d, d, d, d)
     val (landed, sigT) = streamIndexedCache.getOrElseUpdate(dir, {
-      val tmp = Files.createTempDirectory("graft_q125_idx")
+      val tmp = trackedTempDir("graft_q125_idx")
       val (bandT, sigT) = ext.Dedup.buildMinhashIndexTables(s,
         s"$tmp/bands", s"$tmp/sigs", docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text")
@@ -4547,12 +4568,12 @@ object SparkEntry {
           .select((d + lit(6L * PlantShift)).as("doc_id"),
             freshText("xq", d).as("text")))
       val src = SnapshotTable.create(s,
-        Files.createTempDirectory("graft_q125s").toString, b1)
+        trackedTempDir("graft_q125s").toString, b1)
       src.append(b2)
       src.append(b3)
       val landed = SnapshotTable(s,
-        Files.createTempDirectory("graft_q125d").toString)
-      val ckpt = Files.createTempDirectory("graft_q125k").toString
+        trackedTempDir("graft_q125d").toString)
+      val ckpt = trackedTempDir("graft_q125k").toString
       (1 to 3).foreach { _ =>
         val stream = s.readStream.format("graft-table")
           .option("path", src.root)
@@ -4631,7 +4652,7 @@ object SparkEntry {
     // that also leaked its blocks.
     val index = warmTable("minhash_index", dir) {
       SnapshotTable.create(s,
-        Files.createTempDirectory("graft_minhash_index").toString,
+        trackedTempDir("graft_minhash_index").toString,
         ext.Dedup.minhashSignatures(corpus, "doc_id", "text"))
     }.read()
     val copies = docs.filter(col("doc_id") % 4 === 0)
@@ -4680,7 +4701,7 @@ object SparkEntry {
   private def zorderQuery(s: SparkSession, dir: String): DataFrame = {
     val orders = s.read.parquet(s"$dir/orders.parquet")
     val table = warmTable("q43", dir)(SnapshotTable.create(s,
-      Files.createTempDirectory("graft_q43").toString,
+      trackedTempDir("graft_q43").toString,
       ext.ZOrder.cluster(orders, Seq("o_custkey", "o_orderkey"), numFiles = 16)))
     table.scan(col("o_custkey") === 103)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))

@@ -3075,9 +3075,19 @@ class SnapshotTable private (
     vacuumCandidates(live, retainMillis).foreach { p =>
       if (fs.delete(p, false)) deleted += 1
     }
+    // Empty write-dir sweep honors the SAME retention window as files
+    // and log slots: a concurrent writer's staging dir is EMPTY between
+    // its mkdirs and the first task file landing, and sweeping it in
+    // that window kills the write mid-flight (surfaced by the forked
+    // fastForward-vs-vacuum race as `chmod: cannot access <dir>` from
+    // the writer's own FS call — r15). A dir that just lost its last
+    // expired file carries a fresh mtime and is reclaimed by the NEXT
+    // vacuum past the window — eventual cleanup, never a torn write.
     if (fs.exists(dataDir)) {
+      val dirCutoff = System.currentTimeMillis() - math.max(0L, retainMillis)
       fs.listStatus(dataDir).foreach { d =>
-        if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
+        if (d.getModificationTime < dirCutoff && fs.listStatus(d.getPath).isEmpty)
+          fs.delete(d.getPath, true)
       }
     }
     deleted

@@ -741,6 +741,27 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(inflight.resolve("part-0.parquet")))
   }
 
+  test("vacuum's empty-dir sweep honors the retention window (in-flight mkdirs)") {
+    // a concurrent writer's staging dir is EMPTY between its mkdirs and
+    // the first task file landing — sweeping it in that window killed
+    // the write mid-flight (the forked fastForward-vs-vacuum race
+    // surfaced it as `chmod: cannot access <dir>` from the writer's own
+    // FS call). The sweep must honor retainMillis like everything else.
+    val root = tmpDir("tbl_vds")
+    val t = SnapshotTable(spark, root)
+    t.overwrite(Seq((1, "a")).toDF("id", "v"))
+    val staging = java.nio.file.Paths.get(root, "data", "just-created-empty")
+    java.nio.file.Files.createDirectories(staging)
+    // inside the window: the empty dir survives
+    assert(t.vacuum(retainVersions = 1, retainMillis = 3600000L) === 0)
+    assert(java.nio.file.Files.isDirectory(staging))
+    // past the window (forced to 0, dir mtime strictly older by then):
+    // the sweep reclaims it
+    Thread.sleep(5)
+    t.vacuum(retainVersions = 1, retainMillis = 0L)
+    assert(!java.nio.file.Files.exists(staging))
+  }
+
   test("clustered overwrite gives one-file point lookups") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwriteClustered(
