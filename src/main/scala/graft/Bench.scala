@@ -844,6 +844,7 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         val phases = SnapshotTable.commitPhases.secondsByPhase
         SnapshotTable.commitPhases.disable() // exclude the serial replay
+        val mwCalib1 = lightCalib() // closes the WINDOW, before the replay
         val commits = t.currentVersion() - v0
         val rebases = SnapshotTable.occStats.rebases.get()
         val seq = mkTable()
@@ -859,7 +860,7 @@ object Bench {
         batches.values.foreach(graft.ext.Dedup.release)
         Some(MwResult(sec, commits, rebases, conflicts.get(), ok,
           busyNanos.get() / 1e9, recomputeNanos.get() / 1e9, phases,
-          (mwCalib0, lightCalib())))
+          (mwCalib0, mwCalib1)))
       } catch { case e: Throwable =>
         System.err.println(s"[bench][multi_writer]: ${e.getMessage}"); None
       }
