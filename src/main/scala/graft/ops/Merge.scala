@@ -152,6 +152,9 @@ final class MergeInto(
     val allFiles = table.manifest()
     val targetAll = table.read()
     val srcExists = source.withColumn(S_EXISTS, lit(true)).alias("s")
+    // set once discovery proves the source fits the driver key budget —
+    // gates the broadcast hints on the discovery and rewrite joins
+    var sourceKnownSmall = false
 
     // Route each joined row to the index of the first applicable clause;
     // -1 = keep target row as-is; -2 = drop (no-op insert / delete).
@@ -238,16 +241,25 @@ final class MergeInto(
         // files whose [min,max] key range cannot overlap the source's key
         // bounds can be skipped before the join even plans — a small
         // staged batch merged into a huge clustered table only opens the
-        // overlapping files (one tiny agg job over the source buys it).
-        val (candidateFiles, bounds) =
-          discoveryCandidates(table, source, condition, allFiles)
+        // overlapping files (for a sub-`probeMaxKeys` source the bounds,
+        // keys and candidate files all derive from ONE bounded driver
+        // collect; bigger sources pay one tiny agg job).
+        val ((candidateFiles, bounds), smallTotal) =
+          discoveryCandidatesSized(table, source, condition, allFiles)
+        if (smallTotal.isDefined) sourceKnownSmall = true
         // lineage captured inside the table read: on a DV-bearing table
         // the scan carries an anti-join, under which input_file_name()
         // would come back empty and discovery would touch nothing
         val tFiles = table.readFilesWithLineage(candidateFiles, targetSchema, T_FILE)
           .withColumn(T_UID, monotonically_increasing_id())
           .alias("t")
-        val joined = tFiles.join(srcExists, condition, "inner")
+        // a proven-small source broadcasts: the touched-file discovery
+        // join then never shuffles the candidate files' rows (guide-§3.1
+        // shape — the key set already fit on the driver, so the broadcast
+        // relation is bounded by the same budget)
+        val joined = tFiles.join(
+          if (sourceKnownSmall) broadcast(srcExists) else srcExists,
+          condition, "inner")
         val perFile =
           if (needsCardinality)
             joined.groupBy(col(T_FILE), col(T_UID)).agg(count(lit(1)).as("__c"))
@@ -278,6 +290,10 @@ final class MergeInto(
     val t = (if (dedupeKeeps) touchedDf.withColumn(T_UID, monotonically_increasing_id())
              else touchedDf)
       .withColumn(T_EXISTS, lit(true)).alias("t")
+    // no broadcast hint here: Spark's BroadcastHashJoin cannot build
+    // either side of a FULL OUTER join (the hint would only log a
+    // planner warning per commit) — the rewrite join stays a shuffle
+    // join over the touched files' rows, which AQE right-sizes
     val joined = t.join(srcExists, condition, "full_outer")
 
     val matched = col(T_EXISTS).isNotNull && col(S_EXISTS).isNotNull
@@ -371,17 +387,66 @@ object MergeInto {
       table: SnapshotTable,
       source: DataFrame,
       condition: Column,
-      allFiles: Seq[String]): (Seq[String], Option[Column])
+      allFiles: Seq[String]): (Seq[String], Option[Column]) =
+    discoveryCandidatesSized(table, source, condition, allFiles)._1
+
+  /** [[discoveryCandidates]] plus `Some(rowCount)` when the source proved
+   *  SMALL (≤ `spark.graft.merge.probeMaxKeys` rows) — the caller's cue
+   *  that broadcasting the source side of the discovery/rewrite joins is
+   *  safe (the key set already sat on the driver). */
+  private[ops] def discoveryCandidatesSized(
+      table: SnapshotTable,
+      source: DataFrame,
+      condition: Column,
+      allFiles: Seq[String]): ((Seq[String], Option[Column]), Option[Long])
     = SnapshotTable.commitPhases.timed("discovery") {
     val pairs = equiPairs(org.apache.spark.sql.graftshim.SparkInternals.expr(condition))
-    if (pairs.isEmpty) return (allFiles, None)
+    if (pairs.isEmpty) return ((allFiles, None), None)
+    val maxKeys = source.sparkSession.conf
+      .get("spark.graft.merge.probeMaxKeys", "100000").toInt
+    // ---- small-source fast path: ONE bounded collect of the key columns
+    // replaces the min/max/ndv agg job AND the key-probe distinct-collect
+    // job (the reference's steady state is a ~10³-row staged batch merged
+    // repeatedly — for it, discovery was measured ≈ the write job itself).
+    // Driver budget is the SAME as the existing key probe's: ≤ maxKeys
+    // scalar key rows (a few MB). A source over the cap pays one cheap
+    // executeTake probe (stops at maxKeys+1 rows) and falls back to the
+    // agg path unchanged.
+    smallSourceStats(source, pairs, maxKeys) match {
+      case Some((total, stats)) =>
+        if (total == 0) return ((allFiles, None), Some(0L))
+        val preds = pairs.zipWithIndex.flatMap { case ((t, _, nullSafe), i) =>
+          val st = stats(i)
+          if (st.mn == null || st.mx == null || (nullSafe && st.nonNull < total)) None
+          else Some(col(t) >= lit(st.mn) && col(t) <= lit(st.mx))
+        }
+        val bounds = preds.reduceOption(_ && _)
+        val ranged = bounds match {
+          case None => allFiles
+          case Some(b) =>
+            val pruned = table.prunedManifest(b).toSet
+            allFiles.filter(pruned.contains)
+        }
+        val probed =
+          if (ranged.isEmpty || maxKeys <= 0) ranged
+          else pairs.zipWithIndex.find { case ((_, _, nullSafe), i) =>
+            (!nullSafe || stats(i).nonNull == total) && stats(i).keys.nonEmpty
+          } match {
+            case None => ranged
+            case Some(((t, _, _), i)) =>
+              val hit = table.keyProbedManifest(t, stats(i).keys).toSet
+              ranged.filter(hit.contains)
+          }
+        return ((probed, bounds), Some(total))
+      case None => () // over the cap or non-orderable key type: agg path
+    }
     val aggs = pairs.zipWithIndex.flatMap { case ((_, s, _), i) =>
       Seq(min(col(s)).as(s"__mn$i"), max(col(s)).as(s"__mx$i"), count(col(s)).as(s"__cnt$i"),
         approx_count_distinct(col(s)).as(s"__ndv$i"))
     } :+ count(lit(1)).as("__total")
     val row = source.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getAs[Long]("__total")
-    if (total == 0) return (allFiles, None) // empty source: nothing to prune against
+    if (total == 0) return ((allFiles, None), None) // empty source: nothing to prune against
     val preds = pairs.zipWithIndex.flatMap { case ((t, _, nullSafe), i) =>
       val mn = row.get(row.fieldIndex(s"__mn$i"))
       val mx = row.get(row.fieldIndex(s"__mx$i"))
@@ -396,7 +461,76 @@ object MergeInto {
         val pruned = table.prunedManifest(b).toSet
         allFiles.filter(pruned.contains)
     }
-    (keyProbedCandidates(table, source, row, total, pairs, ranged), bounds)
+    ((keyProbedCandidates(table, source, row, total, pairs, ranged), bounds), None)
+  }
+
+  /** Per-pair driver-side source-key stats: non-null count, exact
+   *  distinct keys, and min/max under SPARK's ordering. */
+  private final case class KeyStats(
+      nonNull: Long, keys: Seq[Any], mn: Any, mx: Any)
+
+  /** Collect the source's key columns when they fit the driver budget
+   *  (≤ maxKeys rows) and every key type is one whose driver-side
+   *  ordering provably matches Spark's (`driverCompare`). None = fall
+   *  back to the distributed agg. */
+  private def smallSourceStats(
+      source: DataFrame,
+      pairs: Seq[(String, String, Boolean)],
+      maxKeys: Int): Option[(Long, Seq[KeyStats])] = {
+    if (maxKeys <= 0) return None
+    val projected =
+      try source.select(pairs.map(p => col(p._2)): _*)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val types = projected.schema.fields.map(_.dataType)
+    if (!types.forall(driverOrderable)) return None
+    val rows = projected.limit(maxKeys + 1).collect()
+    if (rows.length > maxKeys) return None
+    val stats = pairs.indices.map { i =>
+      val dt = types(i)
+      var mn: Any = null
+      var mx: Any = null
+      var nonNull = 0L
+      val distinct = scala.collection.mutable.HashSet[Any]()
+      rows.foreach { r =>
+        val v = r.get(i)
+        if (v != null) {
+          nonNull += 1
+          distinct += v
+          if (mn == null || driverCompare(dt, v, mn) < 0) mn = v
+          if (mx == null || driverCompare(dt, v, mx) > 0) mx = v
+        }
+      }
+      KeyStats(nonNull, distinct.toSeq, mn, mx)
+    }
+    Some((rows.length.toLong, stats))
+  }
+
+  /** Key types whose JVM-side ordering matches Spark's expression
+   *  ordering (the min/max derived on the driver must bound exactly what
+   *  `min(col)`/`max(col)` would have): boxed primitives via natural
+   *  Comparable order (java.lang.Double/Float rank NaN greatest, like
+   *  Spark), strings via UTF8String's binary order (Java's UTF-16
+   *  compareTo diverges for supplementary code points), and the temporal
+   *  /decimal externals, which are plain Comparables in both epochs'
+   *  APIs. Anything else (binary, intervals, structs) falls back. */
+  private def driverOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  private def driverCompare(
+      dt: org.apache.spark.sql.types.DataType, a: Any, b: Any): Int = dt match {
+    case org.apache.spark.sql.types.StringType =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+    case _ =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
   }
 
   /** Per-KEY refinement of the range-pruned candidate set — the Hudi

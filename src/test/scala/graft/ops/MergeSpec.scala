@@ -387,6 +387,49 @@ class MergeSpec extends SparkSpec {
     assert(b2.isEmpty, "null-keyed null-safe source must not offer a rebase predicate")
   }
 
+  test("small-source discovery fast path matches the agg path exactly") {
+    // three files with disjoint ranges + a string key column whose
+    // ordering must follow UTF8String (binary) order, not Java UTF-16:
+    // "￿" > "𐀀" (U+10000) in UTF-16 code units but < in
+    // code points / UTF-8 bytes — a wrong driver-side max would UNDER-
+    // bound the source and unsoundly prune a matching file
+    val t = SnapshotTable(spark, tmpDir("merge"))
+    t.overwrite((0 to 99).map(i => (i.toLong, f"k$i%03d", "lo")).toDF("id", "s", "v"))
+    t.append((100 to 199).map(i => (i.toLong, f"k$i%03d", "mid")).toDF("id", "s", "v"))
+    t.append((200 to 299).map(i => (i.toLong, f"k$i%03d", "hi")).toDF("id", "s", "v"))
+    val src = Seq((5L, "k005", "LO"), (250L, "k250", "HI"),
+      (260L, "𐀀", "SUPP"), (261L, "￿", "BMP"))
+      .toDF("id", "s", "v")
+    val cond = col("t.id") === col("s.id") && col("t.s") === col("s.s")
+    val all = t.manifest()
+    // fast path (source under the cap) vs agg path (cap forced under the
+    // row count, key probe still allowed at its own default)
+    val ((cFast, bFast), smallF) = MergeInto.discoveryCandidatesSized(t, src, cond, all)
+    assert(smallF === Some(4L), "4-row source must take the driver fast path")
+    spark.conf.set("spark.graft.merge.probeMaxKeys", "3")
+    val ((cAgg3, bAgg), smallA) =
+      try MergeInto.discoveryCandidatesSized(t, src, cond, all)
+      finally spark.conf.unset("spark.graft.merge.probeMaxKeys")
+    assert(smallA.isEmpty, "over-cap source must take the agg path")
+    // candidate sets agree up to the key-probe refinement the tiny cap
+    // disabled: fast-path candidates are a subset of the agg path's
+    // range-pruned set and still cover every real match
+    assert(cFast.toSet.subsetOf(cAgg3.toSet))
+    // bounds predicates must select the same target rows (same min/max,
+    // incl. the UTF8-ordered string max)
+    assert(bFast.isDefined && bAgg.isDefined)
+    assert(t.read().filter(bFast.get).count() === t.read().filter(bAgg.get).count(),
+      "fast-path and agg-path bounds select different target rows")
+    // end-to-end: the merge through the fast path lands the right rows
+    t.merge(src, cond).whenMatched().updateAll().whenNotMatched().insertAll()
+      .execute()
+    assert(t.read().filter($"id".isin(5L, 250L, 150L)).as[(Long, String, String)]
+      .collect().toSet ===
+      Set((5L, "k005", "LO"), (250L, "k250", "HI"), (150L, "k150", "mid")))
+    assert(t.read().filter($"s".isin("𐀀", "￿")).count() === 2,
+      "supplementary/BMP-keyed source rows must have been inserted")
+  }
+
   test("upsert: precombine keeps max-ts row per key; updates + inserts") {
     val t = SnapshotTable.create(spark, tmpDir("ups"),
       Seq((1, "old", 100L), (2, "keep", 100L)).toDF("id", "v", "ts"))
