@@ -1169,8 +1169,13 @@ object SparkEntry {
    *  the header. */
   private def multimodalQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // spread the synth+decode over the cluster: the id frame reads as a
+    // handful of file splits, and per-row codec work (opaque to Spark's
+    // split sizing) would otherwise run at file parallelism — shuffling
+    // 8-byte ids is noise next to the decode it parallelizes
     val ids = s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
     val assets = ids.mapPartitions { it =>
       it.map { id =>
         val w = 1 + (id % 16).toInt
@@ -1203,7 +1208,8 @@ object SparkEntry {
   private def videoDecodeQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ids = s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism).as[Long] // q27 note
     val assets = ids.mapPartitions { it =>
       it.map { id =>
         val w = 1 + (id % 8).toInt
@@ -1245,7 +1251,8 @@ object SparkEntry {
   private def audioDecodeQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ids = s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism).as[Long] // q27 note
     val assets = ids.mapPartitions { it =>
       it.map { id =>
         val a = (128 + (id % 50) * 16).toInt
@@ -3434,7 +3441,8 @@ object SparkEntry {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"))
     val maxId = docs.agg(max("doc_id")).head().getLong(0)
-    val assets = docs.as[Long].mapPartitions { it =>
+    val assets = docs.repartition(s.sparkContext.defaultParallelism) // q27 note
+      .as[Long].mapPartitions { it =>
       it.map { id =>
         val isCopy = id % 100 == 99
         val base = if (isCopy) id - 1 else id

@@ -436,6 +436,65 @@ object Dedup {
       batch: DataFrame,
       idCol: String,
       releasePairs: Boolean = false): DataFrame = {
+    // ---- small-pair-list fast path: ONE bounded collect (the same
+    // 2^20-edge budget [[connectedComponents]] already dispatches its
+    // driver union-find under) replaces the CC probe job, the CC edge
+    // collect, and the loser-set materialization job with its ~6
+    // exchanges. Semantics are identical by construction: the same
+    // min-id union-find, contaminated components dropped whole, clean
+    // components keep their minimum member. Over-budget pair lists take
+    // the distributed path unchanged.
+    val driverMax = 1L << 20
+    val probeLimit = math.min(driverMax + 1, Int.MaxValue.toLong).toInt
+    val collected = pairs.select(col("id_a"), col("id_b"), col("in_corpus"))
+      .limit(probeLimit).collect()
+    if (collected.length <= driverMax) {
+      val parent = scala.collection.mutable.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val corpusMatched = scala.collection.mutable.HashSet[Any]()
+      val members = scala.collection.mutable.HashSet[Any]()
+      collected.foreach { row =>
+        val (a, b) = (row.get(0), row.get(1))
+        if (!row.isNullAt(2) && row.getBoolean(2)) corpusMatched += a
+        else {
+          members += a; members += b
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // min id becomes the root = the component label
+            if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+      }
+      val contam = scala.collection.mutable.HashSet[Any]()
+      corpusMatched.foreach(id => if (members.contains(id)) contam += find(id))
+      val losers = scala.collection.mutable.HashSet[Any]()
+      losers ++= corpusMatched
+      members.foreach { id =>
+        val root = find(id)
+        if (contam.contains(root) || id != root) losers += id
+      }
+      if (releasePairs) release(pairs)
+      if (losers.isEmpty) return batch
+      val spark = batch.sparkSession
+      val idField = batch.select(idCol).schema.head // resolver-consistent lookup
+      import scala.jdk.CollectionConverters._
+      val loserDf = spark.createDataFrame(
+        losers.toSeq.map(org.apache.spark.sql.Row(_)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "id", idField.dataType, nullable = true))))
+      // LocalRelation right side + explicit broadcast: the anti join
+      // never shuffles the batch
+      return batch.join(broadcast(loserDf),
+        batch(idCol) === loserDf("id"), "left_anti")
+    }
     val corpusMatched = pairs.filter(col("in_corpus"))
       .select(col("id_a").as("id")).distinct()
     val comps = connectedComponents(
@@ -616,17 +675,27 @@ object Dedup {
     }
     val bsigs = minhashSignatures(batch, idCol, textCol, shingleSize, numHashes, seed)
       .localCheckpoint()
-    val bBands = bandRows(bsigs, bands, r).localCheckpoint()
+    // bBands derives from the PINNED signatures by a pure projection
+    // (posexplode over sig slices) — recomputing it per consumer is
+    // cheaper than the extra materialization job a second checkpoint
+    // would spend (the serve path's cost is dominated by sequential job
+    // count, not per-row work)
+    val bBands = bandRows(bsigs, bands, r)
     val idxBands = prunedRead(bandTable, "bandhash",
       boundedKeys(bBands, "bandhash", "batch band"))
-    val cross = bBands.alias("a").join(idxBands.alias("b"),
+    // the batch side of every band join is driver-bounded by contract
+    // (its distinct band keys passed boundedKeys above), so broadcasting
+    // it is scale-safe by construction and removes the exchange the
+    // planner would otherwise put under both join sides (LogicalRDD
+    // carries no size stats, so it would default to a shuffle join)
+    val cross = broadcast(bBands.alias("a")).join(idxBands.alias("b"),
         col("a.band") === col("b.band") && col("a.bandhash") === col("b.bandhash"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
       .localCheckpoint() // small: actual band collisions only
     val idxSigs = prunedRead(sigTable, "doc",
       boundedKeys(cross, "id_b", "candidate corpus-id"))
-    val within = bBands.alias("a").join(bBands.alias("b"),
+    val within = broadcast(bBands.alias("a")).join(bBands.alias("b"),
         col("a.band") === col("b.band") &&
           col("a.bandhash") === col("b.bandhash") &&
           col("a.doc") < col("b.doc"))
@@ -635,8 +704,13 @@ object Dedup {
     val ba = bsigs.select(col("doc").as("id_a"), col("sig").as("sig_a"))
     val bb = bsigs.select(col("doc").as("id_b"), col("sig").as("sig_b"))
     val ib = idxSigs.select(col("doc").as("id_b"), col("sig").as("sig_b"))
+    // batch signatures are bounded by the same contract (≤ batch rows):
+    // broadcast them into the confirmation joins; the corpus-side sigs
+    // (ib) ride the matches and stay un-hinted — a dup-heavy batch can
+    // make them large, and AQE right-sizes that join at runtime
     def confirm(cand: DataFrame, sigB: DataFrame, fromCorpus: Boolean) =
-      cand.join(ba, "id_a").join(sigB, "id_b")
+      cand.join(broadcast(ba), "id_a")
+        .join(if (fromCorpus) sigB else broadcast(sigB), "id_b")
         .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
         .filter(col("est_jaccard") >= minEst)
         .select(col("id_a"), col("id_b"), col("est_jaccard"),
@@ -644,7 +718,7 @@ object Dedup {
     val result = confirm(cross, ib, fromCorpus = true)
       .unionByName(confirm(within, bb, fromCorpus = false))
       .localCheckpoint()
-    release(bsigs); release(bBands); release(cross)
+    release(bsigs); release(cross)
     result
   }
 

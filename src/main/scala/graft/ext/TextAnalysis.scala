@@ -487,13 +487,19 @@ object TextAnalysis {
       textCol: String,
       maxProbeKeys: Int = 1 << 20): DataFrame = {
     val n = spanGramNOf(table)
-    val grams = spanGramIndex(batch, idCol, textCol, n).localCheckpoint()
-    // release in finally: a throw inside the serve (e.g. maxProbeKeys
-    // overflow in probeGrams) must not leak the checkpointed RDD
-    try removeDuplicatedSpansIncremental(
-        batch, probeGrams(table, grams, maxProbeKeys), idCol, textCol, n)
+    // ONE bounded collect of the batch's distinct gram hashes serves the
+    // key probe directly — the serve contract already requires the key
+    // set to fit maxProbeKeys (loud failure above), so a checkpoint of
+    // the gram frame plus a second probe-collect job bought nothing the
+    // collected array does not carry
+    val keys = spanGramIndex(batch, idCol, textCol, n)
+      .limit(maxProbeKeys + 1).collect().map(_.get(0))
+    require(keys.length <= maxProbeKeys,
+      s"batch gram key set exceeds maxProbeKeys=$maxProbeKeys — split the batch")
+    removeDuplicatedSpansIncremental(
+        batch, table.keyProbedRead("g", keys.toSeq).select(col("g")),
+        idCol, textCol, n)
       .localCheckpoint()
-    finally graft.ext.Dedup.release(grams)
   }
 
   /** Refuse a build/serve gram-size mismatch against what the index

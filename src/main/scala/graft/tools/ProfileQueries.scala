@@ -85,6 +85,11 @@ object ProfileQueries {
           (System.nanoTime() - t0) / 1e9
         }
         println(f"[prof] $name%-28s min=${times.min}%7.3f s  jobs=$jobs%3d stages=$stages%3d tasks=$tasks%5d taskSec=${taskNanos / 1e9}%8.2f")
+        if (perJob) {
+          val (_, phases) = graft.ext.PhaseLog.capture(run())
+          if (phases.nonEmpty)
+            println("[prof]   phases: " + phases.map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+        }
         if (perJob) jobRows.synchronized {
           jobRows.sortBy(_._2).foreach { case (sec, id, desc) =>
             println(f"[prof]   job $id%4d ${sec}%7.3f s  $desc")
