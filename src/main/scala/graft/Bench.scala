@@ -863,6 +863,10 @@ object Bench {
           (mwCalib0, mwCalib1)))
       } catch { case e: Throwable =>
         System.err.println(s"[bench][multi_writer]: ${e.getMessage}"); None
+      } finally {
+        // a throw mid-block must not leave process-wide phase timing
+        // enabled for every subsequent commit measurement
+        graft.tables.SnapshotTable.commitPhases.disable()
       }
     // -------- reference-scale anchor (r14 verdict #7): the reference's
     // own 999+1,100-row contact CSVs (`data/*.csv`) through the same

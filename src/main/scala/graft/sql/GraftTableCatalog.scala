@@ -722,7 +722,7 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
       case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
       case _ => return false
     }
-    val field = tableSchema.fields.find(_.name.equalsIgnoreCase(col))
+    val field = SnapshotTable.resolveField(tableSchema, col)
       .getOrElse(return false)
     field.dataType match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
@@ -749,7 +749,7 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
       files: Seq[SnapshotTable.FileEntry],
       dvDel: Map[String, Long],
       col: String, asc: Boolean, n: Int): Seq[SnapshotTable.FileEntry] = {
-    val dt = tableSchema.fields.find(_.name.equalsIgnoreCase(col))
+    val dt = SnapshotTable.resolveField(tableSchema, col)
       .map(_.dataType).getOrElse(LongType)
     GraftScanBuilder.topNCap(files, dvDel, col, asc, n, dt)
   }
@@ -968,33 +968,42 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
       case Some((n, cs, subs)) if files.nonEmpty &&
           files.forall(f => f.bucket.isDefined && f.bytes > 0) =>
         import org.apache.spark.sql.connector.expressions.Expressions
-        def resolve(c: String) = tableSchema.fieldNames
-          .find(_.equalsIgnoreCase(c)).getOrElse(c)
-        val keys = cs.map(resolve)
+        // unique session-aware binding (SnapshotTable.resolveField): an
+        // ambiguous spec column un-reports the layout (shuffle plan,
+        // never a wrong co-partitioning claim)
+        def resolve(c: String): Option[String] =
+          SnapshotTable.resolveField(tableSchema, c).map(_.name)
+        val keysR = cs.map(resolve)
+        if (keysR.exists(_.isEmpty)) return None
+        val keys = keysR.flatten
         // sub entries: identity columns report as attribute keys with
         // stats-derived single values; time transforms report as the
         // catalog's V2 time function with the UTC-truncated period
-        val subPlans: Seq[(org.apache.spark.sql.connector.expressions.Transform,
-            SnapshotTable.FileEntry => Option[Any])] =
+        val subPlansR: Seq[Option[(org.apache.spark.sql.connector.expressions.Transform,
+            SnapshotTable.FileEntry => Option[Any])]] =
           subs.map { entry =>
             SnapshotTable.ClusterTransform.timeEntry(entry) match {
               case Some((unit, c)) =>
-                val key = resolve(c)
-                val t = unit match {
-                  case "years" => Expressions.years(key)
-                  case "months" => Expressions.months(key)
-                  case "hours" => Expressions.hours(key)
-                  case _ => Expressions.days(key)
+                resolve(c).map { key =>
+                  val t = unit match {
+                    case "years" => Expressions.years(key)
+                    case "months" => Expressions.months(key)
+                    case "hours" => Expressions.hours(key)
+                    case _ => Expressions.days(key)
+                  }
+                  (t, (f: SnapshotTable.FileEntry) =>
+                    table.fileTruncValue(f, key, unit, tableSchema))
                 }
-                (t, (f: SnapshotTable.FileEntry) =>
-                  table.fileTruncValue(f, key, unit, tableSchema))
               case None =>
-                val key = resolve(entry)
-                (Expressions.identity(key),
-                  (f: SnapshotTable.FileEntry) =>
-                    table.fileSingleValue(f, key, tableSchema))
+                resolve(entry).map { key =>
+                  (Expressions.identity(key),
+                    (f: SnapshotTable.FileEntry) =>
+                      table.fileSingleValue(f, key, tableSchema))
+                }
             }
           }
+        if (subPlansR.exists(_.isEmpty)) return None
+        val subPlans = subPlansR.flatten
         val transforms = Expressions.bucket(n, keys: _*) +: subPlans.map(_._1)
         // write-order claim: routed bucket writes sort within partitions
         // by the bucket source columns (identity subs are per-file
@@ -1002,7 +1011,7 @@ class GraftScanBuilder(table: SnapshotTable, version: Long, tableSchema: StructT
         // subs are constants of the TRANSFORM only and stay unreported)
         val orderingCols = keys ++ subs.flatMap(entry =>
           if (SnapshotTable.ClusterTransform.timeEntry(entry).isDefined) None
-          else Some(resolve(entry)))
+          else resolve(entry))
         if (subs.isEmpty) {
           val groups = files.groupBy(_.bucket.get).toSeq.sortBy(_._1)
             .map { case (b, fs) => (Seq[Any](b), fs) }
@@ -1176,11 +1185,14 @@ class KeyGroupedFileScan(
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
     val names = readSchema().fieldNames
+    // orderingCols arrive pre-resolved to exact physical names
+    // (maybeKeyGrouped's session-aware binding) — compare exactly so an
+    // ambiguous-case sibling can never claim the write order
     if (orderingCols.nonEmpty &&
         initialGroups.forall(_._2.lengthCompare(1) <= 0) &&
-        orderingCols.forall(c => names.exists(_.equalsIgnoreCase(c))))
+        orderingCols.forall(names.contains))
       orderingCols.map(c => Expressions.sort(
-        Expressions.column(names.find(_.equalsIgnoreCase(c)).get),
+        Expressions.column(c),
         SortDirection.ASCENDING)).toArray
     else Array.empty
   }
@@ -1436,7 +1448,12 @@ object GraftScanBuilder {
       col: String, asc: Boolean, n: Int,
       dt: DataType = LongType): Seq[SnapshotTable.FileEntry] = {
     def stat(f: SnapshotTable.FileEntry): Option[SnapshotTable.ColStats] =
-      f.stats.find(_._1.equalsIgnoreCase(col)).map(_._2)
+      f.stats.get(col).orElse {
+        // legacy manifests may key stats under a different case; trust
+        // the entry only when the case-insensitive match is UNIQUE
+        val m = f.stats.keys.filter(_.equalsIgnoreCase(col)).toSeq
+        if (m.size == 1) f.stats.get(m.head) else None
+      }
     def parsed(cs: SnapshotTable.ColStats, takeMin: Boolean): Option[Any] = {
       val s = if (takeMin) cs.min else cs.max
       dt match {
@@ -1610,7 +1627,7 @@ object GraftScanBuilder {
             if c.dataType() == org.apache.spark.sql.types.DateType =>
           unwrap(c.expression())
         case r: NamedReference if r.fieldNames.length == 1 =>
-          schema.fields.find(_.name.equalsIgnoreCase(r.fieldNames()(0)))
+          SnapshotTable.resolveField(schema, r.fieldNames()(0))
         case _ => None
       }
       for {
@@ -1724,7 +1741,7 @@ object GraftScanBuilder {
    *  `pushFilters` wants, so the parquet reader gets row-group pushdown). */
   def toExpression(f: Filter, schema: StructType): Option[ce.Expression] = {
     def ref(name: String): Option[ce.AttributeReference] =
-      schema.fields.find(_.name.equalsIgnoreCase(name))
+      SnapshotTable.resolveField(schema, name)
         .map(fld => ce.AttributeReference(fld.name, fld.dataType, fld.nullable)())
     f match {
       case EqualTo(a, v) => ref(a).map(r => ce.EqualTo(r, ce.Literal(v)))

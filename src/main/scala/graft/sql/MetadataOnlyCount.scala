@@ -417,10 +417,22 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     // so no file could be wholly in — refuse before touching the files
     if (trees.contains(PUnknown)) return None
     val schema = g.schema()
+    // resolve per the SESSION's case sensitivity (this proof decides
+    // row-affecting in/out verdicts, like provablyNoNulls): under a
+    // case-sensitive session require the exact name; ambiguity (two
+    // fields differing only in case) refuses — None = undecided, the
+    // file keeps the scan
+    val filterCaseSensitive =
+      org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis
     def statsOf(f: FileEntry, name: String)
-        : Option[graft.tables.SnapshotTable.ColStats] =
-      schema.fields.find(_.name.equalsIgnoreCase(name))
-        .flatMap(fl => f.stats.get(fl.name))
+        : Option[graft.tables.SnapshotTable.ColStats] = {
+      val matches = schema.fields.filter(_.name.equalsIgnoreCase(name))
+      val resolved =
+        if (filterCaseSensitive) matches.find(_.name == name)
+        else if (matches.length == 1) matches.headOption
+        else None
+      resolved.flatMap(fl => f.stats.get(fl.name))
+    }
     // tri-state per (file, tree): Some(true)=every row satisfies,
     // Some(false)=no row satisfies, None=undecided
     def verdict(f: FileEntry, t: PTree): Option[Boolean] = t match {

@@ -522,7 +522,9 @@ class SnapshotTable private (
       .flatMap { logical =>
         val phys = mapping.find(_._1.equalsIgnoreCase(logical)).map(_._2)
           .getOrElse(logical)
-        df.schema.fieldNames.find(_.equalsIgnoreCase(phys)).map(logical -> _)
+        // exact name first — a case-sibling column must not donate its
+        // values to this column's bloom (the bloom PRUNES reads)
+        SnapshotTable.pickName(df.schema.fieldNames, phys).map(logical -> _)
       }
     // hybrid routed layout (bucket + identity sub-partitions): the
     // writer's dynamic partitioning splits each routed task's output so
@@ -550,7 +552,7 @@ class SnapshotTable private (
           val logical = ClusterTransform.sourceColumns(entry).head
           val phys = mapping.find(_._1.equalsIgnoreCase(logical)).map(_._2)
             .getOrElse(logical)
-          val p = df.schema.fieldNames.find(_.equalsIgnoreCase(phys))
+          val p = SnapshotTable.pickName(df.schema.fieldNames, phys)
             .getOrElse(throw new IllegalStateException(
               s"routed write: sub-partition column $logical missing from frame"))
           // identity entries split on the raw column; time transforms on
@@ -975,7 +977,19 @@ class SnapshotTable private (
   private def alignToCommitted(
       df: DataFrame, committed: StructType, mergeSchema: Boolean): (DataFrame, StructType) = {
     val incoming = df.schema
-    def find(n: String) = incoming.fields.find(_.name.equalsIgnoreCase(n))
+    // EXACT name wins before the case-insensitive fallback: an incoming
+    // frame carrying two columns that differ only in case (legal via the
+    // DataFrame API under a case-sensitive session) must pair each
+    // committed column with its exact spelling — first-match binding
+    // wrote the SIBLING's values into the column. No exact match and
+    // several case-variants is genuinely ambiguous: refuse loudly.
+    def find(n: String): Option[StructField] = {
+      val m = incoming.fields.filter(_.name.equalsIgnoreCase(n))
+      if (m.lengthCompare(1) <= 0) m.headOption
+      else m.find(_.name == n).orElse(throw new IllegalArgumentException(
+        s"append to $root: incoming columns ${m.map(_.name).mkString(", ")} " +
+          s"are ambiguous for committed column '$n'"))
+    }
     val missing = committed.fields.filterNot(f => find(f.name).isDefined)
     val missingRequired = missing.filterNot(_.nullable)
     if (missingRequired.nonEmpty) throw new IllegalArgumentException(
@@ -1921,7 +1935,7 @@ class SnapshotTable private (
     // all-novel ingest batch) into a whole-index scan per call
     if (keys.isEmpty) return Nil
     val schema = DataType.fromJson(entry.schemaJson).asInstanceOf[StructType]
-    val probes = schema.fields.find(_.name.equalsIgnoreCase(column))
+    val probes = SnapshotTable.resolveField(schema, column)
       .map(f => Pruning.prepKeyProbes(keys, f.dataType)).getOrElse(Nil)
     if (probes.isEmpty) entry.files.map(_.path)
     else entry.files
@@ -2011,7 +2025,7 @@ class SnapshotTable private (
   private[graft] def fileSingleValue(
       f: FileEntry, column: String, schema: StructType): Option[Any] =
     for {
-      field <- schema.fields.find(_.name.equalsIgnoreCase(column))
+      field <- SnapshotTable.resolveField(schema, column)
       cs <- f.stats.get(field.name)
       if cs.nullCount.contains(0L) && f.rows > 0
       mn <- cs.min
@@ -2050,7 +2064,7 @@ class SnapshotTable private (
   private[graft] def fileTruncValue(
       f: FileEntry, column: String, unit: String, schema: StructType): Option[Long] =
     for {
-      field <- schema.fields.find(_.name.equalsIgnoreCase(column))
+      field <- SnapshotTable.resolveField(schema, column)
       if field.dataType == TimestampType || field.dataType == TimestampNTZType
       cs <- f.stats.get(field.name)
       if cs.nullCount.contains(0L) && f.rows > 0
@@ -2363,10 +2377,18 @@ class SnapshotTable private (
   private def alignTo(df: DataFrame, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions._
     // case-INSENSITIVE match, like every other schema-evolution path — a
-    // case-changing overwrite must not null out the column
-    val have = df.columns.map(c => c.toLowerCase -> c).toMap
+    // case-changing overwrite must not null out the column. EXACT name
+    // wins first: with case-sibling columns present, a lowercased map
+    // would bind BOTH fields to one source column (wrong values)
+    val cols = df.columns
+    def pick(n: String): Option[String] =
+      if (cols.contains(n)) Some(n)
+      else {
+        val m = cols.filter(_.equalsIgnoreCase(n))
+        if (m.length == 1) m.headOption else None
+      }
     df.select(schema.fields.toSeq.map { f =>
-      (have.get(f.name.toLowerCase) match {
+      (pick(f.name) match {
         case Some(actual) => col(actual)
         case None => lit(null)
       }).cast(f.dataType).as(f.name)
@@ -3916,6 +3938,37 @@ object SnapshotTable {
   final case class ColStats(min: Option[String], max: Option[String], nullCount: Option[Long],
       exact: Option[Boolean] = None)
 
+  /** Session-aware unique field resolution for every stats-trusting
+   *  derivation (file pruning, key probes, TopN caps, metadata serves):
+   *  under a case-sensitive session the EXACT name must exist; otherwise
+   *  a UNIQUE case-insensitive match is required. With two columns
+   *  differing only in case, first-match binding could prune files or
+   *  serve aggregates off the WRONG column's stats — wrong rows; None
+   *  degrades every caller to its conservative path (keep the file /
+   *  keep the scan). */
+  /** [[resolveField]]'s name-list twin: exact spelling first, then a
+   *  UNIQUE case-insensitive match; ambiguity refuses. */
+  private[graft] def pickName(names: Seq[String], n: String): Option[String] =
+    if (names.contains(n)) Some(n)
+    else {
+      val m = names.filter(_.equalsIgnoreCase(n))
+      if (m.length == 1) m.headOption else None
+    }
+
+  private[graft] def resolveField(
+      schema: StructType, name: String): Option[StructField] = {
+    val matches = schema.fields.filter(_.name.equalsIgnoreCase(name))
+    if (matches.length == 1) {
+      // fast path: unambiguous either way; a case-sensitive session still
+      // requires the exact spelling before trusting the stats
+      if (matches.head.name == name ||
+          !org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
+        matches.headOption
+      else None
+    } else matches.find(_.name == name).filter(_ =>
+      org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
+  }
+
   /** Row shape of [[SnapshotTable.filesMetadata]]'s per-column stats map
    *  (nulls for absent bounds, -1 for an unrecorded null count). */
   final case class ColStatsRow(min: String, max: String, null_count: Long)
@@ -4336,7 +4389,7 @@ object SnapshotTable {
       if (dtOpt.isEmpty) return true
       val dt = dtOpt.get
       val bnds = bounds(f, name, schema)
-      val bloom = schema.fields.find(_.name.equalsIgnoreCase(name))
+      val bloom = resolveField(schema, name)
         .flatMap(fl => f.decodedBlooms.get(fl.name))
       if (bnds.isEmpty && bloom.isEmpty) return true
       probes.exists { p =>
@@ -4460,7 +4513,7 @@ object SnapshotTable {
         f: FileEntry, nameE: Expression, l: Literal, schema: StructType): Boolean =
       (for {
         name <- attrName(nameE)
-        field <- schema.fields.find(_.name.equalsIgnoreCase(name))
+        field <- resolveField(schema, name)
         (k, m, bits) <- f.decodedBlooms.get(field.name)
         if l.value != null
         cv <- FileBloom.catalystValue(l.value, field.dataType)
@@ -4511,14 +4564,14 @@ object SnapshotTable {
 
     private def bounds(f: FileEntry, name: String, schema: StructType): Option[(String, String)] =
       for {
-        field <- schema.fields.find(_.name.equalsIgnoreCase(name))
+        field <- resolveField(schema, name)
         cs <- f.stats.get(field.name)
         mn <- cs.min
         mx <- cs.max
       } yield (mn, mx)
 
     private def colType(name: String, schema: StructType): Option[DataType] =
-      schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+      resolveField(schema, name).map(_.dataType)
 
     /** cmp(fileBound, literal) in the right domain. */
     private def cmp(bound: String, v: Either[Long, Either[Double, String]], dt: DataType): Int = v match {
@@ -4567,7 +4620,7 @@ object SnapshotTable {
         case IsNull(a) =>
           (for {
             name <- attrName(a)
-            field <- schema.fields.find(_.name.equalsIgnoreCase(name))
+            field <- resolveField(schema, name)
             cs <- f.stats.get(field.name)
             n <- cs.nullCount
           } yield n > 0).getOrElse(true)
@@ -4576,7 +4629,7 @@ object SnapshotTable {
         case org.apache.spark.sql.catalyst.expressions.IsNotNull(a) =>
           (for {
             name <- attrName(a)
-            field <- schema.fields.find(_.name.equalsIgnoreCase(name))
+            field <- resolveField(schema, name)
             cs <- f.stats.get(field.name)
             n <- cs.nullCount
             if f.rows >= 0

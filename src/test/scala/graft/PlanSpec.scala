@@ -1778,6 +1778,42 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db.txfr")
   }
 
+  test("filtered serve binds stats per session case sensitivity") {
+    // two columns differing only in case (legal under caseSensitive=true):
+    // the filter proof must key off the EXACT column's stats — first-match
+    // case-insensitive binding would read the sibling's bounds and emit
+    // wrong in/out verdicts, i.e. wrong aggregate rows
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft.db.txcase")
+      spark.sql("CREATE TABLE graft.db.txcase (ent BIGINT, V BIGINT, v BIGINT) " +
+        "USING graft")
+      // per-file: V interleaves (straddles any bound), v is clustered
+      spark.range(0, 400)
+        .select(col("id").as("ent"), (col("id") % 7).as("V"),
+          (col("id") * 10).as("v"))
+        .repartitionByRange(4, col("ent")).sortWithinPartitions("ent")
+        .writeTo("graft.db.txcase").append()
+      // the write itself must pair each committed column with its exact
+      // spelling: the aligned frame's stats prove it (v clustered by ent,
+      // not V's 0..6 band duplicated into both)
+      val loc = spark.conf.get("spark.sql.catalog.graft.warehouse") + "/db/txcase"
+      val ents = graft.tables.SnapshotTable(spark, loc).manifestEntries()
+      assert(ents.flatMap(_.stats.get("v")).exists(_.max.exists(_.toLong >= 3000)),
+        s"write bound 'v' to its case-sibling's values: ${ents.map(_.stats)}")
+      val q = "SELECT count(*) AS n FROM graft.db.txcase WHERE v >= 2000"
+      val df = spark.sql(q)
+      assert(df.head().getLong(0) === 200L, "wrong rows under exact binding")
+      // and the lower-case column's clustered stats may serve it
+      // metadata-only; binding to V's interleaved bounds could not
+      val dfUp = spark.sql("SELECT count(*) AS n FROM graft.db.txcase WHERE V >= 3")
+      assert(!executedPlanString(dfUp).contains("LocalTableScan"),
+        "interleaved upper-case column served from whole-file stats")
+      assert(dfUp.head().getLong(0) === 228L)
+      spark.sql("DROP TABLE graft.db.txcase")
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
   test("q140's executed plan serves the filtered group-by from the manifest") {
     val df = SparkEntry.queries("q140_meta_filtered_groupby")(spark, dir)
     val plan = executedPlanString(df)

@@ -1650,6 +1650,39 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.commitPhases.secondsByPhase.toMap === before)
   }
 
+  test("file stat derivations refuse ambiguous case-insensitive columns") {
+    // with two columns differing only in case, first-match binding could
+    // key a row-affecting serve off the WRONG column's stats — the
+    // resolution must refuse (None) so the query keeps the ordinary scan
+    val t = SnapshotTable(spark, tmpDir("tbl_amb"))
+    t.overwrite(Seq((1L, 2L)).toDF("id", "v"))
+    import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
+    val cs = SnapshotTable.ColStats(Some("7"), Some("7"), Some(0L))
+    val fe = SnapshotTable.FileEntry("f.parquet", 10L, 100L,
+      Map("ID" -> cs, "id" -> cs))
+    val amb = new StructType().add("ID", LongType).add("id", LongType)
+    assert(t.fileSingleValue(fe, "id", amb).isEmpty,
+      "ambiguous column resolved against first case-insensitive match")
+    val ambTs = new StructType().add("TS", TimestampType).add("ts", TimestampType)
+    val feTs = SnapshotTable.FileEntry("f.parquet", 10L, 100L,
+      Map("TS" -> cs, "ts" -> cs))
+    assert(t.fileTruncValue(feTs, "ts", "DAY", ambTs).isEmpty)
+    // a UNIQUE case-insensitive match still serves (session default is
+    // case-insensitive): requesting "Id" binds to the only "id" field
+    val uniq = new StructType().add("id", LongType)
+    val feU = SnapshotTable.FileEntry("f.parquet", 10L, 100L, Map("id" -> cs))
+    assert(t.fileSingleValue(feU, "Id", uniq).contains(7L))
+    // under a case-sensitive session the exact name must exist
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      assert(t.fileSingleValue(feU, "Id", uniq).isEmpty,
+        "case-sensitive session bound a differently-cased column")
+      assert(t.fileSingleValue(feU, "id", uniq).contains(7L))
+      // exact match wins even when an ambiguous sibling exists
+      assert(t.fileSingleValue(fe, "id", amb).contains(7L))
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
   test("append re-base is refused across metadata changes") {
     val t = SnapshotTable(spark, tmpDir("tbl"))
     t.overwrite(Seq((1, "a")).toDF("id", "v"))
